@@ -12,7 +12,10 @@ import graft.queries._
 object SparkEntry {
   /** Modules in SURVEY.md §2 inventory order. */
   private val modules: Seq[QueryModule] = Seq(
-    TpchQueries
+    TpchQueries,
+    RelationalQueries,
+    AggQueries,
+    WindowQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Window functions — SURVEY.md §2.5: the Calcite dispatch inventory
+  * (BodoSQL .../window/WindowAggregateApplyFuncTable.kt:25-80), lead/lag
+  * (bodo/libs/_lead_lag.cpp), streaming window state
+  * (bodo/libs/streaming/_window.h:41), Snowflake specials
+  * (RATIO_TO_REPORT / CONDITIONAL_TRUE_EVENT / CONDITIONAL_CHANGE_EVENT),
+  * MIN_ROW_NUMBER_FILTER (QUALIFY fusion, MinRowNumberFilterRule.java),
+  * pandas rolling (bodo/hiframes/rolling.py:28).
+  *
+  * Scale notes: every window partitions on a real key (user_id/event_type)
+  * → one hash shuffle, per-partition sort, no global sort. The qualify-style
+  * rn=1 filter plans through Spark's WindowGroupLimit (verified in tests).
+  */
+object WindowQueries extends QueryModule {
+
+  private def ev(s: SparkSession, d: String) = events(s, d)
+
+  override def queries: Map[String, QueryFn] = Map(
+    // Ranking family under ties (ORDER BY value only — rank semantics).
+    "win_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(desc("value"))
+      ev(s, d).filter(col("user_id") < 50)
+        .select(col("event_id"), col("event_type"), col("value"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+    }),
+
+    // row_number / ntile with a fully deterministic order.
+    "win_rownum" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(desc("value"), asc("event_id"))
+      ev(s, d).filter(col("user_id") < 50)
+        .select(col("event_id"), col("event_type"),
+          row_number().over(w).as("rn"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
+    // Navigation: lead/lag with offset+default, first/last/nth over full frame.
+    "win_nav" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev(s, d).filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"),
+          lag(col("value"), 1, -1.0).over(w).as("prev_v"),
+          lead(col("value"), 2).over(w).as("next2_v"),
+          first(col("event_type")).over(full).as("first_type"),
+          last(col("event_type")).over(full).as("last_type"),
+          nth_value(col("value"), 3).over(full).as("third_v"))
+    }),
+
+    // Framed aggregates: running + moving (ROWS frames).
+    "win_frames" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d).filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run_sum"),
+          min(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run_min"),
+          max(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run_max"),
+          avg(col("value")).over(w.rowsBetween(-3, 0)).as("mavg4"),
+          count(lit(1)).over(w.rowsBetween(-3, 0)).as("mcount4"))
+    }),
+
+    // RANGE frame over a numeric key (value-based window).
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rangeBetween(-100L, 0L)
+      ev(s, d).filter(col("user_id") < 30)
+        .select(col("event_id"), col("event_type"),
+          sum(col("value")).over(w).as("range_sum"),
+          count(lit(1)).over(w).as("range_n"))
+    }),
+
+    // Time-based rolling window (pandas rolling w/ time offset): 1h sum.
+    "win_time_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_millis(col("ts")))
+        .rangeBetween(-3600000L, 0L)
+      ev(s, d).filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value")).over(w).as("hour_sum"),
+          count(lit(1)).over(w).as("hour_n"))
+    }),
+
+    // Snowflake specials composed from primitives.
+    "win_snowflake_specials" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d).filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"),
+          (col("value") / sum(col("value")).over(part)).as("ratio_to_report"),
+          sum(when(col("value") > 10.0, 1L).otherwise(0L)).over(run).as("cond_true_event"),
+          sum(coalesce(
+            (col("event_type") =!= lag(col("event_type"), 1)
+              .over(Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+              .cast("long"), lit(0L))).over(run).as("cond_change_event"))
+    }),
+
+    // QUALIFY row_number()=1 — latest event per user (WindowGroupLimit path).
+    "win_qualify" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
+      ev(s, d).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // Per-group top-N (rank <= 3).
+    "win_topn_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(desc("value"), asc("event_id"))
+      ev(s, d).withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("event_type"), col("rn"), col("event_id"), col("value"))
+    }),
+
+    // Rolling covariance/correlation (pandas rolling.cov/corr) — expressed
+    // via explicit co-moment sums so 1-row frames yield NULL (not an ANSI
+    // divide-by-zero) and both engines evaluate the identical formula.
+    "win_rolling_stats" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(-10, 0)
+      val x = col("value")
+      val y = col("user_id").cast("double")
+      val n = count(lit(1)).over(w).cast("double")
+      val sx = sum(x).over(w); val sy = sum(y).over(w)
+      val sxx = sum(x * x).over(w); val syy = sum(y * y).over(w)
+      val sxy = sum(x * y).over(w)
+      val d1 = n * sxx - sx * sx; val d2 = n * syy - sy * sy
+      ev(s, d).filter(col("user_id") < 20)
+        .select(col("event_id"), col("event_type"),
+          when(n > 1.0, (sxy - sx * sy / n) / (n - 1.0)).as("roll_cov"),
+          when(d1 > 0.0 && d2 > 0.0,
+            (n * sxy - sx * sy) / (sqrt(d1) * sqrt(d2))).as("roll_corr"),
+          when(n > 1.0, sqrt((sxx - sx * sx / n) / (n - 1.0))).as("roll_std"))
+    }),
+
+    // groupby.cum* family (cumsum/cummax/cummin + cumprod via exp∘sum∘ln).
+    "win_cumulative" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d).filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value")).over(w).as("cumsum"),
+          max(col("value")).over(w).as("cummax"),
+          min(col("value")).over(w).as("cummin"),
+          exp(sum(log(lit(1.0) + col("value") / 1000.0)).over(w)).as("cumprod1p"))
+    }),
+
+    // Sessionization: 10-minute inactivity gap starts a new session.
+    "win_sessionize" -> ((s, d) => {
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gap = (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byTs)) > 600000L
+      ev(s, d)
+        .withColumn("new_sess", coalesce(gap.cast("long"), lit(0L)))
+        .withColumn("session_idx", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT event_id, event_type, value,
+        | CAST(rank() OVER w AS INT) AS rnk,
+        | CAST(dense_rank() OVER w AS INT) AS drnk,
+        | percent_rank() OVER w AS prnk,
+        | cume_dist() OVER w AS cdist
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC)""".stripMargin,
+
+    "win_rownum" ->
+      """SELECT event_id, event_type,
+        | CAST(row_number() OVER w AS INT) AS rn,
+        | CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)""".stripMargin,
+
+    "win_nav" ->
+      """SELECT user_id, event_id,
+        | lag(value, 1, -1.0) OVER w AS prev_v,
+        | lead(value, 2) OVER w AS next2_v,
+        | first_value(event_type) OVER wf AS first_type,
+        | last_value(event_type) OVER wf AS last_type,
+        | nth_value(value, 3) OVER wf AS third_v
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        | wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "win_frames" ->
+      """SELECT user_id, event_id,
+        | sum(value) OVER wr AS run_sum,
+        | min(value) OVER wr AS run_min,
+        | max(value) OVER wr AS run_max,
+        | avg(value) OVER wm AS mavg4,
+        | count(*) OVER wm AS mcount4
+        |FROM events WHERE user_id < 30
+        |WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        | wm AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT event_id, event_type,
+        | sum(value) OVER w AS range_sum,
+        | count(*) OVER w AS range_n
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |        RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "win_time_range" ->
+      """SELECT user_id, event_id,
+        | sum(value) OVER w AS hour_sum,
+        | count(*) OVER w AS hour_n
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |        RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "win_snowflake_specials" ->
+      """WITH b AS (
+        | SELECT user_id, event_id, ts, value,
+        |   value / sum(value) OVER (PARTITION BY event_type) AS ratio_to_report,
+        |   CASE WHEN value > 10.0 THEN 1 ELSE 0 END AS is_true,
+        |   COALESCE(CAST(event_type <> lag(event_type, 1) OVER
+        |     (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT), 0) AS chg
+        | FROM events WHERE user_id < 30)
+        |SELECT user_id, event_id, ratio_to_report,
+        | CAST(sum(is_true) OVER run AS BIGINT) AS cond_true_event,
+        | CAST(sum(chg) OVER run AS BIGINT) AS cond_change_event
+        |FROM b
+        |WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "win_qualify" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
+
+    "win_topn_per_group" ->
+      """SELECT event_type, CAST(rn AS INT) AS rn, event_id, value FROM (
+        | SELECT event_type, event_id, value,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+        | FROM events) WHERE rn <= 3""".stripMargin,
+
+    "win_rolling_stats" ->
+      """WITH b AS (
+        | SELECT event_id, event_type,
+        |  CAST(count(*) OVER w AS DOUBLE) AS n,
+        |  sum(value) OVER w AS sx,
+        |  sum(CAST(user_id AS DOUBLE)) OVER w AS sy,
+        |  sum(value * value) OVER w AS sxx,
+        |  sum(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)) OVER w AS syy,
+        |  sum(value * CAST(user_id AS DOUBLE)) OVER w AS sxy
+        | FROM events WHERE user_id < 20
+        | WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |        ROWS BETWEEN 10 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type,
+        | CASE WHEN n > 1.0 THEN (sxy - sx * sy / n) / (n - 1.0) END AS roll_cov,
+        | CASE WHEN (n * sxx - sx * sx) > 0.0 AND (n * syy - sy * sy) > 0.0
+        |   THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END AS roll_corr,
+        | CASE WHEN n > 1.0 THEN sqrt((sxx - sx * sx / n) / (n - 1.0)) END AS roll_std
+        |FROM b""".stripMargin,
+
+    "win_cumulative" ->
+      """SELECT user_id, event_id,
+        | sum(value) OVER w AS cumsum,
+        | max(value) OVER w AS cummax,
+        | min(value) OVER w AS cummin,
+        | exp(sum(ln(1.0 + value / 1000.0)) OVER w) AS cumprod1p
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "win_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts, value,
+        |   COALESCE(CAST((epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER
+        |     (PARTITION BY user_id ORDER BY ts, event_id)) > 600000 AS BIGINT), 0) AS new_sess
+        | FROM events),
+        | s AS (
+        | SELECT user_id, value, CAST(sum(new_sess) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        | FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events, sum(value) AS session_value
+        |FROM s GROUP BY user_id, session_idx""".stripMargin
+  )
+}

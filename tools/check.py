@@ -22,7 +22,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             s = pd.to_datetime(df[c], utc=True)
-            df[c] = s.dt.tz_localize(None)
+            df[c] = s.dt.tz_localize(None).astype("datetime64[ns]")
     df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
     return df
 
