@@ -24,10 +24,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+    uniq(modules.flatMap(_.queries), "queries")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.flatMap(_.oracle).toMap
+    uniq(modules.flatMap(_.oracle), "oracleSql")
+
+  /** A duplicate name across modules would silently pair one module's query
+    * with another's oracle SQL — fail fast instead. */
+  private def uniq[V](kvs: Seq[(String, V)], what: String): Map[String, V] = {
+    val dups = kvs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate $what name(s): ${dups.mkString(", ")}")
+    kvs.toMap
+  }
 }

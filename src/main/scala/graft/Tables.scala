@@ -21,14 +21,21 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects.
-    * Read nanos as long (legacy conf) and convert to a µs TimestampType —
-    * integer floor-division, the same truncation DuckDB applies when it
-    * casts ns → µs, so oracle comparisons agree (FIXTURES.md ns policy).
+    * Read nanos as long (legacy conf) and convert to a µs TimestampType via
+    * exact integral division (`div`, not `/` — float division loses ulps at
+    * epoch-ns magnitude). DuckDB keeps ns when it reads this column, so any
+    * oracle SQL that exposes `ts` must cast it to µs (`CAST(ts AS TIMESTAMP)`)
+    * to match (FIXTURES.md ns policy).
+    *
+    * The legacy conf is session-global by design: parquet scan planning
+    * re-reads SQLConf at action time, so a set/restore around the read would
+    * break execution. `events` is the only ns-typed fixture, and the session
+    * builders in Verify/Bench/tests also set it up front.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -49,7 +49,9 @@ object TpchQueries extends QueryModule {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(revenue).as("revenue"))
-        .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+        // rank on rounded revenue: Spark and DuckDB sum doubles in different
+        // orders, so a raw float sort key could flip rows at the LIMIT cutoff
+        .orderBy(round(col("revenue"), 2).desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
     }),
 
@@ -127,7 +129,7 @@ object TpchQueries extends QueryModule {
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
         .agg(sum(revenue).as("revenue"))
-        .orderBy(desc("revenue"), col("c_custkey"))
+        .orderBy(round(col("revenue"), 2).desc, col("c_custkey"))
         .limit(20)
     }),
 
@@ -202,7 +204,7 @@ object TpchQueries extends QueryModule {
         |  AND o_orderdate < TIMESTAMP '1998-03-15'
         |  AND l_shipdate > TIMESTAMP '1998-03-15'
         |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+        |ORDER BY round(revenue, 2) DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
 
     "tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
@@ -254,7 +256,7 @@ object TpchQueries extends QueryModule {
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+        |ORDER BY round(revenue, 2) DESC, c_custkey LIMIT 20""".stripMargin,
 
     "tpch_q12" ->
       """SELECT l_linestatus,

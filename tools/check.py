@@ -23,7 +23,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             s = pd.to_datetime(df[c], utc=True)
             df[c] = s.dt.tz_localize(None).astype("datetime64[ns]")
-    df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
+    # Sort by non-float (key) columns first so sub-rtol float differences
+    # between engines can't reorder rows; rounded floats only as trailing
+    # tie-breakers.
+    keys = [c for c in df.columns if not pd.api.types.is_float_dtype(df[c])]
+    flts = [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+    tmp = {}
+    for c in flts:
+        rc = f"__round_{c}"
+        df[rc] = df[c].round(6)
+        tmp[c] = rc
+    by = keys + [tmp[c] for c in flts]
+    if by:
+        df = df.sort_values(by=by, kind="mergesort", ignore_index=True)
+    df = df.drop(columns=list(tmp.values()))
     return df
 
 def compare(name, got: pd.DataFrame, exp: pd.DataFrame):
