@@ -13,6 +13,7 @@ object SparkEntry {
   /** Modules in SURVEY.md §2 inventory order. */
   private val modules: Seq[QueryModule] = Seq(
     TpchQueries,
+    TpchQueries2,
     RelationalQueries,
     AggQueries,
     WindowQueries

@@ -42,4 +42,14 @@ object Tables {
 
   /** Timestamp literal evaluated in the session time zone (UTC). */
   def ts(v: String): Column = to_timestamp(lit(v))
+
+  /** Register every fixture as a temp view so queries can use spark.sql —
+    * the SQL surface (BodoSQLContext.sql equivalent) is part of the engine.
+    * Idempotent; re-registered per call because the sf dir varies. */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+    events(s, d).createOrReplaceTempView("events")
+  }
 }
