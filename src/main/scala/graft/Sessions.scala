@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single shared SparkSession factory (SURVEY.md §7.2-M0).
+  *
+  * Every entry point (Verify, Bench, ScalaTest suites) builds its session
+  * here so the engine under test is always the tuned engine: AQE on (runtime
+  * re-plan, skew-join splitting), runtime bloom-filter join pruning, CBO,
+  * and UTC+ns-as-long session conventions the fixtures require.
+  * Mirrors the reference's always-on bloom/runtime-filter behavior
+  * (bodo/libs/streaming/_join.h:16 SIMD block bloom;
+  * RuntimeJoinFilterProgram.kt) via Spark's built-in equivalents.
+  */
+object Sessions {
+  def build(master: String, shufflePartitions: Int): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS); read as long + explicit µs
+      // conversion in Tables.events (Spark 4 rejects ns natively).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE: runtime coalescing, skew-join handling, bcast demotion.
+      .config("spark.sql.adaptive.enabled", "true")
+      // Build-side bloom filter pushed into probe-side scans — the Spark
+      // counterpart of the reference's runtime join filters.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** local[N] with N shuffle partitions, N from SPARK_GRAFT_CPUS (driver contract). */
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    build(s"local[$cpus]", cpus.toInt)
+  }
+}

@@ -16,7 +16,11 @@ object SparkEntry {
     TpchQueries2,
     RelationalQueries,
     AggQueries,
-    WindowQueries
+    WindowQueries,
+    TextQueries,
+    DedupQueries,
+    SimQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

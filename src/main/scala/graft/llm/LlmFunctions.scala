@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.text.TextKernels.{md5Long, words}
+
+/** LLM-pipeline column/operator surface (SURVEY.md §2.12).
+  *
+  * Mirrors the reference API shape — bodo/pandas/series.py:1903 `tokenize`,
+  * `:1932` `llm_generate`, bodo/ai/series.py:42 `embed` — re-expressed
+  * Spark-first:
+  *   - `tokenize` / `embed` are pure Catalyst column expressions (codegen'd,
+  *     shuffle-free, scale to any partition count);
+  *   - `llmGenerate` is the external-service shape: `mapPartitions` with
+  *     bounded batches and a per-partition pluggable backend, the same
+  *     stateless partition-parallel design the reference uses for Bedrock /
+  *     OpenAI-compatible endpoints. The container has no egress, so the
+  *     shipped backend is a deterministic echo; a real HTTP backend plugs in
+  *     via the same trait without touching the operator.
+  */
+trait GenBackend extends Serializable {
+  /** One bounded batch of prompts -> one response per prompt. */
+  def generate(prompts: Seq[String]): Seq[String]
+}
+
+/** Deterministic offline stand-in for an LLM endpoint. */
+object EchoBackend extends GenBackend {
+  def generate(prompts: Seq[String]): Seq[String] =
+    prompts.map(s => s"echo:${s.take(24)}:${s.length}")
+}
+
+object LlmFunctions {
+  /** BPE-ish tokenizer: whitespace pieces hashed into a 50257-id vocab
+    * (GPT-2-sized). Deterministic md5-based ids so the oracle can replay. */
+  def tokenize(text: Column): Column =
+    transform(words(text), w => md5Long(w) % 50257)
+
+  /** Deterministic fake embedding: dim doubles derived from the document
+    * hash. Stands in for an embedding-endpoint call; same column contract
+    * (array<double>) a real backend would produce. */
+  def embed(text: Column, dim: Int): Column = {
+    val h = md5Long(text) % graft.text.TextKernels.P
+    transform(sequence(lit(0), lit(dim - 1)),
+      k => ((h * (k * 2 + 1) + k) % 100000) / lit(100000.0))
+  }
+
+  /** Batched generation over `textCol`, appending result column `outCol`.
+    * Batches are bounded (`batchSize`) so a rate-limited endpoint sees
+    * fixed-size requests; state is per-partition only (no driver loops). */
+  def llmGenerate(df: DataFrame, textCol: String, outCol: String,
+                  backend: GenBackend, batchSize: Int = 32): DataFrame = {
+    val schema = df.schema.add(outCol, StringType)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val outs = backend.generate(batch.map(_.getString(idx)))
+        batch.lazyZip(outs).map((r, o) => Row.fromSeq(r.toSeq :+ o))
+      }
+    }(Encoders.row(schema))
+  }
+}

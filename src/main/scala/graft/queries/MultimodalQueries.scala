@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Multimodal-column plumbing (training-data brief): media as opaque
+  * `binary` columns with typed metadata, decode/feature-extract as a
+  * partition-parallel operator.
+  *
+  * The container has no image/audio codecs, so DECODE IS A DETERMINISTIC
+  * STUB (first bytes scaled into [0,1]) — but everything Spark-side is
+  * real: binary column, metadata struct, mapPartitions operator with a
+  * fixed output schema, per-row feature vectors. A real decoder swaps into
+  * `decodeStub` without touching the plan shape. Reference analog: the
+  * S3-Vectors / media path in bodo/pandas/physical/write_s3_vectors.h.
+  */
+object MultimodalQueries extends QueryModule {
+
+  /** Stub "decoder": 4 leading bytes -> [0,1] features. */
+  private def decodeStub(bytes: Array[Byte]): Array[Double] =
+    (0 until 4).map(i => (bytes(i) & 0xff) / 255.0).toArray
+
+  override def queries: Map[String, QueryFn] = Map(
+    // Binary payload + typed metadata struct; pure column ops.
+    "multimodal_meta" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          col("text").cast("binary").as("media"),
+          struct(
+            (lit(64) + (col("doc_id") % 16) * 8).cast("int").as("width"),
+            (lit(48) + (col("doc_id") % 9) * 8).cast("int").as("height"),
+            lit(3).as("channels")).as("meta"))
+        .select(col("doc_id"),
+          length(col("media")).cast("long").as("media_bytes"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.channels").as("channels"))
+    }),
+
+    // Decode via mapPartitions over the binary column: the real operator
+    // shape (schema in/out, batch iteration, no driver collect).
+    "multimodal_decode" -> ((s, d) => {
+      val in = documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("f0", DoubleType), StructField("f1", DoubleType),
+        StructField("f2", DoubleType), StructField("f3", DoubleType)))
+      in.mapPartitions { rows =>
+        rows.map { r =>
+          val f = decodeStub(r.getAs[Array[Byte]]("media"))
+          Row(r.getLong(0), f(0), f(1), f(2), f(3))
+        }
+      }(Encoders.row(outSchema))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    // ASCII fixture text: byte length == n_chars, byte k == ascii(char k).
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS media_bytes,
+        |  CAST(64 + (doc_id % 16) * 8 AS INTEGER) AS width,
+        |  CAST(48 + (doc_id % 9) * 8 AS INTEGER) AS height,
+        |  3 AS channels
+        |FROM documents""".stripMargin,
+
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  ascii(substring(text, 1, 1)) / 255.0 AS f0,
+        |  ascii(substring(text, 2, 1)) / 255.0 AS f1,
+        |  ascii(substring(text, 3, 1)) / 255.0 AS f2,
+        |  ascii(substring(text, 4, 1)) / 255.0 AS f3
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Similarity search over the `embeddings` fixture (vec_id, 64-dim
+  * array<float>, label) — SURVEY.md §2.12 / the training-data brief.
+  *
+  * Reference: bodo/pandas/series.py:2236 `query_s3_vectors` (top-k vector
+  * query) and bodo/ai/series.py:42 `embed`. Two plans:
+  *   - `ann_topk`: exact brute-force cosine top-k for a small broadcast
+  *     query set — the correctness baseline. Scale shape: the 100 TB corpus
+  *     streams once; only the k-vector query set is broadcast; ranking is a
+  *     per-query window (WindowGroupLimit prunes to k per partition).
+  *   - `ann_lsh`: the scale path — random-hyperplane (sign-LSH) signatures
+  *     computed as pure codegen'd expressions, candidates generated only by
+  *     an equi-join on the signature bucket (cost Σ bucket², never n²).
+  * All arithmetic is double with a fixed fold order, and hyperplanes are
+  * small-integer-valued, so the DuckDB oracle reproduces values exactly.
+  */
+object SimQueries extends QueryModule {
+
+  private val DIM = 64
+  private val NPLANES = 8
+
+  /** embedding as array<double> (floats widen exactly). */
+  private def embD: Column = transform(col("embedding"), x => x.cast("double"))
+
+  private def l2(e: Column): Column =
+    sqrt(aggregate(e, lit(0.0), (acc, x) => acc + x * x))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic integer hyperplane component: w_j[i] = ((i*31+j*17)%7)-3. */
+  private def planeDot(e: Column, j: Int): Column =
+    aggregate(
+      zip_with(e, sequence(lit(0), lit(DIM - 1)),
+        (x, i) => x * ((i * 31 + lit(j * 17)) % 7 - 3)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def base(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), col("label"), embD.as("emb"))
+      .withColumn("nrm", l2(col("emb")))
+
+  override def queries: Map[String, QueryFn] = Map(
+    // Per-label corpus statistics over vector norms.
+    "embed_stats" -> ((s, d) => {
+      base(s, d)
+        .select(col("label"), col("nrm"),
+          element_at(col("emb"), 1).as("c0"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          avg("nrm").as("avg_norm"),
+          min("nrm").as("min_norm"),
+          max("nrm").as("max_norm"),
+          avg("c0").as("avg_c0"))
+    }),
+
+    // Exact cosine top-10 for 8 broadcast query vectors.
+    "ann_topk" -> ((s, d) => {
+      val e = base(s, d)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      val c = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("c_id"), col("emb").as("ce"), col("nrm").as("cn"))
+      val scored = c.join(broadcast(q))
+        .select(col("q_id"), col("c_id"),
+          (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+      scored
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("c_id"))).cast("long"))
+        .filter(col("rnk") <= 10)
+    }),
+
+    // Sign-LSH bucketed near-neighbor pairs: 8 hyperplanes -> 256 buckets,
+    // equi-join on the signature, cosine verified within buckets only.
+    "ann_lsh" -> ((s, d) => {
+      val sig = (0 until NPLANES)
+        .map(j => when(planeDot(col("emb"), j) >= 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+      val e = base(s, d).withColumn("sig", sig)
+      val a = e.select(col("vec_id").as("vec_i"), col("emb").as("ea"),
+        col("nrm").as("na"), col("sig").as("siga"))
+      val b = e.select(col("vec_id").as("vec_j"), col("emb").as("eb"),
+        col("nrm").as("nb"), col("sig").as("sigb"))
+      a.join(b, col("siga") === col("sigb") && col("vec_i") < col("vec_j"))
+        .select(col("vec_i"), col("vec_j"), col("siga").as("bucket"),
+          (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= 0.2)
+    })
+  )
+
+  // DuckDB mirrors: double lists, list_transform/list_sum with the same
+  // per-element order, identical integer hyperplanes.
+  private val normSql =
+    "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))"
+
+  override def oracle: Map[String, String] = Map(
+    "embed_stats" ->
+      s"""SELECT label, count(*) AS n,
+         |  avg(nrm) AS avg_norm, min(nrm) AS min_norm, max(nrm) AS max_norm,
+         |  avg(c0) AS avg_c0
+         |FROM (SELECT label, $normSql AS nrm, CAST(embedding[1] AS DOUBLE) AS c0
+         |      FROM embeddings)
+         |GROUP BY label""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb, $normSql AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM e WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS c_id, emb AS ce, nrm AS cn FROM e WHERE vec_id >= 8),
+         |s AS (
+         |  SELECT q_id, c_id, list_dot_product(qe, ce) / (qn * cn) AS cos FROM q, c)
+         |SELECT q_id, c_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rnk
+         |FROM s
+         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 10""".stripMargin,
+
+    "ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb, $normSql AS nrm FROM embeddings),
+         |pd AS (
+         |  SELECT vec_id, j,
+         |    list_sum(list_transform(range(0, $DIM),
+         |      i -> emb[i + 1] * ((i * 31 + j * 17) % 7 - 3))) AS d
+         |  FROM e, (SELECT unnest(range(0, $NPLANES)) AS j)),
+         |sg AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS sig
+         |  FROM pd GROUP BY vec_id),
+         |je AS (
+         |  SELECT e.vec_id, e.emb, e.nrm, sg.sig FROM e JOIN sg ON e.vec_id = sg.vec_id)
+         |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j, a.sig AS bucket,
+         |  list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+         |FROM je a JOIN je b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.2""".stripMargin
+  )
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import graft.Tables._
+import graft.text.TextKernels._
+import graft.llm.{EchoBackend, LlmFunctions}
+
+/** Text-analysis + LLM-surface operators over the `documents` fixture
+  * (SURVEY.md §2.12 and the training-data-pipeline brief): corpus stats,
+  * token counting, language-ID heuristic, quality scoring, document
+  * fingerprinting, tokenize/embed/llm_generate.
+  *
+  * Reference: bodo/pandas/series.py:1903 (tokenize), :1932 (llm_generate),
+  * bodo/ai/series.py:42 (embed). All computations are deterministic and
+  * replicated verbatim in the DuckDB oracle (shared int arithmetic + md5).
+  *
+  * Scale: every query is a scan + narrow per-row expressions (+ one hash
+  * agg where grouped) — no shuffle beyond the final agg, no UDF except the
+  * llm_generate mapPartitions operator, which is stateless and
+  * partition-parallel by construction.
+  */
+object TextQueries extends QueryModule {
+
+  private val stopList = Seq("the", "a", "of", "and", "in")
+  private def nWords(c: Column): Column = size(c).cast("long")
+
+  override def queries: Map[String, QueryFn] = Map(
+    // Corpus statistics per (lang, source) — the "what's in my 100 TB"
+    // first query of any training-data pipeline.
+    "text_stats" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("nw", nWords(words(col("text"))))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          avg(col("n_chars")).as("avg_chars"),
+          avg(col("nw")).as("avg_words"),
+          max(col("nw")).as("max_words"))
+    }),
+
+    // Token counting: regex tokens + distinct count + mean token length.
+    "text_tokens" -> ((s, d) => {
+      val w = split(col("text"), "\\s+")
+      val nt = size(w).cast("long")
+      documents(s, d).select(
+        col("doc_id"),
+        nt.as("n_tokens"),
+        size(array_distinct(w)).cast("long").as("n_unique"),
+        ((col("n_chars") - (nt - 1)) / nt).as("mean_token_len"))
+    }),
+
+    // n-gram-free language-ID heuristic: stopword density vs threshold.
+    "text_lang_id" -> ((s, d) => {
+      val w = words(col("text"))
+      val inList = stopList.map(x => s"'$x'").mkString(", ")
+      val nstop = size(expr(s"filter(split(text, ' '), x -> x IN ($inList))")).cast("long")
+      documents(s, d).select(
+        col("doc_id"),
+        nstop.as("n_stop"),
+        (nstop.cast("double") / size(w)).as("stop_ratio"),
+        when(nstop.cast("double") / size(w) >= 0.08, "en").otherwise("unk").as("pred_lang"))
+    }),
+
+    // Quality scoring: length score + stopword ratio + word-shape check.
+    "text_quality" -> ((s, d) => {
+      val w = words(col("text"))
+      val nt = size(w).cast("long")
+      val inList = stopList.map(x => s"'$x'").mkString(", ")
+      val nstop = size(expr(s"filter(split(text, ' '), x -> x IN ($inList))")).cast("long")
+      val lenScore = least(col("n_chars") / 400.0, lit(1.0))
+      val stopRatio = nstop.cast("double") / nt
+      val meanWl = (col("n_chars") - (nt - 1)) / nt
+      val shapeOk = when(meanWl >= 3.0 && meanWl <= 8.0, 1.0).otherwise(0.0)
+      val score = lenScore * 0.4 + stopRatio * 2.0 * 0.3 + shapeOk * 0.3
+      documents(s, d).select(
+        col("doc_id"), lenScore.as("len_score"), stopRatio.as("stop_ratio"),
+        shapeOk.as("shape_ok"), score.as("quality"),
+        (score >= 0.5).as("keep"))
+    }),
+
+    // Document fingerprints: exact content hash + order-insensitive
+    // bag-of-words hash (catches shuffled near-dups).
+    "text_fingerprint" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("exact_md5"),
+        md5(array_join(array_sort(array_distinct(words(col("text")))), " ")).as("bow_fp"))
+    }),
+
+    // Tokenizer surface: id stream head + length (ids via md5-hash vocab).
+    "llm_tokenize" -> ((s, d) => {
+      val w = words(col("text"))
+      documents(s, d).select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        transform(slice(w, 1, 5), x => md5Long(x) % 50257).as("head_ids"))
+    }),
+
+    // Batched generate through the mapPartitions operator (real external-
+    // service plumbing; deterministic echo backend stands in for the API).
+    "llm_generate_echo" -> ((s, d) => {
+      val in = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      LlmFunctions.llmGenerate(in, "text", "gen", EchoBackend, batchSize = 32)
+        .select(col("doc_id"), col("lang"), col("gen"))
+    }),
+
+    // Embedding surface: deterministic 8-dim document embedding.
+    "llm_embed" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        LlmFunctions.embed(col("text"), 8).as("emb"))
+    })
+  )
+
+  private val stopIn = stopList.map(x => s"'$x'").mkString(", ")
+
+  override def oracle: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  avg(n_chars) AS avg_chars,
+        |  avg(len(string_split(text, ' '))) AS avg_words,
+        |  max(len(string_split(text, ' '))) AS max_words
+        |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens,
+        |  len(list_distinct(string_split_regex(text, '\s+'))) AS n_unique,
+        |  (n_chars - (len(string_split_regex(text, '\s+')) - 1))
+        |    / len(string_split_regex(text, '\s+')) AS mean_token_len
+        |FROM documents""".stripMargin,
+
+    "text_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ($stopIn))) AS n_stop,
+         |    len(string_split(text, ' ')) AS nw
+         |  FROM documents)
+         |SELECT doc_id, n_stop, n_stop / nw AS stop_ratio,
+         |  CASE WHEN n_stop / nw >= 0.08 THEN 'en' ELSE 'unk' END AS pred_lang
+         |FROM t""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ($stopIn))) AS n_stop,
+         |    len(string_split(text, ' ')) AS nt
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id,
+         |    least(n_chars / 400.0, 1.0) AS len_score,
+         |    n_stop / nt AS stop_ratio,
+         |    CASE WHEN (n_chars - (nt - 1)) / nt >= 3.0
+         |          AND (n_chars - (nt - 1)) / nt <= 8.0 THEN 1.0 ELSE 0.0 END AS shape_ok
+         |  FROM t)
+         |SELECT doc_id, len_score, stop_ratio, shape_ok,
+         |  len_score * 0.4 + stop_ratio * 2.0 * 0.3 + shape_ok * 0.3 AS quality,
+         |  len_score * 0.4 + stop_ratio * 2.0 * 0.3 + shape_ok * 0.3 >= 0.5 AS keep
+         |FROM u""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS exact_md5,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
+        |FROM documents""".stripMargin,
+
+    "llm_tokenize" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  list_transform(string_split(text, ' ')[1:5],
+        |    x -> ('0x' || substring(md5(x), 1, 15))::BIGINT % 50257) AS head_ids
+        |FROM documents""".stripMargin,
+
+    "llm_generate_echo" ->
+      """SELECT doc_id, lang,
+        |  'echo:' || substring(text, 1, 24) || ':' || CAST(length(text) AS VARCHAR) AS gen
+        |FROM documents""".stripMargin,
+
+    "llm_embed" ->
+      s"""SELECT doc_id,
+         |  list_transform(range(0, 8), k ->
+         |    ((('0x' || substring(md5(text), 1, 15))::BIGINT % $P) * (k * 2 + 1) + k) % 100000 / 100000.0) AS emb
+         |FROM documents""".stripMargin
+  )
+}

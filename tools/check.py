@@ -18,6 +18,13 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # array-typed cells (Spark ArrayType / DuckDB LIST) arrive as ndarray or
+    # list objects — unhashable/unsortable; canonicalize to tuples.
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
+                else (tuple(v) if isinstance(v, list) else v))
     # normalize timestamp cols to ns, tz-naive UTC
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
