@@ -20,7 +20,10 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     SimQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    FnStringQueries,
+    FnScalarQueries,
+    FnSemiQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

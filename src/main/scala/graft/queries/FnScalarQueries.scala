@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Scalar-kernel batteries, numeric/temporal families (SURVEY.md §2.8):
+  * datetime (ref BodoSQL/bodosql/kernels/datetime_array_kernels.py, 205
+  * fns), numeric (numeric_array_kernels.py, 99), trig
+  * (trig_array_kernels.py, 35), conversion/try_* (
+  * snowflake_conversion_array_kernels.py, 73), variadic/conditional
+  * (variadic_array_kernels.py, other_array_kernels.py).
+  *
+  * Oracle notes (type parity): DuckDB year()/length()/ceil() return
+  * BIGINT/DOUBLE where Spark returns INT/LONG — oracles CAST to match;
+  * DuckDB dayofweek is 0=Sunday vs Spark 1=Sunday; next_day/sinh/cosh/tanh/
+  * width_bucket are emulated in the oracle.
+  */
+object FnScalarQueries extends QueryModule {
+
+  override def queries: Map[String, QueryFn] = Map(
+    "fn_datetime" -> ((s, d) => {
+      val ts = col("o_orderdate")
+      orders(s, d).filter(col("o_orderkey") % 10 === 0).select(
+        col("o_orderkey"),
+        year(ts).as("yr"),
+        quarter(ts).as("qt"),
+        month(ts).as("mo"),
+        dayofmonth(ts).as("dy"),
+        dayofyear(ts).as("doy"),
+        dayofweek(ts).as("dow"),
+        weekofyear(ts).as("woy"),
+        // DATE results are surfaced as midnight timestamps: pandas renders
+        // Spark DATE as python objects but DuckDB DATE as datetime64, so the
+        // compare needs one dtype — semantics are unchanged.
+        last_day(ts).cast("timestamp").as("ld"),
+        next_day(ts, "MO").cast("timestamp").as("nd"),
+        date_trunc("month", ts).as("dtm"),
+        date_trunc("week", ts).as("dtw"),
+        date_add(ts, 30).cast("timestamp").as("dadd"),
+        add_months(ts, 3).cast("timestamp").as("amon"),
+        datediff(ts, lit("1995-01-01")).as("dd"),
+        date_format(ts, "yyyy-MM").as("fmt"),
+        date_format(ts, "EEEE").as("dnm"),
+        date_format(ts, "MMMM").as("mnm"),
+        unix_timestamp(ts).as("ep"),
+        make_date(year(ts), month(ts), lit(15)).cast("timestamp").as("mk"),
+        to_date(date_format(ts, "dd/MM/yyyy"), "dd/MM/yyyy").cast("timestamp").as("tod"))
+    }),
+
+    "fn_numeric" -> ((s, d) => {
+      lineitem(s, d).filter(col("l_orderkey") % 50 === 0).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("ab"),
+        ceil(col("l_extendedprice")).as("ce"),
+        floor(col("l_extendedprice")).as("fl"),
+        round(col("l_extendedprice"), 0).as("rd"),
+        round(col("l_discount") * col("l_tax"), 6).as("rd6"),
+        signum(col("l_quantity") - 25).as("sg"),
+        sqrt(col("l_quantity")).as("sq"),
+        cbrt(col("l_quantity")).as("cb"),
+        exp(col("l_discount")).as("ex"),
+        log(col("l_quantity")).as("lnv"),
+        log10(col("l_quantity")).as("l10"),
+        log2(col("l_quantity")).as("l2"),
+        pow(col("l_quantity"), 2.0).as("pw"),
+        pmod(col("l_orderkey"), lit(7)).as("pm"),
+        factorial(col("l_linenumber")).as("fact"),
+        width_bucket(col("l_quantity"), lit(0.0), lit(50.0), lit(10)).as("wb"),
+        when(col("l_tax") === 0.0, 0.0)
+          .otherwise(col("l_quantity") / col("l_tax")).as("dv0"),
+        col("l_orderkey").bitwiseAND(lit(255L)).as("ba"),
+        col("l_orderkey").bitwiseOR(lit(4096L)).as("bo"),
+        col("l_orderkey").bitwiseXOR(lit(1023L)).as("bx"),
+        shiftleft(col("l_linenumber"), 3).as("shl"),
+        shiftright(col("l_orderkey"), 2).as("shr"),
+        bit_count(col("l_orderkey")).as("bc"))
+    }),
+
+    "fn_trig" -> ((s, d) => {
+      val x = col("l_discount")
+      val y = col("l_tax") + 0.01
+      lineitem(s, d).filter(col("l_orderkey") % 100 === 0).select(
+        col("l_orderkey"), col("l_linenumber"),
+        sin(x).as("sn"), cos(x).as("cs"), tan(x).as("tn"),
+        asin(x).as("asn"), acos(x).as("acs"), atan(x).as("atn"),
+        atan2(x, y).as("at2"),
+        sinh(x).as("snh"), cosh(x).as("csh"), tanh(x).as("tnh"),
+        degrees(x).as("deg"), radians(x * 100).as("rad"),
+        lit(math.Pi).as("pi"))
+    }),
+
+    "fn_conversion" -> ((s, d) => {
+      val pk = col("p_partkey")
+      val mixedInt = when(pk % 3 === 0, concat(lit("x"), pk)).otherwise(pk.cast("string"))
+      part(s, d).select(
+        pk,
+        pk.cast("string").as("s_int"),
+        expr("try_cast(concat(CASE WHEN p_partkey % 3 = 0 THEN 'x' ELSE '' END, p_partkey) AS INT)").as("t_int"),
+        mixedInt.as("mix_s"),
+        expr("try_cast(concat('12.', p_partkey % 100) AS DOUBLE)").as("t_dbl"),
+        expr("try_cast(CASE WHEN p_partkey % 2 = 0 THEN 'true' ELSE 'maybe' END AS BOOLEAN)").as("t_bool"),
+        expr("try_cast(CASE WHEN p_partkey % 4 = 0 THEN 'not-a-date' " +
+          "ELSE concat('2024-03-', lpad(cast(p_partkey % 28 + 1 AS STRING), 2, '0')) END AS DATE)")
+          .cast("timestamp").as("t_date"),
+        to_date(concat(lit("2024-02-"), lpad((pk % 28 + 1).cast("string"), 2, "0")),
+          "yyyy-MM-dd").cast("timestamp").as("to_d"),
+        col("p_retailprice").cast("int").as("trunc_i"),
+        col("p_size").cast("double").as("widen_d"),
+        col("p_size").cast("string").as("int_s"))
+    }),
+
+    "fn_variadic" -> ((s, d) => {
+      val seg = nullif_(col("c_mktsegment"), lit("MACHINERY"))
+      customer(s, d).filter(col("c_custkey") % 4 === 0).select(
+        col("c_custkey"),
+        seg.as("seg_n"),
+        coalesce(seg, lit("NONE")).as("co"),
+        when(seg.isNotNull, "has").otherwise("none").as("nv2"),
+        when(col("c_acctbal") > 5000, "hi").otherwise("lo").as("iff"),
+        greatest(col("c_acctbal"), lit(0.0)).as("gr"),
+        least(col("c_acctbal"), lit(1000.0)).as("ls"),
+        col("c_mktsegment").eqNullSafe(seg).as("eqn"),
+        (!col("c_mktsegment").eqNullSafe(seg)).as("isd"),
+        coalesce(nullif_(col("c_acctbal"), lit(0.0)), lit(0.0)).as("zin"),
+        when(col("c_mktsegment") === "BUILDING", 1)
+          .when(col("c_mktsegment") === "MACHINERY", 2)
+          .otherwise(0).as("dec"))
+    })
+  )
+
+  /** Spark's nullif as a composition (nullif exists only in SQL surface). */
+  private def nullif_(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    when(a === b, null).otherwise(a)
+
+  override def oracle: Map[String, String] = Map(
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qt,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dy,
+        |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+        |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS ld,
+        |  CAST(CAST(o_orderdate AS DATE) +
+        |    CASE WHEN ((1 - dayofweek(CAST(o_orderdate AS DATE))) % 7 + 7) % 7 = 0 THEN 7
+        |         ELSE CAST(((1 - dayofweek(CAST(o_orderdate AS DATE))) % 7 + 7) % 7 AS INTEGER) END
+        |    AS TIMESTAMP) AS nd,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS dtm,
+        |  CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS dtw,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS dadd,
+        |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS amon,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS dd,
+        |  strftime(o_orderdate, '%Y-%m') AS fmt,
+        |  dayname(o_orderdate) AS dnm,
+        |  monthname(o_orderdate) AS mnm,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS ep,
+        |  CAST(make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 15) AS TIMESTAMP) AS mk,
+        |  CAST(CAST(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS TIMESTAMP) AS tod
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+
+    "fn_numeric" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25) AS ab,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  round(l_extendedprice, 0) AS rd,
+        |  round(l_discount * l_tax, 6) AS rd6,
+        |  CAST(sign(l_quantity - 25) AS DOUBLE) AS sg,
+        |  sqrt(l_quantity) AS sq,
+        |  cbrt(l_quantity) AS cb,
+        |  exp(l_discount) AS ex,
+        |  ln(l_quantity) AS lnv,
+        |  log10(l_quantity) AS l10,
+        |  log2(l_quantity) AS l2,
+        |  pow(l_quantity, 2.0) AS pw,
+        |  ((l_orderkey % 7) + 7) % 7 AS pm,
+        |  CAST(factorial(l_linenumber) AS BIGINT) AS fact,
+        |  CAST(CASE WHEN l_quantity < 0 THEN 0
+        |            WHEN l_quantity >= 50 THEN 11
+        |            ELSE CAST(floor(l_quantity / 5.0) AS BIGINT) + 1 END AS BIGINT) AS wb,
+        |  CASE WHEN l_tax = 0.0 THEN 0.0 ELSE l_quantity / l_tax END AS dv0,
+        |  l_orderkey & 255 AS ba,
+        |  l_orderkey | 4096 AS bo,
+        |  xor(l_orderkey, 1023) AS bx,
+        |  CAST(l_linenumber << 3 AS INTEGER) AS shl,
+        |  l_orderkey >> 2 AS shr,
+        |  CAST(bit_count(l_orderkey) AS INTEGER) AS bc
+        |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin,
+
+    "fn_trig" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  sin(l_discount) AS sn, cos(l_discount) AS cs, tan(l_discount) AS tn,
+        |  asin(l_discount) AS asn, acos(l_discount) AS acs, atan(l_discount) AS atn,
+        |  atan2(l_discount, l_tax + 0.01) AS at2,
+        |  (exp(l_discount) - exp(-l_discount)) / 2 AS snh,
+        |  (exp(l_discount) + exp(-l_discount)) / 2 AS csh,
+        |  (exp(l_discount) - exp(-l_discount)) / (exp(l_discount) + exp(-l_discount)) AS tnh,
+        |  degrees(l_discount) AS deg, radians(l_discount * 100) AS rad,
+        |  1.0 * pi() AS pi
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
+
+    "fn_conversion" ->
+      """SELECT p_partkey,
+        |  CAST(p_partkey AS VARCHAR) AS s_int,
+        |  TRY_CAST((CASE WHEN p_partkey % 3 = 0 THEN 'x' ELSE '' END || CAST(p_partkey AS VARCHAR)) AS INTEGER) AS t_int,
+        |  CASE WHEN p_partkey % 3 = 0 THEN 'x' || CAST(p_partkey AS VARCHAR)
+        |       ELSE CAST(p_partkey AS VARCHAR) END AS mix_s,
+        |  TRY_CAST('12.' || CAST(p_partkey % 100 AS VARCHAR) AS DOUBLE) AS t_dbl,
+        |  TRY_CAST(CASE WHEN p_partkey % 2 = 0 THEN 'true' ELSE 'maybe' END AS BOOLEAN) AS t_bool,
+        |  CAST(TRY_CAST(CASE WHEN p_partkey % 4 = 0 THEN 'not-a-date'
+        |       ELSE '2024-03-' || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0') END AS DATE) AS TIMESTAMP) AS t_date,
+        |  strptime('2024-02-' || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0'), '%Y-%m-%d') AS to_d,
+        |  CAST(trunc(p_retailprice) AS INTEGER) AS trunc_i,
+        |  CAST(p_size AS DOUBLE) AS widen_d,
+        |  CAST(p_size AS VARCHAR) AS int_s
+        |FROM part""".stripMargin,
+
+    "fn_variadic" ->
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'MACHINERY') AS seg_n,
+        |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'NONE') AS co,
+        |  CASE WHEN nullif(c_mktsegment, 'MACHINERY') IS NOT NULL THEN 'has' ELSE 'none' END AS nv2,
+        |  CASE WHEN c_acctbal > 5000 THEN 'hi' ELSE 'lo' END AS iff,
+        |  greatest(c_acctbal, 0.0) AS gr,
+        |  least(c_acctbal, 1000.0) AS ls,
+        |  c_mktsegment IS NOT DISTINCT FROM nullif(c_mktsegment, 'MACHINERY') AS eqn,
+        |  c_mktsegment IS DISTINCT FROM nullif(c_mktsegment, 'MACHINERY') AS isd,
+        |  coalesce(nullif(c_acctbal, 0.0), 0.0) AS zin,
+        |  CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'MACHINERY' THEN 2 ELSE 0 END AS dec
+        |FROM customer WHERE c_custkey % 4 = 0""".stripMargin
+  )
+}

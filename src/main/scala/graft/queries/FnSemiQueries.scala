@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Scalar-kernel batteries, semi-structured families (SURVEY.md §2.8):
+  * json (ref BodoSQL/bodosql/kernels/json_array_kernels.py, 24 fns;
+  * bodo/io/json_col_parser.cpp), nested/array (nested_data_kernels.py, 56),
+  * and the TIME-type kit (time_array_kernels.py; TIME has no Spark type —
+  * modeled as nanos-of-day LongType per SURVEY §1.2).
+  *
+  * `events.props` is the designed JSON column (FIXTURES.md) — parsed here
+  * with both get_json_object and from_json, then aggregated, so extraction
+  * feeds a real downstream shuffle rather than a display-only projection.
+  */
+object FnSemiQueries extends QueryModule {
+
+  override def queries: Map[String, QueryFn] = Map(
+    // JSON extraction + filter + aggregation over events.props.
+    "fn_json_props" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("k_str", get_json_object(col("props"), "$.k"))
+        .withColumn("k", col("k_str").cast("long"))
+        .withColumn("k2", from_json(col("props"), lit("k INT")).getField("k").cast("long"))
+      ev.filter(col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          avg(col("k")).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k") =!= col("k2"), 1).otherwise(0)).as("parse_mismatch"),
+          countDistinct(col("k") % 10).as("n_kmod"))
+    }),
+
+    // Array/nested kernel battery over document word arrays.
+    "fn_array" -> ((s, d) => {
+      val w = slice(split(col("text"), " "), 1, 6)
+      documents(s, d).filter(col("doc_id") % 2 === 0).select(
+        col("doc_id"),
+        array_contains(w, "data").as("has_data"),
+        array_position(w, "data").as("pos_data"),
+        array_sort(array_distinct(w)).as("dis"),
+        array_sort(array_union(w, array(lit("alpha"), lit("beta")))).as("un"),
+        array_sort(array_intersect(w, array(lit("data"), lit("key"), lit("row")))).as("its"),
+        array_sort(array_except(w, array(lit("the"), lit("a")))).as("exc"),
+        arrays_overlap(w, array(lit("key"), lit("value"))).as("ovl"),
+        size(w).cast("long").as("sz"),
+        array_max(w).as("mx"),
+        array_min(w).as("mn"),
+        array_join(w, "-").as("jn"),
+        flatten(array(slice(w, 1, 2), slice(w, 3, 2))).as("fl"),
+        array_append(slice(w, 1, 2), "zz").as("ap"),
+        array_remove(w, "the").as("rm"),
+        reverse(w).as("rv"),
+        sequence(lit(1L), lit(5L)).as("sq"),
+        zip_with(sequence(lit(1L), lit(3L)), sequence(lit(4L), lit(6L)),
+          (a, b) => a + b).as("zw"),
+        aggregate(sequence(lit(1L), lit(5L)), lit(0L), (acc, x) => acc + x).as("ag"))
+    }),
+
+    // TIME-of-day kit over events.ts (µs-truncated timestamp; see Tables).
+    "fn_time" -> ((s, d) => {
+      val ts = col("ts")
+      events(s, d).filter(col("event_id") % 20 === 0).select(
+        col("event_id"),
+        hour(ts).as("hh"),
+        minute(ts).as("mi"),
+        second(ts).as("ss"),
+        ((unix_micros(ts) % 86400000000L) * 1000).as("time_ns"),
+        (unix_micros(ts) % 1000000L).as("us_frac"),
+        date_format(ts, "HH:mm:ss").as("tstr"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "fn_json_props" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k2
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  avg(k) AS avg_k, min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(CASE WHEN k <> k2 THEN 1 ELSE 0 END) AS BIGINT) AS parse_mismatch,
+        |  count(DISTINCT k % 10) AS n_kmod
+        |FROM e WHERE k IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
+
+    "fn_array" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ')[1:6] AS w FROM documents
+        |           WHERE doc_id % 2 = 0)
+        |SELECT doc_id,
+        |  list_contains(w, 'data') AS has_data,
+        |  CAST(coalesce(list_position(w, 'data'), 0) AS BIGINT) AS pos_data,
+        |  list_sort(list_distinct(w)) AS dis,
+        |  list_sort(list_distinct(list_concat(w, ['alpha', 'beta']))) AS un,
+        |  list_sort(list_intersect(w, ['data', 'key', 'row'])) AS its,
+        |  list_sort(list_filter(list_distinct(w), x -> x NOT IN ('the', 'a'))) AS exc,
+        |  list_has_any(w, ['key', 'value']) AS ovl,
+        |  len(w) AS sz,
+        |  list_aggregate(w, 'max') AS mx,
+        |  list_aggregate(w, 'min') AS mn,
+        |  array_to_string(w, '-') AS jn,
+        |  flatten([w[1:2], w[3:4]]) AS fl,
+        |  list_append(w[1:2], 'zz') AS ap,
+        |  list_filter(w, x -> x <> 'the') AS rm,
+        |  list_reverse(w) AS rv,
+        |  range(1, 6) AS sq,
+        |  list_transform(range(1, 4), i -> 2 * i + 3) AS zw,
+        |  CAST(list_sum(range(1, 6)) AS BIGINT) AS ag
+        |FROM t""".stripMargin,
+
+    // Oracle must µs-truncate the ns timestamp first (FIXTURES ns policy).
+    "fn_time" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE event_id % 20 = 0)
+        |SELECT event_id,
+        |  CAST(hour(ts) AS INTEGER) AS hh,
+        |  CAST(minute(ts) AS INTEGER) AS mi,
+        |  CAST(second(ts) AS INTEGER) AS ss,
+        |  (epoch_us(ts) % 86400000000) * 1000 AS time_ns,
+        |  epoch_us(ts) % 1000000 AS us_frac,
+        |  strftime(ts, '%H:%M:%S') AS tstr
+        |FROM e""".stripMargin
+  )
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.JaroWinkler
+
+/** Scalar-kernel batteries, string-shaped families (SURVEY.md §2.8):
+  * string (ref BodoSQL/bodosql/kernels/string_array_kernels.py, 108 fns),
+  * regexp (regexp_array_kernels.py, 16), crypto/hash (crypto_funcs.py,
+  * hash_array_kernels.py), parse_url (parse_url_array_kernel.py).
+  *
+  * One row-level battery query per family: each output column exercises one
+  * kernel over fixture strings, and the DuckDB oracle computes the same
+  * value (emulating the few functions DuckDB lacks, e.g. initcap). The
+  * custom `jaro_winkler` Catalyst expression covers the kernel Spark lacks
+  * (string_array_kernels.py:125).
+  *
+  * All pure narrow projections — codegen'd, scan-pipelined, shuffle-free.
+  */
+object FnStringQueries extends QueryModule {
+
+  override def queries: Map[String, QueryFn] = Map(
+    "fn_string" -> ((s, d) => {
+      JaroWinkler.register(s)
+      val padded = concat(lit("  "), col("p_name"), lit("  "))
+      part(s, d).select(
+        col("p_partkey"),
+        length(col("p_name")).as("len"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_type")).as("lo"),
+        initcap(col("p_type")).as("ic"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("lp"),
+        rpad(col("p_brand"), 12, "*").as("rp"),
+        trim(padded).as("tr"),
+        ltrim(padded).as("ltr"),
+        rtrim(padded).as("rtr"),
+        reverse(col("p_name")).as("rev"),
+        substring(col("p_name"), 2, 5).as("sub"),
+        expr("left(p_name, 4)").as("lft"),
+        expr("right(p_name, 3)").as("rgt"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("rep"),
+        repeat(col("p_brand"), 2).as("rpt"),
+        concat_ws("|", col("p_name"), col("p_brand"), col("p_type")).as("cw"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("sp"),
+        instr(col("p_name"), "e").as("pos"),
+        translate(col("p_name"), "aeiou", "12345").as("trn"),
+        ascii(col("p_name")).as("asc"),
+        expr("char(65 + p_partkey % 26)").as("ch"),
+        levenshtein(col("p_name"), lit("small ring")).as("lev"),
+        expr("jaro_winkler(p_name, 'small ring')").as("jw"),
+        col("p_name").startsWith("small").as("sw"),
+        col("p_name").endsWith("t").as("ew"),
+        col("p_name").contains("id").as("ct"))
+    }),
+
+    "fn_regexp" -> ((s, d) => {
+      customer(s, d).filter(col("c_custkey") % 3 === 0).select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("rext"),
+        regexp_extract_all(col("c_mktsegment"), lit("[AEIOU]+"), lit(0)).as("rall"),
+        regexp_replace(col("c_mktsegment"), "[AEIOU]", "*").as("rrep"),
+        col("c_mktsegment").rlike("^(MACHINERY|FURNITURE)$").as("rlk"),
+        regexp_count(col("c_name"), lit("0")).as("rcnt"),
+        regexp_instr(col("c_mktsegment"), lit("[IOU]")).as("rins"),
+        regexp_substr(col("c_mktsegment"), lit("[A-Z]*RY")).as("rsub"))
+    }),
+
+    "fn_hash" -> ((s, d) => {
+      part(s, d).filter(col("p_partkey") % 5 === 0).select(
+        col("p_partkey"),
+        md5(col("p_name")).as("m5"),
+        sha2(col("p_name"), 256).as("sh2"),
+        upper(hex(col("p_name"))).as("hx"),
+        base64(col("p_name").cast("binary")).as("b64"),
+        unbase64(base64(col("p_name").cast("binary"))).cast("string").as("b64rt"),
+        bit_length(col("p_name")).as("bl"),
+        octet_length(col("p_name")).as("ol"))
+    }),
+
+    "fn_url" -> ((s, d) => {
+      val url = concat(
+        lit("https://"), col("source"), lit(".example.com/docs/"), col("lang"),
+        lit("/"), col("doc_id"), lit("?id="), col("doc_id"),
+        lit("&lang="), col("lang"), lit("#sec1"))
+      documents(s, d).select(
+        col("doc_id"),
+        parse_url(url, lit("PROTOCOL")).as("proto"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("REF")).as("ref"),
+        parse_url(url, lit("QUERY"), lit("lang")).as("qlang"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  CAST(length(p_name) AS INTEGER) AS len,
+        |  upper(p_name) AS up,
+        |  lower(p_type) AS lo,
+        |  array_to_string(list_transform(string_split(p_type, ' '),
+        |    w -> upper(w[1]) || lower(w[2:])), ' ') AS ic,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS lp,
+        |  rpad(p_brand, 12, '*') AS rp,
+        |  trim('  ' || p_name || '  ') AS tr,
+        |  ltrim('  ' || p_name || '  ') AS ltr,
+        |  rtrim('  ' || p_name || '  ') AS rtr,
+        |  reverse(p_name) AS rev,
+        |  substring(p_name, 2, 5) AS sub,
+        |  left(p_name, 4) AS lft,
+        |  right(p_name, 3) AS rgt,
+        |  replace(p_name, ' ', '_') AS rep,
+        |  repeat(p_brand, 2) AS rpt,
+        |  p_name || '|' || p_brand || '|' || p_type AS cw,
+        |  split_part(p_name, ' ', 2) AS sp,
+        |  CAST(instr(p_name, 'e') AS INTEGER) AS pos,
+        |  translate(p_name, 'aeiou', '12345') AS trn,
+        |  CAST(ascii(p_name) AS INTEGER) AS asc,
+        |  chr(CAST(65 + p_partkey % 26 AS INTEGER)) AS ch,
+        |  CAST(levenshtein(p_name, 'small ring') AS INTEGER) AS lev,
+        |  jaro_winkler_similarity(p_name, 'small ring') AS jw,
+        |  starts_with(p_name, 'small') AS sw,
+        |  ends_with(p_name, 't') AS ew,
+        |  contains(p_name, 'id') AS ct
+        |FROM part""".stripMargin,
+
+    "fn_regexp" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, 'Customer#(\d+)', 1) AS rext,
+        |  regexp_extract_all(c_mktsegment, '[AEIOU]+') AS rall,
+        |  regexp_replace(c_mktsegment, '[AEIOU]', '*', 'g') AS rrep,
+        |  regexp_matches(c_mktsegment, '^(MACHINERY|FURNITURE)$') AS rlk,
+        |  CAST(len(regexp_extract_all(c_name, '0')) AS INTEGER) AS rcnt,
+        |  CAST(CASE WHEN regexp_matches(c_mktsegment, '[IOU]')
+        |       THEN instr(c_mktsegment, regexp_extract(c_mktsegment, '[IOU]', 0))
+        |       ELSE 0 END AS INTEGER) AS rins,
+        |  nullif(regexp_extract(c_mktsegment, '[A-Z]*RY', 0), '') AS rsub
+        |FROM customer WHERE c_custkey % 3 = 0""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT p_partkey,
+        |  md5(p_name) AS m5,
+        |  sha256(p_name) AS sh2,
+        |  upper(hex(p_name)) AS hx,
+        |  to_base64(p_name::BLOB) AS b64,
+        |  CAST(from_base64(to_base64(p_name::BLOB)) AS VARCHAR) AS b64rt,
+        |  CAST(bit_length(p_name) AS INTEGER) AS bl,
+        |  CAST(octet_length(p_name::BLOB) AS INTEGER) AS ol
+        |FROM part WHERE p_partkey % 5 = 0""".stripMargin,
+
+    // The oracle constructs ground-truth URL parts from the same columns —
+    // testing Spark's parse_url against the known construction.
+    "fn_url" ->
+      """SELECT doc_id,
+        |  'https' AS proto,
+        |  source || '.example.com' AS host,
+        |  '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+        |  'id=' || CAST(doc_id AS VARCHAR) || '&lang=' || lang AS query,
+        |  'sec1' AS ref,
+        |  lang AS qlang
+        |FROM documents""".stripMargin
+  )
+}
