@@ -23,7 +23,11 @@ object SparkEntry {
     MultimodalQueries,
     FnStringQueries,
     FnScalarQueries,
-    FnSemiQueries
+    FnSemiQueries,
+    LateralQueries,
+    AsofQueries,
+    IoQueries,
+    DdlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

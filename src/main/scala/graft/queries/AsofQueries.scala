@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** As-of and interval joins (SURVEY.md §2.3 / §7.2-M6).
+  *
+  * Reference: bodo/ir/join.py:154,183 (`pd.merge_asof`, backward nearest
+  * match on sorted keys), bodo/libs/_interval_join.cpp:30 (point-in-
+  * interval join with equi pre-key).
+  *
+  * As-of composition (no driver-side sort-merge): tag-and-union both
+  * sides, one window per by-group ordered by time with
+  * `last(value, ignoreNulls)` over UNBOUNDED PRECEDING, keep probe rows.
+  * Scale shape: a single hash-partition-by-user + in-partition sort —
+  * exactly one shuffle, no point-vs-point product. The interval join
+  * carries the equi key so Catalyst plans a hash join with the range
+  * predicate as residual, never a nested loop over the fact table.
+  * Oracle: DuckDB's native ASOF JOIN / range predicates.
+  */
+object AsofQueries extends QueryModule {
+
+  override def queries: Map[String, QueryFn] = Map(
+    // Backward as-of: for each purchase, the latest prior click (any lag)
+    // of the same user; LEFT semantics (purchases with no prior click keep
+    // nulls).
+    "join_asof" -> ((s, d) => {
+      val ev = events(s, d)
+      val quotes = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("q_ts"), col("value").as("q_val"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      val tagged = quotes
+        .select(col("user_id"), col("q_ts").as("t"), lit(0).as("is_probe"),
+          lit(null).cast("long").as("event_id"), col("q_ts"), col("q_val"))
+        .unionByName(probes
+          .select(col("user_id"), col("p_ts").as("t"), lit(1).as("is_probe"),
+            col("event_id"), lit(null).cast("timestamp").as("q_ts"),
+            lit(null).cast("double").as("q_val")))
+      // quote sorts before probe at equal t => t_quote <= t_probe matches.
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("is_probe"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("m_ts", last(col("q_ts"), ignoreNulls = true).over(w))
+        .withColumn("m_val", last(col("q_val"), ignoreNulls = true).over(w))
+        .filter(col("is_probe") === 1)
+        .select(col("event_id"), col("user_id"), col("t").as("p_ts"),
+          col("m_ts"), col("m_val"))
+    }),
+
+    // Point-in-interval with equi pre-key: signups open a 2-hour window;
+    // count same-user clicks inside it.
+    "join_interval" -> ((s, d) => {
+      val ev = events(s, d)
+      val iv = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("iv_id"), col("user_id"),
+          col("ts").as("t0"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("t1"))
+      val pts = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("u2"), col("ts").as("pt"), col("value"))
+      iv.join(pts,
+          col("user_id") === col("u2") && col("pt") >= col("t0") && col("pt") < col("t1"))
+        .groupBy(col("iv_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_hits"), sum(col("value")).as("sum_v"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    // DuckDB native ASOF LEFT JOIN over the µs-truncated timestamps.
+    "join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |q AS (SELECT user_id, ts AS q_ts, value AS q_val FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.p_ts, q.q_ts AS m_ts, q.q_val AS m_val
+        |FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.p_ts >= q.q_ts""".stripMargin,
+
+    "join_interval" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |iv AS (SELECT event_id AS iv_id, user_id, ts AS t0, ts + INTERVAL 2 HOUR AS t1
+        |       FROM e WHERE event_type = 'signup'),
+        |pt AS (SELECT user_id AS u2, ts AS pt, value FROM e WHERE event_type = 'click')
+        |SELECT iv.iv_id, iv.user_id, count(*) AS n_hits, sum(pt.value) AS sum_v
+        |FROM iv JOIN pt ON iv.user_id = pt.u2 AND pt.pt >= iv.t0 AND pt.pt < iv.t1
+        |GROUP BY iv.iv_id, iv.user_id""".stripMargin
+  )
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Non-parquet I/O as first-class operators (SURVEY.md §2.1): CSV and
+  * JSON-lines write + read-back, and partitioned parquet write with
+  * partition-pruned read.
+  *
+  * Reference: bodo/ir/csv_ext.py:49 (CsvReader), bodo/ir/json_ext.py:32
+  * (JsonReader), bodo/io/_csv_json_reader.cpp, parquet_write.cpp
+  * (partitioned dirs). Each query round-trips fixture data through the
+  * format and aggregates the read-back side; the oracle computes the same
+  * aggregate from the original table, so the round-trip must preserve
+  * values exactly. Explicit read schemas (no inferSchema scan) — at 100 TB
+  * an inference pre-pass is a second full read.
+  */
+object IoQueries extends QueryModule {
+
+  private def tmp(d: String, tag: String): String =
+    s"/tmp/graft_io/${tag}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  override def queries: Map[String, QueryFn] = Map(
+    "csv_roundtrip" -> ((s, d) => {
+      val path = tmp(d, "csv")
+      documents(s, d).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType)))
+      s.read.schema(schema).option("header", "true").csv(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("source").as("max_src"))
+    }),
+
+    "json_roundtrip" -> ((s, d) => {
+      val path = tmp(d, "json")
+      events(s, d).select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      s.read.schema(schema).json(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_v"),
+          min("event_id").as("min_id"))
+    }),
+
+    // Partitioned parquet write; read-back filters one partition value so
+    // the scan is partition-pruned (directory-level, no data read).
+    "parquet_partitioned" -> ((s, d) => {
+      val path = tmp(d, "pq")
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+      s.read.parquet(path)
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "csv_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(source) AS max_src
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "json_roundtrip" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sum_v,
+        |  min(event_id) AS min_id
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "parquet_partitioned" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_returnflag""".stripMargin
+  )
+}
