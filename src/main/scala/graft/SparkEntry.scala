@@ -16,6 +16,7 @@ object SparkEntry {
     TpchQueries2,
     RelationalQueries,
     AggQueries,
+    AggQueries2,
     WindowQueries,
     TextQueries,
     DedupQueries,

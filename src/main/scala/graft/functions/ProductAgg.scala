@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** PRODUCT aggregate — the reference's `prod` groupby ftype
+  * (bodo/libs/groupby/_groupby_ftypes.h:22, `supported_agg_funcs` in
+  * bodo/ir/aggregate.py:246); Spark has no builtin product.
+  *
+  * Implemented as a DeclarativeAggregate: the buffer is one double, update
+  * and merge are pure expressions (codegen'd, partial-aggregatable), so the
+  * plan gets map-side partial products and a cheap final merge — the same
+  * distributed shape sum() has, exact at any partition count. SQL-null
+  * semantics: nulls are ignored; an all-null (or empty) group yields null.
+  */
+case class ProductAgg(child: Expression)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "product_agg"
+
+  private lazy val prod = AttributeReference("prod", DoubleType)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = prod :: Nil
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal.create(null, DoubleType))
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(child), prod,
+      If(IsNull(prod), child, Multiply(prod, child))))
+
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    If(IsNull(prod.right), prod.left,
+      If(IsNull(prod.left), prod.right, Multiply(prod.left, prod.right))))
+
+  override lazy val evaluateExpression: Expression = prod
+
+  override protected def withNewChildInternal(newChild: Expression): ProductAgg =
+    copy(child = newChild)
+}
+
+object ProductAgg {
+  /** Register `product_agg(x)` (input cast to double) — idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "product_agg", (args: Seq[Expression]) => ProductAgg(Cast(args.head, DoubleType)),
+      "built-in")
+}

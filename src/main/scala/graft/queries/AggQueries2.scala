@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.ProductAgg
+
+/** Closes the remaining §2.4 aggregate-ftype gaps (VERDICT r2 item 9) plus
+  * two relational fixes: product (custom DeclarativeAggregate),
+  * deterministic first/last/any_value, percentile_disc / approx percentile,
+  * object_agg, a scale-safe null-safe-join rewrite, and a deterministic
+  * fixed-N sample.
+  *
+  * Reference ftypes: bodo/libs/groupby/_groupby_ftypes.h:22 (prod, first,
+  * last, any_value, percentile_disc, object_agg); t-digest approx
+  * percentile bodo/libs/_bodo_tdigest.cpp.
+  */
+object AggQueries2 extends QueryModule {
+
+  override def queries: Map[String, QueryFn] = Map(
+    // PRODUCT via the custom DeclarativeAggregate (partial-aggregatable —
+    // identical plan shape to sum). Factors near 1 keep the result in
+    // double range at any SF.
+    "agg_product" -> ((s, d) => {
+      ProductAgg.register(s)
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("product_agg(1.0 + l_discount / 1000)").as("prod_disc"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Deterministic first/last (by explicit total order) + any_value over
+    // a group-constant column (the only deterministic any_value contract).
+    "agg_first_last" -> ((s, d) => {
+      val ord = col("l_orderkey") * 10 + col("l_linenumber")
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min_by(col("l_quantity"), ord).as("first_qty"),
+          max_by(col("l_quantity"), ord).as("last_qty"),
+          min_by(col("l_shipdate"), ord).as("first_ship"),
+          max_by(col("l_shipdate"), ord).as("last_ship"),
+          any_value(upper(col("l_returnflag"))).as("flag_up"))
+    }),
+
+    // Exact discrete percentiles (WITHIN GROUP syntax via the SQL surface).
+    "agg_percentile_disc" -> ((s, d) => {
+      registerViews(s, d)
+      s.sql(
+        """SELECT l_returnflag,
+          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+          |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+          |  percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS p90
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // Approx percentile with accuracy >= group size => exact, so the
+    // discrete-quantile oracle applies (t-digest analog in the reference).
+    "agg_percentile_approx" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000000)).as("ap50"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000000)).as("ap90"))
+    }),
+
+    // OBJECT_AGG rendered as a sorted JSON string (map key order is
+    // engine-dependent; the string form is canonical and comparable).
+    "agg_object_agg" -> ((s, d) => {
+      val counts = lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("l_returnflag"))
+        .agg(concat(lit("{"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("l_linestatus"), col("cnt")))),
+              x => concat(lit("\""), x.getField("l_linestatus"), lit("\":"),
+                x.getField("cnt"))),
+            ","),
+          lit("}")).as("obj"))
+    }),
+
+    // join_null_safe, rewritten scale-safe (VERDICT r2 "what's wrong" #6):
+    // <=> hashes every NULL key to one partition and null x null explodes
+    // quadratically. Split: inner join on non-null keys UNION ALL the
+    // null x null contribution computed as a count product — same result,
+    // no skew, no row blowup.
+    "join_null_safe_split" -> ((s, d) => {
+      val l = customer(s, d).select(
+        when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_nationkey")).as("lk"))
+      val r = supplier(s, d).select(
+        when(col("s_suppkey") % 10 === 0, lit(null)).otherwise(col("s_nationkey")).as("rk"))
+      val nn = l.filter(col("lk").isNotNull)
+        .join(r.filter(col("rk").isNotNull), col("lk") === col("rk"))
+        .groupBy(col("lk").as("key")).agg(count(lit(1)).as("n"))
+      val ln = l.filter(col("lk").isNull).agg(count(lit(1)).as("cl"))
+      val rn = r.filter(col("rk").isNull).agg(count(lit(1)).as("cr"))
+      val nulls = ln.crossJoin(rn).filter(col("cl") > 0 && col("cr") > 0)
+        .select(lit(null).cast("int").as("key"), (col("cl") * col("cr")).as("n"))
+      nn.unionByName(nulls)
+    }),
+
+    // Deterministic fixed-N sample: order by a content hash — stable across
+    // engines and partitionings (unlike TABLESAMPLE), and plans as top-k.
+    "sample_fixed_n" -> ((s, d) => {
+      orders(s, d)
+        .orderBy(md5(col("o_orderkey").cast("string")))
+        .limit(200)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "agg_product" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  product(1.0 + l_discount / 1000) AS prod_disc, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_first_last" ->
+      """SELECT l_returnflag,
+        |  arg_min(l_quantity, l_orderkey * 10 + l_linenumber) AS first_qty,
+        |  arg_max(l_quantity, l_orderkey * 10 + l_linenumber) AS last_qty,
+        |  arg_min(l_shipdate, l_orderkey * 10 + l_linenumber) AS first_ship,
+        |  arg_max(l_shipdate, l_orderkey * 10 + l_linenumber) AS last_ship,
+        |  any_value(upper(l_returnflag)) AS flag_up
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS p25,
+        |  quantile_disc(l_quantity, 0.5) AS p50,
+        |  quantile_disc(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_percentile_approx" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.5) AS ap50,
+        |  quantile_disc(l_extendedprice, 0.9) AS ap90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_object_agg" ->
+      """SELECT l_returnflag,
+        |  '{' || string_agg('"' || l_linestatus || '":' || CAST(cnt AS VARCHAR),
+        |                    ',' ORDER BY l_linestatus) || '}' AS obj
+        |FROM (SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |      FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "join_null_safe_split" ->
+      """WITH l AS (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS lk
+        |           FROM customer),
+        |r AS (SELECT CASE WHEN s_suppkey % 10 = 0 THEN NULL ELSE s_nationkey END AS rk
+        |      FROM supplier)
+        |SELECT lk AS key, count(*) AS n FROM l JOIN r ON l.lk = r.rk GROUP BY lk
+        |UNION ALL
+        |SELECT NULL AS key, (SELECT count(*) FROM l WHERE lk IS NULL)
+        |                  * (SELECT count(*) FROM r WHERE rk IS NULL) AS n
+        |WHERE (SELECT count(*) FROM l WHERE lk IS NULL) > 0
+        |  AND (SELECT count(*) FROM r WHERE rk IS NULL) > 0""".stripMargin,
+
+    "sample_fixed_n" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 200""".stripMargin
+  )
+}
