@@ -49,31 +49,40 @@ object TpchQueries2 extends QueryModule {
 
     // Q11: important parts by value — HAVING against a scalar subquery.
     "tpch_q11" ->
-      """SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
-        |FROM lineitem, supplier, nation
-        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        |  AND n_name = 'NATION_7'
-        |GROUP BY l_partkey
-        |HAVING sum(l_extendedprice * l_quantity) > (
-        |  SELECT sum(l_extendedprice * l_quantity) * 0.002
+      // Single-scan form: the global threshold is a whole-frame window over
+      // the per-partkey aggregate (sum of group sums == direct total), so
+      // lineitem is scanned ONCE — at 100x scale the second fact scan of
+      // the textbook nested form is the dominant cost. Oracle mirrors the
+      // same two-level summation so float association matches.
+      """WITH agg AS (
+        |  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
         |  FROM lineitem, supplier, nation
         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        |    AND n_name = 'NATION_7')
+        |    AND n_name = 'NATION_7'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, value
+        |FROM (SELECT l_partkey, value, sum(value) OVER () AS tot FROM agg)
+        |WHERE value > tot * 0.002
         |ORDER BY round(value, 2) DESC, l_partkey""".stripMargin,
 
     // Q15: top supplier — CTE referenced twice + scalar MAX subquery.
     "tpch_q15" ->
+      // Single-scan form: max(total_revenue) as a whole-frame window over
+      // the (small) aggregated side instead of a second revenue subplan.
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
         |         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
-        |  GROUP BY l_suppkey)
+        |  GROUP BY l_suppkey),
+        |ranked AS (
+        |  SELECT supplier_no, total_revenue,
+        |         max(total_revenue) OVER () AS max_rev
+        |  FROM revenue)
         |SELECT s_suppkey, s_name, total_revenue
-        |FROM supplier, revenue
-        |WHERE s_suppkey = supplier_no
-        |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |FROM supplier, ranked
+        |WHERE s_suppkey = supplier_no AND total_revenue = max_rev
         |ORDER BY s_suppkey""".stripMargin,
 
     // Q16: supplier count per brand/type/size — NOT IN subquery +

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark.spark
+import graft.functions.{JaroWinkler, ProductAgg}
+import graft.llm.{EchoBackend, LlmFunctions}
+
+/** Unit tests for the custom expressions and the LLM operator surface. */
+class FunctionsSpec extends AnyFunSuite {
+
+  test("JaroWinkler matches reference values (incl. floor-halved transpositions)") {
+    val cases = Seq(
+      ("small ring", "small ring", 1.0),
+      ("red widget", "small ring", 0.5333333333333333),
+      ("old anvil", "small ring", 0.6444444444444444), // odd t -> floor
+      ("small gizmo", "small ring", 0.8804545454545455), // winkler boost
+      ("martha", "marhta", 0.9611111111111111),
+      ("ax", "az", 0.6666666666666666), // jaro <= 0.7 -> no boost
+      ("", "", 0.0),
+      ("a", "", 0.0))
+    for ((a, b, exp) <- cases)
+      assert(JaroWinkler.similarity(a, b) === exp, s"jw($a, $b)")
+  }
+
+  test("jaro_winkler registers and evaluates as a column expression") {
+    JaroWinkler.register(spark)
+    import spark.implicits._
+    val out = Seq(("martha", "marhta")).toDF("a", "b")
+      .select(expr("jaro_winkler(a, b)")).as[Double].head()
+    assert(out === 0.9611111111111111)
+  }
+
+  test("product_agg: partial-merge distributed product, null semantics") {
+    ProductAgg.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("g1", Some(2.0)), ("g1", Some(3.0)), ("g1", None),
+      ("g2", None), ("g2", None)).toDF("g", "v").repartition(4)
+    val rows = df.groupBy("g").agg(expr("product_agg(v)").as("p"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows("g1") === Some(6.0)) // nulls ignored
+    assert(rows("g2") === None)      // all-null group -> null
+  }
+
+  test("tokenize/embed are deterministic column expressions") {
+    import spark.implicits._
+    val df = Seq("hello world").toDF("text")
+    val toks = df.select(LlmFunctions.tokenize(col("text"))).as[Seq[Long]].head()
+    assert(toks.length === 2 && toks.forall(t => t >= 0 && t < 50257))
+    val emb = df.select(LlmFunctions.embed(col("text"), 8)).as[Seq[Double]].head()
+    assert(emb.length === 8 && emb.forall(v => v >= 0.0 && v < 1.0))
+    // re-evaluation is identical (pure function of content)
+    assert(df.select(LlmFunctions.embed(col("text"), 8)).as[Seq[Double]].head() === emb)
+  }
+
+  test("llmGenerate batches through mapPartitions and appends the output column") {
+    import spark.implicits._
+    val in = (1 to 100).map(i => (i.toLong, s"prompt-$i")).toDF("id", "text").repartition(3)
+    val out = LlmFunctions.llmGenerate(in, "text", "gen", EchoBackend, batchSize = 7)
+    assert(out.columns.toSeq === Seq("id", "text", "gen"))
+    val rows = out.as[(Long, String, String)].collect()
+    assert(rows.length === 100)
+    assert(rows.forall { case (_, t, g) => g === s"echo:${t.take(24)}:${t.length}" })
+  }
+
+  test("as-of composition: probe with no prior quote keeps null match") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // user 1: quote@10, probes@5 (no match) and @15 (matches 10)
+    val quotes = Seq((1L, 10L, 1.5)).toDF("user_id", "t", "v")
+    val probes = Seq((1L, 5L), (1L, 15L)).toDF("user_id", "t")
+    val tagged = quotes.select(col("user_id"), col("t"), lit(0).as("is_probe"), col("v"))
+      .unionByName(probes.select(col("user_id"), col("t"), lit(1).as("is_probe"),
+        lit(null).cast("double").as("v")))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = tagged.withColumn("m", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1).orderBy("t")
+      .select(col("t"), col("m")).collect()
+    assert(got(0).isNullAt(1), "probe before any quote must not match")
+    assert(got(1).getDouble(1) === 1.5)
+  }
+}

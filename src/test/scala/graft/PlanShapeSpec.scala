@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark.{sf, spark}
+
+/** Plan-shape assertions (SURVEY §7.2-M10, VERDICT r2 item 4): the claims
+  * the query comments make — broadcasts fire, window-group-limit fires,
+  * filters reach the scan, repeated subplans reuse exchanges, candidate
+  * generation never degenerates to a cross product — pinned as tests.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private def physical(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def optimized(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan.toString
+
+  test("q3/q5 star joins broadcast their dimension sides") {
+    assert(physical("tpch_q3").contains("BroadcastHashJoin"))
+    assert(physical("tpch_q5").contains("BroadcastHashJoin"))
+  }
+
+  test("win_qualify plans a WindowGroupLimit (QUALIFY row_number fusion)") {
+    assert(optimized("win_qualify").contains("WindowGroupLimit"))
+  }
+
+  test("win_topn_per_group plans a WindowGroupLimit") {
+    assert(optimized("win_topn_per_group").contains("WindowGroupLimit"))
+  }
+
+  test("scan_pushdown pushes predicates and prunes columns at the scan") {
+    val plan = physical("scan_pushdown")
+    assert(plan.contains("PushedFilters: ["))
+    assert(!plan.matches("(?s).*PushedFilters: \\[\\].*"),
+      "PushedFilters is empty — predicates did not reach the parquet scan")
+    assert(plan.contains("l_orderkey"), "pruned read schema missing")
+    assert(!plan.contains("l_extendedprice"),
+      "read schema includes unprojected columns — pruning failed")
+  }
+
+  test("q11/q15 scan the fact table exactly once (threshold via window, not a second subplan)") {
+    // counted on the optimized logical plan — the physical string repeats
+    // the tree in AQE's initial/final sections.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    for (q <- Seq("tpch_q11", "tpch_q15")) {
+      val scans = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation
+            if h.location.rootPaths.exists(_.toString.contains("lineitem")) => 1
+          case _ => 0
+        }
+      }.sum
+      assert(scans == 1, s"$q scans lineitem $scans times; expected 1")
+    }
+  }
+
+  test("LSH candidate generation is equi-join bucketed, never a cross product") {
+    for (q <- Seq("dedup_docs_minhash", "dedup_docs_simhash", "dedup_docs_jaccard", "ann_lsh")) {
+      val plan = physical(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("ann_topk broadcasts the query-vector side") {
+    // brute-force baseline: the 8-vector query set is broadcast; the corpus
+    // streams (BroadcastNestedLoopJoin is the intended plan here).
+    assert(physical("ann_topk").contains("Broadcast"))
+  }
+
+  test("topk plans TakeOrderedAndProject (no global sort)") {
+    assert(physical("topk").contains("TakeOrderedAndProject"))
+    assert(physical("sample_fixed_n").contains("TakeOrderedAndProject"))
+  }
+
+  test("q2 correlated MIN subquery decorrelates (no per-row subquery)") {
+    val plan = optimized("tpch_q2")
+    assert(!plan.contains("ScalarSubquery"),
+      "q2 still carries a correlated scalar subquery after optimization")
+  }
+
+  test("join_asof composition plans a single shuffle per side (window, not NLJ)") {
+    val plan = physical("join_asof")
+    assert(plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
