@@ -99,6 +99,34 @@ object AggQueries2 extends QueryModule {
       nn.unionByName(nulls)
     }),
 
+    // Skew-safe two-phase (salted) aggregation: phase 1 aggregates on
+    // (key, salt) so a hot key spreads over 16 reducers, phase 2 merges
+    // partials. The salt is invisible in the result — same answer as the
+    // direct groupBy, but no single-reducer hot spot at 100 TB. (AQE skew
+    // handling covers joins; salting is the aggregation-side counterpart.)
+    "agg_salted_twophase" -> ((s, d) => {
+      val salt = pmod(col("event_id"), lit(16)).as("salt")
+      events(s, d)
+        .select(col("event_type"), col("value"), salt)
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"),
+          min(col("value")).as("pmin"), max(col("value")).as("pmax"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), sum(col("psum")).as("sum_v"),
+          min(col("pmin")).as("min_v"), max(col("pmax")).as("max_v"))
+    }),
+
+    // pandas groupby.ngroup(): dense group ids in key order.
+    "agg_ngroup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ngroup",
+          (dense_rank().over(Window.orderBy(col("o_orderstatus"), col("o_orderpriority"))) - 1)
+            .cast("long"))
+    }),
+
     // Deterministic fixed-N sample: order by a content hash — stable across
     // engines and partitionings (unlike TABLESAMPLE), and plans as top-k.
     "sample_fixed_n" -> ((s, d) => {
@@ -159,6 +187,16 @@ object AggQueries2 extends QueryModule {
 
     "sample_fixed_n" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 200""".stripMargin
+        |ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 200""".stripMargin,
+
+    "agg_salted_twophase" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sum_v,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "agg_ngroup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(dense_rank() OVER (ORDER BY o_orderstatus, o_orderpriority) - 1 AS BIGINT) AS ngroup
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin
   )
 }

@@ -56,7 +56,13 @@ object DedupQueries extends QueryModule {
         .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("sh"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
+      // df>=2 pre-filter: a shingle in one document can't produce a pair,
+      // and most shingles are unique — shrinks the self-join input without
+      // changing the result.
+      val shared = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select("sh")
+      val sh2 = sh.join(shared, "sh")
+      val inter = sh2.as("a").join(sh2.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
         .agg(count(lit(1)).as("inter"))

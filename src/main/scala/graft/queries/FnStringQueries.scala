@@ -77,6 +77,20 @@ object FnStringQueries extends QueryModule {
         octet_length(col("p_name")).as("ol"))
     }),
 
+    // LIKE family (ref like_array_kernels.py, 10 fns): LIKE / ILIKE /
+    // ESCAPE / LIKE ANY / LIKE ALL / NOT LIKE.
+    "fn_like" -> ((s, d) => {
+      part(s, d).select(
+        col("p_partkey"),
+        col("p_name").like("%ring%").as("lk"),
+        col("p_name").ilike("SMALL%").as("il"),
+        col("p_brand").like("Brand#1_").as("lk_us"),
+        expr("p_name LIKE 'x!%%' ESCAPE '!'").as("lk_esc"),
+        (col("p_name").like("small%") || col("p_name").like("red%")).as("lk_any"),
+        (col("p_name").like("%a%") && col("p_name").like("%e%")).as("lk_all"),
+        (!col("p_type").like("%ECO%")).as("not_lk"))
+    }),
+
     "fn_url" -> ((s, d) => {
       val url = concat(
         lit("https://"), col("source"), lit(".example.com/docs/"), col("lang"),
@@ -148,6 +162,17 @@ object FnStringQueries extends QueryModule {
         |  CAST(bit_length(p_name) AS INTEGER) AS bl,
         |  CAST(octet_length(p_name::BLOB) AS INTEGER) AS ol
         |FROM part WHERE p_partkey % 5 = 0""".stripMargin,
+
+    "fn_like" ->
+      """SELECT p_partkey,
+        |  p_name LIKE '%ring%' AS lk,
+        |  p_name ILIKE 'SMALL%' AS il,
+        |  p_brand LIKE 'Brand#1_' AS lk_us,
+        |  p_name LIKE 'x!%%' ESCAPE '!' AS lk_esc,
+        |  (p_name LIKE 'small%' OR p_name LIKE 'red%') AS lk_any,
+        |  (p_name LIKE '%a%' AND p_name LIKE '%e%') AS lk_all,
+        |  (p_type NOT LIKE '%ECO%') AS not_lk
+        |FROM part""".stripMargin,
 
     // The oracle constructs ground-truth URL parts from the same columns —
     // testing Spark's parse_url against the known construction.

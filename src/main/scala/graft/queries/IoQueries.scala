@@ -48,6 +48,29 @@ object IoQueries extends QueryModule {
           min("event_id").as("min_id"))
     }),
 
+    // Generic JDBC (read_sql / to_sql): round-trip through an embedded
+    // Derby database — the same spark.read.jdbc/write.jdbc path a
+    // Snowflake/Postgres URL would take (ref bodo/ir/sql_ext.py:140), with
+    // a partitioned parallel read (partitionColumn + bounds).
+    "jdbc_roundtrip" -> ((s, d) => {
+      val url = s"jdbc:derby:/tmp/graft_derby/db_${d.replaceAll("[^a-zA-Z0-9]", "_")};create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        .write.mode("overwrite").jdbc(url, "graft_customer", props)
+      s.read
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "100000")
+        .option("numPartitions", "4")
+        .jdbc(url, "graft_customer", props)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("c_acctbal")).as("sum_bal"),
+          max(col("c_nationkey")).as("max_nk"))
+    }),
+
     // Partitioned parquet write; read-back filters one partition value so
     // the scan is partition-pruned (directory-level, no data read).
     "parquet_partitioned" -> ((s, d) => {
@@ -76,6 +99,11 @@ object IoQueries extends QueryModule {
     "parquet_partitioned" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'R'
-        |GROUP BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "jdbc_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n, sum(c_acctbal) AS sum_bal,
+        |  max(c_nationkey) AS max_nk
+        |FROM customer GROUP BY c_mktsegment""".stripMargin
   )
 }

@@ -76,6 +76,24 @@ object SimQueries extends QueryModule {
         .filter(col("rnk") <= 10)
     }),
 
+    // IVF-style ANN: coarse partition (the label column stands in for a
+    // nearest-centroid assignment), per-query top-3 within the partition
+    // via WindowGroupLimit — the bucket-pruned probe shape of an IVF index.
+    "ann_ivf" -> ((s, d) => {
+      val e = base(s, d)
+      val q = e.select(col("vec_id").as("q_id"), col("label").as("bkt"),
+        col("emb").as("qe"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("c_id"), col("label").as("bkt2"),
+        col("emb").as("ce"), col("nrm").as("cn"))
+      q.join(c, col("bkt") === col("bkt2") && col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("bkt"), col("c_id"),
+          (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("c_id"))).cast("long"))
+        .filter(col("rnk") <= 3)
+    }),
+
     // Sign-LSH bucketed near-neighbor pairs: 8 hyperplanes -> 256 buckets,
     // equi-join on the signature, cosine verified within buckets only.
     "ann_lsh" -> ((s, d) => {
@@ -119,6 +137,18 @@ object SimQueries extends QueryModule {
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rnk
          |FROM s
          |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 10""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS emb, $normSql AS nrm FROM embeddings),
+         |s AS (
+         |  SELECT q.vec_id AS q_id, q.label AS bkt, c.vec_id AS c_id,
+         |    list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
+         |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id)
+         |SELECT q_id, bkt, c_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rnk
+         |FROM s
+         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 3""".stripMargin,
 
     "ann_lsh" ->
       s"""WITH e AS (
