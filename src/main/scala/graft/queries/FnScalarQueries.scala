@@ -109,6 +109,32 @@ object FnScalarQueries extends QueryModule {
         col("p_size").cast("string").as("int_s"))
     }),
 
+    // DECIMAL(p,s) kernel battery (SURVEY §1.2: Decimal128Type ≈
+    // DecimalType near-1:1): all arithmetic runs in DecimalType — exact,
+    // no float drift — and results are cast to double only at the output
+    // boundary (DuckDB lowers DECIMAL to float64 in pandas).
+    "fn_decimal" -> ((s, d) => {
+      val dd = col("l_discount").cast("decimal(6,3)")
+      val dt = col("l_tax").cast("decimal(6,3)")
+      lineitem(s, d).filter(col("l_orderkey") % 40 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dd.cast("double").as("dec_d"),
+          (dd + dt).cast("double").as("dec_add"),
+          (dd - dt).cast("double").as("dec_sub"),
+          (dd * dt).cast("double").as("dec_mul"),
+          (dd * 100).cast("double").as("dec_scale"))
+    }),
+
+    "fn_decimal_agg" -> ((s, d) => {
+      val dd = col("l_discount").cast("decimal(6,3)")
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(dd).cast("double").as("dsum"),
+          min(dd).cast("double").as("dmin"),
+          max(dd).cast("double").as("dmax"),
+          count(dd).as("dcnt"))
+    }),
+
     "fn_variadic" -> ((s, d) => {
       val seg = nullif_(col("c_mktsegment"), lit("MACHINERY"))
       customer(s, d).filter(col("c_custkey") % 4 === 0).select(
@@ -216,6 +242,23 @@ object FnScalarQueries extends QueryModule {
         |  CAST(p_size AS DOUBLE) AS widen_d,
         |  CAST(p_size AS VARCHAR) AS int_s
         |FROM part""".stripMargin,
+
+    "fn_decimal" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_discount AS DECIMAL(6,3)) AS DOUBLE) AS dec_d,
+        |  CAST(CAST(l_discount AS DECIMAL(6,3)) + CAST(l_tax AS DECIMAL(6,3)) AS DOUBLE) AS dec_add,
+        |  CAST(CAST(l_discount AS DECIMAL(6,3)) - CAST(l_tax AS DECIMAL(6,3)) AS DOUBLE) AS dec_sub,
+        |  CAST(CAST(l_discount AS DECIMAL(6,3)) * CAST(l_tax AS DECIMAL(6,3)) AS DOUBLE) AS dec_mul,
+        |  CAST(CAST(l_discount AS DECIMAL(6,3)) * 100 AS DOUBLE) AS dec_scale
+        |FROM lineitem WHERE l_orderkey % 40 = 0""".stripMargin,
+
+    "fn_decimal_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(6,3))) AS DOUBLE) AS dsum,
+        |  CAST(min(CAST(l_discount AS DECIMAL(6,3))) AS DOUBLE) AS dmin,
+        |  CAST(max(CAST(l_discount AS DECIMAL(6,3))) AS DOUBLE) AS dmax,
+        |  count(l_discount) AS dcnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "fn_variadic" ->
       """SELECT c_custkey,

