@@ -116,6 +116,16 @@ object AggQueries2 extends QueryModule {
           min(col("pmin")).as("min_v"), max(col("pmax")).as("max_v"))
     }),
 
+    // Typed Aggregator UDAF through udaf(): weighted mean of extendedprice
+    // by quantity — the user-defined-aggregate surface (§2.4 udf ftypes).
+    "agg_udaf_wmean" -> ((s, d) => {
+      graft.functions.WeightedMean.register(s)
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("wmean(l_extendedprice, l_quantity)").as("wm"),
+          count(lit(1)).as("n"))
+    }),
+
     // pandas groupby.ngroup(): dense group ids in key order.
     "agg_ngroup" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -188,6 +198,12 @@ object AggQueries2 extends QueryModule {
     "sample_fixed_n" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 200""".stripMargin,
+
+    "agg_udaf_wmean" ->
+      """SELECT l_returnflag,
+        |  sum(l_extendedprice * l_quantity) / sum(l_quantity) AS wm,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "agg_salted_twophase" ->
       """SELECT event_type, count(*) AS n, sum(value) AS sum_v,

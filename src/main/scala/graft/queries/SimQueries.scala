@@ -94,6 +94,15 @@ object SimQueries extends QueryModule {
         .filter(col("rnk") <= 3)
     }),
 
+    // Persisted vector index (S3-Vectors shape, local parquet backend):
+    // build = partitioned-by-bucket write; probe = bucket join with the
+    // broadcast query set, top-5 per query. See graft.llm.VectorIndex.
+    "vector_index_topk" -> ((s, d) => {
+      val path = s"/tmp/graft_vecidx/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.llm.VectorIndex.write(embeddings(s, d), path)
+      graft.llm.VectorIndex.query(s, path, embeddings(s, d).filter(col("vec_id") < 8), 5)
+    }),
+
     // Sign-LSH bucketed near-neighbor pairs: 8 hyperplanes -> 256 buckets,
     // equi-join on the signature, cosine verified within buckets only.
     "ann_lsh" -> ((s, d) => {
@@ -149,6 +158,30 @@ object SimQueries extends QueryModule {
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rnk
          |FROM s
          |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 3""".stripMargin,
+
+    "vector_index_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb, $normSql AS nrm FROM embeddings),
+         |pd AS (
+         |  SELECT vec_id, j,
+         |    list_sum(list_transform(range(0, $DIM),
+         |      i -> emb[i + 1] * ((i * 31 + j * 17) % 7 - 3))) AS d
+         |  FROM e, (SELECT unnest(range(0, $NPLANES)) AS j)),
+         |sg AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS sig
+         |  FROM pd GROUP BY vec_id),
+         |je AS (
+         |  SELECT e.vec_id, e.emb, e.nrm, sg.sig FROM e JOIN sg ON e.vec_id = sg.vec_id),
+         |s AS (
+         |  SELECT q.vec_id AS q_id, q.sig AS bucket, c.vec_id AS c_id,
+         |    list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
+         |  FROM je q JOIN je c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 8)
+         |SELECT q_id, bucket, c_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rnk
+         |FROM s
+         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5""".stripMargin,
 
     "ann_lsh" ->
       s"""WITH e AS (
