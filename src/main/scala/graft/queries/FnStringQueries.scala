@@ -47,6 +47,8 @@ object FnStringQueries extends QueryModule {
         ascii(col("p_name")).as("asc"),
         expr("char(65 + p_partkey % 26)").as("ch"),
         levenshtein(col("p_name"), lit("small ring")).as("lev"),
+        // bounded variant (editdistance-with-max: -1 beyond the threshold)
+        levenshtein(col("p_name"), lit("small ring"), 4).as("lev4"),
         expr("jaro_winkler(p_name, 'small ring')").as("jw"),
         col("p_name").startsWith("small").as("sw"),
         col("p_name").endsWith("t").as("ew"),
@@ -133,6 +135,8 @@ object FnStringQueries extends QueryModule {
         |  CAST(ascii(p_name) AS INTEGER) AS asc,
         |  chr(CAST(65 + p_partkey % 26 AS INTEGER)) AS ch,
         |  CAST(levenshtein(p_name, 'small ring') AS INTEGER) AS lev,
+        |  CAST(CASE WHEN levenshtein(p_name, 'small ring') <= 4
+        |       THEN levenshtein(p_name, 'small ring') ELSE -1 END AS INTEGER) AS lev4,
         |  jaro_winkler_similarity(p_name, 'small ring') AS jw,
         |  starts_with(p_name, 'small') AS sw,
         |  ends_with(p_name, 't') AS ew,

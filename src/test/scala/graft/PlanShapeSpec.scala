@@ -83,6 +83,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "q2 still carries a correlated scalar subquery after optimization")
   }
 
+  test("runtime bloom filter injects on a selective shuffle join (M0 session conf)") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 450000.0)
+      val l = Tables.lineitem(spark, sf)
+      val plan = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+        .queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        "no runtime bloom filter injected into the probe side")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("join_asof composition plans a single shuffle per side (window, not NLJ)") {
     val plan = physical("join_asof")
     assert(plan.contains("Window"))
