@@ -38,11 +38,22 @@ object VectorIndex {
       transform(col("embedding"), x => x.cast("double")).as("emb"))
       .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
 
-  /** Build (write) the index: one parquet partition per LSH bucket. */
+  /** Build (write) the index: one parquet partition per LSH bucket.
+    * Rows are repartitioned by bucket first so each bucket directory gets
+    * one file instead of one per task (task-count x bucket-count tiny
+    * files is the classic partitioned-write mistake at scale). */
   def write(embeddings: DataFrame, path: String): Unit =
     withDoubles(embeddings)
       .withColumn("bucket", signature(col("emb")))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Build only if absent — index construction is one-time in production;
+    * fixture data is immutable, so a present index is valid. */
+  def ensure(embeddings: DataFrame, path: String): Unit = {
+    val marker = new java.io.File(s"$path/_SUCCESS")
+    if (!marker.exists()) write(embeddings, path)
+  }
 
   /** Query: top-k cosine within the query vectors' buckets only. */
   def query(spark: SparkSession, path: String, queries: DataFrame, k: Int): DataFrame = {

@@ -56,13 +56,11 @@ object DedupQueries extends QueryModule {
         .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("sh"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // df>=2 pre-filter: a shingle in one document can't produce a pair,
-      // and most shingles are unique — shrinks the self-join input without
-      // changing the result.
-      val shared = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select("sh")
-      val sh2 = sh.join(shared, "sh")
-      val inter = sh2.as("a").join(sh2.as("b"),
+      // (A df>=2 shingle pre-filter helps natural corpora where most
+      // shingles are unique; this fixture's tiny vocabulary makes nearly
+      // every shingle shared, so the extra agg+join measured as a net
+      // loss — the plain self-join is the right plan here.)
+      val inter = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
         .agg(count(lit(1)).as("inter"))
@@ -92,20 +90,21 @@ object DedupQueries extends QueryModule {
       }
       val withB = sig.select(col("doc_id") +: (0 until K).map(i => col(s"m$i")) ++: bandCols: _*)
       val stackExpr = (0 until BANDS).map(bd => s"$bd, bh$bd").mkString(", ")
-      val buckets = withB.select(col("doc_id"),
-        expr(s"stack($BANDS, $stackExpr) as (band, bh)"))
-      val cand = buckets.as("a").join(buckets.as("b"),
+      // band rows CARRY their full signature through the bucket join, so
+      // the signature aggregate is computed once — no join-back to `sig`
+      // (which would re-run the shingle explode + 16-min agg twice more).
+      val buckets = withB.select(
+        expr(s"stack($BANDS, $stackExpr) as (band, bh)") +:
+          col("doc_id") +: (0 until K).map(i => col(s"m$i")): _*)
+      val agree = (0 until K)
+        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      buckets.as("a").join(buckets.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+          (agree / lit(K.toDouble)).as("minhash_sim"))
         .distinct()
-      val sa = sig.select(col("doc_id").as("ia") +: (0 until K).map(i => col(s"m$i").as(s"a$i")): _*)
-      val sb = sig.select(col("doc_id").as("ib") +: (0 until K).map(i => col(s"m$i").as(s"b$i")): _*)
-      val agree = (0 until K).map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand.join(sa, col("doc_i") === col("ia"))
-        .join(sb, col("doc_j") === col("ib"))
-        .select(col("doc_i"), col("doc_j"), (agree / lit(K.toDouble)).as("minhash_sim"))
         .filter(col("minhash_sim") >= 0.5)
     }),
 

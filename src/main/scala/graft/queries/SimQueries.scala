@@ -99,7 +99,7 @@ object SimQueries extends QueryModule {
     // broadcast query set, top-5 per query. See graft.llm.VectorIndex.
     "vector_index_topk" -> ((s, d) => {
       val path = s"/tmp/graft_vecidx/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      graft.llm.VectorIndex.write(embeddings(s, d), path)
+      graft.llm.VectorIndex.ensure(embeddings(s, d), path)
       graft.llm.VectorIndex.query(s, path, embeddings(s, d).filter(col("vec_id") < 8), 5)
     }),
 
