@@ -81,11 +81,14 @@ object SimQueries extends QueryModule {
     // via WindowGroupLimit — the bucket-pruned probe shape of an IVF index.
     "ann_ivf" -> ((s, d) => {
       val e = base(s, d)
-      val q = e.select(col("vec_id").as("q_id"), col("label").as("bkt"),
-        col("emb").as("qe"), col("nrm").as("qn"))
+      // a bounded query batch (not all-vectors-probe — that is quadratic
+      // per coarse cell and not how an IVF index is used)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("label").as("bkt"),
+          col("emb").as("qe"), col("nrm").as("qn"))
       val c = e.select(col("vec_id").as("c_id"), col("label").as("bkt2"),
         col("emb").as("ce"), col("nrm").as("cn"))
-      q.join(c, col("bkt") === col("bkt2") && col("q_id") =!= col("c_id"))
+      c.join(broadcast(q), col("bkt") === col("bkt2") && col("q_id") =!= col("c_id"))
         .select(col("q_id"), col("bkt"), col("c_id"),
           (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
         .withColumn("rnk",
@@ -153,7 +156,8 @@ object SimQueries extends QueryModule {
          |s AS (
          |  SELECT q.vec_id AS q_id, q.label AS bkt, c.vec_id AS c_id,
          |    list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cos
-         |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id)
+         |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 50)
          |SELECT q_id, bkt, c_id, cos,
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rnk
          |FROM s
