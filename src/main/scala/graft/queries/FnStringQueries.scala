@@ -79,6 +79,19 @@ object FnStringQueries extends QueryModule {
         octet_length(col("p_name")).as("ol"))
     }),
 
+    // Second string battery: printf-style formatting, overlay/INSERT,
+    // substring_index, space, elt, locate-with-start.
+    "fn_string2" -> ((s, d) => {
+      part(s, d).filter(col("p_partkey") % 3 === 0).select(
+        col("p_partkey"),
+        format_string("%s-%05d", col("p_brand"), col("p_partkey")).as("fmt"),
+        overlay(col("p_name"), lit("XX"), lit(2), lit(3)).as("ovl"),
+        substring_index(col("p_name"), " ", 1).as("sidx"),
+        concat(col("p_type"), expr("space(3)"), col("p_brand")).as("spc"),
+        expr("elt(1 + cast(p_partkey % 2 AS INT), 'even', 'odd')").as("elt_v"),
+        locate("a", col("p_name"), 3).as("loc3"))
+    }),
+
     // LIKE family (ref like_array_kernels.py, 10 fns): LIKE / ILIKE /
     // ESCAPE / LIKE ANY / LIKE ALL / NOT LIKE.
     "fn_like" -> ((s, d) => {
@@ -166,6 +179,17 @@ object FnStringQueries extends QueryModule {
         |  CAST(bit_length(p_name) AS INTEGER) AS bl,
         |  CAST(octet_length(p_name::BLOB) AS INTEGER) AS ol
         |FROM part WHERE p_partkey % 5 = 0""".stripMargin,
+
+    "fn_string2" ->
+      """SELECT p_partkey,
+        |  printf('%s-%05d', p_brand, p_partkey) AS fmt,
+        |  left(p_name, 1) || 'XX' || substring(p_name, 5) AS ovl,
+        |  string_split(p_name, ' ')[1] AS sidx,
+        |  p_type || '   ' || p_brand AS spc,
+        |  CASE WHEN 1 + p_partkey % 2 = 1 THEN 'even' ELSE 'odd' END AS elt_v,
+        |  CAST(CASE WHEN instr(substring(p_name, 3), 'a') = 0 THEN 0
+        |       ELSE instr(substring(p_name, 3), 'a') + 2 END AS INTEGER) AS loc3
+        |FROM part WHERE p_partkey % 3 = 0""".stripMargin,
 
     "fn_like" ->
       """SELECT p_partkey,
