@@ -116,6 +116,19 @@ object AggQueries2 extends QueryModule {
           min(col("pmin")).as("min_v"), max(col("pmax")).as("max_v"))
     }),
 
+    // FILTER (WHERE ...) clause on aggregates — the AggregateFilterToCase
+    // surface of the reference planner (AggregateFilterToCaseRule.java).
+    "agg_filter_clause" -> ((s, d) => {
+      registerViews(s, d)
+      s.sql(
+        """SELECT l_returnflag,
+          |  count(*) AS n,
+          |  count(*) FILTER (WHERE l_quantity > 25) AS n_hi,
+          |  sum(l_extendedprice) FILTER (WHERE l_discount > 0.05) AS sum_disc,
+          |  avg(l_quantity) FILTER (WHERE l_tax = 0.0) AS avg_notax
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    }),
+
     // Typed Aggregator UDAF through udaf(): weighted mean of extendedprice
     // by quantity — the user-defined-aggregate surface (§2.4 udf ftypes).
     "agg_udaf_wmean" -> ((s, d) => {
@@ -198,6 +211,14 @@ object AggQueries2 extends QueryModule {
     "sample_fixed_n" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 200""".stripMargin,
+
+    "agg_filter_clause" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_hi,
+        |  sum(l_extendedprice) FILTER (WHERE l_discount > 0.05) AS sum_disc,
+        |  avg(l_quantity) FILTER (WHERE l_tax = 0.0) AS avg_notax
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "agg_udaf_wmean" ->
       """SELECT l_returnflag,

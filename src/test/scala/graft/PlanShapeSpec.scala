@@ -83,6 +83,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "q2 still carries a correlated scalar subquery after optimization")
   }
 
+  test("parquet_partitioned read-back prunes partitions at the directory level") {
+    val plan = physical("parquet_partitioned")
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      "partition filter did not reach the partitioned scan")
+  }
+
   test("runtime bloom filter injects on a selective shuffle join (M0 session conf)") {
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
