@@ -59,6 +59,36 @@ object FnSemiQueries extends QueryModule {
         aggregate(sequence(lit(1L), lit(5L)), lit(0L), (acc, x) => acc + x).as("ag"))
     }),
 
+    // MAP-type kernels (§2.8 nested / object kernels): construction,
+    // keys/values, lookup, concat, contains. Maps stay internal — outputs
+    // are scalars/arrays (map cells don't canonicalize across engines).
+    "fn_map" -> ((s, d) => {
+      val m = map_from_arrays(
+        array(lit("brand"), lit("type")),
+        array(col("p_brand"), col("p_type")))
+      val m2 = map_concat(m, map_from_arrays(array(lit("size")),
+        array(col("p_size").cast("string"))))
+      part(s, d).filter(col("p_partkey") % 4 === 0).select(
+        col("p_partkey"),
+        map_keys(m).as("mk"),
+        map_values(m).as("mv"),
+        size(m).cast("long").as("msz"),
+        element_at(m, "brand").as("get_b"),
+        element_at(m2, "size").as("get_sz"),
+        map_contains_key(m, "type").as("has_t"),
+        map_contains_key(m, "nope").as("has_n"))
+    }),
+
+    // FLATTEN with the OUTER option: empty arrays keep their parent row
+    // with null INDEX/VALUE (Snowflake LATERAL FLATTEN(..., OUTER=>TRUE)).
+    "lateral_flatten_outer" -> ((s, d) => {
+      val l = when(col("doc_id") % 7 === 0, array().cast("array<string>"))
+        .otherwise(slice(split(col("text"), " "), 1, 3))
+      documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("seq"), l.as("l"))
+        .select(col("seq"), posexplode_outer(col("l")).as(Seq("idx", "value")))
+    }),
+
     // TIME-of-day kit over events.ts (µs-truncated timestamp; see Tables).
     "fn_time" -> ((s, d) => {
       val ts = col("ts")
@@ -109,6 +139,31 @@ object FnSemiQueries extends QueryModule {
         |  range(1, 6) AS sq,
         |  list_transform(range(1, 4), i -> 2 * i + 3) AS zw,
         |  CAST(list_sum(range(1, 6)) AS BIGINT) AS ag
+        |FROM t""".stripMargin,
+
+    "fn_map" ->
+      """SELECT p_partkey,
+        |  map_keys(map(['brand','type'], [p_brand, p_type])) AS mk,
+        |  map_values(map(['brand','type'], [p_brand, p_type])) AS mv,
+        |  CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS BIGINT) AS msz,
+        |  map(['brand','type'], [p_brand, p_type])['brand'][1] AS get_b,
+        |  map_concat(map(['brand','type'], [p_brand, p_type]),
+        |             map(['size'], [CAST(p_size AS VARCHAR)]))['size'][1] AS get_sz,
+        |  list_contains(map_keys(map(['brand','type'], [p_brand, p_type])), 'type') AS has_t,
+        |  list_contains(map_keys(map(['brand','type'], [p_brand, p_type])), 'nope') AS has_n
+        |FROM part WHERE p_partkey % 4 = 0""".stripMargin,
+
+    "lateral_flatten_outer" ->
+      """WITH t AS (
+        |  SELECT doc_id AS seq,
+        |    CASE WHEN doc_id % 7 = 0 THEN []::VARCHAR[]
+        |         ELSE string_split(text, ' ')[1:3] END AS l
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT seq,
+        |  CAST(CASE WHEN len(l) = 0 THEN NULL
+        |       ELSE generate_subscripts(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END, 1) - 1
+        |       END AS INTEGER) AS idx,
+        |  unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS value
         |FROM t""".stripMargin,
 
     // Oracle must µs-truncate the ns timestamp first (FIXTURES ns policy).
