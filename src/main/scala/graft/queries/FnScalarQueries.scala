@@ -106,7 +106,11 @@ object FnScalarQueries extends QueryModule {
           "yyyy-MM-dd").cast("timestamp").as("to_d"),
         col("p_retailprice").cast("int").as("trunc_i"),
         col("p_size").cast("double").as("widen_d"),
-        col("p_size").cast("string").as("int_s"))
+        col("p_size").cast("string").as("int_s"),
+        // ANSI try_* arithmetic: null instead of error/overflow
+        expr("try_divide(p_retailprice, p_size % 3)").as("t_div"),
+        expr("try_add(p_partkey, 10)").as("t_add"),
+        expr("try_multiply(p_size, 1000000)").as("t_mul"))
     }),
 
     // DECIMAL(p,s) kernel battery (SURVEY §1.2: Decimal128Type ≈
@@ -240,7 +244,11 @@ object FnScalarQueries extends QueryModule {
         |  strptime('2024-02-' || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0'), '%Y-%m-%d') AS to_d,
         |  CAST(trunc(p_retailprice) AS INTEGER) AS trunc_i,
         |  CAST(p_size AS DOUBLE) AS widen_d,
-        |  CAST(p_size AS VARCHAR) AS int_s
+        |  CAST(p_size AS VARCHAR) AS int_s,
+        |  CASE WHEN p_size % 3 = 0 THEN NULL
+        |       ELSE p_retailprice / (p_size % 3) END AS t_div,
+        |  p_partkey + 10 AS t_add,
+        |  CAST(p_size AS INTEGER) * 1000000 AS t_mul
         |FROM part""".stripMargin,
 
     "fn_decimal" ->

@@ -79,6 +79,16 @@ object FnSemiQueries extends QueryModule {
         map_contains_key(m, "nope").as("has_n"))
     }),
 
+    // FLATTEN over a MAP/OBJECT: Snowflake FLATTEN's KEY/VALUE output
+    // columns via explode of a map (ref lateral.py:92 object branch).
+    "lateral_flatten_map" -> ((s, d) => {
+      val m = map_from_arrays(
+        array(lit("brand"), lit("type"), lit("size")),
+        array(col("p_brand"), col("p_type"), col("p_size").cast("string")))
+      part(s, d).filter(col("p_partkey") % 9 === 0)
+        .select(col("p_partkey").as("seq"), explode(m).as(Seq("key", "value")))
+    }),
+
     // FLATTEN with the OUTER option: empty arrays keep their parent row
     // with null INDEX/VALUE (Snowflake LATERAL FLATTEN(..., OUTER=>TRUE)).
     "lateral_flatten_outer" -> ((s, d) => {
@@ -152,6 +162,14 @@ object FnSemiQueries extends QueryModule {
         |  list_contains(map_keys(map(['brand','type'], [p_brand, p_type])), 'type') AS has_t,
         |  list_contains(map_keys(map(['brand','type'], [p_brand, p_type])), 'nope') AS has_n
         |FROM part WHERE p_partkey % 4 = 0""".stripMargin,
+
+    "lateral_flatten_map" ->
+      """SELECT p_partkey AS seq,
+        |  unnest(map_keys(map(['brand','type','size'],
+        |    [p_brand, p_type, CAST(p_size AS VARCHAR)]))) AS key,
+        |  unnest(map_values(map(['brand','type','size'],
+        |    [p_brand, p_type, CAST(p_size AS VARCHAR)]))) AS value
+        |FROM part WHERE p_partkey % 9 = 0""".stripMargin,
 
     "lateral_flatten_outer" ->
       """WITH t AS (
