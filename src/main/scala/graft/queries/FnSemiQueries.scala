@@ -59,6 +59,20 @@ object FnSemiQueries extends QueryModule {
         aggregate(sequence(lit(1L), lit(5L)), lit(0L), (acc, x) => acc + x).as("ag"))
     }),
 
+    // VARIANT kernels (§2.8 variant/semi-structured; Spark 4 VariantType —
+    // the engine-native form of Snowflake VARIANT per SURVEY §1.2):
+    // parse_json -> variant, typed variant_get extraction, re-serialize.
+    "fn_variant" -> ((s, d) => {
+      val v = parse_json(col("props"))
+      events(s, d).filter(col("event_id") % 25 === 0).select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("vk"),
+        expr("variant_get(parse_json(props), '$.k', 'string')").as("vs"),
+        to_json(v).as("vj"),
+        expr("variant_get(parse_json(props), '$.zzz', 'bigint')").as("vmiss"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").isNull.as("vnull"))
+    }),
+
     // MAP-type kernels (§2.8 nested / object kernels): construction,
     // keys/values, lookup, concat, contains. Maps stay internal — outputs
     // are scalars/arrays (map cells don't canonicalize across engines).
@@ -150,6 +164,15 @@ object FnSemiQueries extends QueryModule {
         |  list_transform(range(1, 4), i -> 2 * i + 3) AS zw,
         |  CAST(list_sum(range(1, 6)) AS BIGINT) AS ag
         |FROM t""".stripMargin,
+
+    "fn_variant" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS vk,
+        |  json_extract_string(props, '$.k') AS vs,
+        |  CAST(json(props) AS VARCHAR) AS vj,
+        |  TRY_CAST(json_extract_string(props, '$.zzz') AS BIGINT) AS vmiss,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL AS vnull
+        |FROM events WHERE event_id % 25 = 0""".stripMargin,
 
     "fn_map" ->
       """SELECT p_partkey,
