@@ -20,15 +20,24 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    // A query that throws records the sentinel -1.0 (never a normal-looking
+    // timing) and lands in "errors" — a broken query must not silently
+    // shrink the recorded baseline anchor.
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(line)
+    // Also to a file: the driver's stdout parser saw sbt noise in r2/r3
+    // (BENCH parsed: null) — the file copy is the reliable channel.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), line + "\n")
     spark.stop()
   }
 }

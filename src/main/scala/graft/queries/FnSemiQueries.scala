@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -33,29 +34,33 @@ object FnSemiQueries extends QueryModule {
           countDistinct(col("k") % 10).as("n_kmod"))
     }),
 
-    // Array/nested kernel battery over document word arrays.
+    // Array/nested kernel battery over document word arrays. Array results
+    // are serialized with array_join into canonical strings at the output
+    // boundary only (the driver's pandas checker cannot hash ndarray cells);
+    // every array computation stays native Catalyst.
     "fn_array" -> ((s, d) => {
       val w = slice(split(col("text"), " "), 1, 6)
+      def aj(c: Column): Column = array_join(transform(c, x => x.cast("string")), ",")
       documents(s, d).filter(col("doc_id") % 2 === 0).select(
         col("doc_id"),
         array_contains(w, "data").as("has_data"),
         array_position(w, "data").as("pos_data"),
-        array_sort(array_distinct(w)).as("dis"),
-        array_sort(array_union(w, array(lit("alpha"), lit("beta")))).as("un"),
-        array_sort(array_intersect(w, array(lit("data"), lit("key"), lit("row")))).as("its"),
-        array_sort(array_except(w, array(lit("the"), lit("a")))).as("exc"),
+        aj(array_sort(array_distinct(w))).as("dis"),
+        aj(array_sort(array_union(w, array(lit("alpha"), lit("beta"))))).as("un"),
+        aj(array_sort(array_intersect(w, array(lit("data"), lit("key"), lit("row"))))).as("its"),
+        aj(array_sort(array_except(w, array(lit("the"), lit("a"))))).as("exc"),
         arrays_overlap(w, array(lit("key"), lit("value"))).as("ovl"),
         size(w).cast("long").as("sz"),
         array_max(w).as("mx"),
         array_min(w).as("mn"),
         array_join(w, "-").as("jn"),
-        flatten(array(slice(w, 1, 2), slice(w, 3, 2))).as("fl"),
-        array_append(slice(w, 1, 2), "zz").as("ap"),
-        array_remove(w, "the").as("rm"),
-        reverse(w).as("rv"),
-        sequence(lit(1L), lit(5L)).as("sq"),
-        zip_with(sequence(lit(1L), lit(3L)), sequence(lit(4L), lit(6L)),
-          (a, b) => a + b).as("zw"),
+        aj(flatten(array(slice(w, 1, 2), slice(w, 3, 2)))).as("fl"),
+        aj(array_append(slice(w, 1, 2), "zz")).as("ap"),
+        aj(array_remove(w, "the")).as("rm"),
+        aj(reverse(w)).as("rv"),
+        aj(sequence(lit(1L), lit(5L))).as("sq"),
+        aj(zip_with(sequence(lit(1L), lit(3L)), sequence(lit(4L), lit(6L)),
+          (a, b) => a + b)).as("zw"),
         aggregate(sequence(lit(1L), lit(5L)), lit(0L), (acc, x) => acc + x).as("ag"))
     }),
 
@@ -84,8 +89,8 @@ object FnSemiQueries extends QueryModule {
         array(col("p_size").cast("string"))))
       part(s, d).filter(col("p_partkey") % 4 === 0).select(
         col("p_partkey"),
-        map_keys(m).as("mk"),
-        map_values(m).as("mv"),
+        array_join(map_keys(m), ",").as("mk"),
+        array_join(map_values(m), ",").as("mv"),
         size(m).cast("long").as("msz"),
         element_at(m, "brand").as("get_b"),
         element_at(m2, "size").as("get_sz"),
@@ -147,21 +152,21 @@ object FnSemiQueries extends QueryModule {
         |SELECT doc_id,
         |  list_contains(w, 'data') AS has_data,
         |  CAST(coalesce(list_position(w, 'data'), 0) AS BIGINT) AS pos_data,
-        |  list_sort(list_distinct(w)) AS dis,
-        |  list_sort(list_distinct(list_concat(w, ['alpha', 'beta']))) AS un,
-        |  list_sort(list_intersect(w, ['data', 'key', 'row'])) AS its,
-        |  list_sort(list_filter(list_distinct(w), x -> x NOT IN ('the', 'a'))) AS exc,
+        |  coalesce(array_to_string(list_sort(list_distinct(w)), ','), '') AS dis,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_concat(w, ['alpha', 'beta']))), ','), '') AS un,
+        |  coalesce(array_to_string(list_sort(list_intersect(w, ['data', 'key', 'row'])), ','), '') AS its,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(w), x -> x NOT IN ('the', 'a'))), ','), '') AS exc,
         |  list_has_any(w, ['key', 'value']) AS ovl,
         |  len(w) AS sz,
         |  list_aggregate(w, 'max') AS mx,
         |  list_aggregate(w, 'min') AS mn,
-        |  array_to_string(w, '-') AS jn,
-        |  flatten([w[1:2], w[3:4]]) AS fl,
-        |  list_append(w[1:2], 'zz') AS ap,
-        |  list_filter(w, x -> x <> 'the') AS rm,
-        |  list_reverse(w) AS rv,
-        |  range(1, 6) AS sq,
-        |  list_transform(range(1, 4), i -> 2 * i + 3) AS zw,
+        |  coalesce(array_to_string(w, '-'), '') AS jn,
+        |  coalesce(array_to_string(flatten([w[1:2], w[3:4]]), ','), '') AS fl,
+        |  coalesce(array_to_string(list_append(w[1:2], 'zz'), ','), '') AS ap,
+        |  coalesce(array_to_string(list_filter(w, x -> x <> 'the'), ','), '') AS rm,
+        |  coalesce(array_to_string(list_reverse(w), ','), '') AS rv,
+        |  array_to_string(list_transform(range(1, 6), x -> CAST(x AS VARCHAR)), ',') AS sq,
+        |  array_to_string(list_transform(range(1, 4), i -> CAST(2 * i + 3 AS VARCHAR)), ',') AS zw,
         |  CAST(list_sum(range(1, 6)) AS BIGINT) AS ag
         |FROM t""".stripMargin,
 
@@ -176,8 +181,8 @@ object FnSemiQueries extends QueryModule {
 
     "fn_map" ->
       """SELECT p_partkey,
-        |  map_keys(map(['brand','type'], [p_brand, p_type])) AS mk,
-        |  map_values(map(['brand','type'], [p_brand, p_type])) AS mv,
+        |  coalesce(array_to_string(map_keys(map(['brand','type'], [p_brand, p_type])), ','), '') AS mk,
+        |  coalesce(array_to_string(map_values(map(['brand','type'], [p_brand, p_type])), ','), '') AS mv,
         |  CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS BIGINT) AS msz,
         |  map(['brand','type'], [p_brand, p_type])['brand'][1] AS get_b,
         |  map_concat(map(['brand','type'], [p_brand, p_type]),

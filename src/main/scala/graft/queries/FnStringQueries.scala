@@ -59,7 +59,9 @@ object FnStringQueries extends QueryModule {
       customer(s, d).filter(col("c_custkey") % 3 === 0).select(
         col("c_custkey"),
         regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("rext"),
-        regexp_extract_all(col("c_mktsegment"), lit("[AEIOU]+"), lit(0)).as("rall"),
+        // serialized to a canonical string: the driver's checker can't hash
+        // array cells (per-match semantics unchanged)
+        array_join(regexp_extract_all(col("c_mktsegment"), lit("[AEIOU]+"), lit(0)), ",").as("rall"),
         regexp_replace(col("c_mktsegment"), "[AEIOU]", "*").as("rrep"),
         col("c_mktsegment").rlike("^(MACHINERY|FURNITURE)$").as("rlk"),
         regexp_count(col("c_name"), lit("0")).as("rcnt"),
@@ -159,7 +161,7 @@ object FnStringQueries extends QueryModule {
     "fn_regexp" ->
       """SELECT c_custkey,
         |  regexp_extract(c_name, 'Customer#(\d+)', 1) AS rext,
-        |  regexp_extract_all(c_mktsegment, '[AEIOU]+') AS rall,
+        |  array_to_string(regexp_extract_all(c_mktsegment, '[AEIOU]+'), ',') AS rall,
         |  regexp_replace(c_mktsegment, '[AEIOU]', '*', 'g') AS rrep,
         |  regexp_matches(c_mktsegment, '^(MACHINERY|FURNITURE)$') AS rlk,
         |  CAST(len(regexp_extract_all(c_name, '0')) AS INTEGER) AS rcnt,

@@ -90,12 +90,15 @@ object TextQueries extends QueryModule {
     }),
 
     // Tokenizer surface: id stream head + length (ids via md5-hash vocab).
+    // head_ids is serialized with array_join at the output boundary — the
+    // driver's checker can't hash array cells; the id computation is native.
     "llm_tokenize" -> ((s, d) => {
       val w = words(col("text"))
       documents(s, d).select(
         col("doc_id"),
         size(w).cast("long").as("n_tokens"),
-        transform(slice(w, 1, 5), x => md5Long(x) % 50257).as("head_ids"))
+        array_join(transform(slice(w, 1, 5),
+          x => (md5Long(x) % 50257).cast("string")), ",").as("head_ids"))
     }),
 
     // Batched generate through the mapPartitions operator (real external-
@@ -106,11 +109,14 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), col("lang"), col("gen"))
     }),
 
-    // Embedding surface: deterministic 8-dim document embedding.
+    // Embedding surface: deterministic 8-dim document embedding. The vector
+    // is computed as a native array column and projected element-wise at the
+    // output boundary (e0..e7) — doubles go through the driver's numeric
+    // canonicalizer, where a raw array cell would crash its hasher.
     "llm_embed" -> ((s, d) => {
+      val emb = LlmFunctions.embed(col("text"), 8)
       documents(s, d).select(
-        col("doc_id"),
-        LlmFunctions.embed(col("text"), 8).as("emb"))
+        col("doc_id") +: (0 until 8).map(k => element_at(emb, k + 1).as(s"e$k")): _*)
     })
   )
 
@@ -167,8 +173,8 @@ object TextQueries extends QueryModule {
 
     "llm_tokenize" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-        |  list_transform(string_split(text, ' ')[1:5],
-        |    x -> ('0x' || substring(md5(x), 1, 15))::BIGINT % 50257) AS head_ids
+        |  array_to_string(list_transform(string_split(text, ' ')[1:5],
+        |    x -> CAST(('0x' || substring(md5(x), 1, 15))::BIGINT % 50257 AS VARCHAR)), ',') AS head_ids
         |FROM documents""".stripMargin,
 
     "llm_generate_echo" ->
@@ -176,10 +182,11 @@ object TextQueries extends QueryModule {
         |  'echo:' || substring(text, 1, 24) || ':' || CAST(length(text) AS VARCHAR) AS gen
         |FROM documents""".stripMargin,
 
-    "llm_embed" ->
-      s"""SELECT doc_id,
-         |  list_transform(range(0, 8), k ->
-         |    ((('0x' || substring(md5(text), 1, 15))::BIGINT % $P) * (k * 2 + 1) + k) % 100000 / 100000.0) AS emb
-         |FROM documents""".stripMargin
+    "llm_embed" -> {
+      val cols = (0 until 8).map(k =>
+        s"((('0x' || substring(md5(text), 1, 15))::BIGINT % $P) * ${k * 2 + 1} + $k) % 100000 / 100000.0 AS e$k")
+        .mkString(",\n  ")
+      s"SELECT doc_id,\n  $cols\nFROM documents"
+    }
   )
 }
