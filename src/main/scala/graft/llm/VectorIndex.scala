@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
 object VectorIndex {
 
   private val DIM = 64
-  private val NPLANES = 8
+  /** Index bucket count = 2^NPLANES; public so oracle SQL stays in lockstep. */
+  val NPLANES = 8
 
   /** Same deterministic hyperplanes as SimQueries (oracle-replicable). */
   def signature(emb: Column): Column = {
@@ -48,11 +49,15 @@ object VectorIndex {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
-  /** Build only if absent — index construction is one-time in production;
-    * fixture data is immutable, so a present index is valid. */
-  def ensure(embeddings: DataFrame, path: String): Unit = {
-    val marker = new java.io.File(s"$path/_SUCCESS")
-    if (!marker.exists()) write(embeddings, path)
+  /** Build only if absent, keyed on a content fingerprint (row count + max
+    * id) of the embeddings — a regenerated fixture or a partial concurrent
+    * write at the same base path must not silently reuse a stale index.
+    * Returns the fingerprinted index path to query. */
+  def ensure(embeddings: DataFrame, path: String): String = {
+    val r = embeddings.agg(count(lit(1)), max(col("vec_id"))).head
+    val fpPath = s"$path/fp_${r.getLong(0)}_${r.getLong(1)}"
+    if (!new java.io.File(s"$fpPath/_SUCCESS").exists()) write(embeddings, fpPath)
+    fpPath
   }
 
   /** Query: top-k cosine within the query vectors' buckets only. */

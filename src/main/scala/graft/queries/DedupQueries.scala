@@ -29,7 +29,21 @@ object DedupQueries extends QueryModule {
   private val PERMS = perms(K)
 
   private val SIMBITS = 48  // SimHash width (md5Long is 60-bit; use low 48)
-  private val BLOCKS = 6    // 6 blocks x 8 bits -> catches Hamming <= 5
+  private val BLOCKS = 4    // 4 blocks x 12 bits -> guarantees Hamming <= 3
+  private val BLOCKW = SIMBITS / BLOCKS          // 12-bit blocks
+  private val BLOCKMASK = (1L << BLOCKW) - 1     // 4095
+
+  /** Shingle document-frequency cap: a shingle shared by more than DFCAP
+    * documents contributes O(df²) candidate pairs and almost no Jaccard
+    * signal (it's a corpus-level stopphrase), so the exact verifier drops it
+    * — the standard guard that keeps Σ bucket² bounded at corpus scale.
+    * Recall bound: a pair is missed only if ALL of its shared shingles are
+    * df-hot, i.e. every common phrase is a corpus cliché — those pairs are
+    * not near-duplicates in any useful sense. (This fixture's max df is 7,
+    * so the cap changes nothing at test scale; it exists for the 100-TB
+    * corpus where a boilerplate header could otherwise create one quadratic
+    * bucket.) */
+  val DFCAP = 64
 
   override def queries: Map[String, QueryFn] = Map(
     // Exact dedup: content hash -> keep lowest doc_id. Map-side combine,
@@ -52,14 +66,17 @@ object DedupQueries extends QueryModule {
     // only where a shingle is shared — the exact-verification baseline the
     // probabilistic methods are judged against.
     "dedup_docs_jaccard" -> ((s, d) => {
-      val sh = documents(s, d)
+      val shAll = documents(s, d)
         .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("sh"))
         .distinct()
+      // df-cap guard (see DFCAP): one extra agg + equi-join on the shingle,
+      // both map-side combinable — cheap insurance against hot-shingle
+      // quadratic buckets. Sizes and intersections are both computed over
+      // the capped shingle space, so the Jaccard ratio stays consistent.
+      val dfok = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DFCAP).select("sh")
+      val sh = shAll.join(dfok, "sh")
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // (A df>=2 shingle pre-filter helps natural corpora where most
-      // shingles are unique; this fixture's tiny vocabulary makes nearly
-      // every shingle shared, so the extra agg+join measured as a net
-      // loss — the plain self-join is the right plan here.)
       val inter = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
@@ -110,8 +127,11 @@ object DedupQueries extends QueryModule {
 
     // SimHash: 48-bit signature over 3-gram shingle hash bits (shingles,
     // not unigrams — the fixture vocabulary is tiny, so unigram signatures
-    // collide en masse), candidates share one of 6 8-bit blocks (pigeonhole
-    // guarantees recall for Hamming <= 5), verified with bit_count(xor).
+    // collide en masse), candidates share one of 4 12-bit blocks (pigeonhole
+    // guarantees recall for Hamming <= 3), verified with bit_count(xor).
+    // 12-bit blocks keep 4096 bucket values per block index — 16x more than
+    // 8-bit blocks, so Σ bucket² is n²/4096 not n²/256 at corpus scale; the
+    // Hamming radius tightens 5 -> 3 to keep the pigeonhole guarantee exact.
     "dedup_docs_simhash" -> ((s, d) => {
       val wd = documents(s, d)
         .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("w"))
@@ -126,7 +146,7 @@ object DedupQueries extends QueryModule {
         .reduce(_ + _)
       val sh = sums.select(col("doc_id"), simhash.as("sh"))
       val blockCols = (0 until BLOCKS).map(bk =>
-        shiftright(col("sh"), 8 * bk).bitwiseAND(lit(255L)).as(s"blk$bk"))
+        shiftright(col("sh"), BLOCKW * bk).bitwiseAND(lit(BLOCKMASK)).as(s"blk$bk"))
       val withBlk = sh.select(col("doc_id") +: col("sh") +: blockCols: _*)
       val stackExpr = (0 until BLOCKS).map(bk => s"$bk, blk$bk").mkString(", ")
       val buckets = withBlk.select(col("doc_id"), col("sh"),
@@ -137,7 +157,7 @@ object DedupQueries extends QueryModule {
         .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
           bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 5)
+        .filter(col("hamming") <= 3)
     })
   )
 
@@ -159,10 +179,12 @@ object DedupQueries extends QueryModule {
 
     "dedup_docs_jaccard" ->
       s"""WITH $duckShingleCte,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |dfok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $DFCAP),
+         |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfok USING (sh)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
          |inter AS (
          |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT i.doc_i, i.doc_j, i.inter / (si.n + sj.n - i.inter) AS jacc
          |FROM inter i
@@ -206,7 +228,7 @@ object DedupQueries extends QueryModule {
         .map(j => s"CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END")
         .mkString(" + ")
       val blockSelects = (0 until BLOCKS).map(bk =>
-        s"SELECT doc_id, sh, $bk AS blk, (sh >> ${8 * bk}) & 255 AS bval FROM sh2")
+        s"SELECT doc_id, sh, $bk AS blk, (sh >> ${BLOCKW * bk}) & $BLOCKMASK AS bval FROM sh2")
         .mkString("\n  UNION ALL ")
       s"""WITH $duckShingleCte,
          |hx AS (SELECT doc_id, ${duck.md5Long("sh")} AS h FROM sh),
@@ -220,7 +242,7 @@ object DedupQueries extends QueryModule {
          |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
          |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
          |  FROM bk a JOIN bk b ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
-         |SELECT doc_i, doc_j, hamming FROM pairs WHERE hamming <= 5""".stripMargin
+         |SELECT doc_i, doc_j, hamming FROM pairs WHERE hamming <= 3""".stripMargin
     }
   )
 }

@@ -23,7 +23,11 @@ import graft.Tables._
 object SimQueries extends QueryModule {
 
   private val DIM = 64
-  private val NPLANES = 8
+  // 16 hyperplanes -> 65536 sign buckets: bucket population shrinks ~2x per
+  // plane, so Σ bucket² at corpus scale is n²/65536 (vs n²/256 with 8).
+  // Recall lost to the finer partition is bought back with multi-probe: each
+  // vector also probes its 16 Hamming-1 neighbor buckets (flip one sign).
+  private val NPLANES = 16
 
   /** embedding as array<double> (floats widen exactly). */
   private def embD: Column = transform(col("embedding"), x => x.cast("double"))
@@ -101,24 +105,30 @@ object SimQueries extends QueryModule {
     // build = partitioned-by-bucket write; probe = bucket join with the
     // broadcast query set, top-5 per query. See graft.llm.VectorIndex.
     "vector_index_topk" -> ((s, d) => {
-      val path = s"/tmp/graft_vecidx/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      graft.llm.VectorIndex.ensure(embeddings(s, d), path)
+      val base = s"/tmp/graft_vecidx/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = graft.llm.VectorIndex.ensure(embeddings(s, d), base)
       graft.llm.VectorIndex.query(s, path, embeddings(s, d).filter(col("vec_id") < 8), 5)
     }),
 
-    // Sign-LSH bucketed near-neighbor pairs: 8 hyperplanes -> 256 buckets,
-    // equi-join on the signature, cosine verified within buckets only.
+    // Sign-LSH bucketed near-neighbor pairs: 16 hyperplanes -> 65536
+    // buckets, equi-join on the signature, cosine verified within buckets
+    // only. Multi-probe (probe side explodes to its signature plus the 16
+    // flip-one-bit neighbors) recovers pairs that a single sign flip would
+    // otherwise split across buckets; each pair still matches via exactly
+    // one probe key, so no dedup shuffle is needed.
     "ann_lsh" -> ((s, d) => {
       val sig = (0 until NPLANES)
         .map(j => when(planeDot(col("emb"), j) >= 0, lit(1L << j)).otherwise(0L))
         .reduce(_ + _)
       val e = base(s, d).withColumn("sig", sig)
+      val probeKeys = array(
+        col("sig") +: (0 until NPLANES).map(j => col("sig").bitwiseXOR(lit(1L << j))): _*)
       val a = e.select(col("vec_id").as("vec_i"), col("emb").as("ea"),
-        col("nrm").as("na"), col("sig").as("siga"))
+        col("nrm").as("na"), explode(probeKeys).as("pk"))
       val b = e.select(col("vec_id").as("vec_j"), col("emb").as("eb"),
         col("nrm").as("nb"), col("sig").as("sigb"))
-      a.join(b, col("siga") === col("sigb") && col("vec_i") < col("vec_j"))
-        .select(col("vec_i"), col("vec_j"), col("siga").as("bucket"),
+      a.join(b, col("pk") === col("sigb") && col("vec_i") < col("vec_j"))
+        .select(col("vec_i"), col("vec_j"), col("sigb").as("bucket"),
           (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
         .filter(col("cos") >= 0.2)
     })
@@ -170,7 +180,7 @@ object SimQueries extends QueryModule {
          |  SELECT vec_id, j,
          |    list_sum(list_transform(range(0, $DIM),
          |      i -> emb[i + 1] * ((i * 31 + j * 17) % 7 - 3))) AS d
-         |  FROM e, (SELECT unnest(range(0, $NPLANES)) AS j)),
+         |  FROM e, (SELECT unnest(range(0, ${graft.llm.VectorIndex.NPLANES})) AS j)),
          |sg AS (
          |  SELECT vec_id,
          |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS sig
@@ -200,10 +210,15 @@ object SimQueries extends QueryModule {
          |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS sig
          |  FROM pd GROUP BY vec_id),
          |je AS (
-         |  SELECT e.vec_id, e.emb, e.nrm, sg.sig FROM e JOIN sg ON e.vec_id = sg.vec_id)
-         |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j, a.sig AS bucket,
+         |  SELECT e.vec_id, e.emb, e.nrm, sg.sig FROM e JOIN sg ON e.vec_id = sg.vec_id),
+         |pk AS (
+         |  SELECT vec_id, emb, nrm,
+         |    unnest(list_concat([sig],
+         |      list_transform(range(0, $NPLANES), j -> xor(sig, 1::BIGINT << j)))) AS pk
+         |  FROM je)
+         |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j, b.sig AS bucket,
          |  list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
-         |FROM je a JOIN je b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |FROM pk a JOIN je b ON a.pk = b.sig AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.2""".stripMargin
   )
 }

@@ -66,6 +66,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_docs_jaccard guards candidate buckets with a shingle df-cap") {
+    // the scale guard: hot shingles (df > cap) must be filtered out before
+    // the self-join, bounding every candidate bucket at DFCAP².
+    val plan = optimized("dedup_docs_jaccard")
+    assert(plan.contains(s"<= ${graft.queries.DedupQueries.DFCAP}"),
+      "no document-frequency cap filter ahead of the jaccard self-join")
+  }
+
   test("ann_topk broadcasts the query-vector side") {
     // brute-force baseline: the 8-vector query set is broadcast; the corpus
     // streams (BroadcastNestedLoopJoin is the intended plan here).
