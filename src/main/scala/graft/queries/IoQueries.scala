@@ -71,6 +71,51 @@ object IoQueries extends QueryModule {
           max(col("c_nationkey")).as("max_nk"))
     }),
 
+    // MERGE INTO semantics over parquet (Iceberg's copy-on-write MERGE,
+    // catalog-free): target snapshot = customers with key % 3 = 0, source =
+    // key % 2 = 0. Matched rows update (balance + 100, segment from
+    // source), source-only rows insert, target-only rows delete. The merged
+    // result is committed (rewritten) and read back, so the query output is
+    // the post-merge table state, not just the merge plan.
+    "merge_into_parquet" -> ((s, d) => {
+      val tgtPath = tmp(d, "merge_tgt")
+      val outPath = tmp(d, "merge_out")
+      val snap = customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      snap.filter(col("c_custkey") % 3 === 0)
+        .write.mode("overwrite").parquet(tgtPath)
+      val source = snap.filter(col("c_custkey") % 2 === 0)
+      val merged = graft.operators.MergeInto.merge(
+        s.read.parquet(tgtPath), source, "c_custkey",
+        cols = Seq("c_acctbal", "c_mktsegment"),
+        whenMatched = {
+          case "c_acctbal" => col("s_c_acctbal") + 100
+          case c           => col(s"s_$c")
+        },
+        whenNotMatched = c => col(s"s_$c"),
+        deleteNotMatchedBySource = true)
+      merged.write.mode("overwrite").parquet(outPath)
+      s.read.parquet(outPath)
+    }),
+
+    // JDBC predicate pushdown: the filter must reach the remote database as
+    // SQL (PushedFilters on the JDBC scan — plan-asserted in PlanShapeSpec),
+    // standing in for the Snowflake adapter's filter/projection pushdown
+    // (ref BodoSQL adapter/snowflake/). Only matching rows cross the wire.
+    "jdbc_pushdown" -> ((s, d) => {
+      val url = s"jdbc:derby:/tmp/graft_derby/db_${d.replaceAll("[^a-zA-Z0-9]", "_")};create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .write.mode("overwrite").jdbc(url, "graft_cust_pd", props)
+      s.read
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .jdbc(url, "graft_cust_pd", props)
+        .filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey"), col("c_acctbal"))
+    }),
+
     // Partitioned parquet write; read-back filters one partition value so
     // the scan is partition-pruned (directory-level, no data read).
     "parquet_partitioned" -> ((s, d) => {
@@ -104,6 +149,19 @@ object IoQueries extends QueryModule {
     "jdbc_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n, sum(c_acctbal) AS sum_bal,
         |  max(c_nationkey) AS max_nk
-        |FROM customer GROUP BY c_mktsegment""".stripMargin
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    // Post-merge table state: matched (key % 6 = 0) updated, source-only
+    // inserted, target-only deleted -> all key % 2 = 0 rows survive.
+    "merge_into_parquet" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 100
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer WHERE c_custkey % 2 = 0""".stripMargin,
+
+    "jdbc_pushdown" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer WHERE c_acctbal > 5000""".stripMargin
   )
 }

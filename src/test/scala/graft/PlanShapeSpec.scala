@@ -66,6 +66,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("jdbc_pushdown pushes the predicate into the JDBC scan") {
+    // the filter must execute remotely (as SQL in the source database), not
+    // in Spark after a full-table fetch — the Snowflake-adapter pushdown
+    // story, demonstrated on the Derby path.
+    val plan = physical("jdbc_pushdown")
+    assert(plan.contains("JDBCRelation"), "no JDBC scan in the plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(C_ACCTBAL,5000\\.0\\).*") ||
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(c_acctbal,5000\\.0\\).*"),
+      s"predicate did not reach the JDBC scan: $plan")
+  }
+
   test("dedup_docs_jaccard guards candidate buckets with a shingle df-cap") {
     // the scale guard: hot shingles (df > cap) must be filtered out before
     // the self-join, bounding every candidate bucket at DFCAP².
