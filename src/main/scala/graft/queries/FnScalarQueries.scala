@@ -47,6 +47,39 @@ object FnScalarQueries extends QueryModule {
         to_date(date_format(ts, "dd/MM/yyyy"), "dd/MM/yyyy").cast("timestamp").as("tod"))
     }),
 
+    // Week-policy battery (ref datetime_array_kernels.py weekiso family and
+    // Snowflake WEEK_START / WEEK_OF_YEAR_POLICY session parameters): ISO
+    // week/year/day, legacy 0-based DAYOFWEEK, short day/month names,
+    // WEEK_START=Sunday and =Monday week numbers under policy "week 1
+    // contains Jan 1" (identical integer arithmetic on both engines),
+    // week-of-month, previous_day/next_day, and ISO week first/last day.
+    "fn_datetime2" -> ((s, d) => {
+      val dt = col("o_orderdate")
+      val dow = dayofweek(dt)                                     // 1=Sun..7
+      val diso = expr("extract(DAYOFWEEK_ISO FROM o_orderdate)")  // 1=Mon..7
+      val doy = dayofyear(dt)
+      val j1sun = dayofweek(trunc(dt, "year")) - 1                // Jan-1 dow, 0=Sun
+      val j1mon = (dayofweek(trunc(dt, "year")) + 5) % 7          // Jan-1 dow, 0=Mon
+      val m1sun = dayofweek(trunc(dt, "month")) - 1               // month-start dow
+      val offPrevMon = (dow - 2 + 7) % 7                          // days back to Monday
+      orders(s, d).filter(col("o_orderkey") % 10 === 0).select(
+        col("o_orderkey"),
+        weekofyear(dt).as("wiso"),
+        expr("extract(YEAROFWEEK FROM o_orderdate)").cast("int").as("yiso"),
+        diso.cast("int").as("diso"),
+        (dow - 1).as("dow_sf0"),
+        date_format(dt, "EEE").as("dnm3"),
+        date_format(dt, "MMM").as("mnm3"),
+        (floor((doy - 1 + j1sun) / 7).cast("int") + 1).as("wk_sun"),
+        (floor((doy - 1 + j1mon) / 7).cast("int") + 1).as("wk_mon"),
+        (floor((dayofmonth(dt) - 1 + m1sun) / 7).cast("int") + 1).as("wom"),
+        date_sub(dt.cast("date"),
+          when(offPrevMon === 0, 7).otherwise(offPrevMon)).cast("timestamp").as("pday_mon"),
+        next_day(dt, "FR").cast("timestamp").as("nday_fri"),
+        date_sub(dt.cast("date"), diso.cast("int") - 1).cast("timestamp").as("first_dow"),
+        date_add(dt.cast("date"), lit(7) - diso.cast("int")).cast("timestamp").as("last_dow"))
+    }),
+
     "fn_numeric" -> ((s, d) => {
       lineitem(s, d).filter(col("l_orderkey") % 50 === 0).select(
         col("l_orderkey"), col("l_linenumber"),
@@ -188,6 +221,25 @@ object FnScalarQueries extends QueryModule {
         |  CAST(epoch(o_orderdate) AS BIGINT) AS ep,
         |  CAST(make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 15) AS TIMESTAMP) AS mk,
         |  CAST(CAST(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS TIMESTAMP) AS tod
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+
+    "fn_datetime2" ->
+      """SELECT o_orderkey,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS wiso,
+        |  CAST(isoyear(o_orderdate) AS INTEGER) AS yiso,
+        |  CAST(isodow(o_orderdate) AS INTEGER) AS diso,
+        |  CAST(dayofweek(o_orderdate) AS INTEGER) AS dow_sf0,
+        |  strftime(o_orderdate, '%a') AS dnm3,
+        |  strftime(o_orderdate, '%b') AS mnm3,
+        |  CAST((dayofyear(o_orderdate) - 1 + dayofweek(date_trunc('year', o_orderdate))) // 7 + 1 AS INTEGER) AS wk_sun,
+        |  CAST((dayofyear(o_orderdate) - 1 + (dayofweek(date_trunc('year', o_orderdate)) + 6) % 7) // 7 + 1 AS INTEGER) AS wk_mon,
+        |  CAST((day(o_orderdate) - 1 + dayofweek(date_trunc('month', o_orderdate))) // 7 + 1 AS INTEGER) AS wom,
+        |  CAST(CAST(o_orderdate AS DATE) - CAST(CASE WHEN (dayofweek(o_orderdate) + 6) % 7 = 0 THEN 7
+        |       ELSE (dayofweek(o_orderdate) + 6) % 7 END AS INTEGER) AS TIMESTAMP) AS pday_mon,
+        |  CAST(CAST(o_orderdate AS DATE) + CAST(CASE WHEN ((5 - dayofweek(o_orderdate)) % 7 + 7) % 7 = 0 THEN 7
+        |       ELSE ((5 - dayofweek(o_orderdate)) % 7 + 7) % 7 END AS INTEGER) AS TIMESTAMP) AS nday_fri,
+        |  CAST(CAST(o_orderdate AS DATE) - CAST(isodow(o_orderdate) - 1 AS INTEGER) AS TIMESTAMP) AS first_dow,
+        |  CAST(CAST(o_orderdate AS DATE) + CAST(7 - isodow(o_orderdate) AS INTEGER) AS TIMESTAMP) AS last_dow
         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
 
     "fn_numeric" ->

@@ -118,6 +118,25 @@ object FnSemiQueries extends QueryModule {
         .select(col("seq"), posexplode_outer(col("l")).as(Seq("idx", "value")))
     }),
 
+    // TIMESTAMPTZ offset-retention kit (SURVEY §1.2): construct from wall
+    // clock + offset, compare in UTC, reconstruct the wall clock, canonical
+    // '±HH:MM' display — see graft.functions.TimestampTz. The offset is
+    // derived from user_id (-11:00..+12:00 in 30-min steps) so every
+    // helper is exercised across the full offset range.
+    "fn_timestamptz" -> ((s, d) => {
+      import graft.functions.TimestampTz
+      val off = (((col("user_id") % 47) - 22) * 30).cast("int")
+      val tz = TimestampTz.make(col("ts"), off)
+      events(s, d).filter(col("event_id") % 20 === 0).select(
+        col("event_id"),
+        TimestampTz.utc(tz).as("utc"),
+        TimestampTz.offsetMin(tz).cast("int").as("off_min"),
+        TimestampTz.wall(tz).as("wall"),
+        hour(TimestampTz.wall(tz)).as("wall_hh"),
+        TimestampTz.show(tz).as("disp"),
+        (TimestampTz.utc(tz) < col("ts")).as("east_of_utc"))
+    }),
+
     // TIME-of-day kit over events.ts (µs-truncated timestamp; see Tables).
     "fn_time" -> ((s, d) => {
       val ts = col("ts")
@@ -210,6 +229,24 @@ object FnSemiQueries extends QueryModule {
         |       ELSE generate_subscripts(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END, 1) - 1
         |       END AS INTEGER) AS idx,
         |  unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS value
+        |FROM t""".stripMargin,
+
+    "fn_timestamptz" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  WHERE event_id % 20 = 0),
+        |t AS (SELECT event_id, ts,
+        |        CAST(((user_id % 47) - 22) * 30 AS INTEGER) AS off FROM e)
+        |SELECT event_id,
+        |  ts - to_minutes(off) AS utc,
+        |  off AS off_min,
+        |  ts AS wall,
+        |  CAST(hour(ts) AS INTEGER) AS wall_hh,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |    || CASE WHEN off < 0 THEN '-' ELSE '+' END
+        |    || lpad(CAST(abs(off) // 60 AS VARCHAR), 2, '0') || ':'
+        |    || lpad(CAST(abs(off) % 60 AS VARCHAR), 2, '0') AS disp,
+        |  (ts - to_minutes(off)) < ts AS east_of_utc
         |FROM t""".stripMargin,
 
     // Oracle must µs-truncate the ns timestamp first (FIXTURES ns policy).

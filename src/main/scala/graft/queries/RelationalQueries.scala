@@ -76,6 +76,23 @@ object RelationalQueries extends QueryModule {
         .crossJoin(orders(s, d).select(col("o_orderpriority")).distinct())
     }),
 
+    // Deliberately hot-keyed join — the AQE skew-join stress entry (the
+    // join-side complement of agg_salted_twophase): 70% of events collapse
+    // onto key 0, so at scale one shuffle partition dwarfs the rest and
+    // AQE's OptimizeSkewedJoin must split it (plan-asserted under forced-
+    // shuffle confs in PlanShapeSpec; at fixture scale the values are what
+    // the oracle checks).
+    "join_skew_aqe" -> ((s, d) => {
+      val ev = events(s, d).withColumn("sk",
+        when(col("user_id") % 10 < 7, 0L).otherwise(col("user_id") % 100))
+      val dim = events(s, d)
+        .groupBy((col("user_id") % 100).as("sk2"))
+        .agg(avg(col("value")).as("dim_v"))
+      ev.join(dim, col("sk") === col("sk2"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value") + col("dim_v")).as("sum_v"))
+    }),
+
     // Non-equi join with an equi component → hash join + residual predicate.
     "join_non_equi" -> ((s, d) => {
       val s1 = supplier(s, d).select(col("s_suppkey").as("k1"),
@@ -207,6 +224,17 @@ object RelationalQueries extends QueryModule {
     "join_cross" ->
       """SELECT r_name, o_orderpriority
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)""".stripMargin,
+
+    "join_skew_aqe" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id % 100 END AS sk
+        |  FROM events),
+        |dim AS (SELECT user_id % 100 AS sk2, avg(value) AS dim_v
+        |        FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n, sum(value + dim_v) AS sum_v
+        |FROM ev JOIN dim ON sk = sk2
+        |GROUP BY event_type""".stripMargin,
 
     "join_non_equi" ->
       """SELECT s1.s_nationkey AS nationkey, count(*) AS n_pairs

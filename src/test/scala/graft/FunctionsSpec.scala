@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.TestSpark.spark
-import graft.functions.{JaroWinkler, ProductAgg}
+import graft.functions.{JaroWinkler, ProductAgg, Uuid5}
 import graft.llm.{EchoBackend, LlmFunctions}
 
 /** Unit tests for the custom expressions and the LLM operator surface. */
@@ -29,6 +29,32 @@ class FunctionsSpec extends AnyFunSuite {
     val out = Seq(("martha", "marhta")).toDF("a", "b")
       .select(expr("jaro_winkler(a, b)")).as[Double].head()
     assert(out === 0.9611111111111111)
+  }
+
+  test("uuid5 matches RFC-4122 vectors (CPython uuid.uuid5 ground truth)") {
+    // DuckDB 1.0 cannot oracle uuid5 — correctness is pinned here instead
+    // (same precedent as JaroWinkler's value tests).
+    val cases = Seq(
+      (Uuid5.NamespaceDns, "www.example.com", "2ed6657d-e927-568b-95e1-2665a8aea6a2"),
+      (Uuid5.NamespaceDns, "python.org", "886313e1-3b8a-5372-9b90-0c9aee199e5d"),
+      (Uuid5.NamespaceUrl, "http://www.example.com/", "fcde3c85-2270-590f-9e7c-ee003d65e0e2"),
+      (Uuid5.NamespaceOid, "1.2.3.4", "67448b45-6d15-536b-bef7-8a78c3d10ac6"),
+      (Uuid5.NamespaceX500, "cn=Doe", "645b7e0a-1951-56b2-a1af-e6a4f476bee4"),
+      (Uuid5.NamespaceDns, "", "4ebd0208-8328-5d69-8c44-ec50939c0967"))
+    for ((ns, name, exp) <- cases)
+      assert(Uuid5.uuid5(ns, name) === exp, s"uuid5($ns, $name)")
+  }
+
+  test("uuid5 registers and evaluates as a column expression") {
+    Uuid5.register(spark)
+    import spark.implicits._
+    val out = Seq(("www.example.com", "python.org")).toDF("a", "b")
+      .select(
+        expr(s"uuid5('${Uuid5.NamespaceDns}', a)"),
+        expr(s"uuid5('${Uuid5.NamespaceDns}', b)"))
+      .as[(String, String)].head()
+    assert(out === ("2ed6657d-e927-568b-95e1-2665a8aea6a2",
+      "886313e1-3b8a-5372-9b90-0c9aee199e5d"))
   }
 
   test("product_agg: partial-merge distributed product, null semantics") {

@@ -130,6 +130,43 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits the hot partition of the deliberately skewed join") {
+    // 70% of events land on one key; with broadcast off and thresholds
+    // scaled to fixture bytes, OptimizeSkewedJoin must mark the sort-merge
+    // join skew=true — the same runtime re-plan that rescues a hot key at
+    // 100 TB without manual salting.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "512b",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256b",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      // repartition(8) stands in for the many input splits a real scan has:
+      // AQE splits a skewed reduce partition by MAPPER ranges, so a
+      // single-split fixture scan (one mapper) would leave nothing to split.
+      val ev = Tables.events(spark, sf).repartition(8).withColumn("sk",
+        when(col("user_id") % 10 < 7, 0L).otherwise(col("user_id") % 100))
+      val dim = Tables.events(spark, sf).repartition(8)
+        .select((col("user_id") % 100).as("sk2"), col("value").as("dim_v"))
+      val df = ev.join(dim, col("sk") === col("sk2"))
+        .select(col("sk"), col("value"), col("dim_v"))
+      df.collect() // let AQE settle on the final plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"no skew-split in the final AQE plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("join_asof composition plans a single shuffle per side (window, not NLJ)") {
     val plan = physical("join_asof")
     assert(plan.contains("Window"))
