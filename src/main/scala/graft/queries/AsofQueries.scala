@@ -39,7 +39,11 @@ object AsofQueries extends QueryModule {
             col("event_id"), lit(null).cast("timestamp").as("q_ts"),
             lit(null).cast("double").as("q_val")))
       // quote sorts before probe at equal t => t_quote <= t_probe matches.
-      val w = Window.partitionBy("user_id").orderBy(col("t"), col("is_probe"))
+      // q_val is the final tie-break: among several clicks at the same
+      // instant, last() deterministically picks the max value — and the
+      // oracle pre-aggregates its quote side to the same max, since ASOF
+      // JOIN's choice among equal-timestamp quotes is unspecified.
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("is_probe"), col("q_val"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tagged
         .withColumn("m_ts", last(col("q_ts"), ignoreNulls = true).over(w))
@@ -71,7 +75,8 @@ object AsofQueries extends QueryModule {
     "join_asof" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
         |           FROM events),
-        |q AS (SELECT user_id, ts AS q_ts, value AS q_val FROM e WHERE event_type = 'click'),
+        |q AS (SELECT user_id, ts AS q_ts, max(value) AS q_val
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
         |p AS (SELECT event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase')
         |SELECT p.event_id, p.user_id, p.p_ts, q.q_ts AS m_ts, q.q_val AS m_val
         |FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.p_ts >= q.q_ts""".stripMargin,

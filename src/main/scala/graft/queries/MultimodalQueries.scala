@@ -18,9 +18,11 @@ import graft.Tables._
   */
 object MultimodalQueries extends QueryModule {
 
-  /** Stub "decoder": 4 leading bytes -> [0,1] features. */
+  /** Stub "decoder": 4 leading bytes -> [0,1] features; payloads shorter
+    * than 4 bytes are zero-padded (mirrored in the oracle) instead of
+    * throwing and failing the whole partition. */
   private def decodeStub(bytes: Array[Byte]): Array[Double] =
-    (0 until 4).map(i => (bytes(i) & 0xff) / 255.0).toArray
+    (0 until 4).map(i => (if (i < bytes.length) bytes(i) & 0xff else 0) / 255.0).toArray
 
   override def queries: Map[String, QueryFn] = Map(
     // Binary payload + typed metadata struct; pure column ops.
@@ -66,12 +68,13 @@ object MultimodalQueries extends QueryModule {
         |  3 AS channels
         |FROM documents""".stripMargin,
 
+    // coalesce-with-0 mirrors the stub's zero padding of short payloads
     "multimodal_decode" ->
       """SELECT doc_id,
-        |  ascii(substring(text, 1, 1)) / 255.0 AS f0,
-        |  ascii(substring(text, 2, 1)) / 255.0 AS f1,
-        |  ascii(substring(text, 3, 1)) / 255.0 AS f2,
-        |  ascii(substring(text, 4, 1)) / 255.0 AS f3
+        |  CASE WHEN length(text) >= 1 THEN ascii(substring(text, 1, 1)) ELSE 0 END / 255.0 AS f0,
+        |  CASE WHEN length(text) >= 2 THEN ascii(substring(text, 2, 1)) ELSE 0 END / 255.0 AS f1,
+        |  CASE WHEN length(text) >= 3 THEN ascii(substring(text, 3, 1)) ELSE 0 END / 255.0 AS f2,
+        |  CASE WHEN length(text) >= 4 THEN ascii(substring(text, 4, 1)) ELSE 0 END / 255.0 AS f3
         |FROM documents""".stripMargin
   )
 }
