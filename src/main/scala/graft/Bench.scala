@@ -14,8 +14,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional dev-only name-substring filter (driver passes no args)
+    val flt = if (args.nonEmpty) args(0) else ""
     val spark = Sessions.local()
-    val queries = SparkEntry.queries
+    val queries = SparkEntry.queries.filter(_._1.contains(flt))
     // Warm pass: executes every plan once (codegen compiled, buffers sized).
     queries.foreach { case (_, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }

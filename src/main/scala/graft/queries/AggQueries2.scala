@@ -150,6 +150,24 @@ object AggQueries2 extends QueryModule {
             .cast("long"))
     }),
 
+    // Categorical representation round-trip (SURVEY §1.2, ref
+    // bodo/hiframes/pd_categorical_ext.py:51): dictionary = sorted distinct
+    // values with dense int codes (the categories array), fact rows encode
+    // via a BROADCAST join on the tiny dictionary, aggregate on the int
+    // code (the whole point — narrow shuffle keys), decode carried through.
+    // The dictionary-build window is global but runs over the distinct
+    // value list (a handful of rows), the same post-agg pattern as
+    // agg_ngroup.
+    "categorical_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dict = customer(s, d).select(col("c_mktsegment").as("v")).distinct()
+        .withColumn("code", (dense_rank().over(Window.orderBy(col("v"))) - 1).cast("int"))
+      customer(s, d).join(broadcast(dict), col("c_mktsegment") === col("v"))
+        .groupBy(col("code"))
+        .agg(first(col("v")).as("segment"), count(lit(1)).as("n"),
+          sum(col("c_acctbal")).as("sum_bal"))
+    }),
+
     // Deterministic fixed-N sample: order by a content hash — stable across
     // engines and partitionings (unlike TABLESAMPLE), and plans as top-k.
     "sample_fixed_n" -> ((s, d) => {
@@ -234,6 +252,14 @@ object AggQueries2 extends QueryModule {
     "agg_ngroup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(dense_rank() OVER (ORDER BY o_orderstatus, o_orderpriority) - 1 AS BIGINT) AS ngroup
-        |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "categorical_roundtrip" ->
+      """WITH dict AS (
+        |  SELECT v, CAST(dense_rank() OVER (ORDER BY v) - 1 AS INTEGER) AS code
+        |  FROM (SELECT DISTINCT c_mktsegment AS v FROM customer))
+        |SELECT d.code, d.v AS segment, count(*) AS n, sum(c.c_acctbal) AS sum_bal
+        |FROM customer c JOIN dict d ON c.c_mktsegment = d.v
+        |GROUP BY 1, 2""".stripMargin
   )
 }

