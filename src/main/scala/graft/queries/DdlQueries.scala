@@ -40,6 +40,29 @@ object DdlQueries extends QueryModule {
       s.sql("SELECT n_name, n_cust, sum_bal FROM graft_ctas_nation")
     }),
 
+    // ANALYZE TABLE ... COMPUTE STATISTICS — the offline analog of the
+    // reference's Iceberg Puffin/theta NDV sketches (bodo/io/iceberg/
+    // theta.py): table + column stats land in the catalog and feed CBO.
+    // Output = the recorded row count and the o_orderstatus NDV read back
+    // from catalog metadata (HLL++ is exact at this cardinality, so the
+    // DuckDB oracle can check values, not just presence).
+    "ddl_analyze" -> ((s, d) => {
+      registerViews(s, d)
+      s.sql("DROP TABLE IF EXISTS graft_stats_orders")
+      deleteRec(new java.io.File("/tmp/graft_warehouse/graft_stats_orders"))
+      s.sql(
+        """CREATE TABLE graft_stats_orders USING PARQUET AS
+          |SELECT o_orderkey, o_custkey, o_orderstatus FROM orders""".stripMargin)
+      s.sql("ANALYZE TABLE graft_stats_orders COMPUTE STATISTICS FOR COLUMNS o_orderstatus")
+      val meta = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_stats_orders"))
+      val rowCount = meta.stats.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L)
+      val ndv = meta.stats.map(_.colStats).flatMap(_.get("o_orderstatus"))
+        .flatMap(_.distinctCount).map(_.toLong).getOrElse(-1L)
+      import s.implicits._
+      Seq((rowCount, ndv)).toDF("row_count", "ndv_status")
+    }),
+
     // DESCRIBE: schema rows of the lineitem view (name + type only —
     // deterministic).
     "ddl_describe" -> ((s, d) => {
@@ -63,6 +86,11 @@ object DdlQueries extends QueryModule {
       """SELECT n.n_name, count(*) AS n_cust, round(sum(c.c_acctbal), 2) AS sum_bal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name""".stripMargin,
+
+    "ddl_analyze" ->
+      """SELECT count(*) AS row_count,
+        |  count(DISTINCT o_orderstatus) AS ndv_status
+        |FROM orders""".stripMargin,
 
     // The fixture schema is static (FIXTURES.md) — literal expected rows.
     "ddl_describe" ->

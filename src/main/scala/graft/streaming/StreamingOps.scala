@@ -54,6 +54,15 @@ object StreamingOps {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_v"))
 
+  /** Streaming exact dedup — the incremental counterpart of
+    * dedup_docs_exact: duplicates of a key arriving within the watermark
+    * are dropped; dedup state for keys older than the watermark is evicted,
+    * so memory stays bounded on an unbounded stream (the property a batch
+    * dropDuplicates cannot give a 100-TB/day feed). */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keys)
+
   case class Click(userId: Long, tsUs: Long)
   case class Session(userId: Long, nEvents: Long, firstUs: Long, lastUs: Long)
 

@@ -32,6 +32,21 @@ class StreamingSpec extends AnyFunSuite {
       "streamed window counts diverge from batch")
   }
 
+  test("streaming dedup within watermark matches batch distinct on the fixture") {
+    val q = StreamingOps.dedupWithinWatermark(
+        StreamingOps.eventsStream(spark, sf), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // the fixture arrives as one micro-batch, so every duplicate is within
+    // the watermark and the result must equal batch distinct-on-keys.
+    val streamed = spark.table("dedup_stream").count()
+    val batch = Tables.events(spark, sf)
+      .dropDuplicates(Seq("user_id", "event_type")).count()
+    assert(streamed === batch,
+      s"streaming dedup kept $streamed rows, batch distinct has $batch")
+  }
+
   test("mapGroupsWithState sessionization produces per-user sessions") {
     import spark.implicits._
     val clicks = Tables.events(spark, sf)
