@@ -80,6 +80,21 @@ object FnScalarQueries extends QueryModule {
         date_add(dt.cast("date"), lit(7) - diso.cast("int")).cast("timestamp").as("last_dow"))
     }),
 
+    // uint64 representation (SURVEY §1.2: Spark has no unsigned types —
+    // the convention is DECIMAL(20,0), which holds the full uint64 range
+    // exactly): construct values above int64 max, arithmetic and compare
+    // stay exact, stringify round-trips. DuckDB oracles with HUGEINT.
+    "fn_uint64" -> ((s, d) => {
+      val u = lit("9223372036854775808").cast("decimal(20,0)") +
+        col("o_orderkey").cast("decimal(20,0)")
+      orders(s, d).filter(col("o_orderkey") % 100 === 0).select(
+        col("o_orderkey"),
+        u.cast("string").as("u64_str"),
+        (u % 97).cast("long").as("u64_mod"),
+        (u - lit("9223372036854775808").cast("decimal(20,0)")).cast("long").as("u64_back"),
+        (u > lit("9223372036854775807").cast("decimal(20,0)")).as("gt_i64max"))
+    }),
+
     "fn_numeric" -> ((s, d) => {
       lineitem(s, d).filter(col("l_orderkey") % 50 === 0).select(
         col("l_orderkey"), col("l_linenumber"),
@@ -241,6 +256,14 @@ object FnScalarQueries extends QueryModule {
         |  CAST(CAST(o_orderdate AS DATE) - CAST(isodow(o_orderdate) - 1 AS INTEGER) AS TIMESTAMP) AS first_dow,
         |  CAST(CAST(o_orderdate AS DATE) + CAST(7 - isodow(o_orderdate) AS INTEGER) AS TIMESTAMP) AS last_dow
         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+
+    "fn_uint64" ->
+      """SELECT o_orderkey,
+        |  CAST(9223372036854775808::HUGEINT + o_orderkey AS VARCHAR) AS u64_str,
+        |  CAST((9223372036854775808::HUGEINT + o_orderkey) % 97 AS BIGINT) AS u64_mod,
+        |  CAST((9223372036854775808::HUGEINT + o_orderkey) - 9223372036854775808::HUGEINT AS BIGINT) AS u64_back,
+        |  (9223372036854775808::HUGEINT + o_orderkey) > 9223372036854775807 AS gt_i64max
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
 
     "fn_numeric" ->
       """SELECT l_orderkey, l_linenumber,
