@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{JaroWinkler, Uuid5}
+
+/** SparkSessionExtensions entry point — the idiomatic way to ship the
+  * custom Catalyst expressions with the library: a user adds
+  * `spark.sql.extensions=graft.GraftExtensions` (or builds through
+  * `Sessions`) and `jaro_winkler` / `uuid5` resolve in plain SQL on every
+  * session, no per-session register() calls.
+  *
+  * (ProductAgg and the wmean UDAF register per-session instead: typed
+  * `Aggregator`-through-`udaf()` has no injectFunction builder form.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => JaroWinkler(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("uuid5"),
+      new ExpressionInfo(classOf[Uuid5].getName, "uuid5"),
+      (args: Seq[Expression]) => Uuid5(args(0), args(1))))
+  }
+}

@@ -16,6 +16,9 @@ object Sessions {
   def build(master: String, shufflePartitions: Int): SparkSession = {
     val spark = SparkSession.builder()
       .master(master)
+      // library extension point: registers the custom Catalyst expressions
+      // (jaro_winkler, uuid5) on every session built from this config
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); read as long + explicit µs

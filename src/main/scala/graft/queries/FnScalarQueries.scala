@@ -80,6 +80,31 @@ object FnScalarQueries extends QueryModule {
         date_add(dt.cast("date"), lit(7) - diso.cast("int")).cast("timestamp").as("last_dow"))
     }),
 
+    // Per-unit dateadd/datediff kernel family (ref datetime_array_kernels
+    // add_interval_* / diff_* and SinceEpochFnTable.java): timestampadd
+    // across quarter/week/hour/second, timestampdiff across
+    // day/week/hour/minute/second/month/year, months_between fractional.
+    // Both operands are midnight timestamps, and the oracle emulates
+    // Spark's COMPLETE-PERIOD diff semantics explicitly (DuckDB's native
+    // date_diff counts boundary crossings — different rule).
+    "fn_datetime3" -> ((s, d) => {
+      val a = col("o_orderdate")
+      orders(s, d).filter(col("o_orderkey") % 25 === 0).select(
+        col("o_orderkey"),
+        expr("timestampadd(QUARTER, 2, o_orderdate)").as("aq"),
+        expr("timestampadd(WEEK, -3, o_orderdate)").as("aw"),
+        expr("timestampadd(HOUR, 36, o_orderdate)").as("ah"),
+        expr("timestampadd(SECOND, 90061, o_orderdate)").as("asec"),
+        expr("timestampdiff(DAY, o_orderdate, timestamp'1995-06-17 00:00:00')").as("dday"),
+        expr("timestampdiff(WEEK, o_orderdate, timestamp'1995-06-17 00:00:00')").as("dweek"),
+        expr("timestampdiff(HOUR, o_orderdate, timestamp'1995-06-17 00:00:00')").as("dhour"),
+        expr("timestampdiff(MINUTE, o_orderdate, timestamp'1995-06-17 00:00:00')").as("dmin"),
+        expr("timestampdiff(SECOND, o_orderdate, timestamp'1995-06-17 00:00:00')").as("dsec"),
+        expr("timestampdiff(MONTH, o_orderdate, timestamp'1995-06-17 00:00:00')").as("dmon"),
+        expr("timestampdiff(YEAR, o_orderdate, timestamp'1995-06-17 00:00:00')").as("dyear"),
+        months_between(lit("1995-06-17").cast("timestamp"), a, roundOff = false).as("mb"))
+    }),
+
     // uint64 representation (SURVEY §1.2: Spark has no unsigned types —
     // the convention is DECIMAL(20,0), which holds the full uint64 range
     // exactly): construct values above int64 max, arithmetic and compare
@@ -256,6 +281,44 @@ object FnScalarQueries extends QueryModule {
         |  CAST(CAST(o_orderdate AS DATE) - CAST(isodow(o_orderdate) - 1 AS INTEGER) AS TIMESTAMP) AS first_dow,
         |  CAST(CAST(o_orderdate AS DATE) + CAST(7 - isodow(o_orderdate) AS INTEGER) AS TIMESTAMP) AS last_dow
         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+
+    // Spark complete-period diff semantics emulated explicitly: month diff
+    // subtracts one when the end day-of-month hasn't been reached; year
+    // diff when the end (month, day) hasn't; week = trunc(days/7).
+    "fn_datetime3" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS a,
+        |         TIMESTAMP '1995-06-17 00:00:00' AS r
+        |  FROM orders WHERE o_orderkey % 25 = 0)
+        |SELECT o_orderkey,
+        |  a + INTERVAL 6 MONTH AS aq,
+        |  a - INTERVAL 21 DAY AS aw,
+        |  a + INTERVAL 36 HOUR AS ah,
+        |  a + INTERVAL 90061 SECOND AS asec,
+        |  date_diff('day', a, r) AS dday,
+        |  CAST(trunc(date_diff('day', a, r) / 7.0) AS BIGINT) AS dweek,
+        |  date_diff('day', a, r) * 24 AS dhour,
+        |  date_diff('day', a, r) * 1440 AS dmin,
+        |  date_diff('day', a, r) * 86400 AS dsec,
+        |  CASE WHEN a <= r THEN
+        |    12 * (year(r) - year(a)) + (month(r) - month(a))
+        |      - CASE WHEN day(r) < day(a) THEN 1 ELSE 0 END
+        |  ELSE
+        |    -(12 * (year(a) - year(r)) + (month(a) - month(r))
+        |      - CASE WHEN day(a) < day(r) THEN 1 ELSE 0 END)
+        |  END AS dmon,
+        |  CASE WHEN a <= r THEN
+        |    (year(r) - year(a)) - CASE WHEN month(r) < month(a)
+        |      OR (month(r) = month(a) AND day(r) < day(a)) THEN 1 ELSE 0 END
+        |  ELSE
+        |    -((year(a) - year(r)) - CASE WHEN month(a) < month(r)
+        |      OR (month(a) = month(r) AND day(a) < day(r)) THEN 1 ELSE 0 END)
+        |  END AS dyear,
+        |  (year(r) - year(a)) * 12 + (month(r) - month(a)) +
+        |    CASE WHEN day(r) = day(a)
+        |           OR (day(r) = day(last_day(r)) AND day(a) = day(last_day(a))) THEN 0
+        |         ELSE (day(r) - day(a)) / 31.0 END AS mb
+        |FROM t""".stripMargin,
 
     "fn_uint64" ->
       """SELECT o_orderkey,

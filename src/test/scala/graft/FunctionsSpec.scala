@@ -45,6 +45,16 @@ class FunctionsSpec extends AnyFunSuite {
       assert(Uuid5.uuid5(ns, name) === exp, s"uuid5($ns, $name)")
   }
 
+  test("GraftExtensions injects jaro_winkler and uuid5 into plain SQL") {
+    // the session under test is built by Sessions (spark.sql.extensions =
+    // graft.GraftExtensions) — no register() call anywhere in this test.
+    val row = spark.sql(
+      s"""SELECT jaro_winkler('martha', 'marhta') AS jw,
+         |  uuid5('${Uuid5.NamespaceDns}', 'www.example.com') AS u5""".stripMargin).head()
+    assert(row.getDouble(0) === 0.9611111111111111)
+    assert(row.getString(1) === "2ed6657d-e927-568b-95e1-2665a8aea6a2")
+  }
+
   test("uuid5 registers and evaluates as a column expression") {
     Uuid5.register(spark)
     import spark.implicits._
