@@ -94,6 +94,21 @@ object FnStringQueries extends QueryModule {
         locate("a", col("p_name"), 3).as("loc3"))
     }),
 
+    // Third string battery (charset-trim family + tokenization kernels):
+    // LTRIM/RTRIM/TRIM with explicit character sets (Snowflake signature),
+    // STRTOK_TO_ARRAY (canonical joined form — checker-safe), negative-index
+    // substring, and RTRIMMED_LENGTH.
+    "fn_string3" -> ((s, d) => {
+      part(s, d).filter(col("p_partkey") % 6 === 0).select(
+        col("p_partkey"),
+        ltrim(col("p_name"), "sprd").as("lt_cs"),
+        rtrim(col("p_name"), "aeiou").as("rt_cs"),
+        expr("trim(BOTH 'sdm' FROM p_name)").as("tb_cs"),
+        array_join(split(col("p_type"), " "), "|").as("strtok_arr"),
+        substring(col("p_name"), -4, 3).as("sub_neg"),
+        length(rtrim(concat(col("p_brand"), lit("   ")))).as("rtrim_len"))
+    }),
+
     // LIKE family (ref like_array_kernels.py, 10 fns): LIKE / ILIKE /
     // ESCAPE / LIKE ANY / LIKE ALL / NOT LIKE.
     "fn_like" -> ((s, d) => {
@@ -181,6 +196,16 @@ object FnStringQueries extends QueryModule {
         |  CAST(bit_length(p_name) AS INTEGER) AS bl,
         |  CAST(octet_length(p_name::BLOB) AS INTEGER) AS ol
         |FROM part WHERE p_partkey % 5 = 0""".stripMargin,
+
+    "fn_string3" ->
+      """SELECT p_partkey,
+        |  ltrim(p_name, 'sprd') AS lt_cs,
+        |  rtrim(p_name, 'aeiou') AS rt_cs,
+        |  trim(p_name, 'sdm') AS tb_cs,
+        |  array_to_string(string_split(p_type, ' '), '|') AS strtok_arr,
+        |  substring(p_name, -4, 3) AS sub_neg,
+        |  CAST(length(rtrim(p_brand || '   ')) AS INTEGER) AS rtrim_len
+        |FROM part WHERE p_partkey % 6 = 0""".stripMargin,
 
     "fn_string2" ->
       """SELECT p_partkey,
