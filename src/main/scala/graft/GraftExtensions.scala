@@ -16,6 +16,8 @@ import graft.functions.{JaroWinkler, Uuid5}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: levenshtein(a,b) <= k  ->  banded levenshtein(a,b,k)
+    ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),

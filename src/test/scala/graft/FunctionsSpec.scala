@@ -55,6 +55,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getString(1) === "2ed6657d-e927-568b-95e1-2665a8aea6a2")
   }
 
+  test("optimizer rewrites levenshtein threshold predicates to the banded kernel") {
+    // fixture-backed scan: a local Seq would be constant-folded into a
+    // LocalRelation before the rewritten predicate is observable.
+    val df = Tables.part(spark, TestSpark.sf).select(col("p_name"))
+    val le = df.filter(expr("levenshtein(p_name, 'small ring') <= 2"))
+    assert(le.queryExecution.optimizedPlan.toString.contains("Some(2)) >= 0"),
+      "lev <= k was not rewritten to the bounded form")
+    val gt = df.filter(expr("levenshtein(p_name, 'small ring') > 2"))
+    assert(gt.queryExecution.optimizedPlan.toString.contains("Some(2)) = -1"),
+      "lev > k was not rewritten to the bounded form")
+    // semantics preserved: banded split is a partition of all rows
+    assert(le.count() + gt.count() === df.count())
+    assert(le.count() ===
+      df.filter(expr("levenshtein(p_name, 'small ring', 2) >= 0")).count())
+  }
+
   test("uuid5 registers and evaluates as a column expression") {
     Uuid5.register(spark)
     import spark.implicits._
