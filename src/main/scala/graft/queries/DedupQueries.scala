@@ -140,6 +140,40 @@ object DedupQueries extends QueryModule {
         .filter(col("minhash_sim") >= 0.5)
     }),
 
+    // Embedding-cosine near-dup (the fifth dedup family of the brief):
+    // documents -> deterministic 8-dim embedding (llm.LlmFunctions.embed)
+    // -> sign-LSH bucket over 8 integer hyperplanes -> candidates share a
+    // bucket -> cosine >= 0.99 verified within buckets only. Same Σ bucket²
+    // scale shape as ann_lsh, driven from the documents table end-to-end.
+    "dedup_docs_embedding" -> ((s, d) => {
+      import graft.llm.LlmFunctions
+      val dim = 8
+      // centered to [-0.5, 0.5): the raw embedding lives in the all-positive
+      // octant where every pair of random vectors has cosine near 1 — after
+      // centering, unrelated documents score near 0 and true duplicates 1.
+      val emb = transform(LlmFunctions.embed(col("text"), dim), x => x - 0.5)
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      def planeDot(e: org.apache.spark.sql.Column, j: Int) =
+        aggregate(zip_with(e, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x * ((i * 13 + lit(j * 7)) % 5 - 2)), lit(0.0), (acc, x) => acc + x)
+      val sig = (0 until 8)
+        .map(j => when(planeDot(col("emb"), j) >= 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+      val e = documents(s, d)
+        .select(col("doc_id"), emb.as("emb"))
+        .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+        .withColumn("sig", sig)
+      val a = e.select(col("doc_id").as("doc_i"), col("emb").as("ea"),
+        col("nrm").as("na"), col("sig").as("siga"))
+      val b = e.select(col("doc_id").as("doc_j"), col("emb").as("eb"),
+        col("nrm").as("nb"), col("sig").as("sigb"))
+      a.join(b, col("siga") === col("sigb") && col("doc_i") < col("doc_j"))
+        .select(col("doc_i"), col("doc_j"),
+          (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= 0.99)
+    }),
+
     // SimHash: 48-bit signature over 3-gram shingle hash bits (shingles,
     // not unigrams — the fixture vocabulary is tiny, so unigram signatures
     // collide en masse), candidates share one of 4 12-bit blocks (pigeonhole
@@ -233,6 +267,29 @@ object DedupQueries extends QueryModule {
          |JOIN sig sb ON sb.doc_id = c.doc_j
          |WHERE ($agree) / ${K}.0 >= 0.5""".stripMargin
     },
+
+    "dedup_docs_embedding" ->
+      s"""WITH e0 AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 8), k ->
+         |      ((('0x' || substring(md5(text), 1, 15))::BIGINT % $P) * (k * 2 + 1) + k) % 100000 / 100000.0 - 0.5) AS emb
+         |  FROM documents),
+         |e1 AS (
+         |  SELECT doc_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+         |  FROM e0),
+         |pd AS (
+         |  SELECT doc_id, j,
+         |    list_sum(list_transform(range(0, 8), i -> emb[i + 1] * ((i * 13 + j * 7) % 5 - 2))) AS d
+         |  FROM e1, (SELECT unnest(range(0, 8)) AS j)),
+         |sg AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS sig
+         |  FROM pd GROUP BY doc_id),
+         |je AS (SELECT e1.doc_id, e1.emb, e1.nrm, sg.sig FROM e1 JOIN sg USING (doc_id))
+         |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |  list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+         |FROM je a JOIN je b ON a.sig = b.sig AND a.doc_id < b.doc_id
+         |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.99""".stripMargin,
 
     "dedup_docs_simhash" -> {
       val bitSums = (0 until SIMBITS).map { j =>
