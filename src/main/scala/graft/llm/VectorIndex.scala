@@ -49,14 +49,35 @@ object VectorIndex {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
-  /** Build only if absent, keyed on a content fingerprint (row count + max
-    * id) of the embeddings — a regenerated fixture or a partial concurrent
-    * write at the same base path must not silently reuse a stale index.
+  /** Build only if absent, keyed on a content fingerprint of the
+    * embeddings — an order-independent bit_xor of per-row xxhash64 over
+    * (vec_id, embedding) (xor, not sum: a sum of 64-bit hashes overflows
+    * under ANSI arithmetic), so regenerated vectors that keep the same ids
+    * and row count still get a fresh index (r4 ADVICE: count+max(id)
+    * missed that case). The build goes to a temp dir and is published by
+    * an atomic rename: a concurrent run either sees the finished index or
+    * builds its own temp copy and loses the rename race harmlessly.
     * Returns the fingerprinted index path to query. */
   def ensure(embeddings: DataFrame, path: String): String = {
-    val r = embeddings.agg(count(lit(1)), max(col("vec_id"))).head
-    val fpPath = s"$path/fp_${r.getLong(0)}_${r.getLong(1)}"
-    if (!new java.io.File(s"$fpPath/_SUCCESS").exists()) write(embeddings, fpPath)
+    val fp = embeddings
+      .agg(bit_xor(xxhash64(col("vec_id"), col("embedding")))).head.getLong(0)
+    val fpPath = s"$path/fp_${java.lang.Long.toHexString(fp)}"
+    if (!new java.io.File(s"$fpPath/_SUCCESS").exists()) {
+      val tmp = s"${fpPath}_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+      write(embeddings, tmp)
+      val src = java.nio.file.Paths.get(tmp)
+      try
+        java.nio.file.Files.move(src, java.nio.file.Paths.get(fpPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // lost the race (or non-atomic fs): someone else published — if a
+        // finished index exists, discard ours; otherwise rethrow.
+        case e: java.nio.file.FileSystemException =>
+          if (new java.io.File(s"$fpPath/_SUCCESS").exists())
+            org.apache.commons.io.FileUtils.deleteQuietly(src.toFile)
+          else throw e
+      }
+    }
     fpPath
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MERGE INTO row semantics over an immutable columnar store — the one
@@ -21,6 +22,13 @@ object MergeInto {
 
   /** Merge `source` into `target` on equality of `key`.
     *
+    * The source must have at most one row per key — SQL MERGE / Iceberg
+    * raise on ambiguous matches rather than fan the target row out, and so
+    * does this operator: a per-key window count guards the source side and
+    * any duplicate key fails the job with a clear message at execution
+    * time. The guard shuffles the source on the same key as the join, so
+    * it adds no new partitioning requirement.
+    *
     * @param cols            non-key columns of both sides (same names)
     * @param whenMatched     value for column c on a matched row; source-side
     *                        columns are visible as s_<c>, target-side as t_<c>
@@ -36,6 +44,12 @@ object MergeInto {
             deleteNotMatchedBySource: Boolean): DataFrame = {
     val t = target.select(col(key).as("__tk") +: cols.map(c => col(c).as(s"t_$c")): _*)
     val s = source.select(col(key).as("__sk") +: cols.map(c => col(c).as(s"s_$c")): _*)
+      .withColumn("__sk",
+        when(count(lit(1)).over(Window.partitionBy(col("__sk"))) > 1,
+          raise_error(concat(
+            lit("MERGE: multiple source rows match target key "),
+            col("__sk").cast("string"))))
+          .otherwise(col("__sk")))
     val j = t.join(s, col("__tk") === col("__sk"), "full_outer")
     val matched = col("__tk").isNotNull && col("__sk").isNotNull
     val sourceOnly = col("__tk").isNull

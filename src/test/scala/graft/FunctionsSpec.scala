@@ -71,6 +71,66 @@ class FunctionsSpec extends AnyFunSuite {
       df.filter(expr("levenshtein(p_name, 'small ring', 2) >= 0")).count())
   }
 
+  test("uuid5 returns null on malformed namespace (r4 ADVICE)") {
+    import spark.implicits._
+    // braces/urn form, short-but-hex, non-hex — all null, never wrong bytes
+    val out = Seq(
+      ("{6ba7b810-9dad-11d1-80b4-00c04fd430c8}", "a"),
+      ("6ba7b810", "a"),
+      ("urn:uuid:6ba7b810-9dad-11d1-80b4-00c04fd430c8", "a"),
+      ("6ba7b810-9dad-11d1-80b4-00c04fd430cg", "a"))
+      .toDF("ns", "n").select(expr("uuid5(ns, n)").as("u"))
+      .collect().map(_.isNullAt(0))
+    assert(out.forall(identity), "malformed namespaces must yield SQL NULL")
+    // strict JVM helper raises with a clear message instead
+    val e = intercept[IllegalArgumentException](Uuid5.uuid5("nope", "a"))
+    assert(e.getMessage.contains("32 hex chars"))
+  }
+
+  test("levenshtein rewrite covers strict, reversed, and widened-literal forms (r4 ADVICE)") {
+    val df = Tables.part(spark, TestSpark.sf).select(col("p_name"))
+    def optimized(pred: String): String =
+      df.filter(expr(pred)).queryExecution.optimizedPlan.toString
+    // lev < k  ->  bounded(k-1) >= 0
+    assert(optimized("levenshtein(p_name, 'small ring') < 3").contains("Some(2)) >= 0"))
+    // k > lev  ->  bounded(k-1) >= 0
+    assert(optimized("3 > levenshtein(p_name, 'small ring')").contains("Some(2)) >= 0"))
+    // lev >= k  ->  bounded(k-1) = -1
+    assert(optimized("levenshtein(p_name, 'small ring') >= 3").contains("Some(2)) = -1"))
+    // bigint literal (analyzer widens lev to long) and foldable arithmetic
+    assert(optimized("levenshtein(p_name, 'small ring') <= 2L").contains("Some(2)) >= 0"))
+    assert(optimized("levenshtein(p_name, 'small ring') <= 1 + 1").contains("Some(2)) >= 0"))
+    // k = 0 strict-below is left alone (no k-1 band exists)
+    assert(!optimized("levenshtein(p_name, 'small ring') < 0").contains("Some("))
+    // semantics: strict split still partitions all rows
+    val lt = df.filter(expr("levenshtein(p_name, 'small ring') < 3")).count()
+    val ge = df.filter(expr("levenshtein(p_name, 'small ring') >= 3")).count()
+    assert(lt + ge === df.count())
+  }
+
+  test("merge_into raises on ambiguous source keys (r4 ADVICE)") {
+    import spark.implicits._
+    val target = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val dupSource = Seq((1L, 1.0), (1L, 2.0), (3L, 3.0)).toDF("k", "v")
+    val merged = graft.operators.MergeInto.merge(
+      target, dupSource, "k", Seq("v"),
+      whenMatched = c => col(s"s_$c"),
+      whenNotMatched = c => col(s"s_$c"),
+      deleteNotMatchedBySource = false)
+    val e = intercept[Exception](merged.collect())
+    assert(e.getMessage.contains("MERGE: multiple source rows") ||
+      Option(e.getCause).exists(_.getMessage.contains("MERGE: multiple source rows")))
+    // unique source keys still merge cleanly
+    val okSource = Seq((1L, 1.0), (3L, 3.0)).toDF("k", "v")
+    val ok = graft.operators.MergeInto.merge(
+      target, okSource, "k", Seq("v"),
+      whenMatched = c => col(s"s_$c"),
+      whenNotMatched = c => col(s"s_$c"),
+      deleteNotMatchedBySource = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ok === Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0))
+  }
+
   test("uuid5 registers and evaluates as a column expression") {
     Uuid5.register(spark)
     import spark.implicits._
