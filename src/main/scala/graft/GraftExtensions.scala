@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // optimizer rule: levenshtein(a,b) <= k  ->  banded levenshtein(a,b,k)
     ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
+    // whole-operator path: logical AsofJoin -> AsofJoinExec sorted merge
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),

@@ -53,6 +53,24 @@ object AsofQueries extends QueryModule {
           col("m_ts"), col("m_val"))
     }),
 
+    // Same backward as-of, through the native whole-operator path: logical
+    // AsofJoin node -> AsofJoinStrategy -> AsofJoinExec streaming merge
+    // (graft/plans/AsofJoin.scala). The quote side is pre-aggregated to one
+    // row per (user, ts) — max(value) — because the backward match among
+    // equal-timestamp quotes is otherwise unspecified, and the oracle does
+    // the same. Plan shape: exactly one exchange per side, no window.
+    "join_asof_native" -> ((s, d) => {
+      val ev = events(s, d)
+      val quotes = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("q_user"), col("ts").as("q_ts"))
+        .agg(max(col("value")).as("q_val"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      graft.plans.Asof.join(probes, quotes, "user_id", "q_user", "p_ts", "q_ts")
+        .select(col("event_id"), col("user_id"), col("p_ts"),
+          col("q_ts").as("m_ts"), col("q_val").as("m_val"))
+    }),
+
     // Point-in-interval with equi pre-key: signups open a 2-hour window;
     // count same-user clicks inside it.
     "join_interval" -> ((s, d) => {
@@ -73,6 +91,15 @@ object AsofQueries extends QueryModule {
   override def oracle: Map[String, String] = Map(
     // DuckDB native ASOF LEFT JOIN over the µs-truncated timestamps.
     "join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |q AS (SELECT user_id, ts AS q_ts, max(value) AS q_val
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.p_ts, q.q_ts AS m_ts, q.q_val AS m_val
+        |FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.p_ts >= q.q_ts""".stripMargin,
+
+    "join_asof_native" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
         |           FROM events),
         |q AS (SELECT user_id, ts AS q_ts, max(value) AS q_val

@@ -174,4 +174,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Window"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("join_asof_native plans the custom AsofJoinExec operator, no window, no NLJ") {
+    val plan = physical("join_asof_native")
+    assert(plan.contains("AsofJoin"),
+      s"custom strategy did not plan AsofJoinExec:\n$plan")
+    assert(!plan.contains("Window"), "native path must not fall back to the window composition")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("native as-of join matches the window composition row-for-row") {
+    // two independent implementations of the same semantics must agree —
+    // the strongest in-repo oracle (the DuckDB ASOF check runs driver-side).
+    val native = SparkEntry.queries("join_asof_native")(spark, sf)
+      .orderBy("event_id").collect().map(_.toString)
+    val windowed = SparkEntry.queries("join_asof")(spark, sf)
+      .orderBy("event_id").collect().map(_.toString)
+    assert(native.length === windowed.length)
+    assert(native.sameElements(windowed))
+  }
 }
