@@ -175,6 +175,27 @@ object AggQueries2 extends QueryModule {
         .orderBy(md5(col("o_orderkey").cast("string")))
         .limit(200)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // Linear-regression aggregate family (ref other_array_kernels.py
+    // regr_valx/valy + the Snowflake REGR_* surface): all nine builtins,
+    // partial-aggregated co-moments — one map-side-combined shuffle, the
+    // same shape as any sum. Pairs where either side is null are excluded
+    // by the aggregates themselves (regr_count counts the rest).
+    "agg_regr" -> ((s, d) => {
+      events(s, d)
+        .withColumn("x", col("user_id").cast("double"))
+        .groupBy(col("event_type"))
+        .agg(
+          expr("regr_count(value, x)").as("r_n"),
+          expr("regr_slope(value, x)").as("r_slope"),
+          expr("regr_intercept(value, x)").as("r_icpt"),
+          expr("regr_r2(value, x)").as("r_r2"),
+          expr("regr_avgx(value, x)").as("r_avgx"),
+          expr("regr_avgy(value, x)").as("r_avgy"),
+          expr("regr_sxx(value, x)").as("r_sxx"),
+          expr("regr_syy(value, x)").as("r_syy"),
+          expr("regr_sxy(value, x)").as("r_sxy"))
     })
   )
 
@@ -253,6 +274,19 @@ object AggQueries2 extends QueryModule {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(dense_rank() OVER (ORDER BY o_orderstatus, o_orderpriority) - 1 AS BIGINT) AS ngroup
         |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "agg_regr" ->
+      """SELECT event_type,
+        |  CAST(regr_count(value, CAST(user_id AS DOUBLE)) AS BIGINT) AS r_n,
+        |  regr_slope(value, CAST(user_id AS DOUBLE)) AS r_slope,
+        |  regr_intercept(value, CAST(user_id AS DOUBLE)) AS r_icpt,
+        |  regr_r2(value, CAST(user_id AS DOUBLE)) AS r_r2,
+        |  regr_avgx(value, CAST(user_id AS DOUBLE)) AS r_avgx,
+        |  regr_avgy(value, CAST(user_id AS DOUBLE)) AS r_avgy,
+        |  regr_sxx(value, CAST(user_id AS DOUBLE)) AS r_sxx,
+        |  regr_syy(value, CAST(user_id AS DOUBLE)) AS r_syy,
+        |  regr_sxy(value, CAST(user_id AS DOUBLE)) AS r_sxy
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "categorical_roundtrip" ->
       """WITH dict AS (

@@ -21,6 +21,12 @@ object IoQueries extends QueryModule {
   private def tmp(d: String, tag: String): String =
     s"/tmp/graft_io/${tag}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
 
+  /** SF-scoped bucketed-table names (shared with the plan-shape test). */
+  def bucketTables(d: String): (String, String) = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    (s"graft_bkt_orders_$tag", s"graft_bkt_cust_$tag")
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     "csv_roundtrip" -> ((s, d) => {
       val path = tmp(d, "csv")
@@ -116,6 +122,45 @@ object IoQueries extends QueryModule {
         .select(col("c_custkey"), col("c_acctbal"))
     }),
 
+    // Bucketed co-located join (the §2.3 pre-shuffled join story): both
+    // sides written bucketed + sorted on the join key, so the sort-merge
+    // join reads bucket-aligned splits with NO exchange on either side
+    // (plan-asserted in PlanShapeSpec; an in-partition linear sort remains
+    // because post-3.0 Spark ignores sortBy order without the legacy
+    // bucketedTableScan.outputOrdering conf). At 100 TB this is how
+    // a fact-fact join escapes its shuffle: pay the partitioning once at
+    // write time, join for free forever after — Spark's bucketing is the
+    // direct analog of the reference's table-distribution hints. The merge
+    // hint keeps the demo honest (broadcast would also skip the shuffle,
+    // but only because the fixture's build side is small).
+    "bucketed_join" -> ((s, d) => {
+      val (ot, ct) = bucketTables(d)
+      // the in-memory catalog is fresh per JVM but /tmp/graft_warehouse
+      // persists — drop any stale catalog entry AND leftover location, or
+      // CTAS refuses the existing directory
+      for (t <- Seq(ot, ct)) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"/tmp/graft_warehouse/$t"))
+      }
+      // repartition(numBuckets, key) aligns task partitions with bucket ids
+      // (same murmur3 pmod), so each bucket gets exactly ONE file — without
+      // it every task writes a file per bucket (tiny-file explosion) and
+      // multi-file buckets force the join to re-sort.
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(8, col("o_custkey"))
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(ot)
+      customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        .repartition(8, col("c_custkey"))
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(ct)
+      s.table(ot).hint("merge")
+        .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+    }),
+
     // Partitioned parquet write; read-back filters one partition value so
     // the scan is partition-pruned (directory-level, no data read).
     "parquet_partitioned" -> ((s, d) => {
@@ -162,6 +207,11 @@ object IoQueries extends QueryModule {
 
     "jdbc_pushdown" ->
       """SELECT c_custkey, c_acctbal
-        |FROM customer WHERE c_acctbal > 5000""".stripMargin
+        |FROM customer WHERE c_acctbal > 5000""".stripMargin,
+
+    "bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }

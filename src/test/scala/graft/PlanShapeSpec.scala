@@ -175,6 +175,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bucketed_join: bucket-aligned sort-merge join with zero exchanges") {
+    physical("bucketed_join") // runs the entry -> bucketed tables exist
+    import org.apache.spark.sql.functions.col
+    val (ot, ct) = graft.queries.IoQueries.bucketTables(sf)
+    val j = spark.table(ot).hint("merge")
+      .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    // the claim: ZERO exchanges — the join runs on bucket-aligned splits.
+    // (An in-partition Sort remains: post-3.0 Spark ignores sortBy file
+    // order unless spark.sql.legacy.bucketedTableScan.outputOrdering is
+    // set; that sort is linear and shuffle-free, so the scale story —
+    // no data movement — is intact.)
+    assert(!plan.contains("Exchange"),
+      s"bucketed sides must join without any exchange:\n$plan")
+  }
+
   test("join_asof_native plans the custom AsofJoinExec operator, no window, no NLJ") {
     val plan = physical("join_asof_native")
     assert(plan.contains("AsofJoin"),
