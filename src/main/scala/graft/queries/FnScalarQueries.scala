@@ -105,6 +105,23 @@ object FnScalarQueries extends QueryModule {
         months_between(lit("1995-06-17").cast("timestamp"), a, roundOff = false).as("mb"))
     }),
 
+    // Timezone-conversion kernels (ref datetime_array_kernels.py tz
+    // conversions / Snowflake CONVERT_TIMEZONE): fixed-offset zones only —
+    // the offline DuckDB has no ICU named-zone data, so offsets are the
+    // portable subset, oracled as exact interval arithmetic. Covers
+    // from_utc/to_utc round-trip, the 3-arg convert_timezone on
+    // TIMESTAMP_NTZ, and a post-conversion field extract.
+    "fn_timezone" -> ((s, d) => {
+      val ts = col("ts")
+      events(s, d).filter(col("event_id") % 50 === 0).select(
+        col("event_id"),
+        from_utc_timestamp(ts, "+05:30").as("ist"),
+        to_utc_timestamp(from_utc_timestamp(ts, "+05:30"), "+05:30").as("rt"),
+        from_utc_timestamp(ts, "-08:00").as("pst_fixed"),
+        expr("convert_timezone('UTC', '+09:00', cast(ts AS timestamp_ntz))").as("jst_ntz"),
+        hour(from_utc_timestamp(ts, "+05:30")).as("hr_ist"))
+    }),
+
     // uint64 representation (SURVEY §1.2: Spark has no unsigned types —
     // the convention is DECIMAL(20,0), which holds the full uint64 range
     // exactly): construct values above int64 max, arithmetic and compare
@@ -147,6 +164,37 @@ object FnScalarQueries extends QueryModule {
         shiftleft(col("l_linenumber"), 3).as("shl"),
         shiftright(col("l_orderkey"), 2).as("shr"),
         bit_count(col("l_orderkey")).as("bc"))
+    }),
+
+    // Second numeric battery — the kernels the first one left out:
+    // haversine (a literal reference kernel, numeric_array_kernels.py),
+    // CONV base conversion, scaled ceil/floor and truncate-toward-zero,
+    // float modulo, cotangent, bitwise NOT. Coordinates are synthesized
+    // deterministically from fixture columns; both engines run the same
+    // double formula (libm parity within the checker's 1e-9 rtol, same as
+    // fn_trig).
+    "fn_numeric2" -> ((s, d) => {
+      val lat1 = (col("l_quantity") - lit(25)) * 1.7
+      val lon1 = (col("l_extendedprice") % 360) - 180
+      val lat2 = col("l_discount") * 500 - 25
+      val lon2 = (col("l_tax") * 1000) % 360 - 180
+      val dlat = radians(lat2 - lat1)
+      val dlon = radians(lon2 - lon1)
+      val a = pow(sin(dlat / 2), 2.0) +
+        cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dlon / 2), 2.0)
+      val x10 = col("l_extendedprice") * 10
+      lineitem(s, d).filter(col("l_orderkey") % 60 === 0).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (asin(sqrt(a)) * 2 * 6371.0).as("hav_km"),
+        expr("conv(cast(l_orderkey AS STRING), 10, 16)").as("hex_c"),
+        expr("conv(cast(l_orderkey % 64 AS STRING), 10, 2)").as("bin_c"),
+        (ceil(x10) / 10).as("ceil1"),
+        (floor(x10) / 10).as("floor1"),
+        when(col("l_extendedprice") >= 0, floor(x10)).otherwise(ceil(x10))
+          .divide(10).as("trunc1"),
+        (col("l_extendedprice") % 7.5).as("fmod75"),
+        expr("cot(l_discount + 0.01)").as("cot_v"),
+        expr("~ l_orderkey").as("bnot"))
     }),
 
     "fn_trig" -> ((s, d) => {
@@ -356,6 +404,37 @@ object FnScalarQueries extends QueryModule {
         |  l_orderkey >> 2 AS shr,
         |  CAST(bit_count(l_orderkey) AS INTEGER) AS bc
         |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin,
+
+    "fn_timezone" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE event_id % 50 = 0)
+        |SELECT event_id,
+        |  ts + INTERVAL 330 MINUTE AS ist,
+        |  ts AS rt,
+        |  ts - INTERVAL 480 MINUTE AS pst_fixed,
+        |  ts + INTERVAL 540 MINUTE AS jst_ntz,
+        |  CAST(hour(ts + INTERVAL 330 MINUTE) AS INTEGER) AS hr_ist
+        |FROM e""".stripMargin,
+
+    // hex/bin emulated via printf/ltrim (DuckDB's hex() zero-pads integers);
+    // Spark ceil(double) is BIGINT so the /10 is double on both sides.
+    "fn_numeric2" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  2 * 6371.0 * asin(sqrt(
+        |    pow(sin(radians((l_discount*500 - 25) - (l_quantity - 25)*1.7) / 2), 2)
+        |    + cos(radians((l_quantity - 25)*1.7)) * cos(radians(l_discount*500 - 25))
+        |      * pow(sin(radians(((l_tax*1000) % 360 - 180) - ((l_extendedprice % 360) - 180)) / 2), 2)
+        |  )) AS hav_km,
+        |  upper(printf('%x', l_orderkey)) AS hex_c,
+        |  CASE WHEN l_orderkey % 64 = 0 THEN '0'
+        |       ELSE ltrim(bin(l_orderkey % 64), '0') END AS bin_c,
+        |  ceil(l_extendedprice * 10) / 10 AS ceil1,
+        |  floor(l_extendedprice * 10) / 10 AS floor1,
+        |  trunc(l_extendedprice * 10) / 10 AS trunc1,
+        |  l_extendedprice % 7.5 AS fmod75,
+        |  cot(l_discount + 0.01) AS cot_v,
+        |  ~ l_orderkey AS bnot
+        |FROM lineitem WHERE l_orderkey % 60 = 0""".stripMargin,
 
     "fn_trig" ->
       """SELECT l_orderkey, l_linenumber,

@@ -34,6 +34,26 @@ object FnSemiQueries extends QueryModule {
           countDistinct(col("k") % 10).as("n_kmod"))
     }),
 
+    // OBJECT_* kernel family (ref json_array_kernels.py: object_construct/
+    // keys/insert/delete/pick, get_path): props carries one key, so a
+    // 3-key object is constructed from fixture columns first; every
+    // object operation is a native map function and only the serialized
+    // canonical JSON (stable key order, both engines) leaves the query.
+    "fn_json2" -> ((s, d) => {
+      val m = map(
+        lit("type"), col("event_type"),
+        lit("uid"), col("user_id").cast("string"),
+        lit("k"), get_json_object(col("props"), "$.k"))
+      events(s, d).filter(col("event_id") % 40 === 0).select(
+        col("event_id"),
+        to_json(m).as("obj"),
+        array_join(array_sort(json_object_keys(to_json(m))), ",").as("okeys"),
+        to_json(map_filter(m, (k, _) => k =!= "uid")).as("odel"),
+        to_json(map_filter(m, (k, _) => k.isin("uid", "k"))).as("opick"),
+        to_json(map_concat(m, map(lit("new"), lit("1")))).as("oins"),
+        get_json_object(to_json(m), "$.uid").as("gpath"))
+    }),
+
     // Array/nested kernel battery over document word arrays. Array results
     // are serialized with array_join into canonical strings at the output
     // boundary only (the driver's pandas checker cannot hash ndarray cells);
@@ -62,6 +82,32 @@ object FnSemiQueries extends QueryModule {
         aj(zip_with(sequence(lit(1L), lit(3L)), sequence(lit(4L), lit(6L)),
           (a, b) => a + b)).as("zw"),
         aggregate(sequence(lit(1L), lit(5L)), lit(0L), (acc, x) => acc + x).as("ag"))
+    }),
+
+    // Higher-order array kernels (the §2.8 nested-kernel long tail the
+    // first battery left out): filter / exists / forall, transform with
+    // element index, comparator array_sort (length then lexicographic —
+    // DuckDB emulates via a zero-padded sort-key transform), array_compact/
+    // repeat/insert, positional slice and element_at (± index). Same
+    // scalar-serialization convention as fn_array.
+    "fn_array2" -> ((s, d) => {
+      val w = slice(split(col("text"), " "), 1, 8)
+      def aj(c: Column): Column = array_join(c, ",")
+      documents(s, d).filter(col("doc_id") % 3 === 0).select(
+        col("doc_id"),
+        aj(filter(w, x => length(x) > 3)).as("flt"),
+        exists(w, x => x === lit("data")).as("ex"),
+        forall(w, x => length(x) < 20).as("fa"),
+        aj(transform(w, (x, i) => concat((i + 1).cast("string"), lit(":"), x))).as("tfi"),
+        aj(array_compact(w)).as("cmp"),
+        aj(array_repeat(col("lang"), 3)).as("rpt"),
+        aj(array_insert(slice(w, 1, 3), lit(2), lit("INS"))).as("ins"),
+        aj(slice(w, 2, 3)).as("slc"),
+        element_at(w, 2).as("el2"),
+        element_at(w, -1).as("ellast"),
+        aj(array_sort(w, (a, b) =>
+          when(length(a) =!= length(b), length(a) - length(b))
+            .otherwise(when(a < b, -1).when(a > b, 1).otherwise(0)))).as("srt_len"))
     }),
 
     // VARIANT kernels (§2.8 variant/semi-structured; Spark 4 VariantType —
@@ -187,6 +233,44 @@ object FnSemiQueries extends QueryModule {
         |  array_to_string(list_transform(range(1, 6), x -> CAST(x AS VARCHAR)), ',') AS sq,
         |  array_to_string(list_transform(range(1, 4), i -> CAST(2 * i + 3 AS VARCHAR)), ',') AS zw,
         |  CAST(list_sum(range(1, 6)) AS BIGINT) AS ag
+        |FROM t""".stripMargin,
+
+    "fn_json2" ->
+      """WITH t AS (SELECT event_id, event_type,
+        |    CAST(user_id AS VARCHAR) AS uid_s,
+        |    json_extract_string(props, '$.k') AS k_s
+        |  FROM events WHERE event_id % 40 = 0)
+        |SELECT event_id,
+        |  CAST(json_object('type', event_type, 'uid', uid_s, 'k', k_s) AS VARCHAR) AS obj,
+        |  array_to_string(list_sort(json_keys(
+        |    json_object('type', event_type, 'uid', uid_s, 'k', k_s))), ',') AS okeys,
+        |  CAST(json_object('type', event_type, 'k', k_s) AS VARCHAR) AS odel,
+        |  CAST(json_object('uid', uid_s, 'k', k_s) AS VARCHAR) AS opick,
+        |  CAST(json_object('type', event_type, 'uid', uid_s, 'k', k_s, 'new', '1')
+        |    AS VARCHAR) AS oins,
+        |  uid_s AS gpath
+        |FROM t""".stripMargin,
+
+    "fn_array2" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ')[1:8] AS w
+        |           FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_filter(w, x -> length(x) > 3), ','), '') AS flt,
+        |  list_contains(w, 'data') AS ex,
+        |  len(list_filter(w, x -> length(x) >= 20)) = 0 AS fa,
+        |  coalesce(array_to_string(
+        |    list_transform(w, (x, i) -> CAST(i AS VARCHAR) || ':' || x), ','), '') AS tfi,
+        |  coalesce(array_to_string(w, ','), '') AS cmp,
+        |  array_to_string(list_transform(range(3), x -> lang), ',') AS rpt,
+        |  coalesce(array_to_string(
+        |    list_concat(list_concat(list_slice(w, 1, 1), ['INS']), list_slice(w, 2, 3)),
+        |    ','), '') AS ins,
+        |  coalesce(array_to_string(list_slice(w, 2, 4), ','), '') AS slc,
+        |  w[2] AS el2,
+        |  w[-1] AS ellast,
+        |  coalesce(array_to_string(
+        |    list_transform(list_sort(list_transform(w, x -> printf('%03d|%s', length(x), x))),
+        |      x -> x[5:]), ','), '') AS srt_len
         |FROM t""".stripMargin,
 
     "fn_variant" ->
