@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark.spark
+import graft.plans.Asof
+
+/** Edge-case unit tests for the native as-of join operator
+  * (plans/AsofJoin.scala + AsofJoinExec.scala): crafted inputs exercising
+  * the merge's boundary conditions across multiple partitions — the cases
+  * a fixture sweep can't isolate.
+  */
+class AsofJoinSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def probes(rows: (java.lang.Long, java.lang.Long, Long)*) =
+    rows.toDF("k", "t", "pid").repartition(4)
+  private def quotes(rows: (java.lang.Long, java.lang.Long, String)*) =
+    rows.toDF("qk", "qt", "qv").repartition(3)
+
+  private def run(p: org.apache.spark.sql.DataFrame, q: org.apache.spark.sql.DataFrame) =
+    Asof.join(p, q, "k", "qk", "t", "qt")
+      .select(col("pid"), col("qt"), col("qv"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+      .sortBy(_._1)
+
+  test("backward inclusive match picks the latest quote at-or-before each probe") {
+    val out = run(
+      probes((1L, 10L, 1L), (1L, 20L, 2L), (1L, 5L, 3L), (2L, 10L, 4L)),
+      quotes((1L, 5L, "a"), (1L, 10L, "b"), (1L, 15L, "c"), (2L, 99L, "z")))
+    assert(out === Seq(
+      (1L, 10L, "b"),   // t=10: equal timestamp is inclusive
+      (2L, 15L, "c"),   // t=20: latest <= 20
+      (3L, 5L, "a"),    // t=5: exact
+      (4L, null, null)) // key 2's only quote is later -> no match
+      .sortBy(_._1))
+  }
+
+  test("probes with no quotes for their key, and keys only on the right") {
+    val out = run(
+      probes((7L, 10L, 1L), (8L, 10L, 2L)),
+      quotes((8L, 1L, "x"), (9L, 1L, "y")))
+    assert(out === Seq((1L, null, null), (2L, 1L, "x")))
+  }
+
+  test("empty quote side leaves all probes unmatched (LEFT semantics)") {
+    val out = run(
+      probes((1L, 1L, 1L), (2L, 2L, 2L)),
+      quotes())
+    assert(out === Seq((1L, null, null), (2L, null, null)))
+  }
+
+  test("null keys and null times never match (SQL equality semantics)") {
+    val out = run(
+      probes((null, 10L, 1L), (1L, null, 2L), (1L, 10L, 3L)),
+      quotes((null, 5L, "nk"), (1L, null, "nt"), (1L, 5L, "ok")))
+    assert(out === Seq(
+      (1L, null, null), // null probe key
+      (2L, null, null), // null probe time
+      (3L, 5L, "ok")))  // null-key/null-time quotes skipped, real one matches
+  }
+
+  test("many probes share one late quote; candidate resets across keys") {
+    val out = run(
+      probes((1L, 100L, 1L), (1L, 200L, 2L), (2L, 100L, 3L), (3L, 100L, 4L)),
+      quotes((1L, 50L, "q1"), (3L, 60L, "q3")))
+    assert(out === Seq(
+      (1L, 50L, "q1"), (2L, 50L, "q1"),
+      (3L, null, null), // key 2 has no quotes; key 1's candidate must not leak
+      (4L, 60L, "q3")))
+  }
+}
