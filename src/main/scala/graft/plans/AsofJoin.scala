@@ -27,7 +27,9 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
+    leftTime: Attribute, rightTime: Attribute,
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -40,22 +42,38 @@ case class AsofJoin(
 /** Plans the logical AsofJoin to its physical operator. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 /** User-facing builder: `Asof.join(probes, quotes, "user_id", "q_user",
   * "p_ts", "q_ts")`. Column names must be disjoint across the two sides
-  * (alias the quote side) — the join's output is simply left ++ right. */
+  * (alias the quote side) — the join's output is simply left ++ right.
+  *
+  * `direction` is "backward" (default: latest quote at-or-before the
+  * probe) or "forward" (earliest quote at-or-after) — the two directions
+  * of the reference's merge_asof. `tolerance` (in the time column's
+  * native sub-unit: microseconds for timestamps, raw units for integral
+  * times) nulls out matches farther than the bound, exactly pandas'
+  * tolerance= semantics; it requires a timestamp/integral time column. */
 object Asof {
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           direction: String = "backward",
+           tolerance: Option[Long] = None): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"asof join requires disjoint column names; alias these on one side: ${overlap.mkString(", ")}")
+    val forward = direction match {
+      case "backward" => false
+      case "forward" => true
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward|forward, got $other")
+    }
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -64,6 +82,6 @@ object Asof {
           s"column $n not found among ${p.output.map(_.name).mkString(", ")}"))
     GraftSqlShim.ofRows(left.sparkSession,
       AsofJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime)))
+        attr(lp, leftTime), attr(rp, rightTime), forward, tolerance))
   }
 }

@@ -6,25 +6,33 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericI
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types._
 
-/** Physical backward as-of join: per-partition streaming two-pointer merge
-  * over children that EnsureRequirements has hash-co-partitioned on the
-  * key and sorted by (key, time) — the same child contracts as
-  * SortMergeJoinExec, reused wholesale so exchange reuse / AQE coalescing
-  * apply unchanged.
+/** Physical as-of join: per-partition streaming two-pointer merge over
+  * children that EnsureRequirements has hash-co-partitioned on the key and
+  * sorted by (key, time) — the same child contracts as SortMergeJoinExec,
+  * reused wholesale so exchange reuse / AQE coalescing apply unchanged.
   *
-  * Per partition the merge keeps exactly one buffered candidate row (the
-  * latest right row at-or-before the current probe, same key), so memory
-  * is O(1) regardless of group size — the pathological many-quotes-per-key
-  * corpus that would blow up a windowed composition streams straight
-  * through. Interpreted eval (no codegen): row movement dominates here and
-  * the operator sits behind two exchanges, so codegen fusion has nothing
-  * upstream to fuse with; a doProduce implementation is mechanical if ever
-  * profiled as hot.
+  * Backward (default): latest right row with equal key and time <= probe
+  * time. Forward: earliest right row with equal key and time >= probe time
+  * (matched via the buffered head without consuming it, since the same
+  * quote can serve several later probes). An optional tolerance (micros
+  * for timestamps, raw units for integral times) nulls out matches beyond
+  * the bound at emit time — candidates are retained, because a nearer
+  * probe may still be within bound.
+  *
+  * Per partition the merge keeps at most one buffered candidate row, so
+  * memory is O(1) regardless of group size — the pathological
+  * many-quotes-per-key corpus that would blow up a windowed composition
+  * streams straight through. Interpreted eval (no codegen): row movement
+  * dominates here and the operator sits behind two exchanges, so codegen
+  * fusion has nothing upstream to fuse with; a doProduce implementation is
+  * mechanical if ever profiled as hot.
   */
 case class AsofJoinExec(
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
+    forward: Boolean, toleranceMicros: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -48,14 +56,27 @@ case class AsofJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** Single-column time row -> long, for tolerance arithmetic. */
+  private def timeToLong(dt: DataType): InternalRow => Long = dt match {
+    case TimestampType | TimestampNTZType | LongType => _.getLong(0)
+    case IntegerType | DateType => _.getInt(0).toLong
+    case ShortType => _.getShort(0).toLong
+    case ByteType => _.getByte(0).toLong
+    case other => throw new IllegalArgumentException(
+      s"asof tolerance requires a timestamp/integral time column, got $other")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
     val (lk, rk, lt, rt) = (leftKey, rightKey, leftTime, rightTime)
+    val (fwd, tol) = (forward, toleranceMicros)
+    if (tol.isDefined) timeToLong(lt.dataType) // fail fast on bad type
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
+      val asLong = timeToLong(lt.dataType)
       val lKeyProj = UnsafeProjection.create(Seq(lk), lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
       val rKeyProj = UnsafeProjection.create(Seq(rk), rOut)
@@ -63,16 +84,24 @@ case class AsofJoinExec(
       val rBuf = rIter.buffered
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
-      // latest right row consumed with a matching time, and its key —
-      // copies, because child iterators and projections reuse buffers
+      // backward state: latest right row consumed with a matching time, and
+      // its key/time — copies, because iterators and projections reuse buffers
       var candidate: InternalRow = null
       var candKey: InternalRow = null
+      var candTime: Long = 0L
+
+      def withinTol(probeT: InternalRow, matchT: InternalRow): Boolean =
+        tol.forall { t =>
+          val d = if (fwd) asLong(matchT) - asLong(probeT)
+                  else asLong(probeT) - asLong(matchT)
+          d <= t
+        }
 
       lIter.map { l =>
         val probeKey = lKeyProj(l)
         val probeTime = lTimeProj(l)
+        var matched: InternalRow = null
         if (!probeKey.isNullAt(0) && !probeTime.isNullAt(0)) {
-          // advance the quote side through everything at-or-before the probe
           var scan = true
           while (scan && rBuf.hasNext) {
             val rKeyRow = rKeyProj(rBuf.head)
@@ -83,19 +112,32 @@ case class AsofJoinExec(
               val rTimeRow = rTimeProj(rBuf.head)
               if (rTimeRow.isNullAt(0)) {
                 rBuf.next() // null time sorts first and never matches
-              } else if (timeOrd.compare(rTimeRow, probeTime) <= 0) {
-                candKey = rKeyRow.copy()
-                candidate = rBuf.next().copy()
-              } else scan = false // beyond the probe: later probes may want it
+              } else if (!fwd) {
+                // backward: consume everything at-or-before the probe,
+                // remembering the latest as the candidate
+                if (timeOrd.compare(rTimeRow, probeTime) <= 0) {
+                  candKey = rKeyRow.copy()
+                  candTime = asLong(rTimeRow)
+                  candidate = rBuf.next().copy()
+                } else scan = false // beyond the probe: later probes may want it
+              } else {
+                // forward: drop quotes strictly before the probe (useless for
+                // this and every later probe of this key), then match the
+                // head WITHOUT consuming — it may serve later probes too
+                if (timeOrd.compare(rTimeRow, probeTime) < 0) rBuf.next()
+                else {
+                  if (withinTol(probeTime, rTimeRow)) matched = rBuf.head
+                  scan = false
+                }
+              }
             } else scan = false // key ahead of the probe
           }
+          if (!fwd && candidate != null && keyOrd.compare(candKey, probeKey) == 0 &&
+              tol.forall(t => asLong(probeTime) - candTime <= t))
+            matched = candidate
         }
         numOutputRows += 1
-        if (candidate != null && !probeKey.isNullAt(0) && !probeTime.isNullAt(0) &&
-            keyOrd.compare(candKey, probeKey) == 0)
-          joined(l, candidate)
-        else
-          joined(l, nullRight)
+        if (matched != null) joined(l, matched) else joined(l, nullRight)
       }
     }
   }

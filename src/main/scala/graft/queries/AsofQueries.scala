@@ -71,6 +71,37 @@ object AsofQueries extends QueryModule {
           col("q_ts").as("m_ts"), col("q_val").as("m_val"))
     }),
 
+    // Forward direction through the native operator (merge_asof
+    // direction='forward'): earliest same-user click at-or-after each
+    // purchase.
+    "join_asof_fwd" -> ((s, d) => {
+      val ev = events(s, d)
+      val quotes = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("q_user"), col("ts").as("q_ts"))
+        .agg(max(col("value")).as("q_val"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      graft.plans.Asof.join(probes, quotes, "user_id", "q_user", "p_ts", "q_ts",
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("p_ts"),
+          col("q_ts").as("m_ts"), col("q_val").as("m_val"))
+    }),
+
+    // Backward with a 1-hour tolerance (merge_asof tolerance=): a prior
+    // click farther than an hour back nulls out instead of matching.
+    "join_asof_tol" -> ((s, d) => {
+      val ev = events(s, d)
+      val quotes = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("q_user"), col("ts").as("q_ts"))
+        .agg(max(col("value")).as("q_val"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      graft.plans.Asof.join(probes, quotes, "user_id", "q_user", "p_ts", "q_ts",
+          tolerance = Some(3600L * 1000000L)) // 1 hour in micros
+        .select(col("event_id"), col("user_id"), col("p_ts"),
+          col("q_ts").as("m_ts"), col("q_val").as("m_val"))
+    }),
+
     // Point-in-interval with equi pre-key: signups open a 2-hour window;
     // count same-user clicks inside it.
     "join_interval" -> ((s, d) => {
@@ -106,6 +137,26 @@ object AsofQueries extends QueryModule {
         |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
         |p AS (SELECT event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase')
         |SELECT p.event_id, p.user_id, p.p_ts, q.q_ts AS m_ts, q.q_val AS m_val
+        |FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.p_ts >= q.q_ts""".stripMargin,
+
+    "join_asof_fwd" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |q AS (SELECT user_id, ts AS q_ts, max(value) AS q_val
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.p_ts, q.q_ts AS m_ts, q.q_val AS m_val
+        |FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.p_ts <= q.q_ts""".stripMargin,
+
+    "join_asof_tol" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |q AS (SELECT user_id, ts AS q_ts, max(value) AS q_val
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.p_ts,
+        |  CASE WHEN p.p_ts - q.q_ts <= INTERVAL 1 HOUR THEN q.q_ts END AS m_ts,
+        |  CASE WHEN p.p_ts - q.q_ts <= INTERVAL 1 HOUR THEN q.q_val END AS m_val
         |FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.p_ts >= q.q_ts""".stripMargin,
 
     "join_interval" ->

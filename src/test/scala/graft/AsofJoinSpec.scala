@@ -63,6 +63,38 @@ class AsofJoinSpec extends AnyFunSuite {
       (3L, 5L, "ok")))  // null-key/null-time quotes skipped, real one matches
   }
 
+  test("forward direction matches the earliest quote at-or-after, shared across probes") {
+    val out = Asof.join(
+      probes((1L, 10L, 1L), (1L, 12L, 2L), (1L, 20L, 3L), (2L, 5L, 4L)),
+      quotes((1L, 15L, "f"), (1L, 25L, "g"), (2L, 1L, "h")),
+      "k", "qk", "t", "qt", direction = "forward")
+      .select(col("pid"), col("qt"), col("qv")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+      .sortBy(_._1)
+    assert(out === Seq(
+      (1L, 15L, "f"),   // first quote >= 10
+      (2L, 15L, "f"),   // same head serves the next probe (not consumed)
+      (3L, 25L, "g"),   // 15 dropped once probe passes it
+      (4L, null, null)) // key 2's quote is earlier -> no forward match
+      .sortBy(_._1))
+  }
+
+  test("tolerance nulls out matches beyond the bound, keeps nearer ones") {
+    val out = Asof.join(
+      probes((1L, 100L, 1L), (1L, 107L, 2L), (2L, 100L, 3L)),
+      quotes((1L, 98L, "near"), (2L, 10L, "far")),
+      "k", "qk", "t", "qt", tolerance = Some(5L))
+      .select(col("pid"), col("qv")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1)
+    assert(out === Seq(
+      (1L, "near"),   // diff 2 <= 5
+      (2L, null),     // diff 9 > 5 -> nulled, not dropped
+      (3L, null)))    // diff 90 > 5
+  }
+
   test("many probes share one late quote; candidate resets across keys") {
     val out = run(
       probes((1L, 100L, 1L), (1L, 200L, 2L), (2L, 100L, 3L), (3L, 100L, 4L)),
