@@ -6,10 +6,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{JaroWinkler, Uuid5}
 
 /** SparkSessionExtensions entry point — the idiomatic way to ship the
-  * custom Catalyst expressions with the library: a user adds
+  * library's Catalyst extensions: a user adds
   * `spark.sql.extensions=graft.GraftExtensions` (or builds through
-  * `Sessions`) and `jaro_winkler` / `uuid5` resolve in plain SQL on every
-  * session, no per-session register() calls.
+  * `Sessions`) and gets, on every session with no per-session calls:
+  * the `jaro_winkler` / `uuid5` expressions in plain SQL, the
+  * `BoundedLevenshteinRule` optimizer rewrite, and the `AsofJoinStrategy`
+  * planner strategy backing the native as-of join operator.
   *
   * (ProductAgg and the wmean UDAF register per-session instead: typed
   * `Aggregator`-through-`udaf()` has no injectFunction builder form.)

@@ -63,6 +63,26 @@ object StreamingOps {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join with watermarks on BOTH sides — the
+    * state-bounded shape: each purchase joins clicks of the same user in
+    * the preceding hour. The time-range predicate plus the two watermarks
+    * lets Spark evict buffered rows once they can no longer match, so
+    * state stays bounded on an unbounded feed — without the range bound a
+    * stream-stream join must buffer both streams forever. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_val"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
   case class Click(userId: Long, tsUs: Long)
   case class Session(userId: Long, nEvents: Long, firstUs: Long, lastUs: Long)
 

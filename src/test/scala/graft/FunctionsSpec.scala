@@ -143,6 +143,24 @@ class FunctionsSpec extends AnyFunSuite {
       "886313e1-3b8a-5372-9b90-0c9aee199e5d"))
   }
 
+  test("soundex / crc32 / sha1 match published vectors (DuckDB 1.0 can't oracle them)") {
+    // string/crypto kernels Spark ships but the offline oracle lacks —
+    // pinned against published test vectors, the uuid5/JaroWinkler precedent.
+    val r = spark.sql(
+      """SELECT soundex('Robert'), soundex('Rupert'), soundex('Tymczak'),
+        |  soundex('Honeyman'),
+        |  crc32(cast('abc' AS BINARY)), crc32(cast('' AS BINARY)),
+        |  sha1(cast('abc' AS BINARY)), sha1(cast('' AS BINARY))""".stripMargin).head()
+    assert(r.getString(0) === "R163")
+    assert(r.getString(1) === "R163")
+    assert(r.getString(2) === "T522")
+    assert(r.getString(3) === "H555")
+    assert(r.getLong(4) === 891568578L)  // 0x352441C2
+    assert(r.getLong(5) === 0L)
+    assert(r.getString(6) === "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(r.getString(7) === "da39a3ee5e6b4b0d3255bfef95601890afd80709")
+  }
+
   test("product_agg: partial-merge distributed product, null semantics") {
     ProductAgg.register(spark)
     import spark.implicits._

@@ -47,6 +47,26 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming dedup kept $streamed rows, batch distinct has $batch")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val q = StreamingOps.purchaseClickJoin(StreamingOps.eventsStream(spark, sf))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ss_join").count()
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .count()
+    assert(streamed === batch,
+      s"stream-stream join emitted $streamed rows, batch range join has $batch")
+  }
+
   test("mapGroupsWithState sessionization produces per-user sessions") {
     import spark.implicits._
     val clicks = Tables.events(spark, sf)
