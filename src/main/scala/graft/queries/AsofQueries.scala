@@ -102,6 +102,33 @@ object AsofQueries extends QueryModule {
           col("q_ts").as("m_ts"), col("q_val").as("m_val"))
     }),
 
+    // Keyless point-in-interval join, binned: without an equi key a range
+    // join plans as a nested loop — O(n·m) and a scale-killer. Binning
+    // manufactures the equi key: every interval explodes to its covering
+    // 1-hour bins (<= 3 for a 2-hour window), every point belongs to
+    // EXACTLY ONE bin, so the bin-equi hash join finds each qualifying
+    // pair exactly once (no post-dedup) and the residual range predicate
+    // filters within buckets. Plan-asserted no-NLJ in PlanShapeSpec. This
+    // is the general interval-join answer when no natural key exists
+    // (ref bodo/libs/_interval_join.cpp handles the same case natively).
+    "join_interval_binned" -> ((s, d) => {
+      val ev = events(s, d)
+      val binSec = 3600L
+      val iv = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("iv_id"), col("ts").as("t0"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("t1"))
+        .withColumn("bin", explode(sequence(
+          floor(unix_timestamp(col("t0")) / binSec).cast("long"),
+          floor(unix_timestamp(col("t1")) / binSec).cast("long"))))
+      val pts = ev.filter(col("event_type") === "click")
+        .select(col("ts").as("pt"), col("value"))
+        .withColumn("bin", floor(unix_timestamp(col("pt")) / binSec).cast("long"))
+      iv.join(pts, Seq("bin"))
+        .filter(col("pt") >= col("t0") && col("pt") < col("t1"))
+        .groupBy(col("iv_id"))
+        .agg(count(lit(1)).as("n_hits"), sum(col("value")).as("sum_v"))
+    }),
+
     // Point-in-interval with equi pre-key: signups open a 2-hour window;
     // count same-user clicks inside it.
     "join_interval" -> ((s, d) => {
@@ -158,6 +185,16 @@ object AsofQueries extends QueryModule {
         |  CASE WHEN p.p_ts - q.q_ts <= INTERVAL 1 HOUR THEN q.q_ts END AS m_ts,
         |  CASE WHEN p.p_ts - q.q_ts <= INTERVAL 1 HOUR THEN q.q_val END AS m_val
         |FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.p_ts >= q.q_ts""".stripMargin,
+
+    "join_interval_binned" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |iv AS (SELECT event_id AS iv_id, ts AS t0, ts + INTERVAL 2 HOUR AS t1
+        |       FROM e WHERE event_type = 'signup'),
+        |pt AS (SELECT ts AS pt, value FROM e WHERE event_type = 'click')
+        |SELECT iv.iv_id, count(*) AS n_hits, sum(pt.value) AS sum_v
+        |FROM iv JOIN pt ON pt.pt >= iv.t0 AND pt.pt < iv.t1
+        |GROUP BY iv.iv_id""".stripMargin,
 
     "join_interval" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value

@@ -193,6 +193,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucketed sides must join without any exchange:\n$plan")
   }
 
+  test("join_interval_binned: keyless range join runs as a bin-equi hash join, no NLJ") {
+    val plan = physical("join_interval_binned")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"binned interval join degenerated to a product:\n$plan")
+  }
+
   test("join_asof_native plans the custom AsofJoinExec operator, no window, no NLJ") {
     val plan = physical("join_asof_native")
     assert(plan.contains("AsofJoin"),
