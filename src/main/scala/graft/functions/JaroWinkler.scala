@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,11 +14,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * side is empty) — verified value-identical to DuckDB's
   * `jaro_winkler_similarity`, which the oracle uses.
   *
-  * Null-safe binary expression; interpreted eval (CodegenFallback) — the
-  * loop is O(len·window) and not on any hot aggregation path.
+  * Null-safe binary expression with codegen (`doGenCode` emits a static
+  * call into the JVM kernel), so a projection battery containing
+  * `jaro_winkler` stays inside one WholeStageCodegen span instead of
+  * falling back to interpreted eval for the whole stage.
   */
 case class JaroWinkler(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (left.dataType == StringType && right.dataType == StringType)
@@ -34,6 +36,10 @@ case class JaroWinkler(left: Expression, right: Expression)
     JaroWinkler.similarity(
       l.asInstanceOf[UTF8String].toString,
       r.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinkler.similarity($a.toString(), $b.toString())")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinkler =

@@ -169,6 +169,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("custom expressions stay inside whole-stage codegen (fn_string battery)") {
+    // jaro_winkler and the bounded levenshtein are projection columns in
+    // fn_string; with doGenCode implemented the scan->project pipeline
+    // must compile into a whole-stage-codegen span — the `*(n)` star
+    // marker on Project (a CodegenFallback expression would print a
+    // bare, interpreted Project).
+    val plan = physical("fn_string")
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project.*"),
+      s"fn_string projection is not whole-stage compiled:\n$plan")
+  }
+
   test("join_asof composition plans a single shuffle per side (window, not NLJ)") {
     val plan = physical("join_asof")
     assert(plan.contains("Window"))
