@@ -94,14 +94,18 @@ object DedupQueries extends QueryModule {
       val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") > DFCAP).select("sh")
       val sh = shAll.join(broadcast(hot), Seq("sh"), "left_anti")
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
+      // set sizes ride along as a window count instead of a separate agg
+      // joined back after the pair count: the join-back would recompute the
+      // whole shingle pipeline twice more, while the window is one narrow
+      // shuffle — and both self-join sides are now the IDENTICAL subplan,
+      // so the second side reuses the first side's exchange outright.
+      val shN = sh.withColumn("n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      shN.as("a").join(shN.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id"), col("n").as("ni")), col("doc_i") === col("doc_id")).drop("doc_id")
-        .join(sizes.select(col("doc_id"), col("n").as("nj")), col("doc_j") === col("doc_id")).drop("doc_id")
+        .agg(count(lit(1)).as("inter"),
+          first(col("a.n")).as("ni"), first(col("b.n")).as("nj"))
         .select(col("doc_i"), col("doc_j"),
           (col("inter") / (col("ni") + col("nj") - col("inter"))).as("jacc"))
         .filter(col("jacc") >= 0.8)
