@@ -80,6 +80,38 @@ object TextQueries extends QueryModule {
         (score >= 0.5).as("keep"))
     }),
 
+    // Capstone: the brief's training-data pipeline end-to-end in ONE query
+    // — quality-score filter -> exact dedup keep-first -> per-(lang,source)
+    // corpus accounting. Composes the text_quality scoring and the
+    // dedup_docs_exact policy over a single scan: two shuffles total (one
+    // on the content hash for dedup, one for the final rollup), each
+    // map-side combined. At 100 TB this IS the job a user runs nightly;
+    // everything upstream of the rollup is a narrow, codegen'd pipeline.
+    "pipeline_pretrain" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = words(col("text"))
+      val nt = size(w).cast("long")
+      val inList = stopList.map(x => s"'$x'").mkString(", ")
+      val nstop = size(expr(s"filter(split(text, ' '), x -> x IN ($inList))")).cast("long")
+      val lenScore = least(col("n_chars") / 400.0, lit(1.0))
+      val stopRatio = nstop.cast("double") / nt
+      val meanWl = (col("n_chars") - (nt - 1)) / nt
+      val shapeOk = when(meanWl >= 3.0 && meanWl <= 8.0, 1.0).otherwise(0.0)
+      val score = lenScore * 0.4 + stopRatio * 2.0 * 0.3 + shapeOk * 0.3
+      documents(s, d)
+        .withColumn("nt", nt)
+        .withColumn("quality", score)
+        .filter(col("quality") >= 0.5)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("sum_tokens"),
+          avg(col("quality")).as("avg_quality"),
+          min(col("doc_id")).as("min_id"))
+    }),
+
     // Document fingerprints: exact content hash + order-insensitive
     // bag-of-words hash (catches shuffled near-dups).
     "text_fingerprint" -> ((s, d) => {
@@ -165,6 +197,28 @@ object TextQueries extends QueryModule {
          |  len_score * 0.4 + stop_ratio * 2.0 * 0.3 + shape_ok * 0.3 AS quality,
          |  len_score * 0.4 + stop_ratio * 2.0 * 0.3 + shape_ok * 0.3 >= 0.5 AS keep
          |FROM u""".stripMargin,
+
+    "pipeline_pretrain" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source, text, n_chars,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ($stopIn))) AS n_stop,
+         |    len(string_split(text, ' ')) AS nt
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, lang, source, text, nt,
+         |    least(n_chars / 400.0, 1.0) * 0.4
+         |    + (n_stop / nt) * 2.0 * 0.3
+         |    + (CASE WHEN (n_chars - (nt - 1)) / nt >= 3.0
+         |             AND (n_chars - (nt - 1)) / nt <= 8.0 THEN 1.0 ELSE 0.0 END) * 0.3
+         |      AS quality
+         |  FROM t),
+         |f AS (SELECT * FROM u WHERE quality >= 0.5),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         |      FROM f)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+         |  avg(quality) AS avg_quality, min(doc_id) AS min_id
+         |FROM k WHERE rk = 1 GROUP BY lang, source""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS exact_md5,
