@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{JaroWinkler, Uuid5}
+import graft.functions.{JaroWinkler, KmvNdv, Uuid5}
 
 /** SparkSessionExtensions entry point — the idiomatic way to ship the
   * library's Catalyst extensions: a user adds
@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
     // whole-operator path: logical AsofJoin -> AsofJoinExec sorted merge
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // keyless point-in-interval join -> broadcast binary-search operator
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
@@ -30,5 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("uuid5"),
       new ExpressionInfo(classOf[Uuid5].getName, "uuid5"),
       (args: Seq[Expression]) => Uuid5(args(0), args(1))))
+    // kmv_ndv(hash60[, k]) — bounded distinct-count sketch (theta/KMV family)
+    ext.injectFunction((
+      FunctionIdentifier("kmv_ndv"),
+      new ExpressionInfo(classOf[KmvNdv].getName, "kmv_ndv"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => KmvNdv(c)
+        case Seq(c, k) => KmvNdv(c, k.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException("kmv_ndv(hash60[, k])")
+      }))
   }
 }

@@ -196,6 +196,28 @@ object AggQueries2 extends QueryModule {
           expr("regr_sxx(value, x)").as("r_sxx"),
           expr("regr_syy(value, x)").as("r_syy"),
           expr("regr_sxy(value, x)").as("r_sxy"))
+    }),
+
+    // KMV/theta NDV sketch (custom TypedImperativeAggregate, see
+    // functions/KmvNdv.scala) — the offline analog of the reference's
+    // Iceberg theta-sketch statistics (bodo/io/iceberg/theta.py,
+    // bodo/libs/_theta_sketches.cpp). Three columns per group: the sketch
+    // estimate over a high-NDV key (estimate path, buffer saturates at
+    // K=64), the sketch over a 3-value key (exact path), and the true
+    // exact countDistinct for side-by-side accuracy reading. The sketch
+    // shuffles at most 64 longs per group regardless of input size — the
+    // property that makes stats collection one cheap pass at 100 TB.
+    "agg_kmv_ndv" -> ((s, d) => {
+      import graft.text.TextKernels.md5Long
+      orders(s, d)
+        .select(col("o_orderpriority"),
+          md5Long(col("o_custkey").cast("string")).as("hc"),
+          md5Long(col("o_orderstatus")).as("hs"),
+          col("o_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("kmv_ndv(hc)").as("ndv_cust_est"),
+          expr("kmv_ndv(hs)").as("ndv_status"),
+          countDistinct(col("o_custkey")).cast("double").as("ndv_cust_exact"))
     })
   )
 
@@ -287,6 +309,34 @@ object AggQueries2 extends QueryModule {
         |  regr_syy(value, CAST(user_id AS DOUBLE)) AS r_syy,
         |  regr_sxy(value, CAST(user_id AS DOUBLE)) AS r_sxy
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // Exact KMV replay: same 60-bit md5 hash, same k-smallest selection,
+    // same double-precision estimate formula (63 * 2^60 is exactly
+    // representable, so the product and division match IEEE-for-IEEE).
+    "agg_kmv_ndv" ->
+      """WITH hc AS (SELECT DISTINCT o_orderpriority,
+        |         ('0x' || substring(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+        |       FROM orders),
+        |rc AS (SELECT o_orderpriority, h,
+        |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+        |       FROM hc),
+        |sc AS (SELECT o_orderpriority, count(*) AS n,
+        |         max(CASE WHEN rn = 64 THEN h END) AS kth
+        |       FROM rc WHERE rn <= 64 GROUP BY 1),
+        |ss AS (SELECT o_orderpriority, count(DISTINCT
+        |         ('0x' || substring(md5(o_orderstatus), 1, 15))::BIGINT) AS n
+        |       FROM orders GROUP BY 1),
+        |ex AS (SELECT o_orderpriority,
+        |         CAST(count(DISTINCT o_custkey) AS DOUBLE) AS ndv_cust_exact
+        |       FROM orders GROUP BY 1)
+        |SELECT sc.o_orderpriority,
+        |  CASE WHEN sc.n < 64 THEN CAST(sc.n AS DOUBLE)
+        |       ELSE 63 * 1152921504606846976.0 / sc.kth END AS ndv_cust_est,
+        |  CAST(ss.n AS DOUBLE) AS ndv_status,
+        |  ex.ndv_cust_exact
+        |FROM sc
+        |JOIN ss ON sc.o_orderpriority = ss.o_orderpriority
+        |JOIN ex ON sc.o_orderpriority = ex.o_orderpriority""".stripMargin,
 
     "categorical_roundtrip" ->
       """WITH dict AS (

@@ -129,6 +129,23 @@ object AsofQueries extends QueryModule {
         .agg(count(lit(1)).as("n_hits"), sum(col("value")).as("sum_v"))
     }),
 
+    // The same keyless point-in-interval join through the native
+    // whole-operator path (plans/IntervalJoin.scala): the signup-interval
+    // side travels through a real BroadcastExchange, probes binary-search
+    // the sorted starts (O(log m) instead of O(m) per click), and the
+    // click stream never shuffles. Same oracle as the binned variant.
+    "join_interval_native" -> ((s, d) => {
+      val ev = events(s, d)
+      val iv = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("iv_id"), col("ts").as("t0"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("t1"))
+      val pts = ev.filter(col("event_type") === "click")
+        .select(col("ts").as("pt"), col("value"))
+      graft.plans.Interval.join(pts, iv, "pt", "t0", "t1")
+        .groupBy(col("iv_id"))
+        .agg(count(lit(1)).as("n_hits"), sum(col("value")).as("sum_v"))
+    }),
+
     // Point-in-interval with equi pre-key: signups open a 2-hour window;
     // count same-user clicks inside it.
     "join_interval" -> ((s, d) => {
@@ -187,6 +204,16 @@ object AsofQueries extends QueryModule {
         |FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.p_ts >= q.q_ts""".stripMargin,
 
     "join_interval_binned" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |iv AS (SELECT event_id AS iv_id, ts AS t0, ts + INTERVAL 2 HOUR AS t1
+        |       FROM e WHERE event_type = 'signup'),
+        |pt AS (SELECT ts AS pt, value FROM e WHERE event_type = 'click')
+        |SELECT iv.iv_id, count(*) AS n_hits, sum(pt.value) AS sum_v
+        |FROM iv JOIN pt ON pt.pt >= iv.t0 AND pt.pt < iv.t1
+        |GROUP BY iv.iv_id""".stripMargin,
+
+    "join_interval_native" ->
       """WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
         |           FROM events),
         |iv AS (SELECT event_id AS iv_id, ts AS t0, ts + INTERVAL 2 HOUR AS t1

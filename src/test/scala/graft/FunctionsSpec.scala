@@ -211,4 +211,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(0).isNullAt(1), "probe before any quote must not match")
     assert(got(1).getDouble(1) === 1.5)
   }
+
+  test("kmv_ndv: exact below K, estimate above K, partition-invariant merge") {
+    import spark.implicits._
+    import graft.text.TextKernels.md5Long
+    // 40 distinct values < K=64 -> exact path returns 40.0 regardless of
+    // how rows are partitioned (the distributed-merge property).
+    val small = spark.range(0, 1000).select((col("id") % 40).cast("string").as("v"))
+    def ndv(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(md5Long(col("v")).as("h")).agg(expr("kmv_ndv(h)")).as[Double].head()
+    assert(ndv(small) === 40.0)
+    assert(ndv(small.repartition(17)) === 40.0)
+    // 5000 distinct values > K -> estimate path; deterministic, partition
+    // invariant, and within 3x the theoretical rel. error (1/sqrt(K-2)).
+    val big = spark.range(0, 5000).select(col("id").cast("string").as("v"))
+    val est = ndv(big)
+    assert(est === ndv(big.repartition(31)), "merge must be order/partition invariant")
+    assert(math.abs(est - 5000.0) / 5000.0 < 3.0 / math.sqrt(62.0), s"est=$est")
+  }
 }

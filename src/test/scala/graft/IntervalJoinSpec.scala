@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark.spark
+import graft.plans.Interval
+
+/** Edge-case unit tests for the native point-in-interval join
+  * (plans/IntervalJoin.scala + IntervalJoinExec.scala): nested and
+  * touching intervals, bound inclusivity, null handling, and empty
+  * builds — the boundary conditions of the binary-search + prefix-max
+  * walk, across multiple partitions.
+  */
+class IntervalJoinSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def points(rows: (java.lang.Long, Long)*) =
+    rows.toDF("pt", "pid").repartition(4)
+  private def intervals(rows: (java.lang.Long, java.lang.Long, String)*) =
+    rows.toDF("t0", "t1", "iv").repartition(3)
+
+  private def run(p: org.apache.spark.sql.DataFrame, i: org.apache.spark.sql.DataFrame,
+                  si: Boolean = true, ei: Boolean = false) =
+    Interval.join(p, i, "pt", "t0", "t1", startInclusive = si, endInclusive = ei)
+      .select(col("pid"), col("iv")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(identity)
+
+  test("half-open [t0, t1): boundary points match start, not end") {
+    val out = run(
+      points((10L, 1L), (20L, 2L), (15L, 3L)),
+      intervals((10L, 20L, "a"), (20L, 30L, "b")))
+    assert(out === Seq((1L, "a"), (2L, "b"), (3L, "a")).sortBy(identity))
+  }
+
+  test("nested and overlapping intervals all match (prefix-max walk does not stop early)") {
+    // outer [0,100) contains inner [40,60); disjoint [10,20) sits between
+    // them in start order with a SMALL end — the prefix max must carry the
+    // outer interval's end past it.
+    val out = run(
+      points((50L, 1L), (15L, 2L), (99L, 3L)),
+      intervals((0L, 100L, "outer"), (10L, 20L, "tiny"), (40L, 60L, "inner")))
+    assert(out === Seq((1L, "outer"), (1L, "inner"), (2L, "outer"), (2L, "tiny"),
+      (3L, "outer")).sortBy(identity))
+  }
+
+  test("inclusive end and exclusive start variants") {
+    val p = points((10L, 1L), (20L, 2L))
+    val i = intervals((10L, 20L, "a"))
+    assert(run(p, i, si = false, ei = true) === Seq((2L, "a")))
+    assert(run(p, i, si = true, ei = true) === Seq((1L, "a"), (2L, "a")))
+  }
+
+  test("null points and null-bounded intervals never match; empty build emits nothing") {
+    val p = Seq((null.asInstanceOf[java.lang.Long], 1L), (java.lang.Long.valueOf(5L), 2L))
+      .toDF("pt", "pid")
+    val i = intervals((null, 10L, "n0"), (0L, null, "n1"), (0L, 10L, "ok"))
+    assert(run(p, i) === Seq((2L, "ok")))
+    assert(run(p, intervals()) === Seq())
+  }
+
+  test("points before all starts and after all ends match nothing") {
+    val out = run(
+      points((1L, 1L), (99L, 2L)),
+      intervals((10L, 20L, "a"), (30L, 40L, "b")))
+    assert(out === Seq())
+  }
+}

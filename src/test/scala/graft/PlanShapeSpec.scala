@@ -218,6 +218,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("join_interval_native plans IntervalJoinExec behind a BroadcastExchange, no NLJ") {
+    val plan = physical("join_interval_native")
+    assert(plan.contains("IntervalJoin"),
+      s"custom strategy did not plan IntervalJoinExec:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      "interval build side must arrive via a broadcast exchange")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("native interval join matches the bin-equi rewrite row-for-row") {
+    val native = SparkEntry.queries("join_interval_native")(spark, sf)
+      .orderBy("iv_id").collect().map(_.toString)
+    val binned = SparkEntry.queries("join_interval_binned")(spark, sf)
+      .orderBy("iv_id").collect().map(_.toString)
+    assert(native.length === binned.length)
+    assert(native.sameElements(binned))
+  }
+
   test("native as-of join matches the window composition row-for-row") {
     // two independent implementations of the same semantics must agree —
     // the strongest in-repo oracle (the DuckDB ASOF check runs driver-side).
