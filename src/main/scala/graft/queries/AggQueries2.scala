@@ -218,6 +218,53 @@ object AggQueries2 extends QueryModule {
         .agg(expr("kmv_ndv(hc)").as("ndv_cust_est"),
           expr("kmv_ndv(hs)").as("ndv_status"),
           countDistinct(col("o_custkey")).cast("double").as("ndv_cust_exact"))
+    }),
+
+    // Bitmap-index exact distinct count (ref other_array_kernels.py bitmap
+    // helpers / Snowflake BITMAP_BUCKET_NUMBER family): keys partition into
+    // 32768-bit buckets, each (group, bucket) folds to one bitmap via
+    // bitmap_construct_agg, sub-group bitmaps merge with bitmap_or_agg, and
+    // popcounts sum to the exact NDV. Scale story: state per group is
+    // ceil(maxkey/32768) fixed-size bitmaps instead of one hash entry per
+    // distinct key — the COUNT(DISTINCT) rewrite that survives groups with
+    // billions of distinct keys, and the bitmaps themselves are reusable
+    // partial results (store per day, OR across days).
+    "agg_bitmap_ndv" -> ((s, d) => {
+      // keys shifted to strictly positive (the fixture's partkeys start at
+      // 0, where the bucket formula's negative branch kicks in); NDV is
+      // unaffected by the shift
+      lineitem(s, d)
+        .withColumn("pk", col("l_partkey") + 1)
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          expr("bitmap_bucket_number(pk)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(pk))").as("bm1"))
+        .groupBy(col("l_returnflag"), col("bkt"))
+        .agg(expr("bitmap_or_agg(bm1)").as("bm"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("bitmap_count(bm)")).as("ndv_part"),
+          count(lit(1)).as("n_buckets"))
+    }),
+
+    // pd.cut-style equal-width binning into right-closed intervals — the
+    // INTERVAL array representation of SURVEY §1.2 (ref
+    // bodo/libs/interval_arr_ext.py:305): each value maps to (left, right]
+    // with explicit numeric bound columns plus the pandas-style label, then
+    // a per-bin profile. Bounds are scalar columns (not a struct) so the
+    // driver's canonicalizer can hash them.
+    "fn_cut_interval" -> ((s, d) => {
+      val idx = least(greatest(ceil(col("l_quantity") / 10.0), lit(1.0)), lit(5.0))
+        .cast("int")
+      lineitem(s, d)
+        .select(col("l_quantity"), col("l_extendedprice"), idx.as("bin"))
+        .withColumn("bin_left", ((col("bin") - 1) * 10).cast("double"))
+        .withColumn("bin_right", (col("bin") * 10).cast("double"))
+        .withColumn("bin_label",
+          concat(lit("("), (col("bin") - 1) * 10, lit(", "), col("bin") * 10, lit("]")))
+        .groupBy(col("bin"), col("bin_left"), col("bin_right"), col("bin_label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_quantity")).as("min_q"),
+          max(col("l_quantity")).as("max_q"),
+          avg(col("l_extendedprice")).as("avg_price"))
     })
   )
 
@@ -337,6 +384,29 @@ object AggQueries2 extends QueryModule {
         |FROM sc
         |JOIN ss ON sc.o_orderpriority = ss.o_orderpriority
         |JOIN ex ON sc.o_orderpriority = ex.o_orderpriority""".stripMargin,
+
+    // The bitmap pipeline is an exact-NDV rewrite, so the oracle is plain
+    // COUNT(DISTINCT ...) plus the bucket-count arithmetic replayed.
+    "agg_bitmap_ndv" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_part,
+        |  CAST(count(DISTINCT l_partkey // 32768 + 1) AS BIGINT) AS n_buckets
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "fn_cut_interval" ->
+      """WITH b AS (
+        |  SELECT l_quantity, l_extendedprice,
+        |    CAST(least(greatest(ceil(l_quantity / 10.0), 1), 5) AS INTEGER) AS bin
+        |  FROM lineitem)
+        |SELECT bin,
+        |  CAST((bin - 1) * 10 AS DOUBLE) AS bin_left,
+        |  CAST(bin * 10 AS DOUBLE) AS bin_right,
+        |  '(' || CAST((bin - 1) * 10 AS VARCHAR) || ', '
+        |      || CAST(bin * 10 AS VARCHAR) || ']' AS bin_label,
+        |  count(*) AS n,
+        |  min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        |  avg(l_extendedprice) AS avg_price
+        |FROM b GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "categorical_roundtrip" ->
       """WITH dict AS (
