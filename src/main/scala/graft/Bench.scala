@@ -7,6 +7,12 @@ import org.apache.spark.sql.DataFrame
   * JVM/JIT/codegen cold-start doesn't land on whichever query iterates
   * first; sink is a noop-format write, not count() — count() lets column
   * pruning drop the select list, under-measuring projection-heavy queries.
+  * Each query is then timed TWICE and the per-query minimum is reported:
+  * the host shows multi-second waves of external CPU contention (the same
+  * query measured back-to-back varies up to 7x), and min-of-2 keeps a
+  * contention spike landing on one pass from being read as a plan
+  * regression. Min (not mean) is the right statistic when noise is purely
+  * additive interference.
   *
   * Output channels (VERDICT r3 item 7 + r4 ADVICE): the driver's stdout
   * parser keeps only a 2000-char tail, so the stdout line is a COMPACT
@@ -60,10 +66,17 @@ object Bench {
     // A query that throws records the sentinel -1.0 (never a normal-looking
     // timing) and lands in "errors" — a broken query must not silently
     // shrink the recorded baseline anchor.
-    val results = queries.toSeq.map { case (name, fn) =>
+    def timedPass(): Seq[(String, Double)] = queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val (p1, p2) = (timedPass(), timedPass().toMap)
+    val results = p1.map { case (name, v1) =>
+      val v2 = p2.getOrElse(name, -1.0)
+      // -1.0 (error) dominates: a query must fail the run, not hide behind
+      // its other pass
+      name -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
     }
     val canonical = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     val out = if (flt.isEmpty) canonical else canonical + ".dev"

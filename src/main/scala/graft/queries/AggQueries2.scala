@@ -245,6 +245,27 @@ object AggQueries2 extends QueryModule {
           count(lit(1)).as("n_buckets"))
     }),
 
+    // The built-in HLL++ sketch path (approx percentile's NDV sibling;
+    // ref bodo/libs/_theta_sketches.cpp serves the same role): DuckDB
+    // cannot replay Spark's HLL++, so the driver-checkable contract is a
+    // tolerance gate — the estimate must land within 5% of the exact NDV
+    // (rsd is set to 1.5%, so 5% is a stable margin, not a coin flip).
+    // A drifting estimate flips the boolean and fails the hash compare.
+    "agg_approx_ndv" -> ((s, d) => {
+      // exact and sketch paths aggregated separately, then joined on the
+      // 3-row group key: fusing countDistinct (expand rewrite) with a
+      // dense HLL in one aggregate triples the runtime for no benefit
+      val li = lineitem(s, d)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("ndv_exact"))
+      val hll = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.015).as("ndv_hll"))
+      exact.join(hll, col("l_returnflag") === col("rf"))
+        .select(col("l_returnflag"), col("ndv_exact"),
+          (abs(col("ndv_hll") - col("ndv_exact")) / col("ndv_exact") <= 0.05)
+            .as("within_5pct"))
+    }),
+
     // pd.cut-style equal-width binning into right-closed intervals — the
     // INTERVAL array representation of SURVEY §1.2 (ref
     // bodo/libs/interval_arr_ext.py:305): each value maps to (left, right]
@@ -391,6 +412,12 @@ object AggQueries2 extends QueryModule {
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_part,
         |  CAST(count(DISTINCT l_partkey // 32768 + 1) AS BIGINT) AS n_buckets
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_approx_ndv" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_exact,
+        |  true AS within_5pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "fn_cut_interval" ->

@@ -55,6 +55,30 @@ object WindowQueries extends QueryModule {
           nth_value(col("value"), 3).over(full).as("third_v"))
     }),
 
+    // Ignore-nulls navigation (ref bodo/libs/_lead_lag.cpp — the dedicated
+    // 742-LoC kernel exists precisely for the respect/ignore-nulls axis):
+    // lag/lead skip null values, first/last take the first/last NON-null
+    // of the partition. The oracle emulates with arg_max/arg_min FILTER
+    // windows over a precomputed row_number (DuckDB 1.0 has no IGNORE
+    // NULLS syntax), so determinism needs the explicit rn order key.
+    "win_nav_ignore_nulls" -> ((s, d) => {
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+      val before = w.rowsBetween(Window.unboundedPreceding, -1)
+      val after = w.rowsBetween(1, Window.unboundedFollowing)
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev(s, d).filter(col("user_id") < 30)
+        .withColumn("rn", row_number().over(byTs).cast("long"))
+        .withColumn("v", when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+        .select(col("user_id"), col("rn"), col("v"),
+          lag(col("v"), 1, null, true).over(w).as("prev_nn"),
+          lead(col("v"), 1, null, true).over(w).as("next_nn"),
+          first(col("v"), ignoreNulls = true).over(full).as("first_nn"),
+          last(col("v"), ignoreNulls = true).over(full).as("last_nn"))
+      // lag/lead defaults stay null; `before`/`after` frames are what the
+      // oracle's arg_max/arg_min FILTER replicate
+    }),
+
     // Framed aggregates: running + moving (ROWS frames).
     "win_frames" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -163,6 +187,28 @@ object WindowQueries extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "win_nav_ignore_nulls" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT) AS rn,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        |  FROM events WHERE user_id < 30)
+        |SELECT user_id, rn, v,
+        |  arg_max(v, rn) FILTER (WHERE v IS NOT NULL) OVER
+        |    (PARTITION BY user_id ORDER BY rn
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nn,
+        |  arg_min(v, rn) FILTER (WHERE v IS NOT NULL) OVER
+        |    (PARTITION BY user_id ORDER BY rn
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_nn,
+        |  arg_min(v, rn) FILTER (WHERE v IS NOT NULL) OVER
+        |    (PARTITION BY user_id ORDER BY rn
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_nn,
+        |  arg_max(v, rn) FILTER (WHERE v IS NOT NULL) OVER
+        |    (PARTITION BY user_id ORDER BY rn
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_nn
+        |FROM b""".stripMargin,
+
     "win_rank" ->
       """SELECT event_id, event_type, value,
         | CAST(rank() OVER w AS INT) AS rnk,
