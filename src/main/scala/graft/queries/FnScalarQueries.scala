@@ -105,6 +105,41 @@ object FnScalarQueries extends QueryModule {
         months_between(lit("1995-06-17").cast("timestamp"), a, roundOff = false).as("mb"))
     }),
 
+    // TIME_SLICE family + per-part LAST_DAY + MySQL day-number kit +
+    // DATE_FROM_PARTS overflow semantics (ref datetime_array_kernels.py
+    // time_slice/last_day_{week,quarter,year}/to_days/from_days/
+    // date_from_parts/weekday/makedate). Snowflake's DATE_FROM_PARTS
+    // accepts out-of-range month/day and rolls them over — composed here
+    // as month-then-day interval arithmetic from Jan 1, which is exactly
+    // that semantic. Time slices are pure epoch/month-index arithmetic,
+    // so both engines replay them exactly.
+    "fn_datetime4" -> ((s, d) => {
+      val ts = col("ts")
+      val dt = to_date(ts)
+      val ep = unix_timestamp(ts)                    // floor to whole seconds
+      val slice4h = ep - pmod(ep, lit(14400L))       // 4-hour slice start
+      val mIdx = year(dt) * 12 + month(dt) - 1       // month index since year 0
+      val mSlice = mIdx - pmod(mIdx, lit(3))         // 3-month slice start
+      events(s, d).filter(col("event_id") % 40 === 0).select(
+        col("event_id"),
+        timestamp_seconds(slice4h).as("slice4h_start"),
+        timestamp_seconds(slice4h + 14400L).as("slice4h_end"),
+        make_date((mSlice / 12).cast("int"), pmod(mSlice, lit(12)).cast("int") + 1, lit(1))
+          .cast("timestamp").as("slice3m_start"),
+        date_sub(add_months(trunc(dt, "quarter"), 3), 1).cast("timestamp").as("ld_quarter"),
+        date_sub(make_date(year(dt) + 1, lit(1), lit(1)), 1).cast("timestamp").as("ld_year"),
+        date_add(dt, lit(7) - expr("extract(DAYOFWEEK_ISO FROM to_date(ts))").cast("int"))
+          .cast("timestamp").as("ld_week_iso"),
+        (datediff(dt, lit("1970-01-01")) + 719528).as("to_days"),
+        date_add(lit("1970-01-01").cast("date"),
+          datediff(dt, lit("1970-01-01"))).cast("timestamp").as("from_days_rt"),
+        date_add(add_months(make_date(year(dt), lit(1), lit(1)), month(dt) + 13),
+          dayofmonth(dt) + 39).cast("timestamp").as("dfp_overflow"),
+        pmod(dayofweek(dt) + 5, lit(7)).as("weekday0"),
+        date_add(make_date(year(dt), lit(1), lit(1)), dayofyear(dt) - 1)
+          .cast("timestamp").as("makedate_rt"))
+    }),
+
     // Timezone-conversion kernels (ref datetime_array_kernels.py tz
     // conversions / Snowflake CONVERT_TIMEZONE): fixed-offset zones only —
     // the offline DuckDB has no ICU named-zone data, so offsets are the
@@ -194,7 +229,23 @@ object FnScalarQueries extends QueryModule {
           .divide(10).as("trunc1"),
         (col("l_extendedprice") % 7.5).as("fmod75"),
         expr("cot(l_discount + 0.01)").as("cot_v"),
-        expr("~ l_orderkey").as("bnot"))
+        expr("~ l_orderkey").as("bnot"),
+        expr("getbit(l_orderkey, 3)").cast("int").as("bit3"),
+        (col("l_quantity") * col("l_quantity")).as("sq"))
+    }),
+
+    // IS_IN with explicit null policy (ref special_handling_array_kernels
+    // is_in/null_as): SQL IN is three-valued — a non-matching probe against
+    // a list containing NULL yields NULL, and a NULL probe always yields
+    // NULL — while the pandas isin convention collapses unknown to false.
+    // Both policies side by side over a nullable key.
+    "fn_isin_null_policy" -> ((s, d) => {
+      val k = when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_nationkey"))
+      customer(s, d).filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), k.as("k"))
+        .withColumn("in_3vl", expr("k IN (1, 2, 5, NULL)"))
+        .withColumn("in_pandas", coalesce(expr("k IN (1, 2, 5, NULL)"), lit(false)))
+        .withColumn("notin_3vl", expr("k NOT IN (1, 2, 5, NULL)"))
     }),
 
     "fn_trig" -> ((s, d) => {
@@ -368,6 +419,40 @@ object FnScalarQueries extends QueryModule {
         |         ELSE (day(r) - day(a)) / 31.0 END AS mb
         |FROM t""".stripMargin,
 
+    // epoch floored to whole seconds matches Spark's unix_timestamp; date
+    // arithmetic composed with make_date / to_months / integer day adds.
+    "fn_datetime4" ->
+      """WITH t AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dt,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep
+        |  FROM events WHERE event_id % 40 = 0),
+        |u AS (
+        |  SELECT *,
+        |    ep - ep % 14400 AS s4,
+        |    (year(dt) * 12 + month(dt) - 1)
+        |      - (year(dt) * 12 + month(dt) - 1) % 3 AS ms
+        |  FROM t)
+        |SELECT event_id,
+        |  CAST(to_timestamp(s4) AS TIMESTAMP) AS slice4h_start,
+        |  CAST(to_timestamp(s4 + 14400) AS TIMESTAMP) AS slice4h_end,
+        |  CAST(make_date(CAST(ms // 12 AS INTEGER), CAST(ms % 12 + 1 AS INTEGER), 1)
+        |       AS TIMESTAMP) AS slice3m_start,
+        |  CAST(CAST(date_trunc('quarter', dt) AS DATE) + to_months(3) - to_days(1)
+        |       AS TIMESTAMP) AS ld_quarter,
+        |  CAST(make_date(CAST(year(dt) + 1 AS INTEGER), 1, 1) - to_days(1)
+        |       AS TIMESTAMP) AS ld_year,
+        |  CAST(dt + CAST(7 - isodow(dt) AS INTEGER) AS TIMESTAMP) AS ld_week_iso,
+        |  CAST(date_diff('day', DATE '1970-01-01', dt) + 719528 AS INTEGER) AS to_days,
+        |  CAST(DATE '1970-01-01' + CAST(date_diff('day', DATE '1970-01-01', dt) AS INTEGER)
+        |       AS TIMESTAMP) AS from_days_rt,
+        |  CAST(make_date(CAST(year(dt) AS INTEGER), 1, 1) + to_months(CAST(month(dt) + 13 AS INTEGER))
+        |       + to_days(CAST(day(dt) + 39 AS INTEGER)) AS TIMESTAMP) AS dfp_overflow,
+        |  CAST((dayofweek(dt) + 6) % 7 AS INTEGER) AS weekday0,
+        |  CAST(make_date(CAST(year(dt) AS INTEGER), 1, 1)
+        |       + CAST(dayofyear(dt) - 1 AS INTEGER) AS TIMESTAMP) AS makedate_rt
+        |FROM u""".stripMargin,
+
     "fn_uint64" ->
       """SELECT o_orderkey,
         |  CAST(9223372036854775808::HUGEINT + o_orderkey AS VARCHAR) AS u64_str,
@@ -433,8 +518,19 @@ object FnScalarQueries extends QueryModule {
         |  trunc(l_extendedprice * 10) / 10 AS trunc1,
         |  l_extendedprice % 7.5 AS fmod75,
         |  cot(l_discount + 0.01) AS cot_v,
-        |  ~ l_orderkey AS bnot
+        |  ~ l_orderkey AS bnot,
+        |  CAST((l_orderkey >> 3) & 1 AS INTEGER) AS bit3,
+        |  l_quantity * l_quantity AS sq
         |FROM lineitem WHERE l_orderkey % 60 = 0""".stripMargin,
+
+    "fn_isin_null_policy" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS k,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END IN (1, 2, 5, NULL) AS in_3vl,
+        |  coalesce(CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END IN (1, 2, 5, NULL),
+        |           false) AS in_pandas,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END NOT IN (1, 2, 5, NULL) AS notin_3vl
+        |FROM customer WHERE c_custkey % 3 = 0""".stripMargin,
 
     "fn_trig" ->
       """SELECT l_orderkey, l_linenumber,
