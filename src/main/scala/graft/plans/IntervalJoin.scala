@@ -31,7 +31,12 @@ case class IntervalJoin(
     left: LogicalPlan, right: LogicalPlan,
     point: Attribute, start: Attribute, end: Attribute,
     startInclusive: Boolean = true,
-    endInclusive: Boolean = false) extends BinaryNode {
+    endInclusive: Boolean = false,
+    /** When set, the probe side is itself an interval [point, pointEnd]
+      * and the join matches on OVERLAP (ref _interval_join.cpp's
+      * interval-vs-interval case): start ≤ pointEnd && end ≥ point, with
+      * the same per-bound strictness flags. None = point probe. */
+    pointEnd: Option[Attribute] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -43,8 +48,8 @@ case class IntervalJoin(
 /** Plans the logical IntervalJoin to its broadcast physical operator. */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoin(l, r, p, s, e, si, ei) =>
-      IntervalJoinExec(p, s, e, si, ei, planLater(l), planLater(r)) :: Nil
+    case IntervalJoin(l, r, p, s, e, si, ei, pe) =>
+      IntervalJoinExec(p, pe, s, e, si, ei, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -69,5 +74,27 @@ object Interval {
     GraftSqlShim.ofRows(points.sparkSession,
       IntervalJoin(lp, rp, attr(lp, point), attr(rp, start), attr(rp, end),
         startInclusive, endInclusive))
+  }
+
+  /** Interval-overlap join: every (probe, interval) pair whose ranges
+    * intersect — [pStart, pEnd] vs [start, end]. Bound strictness follows
+    * the point form: startInclusive governs `start vs pEnd`, endInclusive
+    * governs `end vs pStart`. */
+  def joinOverlap(probes: DataFrame, intervals: DataFrame,
+                  pStart: String, pEnd: String, start: String, end: String,
+                  startInclusive: Boolean = true,
+                  endInclusive: Boolean = true): DataFrame = {
+    val overlap = probes.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"interval join requires disjoint column names; alias these on one side: ${overlap.mkString(", ")}")
+    val lp = probes.queryExecution.analyzed
+    val rp = intervals.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found among ${p.output.map(_.name).mkString(", ")}"))
+    GraftSqlShim.ofRows(probes.sparkSession,
+      IntervalJoin(lp, rp, attr(lp, pStart), attr(rp, start), attr(rp, end),
+        startInclusive, endInclusive, Some(attr(lp, pEnd))))
   }
 }

@@ -8,18 +8,24 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types._
 
-/** Physical point-in-interval join: the interval side arrives through a
-  * real BroadcastExchange (IdentityBroadcastMode — plan-visible, AQE/reuse
-  * friendly), is sorted by interval start once per partition, and each
-  * probe row binary-searches the starts and walks left bounded by a
-  * prefix running max of the ends. See IntervalJoin for the cost argument.
+/** Physical point-in-interval / interval-overlap join: the interval side
+  * arrives through a real BroadcastExchange (IdentityBroadcastMode —
+  * plan-visible, AQE/reuse friendly), is sorted by interval start once per
+  * partition, and each probe row binary-searches the starts and walks left
+  * bounded by a prefix running max of the ends. See IntervalJoin for the
+  * cost argument. With `pointEnd` set the probe is an interval and the
+  * predicate is overlap: the binary search bounds on `start vs pointEnd`,
+  * the walk and emit test on `end vs point` — the identical index answers
+  * both shapes because overlap is just a point probe with two different
+  * endpoints on the two bound comparisons.
   *
-  * Null semantics: a null point never matches; intervals with a null
-  * bound are dropped from the build (SQL comparison semantics — a null
-  * bound can never satisfy the range predicate).
+  * Null semantics: a null probe bound never matches; intervals with a
+  * null bound are dropped from the build (SQL comparison semantics — a
+  * null bound can never satisfy the range predicate).
   */
 case class IntervalJoinExec(
-    point: Attribute, start: Attribute, end: Attribute,
+    point: Attribute, pointEnd: Option[Attribute],
+    start: Attribute, end: Attribute,
     startInclusive: Boolean, endInclusive: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
@@ -52,7 +58,7 @@ case class IntervalJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
-    val (pAttr, sAttr, eAttr) = (point, start, end)
+    val (pAttr, peAttr, sAttr, eAttr) = (point, pointEnd, start, end)
     val (sInc, eInc) = (startInclusive, endInclusive)
     timeToLong(pAttr.dataType) // fail fast on unsupported types
     val broadcastRelation = right.executeBroadcast[Array[InternalRow]]()
@@ -61,6 +67,8 @@ case class IntervalJoinExec(
       val asLongS = timeToLong(sAttr.dataType)
       val asLongE = timeToLong(eAttr.dataType)
       val pProj = UnsafeProjection.create(Seq(pAttr), lOut)
+      // overlap probes project their end bound; point probes reuse the start
+      val peProj = UnsafeProjection.create(Seq(peAttr.getOrElse(pAttr)), lOut)
       val sProj = UnsafeProjection.create(Seq(sAttr), rOut)
       val eProj = UnsafeProjection.create(Seq(eAttr), rOut)
       // build: drop null-bounded intervals, sort by start, prefix-max ends
@@ -85,14 +93,17 @@ case class IntervalJoinExec(
       val joined = new JoinedRow
       probeIter.flatMap { l =>
         val pRow = pProj(l)
-        if (pRow.isNullAt(0) || m == 0) Iterator.empty
+        val peRow = peProj(l)
+        if (pRow.isNullAt(0) || peRow.isNullAt(0) || m == 0) Iterator.empty
         else {
+          // point probe: p == pe; overlap probe: [p, pe] vs [start, end]
           val p = asLongP(pRow)
-          // rightmost index whose start can match the point
+          val pe = asLongP(peRow)
+          // rightmost index whose start can match the probe's upper bound
           var lo = 0; var hi = m - 1; var last = -1
           while (lo <= hi) {
             val mid = (lo + hi) >>> 1
-            val ok = if (sInc) sortedStart(mid) <= p else sortedStart(mid) < p
+            val ok = if (sInc) sortedStart(mid) <= pe else sortedStart(mid) < pe
             if (ok) { last = mid; lo = mid + 1 } else hi = mid - 1
           }
           new Iterator[InternalRow] {

@@ -146,6 +146,25 @@ object AsofQueries extends QueryModule {
         .agg(count(lit(1)).as("n_hits"), sum(col("value")).as("sum_v"))
     }),
 
+    // Interval-OVERLAP join through the same native operator (ref
+    // _interval_join.cpp's interval-vs-interval case): every purchase's
+    // 1-hour window against every signup's 2-hour window, matched when
+    // the ranges intersect — the probe side streams, the signup intervals
+    // broadcast, and the identical sorted-starts index answers overlap by
+    // binary-searching on the probe's END and walking on its START.
+    "join_interval_overlap" -> ((s, d) => {
+      val ev = events(s, d)
+      val iv = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("iv_id"), col("ts").as("t0"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("t1"))
+      val pr = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p0"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("p1"))
+      graft.plans.Interval.joinOverlap(pr, iv, "p0", "p1", "t0", "t1")
+        .groupBy(col("iv_id"))
+        .agg(count(lit(1)).as("n_overlaps"), min(col("p_id")).as("first_p"))
+    }),
+
     // Point-in-interval with equi pre-key: signups open a 2-hour window;
     // count same-user clicks inside it.
     "join_interval" -> ((s, d) => {
@@ -221,6 +240,18 @@ object AsofQueries extends QueryModule {
         |pt AS (SELECT ts AS pt, value FROM e WHERE event_type = 'click')
         |SELECT iv.iv_id, count(*) AS n_hits, sum(pt.value) AS sum_v
         |FROM iv JOIN pt ON pt.pt >= iv.t0 AND pt.pt < iv.t1
+        |GROUP BY iv.iv_id""".stripMargin,
+
+    // inclusive overlap: p0 <= t1 AND p1 >= t0
+    "join_interval_overlap" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |iv AS (SELECT event_id AS iv_id, ts AS t0, ts + INTERVAL 2 HOUR AS t1
+        |       FROM e WHERE event_type = 'signup'),
+        |pr AS (SELECT event_id AS p_id, ts AS p0, ts + INTERVAL 1 HOUR AS p1
+        |       FROM e WHERE event_type = 'purchase')
+        |SELECT iv.iv_id, count(*) AS n_overlaps, min(pr.p_id) AS first_p
+        |FROM iv JOIN pr ON iv.t0 <= pr.p1 AND iv.t1 >= pr.p0
         |GROUP BY iv.iv_id""".stripMargin,
 
     "join_interval" ->

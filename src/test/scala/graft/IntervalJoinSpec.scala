@@ -65,4 +65,16 @@ class IntervalJoinSpec extends AnyFunSuite {
       intervals((10L, 20L, "a"), (30L, 40L, "b")))
     assert(out === Seq())
   }
+
+  test("overlap probe: touching, containing, contained, and disjoint ranges") {
+    val pr = Seq((0L, 5L, 1L), (20L, 30L, 2L), (12L, 13L, 3L), (50L, 60L, 4L))
+      .toDF("p0", "p1", "pid").repartition(3)
+    val iv = intervals((5L, 10L, "a"), (10L, 40L, "b"))
+    val out = Interval.joinOverlap(pr, iv, "p0", "p1", "t0", "t1")
+      .select(col("pid"), col("iv")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(identity)
+    // pid 1 [0,5] touches a at 5 (inclusive) and misses b; pid 2 [20,30]
+    // and pid 3 [12,13] sit inside b; pid 4 [50,60] is disjoint from both.
+    assert(out === Seq((1L, "a"), (2L, "b"), (3L, "b")).sortBy(identity))
+  }
 }
