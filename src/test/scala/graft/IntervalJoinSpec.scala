@@ -77,4 +77,15 @@ class IntervalJoinSpec extends AnyFunSuite {
     // and pid 3 [12,13] sit inside b; pid 4 [50,60] is disjoint from both.
     assert(out === Seq((1L, "a"), (2L, "b"), (3L, "b")).sortBy(identity))
   }
+
+  test("implicit method syntax delegates to the same operators") {
+    import GraftImplicits._
+    val viaImplicit = points((15L, 1L))
+      .intervalJoin(intervals((10L, 20L, "a")), "pt", "t0", "t1")
+      .select(col("pid"), col("iv")).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaImplicit === Array((1L, "a")))
+    val ov = Seq((0L, 100L, 9L)).toDF("p0", "p1", "pid")
+      .intervalOverlapJoin(intervals((10L, 20L, "a")), "p0", "p1", "t0", "t1")
+    assert(ov.count() === 1)
+  }
 }
