@@ -28,7 +28,7 @@ case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
-    forward: Boolean = false,
+    direction: String = "backward", // backward | forward | nearest
     toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -42,8 +42,8 @@ case class AsofJoin(
 /** Plans the logical AsofJoin to its physical operator. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
-      AsofJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, dir, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -53,11 +53,13 @@ object AsofJoinStrategy extends SparkStrategy {
   * (alias the quote side) — the join's output is simply left ++ right.
   *
   * `direction` is "backward" (default: latest quote at-or-before the
-  * probe) or "forward" (earliest quote at-or-after) — the two directions
-  * of the reference's merge_asof. `tolerance` (in the time column's
-  * native sub-unit: microseconds for timestamps, raw units for integral
-  * times) nulls out matches farther than the bound, exactly pandas'
-  * tolerance= semantics; it requires a timestamp/integral time column. */
+  * probe), "forward" (earliest quote at-or-after), or "nearest" (the
+  * closer of the two, backward winning ties) — all three directions of
+  * the reference's merge_asof. `tolerance` (in the time column's native
+  * sub-unit: microseconds for timestamps, raw units for integral times)
+  * nulls out matches farther than the bound, exactly pandas'
+  * tolerance= semantics; it (and "nearest", which measures distances)
+  * requires a timestamp/integral time column. */
 object Asof {
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
@@ -67,12 +69,8 @@ object Asof {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"asof join requires disjoint column names; alias these on one side: ${overlap.mkString(", ")}")
-    val forward = direction match {
-      case "backward" => false
-      case "forward" => true
-      case other => throw new IllegalArgumentException(
-        s"direction must be backward|forward, got $other")
-    }
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
@@ -82,6 +80,6 @@ object Asof {
           s"column $n not found among ${p.output.map(_.name).mkString(", ")}"))
     GraftSqlShim.ofRows(left.sparkSession,
       AsofJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime), forward, tolerance))
+        attr(lp, leftTime), attr(rp, rightTime), direction, tolerance))
   }
 }

@@ -16,10 +16,13 @@ import org.apache.spark.sql.types._
   * Backward (default): latest right row with equal key and time <= probe
   * time. Forward: earliest right row with equal key and time >= probe time
   * (matched via the buffered head without consuming it, since the same
-  * quote can serve several later probes). An optional tolerance (micros
-  * for timestamps, raw units for integral times) nulls out matches beyond
-  * the bound at emit time — candidates are retained, because a nearer
-  * probe may still be within bound.
+  * quote can serve several later probes). Nearest: the closer of the
+  * backward candidate and the forward head, backward winning ties —
+  * merge_asof's third direction, measured in the time column's native
+  * units. An optional tolerance (micros for timestamps, raw units for
+  * integral times) nulls out matches beyond the bound at emit time —
+  * candidates are retained, because a nearer probe may still be within
+  * bound.
   *
   * Per partition the merge keeps at most one buffered candidate row, so
   * memory is O(1) regardless of group size — the pathological
@@ -32,7 +35,7 @@ import org.apache.spark.sql.types._
 case class AsofJoinExec(
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
-    forward: Boolean, toleranceMicros: Option[Long],
+    direction: String, toleranceMicros: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -71,8 +74,9 @@ case class AsofJoinExec(
     val lOut = left.output
     val rOut = right.output
     val (lk, rk, lt, rt) = (leftKey, rightKey, leftTime, rightTime)
-    val (fwd, tol) = (forward, toleranceMicros)
-    if (tol.isDefined) timeToLong(lt.dataType) // fail fast on bad type
+    val (dir, tol) = (direction, toleranceMicros)
+    // tolerance and nearest both measure distances in the time's long form
+    if (tol.isDefined || dir == "nearest") timeToLong(lt.dataType)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
@@ -89,6 +93,9 @@ case class AsofJoinExec(
       var candidate: InternalRow = null
       var candKey: InternalRow = null
       var candTime: Long = 0L
+
+      val fwd = dir == "forward"
+      val nearest = dir == "nearest"
 
       def withinTol(probeT: InternalRow, matchT: InternalRow): Boolean =
         tol.forall { t =>
@@ -113,8 +120,8 @@ case class AsofJoinExec(
               if (rTimeRow.isNullAt(0)) {
                 rBuf.next() // null time sorts first and never matches
               } else if (!fwd) {
-                // backward: consume everything at-or-before the probe,
-                // remembering the latest as the candidate
+                // backward/nearest: consume everything at-or-before the
+                // probe, remembering the latest as the candidate
                 if (timeOrd.compare(rTimeRow, probeTime) <= 0) {
                   candKey = rKeyRow.copy()
                   candTime = asLong(rTimeRow)
@@ -132,9 +139,31 @@ case class AsofJoinExec(
               }
             } else scan = false // key ahead of the probe
           }
-          if (!fwd && candidate != null && keyOrd.compare(candKey, probeKey) == 0 &&
-              tol.forall(t => asLong(probeTime) - candTime <= t))
-            matched = candidate
+          if (!fwd) {
+            val bwdOk = candidate != null && keyOrd.compare(candKey, probeKey) == 0
+            if (!nearest) {
+              if (bwdOk && tol.forall(t => asLong(probeTime) - candTime <= t))
+                matched = candidate
+            } else {
+              // nearest: the un-consumed head is the earliest same-key quote
+              // after the probe; pick the closer side, backward on ties
+              val pT = asLong(probeTime)
+              var fwdRow: InternalRow = null
+              var fwdDist = Long.MaxValue
+              if (rBuf.hasNext) {
+                val hk = rKeyProj(rBuf.head)
+                if (!hk.isNullAt(0) && keyOrd.compare(hk, probeKey) == 0) {
+                  val ht = rTimeProj(rBuf.head)
+                  if (!ht.isNullAt(0)) { fwdRow = rBuf.head; fwdDist = asLong(ht) - pT }
+                }
+              }
+              val bwdDist = if (bwdOk) pT - candTime else Long.MaxValue
+              val (row, dist) =
+                if (bwdDist <= fwdDist) (candidate, bwdDist) else (fwdRow, fwdDist)
+              if (row != null && dist != Long.MaxValue && tol.forall(dist <= _))
+                matched = row
+            }
+          }
         }
         numOutputRows += 1
         if (matched != null) joined(l, matched) else joined(l, nullRight)

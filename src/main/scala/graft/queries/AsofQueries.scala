@@ -87,6 +87,23 @@ object AsofQueries extends QueryModule {
           col("q_ts").as("m_ts"), col("q_val").as("m_val"))
     }),
 
+    // Nearest direction (merge_asof direction='nearest'): the closer of
+    // the latest prior and earliest later same-user click, backward
+    // winning ties. Oracle: backward + forward DuckDB ASOF joins with the
+    // distance comparison replayed.
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = events(s, d)
+      val quotes = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("q_user"), col("ts").as("q_ts"))
+        .agg(max(col("value")).as("q_val"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      graft.plans.Asof.join(probes, quotes, "user_id", "q_user", "p_ts", "q_ts",
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("p_ts"),
+          col("q_ts").as("m_ts"), col("q_val").as("m_val"))
+    }),
+
     // Backward with a 1-hour tolerance (merge_asof tolerance=): a prior
     // click farther than an hour back nulls out instead of matching.
     "join_asof_tol" -> ((s, d) => {
@@ -210,6 +227,27 @@ object AsofQueries extends QueryModule {
         |p AS (SELECT event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase')
         |SELECT p.event_id, p.user_id, p.p_ts, q.q_ts AS m_ts, q.q_val AS m_val
         |FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.p_ts <= q.q_ts""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |q AS (SELECT user_id, ts AS q_ts, max(value) AS q_val
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'),
+        |b AS (SELECT p.event_id, q.q_ts, q.q_val
+        |      FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.p_ts >= q.q_ts),
+        |f AS (SELECT p.event_id, q.q_ts, q.q_val
+        |      FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.p_ts <= q.q_ts)
+        |SELECT p.event_id, p.user_id, p.p_ts,
+        |  CASE WHEN f.q_ts IS NULL THEN b.q_ts
+        |       WHEN b.q_ts IS NULL THEN f.q_ts
+        |       WHEN p.p_ts - b.q_ts <= f.q_ts - p.p_ts THEN b.q_ts ELSE f.q_ts END AS m_ts,
+        |  CASE WHEN f.q_ts IS NULL THEN b.q_val
+        |       WHEN b.q_ts IS NULL THEN f.q_val
+        |       WHEN p.p_ts - b.q_ts <= f.q_ts - p.p_ts THEN b.q_val ELSE f.q_val END AS m_val
+        |FROM p
+        |LEFT JOIN b ON p.event_id = b.event_id
+        |LEFT JOIN f ON p.event_id = f.event_id""".stripMargin,
 
     "join_asof_tol" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value

@@ -104,4 +104,26 @@ class AsofJoinSpec extends AnyFunSuite {
       (3L, null, null), // key 2 has no quotes; key 1's candidate must not leak
       (4L, 60L, "q3")))
   }
+
+  test("nearest picks the closer side, backward on ties, and honors tolerance") {
+    def runNearest(tol: Option[Long]) = Asof.join(
+      probes((1L, 10L, 1L), (1L, 14L, 2L), (1L, 16L, 3L), (2L, 5L, 4L), (3L, 5L, 5L)),
+      quotes((1L, 8L, "b"), (1L, 20L, "f"), (2L, 50L, "far_fwd")),
+      "k", "qk", "t", "qt", direction = "nearest", tolerance = tol)
+      .select(col("pid"), col("qv")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1)
+    assert(runNearest(None) === Seq(
+      (1L, "b"),       // dist 2 back vs 10 fwd
+      (2L, "b"),       // tie (6 vs 6) -> backward wins
+      (3L, "f"),       // dist 8 back vs 4 fwd
+      (4L, "far_fwd"), // only a forward quote exists
+      (5L, null)))     // key 3 has no quotes
+    assert(runNearest(Some(5L)) === Seq(
+      (1L, "b"),
+      (2L, null),      // nearest side is 6 away, beyond tolerance 5
+      (3L, "f"),
+      (4L, null),      // forward dist 45 > tolerance 5
+      (5L, null)))
+  }
 }
