@@ -126,4 +126,27 @@ class AsofJoinSpec extends AnyFunSuite {
       (4L, null),      // forward dist 45 > tolerance 5
       (5L, null)))
   }
+
+  test("multi-column by-groups via struct-packed keys (merge_asof by=[a, b])") {
+    // pandas merge_asof accepts multiple by columns; the operator's key is
+    // one attribute, so compound keys pack into a struct — RowOrdering
+    // orders structs field-by-field, which is exactly the compound-key
+    // ordering the merge needs.
+    val p = Seq((1L, "x", 10L, 1L), (1L, "y", 10L, 2L), (2L, "x", 10L, 3L))
+      .toDF("u", "g", "t", "pid")
+      .select(struct(col("u"), col("g")).as("k"), col("t"), col("pid"))
+      .repartition(3)
+    val q = Seq((1L, "x", 5L, "ux"), (1L, "y", 6L, "uy"), (2L, "z", 1L, "uz"))
+      .toDF("qu", "qg", "qt", "qv")
+      .select(struct(col("qu"), col("qg")).as("qk"), col("qt"), col("qv"))
+      .repartition(2)
+    val out = Asof.join(p, q, "k", "qk", "t", "qt")
+      .select(col("pid"), col("qv")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1)
+    assert(out === Seq(
+      (1L, "ux"),  // (1, x) matches its own group's quote
+      (2L, "uy"),  // (1, y) must not see (1, x)'s quote
+      (3L, null))) // (2, x) has no quote — (2, z) is a different group
+  }
 }
