@@ -173,6 +173,22 @@ object WindowQueries extends QueryModule {
           exp(sum(log(lit(1.0) + col("value") / 1000.0)).over(w)).as("cumprod1p"))
     }),
 
+    // The same 10-minute-gap sessionization through Spark's NATIVE
+    // session_window operator (the merging-session aggregate Structured
+    // Streaming also uses) — one hash shuffle on the user key, sessions
+    // merged inside the aggregate, no window-function pass at all. The
+    // oracle replays the gap/cumulative-sum definition, which is the
+    // session_window semantic: end = last event + gap.
+    "win_session_native" -> ((s, d) => {
+      ev(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("n_events"), col("session_value"))
+    }),
+
     // Sessionization: 10-minute inactivity gap starts a new session.
     "win_sessionize" -> ((s, d) => {
       val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -321,6 +337,26 @@ object WindowQueries extends QueryModule {
         |FROM events WHERE user_id < 30
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "win_session_native" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |g AS (
+        | SELECT user_id, ts, value,
+        |   COALESCE(CAST(ts - lag(ts, 1) OVER
+        |     (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 10 MINUTE
+        |     AS BIGINT), 0) AS new_sess,
+        |   event_id
+        | FROM e),
+        |s AS (
+        | SELECT user_id, ts, value, sum(new_sess) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM g)
+        |SELECT user_id, min(ts) AS s_start,
+        |  max(ts) + INTERVAL 10 MINUTE AS s_end,
+        |  count(*) AS n_events, sum(value) AS session_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "win_sessionize" ->
       """WITH g AS (
