@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{JaroWinkler, KmvNdv, Uuid5}
+import graft.functions.{JaroWinkler, KmvNdv, SnowflakeAliases, Uuid5}
 
 /** SparkSessionExtensions entry point — the idiomatic way to ship the
   * library's Catalyst extensions: a user adds
@@ -41,5 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, k) => KmvNdv(c, k.eval().asInstanceOf[Int])
         case _ => throw new IllegalArgumentException("kmv_ndv(hash60[, k])")
       }))
+    // Snowflake-dialect names Spark lacks (iff/div0/editdistance/…)
+    SnowflakeAliases.install(ext)
   }
 }

@@ -136,10 +136,64 @@ object FnStringQueries extends QueryModule {
         parse_url(url, lit("QUERY")).as("query"),
         parse_url(url, lit("REF")).as("ref"),
         parse_url(url, lit("QUERY"), lit("lang")).as("qlang"))
+    }),
+
+    // Snowflake-dialect names through plain spark.sql — the
+    // SnowflakeAliases layer (functions/SnowflakeAliases.scala) resolves
+    // iff/div0/square/bit*/bool*/charindex/editdistance/insert/strtok as
+    // Catalyst compositions, so reference SQL text runs verbatim.
+    // editdistance's 3-arg form keeps Snowflake cap-at-max semantics while
+    // running Spark's banded kernel underneath.
+    "fn_snowflake_sql" -> ((s, d) => {
+      graft.Tables.part(s, d).createOrReplaceTempView("part_sf")
+      s.sql("""
+        SELECT p_partkey,
+          iff(p_size > 25, 'big', 'small') AS sz,
+          div0(p_retailprice, p_partkey % 5) AS d0,
+          square(p_size) AS sq,
+          bitand(p_partkey, 255) AS ba,
+          bitor(p_partkey, 16) AS bo,
+          bitxor(p_partkey, 85) AS bx,
+          booland(p_size - 10, p_partkey % 3) AS bla,
+          boolor(p_size - p_size, p_partkey % 2) AS blo,
+          boolxor(p_partkey % 2, p_size % 2) AS blx,
+          boolnot(p_partkey % 2) AS bln,
+          charindex('a', p_name) AS ci,
+          charindex('a', p_name, 5) AS ci5,
+          editdistance(p_name, 'promo brushed steel') AS ed,
+          iff(editdistance(p_name, 'promo brushed steel', 5) < 0, 5,
+              editdistance(p_name, 'promo brushed steel', 5)) AS ed5,
+          insert(p_name, 2, 3, 'XYZ') AS ins,
+          strtok(p_type, ' -', 2) AS tok
+        FROM part_sf WHERE p_partkey % 7 = 0""")
     })
   )
 
   override def oracle: Map[String, String] = Map(
+    // charindex-with-start and INSERT are emulated (DuckDB lacks
+    // locate-with-start and OVERLAY); strtok via regex split + filter.
+    "fn_snowflake_sql" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS sz,
+        |  CASE WHEN p_partkey % 5 = 0 THEN 0.0
+        |       ELSE p_retailprice / (p_partkey % 5) END AS d0,
+        |  p_size * p_size AS sq,
+        |  p_partkey & 255 AS ba,
+        |  p_partkey | 16 AS bo,
+        |  xor(p_partkey, 85) AS bx,
+        |  (p_size - 10) <> 0 AND (p_partkey % 3) <> 0 AS bla,
+        |  (p_size - p_size) <> 0 OR (p_partkey % 2) <> 0 AS blo,
+        |  ((p_partkey % 2) <> 0) <> ((p_size % 2) <> 0) AS blx,
+        |  (p_partkey % 2) = 0 AS bln,
+        |  CAST(position('a' IN p_name) AS INTEGER) AS ci,
+        |  CAST(CASE WHEN position('a' IN substring(p_name, 5)) = 0 THEN 0
+        |       ELSE position('a' IN substring(p_name, 5)) + 4 END AS INTEGER) AS ci5,
+        |  CAST(levenshtein(p_name, 'promo brushed steel') AS INTEGER) AS ed,
+        |  CAST(least(levenshtein(p_name, 'promo brushed steel'), 5) AS INTEGER) AS ed5,
+        |  substring(p_name, 1, 1) || 'XYZ' || substring(p_name, 5) AS ins,
+        |  list_filter(string_split_regex(p_type, '[ -]'), x -> x <> '')[2] AS tok
+        |FROM part WHERE p_partkey % 7 = 0""".stripMargin,
+
     "fn_string" ->
       """SELECT p_partkey,
         |  CAST(length(p_name) AS INTEGER) AS len,

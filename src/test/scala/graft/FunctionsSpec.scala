@@ -212,6 +212,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(1).getDouble(1) === 1.5)
   }
 
+  test("snowflake aliases: strtok skips empty tokens, div0 and boolean edges") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT strtok('a  b--c', ' -', 3) AS t3,
+        |  strtok('a b', ' ', 9) AS t_oob,
+        |  div0(10.0, 0) AS dz,
+        |  booland(1, NULL) AS ba_null,
+        |  booland(0, NULL) AS ba_false,
+        |  boolnot(0) AS bn,
+        |  insert('abcdef', 2, 3, 'XY') AS ins,
+        |  charindex('c', 'abcabc', 4) AS ci""".stripMargin).head()
+    assert(r.getString(0) === "c")          // empty tokens from '  ' and '--' skipped
+    assert(r.isNullAt(1), "part beyond token count must be NULL")
+    assert(r.getDouble(2) === 0.0)
+    assert(r.isNullAt(3), "BOOLAND(1, NULL) is NULL")
+    assert(r.getBoolean(4) === false, "BOOLAND(0, NULL) is false")
+    assert(r.getBoolean(5) === true)
+    assert(r.getString(6) === "aXYef")
+    assert(r.getInt(7) === 6)
+  }
+
   test("kmv_ndv: exact below K, estimate above K, partition-invariant merge") {
     import spark.implicits._
     import graft.text.TextKernels.md5Long
