@@ -236,6 +236,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(native.sameElements(binned))
   }
 
+  test("kmv_ndv sketch partial-aggregates (map-side combine, not a raw-key shuffle)") {
+    val plan = physical("agg_kmv_ndv")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; partial +
+    // final instances = the sketch state (≤ K longs) is what shuffles,
+    // never the raw hashed keys
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate pair:\n$plan")
+  }
+
+  test("bitmap NDV pipeline keeps hash aggregation at every level") {
+    val plan = physical("agg_bitmap_ndv")
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("native as-of join matches the window composition row-for-row") {
     // two independent implementations of the same semantics must agree —
     // the strongest in-repo oracle (the DuckDB ASOF check runs driver-side).
