@@ -266,6 +266,21 @@ object AggQueries2 extends QueryModule {
             .as("within_5pct"))
     }),
 
+    // Spark 4 native LISTAGG with WITHIN GROUP (ORDER BY ...) and the
+    // DISTINCT form (ref bodo/libs/_listagg.cpp + kernels/listagg.py —
+    // Snowflake LISTAGG incl. DISTINCT and ORDER BY). agg_listagg keeps
+    // the pre-4.0 concat_ws∘sort_array composition for contrast; this is
+    // the one-aggregate native path.
+    "agg_listagg_native" -> ((s, d) => {
+      events(s, d).filter(col("user_id") < 20)
+        .groupBy(col("user_id"))
+        .agg(
+          expr("listagg(event_type, ',') WITHIN GROUP (ORDER BY event_type, event_id)")
+            .as("types_all"),
+          expr("listagg(DISTINCT event_type, '|') WITHIN GROUP (ORDER BY event_type)")
+            .as("types_distinct"))
+    }),
+
     // pd.cut-style equal-width binning into right-closed intervals — the
     // INTERVAL array representation of SURVEY §1.2 (ref
     // bodo/libs/interval_arr_ext.py:305): each value maps to (left, right]
@@ -419,6 +434,12 @@ object AggQueries2 extends QueryModule {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_exact,
         |  true AS within_5pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_listagg_native" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_type, event_id) AS types_all,
+        |  string_agg(DISTINCT event_type, '|' ORDER BY event_type) AS types_distinct
+        |FROM events WHERE user_id < 20 GROUP BY user_id""".stripMargin,
 
     "fn_cut_interval" ->
       """WITH b AS (

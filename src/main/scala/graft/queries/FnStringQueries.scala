@@ -111,6 +111,22 @@ object FnStringQueries extends QueryModule {
 
     // LIKE family (ref like_array_kernels.py, 10 fns): LIKE / ILIKE /
     // ESCAPE / LIKE ANY / LIKE ALL / NOT LIKE.
+    // Regexp long tail (ref regexp_array_kernels.py — Snowflake flag and
+    // group arguments): inline (?i) case-insensitivity, group extraction
+    // beyond group 1, backreference replace across ALL occurrences
+    // (Spark's $n syntax; DuckDB needs \n plus the 'g' option), substr/
+    // instr over the first leftmost match, and a flagged count.
+    "fn_regexp2" -> ((s, d) => {
+      customer(s, d).filter(col("c_custkey") % 4 === 0).select(
+        col("c_custkey"),
+        regexp_like(col("c_mktsegment"), lit("(?i)^mach")).as("ci_like"),
+        regexp_extract(col("c_name"), "(Customer)#(\\d+)", 2).as("grp2"),
+        regexp_replace(col("c_name"), lit("(Customer)#(\\d+)"), lit("$2-$1")).as("backref"),
+        regexp_substr(col("c_mktsegment"), lit("(?i)[a-z]{3}")).as("ci_sub"),
+        regexp_instr(col("c_name"), lit("[1-9]")).as("first_digit_pos"),
+        regexp_count(col("c_mktsegment"), lit("(?i)[aeiou]")).as("ci_vowels"))
+    }),
+
     "fn_like" -> ((s, d) => {
       part(s, d).select(
         col("p_partkey"),
@@ -193,6 +209,24 @@ object FnStringQueries extends QueryModule {
         |  substring(p_name, 1, 1) || 'XYZ' || substring(p_name, 5) AS ins,
         |  list_filter(string_split_regex(p_type, '[ -]'), x -> x <> '')[2] AS tok
         |FROM part WHERE p_partkey % 7 = 0""".stripMargin,
+
+    // DuckDB 1.0 regexp notes: matches options 'i'; replace needs 'g' to
+    // hit all occurrences and \n backrefs; case-insensitive substr
+    // emulated with an explicit [a-zA-Z] class (same output, original
+    // case); instr via position-of-first-match (leftmost-match argument:
+    // an earlier literal occurrence would itself be the leftmost match);
+    // count via len(regexp_extract_all).
+    "fn_regexp2" ->
+      """SELECT c_custkey,
+        |  regexp_matches(c_mktsegment, '^mach', 'i') AS ci_like,
+        |  regexp_extract(c_name, '(Customer)#(\d+)', 2) AS grp2,
+        |  regexp_replace(c_name, '(Customer)#(\d+)', '\2-\1', 'g') AS backref,
+        |  regexp_extract(c_mktsegment, '[a-zA-Z]{3}') AS ci_sub,
+        |  CAST(CASE WHEN regexp_extract(c_name, '[1-9]') = '' THEN 0
+        |       ELSE position(regexp_extract(c_name, '[1-9]') IN c_name) END
+        |       AS INTEGER) AS first_digit_pos,
+        |  CAST(len(regexp_extract_all(c_mktsegment, '[aeiouAEIOU]')) AS INTEGER) AS ci_vowels
+        |FROM customer WHERE c_custkey % 4 = 0""".stripMargin,
 
     "fn_string" ->
       """SELECT p_partkey,
