@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{JaroWinkler, KmvNdv, SnowflakeAliases, Uuid5}
+import graft.functions.{JaroWinkler, KmvNdv, NfcNormalize, NfkcNormalize, SnowflakeAliases, StripAccents, Uuid5}
 
 /** SparkSessionExtensions entry point — the idiomatic way to ship the
   * library's Catalyst extensions: a user adds
@@ -41,6 +41,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, k) => KmvNdv(c, k.eval().asInstanceOf[Int])
         case _ => throw new IllegalArgumentException("kmv_ndv(hash60[, k])")
       }))
+    // unicode text-normalization kernels (NFC/NFKC/accent-strip) — Spark
+    // has no builtin normalizer; these are the cleaning-pipeline folds
+    for ((name, build) <- Seq[(String, Expression => Expression)](
+        ("nfc_normalize", NfcNormalize.apply),
+        ("nfkc_normalize", NfkcNormalize.apply),
+        ("strip_accents", StripAccents.apply)))
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[NfcNormalize].getName, name),
+        (args: Seq[Expression]) => build(args.head)))
     // Snowflake-dialect names Spark lacks (iff/div0/editdistance/…)
     SnowflakeAliases.install(ext)
   }

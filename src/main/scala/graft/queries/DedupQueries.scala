@@ -62,6 +62,41 @@ object DedupQueries extends QueryModule {
       .select(col("doc_id"), md5Long(col("s")).as("sh"))
       .distinct()
 
+  /** The near-dup PAIR GRAPH (doc_i < doc_j, minhash_sim >= 0.5) — the
+    * dedup_docs_minhash result, shared with the clustering query
+    * (PipelineQueries.dedup_cluster_cc), which treats these pairs as the
+    * edge set of the duplicate graph. */
+  private[queries] def minhashPairs(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
+    val hx = shingleHashes(s, d).select(col("doc_id"), (col("sh") % P).as("x"))
+    val minAggs = PERMS.zipWithIndex.map { case ((a, b), i) =>
+      min((col("x") * a + b) % P).as(s"m$i")
+    }
+    val sig = hx.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until BANDS).map { bnd =>
+      val parts = (0 until R).map(r => col(s"m${bnd * R + r}").cast("string"))
+      md5(concat_ws("_", parts: _*)).as(s"bh$bnd")
+    }
+    val withB = sig.select(col("doc_id") +: (0 until K).map(i => col(s"m$i")) ++: bandCols: _*)
+    val stackExpr = (0 until BANDS).map(bd => s"$bd, bh$bd").mkString(", ")
+    // band rows CARRY their full signature through the bucket join, so
+    // the signature aggregate is computed once — no join-back to `sig`
+    // (which would re-run the shingle explode + 16-min agg twice more).
+    val buckets = withB.select(
+      expr(s"stack($BANDS, $stackExpr) as (band, bh)") +:
+        col("doc_id") +: (0 until K).map(i => col(s"m$i")): _*)
+    val agree = (0 until K)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        (agree / lit(K.toDouble)).as("minhash_sim"))
+      .distinct()
+      .filter(col("minhash_sim") >= 0.5)
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     // Exact dedup: content hash -> keep lowest doc_id. Map-side combine,
     // one shuffle on the hash.
@@ -114,35 +149,7 @@ object DedupQueries extends QueryModule {
     // MinHash + banded LSH: shingle -> 16 universal-hash mins (one hash agg
     // with map-side partial min) -> 4 band hashes -> candidates share a band
     // bucket -> estimated similarity from signature agreement.
-    "dedup_docs_minhash" -> ((s, d) => {
-      val hx = shingleHashes(s, d).select(col("doc_id"), (col("sh") % P).as("x"))
-      val minAggs = PERMS.zipWithIndex.map { case ((a, b), i) =>
-        min((col("x") * a + b) % P).as(s"m$i")
-      }
-      val sig = hx.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-      val bandCols = (0 until BANDS).map { bnd =>
-        val parts = (0 until R).map(r => col(s"m${bnd * R + r}").cast("string"))
-        md5(concat_ws("_", parts: _*)).as(s"bh$bnd")
-      }
-      val withB = sig.select(col("doc_id") +: (0 until K).map(i => col(s"m$i")) ++: bandCols: _*)
-      val stackExpr = (0 until BANDS).map(bd => s"$bd, bh$bd").mkString(", ")
-      // band rows CARRY their full signature through the bucket join, so
-      // the signature aggregate is computed once — no join-back to `sig`
-      // (which would re-run the shingle explode + 16-min agg twice more).
-      val buckets = withB.select(
-        expr(s"stack($BANDS, $stackExpr) as (band, bh)") +:
-          col("doc_id") +: (0 until K).map(i => col(s"m$i")): _*)
-      val agree = (0 until K)
-        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      buckets.as("a").join(buckets.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
-          (agree / lit(K.toDouble)).as("minhash_sim"))
-        .distinct()
-        .filter(col("minhash_sim") >= 0.5)
-    }),
+    "dedup_docs_minhash" -> ((s, d) => minhashPairs(s, d)),
 
     // Embedding-cosine near-dup (the fifth dedup family of the brief):
     // documents -> deterministic 8-dim embedding (llm.LlmFunctions.embed)

@@ -155,10 +155,14 @@ object IoQueries extends QueryModule {
         .repartition(8, col("c_custkey"))
         .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
         .saveAsTable(ct)
+      // sum in exact decimal (prices have 2dp) then cast back: a double sum
+      // over ~15k values accumulates ~1e-7 order-dependent error, which can
+      // flip the checker's rounded-float hash between runs
       s.table(ot).hint("merge")
         .join(s.table(ct), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
     }),
 
     // Partitioned parquet write; read-back filters one partition value so
@@ -210,7 +214,8 @@ object IoQueries extends QueryModule {
         |FROM customer WHERE c_acctbal > 5000""".stripMargin,
 
     "bucketed_join" ->
-      """SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS sum_price
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin
   )
