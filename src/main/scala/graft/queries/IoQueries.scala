@@ -155,14 +155,15 @@ object IoQueries extends QueryModule {
         .repartition(8, col("c_custkey"))
         .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
         .saveAsTable(ct)
-      // sum in exact decimal (prices have 2dp) then cast back: a double sum
-      // over ~15k values accumulates ~1e-7 order-dependent error, which can
-      // flip the checker's rounded-float hash between runs
+      // sum exact integer cents: floor(x*100) operates on the IEEE binary
+      // value identically in Spark and DuckDB, unlike double->decimal casts
+      // (Spark rounds the shortest decimal string, DuckDB the binary value,
+      // so per-row cents can differ by 1 on .005 ties and flip the hash)
       s.table(ot).hint("merge")
         .join(s.table(ct), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+          sum(floor(col("o_totalprice") * lit(100)).cast("long")).as("sum_cents"))
     }),
 
     // Partitioned parquet write; read-back filters one partition value so
@@ -215,7 +216,7 @@ object IoQueries extends QueryModule {
 
     "bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin
   )
