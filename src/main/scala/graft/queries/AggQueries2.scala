@@ -266,6 +266,37 @@ object AggQueries2 extends QueryModule {
             .as("within_5pct"))
     }),
 
+    // MERGEABLE DataSketches HLL — the incremental-stats story the flat
+    // approx_count_distinct can't tell: per-group sketches are built in
+    // one scan, PERSISTABLE as binary columns, and the corpus-wide NDV
+    // comes from hll_union_agg over the 3 group sketches WITHOUT
+    // rescanning the fact table. At 100 TB this is per-partition/per-day
+    // sketch maintenance with merge-at-query-time (the same role as the
+    // reference's Iceberg theta-sketch NDV stats; agg_kmv_ndv is the
+    // custom-aggregate variant, this is Spark's built-in one). Exact and
+    // sketch paths aggregate separately (fusing countDistinct's expand
+    // rewrite with a sketch agg triples runtime — see agg_approx_ndv);
+    // estimates are gated at 5% against exact, so the output is stable.
+    "agg_hll_sketch" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("ndv_exact"))
+      val gExact = li.agg(countDistinct(col("l_partkey")).as("ndv_exact_all"))
+      val sk = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
+      val est = sk.select(col("rf"), hll_sketch_estimate(col("sk")).as("ndv_hll"))
+      val glob = sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("ndv_union"))
+      exact.join(est, col("l_returnflag") === col("rf"))
+        .crossJoin(broadcast(glob)).crossJoin(broadcast(gExact))
+        .select(col("l_returnflag"), col("ndv_exact"),
+          (abs(col("ndv_hll") - col("ndv_exact")) / col("ndv_exact") <= 0.05)
+            .as("within_5pct"),
+          col("ndv_exact_all"),
+          (abs(col("ndv_union") - col("ndv_exact_all")) / col("ndv_exact_all") <= 0.05)
+            .as("union_within_5pct"))
+    }),
+
     // Spark 4 native LISTAGG with WITHIN GROUP (ORDER BY ...) and the
     // DISTINCT form (ref bodo/libs/_listagg.cpp + kernels/listagg.py —
     // Snowflake LISTAGG incl. DISTINCT and ORDER BY). agg_listagg keeps
@@ -433,6 +464,14 @@ object AggQueries2 extends QueryModule {
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_exact,
         |  true AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_hll_sketch" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_exact,
+        |  true AS within_5pct,
+        |  (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS ndv_exact_all,
+        |  true AS union_within_5pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "agg_listagg_native" ->

@@ -64,7 +64,7 @@ object DedupQueries extends QueryModule {
 
   /** The near-dup PAIR GRAPH (doc_i < doc_j, minhash_sim >= 0.5) — the
     * dedup_docs_minhash result, shared with the clustering query
-    * (PipelineQueries.dedup_cluster_cc), which treats these pairs as the
+    * (dedup_cluster_cc below), which treats these pairs as the
     * edge set of the duplicate graph. */
   private[queries] def minhashPairs(s: org.apache.spark.sql.SparkSession,
                                     d: String): org.apache.spark.sql.DataFrame = {
@@ -151,6 +151,23 @@ object DedupQueries extends QueryModule {
     // bucket -> estimated similarity from signature agreement.
     "dedup_docs_minhash" -> ((s, d) => minhashPairs(s, d)),
 
+    // Cluster decision step: pair generators emit EDGES, the keep/drop
+    // policy needs CLUSTERS (A~B and B~C collapse to one kept document
+    // even when A~C was never emitted). Connected components over the
+    // minhash pair graph via distributed min-label propagation
+    // (operators/ConnectedComponents: one equi-join + one min-agg per
+    // round, rounds = cluster diameter ~ constant for near-dup graphs).
+    // One row per cluster; the oracle replays the closure with a
+    // recursive CTE.
+    "dedup_cluster_cc" -> ((s, d) => {
+      val pairs = minhashPairs(s, d)
+      val comp = graft.operators.ConnectedComponents.run(
+        documents(s, d).select(col("doc_id").as("id")),
+        pairs.select(col("doc_i").as("src"), col("doc_j").as("dst")))
+      comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+    }),
+
     // Embedding-cosine near-dup (the fifth dedup family of the brief):
     // documents -> deterministic 8-dim embedding (llm.LlmFunctions.embed)
     // -> sign-LSH bucket over 8 integer hyperplanes -> candidates share a
@@ -226,6 +243,37 @@ object DedupQueries extends QueryModule {
        |sh0 AS (SELECT doc_id, unnest(${duck.shingles("w", 3)}) AS s FROM w),
        |sh AS (SELECT DISTINCT doc_id, ${duck.md5Long("s")} AS sh FROM sh0)""".stripMargin
 
+  /** Full minhash near-dup pair query (doc_i, doc_j, minhash_sim) — the
+    * dedup_docs_minhash oracle, reused verbatim as the edge generator of
+    * the dedup_cluster_cc closure oracle. */
+  private def duckMinhashPairsSql: String = {
+    val minExprs = PERMS.zipWithIndex.map { case ((a, b), i) =>
+      s"min((x * $a + $b) % $P) AS m$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until BANDS).map { bnd =>
+      val parts = (0 until R).map(r => s"m${bnd * R + r}::VARCHAR").mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, md5($parts) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until K)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $duckShingleCte,
+       |hx AS (SELECT doc_id, (sh % $P) AS x FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $minExprs
+       |  FROM hx GROUP BY doc_id),
+       |bk AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT c.doc_i, c.doc_j, ($agree) / ${K}.0 AS minhash_sim
+       |FROM cand c
+       |JOIN sig sa ON sa.doc_id = c.doc_i
+       |JOIN sig sb ON sb.doc_id = c.doc_j
+       |WHERE ($agree) / ${K}.0 >= 0.5""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
     "dedup_docs_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -251,33 +299,21 @@ object DedupQueries extends QueryModule {
          |JOIN sizes sj ON sj.doc_id = i.doc_j
          |WHERE i.inter / (si.n + sj.n - i.inter) >= 0.8""".stripMargin,
 
-    "dedup_docs_minhash" -> {
-      val minExprs = PERMS.zipWithIndex.map { case ((a, b), i) =>
-        s"min((x * $a + $b) % $P) AS m$i"
-      }.mkString(",\n    ")
-      val bandSelects = (0 until BANDS).map { bnd =>
-        val parts = (0 until R).map(r => s"m${bnd * R + r}::VARCHAR").mkString(" || '_' || ")
-        s"SELECT doc_id, $bnd AS band, md5($parts) AS bh FROM sig"
-      }.mkString("\n  UNION ALL ")
-      val agree = (0 until K)
-        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH $duckShingleCte,
-         |hx AS (SELECT doc_id, (sh % $P) AS x FROM sh),
-         |sig AS (SELECT doc_id,
-         |    $minExprs
-         |  FROM hx GROUP BY doc_id),
-         |bk AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-         |SELECT c.doc_i, c.doc_j, ($agree) / ${K}.0 AS minhash_sim
-         |FROM cand c
-         |JOIN sig sa ON sa.doc_id = c.doc_i
-         |JOIN sig sb ON sb.doc_id = c.doc_j
-         |WHERE ($agree) / ${K}.0 >= 0.5""".stripMargin
-    },
+    "dedup_docs_minhash" -> duckMinhashPairsSql,
+
+    "dedup_cluster_cc" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$duckMinhashPairsSql
+         |),
+         |e AS (SELECT doc_i AS src, doc_j AS dst FROM pairs
+         |      UNION ALL SELECT doc_j AS src, doc_i AS dst FROM pairs),
+         |walk AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, w.lab FROM walk w JOIN e ON e.src = w.id),
+         |cc AS (SELECT id, min(lab) AS component FROM walk GROUP BY id)
+         |SELECT component, CAST(count(*) AS BIGINT) AS n_members, max(id) AS max_id
+         |FROM cc GROUP BY component""".stripMargin,
 
     "dedup_docs_embedding" ->
       s"""WITH e0 AS (

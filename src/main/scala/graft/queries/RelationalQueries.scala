@@ -146,6 +146,28 @@ object RelationalQueries extends QueryModule {
       orders(s, d).sample(withReplacement = false, 0.1, seed = 42)
         .select(col("o_orderkey"), col("o_totalprice"))),
 
+    // Stratified sampling with per-stratum rates (sampleBy / the data-
+    // mixture knob of a pretraining pipeline: up-weight one language,
+    // down-weight another). Membership is decided by a deterministic
+    // 60-bit md5 hash of the row key, not rand(): the sample is exactly
+    // reproducible across runs, engines, and retries — which is what a
+    // 100-TB pipeline needs for auditable mixtures — and fully
+    // oracle-replayable. Pure narrow filter: no shuffle before the
+    // summary agg.
+    "sample_stratified" -> ((s, d) => {
+      import graft.text.TextKernels.md5Long
+      val rate = when(col("lang") === "en", 80)
+        .when(col("lang") === "de", 50)
+        .when(col("lang") === "fr", 30)
+        .otherwise(10)
+      documents(s, d)
+        .filter(md5Long(concat(lit("strat"), col("doc_id").cast("string"))) % 100 < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+    }),
+
     "union_all" -> ((s, d) => {
       val a = orders(s, d).filter(col("o_totalprice") > 400000.0)
         .select(col("o_orderkey"), col("o_orderstatus"))
@@ -186,6 +208,14 @@ object RelationalQueries extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_id
+        |FROM documents
+        |WHERE ('0x' || substring(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
+        |  CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 WHEN 'fr' THEN 30 ELSE 10 END
+        |GROUP BY lang""".stripMargin,
+
     "scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45.0 AND l_returnflag = 'R'""".stripMargin,

@@ -9,6 +9,17 @@ import graft.llm.{EchoBackend, LlmFunctions}
 /** Unit tests for the custom expressions and the LLM operator surface. */
 class FunctionsSpec extends AnyFunSuite {
 
+  test("ConnectedComponents labels chains transitively and keeps isolated nodes") {
+    import spark.implicits._
+    // 1-2-3-4 chain (1~3 never emitted), 5-6 pair, 7 isolated
+    val nodes = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val got = graft.operators.ConnectedComponents.run(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("JaroWinkler matches reference values (incl. floor-halved transpositions)") {
     val cases = Seq(
       ("small ring", "small ring", 1.0),
