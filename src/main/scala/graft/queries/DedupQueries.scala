@@ -60,7 +60,14 @@ object DedupQueries extends QueryModule {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("s"))
       .select(col("doc_id"), md5Long(col("s")).as("sh"))
-      .distinct()
+      // per-doc dedup via collect_set, NOT .distinct(): one shuffle keyed
+      // on doc_id instead of a shuffle on the (doc_id, sh) pair — and the
+      // output arrives HashPartitioning(doc_id), which downstream per-doc
+      // windows/aggs (jaccard's size count, minhash/simhash signatures
+      // after their own re-key) can consume. Set sizes are bounded by
+      // document length, so the per-group array is small by construction.
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
 
   /** The near-dup PAIR GRAPH (doc_i < doc_j, minhash_sim >= 0.5) — the
     * dedup_docs_minhash result, shared with the clustering query
