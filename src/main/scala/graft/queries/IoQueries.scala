@@ -166,6 +166,31 @@ object IoQueries extends QueryModule {
           sum(floor(col("o_totalprice") * lit(100)).cast("long")).as("sum_cents"))
     }),
 
+    // Z-order data layout (the OPTIMIZE ZORDER BY analog): interleave the
+    // bits of two cluster keys, range-bucket rows on the interleaved key,
+    // and report per-bucket min/max of BOTH dimensions. Each 4096-cell
+    // z-bucket is a 64x64 tile of the (x, y) grid, so both columns' spans
+    // are ~64 out of 1024 — parquet row-group min/max stats then skip
+    // ~15/16 of files for a predicate on EITHER column, which is the
+    // whole point of z-ordering a 100-TB table that gets filtered on two
+    // keys (a plain sort on x makes y spans useless). The interleave is
+    // pure integer bit-math, codegen'd, replayed exactly by the oracle.
+    "layout_zorder" -> ((s, d) => {
+      val bits = 10
+      def z(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        (0 until bits).map { j =>
+          shiftright(x, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j)) +
+            shiftright(y, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1))
+        }.reduce(_ + _)
+      orders(s, d)
+        .select((col("o_custkey") % 1024).as("x"), (col("o_orderkey") % 1024).as("y"))
+        .withColumn("file_bucket", shiftright(z(col("x"), col("y")), 12))
+        .groupBy(col("file_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    }),
+
     // Partitioned parquet write; read-back filters one partition value so
     // the scan is partition-pruned (directory-level, no data read).
     "parquet_partitioned" -> ((s, d) => {
@@ -213,6 +238,19 @@ object IoQueries extends QueryModule {
     "jdbc_pushdown" ->
       """SELECT c_custkey, c_acctbal
         |FROM customer WHERE c_acctbal > 5000""".stripMargin,
+
+    "layout_zorder" -> {
+      val z = (0 until 10).map { j =>
+        s"((x >> $j) & 1) * ${1L << (2 * j)} + ((y >> $j) & 1) * ${1L << (2 * j + 1)}"
+      }.mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT o_custkey % 1024 AS x, o_orderkey % 1024 AS y FROM orders),
+         |b AS (SELECT x, y, ($z) >> 12 AS file_bucket FROM t)
+         |SELECT file_bucket, count(*) AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM b GROUP BY file_bucket""".stripMargin
+    },
 
     "bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n,

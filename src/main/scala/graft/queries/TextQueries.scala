@@ -112,6 +112,33 @@ object TextQueries extends QueryModule {
           min(col("doc_id")).as("min_id"))
     }),
 
+    // Sequence packing: assign documents to fixed token-budget bins
+    // (context windows) by a running token total — the step between
+    // "clean corpus" and "training batches". Packing is greedy within
+    // (lang, shard): the shard key (64-way deterministic hash) is what
+    // makes it distributed — packing is inherently sequential per
+    // stream, so at 100 TB you run 64·|langs| independent sequential
+    // streams, one window partition each, instead of one global order
+    // (which would serialize the corpus through a single partition).
+    // Deterministic order (doc_id) + deterministic shard → the same doc
+    // lands in the same bin on every run/engine.
+    "pipeline_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512L
+      val shard = md5Long(concat(lit("pack"), col("doc_id").cast("string"))) % 64
+      val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .withColumn("ntok", nWords(words(col("text"))))
+        .withColumn("shard", shard)
+        .withColumn("bin", floor((sum(col("ntok")).over(w) - 1) / budget))
+        .groupBy(col("lang"), col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    }),
+
     // Document fingerprints: exact content hash + order-insensitive
     // bag-of-words hash (catches shuffled near-dups).
     "text_fingerprint" -> ((s, d) => {
@@ -155,6 +182,22 @@ object TextQueries extends QueryModule {
   private val stopIn = stopList.map(x => s"'$x'").mkString(", ")
 
   override def oracle: Map[String, String] = Map(
+    "pipeline_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    ('0x' || substring(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS shard
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, shard, ntok, doc_id,
+        |    CAST(floor((sum(ntok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 512.0) AS BIGINT) AS bin
+        |  FROM t)
+        |SELECT lang, shard, bin, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM b GROUP BY lang, shard, bin""".stripMargin,
+
     "text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
