@@ -41,6 +41,23 @@ object IoQueries extends QueryModule {
           min("doc_id").as("min_id"), max("source").as("max_src"))
     }),
 
+    // ORC round-trip: the other columnar format Spark ships natively
+    // (vectorized reader, predicate pushdown, column pruning — same scan
+    // machinery as parquet). Written snappy-compressed; read back with a
+    // pushed filter so the format's min/max stripe stats are exercised.
+    "orc_roundtrip" -> ((s, d) => {
+      val path = tmp(d, "orc")
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .filter(col("l_quantity") > 25.0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"))
+    }),
+
     "json_roundtrip" -> ((s, d) => {
       val path = tmp(d, "json")
       events(s, d).select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -215,6 +232,12 @@ object IoQueries extends QueryModule {
       """SELECT event_type, count(*) AS n, sum(value) AS sum_v,
         |  min(event_id) AS min_id
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  min(l_orderkey) AS min_ok
+        |FROM lineitem WHERE l_quantity > 25.0
+        |GROUP BY l_returnflag""".stripMargin,
 
     "parquet_partitioned" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty

@@ -87,6 +87,34 @@ class PlanShapeSpec extends AnyFunSuite {
       "hot-shingle set is not removed via an anti join")
   }
 
+  test("pipeline_pack_sequences windows over (lang, shard), never a single partition") {
+    // the shard key exists precisely so the packing window parallelizes;
+    // a SinglePartition exchange would mean the corpus serializes through
+    // one task at scale.
+    assert(!physical("pipeline_pack_sequences").contains("SinglePartition"),
+      "packing window collapsed to a single partition")
+  }
+
+  test("layout_zorder and orc_roundtrip aggregate map-side before the shuffle") {
+    assert(physical("layout_zorder").contains("partial_count"),
+      "no partial aggregation ahead of the z-bucket shuffle")
+    assert(physical("orc_roundtrip").contains("partial_count"),
+      "no partial aggregation ahead of the roundtrip agg shuffle")
+  }
+
+  test("orc_roundtrip pushes the filter into the ORC scan") {
+    val plan = physical("orc_roundtrip")
+    assert(plan.contains("PushedFilters: ["), "no pushed filters on the ORC scan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(l_quantity,25\\.0\\).*"),
+      "l_quantity predicate did not reach the ORC scan")
+  }
+
+  test("sample_stratified is a narrow filter + one aggregation (no join/window)") {
+    val plan = optimized("sample_stratified")
+    assert(!plan.contains("Join"), "stratified sample plans a join")
+    assert(!plan.contains("Window"), "stratified sample plans a window")
+  }
+
   test("ann_topk broadcasts the query-vector side") {
     // brute-force baseline: the 8-vector query set is broadcast; the corpus
     // streams (BroadcastNestedLoopJoin is the intended plan here).
