@@ -167,11 +167,23 @@ object DedupQueries extends QueryModule {
     // One row per cluster; the oracle replays the closure with a
     // recursive CTE.
     "dedup_cluster_cc" -> ((s, d) => {
+      // iterate ONLY over the pair graph's vertex set: docs with no
+      // near-dup edge are their own singleton component by definition and
+      // join the result in one anti-join — so the label loop's working
+      // set is the (tiny) duplicate graph, not the corpus. At 100 TB
+      // that's the difference between shuffling the whole corpus per
+      // round and shuffling a few million edge endpoints.
       val pairs = minhashPairs(s, d)
-      val comp = graft.operators.ConnectedComponents.run(
-        documents(s, d).select(col("doc_id").as("id")),
-        pairs.select(col("doc_i").as("src"), col("doc_j").as("dst")))
-      comp.groupBy(col("component"))
+        .select(col("doc_i").as("src"), col("doc_j").as("dst"))
+        .localCheckpoint() // one minhash pass feeds both edges and vertices
+      val touched = pairs.select(col("src").as("id"))
+        .union(pairs.select(col("dst").as("id"))).distinct()
+      val comp = graft.operators.ConnectedComponents.run(touched, pairs)
+      val singles = documents(s, d).select(col("doc_id").as("id"))
+        .join(broadcast(touched), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component"))
+      comp.union(singles)
+        .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
     }),
 
