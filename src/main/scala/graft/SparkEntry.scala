@@ -19,6 +19,7 @@ object SparkEntry {
     AggQueries2,
     WindowQueries,
     TextQueries,
+    PipelineQueries,
     DedupQueries,
     SimQueries,
     MultimodalQueries,

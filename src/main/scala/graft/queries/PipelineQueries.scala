@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.text.TextKernels._
+
+/** Training-data pipeline operators beyond the per-doc batteries in
+  * TextQueries: deterministic corpus splitting, data-mixture rebalancing,
+  * Gopher-style repetition signals, a corpus-LM quality proxy, and
+  * benchmark decontamination. These are the remaining steps a 100-TB
+  * pretraining pipeline runs between "raw corpus" and "training batches"
+  * (reference surface: bodo/pandas/series.py ai/text accessors; the
+  * methods themselves follow Rae et al. 2021 (Gopher) §A1 and standard
+  * eval-decontamination practice).
+  *
+  * Scale posture: every query is scan + narrow expressions + one hash agg,
+  * except where a small derived table (per-lang counts, corpus vocabulary,
+  * eval-set shingles) is joined back — those sides are broadcast by
+  * construction. All randomness is md5-hash determinism, replicated
+  * bit-for-bit by the DuckDB oracle.
+  */
+object PipelineQueries extends QueryModule {
+
+  /** Holdout fraction: doc lands in holdout iff md5("split:"+id) % 100 < 5. */
+  private val HOLD_PCT = 5
+
+  /** Decontamination n-gram width (8 is common practice; 5 here so the
+    * short synthetic fixtures still produce a meaningful shingle set). */
+  private val NGRAM = 5
+
+  override def queries: Map[String, QueryFn] = Map(
+    // Deterministic train/holdout split: a pure hash of the stable doc key
+    // decides membership, so the split is reproducible across runs, engines
+    // and repartitions (never row_number/rand — both are order-dependent).
+    // One scan, one map-side-combined agg; nothing to co-ordinate at 100 TB.
+    "pipeline_split_holdout" -> ((s, d) => {
+      val split = when(
+        md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100 < HOLD_PCT,
+        "holdout").otherwise("train")
+      documents(s, d)
+        .withColumn("split", split)
+        .withColumn("ntok", size(words(col("text"))).cast("long"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("sum_tokens"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    }),
+
+    // Data-mixture rebalance: downsample every language to the rarest
+    // language's document count (a uniform target mixture). Acceptance is
+    // EXACT integer math — keep iff hash % n_lang < n_min — so the expected
+    // kept count is n_min per language with no float thresholds to drift
+    // between engines. The per-lang count table and the 1-row min are
+    // broadcast; the corpus side stays a narrow streaming scan, so the only
+    // wide op is the final rollup. At 100 TB the counts table is |langs|
+    // rows — this is the canonical mixture-weighting shape.
+    "pipeline_mixture_resample" -> ((s, d) => {
+      val docs = documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_orig"))
+      val minCnt = counts.agg(min(col("n_orig")).as("n_min"))
+      val h = md5Long(concat(lit("mix:"), col("doc_id").cast("string")))
+      docs
+        .join(broadcast(counts), Seq("lang"))
+        .crossJoin(broadcast(minCnt))
+        .filter(h % col("n_orig") < col("n_min"))
+        .withColumn("ntok", size(words(col("text"))).cast("long"))
+        .groupBy(col("lang"))
+        .agg(first(col("n_orig")).as("n_orig"),
+          count(lit(1)).as("n_kept"),
+          sum(col("ntok")).as("kept_tokens"))
+    }),
+
+    // Gopher-style repetition signals (Rae et al. 2021 §A1): duplicate-word
+    // fraction and most-frequent-bigram mass, both pure per-row array
+    // expressions — zero shuffle, the whole query is one codegen'd scan.
+    // The per-distinct-element count is O(k²) in DOCUMENT length only,
+    // independent of corpus size.
+    "text_repetition" -> ((s, d) => {
+      val w = words(col("text"))
+      val g = shingles(w, 2)
+      val nw = size(w).cast("long")
+      val ng = size(g).cast("long")
+      val topBigram = array_max(transform(array_distinct(g),
+        x => size(filter(g, y => y === x))))
+      val dupFrac = lit(1.0) - size(array_distinct(w)).cast("double") / nw
+      val topFrac = when(ng > 0, topBigram.cast("double") / ng).otherwise(lit(0.0))
+      documents(s, d).select(
+        col("doc_id"),
+        nw.as("n_words"),
+        dupFrac.as("dup_word_frac"),
+        topFrac.as("top_bigram_frac"),
+        (topFrac > 0.1).as("repetitive"))
+    }),
+
+    // Corpus-LM quality proxy: per-document mean unigram surprisal
+    // -avg(ln p(word)) against the corpus's own unigram distribution — the
+    // cheap stand-in for a KenLM perplexity filter. The vocabulary table is
+    // the only joined side; real-corpus vocabularies are millions of rows —
+    // still broadcastable, and if not, the equi-join on `word` shuffles the
+    // token stream once and AQE picks the shape. score = ln(N) - avg(ln c_w)
+    // keeps the global token count N a 1-row broadcast instead of a
+    // per-token column.
+    "text_unigram_logprob" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      val vocab = tok.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).cast("double").as("n_total"))
+      tok
+        .join(broadcast(vocab), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), avg(log(col("cnt"))).as("avg_ln_cnt"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("n_tokens"),
+          (log(col("n_total")) - col("avg_ln_cnt")).as("avg_surprisal"))
+    }),
+
+    // Benchmark decontamination: flag training documents sharing any
+    // NGRAM-gram with the eval slice (here: every 50th doc stands in for
+    // the benchmark set). Eval shingles are DISTINCT and broadcast — a real
+    // eval suite is thousands of documents, trivially broadcastable — so
+    // the training side is a narrow scan + explode whose only wide op is
+    // the per-doc overlap count (map-side combined). Emits every training
+    // doc with its overlap count: the kept corpus is `WHERE NOT contaminated`.
+    "pipeline_decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+      val isEval = col("doc_id") % 50 === 0
+      val sh = docs
+        .select(col("doc_id"), explode(array_distinct(
+          shingles(words(col("text")), NGRAM))).as("sh"))
+      val evalSh = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("sh")).distinct()
+      val hits = sh.filter(!(col("doc_id") % 50 === 0))
+        .join(broadcast(evalSh), Seq("sh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      docs.filter(!isEval).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "pipeline_split_holdout" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CASE WHEN ${duck.md5Long("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < $HOLD_PCT
+         |         THEN 'holdout' ELSE 'train' END AS split,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         |    doc_id
+         |  FROM documents)
+         |SELECT lang, split, count(*) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM t GROUP BY lang, split""".stripMargin,
+
+    "pipeline_mixture_resample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_orig FROM documents GROUP BY lang),
+         |m AS (SELECT min(n_orig) AS n_min FROM c),
+         |k AS (
+         |  SELECT d.lang, c.n_orig,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok
+         |  FROM documents d JOIN c USING (lang) CROSS JOIN m
+         |  WHERE ${duck.md5Long("'mix:' || CAST(d.doc_id AS VARCHAR)")} % c.n_orig < m.n_min)
+         |SELECT lang, CAST(any_value(n_orig) AS BIGINT) AS n_orig,
+         |  count(*) AS n_kept, CAST(sum(ntok) AS BIGINT) AS kept_tokens
+         |FROM k GROUP BY lang""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |u AS (
+         |  SELECT doc_id, w, ${duck.shingles("w", 2)} AS g FROM t)
+         |SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac,
+         |  CASE WHEN len(g) > 0 THEN
+         |    CAST(list_max(list_transform(list_distinct(g),
+         |      x -> len(list_filter(g, y -> y = x)))) AS DOUBLE) / len(g)
+         |  ELSE 0.0 END AS top_bigram_frac,
+         |  (CASE WHEN len(g) > 0 THEN
+         |    CAST(list_max(list_transform(list_distinct(g),
+         |      x -> len(list_filter(g, y -> y = x)))) AS DOUBLE) / len(g)
+         |  ELSE 0.0 END) > 0.1 AS repetitive
+         |FROM u""".stripMargin,
+
+    "text_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |vocab AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+        |total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM vocab)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  ln(any_value(total.n_total)) - avg(ln(v.cnt)) AS avg_surprisal
+        |FROM tok t JOIN vocab v USING (word) CROSS JOIN total
+        |GROUP BY t.doc_id""".stripMargin,
+
+    "pipeline_decontaminate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${duck.shingles("w", NGRAM)}) AS sh FROM t),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         |hits AS (
+         |  SELECT s.doc_id, count(*) AS n_shared
+         |  FROM sh s JOIN ev USING (sh)
+         |  WHERE s.doc_id % 50 <> 0
+         |  GROUP BY s.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+         |  coalesce(h.n_shared, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 50 <> 0""".stripMargin
+  )
+}

@@ -115,6 +115,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "stratified sample plans a window")
   }
 
+  test("pipeline_split_holdout is a narrow hash split + one aggregation (no join/window)") {
+    val plan = optimized("pipeline_split_holdout")
+    assert(!plan.contains("Join"), "hash split plans a join")
+    assert(!plan.contains("Window"), "hash split plans a window")
+  }
+
+  test("text_repetition is a pure narrow scan (zero exchanges)") {
+    val df = SparkEntry.queries("text_repetition")(spark, sf)
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "per-row repetition signals triggered a shuffle")
+  }
+
+  test("pipeline_mixture_resample broadcasts the per-lang count table") {
+    assert(physical("pipeline_mixture_resample").contains("BroadcastHashJoin"),
+      "mixture acceptance join did not broadcast the counts side")
+  }
+
+  test("pipeline_decontaminate broadcasts eval shingles, never a cross product") {
+    val plan = physical("pipeline_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval-shingle overlap join did not broadcast")
+    assert(!plan.contains("CartesianProduct"), "decontamination planned a cross product")
+  }
+
+  test("text_unigram_logprob broadcasts the vocabulary side") {
+    assert(physical("text_unigram_logprob").contains("BroadcastHashJoin"),
+      "token->vocabulary join did not broadcast")
+  }
+
   test("ann_topk broadcasts the query-vector side") {
     // brute-force baseline: the 8-vector query set is broadcast; the corpus
     // streams (BroadcastNestedLoopJoin is the intended plan here).
