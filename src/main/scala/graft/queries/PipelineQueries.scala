@@ -144,6 +144,60 @@ object PipelineQueries extends QueryModule {
           (log(col("n_total")) - col("avg_ln_cnt")).as("avg_surprisal"))
     }),
 
+    // Incremental ingest dedup: today's batch (doc_id % 10 = 0 stands in)
+    // checked against the standing corpus by content fingerprint — the
+    // daily job that keeps a growing corpus duplicate-free without
+    // re-deduping history. The key is the bag-of-words fingerprint (the
+    // order-insensitive hash that actually collides on reshuffled copies;
+    // an exact-text md5 admits trivial permutation dups). Both sides
+    // reduce to (hash) keys before the join, so the shuffle moves 16-byte
+    // digests, not documents; the corpus side is pre-aggregated (one row
+    // per distinct hash). A left join marks batch docs already present;
+    // the output is the batch admission decision.
+    "pipeline_incremental_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      val fp = md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), fp.as("h"))
+      val corpus = docs.filter(!(col("doc_id") % 10 === 0))
+        .select(fp.as("h")).distinct()
+        .withColumn("seen", lit(1L))
+      batch.join(corpus, Seq("h"), "left")
+        .groupBy((col("seen").isNotNull).as("already_in_corpus"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    }),
+
+    // Per-language median quality gate: score every document (the
+    // text_quality formula), take each language's EXACT median in a
+    // per-lang aggregate (tiny result, broadcast back), keep documents
+    // strictly above their language's median. The two-pass adaptive-
+    // threshold filter every curated corpus uses — thresholds derived
+    // from the data, not hard-coded. Corpus scans twice, but the second
+    // pass joins only against |langs| broadcast rows.
+    "pipeline_quality_gate" -> ((s, d) => {
+      val w = words(col("text"))
+      val nt = size(w).cast("long")
+      val inList = Seq("the", "a", "of", "and", "in").map(x => s"'$x'").mkString(", ")
+      val nstop = size(expr(s"filter(split(text, ' '), x -> x IN ($inList))")).cast("long")
+      val lenScore = least(col("n_chars") / 400.0, lit(1.0))
+      val stopRatio = nstop.cast("double") / nt
+      val meanWl = (col("n_chars") - (nt - 1)) / nt
+      val shapeOk = when(meanWl >= 3.0 && meanWl <= 8.0, 1.0).otherwise(0.0)
+      val score = lenScore * 0.4 + stopRatio * 2.0 * 0.3 + shapeOk * 0.3
+      val scored = documents(s, d).select(
+        col("doc_id"), col("lang"), score.as("quality"))
+      val med = scored.groupBy(col("lang"))
+        .agg(expr("percentile(quality, 0.5)").as("med_q"))
+      scored.join(broadcast(med), Seq("lang"))
+        .filter(col("quality") > col("med_q"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          avg(col("quality")).as("avg_kept_quality"),
+          first(col("med_q")).as("med_q"))
+    }),
+
     // Benchmark decontamination: flag training documents sharing any
     // NGRAM-gram with the eval slice (here: every 50th doc stands in for
     // the benchmark set). Eval shingles are DISTINCT and broadcast — a real
@@ -231,6 +285,39 @@ object PipelineQueries extends QueryModule {
         |  ln(any_value(total.n_total)) - avg(ln(v.cnt)) AS avg_surprisal
         |FROM tok t JOIN vocab v USING (word) CROSS JOIN total
         |GROUP BY t.doc_id""".stripMargin,
+
+    "pipeline_incremental_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+        |  FROM documents),
+        |batch AS (SELECT doc_id, h FROM f WHERE doc_id % 10 = 0),
+        |corpus AS (SELECT DISTINCT h FROM f WHERE doc_id % 10 <> 0)
+        |SELECT (corpus.h IS NOT NULL) AS already_in_corpus,
+        |  count(*) AS n_docs, min(batch.doc_id) AS min_id, max(batch.doc_id) AS max_id
+        |FROM batch LEFT JOIN corpus ON batch.h = corpus.h
+        |GROUP BY 1""".stripMargin,
+
+    "pipeline_quality_gate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop,
+         |    len(string_split(text, ' ')) AS nt
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    least(n_chars / 400.0, 1.0) * 0.4
+         |    + (n_stop / nt) * 2.0 * 0.3
+         |    + (CASE WHEN (n_chars - (nt - 1)) / nt >= 3.0
+         |             AND (n_chars - (nt - 1)) / nt <= 8.0 THEN 1.0 ELSE 0.0 END) * 0.3
+         |      AS quality
+         |  FROM t),
+         |med AS (SELECT lang, quantile_cont(quality, 0.5) AS med_q FROM sc GROUP BY lang)
+         |SELECT sc.lang, count(*) AS n_kept, avg(sc.quality) AS avg_kept_quality,
+         |  any_value(med.med_q) AS med_q
+         |FROM sc JOIN med USING (lang)
+         |WHERE sc.quality > med.med_q
+         |GROUP BY sc.lang""".stripMargin,
 
     "pipeline_decontaminate" ->
       s"""WITH t AS (

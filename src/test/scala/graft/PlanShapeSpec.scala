@@ -147,6 +147,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "token->vocabulary join did not broadcast")
   }
 
+  test("pipeline_quality_gate broadcasts the per-lang median table") {
+    assert(physical("pipeline_quality_gate").contains("BroadcastHashJoin"),
+      "median-threshold join did not broadcast")
+  }
+
   test("ann_topk broadcasts the query-vector side") {
     // brute-force baseline: the 8-vector query set is broadcast; the corpus
     // streams (BroadcastNestedLoopJoin is the intended plan here).
