@@ -79,6 +79,58 @@ object WindowQueries extends QueryModule {
       // oracle's arg_max/arg_min FILTER replicate
     }),
 
+    // pandas NA-handling family over a per-user time series (ref
+    // bodo/hiframes/series_impl.py fillna/ffill/bfill/diff/pct_change/clip
+    // overloads): ffill/bfill are ignore-nulls running last/first, fillna
+    // with the group mean is coalesce against a partition aggregate, and
+    // diff/pct_change are lag arithmetic — all inside the same two-key
+    // window, one shuffle total.
+    "win_pandas_fill" -> ((s, d) => {
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+      val ff = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val grp = Window.partitionBy(col("user_id"))
+      val lag1 = lag(col("v"), 1).over(w)
+      ev(s, d).filter(col("user_id") < 30)
+        .withColumn("rn", row_number().over(byTs).cast("long"))
+        .withColumn("v", when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+        .select(col("user_id"), col("rn"), col("v"),
+          last(col("v"), ignoreNulls = true).over(ff).as("ffill"),
+          first(col("v"), ignoreNulls = true).over(bf).as("bfill"),
+          (col("v") - lag1).as("diff1"),
+          ((col("v") - lag1) / nullif(lag1, lit(0.0))).as("pct_change"),
+          least(greatest(col("value"), lit(25.0)), lit(75.0)).as("clipped"),
+          coalesce(col("v"), avg(col("v")).over(grp)).as("fill_mean"))
+    }),
+
+    // Linear interpolation of interior null runs (pandas
+    // Series.interpolate): bracket each null with the nearest non-null
+    // on both sides — running max/arg_max of (rn, v) over the preceding
+    // frame, min/arg_min over the following — then one row-local linear
+    // blend. Leading nulls stay null; trailing nulls carry the last
+    // known value. Same one-shuffle window as the fill family.
+    "win_interpolate" -> ((s, d) => {
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+      val ff = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val nnRn = when(col("v").isNotNull, col("rn"))
+      val interp = when(col("v").isNotNull, col("v"))
+        .when(col("prn").isNull, lit(null))
+        .when(col("nrn").isNull, col("pv"))
+        .otherwise(col("pv") +
+          (col("nv") - col("pv")) * (col("rn") - col("prn")) / (col("nrn") - col("prn")))
+      ev(s, d).filter(col("user_id") < 30)
+        .withColumn("rn", row_number().over(byTs).cast("long"))
+        .withColumn("v", when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(ff))
+        .withColumn("prn", max(nnRn).over(ff))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(bf))
+        .withColumn("nrn", min(nnRn).over(bf))
+        .select(col("user_id"), col("rn"), col("v"), interp.as("v_interp"))
+    }),
+
     // Framed aggregates: running + moving (ROWS frames).
     "win_frames" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -203,6 +255,53 @@ object WindowQueries extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "win_pandas_fill" ->
+      """WITH b AS (
+        |  SELECT user_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT) AS rn,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        |  FROM events WHERE user_id < 30)
+        |SELECT user_id, rn, v,
+        |  arg_max(v, rn) FILTER (WHERE v IS NOT NULL) OVER
+        |    (PARTITION BY user_id ORDER BY rn
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+        |  arg_min(v, rn) FILTER (WHERE v IS NOT NULL) OVER
+        |    (PARTITION BY user_id ORDER BY rn
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill,
+        |  v - lag(v) OVER w AS diff1,
+        |  (v - lag(v) OVER w) / nullif(lag(v) OVER w, 0.0) AS pct_change,
+        |  least(greatest(value, 25.0), 75.0) AS clipped,
+        |  coalesce(v, avg(v) OVER (PARTITION BY user_id)) AS fill_mean
+        |FROM b
+        |WINDOW w AS (PARTITION BY user_id ORDER BY rn)""".stripMargin,
+
+    "win_interpolate" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT) AS rn,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        |  FROM events WHERE user_id < 30),
+        |c AS (
+        |  SELECT user_id, rn, v,
+        |    arg_max(v, rn) FILTER (WHERE v IS NOT NULL) OVER pre AS pv,
+        |    max(CASE WHEN v IS NOT NULL THEN rn END) OVER pre AS prn,
+        |    arg_min(v, rn) FILTER (WHERE v IS NOT NULL) OVER post AS nv,
+        |    min(CASE WHEN v IS NOT NULL THEN rn END) OVER post AS nrn
+        |  FROM b
+        |  WINDOW
+        |    pre AS (PARTITION BY user_id ORDER BY rn
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    post AS (PARTITION BY user_id ORDER BY rn
+        |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, rn, v,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN prn IS NULL THEN NULL
+        |       WHEN nrn IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * (rn - prn) / (nrn - prn) END AS v_interp
+        |FROM c""".stripMargin,
+
     "win_nav_ignore_nulls" ->
       """WITH b AS (
         |  SELECT user_id,
