@@ -152,6 +152,33 @@ object AggQueries extends QueryModule {
         .agg(sum(col("o_totalprice")))
     }),
 
+    // pd.crosstab: the count-valued pivot (frequency table of two
+    // categoricals) — same Expand-free pivot plan, count aggregate.
+    "agg_crosstab" -> ((s, d) => {
+      orders(s, d).groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // df.describe(): per-column count/mean/std/min/max, emitted LONG (one
+    // row per metric-column pair) so the schema stays uniform-typed — the
+    // same reshape summary() performs internally.
+    "agg_describe" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        cols.flatMap(c => Seq(
+          avg(col(c)).as(s"mean_$c"), stddev_samp(col(c)).as(s"std_$c"),
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+      val stacked = cols.map { c =>
+        aggs.select(lit(c).as("column"), col("n"),
+          col(s"mean_$c").as("mean"), col(s"std_$c").as("std"),
+          col(s"min_$c").as("min"), col(s"max_$c").as("max"))
+      }.reduce(_ unionByName _)
+      stacked
+    }),
+
     // UNPIVOT / melt.
     "agg_unpivot" -> ((s, d) => {
       customer(s, d)
@@ -280,6 +307,29 @@ object AggQueries extends QueryModule {
         | sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS "O",
         | sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS "P"
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "agg_crosstab" ->
+      """SELECT o_orderpriority,
+        | CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+        | CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+        | CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "agg_describe" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    avg(l_quantity) AS mean_q, stddev_samp(l_quantity) AS std_q,
+        |    min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        |    avg(l_extendedprice) AS mean_p, stddev_samp(l_extendedprice) AS std_p,
+        |    min(l_extendedprice) AS min_p, max(l_extendedprice) AS max_p,
+        |    avg(l_discount) AS mean_d, stddev_samp(l_discount) AS std_d,
+        |    min(l_discount) AS min_d, max(l_discount) AS max_d
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS "column", n, mean_q AS mean, std_q AS std, min_q AS min, max_q AS max FROM a
+        |UNION ALL
+        |SELECT 'l_extendedprice', n, mean_p, std_p, min_p, max_p FROM a
+        |UNION ALL
+        |SELECT 'l_discount', n, mean_d, std_d, min_d, max_d FROM a""".stripMargin,
 
     "agg_unpivot" ->
       """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS val FROM customer
