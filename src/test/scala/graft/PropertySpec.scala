@@ -61,6 +61,77 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // -- native as-of join vs brute force on random series --------------------
+
+  test("AsofJoinExec matches brute force for all directions and tolerance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val probes = Seq.fill(60)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(200).toLong)).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+      val quotes = Seq.fill(40)((rnd.nextInt(4).toLong, rnd.nextInt(200).toLong))
+        .distinct.map { case (k, t) => (k, t, k * 1000 + t) }
+      val pDf = probes.toDF("pid", "pk", "pt").repartition(5)
+      val qDf = quotes.toDF("qk", "qt", "qv").repartition(3)
+      for (dir <- Seq("backward", "forward", "nearest");
+           tol <- Seq(None, Some(15L))) {
+        val got = graft.plans.Asof
+          .join(pDf, qDf, "pk", "qk", "pt", "qt", dir, tol)
+          .select(col("pid"), col("qv")).collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toMap
+        val expected = probes.map { case (pid, pk, pt) =>
+          val cand = quotes.filter(_._1 == pk)
+          val pick = dir match {
+            case "backward" => cand.filter(_._2 <= pt).sortBy(_._2).lastOption
+            case "forward"  => cand.filter(_._2 >= pt).sortBy(_._2).headOption
+            case "nearest"  =>
+              val b = cand.filter(_._2 <= pt).sortBy(_._2).lastOption
+              val f = cand.filter(_._2 >= pt).sortBy(_._2).headOption
+              (b, f) match {
+                case (Some(x), Some(y)) =>
+                  if (pt - x._2 <= y._2 - pt) Some(x) else Some(y) // backward wins ties
+                case (x, y) => x.orElse(y)
+              }
+          }
+          val kept = pick.filter(q => tol.forall(tl => math.abs(q._2 - pt) <= tl))
+          pid -> kept.map(_._3)
+        }.toMap
+        assert(got === expected, s"trial=$trial dir=$dir tol=$tol")
+      }
+    }
+  }
+
+  // -- native interval join vs brute force on random ranges -----------------
+
+  test("IntervalJoinExec matches brute force on random points and intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val points = Seq.fill(50)(rnd.nextInt(100).toLong).zipWithIndex
+        .map { case (t, i) => (t, i.toLong) }
+      val ivs = Seq.fill(20) {
+        val a = rnd.nextInt(100).toLong; val b = a + 1 + rnd.nextInt(30)
+        (a, b, s"iv${rnd.nextInt(1000)}")
+      }.distinct
+      val pDf = points.toDF("pt", "pid").repartition(4)
+      val iDf = ivs.toDF("t0", "t1", "iv").repartition(3)
+      for (si <- Seq(true, false); ei <- Seq(true, false)) {
+        val got = graft.plans.Interval
+          .join(pDf, iDf, "pt", "t0", "t1", si, ei)
+          .select(col("pid"), col("iv")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        val expected = (for {
+          (t, pid) <- points
+          (a, b, iv) <- ivs
+          if (if (si) t >= a else t > a) && (if (ei) t <= b else t < b)
+        } yield (pid, iv)).sorted
+        assert(got === expected, s"trial=$trial si=$si ei=$ei")
+      }
+    }
+  }
+
   // -- sorted-run max == max element frequency (text_repetition kernel) -----
 
   test("longest equal-run of a sorted array equals the max element frequency") {
