@@ -30,6 +30,31 @@ object EchoBackend extends GenBackend {
     prompts.map(s => s"echo:${s.take(24)}:${s.length}")
 }
 
+/** Retry decorator for flaky endpoints: exponential backoff with full
+  * jitter-free doubling (deterministic), at most `maxRetries` re-attempts
+  * per batch. Composes around any backend — the operator itself stays
+  * oblivious to transport failures, mirroring how the reference isolates
+  * endpoint retries from the batched-call plumbing. The sleep is
+  * injectable so tests run without wall-clock delays. */
+final class RetryBackend(inner: GenBackend, maxRetries: Int = 3,
+                         baseDelayMs: Long = 200,
+                         sleep: Long => Unit = Thread.sleep)
+    extends GenBackend {
+  def generate(prompts: Seq[String]): Seq[String] = {
+    var attempt = 0
+    while (true) {
+      try return inner.generate(prompts)
+      catch {
+        case e: Exception =>
+          if (attempt >= maxRetries) throw e
+          sleep(baseDelayMs << attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 object LlmFunctions {
   /** BPE-ish tokenizer: whitespace pieces hashed into a 50257-id vocab
     * (GPT-2-sized). Deterministic md5-based ids so the oracle can replay. */

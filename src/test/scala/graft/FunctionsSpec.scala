@@ -205,6 +205,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows.forall { case (_, t, g) => g === s"echo:${t.take(24)}:${t.length}" })
   }
 
+  test("RetryBackend retries with exponential backoff and surfaces exhaustion") {
+    class Flaky(failFirst: Int) extends graft.llm.GenBackend {
+      var calls = 0
+      def generate(ps: Seq[String]): Seq[String] = {
+        calls += 1
+        if (calls <= failFirst) throw new RuntimeException(s"transient $calls")
+        ps.map("ok:" + _)
+      }
+    }
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flaky = new Flaky(2)
+    val r = new graft.llm.RetryBackend(flaky, maxRetries = 3,
+      baseDelayMs = 100, sleep = delays.append(_))
+    assert(r.generate(Seq("a", "b")) === Seq("ok:a", "ok:b"))
+    assert(flaky.calls === 3)
+    assert(delays.toSeq === Seq(100L, 200L)) // doubling backoff
+    val dead = new graft.llm.RetryBackend(new Flaky(10), maxRetries = 2,
+      baseDelayMs = 1, sleep = _ => ())
+    val ex = intercept[RuntimeException](dead.generate(Seq("x")))
+    assert(ex.getMessage === "transient 3") // 1 try + 2 retries, then thrown
+  }
+
   test("as-of composition: probe with no prior quote keeps null match") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
