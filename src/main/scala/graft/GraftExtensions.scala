@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{JaroWinkler, KmvNdv, NfcNormalize, NfkcNormalize, SnowflakeAliases, StripAccents, Uuid5}
+import graft.functions.{JaroWinkler, KmvNdv, MisraGries, NfcNormalize, NfkcNormalize, SnowflakeAliases, StripAccents, Uuid5}
 
 /** SparkSessionExtensions entry point — the idiomatic way to ship the
   * library's Catalyst extensions: a user adds
@@ -40,6 +40,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => KmvNdv(c)
         case Seq(c, k) => KmvNdv(c, k.eval().asInstanceOf[Int])
         case _ => throw new IllegalArgumentException("kmv_ndv(hash60[, k])")
+      }))
+    // mg_topk_candidates(expr[, capacity]) — Misra-Gries heavy-hitter
+    // candidate set (bounded, mergeable; pair with an exact re-count)
+    ext.injectFunction((
+      FunctionIdentifier("mg_topk_candidates"),
+      new ExpressionInfo(classOf[MisraGries].getName, "mg_topk_candidates"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => MisraGries(c)
+        case Seq(c, k) => MisraGries(c, k.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException("mg_topk_candidates(expr[, capacity])")
       }))
     // unicode text-normalization kernels (NFC/NFKC/accent-strip) — Spark
     // has no builtin normalizer; these are the cleaning-pipeline folds

@@ -122,6 +122,32 @@ object PipelineQueries extends QueryModule {
         .limit(25)
     }),
 
+    // Heavy-hitter tokens via the two-pass Misra-Gries pattern: pass 1
+    // sketches candidates with a BOUNDED mergeable summary (64 entries
+    // shuffle per partition, never the token-frequency table) —
+    // functions/MisraGries.scala guarantees every item with frequency
+    // > N/65 survives any merge order; pass 2 exact-counts only the ≤ 64
+    // broadcast candidates and keeps cnt·30 > N (integer math, no float
+    // threshold). The result is exactly the true heavy hitters,
+    // independent of partitioning — at 100 TB this is how you find hot
+    // keys/stop-words without a full vocabulary shuffle. The oracle
+    // verifies against the exact definition — the guarantee, not the
+    // sketch, is the contract.
+    "agg_heavy_hitters" -> ((s, d) => {
+      val tok = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(words(col("text"))).as("w"))
+      val cand = tok.agg(expr("mg_topk_candidates(w, 64)").as("cands"))
+        .select(explode(col("cands")).as("w"))
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      tok.join(broadcast(cand), Seq("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * 30 > col("n_total"))
+        .select(col("w"), col("cnt"), col("n_total"))
+    }),
+
     // Corpus-LM quality proxy: per-document mean unigram surprisal
     // -avg(ln p(word)) against the corpus's own unigram distribution — the
     // cheap stand-in for a KenLM perplexity filter. The vocabulary table is
@@ -275,6 +301,14 @@ object PipelineQueries extends QueryModule {
          |g AS (SELECT unnest(${duck.shingles("w", 3)}) AS ngram FROM t)
          |SELECT ngram, count(*) AS n FROM g GROUP BY ngram
          |ORDER BY n DESC, ngram LIMIT 25""".stripMargin,
+
+    "agg_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM tok),
+        |c AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w)
+        |SELECT c.w, c.cnt, tot.n_total
+        |FROM c CROSS JOIN tot WHERE c.cnt * 30 > tot.n_total""".stripMargin,
 
     "text_unigram_logprob" ->
       """WITH tok AS (

@@ -132,6 +132,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // -- Misra-Gries candidate guarantee on random skewed streams -------------
+
+  test("mg_topk_candidates contains every item above the N/(cap+1) guarantee") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 4) {
+      // zipf-ish stream over a vocabulary larger than the sketch capacity
+      val vocabN = 40
+      val items = Seq.fill(3000) {
+        val r = rnd.nextDouble()
+        val id = if (r < 0.3) 0 else if (r < 0.45) 1 else rnd.nextInt(vocabN)
+        s"tok$id"
+      }
+      val cap = 8
+      val n = items.size
+      val exact = items.groupBy(identity).view.mapValues(_.size).toMap
+      val mustFind = exact.filter { case (_, c) => c > n / (cap + 1) }.keySet
+      val cands = items.toDF("w").repartition(7)
+        .selectExpr(s"mg_topk_candidates(w, $cap) AS c")
+        .as[Seq[String]].head().toSet
+      assert(cands.size <= cap, s"trial=$trial sketch overflowed: ${cands.size}")
+      assert(mustFind.subsetOf(cands),
+        s"trial=$trial missed guaranteed heavy hitters: ${mustFind -- cands}")
+    }
+  }
+
   // -- sorted-run max == max element frequency (text_repetition kernel) -----
 
   test("longest equal-run of a sorted array equals the max element frequency") {
