@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   * until the fixpoint — one cheap scalar agg replaces a changed-rows
   * anti-join.
   *
-  * Scale posture: rounds = graph diameter. Near-dup clusters are
-  * overwhelmingly small and star-shaped (diameter ≤ ~4 even at corpus
-  * scale), so the bound is effectively constant; a pathological chain
-  * would call for the alternating large-star/small-star variant
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
-  * which this loop structure accommodates without new machinery.
+  * Each round interleaves a POINTER-DOUBLING step — label(v) ←
+  * label(label(v)), one self-join of the label table — so label paths
+  * halve every round and convergence is O(log diameter), not
+  * O(diameter) (the same compression trick as the large-star/small-star
+  * scheme of Kiveris et al., "Connected Components in MapReduce and
+  * Beyond"). A pathological million-node chain converges in ~20 rounds;
+  * without compression it would need a million (and a bounded loop
+  * would silently mislabel it — pinned by the 200-node-path test).
   * localCheckpoint truncates lineage each round so plan depth (and
   * re-analysis cost) stays O(1) across iterations instead of O(rounds).
   */
@@ -54,8 +56,15 @@ object ConnectedComponents {
       prevSum = curSum
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
-      labels = labels.union(prop)
+      val relabeled = labels.union(prop)
         .groupBy("id").agg(min("component").as("component"))
+      // pointer doubling: follow each label one more hop through the
+      // label table itself (left join — roots keep their own label).
+      // Halves every label-chain per round => O(log diameter) rounds.
+      val hop = relabeled.select(col("id").as("cid"), col("component").as("cc"))
+      labels = relabeled.join(hop, relabeled("component") === hop("cid"), "left")
+        .select(relabeled("id"),
+          coalesce(col("cc"), relabeled("component")).as("component"))
         .localCheckpoint()
       curSum = labelSum(labels)
       it += 1

@@ -61,6 +61,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ConnectedComponents collapses a 200-node path within the round budget") {
+    // diameter 199 >> maxIter: only the pointer-doubling step makes this
+    // converge (O(log n) rounds); without it the loop would silently
+    // mislabel the tail of the chain.
+    import spark.implicits._
+    val n = 200L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = graft.operators.ConnectedComponents.run(nodes, edges)
+      .as[(Long, Long)].collect()
+    assert(got.length === n)
+    assert(got.forall(_._2 == 0L), "path did not collapse to a single component")
+  }
+
   // -- native as-of join vs brute force on random series --------------------
 
   test("AsofJoinExec matches brute force for all directions and tolerance") {
