@@ -146,6 +146,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // -- MergeInto vs brute-force merge on random tables ----------------------
+
+  test("MergeInto matches a brute-force merge on random target/source tables") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 4; del <- Seq(true, false)) {
+      val target = Seq.fill(30)((rnd.nextInt(40).toLong, rnd.nextInt(100).toLong))
+        .distinctBy(_._1)
+      val source = Seq.fill(20)((rnd.nextInt(40).toLong, rnd.nextInt(100).toLong))
+        .distinctBy(_._1)
+      val got = graft.operators.MergeInto.merge(
+          target.toDF("k", "v").repartition(4),
+          source.toDF("k", "v").repartition(3),
+          "k", Seq("v"),
+          whenMatched = c => col(s"s_$c") + col(s"t_$c"), // update: sum both sides
+          whenNotMatched = c => col(s"s_$c"),             // insert: source value
+          deleteNotMatchedBySource = del)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val tm = target.toMap
+      val sm = source.toMap
+      val expected = ((tm.keySet ++ sm.keySet).toSeq.flatMap { k =>
+        (tm.get(k), sm.get(k)) match {
+          case (Some(tv), Some(sv)) => Some(k -> (tv + sv)) // matched: update
+          case (None, Some(sv))     => Some(k -> sv)        // source-only: insert
+          case (Some(tv), None)     => if (del) None else Some(k -> tv)
+          case (None, None)         => None
+        }
+      }).sorted
+      assert(got === expected, s"trial=$trial delete=$del")
+    }
+  }
+
+  test("MergeInto raises on ambiguous source keys") {
+    import spark.implicits._
+    val target = Seq((1L, 10L)).toDF("k", "v")
+    val dupSource = Seq((1L, 1L), (1L, 2L)).toDF("k", "v")
+    val ex = intercept[Exception] {
+      graft.operators.MergeInto.merge(target, dupSource, "k", Seq("v"),
+        c => col(s"s_$c"), c => col(s"s_$c"), deleteNotMatchedBySource = false)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("multiple source rows match")),
+      s"unexpected error: ${messages(ex).mkString(" | ")}")
+  }
+
   // -- Misra-Gries candidate guarantee on random skewed streams -------------
 
   test("mg_topk_candidates contains every item above the N/(cap+1) guarantee") {
