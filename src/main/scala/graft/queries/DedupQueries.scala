@@ -50,7 +50,7 @@ object DedupQueries extends QueryModule {
     * instead of a ~25-byte string. The oracle applies the identical md5
     * reduction, so results match bit-for-bit (a 60-bit collision would
     * alter both engines identically, and is vanishingly unlikely anyway). */
-  private def shingleHashes(s: org.apache.spark.sql.SparkSession, d: String) =
+  private def shingleSets(s: org.apache.spark.sql.SparkSession, d: String) =
     documents(s, d)
       // the fixture is one parquet split, which would serialize the
       // explode+md5 work onto a single core; a production corpus scan has
@@ -63,11 +63,47 @@ object DedupQueries extends QueryModule {
       // per-doc dedup via collect_set, NOT .distinct(): one shuffle keyed
       // on doc_id instead of a shuffle on the (doc_id, sh) pair — and the
       // output arrives HashPartitioning(doc_id), which downstream per-doc
-      // windows/aggs (jaccard's size count, minhash/simhash signatures
-      // after their own re-key) can consume. Set sizes are bounded by
-      // document length, so the per-group array is small by construction.
+      // aggs (minhash/simhash signatures after their own re-key) can
+      // consume, and whose size(shs) IS the per-doc shingle count — free,
+      // no window or second agg needed. Set sizes are bounded by document
+      // length, so the per-group array is small by construction.
       .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
+
+  private def shingleHashes(s: org.apache.spark.sql.SparkSession, d: String) =
+    shingleSets(s, d).select(col("doc_id"), explode(col("shs")).as("sh"))
+
+  /** Capped shingle rows (doc_id, sh, n) for the exact-Jaccard self-join —
+    * n is the CAPPED per-doc set size.
+    *
+    * df-cap guard (see DFCAP): the HOT shingle set (df > cap) is computed
+    * with a map-side-combined agg and broadcast into a left-anti join —
+    * the hot set is the corpus's stop-phrase list, orders of magnitude
+    * smaller than the shingle universe, so the stream side never
+    * reshuffles for the filter. Sizes and intersections are both computed
+    * over the capped shingle space, so the Jaccard ratio stays consistent.
+    *
+    * Capped per-doc set size = size(shs) (free at collect_set) minus the
+    * doc's hot-shingle count. The hot-count agg touches only hot
+    * OCCURRENCES (a broadcast semi-join keeps the stream narrow), so it is
+    * tiny next to the full shingle set, and its groupBy(doc_id) output
+    * lands hash-partitioned on doc_id — aligned with `sets` from
+    * collect_set, so the size join moves no data. This replaces the r7
+    * post-cap window count, which forced a full shuffle+sort of the entire
+    * shingle set ahead of the self-join. */
+  private[graft] def cappedShingles(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
+    val sets = shingleSets(s, d)
+    val shAll = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DFCAP).select("sh")
+    val hotPerDoc = shAll.join(broadcast(hot), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("nhot"))
+    sets
+      .join(hotPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), explode(col("shs")).as("sh"),
+        (size(col("shs")) - coalesce(col("nhot"), lit(0))).as("n"))
+      .join(broadcast(hot), Seq("sh"), "left_anti")
+  }
 
   /** The near-dup PAIR GRAPH (doc_i < doc_j, minhash_sim >= 0.5) — the
     * dedup_docs_minhash result, shared with the clustering query
@@ -125,24 +161,12 @@ object DedupQueries extends QueryModule {
     // only where a shingle is shared — the exact-verification baseline the
     // probabilistic methods are judged against.
     "dedup_docs_jaccard" -> ((s, d) => {
-      val shAll = shingleHashes(s, d)
-      // df-cap guard (see DFCAP): the HOT shingle set (df > cap) is
-      // computed with a map-side-combined agg and broadcast into a
-      // left-anti join — the hot set is the corpus's stop-phrase list,
-      // orders of magnitude smaller than the shingle universe, so the
-      // stream side never reshuffles for the filter. Sizes and
-      // intersections are both computed over the capped shingle space, so
-      // the Jaccard ratio stays consistent.
-      val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") > DFCAP).select("sh")
-      val sh = shAll.join(broadcast(hot), Seq("sh"), "left_anti")
-      // set sizes ride along as a window count instead of a separate agg
-      // joined back after the pair count: the join-back would recompute the
-      // whole shingle pipeline twice more, while the window is one narrow
-      // shuffle — and both self-join sides are now the IDENTICAL subplan,
-      // so the second side reuses the first side's exchange outright.
-      val shN = sh.withColumn("n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      // localCheckpoint: both self-join sides read materialized blocks
+      // instead of re-running (and re-sorting, under memory pressure) the
+      // shingle pipeline — the r7 driver bench showed this query spilling
+      // under host contention without it. (Plan-shape assertions for the
+      // df-cap guard run against cappedShingles, the pre-checkpoint plan.)
+      val shN = cappedShingles(s, d).localCheckpoint()
       shN.as("a").join(shN.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))

@@ -80,11 +80,19 @@ class PlanShapeSpec extends AnyFunSuite {
   test("dedup_docs_jaccard guards candidate buckets with a shingle df-cap") {
     // the scale guard: hot shingles (df > cap) must be anti-joined away
     // before the self-join, bounding every candidate bucket at DFCAP².
-    val plan = optimized("dedup_docs_jaccard")
+    // Asserted on cappedShingles — the pre-localCheckpoint subplan the
+    // self-join consumes (the checkpoint collapses it to a LogicalRDD in
+    // the full query's plan).
+    val plan = graft.queries.DedupQueries.cappedShingles(spark, sf)
+      .queryExecution.optimizedPlan.toString
     assert(plan.contains(s"> ${graft.queries.DedupQueries.DFCAP}"),
       "no document-frequency cap filter ahead of the jaccard self-join")
     assert(plan.contains("LeftAnti"),
       "hot-shingle set is not removed via an anti join")
+    // and no window anywhere: per-doc sizes must come from size(shs) at
+    // collect_set time, not a post-hoc shuffle+sort of the shingle set.
+    assert(!plan.contains("Window"),
+      "jaccard set sizes regressed to a window over the shingle set")
   }
 
   test("pipeline_pack_sequences windows over (lang, shard), never a single partition") {
