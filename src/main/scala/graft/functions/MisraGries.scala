@@ -65,13 +65,31 @@ case class MisraGries(
     }
   }
 
+  /** Classic MG decrement for the per-row path: after a +1 insert the
+    * buffer holds at most capacity+1 entries, so the (capacity+1)-th
+    * largest count IS the minimum — one O(cap) scan (no sort, no
+    * allocation) per saturated update, versus shrink()'s O(cap·log cap).
+    * The quantile-based shrink stays for merge(), where overflow can be
+    * arbitrary and the sort amortizes over a whole partial buffer. */
+  private def shrinkByMin(buf: java.util.HashMap[String, Long]): Unit = {
+    if (buf.size <= capacity) return
+    var d = Long.MaxValue
+    val vit = buf.values.iterator()
+    while (vit.hasNext) { val c = vit.next(); if (c < d) d = c }
+    val eit = buf.entrySet().iterator()
+    while (eit.hasNext) {
+      val e = eit.next()
+      if (e.getValue <= d) eit.remove() else e.setValue(e.getValue - d)
+    }
+  }
+
   override def update(
       buf: java.util.HashMap[String, Long], input: InternalRow): java.util.HashMap[String, Long] = {
     val v = child.eval(input)
     if (v != null) {
       val key = v.asInstanceOf[UTF8String].toString
       buf.merge(key, 1L, (a, b) => a + b)
-      shrink(buf)
+      shrinkByMin(buf)
     }
     buf
   }

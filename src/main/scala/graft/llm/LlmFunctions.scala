@@ -35,18 +35,27 @@ object EchoBackend extends GenBackend {
   * per batch. Composes around any backend — the operator itself stays
   * oblivious to transport failures, mirroring how the reference isolates
   * endpoint retries from the batched-call plumbing. The sleep is
-  * injectable so tests run without wall-clock delays. */
+  * injectable so tests run without wall-clock delays.
+  *
+  * Only errors the `retryable` predicate accepts are retried (default:
+  * everything except InterruptedException) — a permanent failure (auth,
+  * malformed request) fails fast instead of burning the backoff budget.
+  * An interrupt is NEVER swallowed: it re-raises immediately with the
+  * thread's interrupt status restored, so task cancellation propagates. */
 final class RetryBackend(inner: GenBackend, maxRetries: Int = 3,
                          baseDelayMs: Long = 200,
-                         sleep: Long => Unit = Thread.sleep)
+                         sleep: Long => Unit = Thread.sleep,
+                         retryable: Exception => Boolean = _ => true)
     extends GenBackend {
   def generate(prompts: Seq[String]): Seq[String] = {
     var attempt = 0
     while (true) {
       try return inner.generate(prompts)
       catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
         case e: Exception =>
-          if (attempt >= maxRetries) throw e
+          if (attempt >= maxRetries || !retryable(e)) throw e
           sleep(baseDelayMs << attempt)
           attempt += 1
       }

@@ -69,6 +69,14 @@ object ConnectedComponents {
       curSum = labelSum(labels)
       it += 1
     } while (curSum < prevSum && it < maxIter)
+    // refuse to hand back a possibly-mislabeled result: the loop must end
+    // because sum(label) reached its fixpoint, never because the round
+    // budget ran out mid-descent (needs diameter ≳ 2^maxIter with pointer
+    // doubling, but truncation must be loud, not silent).
+    if (curSum < prevSum)
+      throw new IllegalStateException(
+        s"connected components did not converge after $maxIter rounds " +
+          s"(sum(label) still decreasing: $prevSum -> $curSum); raise maxIter")
     labels
   }
 }

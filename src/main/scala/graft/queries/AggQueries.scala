@@ -171,12 +171,15 @@ object AggQueries extends QueryModule {
         cols.flatMap(c => Seq(
           avg(col(c)).as(s"mean_$c"), stddev_samp(col(c)).as(s"std_$c"),
           min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
-      val stacked = cols.map { c =>
-        aggs.select(lit(c).as("column"), col("n"),
+      // reshape the single wide aggregate row by exploding an array of
+      // per-column structs — lineitem is scanned and aggregated exactly
+      // once (the union-of-selects form planned three full scans).
+      val rows = cols.map { c =>
+        struct(lit(c).as("column"), col("n"),
           col(s"mean_$c").as("mean"), col(s"std_$c").as("std"),
           col(s"min_$c").as("min"), col(s"max_$c").as("max"))
-      }.reduce(_ unionByName _)
-      stacked
+      }
+      aggs.select(explode(array(rows: _*)).as("r")).select("r.*")
     }),
 
     // UNPIVOT / melt.

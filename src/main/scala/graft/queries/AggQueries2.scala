@@ -139,15 +139,15 @@ object AggQueries2 extends QueryModule {
           count(lit(1)).as("n"))
     }),
 
-    // pandas groupby.ngroup(): dense group ids in key order.
+    // pandas groupby.ngroup(): dense group ids in key order — numbered by
+    // operators.DenseId (parallel sort + zipWithIndex), never a global
+    // dense_rank window, so a high-cardinality key set still parallelizes.
     "agg_ngroup" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      orders(s, d)
+      val grouped = orders(s, d)
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("ngroup",
-          (dense_rank().over(Window.orderBy(col("o_orderstatus"), col("o_orderpriority"))) - 1)
-            .cast("long"))
+      graft.operators.DenseId.zipIndex(grouped,
+        Seq(col("o_orderstatus"), col("o_orderpriority")), "ngroup")
     }),
 
     // Categorical representation round-trip (SURVEY §1.2, ref
@@ -155,13 +155,13 @@ object AggQueries2 extends QueryModule {
     // values with dense int codes (the categories array), fact rows encode
     // via a BROADCAST join on the tiny dictionary, aggregate on the int
     // code (the whole point — narrow shuffle keys), decode carried through.
-    // The dictionary-build window is global but runs over the distinct
-    // value list (a handful of rows), the same post-agg pattern as
-    // agg_ngroup.
+    // Codes come from operators.DenseId (parallel sort + zipWithIndex), so
+    // even a high-cardinality dictionary never serializes through a
+    // single-partition window.
     "categorical_roundtrip" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val dict = customer(s, d).select(col("c_mktsegment").as("v")).distinct()
-        .withColumn("code", (dense_rank().over(Window.orderBy(col("v"))) - 1).cast("int"))
+      val distinctVals = customer(s, d).select(col("c_mktsegment").as("v")).distinct()
+      val dict = graft.operators.DenseId.zipIndex(distinctVals, Seq(col("v")), "code64")
+        .select(col("v"), col("code64").cast("int").as("code"))
       customer(s, d).join(broadcast(dict), col("c_mktsegment") === col("v"))
         .groupBy(col("code"))
         .agg(first(col("v")).as("segment"), count(lit(1)).as("n"),

@@ -173,8 +173,10 @@ object PipelineQueries extends QueryModule {
     // Incremental ingest dedup: today's batch (doc_id % 10 = 0 stands in)
     // checked against the standing corpus by content fingerprint — the
     // daily job that keeps a growing corpus duplicate-free without
-    // re-deduping history. The key is the bag-of-words fingerprint (the
-    // order-insensitive hash that actually collides on reshuffled copies;
+    // re-deduping history. The key is a SET-of-words fingerprint
+    // (array_distinct drops multiplicities, so documents differing only in
+    // word counts are treated as duplicates by design — the aggressive
+    // choice for ingest admission, where a padded copy should not slip in;
     // an exact-text md5 admits trivial permutation dups). Both sides
     // reduce to (hash) keys before the join, so the shuffle moves 16-byte
     // digests, not documents; the corpus side is pre-aggregated (one row
