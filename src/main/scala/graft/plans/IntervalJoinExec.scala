@@ -10,10 +10,11 @@ import org.apache.spark.sql.types._
 
 /** Physical point-in-interval / interval-overlap join: the interval side
   * arrives through a real BroadcastExchange (IdentityBroadcastMode —
-  * plan-visible, AQE/reuse friendly), is sorted by interval start once per
-  * partition, and each probe row binary-searches the starts and walks left
-  * bounded by a prefix running max of the ends. See IntervalJoin for the
-  * cost argument. With `pointEnd` set the probe is an interval and the
+  * plan-visible, AQE/reuse friendly), is sorted by interval start ONCE PER
+  * EXECUTOR (a weak-keyed cache on the broadcast value — at 10k partitions
+  * the O(m log m) build sort runs once per executor, not 10k times), and
+  * each probe row binary-searches the starts and walks left bounded by a
+  * prefix running max of the ends. See IntervalJoin for the cost argument. With `pointEnd` set the probe is an interval and the
   * predicate is overlap: the binary search bounds on `start vs pointEnd`,
   * the walk and emit test on `end vs point` — the identical index answers
   * both shapes because overlap is just a point probe with two different
@@ -72,24 +73,32 @@ case class IntervalJoinExec(
       val sProj = UnsafeProjection.create(Seq(sAttr), rOut)
       val eProj = UnsafeProjection.create(Seq(eAttr), rOut)
       // build: drop null-bounded intervals, sort by start, prefix-max ends
+      // — computed once per executor via the broadcast-keyed cache, reused
+      // by every partition probing the same broadcast value.
       val raw = broadcastRelation.value
-      val kept = raw.filter { r => !sProj(r).isNullAt(0) && !eProj(r).isNullAt(0) }
-      val starts = kept.map(r => asLongS(sProj(r)))
-      val order = starts.indices.sortBy(starts)(Ordering.Long).toArray
-      val m = order.length
-      val sortedStart = new Array[Long](m)
-      val sortedEnd = new Array[Long](m)
-      val sortedRow = new Array[InternalRow](m)
-      val maxEnd = new Array[Long](m)
-      var i = 0
-      while (i < m) {
-        val j = order(i)
-        sortedStart(i) = starts(j)
-        sortedEnd(i) = asLongE(eProj(kept(j)))
-        sortedRow(i) = kept(j)
-        maxEnd(i) = if (i == 0) sortedEnd(0) else math.max(maxEnd(i - 1), sortedEnd(i))
-        i += 1
+      val bIdx = IntervalJoinExec.buildIndex(raw, (sAttr.exprId.id, eAttr.exprId.id)) {
+        val kept = raw.filter { r => !sProj(r).isNullAt(0) && !eProj(r).isNullAt(0) }
+        val starts = kept.map(r => asLongS(sProj(r)))
+        val order = starts.indices.sortBy(starts)(Ordering.Long).toArray
+        val m = order.length
+        val b = IntervalJoinExec.BuildIndex(new Array[Long](m),
+          new Array[Long](m), new Array[InternalRow](m), new Array[Long](m))
+        var i = 0
+        while (i < m) {
+          val j = order(i)
+          b.sortedStart(i) = starts(j)
+          b.sortedEnd(i) = asLongE(eProj(kept(j)))
+          b.sortedRow(i) = kept(j)
+          b.maxEnd(i) = if (i == 0) b.sortedEnd(0) else math.max(b.maxEnd(i - 1), b.sortedEnd(i))
+          i += 1
+        }
+        b
       }
+      val sortedStart = bIdx.sortedStart
+      val sortedEnd = bIdx.sortedEnd
+      val sortedRow = bIdx.sortedRow
+      val maxEnd = bIdx.maxEnd
+      val m = sortedStart.length
       val joined = new JoinedRow
       probeIter.flatMap { l =>
         val pRow = pProj(l)
@@ -128,4 +137,34 @@ case class IntervalJoinExec(
       }
     }
   }
+}
+
+object IntervalJoinExec {
+  /** Start-sorted build arrays + prefix-max ends — the per-broadcast probe
+    * index. */
+  final case class BuildIndex(sortedStart: Array[Long], sortedEnd: Array[Long],
+                              sortedRow: Array[InternalRow], maxEnd: Array[Long])
+
+  /** Per-executor (per-JVM) index cache, weak-keyed on the broadcast VALUE:
+    * when the broadcast is destroyed/unpersisted the value array becomes
+    * unreachable and the entry self-clears — no lifecycle hooks needed.
+    * Sub-keyed by the (start, end) expression ids, because a reused
+    * broadcast exchange can feed two interval joins with different bound
+    * columns. Build runs under the map lock, so concurrent partitions wait
+    * for one sort instead of duplicating it. */
+  private val indexCache =
+    new java.util.WeakHashMap[AnyRef, java.util.HashMap[(Long, Long), BuildIndex]]()
+
+  private[plans] def buildIndex(key: AnyRef, sub: (Long, Long))(
+      build: => BuildIndex): BuildIndex =
+    indexCache.synchronized {
+      var perKey = indexCache.get(key)
+      if (perKey == null) {
+        perKey = new java.util.HashMap[(Long, Long), BuildIndex]()
+        indexCache.put(key, perKey)
+      }
+      val hit = perKey.get(sub)
+      if (hit != null) hit
+      else { val b = build; perKey.put(sub, b); b }
+    }
 }
