@@ -26,6 +26,39 @@ object LateralQueries extends QueryModule {
           posexplode(split(col("text"), " ")).as(Seq("idx", "value")))
     }),
 
+    // FLATTEN with the FULL Snowflake column set SEQ/KEY/PATH/INDEX/VALUE/
+    // THIS (ref BodoReturnTypes.java:111, _lateral.cpp:957): an object of
+    // arrays is flattened two levels — level 1 emits each member (KEY set,
+    // INDEX null, PATH = key, THIS = the object, VALUE = the member as
+    // JSON), level 2 recursively flattens each member array with
+    // OUTER=>TRUE (PATH = key[idx], THIS = the array; empty arrays keep
+    // their parent row with null INDEX/VALUE and PATH = key). VALUE/THIS
+    // are JSON strings — the VariantType stand-in shared with fn_variant.
+    // Both levels are Catalyst Generators: pipelined, shuffle-free.
+    "lateral_flatten_full" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val obj = map(
+        lit("head"), slice(ws, 1, 3),
+        lit("tail"), when(col("doc_id") % 7 === 0, array().cast("array<string>"))
+          .otherwise(slice(ws, 4, 2)))
+      val base = documents(s, d).filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("seq"), obj.as("obj"))
+      val lvl1 = base.select(col("seq"), to_json(col("obj")).as("pj"),
+        explode(col("obj")).as(Seq("key", "arr")))
+      val l1 = lvl1.select(col("seq"), col("key"), col("key").as("path"),
+        lit(null).cast("int").as("idx"), to_json(col("arr")).as("value"),
+        col("pj").as("this"))
+      val l2 = lvl1
+        .select(col("seq"), col("key"), col("arr"),
+          posexplode_outer(col("arr")).as(Seq("idx", "value")))
+        .select(col("seq"), col("key"),
+          when(col("idx").isNotNull,
+            concat(col("key"), lit("["), col("idx").cast("string"), lit("]")))
+            .otherwise(col("key")).as("path"),
+          col("idx"), col("value"), to_json(col("arr")).as("this"))
+      l1.unionByName(l2)
+    }),
+
     // SPLIT_TO_TABLE(p_name, ' '): 1-based part numbers per Snowflake.
     "split_to_table" -> ((s, d) => {
       part(s, d).filter(col("p_partkey") % 7 === 0)
@@ -70,6 +103,41 @@ object LateralQueries extends QueryModule {
         |  CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS idx,
         |  unnest(string_split(text, ' ')) AS value
         |FROM documents WHERE doc_id % 25 = 0""".stripMargin,
+
+    "lateral_flatten_full" ->
+      """WITH t AS (
+        |  SELECT doc_id AS seq, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |o AS (
+        |  SELECT seq, ws[1:3] AS head_arr,
+        |    CASE WHEN seq % 7 = 0 THEN []::VARCHAR[] ELSE ws[4:5] END AS tail_arr
+        |  FROM t),
+        |j AS (
+        |  SELECT seq, head_arr, tail_arr,
+        |    CAST(to_json(struct_pack("head" := head_arr, "tail" := tail_arr)) AS VARCHAR) AS pj
+        |  FROM o),
+        |lvl1 AS (
+        |  SELECT seq, 'head' AS "key", head_arr AS arr, pj FROM j
+        |  UNION ALL
+        |  SELECT seq, 'tail', tail_arr, pj FROM j),
+        |l1 AS (
+        |  SELECT seq, "key", "key" AS path, CAST(NULL AS INTEGER) AS idx,
+        |    CAST(to_json(arr) AS VARCHAR) AS "value", pj AS "this"
+        |  FROM lvl1),
+        |l2p AS (
+        |  SELECT seq, "key", arr,
+        |    CAST(CASE WHEN len(arr) = 0 THEN NULL
+        |         ELSE generate_subscripts(CASE WHEN len(arr) = 0 THEN [NULL] ELSE arr END, 1) - 1
+        |         END AS INTEGER) AS idx,
+        |    unnest(CASE WHEN len(arr) = 0 THEN [NULL] ELSE arr END) AS "value"
+        |  FROM lvl1),
+        |l2 AS (
+        |  SELECT seq, "key",
+        |    CASE WHEN idx IS NULL THEN "key"
+        |         ELSE "key" || '[' || idx || ']' END AS path,
+        |    idx, "value", CAST(to_json(arr) AS VARCHAR) AS "this"
+        |  FROM l2p)
+        |SELECT * FROM l1 UNION ALL SELECT * FROM l2""".stripMargin,
 
     "split_to_table" ->
       """SELECT p_partkey,
