@@ -152,6 +152,30 @@ object AggQueries extends QueryModule {
         .agg(sum(col("o_totalprice")))
     }),
 
+    // pandas pivot_table(margins=True, aggfunc=[sum, mean]) (ref
+    // bodo/hiframes/dataframe_impl.py:4215-4537): multi-agg pivot with an
+    // 'All' margin on BOTH axes — composed as one CUBE aggregation (the
+    // four grouping sets (r,c),(r),(c),() in a single pass over lineitem,
+    // Expand + one shuffle) followed by a first()-valued pivot of the
+    // already-aggregated cells, so the fact table is scanned once and no
+    // second aggregation pass runs. grouping() distinguishes the margin
+    // rows from a genuine null key.
+    "agg_pivot_margins" -> ((s, d) => {
+      val cubed = lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          avg(col("l_extendedprice")).as("avg_price"),
+          grouping(col("l_returnflag")).as("gr"),
+          grouping(col("l_linestatus")).as("gc"))
+        .select(
+          when(col("gr") === 1, lit("All")).otherwise(col("l_returnflag")).as("rflag"),
+          when(col("gc") === 1, lit("All")).otherwise(col("l_linestatus")).as("lstat"),
+          col("sum_qty"), col("avg_price"))
+      cubed.groupBy(col("rflag"))
+        .pivot("lstat", Seq("F", "O", "All"))
+        .agg(first(col("sum_qty")).as("sum_qty"), first(col("avg_price")).as("avg_price"))
+    }),
+
     // pd.crosstab: the count-valued pivot (frequency table of two
     // categoricals) — same Expand-free pivot plan, count aggregate.
     "agg_crosstab" -> ((s, d) => {
@@ -310,6 +334,22 @@ object AggQueries extends QueryModule {
         | sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS "O",
         | sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS "P"
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "agg_pivot_margins" ->
+      """WITH c AS (
+        |  SELECT
+        |    CASE WHEN GROUPING(l_returnflag) = 1 THEN 'All' ELSE l_returnflag END AS rflag,
+        |    CASE WHEN GROUPING(l_linestatus) = 1 THEN 'All' ELSE l_linestatus END AS lstat,
+        |    sum(l_quantity) AS sum_qty, avg(l_extendedprice) AS avg_price
+        |  FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus))
+        |SELECT rflag,
+        |  max(CASE WHEN lstat = 'F' THEN sum_qty END) AS "F_sum_qty",
+        |  max(CASE WHEN lstat = 'F' THEN avg_price END) AS "F_avg_price",
+        |  max(CASE WHEN lstat = 'O' THEN sum_qty END) AS "O_sum_qty",
+        |  max(CASE WHEN lstat = 'O' THEN avg_price END) AS "O_avg_price",
+        |  max(CASE WHEN lstat = 'All' THEN sum_qty END) AS "All_sum_qty",
+        |  max(CASE WHEN lstat = 'All' THEN avg_price END) AS "All_avg_price"
+        |FROM c GROUP BY rflag""".stripMargin,
 
     "agg_crosstab" ->
       """SELECT o_orderpriority,
