@@ -26,7 +26,7 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   */
 case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     direction: String = "backward", // backward | forward | nearest
     toleranceMicros: Option[Long] = None) extends BinaryNode {
@@ -42,15 +42,18 @@ case class AsofJoin(
 /** Plans the logical AsofJoin to its physical operator. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, dir, tol) =>
-      AsofJoinExec(lk, rk, lt, rt, dir, tol, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lks, rks, lt, rt, dir, tol) =>
+      AsofJoinExec(lks, rks, lt, rt, dir, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 /** User-facing builder: `Asof.join(probes, quotes, "user_id", "q_user",
-  * "p_ts", "q_ts")`. Column names must be disjoint across the two sides
-  * (alias the quote side) — the join's output is simply left ++ right.
+  * "p_ts", "q_ts")` — or with by-group key LISTS, merge_asof's `by=`
+  * (`Asof.joinBy(probes, quotes, Seq("user_id", "region"), Seq("q_user",
+  * "q_region"), "p_ts", "q_ts")`). Column names must be disjoint across
+  * the two sides (alias the quote side) — the join's output is simply
+  * left ++ right.
   *
   * `direction` is "backward" (default: latest quote at-or-before the
   * probe), "forward" (earliest quote at-or-after), or "nearest" (the
@@ -65,7 +68,17 @@ object Asof {
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
            direction: String = "backward",
-           tolerance: Option[Long] = None): DataFrame = {
+           tolerance: Option[Long] = None): DataFrame =
+    joinBy(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime,
+      direction, tolerance)
+
+  def joinBy(left: DataFrame, right: DataFrame,
+             leftKeys: Seq[String], rightKeys: Seq[String],
+             leftTime: String, rightTime: String,
+             direction: String = "backward",
+             tolerance: Option[Long] = None): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"asof join needs matching non-empty key lists, got $leftKeys vs $rightKeys")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"asof join requires disjoint column names; alias these on one side: ${overlap.mkString(", ")}")
@@ -79,7 +92,7 @@ object Asof {
         throw new IllegalArgumentException(
           s"column $n not found among ${p.output.map(_.name).mkString(", ")}"))
     GraftSqlShim.ofRows(left.sparkSession,
-      AsofJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
+      AsofJoin(lp, rp, leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
         attr(lp, leftTime), attr(rp, rightTime), direction, tolerance))
   }
 }

@@ -33,7 +33,7 @@ import org.apache.spark.sql.types._
   * mechanical if ever profiled as hot.
   */
 case class AsofJoinExec(
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     direction: String, toleranceMicros: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
@@ -45,11 +45,11 @@ case class AsofJoinExec(
     Map("numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   // one output row per left row, in the left child's (key, time) order
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
@@ -73,17 +73,17 @@ case class AsofJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
-    val (lk, rk, lt, rt) = (leftKey, rightKey, leftTime, rightTime)
+    val (lks, rks, lt, rt) = (leftKeys, rightKeys, leftTime, rightTime)
     val (dir, tol) = (direction, toleranceMicros)
     // tolerance and nearest both measure distances in the time's long form
     if (tol.isDefined || dir == "nearest") timeToLong(lt.dataType)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType))
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lks.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
       val asLong = timeToLong(lt.dataType)
-      val lKeyProj = UnsafeProjection.create(Seq(lk), lOut)
+      val lKeyProj = UnsafeProjection.create(lks, lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
-      val rKeyProj = UnsafeProjection.create(Seq(rk), rOut)
+      val rKeyProj = UnsafeProjection.create(rks, rOut)
       val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
       val rBuf = rIter.buffered
       val nullRight = new GenericInternalRow(rOut.size)
@@ -108,11 +108,13 @@ case class AsofJoinExec(
         val probeKey = lKeyProj(l)
         val probeTime = lTimeProj(l)
         var matched: InternalRow = null
-        if (!probeKey.isNullAt(0) && !probeTime.isNullAt(0)) {
+        if (!probeKey.anyNull && !probeTime.isNullAt(0)) {
           var scan = true
           while (scan && rBuf.hasNext) {
             val rKeyRow = rKeyProj(rBuf.head)
-            val cmp = if (rKeyRow.isNullAt(0)) -1 else keyOrd.compare(rKeyRow, probeKey)
+            // any-null key never equals anything (SQL equality), so the row
+            // is dead for every probe — consuming it out of order is safe
+            val cmp = if (rKeyRow.anyNull) -1 else keyOrd.compare(rKeyRow, probeKey)
             if (cmp < 0) {
               rBuf.next() // smaller (or null) key: consume, never a candidate
             } else if (cmp == 0) {
@@ -152,7 +154,7 @@ case class AsofJoinExec(
               var fwdDist = Long.MaxValue
               if (rBuf.hasNext) {
                 val hk = rKeyProj(rBuf.head)
-                if (!hk.isNullAt(0) && keyOrd.compare(hk, probeKey) == 0) {
+                if (!hk.anyNull && keyOrd.compare(hk, probeKey) == 0) {
                   val ht = rTimeProj(rBuf.head)
                   if (!ht.isNullAt(0)) { fwdRow = rBuf.head; fwdDist = asLong(ht) - pT }
                 }

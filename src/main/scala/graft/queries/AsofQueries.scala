@@ -71,6 +71,27 @@ object AsofQueries extends QueryModule {
           col("q_ts").as("m_ts"), col("q_val").as("m_val"))
     }),
 
+    // Multi-column by-groups through the native operator (merge_asof
+    // by=['user','day']): the AsofJoin logical node takes key LISTS, so
+    // the physical merge clusters and sorts on all key columns natively —
+    // no struct-packing workaround. Here: latest SAME-DAY prior click per
+    // purchase (the cross-day match that join_asof_native would emit must
+    // come back null).
+    "join_asof_native_bygroups" -> ((s, d) => {
+      val ev = events(s, d)
+      val quotes = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("q_user"), to_date(col("ts")).as("q_day"),
+          col("ts").as("q_ts"))
+        .agg(max(col("value")).as("q_val"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("p_day"),
+          col("ts").as("p_ts"))
+      graft.plans.Asof.joinBy(probes, quotes,
+          Seq("user_id", "p_day"), Seq("q_user", "q_day"), "p_ts", "q_ts")
+        .select(col("event_id"), col("user_id"), col("p_ts"),
+          col("q_ts").as("m_ts"), col("q_val").as("m_val"))
+    }),
+
     // Forward direction through the native operator (merge_asof
     // direction='forward'): earliest same-user click at-or-after each
     // purchase.
@@ -218,6 +239,17 @@ object AsofQueries extends QueryModule {
         |p AS (SELECT event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase')
         |SELECT p.event_id, p.user_id, p.p_ts, q.q_ts AS m_ts, q.q_val AS m_val
         |FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.p_ts >= q.q_ts""".stripMargin,
+
+    "join_asof_native_bygroups" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |q AS (SELECT user_id, CAST(ts AS DATE) AS day, ts AS q_ts, max(value) AS q_val
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2, 3),
+        |p AS (SELECT event_id, user_id, CAST(ts AS DATE) AS day, ts AS p_ts
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.p_ts, q.q_ts AS m_ts, q.q_val AS m_val
+        |FROM p ASOF LEFT JOIN q
+        |  ON p.user_id = q.user_id AND p.day = q.day AND p.p_ts >= q.q_ts""".stripMargin,
 
     "join_asof_fwd" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value

@@ -117,6 +117,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("AsofJoinExec multi-column by-groups match brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val probes = Seq.fill(60)(
+        (rnd.nextInt(3).toLong, rnd.nextInt(3).toLong, rnd.nextInt(200).toLong))
+        .zipWithIndex.map { case ((k1, k2, t), i) => (i.toLong, k1, k2, t) }
+      val quotes = Seq.fill(50)(
+        (rnd.nextInt(3).toLong, rnd.nextInt(3).toLong, rnd.nextInt(200).toLong))
+        .distinct.map { case (k1, k2, t) => (k1, k2, t, k1 * 10000 + k2 * 1000 + t) }
+      val pDf = probes.toDF("pid", "pk1", "pk2", "pt").repartition(5)
+      val qDf = quotes.toDF("qk1", "qk2", "qt", "qv").repartition(3)
+      for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(None, Some(20L))) {
+        val got = graft.plans.Asof
+          .joinBy(pDf, qDf, Seq("pk1", "pk2"), Seq("qk1", "qk2"), "pt", "qt", dir, tol)
+          .select(col("pid"), col("qv")).collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toMap
+        val expected = probes.map { case (pid, pk1, pk2, pt) =>
+          val cand = quotes.filter(q => q._1 == pk1 && q._2 == pk2)
+          val pick = dir match {
+            case "backward" => cand.filter(_._3 <= pt).sortBy(_._3).lastOption
+            case "forward"  => cand.filter(_._3 >= pt).sortBy(_._3).headOption
+            case "nearest"  =>
+              val b = cand.filter(_._3 <= pt).sortBy(_._3).lastOption
+              val f = cand.filter(_._3 >= pt).sortBy(_._3).headOption
+              (b, f) match {
+                case (Some(x), Some(y)) =>
+                  if (pt - x._3 <= y._3 - pt) Some(x) else Some(y)
+                case (x, y) => x.orElse(y)
+              }
+          }
+          val kept = pick.filter(q => tol.forall(tl => math.abs(q._3 - pt) <= tl))
+          pid -> kept.map(_._4)
+        }.toMap
+        assert(got === expected, s"trial=$trial dir=$dir tol=$tol")
+      }
+    }
+  }
+
   // -- native interval join vs brute force on random ranges -----------------
 
   test("IntervalJoinExec matches brute force on random points and intervals") {
