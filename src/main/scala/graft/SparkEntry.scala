@@ -26,6 +26,7 @@ object SparkEntry {
     FnStringQueries,
     FnScalarQueries,
     FnSemiQueries,
+    FnLongTailQueries,
     LateralQueries,
     AsofQueries,
     IoQueries,
