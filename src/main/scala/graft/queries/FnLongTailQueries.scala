@@ -96,6 +96,49 @@ object FnLongTailQueries extends QueryModule {
           regexpReplaceSf(s1, "[0-9]", "#", 12).as("rr_pos"))
     }),
 
+    // VARIANT depth (VERDICT r7 item 9): TYPEOF + the IS_* predicate
+    // family over heterogeneous JSON using Spark 4 VariantType
+    // (variant_array_kernels.py is_array:14/is_object:40, Snowflake
+    // TYPEOF semantics: numbers without exponent are DECIMAL, integers
+    // INTEGER, JSON null is NULL_VALUE). The type name comes from
+    // schema_of_variant, mapped onto Snowflake's TYPEOF vocabulary;
+    // the DuckDB oracle maps json_type onto the same vocabulary
+    // (BIGINT->INTEGER, DOUBLE->DECIMAL — DuckDB types JSON decimals as
+    // DOUBLE, documented engine-mapping caveat).
+    "fn_variant2" -> ((s, d) => {
+      val vj = element_at(array(
+        lit("123"), lit("12.5"), lit("\"hello\""), lit("true"),
+        lit("[1,2,3]"), lit("{\"a\":1}"), lit("null")),
+        ((col("event_id") % 7) + 1).cast("int"))
+      val sch = expr("schema_of_variant(parse_json(vj))")
+      val typeofSf =
+        when(sch.startsWith("ARRAY"), "ARRAY")
+          .when(sch.startsWith("OBJECT") || sch.startsWith("STRUCT"), "OBJECT")
+          .when(sch === "STRING", "VARCHAR")
+          .when(sch === "BIGINT", "INTEGER")
+          .when(sch.startsWith("DECIMAL"), "DECIMAL")
+          .when(sch === "DOUBLE", "DOUBLE")
+          .when(sch === "BOOLEAN", "BOOLEAN")
+          .when(sch === "VOID", "NULL_VALUE")
+          .otherwise("OTHER")
+      events(s, d).filter(col("event_id") % 25 === 0)
+        .withColumn("vj", vj)
+        .select(
+          col("event_id"),
+          typeofSf.as("vt"),
+          typeofSf.equalTo("ARRAY").as("is_arr"),
+          typeofSf.equalTo("OBJECT").as("is_obj"),
+          typeofSf.equalTo("INTEGER").as("is_int"),
+          typeofSf.equalTo("VARCHAR").as("is_str"),
+          typeofSf.equalTo("BOOLEAN").as("is_bool"),
+          typeofSf.equalTo("DECIMAL").as("is_dec"),
+          expr("is_variant_null(parse_json(vj))").as("is_nullv"),
+          json_array_length(col("vj")).as("arr_len"),
+          array_join(json_object_keys(col("vj")), ",").as("obj_keys"),
+          expr("try_variant_get(parse_json(vj), '$[0]', 'bigint')").as("vg_first"),
+          expr("try_variant_get(parse_json(vj), '$.a', 'bigint')").as("vg_a"))
+    }),
+
     // INSERT/TRANSLATE/STRTOK/SPLIT_PART/CHARINDEX edge shapes over part
     // (string_array_kernels.py).
     "fn_string4" -> ((s, d) => {
@@ -197,6 +240,37 @@ object FnLongTailQueries extends QueryModule {
         |  CAST(len(regexp_extract_all(seg, '(?i)[aeiou]')) AS INTEGER) AS rc_ci,
         |  substr(s1, 1, 11) || regexp_replace(substr(s1, 12), '[0-9]', '#', 'g') AS rr_pos
         |FROM x""".stripMargin,
+
+    "fn_variant2" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    ['123','12.5','"hello"','true','[1,2,3]','{"a":1}','null']
+        |      [CAST(event_id % 7 AS INTEGER) + 1] AS vj
+        |  FROM events WHERE event_id % 25 = 0),
+        |t AS (
+        |  SELECT event_id, vj,
+        |    CASE json_type(vj::JSON)
+        |      WHEN 'ARRAY' THEN 'ARRAY' WHEN 'OBJECT' THEN 'OBJECT'
+        |      WHEN 'VARCHAR' THEN 'VARCHAR' WHEN 'BIGINT' THEN 'INTEGER'
+        |      WHEN 'UBIGINT' THEN 'INTEGER' WHEN 'DOUBLE' THEN 'DECIMAL'
+        |      WHEN 'BOOLEAN' THEN 'BOOLEAN' WHEN 'NULL' THEN 'NULL_VALUE'
+        |      ELSE 'OTHER' END AS vt
+        |  FROM e)
+        |SELECT event_id, vt,
+        |  vt = 'ARRAY' AS is_arr,
+        |  vt = 'OBJECT' AS is_obj,
+        |  vt = 'INTEGER' AS is_int,
+        |  vt = 'VARCHAR' AS is_str,
+        |  vt = 'BOOLEAN' AS is_bool,
+        |  vt = 'DECIMAL' AS is_dec,
+        |  vt = 'NULL_VALUE' AS is_nullv,
+        |  CASE WHEN vt = 'ARRAY'
+        |       THEN CAST(json_array_length(vj::JSON) AS INTEGER) END AS arr_len,
+        |  CASE WHEN vt = 'OBJECT'
+        |       THEN array_to_string(json_keys(vj::JSON), ',') END AS obj_keys,
+        |  TRY_CAST(json_extract_string(vj::JSON, '$[0]') AS BIGINT) AS vg_first,
+        |  TRY_CAST(json_extract_string(vj::JSON, '$.a') AS BIGINT) AS vg_a
+        |FROM t""".stripMargin,
 
     "fn_string4" ->
       """WITH p AS (SELECT p_partkey, p_name AS b FROM part WHERE p_partkey % 6 = 0),
