@@ -70,13 +70,25 @@ object LlmFunctions {
   def tokenize(text: Column): Column =
     transform(words(text), w => md5Long(w) % 50257)
 
-  /** Deterministic fake embedding: dim doubles derived from the document
-    * hash. Stands in for an embedding-endpoint call; same column contract
-    * (array<double>) a real backend would produce. */
+  /** Deterministic embedding: a bag-of-words random projection — each of
+    * the dim coordinates sums an independent signed word hash in
+    * [-1, 1), so similar TEXTS get similar vectors (exact duplicates
+    * cosine 1, heavy word overlap high cosine, unrelated docs low), the
+    * smoothness property a real embedding endpoint provides and the one
+    * cosine-dedup actually needs. Full-rank by construction: one
+    * independent hash family per coordinate. (The earlier single-hash
+    * form made every coordinate a piecewise-linear function of one
+    * scalar — a 1-D manifold over which sign-LSH had a BOUNDED number of
+    * distinct buckets; the r8 scale run exposed that as quadratic
+    * candidate growth in dedup_docs_embedding.) */
   def embed(text: Column, dim: Int): Column = {
-    val h = md5Long(text) % graft.text.TextKernels.P
-    transform(sequence(lit(0), lit(dim - 1)),
-      k => ((h * (k * 2 + 1) + k) % 100000) / lit(100000.0))
+    val ws = words(text)
+    array((0 until dim).map { k =>
+      aggregate(
+        transform(ws, w =>
+          (md5Long(concat(w, lit(s"#e$k"))) % 200001 - 100000) / lit(100000.0)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
   }
 
   /** Batched generation over `textCol`, appending result column `outCol`.

@@ -212,36 +212,71 @@ object DedupQueries extends QueryModule {
     }),
 
     // Embedding-cosine near-dup (the fifth dedup family of the brief):
-    // documents -> deterministic 8-dim embedding (llm.LlmFunctions.embed)
-    // -> sign-LSH bucket over 8 integer hyperplanes -> candidates share a
-    // bucket -> cosine >= 0.99 verified within buckets only. Same Σ bucket²
-    // scale shape as ann_lsh, driven from the documents table end-to-end.
+    // documents -> deterministic 8-dim bag-of-words-projection embedding
+    // (llm.LlmFunctions.embed) -> BLOCKED sign-LSH: 64 hyperplanes give a
+    // 64-bit sign signature, split into 4 x 16-bit blocks (the simhash
+    // scheme) -> candidates share any block value, buckets over BUCKETCAP
+    // docs are anti-joined away (the jaccard DFCAP guard transplanted to
+    // LSH buckets: Σ bucket² ≤ n·cap per block — LINEAR in corpus size) ->
+    // cosine >= 0.99 verified within surviving buckets only.
+    //
+    // Every constant here was set by the r8 empirical scale runs, which
+    // caught three successive designs going quadratic at 8x corpus:
+    // a single 8-bit signature (256 buckets — saturates), affine-in-index
+    // plane coefficients taken mod small m (collapse to ≤ m distinct
+    // hyperplanes), and uncapped buckets over a corpus with dense
+    // near-dup clusters (a 2k-doc cluster is one 4M-pair bucket). Recall:
+    // a qualifying pair is missed only if all 4 of its blocks differ
+    // (≥ 4 of 64 sign bits flip; at cosine 0.99 the expected flips are
+    // ~2.9) or all its shared buckets are over-cap — i.e. the pair lives
+    // inside a mega-cluster, exactly what the minhash+CC path collapses.
     "dedup_docs_embedding" -> ((s, d) => {
       import graft.llm.LlmFunctions
       val dim = 8
-      // centered to [-0.5, 0.5): the raw embedding lives in the all-positive
-      // octant where every pair of random vectors has cosine near 1 — after
-      // centering, unrelated documents score near 0 and true duplicates 1.
-      val emb = transform(LlmFunctions.embed(col("text"), dim), x => x - 0.5)
+      val blkW = 16
+      val blocks = 4
+      val bucketCap = 256
+      val emb = LlmFunctions.embed(col("text"), dim)
+      // dot product as dim scalar multiplies (element_at), not
+      // aggregate(zip_with(...)): the higher-order form allocates two
+      // arrays + a lambda frame PER CANDIDATE PAIR — at millions of
+      // candidates that alloc churn dominated the r8 scale profile
       def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        (0 until dim).map(i => element_at(a, i + 1) * element_at(b, i + 1))
+          .reduce(_ + _)
+      // plane coefficients from a Knuth multiplicative hash of (i+1)(j+1),
+      // wide range (±999) so no plane is near-degenerate
       def planeDot(e: org.apache.spark.sql.Column, j: Int) =
         aggregate(zip_with(e, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x * ((i * 13 + lit(j * 7)) % 5 - 2)), lit(0.0), (acc, x) => acc + x)
-      val sig = (0 until 8)
+          (x, i) => x * (((i + 1).cast("long") * lit((j + 1) * 2654435761L)) % 1000003 % 1999 - 999)),
+          lit(0.0), (acc, x) => acc + x)
+      // disjoint bit positions: two's-complement addition never carries,
+      // so the 1L << 63 wrap to negative is just the sign bit landing
+      val sig = (0 until blkW * blocks)
         .map(j => when(planeDot(col("emb"), j) >= 0, lit(1L << j)).otherwise(0L))
         .reduce(_ + _)
       val e = documents(s, d)
         .select(col("doc_id"), emb.as("emb"))
         .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
         .withColumn("sig", sig)
-      val a = e.select(col("doc_id").as("doc_i"), col("emb").as("ea"),
-        col("nrm").as("na"), col("sig").as("siga"))
-      val b = e.select(col("doc_id").as("doc_j"), col("emb").as("eb"),
-        col("nrm").as("nb"), col("sig").as("sigb"))
-      a.join(b, col("siga") === col("sigb") && col("doc_i") < col("doc_j"))
-        .select(col("doc_i"), col("doc_j"),
-          (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      val blockCols = (0 until blocks).map(k =>
+        shiftright(col("sig"), blkW * k).bitwiseAND(lit((1L << blkW) - 1)).as(s"blk$k"))
+      val withBlk = e.select(col("doc_id") +: col("emb") +: col("nrm") +: blockCols: _*)
+      val stackExpr = (0 until blocks).map(k => s"$k, blk$k").mkString(", ")
+      val buckets = withBlk.select(col("doc_id"), col("emb"), col("nrm"),
+        expr(s"stack($blocks, $stackExpr) as (blk, bval)"))
+      val hot = buckets.groupBy("blk", "bval").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > bucketCap).select("blk", "bval")
+      // localCheckpoint: the embedding + 64-plane signature subplan would
+      // otherwise re-run for the hot-bucket arm AND both self-join sides
+      val capped = buckets.join(broadcast(hot), Seq("blk", "bval"), "left_anti")
+        .localCheckpoint()
+      capped.as("a").join(capped.as("b"),
+          col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+          (dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .distinct()
         .filter(col("cos") >= 0.99)
     }),
 
@@ -362,24 +397,34 @@ object DedupQueries extends QueryModule {
       s"""WITH e0 AS (
          |  SELECT doc_id,
          |    list_transform(range(0, 8), k ->
-         |      ((('0x' || substring(md5(text), 1, 15))::BIGINT % $P) * (k * 2 + 1) + k) % 100000 / 100000.0 - 0.5) AS emb
+         |      list_sum(list_transform(string_split(text, ' '), w ->
+         |        ((('0x' || substring(md5(w || '#e' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 200001) - 100000) / 100000.0))) AS emb
          |  FROM documents),
          |e1 AS (
          |  SELECT doc_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
          |  FROM e0),
          |pd AS (
          |  SELECT doc_id, j,
-         |    list_sum(list_transform(range(0, 8), i -> emb[i + 1] * ((i * 13 + j * 7) % 5 - 2))) AS d
-         |  FROM e1, (SELECT unnest(range(0, 8)) AS j)),
-         |sg AS (
-         |  SELECT doc_id,
-         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS sig
-         |  FROM pd GROUP BY doc_id),
-         |je AS (SELECT e1.doc_id, e1.emb, e1.nrm, sg.sig FROM e1 JOIN sg USING (doc_id))
-         |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
-         |  list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
-         |FROM je a JOIN je b ON a.sig = b.sig AND a.doc_id < b.doc_id
-         |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.99""".stripMargin,
+         |    CASE WHEN list_sum(list_transform(range(0, 8), i ->
+         |      emb[i + 1] * ((((i + 1) * (j + 1) * 2654435761) % 1000003) % 1999 - 999))) >= 0
+         |    THEN 1 ELSE 0 END AS b
+         |  FROM e1, (SELECT unnest(range(0, 64)) AS j)),
+         |bk0 AS (
+         |  SELECT doc_id, CAST(j // 16 AS INTEGER) AS blk,
+         |    CAST(sum(b * (1::BIGINT << CAST(j % 16 AS INTEGER))) AS BIGINT) AS bval
+         |  FROM pd GROUP BY doc_id, j // 16),
+         |hot AS (SELECT blk, bval FROM bk0 GROUP BY blk, bval HAVING count(*) > 256),
+         |bk AS (
+         |  SELECT b0.doc_id, b0.blk, b0.bval, e1.emb, e1.nrm
+         |  FROM bk0 b0 JOIN e1 USING (doc_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+         |                    WHERE h.blk = b0.blk AND h.bval = b0.bval)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+         |  FROM bk a JOIN bk b
+         |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT doc_i, doc_j, cos FROM pairs WHERE cos >= 0.99""".stripMargin,
 
     "dedup_docs_simhash" -> {
       val bitSums = (0 until SIMBITS).map { j =>

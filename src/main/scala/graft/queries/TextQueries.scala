@@ -281,7 +281,8 @@ object TextQueries extends QueryModule {
 
     "llm_embed" -> {
       val cols = (0 until 8).map(k =>
-        s"((('0x' || substring(md5(text), 1, 15))::BIGINT % $P) * ${k * 2 + 1} + $k) % 100000 / 100000.0 AS e$k")
+        s"list_sum(list_transform(string_split(text, ' '), w -> " +
+          s"((('0x' || substring(md5(w || '#e$k'), 1, 15))::BIGINT % 200001) - 100000) / 100000.0)) AS e$k")
         .mkString(",\n  ")
       s"SELECT doc_id,\n  $cols\nFROM documents"
     }

@@ -190,7 +190,8 @@ class FunctionsSpec extends AnyFunSuite {
     val toks = df.select(LlmFunctions.tokenize(col("text"))).as[Seq[Long]].head()
     assert(toks.length === 2 && toks.forall(t => t >= 0 && t < 50257))
     val emb = df.select(LlmFunctions.embed(col("text"), 8)).as[Seq[Double]].head()
-    assert(emb.length === 8 && emb.forall(v => v >= 0.0 && v < 1.0))
+    // bag-of-words projection: 2 words, each contributing [-1, 1)
+    assert(emb.length === 8 && emb.forall(v => v >= -2.0 && v < 2.0))
     // re-evaluation is identical (pure function of content)
     assert(df.select(LlmFunctions.embed(col("text"), 8)).as[Seq[Double]].head() === emb)
   }
