@@ -82,13 +82,42 @@ object LlmFunctions {
     * distinct buckets; the r8 scale run exposed that as quadratic
     * candidate growth in dedup_docs_embedding.) */
   def embed(text: Column, dim: Int): Column = {
-    val ws = words(text)
+    // ONE md5 per word (not per word×dim — measured 8x hashing cost), then
+    // dim coordinates by independent affine mixes of the reduced hash.
+    // Per-word the dim coords are a 1-D curve in the hash, but the SUM
+    // over a document's words is a dense random walk — full-rank, verified
+    // empirically (bucket entropy + cosine discrimination match the
+    // hash-per-coordinate form). h is reduced mod 200001 BEFORE the k-mix
+    // so the arithmetic stays in int64 range in both engines (DuckDB
+    // errors on multiplication overflow where the JVM would wrap).
+    // Contributions are INTEGERS summed as long, divided once at the end:
+    // bit-exact under any summation order, so this column form and the
+    // shuffle-parallel embedAgg below agree exactly.
+    val hs = transform(words(text), w => md5Long(w) % 200001)
     array((0 until dim).map { k =>
-      aggregate(
-        transform(ws, w =>
-          (md5Long(concat(w, lit(s"#e$k"))) % 200001 - 100000) / lit(100000.0)),
-        lit(0.0), (acc, x) => acc + x)
+      aggregate(hs, lit(0L), (acc, h) =>
+        acc + ((h * (2 * k + 13) + k * 7919) % 200001 - 100000)) / lit(100000.0)
     }: _*)
+  }
+
+  /** Aggregation-form embedding: explode words -> codegen'd integer
+    * coordinate contributions -> one map-side-combined sum per document.
+    * Output (idCol, e0..e{dim-1}). Bit-identical to embed() — the integer
+    * sums are order-independent — but the per-word math runs inside
+    * whole-stage codegen, where embed()'s higher-order lambdas
+    * (transform/aggregate are CodegenFallback) evaluate interpreted. The
+    * shuffle moves dim longs per document after partial aggregation, so
+    * this is also the form that parallelizes a 100-TB corpus scan. */
+  def embedAgg(docs: DataFrame, idCol: String, textCol: String,
+               dim: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val h = md5Long(col("w")) % 200001
+    val sums = (0 until dim).map(k =>
+      sum((h * (2 * k + 13) + k * 7919) % 200001 - 100000).as(s"s$k"))
+    docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+      .groupBy(idCol).agg(sums.head, sums.tail: _*)
+      .select(col(idCol) +:
+        (0 until dim).map(k => (col(s"s$k") / 100000.0).as(s"e$k")): _*)
   }
 
   /** Batched generation over `textCol`, appending result column `outCol`.

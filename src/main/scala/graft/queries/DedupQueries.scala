@@ -236,28 +236,34 @@ object DedupQueries extends QueryModule {
       val blkW = 16
       val blocks = 4
       val bucketCap = 256
-      val emb = LlmFunctions.embed(col("text"), dim)
       // dot product as dim scalar multiplies (element_at), not
-      // aggregate(zip_with(...)): the higher-order form allocates two
-      // arrays + a lambda frame PER CANDIDATE PAIR — at millions of
-      // candidates that alloc churn dominated the r8 scale profile
+      // aggregate(zip_with(...)): higher-order functions are
+      // CodegenFallback and allocate per evaluation — at millions of
+      // candidate pairs that dominated the r8 scale profile
       def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         (0 until dim).map(i => element_at(a, i + 1) * element_at(b, i + 1))
           .reduce(_ + _)
       // plane coefficients from a Knuth multiplicative hash of (i+1)(j+1),
-      // wide range (±999) so no plane is near-degenerate
+      // wide range (±999) so no plane is near-degenerate. Folded to Scala
+      // constants: the signature is then 64 codegen'd multiply-add chains,
+      // not 64 interpreted lambda evaluations per row.
       def planeDot(e: org.apache.spark.sql.Column, j: Int) =
-        aggregate(zip_with(e, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x * (((i + 1).cast("long") * lit((j + 1) * 2654435761L)) % 1000003 % 1999 - 999)),
-          lit(0.0), (acc, x) => acc + x)
+        (0 until dim).map { i =>
+          val c = ((i + 1).toLong * (j + 1) * 2654435761L) % 1000003 % 1999 - 999
+          element_at(e, i + 1) * lit(c.toDouble)
+        }.reduce(_ + _)
       // disjoint bit positions: two's-complement addition never carries,
       // so the 1L << 63 wrap to negative is just the sign bit landing
       val sig = (0 until blkW * blocks)
         .map(j => when(planeDot(col("emb"), j) >= 0, lit(1L << j)).otherwise(0L))
         .reduce(_ + _)
-      val e = documents(s, d)
-        .select(col("doc_id"), emb.as("emb"))
-        .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+      val embDf = LlmFunctions.embedAgg(documents(s, d), "doc_id", "text", dim)
+      val e = embDf
+        .select(col("doc_id"),
+          array((0 until dim).map(k => col(s"e$k")): _*).as("emb"))
+        .withColumn("nrm",
+          sqrt((0 until dim).map(k => element_at(col("emb"), k + 1) *
+            element_at(col("emb"), k + 1)).reduce(_ + _)))
         .withColumn("sig", sig)
       val blockCols = (0 until blocks).map(k =>
         shiftright(col("sig"), blkW * k).bitwiseAND(lit((1L << blkW) - 1)).as(s"blk$k"))
@@ -398,7 +404,7 @@ object DedupQueries extends QueryModule {
          |  SELECT doc_id,
          |    list_transform(range(0, 8), k ->
          |      list_sum(list_transform(string_split(text, ' '), w ->
-         |        ((('0x' || substring(md5(w || '#e' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 200001) - 100000) / 100000.0))) AS emb
+         |        (((('0x' || substring(md5(w), 1, 15))::BIGINT % 200001) * (2 * k + 13) + k * 7919) % 200001 - 100000))) / 100000.0) AS emb
          |  FROM documents),
          |e1 AS (
          |  SELECT doc_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm

@@ -168,15 +168,13 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), col("lang"), col("gen"))
     }),
 
-    // Embedding surface: deterministic 8-dim document embedding. The vector
-    // is computed as a native array column and projected element-wise at the
-    // output boundary (e0..e7) — doubles go through the driver's numeric
+    // Embedding surface: deterministic 8-dim document embedding through
+    // the aggregation form (explode -> codegen'd integer coords ->
+    // map-side-combined sums; bit-identical to the column-form embed()).
+    // Scalar outputs e0..e7 — doubles go through the driver's numeric
     // canonicalizer, where a raw array cell would crash its hasher.
-    "llm_embed" -> ((s, d) => {
-      val emb = LlmFunctions.embed(col("text"), 8)
-      documents(s, d).select(
-        col("doc_id") +: (0 until 8).map(k => element_at(emb, k + 1).as(s"e$k")): _*)
-    })
+    "llm_embed" -> ((s, d) =>
+      LlmFunctions.embedAgg(documents(s, d), "doc_id", "text", 8))
   )
 
   private val stopIn = stopList.map(x => s"'$x'").mkString(", ")
@@ -282,7 +280,7 @@ object TextQueries extends QueryModule {
     "llm_embed" -> {
       val cols = (0 until 8).map(k =>
         s"list_sum(list_transform(string_split(text, ' '), w -> " +
-          s"((('0x' || substring(md5(w || '#e$k'), 1, 15))::BIGINT % 200001) - 100000) / 100000.0)) AS e$k")
+          s"(((('0x' || substring(md5(w), 1, 15))::BIGINT % 200001) * ${2 * k + 13} + ${k * 7919}) % 200001 - 100000))) / 100000.0 AS e$k")
         .mkString(",\n  ")
       s"SELECT doc_id,\n  $cols\nFROM documents"
     }

@@ -196,6 +196,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.select(LlmFunctions.embed(col("text"), 8)).as[Seq[Double]].head() === emb)
   }
 
+  test("embedAgg is bit-identical to the column-form embed") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "hello hello hello"), // multiplicities matter
+      (4L, "one"))
+      .toDF("doc_id", "text").repartition(3)
+    val colForm = df
+      .select(col("doc_id"), LlmFunctions.embed(col("text"), 8).as("emb"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val aggForm = LlmFunctions.embedAgg(df, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getDouble)).toMap
+    assert(aggForm.keySet === colForm.keySet)
+    // integer contributions summed as long -> order-independent, so the two
+    // forms must agree exactly, not just within tolerance
+    for ((id, v) <- colForm) assert(aggForm(id) === v, s"doc $id")
+  }
+
   test("llmGenerate batches through mapPartitions and appends the output column") {
     import spark.implicits._
     val in = (1 to 100).map(i => (i.toLong, s"prompt-$i")).toDF("id", "text").repartition(3)
