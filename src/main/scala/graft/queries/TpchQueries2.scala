@@ -49,39 +49,46 @@ object TpchQueries2 extends QueryModule {
 
     // Q11: important parts by value — HAVING against a scalar subquery.
     "tpch_q11" ->
-      // Single-scan form: the global threshold is a whole-frame window over
-      // the per-partkey aggregate (sum of group sums == direct total), so
-      // lineitem is scanned ONCE — at 100x scale the second fact scan of
-      // the textbook nested form is the dominant cost. Oracle mirrors the
-      // same two-level summation so float association matches.
+      // Single-PHYSICAL-scan form: the global threshold is a scalar
+      // aggregate over the per-partkey CTE. Catalyst inlines the CTE into
+      // two logical branches, but both sit on an identical shuffle subtree
+      // (scan -> partial agg -> Exchange hash(l_partkey)), so AQE stage
+      // reuse / ReuseExchange runs the lineitem scan ONCE — asserted in
+      // PlanShapeSpec. Unlike the previous sum(value) OVER () form this
+      // never moves the n_partkey-row aggregate to a single partition
+      // (the only single-partition work is the 1-row total), so it holds
+      // at 100x partkey cardinality. Sum of group sums == direct total;
+      // the oracle runs the same text so float association matches.
       """WITH agg AS (
         |  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
         |  FROM lineitem, supplier, nation
         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |    AND n_name = 'NATION_7'
-        |  GROUP BY l_partkey)
+        |  GROUP BY l_partkey),
+        |t AS (SELECT sum(value) AS total FROM agg)
         |SELECT l_partkey, value
-        |FROM (SELECT l_partkey, value, sum(value) OVER () AS tot FROM agg)
-        |WHERE value > tot * 0.002
+        |FROM agg, t
+        |WHERE value > total * 0.002
         |ORDER BY round(value, 2) DESC, l_partkey""".stripMargin,
 
     // Q15: top supplier — CTE referenced twice + scalar MAX subquery.
     "tpch_q15" ->
-      // Single-scan form: max(total_revenue) as a whole-frame window over
-      // the (small) aggregated side instead of a second revenue subplan.
+      // Textbook shape, single PHYSICAL scan: both CTE references inline
+      // onto the same scan -> partial agg -> Exchange hash(l_suppkey)
+      // subtree, which AQE stage reuse dedupes (asserted in
+      // PlanShapeSpec). max_rev joins back as a broadcast 1-row equi-join,
+      // so no single-partition window over the supplier aggregate.
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
         |         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |    AND l_suppkey IS NOT NULL
         |  GROUP BY l_suppkey),
-        |ranked AS (
-        |  SELECT supplier_no, total_revenue,
-        |         max(total_revenue) OVER () AS max_rev
-        |  FROM revenue)
+        |m AS (SELECT max(total_revenue) AS max_rev FROM revenue)
         |SELECT s_suppkey, s_name, total_revenue
-        |FROM supplier, ranked
+        |FROM supplier, revenue, m
         |WHERE s_suppkey = supplier_no AND total_revenue = max_rev
         |ORDER BY s_suppkey""".stripMargin,
 

@@ -42,20 +42,31 @@ class PlanShapeSpec extends AnyFunSuite {
       "read schema includes unprojected columns — pruning failed")
   }
 
-  test("q11/q15 scan the fact table exactly once (threshold via window, not a second subplan)") {
-    // counted on the optimized logical plan — the physical string repeats
-    // the tree in AQE's initial/final sections.
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    for (q <- Seq("tpch_q11", "tpch_q15")) {
-      val scans = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.collect {
-        case l: LogicalRelation => l.relation match {
-          case h: HadoopFsRelation
-            if h.location.rootPaths.exists(_.toString.contains("lineitem")) => 1
-          case _ => 0
+  test("q11/q15 run one physical lineitem scan via exchange reuse, no global window") {
+    // The scalar-threshold CTE inlines into two logical branches, so the
+    // single-scan property is PHYSICAL: both branches sit on an identical
+    // scan -> partial agg -> Exchange subtree that ReuseExchange (static)
+    // / AQE stage reuse (runtime) dedupes. Asserted with AQE off so the
+    // executed plan is a concrete tree we can traverse; ReusedExchangeExec
+    // is a leaf, so the reused branch's scan is not double-counted.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("tpch_q11", "tpch_q15")) {
+        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val scans = plan.collect {
+          case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
         }
-      }.sum
-      assert(scans == 1, s"$q scans lineitem $scans times; expected 1")
-    }
+        assert(scans.size == 1, s"$q plans ${scans.size} lineitem scans; expected 1")
+        assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+          s"$q does not reuse the aggregate exchange for the scalar threshold")
+        assert(plan.collect { case w: WindowExec => w }.isEmpty,
+          s"$q still plans a WindowExec (single-partition global window)")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("LSH candidate generation is equi-join bucketed, never a cross product") {
