@@ -157,4 +157,78 @@ object SnowflakeFns {
     val toks = filter(split(s, cls), t => length(t) > 0)
     get(toks, lit(part - 1))
   }
+
+  // ---- date/time/timestamp FROM_PARTS construction ----------------------
+  // Reference: datetime_array_kernels.py date_from_parts_util:2192
+  // ("DATE_FROM_PARTS(2000, 0, 100) = 2000-03-09"),
+  // construct_timestamp_util:2029 ("minute=150 -> 2:30pm"),
+  // time_array_kernels.py time_from_parts_util:141. Out-of-range parts
+  // ROLL OVER instead of erroring: months carry into years (floor
+  // division), then days/hours/minutes/seconds carry as one big offset
+  // from the month start. All plain date arithmetic on builtins.
+
+  /** DATE_FROM_PARTS(year, month, day) with Snowflake rollover:
+    * months offset from January of `year`, days offset from the 1st. */
+  def dateFromParts(year: Column, month: Column, day: Column): Column =
+    date_add(
+      add_months(make_date(year, lit(1), lit(1)), month - 1),
+      (day - 1).cast("int"))
+
+  /** TIMESTAMP_FROM_PARTS(y, mo, d, h, mi, s): the date part rolls over as
+    * DATE_FROM_PARTS; the time part is one seconds offset (hour 24*50 or
+    * minute 150 roll forward across days exactly like the reference). */
+  def timestampFromParts(year: Column, month: Column, day: Column,
+                         hour: Column, minute: Column, sec: Column): Column =
+    timestamp_seconds(
+      dateFromParts(year, month, day).cast("timestamp").cast("long") +
+        hour.cast("long") * 3600 + minute.cast("long") * 60 + sec.cast("long"))
+
+  /** TIME_FROM_PARTS(h, mi, s, ns) as nanoseconds-of-day: any part may be
+    * out of range or negative; the total wraps into [0, 24h). */
+  def timeFromPartsNs(hour: Column, minute: Column, sec: Column,
+                      ns: Column): Column = {
+    val day = 86400L * 1000000000L
+    val tot = (hour.cast("long") * 3600 + minute.cast("long") * 60 +
+      sec.cast("long")) * 1000000000L + ns.cast("long")
+    ((tot % day) + day) % day
+  }
+
+  /** TIME_FROM_PARTS rendered 'HH:MM:SS' (the repo's TIME surface form —
+    * Spark has no TIME type; fn_time documents the ns-of-day model). */
+  def timeFromPartsStr(hour: Column, minute: Column, sec: Column): Column = {
+    // Column `/` is double division — cast back to long at each step so
+    // the rendered pieces are integers, not "1.0"
+    val s = (timeFromPartsNs(hour, minute, sec, lit(0L)) / 1000000000L).cast("long")
+    concat(
+      lpad((s / 3600).cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad(((s % 3600) / 60).cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad((s % 60).cast("string"), 2, "0"))
+  }
+
+  // ---- crypto / encode kernels ------------------------------------------
+  // Reference: crypto_funcs.py (sha2_algorithms:69, hex_encode_algorithm,
+  // base64_encode_algorithm with max_line_length + char_63/64 alphabet
+  // overrides, base64_decode with validation -> NULL on TRY path).
+
+  /** BASE64_ENCODE(msg, max_line_length, alphabet): standard base64, then
+    * the optional 2-char alphabet override for the 63rd/64th characters,
+    * then a newline every `maxLineLength` chars (0 = no wrapping). */
+  def base64EncodeSf(bin: Column, maxLineLength: Int = 0,
+                     alphabet: String = ""): Column = {
+    val b = base64(bin)
+    val withAlpha =
+      if (alphabet.isEmpty) b else translate(b, "+/", alphabet)
+    if (maxLineLength <= 0) withAlpha
+    else regexp_replace(withAlpha, s"(.{$maxLineLength})", "$1\n")
+  }
+
+  /** TRY_BASE64_DECODE_STRING: alphabet-validated, NULL on malformed input
+    * (Spark's unbase64 is lenient, so the validity gate is explicit). */
+  def tryBase64DecodeString(s: Column): Column =
+    when(s.rlike("^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"),
+      unbase64(s).cast("string"))
+
+  /** TRY_HEX_DECODE_STRING: NULL on non-hex input (unhex yields NULL for
+    * invalid digits; the cast surfaces the bytes as UTF-8). */
+  def tryHexDecodeString(s: Column): Column = unhex(s).cast("string")
 }

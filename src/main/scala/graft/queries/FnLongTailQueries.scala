@@ -159,6 +159,61 @@ object FnLongTailQueries extends QueryModule {
         left(b, lit(100)).as("lft_big"),
         right(b, lit(100)).as("rgt_big"),
         overlay(b, lit("***"), lit(5)).as("ovl_rep"))
+    }),
+
+    // DATE/TIME/TIMESTAMP_FROM_PARTS with Snowflake out-of-range rollover
+    // (datetime_array_kernels.py construct_timestamp_util:2029,
+    // date_from_parts_util:2192, time_array_kernels.py:141). Derived parts
+    // range over negative months/days and >24h hours so every carry path
+    // fires; the two docstring examples ride along as constant columns.
+    "fn_datetime5" -> ((s, d) => {
+      val k = col("o_orderkey")
+      val mo = (k % 30 - 6).cast("int")
+      val dd = (k % 90 - 20).cast("int")
+      val hh = (k % 50).cast("int")
+      val mi = (k % 150).cast("int")
+      val sec = (k % 100).cast("int")
+      orders(s, d).filter(k % 10 === 0).select(
+        k,
+        dateFromParts(lit(2020), mo, dd).cast("timestamp").as("dfp"),
+        dateFromParts(lit(2000), lit(0), lit(100)).cast("timestamp").as("dfp_doc1"),
+        dateFromParts(lit(2004), lit(-1), lit(-1)).cast("timestamp").as("dfp_doc2"),
+        timestampFromParts(lit(2020), mo, dd, hh, mi, sec).as("tfp"),
+        timestampFromParts(lit(2015), lit(7), lit(4), lit(12), lit(150), lit(0))
+          .as("tfp_doc"),
+        timeFromPartsStr(hh, mi - 75, sec).as("tstr"),
+        timeFromPartsNs(lit(0), lit(0), lit(0), (k * 12345678901L) % 172800000000000L)
+          .as("tns"),
+        timeFromPartsNs(lit(25), lit(70), lit(70), lit(0)).as("tns_roll"))
+    }),
+
+    // Crypto/encode kernels (crypto_funcs.py): SHA2 digest sizes, hex
+    // encode/decode incl. the TRY path, BASE64_ENCODE line-wrapping and
+    // alphabet-override args, TRY_BASE64_DECODE validation. SHA1/224/384/
+    // 512 run over a fixed literal vocabulary because DuckDB 1.0 only
+    // ships sha256 — the oracle pins reference-computed digests per word.
+    "fn_crypto" -> ((s, d) => {
+      val k = col("p_partkey")
+      val w = element_at(array(
+        lit("Robert"), lit("Rupert"), lit("Ashcraft"), lit("Tymczak"),
+        lit("Pfister"), lit("Honeyman"), lit("Graft"), lit("Obrien")),
+        (k % 8 + 1).cast("int"))
+      val nameBin = col("p_name").cast("binary")
+      val rnd16 = unhex(md5(col("p_name"))) // 16 high-entropy bytes
+      val hexIn = when(k % 2 === 0, hex(col("p_name"))).otherwise(lit("XYZZ"))
+      val b64In = when(k % 3 === 0, base64(nameBin)).otherwise(lit("not!!valid"))
+      part(s, d).filter(k % 7 === 0).select(
+        k,
+        sha1(w).as("h_sha1"),
+        sha2(w, 224).as("h_sha224"),
+        sha2(w, 384).as("h_sha384"),
+        sha2(w, 512).as("h_sha512"),
+        lower(hex(col("p_name"))).as("hex_lc"),
+        unhex(hex(col("p_name"))).cast("string").as("hex_rt"),
+        tryHexDecodeString(hexIn).as("hex_try"),
+        base64EncodeSf(rnd16, maxLineLength = 8).as("b64_lines"),
+        base64EncodeSf(rnd16, alphabet = "$%").as("b64_alpha"),
+        tryBase64DecodeString(b64In).as("b64_try"))
     })
   )
 
@@ -296,6 +351,93 @@ object FnLongTailQueries extends QueryModule {
         |  left(b, 100) AS lft_big,
         |  right(b, 100) AS rgt_big,
         |  substr(b, 1, 4) || '***' || substr(b, 8) AS ovl_rep
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    "fn_datetime5" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(o_orderkey % 30 - 6 AS INTEGER) AS mo,
+        |    CAST(o_orderkey % 90 - 20 AS INTEGER) AS dd,
+        |    CAST(o_orderkey % 50 AS INTEGER) AS hh,
+        |    CAST(o_orderkey % 150 AS INTEGER) AS mi,
+        |    CAST(o_orderkey % 100 AS INTEGER) AS sec
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |x AS (
+        |  SELECT *,
+        |    ((hh*3600 + (mi-75)*60 + sec) % 86400 + 86400) % 86400 AS w
+        |  FROM o)
+        |SELECT k AS o_orderkey,
+        |  CAST(CAST(make_date(2020,1,1) + to_months(mo - 1) + to_days(dd - 1)
+        |       AS DATE) AS TIMESTAMP) AS dfp,
+        |  CAST(CAST(make_date(2000,1,1) + to_months(-1) + to_days(99)
+        |       AS DATE) AS TIMESTAMP) AS dfp_doc1,
+        |  CAST(CAST(make_date(2004,1,1) + to_months(-2) + to_days(-2)
+        |       AS DATE) AS TIMESTAMP) AS dfp_doc2,
+        |  CAST(make_date(2020,1,1) + to_months(mo - 1) + to_days(dd - 1) AS TIMESTAMP)
+        |    + to_seconds(CAST(hh AS BIGINT)*3600 + mi*60 + sec) AS tfp,
+        |  CAST(make_date(2015,1,1) + to_months(6) + to_days(3) AS TIMESTAMP)
+        |    + to_seconds(CAST(12*3600 + 150*60 AS BIGINT)) AS tfp_doc,
+        |  lpad(CAST(w // 3600 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST((w % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST(w % 60 AS VARCHAR), 2, '0') AS tstr,
+        |  ((k * 12345678901) % 172800000000000) % 86400000000000 AS tns,
+        |  (CAST(25*3600 + 70*60 + 70 AS BIGINT) * 1000000000) % 86400000000000 AS tns_roll
+        |FROM x""".stripMargin,
+
+    "fn_crypto" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS k, p_name,
+        |    ['Robert','Rupert','Ashcraft','Tymczak','Pfister','Honeyman',
+        |     'Graft','Obrien'][CAST(p_partkey % 8 AS INTEGER) + 1] AS w,
+        |    unhex(md5(p_name)) AS rnd16
+        |  FROM part WHERE p_partkey % 7 = 0)
+        |SELECT k AS p_partkey,
+        |  CASE w
+        |    WHEN 'Robert' THEN 'b7f73c5b66dca06b94aa7a7134c24e0159e1dd0a'
+        |    WHEN 'Rupert' THEN '2968f1f9f9049808f5098ddc33968d3a133a988d'
+        |    WHEN 'Ashcraft' THEN '291b89fe8657d98e8b17ff73d755d69f9f4569a3'
+        |    WHEN 'Tymczak' THEN '03aa30387e9b7eec242c70dedf3b398897a49aeb'
+        |    WHEN 'Pfister' THEN 'f55c9719db075dde825aa40c60b5159c3336f948'
+        |    WHEN 'Honeyman' THEN 'd12ad60fb9ab3930905ea2aa4c45dbb953ff74a0'
+        |    WHEN 'Graft' THEN 'd49848d6b44d57262f5223b5f269326055d2ef0e'
+        |    WHEN 'Obrien' THEN 'ffce1211c077a769d40027fbf0d4830675c73ded'
+        |  END AS h_sha1,
+        |  CASE w
+        |    WHEN 'Robert' THEN 'eb26be32bb78cb41db8ed8cda978941a2b01af786ca9c4de6fbbb2a3'
+        |    WHEN 'Rupert' THEN '87426a12cafb97b325aa9061fddbe28c49ad256f76c3fb4cd69932ef'
+        |    WHEN 'Ashcraft' THEN '3f8b2a416a3b5d017c1495472e7a0abd6678b2522f2067e1156a35e5'
+        |    WHEN 'Tymczak' THEN 'bc7fd2c1a3753380da2367766f249a49b9caebaa5c03880b0684a294'
+        |    WHEN 'Pfister' THEN '6f8467c7077f2c4e6ee76a7f4df64e3336be9f823132d1fa2591a2d6'
+        |    WHEN 'Honeyman' THEN '02e56a77eebf7b0bd4be42221d6e4b60a9aae8608da85c56b430a19a'
+        |    WHEN 'Graft' THEN 'f4fdb59ffd0c24f4e8c904089e9934b381eb772a73742ffb9ed09c8e'
+        |    WHEN 'Obrien' THEN '27993cdf62c3b8751b3c2e18db55ee1337dd1ccbc47a2e5e705e6a92'
+        |  END AS h_sha224,
+        |  CASE w
+        |    WHEN 'Robert' THEN '47db3fd5d1131e4287f01eed1f2626d7d545ed18e2a4474d9e940485f418159c1a5628fb5a3373c5512a422a3e294c71'
+        |    WHEN 'Rupert' THEN 'a124ac8f1f13ab388dc7b63272fe34554231fb1efd7768442ed4b773b6291740c776e19afecd2b8167a09418bd1c1a19'
+        |    WHEN 'Ashcraft' THEN '5ecf4848c5dfc057ff1e47d8d2c7b35ad274e362b61c2f42f8be999d12e23afba92808cda165770a7bed97aa21d67a0e'
+        |    WHEN 'Tymczak' THEN '16313ad3bab6cf311914700e43d01be3b6f0cd1ea6ad784d3ae0c4762a83a03a8b942cf9c017fb79f4f4ef52d0679f97'
+        |    WHEN 'Pfister' THEN 'e8b3b417ccfaee86bbe47eec800fed0b154be4b13dde53947dd35d7daf015c61dfe91cb0a5bc555f78605ab1e27f4d36'
+        |    WHEN 'Honeyman' THEN '0ae9b62d9593ae22bdb8ada684c2ba413c55d92058f69ccbaef3ecf515f4a3bbaff7f71c0f1d8d0b7d6576f9a9c98006'
+        |    WHEN 'Graft' THEN '8381d415787cf39a32ca986a22d17c2b39298177b65559b856bd4d9a306b26ed1b5cff20882f9a404fc9a7aad693515e'
+        |    WHEN 'Obrien' THEN '5a273e6df82784df0a861f146714e42cbf1212c7c704936203e8809f067ba7ac92a187717e11d979a6e30366a304b401'
+        |  END AS h_sha384,
+        |  CASE w
+        |    WHEN 'Robert' THEN '45c35c2cda6d6bc32a41f7e183f1f6687eef37818dcf62d858e706df26d5cb328cf1be60fea4a509885184387be96e6e233e60972607b7933e678b1ab4bd7bd8'
+        |    WHEN 'Rupert' THEN '735f4ea72549c295fff81e2ee0dfb4d3413d40b69f3c1dc434dc8b1e38203dd6b45328fd44737b51a9fdfcb577f4b52dab7b5b78a15de1b1e821ecfd427e56a8'
+        |    WHEN 'Ashcraft' THEN 'ee2842879a291f5bff2062339de328944759a4133a3de4f376997c81fe83e9fdf69968c0959d10348cef4725247d7999d42d9c31cb79fe4cb27aef4291779ad1'
+        |    WHEN 'Tymczak' THEN 'ac510a437d027c91c56bcc17d8f42effc3411fd2471bd4edcd74973b3545f0d000f78da9c87bb66ccab6e47f1ff41b3e06bd79f38c11a0345dac699262d08f76'
+        |    WHEN 'Pfister' THEN 'c5830dbcad8f2901ebd99882a597f33e8083494d2ad85faca978d46d82ef15d2fbd2897940f136f62e86795e8a412f34c88ee12e836dd378e7e1c218a12dcdc0'
+        |    WHEN 'Honeyman' THEN '38cd47be9b7b800a5dbe079fd77bfd678090b411a652629de7191f21834ece6ecddd4cea3526a89829e1eaf965e2b4f6eff206a4a03a5dba87ffd789e629d4d7'
+        |    WHEN 'Graft' THEN 'ca30352ece5171bab43436df0fbbabedb4d41ca0421f92265cb997fd939660fbc3954d3d3617b71c9c51e3c7d014c66900bc09a4fbc1298daab952c84bd01404'
+        |    WHEN 'Obrien' THEN '243a26efc5c205abc5f575134d0fe5ee315eb8ea9b720705d185c4e5f6df5e0520f9786ff40fe4a2960b087576c4f05f4d8cf77da8f1c65a2a4f103e5d7175a8'
+        |  END AS h_sha512,
+        |  lower(hex(p_name)) AS hex_lc,
+        |  p_name AS hex_rt,
+        |  CASE WHEN k % 2 = 0 THEN p_name ELSE NULL END AS hex_try,
+        |  regexp_replace(to_base64(rnd16), '(.{8})', '\1' || chr(10), 'g') AS b64_lines,
+        |  translate(to_base64(rnd16), '+/', '$%') AS b64_alpha,
+        |  CASE WHEN k % 3 = 0 THEN p_name ELSE NULL END AS b64_try
+        |FROM p""".stripMargin
   )
 }
