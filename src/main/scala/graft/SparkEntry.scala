@@ -27,6 +27,7 @@ object SparkEntry {
     FnScalarQueries,
     FnSemiQueries,
     FnLongTailQueries,
+    PandasQueries,
     LateralQueries,
     AsofQueries,
     IoQueries,
