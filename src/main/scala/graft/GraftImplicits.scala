@@ -34,12 +34,15 @@ object GraftImplicits {
       Asof.join(df, quotes, leftKey, rightKey, leftTime, rightTime,
         direction, tolerance)
 
-    /** Point-in-interval join. See [[graft.plans.Interval.join]]. */
+    /** Point-in-interval join (inner or left). See
+      * [[graft.plans.Interval.join]]. */
     def intervalJoin(intervals: DataFrame, point: String,
                      start: String, end: String,
                      startInclusive: Boolean = true,
-                     endInclusive: Boolean = false): DataFrame =
-      Interval.join(df, intervals, point, start, end, startInclusive, endInclusive)
+                     endInclusive: Boolean = false,
+                     joinType: String = "inner"): DataFrame =
+      Interval.join(df, intervals, point, start, end, startInclusive,
+        endInclusive, joinType)
 
     /** Interval-overlap join. See [[graft.plans.Interval.joinOverlap]]. */
     def intervalOverlapJoin(intervals: DataFrame, pStart: String, pEnd: String,

@@ -36,9 +36,17 @@ case class IntervalJoin(
       * and the join matches on OVERLAP (ref _interval_join.cpp's
       * interval-vs-interval case): start ≤ pointEnd && end ≥ point, with
       * the same per-bound strictness flags. None = point probe. */
-    pointEnd: Option[Attribute] = None) extends BinaryNode {
+    pointEnd: Option[Attribute] = None,
+    /** LEFT OUTER: probes with no containing interval emit once with a
+      * null interval side (the reference restricts this operator to
+      * inner/left — _interval_join.cpp:252 "should only support Inner or
+      * Left Joins"; right/full would need build-side match tracking
+      * across all probe partitions, a global barrier). */
+    leftOuter: Boolean = false) extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoin =
@@ -48,8 +56,8 @@ case class IntervalJoin(
 /** Plans the logical IntervalJoin to its broadcast physical operator. */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoin(l, r, p, s, e, si, ei, pe) =>
-      IntervalJoinExec(p, pe, s, e, si, ei, planLater(l), planLater(r)) :: Nil
+    case IntervalJoin(l, r, p, s, e, si, ei, pe, lo) =>
+      IntervalJoinExec(p, pe, s, e, si, ei, lo, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -61,7 +69,15 @@ object Interval {
   def join(points: DataFrame, intervals: DataFrame,
            point: String, start: String, end: String,
            startInclusive: Boolean = true,
-           endInclusive: Boolean = false): DataFrame = {
+           endInclusive: Boolean = false,
+           joinType: String = "inner"): DataFrame = {
+    val leftOuter = joinType match {
+      case "inner" => false
+      case "left" | "left_outer" => true
+      case other => throw new IllegalArgumentException(
+        s"interval join supports inner|left, got $other (reference parity: " +
+          "_interval_join.cpp inner/left only)")
+    }
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"interval join requires disjoint column names; alias these on one side: ${overlap.mkString(", ")}")
@@ -73,7 +89,7 @@ object Interval {
           s"column $n not found among ${p.output.map(_.name).mkString(", ")}"))
     GraftSqlShim.ofRows(points.sparkSession,
       IntervalJoin(lp, rp, attr(lp, point), attr(rp, start), attr(rp, end),
-        startInclusive, endInclusive))
+        startInclusive, endInclusive, leftOuter = leftOuter))
   }
 
   /** Interval-overlap join: every (probe, interval) pair whose ranges

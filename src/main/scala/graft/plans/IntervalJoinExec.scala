@@ -28,9 +28,12 @@ case class IntervalJoinExec(
     point: Attribute, pointEnd: Option[Attribute],
     start: Attribute, end: Attribute,
     startInclusive: Boolean, endInclusive: Boolean,
+    leftOuter: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override lazy val metrics: Map[String, SQLMetric] =
     Map("numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
@@ -100,11 +103,17 @@ case class IntervalJoinExec(
       val maxEnd = bIdx.maxEnd
       val m = sortedStart.length
       val joined = new JoinedRow
+      // left-outer: unmatched probes emit once against an all-null build row
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rOut.size)
+      val emitUnmatched = leftOuter
       probeIter.flatMap { l =>
         val pRow = pProj(l)
         val peRow = peProj(l)
-        if (pRow.isNullAt(0) || peRow.isNullAt(0) || m == 0) Iterator.empty
-        else {
+        if (pRow.isNullAt(0) || peRow.isNullAt(0) || m == 0) {
+          if (emitUnmatched) { numOutputRows += 1; Iterator.single[InternalRow](joined(l, nullRight)) }
+          else Iterator.empty
+        } else {
           // point probe: p == pe; overlap probe: [p, pe] vs [start, end]
           val p = asLongP(pRow)
           val pe = asLongP(peRow)
@@ -115,7 +124,7 @@ case class IntervalJoinExec(
             val ok = if (sInc) sortedStart(mid) <= pe else sortedStart(mid) < pe
             if (ok) { last = mid; lo = mid + 1 } else hi = mid - 1
           }
-          new Iterator[InternalRow] {
+          val matches: Iterator[InternalRow] = new Iterator[InternalRow] {
             private var idx = last
             private var ready = false
             private def endOk(e: Long): Boolean = if (eInc) e >= p else e > p
@@ -133,6 +142,10 @@ case class IntervalJoinExec(
               r
             }
           }
+          if (emitUnmatched && !matches.hasNext) {
+            numOutputRows += 1
+            Iterator.single[InternalRow](joined(l, nullRight))
+          } else matches
         }
       }
     }

@@ -184,6 +184,23 @@ object AsofQueries extends QueryModule {
         .agg(count(lit(1)).as("n_hits"), sum(col("value")).as("sum_v"))
     }),
 
+    // LEFT point-in-interval join through the native operator (reference
+    // parity: _interval_join.cpp restricts the operator to inner/left).
+    // Clicks with no covering signup window survive with a null interval
+    // side and land in the NULL iv_id group — the group row that proves
+    // the outer semantics end-to-end.
+    "join_interval_native_left" -> ((s, d) => {
+      val ev = events(s, d)
+      val iv = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("iv_id"), col("ts").as("t0"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("t1"))
+      val pts = ev.filter(col("event_type") === "click")
+        .select(col("ts").as("pt"), col("value"))
+      graft.plans.Interval.join(pts, iv, "pt", "t0", "t1", joinType = "left")
+        .groupBy(col("iv_id"))
+        .agg(count(lit(1)).as("n_hits"), sum(col("value")).as("sum_v"))
+    }),
+
     // Interval-OVERLAP join through the same native operator (ref
     // _interval_join.cpp's interval-vs-interval case): every purchase's
     // 1-hour window against every signup's 2-hour window, matched when
@@ -310,6 +327,16 @@ object AsofQueries extends QueryModule {
         |pt AS (SELECT ts AS pt, value FROM e WHERE event_type = 'click')
         |SELECT iv.iv_id, count(*) AS n_hits, sum(pt.value) AS sum_v
         |FROM iv JOIN pt ON pt.pt >= iv.t0 AND pt.pt < iv.t1
+        |GROUP BY iv.iv_id""".stripMargin,
+
+    "join_interval_native_left" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |iv AS (SELECT event_id AS iv_id, ts AS t0, ts + INTERVAL 2 HOUR AS t1
+        |       FROM e WHERE event_type = 'signup'),
+        |pt AS (SELECT ts AS pt, value FROM e WHERE event_type = 'click')
+        |SELECT iv.iv_id, count(*) AS n_hits, sum(pt.value) AS sum_v
+        |FROM pt LEFT JOIN iv ON pt.pt >= iv.t0 AND pt.pt < iv.t1
         |GROUP BY iv.iv_id""".stripMargin,
 
     // inclusive overlap: p0 <= t1 AND p1 >= t0

@@ -78,6 +78,39 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(out === Seq((1L, "a"), (2L, "b"), (3L, "b")).sortBy(identity))
   }
 
+  test("left outer: unmatched probes emit once with a null interval side") {
+    val p = points((10L, 1L), (25L, 2L), (5L, 3L), (null, 4L))
+    val i = intervals((10L, 20L, "a"), (8L, 12L, "b"))
+    val out = Interval.join(p, i, "pt", "t0", "t1", joinType = "left")
+      .select(col("pid"), col("iv")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_.toString)
+    // pid 1 matches both; 2, 3 and the null-point 4 emit once with null
+    assert(out === Seq((1L, Some("a")), (1L, Some("b")), (2L, None),
+      (3L, None), (4L, None)).sortBy(_.toString))
+    // and against an EMPTY build side every probe survives
+    val empty = intervals().filter(lit(false))
+    val out2 = Interval.join(points((1L, 9L)), empty, "pt", "t0", "t1",
+      joinType = "left").select(col("pid"), col("iv")).collect()
+    assert(out2.map(r => (r.getLong(0), r.isNullAt(1))).toSeq === Seq((9L, true)))
+  }
+
+  test("left outer matches Spark's own left join row-for-row on random data") {
+    val rnd = new scala.util.Random(20260813)
+    val p = (1 to 400).map(i => (rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("pt", "pid").repartition(5)
+    val iv = (1 to 60).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (s, s + rnd.nextInt(80).toLong, s"iv$i")
+    }.toDF("t0", "t1", "iv").repartition(3)
+    val native = Interval.join(p, iv, "pt", "t0", "t1", joinType = "left")
+      .select("pid", "iv").collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      .sortBy(_.toString).toSeq
+    val composed = p.join(iv, col("pt") >= col("t0") && col("pt") < col("t1"), "left")
+      .select("pid", "iv").collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      .sortBy(_.toString).toSeq
+    assert(native === composed)
+  }
+
   test("implicit method syntax delegates to the same operators") {
     import GraftImplicits._
     val viaImplicit = points((15L, 1L))
