@@ -159,6 +159,41 @@ class PropertySpec extends AnyFunSuite {
 
   // -- native interval join vs brute force on random ranges -----------------
 
+  test("FROM_PARTS rollover matches java.time arithmetic on random parts") {
+    import spark.implicits._
+    import graft.functions.SnowflakeFns._
+    val rnd = new scala.util.Random(20260813)
+    val rows = Seq.fill(300)((
+      1980 + rnd.nextInt(50), rnd.nextInt(71) - 30, rnd.nextInt(301) - 100,
+      rnd.nextInt(151) - 50, rnd.nextInt(501) - 200, rnd.nextInt(201) - 100,
+      rnd.nextLong() % 300000000000000L))
+    val df = rows.toDF("y", "mo", "d", "h", "mi", "s", "ns").repartition(4)
+    val got = df.select(
+      col("y"), col("mo"), col("d"), col("h"), col("mi"), col("s"), col("ns"),
+      dateFromParts(col("y"), col("mo"), col("d")).cast("string").as("dfp"),
+      timestampFromParts(col("y"), col("mo"), col("d"), col("h"), col("mi"),
+        col("s")).cast("string").as("tfp"),
+      timeFromPartsNs(col("h"), col("mi"), col("s"), col("ns")).as("tns"))
+      .collect()
+    for (r <- got) {
+      val (y, mo, d, h, mi, s, ns) = (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getLong(6))
+      // reference semantics (date_from_parts_util:2192): months carry into
+      // years from January of y, then days offset from the 1st
+      val date = java.time.LocalDate.of(y, 1, 1)
+        .plusMonths(mo - 1L).plusDays(d - 1L)
+      assert(r.getString(7) === date.toString, s"dfp($y,$mo,$d)")
+      val ts = date.atStartOfDay()
+        .plusSeconds(h * 3600L + mi * 60L + s)
+      // Spark renders "yyyy-MM-dd HH:mm:ss"; LocalDateTime "yyyy-MM-ddTHH:mm[:ss]"
+      val expTs = f"${ts.toLocalDate}%s ${ts.getHour}%02d:${ts.getMinute}%02d:${ts.getSecond}%02d"
+      assert(r.getString(8) === expTs, s"tfp($y,$mo,$d,$h,$mi,$s)")
+      val expNs = java.lang.Math.floorMod(
+        (h * 3600L + mi * 60L + s) * 1000000000L + ns, 86400000000000L)
+      assert(r.getLong(9) === expNs, s"tns($h,$mi,$s,$ns)")
+    }
+  }
+
   test("IntervalJoinExec matches brute force on random points and intervals") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
