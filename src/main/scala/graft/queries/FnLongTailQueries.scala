@@ -187,6 +187,65 @@ object FnLongTailQueries extends QueryModule {
         timeFromPartsNs(lit(25), lit(70), lit(70), lit(0)).as("tns_roll"))
     }),
 
+    // LAST_DAY with a date-part argument (datetime_array_kernels.py
+    // last_day_year:562 / last_day_quarter:566 / last_day_week:574 —
+    // Spark's last_day is month-only, so week/quarter/year compose from
+    // date_trunc + offset; week policy is ISO Monday-start in Spark,
+    // DuckDB, and the reference default) plus the FIRST-of-part family
+    // via bare truncation.
+    "fn_datetime6" -> ((s, d) => {
+      val dt = col("o_orderdate")
+      orders(s, d).filter(col("o_orderkey") % 15 === 0).select(
+        col("o_orderkey"),
+        date_add(date_trunc("WEEK", dt).cast("date"), 6)
+          .cast("timestamp").as("ld_week"),
+        date_sub(add_months(date_trunc("QUARTER", dt).cast("date"), 3), 1)
+          .cast("timestamp").as("ld_quarter"),
+        make_date(year(dt), lit(12), lit(31)).cast("timestamp").as("ld_year"),
+        date_trunc("WEEK", dt).cast("date").cast("timestamp").as("fd_week"),
+        date_trunc("QUARTER", dt).cast("date").cast("timestamp").as("fd_quarter"),
+        date_trunc("YEAR", dt).cast("date").cast("timestamp").as("fd_year"))
+    }),
+
+    // other_array_kernels long tail: the IS [NOT] TRUE/FALSE predicate
+    // quartet over nullable booleans (is_true:…/is_not_false — null is
+    // neither true nor false), BITNOT, arithmetic right-shift of
+    // negatives, GET's 0-based/negative/out-of-range indexing
+    // (arr_get), ARRAY_SLICE including from-the-end, ARRAY_REMOVE_AT
+    // (nested_data_kernels), OBJECT_INSERT with update-flag overwrite
+    // semantics (the insert-new path is fn_json2's `oins`), ORD/ASCII,
+    // STRCMP's sign contract, and the substring-suffix form.
+    "fn_other2" -> ((s, d) => {
+      val k = col("p_partkey")
+      val b = when(k % 3 === 0, lit(null).cast("boolean")).otherwise(k % 2 === 0)
+      val arr = split(col("p_name"), " ")
+      val m = map_from_arrays(
+        array(lit("brand"), lit("type")),
+        array(col("p_brand"), col("p_type")))
+      def aj(c: org.apache.spark.sql.Column) = array_join(c, ",")
+      part(s, d).filter(k % 8 === 0).select(
+        k,
+        b.eqNullSafe(true).as("is_t"),
+        !b.eqNullSafe(true).as("is_nt"),
+        b.eqNullSafe(false).as("is_f"),
+        !b.eqNullSafe(false).as("is_nf"),
+        bitwise_not(k % 256).as("bnot"),
+        shiftright((-(k % 1000)).cast("int"), 2).as("bshr_neg"),
+        shiftleft((k % 1000).cast("int"), 3).as("bshl"),
+        get(arr, lit(1)).as("get0"),
+        get(arr, lit(99)).as("get_oob"),
+        try_element_at(arr, lit(-1)).as("get_neg"),
+        aj(slice(arr, 2, 3)).as("aslice"),
+        aj(slice(arr, -2, 2)).as("aslice_end"),
+        aj(concat(slice(arr, 1, 1), slice(arr, 3, 1000))).as("aremove_at"),
+        to_json(map_concat(map_filter(m, (key, _) => key =!= "type"),
+          map(lit("type"), lit("X")))).as("oins_upd"),
+        ascii(substring(col("p_name"), 1, 1)).as("ord_a"),
+        when(col("p_name") < col("p_type"), -1)
+          .when(col("p_name") > col("p_type"), 1).otherwise(0).as("strcmp"),
+        substring(col("p_name"), 8, 1000000).as("suffix"))
+    }),
+
     // Crypto/encode kernels (crypto_funcs.py): SHA2 digest sizes, hex
     // encode/decode incl. the TRY path, BASE64_ENCODE line-wrapping and
     // alphabet-override args, TRY_BASE64_DECODE validation. SHA1/224/384/
@@ -383,6 +442,44 @@ object FnLongTailQueries extends QueryModule {
         |  ((k * 12345678901) % 172800000000000) % 86400000000000 AS tns,
         |  (CAST(25*3600 + 70*60 + 70 AS BIGINT) * 1000000000) % 86400000000000 AS tns_roll
         |FROM x""".stripMargin,
+
+    "fn_datetime6" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(date_trunc('week', o_orderdate) + to_days(6) AS DATE) AS TIMESTAMP) AS ld_week,
+        |  CAST(CAST(date_trunc('quarter', o_orderdate) + to_months(3) + to_days(-1) AS DATE) AS TIMESTAMP) AS ld_quarter,
+        |  CAST(make_date(CAST(year(o_orderdate) AS INTEGER), 12, 31) AS TIMESTAMP) AS ld_year,
+        |  CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS TIMESTAMP) AS fd_week,
+        |  CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS TIMESTAMP) AS fd_quarter,
+        |  CAST(CAST(date_trunc('year', o_orderdate) AS DATE) AS TIMESTAMP) AS fd_year
+        |FROM orders WHERE o_orderkey % 15 = 0""".stripMargin,
+
+    "fn_other2" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS k, p_name, p_brand, p_type,
+        |    CASE WHEN p_partkey % 3 = 0 THEN NULL
+        |         ELSE p_partkey % 2 = 0 END AS b,
+        |    string_split(p_name, ' ') AS arr
+        |  FROM part WHERE p_partkey % 8 = 0)
+        |SELECT k AS p_partkey,
+        |  coalesce(b = TRUE, FALSE) AS is_t,
+        |  NOT coalesce(b = TRUE, FALSE) AS is_nt,
+        |  coalesce(b = FALSE, FALSE) AS is_f,
+        |  NOT coalesce(b = FALSE, FALSE) AS is_nf,
+        |  ~(k % 256) AS bnot,
+        |  CAST((-(k % 1000)) >> 2 AS INTEGER) AS bshr_neg,
+        |  CAST((k % 1000) << 3 AS INTEGER) AS bshl,
+        |  arr[2] AS get0,
+        |  arr[100] AS get_oob,
+        |  arr[-1] AS get_neg,
+        |  array_to_string(arr[2:4], ',') AS aslice,
+        |  array_to_string(arr[greatest(len(arr) - 1, 1):len(arr)], ',') AS aslice_end,
+        |  array_to_string(arr[1:1] || arr[3:], ',') AS aremove_at,
+        |  CAST(json_object('brand', p_brand, 'type', 'X') AS VARCHAR) AS oins_upd,
+        |  CAST(ascii(substr(p_name, 1, 1)) AS INTEGER) AS ord_a,
+        |  CASE WHEN p_name < p_type THEN -1
+        |       WHEN p_name > p_type THEN 1 ELSE 0 END AS strcmp,
+        |  substr(p_name, 8) AS suffix
+        |FROM p""".stripMargin,
 
     "fn_crypto" ->
       """WITH p AS (

@@ -213,6 +213,63 @@ object WindowQueries extends QueryModule {
           when(n > 1.0, sqrt((sxx - sx * sx / n) / (n - 1.0))).as("roll_std"))
     }),
 
+    // Second rolling battery: the windowed_* kernel family the reference
+    // ships beyond plain sum/avg (window_agg_array_kernels.py:
+    // windowed_median/mode:  exact per-frame; windowed_count_if,
+    // windowed_booland/boolor at :364, boolxor = "true_count == 1" at
+    // :370; windowed bit aggregates; windowed_skew/kurtosis). Skew and
+    // excess kurtosis come from RUNNING POWER SUMS over the frame —
+    // O(1) per row through Spark's sliding-frame sum, not an O(frame)
+    // imperative recompute — with the sample (pandas/Snowflake) formulas
+    // applied arithmetically; the oracle runs the identical arithmetic.
+    // Mode is emitted only on full 5-row frames of a two-valued input
+    // (odd count -> the mode is provably unique, so both engines agree).
+    "win_rolling_stats2" -> ((s, d) => {
+      // ordered by event_id alone: ts is ns in the oracle engine and µs
+      // here, so a ts sort could tie-break differently across engines
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val w9 = ord.rowsBetween(-8, 0)
+      val w5 = ord.rowsBetween(-4, 0)
+      val x = col("value")
+      val b = (col("event_id") % 2).cast("int")
+      val n = count(lit(1)).over(w9).cast("double")
+      val s1 = sum(x).over(w9); val s2 = sum(x * x).over(w9)
+      val s3 = sum(x * x * x).over(w9); val s4 = sum(x * x * x * x).over(w9)
+      val m = s1 / n
+      val m2 = s2 / n - m * m
+      val m3 = s3 / n - lit(3.0) * m * s2 / n + lit(2.0) * m * m * m
+      val m4 = s4 / n - lit(4.0) * m * s3 / n +
+        lit(6.0) * m * m * s2 / n - lit(3.0) * m * m * m * m
+      val trues = sum(when(x > 50.0, 1L).otherwise(0L)).over(w9)
+      // Spark refuses median()/mode() with a window FRAME
+      // (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the exact frame
+      // median comes from a sorted collect_list (O(frame log frame) per
+      // row — frame is a constant 9) and the two-valued mode from the
+      // frame's true-count (odd full frame -> majority IS the mode).
+      val lst = sort_array(collect_list(x).over(w9))
+      val cnt = size(lst)
+      val medLo = element_at(lst, ((cnt + 1) / 2).cast("int"))
+      val medHi = element_at(lst, (cnt / 2).cast("int") + 1)
+      val trues5 = sum(b.cast("long")).over(w5)
+      ev(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          ((medLo + medHi) / 2.0).as("roll_median"),
+          when(row_number().over(ord) >= 5,
+            when(trues5 * 2 > 5, 1).otherwise(0)).as("roll_mode"),
+          trues.as("roll_countif"),
+          (trues > 0L).as("roll_boolor"),
+          (trues === count(lit(1)).over(w9)).as("roll_booland"),
+          (trues === 1L).as("roll_boolxor"),
+          bit_and((col("event_id") % 256).cast("int")).over(w5).as("roll_bitand"),
+          bit_or((col("event_id") % 256).cast("int")).over(w5).as("roll_bitor"),
+          bit_xor((col("event_id") % 256).cast("int")).over(w5).as("roll_bitxor"),
+          when(n >= 3.0 && m2 > 1e-12,
+            sqrt(n * (n - 1.0)) / (n - 2.0) * m3 / pow(m2, 1.5)).as("roll_skew"),
+          when(n >= 4.0 && m2 > 1e-12,
+            (n - 1.0) / ((n - 2.0) * (n - 3.0)) *
+              ((n + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0)).as("roll_kurt"))
+    }),
+
     // groupby.cum* family (cumsum/cummax/cummin + cumprod via exp∘sum∘ln).
     "win_cumulative" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -426,6 +483,51 @@ object WindowQueries extends QueryModule {
         |   THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END AS roll_corr,
         | CASE WHEN n > 1.0 THEN sqrt((sxx - sx * sx / n) / (n - 1.0)) END AS roll_std
         |FROM b""".stripMargin,
+
+    "win_rolling_stats2" ->
+      """WITH b AS (
+        | SELECT user_id, event_id, value,
+        |  CAST(event_id % 2 AS INTEGER) AS bv,
+        |  CAST(count(*) OVER w9 AS DOUBLE) AS n,
+        |  sum(value) OVER w9 AS s1,
+        |  sum(value * value) OVER w9 AS s2,
+        |  sum(value * value * value) OVER w9 AS s3,
+        |  sum(value * value * value * value) OVER w9 AS s4,
+        |  sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) OVER w9 AS trues,
+        |  CAST(count(*) OVER w9 AS BIGINT) AS cnt,
+        |  median(value) OVER w9 AS roll_median,
+        |  CAST(row_number() OVER ord AS BIGINT) AS rn,
+        |  CAST(mode(CAST(event_id % 2 AS INTEGER)) OVER w5 AS INTEGER) AS md5,
+        |  CAST(bit_and(CAST(event_id % 256 AS INTEGER)) OVER w5 AS INTEGER) AS roll_bitand,
+        |  CAST(bit_or(CAST(event_id % 256 AS INTEGER)) OVER w5 AS INTEGER) AS roll_bitor,
+        |  CAST(bit_xor(CAST(event_id % 256 AS INTEGER)) OVER w5 AS INTEGER) AS roll_bitxor
+        | FROM events WHERE user_id < 20
+        | WINDOW
+        |  ord AS (PARTITION BY user_id ORDER BY event_id),
+        |  w9 AS (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        |  w5 AS (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |c AS (
+        | SELECT *, s1 / n AS m,
+        |  s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |  s3 / n - 3.0 * (s1 / n) * s2 / n + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |  s4 / n - 4.0 * (s1 / n) * s3 / n + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+        |    - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        | FROM b)
+        |SELECT user_id, event_id, roll_median,
+        | CASE WHEN rn >= 5 THEN md5 END AS roll_mode,
+        | CAST(trues AS BIGINT) AS roll_countif,
+        | trues > 0 AS roll_boolor,
+        | trues = cnt AS roll_booland,
+        | trues = 1 AS roll_boolxor,
+        | roll_bitand, roll_bitor, roll_bitxor,
+        | CASE WHEN n >= 3.0 AND m2 > 1e-12
+        |   THEN sqrt(n * (n - 1.0)) / (n - 2.0) * m3 / pow(m2, 1.5) END AS roll_skew,
+        | CASE WHEN n >= 4.0 AND m2 > 1e-12
+        |   THEN (n - 1.0) / ((n - 2.0) * (n - 3.0)) *
+        |        ((n + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0) END AS roll_kurt
+        |FROM c""".stripMargin,
 
     "win_cumulative" ->
       """SELECT user_id, event_id,
