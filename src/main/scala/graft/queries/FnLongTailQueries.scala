@@ -181,6 +181,12 @@ object FnLongTailQueries extends QueryModule {
         timestampFromParts(lit(2020), mo, dd, hh, mi, sec).as("tfp"),
         timestampFromParts(lit(2015), lit(7), lit(4), lit(12), lit(150), lit(0))
           .as("tfp_doc"),
+        // TIMESTAMP_TZ_FROM_PARTS (construct_timestamp_util:2029 tz path):
+        // the parts are interpreted in the GIVEN zone, localized AFTER the
+        // rollover arithmetic exactly like the reference's tz_localize
+        // note; fixed offset so the oracle is plain interval arithmetic.
+        to_utc_timestamp(timestampFromParts(lit(2020), mo, dd, hh, mi, sec),
+          "+05:30").as("tzfp"),
         timeFromPartsStr(hh, mi - 75, sec).as("tstr"),
         timeFromPartsNs(lit(0), lit(0), lit(0), (k * 12345678901L) % 172800000000000L)
           .as("tns"),
@@ -436,6 +442,8 @@ object FnLongTailQueries extends QueryModule {
         |    + to_seconds(CAST(hh AS BIGINT)*3600 + mi*60 + sec) AS tfp,
         |  CAST(make_date(2015,1,1) + to_months(6) + to_days(3) AS TIMESTAMP)
         |    + to_seconds(CAST(12*3600 + 150*60 AS BIGINT)) AS tfp_doc,
+        |  CAST(make_date(2020,1,1) + to_months(mo - 1) + to_days(dd - 1) AS TIMESTAMP)
+        |    + to_seconds(CAST(hh AS BIGINT)*3600 + mi*60 + sec) - to_minutes(330) AS tzfp,
         |  lpad(CAST(w // 3600 AS VARCHAR), 2, '0') || ':' ||
         |    lpad(CAST((w % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
         |    lpad(CAST(w % 60 AS VARCHAR), 2, '0') AS tstr,
