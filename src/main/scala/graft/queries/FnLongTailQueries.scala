@@ -232,9 +232,9 @@ object FnLongTailQueries extends QueryModule {
       part(s, d).filter(k % 8 === 0).select(
         k,
         b.eqNullSafe(true).as("is_t"),
-        !b.eqNullSafe(true).as("is_nt"),
+        (!b.eqNullSafe(true)).as("is_nt"),
         b.eqNullSafe(false).as("is_f"),
-        !b.eqNullSafe(false).as("is_nf"),
+        (!b.eqNullSafe(false)).as("is_nf"),
         bitwise_not(k % 256).as("bnot"),
         shiftright((-(k % 1000)).cast("int"), 2).as("bshr_neg"),
         shiftleft((k % 1000).cast("int"), 3).as("bshl"),
