@@ -68,5 +68,132 @@ object SnowflakeAliases {
       // try_element_at: part beyond the token count is NULL (Snowflake
       // semantics), not an ANSI out-of-bounds error
       new TryElementAt(ArrayRemove(StringSplit(s, cls, Literal(-1)), Literal("")), p) }
+
+    // ---- r8 long-tail kernels, SQL-callable (SURVEY §7.2-M5's "register
+    // under functionRegistry" for the SnowflakeFns layer). Builders are
+    // PURE CATALYST expression trees (a Column-bridge attempt left
+    // UnresolvedFunction nodes inside ColumnNodeExpression, which the
+    // analyzer treats as a resolved leaf — so registry builders must not
+    // go through org.apache.spark.sql.functions). Format/pattern/part
+    // arguments must be LITERALS — the same constant-argument
+    // restriction the reference's kernels impose via numba literal
+    // requirements. Names that would shadow a Spark builtin (to_char,
+    // regexp_substr, last_day) get sf_-prefixed spellings instead, so
+    // builtin behavior is never silently replaced; REGEXP_INSTR's
+    // position-arithmetic form stays DSL-only (SnowflakeFns.regexpInstrSf).
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    def litStr(e: Expression, name: String): String = e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$name requires a literal string argument, got $other")
+    }
+    def litInt(e: Expression, name: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name requires a literal integer argument, got $other")
+    }
+    def i(e: Expression): Expression = Cast(e, IntegerType)
+    def l(e: Expression): Expression = Cast(e, LongType)
+    // DATE_FROM_PARTS rollover: months from January of y, days from the 1st
+    def dfp(y: Expression, mo: Expression, d: Expression): Expression =
+      DateAdd(
+        AddMonths(MakeDate(i(y), Literal(1), Literal(1)), i(Subtract(l(mo), Literal(1L)))),
+        i(Subtract(l(d), Literal(1L))))
+    def secondsOf(h: Expression, mi: Expression, s: Expression): Expression =
+      Add(Add(Multiply(l(h), Literal(3600L)), Multiply(l(mi), Literal(60L))), l(s))
+    val DayNs = 86400L * 1000000000L
+    def wrapNs(tot: Expression): Expression =
+      Remainder(Add(Remainder(tot, Literal(DayNs)), Literal(DayNs)), Literal(DayNs))
+
+    reg("date_from_parts", "(year, month, day)") { case Seq(y, mo, d) =>
+      dfp(y, mo, d) }
+    reg("timestamp_from_parts", "(y, mo, d, h, mi, s)") {
+      case Seq(y, mo, d, h, mi, s) =>
+        SecondsToTimestamp(Add(l(Cast(dfp(y, mo, d), TimestampType)),
+          secondsOf(h, mi, s))) }
+    // TIME surface = ns-of-day long / 'HH:MM:SS' string (fn_time's model;
+    // Spark has no TIME type)
+    reg("time_from_parts", "(h, mi, s[, ns])") {
+      case Seq(h, mi, s) =>
+        wrapNs(Multiply(secondsOf(h, mi, s), Literal(1000000000L)))
+      case Seq(h, mi, s, ns) =>
+        wrapNs(Add(Multiply(secondsOf(h, mi, s), Literal(1000000000L)), l(ns))) }
+    reg("time_from_parts_str", "(h, mi, s)") { case Seq(h, mi, s) =>
+      val sec = IntegralDivide(
+        wrapNs(Multiply(secondsOf(h, mi, s), Literal(1000000000L))),
+        Literal(1000000000L))
+      def two(e: Expression) = StringLPad(Cast(e, StringType), Literal(2), Literal("0"))
+      Concat(Seq(
+        two(IntegralDivide(sec, Literal(3600L))), Literal(":"),
+        two(IntegralDivide(Remainder(sec, Literal(3600L)), Literal(60L))), Literal(":"),
+        two(Remainder(sec, Literal(60L))))) }
+
+    reg("sf_to_char", "(dt, 'fmt')") { case Seq(dt, f) =>
+      DateFormatClass(Cast(dt, TimestampType),
+        Literal(SnowflakeFns.sfFormatToSpark(litStr(f, "sf_to_char")))) }
+    reg("try_to_date", "(str, 'fmt')") { case Seq(s, f) =>
+      Cast(Cast(TryEval(new ParseToTimestamp(s,
+        Literal(SnowflakeFns.sfFormatToSpark(litStr(f, "try_to_date"))))),
+        DateType), TimestampType) }
+    reg("try_to_boolean", "(str)") { case Seq(s) =>
+      val low = Lower(Cast(s, StringType))
+      def inSet(toks: Seq[String]) = In(low, toks.map(Literal(_)))
+      CaseWhen(Seq(
+        inSet(Seq("true", "t", "yes", "y", "on", "1")) -> Literal(true),
+        inSet(Seq("false", "f", "no", "n", "off", "0")) -> Literal(false)), None) }
+
+    reg("sf_regexp_substr", "(subject, 'pat'[, pos[, occ[, 'flags'[, group]]]])") {
+      case sub +: pat +: rest =>
+        val n = "sf_regexp_substr"
+        val pos = if (rest.length > 0) litInt(rest(0), n) else 1
+        val occ = if (rest.length > 1) litInt(rest(1), n) else 1
+        val flags = if (rest.length > 2) litStr(rest(2), n) else ""
+        val group = if (rest.length > 3) litInt(rest(3), n) else 0
+        val wrapped = (if (flags.contains("i")) "(?i)" else "") + litStr(pat, n)
+        new TryElementAt(
+          RegExpExtractAll(Substring(sub, Literal(pos), Literal(Int.MaxValue)),
+            Literal(wrapped), Literal(group)),
+          Literal(occ)) }
+    reg("sf_regexp_count", "(subject, 'pat'[, pos[, 'flags']])") {
+      case sub +: pat +: rest =>
+        val n = "sf_regexp_count"
+        val pos = if (rest.length > 0) litInt(rest(0), n) else 1
+        val flags = if (rest.length > 1) litStr(rest(1), n) else ""
+        val wrapped = (if (flags.contains("i")) "(?i)" else "") + litStr(pat, n)
+        Size(RegExpExtractAll(Substring(sub, Literal(pos), Literal(Int.MaxValue)),
+          Literal(wrapped), Literal(0))) }
+
+    reg("sf_last_day", "(date, 'part')") { case Seq(d, part) =>
+      litStr(part, "sf_last_day").toLowerCase match {
+        case "month" => LastDay(d)
+        case "week" => DateAdd(TruncDate(d, Literal("week")), Literal(6))
+        case "quarter" =>
+          DateAdd(AddMonths(TruncDate(d, Literal("quarter")), Literal(3)), Literal(-1))
+        case "year" => MakeDate(Year(d), Literal(12), Literal(31))
+        case other => throw new IllegalArgumentException(
+          s"sf_last_day part must be month|week|quarter|year, got $other")
+      } }
+
+    reg("base64_encode", "(bin[, max_line_length[, 'alphabet']])") {
+      case bin +: rest =>
+        val n = "base64_encode"
+        val lineLen = if (rest.length > 0) litInt(rest(0), n) else 0
+        val alphabet = if (rest.length > 1) litStr(rest(1), n) else ""
+        val b = Base64(bin)
+        val withAlpha = if (alphabet.isEmpty) b
+          else StringTranslate(b, Literal("+/"), Literal(alphabet))
+        if (lineLen <= 0) withAlpha
+        else RegExpReplace(withAlpha, Literal(s"(.{$lineLen})"), Literal("$1\n"), Literal(1)) }
+    reg("try_base64_decode_string", "(str)") { case Seq(s) =>
+      If(RLike(s,
+        Literal("^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")),
+        Cast(new UnBase64(s), StringType), Literal.create(null, StringType)) }
+    reg("hex_encode", "(str[, case])") {
+      case Seq(s) => Upper(Hex(s))
+      case Seq(s, cs) => if (litInt(cs, "hex_encode") == 0) Lower(Hex(s)) else Upper(Hex(s)) }
+    reg("try_hex_decode_string", "(str)") { case Seq(s) =>
+      Cast(Unhex(s), StringType) }
   }
 }

@@ -252,6 +252,46 @@ object FnLongTailQueries extends QueryModule {
         substring(col("p_name"), 8, 1000000).as("suffix"))
     }),
 
+    // The r8 kernel layer through the SQL surface: every function below
+    // is resolved from the session FunctionRegistry (GraftExtensions ->
+    // SnowflakeAliases), so Snowflake-dialect TEXT runs verbatim — the
+    // same compositions the DSL entries pin, now reachable from
+    // spark.sql. Names that would shadow a Spark builtin carry an sf_
+    // prefix (sf_to_char, sf_regexp_substr, sf_last_day) so builtin
+    // semantics are never silently replaced.
+    "fn_snowflake_sql2" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_sf2")
+      s.sql("""
+        SELECT o_orderkey,
+          date_from_parts(2020, CAST(o_orderkey % 30 - 6 AS INT),
+            CAST(o_orderkey % 90 - 20 AS INT)) AS dfp,
+          timestamp_from_parts(2020, 1, 1, CAST(o_orderkey % 50 AS INT),
+            CAST(o_orderkey % 150 AS INT), 0) AS tfp,
+          time_from_parts(25, 70, CAST(o_orderkey % 100 AS INT)) AS tns,
+          time_from_parts_str(0, CAST(o_orderkey % 150 AS INT) - 75, 30) AS tstr,
+          sf_to_char(o_orderdate, 'DD/MON/YYYY') AS tc,
+          try_to_date(concat(lpad(CAST(o_orderkey % 28 + 1 AS STRING), 2, '0'),
+            '/02/2024'), 'DD/MM/YYYY') AS ttd,
+          try_to_boolean(CASE WHEN o_orderkey % 3 = 0 THEN 'on'
+                              WHEN o_orderkey % 3 = 1 THEN 'off'
+                              ELSE 'maybe' END) AS ttb,
+          sf_regexp_substr(o_orderpriority, '[0-9]+') AS rsub,
+          charindex('-', o_orderpriority) AS rins,
+          sf_regexp_count(o_orderpriority, '[aeiou]', 1, 'i') AS rcnt,
+          sf_last_day(o_orderdate, 'quarter') AS ldq,
+          sf_last_day(o_orderdate, 'week') AS ldw,
+          hex_encode(o_orderstatus, 0) AS hexlc,
+          try_hex_decode_string(CASE WHEN o_orderkey % 2 = 0
+            THEN hex(o_orderstatus) ELSE 'XY!Z' END) AS thd,
+          base64_encode(CAST(o_orderstatus AS BINARY)) AS b64,
+          try_base64_decode_string(CASE WHEN o_orderkey % 2 = 0
+            THEN base64(CAST(o_orderstatus AS BINARY)) ELSE '!!' END) AS tbd
+        FROM orders_sf2 WHERE o_orderkey % 12 = 0""")
+        .withColumn("dfp", col("dfp").cast("timestamp"))
+        .withColumn("ldq", col("ldq").cast("timestamp"))
+        .withColumn("ldw", col("ldw").cast("timestamp"))
+    }),
+
     // Crypto/encode kernels (crypto_funcs.py): SHA2 digest sizes, hex
     // encode/decode incl. the TRY path, BASE64_ENCODE line-wrapping and
     // alphabet-override args, TRY_BASE64_DECODE validation. SHA1/224/384/
@@ -488,6 +528,40 @@ object FnLongTailQueries extends QueryModule {
         |       WHEN p_name > p_type THEN 1 ELSE 0 END AS strcmp,
         |  substr(p_name, 8) AS suffix
         |FROM p""".stripMargin,
+
+    "fn_snowflake_sql2" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderdate AS dt, o_orderstatus AS st,
+        |    o_orderpriority AS pri,
+        |    CAST(o_orderkey % 30 - 6 AS INTEGER) AS mo,
+        |    CAST(o_orderkey % 90 - 20 AS INTEGER) AS dd
+        |  FROM orders WHERE o_orderkey % 12 = 0),
+        |x AS (SELECT *,
+        |    ((0*3600 + (CAST(k % 150 AS INTEGER) - 75)*60 + 30) % 86400 + 86400) % 86400 AS w
+        |  FROM o)
+        |SELECT k AS o_orderkey,
+        |  CAST(CAST(make_date(2020,1,1) + to_months(mo - 1) + to_days(dd - 1)
+        |       AS DATE) AS TIMESTAMP) AS dfp,
+        |  CAST(make_date(2020,1,1) AS TIMESTAMP)
+        |    + to_seconds(CAST(k % 50 AS BIGINT)*3600 + (k % 150)*60) AS tfp,
+        |  (CAST(25*3600 + 70*60 + (k % 100) AS BIGINT) * 1000000000) % 86400000000000 AS tns,
+        |  lpad(CAST(w // 3600 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST((w % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST(w % 60 AS VARCHAR), 2, '0') AS tstr,
+        |  strftime(dt, '%d/%b/%Y') AS tc,
+        |  CAST(CAST(strptime(lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0') || '/02/2024',
+        |    '%d/%m/%Y') AS DATE) AS TIMESTAMP) AS ttd,
+        |  CASE WHEN k % 3 = 0 THEN TRUE WHEN k % 3 = 1 THEN FALSE END AS ttb,
+        |  regexp_extract_all(pri, '[0-9]+')[1] AS rsub,
+        |  CAST(position('-' IN pri) AS INTEGER) AS rins,
+        |  CAST(len(regexp_extract_all(pri, '(?i)[aeiou]')) AS INTEGER) AS rcnt,
+        |  CAST(CAST(date_trunc('quarter', dt) + to_months(3) + to_days(-1) AS DATE) AS TIMESTAMP) AS ldq,
+        |  CAST(CAST(date_trunc('week', dt) + to_days(6) AS DATE) AS TIMESTAMP) AS ldw,
+        |  lower(hex(st)) AS hexlc,
+        |  CASE WHEN k % 2 = 0 THEN st END AS thd,
+        |  to_base64(st::BLOB) AS b64,
+        |  CASE WHEN k % 2 = 0 THEN st END AS tbd
+        |FROM x""".stripMargin,
 
     "fn_crypto" ->
       """WITH p AS (
