@@ -319,6 +319,55 @@ object FnLongTailQueries extends QueryModule {
         base64EncodeSf(rnd16, maxLineLength = 8).as("b64_lines"),
         base64EncodeSf(rnd16, alphabet = "$%").as("b64_alpha"),
         tryBase64DecodeString(b64In).as("b64_try"))
+    }),
+
+    // Inverse hyperbolic kernels (trig_array_kernels.py: acosh/asinh/
+    // atanh — the last three uncovered rows of the trig module) plus
+    // their round-trip identities. l_discount ∈ [0, 0.1] keeps every
+    // input inside the principal domain (atanh needs |x|<1, acosh ≥1).
+    // DuckDB ships no inverse hyperbolics, so the oracle pins the exact
+    // log identities the kernels are defined by.
+    "fn_trig2" -> ((s, d) => {
+      val x = col("l_discount")
+      lineitem(s, d).filter(col("l_orderkey") % 100 === 0).select(
+        col("l_orderkey"), col("l_linenumber"),
+        asinh(x).as("ash"),
+        acosh(x + 1.0).as("ach"),
+        atanh(x).as("ath"),
+        sinh(asinh(x)).as("ash_rt"),
+        tanh(atanh(x)).as("ath_rt"))
+    }),
+
+    // Semi-structured null-rule long tail (nested_data_kernels.py +
+    // variadic_array_kernels.py): ARRAY_SIZE (null for non-array input),
+    // TO_ARRAY vs ARRAY_CONSTRUCT null rules (TO_ARRAY(NULL)=NULL but
+    // ARRAY_CONSTRUCT(NULL)=[NULL] — variadic_array_kernels.py:1420),
+    // ARRAY_SLICE's 0-based end-exclusive window (nested_data_kernels.py
+    // array_slice), JSON_EXTRACT_PATH_TEXT's dotted-path addressing
+    // (json_array_kernels.py json_extract_path_text), TO_OBJECT round-trip,
+    // and DAYOFWEEKISO (datetime_array_kernels.py dayofweekiso).
+    "fn_semi3" -> ((s, d) => {
+      val ev = events(s, d).filter(col("event_id") % 25 === 0)
+      val vNull = when(col("event_id") % 3 === 0, col("event_type")) // sometimes-null scalar
+      val arr = split(col("event_type"), "_") // small word array
+      ev.select(
+        col("event_id"),
+        // ARRAY_SIZE: null-in → null-out (not -1, not 0)
+        when(vNull.isNull, lit(null).cast("long"))
+          .otherwise(size(array(vNull)).cast("long")).as("asz"),
+        size(arr).cast("long").as("asz2"),
+        // TO_ARRAY(NULL) = NULL; ARRAY_CONSTRUCT(NULL) = [NULL]
+        when(vNull.isNull, lit(null))
+          .otherwise(to_json(array(vNull))).as("to_arr"),
+        to_json(array(vNull)).as("arr_con"),
+        // ARRAY_SLICE(arr, 1, 3): 0-based, end-exclusive → Spark slice(2, 2)
+        array_join(slice(arr, 2, 2), ",").as("aslice"),
+        // JSON_EXTRACT_PATH_TEXT(props, 'k') — dotted path without '$.'
+        get_json_object(col("props"), "$.k").as("jept"),
+        // TO_OBJECT round-trip: JSON text → map → canonical text
+        to_json(from_json(col("props"), lit("map<string,string>"))).as("to_obj"),
+        // DAYOFWEEKISO: 1=Monday … 7=Sunday (weekday() is 0-based Monday)
+        (weekday(col("ts").cast("date")) + 1).cast("long").as("dowiso"))
     })
   )
 
@@ -617,6 +666,32 @@ object FnLongTailQueries extends QueryModule {
         |  regexp_replace(to_base64(rnd16), '(.{8})', '\1' || chr(10), 'g') AS b64_lines,
         |  translate(to_base64(rnd16), '+/', '$%') AS b64_alpha,
         |  CASE WHEN k % 3 = 0 THEN p_name ELSE NULL END AS b64_try
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    "fn_trig2" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ln(l_discount + sqrt(l_discount * l_discount + 1)) AS ash,
+        |  ln((l_discount + 1) + sqrt((l_discount + 1) * (l_discount + 1) - 1)) AS ach,
+        |  0.5 * ln((1 + l_discount) / (1 - l_discount)) AS ath,
+        |  1.0 * l_discount AS ash_rt,
+        |  1.0 * l_discount AS ath_rt
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
+
+    "fn_semi3" ->
+      """WITH ev AS (
+        |  SELECT *, CASE WHEN event_id % 3 = 0 THEN event_type END AS vn
+        |  FROM events WHERE event_id % 25 = 0)
+        |SELECT event_id,
+        |  CAST(CASE WHEN vn IS NULL THEN NULL ELSE 1 END AS BIGINT) AS asz,
+        |  len(string_split(event_type, '_')) AS asz2,
+        |  CASE WHEN vn IS NULL THEN NULL
+        |       ELSE '["' || vn || '"]' END AS to_arr,
+        |  CASE WHEN vn IS NULL THEN '[null]'
+        |       ELSE '["' || vn || '"]' END AS arr_con,
+        |  coalesce(array_to_string(string_split(event_type, '_')[2:3], ','), '') AS aslice,
+        |  json_extract_string(props, '$.k') AS jept,
+        |  '{"k":"' || json_extract_string(props, '$.k') || '"}' AS to_obj,
+        |  isodow(CAST(ts AS DATE)) AS dowiso
+        |FROM ev""".stripMargin
   )
 }

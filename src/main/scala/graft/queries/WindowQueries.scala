@@ -270,6 +270,27 @@ object WindowQueries extends QueryModule {
               ((n + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0)).as("roll_kurt"))
     }),
 
+    // Windowed percentiles (window_agg_array_kernels.py:
+    // windowed_approx_percentile + the MEDIAN window kernel): exact
+    // interpolated percentile as a window aggregate, both over the whole
+    // partition (no frame — the reference's OVER (PARTITION BY) shape)
+    // and over a sliding rows frame. Spark evaluates the same exact
+    // `percentile` UDAF per frame; at scale the per-partition variant is
+    // one shuffle on the partition key, identical to any grouped agg.
+    // The approximate variant (t-digest percentile_approx) is pinned
+    // against the exact kernel in FunctionsSpec rather than here —
+    // sketch outputs are engine-specific and have no DuckDB oracle.
+    "win_percentile" -> ((s, d) => {
+      val part = Window.partitionBy(col("event_type"))
+      val frame = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(-5, 5)
+      ev(s, d).filter(col("user_id") < 40)
+        .select(col("event_id"), col("event_type"),
+          expr("percentile(value, 0.5)").over(part).as("p50"),
+          expr("percentile(value, 0.9)").over(part).as("p90"),
+          expr("percentile(value, 0.5)").over(frame).as("roll_med"))
+    }),
+
     // groupby.cum* family (cumsum/cummax/cummin + cumprod via exp∘sum∘ln).
     "win_cumulative" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -528,6 +549,15 @@ object WindowQueries extends QueryModule {
         |   THEN (n - 1.0) / ((n - 2.0) * (n - 3.0)) *
         |        ((n + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0) END AS roll_kurt
         |FROM c""".stripMargin,
+
+    "win_percentile" ->
+      """SELECT event_id, event_type,
+        | quantile_cont(value, 0.5) OVER (PARTITION BY event_type) AS p50,
+        | quantile_cont(value, 0.9) OVER (PARTITION BY event_type) AS p90,
+        | quantile_cont(value, 0.5) OVER f AS roll_med
+        |FROM events WHERE user_id < 40
+        |WINDOW f AS (PARTITION BY event_type ORDER BY event_id
+        |        ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)""".stripMargin,
 
     "win_cumulative" ->
       """SELECT user_id, event_id,

@@ -303,4 +303,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(est === ndv(big.repartition(31)), "merge must be order/partition invariant")
     assert(math.abs(est - 5000.0) / 5000.0 < 3.0 / math.sqrt(62.0), s"est=$est")
   }
+
+  test("windowed percentile_approx tracks the exact windowed percentile") {
+    // The approximate window kernel (window_agg_array_kernels.py:
+    // windowed_approx_percentile) has no DuckDB oracle — pin it here
+    // against the exact `percentile` window aggregate instead: at
+    // accuracy 10000 over ≤1000-row partitions, the t-digest answer
+    // must land within 1% of the value range of the exact quantile.
+    import spark.implicits._
+    val df = spark.range(0, 3000)
+      .select((col("id") % 3).as("g"),
+        (pmod(col("id") * 2654435761L, lit(997)).cast("double")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val out = df.select(
+      expr("percentile(v, 0.5)").over(w).as("exact"),
+      expr("percentile_approx(v, 0.5, 10000)").over(w).as("approx"))
+      .as[(Double, Double)].collect()
+    assert(out.nonEmpty)
+    for ((e, a) <- out) assert(math.abs(e - a) <= 9.97, s"exact=$e approx=$a")
+  }
 }
