@@ -85,17 +85,18 @@ object Bench {
     // in this suite's history) push it up — so a noisy run is visible in
     // the artifact itself instead of argued about after the fact.
     val cheapest = results.filter(_._2 >= 0).sortBy(_._2).take(5)
-    val drift =
-      if (cheapest.isEmpty) -1.0
-      else {
-        val rerun = cheapest.map { case (name, _) =>
-          val fn = queries(name)
-          val t0 = System.nanoTime()
-          try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => 0.0 }
-        }.sum
-        rerun / cheapest.map(_._2).sum
+    // A crashed rerun must not bias drift DOWN (a 0.0 numerator over a
+    // kept denominator would make a noisy run read quiet) — failed reruns
+    // drop out of BOTH sums; all-failed reports the -1.0 sentinel.
+    val drift = {
+      val pairs = cheapest.flatMap { case (name, recorded) =>
+        val fn = queries(name)
+        val t0 = System.nanoTime()
+        try { run(fn(spark, sfDir)); Some(((System.nanoTime() - t0) / 1e9, recorded)) }
+        catch { case _: Throwable => None }
       }
+      if (pairs.isEmpty) -1.0 else pairs.map(_._1).sum / pairs.map(_._2).sum
+    }
     val canonical = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     val out = if (flt.isEmpty) canonical else canonical + ".dev"
     val (compact, full) = jsonLine(results, sfDir, out, drift)

@@ -138,7 +138,8 @@ object SnowflakeAliases {
         Literal(SnowflakeFns.sfFormatToSpark(litStr(f, "try_to_date"))))),
         DateType), TimestampType) }
     reg("try_to_boolean", "(str)") { case Seq(s) =>
-      val low = Lower(Cast(s, StringType))
+      // trim() mirrors the DSL kernel (tryToBooleanStr): ' true ' is true
+      val low = Lower(new StringTrim(Cast(s, StringType)))
       def inSet(toks: Seq[String]) = In(low, toks.map(Literal(_)))
       CaseWhen(Seq(
         inSet(Seq("true", "t", "yes", "y", "on", "1")) -> Literal(true),
@@ -151,7 +152,8 @@ object SnowflakeAliases {
         val occ = if (rest.length > 1) litInt(rest(1), n) else 1
         val flags = if (rest.length > 2) litStr(rest(2), n) else ""
         val group = if (rest.length > 3) litInt(rest(3), n) else 0
-        val wrapped = (if (flags.contains("i")) "(?i)" else "") + litStr(pat, n)
+        // same i/s/m handling as the DSL kernels (SnowflakeFns.wrap)
+        val wrapped = SnowflakeFns.wrap(litStr(pat, n), flags)
         new TryElementAt(
           RegExpExtractAll(Substring(sub, Literal(pos), Literal(Int.MaxValue)),
             Literal(wrapped), Literal(group)),
@@ -161,7 +163,7 @@ object SnowflakeAliases {
         val n = "sf_regexp_count"
         val pos = if (rest.length > 0) litInt(rest(0), n) else 1
         val flags = if (rest.length > 1) litStr(rest(1), n) else ""
-        val wrapped = (if (flags.contains("i")) "(?i)" else "") + litStr(pat, n)
+        val wrapped = SnowflakeFns.wrap(litStr(pat, n), flags)
         Size(RegExpExtractAll(Substring(sub, Literal(pos), Literal(Int.MaxValue)),
           Literal(wrapped), Literal(0))) }
 
@@ -181,9 +183,11 @@ object SnowflakeAliases {
         val n = "base64_encode"
         val lineLen = if (rest.length > 0) litInt(rest(0), n) else 0
         val alphabet = if (rest.length > 1) litStr(rest(1), n) else ""
+        require(alphabet.isEmpty || alphabet.length == 2 || alphabet.length == 3,
+          s"base64_encode: alphabet must be 2 chars (63rd/64th) or 3 (+ padding), got '$alphabet'")
         val b = Base64(bin)
         val withAlpha = if (alphabet.isEmpty) b
-          else StringTranslate(b, Literal("+/"), Literal(alphabet))
+          else StringTranslate(b, Literal("+/=".take(alphabet.length)), Literal(alphabet))
         if (lineLen <= 0) withAlpha
         else RegExpReplace(withAlpha, Literal(s"(.{$lineLen})"), Literal("$1\n"), Literal(1)) }
     reg("try_base64_decode_string", "(str)") { case Seq(s) =>

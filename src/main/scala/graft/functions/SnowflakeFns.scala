@@ -75,17 +75,21 @@ object SnowflakeFns {
     * number_to_datetime thresholds verbatim. */
   def numberToTs(n: Column): Column = {
     val nl = n.cast("long")
+    // ns branch: Column `/` is DOUBLE division and ns epochs exceed 2^53,
+    // so arbitrary inputs would land ±1µs off — integral divide instead
+    val nsToMicros = call_function("div", nl, lit(1000L))
     when(nl < 31536000000L, timestamp_seconds(nl))
       .when(nl < 31536000000000L, timestamp_millis(nl))
       .when(nl < 31536000000000000L, timestamp_micros(nl))
-      .otherwise(timestamp_micros((nl / 1000).cast("long")))
+      .otherwise(timestamp_micros(nsToMicros))
   }
 
   // ---- REGEXP_* with position / occurrence / flags / group --------------
 
   /** Inline-flag wrapping: Snowflake regex_parameters i/s/m ('c' is the
-    * default case-sensitive mode). */
-  private def wrap(pattern: String, flags: String): String = {
+    * default case-sensitive mode). Shared with the SQL registry so the
+    * sf_regexp_* spellings honor the identical flag set. */
+  private[functions] def wrap(pattern: String, flags: String): String = {
     val inline = "ism".filter(flags.contains(_))
     if (inline.isEmpty) pattern else s"(?$inline)$pattern"
   }
@@ -114,6 +118,13 @@ object SnowflakeFns {
                     occurrence: Int = 1, option: Int = 0,
                     flags: String = ""): Column = {
     val w = wrap(pattern, flags)
+    // Precondition: the split-between-matches position recovery miscounts
+    // prefix lengths when the pattern can match the empty string (the
+    // zero-width matches vanish from split()'s parts) — reject at build
+    // time rather than silently returning wrong positions.
+    require(!java.util.regex.Pattern.compile(w).matcher("").find(),
+      s"regexpInstrSf: pattern '$pattern' can match the empty string; " +
+        "zero-width matches break split-based position recovery")
     val sub = substring(subject, position, Tail)
     val matches = regexp_extract_all(sub, lit(w), lit(0))
     val parts = split(sub, w)
@@ -211,13 +222,17 @@ object SnowflakeFns {
   // overrides, base64_decode with validation -> NULL on TRY path).
 
   /** BASE64_ENCODE(msg, max_line_length, alphabet): standard base64, then
-    * the optional 2-char alphabet override for the 63rd/64th characters,
-    * then a newline every `maxLineLength` chars (0 = no wrapping). */
+    * the optional alphabet override — exactly 2 chars (63rd/64th) or 3
+    * (63rd/64th + padding), matching Snowflake's contract; any other
+    * length throws rather than silently deleting characters (Spark
+    * translate drops source chars with no counterpart). */
   def base64EncodeSf(bin: Column, maxLineLength: Int = 0,
                      alphabet: String = ""): Column = {
+    require(alphabet.isEmpty || alphabet.length == 2 || alphabet.length == 3,
+      s"base64EncodeSf: alphabet must be 2 chars (63rd/64th) or 3 (+ padding), got '$alphabet'")
     val b = base64(bin)
     val withAlpha =
-      if (alphabet.isEmpty) b else translate(b, "+/", alphabet)
+      if (alphabet.isEmpty) b else translate(b, "+/=".take(alphabet.length), alphabet)
     if (maxLineLength <= 0) withAlpha
     else regexp_replace(withAlpha, s"(.{$maxLineLength})", "$1\n")
   }

@@ -163,21 +163,29 @@ object IntervalJoinExec {
     * unreachable and the entry self-clears — no lifecycle hooks needed.
     * Sub-keyed by the (start, end) expression ids, because a reused
     * broadcast exchange can feed two interval joins with different bound
-    * columns. Build runs under the map lock, so concurrent partitions wait
-    * for one sort instead of duplicating it. */
-  private val indexCache =
-    new java.util.WeakHashMap[AnyRef, java.util.HashMap[(Long, Long), BuildIndex]]()
+    * columns. The global monitor covers only the cheap per-key map lookup
+    * (WeakHashMap is not thread-safe); the O(m log m) build runs under a
+    * per-(broadcast, bounds) holder lock, so concurrent tasks of UNRELATED
+    * interval joins in the same JVM never serialize behind one build —
+    * only same-index tasks wait, which is the intended dedup. */
+  private final class Holder { var built: BuildIndex = _ }
+  private val indexCache = new java.util.WeakHashMap[
+    AnyRef, java.util.concurrent.ConcurrentHashMap[(Long, Long), Holder]]()
 
   private[plans] def buildIndex(key: AnyRef, sub: (Long, Long))(
-      build: => BuildIndex): BuildIndex =
-    indexCache.synchronized {
-      var perKey = indexCache.get(key)
-      if (perKey == null) {
-        perKey = new java.util.HashMap[(Long, Long), BuildIndex]()
-        indexCache.put(key, perKey)
+      build: => BuildIndex): BuildIndex = {
+    val perKey = indexCache.synchronized {
+      var m = indexCache.get(key)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(Long, Long), Holder]()
+        indexCache.put(key, m)
       }
-      val hit = perKey.get(sub)
-      if (hit != null) hit
-      else { val b = build; perKey.put(sub, b); b }
+      m
     }
+    val holder = perKey.computeIfAbsent(sub, _ => new Holder)
+    holder.synchronized {
+      if (holder.built == null) holder.built = build
+      holder.built
+    }
+  }
 }

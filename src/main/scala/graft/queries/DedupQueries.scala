@@ -149,7 +149,8 @@ object DedupQueries extends QueryModule {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
-    // Bag-of-words fingerprint dedup: collapses word-order permutations.
+    // Set-of-words fingerprint dedup (array_distinct drops multiplicity):
+    // collapses word-order permutations AND repetition differences.
     "dedup_docs_fingerprint" -> ((s, d) => {
       val fp = md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
       documents(s, d)

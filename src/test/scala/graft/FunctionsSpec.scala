@@ -322,4 +322,59 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     for ((e, a) <- out) assert(math.abs(e - a) <= 9.97, s"exact=$e approx=$a")
   }
+
+  test("regexpInstrSf rejects zero-width-matching patterns at build time (r8 VERDICT)") {
+    import graft.functions.SnowflakeFns
+    // 'a*' matches the empty string -> split-based position recovery would
+    // silently miscount; must throw instead of returning wrong positions.
+    val e = intercept[IllegalArgumentException] {
+      SnowflakeFns.regexpInstrSf(lit("banana"), "a*")
+    }
+    assert(e.getMessage.contains("empty string"))
+    // a non-zero-width pattern still builds and evaluates correctly
+    import spark.implicits._
+    val got = Seq("banana").toDF("s")
+      .select(SnowflakeFns.regexpInstrSf(col("s"), "an", 1, 2).as("p"))
+      .as[Int].head()
+    assert(got === 4)
+  }
+
+  test("base64 alphabet override validates length; 3-char form remaps padding (ADVICE)") {
+    import graft.functions.SnowflakeFns
+    intercept[IllegalArgumentException] { SnowflakeFns.base64EncodeSf(lit("x"), 0, "-") }
+    import spark.implicits._
+    // 'f' -> 'Zg==' : 2-char override touches nothing here; 3-char remaps '='
+    val df = Seq("f").toDF("s")
+    val two = df.select(SnowflakeFns.base64EncodeSf(col("s").cast("binary"), 0, "-_").as("b"))
+      .as[String].head()
+    assert(two === "Zg==")
+    val three = df.select(SnowflakeFns.base64EncodeSf(col("s").cast("binary"), 0, "-_$").as("b"))
+      .as[String].head()
+    assert(three === "Zg$$")
+    // SQL registry spelling enforces the same contract
+    intercept[Exception] { spark.sql("SELECT base64_encode(cast('x' AS binary), 0, '+')").head() }
+  }
+
+  test("numberToTs ns branch is exact beyond 2^53 (integral divide, ADVICE)") {
+    import graft.functions.SnowflakeFns
+    import spark.implicits._
+    // 2^53 + 1 is not double-representable; +999 exercises the floor.
+    val ns = 9007199254740993L * 7 + 999 // odd ns epoch far beyond 2^53
+    val got = Seq(ns).toDF("n")
+      .select(unix_micros(SnowflakeFns.numberToTs(col("n"))).as("us"))
+      .as[Long].head()
+    assert(got === ns / 1000, s"expected exact floor division, got $got vs ${ns / 1000}")
+  }
+
+  test("SQL registry parity: try_to_boolean trims; sf_regexp honors s/m flags (ADVICE)") {
+    val r = spark.sql(
+      """SELECT try_to_boolean(' true ') AS b,
+        |  sf_regexp_substr('ab
+        |cd', 'b.c', 1, 1, 's') AS dotall,
+        |  sf_regexp_count('x1
+        |x2', '^x', 1, 'm') AS multi""".stripMargin).head()
+    assert(r.getBoolean(0) === true, "registry try_to_boolean must trim like the DSL")
+    assert(r.getString(1) === "b\nc", "'s' flag must make . match newline")
+    assert(r.getInt(2) === 2, "'m' flag must anchor ^ per line")
+  }
 }
