@@ -28,6 +28,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(optimized("win_qualify").contains("WindowGroupLimit"))
   }
 
+  test("win_percentile buffers no whole-partition window (two-phase agg + broadcast back)") {
+    // r8 VERDICT "what's wrong" #1: OVER (PARTITION BY event_type) on a
+    // low-cardinality key buffers giant partitions at scale. The entry now
+    // computes the per-key percentiles as a grouped agg joined back via
+    // broadcast; the only WindowExec left is the bounded ±5-row frame.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("win_percentile")(spark, sf)
+    df.collect()
+    // AQE hides stage subtrees from collect() — flatten across the
+    // adaptive root AND materialized query-stage boundaries
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "frame variant should still be a WindowExec")
+    // a whole-partition window prints specifiedwindowframe(RowFrame,
+    // unboundedpreceding$(), unboundedfollowing$()); the bounded frame
+    // variant prints concrete offsets (RowFrame, -5, 5)
+    for (w <- windows; we <- w.windowExpression) {
+      val s = we.toString.toLowerCase
+      assert(!s.contains("unboundedfollowing"),
+        s"whole-partition (unbounded) frame survived: $s")
+    }
+    assert(nodes.mkString("\n").contains("BroadcastHashJoin"),
+      "per-key percentiles must join back via broadcast")
+  }
+
   test("win_topn_per_group plans a WindowGroupLimit") {
     assert(optimized("win_topn_per_group").contains("WindowGroupLimit"))
   }
