@@ -31,7 +31,8 @@ object SparkEntry {
     LateralQueries,
     AsofQueries,
     IoQueries,
-    DdlQueries
+    DdlQueries,
+    CompositeQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -371,6 +371,59 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("composite entries keep their fused plan shape (no extra shuffles)") {
+    // r9 VERDICT item 1 'done' criterion: composing >=3 operator families
+    // into one plan must not introduce shuffles beyond what the fused plan
+    // needs. Ceilings measured from the actual executed plans at sf0.01
+    // (PlanProbe run, 2026-08-13); a regression that adds an exchange —
+    // e.g. a lost broadcast hint or a dedup that re-partitions — trips the
+    // ceiling. Broadcast exchanges are free of shuffle cost and counted
+    // separately via the required-node column.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    // name -> (max shuffle exchanges, substrings the plan must contain)
+    val shape: Seq[(String, Int, Seq[String])] = Seq(
+      // session window + distinct-agg two-phase + pivot agg
+      ("composite_gate_session_pivot", 4, Seq("BroadcastHashJoin")),
+      // session window + distinct + join-on-dedup (exchange reuse) + agg
+      ("composite_session_pair_affinity", 3, Seq("ReusedExchange")),
+      // union + user_id running window + dow agg
+      ("composite_funnel_conversion", 3, Seq("Window")),
+      // star join (AQE broadcasts small sides at this SF) + agg
+      ("composite_case_ladder", 3, Seq("BroadcastHashJoin")),
+      // custkey agg + top-k (never a global sort) + broadcast join back
+      ("composite_spend_trend", 2, Seq("TakeOrderedAndProject", "BroadcastHashJoin")),
+      // doc_k agg broadcast + rank filter fused to WindowGroupLimit
+      ("composite_doc_engagement_rank", 2, Seq("WindowGroupLimit", "BroadcastHashJoin")),
+      // gate + dedup window + broadcast join + weekly pivot
+      ("composite_dedup_gate_weekly", 3, Seq("BroadcastHashJoin")))
+    for ((name, maxShuffles, required) <- shape) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val plan = df.queryExecution.executedPlan.toString
+      val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= maxShuffles,
+        s"$name plans $shuffles shuffles, fused-plan ceiling is $maxShuffles")
+      for (r <- required)
+        assert(nodes.exists(_.toString.contains(r)) || plan.contains(r),
+          s"$name plan lost required node $r")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to a cross/nested-loop join")
+    }
+  }
+
   test("native as-of join matches the window composition row-for-row") {
     // two independent implementations of the same semantics must agree —
     // the strongest in-repo oracle (the DuckDB ASOF check runs driver-side).
