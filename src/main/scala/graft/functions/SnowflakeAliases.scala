@@ -183,8 +183,11 @@ object SnowflakeAliases {
         val n = "base64_encode"
         val lineLen = if (rest.length > 0) litInt(rest(0), n) else 0
         val alphabet = if (rest.length > 1) litStr(rest(1), n) else ""
-        require(alphabet.isEmpty || alphabet.length == 2 || alphabet.length == 3,
-          s"base64_encode: alphabet must be 2 chars (63rd/64th) or 3 (+ padding), got '$alphabet'")
+        require(alphabet.length <= 3,
+          s"base64_encode: alphabet is up to 3 chars (62nd, 63rd, padding), got '$alphabet'")
+        require(alphabet.distinct.length == alphabet.length &&
+          alphabet.forall(c => !c.isLetterOrDigit && c != '\n' && c != '\r'),
+          s"base64_encode: alphabet chars must be distinct, non-alphanumeric, non-newline: '$alphabet'")
         val b = Base64(bin)
         val withAlpha = if (alphabet.isEmpty) b
           else StringTranslate(b, Literal("+/=".take(alphabet.length)), Literal(alphabet))

@@ -213,6 +213,48 @@ object FnLongTailQueries extends QueryModule {
         date_trunc("YEAR", dt).cast("date").cast("timestamp").as("fd_year"))
     }),
 
+    // Datetime long-tail round 3 (r9 VERDICT item 2): TO_CHAR double-quoted
+    // literal escapes through the rewritten sfFormatToSpark (incl. ""-escape
+    // and embedded apostrophes), MySQL TO_SECONDS day-number arithmetic,
+    // TIMESTAMP_FROM_DATE_AND_TIME over the TIME LongType-nanos convention,
+    // GET_TIMEZONE_OFFSET, ISO-weeks-in-year (52/53 via the Dec-28 rule,
+    // get_iso_weeks_between_years), negative-epoch unit inference
+    // (number_to_datetime |n| rule), explicit-scale TO_TIMESTAMP(n, scale),
+    // sub-second TIMESTAMPADD, TIME_SLICE at day/year grain (1970 anchor),
+    // and day-time interval×integer multiply.
+    "fn_datetime7" -> ((s, d) => {
+      val k = col("o_orderkey")
+      val dt = col("o_orderdate")
+      val ts2 = timestamp_seconds(unix_timestamp(dt.cast("timestamp")) + (k % 86400))
+      val dd = datediff(dt, lit("1970-01-01"))
+      val yoff = year(dt) - 1970
+      orders(s, d).filter(k % 20 === 0).select(
+        k,
+        toCharDt(dt, "YYYY \"year\" MM").as("tc_lit"),
+        toCharDt(dt, "\"on \"\"day\"\" \"DD").as("tc_esc"),
+        toCharDt(dt, "\"it's\" MON").as("tc_apos"),
+        toCharDt(ts2, "HH24\"h\"MI\"m\"").as("tc_mixed"),
+        ((dd.cast("long") + 719528L) * 86400L + (k % 86400)).as("tsec"),
+        timestampFromDateAndTime(dt, (k % 86400) * 1000000000L + 123456789L)
+          .as("tfdt"),
+        tzOffsetMinutes(ts2, "+05:30").as("tzoff_ist"),
+        tzOffsetMinutes(ts2, "-03:15").as("tzoff_neg"),
+        weekofyear(make_date(year(dt), lit(12), lit(28))).as("iso_weeks_y"),
+        numberToTs(lit(-40000000000L)).as("n2ts_negms"),
+        numberToTsScale(k * 1000000L + 123L, 3).as("n2ts_s3"),
+        numberToTsScale(k * 1000000000L + 987654321L, 9).as("n2ts_s9"),
+        expr("timestampadd(MILLISECOND, o_orderkey % 1000, " +
+          "cast(o_orderdate as timestamp))").as("add_ms"),
+        expr("timestampadd(MICROSECOND, o_orderkey % 999983, " +
+          "cast(o_orderdate as timestamp))").as("add_us"),
+        date_add(lit("1970-01-01").cast("date"), dd - pmod(dd, lit(5)))
+          .cast("timestamp").as("day_slice5"),
+        make_date(lit(1970) + yoff - pmod(yoff, lit(2)), lit(1), lit(1))
+          .cast("timestamp").as("year_slice2"),
+        (dt.cast("timestamp") + expr("interval '1' day * (o_orderkey % 7)"))
+          .as("imul_day"))
+    }),
+
     // other_array_kernels long tail: the IS [NOT] TRUE/FALSE predicate
     // quartet over nullable booleans (is_true:…/is_not_false — null is
     // neither true nor false), BITNOT, arithmetic right-shift of
@@ -549,6 +591,34 @@ object FnLongTailQueries extends QueryModule {
         |  CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS TIMESTAMP) AS fd_quarter,
         |  CAST(CAST(date_trunc('year', o_orderdate) AS DATE) AS TIMESTAMP) AS fd_year
         |FROM orders WHERE o_orderkey % 15 = 0""".stripMargin,
+
+    "fn_datetime7" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderdate AS dt,
+        |    CAST(o_orderdate AS TIMESTAMP) + to_seconds(o_orderkey % 86400) AS ts2,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS dd,
+        |    year(o_orderdate) - 1970 AS yoff
+        |  FROM orders WHERE o_orderkey % 20 = 0)
+        |SELECT k AS o_orderkey,
+        |  strftime(dt, '%Y year %m') AS tc_lit,
+        |  strftime(dt, 'on "day" %d') AS tc_esc,
+        |  strftime(dt, 'it''s %b') AS tc_apos,
+        |  strftime(ts2, '%Hh%Mm') AS tc_mixed,
+        |  CAST((dd + 719528) * 86400 + k % 86400 AS BIGINT) AS tsec,
+        |  CAST(dt AS TIMESTAMP)
+        |    + to_microseconds(((k % 86400) * 1000000000 + 123456789) // 1000) AS tfdt,
+        |  CAST(330 AS BIGINT) AS tzoff_ist,
+        |  CAST(-195 AS BIGINT) AS tzoff_neg,
+        |  CAST(weekofyear(make_date(year(dt), 12, 28)) AS INTEGER) AS iso_weeks_y,
+        |  epoch_ms(CAST(-40000000000 AS BIGINT)) AS n2ts_negms,
+        |  make_timestamp((k * 1000000 + 123) * 1000) AS n2ts_s3,
+        |  make_timestamp((k * 1000000000 + 987654321) // 1000) AS n2ts_s9,
+        |  CAST(dt AS TIMESTAMP) + to_milliseconds(k % 1000) AS add_ms,
+        |  CAST(dt AS TIMESTAMP) + to_microseconds(k % 999983) AS add_us,
+        |  CAST(CAST(DATE '1970-01-01' + to_days(CAST(dd - dd % 5 AS INTEGER)) AS DATE) AS TIMESTAMP) AS day_slice5,
+        |  CAST(make_date(1970 + yoff - yoff % 2, 1, 1) AS TIMESTAMP) AS year_slice2,
+        |  CAST(dt AS TIMESTAMP) + to_days(CAST(k % 7 AS INTEGER)) AS imul_day
+        |FROM o""".stripMargin,
 
     "fn_other2" ->
       """WITH p AS (

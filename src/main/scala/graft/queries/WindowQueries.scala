@@ -294,7 +294,9 @@ object WindowQueries extends QueryModule {
       base
         .select(col("event_id"), col("event_type"),
           expr("percentile(value, 0.5)").over(frame).as("roll_med"))
-        .join(broadcast(perKey), col("event_type") === col("pct_key"))
+        // null-safe: a null event_type is its own window partition, so the
+        // join-back must match it too or those rows vanish (r9 ADVICE #2)
+        .join(broadcast(perKey), col("event_type") <=> col("pct_key"))
         .select(col("event_id"), col("event_type"),
           col("p50"), col("p90"), col("roll_med"))
     }),

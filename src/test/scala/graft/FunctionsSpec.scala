@@ -339,20 +339,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got === 4)
   }
 
-  test("base64 alphabet override validates length; 3-char form remaps padding (ADVICE)") {
+  test("base64 alphabet override: 1-3 chars pad with defaults; bad chars throw (ADVICE)") {
     import graft.functions.SnowflakeFns
-    intercept[IllegalArgumentException] { SnowflakeFns.base64EncodeSf(lit("x"), 0, "-") }
     import spark.implicits._
-    // 'f' -> 'Zg==' : 2-char override touches nothing here; 3-char remaps '='
+    // 'f' -> 'Zg==' : 1/2-char overrides touch only idx-62/63; 3-char remaps '='
     val df = Seq("f").toDF("s")
+    val one = df.select(SnowflakeFns.base64EncodeSf(col("s").cast("binary"), 0, "-").as("b"))
+      .as[String].head()
+    assert(one === "Zg==") // idx-62 override only; padding keeps '='
     val two = df.select(SnowflakeFns.base64EncodeSf(col("s").cast("binary"), 0, "-_").as("b"))
       .as[String].head()
     assert(two === "Zg==")
     val three = df.select(SnowflakeFns.base64EncodeSf(col("s").cast("binary"), 0, "-_$").as("b"))
       .as[String].head()
     assert(three === "Zg$$")
+    // the idx-62 override fires: 0xFBEFBE is four 62-sextets -> '++++'
+    val hit = Seq(Array[Byte](0xfb.toByte, 0xef.toByte, 0xbe.toByte)).toDF("b")
+      .select(SnowflakeFns.base64EncodeSf(col("b"), 0, "*").as("e")).as[String].head()
+    assert(hit === "****")
+    intercept[IllegalArgumentException] { // > 3 chars
+      SnowflakeFns.base64EncodeSf(lit("x"), 0, "-_$!") }
+    intercept[IllegalArgumentException] { // alphanumeric override char
+      SnowflakeFns.base64EncodeSf(lit("x"), 0, "a") }
+    intercept[IllegalArgumentException] { // duplicate override chars
+      SnowflakeFns.base64EncodeSf(lit("x"), 0, "--") }
     // SQL registry spelling enforces the same contract
-    intercept[Exception] { spark.sql("SELECT base64_encode(cast('x' AS binary), 0, '+')").head() }
+    intercept[Exception] { spark.sql("SELECT base64_encode(cast('x' AS binary), 0, 'ab')").head() }
+    val sqlOne = spark.sql("SELECT base64_encode(cast('f' AS binary), 0, '-') AS b")
+      .head().getString(0)
+    assert(sqlOne === "Zg==")
   }
 
   test("numberToTs ns branch is exact beyond 2^53 (integral divide, ADVICE)") {

@@ -159,6 +159,47 @@ class PropertySpec extends AnyFunSuite {
 
   // -- native interval join vs brute force on random ranges -----------------
 
+  test("sfFormatToSpark: random token/literal mixes format piecewise-correctly") {
+    // Build random Snowflake formats from tokens (random case) and
+    // double-quoted literals (incl. ""-escapes and apostrophes), translate,
+    // format a fixed instant through java.time, and compare against the
+    // concatenation of each piece formatted independently — the definition
+    // of a correct translation. Unrecognized bare letters must throw.
+    import java.time.LocalDateTime
+    import java.time.format.DateTimeFormatter
+    import java.util.Locale
+    import graft.functions.SnowflakeFns.sfFormatToSpark
+    val t = LocalDateTime.of(1997, 3, 9, 14, 7, 5)
+    val pieces: Seq[(String, String)] = Seq( // sf token -> expected rendering
+      "YYYY" -> "1997", "YY" -> "97", "MMMM" -> "March", "MON" -> "Mar",
+      "MM" -> "03", "DD" -> "09", "DY" -> "Sun", "HH24" -> "14",
+      "HH12" -> "02", "MI" -> "07", "SS" -> "05", "AM" -> "PM", "PM" -> "PM")
+    val literals = Seq("year" -> "year", "it's" -> "it's", "q\"\"x" -> "q\"x",
+      " - " -> " - ", "" -> "", "T" -> "T", "123" -> "123")
+    val rnd = new scala.util.Random(7)
+    def randCase(s: String) =
+      s.map(c => if (rnd.nextBoolean()) c.toLower else c.toUpper)
+    for (_ <- 1 to 40) {
+      val parts = Seq.fill(1 + rnd.nextInt(6)) {
+        if (rnd.nextBoolean()) {
+          val (tok, out) = pieces(rnd.nextInt(pieces.length))
+          (randCase(tok), out)
+        } else {
+          val (raw, out) = literals(rnd.nextInt(literals.length))
+          ("\"" + raw + "\"", out)
+        }
+      }
+      // separate adjacent tokens so concatenation can't form a longer token
+      // (e.g. MM + MM must not re-parse as MMMM)
+      val fmt = parts.map(_._1).mkString(":")
+      val expected = parts.map(_._2).mkString(":")
+      val got = DateTimeFormatter.ofPattern(sfFormatToSpark(fmt), Locale.US).format(t)
+      assert(got === expected, s"fmt='$fmt' -> pattern='${sfFormatToSpark(fmt)}'")
+    }
+    intercept[IllegalArgumentException](sfFormatToSpark("YYYY-Q"))
+    intercept[IllegalArgumentException](sfFormatToSpark("\"unterminated"))
+  }
+
   test("FROM_PARTS rollover matches java.time arithmetic on random parts") {
     import spark.implicits._
     import graft.functions.SnowflakeFns._
