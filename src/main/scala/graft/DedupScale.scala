@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
   *     candidate pairs and quadratic blowup; with it, measured runtime
   *     should stay ~linear in N.
   *
-  * Usage: runMain graft.DedupScale <sfDir> <scales e.g. 1,2,4> */
+  * Timing is min-of-2 passes per query per scale (VERDICT r8 item 3 /
+  * r9 item 4): this host shows multi-second waves of external CPU
+  * contention, and a single pass at the largest scale can read a
+  * contention spike as a super-linear slope. Min is the right statistic
+  * for purely-additive interference (same rationale as Bench.scala).
+  *
+  * Usage: runMain graft.DedupScale <sfDir> <scales e.g. 1,2,4,8,16> [query-substring] */
 object DedupScale {
   private val Boiler =
     "terms of service apply to all content in this corpus archive mirror"
@@ -29,10 +35,11 @@ object DedupScale {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val scales = (if (args.length > 1) args(1) else "1,2,4")
       .split(",").map(_.trim.toInt)
+    val flt = if (args.length > 2) args(2) else ""
     val spark = Sessions.local()
     val queries = Seq("dedup_docs_exact", "dedup_docs_fingerprint",
       "dedup_docs_jaccard", "dedup_docs_minhash", "dedup_docs_simhash",
-      "dedup_docs_embedding", "dedup_cluster_cc")
+      "dedup_docs_embedding", "dedup_cluster_cc").filter(_.contains(flt))
     val results = scales.map { n =>
       val dir = s"/tmp/graft_scale/x$n"
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -47,12 +54,13 @@ object DedupScale {
           col("lang"), col("source"), col("n_chars"))
       scaled.write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val rows = spark.read.parquet(s"$dir/documents.parquet").count()
-      val times = queries.map { q =>
+      def onePass(q: String): Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
-        q -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
       }
+      val times = queries.map(q => q -> math.min(onePass(q), onePass(q)))
       (n, rows, times)
     }
     results.foreach { case (n, rows, times) =>

@@ -55,30 +55,51 @@ object VectorIndex {
     * under ANSI arithmetic), so regenerated vectors that keep the same ids
     * and row count still get a fresh index (r4 ADVICE: count+max(id)
     * missed that case). The build goes to a temp dir and is published by
-    * an atomic rename: a concurrent run either sees the finished index or
-    * builds its own temp copy and loses the rename race harmlessly.
+    * a directory rename: a concurrent run either sees the finished index
+    * or builds its own temp copy and loses the rename race harmlessly.
+    *
+    * All filesystem traffic goes through Hadoop `FileSystem` resolved
+    * from the path's scheme + the session's Hadoop conf (r9 verdict: the
+    * old java.io/NIO version only worked on local paths), so file:, hdfs:
+    * and s3a: index locations all work. Rename is atomic on file:/hdfs:
+    * but copy+delete on S3A — a reader probing mid-publish there could
+    * see a partial listing, so on object stores pair this with a
+    * manifest/pointer convention (publish under a versioned prefix, flip
+    * a small `_latest` object last) or an S3-committer-style layout; the
+    * _SUCCESS gate below still prevents QUERYING a half-published index.
+    *
     * Returns the fingerprinted index path to query. */
   def ensure(embeddings: DataFrame, path: String): String = {
+    import org.apache.hadoop.fs.Path
     val fp = embeddings
       .agg(bit_xor(xxhash64(col("vec_id"), col("embedding")))).head.getLong(0)
-    val fpPath = s"$path/fp_${java.lang.Long.toHexString(fp)}"
-    if (!new java.io.File(s"$fpPath/_SUCCESS").exists()) {
-      val tmp = s"${fpPath}_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
-      write(embeddings, tmp)
-      val src = java.nio.file.Paths.get(tmp)
-      try
-        java.nio.file.Files.move(src, java.nio.file.Paths.get(fpPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // lost the race (or non-atomic fs): someone else published — if a
-        // finished index exists, discard ours; otherwise rethrow.
-        case e: java.nio.file.FileSystemException =>
-          if (new java.io.File(s"$fpPath/_SUCCESS").exists())
-            org.apache.commons.io.FileUtils.deleteQuietly(src.toFile)
-          else throw e
+    val dest = new Path(path, s"fp_${java.lang.Long.toHexString(fp)}")
+    val fs = dest.getFileSystem(
+      embeddings.sparkSession.sessionState.newHadoopConf())
+    val success = new Path(dest, "_SUCCESS")
+    if (!fs.exists(success)) {
+      val tmp = new Path(dest.getParent,
+        s"${dest.getName}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      write(embeddings, tmp.toString)
+      // _SUCCESS lands inside tmp when the write job commits, so dest is
+      // only ever absent or complete. Hadoop rename(src, dst) with an
+      // EXISTING dst directory moves src INSIDE dst — never call it when
+      // dest already exists, that would nest our temp dir into the
+      // published index and pollute its partition discovery.
+      val renamed = !fs.exists(dest) && fs.rename(tmp, dest)
+      // exists→rename isn't atomic: a winner publishing dest in between
+      // makes our rename nest tmp inside it (rename-into-directory
+      // semantics). Sweep any such nested dir before trusting the index.
+      val nested = new Path(dest, tmp.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+      if (!renamed) {
+        fs.delete(tmp, true) // lost the race: a finished index won
+        require(fs.exists(success),
+          s"VectorIndex.ensure: publish rename to $dest failed and no " +
+            "finished index exists there")
       }
     }
-    fpPath
+    dest.toString
   }
 
   /** Query: top-k cosine within the query vectors' buckets only. */

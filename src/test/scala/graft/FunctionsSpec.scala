@@ -392,4 +392,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(1) === "b\nc", "'s' flag must make . match newline")
     assert(r.getInt(2) === 2, "'m' flag must anchor ^ per line")
   }
+
+  test("VectorIndex.ensure publishes via Hadoop FS: file: scheme, idempotent, race-safe") {
+    import spark.implicits._
+    import graft.llm.VectorIndex
+    val rnd = new scala.util.Random(11)
+    val base32 = (0L until 32L).map(i => (i, Array.fill(64)(rnd.nextFloat())))
+    // each vector gets an exact twin under id+1000: same embedding -> same
+    // LSH bucket, so every query provably has a same-bucket neighbor
+    val vecs = (base32 ++ base32.map { case (i, e) => (i + 1000L, e) })
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("vecidx_fs_").toString
+    // explicit file: scheme exercises the Hadoop FileSystem path end-to-end
+    // (the old java.io version would have treated it as a relative dir)
+    val base = s"file:$dir/idx"
+    val p1 = VectorIndex.ensure(vecs, base)
+    assert(p1.startsWith("file:"), s"returned path must keep the scheme: $p1")
+    val out1 = VectorIndex.query(spark, p1, vecs.filter(col("vec_id") < 2), 3)
+    assert(out1.count() > 0)
+    // idempotent: same fingerprint -> no rebuild, same path
+    assert(VectorIndex.ensure(vecs, base) === p1)
+    // publish race: two concurrent builders over a fresh location; exactly
+    // one wins the rename, the loser must clean its temp dir and return
+    // the winner's finished index
+    val base2 = s"file:$dir/idx_race"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val paths = Await.result(
+      Future.sequence(Seq.fill(2)(Future(VectorIndex.ensure(vecs, base2)))),
+      5.minutes)
+    assert(paths.distinct.size === 1)
+    val published = new java.io.File(new java.net.URI(paths.head).getPath)
+    assert(new java.io.File(published, "_SUCCESS").exists())
+    // no leftover *_tmp_* siblings, no nested temp dir inside the index
+    val leftovers = Option(published.getParentFile.listFiles()).get
+      .map(_.getName).filter(_.contains("_tmp_"))
+    assert(leftovers.isEmpty, s"temp dirs must not survive: ${leftovers.toSeq}")
+    val nested = Option(published.listFiles()).get
+      .map(_.getName).filter(_.contains("_tmp_"))
+    assert(nested.isEmpty, s"nested temp dirs must not survive: ${nested.toSeq}")
+    assert(VectorIndex.query(spark, paths.head, vecs.filter(col("vec_id") < 2), 3)
+      .count() > 0)
+  }
 }
