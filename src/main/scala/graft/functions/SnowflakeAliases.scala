@@ -167,6 +167,87 @@ object SnowflakeAliases {
         Size(RegExpExtractAll(Substring(sub, Literal(pos), Literal(Int.MaxValue)),
           Literal(wrapped), Literal(0))) }
 
+    // ---- r9 verdict item 6: the remaining REGEXP_* spellings + scaled
+    // TRY_TO_DECIMAL. Position arithmetic is the same split-between-
+    // matches recovery the DSL kernel uses (regexpInstrSf), expressed
+    // lambda-free: prefix length = length(array_join(slice(...), '')) —
+    // so the whole tree stays inside whole-stage codegen.
+    def joinLen(arr: Expression, k: Int): Expression =
+      Length(ArrayJoin(Slice(arr, Literal(1), Literal(k)), Literal(""), None))
+    def rejectZeroWidth(w: String, n: String): Unit =
+      require(!java.util.regex.Pattern.compile(w).matcher("").find(),
+        s"$n: pattern '$w' can match the empty string; zero-width matches " +
+          "break split-based position recovery")
+
+    reg("sf_regexp_instr", "(subject, 'pat'[, pos[, occ[, option[, 'flags']]]])") {
+      case sub +: pat +: rest =>
+        val n = "sf_regexp_instr"
+        val pos = if (rest.length > 0) litInt(rest(0), n) else 1
+        val occ = if (rest.length > 1) litInt(rest(1), n) else 1
+        val option = if (rest.length > 2) litInt(rest(2), n) else 0
+        val flags = if (rest.length > 3) litStr(rest(3), n) else ""
+        require(occ >= 1 && (option == 0 || option == 1),
+          s"$n: occurrence >= 1 and option in {0, 1}")
+        val w = SnowflakeFns.wrap(litStr(pat, n), flags)
+        rejectZeroWidth(w, n)
+        val subE = Substring(sub, Literal(pos), Literal(Int.MaxValue))
+        val matches = RegExpExtractAll(subE, Literal(w), Literal(0))
+        val parts = StringSplit(subE, Literal(w), Literal(-1))
+        val start = Add(Add(Literal(pos), joinLen(parts, occ)),
+          if (occ > 1) joinLen(matches, occ - 1) else Literal(0))
+        val res = if (option == 0) start
+          else Add(start, Length(new TryElementAt(matches, Literal(occ))))
+        CaseWhen(Seq(
+          (GreaterThanOrEqual(Size(matches), Literal(occ)),
+            Cast(res, IntegerType))), Literal(0)) }
+
+    reg("sf_regexp_replace", "(subject, 'pat'[, 'repl'[, pos[, occ[, 'flags']]]])") {
+      case sub +: pat +: rest =>
+        val n = "sf_regexp_replace"
+        val repl = SnowflakeFns.sfReplacementToJava(
+          if (rest.length > 0) litStr(rest(0), n) else "")
+        val pos = if (rest.length > 1) litInt(rest(1), n) else 1
+        val occ = if (rest.length > 2) litInt(rest(2), n) else 0
+        val flags = if (rest.length > 3) litStr(rest(3), n) else ""
+        require(occ >= 0, s"$n: occurrence 0 (all) or >= 1")
+        val w = SnowflakeFns.wrap(litStr(pat, n), flags)
+        val prefix = Substring(sub, Literal(1), Literal(pos - 1))
+        val subE = Substring(sub, Literal(pos), Literal(Int.MaxValue))
+        if (occ == 0)
+          Concat(Seq(prefix,
+            RegExpReplace(subE, Literal(w), Literal(repl), Literal(1))))
+        else {
+          // replace ONLY the occ-th match: recover its start with the
+          // instr arithmetic, re-apply the pattern anchored to exactly
+          // the matched text (keeps group numbering for backrefs; exact
+          // for patterns without lookaround), splice. Occurrence absent
+          // -> subject unchanged, Snowflake semantics.
+          rejectZeroWidth(w, n)
+          val matches = RegExpExtractAll(subE, Literal(w), Literal(0))
+          val parts = StringSplit(subE, Literal(w), Literal(-1))
+          val startRel = Add(Add(Literal(1), joinLen(parts, occ)),
+            if (occ > 1) joinLen(matches, occ - 1) else Literal(0))
+          val mtext = new TryElementAt(matches, Literal(occ))
+          val replaced = RegExpReplace(mtext,
+            Literal("^(?:" + w + ")$"), Literal(repl), Literal(1))
+          val spliced = Concat(Seq(prefix,
+            Substring(subE, Literal(1), Subtract(startRel, Literal(1))),
+            replaced,
+            Substring(subE, Add(startRel, Length(mtext)), Literal(Int.MaxValue))))
+          CaseWhen(Seq(
+            (GreaterThanOrEqual(Size(matches), Literal(occ)), spliced)),
+            Cast(sub, StringType))
+        } }
+
+    reg("try_to_decimal", "(expr[, precision[, scale]])") {
+      case e +: rest =>
+        val n = "try_to_decimal"
+        val p = if (rest.length > 0) litInt(rest(0), n) else 38
+        val sc = if (rest.length > 1) litInt(rest(1), n) else 0
+        require(p >= 1 && p <= 38 && sc >= 0 && sc <= p,
+          s"$n: precision 1-38, scale 0-precision, got ($p, $sc)")
+        Cast(e, DecimalType(p, sc), None, EvalMode.TRY) }
+
     reg("sf_last_day", "(date, 'part')") { case Seq(d, part) =>
       litStr(part, "sf_last_day").toLowerCase match {
         case "month" => LastDay(d)

@@ -196,6 +196,28 @@ object SnowflakeFns {
     when(size(matches) >= k, res).otherwise(lit(0)).cast("int")
   }
 
+  /** Snowflake replacement-string syntax -> Java Matcher syntax: in
+    * Snowflake REGEXP_REPLACE the group references are `\1`..`\9` and `$`
+    * is literal; in Java's appendReplacement `$1` is a group reference
+    * and `\` escapes. Used by the sf_regexp_replace SQL spelling so
+    * Snowflake TEXT runs verbatim (the DSL kernel regexpReplaceSf keeps
+    * Java syntax — its existing oracles pin that). */
+  private[functions] def sfReplacementToJava(r: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < r.length) {
+      val c = r.charAt(i)
+      if (c == '\\' && i + 1 < r.length && r.charAt(i + 1).isDigit) {
+        sb.append('$').append(r.charAt(i + 1)); i += 2
+      } else if (c == '\\' && i + 1 < r.length && r.charAt(i + 1) == '\\') {
+        sb.append("\\\\"); i += 2
+      } else if (c == '$') { sb.append("\\$"); i += 1 }
+      else if (c == '\\') { sb.append("\\\\"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** REGEXP_COUNT(subject, pattern, position, flags). */
   def regexpCountSf(subject: Column, pattern: String, position: Int = 1,
                     flags: String = ""): Column =

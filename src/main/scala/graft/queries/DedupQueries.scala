@@ -69,9 +69,6 @@ object DedupQueries extends QueryModule {
       // length, so the per-group array is small by construction.
       .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
 
-  private def shingleHashes(s: org.apache.spark.sql.SparkSession, d: String) =
-    shingleSets(s, d).select(col("doc_id"), explode(col("shs")).as("sh"))
-
   /** Capped shingle rows (doc_id, sh, n) for the exact-Jaccard self-join —
     * n is the CAPPED per-doc set size.
     *
@@ -108,10 +105,23 @@ object DedupQueries extends QueryModule {
   /** The near-dup PAIR GRAPH (doc_i < doc_j, minhash_sim >= 0.5) — the
     * dedup_docs_minhash result, shared with the clustering query
     * (dedup_cluster_cc below), which treats these pairs as the
-    * edge set of the duplicate graph. */
+    * edge set of the duplicate graph.
+    *
+    * Signatures are computed over the DF-CAPPED shingle space (same
+    * guard as the exact-Jaccard path): a corpus-wide stop-phrase — a
+    * boilerplate header, a license footer — otherwise lands in EVERY
+    * document's signature, and for short documents it dominates the min
+    * statistics, so banded LSH correctly-but-uselessly clusters every
+    * short document with every other one: Σ bucket² (and the verified
+    * pair output) then grows quadratically with corpus size. The r10 16×
+    * scale study measured exactly that (pair graph 570k → 2.16M on a
+    * doubling, 93% of pairs boiler-driven cross-cluster noise) before
+    * this cap; with it the pair graph tracks the real duplicate
+    * structure linearly. At fixture scale (max df = 7 < DFCAP = 64) the
+    * cap removes nothing, so the oracle stays bit-identical. */
   private[queries] def minhashPairs(s: org.apache.spark.sql.SparkSession,
                                     d: String): org.apache.spark.sql.DataFrame = {
-    val hx = shingleHashes(s, d).select(col("doc_id"), (col("sh") % P).as("x"))
+    val hx = cappedShingles(s, d).select(col("doc_id"), (col("sh") % P).as("x"))
     val minAggs = PERMS.zipWithIndex.map { case ((a, b), i) =>
       min((col("x") * a + b) % P).as(s"m$i")
     }
@@ -294,8 +304,12 @@ object DedupQueries extends QueryModule {
     // 12-bit blocks keep 4096 bucket values per block index — 16x more than
     // 8-bit blocks, so Σ bucket² is n²/4096 not n²/256 at corpus scale; the
     // Hamming radius tightens 5 -> 3 to keep the pigeonhole guarantee exact.
+    // Signatures use the df-capped shingle space for the same reason as
+    // minhashPairs: corpus-wide boilerplate otherwise pulls every short
+    // document's fingerprint toward the same point, and the block-bucket
+    // verification pair count inflates with it (no-op at fixture df <= 7).
     "dedup_docs_simhash" -> ((s, d) => {
-      val hx = shingleHashes(s, d).select(col("doc_id"), col("sh").as("h"))
+      val hx = cappedShingles(s, d).select(col("doc_id"), col("sh").as("h"))
       val bitAggs = (0 until SIMBITS).map { j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")
       }
@@ -343,7 +357,8 @@ object DedupQueries extends QueryModule {
       .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""WITH $duckShingleCte,
-       |hx AS (SELECT doc_id, (sh % $P) AS x FROM sh),
+       |mhok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $DFCAP),
+       |hx AS (SELECT doc_id, (sh % $P) AS x FROM sh JOIN mhok USING (sh)),
        |sig AS (SELECT doc_id,
        |    $minExprs
        |  FROM hx GROUP BY doc_id),
@@ -444,7 +459,8 @@ object DedupQueries extends QueryModule {
         s"SELECT doc_id, sh, $bk AS blk, (sh >> ${BLOCKW * bk}) & $BLOCKMASK AS bval FROM sh2")
         .mkString("\n  UNION ALL ")
       s"""WITH $duckShingleCte,
-         |hx AS (SELECT doc_id, sh AS h FROM sh),
+         |shok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $DFCAP),
+         |hx AS (SELECT doc_id, sh AS h FROM sh JOIN shok USING (sh)),
          |sums AS (SELECT doc_id,
          |    $bitSums
          |  FROM hx GROUP BY doc_id),

@@ -334,6 +334,35 @@ object FnLongTailQueries extends QueryModule {
         .withColumn("ldw", col("ldw").cast("timestamp"))
     }),
 
+    // r9 verdict item 6 — the registry completions, exercised as verbatim
+    // SQL text: REGEXP_INSTR position/occurrence/option/flags, scaled
+    // REGEXP_REPLACE incl. occurrence-targeted replacement with
+    // Snowflake-style \N backreferences, and TRY_TO_DECIMAL(p, s) over
+    // valid / garbage / overflowing inputs.
+    "fn_snowflake_sql3" -> ((s, d) => {
+      part(s, d).createOrReplaceTempView("part_sf3")
+      s.sql("""
+        WITH p AS (SELECT p_partkey,
+          concat(p_name, ' ', lower(p_type)) AS nm FROM part_sf3
+          WHERE p_partkey % 7 = 0)
+        SELECT p_partkey,
+          sf_regexp_instr(nm, '[aeiou]{2}') AS ri_first,
+          sf_regexp_instr(nm, '[aeiou]{2}', 3, 2) AS ri_pos_occ,
+          sf_regexp_instr(nm, '[aeiou]{2}', 1, 2, 1) AS ri_end,
+          sf_regexp_instr(nm, 'zqx[0-9]+') AS ri_absent,
+          sf_regexp_instr(nm, 'S[a-z]+', 1, 1, 0, 'i') AS ri_flags,
+          sf_regexp_replace(nm, '[aeiou]', '*', 4) AS rr_from_pos,
+          sf_regexp_replace(nm, '([a-z])([aeiou])', '<\\2\\1>', 1, 2) AS rr_occ2,
+          sf_regexp_replace(nm, 'zzz', 'X', 1, 3) AS rr_absent,
+          CAST(try_to_decimal(element_at(array('12.346','7.1289','-93.45','1e2',
+            'abc','','42','0.004'), CAST(p_partkey % 8 AS INT) + 1), 10, 2)
+            AS DOUBLE) AS td_mixed,
+          CAST(try_to_decimal(CAST(p_partkey * 977 AS STRING), 5, 0)
+            AS DOUBLE) AS td_overflow,
+          CAST(try_to_decimal(CAST(p_partkey % 97 AS STRING)) AS DOUBLE) AS td_default
+        FROM p""")
+    }),
+
     // Crypto/encode kernels (crypto_funcs.py): SHA2 digest sizes, hex
     // encode/decode incl. the TRY path, BASE64_ENCODE line-wrapping and
     // alphabet-override args, TRY_BASE64_DECODE validation. SHA1/224/384/
@@ -681,6 +710,53 @@ object FnLongTailQueries extends QueryModule {
         |  to_base64(st::BLOB) AS b64,
         |  CASE WHEN k % 2 = 0 THEN st END AS tbd
         |FROM x""".stripMargin,
+
+    // DuckDB 1.0 has no regexp_instr and its regexp_replace can't target
+    // an occurrence — both are reconstructed from the same primitives the
+    // engine composes: string_split_regex gives the text BETWEEN matches,
+    // so the k-th match starts at pos + len(join(parts[1:k])) +
+    // len(join(matches[1:k-1])).
+    "fn_snowflake_sql3" ->
+      """WITH b AS (
+        |  SELECT p_partkey, p_name || ' ' || lower(p_type) AS nm
+        |  FROM part WHERE p_partkey % 7 = 0),
+        |p AS (
+        |  SELECT p_partkey, nm,
+        |    regexp_extract_all(nm, '[aeiou]{2}') AS m1,
+        |    string_split_regex(nm, '[aeiou]{2}') AS s1,
+        |    regexp_extract_all(substr(nm, 3), '[aeiou]{2}') AS m2,
+        |    string_split_regex(substr(nm, 3), '[aeiou]{2}') AS s2,
+        |    regexp_extract_all(nm, '(?i)S[a-z]+') AS mf,
+        |    string_split_regex(nm, '(?i)S[a-z]+') AS sf,
+        |    regexp_extract_all(nm, '([a-z])([aeiou])') AS mr,
+        |    string_split_regex(nm, '([a-z])([aeiou])') AS sr
+        |  FROM b)
+        |SELECT p_partkey,
+        |  CAST(CASE WHEN len(m1) >= 1
+        |    THEN 1 + length(array_to_string(s1[1:1], '')) ELSE 0 END AS INTEGER) AS ri_first,
+        |  CAST(CASE WHEN len(m2) >= 2
+        |    THEN 3 + length(array_to_string(s2[1:2], ''))
+        |       + length(array_to_string(m2[1:1], '')) ELSE 0 END AS INTEGER) AS ri_pos_occ,
+        |  CAST(CASE WHEN len(m1) >= 2
+        |    THEN 1 + length(array_to_string(s1[1:2], ''))
+        |       + length(array_to_string(m1[1:1], '')) + length(m1[2]) ELSE 0 END AS INTEGER) AS ri_end,
+        |  0 AS ri_absent,
+        |  CAST(CASE WHEN len(mf) >= 1
+        |    THEN 1 + length(array_to_string(sf[1:1], '')) ELSE 0 END AS INTEGER) AS ri_flags,
+        |  substr(nm, 1, 3) ||
+        |    regexp_replace(substr(nm, 4), '[aeiou]', '*', 'g') AS rr_from_pos,
+        |  CASE WHEN len(mr) >= 2
+        |    THEN sr[1] || mr[1] || sr[2] ||
+        |      regexp_replace(mr[2], '^(?:([a-z])([aeiou]))$', '<\2\1>') ||
+        |      substr(nm,
+        |        length(sr[1] || mr[1] || sr[2]) + length(mr[2]) + 1)
+        |    ELSE nm END AS rr_occ2,
+        |  nm AS rr_absent,
+        |  CAST(TRY_CAST(['12.346','7.1289','-93.45','1e2','abc','','42','0.004']
+        |    [CAST(p_partkey % 8 AS INTEGER) + 1] AS DECIMAL(10,2)) AS DOUBLE) AS td_mixed,
+        |  CAST(TRY_CAST(CAST(p_partkey * 977 AS VARCHAR) AS DECIMAL(5,0)) AS DOUBLE) AS td_overflow,
+        |  CAST(TRY_CAST(CAST(p_partkey % 97 AS VARCHAR) AS DECIMAL(38,0)) AS DOUBLE) AS td_default
+        |FROM p""".stripMargin,
 
     "fn_crypto" ->
       """WITH p AS (

@@ -393,6 +393,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getInt(2) === 2, "'m' flag must anchor ^ per line")
   }
 
+  test("sf_regexp_instr/sf_regexp_replace/try_to_decimal registry completions (r9 VERDICT)") {
+    // hand-computed on 'banana splits': [aeiou] matches at 2,4,6,10
+    val r = spark.sql(
+      """SELECT
+        |  sf_regexp_instr('banana splits', '[aeiou]') AS i1,
+        |  sf_regexp_instr('banana splits', '[aeiou]', 3, 2) AS i_pos_occ,
+        |  sf_regexp_instr('banana splits', 'an', 1, 2, 1) AS i_end,
+        |  sf_regexp_instr('banana splits', 'zz') AS i_absent,
+        |  sf_regexp_instr('banana splits', 'SP[a-z]+', 1, 1, 0, 'i') AS i_flags,
+        |  sf_regexp_replace('banana splits', '[aeiou]', '*', 8) AS r_pos,
+        |  sf_regexp_replace('banana splits', '(a)(n)', '[\\2\\1]', 1, 2) AS r_occ,
+        |  sf_regexp_replace('banana splits', 'zz', 'X', 1, 1) AS r_absent,
+        |  try_to_decimal('12.346', 10, 2) AS d_ok,
+        |  try_to_decimal('oops', 10, 2) AS d_bad,
+        |  try_to_decimal('12345.6', 5, 2) AS d_ovf,
+        |  try_to_decimal('77') AS d_def""".stripMargin).head()
+    assert(r.getInt(0) === 2)
+    assert(r.getInt(1) === 6, "2nd vowel at-or-after pos 3: 'a' at 4? no — matches from pos 3 are 4,6,10; 2nd is 6")
+    assert(r.getInt(2) === 6, "2nd 'an' starts at 4, option=1 gives one past end = 6")
+    assert(r.getInt(3) === 0)
+    assert(r.getInt(4) === 8)
+    assert(r.getString(5) === "banana spl*ts")
+    assert(r.getString(6) === "ban[na]a splits", "2nd 'an' replaced with Snowflake \\N backrefs swapped")
+    assert(r.getString(7) === "banana splits", "absent occurrence leaves subject unchanged")
+    assert(r.getDecimal(8) === new java.math.BigDecimal("12.35"))
+    assert(r.isNullAt(9))
+    assert(r.isNullAt(10), "overflow beyond precision 5 must be null, not error")
+    assert(r.getDecimal(11) === new java.math.BigDecimal("77"))
+    // zero-width pattern rejected at build time for position-recovery forms
+    intercept[Exception] {
+      spark.sql("SELECT sf_regexp_instr('x', 'a*')").head() }
+    intercept[Exception] {
+      spark.sql("SELECT sf_regexp_replace('x', 'a*', 'y', 1, 2)").head() }
+  }
+
   test("VectorIndex.ensure publishes via Hadoop FS: file: scheme, idempotent, race-safe") {
     import spark.implicits._
     import graft.llm.VectorIndex
