@@ -65,10 +65,67 @@ final class RetryBackend(inner: GenBackend, maxRetries: Int = 3,
 }
 
 object LlmFunctions {
-  /** BPE-ish tokenizer: whitespace pieces hashed into a 50257-id vocab
-    * (GPT-2-sized). Deterministic md5-based ids so the oracle can replay. */
-  def tokenize(text: Column): Column =
-    transform(words(text), w => md5Long(w) % 50257)
+  /** Checked-in BPE merge vocabulary (multi-char pieces, one per line, no
+    * spaces — so no piece can span a word boundary). Single characters are
+    * the implicit fallback alphabet, exactly like byte-level BPE's base
+    * bytes. Mirrors the reference's merges-file tokenizer surface
+    * (bodo/pandas/series.py:1903 wires HF tokenizers; this is a pure-JVM
+    * greedy longest-match equivalent over a pinned vocab — no egress/JNI). */
+  val bpeVocabPieces: Vector[String] = {
+    val is = getClass.getResourceAsStream("/graft/bpe_vocab.txt")
+    require(is != null, "missing resource graft/bpe_vocab.txt")
+    try {
+      val ps = scala.io.Source.fromInputStream(is, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toVector
+      require(ps.distinct.length == ps.length, "bpe vocab has duplicate pieces")
+      require(ps.forall(p => p.length > 1 && !p.contains(' ')),
+        "bpe vocab pieces must be multi-char and space-free")
+      ps
+    } finally is.close()
+  }
+  // First-char dispatch, candidates longest-first => `find` = greedy
+  // longest match. maxLen is small (<=4), so matching is O(1) per char.
+  private val bpeByFirst: Map[Char, Vector[String]] =
+    bpeVocabPieces.groupBy(_.head).map { case (c, ps) => c -> ps.sortBy(-_.length) }
+  // Ids: single char -> its codepoint (byte-level-style base alphabet);
+  // merged piece -> 256 + merges-file line index. Deterministic forever.
+  private val bpePieceId: Map[String, Long] =
+    bpeVocabPieces.zipWithIndex.map { case (p, i) => p -> (256L + i) }.toMap
+
+  /** Greedy longest-match BPE over the WHOLE text (spaces are single-char
+    * tokens; vocab pieces contain none, so matches never cross a word
+    * boundary). Lossless: concatenating the pieces restores the input. */
+  def bpePieces(text: String): IndexedSeq[String] = {
+    val out = Vector.newBuilder[String]
+    var pos = 0
+    while (pos < text.length) {
+      val piece = bpeByFirst.getOrElse(text.charAt(pos), Vector.empty)
+        .find(p => text.startsWith(p, pos))
+        .getOrElse(text.substring(pos, pos + 1))
+      out += piece
+      pos += piece.length
+    }
+    out.result()
+  }
+
+  def bpeId(piece: String): Long =
+    if (piece.length == 1) piece.charAt(0).toLong else bpePieceId(piece)
+
+  /** Column form of the piece stream (array<string>). A deterministic
+    * scalar UDF is the right tool here: a tokenizer is a per-row library
+    * call (like the codec in MultimodalQueries), not relational algebra —
+    * there is nothing for Catalyst to push or reorder inside it. */
+  def bpePiecesCol(text: Column): Column = {
+    val f = udf((t: String) => if (t == null) null else bpePieces(t))
+    f(text)
+  }
+
+  /** BPE tokenizer: greedy longest-match ids over the checked-in merges
+    * vocab (array<long>). Replaces the earlier md5-hash-vocab stand-in. */
+  def tokenize(text: Column): Column = {
+    val f = udf((t: String) => if (t == null) null else bpePieces(t).map(bpeId))
+    f(text)
+  }
 
   /** Deterministic embedding: a bag-of-words random projection — each of
     * the dim coordinates sums an independent signed word hash in

