@@ -21,8 +21,10 @@ object Sessions {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS); read as long + explicit µs
-      // conversion in Tables.events (Spark 4 rejects ns natively).
+      // Historical fixture generations shipped events.ts as TIMESTAMP(NANOS),
+      // which Spark 4 rejects natively; the conf lets that generation read as
+      // long (Tables.events dispatches on the result). No-op for the current
+      // µs-typed fixtures.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE: runtime coalescing, skew-join handling, bcast demotion.
       .config("spark.sql.adaptive.enabled", "true")

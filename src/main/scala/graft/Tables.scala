@@ -20,22 +20,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects.
-    * Read nanos as long (legacy conf) and convert to a µs TimestampType via
-    * exact integral division (`div`, not `/` — float division loses ulps at
-    * epoch-ns magnitude). DuckDB keeps ns when it reads this column, so any
-    * oracle SQL that exposes `ts` must cast it to µs (`CAST(ts AS TIMESTAMP)`)
-    * to match (FIXTURES.md ns policy).
+  /** `events.ts` has shipped as both TIMESTAMP(NANOS) (historical fixtures;
+    * Spark 4 rejects it unless read as long via the legacy conf) and plain
+    * TIMESTAMP(µs) (current fixtures). Dispatch on the read schema so either
+    * generation loads: LongType means the legacy conf turned a ns column into
+    * epoch-nanos — exact integral `div 1000` (not `/`, which loses ulps at
+    * epoch-ns magnitude) to µs; a timestamp type (NTZ or LTZ) just casts to
+    * the session-zone TimestampType, value-identical under the UTC session.
+    * Oracle SQL writes `CAST(ts AS TIMESTAMP)`, correct under DuckDB's µs
+    * read in both generations.
     *
-    * The legacy conf is session-global by design: parquet scan planning
-    * re-reads SQLConf at action time, so a set/restore around the read would
-    * break execution. `events` is the only ns-typed fixture, and the session
-    * builders in Verify/Bench/tests also set it up front.
+    * The legacy conf stays set session-globally: it is a no-op for non-ns
+    * columns, and parquet scan planning re-reads SQLConf at action time, so a
+    * set/restore around the read would break execution of the ns path.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -13,34 +13,43 @@ import org.apache.spark.sql.types._
   * tumbling-window aggregation, and custom sessionization state via
   * mapGroupsWithState.
   *
-  * Everything is driven by the same schema as Tables.events; the ns
-  * timestamp arrives as long (nanosAsLong) and is truncated to µs exactly
-  * as the batch path does.
+  * Everything is driven by the same schema as Tables.events; the ts column
+  * is normalized to session TimestampType with the same schema dispatch the
+  * batch loader uses (fixture generations have shipped it as both
+  * TIMESTAMP(NANOS), surfacing as ns long under the legacy conf, and plain
+  * TIMESTAMP(µs)).
   */
 object StreamingOps {
 
-  /** Parquet schema of the events fixture (ts surfaces as ns long). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** File-source stream of the events table with the µs ts conversion.
-    * The file source wants a directory (new files appear over time in
-    * production); the single fixture file is staged via hard link. */
+  /** File-source stream of the events table with ts normalized to µs
+    * TimestampType. The file source wants a directory (new files appear over
+    * time in production); the single fixture file is staged via hard link.
+    * readStream needs an explicit schema, so the physical schema is probed
+    * with a batch read of the staged file and the ts dispatch mirrors
+    * Tables.events: ns-long fixtures get the exact div-1000 truncation,
+    * µs-timestamp fixtures a session-zone cast. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val stage = java.nio.file.Paths.get(
       s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     java.nio.file.Files.createDirectories(stage)
     val dst = stage.resolve("events.parquet")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    // a staged copy can outlive a fixture regeneration (the source is
+    // replaced, not appended); drop it when the size disagrees so the stream
+    // never reads a different generation than the batch loader
+    if (java.nio.file.Files.exists(dst) &&
+        java.nio.file.Files.size(dst) != java.nio.file.Files.size(src))
+      java.nio.file.Files.delete(dst)
     if (!java.nio.file.Files.exists(dst)) {
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
       try java.nio.file.Files.createLink(dst, src)
       catch { case _: Exception => java.nio.file.Files.copy(src, dst): Unit }
     }
-    spark.readStream.schema(eventsSchema)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val physical = spark.read.parquet(stage.toString).schema
+    val raw = spark.readStream.schema(physical).parquet(stage.toString)
+    physical("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Watermarked tumbling-window counts per event type — the canonical
