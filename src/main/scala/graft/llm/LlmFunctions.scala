@@ -65,6 +65,13 @@ final class RetryBackend(inner: GenBackend, maxRetries: Int = 3,
 }
 
 object LlmFunctions {
+  /** Hard cap on merged-piece length. The DuckDB oracle replays the greedy
+    * walk with one hash-set membership probe per candidate length
+    * (MaxPieceLen down to 2), so this bound is part of the tokenizer's
+    * public contract, not an implementation detail. Defined BEFORE
+    * bpeVocabPieces — object vals initialize in order. */
+  val MaxPieceLen = 6
+
   /** Checked-in BPE merge vocabulary (multi-char pieces, one per line, no
     * spaces — so no piece can span a word boundary). Single characters are
     * the implicit fallback alphabet, exactly like byte-level BPE's base
@@ -78,15 +85,50 @@ object LlmFunctions {
       val ps = scala.io.Source.fromInputStream(is, "UTF-8")
         .getLines().map(_.trim).filter(_.nonEmpty).toVector
       require(ps.distinct.length == ps.length, "bpe vocab has duplicate pieces")
-      require(ps.forall(p => p.length > 1 && !p.contains(' ')),
-        "bpe vocab pieces must be multi-char and space-free")
+      require(ps.forall(p => p.length > 1 && p.length <= MaxPieceLen &&
+        !p.exists(_.isWhitespace) && !p.contains('\'') && !p.contains('\\')),
+        s"bpe vocab pieces must be 2..$MaxPieceLen chars, whitespace/quote/backslash-free")
       ps
     } finally is.close()
   }
-  // First-char dispatch, candidates longest-first => `find` = greedy
-  // longest match. maxLen is small (<=4), so matching is O(1) per char.
-  private val bpeByFirst: Map[Char, Vector[String]] =
-    bpeVocabPieces.groupBy(_.head).map { case (c, ps) => c -> ps.sortBy(-_.length) }
+  /** Character trie over the vocab. Matching a position walks at most
+    * maxPieceLen (=6) child links — independent of vocab SIZE, which is
+    * what makes a realistic (1.5k-piece here, 30k+ in production) vocab
+    * affordable per row. Built ONCE per JVM (object initializer): the UDF
+    * closure captures only the LlmFunctions module reference, and each
+    * executor JVM re-runs the initializer from the broadcast-shipped
+    * resource on the classpath — no per-row or per-batch rebuild. */
+  private final class TrieNode {
+    var terminal: Boolean = false
+    val kids = new java.util.HashMap[Char, TrieNode]()
+  }
+  private val bpeTrie: TrieNode = {
+    val root = new TrieNode
+    bpeVocabPieces.foreach { p =>
+      var n = root
+      p.foreach { c =>
+        var k = n.kids.get(c)
+        if (k == null) { k = new TrieNode; n.kids.put(c, k) }
+        n = k
+      }
+      n.terminal = true
+    }
+    root
+  }
+  /** Length of the longest vocab piece starting at `pos`, or 1 (single-char
+    * base-alphabet fallback). */
+  private def longestMatchAt(text: String, pos: Int): Int = {
+    var n = bpeTrie
+    var i = pos
+    var best = 1
+    while (i < text.length) {
+      n = n.kids.get(text.charAt(i))
+      if (n == null) return best
+      i += 1
+      if (n.terminal) best = i - pos
+    }
+    best
+  }
   // Ids: single char -> its codepoint (byte-level-style base alphabet);
   // merged piece -> 256 + merges-file line index. Deterministic forever.
   private val bpePieceId: Map[String, Long] =
@@ -99,11 +141,9 @@ object LlmFunctions {
     val out = Vector.newBuilder[String]
     var pos = 0
     while (pos < text.length) {
-      val piece = bpeByFirst.getOrElse(text.charAt(pos), Vector.empty)
-        .find(p => text.startsWith(p, pos))
-        .getOrElse(text.substring(pos, pos + 1))
-      out += piece
-      pos += piece.length
+      val len = longestMatchAt(text, pos)
+      out += text.substring(pos, pos + len)
+      pos += len
     }
     out.result()
   }

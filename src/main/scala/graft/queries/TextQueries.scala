@@ -274,10 +274,20 @@ object TextQueries extends QueryModule {
       // token, step size = longest vocab piece prefixing the cursor (1 =
       // single-char fallback). Vocab is inlined from the same resource
       // the Spark tokenizer loads, so the two can never drift apart.
-      val vlist = LlmFunctions.bpeVocabPieces
-        .map(p => s"'$p'").mkString("[", ",", "]")
-      val step = s"coalesce(list_max(list_transform(list_filter($vlist, " +
-        "p -> substring(d.text, t.pos, length(p)) = p), p -> length(p))), 1)"
+      // At 1.5k pieces a per-step scan of the whole vocab would make the
+      // CTE quadratic-ish; instead the step mirrors the Scala trie's
+      // length bound: one hash-set membership probe per candidate length,
+      // longest (MaxPieceLen) first — list_contains against a per-length
+      // constant list the optimizer evaluates once.
+      val byLen: Map[Int, Seq[String]] =
+        LlmFunctions.bpeVocabPieces.groupBy(_.length)
+      val step = (LlmFunctions.MaxPieceLen to 2 by -1)
+        .filter(byLen.contains)
+        .map { len =>
+          val lst = byLen(len).map(p => s"'$p'").mkString("[", ",", "]")
+          s"WHEN list_contains($lst, substring(d.text, t.pos, $len)) THEN $len"
+        }
+        .mkString("CASE ", " ", " ELSE 1 END")
       s"""WITH RECURSIVE tok(doc_id, pos, n, head) AS (
          |  SELECT doc_id, 1, 0, '' FROM documents
          |  UNION ALL

@@ -184,22 +184,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows("g2") === None)      // all-null group -> null
   }
 
-  test("BPE tokenize matches hand-computed greedy merges") {
-    // Hand-walked against src/main/resources/graft/bpe_vocab.txt:
-    //   "the window" -> the | ' ' | win | dow   (longest-match takes
-    //   "the" over "th"; "window" splits at the vocab boundary)
-    //   ids: merged piece = 256 + line index (the=0, win=34, dow=35),
-    //   single char = codepoint (' ' = 32).
-    assert(LlmFunctions.bpePieces("the window") === Seq("the", " ", "win", "dow"))
+  test("BPE tokenize matches independently-computed greedy merges") {
+    // Expectations walked with an INDEPENDENT python greedy longest-match
+    // over src/main/resources/graft/bpe_vocab.txt (1500 pieces, len 2..6):
+    //   "the window" -> the | ' ' | window  (whole word "window" is a
+    //   vocab piece at line 193; ids: merged piece = 256 + line index,
+    //   single char = codepoint, ' ' = 32)
+    assert(LlmFunctions.bpePieces("the window") === Seq("the", " ", "window"))
     assert(LlmFunctions.bpePieces("the window").map(LlmFunctions.bpeId) ===
-      Seq(256L, 32L, 290L, 291L))
-    // "scan" -> sc|an (sc=20, an=5); unknown chars fall back to codepoints
-    assert(LlmFunctions.bpePieces("scan").map(LlmFunctions.bpeId) === Seq(276L, 261L))
+      Seq(488L, 32L, 449L))
+    // "scan" is itself a piece; chars absent from every piece fall back
+    // to codepoints
+    assert(LlmFunctions.bpePieces("scan").map(LlmFunctions.bpeId) === Seq(300L))
     assert(LlmFunctions.bpePieces("xq").map(LlmFunctions.bpeId) === Seq(120L, 113L))
+    // greedy = LONGEST match at each cursor, never a shorter prefix
+    assert(LlmFunctions.bpePieces("window").head.length > 2)
     // lossless: pieces concatenate back to the input
     val s = "big batch query over the customer table   with-punct! 42"
     assert(LlmFunctions.bpePieces(s).mkString === s)
     assert(LlmFunctions.bpePieces("") === Seq.empty)
+    // vocab contract the oracle's per-length probes rely on
+    assert(LlmFunctions.bpeVocabPieces.forall(p =>
+      p.length >= 2 && p.length <= LlmFunctions.MaxPieceLen))
+    assert(LlmFunctions.bpeVocabPieces.length === 1500)
   }
 
   test("tokenize/embed are deterministic column expressions") {
