@@ -255,6 +255,43 @@ object FnLongTailQueries extends QueryModule {
           .as("imul_day"))
     }),
 
+    // Datetime long-tail round 4 (r10 VERDICT item 8): the nanosecond-grain
+    // family on the µs engine — ADD_INTERVAL_NANOSECONDS
+    // (datetime_array_kernels.py:259), DATEDIFF(NANOSECOND) (diff_nanosecond
+    // :487), TIMESTAMP_FROM_PARTS with the nanosecond argument rolling into
+    // seconds (construct_timestamp:264) — plus quarter-boundary DATEDIFF
+    // (diff_quarter:491, Snowflake counts QUARTER boundaries crossed, NOT
+    // complete quarters, so it is computed as the (year*4+quarter) ordinal
+    // difference in both engines) and the sub-second extraction kernels
+    // get_millisecond/get_microsecond/get_nanosecond (:535-543). Nanos are
+    // truncated to the µs grain by integer division; all ns operands are
+    // kept non-negative so Spark `div` and DuckDB `//` agree exactly.
+    "fn_datetime8" -> ((s, d) => {
+      val k = col("o_orderkey")
+      val dt = col("o_orderdate")
+      val tsUsSql =
+        "timestampadd(MICROSECOND, o_orderkey % 999983, cast(o_orderdate as timestamp))"
+      val tsUs = expr(tsUsSql)
+      // integral truncation (`div`), never float division — exact in both engines
+      val nsDivUs = expr("((o_orderkey * 12345) % 3000000000) div 1000")
+      val negDivUs = expr("(o_orderkey % 999999) div 1000")
+      val usPart = pmod(unix_micros(tsUs), lit(1000000L))
+      orders(s, d).filter(k % 20 === 0).select(
+        k,
+        tsUs.as("ts_us"),
+        expr(s"pmod(unix_micros($tsUsSql), 1000000) div 1000").as("get_ms"),
+        usPart.as("get_us"),
+        (usPart * 1000).as("get_ns"),
+        (lit(1995 * 4 + 2) - (year(dt) * 4 + quarter(dt))).cast("long").as("diff_q"),
+        expr(s"timestampdiff(MICROSECOND, $tsUsSql, " +
+          "timestamp'1995-06-17 00:00:00') * 1000").as("diff_ns"),
+        timestamp_micros(unix_micros(tsUs) + nsDivUs).as("add_ns"),
+        timestamp_micros(unix_micros(tsUs) - negDivUs).as("add_ns_neg"),
+        timestamp_micros(
+          unix_micros(timestampFromParts(lit(2020), lit(3), lit(1),
+            lit(0), lit(0), lit(0))) + nsDivUs).as("tfp_ns"))
+    }),
+
     // other_array_kernels long tail: the IS [NOT] TRUE/FALSE predicate
     // quartet over nullable booleans (is_true:…/is_not_false — null is
     // neither true nor false), BITNOT, arithmetic right-shift of
@@ -647,6 +684,25 @@ object FnLongTailQueries extends QueryModule {
         |  CAST(CAST(DATE '1970-01-01' + to_days(CAST(dd - dd % 5 AS INTEGER)) AS DATE) AS TIMESTAMP) AS day_slice5,
         |  CAST(make_date(1970 + yoff - yoff % 2, 1, 1) AS TIMESTAMP) AS year_slice2,
         |  CAST(dt AS TIMESTAMP) + to_days(CAST(k % 7 AS INTEGER)) AS imul_day
+        |FROM o""".stripMargin,
+
+    "fn_datetime8" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(o_orderdate AS TIMESTAMP) + to_microseconds(o_orderkey % 999983) AS ts_us,
+        |    CAST(1995 * 4 + 2 - (year(o_orderdate) * 4 + quarter(o_orderdate)) AS BIGINT) AS diff_q,
+        |    ((o_orderkey * 12345) % 3000000000) // 1000 AS ns_us,
+        |    (o_orderkey % 999999) // 1000 AS neg_us
+        |  FROM orders WHERE o_orderkey % 20 = 0)
+        |SELECT k AS o_orderkey, ts_us,
+        |  CAST((epoch_us(ts_us) % 1000000) // 1000 AS BIGINT) AS get_ms,
+        |  CAST(epoch_us(ts_us) % 1000000 AS BIGINT) AS get_us,
+        |  CAST((epoch_us(ts_us) % 1000000) * 1000 AS BIGINT) AS get_ns,
+        |  diff_q,
+        |  CAST((epoch_us(TIMESTAMP '1995-06-17 00:00:00') - epoch_us(ts_us)) * 1000 AS BIGINT) AS diff_ns,
+        |  ts_us + to_microseconds(ns_us) AS add_ns,
+        |  ts_us - to_microseconds(neg_us) AS add_ns_neg,
+        |  TIMESTAMP '2020-03-01 00:00:00' + to_microseconds(ns_us) AS tfp_ns
         |FROM o""".stripMargin,
 
     "fn_other2" ->

@@ -235,6 +235,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ns-grain kernels (fn_datetime8) match java.time on random timestamps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    // ~63 years of epoch-µs, non-negative (the query's % contract)
+    val rows = Seq.fill(300)(math.abs(rnd.nextLong() % 2000000000000000L))
+    val df = rows.toDF("us").repartition(4)
+    val got = df.select(col("us"),
+      expr("pmod(unix_micros(timestamp_micros(us)), 1000000) div 1000").as("gms"),
+      expr("pmod(unix_micros(timestamp_micros(us)), 1000000)").as("gus"),
+      expr("timestampdiff(MICROSECOND, timestamp_micros(us), " +
+        "timestamp'1995-06-17 00:00:00') * 1000").as("dns"),
+      expr("cast((1995 * 4 + 2) - (year(timestamp_micros(us)) * 4 " +
+        "+ quarter(timestamp_micros(us))) as long)").as("dq"))
+      .collect()
+    val refUs = java.time.LocalDateTime.of(1995, 6, 17, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+    for (r <- got) {
+      val us = r.getLong(0)
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      assert(r.getLong(1) === ldt.getNano / 1000000L, s"get_ms($us)")
+      assert(r.getLong(2) === ldt.getNano / 1000L, s"get_us($us)")
+      assert(r.getLong(3) === (refUs - us) * 1000L, s"diff_ns($us)")
+      // Snowflake DATEDIFF(quarter) counts quarter-boundary crossings =
+      // difference of (year*4 + quarter) ordinals
+      val dq = (1995 * 4 + 2) - (ldt.getYear * 4 + ((ldt.getMonthValue - 1) / 3 + 1))
+      assert(r.getLong(4) === dq.toLong, s"diff_q($us)")
+    }
+  }
+
   test("IntervalJoinExec matches brute force on random points and intervals") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
