@@ -78,6 +78,80 @@ object DdlQueries extends QueryModule {
       s.sql("SHOW TABLES")
         .select(col("tableName"))
         .filter(col("tableName").isin(fixtures: _*))
+    }),
+
+    // Snapshot/time-travel table semantics over the SnapshotLog format —
+    // the offline analog of Iceberg snapshot reads + AS-OF travel
+    // (IcebergDDLExecutor.kt, bodo/io/iceberg/): v1 overwrite, v2 append,
+    // v3 copy-on-write upsert (MERGE-shaped: double the price of every
+    // key ≡ 0 mod 20). Reads pin v1/v2 by version, v2 again by AS-OF
+    // timestamp (travel rule: largest commit ts ≤ asked ts), and the
+    // current table; each must see exactly its manifest's files.
+    "ddl_timetravel" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = s"/tmp/graft_snaplog/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val o = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      SnapshotLog.commit(o.filter(col("o_orderkey") % 10 === 0), root,
+        overwrite = true, commitTsMs = 1000L)
+      SnapshotLog.commit(o.filter(col("o_orderkey") % 10 === 5), root,
+        overwrite = false, commitTsMs = 2000L)
+      val cur = SnapshotLog.read(s, root)
+      val src = o.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val merged = cur
+        .join(src.select(col("o_orderkey").as("sk")),
+          col("o_orderkey") === col("sk"), "left_anti")
+        .unionByName(src)
+      SnapshotLog.commit(merged, root, overwrite = true, commitTsMs = 3000L)
+      Seq(
+        ("v1", SnapshotLog.read(s, root, asOfVersion = Some(1))),
+        ("v2", SnapshotLog.read(s, root, asOfVersion = Some(2))),
+        ("asof_2500", SnapshotLog.read(s, root, asOfTsMs = Some(2500L))),
+        ("v3_current", SnapshotLog.read(s, root)))
+        .map { case (label, df) =>
+          df.agg(count(lit(1)).as("n_rows"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
+            .withColumn("snap", lit(label))
+        }
+        .reduce(_ unionByName _)
+        .select("snap", "n_rows", "sum_price")
+    }),
+
+    // EXTERNAL_TABLE_FILES analog (TableFunctionOperatorTable.java:158 /
+    // Iceberg `files` metadata table): the per-snapshot file inventory
+    // from MANIFEST METADATA (one FS stat per file, no data scan), joined
+    // against distributed per-file row counts (input_file_name groupBy) to
+    // prove the inventory matches what a scan actually reads. File names
+    // are uuid'd, so the checked output is the per-version rollup.
+    "ddl_table_files" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = s"/tmp/graft_tablefiles/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val c = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      SnapshotLog.commit(c.filter(col("c_custkey") % 4 === 1), root,
+        overwrite = true, commitTsMs = 1000L)
+      SnapshotLog.commit(c.filter(col("c_custkey") % 4 === 2), root,
+        overwrite = false, commitTsMs = 2000L)
+      def norm(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        regexp_replace(p, "^file:/*", "/")
+      val meta = Seq(1, 2)
+        .map(v => SnapshotLog.tableFiles(s, root, Some(v)))
+        .reduce(_ unionByName _)
+        .withColumn("file_path", norm(col("file_path")))
+      val perFile = SnapshotLog.read(s, root)
+        .groupBy(norm(input_file_name()).as("file_path"))
+        .agg(count(lit(1)).as("file_rows"))
+      meta.join(perFile, "file_path")
+        .groupBy(col("version"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("file_rows")).as("n_rows"),
+          (min(col("size_bytes")) > 0).as("all_nonempty"))
     })
   )
 
@@ -104,6 +178,29 @@ object DdlQueries extends QueryModule {
     "ddl_show_tables" ->
       """SELECT * FROM (VALUES ('region'), ('nation'), ('customer'), ('supplier'),
         |  ('part'), ('orders'), ('lineitem'), ('events'), ('documents'), ('embeddings')
-        |) t(tableName)""".stripMargin
+        |) t(tableName)""".stripMargin,
+
+    "ddl_timetravel" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |v1 AS (SELECT CAST(count(*) AS BIGINT) n, round(sum(p), 2) sp
+        |       FROM base WHERE k % 10 = 0),
+        |v2 AS (SELECT CAST(count(*) AS BIGINT) n, round(sum(p), 2) sp
+        |       FROM base WHERE k % 10 IN (0, 5)),
+        |v3 AS (SELECT CAST(count(*) AS BIGINT) n,
+        |       round(sum(CASE WHEN k % 20 = 0 THEN p * 2 ELSE p END), 2) sp
+        |       FROM base WHERE k % 10 IN (0, 5))
+        |SELECT 'v1' AS snap, n AS n_rows, sp AS sum_price FROM v1
+        |UNION ALL SELECT 'v2', n, sp FROM v2
+        |UNION ALL SELECT 'asof_2500', n, sp FROM v2
+        |UNION ALL SELECT 'v3_current', n, sp FROM v3""".stripMargin,
+
+    "ddl_table_files" ->
+      """SELECT CAST(1 AS INT) AS version, CAST(2 AS BIGINT) AS n_files,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_custkey % 4 = 1) AS n_rows,
+        |  TRUE AS all_nonempty
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(4 AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_custkey % 4 IN (1, 2)),
+        |  TRUE""".stripMargin
   )
 }

@@ -1,0 +1,174 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** A minimal snapshot/transaction-log table format — the offline,
+  * Spark-first analog of the reference's Iceberg surface (snapshot reads,
+  * time travel, additive schema evolution, append/overwrite commits;
+  * bodo/io/iceberg/ and IcebergDDLExecutor.kt). The real
+  * iceberg-spark-runtime jar is unavailable in this environment (no egress;
+  * SURVEY §2.1 note), so the SEMANTICS are provided over plain parquet plus
+  * a JSON manifest log, the same two-layer design Iceberg itself uses:
+  *
+  *   <root>/data/<uuid>/part-*.parquet   immutable data files
+  *   <root>/_log/v00001.json             manifest: exact file list + schema
+  *
+  * Readers never list `data/` — they read the manifest and open exactly the
+  * files it names, so a reader pinned to version N is isolated from any
+  * concurrent commit (snapshot isolation), and old versions stay readable
+  * until a (not implemented) vacuum. Commits publish the next manifest by
+  * atomic rename (file:/hdfs:; on S3A the log object is small enough that
+  * the copy+delete window is a single PUT — the same caveat documented on
+  * VectorIndex.ensure applies). All filesystem traffic goes through Hadoop
+  * `FileSystem`, so file:/hdfs:/s3a: roots all work.
+  *
+  * At 100 TB the manifest holds file PATHS, not data: a commit is one
+  * distributed parquet write plus one small JSON PUT, a version read plans
+  * exactly the manifest's files (no directory listing storm), and time
+  * travel is manifest selection — O(versions) driver-side metadata, never a
+  * data scan.
+  */
+object SnapshotLog {
+
+  final case class Snapshot(
+      version: Int,
+      operation: String,
+      commitTsMs: Long,
+      schemaJson: String,
+      files: Seq[String])
+
+  private val om = new ObjectMapper()
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def logDir(root: String) = new Path(root, "_log")
+
+  private def manifestPath(root: String, v: Int) =
+    new Path(logDir(root), f"v$v%05d.json")
+
+  /** All committed snapshots, oldest first (ignores foreign/tmp files). */
+  def snapshots(spark: SparkSession, root: String): Seq[Snapshot] = {
+    val dir = logDir(root)
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(dir)) return Seq.empty
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("v\\d{5}\\.json")).sorted
+    names.map { n =>
+      val in = fs.open(new Path(dir, n))
+      try {
+        val t = om.readTree(in)
+        Snapshot(
+          t.get("version").asInt(),
+          t.get("operation").asText(),
+          t.get("commitTsMs").asLong(),
+          t.get("schema").asText(),
+          t.get("files").elements().asScala.map(_.asText()).toSeq)
+      } finally in.close()
+    }.toSeq
+  }
+
+  /** Commit `df` as the next version. `overwrite` replaces the table
+    * contents; append unions the parent's files with the new ones (data
+    * files are immutable — append never rewrites). `commitTsMs` is caller-
+    * supplied so tests and replays are deterministic; production callers
+    * pass the wall clock. Returns the committed version number. */
+  def commit(df: DataFrame, root: String, overwrite: Boolean,
+             commitTsMs: Long, numFiles: Int = 2): Int = {
+    val spark = df.sparkSession
+    val rootP = new Path(root)
+    val fs = fsFor(spark, rootP)
+    val prior = snapshots(spark, root)
+    val next = prior.lastOption.map(_.version + 1).getOrElse(1)
+    require(prior.forall(_.commitTsMs < commitTsMs),
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+
+    // one immutable data dir per commit; repartition bounds the file count
+    // (a 100 TB commit sizes this to target-file-size, not a constant)
+    val dataDir = new Path(new Path(rootP, "data"),
+      java.util.UUID.randomUUID().toString.take(12))
+    df.repartition(numFiles).write.parquet(dataDir.toString)
+    val newFiles = fs.listStatus(dataDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .map(_.toString).sorted.toSeq
+
+    val files = (if (overwrite) Seq.empty else prior.lastOption.map(_.files)
+      .getOrElse(Seq.empty)) ++ newFiles
+    val node = om.createObjectNode()
+    node.put("version", next)
+    node.put("operation", if (overwrite) "overwrite" else "append")
+    node.put("commitTsMs", commitTsMs)
+    node.put("schema", df.schema.json)
+    val arr = node.putArray("files")
+    files.foreach(arr.add)
+
+    val dest = manifestPath(root, next)
+    fs.mkdirs(dest.getParent)
+    val tmp = new Path(dest.getParent,
+      s".tmp_${dest.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(om.writeValueAsBytes(node)) finally out.close()
+    // atomic publish: the manifest appears complete or not at all; losing
+    // a rename race to a concurrent commit is a real conflict — surface it
+    // rather than silently dropping either commit (Iceberg retries the
+    // whole commit; callers here can do the same)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"SnapshotLog: concurrent commit won version $next at $root")
+    }
+    next
+  }
+
+  private def pick(spark: SparkSession, root: String,
+                   asOfVersion: Option[Int], asOfTsMs: Option[Long]): Snapshot = {
+    val snaps = snapshots(spark, root)
+    require(snaps.nonEmpty, s"SnapshotLog: no snapshots at $root")
+    (asOfVersion, asOfTsMs) match {
+      case (Some(v), _) =>
+        snaps.find(_.version == v).getOrElse(
+          throw new NoSuchElementException(s"SnapshotLog: no version $v at $root"))
+      case (None, Some(ts)) =>
+        snaps.filter(_.commitTsMs <= ts).lastOption.getOrElse(
+          throw new NoSuchElementException(
+            s"SnapshotLog: no snapshot at or before ts $ts at $root"))
+      case _ => snaps.last
+    }
+  }
+
+  /** Read a snapshot: the latest, a pinned version, or AS-OF a timestamp
+    * (largest commitTsMs <= asOfTsMs — Iceberg's timestamp-travel rule).
+    * mergeSchema unions the column sets across data files, so versions
+    * written before an additive schema change read the new column as null
+    * — the reference's schema-evolution read semantics. */
+  def read(spark: SparkSession, root: String,
+           asOfVersion: Option[Int] = None,
+           asOfTsMs: Option[Long] = None): DataFrame = {
+    val snap = pick(spark, root, asOfVersion, asOfTsMs)
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+    else
+      spark.read.option("mergeSchema", "true").parquet(snap.files: _*)
+  }
+
+  /** EXTERNAL_TABLE_FILES analog (reference
+    * TableFunctionOperatorTable.java:158): the file inventory of a snapshot
+    * as a DataFrame — metadata only (manifest + one FS stat per file), no
+    * data scan. Columns: file_path, size_bytes, version. */
+  def tableFiles(spark: SparkSession, root: String,
+                 asOfVersion: Option[Int] = None): DataFrame = {
+    val snap = pick(spark, root, asOfVersion, None)
+    val fs = fsFor(spark, new Path(root))
+    val rows = snap.files.map { f =>
+      (f, fs.getFileStatus(new Path(f)).getLen, snap.version)
+    }
+    import spark.implicits._
+    rows.toDF("file_path", "size_bytes", "version")
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark.spark
+import graft.sources.SnapshotLog
+
+/** Snapshot-log semantics the gate query (ddl_timetravel) cannot show:
+  * reader isolation across later commits, additive schema evolution,
+  * AS-OF edge rules, commit-conflict surfacing, and foreign-file
+  * tolerance in the log directory.
+  */
+class SnapshotLogSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val root = s"/tmp/graft_snaplog_spec/$tag"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    root
+  }
+
+  test("a reader pinned at read time is isolated from later commits") {
+    val root = freshRoot("isolation")
+    SnapshotLog.commit(Seq(1, 2, 3).toDF("x"), root, overwrite = true, 100L)
+    val pinned = SnapshotLog.read(spark, root)
+    assert(pinned.count() === 3)
+    SnapshotLog.commit(Seq(4, 5).toDF("x"), root, overwrite = false, 200L)
+    // the pinned plan references exactly the v1 manifest's files
+    assert(pinned.count() === 3)
+    assert(SnapshotLog.read(spark, root).count() === 5)
+  }
+
+  test("additive schema evolution: old files read the new column as null") {
+    val root = freshRoot("evolve")
+    SnapshotLog.commit(Seq((1L, "a")).toDF("id", "s"), root, overwrite = true, 100L)
+    SnapshotLog.commit(Seq((2L, "b", 9.5)).toDF("id", "s", "score"), root,
+      overwrite = false, 200L)
+    val cur = SnapshotLog.read(spark, root)
+    assert(cur.columns.toSet === Set("id", "s", "score"))
+    assert(cur.filter(col("id") === 1 && col("score").isNull).count() === 1)
+    // time travel to v1 sees the ORIGINAL schema, not the evolved one
+    assert(SnapshotLog.read(spark, root, asOfVersion = Some(1))
+      .columns.toSet === Set("id", "s"))
+  }
+
+  test("AS-OF timestamp picks the largest commit ts <= asked, errors before first") {
+    val root = freshRoot("asof")
+    SnapshotLog.commit(Seq(1).toDF("x"), root, overwrite = true, 1000L)
+    SnapshotLog.commit(Seq(2).toDF("x"), root, overwrite = false, 2000L)
+    assert(SnapshotLog.read(spark, root, asOfTsMs = Some(1000L)).count() === 1)
+    assert(SnapshotLog.read(spark, root, asOfTsMs = Some(1999L)).count() === 1)
+    assert(SnapshotLog.read(spark, root, asOfTsMs = Some(2000L)).count() === 2)
+    intercept[NoSuchElementException] {
+      SnapshotLog.read(spark, root, asOfTsMs = Some(999L))
+    }
+    intercept[NoSuchElementException] {
+      SnapshotLog.read(spark, root, asOfVersion = Some(7))
+    }
+  }
+
+  test("overwrite starts a new file set but old versions stay readable") {
+    val root = freshRoot("overwrite")
+    SnapshotLog.commit(Seq(1, 2, 3, 4).toDF("x"), root, overwrite = true, 100L)
+    SnapshotLog.commit(Seq(9).toDF("x"), root, overwrite = true, 200L)
+    assert(SnapshotLog.read(spark, root).as[Int].collect().toSeq === Seq(9))
+    assert(SnapshotLog.read(spark, root, asOfVersion = Some(1)).count() === 4)
+    // the v2 manifest must not inherit v1's files
+    val snaps = SnapshotLog.snapshots(spark, root)
+    assert(snaps.map(_.files.size) === Seq(2, 2))
+    assert(snaps(0).files.toSet.intersect(snaps(1).files.toSet).isEmpty)
+  }
+
+  test("a conflicting manifest for the next version surfaces as an error") {
+    val root = freshRoot("conflict")
+    SnapshotLog.commit(Seq(1).toDF("x"), root, overwrite = true, 100L)
+    // simulate a concurrent winner: v2 manifest already present
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(s"$root/_log/v00002.json"), false)
+    out.write("""{"version":2,"operation":"append","commitTsMs":150,"schema":"{\"type\":\"struct\",\"fields\":[]}","files":[]}""".getBytes)
+    out.close()
+    // next commit computes version 3 (it lists the foreign v2) and must
+    // still advance the ts monotonically; a STALE ts is rejected
+    intercept[IllegalArgumentException] {
+      SnapshotLog.commit(Seq(2).toDF("x"), root, overwrite = false, 120L)
+    }
+    assert(SnapshotLog.commit(Seq(2).toDF("x"), root, overwrite = false, 300L) === 3)
+  }
+
+  test("tmp leftovers and foreign files in _log are ignored") {
+    val root = freshRoot("foreign")
+    SnapshotLog.commit(Seq(1, 2).toDF("x"), root, overwrite = true, 100L)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new Path(s"$root/_log/.tmp_v00099.json_deadbeef"), false).close()
+    fs.create(new Path(s"$root/_log/README"), false).close()
+    assert(SnapshotLog.snapshots(spark, root).map(_.version) === Seq(1))
+    assert(SnapshotLog.read(spark, root).count() === 2)
+  }
+
+  test("tableFiles is manifest metadata: sizes positive, counts per version") {
+    val root = freshRoot("files")
+    SnapshotLog.commit(Seq(1, 2, 3).toDF("x"), root, overwrite = true, 100L)
+    SnapshotLog.commit(Seq(4).toDF("x"), root, overwrite = false, 200L)
+    val v1 = SnapshotLog.tableFiles(spark, root, Some(1)).collect()
+    val v2 = SnapshotLog.tableFiles(spark, root, Some(2)).collect()
+    assert(v1.length === 2 && v2.length === 4)
+    assert((v1 ++ v2).forall(_.getLong(1) > 0))
+    assert(v2.map(_.getString(0)).toSet.intersect(
+      v1.map(_.getString(0)).toSet).size === 2)
+  }
+}
