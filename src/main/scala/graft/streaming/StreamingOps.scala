@@ -92,6 +92,37 @@ object StreamingOps {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Native session-window aggregation: events of a user merge into one
+    * session while gaps stay under 30 minutes; the watermark closes (and
+    * evicts) sessions once no on-time event can extend them. This is the
+    * declarative sibling of sessionize() below — same semantics, but
+    * Spark's incremental session-merge state store instead of hand-rolled
+    * mapGroupsWithState, so AQE-less streaming still gets bounded state
+    * and mergeable partial sessions. Works identically over a batch
+    * DataFrame (session_window is a plain grouping expression), which is
+    * what the spec compares against. */
+  def sessionWindowAgg(events: DataFrame): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    withWm
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n"), col("sum_v"))
+  }
+
+  /** Idempotent micro-batch sink: each batch overwrites its OWN
+    * deterministic subdirectory (batch=<id>), so a replay after a failure
+    * rewrites the same files instead of appending duplicates — the
+    * foreachBatch exactly-once pattern for stores without transactional
+    * append. Returns the started query; callers own stop(). */
+  def idempotentParquetSink(df: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      batch.write.mode("overwrite").parquet(s"$path/batch=$id")
+    }.start()
+
   case class Click(userId: Long, tsUs: Long)
   case class Session(userId: Long, nEvents: Long, firstUs: Long, lastUs: Long)
 

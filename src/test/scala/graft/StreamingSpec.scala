@@ -67,6 +67,43 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-stream join emitted $streamed rows, batch range join has $batch")
   }
 
+  test("streaming session_window agg matches the batch session_window agg") {
+    val q = StreamingOps.sessionWindowAgg(StreamingOps.eventsStream(spark, sf))
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_win")
+    // append emits only watermark-closed sessions; every emitted session
+    // must match the batch computation exactly (same grouping expression)
+    val batch = StreamingOps.sessionWindowAgg(Tables.events(spark, sf))
+    assert(streamed.count() > 0, "no closed sessions emitted")
+    val joined = streamed.as("s")
+      .join(batch.as("b"), Seq("s_start", "user_id"))
+    assert(joined.count() === streamed.count(),
+      "streamed session missing from batch result")
+    assert(joined.filter(col("s.n") =!= col("b.n") ||
+      col("s.s_end") =!= col("b.s_end")).count() === 0,
+      "streamed session bounds/counts diverge from batch")
+  }
+
+  test("idempotent foreachBatch sink: replayed batches do not duplicate rows") {
+    val out = s"/tmp/graft_stream_sink/${System.nanoTime()}"
+    val src = StreamingOps.eventsStream(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = StreamingOps.idempotentParquetSink(src, out)
+    try q.processAllAvailable() finally q.stop()
+    val once = spark.read.parquet(out)
+    val expected = Tables.events(spark, sf).count()
+    assert(once.count() === expected)
+    // simulate a replay of batch 0: same batch id -> same directory ->
+    // overwrite, not append
+    val replay = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    replay.write.mode("overwrite").parquet(s"$out/batch=0")
+    assert(spark.read.parquet(out).count() === expected,
+      "replayed batch duplicated rows — sink is not idempotent")
+  }
+
   test("mapGroupsWithState sessionization produces per-user sessions") {
     import spark.implicits._
     val clicks = Tables.events(spark, sf)
