@@ -121,6 +121,33 @@ object DdlQueries extends QueryModule {
         .select("snap", "n_rows", "sum_price")
     }),
 
+    // DESCRIBE HISTORY + copy-on-write MERGE INTO on the snapshot table
+    // (Iceberg history metadata table + merge_into.py): v1 overwrite, v2
+    // append, v3 = MERGE (update bal for keys ≡ 0 mod 6, insert the ≡ 2
+    // mod 6 rows, keep unmatched target rows). The history output pins
+    // version/operation/commit-ts/file-count; the merge's row effects are
+    // covered by merge_into_parquet and SnapshotLogSpec.
+    "ddl_history" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = s"/tmp/graft_history/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val c = customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal").as("bal"))
+      SnapshotLog.commit(c.filter(col("c_custkey") % 3 === 0), root,
+        overwrite = true, commitTsMs = 1000L)
+      SnapshotLog.commit(c.filter(col("c_custkey") % 3 === 1), root,
+        overwrite = false, commitTsMs = 2000L)
+      SnapshotLog.mergeCommit(root,
+        c.filter(col("c_custkey") % 6 === 2).withColumn("bal", col("bal") + 100),
+        "c_custkey", Seq("bal"),
+        whenMatched = cn => col(s"s_$cn"),
+        whenNotMatched = cn => col(s"s_$cn"),
+        deleteNotMatchedBySource = false, commitTsMs = 3000L)
+      SnapshotLog.history(s, root)
+    }),
+
     // EXTERNAL_TABLE_FILES analog (TableFunctionOperatorTable.java:158 /
     // Iceberg `files` metadata table): the per-snapshot file inventory
     // from MANIFEST METADATA (one FS stat per file, no data scan), joined
@@ -193,6 +220,13 @@ object DdlQueries extends QueryModule {
         |UNION ALL SELECT 'v2', n, sp FROM v2
         |UNION ALL SELECT 'asof_2500', n, sp FROM v2
         |UNION ALL SELECT 'v3_current', n, sp FROM v3""".stripMargin,
+
+    "ddl_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS INT), 'overwrite', CAST(1000 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(2 AS INT), 'append',    CAST(2000 AS BIGINT), CAST(4 AS BIGINT)),
+        |  (CAST(3 AS INT), 'overwrite', CAST(3000 AS BIGINT), CAST(2 AS BIGINT))
+        |) t(version, operation, commit_ts_ms, n_files)""".stripMargin,
 
     "ddl_table_files" ->
       """SELECT CAST(1 AS INT) AS version, CAST(2 AS BIGINT) AS n_files,

@@ -157,6 +157,33 @@ object SnapshotLog {
       spark.read.option("mergeSchema", "true").parquet(snap.files: _*)
   }
 
+  /** DESCRIBE HISTORY analog: the snapshot log itself as a DataFrame
+    * (version, operation, commit_ts_ms, n_files) — metadata only. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    snapshots(spark, root)
+      .map(s => (s.version, s.operation, s.commitTsMs, s.files.size.toLong))
+      .toDF("version", "operation", "commit_ts_ms", "n_files")
+  }
+
+  /** MERGE INTO a snapshot table (Iceberg's copy-on-write MERGE): run the
+    * MergeInto row semantics against the CURRENT snapshot and commit the
+    * result as the next overwrite snapshot. The read is manifest-pinned,
+    * so a concurrent commit between read and publish surfaces as the
+    * commit conflict rather than silently merging into stale data. */
+  def mergeCommit(root: String, source: DataFrame, key: String,
+                  cols: Seq[String],
+                  whenMatched: String => org.apache.spark.sql.Column,
+                  whenNotMatched: String => org.apache.spark.sql.Column,
+                  deleteNotMatchedBySource: Boolean,
+                  commitTsMs: Long): Int = {
+    val spark = source.sparkSession
+    val merged = graft.operators.MergeInto.merge(
+      read(spark, root), source, key, cols,
+      whenMatched, whenNotMatched, deleteNotMatchedBySource)
+    commit(merged, root, overwrite = true, commitTsMs)
+  }
+
   /** EXTERNAL_TABLE_FILES analog (reference
     * TableFunctionOperatorTable.java:158): the file inventory of a snapshot
     * as a DataFrame — metadata only (manifest + one FS stat per file), no

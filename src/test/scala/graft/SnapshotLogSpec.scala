@@ -98,6 +98,37 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, root).count() === 2)
   }
 
+  test("a time-travel read plans EXACTLY the manifest's files") {
+    val root = freshRoot("pinned")
+    SnapshotLog.commit(Seq(1, 2).toDF("x"), root, overwrite = true, 100L)
+    SnapshotLog.commit(Seq(3).toDF("x"), root, overwrite = false, 200L)
+    def norm(p: String) = p.replaceFirst("^file:/*", "/")
+    val snaps = SnapshotLog.snapshots(spark, root)
+    val v1Scan = SnapshotLog.read(spark, root, Some(1)).inputFiles.map(norm).toSet
+    assert(v1Scan === snaps(0).files.map(norm).toSet,
+      "v1 read must scan the v1 manifest's files, nothing else")
+    val curScan = SnapshotLog.read(spark, root).inputFiles.map(norm).toSet
+    assert(curScan === snaps(1).files.map(norm).toSet)
+    assert(v1Scan.subsetOf(curScan) && curScan.size > v1Scan.size)
+  }
+
+  test("mergeCommit applies MERGE semantics and commits a new overwrite snapshot") {
+    val root = freshRoot("merge")
+    SnapshotLog.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root,
+      overwrite = true, 100L)
+    val src = Seq((2L, 99.0), (3L, 30.0)).toDF("k", "v")
+    val v = SnapshotLog.mergeCommit(root, src, "k", Seq("v"),
+      whenMatched = c => col(s"s_$c"),
+      whenNotMatched = c => col(s"s_$c"),
+      deleteNotMatchedBySource = false, commitTsMs = 200L)
+    assert(v === 2)
+    val got = SnapshotLog.read(spark, root).as[(Long, Double)].collect().sorted
+    assert(got.toSeq === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+    // pre-merge snapshot is still readable (copy-on-write, no vacuum)
+    assert(SnapshotLog.read(spark, root, Some(1)).count() === 2)
+    assert(SnapshotLog.history(spark, root).count() === 2)
+  }
+
   test("tableFiles is manifest metadata: sizes positive, counts per version") {
     val root = freshRoot("files")
     SnapshotLog.commit(Seq(1, 2, 3).toDF("x"), root, overwrite = true, 100L)
