@@ -148,6 +148,35 @@ object DdlQueries extends QueryModule {
       SnapshotLog.history(s, root)
     }),
 
+    // Manifest-stats data skipping (Iceberg lower_bounds/upper_bounds →
+    // file pruning): four key-range slices committed as separate appends
+    // (2 files each, min/max recorded per file at commit), then a range
+    // probe that intersects exactly one slice. files_scanned comes from
+    // the planned scan's file list — the assertion that the probe opened
+    // 2 of 8 files from MANIFEST METADATA alone is part of the gated
+    // output, not just a unit test.
+    "ddl_stats_pruning" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = s"/tmp/graft_pruning/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val c = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val bounds = Seq((1L, 375L), (376L, 750L), (751L, 1125L), (1126L, 100000000L))
+      bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+        SnapshotLog.commit(
+          c.filter(col("c_custkey") >= lo && col("c_custkey") <= hi), root,
+          overwrite = i == 0, commitTsMs = 100L * (i + 1))
+      }
+      val total = SnapshotLog.snapshots(s, root).last.files.size
+      val pr = SnapshotLog.readPruned(s, root, "c_custkey", 400L, 500L)
+      val scanned = pr.inputFiles.length
+      pr.agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .withColumn("files_scanned", lit(scanned.toLong))
+        .withColumn("files_total", lit(total.toLong))
+    }),
+
     // EXTERNAL_TABLE_FILES analog (TableFunctionOperatorTable.java:158 /
     // Iceberg `files` metadata table): the per-snapshot file inventory
     // from MANIFEST METADATA (one FS stat per file, no data scan), joined
@@ -227,6 +256,13 @@ object DdlQueries extends QueryModule {
         |  (CAST(2 AS INT), 'append',    CAST(2000 AS BIGINT), CAST(4 AS BIGINT)),
         |  (CAST(3 AS INT), 'overwrite', CAST(3000 AS BIGINT), CAST(2 AS BIGINT))
         |) t(version, operation, commit_ts_ms, n_files)""".stripMargin,
+
+    "ddl_stats_pruning" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  CAST(2 AS BIGINT) AS files_scanned,
+        |  CAST(8 AS BIGINT) AS files_total
+        |FROM customer WHERE c_custkey BETWEEN 400 AND 500""".stripMargin,
 
     "ddl_table_files" ->
       """SELECT CAST(1 AS INT) AS version, CAST(2 AS BIGINT) AS n_files,

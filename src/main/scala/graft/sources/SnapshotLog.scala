@@ -40,7 +40,13 @@ object SnapshotLog {
       operation: String,
       commitTsMs: Long,
       schemaJson: String,
-      files: Seq[String])
+      files: Seq[String],
+      // per-file column stats: file -> col -> (min, max) as JSON scalars
+      // (numbers for numeric cols, strings for string cols); absent for
+      // files committed without stats — readers must treat a missing
+      // entry as "may match" (conservative, like Iceberg's nullable
+      // lower_bounds/upper_bounds)
+      stats: Map[String, Map[String, (Any, Any)]] = Map.empty)
 
   private val om = new ObjectMapper()
 
@@ -63,15 +69,33 @@ object SnapshotLog {
       val in = fs.open(new Path(dir, n))
       try {
         val t = om.readTree(in)
+        val stats: Map[String, Map[String, (Any, Any)]] =
+          Option(t.get("stats")).map { sn =>
+            sn.fields().asScala.map { fe =>
+              fe.getKey -> fe.getValue.fields().asScala.map { ce =>
+                ce.getKey -> (scalar(ce.getValue.get("min")),
+                  scalar(ce.getValue.get("max")))
+              }.toMap
+            }.toMap
+          }.getOrElse(Map.empty)
         Snapshot(
           t.get("version").asInt(),
           t.get("operation").asText(),
           t.get("commitTsMs").asLong(),
           t.get("schema").asText(),
-          t.get("files").elements().asScala.map(_.asText()).toSeq)
+          t.get("files").elements().asScala.map(_.asText()).toSeq,
+          stats)
       } finally in.close()
     }.toSeq
   }
+
+  private def scalar(n: com.fasterxml.jackson.databind.JsonNode): Any =
+    if (n.isIntegralNumber) n.asLong()
+    else if (n.isFloatingPointNumber) n.asDouble()
+    else n.asText()
+
+  /** Scheme-insensitive path identity (file:/ vs file:/// vs bare). */
+  private def norm(p: String): String = p.replaceFirst("^file:/*", "/")
 
   /** Commit `df` as the next version. `overwrite` replaces the table
     * contents; append unions the parent's files with the new ones (data
@@ -99,6 +123,39 @@ object SnapshotLog {
 
     val files = (if (overwrite) Seq.empty else prior.lastOption.map(_.files)
       .getOrElse(Seq.empty)) ++ newFiles
+    // file-level min/max stats for every numeric/string column of the NEW
+    // files (appended files keep the parent's recorded stats) — the
+    // data-skipping metadata Iceberg keeps in manifests. One distributed
+    // agg over the just-written files, one row per file on the driver.
+    // (Iceberg reads these from parquet footers at commit for free; doing
+    // the same footer walk here is the known optimization.)
+    import org.apache.spark.sql.types._
+    val statCols = df.schema.fields.collect {
+      case f if Seq(IntegerType, LongType, FloatType, DoubleType, StringType)
+        .contains(f.dataType) => f.name
+    }.toSeq
+    val newStats: Map[String, Map[String, (Any, Any)]] =
+      if (statCols.isEmpty) Map.empty
+      else {
+        val aggs = statCols.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col(c)),
+          org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(c))))
+        spark.read.parquet(newFiles: _*)
+          .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val per = statCols.zipWithIndex.flatMap { case (c, i) =>
+              val (mn, mx) = (r.get(1 + 2 * i), r.get(2 + 2 * i))
+              if (mn == null || mx == null) None else Some(c -> (mn, mx))
+            }.toMap
+            norm(r.getString(0)) -> per
+          }.toMap
+      }
+    val stats =
+      (if (overwrite) Map.empty[String, Map[String, (Any, Any)]]
+       else prior.lastOption.map(_.stats).getOrElse(Map.empty)) ++ newStats
+
     val node = om.createObjectNode()
     node.put("version", next)
     node.put("operation", if (overwrite) "overwrite" else "append")
@@ -106,6 +163,23 @@ object SnapshotLog {
     node.put("schema", df.schema.json)
     val arr = node.putArray("files")
     files.foreach(arr.add)
+    val statsNode = node.putObject("stats")
+    stats.foreach { case (f, cols) =>
+      val fNode = statsNode.putObject(f)
+      cols.foreach { case (c, (mn, mx)) =>
+        val cNode = fNode.putObject(c)
+        def putScalar(key: String, v: Any): Unit = v match {
+          case l: java.lang.Long    => cNode.put(key, l.longValue())
+          case i: java.lang.Integer => cNode.put(key, i.longValue())
+          case d: java.lang.Double  => cNode.put(key, d.doubleValue())
+          case fl: java.lang.Float  => cNode.put(key, fl.doubleValue())
+          case s: String            => cNode.put(key, s)
+          case other                => cNode.put(key, other.toString)
+        }
+        putScalar("min", mn)
+        putScalar("max", mx)
+      }
+    }
 
     val dest = manifestPath(root, next)
     fs.mkdirs(dest.getParent)
@@ -155,6 +229,40 @@ object SnapshotLog {
         DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
     else
       spark.read.option("mergeSchema", "true").parquet(snap.files: _*)
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => x.compareTo(y)
+    case _ =>
+      val dx = a match { case n: Number => n.doubleValue(); case _ => a.toString.toDouble }
+      val dy = b match { case n: Number => n.doubleValue(); case _ => b.toString.toDouble }
+      java.lang.Double.compare(dx, dy)
+  }
+
+  /** Stats-pruned range read: open only the files whose recorded
+    * [min, max] for `colName` intersects [lo, hi], then apply the exact
+    * residual filter — Iceberg's manifest-level data skipping. Files
+    * without a recorded stat for the column are kept (conservative). At
+    * 100 TB this is THE scan-pruning mechanism: a time- or key-clustered
+    * table answers a range probe by opening a handful of files, decided
+    * entirely from driver-side manifest metadata. */
+  def readPruned(spark: SparkSession, root: String, colName: String,
+                 lo: Any, hi: Any, asOfVersion: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = pick(spark, root, asOfVersion, None)
+    val kept = snap.files.filter { f =>
+      snap.stats.get(norm(f)).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
+        case None => true
+      }
+    }
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+      else spark.read.option("mergeSchema", "true").parquet(kept: _*)
+    base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   /** DESCRIBE HISTORY analog: the snapshot log itself as a DataFrame

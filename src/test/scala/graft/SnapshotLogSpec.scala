@@ -129,6 +129,35 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.history(spark, root).count() === 2)
   }
 
+  test("readPruned opens only files whose stats intersect the range") {
+    val root = freshRoot("prune")
+    val slices = Seq((0, "a"), (100, "b"), (200, "c"), (300, "d"))
+    slices.zipWithIndex.foreach { case ((base, tag), i) =>
+      val df = (base until base + 50).map(k => (k.toLong, tag)).toDF("k", "tag")
+      SnapshotLog.commit(df, root, overwrite = i == 0, 100L * (i + 1))
+    }
+    assert(SnapshotLog.snapshots(spark, root).last.files.size === 8)
+    // numeric range inside slice "c": only that commit's 2 files open
+    val pr = SnapshotLog.readPruned(spark, root, "k", 210L, 240L)
+    assert(pr.inputFiles.length === 2,
+      s"expected 2 files after stats pruning, got ${pr.inputFiles.length}")
+    val brute = SnapshotLog.read(spark, root)
+      .filter(col("k") >= 210 && col("k") <= 240)
+    assert(pr.select("k").as[Long].collect().sorted.toSeq ===
+      brute.select("k").as[Long].collect().sorted.toSeq)
+    // string-column pruning uses lexicographic bounds
+    val prs = SnapshotLog.readPruned(spark, root, "tag", "b", "b")
+    assert(prs.inputFiles.length === 2)
+    assert(prs.count() === 50)
+    // a range spanning two slices opens exactly their 4 files
+    assert(SnapshotLog.readPruned(spark, root, "k", 140L, 210L)
+      .inputFiles.length === 4)
+    // out-of-range probe opens nothing and returns empty with the schema
+    val none = SnapshotLog.readPruned(spark, root, "k", 9000L, 9999L)
+    assert(none.inputFiles.isEmpty && none.count() === 0)
+    assert(none.columns.toSeq === Seq("k", "tag"))
+  }
+
   test("tableFiles is manifest metadata: sizes positive, counts per version") {
     val root = freshRoot("files")
     SnapshotLog.commit(Seq(1, 2, 3).toDF("x"), root, overwrite = true, 100L)
