@@ -18,8 +18,24 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** If a fixture generation ships a wall-clock column as TIMESTAMP(NANOS),
+    * the session's nanosAsLong conf surfaces it as epoch-ns LongType; convert
+    * with the exact integral `div` (same policy as events.ts). A native
+    * timestamp column (µs, NTZ or LTZ) passes through untouched — oracles are
+    * written against that representation. */
+  private def nsFallback(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (acc, c) =>
+      acc.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          acc.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case _ => acc
+      }
+    }
+
+  def orders(s: SparkSession, d: String): DataFrame =
+    nsFallback(table(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    nsFallback(table(s, d, "lineitem"), "l_shipdate")
   /** `events.ts` has shipped as both TIMESTAMP(NANOS) (historical fixtures;
     * Spark 4 rejects it unless read as long via the legacy conf) and plain
     * TIMESTAMP(µs) (current fixtures). Dispatch on the read schema so either
