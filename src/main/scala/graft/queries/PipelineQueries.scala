@@ -197,6 +197,38 @@ object PipelineQueries extends QueryModule {
           max(col("doc_id")).as("max_id"))
     }),
 
+    // Snapshot-backed incremental ingestion — the durable form of
+    // pipeline_incremental_dedup: the corpus lives in a SnapshotLog table,
+    // a new batch is admitted only for fingerprints the CURRENT snapshot
+    // lacks (dedup-admission anti-join, batch-internal dups collapsed to
+    // min doc_id), and the admitted rows land as an APPEND commit — the
+    // daily-crawl maintenance loop at 100 TB: one manifest-pinned read,
+    // one anti-join shuffled on the fingerprint, one bounded write; never
+    // a corpus rewrite. Both versions stay readable (auditable history).
+    "pipeline_snapshot_ingest" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = s"/tmp/graft_ingest/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      SnapshotLog.commit(docs.filter(col("doc_id") % 2 === 0), root,
+        overwrite = true, commitTsMs = 1000L)
+      val current = SnapshotLog.read(s, root)
+      val admitted = docs // the full crawl re-arrives, dups included
+        .join(current.select(col("fp")), Seq("fp"), "left_anti")
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("fp"))
+      SnapshotLog.commit(admitted, root, overwrite = false, commitTsMs = 2000L)
+      Seq(1, 2).map { v =>
+        SnapshotLog.read(s, root, asOfVersion = Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            count_distinct(col("fp")).as("n_fp"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _).select("version", "n_rows", "n_fp")
+    }),
+
     // Per-language median quality gate: score every document (the
     // text_quality formula), take each language's EXACT median in a
     // per-lang aggregate (tiny result, broadcast back), keep documents
@@ -333,6 +365,21 @@ object PipelineQueries extends QueryModule {
         |  count(*) AS n_docs, min(batch.doc_id) AS min_id, max(batch.doc_id) AS max_id
         |FROM batch LEFT JOIN corpus ON batch.h = corpus.h
         |GROUP BY 1""".stripMargin,
+
+    "pipeline_snapshot_ingest" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |ev AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+        |new_fp AS (
+        |  SELECT DISTINCT fp FROM d
+        |  WHERE fp NOT IN (SELECT fp FROM ev))
+        |SELECT CAST(1 AS INT) AS version,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_rows,
+        |  (SELECT CAST(count(DISTINCT fp) AS BIGINT) FROM ev) AS n_fp
+        |UNION ALL
+        |SELECT CAST(2 AS INT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ev)
+        |    + (SELECT CAST(count(*) AS BIGINT) FROM new_fp),
+        |  (SELECT CAST(count(DISTINCT fp) AS BIGINT) FROM d)""".stripMargin,
 
     "pipeline_quality_gate" ->
       s"""WITH t AS (
