@@ -58,6 +58,12 @@ object GraftImplicits {
       graft.operators.MergeInto.merge(df, source, key, cols,
         whenMatched, whenNotMatched, deleteNotMatchedBySource)
 
+    /** Commit this frame to a SnapshotLog table (append by default). See
+      * [[graft.sources.SnapshotLog.commit]]. */
+    def writeSnapshot(root: String, commitTsMs: Long,
+                      overwrite: Boolean = false): Int =
+      graft.sources.SnapshotLog.commit(df, root, overwrite, commitTsMs)
+
     /** Batched LLM generation appending `outCol`. See
       * [[graft.llm.LlmFunctions.llmGenerate]]. */
     def llmGenerate(textCol: String, outCol: String,

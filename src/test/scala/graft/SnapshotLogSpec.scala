@@ -158,6 +158,31 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(none.columns.toSeq === Seq("k", "tag"))
   }
 
+  test("readPruned equals the unpruned filter on random data and probes") {
+    val rnd = new scala.util.Random(20260815)
+    val root = freshRoot("prune_prop")
+    // 4 commits of random (unsorted, overlapping-range) data — pruning
+    // must stay CORRECT even when it cannot skip anything
+    for (i <- 0 until 4) {
+      val df = Seq.fill(200)((rnd.nextInt(1000).toLong, rnd.nextDouble()))
+        .toDF("k", "v")
+      SnapshotLog.commit(df, root, overwrite = i == 0, 100L * (i + 1))
+    }
+    val full = SnapshotLog.read(spark, root)
+    for (_ <- 0 until 20) {
+      val a = rnd.nextInt(1100).toLong - 50
+      val b = a + rnd.nextInt(300)
+      val pruned = SnapshotLog.readPruned(spark, root, "k", a, b)
+        .agg(count(lit(1)), sum(col("v"))).collect()(0)
+      val brute = full.filter(col("k") >= a && col("k") <= b)
+        .agg(count(lit(1)), sum(col("v"))).collect()(0)
+      assert(pruned.getLong(0) === brute.getLong(0), s"count differs for [$a,$b]")
+      if (brute.getLong(0) > 0)
+        assert(math.abs(pruned.getDouble(1) - brute.getDouble(1)) < 1e-9,
+          s"sum differs for [$a,$b]")
+    }
+  }
+
   test("tableFiles is manifest metadata: sizes positive, counts per version") {
     val root = freshRoot("files")
     SnapshotLog.commit(Seq(1, 2, 3).toDF("x"), root, overwrite = true, 100L)
