@@ -3,7 +3,7 @@ package graft.sources
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, TimestampType}
 
 import scala.jdk.CollectionConverters._
 
@@ -130,22 +130,28 @@ object SnapshotLog {
     // (Iceberg reads these from parquet footers at commit for free; doing
     // the same footer walk here is the known optimization.)
     import org.apache.spark.sql.types._
-    val statCols = df.schema.fields.collect {
+    import org.apache.spark.sql.functions.{col => fcol, min => fmin, max => fmax, input_file_name, unix_micros}
+    // timestamp columns record epoch-µs long bounds (JSON-scalar friendly,
+    // and what readPruned's time-range probes compare against)
+    val statCols: Seq[(String, Boolean)] = df.schema.fields.collect {
       case f if Seq(IntegerType, LongType, FloatType, DoubleType, StringType)
-        .contains(f.dataType) => f.name
+        .contains(f.dataType) => (f.name, false)
+      case f if f.dataType == TimestampType || f.dataType == TimestampNTZType =>
+        (f.name, true)
     }.toSeq
     val newStats: Map[String, Map[String, (Any, Any)]] =
       if (statCols.isEmpty) Map.empty
       else {
-        val aggs = statCols.flatMap(c => Seq(
-          org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col(c)),
-          org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(c))))
+        val aggs = statCols.flatMap { case (c, isTs) =>
+          val base = if (isTs) unix_micros(fcol(c).cast("timestamp")) else fcol(c)
+          Seq(fmin(base), fmax(base))
+        }
         spark.read.parquet(newFiles: _*)
-          .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
+          .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
-            val per = statCols.zipWithIndex.flatMap { case (c, i) =>
+            val per = statCols.zipWithIndex.flatMap { case ((c, _), i) =>
               val (mn, mx) = (r.get(1 + 2 * i), r.get(2 + 2 * i))
               if (mn == null || mx == null) None else Some(c -> (mn, mx))
             }.toMap
@@ -242,14 +248,22 @@ object SnapshotLog {
   /** Stats-pruned range read: open only the files whose recorded
     * [min, max] for `colName` intersects [lo, hi], then apply the exact
     * residual filter — Iceberg's manifest-level data skipping. Files
-    * without a recorded stat for the column are kept (conservative). At
+    * without a recorded stat for the column are kept (conservative). For
+    * a timestamp column, pass `lo`/`hi` as epoch-MICROSECOND longs (the
+    * unit the manifest records); the residual filter compares real
+    * timestamps so Catalyst still pushes it into the kept scans. At
     * 100 TB this is THE scan-pruning mechanism: a time- or key-clustered
     * table answers a range probe by opening a handful of files, decided
-    * entirely from driver-side manifest metadata. */
+    * entirely from driver-side manifest metadata — the "shard keyless
+    * interval joins by time range" routing from the events scale study is
+    * exactly a probe of this form. */
   def readPruned(spark: SparkSession, root: String, colName: String,
                  lo: Any, hi: Any, asOfVersion: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
     val snap = pick(spark, root, asOfVersion, None)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val isTs = schema.find(_.name == colName).exists(f =>
+      f.dataType == TimestampType || f.dataType == TimestampNTZType)
     val kept = snap.files.filter { f =>
       snap.stats.get(norm(f)).flatMap(_.get(colName)) match {
         case Some((mn, mx)) => cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
@@ -259,10 +273,13 @@ object SnapshotLog {
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.option("mergeSchema", "true").parquet(kept: _*)
-    base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+    if (isTs) {
+      val c = col(colName).cast("timestamp")
+      base.filter(c >= timestamp_micros(lit(lo)) && c <= timestamp_micros(lit(hi)))
+    } else
+      base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   /** DESCRIBE HISTORY analog: the snapshot log itself as a DataFrame

@@ -158,6 +158,33 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(none.columns.toSeq === Seq("k", "tag"))
   }
 
+  test("timestamp-column stats prune time-range probes to their slices") {
+    val root = freshRoot("prune_ts")
+    val dayUs = 86400L * 1000000L
+    // four one-day slices of timestamped rows
+    for (day <- 0 until 4) {
+      val df = (0 until 60)
+        .map(i => (day * 60 + i.toLong, day * dayUs + i * 60000000L))
+        .toDF("id", "us")
+        .select(col("id"), timestamp_micros(col("us")).as("ts"))
+      SnapshotLog.commit(df, root, overwrite = day == 0, 100L * (day + 1))
+    }
+    // probe inside day 2 (epoch-µs bounds, as documented)
+    val pr = SnapshotLog.readPruned(spark, root, "ts",
+      2 * dayUs, 2 * dayUs + 3600L * 1000000L)
+    assert(pr.inputFiles.length === 2,
+      s"time probe should open one slice (2 files), got ${pr.inputFiles.length}")
+    val brute = SnapshotLog.read(spark, root)
+      .filter(col("ts") >= timestamp_micros(lit(2 * dayUs)) &&
+        col("ts") <= timestamp_micros(lit(2 * dayUs + 3600L * 1000000L)))
+    assert(pr.count() === brute.count() && pr.count() > 0)
+    // spanning probe (day-1 00:30 .. day-2 00:30 — each slice populates
+    // its day's first hour) opens both touched slices
+    assert(SnapshotLog.readPruned(spark, root, "ts",
+      dayUs + 1800L * 1000000L, 2 * dayUs + 1800L * 1000000L)
+      .inputFiles.length === 4)
+  }
+
   test("readPruned equals the unpruned filter on random data and probes") {
     val rnd = new scala.util.Random(20260815)
     val root = freshRoot("prune_prop")
