@@ -282,6 +282,29 @@ object SnapshotLog {
       base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
+  /** Expire snapshots older than `keepFromVersion`: delete their
+    * manifests, then delete every data file referenced ONLY by expired
+    * snapshots (Iceberg's expire_snapshots + orphan cleanup in one step —
+    * append commits share files across versions, so liveness is computed
+    * against the union of surviving manifests, never per-snapshot).
+    * Time travel to an expired version then fails by construction; the
+    * kept versions are untouched. Returns (manifests, dataFiles) deleted.
+    * Driver-side metadata work only — file counts, not data volume. */
+  def expireSnapshots(spark: SparkSession, root: String,
+                      keepFromVersion: Int): (Int, Int) = {
+    val snaps = snapshots(spark, root)
+    val (dead, live) = snaps.partition(_.version < keepFromVersion)
+    require(live.nonEmpty, s"SnapshotLog: expiring every snapshot at $root")
+    if (dead.isEmpty) return (0, 0)
+    val fs = fsFor(spark, new Path(root))
+    val liveFiles = live.flatMap(_.files).map(norm).toSet
+    val orphaned = dead.flatMap(_.files).map(norm).distinct
+      .filterNot(liveFiles.contains)
+    orphaned.foreach(f => fs.delete(new Path(f), false))
+    dead.foreach(s => fs.delete(manifestPath(root, s.version), false))
+    (dead.size, orphaned.size)
+  }
+
   /** DESCRIBE HISTORY analog: the snapshot log itself as a DataFrame
     * (version, operation, commit_ts_ms, n_files) — metadata only. */
   def history(spark: SparkSession, root: String): DataFrame = {

@@ -210,6 +210,34 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("expireSnapshots drops dead manifests and only unshared data files") {
+    val root = freshRoot("expire")
+    SnapshotLog.commit(Seq(1, 2).toDF("x"), root, overwrite = true, 100L)   // v1
+    SnapshotLog.commit(Seq(3).toDF("x"), root, overwrite = false, 200L)     // v2 shares v1 files
+    SnapshotLog.commit(Seq(9).toDF("x"), root, overwrite = true, 300L)      // v3 fresh files
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+    // keep v2+: v1's manifest dies, but its data files survive (v2 refs them)
+    assert(SnapshotLog.expireSnapshots(spark, root, 2) === (1, 0))
+    assert(SnapshotLog.snapshots(spark, root).map(_.version) === Seq(2, 3))
+    assert(SnapshotLog.read(spark, root, Some(2)).count() === 3)
+    intercept[NoSuchElementException] {
+      SnapshotLog.read(spark, root, Some(1))
+    }
+
+    // keep v3 only: v2's manifest and its now-orphaned 4 data files go
+    val v2Files = SnapshotLog.snapshots(spark, root).head.files
+    assert(SnapshotLog.expireSnapshots(spark, root, 3) === (1, 4))
+    v2Files.foreach(f => assert(!fs.exists(new Path(f)), s"orphan survived: $f"))
+    assert(SnapshotLog.read(spark, root).as[Int].collect().toSeq === Seq(9))
+
+    // expiring everything is refused; idempotent when nothing is dead
+    intercept[IllegalArgumentException] {
+      SnapshotLog.expireSnapshots(spark, root, 99)
+    }
+    assert(SnapshotLog.expireSnapshots(spark, root, 3) === (0, 0))
+  }
+
   test("tableFiles is manifest metadata: sizes positive, counts per version") {
     val root = freshRoot("files")
     SnapshotLog.commit(Seq(1, 2, 3).toDF("x"), root, overwrite = true, 100L)
