@@ -26,6 +26,10 @@ object Sessions {
       // long (Tables.events dispatches on the result). No-op for the current
       // µs-typed fixtures.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Write standard INT64 TIMESTAMP(MICROS), not legacy INT96: Iceberg
+      // forbids INT96, and INT96 carries no usable footer min/max stats —
+      // SnapshotLog lifts commit-time stats straight from parquet footers.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // AQE: runtime coalescing, skew-join handling, bcast demotion.
       .config("spark.sql.adaptive.enabled", "true")
       // Build-side bloom filter pushed into probe-side scans — the Spark

@@ -1,9 +1,13 @@
 package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, FloatType, DoubleType, StringType, StructType, TimestampNTZType, TimestampType}
 
 import scala.jdk.CollectionConverters._
 
@@ -21,17 +25,32 @@ import scala.jdk.CollectionConverters._
   * Readers never list `data/` — they read the manifest and open exactly the
   * files it names, so a reader pinned to version N is isolated from any
   * concurrent commit (snapshot isolation), and old versions stay readable
-  * until a (not implemented) vacuum. Commits publish the next manifest by
-  * atomic rename (file:/hdfs:; on S3A the log object is small enough that
-  * the copy+delete window is a single PUT — the same caveat documented on
-  * VectorIndex.ensure applies). All filesystem traffic goes through Hadoop
-  * `FileSystem`, so file:/hdfs:/s3a: roots all work.
+  * until `expireSnapshots` reclaims them (manifest expiry + shared-file-
+  * aware orphan cleanup). Table maintenance is `rewriteDataFiles`
+  * (bin-packing compaction — Iceberg's rewrite_data_files). All filesystem
+  * traffic goes through Hadoop `FileSystem`, so file:/hdfs:/s3a: roots work.
   *
-  * At 100 TB the manifest holds file PATHS, not data: a commit is one
-  * distributed parquet write plus one small JSON PUT, a version read plans
-  * exactly the manifest's files (no directory listing storm), and time
-  * travel is manifest selection — O(versions) driver-side metadata, never a
-  * data scan.
+  * Commit publish protocol: the manifest path itself is claimed
+  * EXCLUSIVELY — an atomic O_EXCL create on file:// (POSIX rename silently
+  * overwrites, so rename is NOT a conflict detector there) and
+  * create(overwrite=false) elsewhere (atomic on HDFS) — then written and
+  * read back to verify. Losing a race surfaces as an error (Iceberg retries
+  * the whole commit; callers here can too) and the loser's freshly written
+  * data directory is deleted, never leaked. A hard crash mid-publish can
+  * leave a torn trailing manifest: readers treat an unparseable LAST
+  * manifest as an uncommitted attempt (the commit was never acknowledged)
+  * and the next commit self-heals by reclaiming its version slot.
+  *
+  * At 100 TB the manifest holds file PATHS + footer-derived stats, not
+  * data: a commit is one distributed parquet write plus a driver-side
+  * footer walk (metadata IO only — the min/max stats come from the parquet
+  * footers the write already produced, never a second data scan) plus one
+  * small JSON PUT; a version read plans exactly the manifest's files (no
+  * directory listing storm); time travel is manifest selection —
+  * O(versions) driver-side metadata, never a data scan. The planner-
+  * integrated read path is `spark.read.format("snapshotlog")`
+  * ([[SnapshotLogSource]]), which prunes files against these stats for
+  * ANY pushed predicate.
   */
 object SnapshotLog {
 
@@ -46,7 +65,13 @@ object SnapshotLog {
       // files committed without stats — readers must treat a missing
       // entry as "may match" (conservative, like Iceberg's nullable
       // lower_bounds/upper_bounds)
-      stats: Map[String, Map[String, (Any, Any)]] = Map.empty)
+      stats: Map[String, Map[String, (Any, Any)]] = Map.empty,
+      // per-file byte sizes (footer walk records them for free); absent
+      // for manifests written before this field existed — readers fall
+      // back to one FS stat per file
+      sizes: Map[String, Long] = Map.empty) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
 
   private val om = new ObjectMapper()
 
@@ -58,35 +83,62 @@ object SnapshotLog {
   private def manifestPath(root: String, v: Int) =
     new Path(logDir(root), f"v$v%05d.json")
 
-  /** All committed snapshots, oldest first (ignores foreign/tmp files). */
+  /** All committed snapshots, oldest first (ignores foreign/tmp files).
+    * An unparseable TRAILING manifest is an in-flight or crashed publish
+    * that was never acknowledged — skipped; unparseable earlier manifests
+    * are real corruption and throw. */
   def snapshots(spark: SparkSession, root: String): Seq[Snapshot] = {
     val dir = logDir(root)
     val fs = fsFor(spark, dir)
     if (!fs.exists(dir)) return Seq.empty
     val names = fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.matches("v\\d{5}\\.json")).sorted
-    names.map { n =>
-      val in = fs.open(new Path(dir, n))
-      try {
-        val t = om.readTree(in)
-        val stats: Map[String, Map[String, (Any, Any)]] =
-          Option(t.get("stats")).map { sn =>
-            sn.fields().asScala.map { fe =>
-              fe.getKey -> fe.getValue.fields().asScala.map { ce =>
-                ce.getKey -> (scalar(ce.getValue.get("min")),
-                  scalar(ce.getValue.get("max")))
-              }.toMap
-            }.toMap
-          }.getOrElse(Map.empty)
-        Snapshot(
-          t.get("version").asInt(),
-          t.get("operation").asText(),
-          t.get("commitTsMs").asLong(),
-          t.get("schema").asText(),
-          t.get("files").elements().asScala.map(_.asText()).toSeq,
-          stats)
-      } finally in.close()
-    }.toSeq
+    val parsed = names.map { n =>
+      try Some(parseManifest(readBytes(fs, new Path(dir, n))))
+      catch { case _: Exception => None }
+    }
+    parsed.zipWithIndex.foreach { case (p, i) =>
+      if (p.isEmpty && i < parsed.length - 1)
+        throw new IllegalStateException(
+          s"SnapshotLog: corrupt non-trailing manifest ${names(i)} at $root")
+    }
+    parsed.flatten.toSeq
+  }
+
+  private def parseManifest(bytes: Array[Byte]): Snapshot = {
+    val t = om.readTree(bytes)
+    require(t != null && t.has("version"), "not a manifest")
+    val stats: Map[String, Map[String, (Any, Any)]] =
+      Option(t.get("stats")).map { sn =>
+        sn.fields().asScala.map { fe =>
+          fe.getKey -> fe.getValue.fields().asScala.map { ce =>
+            ce.getKey -> (scalar(ce.getValue.get("min")),
+              scalar(ce.getValue.get("max")))
+          }.toMap
+        }.toMap
+      }.getOrElse(Map.empty)
+    val sizes: Map[String, Long] =
+      Option(t.get("sizes")).map { sn =>
+        sn.fields().asScala.map(fe => fe.getKey -> fe.getValue.asLong()).toMap
+      }.getOrElse(Map.empty)
+    Snapshot(
+      t.get("version").asInt(),
+      t.get("operation").asText(),
+      t.get("commitTsMs").asLong(),
+      t.get("schema").asText(),
+      t.get("files").elements().asScala.map(_.asText()).toSeq,
+      stats, sizes)
+  }
+
+  private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
   }
 
   private def scalar(n: com.fasterxml.jackson.databind.JsonNode): Any =
@@ -95,13 +147,86 @@ object SnapshotLog {
     else n.asText()
 
   /** Scheme-insensitive path identity (file:/ vs file:/// vs bare). */
-  private def norm(p: String): String = p.replaceFirst("^file:/*", "/")
+  private[sources] def norm(p: String): String = p.replaceFirst("^file:/*", "/")
+
+  /** The columns whose min/max the manifest records, with a flag for
+    * timestamp columns (recorded as epoch-MICROSECOND longs). */
+  private[sources] def statColsOf(schema: StructType): Seq[(String, Boolean)] =
+    schema.fields.collect {
+      case f if Seq(IntegerType, LongType, FloatType, DoubleType, StringType)
+        .contains(f.dataType) => (f.name, false)
+      case f if f.dataType == TimestampType || f.dataType == TimestampNTZType =>
+        (f.name, true)
+    }.toSeq
+
+  /** Per-file min/max stats read from the parquet FOOTERS — metadata IO
+    * only, never a data scan (the Iceberg approach: the writer already paid
+    * for these stats; commit just lifts them into the manifest). Multi-row-
+    * group files merge block stats; a block with missing stats drops the
+    * column for that file (conservative: readers keep the file). INT96
+    * timestamps carry no usable footer stats and are skipped (the session
+    * writes standard TIMESTAMP_MICROS — Sessions.build pins
+    * outputTimestampType). String bounds use parquet's unsigned-byte order,
+    * which matches UTF8String ordering and equals java.lang.String order
+    * for the ASCII range the fixtures use. */
+  private def footerStats(conf: Configuration, files: Seq[String],
+                          schema: StructType): Map[String, Map[String, (Any, Any)]] = {
+    val wanted: Map[String, Boolean] = statColsOf(schema).toMap
+    files.map { f =>
+      val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        val acc = scala.collection.mutable.Map[String, (Any, Any)]()
+        val bad = scala.collection.mutable.Set[String]()
+        for (b <- rdr.getFooter.getBlocks.asScala;
+             c <- b.getColumns.asScala) {
+          val name = c.getPath.toDotString
+          if (wanted.contains(name) && !bad.contains(name)) {
+            val st = c.getStatistics
+            val prim = c.getPrimitiveType.getPrimitiveTypeName
+            if (st == null || st.isEmpty || prim == PrimitiveTypeName.INT96) {
+              bad += name; acc -= name
+            } else if (st.hasNonNullValue) {
+              val pair: Option[(Any, Any)] = prim match {
+                case PrimitiveTypeName.INT32 =>
+                  Some((Long.box(st.genericGetMin.asInstanceOf[Number].longValue()),
+                    Long.box(st.genericGetMax.asInstanceOf[Number].longValue())))
+                case PrimitiveTypeName.INT64 =>
+                  Some((st.genericGetMin, st.genericGetMax))
+                case PrimitiveTypeName.FLOAT =>
+                  Some((Double.box(st.genericGetMin.asInstanceOf[Number].doubleValue()),
+                    Double.box(st.genericGetMax.asInstanceOf[Number].doubleValue())))
+                case PrimitiveTypeName.DOUBLE =>
+                  Some((st.genericGetMin, st.genericGetMax))
+                case PrimitiveTypeName.BINARY =>
+                  Some((st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                    st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+                case _ => None
+              }
+              pair match {
+                case Some((mn, mx)) =>
+                  val merged = acc.get(name) match {
+                    case Some((m0, x0)) =>
+                      (if (cmp(mn, m0) < 0) mn else m0, if (cmp(mx, x0) > 0) mx else x0)
+                    case None => (mn, mx)
+                  }
+                  acc(name) = merged
+                case None => bad += name; acc -= name
+              }
+            } // all-null block: contributes nothing, other blocks still bound
+          }
+        }
+        norm(f) -> acc.toMap
+      } finally rdr.close()
+    }.toMap
+  }
 
   /** Commit `df` as the next version. `overwrite` replaces the table
     * contents; append unions the parent's files with the new ones (data
     * files are immutable — append never rewrites). `commitTsMs` is caller-
     * supplied so tests and replays are deterministic; production callers
-    * pass the wall clock. Returns the committed version number. */
+    * pass the wall clock. Returns the committed version number. On a lost
+    * commit race the freshly written data directory is deleted before the
+    * conflict is thrown — no orphan files leak. */
   def commit(df: DataFrame, root: String, overwrite: Boolean,
              commitTsMs: Long, numFiles: Int = 2): Int = {
     val spark = df.sparkSession
@@ -117,56 +242,45 @@ object SnapshotLog {
     val dataDir = new Path(new Path(rootP, "data"),
       java.util.UUID.randomUUID().toString.take(12))
     df.repartition(numFiles).write.parquet(dataDir.toString)
-    val newFiles = fs.listStatus(dataDir).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .map(_.toString).sorted.toSeq
+    val statuses = fs.listStatus(dataDir)
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val newFiles = statuses.map(_.getPath.toString).toSeq
+    val newSizes = statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap
+    val newStats =
+      footerStats(spark.sessionState.newHadoopConf(), newFiles, df.schema)
 
-    val files = (if (overwrite) Seq.empty else prior.lastOption.map(_.files)
-      .getOrElse(Seq.empty)) ++ newFiles
-    // file-level min/max stats for every numeric/string column of the NEW
-    // files (appended files keep the parent's recorded stats) — the
-    // data-skipping metadata Iceberg keeps in manifests. One distributed
-    // agg over the just-written files, one row per file on the driver.
-    // (Iceberg reads these from parquet footers at commit for free; doing
-    // the same footer walk here is the known optimization.)
-    import org.apache.spark.sql.types._
-    import org.apache.spark.sql.functions.{col => fcol, min => fmin, max => fmax, input_file_name, unix_micros}
-    // timestamp columns record epoch-µs long bounds (JSON-scalar friendly,
-    // and what readPruned's time-range probes compare against)
-    val statCols: Seq[(String, Boolean)] = df.schema.fields.collect {
-      case f if Seq(IntegerType, LongType, FloatType, DoubleType, StringType)
-        .contains(f.dataType) => (f.name, false)
-      case f if f.dataType == TimestampType || f.dataType == TimestampNTZType =>
-        (f.name, true)
-    }.toSeq
-    val newStats: Map[String, Map[String, (Any, Any)]] =
-      if (statCols.isEmpty) Map.empty
-      else {
-        val aggs = statCols.flatMap { case (c, isTs) =>
-          val base = if (isTs) unix_micros(fcol(c).cast("timestamp")) else fcol(c)
-          Seq(fmin(base), fmax(base))
-        }
-        spark.read.parquet(newFiles: _*)
-          .groupBy(input_file_name().as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            val per = statCols.zipWithIndex.flatMap { case ((c, _), i) =>
-              val (mn, mx) = (r.get(1 + 2 * i), r.get(2 + 2 * i))
-              if (mn == null || mx == null) None else Some(c -> (mn, mx))
-            }.toMap
-            norm(r.getString(0)) -> per
-          }.toMap
-      }
-    val stats =
-      (if (overwrite) Map.empty[String, Map[String, (Any, Any)]]
-       else prior.lastOption.map(_.stats).getOrElse(Map.empty)) ++ newStats
+    val parent = if (overwrite) None else prior.lastOption
+    val files = parent.map(_.files).getOrElse(Seq.empty) ++ newFiles
+    val stats = parent.map(_.stats).getOrElse(Map.empty) ++ newStats
+    val sizes = parent.map(_.sizes).getOrElse(Map.empty) ++ newSizes
 
+    try {
+      commitManifest(fs, root, next,
+        if (overwrite) "overwrite" else "append",
+        commitTsMs, df.schema.json, files, stats, sizes)
+    } catch {
+      case e: IllegalStateException =>
+        fs.delete(dataDir, true) // lost the race: reclaim our unpublished data
+        throw e
+    }
+    next
+  }
+
+  /** Serialize and exclusively publish a manifest (shared by commit /
+    * mergeCommit / rewriteDataFiles). Throws IllegalStateException on a
+    * commit conflict. */
+  private def commitManifest(fs: FileSystem, root: String, version: Int,
+                             operation: String, commitTsMs: Long,
+                             schemaJson: String, files: Seq[String],
+                             stats: Map[String, Map[String, (Any, Any)]],
+                             sizes: Map[String, Long]): Unit = {
     val node = om.createObjectNode()
-    node.put("version", next)
-    node.put("operation", if (overwrite) "overwrite" else "append")
+    node.put("version", version)
+    node.put("operation", operation)
     node.put("commitTsMs", commitTsMs)
-    node.put("schema", df.schema.json)
+    node.put("schema", schemaJson)
     val arr = node.putArray("files")
     files.foreach(arr.add)
     val statsNode = node.putObject("stats")
@@ -186,26 +300,48 @@ object SnapshotLog {
         putScalar("max", mx)
       }
     }
-
-    val dest = manifestPath(root, next)
-    fs.mkdirs(dest.getParent)
-    val tmp = new Path(dest.getParent,
-      s".tmp_${dest.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, false)
-    try out.write(om.writeValueAsBytes(node)) finally out.close()
-    // atomic publish: the manifest appears complete or not at all; losing
-    // a rename race to a concurrent commit is a real conflict — surface it
-    // rather than silently dropping either commit (Iceberg retries the
-    // whole commit; callers here can do the same)
-    if (!fs.rename(tmp, dest)) {
-      fs.delete(tmp, true)
-      throw new IllegalStateException(
-        s"SnapshotLog: concurrent commit won version $next at $root")
-    }
-    next
+    val sizesNode = node.putObject("sizes")
+    sizes.foreach { case (f, len) => sizesNode.put(f, len) }
+    publish(fs, manifestPath(root, version), om.writeValueAsBytes(node))
   }
 
-  private def pick(spark: SparkSession, root: String,
+  /** Exclusive-claim publish: O_EXCL create on file:// (POSIX rename
+    * overwrites silently, so rename cannot detect conflicts there),
+    * create(overwrite=false) elsewhere (atomic on HDFS), then a read-back
+    * verify. An existing-but-unparseable manifest at the destination is a
+    * torn leftover from a crashed publish (never acknowledged) — reclaimed
+    * once, then the claim is retried. */
+  private def publish(fs: FileSystem, dest: Path, payload: Array[Byte]): Unit = {
+    fs.mkdirs(dest.getParent)
+    def conflict(): Nothing = throw new IllegalStateException(
+      s"SnapshotLog: concurrent commit won ${dest.getName} at ${dest.getParent}")
+    def claim(mayReclaim: Boolean): Unit = {
+      val scheme = dest.toUri.getScheme
+      try {
+        if (scheme == null || scheme == "file") {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(dest.toUri.getPath)) // atomic O_EXCL
+          val out = fs.create(dest, true)
+          try out.write(payload) finally out.close()
+        } else {
+          val out = fs.create(dest, false)
+          try out.write(payload) finally out.close()
+        }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException =>
+          val torn = try { parseManifest(readBytes(fs, dest)); false }
+                     catch { case _: Exception => true }
+          if (torn && mayReclaim) { fs.delete(dest, false); claim(false) }
+          else conflict()
+      }
+    }
+    claim(true)
+    if (!java.util.Arrays.equals(readBytes(fs, dest), payload)) conflict()
+  }
+
+  private[sources] def pick(spark: SparkSession, root: String,
                    asOfVersion: Option[Int], asOfTsMs: Option[Long]): Snapshot = {
     val snaps = snapshots(spark, root)
     require(snaps.nonEmpty, s"SnapshotLog: no snapshots at $root")
@@ -225,48 +361,65 @@ object SnapshotLog {
     * (largest commitTsMs <= asOfTsMs — Iceberg's timestamp-travel rule).
     * mergeSchema unions the column sets across data files, so versions
     * written before an additive schema change read the new column as null
-    * — the reference's schema-evolution read semantics. */
+    * — the reference's schema-evolution read semantics. This is the bulk-
+    * scan path (Spark's vectorized parquet reader over the pinned file
+    * list); `spark.read.format("snapshotlog")` is the planner-integrated
+    * path with manifest-stats pruning for arbitrary predicates. */
   def read(spark: SparkSession, root: String,
            asOfVersion: Option[Int] = None,
            asOfTsMs: Option[Long] = None): DataFrame = {
     val snap = pick(spark, root, asOfVersion, asOfTsMs)
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+        snap.schema)
     else
       spark.read.option("mergeSchema", "true").parquet(snap.files: _*)
   }
 
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
+  /** Order two manifest-stat scalars. Integral pairs compare as longs
+    * (double conversion would lose precision past 2^53 and could WRONGLY
+    * prune a file); mixed or floating operands compare as doubles. */
+  private[sources] def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: String, y: String) => x.compareTo(y)
+    case (x: Number, y: Number) if isIntegral(x) && isIntegral(y) =>
+      java.lang.Long.compare(x.longValue(), y.longValue())
     case _ =>
       val dx = a match { case n: Number => n.doubleValue(); case _ => a.toString.toDouble }
       val dy = b match { case n: Number => n.doubleValue(); case _ => b.toString.toDouble }
       java.lang.Double.compare(dx, dy)
   }
 
-  /** Stats-pruned range read: open only the files whose recorded
-    * [min, max] for `colName` intersects [lo, hi], then apply the exact
-    * residual filter — Iceberg's manifest-level data skipping. Files
-    * without a recorded stat for the column are kept (conservative). For
-    * a timestamp column, pass `lo`/`hi` as epoch-MICROSECOND longs (the
-    * unit the manifest records); the residual filter compares real
-    * timestamps so Catalyst still pushes it into the kept scans. At
-    * 100 TB this is THE scan-pruning mechanism: a time- or key-clustered
-    * table answers a range probe by opening a handful of files, decided
-    * entirely from driver-side manifest metadata — the "shard keyless
-    * interval joins by time range" routing from the events scale study is
-    * exactly a probe of this form. */
+  private def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+
+  /** True iff a file whose recorded [min, max] is `stat` may contain a row
+    * in [lo, hi]. */
+  private[sources] def rangeMayMatch(stat: (Any, Any), lo: Any, hi: Any): Boolean =
+    cmp(stat._2, lo) >= 0 && cmp(stat._1, hi) <= 0
+
+  /** Stats-pruned single-column range read — the pre-DSv2 API, kept for
+    * callers that already know their probe column. New code should prefer
+    * `spark.read.format("snapshotlog").load(root).filter(...)`
+    * ([[SnapshotLogSource]]), where Catalyst pushes ARBITRARY predicates
+    * into the same manifest-stats pruning. For a timestamp column, pass
+    * `lo`/`hi` as epoch-MICROSECOND longs (the unit the manifest records);
+    * the residual filter compares real timestamps so Catalyst still pushes
+    * it into the kept scans. At 100 TB this is THE scan-pruning mechanism:
+    * a time- or key-clustered table answers a range probe by opening a
+    * handful of files, decided entirely from driver-side manifest metadata. */
   def readPruned(spark: SparkSession, root: String, colName: String,
                  lo: Any, hi: Any, asOfVersion: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
     val snap = pick(spark, root, asOfVersion, None)
-    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val schema = snap.schema
     val isTs = schema.find(_.name == colName).exists(f =>
       f.dataType == TimestampType || f.dataType == TimestampNTZType)
     val kept = snap.files.filter { f =>
       snap.stats.get(norm(f)).flatMap(_.get(colName)) match {
-        case Some((mn, mx)) => cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
+        case Some(stat) => rangeMayMatch(stat, lo, hi)
         case None => true
       }
     }
@@ -282,27 +435,103 @@ object SnapshotLog {
       base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
+  /** Compaction — Iceberg's rewrite_data_files: bin-pack every live data
+    * file smaller than `smallBytes` into ~`targetBytes` output files and
+    * commit the result as a new "rewrite" snapshot (copy-on-write of the
+    * small files, metadata-only carry of the rest; row content identical
+    * by construction). Matters at scale because daily append cadence grows
+    * the FILE COUNT unboundedly — scan task count explodes long before
+    * data volume does. Old snapshots still reference the replaced files
+    * until `expireSnapshots` reclaims them. Returns the new version, or
+    * the current version unchanged when fewer than two files qualify. */
+  def rewriteDataFiles(spark: SparkSession, root: String, commitTsMs: Long,
+                       targetBytes: Long = 128L << 20,
+                       smallBytes: Long = -1L): Int = {
+    val threshold = if (smallBytes > 0) smallBytes else targetBytes
+    val cur = pick(spark, root, None, None)
+    val fs = fsFor(spark, new Path(root))
+    def sizeOf(f: String): Long = cur.sizes.getOrElse(norm(f),
+      fs.getFileStatus(new Path(f)).getLen)
+    val (small, kept) = cur.files.partition(sizeOf(_) < threshold)
+    if (small.size < 2) return cur.version
+    require(cur.commitTsMs < commitTsMs,
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+
+    val schema = cur.schema
+    val numOut = math.max(1L,
+      (small.map(sizeOf).sum + targetBytes - 1) / targetBytes).toInt
+    val dataDir = new Path(new Path(root, "data"),
+      java.util.UUID.randomUUID().toString.take(12))
+    // explicit schema null-fills columns absent from pre-evolution files —
+    // the rewrite conforms every output file to the current table schema
+    spark.read.schema(schema).parquet(small: _*)
+      .repartition(numOut).write.parquet(dataDir.toString)
+    val statuses = fs.listStatus(dataDir)
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val newFiles = statuses.map(_.getPath.toString).toSeq
+    val newSizes = statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap
+    val newStats =
+      footerStats(spark.sessionState.newHadoopConf(), newFiles, schema)
+
+    val keptSet = kept.toSet
+    val next = cur.version + 1
+    try {
+      commitManifest(fs, root, next, "rewrite", commitTsMs, cur.schemaJson,
+        kept ++ newFiles,
+        cur.stats.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newStats,
+        cur.sizes.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newSizes)
+    } catch {
+      case e: IllegalStateException => fs.delete(dataDir, true); throw e
+    }
+    next
+  }
+
   /** Expire snapshots older than `keepFromVersion`: delete their
     * manifests, then delete every data file referenced ONLY by expired
     * snapshots (Iceberg's expire_snapshots + orphan cleanup in one step —
     * append commits share files across versions, so liveness is computed
     * against the union of surviving manifests, never per-snapshot).
-    * Time travel to an expired version then fails by construction; the
-    * kept versions are untouched. Returns (manifests, dataFiles) deleted.
-    * Driver-side metadata work only — file counts, not data volume. */
+    * With `orphanScan`, additionally remove data/ subdirectories that no
+    * surviving manifest references at all — the residue of commits that
+    * crashed between data write and manifest publish. Like Iceberg's
+    * remove_orphan_files, the scan must not run concurrently with active
+    * writers (an in-flight commit's unpublished directory is
+    * indistinguishable from an orphan). Time travel to an expired version
+    * then fails by construction; the kept versions are untouched. Returns
+    * (manifests, dataFiles) deleted. Driver-side metadata work only —
+    * file counts, not data volume. */
   def expireSnapshots(spark: SparkSession, root: String,
-                      keepFromVersion: Int): (Int, Int) = {
+                      keepFromVersion: Int,
+                      orphanScan: Boolean = false): (Int, Int) = {
     val snaps = snapshots(spark, root)
     val (dead, live) = snaps.partition(_.version < keepFromVersion)
     require(live.nonEmpty, s"SnapshotLog: expiring every snapshot at $root")
-    if (dead.isEmpty) return (0, 0)
     val fs = fsFor(spark, new Path(root))
     val liveFiles = live.flatMap(_.files).map(norm).toSet
-    val orphaned = dead.flatMap(_.files).map(norm).distinct
-      .filterNot(liveFiles.contains)
-    orphaned.foreach(f => fs.delete(new Path(f), false))
-    dead.foreach(s => fs.delete(manifestPath(root, s.version), false))
-    (dead.size, orphaned.size)
+    var filesDeleted = 0
+    if (dead.nonEmpty) {
+      val orphaned = dead.flatMap(_.files).map(norm).distinct
+        .filterNot(liveFiles.contains)
+      orphaned.foreach(f => fs.delete(new Path(f), false))
+      dead.foreach(s => fs.delete(manifestPath(root, s.version), false))
+      filesDeleted += orphaned.size
+    }
+    if (orphanScan) {
+      val dataRoot = new Path(root, "data")
+      if (fs.exists(dataRoot)) {
+        for (d <- fs.listStatus(dataRoot) if d.isDirectory) {
+          val contents = fs.listStatus(d.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+          if (!contents.exists(c => liveFiles.contains(norm(c.getPath.toString)))) {
+            filesDeleted += contents.length
+            fs.delete(d.getPath, true)
+          }
+        }
+      }
+    }
+    (dead.size, filesDeleted)
   }
 
   /** DESCRIBE HISTORY analog: the snapshot log itself as a DataFrame
@@ -334,14 +563,17 @@ object SnapshotLog {
 
   /** EXTERNAL_TABLE_FILES analog (reference
     * TableFunctionOperatorTable.java:158): the file inventory of a snapshot
-    * as a DataFrame — metadata only (manifest + one FS stat per file), no
-    * data scan. Columns: file_path, size_bytes, version. */
+    * as a DataFrame — metadata only (manifest-recorded sizes; at most one
+    * FS stat per file for pre-sizes manifests), no data scan. Columns:
+    * file_path, size_bytes, version. */
   def tableFiles(spark: SparkSession, root: String,
                  asOfVersion: Option[Int] = None): DataFrame = {
     val snap = pick(spark, root, asOfVersion, None)
     val fs = fsFor(spark, new Path(root))
     val rows = snap.files.map { f =>
-      (f, fs.getFileStatus(new Path(f)).getLen, snap.version)
+      val len = snap.sizes.getOrElse(norm(f),
+        fs.getFileStatus(new Path(f)).getLen)
+      (f, len, snap.version)
     }
     import spark.implicits._
     rows.toDF("file_path", "size_bytes", "version")

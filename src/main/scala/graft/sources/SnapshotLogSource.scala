@@ -1,0 +1,340 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.schema.{MessageType, PrimitiveType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, Statistics => V2Statistics}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 front door for [[SnapshotLog]] tables — the planner-
+  * integrated form of the reference's Iceberg reader
+  * (bodo/ir/iceberg_ext.py:411, bodo/io/iceberg/filter_conversion.py):
+  *
+  *   spark.read.format("snapshotlog")
+  *     .option("asOfVersion", 2)          // or asOfTimestampMs
+  *     .load(root)
+  *     .filter($"k" >= 400 && $"tag" === "b")   // ANY predicate
+  *
+  * Catalyst pushes the data filters into [[SnapshotLogScanBuilder]]
+  * (`SupportsPushDownFilters`), which evaluates them against the
+  * manifest's per-file min/max stats and plans ONLY the surviving files —
+  * Iceberg's manifest-level data skipping, now automatic for every query
+  * shape instead of `readPruned`'s single-column probe. Column pruning
+  * (`SupportsPushDownRequiredColumns`) reaches the parquet projection, and
+  * a `COUNT(*)` never opens a data page at all (row counts come from
+  * footers). All pushed filters are ALSO returned as residuals, so Spark
+  * re-applies the exact predicate — pruning can only skip files, never
+  * change results.
+  *
+  * Snapshot pinning: the manifest is resolved ONCE per `getTable`, so
+  * every scan of the returned table (including self-joins) sees one
+  * consistent version — snapshot isolation against concurrent commits.
+  *
+  * The scan reports manifest-recorded sizes through
+  * `SupportsReportStatistics`, so a pruned probe of a big table becomes
+  * broadcast-eligible from METADATA, before any file is opened.
+  *
+  * Scale posture: planning is O(files-in-manifest) driver-side metadata;
+  * each surviving file is one input partition read by a self-contained
+  * parquet reader (footer projection + per-row materialization). The
+  * bulk-scan path for full-table reads remains `SnapshotLog.read`
+  * (Spark's vectorized reader over the pinned file list); this scan is the
+  * probe path, where file skipping dominates decode speed.
+  */
+class SnapshotLogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "snapshotlog"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotLogSource.nullable(
+      SnapshotLogSource.resolve(options.asCaseSensitiveMap().asScala.toMap).schema)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = properties.asScala.toMap
+    new SnapshotLogTable(SnapshotLogSource.rootOf(opts),
+      SnapshotLogSource.resolve(opts))
+  }
+}
+
+object SnapshotLogSource {
+  /** Additive schema evolution null-fills pre-evolution files, so every
+    * surfaced column is nullable regardless of how the committing
+    * DataFrame's schema was flagged. */
+  private[sources] def nullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  private[sources] def rootOf(opts: Map[String, String]): String =
+    opts.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "snapshotlog: a table root is required — spark.read.format(\"snapshotlog\").load(root)"))
+
+  /** Pin the manifest named by the options (version / AS-OF ts / latest). */
+  private[sources] def resolve(opts: Map[String, String]): SnapshotLog.Snapshot = {
+    def opt(name: String): Option[String] =
+      opts.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    SnapshotLog.pick(SparkSession.active, rootOf(opts),
+      opt("asOfVersion").map(_.toInt), opt("asOfTimestampMs").map(_.toLong))
+  }
+}
+
+private[sources] class SnapshotLogTable(root: String,
+    snap: SnapshotLog.Snapshot) extends Table with SupportsRead {
+  override def name(): String = s"snapshotlog:$root@v${snap.version}"
+  override def schema(): StructType = SnapshotLogSource.nullable(snap.schema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotLogScanBuilder(snap)
+}
+
+private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = SnapshotLogSource.nullable(snap.schema)
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept every filter the stats can say something about (for pruning +
+    * explain), and return ALL filters as residuals — Spark re-applies the
+    * exact predicate, so stat-pruning is pure skipping, never semantics. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(SnapshotStatsFilter.usable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val schema = snap.schema
+    val kept = snap.files.filter { f =>
+      val stats = snap.stats.getOrElse(SnapshotLog.norm(f),
+        Map.empty[String, (Any, Any)])
+      pushed.forall(SnapshotStatsFilter.mayMatch(stats, schema, _))
+    }
+    new SnapshotLogScan(snap, required, pushed, kept)
+  }
+}
+
+/** Evaluates v1 `Filter` trees against per-file (min, max) manifest stats.
+  * Tri-state collapsed to "may the file contain a matching row": any
+  * unrecognised filter shape, missing stat, or non-comparable literal is
+  * `true` (keep the file — conservative, like Iceberg's residual
+  * evaluation). Null-semantics filters (IsNull/IsNotNull/Not) are always
+  * `true`: the manifest records value bounds, not null counts. */
+private[sources] object SnapshotStatsFilter {
+  import SnapshotLog.cmp
+
+  /** Filters worth reporting as pushed (they can prune given stats). */
+  def usable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+         _: LessThanOrEqual | _: In | _: StringStartsWith => true
+    case EqualNullSafe(_, v) => v != null
+    case And(l, r) => usable(l) || usable(r)
+    case Or(l, r) => usable(l) && usable(r)
+    case _ => false
+  }
+
+  /** Normalize a pushed literal into manifest-stat space (timestamps →
+    * epoch-µs longs, the unit commit records). None = not comparable. */
+  private def lit(schema: StructType, attr: String, v: Any): Option[Any] = v match {
+    case null => None
+    case t: java.sql.Timestamp =>
+      Some(Long.box(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000))
+    case i: java.time.Instant =>
+      Some(Long.box(i.getEpochSecond * 1000000L + i.getNano / 1000))
+    case l: java.time.LocalDateTime =>
+      val inst = l.toInstant(java.time.ZoneOffset.UTC)
+      Some(Long.box(inst.getEpochSecond * 1000000L + inst.getNano / 1000))
+    case n: Number => Some(n)
+    case s: String => Some(s)
+    case u: UTF8String => Some(u.toString)
+    case _ => None
+  }
+
+  def mayMatch(stats: Map[String, (Any, Any)], schema: StructType, f: Filter): Boolean = {
+    def bound(attr: String, v: Any)(p: (Any, Any, Any) => Boolean): Boolean =
+      (stats.get(attr), lit(schema, attr, v)) match {
+        case (Some((mn, mx)), Some(w)) => p(mn, mx, w)
+        case _ => true
+      }
+    f match {
+      case And(l, r) => mayMatch(stats, schema, l) && mayMatch(stats, schema, r)
+      case Or(l, r) => mayMatch(stats, schema, l) || mayMatch(stats, schema, r)
+      case EqualTo(a, v) => bound(a, v)((mn, mx, w) => cmp(w, mn) >= 0 && cmp(w, mx) <= 0)
+      case EqualNullSafe(a, v) if v != null =>
+        bound(a, v)((mn, mx, w) => cmp(w, mn) >= 0 && cmp(w, mx) <= 0)
+      case GreaterThan(a, v) => bound(a, v)((_, mx, w) => cmp(mx, w) > 0)
+      case GreaterThanOrEqual(a, v) => bound(a, v)((_, mx, w) => cmp(mx, w) >= 0)
+      case LessThan(a, v) => bound(a, v)((mn, _, w) => cmp(mn, w) < 0)
+      case LessThanOrEqual(a, v) => bound(a, v)((mn, _, w) => cmp(mn, w) <= 0)
+      case In(a, vs) =>
+        if (vs == null || vs.isEmpty) true
+        else vs.exists(v => v == null ||
+          bound(a, v)((mn, mx, w) => cmp(w, mn) >= 0 && cmp(w, mx) <= 0))
+      case StringStartsWith(a, p) => stats.get(a) match {
+        // s startsWith p ⟹ mn.take(|p|) <= p <= mx.take(|p|)
+        case Some((mn: String, mx: String)) =>
+          mn.take(p.length) <= p && mx.take(p.length) >= p
+        case _ => true
+      }
+      case _ => true
+    }
+  }
+}
+
+private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
+    required: StructType, pushed: Array[Filter], kept: Seq[String])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Surfaced in EXPLAIN: snapshot pin, files pruned, pushed filters. */
+  override def description(): String =
+    s"snapshotlog v${snap.version} files=${kept.size}/${snap.files.size} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  /** Kept-file count, for plan assertions (PlanShapeSpec / ddl gates). */
+  def keptFiles: Seq[String] = kept
+
+  override def planInputPartitions(): Array[InputPartition] =
+    kept.map(f => SnapshotFilePartition(f)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotLogReaderFactory(required.json)
+
+  /** Post-pruning size from manifest metadata — a pruned probe of a huge
+    * table reads as broadcast-small BEFORE any file is opened. */
+  override def estimateStatistics(): V2Statistics = new V2Statistics {
+    override def sizeInBytes(): OptionalLong = {
+      val known = kept.flatMap(f => snap.sizes.get(SnapshotLog.norm(f)))
+      if (known.size == kept.size) OptionalLong.of(math.max(1L, known.sum))
+      else OptionalLong.empty() // pre-sizes manifest: no estimate
+    }
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+private[sources] case class SnapshotFilePartition(file: String) extends InputPartition
+
+private[sources] case class SnapshotLogReaderFactory(requiredJson: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SnapshotFileReader(
+      partition.asInstanceOf[SnapshotFilePartition].file,
+      DataType.fromJson(requiredJson).asInstanceOf[StructType])
+}
+
+/** Reads one immutable data file into `InternalRow`s through the public
+  * parquet-mr API (footer-driven projection + Group materialization).
+  * Schema evolution: required columns absent from the file read as null
+  * (the manifest carries the CURRENT schema; old files predate additive
+  * columns). An empty effective projection (COUNT(*), or a file with none
+  * of the required columns) emits footer row counts without opening a
+  * single data page. Runs with a default Hadoop conf — correct for file:
+  * roots (this environment); a cluster deployment would broadcast the
+  * session conf alongside the factory. */
+private[sources] class SnapshotFileReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val path = new Path(file)
+
+  private var projIdx: Array[Int] = _
+  private var reader: ParquetReader[Group] = _
+  private var nullRows: Long = 0L
+  locally {
+    val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    val (fileSchema, rowCount) =
+      try (pfr.getFooter.getFileMetaData.getSchema,
+        pfr.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      finally pfr.close()
+    val present = required.fields.filter(f => fileSchema.containsField(f.name))
+    if (present.isEmpty) {
+      projIdx = required.fields.map(_ => -1)
+      nullRows = rowCount
+    } else {
+      present.foreach(f => validate(f, fileSchema))
+      val projection = new MessageType(fileSchema.getName,
+        present.map(f =>
+          fileSchema.getType(fileSchema.getFieldIndex(f.name))).toSeq: _*)
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+      val pos = present.map(_.name).zipWithIndex.toMap
+      projIdx = required.fields.map(f => pos.getOrElse(f.name, -1))
+      reader = ParquetReader.builder(new GroupReadSupport(), path)
+        .withConf(conf).build()
+    }
+  }
+
+  private def validate(f: StructField, fileSchema: MessageType): Unit = {
+    val t = fileSchema.getType(fileSchema.getFieldIndex(f.name))
+    f.dataType match {
+      case TimestampType | TimestampNTZType =>
+        val prim = t.asPrimitiveType().getPrimitiveTypeName
+        require(prim == PrimitiveType.PrimitiveTypeName.INT64,
+          s"snapshotlog: timestamp column ${f.name} stored as $prim; only " +
+            "INT64 TIMESTAMP(MICROS) is supported (INT96 is legacy — " +
+            "Sessions.build pins outputTimestampType=TIMESTAMP_MICROS)")
+      case _ => ()
+    }
+  }
+
+  private var current: Group = _
+  private var emitted = 0L
+
+  override def next(): Boolean =
+    if (reader == null) { emitted += 1; emitted <= nullRows }
+    else { current = reader.read(); current != null }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      val j = projIdx(i)
+      if (j < 0 || current == null || current.getFieldRepetitionCount(j) == 0)
+        row.update(i, null)
+      else row.update(i, extract(current, j, required.fields(i).dataType))
+      i += 1
+    }
+    row
+  }
+
+  private def extract(g: Group, idx: Int, dt: DataType): Any = dt match {
+    case LongType => g.getLong(idx, 0)
+    case IntegerType => g.getInteger(idx, 0)
+    case DoubleType => g.getDouble(idx, 0)
+    case FloatType => g.getFloat(idx, 0)
+    case BooleanType => g.getBoolean(idx, 0)
+    case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+    case TimestampType | TimestampNTZType => g.getLong(idx, 0) // INT64 µs
+    case DateType => g.getInteger(idx, 0) // INT32 days
+    case ShortType => g.getInteger(idx, 0).toShort
+    case ByteType => g.getInteger(idx, 0).toByte
+    case other => throw new UnsupportedOperationException(
+      s"snapshotlog reader: unsupported column type $other")
+  }
+
+  override def close(): Unit = if (reader != null) reader.close()
+}

@@ -249,4 +249,141 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(v2.map(_.getString(0)).toSet.intersect(
       v1.map(_.getString(0)).toSet).size === 2)
   }
+
+  // ---- DataSource V2 front door -------------------------------------
+
+  private def v2Scan(df: org.apache.spark.sql.DataFrame): graft.sources.SnapshotLogScan =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.SnapshotLogScan]
+    }.head
+
+  test("DSv2: arbitrary pushed predicates prune files from manifest stats") {
+    val root = freshRoot("dsv2_prune")
+    // 4 slices, 2 files each: k-ranges [0,99] [100,199] [200,299] [300,399],
+    // tag differs per slice
+    for (i <- 0 until 4) {
+      val df = (0 until 100)
+        .map(j => (i * 100 + j.toLong, ('a' + i).toChar.toString, j * 0.5))
+        .toDF("k", "tag", "v")
+      SnapshotLog.commit(df, root, overwrite = i == 0, 100L * (i + 1))
+    }
+    val t = spark.read.format("snapshotlog").load(root)
+
+    // single-column range probe: one slice (2 of 8 files)
+    val r1 = t.filter(col("k") >= 210 && col("k") <= 240)
+    assert(v2Scan(r1).keptFiles.size === 2)
+    assert(r1.count() === 31)
+
+    // MULTI-column predicate — the shape readPruned could not express:
+    // k-range hits slice 2, but tag='a' only exists in slice 0 ⇒ 0 files
+    val r2 = t.filter(col("k") >= 210 && col("k") <= 240 && col("tag") === "a")
+    assert(v2Scan(r2).keptFiles.isEmpty)
+    assert(r2.count() === 0)
+
+    // OR of two slices' ranges opens both (4 files), IN-list prunes by tag
+    val r3 = t.filter((col("k") < 50) || (col("k") > 350))
+    assert(v2Scan(r3).keptFiles.size === 4)
+    assert(r3.count() === 99)
+    val r4 = t.filter(col("tag").isin("b", "d"))
+    assert(v2Scan(r4).keptFiles.size === 4)
+    assert(r4.count() === 200)
+
+    // residual exactness: pruning never changes values, only skips files
+    val brute = SnapshotLog.read(spark, root)
+      .filter(col("k") >= 210 && col("k") <= 240)
+      .agg(sum("v")).collect()(0).getDouble(0)
+    val got = r1.agg(sum("v")).collect()(0).getDouble(0)
+    assert(math.abs(brute - got) < 1e-9)
+
+    // COUNT(*) plans all files but needs no columns (footer row counts)
+    assert(t.count() === 400)
+
+    // explain carries the pushed filters + file pruning evidence
+    val desc = v2Scan(r1).description()
+    assert(desc.contains("PushedFilters") && desc.contains("files=2/8"), desc)
+  }
+
+  test("DSv2: version/AS-OF options pin the snapshot; evolution null-fills") {
+    val root = freshRoot("dsv2_pin")
+    SnapshotLog.commit(Seq((1L, "a")).toDF("id", "s"), root, overwrite = true, 100L)
+    SnapshotLog.commit(Seq((2L, "b", 9.5)).toDF("id", "s", "score"), root,
+      overwrite = false, 200L)
+    val v1 = spark.read.format("snapshotlog").option("asOfVersion", 1).load(root)
+    assert(v1.columns.toSeq === Seq("id", "s") && v1.count() === 1)
+    val asOf = spark.read.format("snapshotlog")
+      .option("asOfTimestampMs", 150L).load(root)
+    assert(asOf.count() === 1)
+    // current schema has score; the v1-era file reads it as null
+    val cur = spark.read.format("snapshotlog").load(root).orderBy("id").collect()
+    assert(cur.length === 2)
+    assert(cur(0).isNullAt(2) && cur(1).getDouble(2) === 9.5,
+      cur.map(_.toString).mkString(" | "))
+    // timestamp columns round-trip through the Group reader
+    val root2 = freshRoot("dsv2_ts")
+    val df = Seq(1L, 2L).toDF("us")
+      .select(timestamp_micros(col("us") * 1000000L).as("ts"), col("us"))
+    SnapshotLog.commit(df, root2, overwrite = true, 100L)
+    val ts = spark.read.format("snapshotlog").load(root2)
+      .filter(col("ts") >= timestamp_micros(lit(2000000L))).collect()
+    assert(ts.length === 1 && ts(0).getLong(1) === 2L)
+  }
+
+  test("rewriteDataFiles bin-packs small files; rows identical; expiry reclaims") {
+    val root = freshRoot("compact")
+    for (i <- 0 until 4)
+      SnapshotLog.commit((i * 50 until (i + 1) * 50).map(_.toLong).toDF("x"),
+        root, overwrite = i == 0, 100L * (i + 1))
+    val before = SnapshotLog.read(spark, root).as[Long].collect().sorted.toSeq
+    assert(SnapshotLog.snapshots(spark, root).last.files.size === 8)
+
+    val v = SnapshotLog.rewriteDataFiles(spark, root, commitTsMs = 1000L,
+      targetBytes = 10L << 20)
+    assert(v === 5)
+    val snaps = SnapshotLog.snapshots(spark, root)
+    assert(snaps.last.operation === "rewrite")
+    assert(snaps.last.files.size === 1, s"got ${snaps.last.files.size}")
+    // row content identical; stats present for the rewritten file
+    assert(SnapshotLog.read(spark, root).as[Long].collect().sorted.toSeq === before)
+    assert(snaps.last.stats.nonEmpty && snaps.last.sizes.nonEmpty)
+    // pre-compaction version still time-travels (copy-on-write)
+    assert(SnapshotLog.read(spark, root, Some(4)).count() === 200)
+    // idempotent: a second pass has <2 small files ⇒ no-op, same version
+    assert(SnapshotLog.rewriteDataFiles(spark, root, commitTsMs = 2000L,
+      targetBytes = 10L << 20) === 5)
+    // expiring the pre-rewrite snapshots reclaims the 8 replaced files
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val replaced = snaps(3).files
+    assert(SnapshotLog.expireSnapshots(spark, root, 5) === (4, 8))
+    replaced.foreach(f => assert(!fs.exists(new Path(f))))
+    assert(SnapshotLog.read(spark, root).as[Long].collect().sorted.toSeq === before)
+  }
+
+  test("expireSnapshots orphanScan reclaims data dirs no manifest references") {
+    val root = freshRoot("orphan")
+    SnapshotLog.commit(Seq(1, 2).toDF("x"), root, overwrite = true, 100L)
+    // simulate a commit that crashed between data write and publish
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(1, 2, 3).toDF("x").write.parquet(s"$root/data/deadc0ffee")
+    assert(SnapshotLog.expireSnapshots(spark, root, 1) === (0, 0)) // default: untouched
+    assert(fs.exists(new Path(s"$root/data/deadc0ffee")))
+    val (_, n) = SnapshotLog.expireSnapshots(spark, root, 1, orphanScan = true)
+    assert(n > 0 && !fs.exists(new Path(s"$root/data/deadc0ffee")))
+    assert(SnapshotLog.read(spark, root).count() === 2) // live data untouched
+  }
+
+  test("a torn trailing manifest is ignored by readers and healed by commit") {
+    val root = freshRoot("torn")
+    SnapshotLog.commit(Seq(1).toDF("x"), root, overwrite = true, 100L)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    // crash mid-publish: v2 claimed but half-written (unparseable)
+    val out = fs.create(new Path(s"$root/_log/v00002.json"), false)
+    out.write("""{"version": 2, "operat""".getBytes)
+    out.close()
+    assert(SnapshotLog.snapshots(spark, root).map(_.version) === Seq(1))
+    assert(SnapshotLog.read(spark, root).count() === 1)
+    // the next commit reclaims the torn slot and succeeds as v2
+    assert(SnapshotLog.commit(Seq(2).toDF("x"), root, overwrite = false, 200L) === 2)
+    assert(SnapshotLog.read(spark, root).count() === 2)
+  }
 }
