@@ -93,9 +93,14 @@ object JaroWinkler {
     } else j
   }
 
-  /** Register `jaro_winkler(s1, s2)` in the session catalog (idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaro_winkler", (args: Seq[Expression]) => JaroWinkler(args(0), args(1)),
-      "built-in")
+  /** Register `jaro_winkler(s1, s2)` for sessions built WITHOUT
+    * GraftExtensions (which injects it at session build). Truly
+    * idempotent: skipped when the extension already provided it. */
+  def register(spark: SparkSession): Unit = {
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler")
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "jaro_winkler", (args: Seq[Expression]) => JaroWinkler(args(0), args(1)),
+        "built-in")
+  }
 }

@@ -133,9 +133,12 @@ object SnowflakeAliases {
     reg("sf_to_char", "(dt, 'fmt')") { case Seq(dt, f) =>
       DateFormatClass(Cast(dt, TimestampType),
         Literal(SnowflakeFns.sfFormatToSpark(litStr(f, "sf_to_char")))) }
-    reg("try_to_date", "(str, 'fmt')") { case Seq(s, f) =>
+    // sf_ prefix: Spark 4 ships its own try_to_date builtin with DIFFERENT
+    // format semantics — shadowing it would silently change behavior (and
+    // warn into every session log)
+    reg("sf_try_to_date", "(str, 'fmt')") { case Seq(s, f) =>
       Cast(Cast(TryEval(new ParseToTimestamp(s,
-        Literal(SnowflakeFns.sfFormatToSpark(litStr(f, "try_to_date"))))),
+        Literal(SnowflakeFns.sfFormatToSpark(litStr(f, "sf_try_to_date"))))),
         DateType), TimestampType) }
     reg("try_to_boolean", "(str)") { case Seq(s) =>
       // trim() mirrors the DSL kernel (tryToBooleanStr): ' true ' is true

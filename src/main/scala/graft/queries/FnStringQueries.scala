@@ -21,7 +21,7 @@ object FnStringQueries extends QueryModule {
 
   override def queries: Map[String, QueryFn] = Map(
     "fn_string" -> ((s, d) => {
-      JaroWinkler.register(s)
+      JaroWinkler.register(s) // no-op on GraftExtensions sessions
       val padded = concat(lit("  "), col("p_name"), lit("  "))
       part(s, d).select(
         col("p_partkey"),

@@ -35,10 +35,14 @@ object StreamingOps {
     val dst = stage.resolve("events.parquet")
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     // a staged copy can outlive a fixture regeneration (the source is
-    // replaced, not appended); drop it when the size disagrees so the stream
-    // never reads a different generation than the batch loader
+    // replaced, not appended); drop it when size OR mtime disagrees —
+    // a regenerated file can coincidentally keep its byte size, and a
+    // stale hard link would silently feed the stream a different
+    // generation than the batch loader reads
     if (java.nio.file.Files.exists(dst) &&
-        java.nio.file.Files.size(dst) != java.nio.file.Files.size(src))
+        (java.nio.file.Files.size(dst) != java.nio.file.Files.size(src) ||
+         java.nio.file.Files.getLastModifiedTime(dst) !=
+           java.nio.file.Files.getLastModifiedTime(src)))
       java.nio.file.Files.delete(dst)
     if (!java.nio.file.Files.exists(dst)) {
       try java.nio.file.Files.createLink(dst, src)
@@ -116,12 +120,20 @@ object StreamingOps {
     * deterministic subdirectory (batch=<id>), so a replay after a failure
     * rewrites the same files instead of appending duplicates — the
     * foreachBatch exactly-once pattern for stores without transactional
-    * append. Returns the started query; callers own stop(). */
-  def idempotentParquetSink(df: DataFrame, path: String)
+    * append. The replay guarantee only holds when batch ids are durable,
+    * so the checkpoint defaults to living INSIDE the output path (pass
+    * `checkpoint` to relocate it): a restart without a checkpoint would
+    * renumber batches from 0 and strand the batch=N dirs of a longer
+    * earlier run as duplicates. Returns the started query; callers own
+    * stop(). */
+  def idempotentParquetSink(df: DataFrame, path: String,
+                            checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      batch.write.mode("overwrite").parquet(s"$path/batch=$id")
-    }.start()
+    df.writeStream
+      .option("checkpointLocation", checkpoint.getOrElse(s"$path/_checkpoint"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch=$id")
+      }.start()
 
   case class Click(userId: Long, tsUs: Long)
   case class Session(userId: Long, nEvents: Long, firstUs: Long, lastUs: Long)

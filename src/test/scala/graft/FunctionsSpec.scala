@@ -186,7 +186,10 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("BPE tokenize matches independently-computed greedy merges") {
     // Expectations walked with an INDEPENDENT python greedy longest-match
-    // over src/main/resources/graft/bpe_vocab.txt (1500 pieces, len 2..6):
+    // over src/main/resources/graft/bpe_vocab.txt (12000 pieces, len 2..6;
+    // the first 1500 lines are the r11 corpus+morpheme vocab — ids stable —
+    // and the rest deterministic syllable-product morphemes, so the trie
+    // carries an HF-scale piece count):
     //   "the window" -> the | ' ' | window  (whole word "window" is a
     //   vocab piece at line 193; ids: merged piece = 256 + line index,
     //   single char = codepoint, ' ' = 32)
@@ -206,7 +209,7 @@ class FunctionsSpec extends AnyFunSuite {
     // vocab contract the oracle's per-length probes rely on
     assert(LlmFunctions.bpeVocabPieces.forall(p =>
       p.length >= 2 && p.length <= LlmFunctions.MaxPieceLen))
-    assert(LlmFunctions.bpeVocabPieces.length === 1500)
+    assert(LlmFunctions.bpeVocabPieces.length === 12000)
   }
 
   test("tokenize/embed are deterministic column expressions") {

@@ -434,4 +434,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(native.length === windowed.length)
     assert(native.sameElements(windowed))
   }
+
+  test("snapshotlog DSv2 scan: PushedFilters reach the scan and prune files") {
+    // VERDICT r11 item 1 done-criterion: the format's pushed predicates
+    // must be visible in the plan and must shrink the planned file set
+    // from manifest metadata. The ddl_stats_pruning gate pins the values;
+    // this pins the PLAN evidence.
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val df = SparkEntry.queries("ddl_stats_pruning")(spark, sf)
+    df.collect()
+    // the underlying probe: re-plan it directly to inspect the scan
+    val root = s"/tmp/graft_snapfix/sliced_customer_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val probe = spark.read.format("snapshotlog").load(root)
+      .filter(org.apache.spark.sql.functions.col("c_custkey").between(400L, 500L))
+    val scan = probe.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.SnapshotLogScan]
+    }.head
+    assert(scan.description().contains("PushedFilters"),
+      "pushed filters must be explain-visible on the scan node")
+    assert(scan.description().contains("GreaterThanOrEqual") ||
+      scan.description().contains("LessThanOrEqual"), scan.description())
+    val total = graft.sources.SnapshotLog.snapshots(spark, root).last.files.size
+    assert(scan.keptFiles.size < total,
+      s"scan planned ${scan.keptFiles.size} of $total files — no pruning happened")
+    // explain("formatted") surfaces the same evidence to a user
+    val formatted = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("snapshotlog"), formatted.take(500))
+  }
 }
