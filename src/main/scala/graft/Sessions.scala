@@ -37,6 +37,10 @@ object Sessions {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // SnapshotLog TableCatalog: SQL-surface snapshot tables under `snap.*`
+      // with VERSION AS OF / TIMESTAMP AS OF served from the manifest log
+      .config("spark.sql.catalog.snap", "graft.sources.SnapshotLogCatalog")
+      .config("spark.sql.catalog.snap.warehouse", "/tmp/graft_snap_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

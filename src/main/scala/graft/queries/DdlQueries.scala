@@ -273,6 +273,48 @@ object DdlQueries extends QueryModule {
       hist.crossJoin(totals) // 1 history row × 1 totals row
     }),
 
+    // The SQL-surface catalog (SnapshotLogCatalog as `snap`): CTAS,
+    // INSERT INTO, and Spark's NATIVE time-travel syntax — VERSION AS OF
+    // and TIMESTAMP AS OF — served by TableCatalog.loadTable overloads
+    // from the manifest log (the Iceberg-catalog integration re-expressed
+    // offline; IcebergDDLExecutor.kt / bodo/io/iceberg/catalog/). CTAS =
+    // v1 "create" (schema-only) + v2 append; the INSERT is v3. Reads run
+    // through the same pinned DSv2 scans as the format path.
+    "ddl_sql_catalog" -> ((s, d) => {
+      registerViews(s, d)
+      val ns = "gate_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      snapFixture(s, d, "sqlcat") { _ =>
+        s.sql(s"DROP TABLE IF EXISTS snap.$ns.orders_t")
+        s.sql(
+          s"""CREATE TABLE snap.$ns.orders_t AS
+             |SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 10 = 0""".stripMargin)
+        s.sql(
+          s"""INSERT INTO snap.$ns.orders_t
+             |SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 10 = 5""".stripMargin)
+      }
+      def agg(sql: String, label: String): DataFrame =
+        s.sql(sql).agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("snap", lit(label))
+      // TIMESTAMP AS OF at exactly v3's commit instant resolves to v3
+      // (largest commit ts <= asked); the literal is read back from the
+      // manifest log — wall-clock commits, deterministic resolution
+      val root = s"/tmp/graft_snap_warehouse/$ns/orders_t"
+      val ts3 = graft.sources.SnapshotLog.snapshots(s, root)
+        .find(_.version == 3).get.commitTsMs
+      val tsLit = java.time.Instant.ofEpochMilli(ts3).toString
+        .replace("T", " ").replace("Z", "")
+      Seq(
+        agg(s"SELECT * FROM snap.$ns.orders_t VERSION AS OF 2", "v2"),
+        agg(s"SELECT * FROM snap.$ns.orders_t", "current"),
+        agg(s"SELECT * FROM snap.$ns.orders_t TIMESTAMP AS OF '$tsLit'",
+          "ts_current"))
+        .reduce(_ unionByName _)
+        .select("snap", "n_rows", "sum_price")
+    }),
+
     // EXTERNAL_TABLE_FILES analog (TableFunctionOperatorTable.java:158 /
     // Iceberg `files` metadata table): the per-snapshot file inventory
     // from MANIFEST METADATA (recorded sizes, no data scan), joined
@@ -374,6 +416,16 @@ object DdlQueries extends QueryModule {
         |SELECT 'in_list', CAST(count(*) AS BIGINT),
         |  round(sum(c_acctbal), 2), CAST(4 AS BIGINT)
         |FROM customer WHERE c_custkey IN (10, 800)""".stripMargin,
+
+    "ddl_sql_catalog" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |v2 AS (SELECT CAST(count(*) AS BIGINT) n, round(sum(p), 2) sp
+        |       FROM base WHERE k % 10 = 0),
+        |cur AS (SELECT CAST(count(*) AS BIGINT) n, round(sum(p), 2) sp
+        |        FROM base WHERE k % 10 IN (0, 5))
+        |SELECT 'v2' AS snap, n AS n_rows, sp AS sum_price FROM v2
+        |UNION ALL SELECT 'current', n, sp FROM cur
+        |UNION ALL SELECT 'ts_current', n, sp FROM cur""".stripMargin,
 
     // After compaction + expiry: one surviving "rewrite" snapshot holding
     // ONE file with the full row content (the 4 mod-4 slices union to the

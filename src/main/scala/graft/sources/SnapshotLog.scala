@@ -268,6 +268,25 @@ object SnapshotLog {
     next
   }
 
+  /** Create an EMPTY table: a v1 "create" manifest carrying only the
+    * schema — the catalog's CREATE TABLE step (data arrives as append
+    * commits; time travel to v1 reads an empty table of this schema). */
+  def createEmpty(spark: SparkSession, root: String, schema: StructType,
+                  commitTsMs: Long): Int = {
+    require(snapshots(spark, root).isEmpty,
+      s"SnapshotLog: table already exists at $root")
+    commitManifest(fsFor(spark, new Path(root)), root, 1, "create",
+      commitTsMs, schema.json, Seq.empty, Map.empty, Map.empty)
+    1
+  }
+
+  /** A wall-clock commit timestamp guaranteed to advance past the last
+    * snapshot (two catalog commits can land in the same millisecond). */
+  def nextCommitTs(spark: SparkSession, root: String): Long = {
+    val last = snapshots(spark, root).lastOption.map(_.commitTsMs).getOrElse(0L)
+    math.max(System.currentTimeMillis(), last + 1)
+  }
+
   /** Serialize and exclusively publish a manifest (shared by commit /
     * mergeCommit / rewriteDataFiles). Throws IllegalStateException on a
     * commit conflict. */

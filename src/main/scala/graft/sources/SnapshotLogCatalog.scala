@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `TableCatalog` plugin over [[SnapshotLog]] tables — the SQL-surface
+  * catalog integration the reference gets from its Iceberg catalogs
+  * (IcebergDDLExecutor.kt; REST/Glue/local in `bodo/io/iceberg/catalog/`).
+  * Wire it once per session:
+  *
+  *   spark.sql.catalog.snap           = graft.sources.SnapshotLogCatalog
+  *   spark.sql.catalog.snap.warehouse = /path/to/warehouse
+  *
+  * and plain SQL gets the full table lifecycle, including Spark's native
+  * time-travel syntax (parsed by Spark, served by `loadTable` overloads):
+  *
+  *   CREATE TABLE snap.ns.t AS SELECT ...          -- v1 create + v2 append
+  *   INSERT INTO snap.ns.t SELECT ...              -- next append snapshot
+  *   INSERT OVERWRITE snap.ns.t SELECT ...         -- overwrite snapshot
+  *   SELECT * FROM snap.ns.t VERSION AS OF 2       -- manifest pin
+  *   SELECT * FROM snap.ns.t TIMESTAMP AS OF '...' -- largest commit ts <=
+  *   SHOW TABLES IN snap.ns / DROP TABLE snap.ns.t
+  *
+  * Identifiers map to filesystem layout (`warehouse/ns…/name`), so the
+  * catalog itself is stateless — the manifests ARE the metadata, exactly
+  * like a Hadoop-catalog Iceberg warehouse. Reads resolve through
+  * [[SnapshotLogTable]], i.e. the same pinned-manifest DSv2 scan with
+  * stats pruning; writes go through the V1 insertable-relation fallback,
+  * which hands the WHOLE DataFrame to `SnapshotLog.commit` — one
+  * distributed parquet write + footer walk + manifest publish, the same
+  * commit path as the programmatic API (no per-row DSv2 writer needed).
+  */
+class SnapshotLogCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+      .getOrElse("/tmp/graft_snap_warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def rootFor(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def tableExists(ident: Identifier): Boolean =
+    SnapshotLog.snapshots(spark, rootFor(ident)).nonEmpty
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = (warehouse +: namespace.toSeq).mkString("/")
+    val f = fs(nsDir)
+    if (!f.exists(new Path(nsDir))) return Array.empty
+    f.listStatus(new Path(nsDir))
+      .filter(s => s.isDirectory && f.exists(new Path(s.getPath, "_log")))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, None, None)
+
+  /** VERSION AS OF n — Spark parses, we pin the manifest. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toInt), None)
+
+  /** TIMESTAMP AS OF t — Spark hands epoch MICROSECONDS; the travel rule
+    * (largest commitTs <= asked) lives in SnapshotLog.pick. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident, None, Some(timestampMicros / 1000L))
+
+  private def load(ident: Identifier, v: Option[Int], tsMs: Option[Long]): Table = {
+    val root = rootFor(ident)
+    if (SnapshotLog.snapshots(spark, root).isEmpty)
+      throw new NoSuchTableException(ident)
+    new SnapshotLogTable(root, SnapshotLog.pick(spark, root, v, tsMs))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "snapshotlog catalog: partition transforms are not supported " +
+        "(files are clustered by commit; stats pruning replaces dir partitioning)")
+    val root = rootFor(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    SnapshotLog.createEmpty(spark, root, schema,
+      SnapshotLog.nextCommitTs(spark, root))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "snapshotlog catalog: ALTER TABLE not supported (schema evolves " +
+        "additively through commits — append with the wider schema)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootFor(ident)
+    if (!tableExists(ident)) false
+    else fs(root).delete(new Path(root), true)
+  }
+
+  /** Refused, exactly like Iceberg's path-based HadoopCatalog: the table's
+    * identity IS its warehouse path and manifests reference data files by
+    * absolute path, so a directory move would strand every manifest. A
+    * name-mapping catalog (metastore-backed) is where rename belongs. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "snapshotlog catalog: RENAME is not supported by this path-based " +
+        "catalog (manifests hold absolute paths) — CTAS to the new name " +
+        "and DROP the old, or use a name-mapping catalog")
+}

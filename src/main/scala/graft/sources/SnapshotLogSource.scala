@@ -13,9 +13,10 @@ import org.apache.parquet.schema.{MessageType, PrimitiveType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, Statistics => V2Statistics}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -97,13 +98,38 @@ object SnapshotLogSource {
 }
 
 private[sources] class SnapshotLogTable(root: String,
-    snap: SnapshotLog.Snapshot) extends Table with SupportsRead {
+    snap: SnapshotLog.Snapshot) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"snapshotlog:$root@v${snap.version}"
   override def schema(): StructType = SnapshotLogSource.nullable(snap.schema)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotLogScanBuilder(snap)
+
+  /** INSERT INTO / INSERT OVERWRITE / CTAS-append through the V1
+    * insertable-relation fallback: the whole query DataFrame reaches
+    * `SnapshotLog.commit` as ONE distributed parquet write + footer walk +
+    * manifest publish — the identical commit path as the programmatic API,
+    * with its conflict detection, instead of a hand-rolled per-row DSv2
+    * writer. Writes always commit on the CURRENT table state (a
+    * time-traveled load still appends to the head — Iceberg semantics). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                ignored: Boolean): Unit = {
+              SnapshotLog.commit(data, root, overwrite = overwrite,
+                commitTsMs =
+                  SnapshotLog.nextCommitTs(data.sparkSession, root)): Unit
+            }
+          }
+      }
+    }
 }
 
 private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot)

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark.spark
+import graft.sources.SnapshotLog
+
+/** SQL-surface lifecycle of the `snap` TableCatalog (SnapshotLogCatalog):
+  * CTAS, INSERT INTO/OVERWRITE, Spark-native VERSION/TIMESTAMP AS OF time
+  * travel, SHOW TABLES, RENAME, DROP — all served from the manifest log,
+  * with reads going through the pinned DSv2 scan. */
+class SnapshotLogCatalogSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val wh = "/tmp/graft_snap_warehouse"
+
+  private def dropNs(ns: String): Unit = {
+    val p = new Path(s"$wh/$ns")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
+  }
+
+  test("CTAS + INSERT INTO + time travel, all in SQL") {
+    dropNs("spec1")
+    spark.sql(
+      "CREATE TABLE snap.spec1.t AS SELECT id AS k, id * 2.0 AS v FROM range(5)")
+    // CTAS = v1 create (empty, schema only) + v2 append (the query result)
+    val root = s"$wh/spec1/t"
+    assert(SnapshotLog.history(spark, root).select("operation")
+      .as[String].collect().toSeq === Seq("create", "append"))
+    assert(spark.sql("SELECT count(*) FROM snap.spec1.t").as[Long].head() === 5)
+
+    spark.sql("INSERT INTO snap.spec1.t SELECT id AS k, 0.0 AS v FROM range(100, 103)")
+    assert(spark.table("snap.spec1.t").count() === 8)
+
+    // Spark-native time travel syntax, served by loadTable(ident, version)
+    assert(spark.sql("SELECT count(*) FROM snap.spec1.t VERSION AS OF 2")
+      .as[Long].head() === 5)
+    assert(spark.sql("SELECT count(*) FROM snap.spec1.t VERSION AS OF 1")
+      .as[Long].head() === 0) // the created-empty snapshot
+    // TIMESTAMP AS OF: exactly v2's commit instant picks v2
+    val ts2 = SnapshotLog.snapshots(spark, root)(1).commitTsMs
+    val lit = java.time.Instant.ofEpochMilli(ts2).toString.replace("T", " ").replace("Z", "")
+    assert(spark.sql(
+      s"SELECT count(*) FROM snap.spec1.t TIMESTAMP AS OF '$lit'")
+      .as[Long].head() === 5)
+
+    // INSERT OVERWRITE commits an overwrite snapshot; old versions remain
+    spark.sql("INSERT OVERWRITE snap.spec1.t SELECT id AS k, 9.0 AS v FROM range(2)")
+    assert(spark.table("snap.spec1.t").count() === 2)
+    assert(spark.sql("SELECT count(*) FROM snap.spec1.t VERSION AS OF 3")
+      .as[Long].head() === 8)
+    assert(SnapshotLog.snapshots(spark, root).last.operation === "overwrite")
+  }
+
+  test("catalog reads keep DSv2 stats pruning for pushed predicates") {
+    dropNs("spec2")
+    spark.sql("CREATE TABLE snap.spec2.t AS SELECT id AS k FROM range(0, 100)")
+    spark.sql("INSERT INTO snap.spec2.t SELECT id FROM range(100, 200)")
+    spark.sql("INSERT INTO snap.spec2.t SELECT id FROM range(200, 300)")
+    val df = spark.sql("SELECT * FROM snap.spec2.t WHERE k >= 250")
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.SnapshotLogScan]
+    }.head
+    assert(scan.keptFiles.size === 2, // the third slice's 2 files only
+      s"planned ${scan.keptFiles.size} files: ${scan.description()}")
+    assert(df.count() === 50)
+  }
+
+  test("SHOW TABLES, RENAME, DROP, and error shapes") {
+    dropNs("spec3")
+    dropNs("snap") // residue of a misparsed rename target from older runs
+    spark.sql("CREATE TABLE snap.spec3.a AS SELECT 1 AS x")
+    spark.sql("CREATE TABLE snap.spec3.b AS SELECT 2 AS x")
+    val shown = spark.sql("SHOW TABLES IN snap.spec3")
+      .select("tableName").as[String].collect().sorted.toSeq
+    assert(shown === Seq("a", "b"))
+
+    // RENAME is refused, like Iceberg's path-based HadoopCatalog: the
+    // identity IS the path and manifests hold absolute file paths
+    intercept[UnsupportedOperationException](
+      spark.sql("ALTER TABLE snap.spec3.a RENAME TO spec3.c"))
+
+    spark.sql("DROP TABLE snap.spec3.b")
+    assert(spark.sql("SHOW TABLES IN snap.spec3").count() === 1)
+    intercept[Exception](spark.table("snap.spec3.b").collect())
+    // duplicate create is refused; IF NOT EXISTS is honored
+    intercept[Exception](spark.sql("CREATE TABLE snap.spec3.a AS SELECT 3 AS x"))
+    spark.sql("CREATE TABLE IF NOT EXISTS snap.spec3.a AS SELECT 3 AS x")
+    assert(spark.table("snap.spec3.a").as[Int].head() === 1) // untouched
+  }
+
+  test("writes from the DataFrame API land as snapshot commits") {
+    dropNs("spec4")
+    spark.sql("CREATE TABLE snap.spec4.t (k BIGINT, s STRING) USING snapshotlog")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .writeTo("snap.spec4.t").append()
+    assert(spark.table("snap.spec4.t").count() === 2)
+    val ops = SnapshotLog.history(spark, s"$wh/spec4/t")
+      .select("operation").as[String].collect().toSeq
+    assert(ops === Seq("create", "append"))
+  }
+}
