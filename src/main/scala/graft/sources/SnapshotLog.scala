@@ -69,7 +69,11 @@ object SnapshotLog {
       // per-file byte sizes (footer walk records them for free); absent
       // for manifests written before this field existed — readers fall
       // back to one FS stat per file
-      sizes: Map[String, Long] = Map.empty) {
+      sizes: Map[String, Long] = Map.empty,
+      // free-form commit properties (Iceberg snapshot summary analog);
+      // e.g. the streaming sink records "streaming.batchId" here for
+      // exactly-once replay detection
+      props: Map[String, String] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -121,13 +125,17 @@ object SnapshotLog {
       Option(t.get("sizes")).map { sn =>
         sn.fields().asScala.map(fe => fe.getKey -> fe.getValue.asLong()).toMap
       }.getOrElse(Map.empty)
+    val props: Map[String, String] =
+      Option(t.get("props")).map { pn =>
+        pn.fields().asScala.map(fe => fe.getKey -> fe.getValue.asText()).toMap
+      }.getOrElse(Map.empty)
     Snapshot(
       t.get("version").asInt(),
       t.get("operation").asText(),
       t.get("commitTsMs").asLong(),
       t.get("schema").asText(),
       t.get("files").elements().asScala.map(_.asText()).toSeq,
-      stats, sizes)
+      stats, sizes, props)
   }
 
   private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
@@ -228,7 +236,8 @@ object SnapshotLog {
     * commit race the freshly written data directory is deleted before the
     * conflict is thrown — no orphan files leak. */
   def commit(df: DataFrame, root: String, overwrite: Boolean,
-             commitTsMs: Long, numFiles: Int = 2): Int = {
+             commitTsMs: Long, numFiles: Int = 2,
+             props: Map[String, String] = Map.empty): Int = {
     val spark = df.sparkSession
     val rootP = new Path(root)
     val fs = fsFor(spark, rootP)
@@ -259,7 +268,7 @@ object SnapshotLog {
     try {
       commitManifest(fs, root, next,
         if (overwrite) "overwrite" else "append",
-        commitTsMs, df.schema.json, files, stats, sizes)
+        commitTsMs, df.schema.json, files, stats, sizes, props)
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true) // lost the race: reclaim our unpublished data
@@ -294,7 +303,8 @@ object SnapshotLog {
                              operation: String, commitTsMs: Long,
                              schemaJson: String, files: Seq[String],
                              stats: Map[String, Map[String, (Any, Any)]],
-                             sizes: Map[String, Long]): Unit = {
+                             sizes: Map[String, Long],
+                             props: Map[String, String] = Map.empty): Unit = {
     val node = om.createObjectNode()
     node.put("version", version)
     node.put("operation", operation)
@@ -321,6 +331,10 @@ object SnapshotLog {
     }
     val sizesNode = node.putObject("sizes")
     sizes.foreach { case (f, len) => sizesNode.put(f, len) }
+    if (props.nonEmpty) {
+      val propsNode = node.putObject("props")
+      props.foreach { case (k, v) => propsNode.put(k, v) }
+    }
     publish(fs, manifestPath(root, version), om.writeValueAsBytes(node))
   }
 
@@ -462,10 +476,19 @@ object SnapshotLog {
     * the FILE COUNT unboundedly — scan task count explodes long before
     * data volume does. Old snapshots still reference the replaced files
     * until `expireSnapshots` reclaims them. Returns the new version, or
-    * the current version unchanged when fewer than two files qualify. */
+    * the current version unchanged when fewer than two files qualify.
+    *
+    * `clusterBy`: range-partition + sort the rewritten rows on these
+    * columns, so each output file covers a TIGHT DISJOINT key range and
+    * the manifest stats become maximally selective — compaction doubles
+    * as the clustering pass that turns stats-pruning from best-effort
+    * into near-partition-pruning (Iceberg's sort-order rewrite; the
+    * Z-order analog for one sort dimension). Daily-append tables commit
+    * in arrival order; this is where they get query order. */
   def rewriteDataFiles(spark: SparkSession, root: String, commitTsMs: Long,
                        targetBytes: Long = 128L << 20,
-                       smallBytes: Long = -1L): Int = {
+                       smallBytes: Long = -1L,
+                       clusterBy: Seq[String] = Nil): Int = {
     val threshold = if (smallBytes > 0) smallBytes else targetBytes
     val cur = pick(spark, root, None, None)
     val fs = fsFor(spark, new Path(root))
@@ -483,8 +506,16 @@ object SnapshotLog {
       java.util.UUID.randomUUID().toString.take(12))
     // explicit schema null-fills columns absent from pre-evolution files —
     // the rewrite conforms every output file to the current table schema
-    spark.read.schema(schema).parquet(small: _*)
-      .repartition(numOut).write.parquet(dataDir.toString)
+    val input = spark.read.schema(schema).parquet(small: _*)
+    val shaped =
+      if (clusterBy.isEmpty) input.repartition(numOut)
+      else {
+        import org.apache.spark.sql.functions.col
+        val keys = clusterBy.map(col)
+        input.repartitionByRange(numOut, keys: _*)
+          .sortWithinPartitions(keys: _*)
+      }
+    shaped.write.parquet(dataDir.toString)
     val statuses = fs.listStatus(dataDir)
       .filter(s => s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
@@ -501,6 +532,57 @@ object SnapshotLog {
         kept ++ newFiles,
         cur.stats.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newStats,
         cur.sizes.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newSizes)
+    } catch {
+      case e: IllegalStateException => fs.delete(dataDir, true); throw e
+    }
+    next
+  }
+
+  /** Per-file row counts from parquet footers (metadata IO only). */
+  private def footerRowCounts(conf: Configuration,
+                              files: Seq[String]): Map[String, Long] =
+    files.map { f =>
+      val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try norm(f) -> rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally rdr.close()
+    }.toMap
+
+  /** Copy-on-write partial rewrite — the commit primitive behind DELETE:
+    * the TOUCHED files are replaced by `keep` (their surviving rows), the
+    * UNTOUCHED files are carried by reference (metadata only, stats and
+    * sizes preserved) — Iceberg's file-granular copy-on-write delete.
+    * Zero-row outputs are dropped from the manifest (and disk), so
+    * deleting a whole file's rows shrinks the table instead of leaving
+    * empty husks. Old snapshots still reference the replaced files until
+    * `expireSnapshots`. */
+  private[sources] def rewriteTouched(spark: SparkSession, root: String,
+      cur: Snapshot, untouched: Seq[String], keep: DataFrame,
+      operation: String, commitTsMs: Long, numFiles: Int): Int = {
+    require(cur.commitTsMs < commitTsMs,
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    val fs = fsFor(spark, new Path(root))
+    val conf = spark.sessionState.newHadoopConf()
+    val dataDir = new Path(new Path(root, "data"),
+      java.util.UUID.randomUUID().toString.take(12))
+    keep.repartition(math.max(1, numFiles)).write.parquet(dataDir.toString)
+    val statuses = fs.listStatus(dataDir)
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val written = statuses.map(_.getPath.toString).toSeq
+    val rows = footerRowCounts(conf, written)
+    val (newFiles, husks) = written.partition(f => rows(norm(f)) > 0)
+    husks.foreach(f => fs.delete(new Path(f), false))
+    val newSizes = statuses.filter(s => rows(norm(s.getPath.toString)) > 0)
+      .map(s => norm(s.getPath.toString) -> s.getLen).toMap
+    val newStats = footerStats(conf, newFiles, cur.schema)
+    val untouchedSet = untouched.map(norm).toSet
+    val next = cur.version + 1
+    try {
+      commitManifest(fs, root, next, operation, commitTsMs, cur.schemaJson,
+        untouched ++ newFiles,
+        cur.stats.view.filterKeys(untouchedSet.contains).toMap ++ newStats,
+        cur.sizes.view.filterKeys(untouchedSet.contains).toMap ++ newSizes)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }

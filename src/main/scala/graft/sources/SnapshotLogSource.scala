@@ -13,7 +13,7 @@ import org.apache.parquet.schema.{MessageType, PrimitiveType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, Statistics => V2Statistics}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -98,7 +98,8 @@ object SnapshotLogSource {
 }
 
 private[sources] class SnapshotLogTable(root: String,
-    snap: SnapshotLog.Snapshot) extends Table with SupportsRead with SupportsWrite {
+    snap: SnapshotLog.Snapshot) extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
   override def name(): String = s"snapshotlog:$root@v${snap.version}"
   override def schema(): StructType = SnapshotLogSource.nullable(snap.schema)
   override def capabilities(): java.util.Set[TableCapability] =
@@ -106,6 +107,39 @@ private[sources] class SnapshotLogTable(root: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotLogScanBuilder(snap)
+
+  /** SQL `DELETE FROM … WHERE …` as Iceberg's file-granular copy-on-write:
+    * files whose manifest stats PROVE no row can match are carried by
+    * reference untouched (metadata only); only stat-touched files are read,
+    * filtered to their surviving rows, and rewritten — so a delete of one
+    * time slice rewrites that slice's files and nothing else. NULL
+    * condition rows survive (SQL DELETE removes only WHERE=TRUE). Refused
+    * (canDeleteWhere=false) when any pushed filter has no faithful Column
+    * translation — correctness over convenience. Acts on the CURRENT
+    * snapshot at execution time, committing a "delete" snapshot. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => SnapshotStatsFilter.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val spark = SparkSession.active
+    val cur = SnapshotLog.pick(spark, root, None, None)
+    val schema = cur.schema
+    val (touched, untouched) = cur.files.partition { f =>
+      val stats = cur.stats.getOrElse(SnapshotLog.norm(f),
+        Map.empty[String, (Any, Any)])
+      filters.forall(SnapshotStatsFilter.mayMatch(stats, schema, _))
+    }
+    if (touched.isEmpty) return // stats prove nothing matches: no-op
+    val cond = filters.map(f => SnapshotStatsFilter.toColumn(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"snapshotlog: cannot translate delete filter $f")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val keep = spark.read.schema(schema).parquet(touched: _*)
+      .filter(not(coalesce(cond, lit(false))))
+    SnapshotLog.rewriteTouched(spark, root, cur, untouched, keep,
+      "delete", SnapshotLog.nextCommitTs(spark, root), touched.size): Unit
+  }
 
   /** INSERT INTO / INSERT OVERWRITE / CTAS-append through the V1
     * insertable-relation fallback: the whole query DataFrame reaches
@@ -183,7 +217,7 @@ private[sources] object SnapshotStatsFilter {
 
   /** Normalize a pushed literal into manifest-stat space (timestamps →
     * epoch-µs longs, the unit commit records). None = not comparable. */
-  private def lit(schema: StructType, attr: String, v: Any): Option[Any] = v match {
+  private def statLit(schema: StructType, attr: String, v: Any): Option[Any] = v match {
     case null => None
     case t: java.sql.Timestamp =>
       Some(Long.box(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000))
@@ -200,7 +234,7 @@ private[sources] object SnapshotStatsFilter {
 
   def mayMatch(stats: Map[String, (Any, Any)], schema: StructType, f: Filter): Boolean = {
     def bound(attr: String, v: Any)(p: (Any, Any, Any) => Boolean): Boolean =
-      (stats.get(attr), lit(schema, attr, v)) match {
+      (stats.get(attr), statLit(schema, attr, v)) match {
         case (Some((mn, mx)), Some(w)) => p(mn, mx, w)
         case _ => true
       }
@@ -225,6 +259,34 @@ private[sources] object SnapshotStatsFilter {
         case _ => true
       }
       case _ => true
+    }
+  }
+
+  /** EXACT Column form of a v1 Filter (for the DELETE rewrite's residual
+    * row predicate). None = shape we cannot translate faithfully — the
+    * caller must refuse the delete rather than guess. */
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    def l(v: Any) = lit(v)
+    f match {
+      case EqualTo(a, v) => Some(col(a) === l(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> l(v))
+      case GreaterThan(a, v) => Some(col(a) > l(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= l(v))
+      case LessThan(a, v) => Some(col(a) < l(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= l(v))
+      case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case And(x, y) => for (cx <- toColumn(x); cy <- toColumn(y)) yield cx && cy
+      case Or(x, y) => for (cx <- toColumn(x); cy <- toColumn(y)) yield cx || cy
+      case Not(x) => toColumn(x).map(not)
+      case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+      case StringEndsWith(a, p) => Some(col(a).endsWith(p))
+      case StringContains(a, p) => Some(col(a).contains(p))
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
     }
   }
 }

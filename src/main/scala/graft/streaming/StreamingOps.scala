@@ -135,6 +135,42 @@ object StreamingOps {
         batch.write.mode("overwrite").parquet(s"$path/batch=$id")
       }.start()
 
+  /** Commit one micro-batch to a SnapshotLog table with EXACTLY-ONCE
+    * semantics: the batch id is recorded in the snapshot's commit props,
+    * and a replayed batch (id ≤ the highest committed) is skipped instead
+    * of appended — idempotence from the TABLE's own transaction log, not
+    * from sink-directory layout. Returns true when the batch committed,
+    * false when it was recognized as a replay. */
+  def commitStreamBatch(batch: DataFrame, root: String, batchId: Long): Boolean = {
+    import graft.sources.SnapshotLog
+    val spark = batch.sparkSession
+    val committed = SnapshotLog.snapshots(spark, root)
+      .flatMap(_.props.get("streaming.batchId")).map(_.toLong)
+      .maxOption.getOrElse(-1L)
+    if (batchId <= committed) false
+    else {
+      SnapshotLog.commit(batch, root, overwrite = false,
+        commitTsMs = SnapshotLog.nextCommitTs(spark, root),
+        props = Map("streaming.batchId" -> batchId.toString))
+      true
+    }
+  }
+
+  /** Streaming sink INTO a SnapshotLog table — the Spark-first analog of
+    * Iceberg's streaming append (bodo's stream_iceberg_write.py): each
+    * micro-batch is one transactional append snapshot, failure replays
+    * dedupe on the recorded batch id, and downstream readers get snapshot
+    * isolation + time travel over the live feed. The checkpoint defaults
+    * into the table root so batch ids are durable across restarts. */
+  def snapshotLogSink(df: DataFrame, root: String,
+                      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint.getOrElse(s"$root/_checkpoint"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitStreamBatch(batch, root, id): Unit
+      }.start()
+
   case class Click(userId: Long, tsUs: Long)
   case class Session(userId: Long, nEvents: Long, firstUs: Long, lastUs: Long)
 

@@ -91,6 +91,43 @@ class SnapshotLogCatalogSpec extends AnyFunSuite {
     assert(spark.table("snap.spec3.a").as[Int].head() === 1) // untouched
   }
 
+  test("SQL DELETE is file-granular copy-on-write: untouched slices carried by reference") {
+    dropNs("spec5")
+    spark.sql("CREATE TABLE snap.spec5.t AS SELECT id AS k, id * 1.5 AS v FROM range(0, 100)")
+    spark.sql("INSERT INTO snap.spec5.t SELECT id, id * 1.5 FROM range(100, 200)")
+    spark.sql("INSERT INTO snap.spec5.t SELECT id, id * 1.5 FROM range(200, 300)")
+    val root = s"$wh/spec5/t"
+    val before = SnapshotLog.snapshots(spark, root).last
+    assert(before.files.size === 6)
+
+    // delete hits only the middle slice's stats range
+    spark.sql("DELETE FROM snap.spec5.t WHERE k >= 120 AND k < 150")
+    val after = SnapshotLog.snapshots(spark, root).last
+    assert(after.operation === "delete")
+    // the 4 files of slices 1 and 3 are the SAME files (by-reference carry)
+    val carried = before.files.toSet.intersect(after.files.toSet)
+    assert(carried.size === 4, s"expected 4 carried files, got ${carried.size}")
+    assert(spark.table("snap.spec5.t").count() === 270)
+    assert(spark.sql("SELECT count(*) FROM snap.spec5.t WHERE k BETWEEN 120 AND 149")
+      .as[Long].head() === 0)
+    // surviving middle-slice rows are intact
+    assert(spark.sql("SELECT count(*) FROM snap.spec5.t WHERE k BETWEEN 100 AND 199")
+      .as[Long].head() === 70)
+    // pre-delete version still time-travels (copy-on-write)
+    assert(spark.sql(s"SELECT count(*) FROM snap.spec5.t VERSION AS OF ${before.version}")
+      .as[Long].head() === 300)
+
+    // delete whose stats prove no match is a metadata NO-OP (no new version)
+    spark.sql("DELETE FROM snap.spec5.t WHERE k > 5000")
+    assert(SnapshotLog.snapshots(spark, root).last.version === after.version)
+
+    // deleting every row of a slice drops its files entirely (no empty husks)
+    spark.sql("DELETE FROM snap.spec5.t WHERE k >= 200")
+    val fin = SnapshotLog.snapshots(spark, root).last
+    assert(spark.table("snap.spec5.t").count() === 170)
+    assert(fin.files.size === 4, s"expected 4 files, got ${fin.files.size}")
+  }
+
   test("writes from the DataFrame API land as snapshot commits") {
     dropNs("spec4")
     spark.sql("CREATE TABLE snap.spec4.t (k BIGINT, s STRING) USING snapshotlog")

@@ -359,6 +359,37 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, root).as[Long].collect().sorted.toSeq === before)
   }
 
+  test("clusterBy rewrite turns useless stats into near-partition pruning") {
+    val root = freshRoot("cluster")
+    // 4 commits of INTERLEAVED keys: every file spans ~the full key range,
+    // so a range probe can prune nothing
+    for (i <- 0 until 4) {
+      val df = (0 until 250).map(j => (j * 4L + i, j.toDouble)).toDF("k", "v")
+      SnapshotLog.commit(df, root, overwrite = i == 0, 100L * (i + 1))
+    }
+    def planned(lo: Long, hi: Long): Int = {
+      val df = spark.read.format("snapshotlog").load(root)
+        .filter(col("k") >= lo && col("k") <= hi)
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[graft.sources.SnapshotLogScan]
+      }.head.keptFiles.size
+    }
+    assert(planned(100, 150) === 8, "interleaved commits should defeat pruning")
+
+    // compact WITH clustering: 4 range-disjoint sorted output files
+    val before = SnapshotLog.read(spark, root).as[(Long, Double)].collect().sorted.toSeq
+    val small = SnapshotLog.snapshots(spark, root).last.sizes.values.max + 1
+    val v = SnapshotLog.rewriteDataFiles(spark, root, commitTsMs = 1000L,
+      targetBytes = small * 2, smallBytes = small, clusterBy = Seq("k"))
+    assert(v === 5)
+    assert(SnapshotLog.read(spark, root).as[(Long, Double)].collect().sorted.toSeq === before)
+    val nowPlanned = planned(100, 150)
+    val total = SnapshotLog.snapshots(spark, root).last.files.size
+    assert(total >= 2 && nowPlanned <= (total + 1) / 2,
+      s"clustered rewrite should prune most files: planned $nowPlanned of $total")
+  }
+
   test("expireSnapshots orphanScan reclaims data dirs no manifest references") {
     val root = freshRoot("orphan")
     SnapshotLog.commit(Seq(1, 2).toDF("x"), root, overwrite = true, 100L)

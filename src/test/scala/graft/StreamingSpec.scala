@@ -104,6 +104,35 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch duplicated rows — sink is not idempotent")
   }
 
+  test("snapshotLogSink: each micro-batch is a transactional append; replays skip") {
+    import graft.sources.SnapshotLog
+    val root = s"/tmp/graft_stream_snap/${System.nanoTime()}"
+    val src = StreamingOps.eventsStream(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = StreamingOps.snapshotLogSink(src, root)
+    try q.processAllAvailable() finally q.stop()
+    val expected = Tables.events(spark, sf).count()
+    assert(SnapshotLog.read(spark, root).count() === expected)
+    val snaps = SnapshotLog.snapshots(spark, root)
+    assert(snaps.nonEmpty && snaps.forall(_.operation == "append"))
+    assert(snaps.forall(_.props.contains("streaming.batchId")))
+    val lastV = snaps.last.version
+
+    // replaying an already-committed batch id is recognized and SKIPPED —
+    // no new snapshot, no duplicate rows (exactly-once from the table log)
+    val replay = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    assert(!StreamingOps.commitStreamBatch(replay, root, batchId = 0L))
+    assert(SnapshotLog.snapshots(spark, root).last.version === lastV)
+    assert(SnapshotLog.read(spark, root).count() === expected)
+    // a genuinely new batch still lands
+    assert(StreamingOps.commitStreamBatch(replay.limit(1), root,
+      batchId = snaps.flatMap(_.props.get("streaming.batchId")).map(_.toLong).max + 1))
+    assert(SnapshotLog.read(spark, root).count() === expected + 1)
+    // and the streamed table time-travels like any snapshot table
+    assert(SnapshotLog.read(spark, root, asOfVersion = Some(lastV)).count() === expected)
+  }
+
   test("mapGroupsWithState sessionization produces per-user sessions") {
     import spark.implicits._
     val clicks = Tables.events(spark, sf)
