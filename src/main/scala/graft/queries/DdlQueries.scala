@@ -315,6 +315,74 @@ object DdlQueries extends QueryModule {
         .select("snap", "n_rows", "sum_price")
     }),
 
+    // HIDDEN PARTITIONING (Iceberg's partition-spec semantics,
+    // SnapshotPartition): customer bucketed by bucket[8] on c_custkey —
+    // keys are hash-distributed, so every file's min/max SPANS the whole
+    // key range and stats pruning is provably useless here; only the
+    // bucket transform can prune an equality/IN probe. files_scanned
+    // literals are deterministic (murmur3 is fixed): key 42 → bucket 0,
+    // keys 10/800 → buckets 5/4. The user never names the partition
+    // column — predicates are on the source column (the "hidden" part).
+    "ddl_hidden_partitioning" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "hidden_part") { root =>
+        SnapshotLog.commitPartitioned(
+          customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          root, Seq("c_custkey" -> "bucket[8]"),
+          overwrite = true, commitTsMs = 1000L)
+      }
+      val t = snapRead(s, root)
+      val total = graft.sources.SnapshotLog.snapshots(s, root).last.files.size
+      def probe(label: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+          .withColumn("files_scanned", lit(filesPlanned(df)))
+          .withColumn("files_total", lit(total.toLong))
+          .withColumn("probe", lit(label))
+      Seq(
+        probe("eq_key", t.filter(col("c_custkey") === 42L)),
+        probe("in_keys", t.filter(col("c_custkey").isin(10L, 800L))))
+        .reduce(_ unionByName _)
+        .select("probe", "n_rows", "sum_bal", "files_scanned", "files_total")
+    }),
+
+    // Incremental (change-feed) reads — Iceberg's incremental append scan
+    // (the batch face of the streaming source): option("fromVersion", N)
+    // restricts the DSv2 scan to the files APPENDED in (N, head], so a
+    // downstream consumer that remembers its last version reads exactly
+    // the new rows, never a full re-scan. v4 is a compaction rewrite —
+    // content-neutral, so the post-rewrite delta MUST be empty (a consumer
+    // never sees compacted rows twice).
+    "ddl_incremental_read" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "incremental") { root =>
+        val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        SnapshotLog.commit(o.filter(col("o_orderkey") % 10 === 0), root,
+          overwrite = true, commitTsMs = 1000L)
+        SnapshotLog.commit(o.filter(col("o_orderkey") % 10 === 5), root,
+          overwrite = false, commitTsMs = 2000L)
+        SnapshotLog.commit(o.filter(col("o_orderkey") % 10 === 7), root,
+          overwrite = false, commitTsMs = 3000L)
+        val v = SnapshotLog.rewriteDataFiles(s, root, commitTsMs = 4000L,
+          targetBytes = 1L << 30)
+        require(v == 4, s"expected rewrite to commit v4, got $v")
+      }
+      def delta(label: String, from: Int, to: Option[Int]): DataFrame = {
+        var r = s.read.format("snapshotlog").option("fromVersion", from)
+        to.foreach(v => r = r.option("asOfVersion", v))
+        r.load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("delta", lit(label))
+      }
+      Seq(
+        delta("since_v1", 1, None),
+        delta("v2_to_v3", 2, Some(3)),
+        delta("after_rewrite", 3, None))
+        .reduce(_ unionByName _)
+        .select("delta", "n_rows", "sum_price")
+    }),
+
     // EXTERNAL_TABLE_FILES analog (TableFunctionOperatorTable.java:158 /
     // Iceberg `files` metadata table): the per-snapshot file inventory
     // from MANIFEST METADATA (recorded sizes, no data scan), joined
@@ -436,6 +504,30 @@ object DdlQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  round(sum(c_acctbal), 2) AS sum_bal
         |FROM customer""".stripMargin,
+
+    // murmur3 constants: key 42 → bucket 0 (1 file), keys 10/800 →
+    // buckets 5/4 (2 files); 8 buckets all non-empty at every fixture SF.
+    "ddl_hidden_partitioning" ->
+      """SELECT 'eq_key' AS probe, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  CAST(1 AS BIGINT) AS files_scanned, CAST(8 AS BIGINT) AS files_total
+        |FROM customer WHERE c_custkey = 42
+        |UNION ALL
+        |SELECT 'in_keys', CAST(count(*) AS BIGINT), round(sum(c_acctbal), 2),
+        |  CAST(2 AS BIGINT), CAST(8 AS BIGINT)
+        |FROM customer WHERE c_custkey IN (10, 800)""".stripMargin,
+
+    // The post-rewrite delta is empty: count 0, sum NULL (SQL sum over no
+    // rows) — the rewrite-skip rule stated as literals.
+    "ddl_incremental_read" ->
+      """SELECT 'since_v1' AS delta, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderkey % 10 IN (5, 7)
+        |UNION ALL
+        |SELECT 'v2_to_v3', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderkey % 10 = 7
+        |UNION ALL
+        |SELECT 'after_rewrite', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)""".stripMargin,
 
     "ddl_table_files" ->
       """SELECT CAST(1 AS INT) AS version, CAST(2 AS BIGINT) AS n_files,

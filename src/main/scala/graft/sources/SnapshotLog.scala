@@ -73,7 +73,15 @@ object SnapshotLog {
       // free-form commit properties (Iceberg snapshot summary analog);
       // e.g. the streaming sink records "streaming.batchId" here for
       // exactly-once replay detection
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      // hidden-partitioning spec: (source column, transform) pairs, where
+      // transform ∈ identity | bucket[N] | truncate[W] | day — Iceberg's
+      // partition spec. Empty = unpartitioned.
+      spec: Seq[(String, String)] = Seq.empty,
+      // per-file partition tuple (values aligned with `spec`), parsed from
+      // the writer's directory layout; None-valued entries (null partition)
+      // are recorded as the empty-marker and never pruned
+      parts: Map[String, Seq[String]] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -129,13 +137,23 @@ object SnapshotLog {
       Option(t.get("props")).map { pn =>
         pn.fields().asScala.map(fe => fe.getKey -> fe.getValue.asText()).toMap
       }.getOrElse(Map.empty)
+    val spec: Seq[(String, String)] =
+      Option(t.get("spec")).map { sn =>
+        sn.elements().asScala.map(e =>
+          (e.get("source").asText(), e.get("transform").asText())).toSeq
+      }.getOrElse(Seq.empty)
+    val parts: Map[String, Seq[String]] =
+      Option(t.get("parts")).map { pn =>
+        pn.fields().asScala.map(fe =>
+          fe.getKey -> fe.getValue.elements().asScala.map(_.asText()).toSeq).toMap
+      }.getOrElse(Map.empty)
     Snapshot(
       t.get("version").asInt(),
       t.get("operation").asText(),
       t.get("commitTsMs").asLong(),
       t.get("schema").asText(),
       t.get("files").elements().asScala.map(_.asText()).toSeq,
-      stats, sizes, props)
+      stats, sizes, props, spec, parts)
   }
 
   private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
@@ -277,6 +295,91 @@ object SnapshotLog {
     next
   }
 
+  /** Commit with HIDDEN PARTITIONING ([[SnapshotPartition]] — Iceberg's
+    * partition spec): the writer derives one `_p_i` column per spec field
+    * (`identity` / `bucket[N]` / `truncate[W]` / `day`), lays the data out
+    * by the derived tuple, and the manifest records each file's tuple.
+    * The SOURCE columns stay in the data files — the derived columns exist
+    * only in the directory layout — so every existing read path works
+    * unchanged, and the DSv2 planner additionally converts predicates on
+    * the source columns into partition-tuple pruning (the case stats can't
+    * cover: an equality probe on a hash-distributed key). Appends must
+    * reuse the table's existing spec — Iceberg's spec-per-snapshot
+    * evolution is out of scope. */
+  def commitPartitioned(df: DataFrame, root: String, spec: Seq[(String, String)],
+                        overwrite: Boolean, commitTsMs: Long,
+                        props: Map[String, String] = Map.empty): Int = {
+    require(spec.nonEmpty, "commitPartitioned: empty spec — use commit()")
+    val spark = df.sparkSession
+    val rootP = new Path(root)
+    val fs = fsFor(spark, rootP)
+    val prior = snapshots(spark, root)
+    val next = prior.lastOption.map(_.version + 1).getOrElse(1)
+    require(prior.forall(_.commitTsMs < commitTsMs),
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    val parent = if (overwrite) None else prior.lastOption
+    parent.foreach(p => require(p.spec.isEmpty || p.spec == spec,
+      s"commitPartitioned: append spec $spec != table spec ${p.spec}"))
+    spec.foreach { case (src, _) =>
+      require(df.schema.fieldNames.contains(src),
+        s"commitPartitioned: spec column $src not in ${df.schema.fieldNames.mkString(",")}")
+    }
+
+    val dataDir = new Path(new Path(rootP, "data"),
+      java.util.UUID.randomUUID().toString.take(12))
+    val pCols = spec.zipWithIndex.map { case ((src, tr), i) =>
+      SnapshotPartition.transformCol(src, tr,
+        df.schema(src).dataType).as(s"_p_$i")
+    }
+    val pNames = spec.indices.map(i => s"_p_$i")
+    // shuffle by the derived tuple so each partition value is written by
+    // ONE task (one file per tuple per commit, not one per task per tuple
+    // — the same small-files discipline a 1000-executor write needs; a
+    // single giant partition would instead size numFiles by target bytes)
+    df.select(org.apache.spark.sql.functions.col("*") +: pCols: _*)
+      .repartition(pNames.map(org.apache.spark.sql.functions.col): _*)
+      .write.partitionBy(pNames: _*).parquet(dataDir.toString)
+
+    // recursive walk: each leaf file's partition tuple is its directory path
+    val found = scala.collection.mutable.ArrayBuffer[(String, Long, Seq[String])]()
+    val it = fs.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (name.startsWith("part-") && name.endsWith(".parquet")) {
+        val rel = s.getPath.toString.stripPrefix(dataDir.toString).split('/')
+        val tuple = pNames.map { pn =>
+          rel.collectFirst { case seg if seg.startsWith(pn + "=") =>
+            seg.substring(pn.length + 1)
+          }.getOrElse(SnapshotPartition.NullMarker)
+        }
+        found += ((s.getPath.toString, s.getLen, tuple.toSeq))
+      }
+    }
+    val sortedFound = found.sortBy(_._1).toSeq
+    val newFiles = sortedFound.map(_._1)
+    val newSizes = sortedFound.map(f => norm(f._1) -> f._2).toMap
+    val newParts = sortedFound.map(f => norm(f._1) -> f._3).toMap
+    val newStats =
+      footerStats(spark.sessionState.newHadoopConf(), newFiles, df.schema)
+
+    try {
+      commitManifest(fs, root, next,
+        if (overwrite) "overwrite" else "append",
+        commitTsMs, df.schema.json,
+        parent.map(_.files).getOrElse(Seq.empty) ++ newFiles,
+        parent.map(_.stats).getOrElse(Map.empty) ++ newStats,
+        parent.map(_.sizes).getOrElse(Map.empty) ++ newSizes,
+        props, spec,
+        parent.map(_.parts).getOrElse(Map.empty) ++ newParts)
+    } catch {
+      case e: IllegalStateException =>
+        fs.delete(dataDir, true)
+        throw e
+    }
+    next
+  }
+
   /** Create an EMPTY table: a v1 "create" manifest carrying only the
     * schema — the catalog's CREATE TABLE step (data arrives as append
     * commits; time travel to v1 reads an empty table of this schema). */
@@ -304,7 +407,9 @@ object SnapshotLog {
                              schemaJson: String, files: Seq[String],
                              stats: Map[String, Map[String, (Any, Any)]],
                              sizes: Map[String, Long],
-                             props: Map[String, String] = Map.empty): Unit = {
+                             props: Map[String, String] = Map.empty,
+                             spec: Seq[(String, String)] = Seq.empty,
+                             parts: Map[String, Seq[String]] = Map.empty): Unit = {
     val node = om.createObjectNode()
     node.put("version", version)
     node.put("operation", operation)
@@ -334,6 +439,19 @@ object SnapshotLog {
     if (props.nonEmpty) {
       val propsNode = node.putObject("props")
       props.foreach { case (k, v) => propsNode.put(k, v) }
+    }
+    if (spec.nonEmpty) {
+      val specNode = node.putArray("spec")
+      spec.foreach { case (src, tr) =>
+        val f = specNode.addObject()
+        f.put("source", src)
+        f.put("transform", tr): Unit
+      }
+      val partsNode = node.putObject("parts")
+      parts.foreach { case (f, vs) =>
+        val arr = partsNode.putArray(f)
+        vs.foreach(arr.add)
+      }
     }
     publish(fs, manifestPath(root, version), om.writeValueAsBytes(node))
   }
@@ -633,6 +751,62 @@ object SnapshotLog {
       }
     }
     (dead.size, filesDeleted)
+  }
+
+  /** Files ADDED by each version in `(fromVersion, toVersion]` — the
+    * incremental-consumption primitive behind version-range batch reads and
+    * the streaming source (Iceberg's incremental append scan). "rewrite"
+    * snapshots are skipped: compaction re-files existing rows without
+    * changing table content, so an incremental consumer must NOT see them
+    * again (Iceberg skips replace snapshots the same way). Snapshots that
+    * CHANGE content non-additively (overwrite / delete / merge) have no
+    * append-delta semantics — they throw unless `skipNonAppends`, which
+    * mirrors Iceberg's streaming `skip-overwrite-snapshots` escape hatch.
+    * Returns (version, filesAdded) pairs, oldest first — driver-side
+    * manifest metadata only, never a data scan. */
+  def addedFiles(spark: SparkSession, root: String,
+                 fromVersion: Int, toVersion: Int,
+                 skipNonAppends: Boolean = false): Seq[(Int, Seq[String])] = {
+    val snaps = snapshots(spark, root)
+    val byV = snaps.map(s => s.version -> s).toMap
+    val range = snaps.filter(s => s.version > fromVersion && s.version <= toVersion)
+    range.map { s =>
+      val prior: Set[String] =
+        byV.get(s.version - 1).map(_.files.map(norm).toSet).getOrElse(Set.empty)
+      s.operation match {
+        // the log's FIRST snapshot is the table's initial content: wholly
+        // additive whatever its recorded operation (there is no
+        // predecessor whose rows an "overwrite" could have replaced)
+        case _ if s.version == snaps.head.version =>
+          s.version -> s.files
+        case "append" | "create" =>
+          s.version -> s.files.filterNot(f => prior.contains(norm(f)))
+        case "rewrite" => s.version -> Seq.empty[String]
+        case _ if skipNonAppends => s.version -> Seq.empty[String]
+        case op => throw new UnsupportedOperationException(
+          s"SnapshotLog: incremental read crossed a non-append snapshot " +
+            s"v${s.version} ($op) at $root; pass skipNonAppends=true to " +
+            "skip content-changing snapshots (Iceberg's skip-overwrite rule)")
+      }
+    }
+  }
+
+  /** Incremental batch read: the rows APPENDED in `(fromVersion,
+    * toVersion]` (toVersion defaults to the current head). The change-feed
+    * primitive: a downstream consumer that remembers its last version reads
+    * exactly the new data, never re-scans the table. Schema is the
+    * toVersion snapshot's (additive evolution null-fills older files). */
+  def readIncremental(spark: SparkSession, root: String, fromVersion: Int,
+                      toVersion: Option[Int] = None,
+                      skipNonAppends: Boolean = false): DataFrame = {
+    val to = toVersion.getOrElse(pick(spark, root, None, None).version)
+    val files = addedFiles(spark, root, fromVersion, to, skipNonAppends)
+      .flatMap(_._2)
+    val schema = pick(spark, root, Some(to), None).schema
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** DESCRIBE HISTORY analog: the snapshot log itself as a DataFrame

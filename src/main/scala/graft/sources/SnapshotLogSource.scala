@@ -72,7 +72,7 @@ class SnapshotLogSource extends TableProvider with DataSourceRegister {
                         properties: java.util.Map[String, String]): Table = {
     val opts = properties.asScala.toMap
     new SnapshotLogTable(SnapshotLogSource.rootOf(opts),
-      SnapshotLogSource.resolve(opts))
+      SnapshotLogSource.resolve(opts), opts)
   }
 }
 
@@ -88,25 +88,46 @@ object SnapshotLogSource {
       .getOrElse(throw new IllegalArgumentException(
         "snapshotlog: a table root is required — spark.read.format(\"snapshotlog\").load(root)"))
 
-  /** Pin the manifest named by the options (version / AS-OF ts / latest). */
+  private[sources] def opt(opts: Map[String, String], name: String): Option[String] =
+    opts.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
+  /** Pin the manifest named by the options (version / AS-OF ts / latest).
+    * With `fromVersion`, the pinned snapshot is RESTRICTED to the files
+    * appended in `(fromVersion, pinnedVersion]` — the incremental change
+    * feed as an ordinary DSv2 table, so stats pruning, column pruning, and
+    * metadata statistics all apply to the delta scan unchanged. */
   private[sources] def resolve(opts: Map[String, String]): SnapshotLog.Snapshot = {
-    def opt(name: String): Option[String] =
-      opts.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
-    SnapshotLog.pick(SparkSession.active, rootOf(opts),
-      opt("asOfVersion").map(_.toInt), opt("asOfTimestampMs").map(_.toLong))
+    val spark = SparkSession.active
+    val root = rootOf(opts)
+    val snap = SnapshotLog.pick(spark, root,
+      opt(opts, "asOfVersion").map(_.toInt),
+      opt(opts, "asOfTimestampMs").map(_.toLong))
+    opt(opts, "fromVersion").map(_.toInt) match {
+      case None => snap
+      case Some(from) =>
+        val skip = opt(opts, "skipNonAppends").exists(_.toBoolean)
+        val added = SnapshotLog.addedFiles(spark, root, from, snap.version, skip)
+          .flatMap(_._2)
+        val keep = added.map(SnapshotLog.norm).toSet
+        snap.copy(files = added,
+          stats = snap.stats.view.filterKeys(keep.contains).toMap,
+          sizes = snap.sizes.view.filterKeys(keep.contains).toMap)
+    }
   }
 }
 
 private[sources] class SnapshotLogTable(root: String,
-    snap: SnapshotLog.Snapshot) extends Table with SupportsRead with SupportsWrite
+    snap: SnapshotLog.Snapshot, opts: Map[String, String] = Map.empty)
+    extends Table with SupportsRead with SupportsWrite
     with SupportsDelete {
   override def name(): String = s"snapshotlog:$root@v${snap.version}"
   override def schema(): StructType = SnapshotLogSource.nullable(snap.schema)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotLogScanBuilder(snap)
+    new SnapshotLogScanBuilder(snap, root, opts)
 
   /** SQL `DELETE FROM … WHERE …` as Iceberg's file-granular copy-on-write:
     * files whose manifest stats PROVE no row can match are carried by
@@ -166,7 +187,8 @@ private[sources] class SnapshotLogTable(root: String,
     }
 }
 
-private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot)
+private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
+    root: String = "", opts: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -188,11 +210,18 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot)
   override def build(): Scan = {
     val schema = snap.schema
     val kept = snap.files.filter { f =>
-      val stats = snap.stats.getOrElse(SnapshotLog.norm(f),
-        Map.empty[String, (Any, Any)])
-      pushed.forall(SnapshotStatsFilter.mayMatch(stats, schema, _))
+      val key = SnapshotLog.norm(f)
+      val stats = snap.stats.getOrElse(key, Map.empty[String, (Any, Any)])
+      pushed.forall(SnapshotStatsFilter.mayMatch(stats, schema, _)) && {
+        // hidden-partition pruning: the file's recorded partition tuple
+        // vs the pushed predicates on the SOURCE columns — the pruning
+        // min/max stats cannot do (bucket probes on hashed keys)
+        val tuple = snap.parts.getOrElse(key, Seq.empty)
+        snap.spec.isEmpty || tuple.isEmpty ||
+          pushed.forall(SnapshotPartition.mayMatch(snap.spec, tuple, schema, _))
+      }
     }
-    new SnapshotLogScan(snap, required, pushed, kept)
+    new SnapshotLogScan(snap, required, pushed, kept, root, opts)
   }
 }
 
@@ -292,11 +321,28 @@ private[sources] object SnapshotStatsFilter {
 }
 
 private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
-    required: StructType, pushed: Array[Filter], kept: Seq[String])
+    required: StructType, pushed: Array[Filter], kept: Seq[String],
+    root: String = "", opts: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** `spark.readStream.format("snapshotlog").load(root)` — the snapshot
+    * log AS A STREAM (Iceberg/Delta streaming-read analog). Offsets are
+    * snapshot VERSIONS: each micro-batch reads exactly the files appended
+    * by the versions in `(startOffset, endOffset]`, so the stream is
+    * exactly-once by construction (versions are immutable and the offset
+    * log replays deterministically). Starts after `streamFromVersion`
+    * (default 0 = the table's full history, Iceberg's earliest). Rewrite
+    * snapshots are skipped (no content change); overwrite/delete throw
+    * unless `skipNonAppends` — a content-changing snapshot has no
+    * append-delta. Column pruning flows through `required` unchanged. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapshotLogMicroBatchStream(root, required,
+      SnapshotLogSource.opt(opts, "streamFromVersion").map(_.toInt).getOrElse(0),
+      SnapshotLogSource.opt(opts, "skipNonAppends").exists(_.toBoolean))
 
   /** Surfaced in EXPLAIN: snapshot pin, files pruned, pushed filters. */
   override def description(): String =
@@ -323,6 +369,52 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
     }
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
+}
+
+/** Stream offset = committed snapshot version (monotone, exactly the
+  * transaction-log position — the natural resume token). */
+private[sources] case class SnapshotVersionOffset(version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+/** Micro-batch stream over a SnapshotLog: `latestOffset` is one manifest
+  * listing (driver-side metadata), `planInputPartitions(a, b)` is the
+  * append-delta of `(a, b]` — one partition per new data file. Paired with
+  * `StreamingOps.snapshotLogSink` this closes the loop: snapshot table →
+  * stream → snapshot table, exactly-once on both edges. */
+private[sources] class SnapshotLogMicroBatchStream(root: String,
+    required: StructType, fromVersion: Int, skipNonAppends: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = SnapshotVersionOffset(fromVersion)
+
+  override def latestOffset(): Offset = {
+    val snaps = SnapshotLog.snapshots(spark, root)
+    SnapshotVersionOffset(
+      snaps.lastOption.map(_.version).getOrElse(fromVersion))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotVersionOffset(
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(json).get("version").asInt())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[SnapshotVersionOffset].version
+    val b = end.asInstanceOf[SnapshotVersionOffset].version
+    SnapshotLog.addedFiles(spark, root, a, b, skipNonAppends)
+      .flatMap(_._2).map(f => SnapshotFilePartition(f)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotLogReaderFactory(required.json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class SnapshotFilePartition(file: String) extends InputPartition

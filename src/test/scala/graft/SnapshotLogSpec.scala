@@ -417,4 +417,46 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.commit(Seq(2).toDF("x"), root, overwrite = false, 200L) === 2)
     assert(SnapshotLog.read(spark, root).count() === 2)
   }
+
+  test("incremental read returns exactly the appended rows; rewrite is skipped") {
+    val root = freshRoot("incremental")
+    SnapshotLog.commit(Seq(1, 2).toDF("x"), root, overwrite = true, 100L)
+    SnapshotLog.commit(Seq(3).toDF("x"), root, overwrite = false, 200L)
+    SnapshotLog.commit(Seq(4, 5).toDF("x"), root, overwrite = false, 300L)
+    // (1, 3]: only the v2+v3 appends, never v1's rows
+    assert(SnapshotLog.readIncremental(spark, root, fromVersion = 1)
+      .as[Int].collect().sorted === Array(3, 4, 5))
+    assert(SnapshotLog.readIncremental(spark, root, 1, toVersion = Some(2))
+      .as[Int].collect().sorted === Array(3))
+    // compaction re-files rows without changing content: the incremental
+    // consumer must NOT see them again
+    SnapshotLog.rewriteDataFiles(spark, root, commitTsMs = 400L,
+      targetBytes = 1L << 30)
+    assert(SnapshotLog.readIncremental(spark, root, fromVersion = 3).count() === 0)
+    // a content-changing snapshot in range throws unless explicitly skipped
+    SnapshotLog.commit(Seq(9).toDF("x"), root, overwrite = true, 500L)
+    intercept[UnsupportedOperationException] {
+      SnapshotLog.readIncremental(spark, root, fromVersion = 3).count()
+    }
+    assert(SnapshotLog.readIncremental(spark, root, 3,
+      skipNonAppends = true).count() === 0)
+  }
+
+  test("DSv2 fromVersion option restricts the scan to the append delta, stats intact") {
+    val root = freshRoot("incremental_dsv2")
+    SnapshotLog.commit(Seq(1L, 2L).toDF("k"), root, overwrite = true, 100L)
+    SnapshotLog.commit(Seq(10L, 11L).toDF("k"), root, overwrite = false, 200L)
+    SnapshotLog.commit(Seq(20L, 21L).toDF("k"), root, overwrite = false, 300L)
+    val delta = spark.read.format("snapshotlog")
+      .option("fromVersion", 1).load(root)
+    assert(delta.as[Long].collect().sorted === Array(10L, 11L, 20L, 21L))
+    // manifest-stats pruning still applies within the delta
+    val probe = delta.filter(col("k") >= 20L)
+    val planned = probe.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.SnapshotLogScan].keptFiles.size
+    }.head
+    assert(planned < 4, s"expected stats pruning inside the delta, planned $planned")
+    assert(probe.as[Long].collect().sorted === Array(20L, 21L))
+  }
 }
