@@ -315,6 +315,41 @@ object DdlQueries extends QueryModule {
         .select("snap", "n_rows", "sum_price")
     }),
 
+    // SQL UPDATE + MERGE INTO on a snapshot table through Spark's
+    // row-level-operation API (SupportsRowLevelOperations, group-based
+    // copy-on-write — the reference's Iceberg MERGE surface,
+    // bodo/io/iceberg/merge_into.py): UPDATE doubles one key slice's
+    // price+100, MERGE then updates a disjoint slice (×3) and inserts
+    // negated keys of a third slice. Each statement is ONE snapshot;
+    // history records create/append/update/merge.
+    "ddl_sql_dml" -> ((s, d) => {
+      registerViews(s, d)
+      val ns = "dml_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      snapFixture(s, d, "sqldml") { _ =>
+        s.sql(s"DROP TABLE IF EXISTS snap.$ns.t")
+        s.sql(
+          s"""CREATE TABLE snap.$ns.t AS
+             |SELECT o_orderkey AS k, o_totalprice AS v FROM orders""".stripMargin)
+        s.sql(s"UPDATE snap.$ns.t SET v = v + 100 WHERE k % 10 = 3")
+        s.sql(
+          s"""MERGE INTO snap.$ns.t AS t USING (
+             |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+             |  WHERE o_orderkey % 10 = 7
+             |  UNION ALL
+             |  SELECT -o_orderkey, o_totalprice FROM orders
+             |  WHERE o_orderkey % 10 = 1) AS src
+             |ON t.k = src.k
+             |WHEN MATCHED THEN UPDATE SET v = src.v * 3
+             |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)""".stripMargin)
+      }
+      val root = s"/tmp/graft_snap_warehouse/$ns/t"
+      val ops = graft.sources.SnapshotLog.snapshots(s, root)
+        .map(_.operation).mkString(",")
+      s.table(s"snap.$ns.t")
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("v")), 2).as("sum_v"))
+        .withColumn("history_ops", lit(ops))
+    }),
+
     // HIDDEN PARTITIONING (Iceberg's partition-spec semantics,
     // SnapshotPartition): customer bucketed by bucket[8] on c_custkey —
     // keys are hash-distributed, so every file's min/max SPANS the whole
@@ -504,6 +539,18 @@ object DdlQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  round(sum(c_acctbal), 2) AS sum_bal
         |FROM customer""".stripMargin,
+
+    // Final state: k%10=3 → p+100, k%10=7 → p*3, else p; plus the
+    // inserted negated k%10=1 keys at their original price.
+    "ddl_sql_dml" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows, round(sum(v), 2) AS sum_v,
+        |  'create,append,update,merge' AS history_ops
+        |FROM (
+        |  SELECT CASE WHEN k % 10 = 3 THEN p + 100
+        |              WHEN k % 10 = 7 THEN p * 3 ELSE p END AS v FROM base
+        |  UNION ALL
+        |  SELECT p FROM base WHERE k % 10 = 1)""".stripMargin,
 
     // murmur3 constants: key 42 → bucket 0 (1 file), keys 10/800 →
     // buckets 5/4 (2 files); 8 buckets all non-empty at every fixture SF.

@@ -87,7 +87,7 @@ object SnapshotLog {
 
   private val om = new ObjectMapper()
 
-  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+  private[sources] def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
   private def logDir(root: String) = new Path(root, "_log")
@@ -195,7 +195,7 @@ object SnapshotLog {
     * outputTimestampType). String bounds use parquet's unsigned-byte order,
     * which matches UTF8String ordering and equals java.lang.String order
     * for the ASCII range the fixtures use. */
-  private def footerStats(conf: Configuration, files: Seq[String],
+  private[sources] def footerStats(conf: Configuration, files: Seq[String],
                           schema: StructType): Map[String, Map[String, (Any, Any)]] = {
     val wanted: Map[String, Boolean] = statColsOf(schema).toMap
     files.map { f =>
@@ -402,7 +402,7 @@ object SnapshotLog {
   /** Serialize and exclusively publish a manifest (shared by commit /
     * mergeCommit / rewriteDataFiles). Throws IllegalStateException on a
     * commit conflict. */
-  private def commitManifest(fs: FileSystem, root: String, version: Int,
+  private[sources] def commitManifest(fs: FileSystem, root: String, version: Int,
                              operation: String, commitTsMs: Long,
                              schemaJson: String, files: Seq[String],
                              stats: Map[String, Map[String, (Any, Any)]],
@@ -657,7 +657,7 @@ object SnapshotLog {
   }
 
   /** Per-file row counts from parquet footers (metadata IO only). */
-  private def footerRowCounts(conf: Configuration,
+  private[sources] def footerRowCounts(conf: Configuration,
                               files: Seq[String]): Map[String, Long] =
     files.map { f =>
       val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))

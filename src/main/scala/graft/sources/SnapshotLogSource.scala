@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, Statistics => V2Statistics}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -119,7 +119,15 @@ object SnapshotLogSource {
 private[sources] class SnapshotLogTable(root: String,
     snap: SnapshotLog.Snapshot, opts: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO / complex DELETE — group-based copy-on-write
+    * ([[SnapshotRowLevelOperation]]); the simple-predicate DELETE keeps the
+    * cheaper SupportsDelete metadata path. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new SnapshotRowLevelBuilder(root, snap, info)
   override def name(): String = s"snapshotlog:$root@v${snap.version}"
   override def schema(): StructType = SnapshotLogSource.nullable(snap.schema)
   override def capabilities(): java.util.Set[TableCapability] =
@@ -512,6 +520,22 @@ private[sources] class SnapshotFileReader(file: String, required: StructType)
     case DateType => g.getInteger(idx, 0) // INT32 days
     case ShortType => g.getInteger(idx, 0).toShort
     case ByteType => g.getInteger(idx, 0).toByte
+    case d: DecimalType =>
+      // dispatch on the file's physical type (INT32/INT64 unscaled for
+      // small precisions, fixed-len two's-complement bytes beyond 18)
+      g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT32 =>
+          org.apache.spark.sql.types.Decimal(
+            g.getInteger(idx, 0).toLong, d.precision, d.scale)
+        case PrimitiveType.PrimitiveTypeName.INT64 =>
+          org.apache.spark.sql.types.Decimal(
+            g.getLong(idx, 0), d.precision, d.scale)
+        case _ =>
+          val bytes = g.getBinary(idx, 0).getBytes
+          org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale),
+            d.precision, d.scale)
+      }
     case other => throw new UnsupportedOperationException(
       s"snapshotlog reader: unsupported column type $other")
   }
