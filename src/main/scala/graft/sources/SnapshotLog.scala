@@ -284,9 +284,15 @@ object SnapshotLog {
     val sizes = parent.map(_.sizes).getOrElse(Map.empty) ++ newSizes
 
     try {
+      // an append to a hidden-partitioned table keeps the spec and the
+      // parent files' tuples (the new files carry no tuple — kept
+      // conservatively by partition pruning; commitPartitioned is the
+      // layout-preserving append)
       commitManifest(fs, root, next,
         if (overwrite) "overwrite" else "append",
-        commitTsMs, df.schema.json, files, stats, sizes, props)
+        commitTsMs, df.schema.json, files, stats, sizes, props,
+        parent.map(_.spec).getOrElse(Seq.empty),
+        parent.map(_.parts).getOrElse(Map.empty))
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true) // lost the race: reclaim our unpublished data
@@ -381,15 +387,46 @@ object SnapshotLog {
   }
 
   /** Create an EMPTY table: a v1 "create" manifest carrying only the
-    * schema — the catalog's CREATE TABLE step (data arrives as append
-    * commits; time travel to v1 reads an empty table of this schema). */
+    * schema (and, when given, the hidden-partition spec every later
+    * commit must honor) — the catalog's CREATE TABLE step (data arrives
+    * as append commits; time travel to v1 reads an empty table of this
+    * schema). */
   def createEmpty(spark: SparkSession, root: String, schema: StructType,
-                  commitTsMs: Long): Int = {
+                  commitTsMs: Long,
+                  spec: Seq[(String, String)] = Seq.empty): Int = {
     require(snapshots(spark, root).isEmpty,
       s"SnapshotLog: table already exists at $root")
     commitManifest(fsFor(spark, new Path(root)), root, 1, "create",
-      commitTsMs, schema.json, Seq.empty, Map.empty, Map.empty)
+      commitTsMs, schema.json, Seq.empty, Map.empty, Map.empty,
+      Map.empty, spec, Map.empty)
     1
+  }
+
+  /** Additive schema evolution as a METADATA-ONLY snapshot (Iceberg's
+    * schema update): the new manifest carries the widened schema and the
+    * parent's exact file set/stats/sizes/partition state — no data moves.
+    * Readers of older versions keep the old schema; readers of this one
+    * null-fill the new columns in pre-evolution files (the read path
+    * already does). Only WIDENING is allowed: every existing column must
+    * survive with its type — rename/drop/retype would strand name-based
+    * resolution of old files (Iceberg needs field IDs for those). */
+  def alterSchema(spark: SparkSession, root: String, newSchema: StructType,
+                  commitTsMs: Long): Int = {
+    val cur = pick(spark, root, None, None)
+    require(cur.commitTsMs < commitTsMs,
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    val old = cur.schema
+    old.fields.foreach { f =>
+      val kept = newSchema.find(_.name == f.name)
+      require(kept.exists(_.dataType == f.dataType),
+        s"SnapshotLog: alterSchema must keep column ${f.name}: ${f.dataType} " +
+          "(additive evolution only — rename/drop/retype unsupported)")
+    }
+    val next = cur.version + 1
+    commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
+      commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
+      Map.empty, cur.spec, cur.parts)
+    next
   }
 
   /** A wall-clock commit timestamp guaranteed to advance past the last
@@ -649,7 +686,9 @@ object SnapshotLog {
       commitManifest(fs, root, next, "rewrite", commitTsMs, cur.schemaJson,
         kept ++ newFiles,
         cur.stats.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newStats,
-        cur.sizes.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newSizes)
+        cur.sizes.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newSizes,
+        Map.empty, cur.spec,
+        cur.parts.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }
@@ -700,7 +739,9 @@ object SnapshotLog {
       commitManifest(fs, root, next, operation, commitTsMs, cur.schemaJson,
         untouched ++ newFiles,
         cur.stats.view.filterKeys(untouchedSet.contains).toMap ++ newStats,
-        cur.sizes.view.filterKeys(untouchedSet.contains).toMap ++ newSizes)
+        cur.sizes.view.filterKeys(untouchedSet.contains).toMap ++ newSizes,
+        Map.empty, cur.spec,
+        cur.parts.view.filterKeys(untouchedSet.contains).toMap)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }
@@ -781,7 +822,7 @@ object SnapshotLog {
           s.version -> s.files
         case "append" | "create" =>
           s.version -> s.files.filterNot(f => prior.contains(norm(f)))
-        case "rewrite" => s.version -> Seq.empty[String]
+        case "rewrite" | "alter" => s.version -> Seq.empty[String]
         case _ if skipNonAppends => s.version -> Seq.empty[String]
         case op => throw new UnsupportedOperationException(
           s"SnapshotLog: incremental read crossed a non-append snapshot " +

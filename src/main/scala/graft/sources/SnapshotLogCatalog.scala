@@ -86,23 +86,46 @@ class SnapshotLogCatalog extends TableCatalog {
     new SnapshotLogTable(root, SnapshotLog.pick(spark, root, v, tsMs))
   }
 
+  /** CREATE TABLE … [PARTITIONED BY (transforms…)]: Spark's parsed
+    * partition transforms map onto the hidden-partition spec
+    * ([[SnapshotPartition]]) — `bucket(N, c)`, `days(ts)`, `truncate(W, c)`
+    * and identity columns; every INSERT then lays data out by the spec and
+    * the DSv2 scan prunes on it. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "snapshotlog catalog: partition transforms are not supported " +
-        "(files are clustered by commit; stats pruning replaces dir partitioning)")
+    val spec = partitions.toSeq.map(SnapshotLogCatalog.toSpecField)
     val root = rootFor(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     SnapshotLog.createEmpty(spark, root, schema,
-      SnapshotLog.nextCommitTs(spark, root))
+      SnapshotLog.nextCommitTs(spark, root), spec)
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "snapshotlog catalog: ALTER TABLE not supported (schema evolves " +
-        "additively through commits — append with the wider schema)")
+  /** ALTER TABLE … ADD COLUMN(S): additive schema evolution as a
+    * metadata-only "alter" snapshot (no data moves; old files read the new
+    * column as null — the Iceberg schema update). Rename/drop/retype are
+    * refused: resolution into old files is name-based (Iceberg needs field
+    * IDs for those). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootFor(ident)
+    if (SnapshotLog.snapshots(spark, root).isEmpty)
+      throw new NoSuchTableException(ident)
+    var schema = SnapshotLog.pick(spark, root, None, None).schema
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "snapshotlog catalog: nested ADD COLUMN is not supported")
+        // always nullable: pre-evolution files cannot hold a value
+        schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"snapshotlog catalog: unsupported ALTER TABLE change $other " +
+          "(additive ADD COLUMN only — rename/drop/retype need field IDs)")
+    }
+    SnapshotLog.alterSchema(spark, root, schema,
+      SnapshotLog.nextCommitTs(spark, root))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootFor(ident)
@@ -119,4 +142,37 @@ class SnapshotLogCatalog extends TableCatalog {
       "snapshotlog catalog: RENAME is not supported by this path-based " +
         "catalog (manifests hold absolute paths) — CTAS to the new name " +
         "and DROP the old, or use a name-mapping catalog")
+}
+
+object SnapshotLogCatalog {
+  import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+
+  /** Spark parsed partition transform → [[SnapshotPartition]] spec field,
+    * via the public `Transform.name()/arguments()` surface (the Scala
+    * case classes are private[sql]). */
+  private[sources] def toSpecField(t: Transform): (String, String) = {
+    val cols = t.arguments().collect { case n: NamedReference => n }
+    val lits = t.arguments().collect { case l: Literal[_] => l }
+    def col: String = {
+      require(cols.length == 1 && cols.head.fieldNames().length == 1,
+        s"snapshotlog catalog: partition transform $t must reference one " +
+          "top-level column")
+      cols.head.fieldNames()(0)
+    }
+    t.name().toLowerCase match {
+      case "identity" => col -> "identity"
+      case "bucket" =>
+        require(lits.length == 1,
+          s"snapshotlog catalog: bucket transform needs a width literal: $t")
+        col -> s"bucket[${lits.head.value()}]"
+      case "day" | "days" => col -> "day"
+      case "truncate" =>
+        require(lits.length == 1,
+          s"snapshotlog catalog: truncate transform needs a width literal: $t")
+        col -> s"truncate[${lits.head.value()}]"
+      case other => throw new UnsupportedOperationException(
+        s"snapshotlog catalog: unsupported partition transform $other " +
+          "(identity, bucket(N, c), days(ts), truncate(W, c))")
+    }
+  }
 }

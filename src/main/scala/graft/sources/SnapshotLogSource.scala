@@ -130,6 +130,22 @@ private[sources] class SnapshotLogTable(root: String,
     new SnapshotRowLevelBuilder(root, snap, info)
   override def name(): String = s"snapshotlog:$root@v${snap.version}"
   override def schema(): StructType = SnapshotLogSource.nullable(snap.schema)
+
+  /** Surface the hidden-partition spec (DESCRIBE TABLE / EXPLAIN). */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val B = """bucket\[(\d+)\]""".r
+    val T = """truncate\[(\d+)\]""".r
+    snap.spec.map {
+      case (c, "identity") => Expressions.identity(c)
+      case (c, B(n)) => Expressions.bucket(n.toInt, c)
+      case (c, "day") => Expressions.days(c)
+      case (c, T(w)) => Expressions.apply("truncate",
+        Expressions.literal(w.toInt), Expressions.column(c))
+      case (c, tr) => throw new IllegalStateException(
+        s"snapshotlog: unknown spec transform $tr on $c")
+    }.toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -186,9 +202,18 @@ private[sources] class SnapshotLogTable(root: String,
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                                 ignored: Boolean): Unit = {
-              SnapshotLog.commit(data, root, overwrite = overwrite,
-                commitTsMs =
-                  SnapshotLog.nextCommitTs(data.sparkSession, root)): Unit
+              val spark = data.sparkSession
+              // a hidden-partitioned table keeps its layout on every
+              // insert: route through the spec-aware commit (overwrite
+              // re-lays the whole table out by the same spec)
+              val spec = SnapshotLog.pick(spark, root, None, None).spec
+              if (spec.nonEmpty)
+                SnapshotLog.commitPartitioned(data, root, spec,
+                  overwrite = overwrite,
+                  commitTsMs = SnapshotLog.nextCommitTs(spark, root)): Unit
+              else
+                SnapshotLog.commit(data, root, overwrite = overwrite,
+                  commitTsMs = SnapshotLog.nextCommitTs(spark, root)): Unit
             }
           }
       }
