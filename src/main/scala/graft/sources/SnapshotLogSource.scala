@@ -120,7 +120,21 @@ private[sources] class SnapshotLogTable(root: String,
     snap: SnapshotLog.Snapshot, opts: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** Iceberg's `_file` metadata column: the data file each row came from.
+    * Selectable in queries (`SELECT _file, …`) and the anchor of MERGE
+    * runtime group filtering (`_file IN (files holding matching rows)` —
+    * precise file-granular pruning, no stats heuristics). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path of the row"
+    })
 
   /** SQL UPDATE / MERGE INTO / complex DELETE — group-based copy-on-write
     * ([[SnapshotRowLevelOperation]]); the simple-predicate DELETE keeps the
@@ -240,21 +254,31 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
+  protected def buildRequired: StructType = required
+  protected def buildPushed: Array[Filter] = pushed
+  protected def buildKept: Seq[String] =
+    SnapshotLogScanBuilder.prune(snap, snap.files, pushed)
+
+  override def build(): Scan =
+    new SnapshotLogScan(snap, required, pushed, buildKept, root, opts)
+}
+
+private[sources] object SnapshotLogScanBuilder {
+  /** Files of `candidates` that may hold a row matching every filter,
+    * per manifest stats AND hidden-partition tuples (the pruning min/max
+    * stats cannot do — bucket probes on hashed keys). */
+  def prune(snap: SnapshotLog.Snapshot, candidates: Seq[String],
+            filters: Array[Filter]): Seq[String] = {
     val schema = snap.schema
-    val kept = snap.files.filter { f =>
+    candidates.filter { f =>
       val key = SnapshotLog.norm(f)
       val stats = snap.stats.getOrElse(key, Map.empty[String, (Any, Any)])
-      pushed.forall(SnapshotStatsFilter.mayMatch(stats, schema, _)) && {
-        // hidden-partition pruning: the file's recorded partition tuple
-        // vs the pushed predicates on the SOURCE columns — the pruning
-        // min/max stats cannot do (bucket probes on hashed keys)
+      filters.forall(SnapshotStatsFilter.mayMatch(stats, schema, _)) && {
         val tuple = snap.parts.getOrElse(key, Seq.empty)
         snap.spec.isEmpty || tuple.isEmpty ||
-          pushed.forall(SnapshotPartition.mayMatch(snap.spec, tuple, schema, _))
+          filters.forall(SnapshotPartition.mayMatch(snap.spec, tuple, schema, _))
       }
     }
-    new SnapshotLogScan(snap, required, pushed, kept, root, opts)
   }
 }
 
@@ -484,9 +508,12 @@ private[sources] class SnapshotFileReader(file: String, required: StructType)
       try (pfr.getFooter.getFileMetaData.getSchema,
         pfr.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
       finally pfr.close()
-    val present = required.fields.filter(f => fileSchema.containsField(f.name))
+    // -1 = absent (null-fill), -2 = the _file metadata column (served
+    // from the partition itself, never read from the file)
+    val present = required.fields.filter(f =>
+      f.name != "_file" && fileSchema.containsField(f.name))
     if (present.isEmpty) {
-      projIdx = required.fields.map(_ => -1)
+      projIdx = required.fields.map(f => if (f.name == "_file") -2 else -1)
       nullRows = rowCount
     } else {
       present.foreach(f => validate(f, fileSchema))
@@ -495,11 +522,14 @@ private[sources] class SnapshotFileReader(file: String, required: StructType)
           fileSchema.getType(fileSchema.getFieldIndex(f.name))).toSeq: _*)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
       val pos = present.map(_.name).zipWithIndex.toMap
-      projIdx = required.fields.map(f => pos.getOrElse(f.name, -1))
+      projIdx = required.fields.map(f =>
+        if (f.name == "_file") -2 else pos.getOrElse(f.name, -1))
       reader = ParquetReader.builder(new GroupReadSupport(), path)
         .withConf(conf).build()
     }
   }
+
+  private val filePathValue = UTF8String.fromString(file)
 
   private def validate(f: StructField, fileSchema: MessageType): Unit = {
     val t = fileSchema.getType(fileSchema.getFieldIndex(f.name))
@@ -526,7 +556,8 @@ private[sources] class SnapshotFileReader(file: String, required: StructType)
     var i = 0
     while (i < required.length) {
       val j = projIdx(i)
-      if (j < 0 || current == null || current.getFieldRepetitionCount(j) == 0)
+      if (j == -2) row.update(i, filePathValue)
+      else if (j < 0 || current == null || current.getFieldRepetitionCount(j) == 0)
         row.update(i, null)
       else row.update(i, extract(current, j, required.fields(i).dataType))
       i += 1

@@ -56,10 +56,20 @@ private[sources] class SnapshotRowLevelOperation(root: String,
 
   override def command(): RowLevelOperation.Command = cmd
 
+  /** Ask for `_file` alongside the data (Iceberg does the same): the
+    * rewritten read relation then carries the metadata column, which is
+    * what the runtime group-filtering subquery resolves `_file` against —
+    * and Spark switches to the metadata-aware writing task, handing the
+    * writer PROJECTED data rows (no `__row_operation` marker). */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotLogScanBuilder(snap, root) {
       override def build(): org.apache.spark.sql.connector.read.Scan = {
-        val s = super.build().asInstanceOf[SnapshotLogScan]
+        val s = new SnapshotCowScan(snap, buildRequired, buildPushed,
+          buildKept, op = SnapshotRowLevelOperation.this)
         builtScan = s
         s
       }
@@ -67,7 +77,45 @@ private[sources] class SnapshotRowLevelOperation(root: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.Expressions
+
+        /** Replaced bytes, from manifest metadata (pre-runtime-filter —
+          * an upper bound). */
+        private def replacedBytes: Long = {
+          val scanned = Option(builtScan).map(_.keptFiles).getOrElse(Seq.empty)
+          scanned.flatMap(f => snap.sizes.get(SnapshotLog.norm(f))).sum
+        }
+        private def small: Boolean =
+          replacedBytes > 0 && replacedBytes < (1L << 30) &&
+            snap.schema.nonEmpty
+
+        /** Small-files discipline: a sliced UPDATE replacing a few files
+          * must not fan its rewrite across every shuffle partition (32
+          * near-empty outputs per statement). A SMALL rewrite (the common
+          * trickle UPDATE/MERGE) is clustered on the leading column into
+          * ceil(bytes/128MB) partitions — the inserted shuffle is
+          * proportional to the rewrite, not the table, and the clustering
+          * keeps the replacement files' manifest stats tight. A BIG
+          * rewrite keeps upstream partitioning: many output files is then
+          * correct, and forcing a shuffle would be the real cost. */
+        override def requiredDistribution: Distribution =
+          if (small)
+            Distributions.clustered(
+              Array(Expressions.column(snap.schema.fields.head.name)))
+          else Distributions.unspecified()
+
+        override def requiredOrdering
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
+
+        override def requiredNumPartitions(): Int =
+          if (small)
+            math.max(1L, (replacedBytes + (128L << 20) - 1) / (128L << 20)).toInt
+          else 0 // no requirement
+
         override def toBatch: BatchWrite =
           new SnapshotReplaceBatchWrite(root, snap,
             () => Option(builtScan).map(_.keptFiles)
@@ -76,6 +124,55 @@ private[sources] class SnapshotRowLevelOperation(root: String,
             cmd.toString.toLowerCase)
       }
     }
+}
+
+/** The copy-on-write scan: a [[SnapshotLogScan]] that ALSO accepts
+  * runtime group filters (`SupportsRuntimeV2Filtering` via the v1-Filter
+  * flavor). For MERGE, Spark plans a DPP-style subquery over the source
+  * join keys and feeds the resulting IN-set here BEFORE execution — the
+  * affected-file set narrows from "statically matching" to "holding rows
+  * whose keys the source actually touches". At 100 TB this is the
+  * difference between rewriting the table and rewriting the handful of
+  * files a trickle MERGE touches (Iceberg's SparkCopyOnWriteScan does
+  * exactly this). The write replaces the POST-filter file set. */
+private[sources] class SnapshotCowScan(snap: SnapshotLog.Snapshot,
+    required: StructType, pushed: Array[org.apache.spark.sql.sources.Filter],
+    kept0: Seq[String], op: SnapshotRowLevelOperation)
+    extends SnapshotLogScan(snap, required, pushed, kept0)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  @volatile private var current: Seq[String] = kept0
+
+  override def keptFiles: Seq[String] = current
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    current.map(f => SnapshotFilePartition(f)).toArray
+
+  /** Anchor runtime filtering on the `_file` metadata column (exactly
+    * Iceberg's choice): Spark's group-filter subquery projects the files
+    * of rows matching the command condition, and the IN-set that arrives
+    * below is the PRECISE affected-file list — no stats heuristics. (One
+    * attribute, not all columns: Spark builds a single IN over the whole
+    * declared set, and a multi-column struct-IN is untranslatable.) */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    filters.foreach {
+      case In("_file", vs) if vs != null =>
+        val keep = vs.filter(_ != null).map(v => SnapshotLog.norm(v.toString)).toSet
+        current = current.filter(f => keep.contains(SnapshotLog.norm(f)))
+      case EqualTo("_file", v) if v != null =>
+        val keep = SnapshotLog.norm(v.toString)
+        current = current.filter(f => SnapshotLog.norm(f) == keep)
+      case other => // any data-column filter still prunes via stats/partitions
+        if (SnapshotStatsFilter.usable(other))
+          current = SnapshotLogScanBuilder.prune(snap, current, Array(other))
+    }
+  }
 }
 
 /** Group-replacing batch write: tasks write immutable parquet files; the
@@ -163,6 +260,11 @@ private[sources] class SnapshotReplaceDataWriter(dataDir: String,
   private val conf = new Configuration()
   GroupWriteSupport.setSchema(msgType, conf)
   private val writer = ExampleParquetWriter.builder(path).withConf(conf).build()
+
+  /** Metadata-aware task shape: `write(metadata, data)` — the metadata
+    * (the row's original `_file`) served its purpose in group filtering;
+    * the replacement file needs only the data. */
+  override def write(meta: InternalRow, data: InternalRow): Unit = write(data)
 
   override def write(row: InternalRow): Unit = {
     // Group-based replace plans prepend RowDeltaUtils.OPERATION_COLUMN

@@ -87,6 +87,50 @@ class SnapshotRowLevelSpec extends AnyFunSuite {
       === Array(0L, 1L, 3L, 5L, 6L, 7L, 8L, 9L))
   }
 
+  test("MERGE runtime group filtering: only files holding touched keys are rewritten") {
+    dropNs("rl5")
+    // three disjoint key slices, 2 files each; no static MERGE condition
+    // could prune them — only the RUNTIME filter over the source's keys can
+    spark.sql("CREATE TABLE snap.rl5.t AS SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(0, 100)")
+    spark.sql("INSERT INTO snap.rl5.t SELECT id, CAST(id AS DOUBLE) FROM range(100, 200)")
+    spark.sql("INSERT INTO snap.rl5.t SELECT id, CAST(id AS DOUBLE) FROM range(200, 300)")
+    val root = s"$wh/rl5/t"
+    val before = SnapshotLog.snapshots(spark, root).last
+
+    // source touches ONLY middle-slice keys
+    spark.range(120, 140).selectExpr("id AS k", "CAST(9999 AS DOUBLE) AS v")
+      .createOrReplaceTempView("rl5_src")
+    spark.sql(
+      """MERGE INTO snap.rl5.t AS t USING rl5_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+
+    val after = SnapshotLog.snapshots(spark, root).last
+    assert(after.operation === "merge")
+    val beforeSet = before.files.map(graftNorm).toSet
+    val carried = after.files.map(graftNorm).count(beforeSet.contains)
+    assert(carried >= 4,
+      s"runtime group filtering should carry the untouched slices: $carried carried")
+    val t = spark.table("snap.rl5.t")
+    assert(t.count() === 300)
+    assert(t.filter($"v" === 9999.0).count() === 20)
+    assert(t.filter($"k" < 100 && $"v" =!= $"k".cast("double")).count() === 0)
+  }
+
+  test("_file metadata column is selectable and names the row's data file") {
+    dropNs("rl6")
+    spark.sql("CREATE TABLE snap.rl6.t AS SELECT id AS k FROM range(0, 10)")
+    spark.sql("INSERT INTO snap.rl6.t SELECT id FROM range(10, 20)")
+    val root = s"$wh/rl6/t"
+    val files = SnapshotLog.snapshots(spark, root).last.files.map(graftNorm).toSet
+    val perFile = spark.sql("SELECT _file, count(*) AS n FROM snap.rl6.t GROUP BY _file")
+      .collect().map(r => (graftNorm(r.getString(0)), r.getLong(1))).toMap
+    assert(perFile.keySet === files)
+    assert(perFile.values.sum === 20L)
+    // _file pairs with data columns row-accurately
+    val k5 = spark.sql("SELECT _file FROM snap.rl6.t WHERE k = 5").collect()
+    assert(k5.length === 1 && files.contains(graftNorm(k5.head.getString(0))))
+  }
+
   test("timestamp and string columns round-trip through the replace writer") {
     dropNs("rl4")
     spark.sql(
