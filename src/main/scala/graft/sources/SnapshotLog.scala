@@ -81,7 +81,13 @@ object SnapshotLog {
       // per-file partition tuple (values aligned with `spec`), parsed from
       // the writer's directory layout; None-valued entries (null partition)
       // are recorded as the empty-marker and never pruned
-      parts: Map[String, Seq[String]] = Map.empty) {
+      parts: Map[String, Seq[String]] = Map.empty,
+      // per-file physical column names (footer walk records them for
+      // free): lets the planner decide VECTORIZED vs row reads per file
+      // without reopening footers — a pre-evolution file missing a
+      // required column takes the null-filling row reader, everything
+      // else the columnar one. Absent for old manifests (row reader).
+      cols: Map[String, Seq[String]] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -147,13 +153,18 @@ object SnapshotLog {
         pn.fields().asScala.map(fe =>
           fe.getKey -> fe.getValue.elements().asScala.map(_.asText()).toSeq).toMap
       }.getOrElse(Map.empty)
+    val cols: Map[String, Seq[String]] =
+      Option(t.get("cols")).map { cn =>
+        cn.fields().asScala.map(fe =>
+          fe.getKey -> fe.getValue.elements().asScala.map(_.asText()).toSeq).toMap
+      }.getOrElse(Map.empty)
     Snapshot(
       t.get("version").asInt(),
       t.get("operation").asText(),
       t.get("commitTsMs").asLong(),
       t.get("schema").asText(),
       t.get("files").elements().asScala.map(_.asText()).toSeq,
-      stats, sizes, props, spec, parts)
+      stats, sizes, props, spec, parts, cols)
   }
 
   private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
@@ -196,11 +207,21 @@ object SnapshotLog {
     * which matches UTF8String ordering and equals java.lang.String order
     * for the ASCII range the fixtures use. */
   private[sources] def footerStats(conf: Configuration, files: Seq[String],
-                          schema: StructType): Map[String, Map[String, (Any, Any)]] = {
+                          schema: StructType): Map[String, Map[String, (Any, Any)]] =
+    footerMeta(conf, files, schema)._1
+
+  /** One footer walk yielding BOTH per-file min/max stats and the file's
+    * physical column list (metadata IO only — the same open serves both). */
+  private[sources] def footerMeta(conf: Configuration, files: Seq[String],
+                          schema: StructType)
+      : (Map[String, Map[String, (Any, Any)]], Map[String, Seq[String]]) = {
     val wanted: Map[String, Boolean] = statColsOf(schema).toMap
-    files.map { f =>
+    val colsAcc = scala.collection.mutable.Map[String, Seq[String]]()
+    val stats = files.map { f =>
       val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
       try {
+        colsAcc(norm(f)) = rdr.getFooter.getFileMetaData.getSchema
+          .getFields.asScala.map(_.getName).toSeq
         val acc = scala.collection.mutable.Map[String, (Any, Any)]()
         val bad = scala.collection.mutable.Set[String]()
         for (b <- rdr.getFooter.getBlocks.asScala;
@@ -244,6 +265,7 @@ object SnapshotLog {
         norm(f) -> acc.toMap
       } finally rdr.close()
     }.toMap
+    (stats, colsAcc.toMap)
   }
 
   /** Commit `df` as the next version. `overwrite` replaces the table
@@ -275,13 +297,14 @@ object SnapshotLog {
       .sortBy(_.getPath.getName)
     val newFiles = statuses.map(_.getPath.toString).toSeq
     val newSizes = statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap
-    val newStats =
-      footerStats(spark.sessionState.newHadoopConf(), newFiles, df.schema)
+    val (newStats, newCols) =
+      footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
 
     val parent = if (overwrite) None else prior.lastOption
     val files = parent.map(_.files).getOrElse(Seq.empty) ++ newFiles
     val stats = parent.map(_.stats).getOrElse(Map.empty) ++ newStats
     val sizes = parent.map(_.sizes).getOrElse(Map.empty) ++ newSizes
+    val cols = parent.map(_.cols).getOrElse(Map.empty) ++ newCols
 
     try {
       // an append to a hidden-partitioned table keeps the spec and the
@@ -292,7 +315,7 @@ object SnapshotLog {
         if (overwrite) "overwrite" else "append",
         commitTsMs, df.schema.json, files, stats, sizes, props,
         parent.map(_.spec).getOrElse(Seq.empty),
-        parent.map(_.parts).getOrElse(Map.empty))
+        parent.map(_.parts).getOrElse(Map.empty), cols)
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true) // lost the race: reclaim our unpublished data
@@ -366,8 +389,8 @@ object SnapshotLog {
     val newFiles = sortedFound.map(_._1)
     val newSizes = sortedFound.map(f => norm(f._1) -> f._2).toMap
     val newParts = sortedFound.map(f => norm(f._1) -> f._3).toMap
-    val newStats =
-      footerStats(spark.sessionState.newHadoopConf(), newFiles, df.schema)
+    val (newStats, newCols) =
+      footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
 
     try {
       commitManifest(fs, root, next,
@@ -377,7 +400,8 @@ object SnapshotLog {
         parent.map(_.stats).getOrElse(Map.empty) ++ newStats,
         parent.map(_.sizes).getOrElse(Map.empty) ++ newSizes,
         props, spec,
-        parent.map(_.parts).getOrElse(Map.empty) ++ newParts)
+        parent.map(_.parts).getOrElse(Map.empty) ++ newParts,
+        parent.map(_.cols).getOrElse(Map.empty) ++ newCols)
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true)
@@ -425,7 +449,7 @@ object SnapshotLog {
     val next = cur.version + 1
     commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
       commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
-      Map.empty, cur.spec, cur.parts)
+      Map.empty, cur.spec, cur.parts, cur.cols)
     next
   }
 
@@ -446,7 +470,8 @@ object SnapshotLog {
                              sizes: Map[String, Long],
                              props: Map[String, String] = Map.empty,
                              spec: Seq[(String, String)] = Seq.empty,
-                             parts: Map[String, Seq[String]] = Map.empty): Unit = {
+                             parts: Map[String, Seq[String]] = Map.empty,
+                             cols: Map[String, Seq[String]] = Map.empty): Unit = {
     val node = om.createObjectNode()
     node.put("version", version)
     node.put("operation", operation)
@@ -476,6 +501,13 @@ object SnapshotLog {
     if (props.nonEmpty) {
       val propsNode = node.putObject("props")
       props.foreach { case (k, v) => propsNode.put(k, v) }
+    }
+    if (cols.nonEmpty) {
+      val colsNode = node.putObject("cols")
+      cols.foreach { case (f, cs) =>
+        val arr = colsNode.putArray(f)
+        cs.foreach(arr.add)
+      }
     }
     if (spec.nonEmpty) {
       val specNode = node.putArray("spec")
@@ -677,8 +709,8 @@ object SnapshotLog {
       .sortBy(_.getPath.getName)
     val newFiles = statuses.map(_.getPath.toString).toSeq
     val newSizes = statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap
-    val newStats =
-      footerStats(spark.sessionState.newHadoopConf(), newFiles, schema)
+    val (newStats, newCols) =
+      footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
 
     val keptSet = kept.toSet
     val next = cur.version + 1
@@ -688,7 +720,8 @@ object SnapshotLog {
         cur.stats.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newStats,
         cur.sizes.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newSizes,
         Map.empty, cur.spec,
-        cur.parts.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap)
+        cur.parts.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap,
+        cur.cols.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newCols)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }
@@ -732,7 +765,7 @@ object SnapshotLog {
     husks.foreach(f => fs.delete(new Path(f), false))
     val newSizes = statuses.filter(s => rows(norm(s.getPath.toString)) > 0)
       .map(s => norm(s.getPath.toString) -> s.getLen).toMap
-    val newStats = footerStats(conf, newFiles, cur.schema)
+    val (newStats, newCols) = footerMeta(conf, newFiles, cur.schema)
     val untouchedSet = untouched.map(norm).toSet
     val next = cur.version + 1
     try {
@@ -741,7 +774,8 @@ object SnapshotLog {
         cur.stats.view.filterKeys(untouchedSet.contains).toMap ++ newStats,
         cur.sizes.view.filterKeys(untouchedSet.contains).toMap ++ newSizes,
         Map.empty, cur.spec,
-        cur.parts.view.filterKeys(untouchedSet.contains).toMap)
+        cur.parts.view.filterKeys(untouchedSet.contains).toMap,
+        cur.cols.view.filterKeys(untouchedSet.contains).toMap ++ newCols)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }

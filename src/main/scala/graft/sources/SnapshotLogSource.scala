@@ -410,8 +410,26 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
   /** Kept-file count, for plan assertions (PlanShapeSpec / ddl gates). */
   def keptFiles: Seq[String] = kept
 
-  override def planInputPartitions(): Array[InputPartition] =
-    kept.map(f => SnapshotFilePartition(f)).toArray
+  /** VECTORIZED when every kept file physically holds every required
+    * column (decided from the manifest's recorded column lists — no
+    * footer reopens): the scan then runs Spark's own vectorized parquet
+    * reader and feeds ColumnarBatches into whole-stage codegen. Files
+    * predating an additive schema change (or manifests predating the
+    * `cols` field, or projections touching `_file`) take the row reader,
+    * which null-fills. The mode is scan-uniform because Spark requires
+    * one answer per scan. */
+  protected def columnarOk(files: Seq[String]): Boolean =
+    required.fields.nonEmpty &&
+      !required.fieldNames.contains("_file") &&
+      files.forall { f =>
+        snap.cols.get(SnapshotLog.norm(f))
+          .exists(cs => required.fieldNames.forall(cs.contains))
+      }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val columnar = columnarOk(kept)
+    kept.map(f => SnapshotFilePartition(f, columnar)).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotLogReaderFactory(required.json)
@@ -474,7 +492,8 @@ private[sources] class SnapshotLogMicroBatchStream(root: String,
   override def stop(): Unit = ()
 }
 
-private[sources] case class SnapshotFilePartition(file: String) extends InputPartition
+private[sources] case class SnapshotFilePartition(file: String,
+    columnar: Boolean = false) extends InputPartition
 
 private[sources] case class SnapshotLogReaderFactory(requiredJson: String)
     extends PartitionReaderFactory {
@@ -482,6 +501,40 @@ private[sources] case class SnapshotLogReaderFactory(requiredJson: String)
     new SnapshotFileReader(
       partition.asInstanceOf[SnapshotFilePartition].file,
       DataType.fromJson(requiredJson).asInstanceOf[StructType])
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.asInstanceOf[SnapshotFilePartition].columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new SnapshotVectorReader(
+      partition.asInstanceOf[SnapshotFilePartition].file,
+      DataType.fromJson(requiredJson).asInstanceOf[StructType])
+}
+
+/** Vectorized read of one data file through Spark's own
+  * `VectorizedParquetRecordReader` — the same decode path `spark.read
+  * .parquet` uses (ColumnarBatch output, whole-stage codegen consumes
+  * the vectors directly). Planned only for files the manifest proves
+  * hold every required column. */
+private[sources] class SnapshotVectorReader(file: String, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import scala.jdk.CollectionConverters._
+
+  private val reader =
+    new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+  locally {
+    reader.initialize(file, required.fieldNames.toList.asJava)
+    reader.enableReturningBatches()
+  }
+
+  override def next(): Boolean = reader.nextKeyValue()
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+
+  override def close(): Unit = reader.close()
 }
 
 /** Reads one immutable data file into `InternalRow`s through the public

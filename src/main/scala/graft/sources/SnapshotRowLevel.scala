@@ -212,7 +212,7 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
     val replaced = scannedFiles().map(SnapshotLog.norm).toSet
     val untouched = cur.files.filterNot(f => replaced.contains(SnapshotLog.norm(f)))
     val untouchedSet = untouched.map(SnapshotLog.norm).toSet
-    val newStats = SnapshotLog.footerStats(conf, newFiles, schema)
+    val (newStats, newCols) = SnapshotLog.footerMeta(conf, newFiles, schema)
     val newSizes = newFiles
       .map(f => SnapshotLog.norm(f) -> fs.getFileStatus(new Path(f)).getLen).toMap
     try {
@@ -222,7 +222,8 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
         cur.stats.view.filterKeys(untouchedSet.contains).toMap ++ newStats,
         cur.sizes.view.filterKeys(untouchedSet.contains).toMap ++ newSizes,
         Map.empty, cur.spec,
-        cur.parts.view.filterKeys(untouchedSet.contains).toMap)
+        cur.parts.view.filterKeys(untouchedSet.contains).toMap,
+        cur.cols.view.filterKeys(untouchedSet.contains).toMap ++ newCols)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }

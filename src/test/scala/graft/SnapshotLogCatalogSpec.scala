@@ -139,6 +139,30 @@ class SnapshotLogCatalogSpec extends AnyFunSuite {
     assert(ops === Seq("create", "append"))
   }
 
+  test("catalog reads run Spark's vectorized parquet reader when files allow") {
+    dropNs("spec8")
+    spark.sql("CREATE TABLE snap.spec8.t AS SELECT id AS k, id * 2.0 AS v FROM range(1000)")
+    val df = spark.sql("SELECT k, v FROM snap.spec8.t WHERE k < 100")
+    val scanExec = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scanExec.supportsColumnar,
+      "DSv2 snapshot scan should take the vectorized (ColumnarBatch) path")
+    assert(df.count() === 100)
+    // schema evolution demotes to the row reader for safety (pre-evolution
+    // files lack the new column), result still correct
+    spark.sql("ALTER TABLE snap.spec8.t ADD COLUMN tag STRING")
+    val evolved = spark.sql("SELECT k, tag FROM snap.spec8.t WHERE k < 10")
+    val scan2 = evolved.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(!scan2.supportsColumnar)
+    assert(evolved.count() === 10)
+    // the _file projection takes the row reader too
+    val withFile = spark.sql("SELECT k, _file FROM snap.spec8.t WHERE k < 10")
+    assert(withFile.count() === 10)
+  }
+
   test("ALTER TABLE ADD COLUMN: metadata-only evolution, old files read null") {
     dropNs("spec6")
     spark.sql("CREATE TABLE snap.spec6.t AS SELECT id AS k FROM range(3)")
