@@ -81,6 +81,26 @@ object DdlQueries extends QueryModule {
       }
     }
 
+  /** Shared SQL-catalog gate fixture (CTAS + INSERT on `snap`), built once
+    * per process; returns its namespace. Used by ddl_sql_catalog and the
+    * metadata-table gate. */
+  private def sqlCatNs(s: SparkSession, d: String): String = {
+    val ns = "gate_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    snapFixture(s, d, "sqlcat") { _ =>
+      registerViews(s, d)
+      s.sql(s"DROP TABLE IF EXISTS snap.$ns.orders_t")
+      s.sql(
+        s"""CREATE TABLE snap.$ns.orders_t AS
+           |SELECT o_orderkey, o_totalprice FROM orders
+           |WHERE o_orderkey % 10 = 0""".stripMargin)
+      s.sql(
+        s"""INSERT INTO snap.$ns.orders_t
+           |SELECT o_orderkey, o_totalprice FROM orders
+           |WHERE o_orderkey % 10 = 5""".stripMargin): Unit
+    }
+    ns
+  }
+
   override def queries: Map[String, QueryFn] = Map(
     // CTAS: CREATE TABLE ... USING PARQUET AS SELECT, then query the new
     // catalog table.
@@ -282,18 +302,7 @@ object DdlQueries extends QueryModule {
     // through the same pinned DSv2 scans as the format path.
     "ddl_sql_catalog" -> ((s, d) => {
       registerViews(s, d)
-      val ns = "gate_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-      snapFixture(s, d, "sqlcat") { _ =>
-        s.sql(s"DROP TABLE IF EXISTS snap.$ns.orders_t")
-        s.sql(
-          s"""CREATE TABLE snap.$ns.orders_t AS
-             |SELECT o_orderkey, o_totalprice FROM orders
-             |WHERE o_orderkey % 10 = 0""".stripMargin)
-        s.sql(
-          s"""INSERT INTO snap.$ns.orders_t
-             |SELECT o_orderkey, o_totalprice FROM orders
-             |WHERE o_orderkey % 10 = 5""".stripMargin)
-      }
+      val ns = sqlCatNs(s, d)
       def agg(sql: String, label: String): DataFrame =
         s.sql(sql).agg(count(lit(1)).as("n_rows"),
           round(sum(col("o_totalprice")), 2).as("sum_price"))
@@ -416,6 +425,22 @@ object DdlQueries extends QueryModule {
         delta("after_rewrite", 3, None))
         .reduce(_ unionByName _)
         .select("delta", "n_rows", "sum_price")
+    }),
+
+    // SQL METADATA TABLES (Iceberg's history/files/snapshots relations):
+    // snap.ns.t.history joined against snap.ns.t.files — the log and the
+    // file inventory as ordinary SQL, rows from manifest metadata only.
+    // The gated output pins the per-version history plus the CURRENT
+    // file inventory rollup (4 files, all non-empty).
+    "ddl_meta_tables" -> ((s, d) => {
+      val ns = sqlCatNs(s, d)
+      val hist = s.sql(
+        s"SELECT version, operation, n_files FROM snap.$ns.orders_t.history")
+      val inv = s.sql(
+        s"""SELECT count(*) AS inv_files, CAST(min(size_bytes) > 0 AS BOOLEAN) AS all_nonempty
+           |FROM snap.$ns.orders_t.files""".stripMargin)
+      hist.crossJoin(inv)
+        .select("version", "operation", "n_files", "inv_files", "all_nonempty")
     }),
 
     // EXTERNAL_TABLE_FILES analog (TableFunctionOperatorTable.java:158 /
@@ -575,6 +600,16 @@ object DdlQueries extends QueryModule {
         |FROM orders WHERE o_orderkey % 10 = 7
         |UNION ALL
         |SELECT 'after_rewrite', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)""".stripMargin,
+
+    // CTAS = v1 create (0 files) + v2 append (2); INSERT = v3 append (4).
+    "ddl_meta_tables" ->
+      """SELECT version, operation, n_files,
+        |  CAST(4 AS BIGINT) AS inv_files, TRUE AS all_nonempty
+        |FROM (VALUES
+        |  (CAST(1 AS INT), 'create', CAST(0 AS BIGINT)),
+        |  (CAST(2 AS INT), 'append', CAST(2 AS BIGINT)),
+        |  (CAST(3 AS INT), 'append', CAST(4 AS BIGINT))
+        |) t(version, operation, n_files)""".stripMargin,
 
     "ddl_table_files" ->
       """SELECT CAST(1 AS INT) AS version, CAST(2 AS BIGINT) AS n_files,

@@ -79,10 +79,32 @@ class SnapshotLogCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
     load(ident, None, Some(timestampMicros / 1000L))
 
+  private val metaSuffixes = Set("history", "files", "snapshots")
+
   private def load(ident: Identifier, v: Option[Int], tsMs: Option[Long]): Table = {
     val root = rootFor(ident)
-    if (SnapshotLog.snapshots(spark, root).isEmpty)
+    if (SnapshotLog.snapshots(spark, root).isEmpty) {
+      // Iceberg-style metadata tables: `snap.ns.t.history` parses as
+      // Identifier(namespace = [ns, t], name = history) — if the
+      // NAMESPACE resolves to a real table, serve its metadata relation
+      if (metaSuffixes.contains(ident.name().toLowerCase) &&
+          ident.namespace().nonEmpty) {
+        val baseIdent = Identifier.of(ident.namespace().dropRight(1),
+          ident.namespace().last)
+        val baseRoot = rootFor(baseIdent)
+        val snaps = SnapshotLog.snapshots(spark, baseRoot)
+        if (snaps.nonEmpty) {
+          val nm = s"snapshotlog:$baseRoot#${ident.name().toLowerCase}"
+          return ident.name().toLowerCase match {
+            case "history" => SnapshotMetaTable.history(nm, snaps)
+            case "files" =>
+              SnapshotMetaTable.files(nm, SnapshotLog.pick(spark, baseRoot, v, tsMs))
+            case "snapshots" => SnapshotMetaTable.snapshots(nm, snaps)
+          }
+        }
+      }
       throw new NoSuchTableException(ident)
+    }
     new SnapshotLogTable(root, SnapshotLog.pick(spark, root, v, tsMs))
   }
 

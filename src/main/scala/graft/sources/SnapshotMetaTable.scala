@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style METADATA TABLES for the `snap` catalog: a table's log
+  * and file inventory as SQL relations —
+  *
+  *   SELECT * FROM snap.ns.t.history    -- version, operation, ts, files
+  *   SELECT * FROM snap.ns.t.files      -- path, size, partition tuple
+  *   SELECT * FROM snap.ns.t.snapshots  -- history + commit props JSON
+  *
+  * (reference: Iceberg's `history`/`files`/`snapshots` metadata tables;
+  * EXTERNAL_TABLE_FILES in TableFunctionOperatorTable.java). The rows are
+  * MANIFEST METADATA materialized on the driver at load time — never a
+  * data scan; a 100 TB table's `files` relation is file-count-sized. */
+private[sources] class SnapshotMetaTable(tableName: String,
+    metaSchema: StructType, rows: Seq[Seq[Any]])
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = metaSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = metaSchema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(SnapshotMetaPartition(SnapshotMetaTable.encode(metaSchema, rows)))
+        override def createReaderFactory(): PartitionReaderFactory =
+          SnapshotMetaReaderFactory()
+      }
+    }
+}
+
+private[sources] object SnapshotMetaTable {
+  /** Serializable row payload (strings stay JVM strings; the reader
+    * converts to UTF8String). */
+  def encode(schema: StructType, rows: Seq[Seq[Any]]): Array[Array[Any]] =
+    rows.map(_.toArray).toArray
+
+  def history(name: String, snaps: Seq[SnapshotLog.Snapshot]): SnapshotMetaTable =
+    new SnapshotMetaTable(name,
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("operation", StringType, nullable = false),
+        StructField("commit_ts_ms", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false))),
+      snaps.map(s => Seq(s.version, s.operation, s.commitTsMs,
+        s.files.size.toLong)))
+
+  def files(name: String, snap: SnapshotLog.Snapshot): SnapshotMetaTable =
+    new SnapshotMetaTable(name,
+      StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("size_bytes", LongType, nullable = true),
+        StructField("partition", StringType, nullable = true))),
+      snap.files.map { f =>
+        val key = SnapshotLog.norm(f)
+        val tuple = snap.parts.get(key)
+          .map(vs => snap.spec.map(_._1).zip(vs)
+            .map { case (c, v) => s"$c=$v" }.mkString("/"))
+        Seq(f, snap.sizes.get(key).map(Long.box).orNull, tuple.orNull)
+      })
+
+  def snapshots(name: String, snaps: Seq[SnapshotLog.Snapshot]): SnapshotMetaTable =
+    new SnapshotMetaTable(name,
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("operation", StringType, nullable = false),
+        StructField("commit_ts_ms", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("props_json", StringType, nullable = false))),
+      snaps.map { s =>
+        val props = s.props.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+        Seq(s.version, s.operation, s.commitTsMs, s.files.size.toLong, props)
+      })
+}
+
+private[sources] case class SnapshotMetaPartition(rows: Array[Array[Any]])
+    extends InputPartition
+
+private[sources] case class SnapshotMetaReaderFactory()
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = partition.asInstanceOf[SnapshotMetaPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        new GenericInternalRow(rows(i).map {
+          case s: String => UTF8String.fromString(s)
+          case other => other
+        }.asInstanceOf[Array[Any]])
+      override def close(): Unit = ()
+    }
+}

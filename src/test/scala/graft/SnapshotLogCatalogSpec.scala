@@ -139,6 +139,31 @@ class SnapshotLogCatalogSpec extends AnyFunSuite {
     assert(ops === Seq("create", "append"))
   }
 
+  test("metadata tables: snap.ns.t.history / .files / .snapshots in SQL") {
+    dropNs("spec9")
+    spark.sql("CREATE TABLE snap.spec9.t AS SELECT id AS k FROM range(10)")
+    spark.sql("INSERT INTO snap.spec9.t SELECT id FROM range(10, 20)")
+    val hist = spark.sql(
+      "SELECT version, operation, n_files FROM snap.spec9.t.history ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(hist.toSeq === Seq((1, "create", 0L), (2, "append", 2L), (3, "append", 4L)))
+    val files = spark.sql("SELECT file_path, size_bytes FROM snap.spec9.t.files")
+      .collect()
+    assert(files.length === 4 && files.forall(_.getLong(1) > 0))
+    // snapshots carries commit props (the streaming batch-id channel)
+    assert(spark.sql("SELECT props_json FROM snap.spec9.t.snapshots LIMIT 1")
+      .collect().head.getString(0) === "{}")
+    // a partitioned table's files expose the partition tuple
+    dropNs("spec9p")
+    spark.sql(
+      """CREATE TABLE snap.spec9p.t (k BIGINT) USING snapshotlog
+        |PARTITIONED BY (bucket(2, k))""".stripMargin)
+    spark.sql("INSERT INTO snap.spec9p.t SELECT id FROM range(10)")
+    val parts = spark.sql("SELECT partition FROM snap.spec9p.t.files")
+      .collect().map(_.getString(0)).sorted
+    assert(parts.forall(_.startsWith("k=")))
+  }
+
   test("catalog reads run Spark's vectorized parquet reader when files allow") {
     dropNs("spec8")
     spark.sql("CREATE TABLE snap.spec8.t AS SELECT id AS k, id * 2.0 AS v FROM range(1000)")
