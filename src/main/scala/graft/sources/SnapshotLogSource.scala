@@ -399,7 +399,8 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SnapshotLogMicroBatchStream(root, required,
       SnapshotLogSource.opt(opts, "streamFromVersion").map(_.toInt).getOrElse(0),
-      SnapshotLogSource.opt(opts, "skipNonAppends").exists(_.toBoolean))
+      SnapshotLogSource.opt(opts, "skipNonAppends").exists(_.toBoolean),
+      SnapshotLogSource.opt(opts, "maxFilesPerTrigger").map(_.toInt))
 
   /** Surfaced in EXPLAIN: snapshot pin, files pruned, pushed filters. */
   override def description(): String =
@@ -457,20 +458,57 @@ private[sources] case class SnapshotVersionOffset(version: Int)
   * listing (driver-side metadata), `planInputPartitions(a, b)` is the
   * append-delta of `(a, b]` — one partition per new data file. Paired with
   * `StreamingOps.snapshotLogSink` this closes the loop: snapshot table →
-  * stream → snapshot table, exactly-once on both edges. */
+  * stream → snapshot table, exactly-once on both edges.
+  *
+  * `maxFilesPerTrigger` (Iceberg's streaming rate limit): admission
+  * control advances the end offset only as far as ~N new files per
+  * micro-batch (always ≥1 version when data is pending), so a stream
+  * catching up on a long table history processes bounded batches instead
+  * of one giant one. */
 private[sources] class SnapshotLogMicroBatchStream(root: String,
-    required: StructType, fromVersion: Int, skipNonAppends: Boolean)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    required: StructType, fromVersion: Int, skipNonAppends: Boolean,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def spark = SparkSession.active
 
+  private def head: Int =
+    SnapshotLog.snapshots(spark, root).lastOption
+      .map(_.version).getOrElse(fromVersion)
+
   override def initialOffset(): Offset = SnapshotVersionOffset(fromVersion)
 
-  override def latestOffset(): Offset = {
-    val snaps = SnapshotLog.snapshots(spark, root)
-    SnapshotVersionOffset(
-      snaps.lastOption.map(_.version).getOrElse(fromVersion))
+  override def latestOffset(): Offset = SnapshotVersionOffset(head)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = SnapshotVersionOffset(head)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val a = start.asInstanceOf[SnapshotVersionOffset].version
+    val h = head
+    maxFilesPerTrigger match {
+      case None => SnapshotVersionOffset(h)
+      case Some(cap) =>
+        val perVersion = SnapshotLog.addedFiles(spark, root, a, h, skipNonAppends)
+        // admit contiguous versions until the NEXT one would cross the
+        // cap (at least one version when data is pending — a single
+        // oversized commit must still make progress)
+        var files = 0
+        var end = a
+        val it = perVersion.iterator
+        var full = false
+        while (it.hasNext && !full) {
+          val (v, fs) = it.next()
+          if (end == a || fs.isEmpty || files + fs.size <= cap) {
+            files += fs.size
+            end = v
+          } else full = true
+        }
+        SnapshotVersionOffset(end)
+    }
   }
 
   override def deserializeOffset(json: String): Offset =

@@ -167,6 +167,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, dstRoot).count() === 4)
   }
 
+  test("snapshotlog streaming source: maxFilesPerTrigger bounds each micro-batch") {
+    import graft.sources.SnapshotLog
+    import spark.implicits._
+    val srcRoot = s"/tmp/graft_stream_rate/${System.nanoTime()}"
+    // 4 versions x 2 files each = 8 pending files
+    for (i <- 0 until 4)
+      SnapshotLog.commit(Seq(i * 2L, i * 2L + 1).toDF("x"), srcRoot,
+        overwrite = i == 0, commitTsMs = 100L * (i + 1))
+    val q = spark.readStream.format("snapshotlog")
+      .option("maxFilesPerTrigger", 2).load(srcRoot)
+      .writeStream.format("memory").queryName("rate_limited")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rate_limited").as[Long].collect().sorted
+        === (0L until 8L).toArray)
+      // the catch-up split into multiple bounded batches, not one big one
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"expected >=3 bounded micro-batches, got " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState sessionization produces per-user sessions") {
     import spark.implicits._
     val clicks = Tables.events(spark, sf)
