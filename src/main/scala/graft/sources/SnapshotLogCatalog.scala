@@ -35,9 +35,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * distributed parquet write + footer walk + manifest publish, the same
   * commit path as the programmatic API (no per-row DSv2 writer needed).
   */
-class SnapshotLogCatalog extends TableCatalog {
+class SnapshotLogCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** Iceberg-style maintenance procedures:
+    * `CALL snap.system.rewrite_data_files('ns.t' [, target_bytes,
+    * cluster_by])`, `CALL snap.system.expire_snapshots('ns.t',
+    * keep_from_version [, orphan_scan])`. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    SnapshotProcedures.load(warehouse, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    SnapshotProcedures.list(namespace)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

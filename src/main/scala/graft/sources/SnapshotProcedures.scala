@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** SQL stored procedures for snapshot-table MAINTENANCE — Iceberg's
+  * procedure surface (`CALL catalog.system.rewrite_data_files(...)`,
+  * `expire_snapshots(...)`; reference: Iceberg Spark procedures the
+  * BodoSQL Iceberg catalogs expose):
+  *
+  *   CALL snap.system.rewrite_data_files('ns.t')
+  *   CALL snap.system.rewrite_data_files('ns.t', 134217728, 'k')
+  *   CALL snap.system.expire_snapshots('ns.t', 3)
+  *   CALL snap.system.expire_snapshots('ns.t', 3, true)  -- orphan scan
+  *
+  * Each returns a one-row result relation describing what happened —
+  * table maintenance runs from plain SQL, no Scala API needed. */
+private[sources] object SnapshotProcedures {
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(
+        Identifier.of(Array("system"), "rewrite_data_files"),
+        Identifier.of(Array("system"), "expire_snapshots"))
+    else Array.empty
+
+  def load(warehouse: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"snapshotlog catalog: unknown procedure namespace " +
+        ident.namespace().mkString("."))
+    ident.name().toLowerCase match {
+      case "rewrite_data_files" => new RewriteDataFilesProc(warehouse)
+      case "expire_snapshots" => new ExpireSnapshotsProc(warehouse)
+      case other => throw new UnsupportedOperationException(
+        s"snapshotlog catalog: unknown procedure $other")
+    }
+  }
+
+  private def rootFor(warehouse: String, table: String): String =
+    warehouse + "/" + table.replace('.', '/')
+
+  /** One-row result relation — Spark requires procedure output to be a
+    * LocalScan (driver-local rows, no distributed read). */
+  private def resultScan(schema: StructType, row: Seq[Any]): Scan =
+    new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          row.map {
+            case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case other => other.asInstanceOf[Any]
+          }.toArray))
+    }
+
+  private class RewriteDataFilesProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rewrite_data_files"
+    override def description(): String =
+      "bin-pack (optionally cluster) a snapshot table's small data files " +
+        "into a new rewrite snapshot"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table as 'ns.t'").build(),
+      ProcedureParameter.in("target_bytes", LongType)
+        .defaultValue("134217728").build(),
+      ProcedureParameter.in("cluster_by", StringType)
+        .defaultValue("''")
+        .comment("comma-separated sort columns; empty = bin-pack only").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val targetBytes = input.getLong(1)
+      val clusterBy = Option(input.getUTF8String(2)).map(_.toString)
+        .filter(_.nonEmpty).map(_.split(',').map(_.trim).toSeq)
+        .getOrElse(Seq.empty)
+      val before = SnapshotLog.pick(spark, root, None, None)
+      val v = SnapshotLog.rewriteDataFiles(spark, root,
+        commitTsMs = SnapshotLog.nextCommitTs(spark, root),
+        targetBytes = targetBytes, clusterBy = clusterBy)
+      val after = SnapshotLog.pick(spark, root, None, None)
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("version", IntegerType, nullable = false),
+          StructField("rewrote", BooleanType, nullable = false),
+          StructField("files_before", LongType, nullable = false),
+          StructField("files_after", LongType, nullable = false))),
+        Seq(v, v != before.version, before.files.size.toLong,
+          after.files.size.toLong))).asJava
+    }
+  }
+
+  private class ExpireSnapshotsProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "expire_snapshots"
+    override def description(): String =
+      "delete manifests below keep_from_version and reclaim data files " +
+        "no surviving snapshot references"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_from_version", IntegerType).build(),
+      ProcedureParameter.in("orphan_scan", BooleanType)
+        .defaultValue("false").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val (manifests, files) = SnapshotLog.expireSnapshots(spark, root,
+        input.getInt(1), orphanScan = input.getBoolean(2))
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("manifests_deleted", LongType, nullable = false),
+          StructField("files_deleted", LongType, nullable = false))),
+        Seq(manifests.toLong, files.toLong))).asJava
+    }
+  }
+}

@@ -139,6 +139,38 @@ class SnapshotLogCatalogSpec extends AnyFunSuite {
     assert(ops === Seq("create", "append"))
   }
 
+  test("CALL snap.system procedures: rewrite_data_files + expire_snapshots") {
+    dropNs("spec10")
+    spark.sql("CREATE TABLE snap.spec10.t AS SELECT id AS k FROM range(100)")
+    spark.sql("INSERT INTO snap.spec10.t SELECT id FROM range(100, 200)")
+    spark.sql("INSERT INTO snap.spec10.t SELECT id FROM range(200, 300)")
+    val root = s"$wh/spec10/t"
+    assert(SnapshotLog.snapshots(spark, root).last.files.size === 6)
+
+    val rw = spark.sql(
+      "CALL snap.system.rewrite_data_files('spec10.t')").collect().head
+    assert(rw.getBoolean(1), "expected a rewrite to commit")
+    assert(rw.getLong(2) === 6L && rw.getLong(3) === 1L)
+    assert(spark.table("snap.spec10.t").count() === 300)
+
+    val ex = spark.sql(
+      s"CALL snap.system.expire_snapshots('spec10.t', ${rw.getInt(0)})")
+      .collect().head
+    assert(ex.getLong(0) === 4L, s"4 manifests expected, got ${ex.getLong(0)}")
+    assert(ex.getLong(1) === 6L, s"6 files expected, got ${ex.getLong(1)}")
+    assert(spark.table("snap.spec10.t").count() === 300)
+
+    // clustered rewrite via the named third argument
+    dropNs("spec10b")
+    spark.sql("CREATE TABLE snap.spec10b.t AS SELECT id AS k FROM range(100)")
+    spark.sql("INSERT INTO snap.spec10b.t SELECT id FROM range(100, 200)")
+    val rw2 = spark.sql(
+      "CALL snap.system.rewrite_data_files('spec10b.t', 134217728, 'k')")
+      .collect().head
+    assert(rw2.getBoolean(1) && rw2.getLong(3) === 1L)
+    assert(spark.table("snap.spec10b.t").count() === 200)
+  }
+
   test("metadata tables: snap.ns.t.history / .files / .snapshots in SQL") {
     dropNs("spec9")
     spark.sql("CREATE TABLE snap.spec9.t AS SELECT id AS k FROM range(10)")
