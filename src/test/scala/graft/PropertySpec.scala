@@ -391,4 +391,44 @@ class PropertySpec extends AnyFunSuite {
       assert(got === expected, s"items=$items")
     }
   }
+
+  test("hidden-partition pruning is result-invariant for random probes") {
+    // the DSv2 scan may SKIP files via bucket/truncate/day tuples, never
+    // change results: for random data and random predicates, the pruned
+    // read must equal the same predicate over a plain in-memory copy
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 4) {
+      val spec = Seq(
+        Seq("k" -> s"bucket[${2 + rnd.nextInt(6)}]"),
+        Seq("k" -> s"truncate[${1 + rnd.nextInt(30)}]"),
+        Seq("s" -> "truncate[1]"),
+        Seq("k" -> "identity"))(trial - 1)
+      val root = s"/tmp/graft_prop_part/t$trial"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val rows = (0 until 300).map { _ =>
+        (rnd.nextInt(100).toLong, ('a' + rnd.nextInt(5)).toChar.toString +
+          rnd.nextInt(10))
+      }
+      val df = rows.toDF("k", "s")
+      SnapshotLog.commitPartitioned(df, root, spec, overwrite = true, 100L)
+      val t = spark.read.format("snapshotlog").load(root)
+      for (_ <- 1 to 8) {
+        val (a, b) = (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong)
+        val preds = Seq(
+          col("k") === a,
+          col("k").isin(a, b),
+          col("k") >= math.min(a, b) && col("k") <= math.max(a, b),
+          col("s") === ('a' + rnd.nextInt(5)).toChar.toString + rnd.nextInt(10),
+          col("s") >= "c")
+        val p = preds(rnd.nextInt(preds.length))
+        val got = t.filter(p).as[(Long, String)].collect().sorted.toSeq
+        val want = df.filter(p).as[(Long, String)].collect().sorted.toSeq
+        assert(got === want, s"trial=$trial spec=$spec pred=$p")
+      }
+    }
+  }
 }
