@@ -1,9 +1,34 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** The session writes INT64 TIMESTAMP_MICROS with isAdjustedToUTC=true
+    * (required by SnapshotLog footer stats), which DuckDB reads back as
+    * TIMESTAMP WITH TIME ZONE while the oracle SQL computes plain
+    * TIMESTAMP — schema/hash mismatch on every timestamp-bearing result
+    * (the r12 regression). The session time zone is pinned UTC, so casting
+    * to TIMESTAMP_NTZ is bit-identical and dumps as plain TIMESTAMP.
+    * This is a dump-envelope normalization only — engine results unchanged. */
+  private def ntz(dt: DataType): DataType = dt match {
+    case TimestampType      => TimestampNTZType
+    case ArrayType(e, n)    => ArrayType(ntz(e), n)
+    case MapType(k, v, n)   => MapType(ntz(k), ntz(v), n)
+    case StructType(fields) => StructType(fields.map(f => f.copy(dataType = ntz(f.dataType))))
+    case other              => other
+  }
+
+  def normalizeForOracle(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    if (fields.forall(f => ntz(f.dataType) == f.dataType)) df
+    else df.select(fields.map { f =>
+      val t = ntz(f.dataType)
+      if (t == f.dataType) df(f.name) else df(f.name).cast(t).as(f.name)
+    }.toSeq: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional dev-only name-substring filter (driver passes 2 args)
@@ -11,8 +36,8 @@ object Verify {
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(_._1.contains(flt)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try normalizeForOracle(fn(spark, sfDir)).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
