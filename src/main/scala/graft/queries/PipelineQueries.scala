@@ -246,8 +246,12 @@ object PipelineQueries extends QueryModule {
       val meanWl = (col("n_chars") - (nt - 1)) / nt
       val shapeOk = when(meanWl >= 3.0 && meanWl <= 8.0, 1.0).otherwise(0.0)
       val score = lenScore * 0.4 + stopRatio * 2.0 * 0.3 + shapeOk * 0.3
+      // localCheckpoint: the split()-heavy scoring projection feeds BOTH the
+      // per-lang median agg and the join probe — without materializing the
+      // narrow (doc_id, lang, quality) blocks, the corpus is tokenized twice.
       val scored = documents(s, d).select(
         col("doc_id"), col("lang"), score.as("quality"))
+        .localCheckpoint()
       val med = scored.groupBy(col("lang"))
         .agg(expr("percentile(quality, 0.5)").as("med_q"))
       scored.join(broadcast(med), Seq("lang"))

@@ -798,7 +798,8 @@ object SnapshotLog {
     * file counts, not data volume. */
   def expireSnapshots(spark: SparkSession, root: String,
                       keepFromVersion: Int,
-                      orphanScan: Boolean = false): (Int, Int) = {
+                      orphanScan: Boolean = false,
+                      orphanGraceMs: Long = 24L * 3600 * 1000): (Int, Int) = {
     val snaps = snapshots(spark, root)
     val (dead, live) = snaps.partition(_.version < keepFromVersion)
     require(live.nonEmpty, s"SnapshotLog: expiring every snapshot at $root")
@@ -814,11 +815,20 @@ object SnapshotLog {
     }
     if (orphanScan) {
       val dataRoot = new Path(root, "data")
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
       if (fs.exists(dataRoot)) {
         for (d <- fs.listStatus(dataRoot) if d.isDirectory) {
           val contents = fs.listStatus(d.getPath)
             .filter(_.getPath.getName.endsWith(".parquet"))
-          if (!contents.exists(c => liveFiles.contains(norm(c.getPath.toString)))) {
+          // Grace period (Iceberg remove_orphan_files `older_than`): a
+          // concurrent commit writes data BEFORE publishing its manifest,
+          // so a young unreferenced directory may be an in-flight commit,
+          // not an orphan — deleting it would corrupt the table when the
+          // manifest lands. Only reap directories whose newest mtime
+          // (dir or any file) predates the grace window.
+          val newestMs = (d.getModificationTime +: contents.map(_.getModificationTime)).max
+          if (newestMs < cutoff &&
+              !contents.exists(c => liveFiles.contains(norm(c.getPath.toString)))) {
             filesDeleted += contents.length
             fs.delete(d.getPath, true)
           }
@@ -844,6 +854,23 @@ object SnapshotLog {
                  skipNonAppends: Boolean = false): Seq[(Int, Seq[String])] = {
     val snaps = snapshots(spark, root)
     val byV = snaps.map(s => s.version -> s).toMap
+    // Expiry guard: computing version K's append-delta needs manifest K-1.
+    // If the consumer's offset snapshot was expired (fromVersion > 0 and no
+    // longer retained), the oldest retained snapshot would fall into the
+    // wholly-additive head case below and replay its ENTIRE cumulative file
+    // list — silently duplicating data the consumer already saw, and any
+    // expired intermediate deltas are lost outright. Fail loudly instead
+    // (Iceberg errors the same way when a streaming start snapshot is
+    // expired). fromVersion == 0 is a from-scratch consumer: the head
+    // cumulative list IS its correct initial load, expiry or not.
+    if (fromVersion > 0 && fromVersion < toVersion && !byV.contains(fromVersion))
+      throw new IllegalStateException(
+        s"SnapshotLog: incremental read from expired snapshot v$fromVersion " +
+          s"at $root (oldest retained: v${snaps.headOption.map(_.version).getOrElse(-1)}); " +
+          "the append-delta cannot be computed and replaying the oldest " +
+          "retained snapshot would duplicate already-consumed data. " +
+          "Restart the consumer from scratch (fromVersion=0) or retain " +
+          "snapshots at least as long as the slowest consumer's offset.")
     val range = snaps.filter(s => s.version > fromVersion && s.version <= toVersion)
     range.map { s =>
       val prior: Set[String] =

@@ -482,14 +482,27 @@ private[sources] class SnapshotLogMicroBatchStream(root: String,
 
   override def latestOffset(): Offset = SnapshotVersionOffset(head)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  // Derive the default limit from the option (FileStreamSource does the
+  // same): the engine then threads it back through latestOffset(start,
+  // limit), and Trigger.AvailableNow's composed limits keep working.
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
   override def reportLatestOffset(): Offset = SnapshotVersionOffset(head)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val a = start.asInstanceOf[SnapshotVersionOffset].version
     val h = head
-    maxFilesPerTrigger match {
+    // SupportsAdmissionControl contract: the ReadLimit argument is the
+    // source of truth (Trigger.AvailableNow re-plans through it); the
+    // maxFilesPerTrigger option is only what getDefaultReadLimit / our
+    // caller derived it from. Honor an explicit ReadMaxFiles if passed.
+    val effectiveCap = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        Some(mf.maxFiles())
+      case _ => maxFilesPerTrigger
+    }
+    effectiveCap match {
       case None => SnapshotVersionOffset(h)
       case Some(cap) =>
         val perVersion = SnapshotLog.addedFiles(spark, root, a, h, skipNonAppends)
@@ -513,8 +526,7 @@ private[sources] class SnapshotLogMicroBatchStream(root: String,
 
   override def deserializeOffset(json: String): Offset =
     SnapshotVersionOffset(
-      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
-        .readTree(json).get("version").asInt())
+      SnapshotLogMicroBatchStream.om.readTree(json).get("version").asInt())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val a = start.asInstanceOf[SnapshotVersionOffset].version
@@ -528,6 +540,13 @@ private[sources] class SnapshotLogMicroBatchStream(root: String,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+private[sources] object SnapshotLogMicroBatchStream {
+  // shared, thread-safe: deserializeOffset is called per micro-batch and
+  // must not pay JsonMapper construction each time
+  val om: com.fasterxml.jackson.databind.ObjectMapper =
+    com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
 }
 
 private[sources] case class SnapshotFilePartition(file: String,

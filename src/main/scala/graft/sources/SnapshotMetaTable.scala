@@ -80,10 +80,16 @@ private[sources] object SnapshotMetaTable {
         StructField("n_files", LongType, nullable = false),
         StructField("props_json", StringType, nullable = false))),
       snaps.map { s =>
-        val props = s.props.toSeq.sortBy(_._1)
-          .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-        Seq(s.version, s.operation, s.commitTsMs, s.files.size.toLong, props)
+        // Jackson, not string interpolation: property values are user/
+        // engine-supplied (checkpoint paths, free-form strings) — a quote
+        // or backslash would yield malformed JSON if hand-concatenated.
+        val node = propsOm.createObjectNode()
+        s.props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+        Seq(s.version, s.operation, s.commitTsMs, s.files.size.toLong,
+          propsOm.writeValueAsString(node))
       })
+
+  private val propsOm = new com.fasterxml.jackson.databind.ObjectMapper()
 }
 
 private[sources] case class SnapshotMetaPartition(rows: Array[Array[Any]])

@@ -56,7 +56,25 @@ object SnapshotPartition {
         case other => throw new IllegalArgumentException(
           s"snapshotlog: truncate[$w] unsupported for $other")
       }
-      case "day" => datediff(to_date(col(source)), lit("1970-01-01").cast(DateType))
+      // UTC-explicit epoch-day arithmetic: transformLit prunes via
+      // floorDiv(epochUs, 86400e6) in UTC, so the writer must derive the
+      // same value regardless of spark.sql.session.timeZone — to_date()
+      // on a timestamp is session-TZ-dependent and would mis-bucket rows
+      // near midnight under a non-UTC session. (pmod makes this floorDiv,
+      // exact for pre-1970 instants too.)
+      case "day" => dt match {
+        case TimestampType =>
+          val us = unix_micros(col(source))
+          ((us - pmod(us, lit(86400000000L))) / lit(86400000000L)).cast(LongType)
+        case DateType => datediff(col(source), lit("1970-01-01").cast(DateType))
+        // NTZ has no instant semantics: to_date() truncates the wall-clock
+        // value with no TZ involved — identical to the UTC epoch-day math
+        // transformLit uses for NTZ literals
+        case TimestampNTZType =>
+          datediff(to_date(col(source)), lit("1970-01-01").cast(DateType))
+        case other => throw new IllegalArgumentException(
+          s"snapshotlog: day transform unsupported for $other")
+      }
       case other => throw new IllegalArgumentException(
         s"snapshotlog: unknown partition transform '$other'")
     }

@@ -112,13 +112,19 @@ private[sources] object SnapshotProcedures {
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep_from_version", IntegerType).build(),
       ProcedureParameter.in("orphan_scan", BooleanType)
-        .defaultValue("false").build())
+        .defaultValue("false").build(),
+      // grace window for the orphan scan (Iceberg remove_orphan_files
+      // older_than): never reap dirs younger than this — they may be
+      // in-flight commits whose manifest hasn't published yet
+      ProcedureParameter.in("older_than_ms", LongType)
+        .defaultValue((24L * 3600 * 1000).toString).build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val root = rootFor(warehouse, input.getUTF8String(0).toString)
       val (manifests, files) = SnapshotLog.expireSnapshots(spark, root,
-        input.getInt(1), orphanScan = input.getBoolean(2))
+        input.getInt(1), orphanScan = input.getBoolean(2),
+        orphanGraceMs = input.getLong(3))
       Iterator(resultScan(
         StructType(Seq(
           StructField("manifests_deleted", LongType, nullable = false),

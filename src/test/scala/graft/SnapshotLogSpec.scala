@@ -398,7 +398,14 @@ class SnapshotLogSpec extends AnyFunSuite {
     Seq(1, 2, 3).toDF("x").write.parquet(s"$root/data/deadc0ffee")
     assert(SnapshotLog.expireSnapshots(spark, root, 1) === (0, 0)) // default: untouched
     assert(fs.exists(new Path(s"$root/data/deadc0ffee")))
-    val (_, n) = SnapshotLog.expireSnapshots(spark, root, 1, orphanScan = true)
+    // grace period: a just-written unreferenced dir may be an IN-FLIGHT
+    // commit (data lands before the manifest) — the default 24h grace
+    // must leave it alone even with orphanScan on
+    val (_, g) = SnapshotLog.expireSnapshots(spark, root, 1, orphanScan = true)
+    assert(g === 0 && fs.exists(new Path(s"$root/data/deadc0ffee")))
+    // zero grace (test-only): simulates the dir aging past the window
+    val (_, n) = SnapshotLog.expireSnapshots(spark, root, 1, orphanScan = true,
+      orphanGraceMs = 0L)
     assert(n > 0 && !fs.exists(new Path(s"$root/data/deadc0ffee")))
     assert(SnapshotLog.read(spark, root).count() === 2) // live data untouched
   }
@@ -440,6 +447,26 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
     assert(SnapshotLog.readIncremental(spark, root, 3,
       skipNonAppends = true).count() === 0)
+  }
+
+  test("incremental read from an EXPIRED offset fails loudly, never replays") {
+    val root = freshRoot("incremental_expired")
+    SnapshotLog.commit(Seq(1).toDF("x"), root, overwrite = true, 100L)
+    SnapshotLog.commit(Seq(2).toDF("x"), root, overwrite = false, 200L)
+    SnapshotLog.commit(Seq(3).toDF("x"), root, overwrite = false, 300L)
+    SnapshotLog.expireSnapshots(spark, root, keepFromVersion = 3)
+    // consumer parked at v1: its manifest is gone — v3's delta vs v2 is
+    // uncomputable and the wholly-additive head case would re-deliver
+    // rows 1..2 it already consumed. Iceberg errors here; so do we.
+    val e = intercept[IllegalStateException] {
+      SnapshotLog.readIncremental(spark, root, fromVersion = 1).count()
+    }
+    assert(e.getMessage.contains("expired"))
+    // a consumer parked at the oldest RETAINED snapshot still works
+    assert(SnapshotLog.readIncremental(spark, root, fromVersion = 3).count() === 0)
+    // and a from-scratch consumer (0) gets the full current content
+    assert(SnapshotLog.readIncremental(spark, root, fromVersion = 0)
+      .as[Int].collect().sorted === Array(1, 2, 3))
   }
 
   test("DSv2 fromVersion option restricts the scan to the append delta, stats intact") {
