@@ -472,6 +472,54 @@ object DdlQueries extends QueryModule {
         .agg(count(lit(1)).as("n_files"),
           sum(col("file_rows")).as("n_rows"),
           (min(col("size_bytes")) > 0).as("all_nonempty"))
+    }),
+
+    // NESTED + BINARY payloads through the snapshotlog DSv2 scan — the
+    // LLM-pipeline shape (documents.props-style structs, token arrays,
+    // multimodal bytes; reference reads full nested Iceberg schemas in
+    // bodo/io/iceberg/read_parquet.py). v1 = lower-id half (range-split so
+    // manifest stats prune per-commit), v2 appends the rest; the gated
+    // output aggregates OVER the nested fields read back through the scan
+    // (struct member, array elements, binary byte length), time-traveled
+    // to v1 and current, plus a pruned probe proving stats pruning still
+    // plans 2 of 4 files when nested columns ride along.
+    "ddl_nested_roundtrip" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val mkNested = (df: DataFrame) => df.selectExpr(
+        "doc_id",
+        "named_struct('lang', lang, 'n_chars', n_chars) AS meta",
+        "slice(split(text, ' '), 1, 5) AS toks",
+        "encode(source, 'UTF-8') AS raw")
+      val root = snapFixture(s, d, "nested_rt") { root =>
+        val docs = documents(s, d)
+        val lim = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        SnapshotLog.commit(mkNested(docs.filter(col("doc_id") <= lim)), root,
+          overwrite = true, commitTsMs = 1000L)
+        SnapshotLog.commit(mkNested(docs.filter(col("doc_id") > lim)), root,
+          overwrite = false, commitTsMs = 2000L)
+      }
+      val lim = documents(s, d).agg(max(col("doc_id"))).head().getLong(0) / 2
+      val total = SnapshotLog.snapshots(s, root).last.files.size.toLong
+      def summarize(label: String, df: DataFrame,
+                    scanned: Long): DataFrame =
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("meta.n_chars")).as("sum_nchars"),
+          count_distinct(col("meta.lang")).as("n_langs"),
+          sum(size(col("toks")).cast("long")).as("sum_ntoks"),
+          sum(length(element_at(col("toks"), 1)).cast("long")).as("sum_tok1_len"),
+          sum(octet_length(col("raw")).cast("long")).as("sum_raw_bytes"))
+          .withColumn("snap", lit(label))
+          .withColumn("files_scanned", lit(scanned))
+          .withColumn("files_total", lit(if (scanned >= 0) total else -1L))
+      val probe = snapRead(s, root).filter(col("doc_id") <= lim / 2)
+      Seq(
+        summarize("v1", snapRead(s, root, asOfVersion = Some(1)), -1L),
+        summarize("current", snapRead(s, root), -1L),
+        summarize("pruned_probe", probe, filesPlanned(probe)))
+        .reduce(_ unionByName _)
+        .select("snap", "n_rows", "sum_nchars", "n_langs", "sum_ntoks",
+          "sum_tok1_len", "sum_raw_bytes", "files_scanned", "files_total")
     })
   )
 
@@ -618,6 +666,44 @@ object DdlQueries extends QueryModule {
         |UNION ALL
         |SELECT CAST(2 AS INT), CAST(4 AS BIGINT),
         |  (SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_custkey % 4 IN (1, 2)),
-        |  TRUE""".stripMargin
+        |  TRUE""".stripMargin,
+
+    "ddl_nested_roundtrip" ->
+      """WITH lim AS (SELECT max(doc_id) // 2 AS v FROM documents),
+        |base AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    least(len(string_split(text, ' ')), 5) AS ntoks,
+        |    length(string_split(text, ' ')[1]) AS tok1_len,
+        |    octet_length(encode(source)) AS raw_bytes
+        |  FROM documents),
+        |summ AS (
+        |  SELECT
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_nchars,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(sum(ntoks) AS BIGINT) AS sum_ntoks,
+        |    CAST(sum(tok1_len) AS BIGINT) AS sum_tok1_len,
+        |    CAST(sum(raw_bytes) AS BIGINT) AS sum_raw_bytes,
+        |    'v1' AS snap
+        |  FROM base WHERE doc_id <= (SELECT v FROM lim)
+        |  UNION ALL
+        |  SELECT CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+        |    CAST(count(DISTINCT lang) AS BIGINT), CAST(sum(ntoks) AS BIGINT),
+        |    CAST(sum(tok1_len) AS BIGINT), CAST(sum(raw_bytes) AS BIGINT),
+        |    'current'
+        |  FROM base
+        |  UNION ALL
+        |  SELECT CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+        |    CAST(count(DISTINCT lang) AS BIGINT), CAST(sum(ntoks) AS BIGINT),
+        |    CAST(sum(tok1_len) AS BIGINT), CAST(sum(raw_bytes) AS BIGINT),
+        |    'pruned_probe'
+        |  FROM base WHERE doc_id <= (SELECT v FROM lim) // 2)
+        |SELECT snap, n_rows, sum_nchars, n_langs, sum_ntoks, sum_tok1_len,
+        |  sum_raw_bytes,
+        |  CAST(CASE WHEN snap = 'pruned_probe' THEN 2 ELSE -1 END AS BIGINT)
+        |    AS files_scanned,
+        |  CAST(CASE WHEN snap = 'pruned_probe' THEN 4 ELSE -1 END AS BIGINT)
+        |    AS files_total
+        |FROM summ""".stripMargin
   )
 }

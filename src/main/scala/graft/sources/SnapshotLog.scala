@@ -7,7 +7,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, FloatType, DoubleType, StringType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types._
 
 import scala.jdk.CollectionConverters._
 
@@ -275,10 +275,39 @@ object SnapshotLog {
     * pass the wall clock. Returns the committed version number. On a lost
     * commit race the freshly written data directory is deleted before the
     * conflict is thrown — no orphan files leak. */
+  /** Commit-time type gate: every reader path (row Group walk, vectorized
+    * batch, footer stats) supports exactly this closed set — rejecting an
+    * exotic type HERE turns a confusing first-read failure into an
+    * immediate, actionable commit error (Iceberg validates its schema at
+    * commit the same way). Legacy 2-level parquet list layout is also
+    * rejected: the Group reader walks the standard 3-level structure. */
+  private[sources] def validateSchema(spark: SparkSession, schema: StructType): Unit = {
+    def ok(dt: DataType): Boolean = dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | BinaryType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case ArrayType(e, _) => ok(e)
+      case MapType(k, v, _) => ok(k) && ok(v)
+      case StructType(fs) => fs.forall(f => ok(f.dataType))
+      case _ => false
+    }
+    schema.fields.filterNot(f => ok(f.dataType)) match {
+      case bad if bad.nonEmpty => throw new UnsupportedOperationException(
+        "snapshotlog: unsupported column type(s) at commit: " +
+          bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+      case _ => ()
+    }
+    require(!spark.conf.get("spark.sql.parquet.writeLegacyFormat", "false").toBoolean,
+      "snapshotlog: spark.sql.parquet.writeLegacyFormat=true writes 2-level " +
+        "lists the snapshotlog reader does not walk; unset it for this commit")
+  }
+
   def commit(df: DataFrame, root: String, overwrite: Boolean,
              commitTsMs: Long, numFiles: Int = 2,
              props: Map[String, String] = Map.empty): Int = {
     val spark = df.sparkSession
+    validateSchema(spark, df.schema)
     val rootP = new Path(root)
     val fs = fsFor(spark, rootP)
     val prior = snapshots(spark, root)
@@ -340,6 +369,7 @@ object SnapshotLog {
                         props: Map[String, String] = Map.empty): Int = {
     require(spec.nonEmpty, "commitPartitioned: empty spec — use commit()")
     val spark = df.sparkSession
+    validateSchema(spark, df.schema)
     val rootP = new Path(root)
     val fs = fsFor(spark, rootP)
     val prior = snapshots(spark, root)

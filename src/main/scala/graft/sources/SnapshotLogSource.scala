@@ -422,6 +422,12 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
   protected def columnarOk(files: Seq[String]): Boolean =
     required.fields.nonEmpty &&
       !required.fieldNames.contains("_file") &&
+      // nested projections go through the row-based Group reader; the
+      // flat primitives stay on the vectorized ColumnarBatch path
+      required.fields.forall(f => f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _ => true
+      }) &&
       files.forall { f =>
         snap.cols.get(SnapshotLog.norm(f))
           .exists(cs => required.fieldNames.forall(cs.contains))
@@ -702,6 +708,74 @@ private[sources] class SnapshotFileReader(file: String, required: StructType)
             new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale),
             d.precision, d.scale)
       }
+    case other => extractAt(g, idx, 0, other)
+  }
+
+  /** Recursive Group→Catalyst conversion for the non-flat types
+    * (binary, struct, array, map) at (fieldIdx, repIdx). Spark writes
+    * standard parquet logical structure — 3-level LIST
+    * (`group (LIST) { repeated group list { element } }`) and
+    * `key_value` MAP — which is what this walks; legacy 2-level layouts
+    * are rejected at commit time, never at read time. */
+  private def extractAt(g: Group, idx: Int, rep: Int, dt: DataType): Any = dt match {
+    case BinaryType => g.getBinary(idx, rep).getBytes
+    case StringType => UTF8String.fromBytes(g.getBinary(idx, rep).getBytes)
+    case LongType => g.getLong(idx, rep)
+    case IntegerType => g.getInteger(idx, rep)
+    case DoubleType => g.getDouble(idx, rep)
+    case FloatType => g.getFloat(idx, rep)
+    case BooleanType => g.getBoolean(idx, rep)
+    case TimestampType | TimestampNTZType => g.getLong(idx, rep)
+    case DateType => g.getInteger(idx, rep)
+    case ShortType => g.getInteger(idx, rep).toShort
+    case ByteType => g.getInteger(idx, rep).toByte
+    case st: StructType =>
+      val inner = g.getGroup(idx, rep)
+      val schema = inner.getType
+      val row = new GenericInternalRow(st.length)
+      var i = 0
+      while (i < st.length) {
+        val f = st.fields(i)
+        // nested schema evolution: a field absent from the file's struct
+        // null-fills, same as top-level additive evolution
+        if (!schema.containsField(f.name)) row.update(i, null)
+        else {
+          val j = schema.getFieldIndex(f.name)
+          if (inner.getFieldRepetitionCount(j) == 0) row.update(i, null)
+          else row.update(i, extractAt(inner, j, 0, f.dataType))
+        }
+        i += 1
+      }
+      row
+    case ArrayType(et, _) =>
+      val outer = g.getGroup(idx, rep) // the (LIST) group
+      val n = outer.getFieldRepetitionCount(0) // repeated `list` entries
+      val arr = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val holder = outer.getGroup(0, i) // one `list { element }` record
+        arr(i) =
+          if (holder.getFieldRepetitionCount(0) == 0) null
+          else extractAt(holder, 0, 0, et)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    case MapType(kt, vt, _) =>
+      val outer = g.getGroup(idx, rep) // the (MAP) group
+      val n = outer.getFieldRepetitionCount(0) // repeated `key_value`
+      val keys = new Array[Any](n)
+      val vals = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val kv = outer.getGroup(0, i)
+        keys(i) = extractAt(kv, 0, 0, kt) // parquet map keys are required
+        vals(i) =
+          if (kv.getFieldRepetitionCount(1) == 0) null
+          else extractAt(kv, 1, 0, vt)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, vals)
+    case d: DecimalType => extract(g, idx, d) // shares the physical dispatch
     case other => throw new UnsupportedOperationException(
       s"snapshotlog reader: unsupported column type $other")
   }

@@ -486,4 +486,69 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(planned < 4, s"expected stats pruning inside the delta, planned $planned")
     assert(probe.as[Long].collect().sorted === Array(20L, 21L))
   }
+
+  test("nested + binary columns round-trip through the DSv2 scan") {
+    val root = freshRoot("nested")
+    val df = spark.range(0, 6).selectExpr(
+      "id",
+      "named_struct('lang', concat('l', cast(id % 2 as string)), 'n', id * 10) AS meta",
+      "array(cast(id as string), 'x') AS toks",
+      "map(concat('k', cast(id as string)), id) AS m",
+      "encode(concat('doc', cast(id as string)), 'UTF-8') AS raw",
+      "array(named_struct('p', id, 'q', cast(id as double))) AS nested_arr",
+      "IF(id = 3, NULL, array(id, NULL, id + 1)) AS with_nulls")
+    SnapshotLog.commit(df.filter(col("id") < 3), root, overwrite = true, 100L)
+    SnapshotLog.commit(df.filter(col("id") >= 3), root, overwrite = false, 200L)
+
+    val back = spark.read.format("snapshotlog").load(root)
+    // full-fidelity compare against the source frame, nested values included
+    // (binary rendered as hex — Array[Byte].toString is identity-based)
+    def rows(x: org.apache.spark.sql.DataFrame) =
+      x.withColumn("raw", expr("hex(raw)")).orderBy("id").collect().map(_.toString)
+    assert(rows(back).length === 6)
+    assert(rows(back) === rows(df))
+
+    // binary payload decodes back to the original string
+    assert(back.selectExpr("decode(raw, 'UTF-8') AS s").orderBy("s")
+      .as[String].collect() === (0 to 5).map(i => s"doc$i").toArray)
+
+    // struct field projection + predicate still execute (row reader path)
+    assert(back.filter(col("meta.lang") === "l1").count() === 3)
+    assert(back.selectExpr("sum(meta.n)").as[Long].head() === 150L)
+    assert(back.selectExpr("sum(size(toks))").as[Long].head() === 12L)
+    assert(back.selectExpr("sum(m[concat('k', cast(id as string))])")
+      .as[Long].head() === 15L)
+    assert(back.selectExpr("sum(nested_arr[0].p)").as[Long].head() === 15L)
+    // null array / null elements survive
+    assert(back.filter(col("with_nulls").isNull).select("id").as[Long].head() === 3L)
+    assert(back.filter(col("id") =!= 3)
+      .selectExpr("size(filter(with_nulls, x -> x IS NULL)) AS n_nulls")
+      .agg(sum(col("n_nulls"))).collect()(0).getLong(0) === 5L)
+
+    // time travel still pins: v1 holds ids 0..2
+    assert(spark.read.format("snapshotlog").option("asOfVersion", 1).load(root)
+      .agg(sum(col("meta.n"))).collect()(0).getLong(0) === 30L)
+
+    // nested struct schema evolution: a widened struct null-fills old files
+    val widened = spark.range(6, 8).selectExpr(
+      "id",
+      "named_struct('lang', 'l9', 'n', id * 10, 'extra', id + 100) AS meta",
+      "array('y') AS toks", "map('k', id) AS m",
+      "encode('z', 'UTF-8') AS raw",
+      "array(named_struct('p', id, 'q', 1.0)) AS nested_arr",
+      "array(id) AS with_nulls")
+    SnapshotLog.commit(widened, root, overwrite = false, 300L)
+    val evolved = spark.read.format("snapshotlog").load(root)
+    assert(evolved.filter(col("meta.extra").isNotNull).count() === 2)
+    assert(evolved.filter(col("id") < 6).filter(col("meta.extra").isNull).count() === 6)
+  }
+
+  test("commit rejects unsupported column types with an actionable error") {
+    val root = freshRoot("badtype")
+    val bad = spark.range(1).selectExpr("id", "make_ym_interval(1, 2) AS iv")
+    val e = intercept[UnsupportedOperationException] {
+      SnapshotLog.commit(bad, root, overwrite = true, 100L)
+    }
+    assert(e.getMessage.contains("iv"))
+  }
 }
