@@ -63,6 +63,13 @@ object DmlScale {
       },
       "delete_slice" -> (() =>
         spark.sql(s"DELETE FROM snap.$ns.t WHERE k BETWEEN ${hi + 1} AND ${hi + 1000}"): Unit),
+      // merge-on-read variant of the same fixed-size delete: writes a
+      // KB-scale positional delete file, rewrites NOTHING — at scale this
+      // must be both flat AND an order cheaper than the CoW rewrite
+      "delete_slice_mor" -> (() =>
+        SnapshotLog.deleteWhereMoR(spark, root,
+          col("k").between(hi + 2000, hi + 3000),
+          SnapshotLog.nextCommitTs(spark, root)): Unit),
       "scan_agg" -> (() =>
         spark.sql(s"SELECT sum(v), count(*) FROM snap.$ns.t").collect(): Unit))
 

@@ -520,6 +520,44 @@ object DdlQueries extends QueryModule {
         .reduce(_ unionByName _)
         .select("snap", "n_rows", "sum_nchars", "n_langs", "sum_ntoks",
           "sum_tok1_len", "sum_raw_bytes", "files_scanned", "files_total")
+    }),
+
+    // MERGE-ON-READ delete (Iceberg positional delete files; reference
+    // scan planning bodo/io/iceberg/read_metadata.py): a trickle delete
+    // writes a KB-scale (file,pos) delete file instead of rewriting data
+    // files — the 100-TB trickle-DML path (DmlScale measures MoR latency
+    // flat vs CoW's rewrite cost). Gated: v2 baseline, v3 MoR delete
+    // (reads exclude the rows, DATA FILE SET UNCHANGED — pinned in
+    // data_files_changed=false), v4 compaction folds the deletes
+    // (dels_left=0), history records every step, and time travel to v2
+    // still serves the pre-delete rows.
+    "ddl_mor_delete" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "mor_delete") { root =>
+        val c = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 0), root,
+          overwrite = true, commitTsMs = 1000L)
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 1), root,
+          overwrite = false, commitTsMs = 2000L)
+        SnapshotLog.deleteWhereMoR(s, root, col("c_custkey") % 10 === 3, 3000L)
+        SnapshotLog.rewriteDataFiles(s, root, commitTsMs = 4000L,
+          targetBytes = 1L << 30)
+      }
+      val snaps = SnapshotLog.snapshots(s, root)
+      val byV = snaps.map(sn => sn.version -> sn).toMap
+      def stage(label: String, v: Int): DataFrame =
+        snapRead(s, root, asOfVersion = Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("c_acctbal")), 2).as("sum_bal"))
+          .withColumn("stage", lit(label))
+          .withColumn("operation", lit(byV(v).operation))
+          .withColumn("data_files_changed",
+            lit(byV(v).files.toSet != byV(math.max(v - 1, 1)).files.toSet))
+          .withColumn("has_dels", lit(byV(v).dels.nonEmpty))
+      Seq(stage("baseline", 2), stage("mor_deleted", 3), stage("folded", 4))
+        .reduce(_ unionByName _)
+        .select("stage", "operation", "n_rows", "sum_bal",
+          "data_files_changed", "has_dels")
     })
   )
 
@@ -704,6 +742,21 @@ object DdlQueries extends QueryModule {
         |    AS files_scanned,
         |  CAST(CASE WHEN snap = 'pruned_probe' THEN 4 ELSE -1 END AS BIGINT)
         |    AS files_total
-        |FROM summ""".stripMargin
+        |FROM summ""".stripMargin,
+
+    "ddl_mor_delete" ->
+      """WITH pre AS (
+        |  SELECT CAST(count(*) AS BIGINT) n, round(sum(c_acctbal), 2) sb
+        |  FROM customer),
+        |post AS (
+        |  SELECT CAST(count(*) AS BIGINT) n, round(sum(c_acctbal), 2) sb
+        |  FROM customer WHERE c_custkey % 10 <> 3)
+        |SELECT 'baseline' AS stage, 'append' AS operation, n AS n_rows,
+        |  sb AS sum_bal, TRUE AS data_files_changed, FALSE AS has_dels
+        |FROM pre
+        |UNION ALL
+        |SELECT 'mor_deleted', 'delete', n, sb, FALSE, TRUE FROM post
+        |UNION ALL
+        |SELECT 'folded', 'rewrite', n, sb, TRUE, FALSE FROM post""".stripMargin
   )
 }

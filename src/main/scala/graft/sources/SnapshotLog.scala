@@ -87,7 +87,13 @@ object SnapshotLog {
       // without reopening footers — a pre-evolution file missing a
       // required column takes the null-filling row reader, everything
       // else the columnar one. Absent for old manifests (row reader).
-      cols: Map[String, Seq[String]] = Map.empty) {
+      cols: Map[String, Seq[String]] = Map.empty,
+      // merge-on-read position deletes (Iceberg positional delete files):
+      // norm(data file) -> the delete parquet files (file_path, pos) that
+      // apply to it. A data file with entries here serves its rows MINUS
+      // the deleted ordinals; rewriteDataFiles folds the deletes away.
+      // Empty for tables that only use copy-on-write DML.
+      dels: Map[String, Seq[String]] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -158,13 +164,18 @@ object SnapshotLog {
         cn.fields().asScala.map(fe =>
           fe.getKey -> fe.getValue.elements().asScala.map(_.asText()).toSeq).toMap
       }.getOrElse(Map.empty)
+    val dels: Map[String, Seq[String]] =
+      Option(t.get("dels")).map { dn =>
+        dn.fields().asScala.map(fe =>
+          fe.getKey -> fe.getValue.elements().asScala.map(_.asText()).toSeq).toMap
+      }.getOrElse(Map.empty)
     Snapshot(
       t.get("version").asInt(),
       t.get("operation").asText(),
       t.get("commitTsMs").asLong(),
       t.get("schema").asText(),
       t.get("files").elements().asScala.map(_.asText()).toSeq,
-      stats, sizes, props, spec, parts, cols)
+      stats, sizes, props, spec, parts, cols, dels)
   }
 
   private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
@@ -344,7 +355,8 @@ object SnapshotLog {
         if (overwrite) "overwrite" else "append",
         commitTsMs, df.schema.json, files, stats, sizes, props,
         parent.map(_.spec).getOrElse(Seq.empty),
-        parent.map(_.parts).getOrElse(Map.empty), cols)
+        parent.map(_.parts).getOrElse(Map.empty), cols,
+        parent.map(_.dels).getOrElse(Map.empty))
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true) // lost the race: reclaim our unpublished data
@@ -431,7 +443,8 @@ object SnapshotLog {
         parent.map(_.sizes).getOrElse(Map.empty) ++ newSizes,
         props, spec,
         parent.map(_.parts).getOrElse(Map.empty) ++ newParts,
-        parent.map(_.cols).getOrElse(Map.empty) ++ newCols)
+        parent.map(_.cols).getOrElse(Map.empty) ++ newCols,
+        parent.map(_.dels).getOrElse(Map.empty))
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true)
@@ -479,7 +492,7 @@ object SnapshotLog {
     val next = cur.version + 1
     commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
       commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
-      Map.empty, cur.spec, cur.parts, cur.cols)
+      Map.empty, cur.spec, cur.parts, cur.cols, cur.dels)
     next
   }
 
@@ -501,7 +514,8 @@ object SnapshotLog {
                              props: Map[String, String] = Map.empty,
                              spec: Seq[(String, String)] = Seq.empty,
                              parts: Map[String, Seq[String]] = Map.empty,
-                             cols: Map[String, Seq[String]] = Map.empty): Unit = {
+                             cols: Map[String, Seq[String]] = Map.empty,
+                             dels: Map[String, Seq[String]] = Map.empty): Unit = {
     val node = om.createObjectNode()
     node.put("version", version)
     node.put("operation", operation)
@@ -537,6 +551,13 @@ object SnapshotLog {
       cols.foreach { case (f, cs) =>
         val arr = colsNode.putArray(f)
         cs.foreach(arr.add)
+      }
+    }
+    if (dels.nonEmpty) {
+      val delsNode = node.putObject("dels")
+      dels.foreach { case (f, ds) =>
+        val arr = delsNode.putArray(f)
+        ds.foreach(arr.add)
       }
     }
     if (spec.nonEmpty) {
@@ -622,8 +643,92 @@ object SnapshotLog {
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         snap.schema)
-    else
+    else if (snap.dels.isEmpty)
       spark.read.option("mergeSchema", "true").parquet(snap.files: _*)
+    else
+      applyDels(spark,
+        spark.read.option("mergeSchema", "true").parquet(snap.files: _*),
+        snap.dels)
+  }
+
+  /** Apply merge-on-read positional deletes to a raw parquet read of the
+    * snapshot's data files: anti-join on (file, ordinal) against the
+    * delete files — distributed, broadcast when the delete set is small
+    * (it is: deletes are trickle-DML residue that compaction folds away).
+    * `df` must be a direct parquet read so `_metadata` resolves. */
+  private[sources] def applyDels(spark: SparkSession, df: DataFrame,
+                                 dels: Map[String, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    val delFiles = dels.values.flatten.toSeq.distinct
+    val cols = df.columns.toSeq
+    val delRows = spark.read.parquet(delFiles: _*)
+      .select(col("file_path").as("__del_file"), col("pos").as("__del_pos"))
+    df
+      .withColumn("__file", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(broadcast(delRows),
+        col("__file") === col("__del_file") && col("__pos") === col("__del_pos"),
+        "left_anti")
+      .select(cols.map(col): _*)
+  }
+
+  /** MERGE-ON-READ delete (Iceberg positional delete files): instead of
+    * rewriting every touched data file (copy-on-write — O(file size) per
+    * mutation), write one small parquet of (file_path, pos) coordinates
+    * for the matching rows and commit a metadata-only "delete" snapshot
+    * mapping each affected data file to its delete files. Readers
+    * anti-join / ordinal-skip at scan time; `rewriteDataFiles` folds the
+    * deletes back into plain data files. This is THE trickle-delete
+    * answer at 100 TB: a 10-row delete against a 10 GB file costs a
+    * kilobyte-scale write, not a 10 GB rewrite.
+    *
+    * The matching scan goes through the DSv2 source, so manifest-stats
+    * pruning bounds it to files that can hold a matching row, and already-
+    * deleted ordinals are excluded (stacked deletes never double-count).
+    * Returns the new version, or the current version when nothing
+    * matched. */
+  def deleteWhereMoR(spark: SparkSession, root: String,
+                     cond: org.apache.spark.sql.Column,
+                     commitTsMs: Long): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_replace}
+    val cur = pick(spark, root, None, None)
+    require(cur.commitTsMs < commitTsMs,
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    if (cur.files.isEmpty) return cur.version
+    val fs = fsFor(spark, new Path(root))
+    val delDir = new Path(new Path(root, "deletes"),
+      java.util.UUID.randomUUID().toString.take(12))
+    // (file, ordinal) coordinates of the doomed rows, via the pruning
+    // DSv2 scan pinned at the current version; sorted so each delete
+    // file clusters by data file (readers filter it with one pass)
+    spark.read.format("snapshotlog").option("asOfVersion", cur.version)
+      .load(root)
+      .filter(coalesce(cond, lit(false)))
+      .select(regexp_replace(col("_file"), "^file:/*", "/").as("file_path"),
+        col("_pos").as("pos"))
+      .repartition(1).sortWithinPartitions("file_path", "pos")
+      .write.parquet(delDir.toString)
+    val statuses = fs.listStatus(delDir)
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val delFiles = statuses.map(_.getPath.toString).toSeq
+    // affected data files: driver-side metadata (bounded by file count)
+    val affected = spark.read.parquet(delFiles: _*)
+      .select("file_path").distinct()
+      .collect().map(_.getString(0))
+    if (affected.isEmpty) { fs.delete(delDir, true); return cur.version }
+    val merged = cur.dels ++ affected.map(f =>
+      f -> (cur.dels.getOrElse(f, Seq.empty) ++ delFiles)).toMap
+    try {
+      commitManifest(fs, root, cur.version + 1, "delete", commitTsMs,
+        cur.schemaJson, cur.files, cur.stats, cur.sizes,
+        Map("delete.mode" -> "merge-on-read"),
+        cur.spec, cur.parts, cur.cols, merged)
+    } catch {
+      case e: IllegalStateException => fs.delete(delDir, true); throw e
+    }
+    cur.version + 1
   }
 
   /** Order two manifest-stat scalars. Integral pairs compare as longs
@@ -711,8 +816,12 @@ object SnapshotLog {
     val fs = fsFor(spark, new Path(root))
     def sizeOf(f: String): Long = cur.sizes.getOrElse(norm(f),
       fs.getFileStatus(new Path(f)).getLen)
-    val (small, kept) = cur.files.partition(sizeOf(_) < threshold)
-    if (small.size < 2) return cur.version
+    // files carrying merge-on-read deletes are ALWAYS rewritten — this is
+    // where positional deletes get folded back into plain data files
+    val (small, kept) = cur.files.partition(f =>
+      sizeOf(f) < threshold || cur.dels.contains(norm(f)))
+    if (small.size < 2 && !small.exists(f => cur.dels.contains(norm(f))))
+      return cur.version
     require(cur.commitTsMs < commitTsMs,
       s"commitTsMs $commitTsMs must advance past the last snapshot")
 
@@ -722,8 +831,13 @@ object SnapshotLog {
     val dataDir = new Path(new Path(root, "data"),
       java.util.UUID.randomUUID().toString.take(12))
     // explicit schema null-fills columns absent from pre-evolution files —
-    // the rewrite conforms every output file to the current table schema
-    val input = spark.read.schema(schema).parquet(small: _*)
+    // the rewrite conforms every output file to the current table schema;
+    // merge-on-read deletes on the rewritten files are applied here (the
+    // fold: the output files carry no delete baggage)
+    val smallDels = cur.dels.view.filterKeys(k => small.exists(f => norm(f) == k)).toMap
+    val rawInput = spark.read.schema(schema).parquet(small: _*)
+    val input =
+      if (smallDels.isEmpty) rawInput else applyDels(spark, rawInput, smallDels)
     val shaped =
       if (clusterBy.isEmpty) input.repartition(numOut)
       else {
@@ -751,7 +865,11 @@ object SnapshotLog {
         cur.sizes.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newSizes,
         Map.empty, cur.spec,
         cur.parts.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap,
-        cur.cols.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newCols)
+        cur.cols.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newCols,
+        // deletes on rewritten files are folded; kept files carry theirs
+        // (none today — dels force files into the rewrite set — but a
+        // future partial rewrite must not drop them silently)
+        cur.dels.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }
@@ -805,7 +923,8 @@ object SnapshotLog {
         cur.sizes.view.filterKeys(untouchedSet.contains).toMap ++ newSizes,
         Map.empty, cur.spec,
         cur.parts.view.filterKeys(untouchedSet.contains).toMap,
-        cur.cols.view.filterKeys(untouchedSet.contains).toMap ++ newCols)
+        cur.cols.view.filterKeys(untouchedSet.contains).toMap ++ newCols,
+        cur.dels.view.filterKeys(untouchedSet.contains).toMap)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }
@@ -834,19 +953,22 @@ object SnapshotLog {
     val (dead, live) = snaps.partition(_.version < keepFromVersion)
     require(live.nonEmpty, s"SnapshotLog: expiring every snapshot at $root")
     val fs = fsFor(spark, new Path(root))
-    val liveFiles = live.flatMap(_.files).map(norm).toSet
+    // liveness = data files AND delete files of surviving snapshots
+    val liveFiles = (live.flatMap(_.files) ++
+      live.flatMap(_.dels.values.flatten)).map(norm).toSet
     var filesDeleted = 0
     if (dead.nonEmpty) {
-      val orphaned = dead.flatMap(_.files).map(norm).distinct
+      val orphaned = (dead.flatMap(_.files) ++
+        dead.flatMap(_.dels.values.flatten)).map(norm).distinct
         .filterNot(liveFiles.contains)
       orphaned.foreach(f => fs.delete(new Path(f), false))
       dead.foreach(s => fs.delete(manifestPath(root, s.version), false))
       filesDeleted += orphaned.size
     }
     if (orphanScan) {
-      val dataRoot = new Path(root, "data")
       val cutoff = System.currentTimeMillis() - orphanGraceMs
-      if (fs.exists(dataRoot)) {
+      for (sub <- Seq("data", "deletes");
+           dataRoot = new Path(root, sub) if fs.exists(dataRoot)) {
         for (d <- fs.listStatus(dataRoot) if d.isDirectory) {
           val contents = fs.listStatus(d.getPath)
             .filter(_.getPath.getName.endsWith(".parquet"))

@@ -129,12 +129,21 @@ private[sources] class SnapshotLogTable(root: String,
     * precise file-granular pruning, no stats heuristics). */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_file"
-      override def dataType(): org.apache.spark.sql.types.DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "data file path of the row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file path of the row"
+      },
+      // Iceberg's `_pos`: the row's ordinal within its data file — the
+      // coordinate system of positional delete files (merge-on-read DML)
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "row ordinal within the data file"
+      })
 
   /** SQL UPDATE / MERGE INTO / complex DELETE — group-based copy-on-write
     * ([[SnapshotRowLevelOperation]]); the simple-predicate DELETE keeps the
@@ -194,7 +203,13 @@ private[sources] class SnapshotLogTable(root: String,
       throw new UnsupportedOperationException(
         s"snapshotlog: cannot translate delete filter $f")))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val keep = spark.read.schema(schema).parquet(touched: _*)
+    // apply any merge-on-read dels first: a row already positionally
+    // deleted must not be resurrected into the rewritten files
+    val touchedDels = cur.dels.view
+      .filterKeys(k => touched.exists(f => SnapshotLog.norm(f) == k)).toMap
+    val rawTouched = spark.read.schema(schema).parquet(touched: _*)
+    val keep = (if (touchedDels.isEmpty) rawTouched
+                else SnapshotLog.applyDels(spark, rawTouched, touchedDels))
       .filter(not(coalesce(cond, lit(false))))
     SnapshotLog.rewriteTouched(spark, root, cur, untouched, keep,
       "delete", SnapshotLog.nextCommitTs(spark, root), touched.size): Unit
@@ -422,6 +437,10 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
   protected def columnarOk(files: Seq[String]): Boolean =
     required.fields.nonEmpty &&
       !required.fieldNames.contains("_file") &&
+      !required.fieldNames.contains("_pos") &&
+      // merge-on-read: a file with positional deletes must skip ordinals —
+      // only the row reader walks row-by-row
+      files.forall(f => !snap.dels.contains(SnapshotLog.norm(f))) &&
       // nested projections go through the row-based Group reader; the
       // flat primitives stay on the vectorized ColumnarBatch path
       required.fields.forall(f => f.dataType match {
@@ -435,7 +454,8 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val columnar = columnarOk(kept)
-    kept.map(f => SnapshotFilePartition(f, columnar)).toArray
+    kept.map(f => SnapshotFilePartition(f, columnar,
+      snap.dels.getOrElse(SnapshotLog.norm(f), Nil))).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -556,14 +576,16 @@ private[sources] object SnapshotLogMicroBatchStream {
 }
 
 private[sources] case class SnapshotFilePartition(file: String,
-    columnar: Boolean = false) extends InputPartition
+    columnar: Boolean = false,
+    deletes: Seq[String] = Nil) extends InputPartition
 
 private[sources] case class SnapshotLogReaderFactory(requiredJson: String)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new SnapshotFileReader(
-      partition.asInstanceOf[SnapshotFilePartition].file,
-      DataType.fromJson(requiredJson).asInstanceOf[StructType])
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SnapshotFilePartition]
+    new SnapshotFileReader(p.file,
+      DataType.fromJson(requiredJson).asInstanceOf[StructType], p.deletes)
+  }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     partition.asInstanceOf[SnapshotFilePartition].columnar
@@ -609,7 +631,8 @@ private[sources] class SnapshotVectorReader(file: String, required: StructType)
   * single data page. Runs with a default Hadoop conf — correct for file:
   * roots (this environment); a cluster deployment would broadcast the
   * session conf alongside the factory. */
-private[sources] class SnapshotFileReader(file: String, required: StructType)
+private[sources] class SnapshotFileReader(file: String, required: StructType,
+    deleteFiles: Seq[String] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -624,12 +647,16 @@ private[sources] class SnapshotFileReader(file: String, required: StructType)
       try (pfr.getFooter.getFileMetaData.getSchema,
         pfr.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
       finally pfr.close()
-    // -1 = absent (null-fill), -2 = the _file metadata column (served
-    // from the partition itself, never read from the file)
+    // -1 = absent (null-fill), -2 = the _file metadata column, -3 = the
+    // _pos metadata column (both served from the reader itself, never
+    // read from the file)
+    def marker(n: String): Int = n match {
+      case "_file" => -2; case "_pos" => -3; case _ => -1
+    }
     val present = required.fields.filter(f =>
-      f.name != "_file" && fileSchema.containsField(f.name))
+      f.name != "_file" && f.name != "_pos" && fileSchema.containsField(f.name))
     if (present.isEmpty) {
-      projIdx = required.fields.map(f => if (f.name == "_file") -2 else -1)
+      projIdx = required.fields.map(f => marker(f.name))
       nullRows = rowCount
     } else {
       present.foreach(f => validate(f, fileSchema))
@@ -638,14 +665,45 @@ private[sources] class SnapshotFileReader(file: String, required: StructType)
           fileSchema.getType(fileSchema.getFieldIndex(f.name))).toSeq: _*)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
       val pos = present.map(_.name).zipWithIndex.toMap
-      projIdx = required.fields.map(f =>
-        if (f.name == "_file") -2 else pos.getOrElse(f.name, -1))
+      projIdx = required.fields.map(f => pos.getOrElse(f.name, marker(f.name)))
       reader = ParquetReader.builder(new GroupReadSupport(), path)
         .withConf(conf).build()
     }
   }
 
   private val filePathValue = UTF8String.fromString(file)
+
+  /** Sorted ordinals this file must NOT serve (merge-on-read positional
+    * deletes): each delete parquet holds (file_path, pos) rows sorted by
+    * file_path — opened once per task, filtered to this data file. The
+    * scan walks data rows sequentially, so membership is a merge-walk
+    * pointer, O(1) per row. */
+  private val deletedPos: Array[Long] =
+    if (deleteFiles.isEmpty) Array.emptyLongArray
+    else {
+      val me = SnapshotLog.norm(file)
+      val acc = scala.collection.mutable.ArrayBuffer[Long]()
+      deleteFiles.foreach { df =>
+        val r = ParquetReader.builder(new GroupReadSupport(), new Path(df))
+          .withConf(new Configuration()).build()
+        try {
+          var g = r.read()
+          while (g != null) {
+            if (g.getString(0, 0) == me) acc += g.getLong(1, 0)
+            g = r.read()
+          }
+        } finally r.close()
+      }
+      acc.toArray.sorted
+    }
+  private var delPtr = 0
+  private var ord = -1L // current row's ordinal within the data file
+
+  /** Advance the delete pointer past `o`; true iff `o` is deleted. */
+  private def isDeleted(o: Long): Boolean = {
+    while (delPtr < deletedPos.length && deletedPos(delPtr) < o) delPtr += 1
+    delPtr < deletedPos.length && deletedPos(delPtr) == o
+  }
 
   private def validate(f: StructField, fileSchema: MessageType): Unit = {
     val t = fileSchema.getType(fileSchema.getFieldIndex(f.name))
@@ -661,11 +719,24 @@ private[sources] class SnapshotFileReader(file: String, required: StructType)
   }
 
   private var current: Group = _
-  private var emitted = 0L
 
-  override def next(): Boolean =
-    if (reader == null) { emitted += 1; emitted <= nullRows }
-    else { current = reader.read(); current != null }
+  override def next(): Boolean = {
+    if (reader == null) {
+      while (ord + 1 < nullRows) {
+        ord += 1
+        if (!isDeleted(ord)) return true
+      }
+      false
+    } else {
+      while (true) {
+        current = reader.read()
+        if (current == null) return false
+        ord += 1
+        if (!isDeleted(ord)) return true
+      }
+      false // unreachable
+    }
+  }
 
   override def get(): InternalRow = {
     val row = new GenericInternalRow(required.length)
@@ -673,6 +744,7 @@ private[sources] class SnapshotFileReader(file: String, required: StructType)
     while (i < required.length) {
       val j = projIdx(i)
       if (j == -2) row.update(i, filePathValue)
+      else if (j == -3) row.update(i, ord)
       else if (j < 0 || current == null || current.getFieldRepetitionCount(j) == 0)
         row.update(i, null)
       else row.update(i, extract(current, j, required.fields(i).dataType))

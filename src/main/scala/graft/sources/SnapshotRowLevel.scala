@@ -223,7 +223,10 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
         cur.sizes.view.filterKeys(untouchedSet.contains).toMap ++ newSizes,
         Map.empty, cur.spec,
         cur.parts.view.filterKeys(untouchedSet.contains).toMap,
-        cur.cols.view.filterKeys(untouchedSet.contains).toMap ++ newCols)
+        cur.cols.view.filterKeys(untouchedSet.contains).toMap ++ newCols,
+        // replaced files' rows were re-derived through the dels-applying
+        // scan, so their delete baggage folds; untouched files keep theirs
+        cur.dels.view.filterKeys(untouchedSet.contains).toMap)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }

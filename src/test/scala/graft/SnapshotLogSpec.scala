@@ -543,6 +543,81 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(evolved.filter(col("id") < 6).filter(col("meta.extra").isNull).count() === 6)
   }
 
+  test("merge-on-read delete: positional files, scan exclusion, compaction fold") {
+    // rooted inside the snap-catalog warehouse so the CoW interplay step
+    // can run as real SQL (DELETE FROM snap.morspec.t ...)
+    val root = "/tmp/graft_snap_warehouse/morspec/t"
+    val fs0 = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs0.delete(new Path(root), true)
+    val df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    SnapshotLog.commit(df.filter(col("k") < 50), root, overwrite = true, 100L)
+    SnapshotLog.commit(df.filter(col("k") >= 50), root, overwrite = false, 200L)
+    val preFiles = SnapshotLog.snapshots(spark, root).last.files
+
+    // MoR delete: k % 10 == 3 (10 rows) — data files must NOT be rewritten
+    val v3 = SnapshotLog.deleteWhereMoR(spark, root, col("k") % 10 === 3, 300L)
+    assert(v3 === 3)
+    val s3 = SnapshotLog.snapshots(spark, root).last
+    assert(s3.operation === "delete")
+    assert(s3.files === preFiles, "MoR delete must not touch data files")
+    assert(s3.dels.nonEmpty)
+
+    // both read paths exclude the deleted rows
+    assert(SnapshotLog.read(spark, root).count() === 90)
+    val dsv2 = spark.read.format("snapshotlog").load(root)
+    assert(dsv2.count() === 90) // count-only (null-projection) path
+    assert(dsv2.agg(sum(col("v"))).head().getLong(0) ===
+      df.filter(col("k") % 10 =!= 3).agg(sum(col("v"))).head().getLong(0))
+    assert(dsv2.filter(col("k") === 3).count() === 0)
+    // pre-delete version still serves everything (time travel unaffected)
+    assert(spark.read.format("snapshotlog").option("asOfVersion", 2).load(root)
+      .count() === 100)
+
+    // stacked delete: k % 10 == 7 — both delete sets apply
+    assert(SnapshotLog.deleteWhereMoR(spark, root, col("k") % 10 === 7, 400L) === 4)
+    assert(SnapshotLog.read(spark, root).count() === 80)
+    assert(spark.read.format("snapshotlog").load(root).count() === 80)
+    // a MoR-deleted row must not be matched again (ordinal-skip in the
+    // DSv2 matching scan): deleting k % 10 == 3 again is a no-op
+    assert(SnapshotLog.deleteWhereMoR(spark, root, col("k") % 10 === 3, 450L) === 4)
+
+    // CoW delete (SQL surface) on a table WITH MoR dels must not
+    // resurrect the positionally deleted rows in the rewritten files
+    spark.sql("DELETE FROM snap.morspec.t WHERE k >= 90")
+    assert(SnapshotLog.read(spark, root).count() === 72) // 80 - (90..99 minus 93,97)
+
+    // compaction folds the remaining deletes into plain data files
+    // (nextCommitTs: the SQL delete committed at wall-clock time)
+    val v6 = SnapshotLog.rewriteDataFiles(spark, root,
+      commitTsMs = SnapshotLog.nextCommitTs(spark, root),
+      targetBytes = 1L << 30)
+    val s6 = SnapshotLog.snapshots(spark, root).last
+    assert(v6 === 6 && s6.operation === "rewrite")
+    assert(s6.dels.isEmpty, "rewrite must fold positional deletes away")
+    assert(SnapshotLog.read(spark, root).count() === 72)
+    assert(spark.read.format("snapshotlog").load(root).count() === 72)
+
+    // expiry reclaims delete files once no surviving snapshot references them
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val delFiles = s3.dels.values.flatten.toSeq.distinct
+    assert(delFiles.forall(f => fs.exists(new Path(f))))
+    SnapshotLog.expireSnapshots(spark, root, keepFromVersion = 6)
+    assert(delFiles.forall(f => !fs.exists(new Path(f))),
+      "expired delete files must be reclaimed")
+    assert(SnapshotLog.read(spark, root).count() === 72)
+  }
+
+  test("_file and _pos metadata columns resolve through the DSv2 scan") {
+    val root = freshRoot("filepos")
+    SnapshotLog.commit(Seq(10L, 20L, 30L).toDF("x").coalesce(1), root,
+      overwrite = true, 100L, numFiles = 1)
+    val rows = spark.read.format("snapshotlog").load(root)
+      .selectExpr("x", "_file", "_pos").orderBy("_pos").collect()
+    assert(rows.map(_.getLong(2)) === Array(0L, 1L, 2L))
+    assert(rows.map(_.getString(1)).distinct.length === 1)
+    assert(rows.map(_.getLong(0)).sorted === Array(10L, 20L, 30L))
+  }
+
   test("commit rejects unsupported column types with an actionable error") {
     val root = freshRoot("badtype")
     val bad = spark.range(1).selectExpr("id", "make_ym_interval(1, 2) AS iv")
