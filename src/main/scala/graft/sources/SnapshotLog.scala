@@ -93,8 +93,51 @@ object SnapshotLog {
       // apply to it. A data file with entries here serves its rows MINUS
       // the deleted ordinals; rewriteDataFiles folds the deletes away.
       // Empty for tables that only use copy-on-write DML.
-      dels: Map[String, Seq[String]] = Map.empty) {
+      dels: Map[String, Seq[String]] = Map.empty,
+      // Iceberg-style FIELD IDS: current column name -> stable id. RENAME
+      // is then a metadata-only remap (the id keeps, old files resolve
+      // through it); DROP removes the entry; a re-added name gets a FRESH
+      // id so dropped data never resurrects. Empty for manifests written
+      // before field ids existed — resolution falls back to name-based.
+      fids: Map[String, Int] = Map.empty,
+      // per-file field ids aligned positionally with `cols` (the file's
+      // physical column names at its commit time): the id->physical-name
+      // map that makes rename/drop resolution work into old files
+      colIds: Map[String, Seq[Int]] = Map.empty,
+      // high-water field id — ids are NEVER reused, even after a drop
+      // (Iceberg's last-column-id), so a dropped-then-readded column
+      // cannot alias old file data
+      maxId: Int = 0) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+    /** Physical column name of current-schema column `name` inside data
+      * file `f`: Some(phys) to read, None to null-fill (the file predates
+      * the column's id — including the dropped-then-readded case, where
+      * the same NAME exists physically under a retired id). Name-based
+      * when the table or the file predates field ids. */
+    def physName(f: String, name: String): Option[String] = {
+      if (fids.isEmpty) return Some(name)
+      val key = SnapshotLog.norm(f)
+      (fids.get(name), cols.get(key), colIds.get(key)) match {
+        case (Some(id), Some(cs), Some(ids)) =>
+          val i = ids.indexOf(id)
+          if (i >= 0 && i < cs.length) Some(cs(i)) else None
+        case _ => Some(name) // legacy file or column: name-based
+      }
+    }
+
+    /** True iff any live file resolves any current column to a DIFFERENT
+      * physical name (or a forced null-fill) — the signal that name-based
+      * bulk reads would be wrong and reads must go through id-aware
+      * resolution. */
+    def renameDivergent: Boolean =
+      fids.nonEmpty && {
+        val names = schema.fieldNames
+        files.exists { f =>
+          colIds.contains(SnapshotLog.norm(f)) &&
+            names.exists(n => !physName(f, n).contains(n))
+        }
+      }
   }
 
   private val om = new ObjectMapper()
@@ -169,13 +212,23 @@ object SnapshotLog {
         dn.fields().asScala.map(fe =>
           fe.getKey -> fe.getValue.elements().asScala.map(_.asText()).toSeq).toMap
       }.getOrElse(Map.empty)
+    val fids: Map[String, Int] =
+      Option(t.get("fids")).map { fn =>
+        fn.fields().asScala.map(fe => fe.getKey -> fe.getValue.asInt()).toMap
+      }.getOrElse(Map.empty)
+    val colIds: Map[String, Seq[Int]] =
+      Option(t.get("colIds")).map { cn =>
+        cn.fields().asScala.map(fe =>
+          fe.getKey -> fe.getValue.elements().asScala.map(_.asInt()).toSeq).toMap
+      }.getOrElse(Map.empty)
     Snapshot(
       t.get("version").asInt(),
       t.get("operation").asText(),
       t.get("commitTsMs").asLong(),
       t.get("schema").asText(),
       t.get("files").elements().asScala.map(_.asText()).toSeq,
-      stats, sizes, props, spec, parts, cols, dels)
+      stats, sizes, props, spec, parts, cols, dels, fids, colIds,
+      Option(t.get("maxId")).map(_.asInt()).getOrElse(0))
   }
 
   private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
@@ -314,6 +367,94 @@ object SnapshotLog {
         "lists the snapshotlog reader does not walk; unset it for this commit")
   }
 
+  /** Field-id bookkeeping for a commit: carries the prior snapshot's id
+    * space forward (overwrite included — the TABLE's identity continues),
+    * assigns FRESH ids to columns new in `schema` (never reusing retired
+    * ids), and derives each new file's id list from its physical column
+    * names. All-empty until the table bootstraps field ids (first
+    * rename/drop) — name-based tables pay nothing. */
+  private[sources] def fidCarry(prior: Option[Snapshot], schema: StructType,
+      allFiles: Seq[String], newCols: Map[String, Seq[String]])
+      : (Map[String, Int], Map[String, Seq[Int]], Int) =
+    prior.filter(_.fids.nonEmpty) match {
+      case None => (Map.empty, Map.empty, 0)
+      case Some(p) =>
+        var next = p.maxId
+        val fids = schema.fieldNames.map { n =>
+          n -> p.fids.getOrElse(n, { next += 1; next })
+        }.toMap
+        val liveKeys = allFiles.map(norm).toSet
+        val colIds =
+          p.colIds.view.filterKeys(liveKeys.contains).toMap ++
+            newCols.map { case (f, cs) => f -> cs.map(n => fids.getOrElse(n, -1)) }
+        (fids, colIds, next)
+    }
+
+  /** Assign field ids to a table that predates them: current-schema order
+    * (ids 1..n), every live file's physical columns mapped by name —
+    * sound because no rename can have happened before ids existed. */
+  private def bootstrapFids(cur: Snapshot): Snapshot =
+    if (cur.fids.nonEmpty) cur
+    else {
+      val fids = cur.schema.fieldNames.zipWithIndex
+        .map { case (n, i) => n -> (i + 1) }.toMap
+      val colIds = cur.files.map { f =>
+        val key = norm(f)
+        key -> cur.cols.getOrElse(key, cur.schema.fieldNames.toSeq)
+          .map(n => fids.getOrElse(n, -1))
+      }.toMap
+      cur.copy(fids = fids, colIds = colIds, maxId = fids.size)
+    }
+
+  /** METADATA-ONLY column rename (Iceberg schema evolution): the field
+    * id keeps, so every existing data file keeps resolving through the
+    * manifest's id->physical-name mapping — no data moves, old snapshots
+    * read under their own schema. Bootstraps field ids on first use. */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String, commitTsMs: Long): Int = {
+    val cur = bootstrapFids(pick(spark, root, None, None))
+    require(cur.commitTsMs < commitTsMs,
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    require(cur.schema.fieldNames.contains(from),
+      s"SnapshotLog: no column $from to rename at $root")
+    require(!cur.schema.fieldNames.contains(to),
+      s"SnapshotLog: rename target $to already exists at $root")
+    val newSchema = StructType(cur.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val next = cur.version + 1
+    commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
+      commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
+      Map.empty,
+      cur.spec.map { case (s, t) => (if (s == from) to else s, t) },
+      cur.parts, cur.cols, cur.dels,
+      cur.fids - from + (to -> cur.fids(from)), cur.colIds, cur.maxId)
+    next
+  }
+
+  /** METADATA-ONLY column drop: the field id is RETIRED, never reused —
+    * a later re-added column of the same name gets a fresh id, so the
+    * dropped data cannot alias back (Iceberg's rule). Time travel to
+    * pre-drop versions still reads the column. */
+  def dropColumn(spark: SparkSession, root: String, name: String,
+                 commitTsMs: Long): Int = {
+    val cur = bootstrapFids(pick(spark, root, None, None))
+    require(cur.commitTsMs < commitTsMs,
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    require(cur.schema.fieldNames.contains(name),
+      s"SnapshotLog: no column $name to drop at $root")
+    require(cur.schema.fields.length > 1,
+      s"SnapshotLog: cannot drop the only column at $root")
+    require(!cur.spec.exists(_._1 == name),
+      s"SnapshotLog: $name is a partition source column — drop the spec first")
+    val newSchema = StructType(cur.schema.fields.filterNot(_.name == name))
+    val next = cur.version + 1
+    commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
+      commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
+      Map.empty, cur.spec, cur.parts, cur.cols, cur.dels,
+      cur.fids - name, cur.colIds, cur.maxId)
+    next
+  }
+
   def commit(df: DataFrame, root: String, overwrite: Boolean,
              commitTsMs: Long, numFiles: Int = 2,
              props: Map[String, String] = Map.empty): Int = {
@@ -351,12 +492,14 @@ object SnapshotLog {
       // parent files' tuples (the new files carry no tuple — kept
       // conservatively by partition pruning; commitPartitioned is the
       // layout-preserving append)
+      val (fids, colIds, maxId) =
+        fidCarry(prior.lastOption, df.schema, files, newCols)
       commitManifest(fs, root, next,
         if (overwrite) "overwrite" else "append",
         commitTsMs, df.schema.json, files, stats, sizes, props,
         parent.map(_.spec).getOrElse(Seq.empty),
         parent.map(_.parts).getOrElse(Map.empty), cols,
-        parent.map(_.dels).getOrElse(Map.empty))
+        parent.map(_.dels).getOrElse(Map.empty), fids, colIds, maxId)
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true) // lost the race: reclaim our unpublished data
@@ -435,16 +578,18 @@ object SnapshotLog {
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
 
     try {
+      val allFiles = parent.map(_.files).getOrElse(Seq.empty) ++ newFiles
+      val (fids, colIds, maxId) =
+        fidCarry(prior.lastOption, df.schema, allFiles, newCols)
       commitManifest(fs, root, next,
         if (overwrite) "overwrite" else "append",
-        commitTsMs, df.schema.json,
-        parent.map(_.files).getOrElse(Seq.empty) ++ newFiles,
+        commitTsMs, df.schema.json, allFiles,
         parent.map(_.stats).getOrElse(Map.empty) ++ newStats,
         parent.map(_.sizes).getOrElse(Map.empty) ++ newSizes,
         props, spec,
         parent.map(_.parts).getOrElse(Map.empty) ++ newParts,
         parent.map(_.cols).getOrElse(Map.empty) ++ newCols,
-        parent.map(_.dels).getOrElse(Map.empty))
+        parent.map(_.dels).getOrElse(Map.empty), fids, colIds, maxId)
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true)
@@ -490,9 +635,11 @@ object SnapshotLog {
           "(additive evolution only — rename/drop/retype unsupported)")
     }
     val next = cur.version + 1
+    val (fids, colIds, maxId) =
+      fidCarry(Some(cur), newSchema, cur.files, Map.empty)
     commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
       commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
-      Map.empty, cur.spec, cur.parts, cur.cols, cur.dels)
+      Map.empty, cur.spec, cur.parts, cur.cols, cur.dels, fids, colIds, maxId)
     next
   }
 
@@ -515,7 +662,10 @@ object SnapshotLog {
                              spec: Seq[(String, String)] = Seq.empty,
                              parts: Map[String, Seq[String]] = Map.empty,
                              cols: Map[String, Seq[String]] = Map.empty,
-                             dels: Map[String, Seq[String]] = Map.empty): Unit = {
+                             dels: Map[String, Seq[String]] = Map.empty,
+                             fids: Map[String, Int] = Map.empty,
+                             colIds: Map[String, Seq[Int]] = Map.empty,
+                             maxId: Int = 0): Unit = {
     val node = om.createObjectNode()
     node.put("version", version)
     node.put("operation", operation)
@@ -559,6 +709,16 @@ object SnapshotLog {
         val arr = delsNode.putArray(f)
         ds.foreach(arr.add)
       }
+    }
+    if (fids.nonEmpty) {
+      val fidsNode = node.putObject("fids")
+      fids.foreach { case (n, id) => fidsNode.put(n, id) }
+      val colIdsNode = node.putObject("colIds")
+      colIds.foreach { case (f, ids) =>
+        val arr = colIdsNode.putArray(f)
+        ids.foreach(arr.add)
+      }
+      node.put("maxId", maxId): Unit
     }
     if (spec.nonEmpty) {
       val specNode = node.putArray("spec")
@@ -643,12 +803,44 @@ object SnapshotLog {
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         snap.schema)
+    else if (snap.renameDivergent)
+      readConformed(spark, snap, snap.files)
     else if (snap.dels.isEmpty)
       spark.read.option("mergeSchema", "true").parquet(snap.files: _*)
     else
       applyDels(spark,
         spark.read.option("mergeSchema", "true").parquet(snap.files: _*),
         snap.dels)
+  }
+
+  /** Bulk-read `files` of snapshot `cur` conformed to the CURRENT schema
+    * with id-based physical-name resolution (renamed columns read from
+    * their old physical names, dropped-then-readded columns null-fill)
+    * and MoR deletes applied. Per-file select+alias union — used only on
+    * rename-divergent tables where a name-based mergeSchema read would be
+    * WRONG; the planner-integrated DSv2 path resolves per file without
+    * this plan-size cost and remains the scan of choice. */
+  private[sources] def readConformed(spark: SparkSession, cur: Snapshot,
+                                     files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val schema = cur.schema
+    files.map { f =>
+      val key = norm(f)
+      val present = cur.cols.get(key).map(_.toSet)
+      val raw = spark.read.parquet(f)
+      val withDels = cur.dels.get(key) match {
+        case Some(ds) => applyDels(spark, raw, Map(key -> ds))
+        case None => raw
+      }
+      val sel = schema.fields.map { fd =>
+        cur.physName(f, fd.name)
+          .filter(p => present.forall(_.contains(p))) match {
+          case Some(p) => col(p).as(fd.name)
+          case None => lit(null).cast(fd.dataType).as(fd.name)
+        }
+      }
+      withDels.select(sel.toSeq: _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Apply merge-on-read positional deletes to a raw parquet read of the
@@ -724,7 +916,8 @@ object SnapshotLog {
       commitManifest(fs, root, cur.version + 1, "delete", commitTsMs,
         cur.schemaJson, cur.files, cur.stats, cur.sizes,
         Map("delete.mode" -> "merge-on-read"),
-        cur.spec, cur.parts, cur.cols, merged)
+        cur.spec, cur.parts, cur.cols, merged,
+        cur.fids, cur.colIds, cur.maxId)
     } catch {
       case e: IllegalStateException => fs.delete(delDir, true); throw e
     }
@@ -835,9 +1028,10 @@ object SnapshotLog {
     // merge-on-read deletes on the rewritten files are applied here (the
     // fold: the output files carry no delete baggage)
     val smallDels = cur.dels.view.filterKeys(k => small.exists(f => norm(f) == k)).toMap
-    val rawInput = spark.read.schema(schema).parquet(small: _*)
     val input =
-      if (smallDels.isEmpty) rawInput else applyDels(spark, rawInput, smallDels)
+      if (cur.renameDivergent) readConformed(spark, cur, small)
+      else if (smallDels.isEmpty) spark.read.schema(schema).parquet(small: _*)
+      else applyDels(spark, spark.read.schema(schema).parquet(small: _*), smallDels)
     val shaped =
       if (clusterBy.isEmpty) input.repartition(numOut)
       else {
@@ -859,6 +1053,8 @@ object SnapshotLog {
     val keptSet = kept.toSet
     val next = cur.version + 1
     try {
+      val (fids, colIds, maxId) =
+        fidCarry(Some(cur), schema, kept ++ newFiles, newCols)
       commitManifest(fs, root, next, "rewrite", commitTsMs, cur.schemaJson,
         kept ++ newFiles,
         cur.stats.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newStats,
@@ -869,7 +1065,8 @@ object SnapshotLog {
         // deletes on rewritten files are folded; kept files carry theirs
         // (none today — dels force files into the rewrite set — but a
         // future partial rewrite must not drop them silently)
-        cur.dels.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap)
+        cur.dels.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap,
+        fids, colIds, maxId)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }
@@ -917,6 +1114,8 @@ object SnapshotLog {
     val untouchedSet = untouched.map(norm).toSet
     val next = cur.version + 1
     try {
+      val (fids, colIds, maxId) =
+        fidCarry(Some(cur), cur.schema, untouched ++ newFiles, newCols)
       commitManifest(fs, root, next, operation, commitTsMs, cur.schemaJson,
         untouched ++ newFiles,
         cur.stats.view.filterKeys(untouchedSet.contains).toMap ++ newStats,
@@ -924,7 +1123,8 @@ object SnapshotLog {
         Map.empty, cur.spec,
         cur.parts.view.filterKeys(untouchedSet.contains).toMap,
         cur.cols.view.filterKeys(untouchedSet.contains).toMap ++ newCols,
-        cur.dels.view.filterKeys(untouchedSet.contains).toMap)
+        cur.dels.view.filterKeys(untouchedSet.contains).toMap,
+        fids, colIds, maxId)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }

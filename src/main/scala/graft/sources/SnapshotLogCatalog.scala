@@ -145,19 +145,32 @@ class SnapshotLogCatalog extends TableCatalog
     val root = rootFor(ident)
     if (SnapshotLog.snapshots(spark, root).isEmpty)
       throw new NoSuchTableException(ident)
-    var schema = SnapshotLog.pick(spark, root, None, None).schema
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "snapshotlog catalog: nested ADD COLUMN is not supported")
         // always nullable: pre-evolution files cannot hold a value
-        schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+        val schema = SnapshotLog.pick(spark, root, None, None).schema
+          .add(add.fieldNames()(0), add.dataType(), nullable = true)
+        SnapshotLog.alterSchema(spark, root, schema,
+          SnapshotLog.nextCommitTs(spark, root)): Unit
+      // rename/drop are METADATA-ONLY through field ids (Iceberg schema
+      // evolution): the id keeps across a rename so old files resolve;
+      // a dropped id is retired and never reused
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "snapshotlog catalog: nested RENAME COLUMN is not supported")
+        SnapshotLog.renameColumn(spark, root, rn.fieldNames()(0), rn.newName(),
+          SnapshotLog.nextCommitTs(spark, root)): Unit
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "snapshotlog catalog: nested DROP COLUMN is not supported")
+        SnapshotLog.dropColumn(spark, root, del.fieldNames()(0),
+          SnapshotLog.nextCommitTs(spark, root)): Unit
       case other => throw new UnsupportedOperationException(
         s"snapshotlog catalog: unsupported ALTER TABLE change $other " +
-          "(additive ADD COLUMN only — rename/drop/retype need field IDs)")
+          "(ADD / RENAME / DROP COLUMN only — retype unsupported)")
     }
-    SnapshotLog.alterSchema(spark, root, schema,
-      SnapshotLog.nextCommitTs(spark, root))
     loadTable(ident)
   }
 

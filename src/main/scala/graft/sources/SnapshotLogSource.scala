@@ -193,24 +193,29 @@ private[sources] class SnapshotLogTable(root: String,
     val spark = SparkSession.active
     val cur = SnapshotLog.pick(spark, root, None, None)
     val schema = cur.schema
-    val (touched, untouched) = cur.files.partition { f =>
-      val stats = cur.stats.getOrElse(SnapshotLog.norm(f),
-        Map.empty[String, (Any, Any)])
-      filters.forall(SnapshotStatsFilter.mayMatch(stats, schema, _))
-    }
+    // same pruning as the scan (field-id stats rekey included)
+    val touched = SnapshotLogScanBuilder.prune(cur, cur.files, filters)
+    val touchedSet = touched.map(SnapshotLog.norm).toSet
+    val untouched =
+      cur.files.filterNot(f => touchedSet.contains(SnapshotLog.norm(f)))
     if (touched.isEmpty) return // stats prove nothing matches: no-op
     val cond = filters.map(f => SnapshotStatsFilter.toColumn(f).getOrElse(
       throw new UnsupportedOperationException(
         s"snapshotlog: cannot translate delete filter $f")))
       .reduceOption(_ && _).getOrElse(lit(true))
-    // apply any merge-on-read dels first: a row already positionally
-    // deleted must not be resurrected into the rewritten files
+    // apply any merge-on-read dels first (a positionally deleted row must
+    // not be resurrected into the rewritten files), and resolve renamed
+    // columns by field id when the table has diverged physical names
     val touchedDels = cur.dels.view
       .filterKeys(k => touched.exists(f => SnapshotLog.norm(f) == k)).toMap
-    val rawTouched = spark.read.schema(schema).parquet(touched: _*)
-    val keep = (if (touchedDels.isEmpty) rawTouched
-                else SnapshotLog.applyDels(spark, rawTouched, touchedDels))
-      .filter(not(coalesce(cond, lit(false))))
+    val conformed =
+      if (cur.renameDivergent) SnapshotLog.readConformed(spark, cur, touched)
+      else {
+        val rawTouched = spark.read.schema(schema).parquet(touched: _*)
+        if (touchedDels.isEmpty) rawTouched
+        else SnapshotLog.applyDels(spark, rawTouched, touchedDels)
+      }
+    val keep = conformed.filter(not(coalesce(cond, lit(false))))
     SnapshotLog.rewriteTouched(spark, root, cur, untouched, keep,
       "delete", SnapshotLog.nextCommitTs(spark, root), touched.size): Unit
   }
@@ -287,7 +292,17 @@ private[sources] object SnapshotLogScanBuilder {
     val schema = snap.schema
     candidates.filter { f =>
       val key = SnapshotLog.norm(f)
-      val stats = snap.stats.getOrElse(key, Map.empty[String, (Any, Any)])
+      val physStats = snap.stats.getOrElse(key, Map.empty[String, (Any, Any)])
+      // stats are keyed by the file's PHYSICAL column names; filters use
+      // CURRENT names — rekey through the field-id mapping so pruning
+      // stays correct (and effective) after a rename. A forced-null-fill
+      // column simply has no stats entry (conservative: keep the file —
+      // the reader null-fills it, and the residual filter applies).
+      val stats =
+        if (snap.fids.isEmpty || !snap.colIds.contains(key)) physStats
+        else schema.fieldNames.flatMap { n =>
+          snap.physName(f, n).flatMap(p => physStats.get(p)).map(n -> _)
+        }.toMap
       filters.forall(SnapshotStatsFilter.mayMatch(stats, schema, _)) && {
         val tuple = snap.parts.getOrElse(key, Seq.empty)
         snap.spec.isEmpty || tuple.isEmpty ||
@@ -447,15 +462,35 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
         case _: StructType | _: ArrayType | _: MapType => false
         case _ => true
       }) &&
+      // field-id resolution: vectorized only when every required column
+      // resolves to ITS OWN name in the file (no rename remap in play)
+      files.forall(f => physMapFor(f).isEmpty) &&
       files.forall { f =>
         snap.cols.get(SnapshotLog.norm(f))
           .exists(cs => required.fieldNames.forall(cs.contains))
       }
 
+  /** Field-id name resolution for one file: required name -> physical
+    * name when they DIFFER ("" = forced null-fill: the file predates the
+    * column's id, e.g. dropped-then-readded). Empty map = pure name-based
+    * (the common case; costs nothing downstream). */
+  protected def physMapFor(f: String): Map[String, String] =
+    if (snap.fids.isEmpty) Map.empty
+    else required.fields.iterator
+      .filter(fd => fd.name != "_file" && fd.name != "_pos")
+      .flatMap { fd =>
+        snap.physName(f, fd.name) match {
+          case Some(p) if p == fd.name => None
+          case Some(p) => Some(fd.name -> p)
+          case None => Some(fd.name -> "")
+        }
+      }.toMap
+
   override def planInputPartitions(): Array[InputPartition] = {
     val columnar = columnarOk(kept)
     kept.map(f => SnapshotFilePartition(f, columnar,
-      snap.dels.getOrElse(SnapshotLog.norm(f), Nil))).toArray
+      snap.dels.getOrElse(SnapshotLog.norm(f), Nil),
+      physMapFor(f))).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -577,14 +612,16 @@ private[sources] object SnapshotLogMicroBatchStream {
 
 private[sources] case class SnapshotFilePartition(file: String,
     columnar: Boolean = false,
-    deletes: Seq[String] = Nil) extends InputPartition
+    deletes: Seq[String] = Nil,
+    physMap: Map[String, String] = Map.empty) extends InputPartition
 
 private[sources] case class SnapshotLogReaderFactory(requiredJson: String)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
     new SnapshotFileReader(p.file,
-      DataType.fromJson(requiredJson).asInstanceOf[StructType], p.deletes)
+      DataType.fromJson(requiredJson).asInstanceOf[StructType], p.deletes,
+      p.physMap)
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -632,11 +669,21 @@ private[sources] class SnapshotVectorReader(file: String, required: StructType)
   * roots (this environment); a cluster deployment would broadcast the
   * session conf alongside the factory. */
 private[sources] class SnapshotFileReader(file: String, required: StructType,
-    deleteFiles: Seq[String] = Nil)
+    deleteFiles: Seq[String] = Nil,
+    physMap: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
   private val path = new Path(file)
+
+  /** Physical column name to read for required column `n` in THIS file:
+    * None = forced null-fill (field-id says the file predates the
+    * column); identity unless the planner supplied a rename remap. */
+  private def phys(n: String): Option[String] = physMap.get(n) match {
+    case Some("") => None
+    case Some(p) => Some(p)
+    case None => Some(n)
+  }
 
   private var projIdx: Array[Int] = _
   private var reader: ParquetReader[Group] = _
@@ -653,18 +700,19 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
     def marker(n: String): Int = n match {
       case "_file" => -2; case "_pos" => -3; case _ => -1
     }
-    val present = required.fields.filter(f =>
-      f.name != "_file" && f.name != "_pos" && fileSchema.containsField(f.name))
+    val present = required.fields.flatMap(f =>
+      if (f.name == "_file" || f.name == "_pos") None
+      else phys(f.name).filter(fileSchema.containsField).map(p => (f, p)))
     if (present.isEmpty) {
       projIdx = required.fields.map(f => marker(f.name))
       nullRows = rowCount
     } else {
-      present.foreach(f => validate(f, fileSchema))
+      present.foreach { case (f, p) => validate(f, p, fileSchema) }
       val projection = new MessageType(fileSchema.getName,
-        present.map(f =>
-          fileSchema.getType(fileSchema.getFieldIndex(f.name))).toSeq: _*)
+        present.map { case (_, p) =>
+          fileSchema.getType(fileSchema.getFieldIndex(p)) }.toSeq: _*)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-      val pos = present.map(_.name).zipWithIndex.toMap
+      val pos = present.map(_._1.name).zipWithIndex.toMap
       projIdx = required.fields.map(f => pos.getOrElse(f.name, marker(f.name)))
       reader = ParquetReader.builder(new GroupReadSupport(), path)
         .withConf(conf).build()
@@ -705,8 +753,9 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
     delPtr < deletedPos.length && deletedPos(delPtr) == o
   }
 
-  private def validate(f: StructField, fileSchema: MessageType): Unit = {
-    val t = fileSchema.getType(fileSchema.getFieldIndex(f.name))
+  private def validate(f: StructField, physName: String,
+                       fileSchema: MessageType): Unit = {
+    val t = fileSchema.getType(fileSchema.getFieldIndex(physName))
     f.dataType match {
       case TimestampType | TimestampNTZType =>
         val prim = t.asPrimitiveType().getPrimitiveTypeName

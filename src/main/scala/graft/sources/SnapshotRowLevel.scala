@@ -215,6 +215,8 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
     val (newStats, newCols) = SnapshotLog.footerMeta(conf, newFiles, schema)
     val newSizes = newFiles
       .map(f => SnapshotLog.norm(f) -> fs.getFileStatus(new Path(f)).getLen).toMap
+    val (fids, colIds, maxId) =
+      SnapshotLog.fidCarry(Some(cur), schema, untouched ++ newFiles, newCols)
     try {
       SnapshotLog.commitManifest(fs, root, cur.version + 1, operation,
         SnapshotLog.nextCommitTs(spark, root), cur.schemaJson,
@@ -226,7 +228,8 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
         cur.cols.view.filterKeys(untouchedSet.contains).toMap ++ newCols,
         // replaced files' rows were re-derived through the dels-applying
         // scan, so their delete baggage folds; untouched files keep theirs
-        cur.dels.view.filterKeys(untouchedSet.contains).toMap)
+        cur.dels.view.filterKeys(untouchedSet.contains).toMap,
+        fids, colIds, maxId)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }

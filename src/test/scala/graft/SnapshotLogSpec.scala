@@ -618,6 +618,90 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).sorted === Array(10L, 20L, 30L))
   }
 
+  test("field-id rename: metadata-only, old files resolve, stats still prune") {
+    val root = freshRoot("fid_rename")
+    SnapshotLog.commit(
+      spark.range(0, 100).selectExpr("id AS k", "CAST(id * 1.5 AS DOUBLE) AS amount"),
+      root, overwrite = true, 100L)
+    val preFiles = SnapshotLog.snapshots(spark, root).last.files
+
+    val v2 = SnapshotLog.renameColumn(spark, root, "amount", "price", 200L)
+    assert(v2 === 2)
+    val s2 = SnapshotLog.snapshots(spark, root).last
+    assert(s2.files === preFiles, "rename must not touch data files")
+    assert(s2.schema.fieldNames.toSeq === Seq("k", "price"))
+
+    // both read paths serve the renamed column from the OLD physical name
+    assert(SnapshotLog.read(spark, root)
+      .agg(sum(col("price"))).head().getDouble(0) === (0 until 100).map(_ * 1.5).sum)
+    val dsv2 = spark.read.format("snapshotlog").load(root)
+    assert(dsv2.columns.toSeq === Seq("k", "price"))
+    assert(dsv2.filter(col("price") > 140.0).count() === 6) // k = 94..99
+    // time travel: the OLD snapshot still reads under its own name
+    val v1df = spark.read.format("snapshotlog").option("asOfVersion", 1).load(root)
+    assert(v1df.columns.toSeq === Seq("k", "amount"))
+    assert(v1df.agg(sum(col("amount"))).head().getDouble(0) === (0 until 100).map(_ * 1.5).sum)
+
+    // post-rename APPEND writes the new physical name; both generations read
+    SnapshotLog.commit(
+      spark.range(100, 110).selectExpr("id AS k", "CAST(id * 1.5 AS DOUBLE) AS price"),
+      root, overwrite = false, 300L)
+    assert(spark.read.format("snapshotlog").load(root).count() === 110)
+    assert(SnapshotLog.read(spark, root)
+      .filter(col("price") === 15.0).count() === 1) // k=10, old file
+
+    // manifest-stats pruning rekeys through the field id: probing the NEW
+    // name must still prune files using stats recorded under the OLD name
+    val probe = spark.read.format("snapshotlog").load(root)
+      .filter(col("price") >= 150.0) // only the appended slice matches
+    val planned = probe.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.SnapshotLogScan].keptFiles.size
+    }.head
+    assert(planned === 2, s"expected pruning to keep only the new slice, kept $planned")
+    assert(probe.count() === 10)
+  }
+
+  test("field-id drop: time travel back, re-added name never resurrects") {
+    val root = freshRoot("fid_drop")
+    SnapshotLog.commit(
+      spark.range(0, 10).selectExpr("id AS k", "concat('s', id) AS tag"),
+      root, overwrite = true, 100L)
+    SnapshotLog.dropColumn(spark, root, "tag", 200L)
+    val cur = spark.read.format("snapshotlog").load(root)
+    assert(cur.columns.toSeq === Seq("k"))
+    // time travel to v1 still reads the dropped column
+    assert(spark.read.format("snapshotlog").option("asOfVersion", 1).load(root)
+      .filter(col("tag") === "s3").count() === 1)
+    // re-adding the NAME gets a fresh field id: old physical data must
+    // NOT resurrect (Iceberg's never-reuse-ids rule)
+    SnapshotLog.alterSchema(spark, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType))),
+      300L)
+    val readd = spark.read.format("snapshotlog").load(root)
+    assert(readd.filter(col("tag").isNotNull).count() === 0,
+      "dropped-then-readded column must read as null, never old data")
+    assert(SnapshotLog.read(spark, root).filter(col("tag").isNotNull).count() === 0)
+  }
+
+  test("SQL ALTER TABLE RENAME/DROP COLUMN through the snap catalog") {
+    val wh = "/tmp/graft_snap_warehouse"
+    val fs = new Path(s"$wh/fidsql").getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"$wh/fidsql"), true)
+    spark.sql("CREATE TABLE snap.fidsql.t AS SELECT id AS k, CAST(id * 2.0 AS DOUBLE) AS v FROM range(5)")
+    spark.sql("ALTER TABLE snap.fidsql.t RENAME COLUMN v TO vv")
+    assert(spark.sql("SELECT sum(vv) FROM snap.fidsql.t").head().getDouble(0) === 20.0)
+    spark.sql("ALTER TABLE snap.fidsql.t DROP COLUMN vv")
+    assert(spark.table("snap.fidsql.t").columns.toSeq === Seq("k"))
+    // rewrite after rename-divergence conforms files to current names
+    val root = s"$wh/fidsql/t"
+    SnapshotLog.rewriteDataFiles(spark, root,
+      SnapshotLog.nextCommitTs(spark, root), targetBytes = 1L << 30)
+    assert(spark.table("snap.fidsql.t").count() === 5)
+  }
+
   test("commit rejects unsupported column types with an actionable error") {
     val root = freshRoot("badtype")
     val bad = spark.range(1).selectExpr("id", "make_ym_interval(1, 2) AS iv")
