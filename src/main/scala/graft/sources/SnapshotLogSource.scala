@@ -615,13 +615,24 @@ private[sources] case class SnapshotFilePartition(file: String,
     deletes: Seq[String] = Nil,
     physMap: Map[String, String] = Map.empty) extends InputPartition
 
-private[sources] case class SnapshotLogReaderFactory(requiredJson: String)
+private[sources] object SnapshotLogReaderFactory {
+  /** Driver-side capture of the session Hadoop conf for executor-side
+    * readers (s3a credentials, filesystem tuning — a bare
+    * `new Configuration()` would drop them on a real cluster). */
+  def sessionConf(): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+}
+
+private[sources] case class SnapshotLogReaderFactory(requiredJson: String,
+    conf: org.apache.spark.util.SerializableConfiguration =
+      SnapshotLogReaderFactory.sessionConf())
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
     new SnapshotFileReader(p.file,
       DataType.fromJson(requiredJson).asInstanceOf[StructType], p.deletes,
-      p.physMap)
+      p.physMap, Some(conf.value))
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -670,10 +681,14 @@ private[sources] class SnapshotVectorReader(file: String, required: StructType)
   * session conf alongside the factory. */
 private[sources] class SnapshotFileReader(file: String, required: StructType,
     deleteFiles: Seq[String] = Nil,
-    physMap: Map[String, String] = Map.empty)
+    physMap: Map[String, String] = Map.empty,
+    hadoopConf: Option[Configuration] = None)
     extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  // fresh copy per reader: the projection set below must not leak into
+  // the shared session conf the factory captured
+  private val conf =
+    hadoopConf.map(new Configuration(_)).getOrElse(new Configuration())
   private val path = new Path(file)
 
   /** Physical column name to read for required column `n` in THIS file:
@@ -733,7 +748,7 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
       val acc = scala.collection.mutable.ArrayBuffer[Long]()
       deleteFiles.foreach { df =>
         val r = ParquetReader.builder(new GroupReadSupport(), new Path(df))
-          .withConf(new Configuration()).build()
+          .withConf(hadoopConf.getOrElse(new Configuration())).build()
         try {
           var g = r.read()
           while (g != null) {
