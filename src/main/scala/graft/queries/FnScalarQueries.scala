@@ -512,7 +512,7 @@ object FnScalarQueries extends QueryModule {
         |  )) AS hav_km,
         |  upper(printf('%x', l_orderkey)) AS hex_c,
         |  CASE WHEN l_orderkey % 64 = 0 THEN '0'
-        |       ELSE ltrim(bin(l_orderkey % 64), '0') END AS bin_c,
+        |       ELSE trim(LEADING '0' FROM bin(l_orderkey % 64)) END AS bin_c,
         |  ceil(l_extendedprice * 10) / 10 AS ceil1,
         |  floor(l_extendedprice * 10) / 10 AS floor1,
         |  trunc(l_extendedprice * 10) / 10 AS trunc1,

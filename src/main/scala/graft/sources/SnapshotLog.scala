@@ -107,8 +107,22 @@ object SnapshotLog {
       // high-water field id — ids are NEVER reused, even after a drop
       // (Iceberg's last-column-id), so a dropped-then-readded column
       // cannot alias old file data
-      maxId: Int = 0) {
+      maxId: Int = 0,
+      // PARTITION-SPEC EVOLUTION (Iceberg spec-per-snapshot): every spec
+      // the table has ever written under, oldest first; `spec` stays the
+      // ACTIVE spec (== specs.last when both present). Files prune under
+      // the spec they were WRITTEN with, not the active one.
+      specs: Seq[Seq[(String, String)]] = Seq.empty,
+      // per-file index into `specs`; absent = written under the single
+      // legacy `spec`
+      fileSpec: Map[String, Int] = Map.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+    /** The partition spec data file `f` was WRITTEN under — the spec its
+      * recorded tuple aligns with (spec evolution: newer commits may lay
+      * out under a different active spec). */
+    def specOf(f: String): Seq[(String, String)] =
+      fileSpec.get(SnapshotLog.norm(f)).flatMap(specs.lift).getOrElse(spec)
 
     /** Physical column name of current-schema column `name` inside data
       * file `f`: Some(phys) to read, None to null-fill (the file predates
@@ -221,6 +235,16 @@ object SnapshotLog {
         cn.fields().asScala.map(fe =>
           fe.getKey -> fe.getValue.elements().asScala.map(_.asInt()).toSeq).toMap
       }.getOrElse(Map.empty)
+    val specsHist: Seq[Seq[(String, String)]] =
+      Option(t.get("specs")).map { sn =>
+        sn.elements().asScala.map(outer =>
+          outer.elements().asScala.map(e =>
+            (e.get("source").asText(), e.get("transform").asText())).toSeq).toSeq
+      }.getOrElse(Seq.empty)
+    val fileSpec: Map[String, Int] =
+      Option(t.get("fileSpec")).map { fn =>
+        fn.fields().asScala.map(fe => fe.getKey -> fe.getValue.asInt()).toMap
+      }.getOrElse(Map.empty)
     Snapshot(
       t.get("version").asInt(),
       t.get("operation").asText(),
@@ -228,7 +252,8 @@ object SnapshotLog {
       t.get("schema").asText(),
       t.get("files").elements().asScala.map(_.asText()).toSeq,
       stats, sizes, props, spec, parts, cols, dels, fids, colIds,
-      Option(t.get("maxId")).map(_.asInt()).getOrElse(0))
+      Option(t.get("maxId")).map(_.asInt()).getOrElse(0),
+      specsHist, fileSpec)
   }
 
   private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
@@ -427,7 +452,9 @@ object SnapshotLog {
       Map.empty,
       cur.spec.map { case (s, t) => (if (s == from) to else s, t) },
       cur.parts, cur.cols, cur.dels,
-      cur.fids - from + (to -> cur.fids(from)), cur.colIds, cur.maxId)
+      cur.fids - from + (to -> cur.fids(from)), cur.colIds, cur.maxId,
+      cur.specs.map(_.map { case (s, t) => (if (s == from) to else s, t) }),
+      cur.fileSpec)
     next
   }
 
@@ -451,7 +478,7 @@ object SnapshotLog {
     commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
       commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
       Map.empty, cur.spec, cur.parts, cur.cols, cur.dels,
-      cur.fids - name, cur.colIds, cur.maxId)
+      cur.fids - name, cur.colIds, cur.maxId, cur.specs, cur.fileSpec)
     next
   }
 
@@ -499,7 +526,9 @@ object SnapshotLog {
         commitTsMs, df.schema.json, files, stats, sizes, props,
         parent.map(_.spec).getOrElse(Seq.empty),
         parent.map(_.parts).getOrElse(Map.empty), cols,
-        parent.map(_.dels).getOrElse(Map.empty), fids, colIds, maxId)
+        parent.map(_.dels).getOrElse(Map.empty), fids, colIds, maxId,
+        parent.map(_.specs).getOrElse(Seq.empty),
+        parent.map(_.fileSpec).getOrElse(Map.empty))
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true) // lost the race: reclaim our unpublished data
@@ -532,12 +561,29 @@ object SnapshotLog {
     require(prior.forall(_.commitTsMs < commitTsMs),
       s"commitTsMs $commitTsMs must advance past the last snapshot")
     val parent = if (overwrite) None else prior.lastOption
-    parent.foreach(p => require(p.spec.isEmpty || p.spec == spec,
-      s"commitPartitioned: append spec $spec != table spec ${p.spec}"))
     spec.foreach { case (src, _) =>
       require(df.schema.fieldNames.contains(src),
         s"commitPartitioned: spec column $src not in ${df.schema.fieldNames.mkString(",")}")
     }
+    // PARTITION-SPEC EVOLUTION (Iceberg spec-per-snapshot): an append
+    // under a DIFFERENT spec is legal — the new files lay out and prune
+    // under the new spec, carried files keep pruning under the spec they
+    // were written with. The manifest's spec history makes both coexist.
+    val parentSpecs: Seq[Seq[(String, String)]] = parent match {
+      case Some(p) if p.specs.nonEmpty => p.specs
+      case Some(p) if p.spec.nonEmpty => Seq(p.spec)
+      case _ => Seq.empty
+    }
+    val specsHist =
+      if (parentSpecs.contains(spec)) parentSpecs else parentSpecs :+ spec
+    val specIdx = specsHist.indexOf(spec)
+    // backfill: parent files without an explicit entry were written under
+    // the parent's active spec
+    val parentFileSpec: Map[String, Int] = parent.map { p =>
+      val pIdx = specsHist.indexOf(p.spec)
+      p.files.map(norm).map(k =>
+        k -> p.fileSpec.getOrElse(k, math.max(pIdx, 0))).toMap
+    }.getOrElse(Map.empty)
 
     val dataDir = new Path(new Path(rootP, "data"),
       java.util.UUID.randomUUID().toString.take(12))
@@ -589,7 +635,9 @@ object SnapshotLog {
         props, spec,
         parent.map(_.parts).getOrElse(Map.empty) ++ newParts,
         parent.map(_.cols).getOrElse(Map.empty) ++ newCols,
-        parent.map(_.dels).getOrElse(Map.empty), fids, colIds, maxId)
+        parent.map(_.dels).getOrElse(Map.empty), fids, colIds, maxId,
+        specsHist,
+        parentFileSpec ++ newFiles.map(f => norm(f) -> specIdx))
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true)
@@ -639,7 +687,8 @@ object SnapshotLog {
       fidCarry(Some(cur), newSchema, cur.files, Map.empty)
     commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
       commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
-      Map.empty, cur.spec, cur.parts, cur.cols, cur.dels, fids, colIds, maxId)
+      Map.empty, cur.spec, cur.parts, cur.cols, cur.dels, fids, colIds, maxId,
+      cur.specs, cur.fileSpec)
     next
   }
 
@@ -665,7 +714,9 @@ object SnapshotLog {
                              dels: Map[String, Seq[String]] = Map.empty,
                              fids: Map[String, Int] = Map.empty,
                              colIds: Map[String, Seq[Int]] = Map.empty,
-                             maxId: Int = 0): Unit = {
+                             maxId: Int = 0,
+                             specs: Seq[Seq[(String, String)]] = Seq.empty,
+                             fileSpec: Map[String, Int] = Map.empty): Unit = {
     val node = om.createObjectNode()
     node.put("version", version)
     node.put("operation", operation)
@@ -719,6 +770,19 @@ object SnapshotLog {
         ids.foreach(arr.add)
       }
       node.put("maxId", maxId): Unit
+    }
+    if (specs.nonEmpty) {
+      val specsNode = node.putArray("specs")
+      specs.foreach { s =>
+        val one = specsNode.addArray()
+        s.foreach { case (src, tr) =>
+          val e = one.addObject()
+          e.put("source", src)
+          e.put("transform", tr): Unit
+        }
+      }
+      val fsNode = node.putObject("fileSpec")
+      fileSpec.foreach { case (f, i) => fsNode.put(f, i) }
     }
     if (spec.nonEmpty) {
       val specNode = node.putArray("spec")
@@ -917,7 +981,7 @@ object SnapshotLog {
         cur.schemaJson, cur.files, cur.stats, cur.sizes,
         Map("delete.mode" -> "merge-on-read"),
         cur.spec, cur.parts, cur.cols, merged,
-        cur.fids, cur.colIds, cur.maxId)
+        cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec)
     } catch {
       case e: IllegalStateException => fs.delete(delDir, true); throw e
     }
@@ -1066,7 +1130,8 @@ object SnapshotLog {
         // (none today — dels force files into the rewrite set — but a
         // future partial rewrite must not drop them silently)
         cur.dels.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap,
-        fids, colIds, maxId)
+        fids, colIds, maxId, cur.specs,
+        cur.fileSpec.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }
@@ -1124,7 +1189,8 @@ object SnapshotLog {
         cur.parts.view.filterKeys(untouchedSet.contains).toMap,
         cur.cols.view.filterKeys(untouchedSet.contains).toMap ++ newCols,
         cur.dels.view.filterKeys(untouchedSet.contains).toMap,
-        fids, colIds, maxId)
+        fids, colIds, maxId, cur.specs,
+        cur.fileSpec.view.filterKeys(untouchedSet.contains).toMap)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }

@@ -304,9 +304,13 @@ private[sources] object SnapshotLogScanBuilder {
           snap.physName(f, n).flatMap(p => physStats.get(p)).map(n -> _)
         }.toMap
       filters.forall(SnapshotStatsFilter.mayMatch(stats, schema, _)) && {
+        // spec EVOLUTION: each file prunes under the spec it was WRITTEN
+        // with (its recorded tuple aligns with that spec, not the
+        // currently-active one)
         val tuple = snap.parts.getOrElse(key, Seq.empty)
-        snap.spec.isEmpty || tuple.isEmpty ||
-          filters.forall(SnapshotPartition.mayMatch(snap.spec, tuple, schema, _))
+        val fspec = snap.specOf(f)
+        fspec.isEmpty || tuple.isEmpty ||
+          filters.forall(SnapshotPartition.mayMatch(fspec, tuple, schema, _))
       }
     }
   }
@@ -486,12 +490,19 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
         }
       }.toMap
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val columnar = columnarOk(kept)
-    kept.map(f => SnapshotFilePartition(f, columnar,
+  /** Partition construction shared with the copy-on-write scan: every
+    * scan over snapshot files must carry the file's MoR delete list and
+    * field-id name map, or deleted rows resurrect / renamed columns read
+    * null in DML rewrites. */
+  protected def partitionsFor(files: Seq[String]): Array[InputPartition] = {
+    val columnar = columnarOk(files)
+    files.map(f => SnapshotFilePartition(f, columnar,
       snap.dels.getOrElse(SnapshotLog.norm(f), Nil),
       physMapFor(f))).toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partitionsFor(kept)
 
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotLogReaderFactory(required.json)

@@ -147,7 +147,7 @@ private[sources] class SnapshotCowScan(snap: SnapshotLog.Snapshot,
 
   override def planInputPartitions()
       : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    current.map(f => SnapshotFilePartition(f)).toArray
+    partitionsFor(current) // carries MoR dels + field-id maps (parent helper)
 
   /** Anchor runtime filtering on the `_file` metadata column (exactly
     * Iceberg's choice): Spark's group-filter subquery projects the files
@@ -229,7 +229,8 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
         // replaced files' rows were re-derived through the dels-applying
         // scan, so their delete baggage folds; untouched files keep theirs
         cur.dels.view.filterKeys(untouchedSet.contains).toMap,
-        fids, colIds, maxId)
+        fids, colIds, maxId, cur.specs,
+        cur.fileSpec.view.filterKeys(untouchedSet.contains).toMap)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }

@@ -702,6 +702,62 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(spark.table("snap.fidsql.t").count() === 5)
   }
 
+  test("SQL UPDATE (row-level CoW) on a table with MoR dels keeps them deleted") {
+    val root = "/tmp/graft_snap_warehouse/morupd/t"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    SnapshotLog.commit(
+      spark.range(0, 40).selectExpr("id AS k", "CAST(0 AS LONG) AS v"),
+      root, overwrite = true, 100L)
+    SnapshotLog.deleteWhereMoR(spark, root, col("k") % 10 === 3, 200L)
+    assert(spark.table("snap.morupd.t").count() === 36)
+    // the row-level scan feeds the rewrite: positionally deleted rows
+    // must not resurrect through the UPDATE's copy-on-write
+    spark.sql("UPDATE snap.morupd.t SET v = 1 WHERE k < 100")
+    val t = spark.table("snap.morupd.t")
+    assert(t.count() === 36, "UPDATE resurrected MoR-deleted rows")
+    assert(t.filter(col("v") === 1).count() === 36)
+    assert(t.filter(col("k") === 3).count() === 0)
+  }
+
+  test("partition spec evolution: files prune under the spec they were written with") {
+    val root = freshRoot("spec_evo")
+    val df1 = spark.range(0, 400).selectExpr("id % 4 AS k", "id AS v")
+    SnapshotLog.commitPartitioned(df1, root, Seq("k" -> "identity"),
+      overwrite = true, commitTsMs = 100L)
+    val v1Files = SnapshotLog.snapshots(spark, root).last.files.size
+    assert(v1Files === 4) // one file per identity tuple
+
+    // EVOLVE the spec: later appends lay out under bucket[8]
+    val df2 = spark.range(400, 800).selectExpr("id % 4 AS k", "id AS v")
+    SnapshotLog.commitPartitioned(df2, root, Seq("k" -> "bucket[8]"),
+      overwrite = false, commitTsMs = 200L)
+    val s2 = SnapshotLog.snapshots(spark, root).last
+    assert(s2.specs.size === 2, "manifest must record both specs")
+    assert(s2.spec === Seq("k" -> "bucket[8]"), "active spec is the new one")
+
+    val all = spark.read.format("snapshotlog").load(root)
+    assert(all.count() === 800)
+
+    // an equality probe prunes BOTH generations, each under its own spec:
+    // identity files to the k=2 tuple, bucket files to hash(2)%8
+    val probe = all.filter(col("k") === 2L)
+    val planned = probe.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.SnapshotLogScan].keptFiles.size
+    }.head
+    val total = s2.files.size
+    assert(planned < total,
+      s"expected cross-spec pruning, planned $planned of $total")
+    // exactly 1 identity file (tuple k=2) survives from the v1 generation
+    val keptV1 = probe.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.SnapshotLogScan].keptFiles
+    }.head.count(f => SnapshotLog.snapshots(spark, root).head.files.contains(f))
+    assert(keptV1 === 1, s"identity-spec generation should prune to 1 file, kept $keptV1")
+    assert(probe.count() === 200)
+  }
+
   test("commit rejects unsupported column types with an actionable error") {
     val root = freshRoot("badtype")
     val bad = spark.range(1).selectExpr("id", "make_ym_interval(1, 2) AS iv")
