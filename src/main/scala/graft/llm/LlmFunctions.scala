@@ -171,6 +171,104 @@ object LlmFunctions {
     f(text)
   }
 
+  // ---- HF-fidelity surface (r13): byte-level ids, special tokens, NFC ----
+  // The char-level `tokenize` above assigns single chars their CODEPOINT,
+  // which collides with piece-id space for codepoints >= 256 and has no
+  // special-token protocol. This byte-level form is the GPT-2-family
+  // contract the reference wires through HF tokenizers
+  // (bodo/pandas/series.py:1903): base ids are UTF-8 BYTES 0..255 (any
+  // input is tokenizable — byte fallback), multi-char vocab pieces are
+  // 256+idx, special tokens live in a reserved range above the vocab and
+  // match ATOMICALLY (never split, never merged into neighbors).
+
+  /** Special-token registry (reserved ids above the piece space). */
+  val SpecialTokens: Seq[String] = Seq("<|doc|>", "<|end|>", "<|pad|>")
+  /** First id of the reserved special-token range (= 256 + vocab size). */
+  lazy val specialBase: Long = 256L + bpeVocabPieces.length
+  lazy val specialIds: Map[String, Long] =
+    SpecialTokens.zipWithIndex.map { case (t, i) => t -> (specialBase + i) }.toMap
+
+  /** Unicode NFC normalization (the pre-tokenization normalizer most
+    * sentencepiece/HF pipelines apply; é as e+combining-acute and é as
+    * one codepoint must tokenize identically). */
+  def nfc(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
+  def nfcCol(text: Column): Column = {
+    val f = udf((t: String) => if (t == null) null else nfc(t))
+    f(text)
+  }
+
+  /** Cursor-segment stream: special tokens whole, then greedy vocab
+    * pieces, then single characters (a surrogate PAIR is one segment —
+    * half a pair would byte-encode as '?'). Concatenating the segments
+    * restores the input exactly. */
+  def byteSegments(text: String): IndexedSeq[String] = {
+    val out = Vector.newBuilder[String]
+    var pos = 0
+    while (pos < text.length) {
+      SpecialTokens.find(t => text.startsWith(t, pos)) match {
+        case Some(t) => out += t; pos += t.length
+        case None =>
+          var len = longestMatchAt(text, pos)
+          if (len == 1 && Character.isHighSurrogate(text.charAt(pos)) &&
+              pos + 1 < text.length && Character.isLowSurrogate(text.charAt(pos + 1)))
+            len = 2
+          out += text.substring(pos, pos + len)
+          pos += len
+      }
+    }
+    out.result()
+  }
+
+  /** Byte-level ids: special token -> reserved id; vocab piece -> 256+idx;
+    * ASCII char -> its byte; any other char -> its UTF-8 bytes, one id
+    * per byte (the GPT-2 byte fallback — NOTHING is untokenizable).
+    * Lossless: ids decode back to the exact input. */
+  def tokenizeBytes(text: String): IndexedSeq[Long] =
+    byteSegments(text).flatMap { seg =>
+      specialIds.get(seg) match {
+        case Some(id) => Seq(id)
+        case None if seg.length > 1 && bpePieceId.contains(seg) =>
+          Seq(bpePieceId(seg))
+        case None =>
+          val c = seg.charAt(0)
+          if (seg.length == 1 && c < 128) Seq(c.toLong)
+          else seg.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .toSeq.map(b => (b & 0xFF).toLong)
+      }
+    }
+
+  /** Inverse of [[tokenizeBytes]] (round-trip spec-pinned). */
+  def detokenizeBytes(ids: Seq[Long]): String = {
+    val sb = new java.lang.StringBuilder
+    val bytes = scala.collection.mutable.ArrayBuffer[Byte]()
+    def flushBytes(): Unit = if (bytes.nonEmpty) {
+      sb.append(new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8))
+      bytes.clear()
+    }
+    val byId = specialIds.map(_.swap)
+    ids.foreach { id =>
+      if (id < 256) bytes += id.toByte
+      else {
+        flushBytes()
+        sb.append(byId.getOrElse(id, bpeVocabPieces((id - 256).toInt)))
+      }
+    }
+    flushBytes()
+    sb.toString
+  }
+
+  def tokenizeBytesCol(text: Column): Column = {
+    val f = udf((t: String) => if (t == null) null else tokenizeBytes(t))
+    f(text)
+  }
+
+  def byteSegmentsCol(text: Column): Column = {
+    val f = udf((t: String) => if (t == null) null else byteSegments(t))
+    f(text)
+  }
+
   /** Deterministic embedding: a bag-of-words random projection — each of
     * the dim coordinates sums an independent signed word hash in
     * [-1, 1), so similar TEXTS get similar vectors (exact duplicates

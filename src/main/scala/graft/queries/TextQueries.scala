@@ -163,6 +163,32 @@ object TextQueries extends QueryModule {
           p => concat(p, lit(","))), "").as("head_pieces"))
     }),
 
+    // HF-fidelity tokenizer surface (r13): byte-level ids with SPECIAL
+    // TOKENS (<|doc|>/<|end|> wrap, matched atomically in a reserved id
+    // range), NFC normalization (e+combining-acute ≡ é), and BYTE
+    // FALLBACK (non-ASCII chars emit their UTF-8 bytes as ids 128..255 —
+    // nothing is untokenizable). A deterministic non-ASCII suffix
+    // exercises all three on every row; the DuckDB oracle replays the
+    // same cursor walk (special → longest piece → single char, counting
+    // UTF-8 bytes for fallback chars) over the same inlined vocab.
+    "llm_tokenize_bytes" -> ((s, d) => {
+      // suffix deliberately DECOMPOSED (e + U+0301 combining acute):
+      // NFC must fold it to one-codepoint é before tokenization
+      val input = concat(lit("<|doc|>"),
+        LlmFunctions.nfcCol(concat(col("text"), lit(" é©中"))),
+        lit("<|end|>"))
+      val ids = LlmFunctions.tokenizeBytesCol(input)
+      val segs = LlmFunctions.byteSegmentsCol(input)
+      val sb = LlmFunctions.specialBase
+      documents(s, d).select(
+        col("doc_id"),
+        size(ids).cast("long").as("n_tokens"),
+        size(filter(ids, i => i >= 128 && i < 256)).cast("long").as("n_byte_tokens"),
+        size(filter(ids, i => i >= sb)).cast("long").as("n_special"),
+        array_join(transform(slice(segs, 1, 5),
+          p => concat(p, lit(","))), "").as("head_segments"))
+    }),
+
     // Batched generate through the mapPartitions operator (real external-
     // service plumbing; deterministic echo backend stands in for the API).
     "llm_generate_echo" -> ((s, d) => {
@@ -301,6 +327,59 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
          |       max_by(head, pos) AS head_pieces
          |FROM tok GROUP BY doc_id""".stripMargin
+    },
+
+    "llm_tokenize_bytes" -> {
+      // Replay the byte-level walk: special token (len 7, reserved range)
+      // → longest vocab piece (6..2) → single char; a single non-ASCII
+      // char contributes its UTF-8 BYTE COUNT to n_tokens (byte
+      // fallback). Input is '<|doc|>' || nfc(text+suffix) || '<|end|>',
+      // with the suffix decomposed so nfc_normalize does real work.
+      val byLen: Map[Int, Seq[String]] =
+        LlmFunctions.bpeVocabPieces.groupBy(_.length)
+      val step = "CASE WHEN substring(x.s, x.pos, 7) IN ('<|doc|>','<|end|>') THEN 7 " +
+        (LlmFunctions.MaxPieceLen to 2 by -1)
+          .filter(byLen.contains)
+          .map { len =>
+            val lst = byLen(len).map(p => s"'$p'").mkString("[", ",", "]")
+            s"WHEN list_contains($lst, substring(x.s, x.pos, $len)) THEN $len"
+          }.mkString(" ", " ", " ELSE 1 END")
+      s"""WITH inp AS (
+         |  SELECT doc_id,
+         |    '<|doc|>' || nfc_normalize(text || ' e' || chr(769) || chr(169) || chr(20013)) || '<|end|>' AS s
+         |  FROM documents),
+         |walk AS (
+         |  WITH RECURSIVE tok(doc_id, pos, n, nb, ns, nseg, head) AS (
+         |    SELECT doc_id, 1, 0, 0, 0, 0, '' FROM inp
+         |    UNION ALL
+         |    SELECT y.doc_id, y.pos + y.step,
+         |      y.n + CASE WHEN y.step = 1 THEN y.u8 ELSE 1 END,
+         |      y.nb + CASE WHEN y.step = 1 AND y.u8 > 1 THEN y.u8 ELSE 0 END,
+         |      y.ns + CASE WHEN y.step = 7 THEN 1 ELSE 0 END,
+         |      y.nseg + 1,
+         |      y.head || CASE WHEN y.nseg < 5
+         |                     THEN substring(y.s, y.pos, y.step) || ','
+         |                     ELSE '' END
+         |    FROM (
+         |      SELECT x.*, $step AS step,
+         |        CASE WHEN unicode(substring(x.s, x.pos, 1)) < 128 THEN 1
+         |             WHEN unicode(substring(x.s, x.pos, 1)) < 2048 THEN 2
+         |             WHEN unicode(substring(x.s, x.pos, 1)) < 65536 THEN 3
+         |             ELSE 4 END AS u8
+         |      FROM (
+         |        SELECT t.doc_id, t.pos, t.n, t.nb, t.ns, t.nseg, t.head, i.s
+         |        FROM tok t JOIN inp i USING (doc_id)
+         |        WHERE t.pos <= length(i.s)
+         |      ) x
+         |    ) y
+         |  )
+         |  SELECT doc_id, max(n) AS n, max(nb) AS nb, max(ns) AS ns,
+         |         max_by(head, pos) AS head
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(nb AS BIGINT) AS n_byte_tokens, CAST(ns AS BIGINT) AS n_special,
+         |  head AS head_segments
+         |FROM walk""".stripMargin
     },
 
     "llm_generate_echo" ->
