@@ -269,6 +269,28 @@ object LlmFunctions {
     f(text)
   }
 
+  /** One-pass summary for the gate: (n_tokens, n_byte_tokens, n_special,
+    * head 5 segments) without tokenizing the text twice. */
+  def tokenizeBytesSummaryCol(text: Column): Column = {
+    val f = udf((t: String) =>
+      if (t == null) null
+      else {
+        val segs = byteSegments(t)
+        var n = 0L; var nb = 0L; var ns = 0L
+        segs.foreach { seg =>
+          if (specialIds.contains(seg)) { n += 1; ns += 1 }
+          else if (seg.length > 1 && bpePieceId.contains(seg)) n += 1
+          else if (seg.length == 1 && seg.charAt(0) < 128) n += 1
+          else {
+            val b = seg.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+            n += b; nb += b
+          }
+        }
+        (n, nb, ns, segs.take(5).map(_ + ",").mkString)
+      })
+    f(text)
+  }
+
   /** Deterministic embedding: a bag-of-words random projection — each of
     * the dim coordinates sums an independent signed word hash in
     * [-1, 1), so similar TEXTS get similar vectors (exact duplicates

@@ -177,16 +177,14 @@ object TextQueries extends QueryModule {
       val input = concat(lit("<|doc|>"),
         LlmFunctions.nfcCol(concat(col("text"), lit(" é©中"))),
         lit("<|end|>"))
-      val ids = LlmFunctions.tokenizeBytesCol(input)
-      val segs = LlmFunctions.byteSegmentsCol(input)
-      val sb = LlmFunctions.specialBase
-      documents(s, d).select(
-        col("doc_id"),
-        size(ids).cast("long").as("n_tokens"),
-        size(filter(ids, i => i >= 128 && i < 256)).cast("long").as("n_byte_tokens"),
-        size(filter(ids, i => i >= sb)).cast("long").as("n_special"),
-        array_join(transform(slice(segs, 1, 5),
-          p => concat(p, lit(","))), "").as("head_segments"))
+      val summ = LlmFunctions.tokenizeBytesSummaryCol(input)
+      documents(s, d).select(col("doc_id"), summ.as("t"))
+        .select(
+          col("doc_id"),
+          col("t._1").as("n_tokens"),
+          col("t._2").as("n_byte_tokens"),
+          col("t._3").as("n_special"),
+          col("t._4").as("head_segments"))
     }),
 
     // Batched generate through the mapPartitions operator (real external-

@@ -692,6 +692,39 @@ object SnapshotLog {
     next
   }
 
+  /** TABLE-LEVEL properties (Iceberg table-properties analog): a small
+    * JSON beside the log. Unlike per-snapshot commit `props` these
+    * configure WRITE BEHAVIOR for future statements — e.g.
+    * `write.delete.mode=merge-on-read` routes SQL DELETE through
+    * positional delete files instead of copy-on-write. Deliberately not
+    * versioned: they steer future commits, they don't describe past ones
+    * (matching Iceberg, where properties changes don't create
+    * snapshots). Last-writer-wins on concurrent SET. */
+  def tableProps(spark: SparkSession, root: String): Map[String, String] = {
+    val p = new Path(logDir(root), "tblprops.json")
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val t = om.readTree(readBytes(fs, p))
+      t.fields().asScala.map(fe => fe.getKey -> fe.getValue.asText()).toMap
+    }
+  }
+
+  def setTableProps(spark: SparkSession, root: String,
+                    set: Map[String, String],
+                    unset: Seq[String] = Nil): Map[String, String] = {
+    require(snapshots(spark, root).nonEmpty,
+      s"SnapshotLog: no table at $root")
+    val merged = tableProps(spark, root) ++ set -- unset
+    val p = new Path(logDir(root), "tblprops.json")
+    val fs = fsFor(spark, p)
+    val node = om.createObjectNode()
+    merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val out = fs.create(p, true)
+    try out.write(om.writeValueAsBytes(node)) finally out.close()
+    merged
+  }
+
   /** A wall-clock commit timestamp guaranteed to advance past the last
     * snapshot (two catalog commits can land in the same millisecond). */
   def nextCommitTs(spark: SparkSession, root: String): Long = {

@@ -8,6 +8,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+import scala.jdk.CollectionConverters._
+
 /** `TableCatalog` plugin over [[SnapshotLog]] tables — the SQL-surface
   * catalog integration the reference gets from its Iceberg catalogs
   * (IcebergDDLExecutor.kt; REST/Glue/local in `bodo/io/iceberg/catalog/`).
@@ -133,6 +135,12 @@ class SnapshotLogCatalog extends TableCatalog
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     SnapshotLog.createEmpty(spark, root, schema,
       SnapshotLog.nextCommitTs(spark, root), spec)
+    // persist user TBLPROPERTIES (Spark-managed keys like provider/
+    // location/owner are engine bookkeeping, not table behavior)
+    val reserved = Set("provider", "location", "owner", "comment", "external")
+    val user = properties.asScala.view
+      .filterKeys(k => !reserved.contains(k) && !k.startsWith("option.")).toMap
+    if (user.nonEmpty) SnapshotLog.setTableProps(spark, root, user): Unit
     loadTable(ident)
   }
 
@@ -167,6 +175,14 @@ class SnapshotLogCatalog extends TableCatalog
           "snapshotlog catalog: nested DROP COLUMN is not supported")
         SnapshotLog.dropColumn(spark, root, del.fieldNames()(0),
           SnapshotLog.nextCommitTs(spark, root)): Unit
+      // SET/UNSET TBLPROPERTIES: table-level write-behavior switches
+      // (e.g. write.delete.mode=merge-on-read)
+      case sp: TableChange.SetProperty =>
+        SnapshotLog.setTableProps(spark, root,
+          Map(sp.property() -> sp.value())): Unit
+      case rp: TableChange.RemoveProperty =>
+        SnapshotLog.setTableProps(spark, root, Map.empty,
+          unset = Seq(rp.property())): Unit
       case other => throw new UnsupportedOperationException(
         s"snapshotlog catalog: unsupported ALTER TABLE change $other " +
           "(ADD / RENAME / DROP COLUMN only — retype unsupported)")

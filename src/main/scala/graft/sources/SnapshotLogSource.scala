@@ -154,6 +154,14 @@ private[sources] class SnapshotLogTable(root: String,
   override def name(): String = s"snapshotlog:$root@v${snap.version}"
   override def schema(): StructType = SnapshotLogSource.nullable(snap.schema)
 
+  /** Table-level properties (DESCRIBE EXTENDED / SHOW TBLPROPERTIES). */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    SnapshotLog.tableProps(SparkSession.active, root)
+      .foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   /** Surface the hidden-partition spec (DESCRIBE TABLE / EXPLAIN). */
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
@@ -192,6 +200,19 @@ private[sources] class SnapshotLogTable(root: String,
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val spark = SparkSession.active
     val cur = SnapshotLog.pick(spark, root, None, None)
+    // write.delete.mode=merge-on-read (Iceberg's property, same name):
+    // route the SQL DELETE through positional delete files — a KB-scale
+    // write instead of a file rewrite, the trickle-delete regime
+    if (SnapshotLog.tableProps(spark, root)
+        .get("write.delete.mode").contains("merge-on-read")) {
+      val cond = filters.map(f => SnapshotStatsFilter.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"snapshotlog: cannot translate delete filter $f")))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      SnapshotLog.deleteWhereMoR(spark, root, cond,
+        SnapshotLog.nextCommitTs(spark, root))
+      return
+    }
     val schema = cur.schema
     // same pruning as the scan (field-id stats rekey included)
     val touched = SnapshotLogScanBuilder.prune(cur, cur.files, filters)

@@ -720,6 +720,35 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(t.filter(col("k") === 3).count() === 0)
   }
 
+  test("SQL DELETE routes through merge-on-read when the table property says so") {
+    val root = "/tmp/graft_snap_warehouse/morprop/t"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    spark.sql("CREATE TABLE snap.morprop.t AS SELECT id AS k, id * 2 AS v FROM range(100)")
+    spark.sql("ALTER TABLE snap.morprop.t SET TBLPROPERTIES('write.delete.mode'='merge-on-read')")
+    val props = spark.sql("SHOW TBLPROPERTIES snap.morprop.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write.delete.mode").contains("merge-on-read"))
+
+    val preFiles = SnapshotLog.snapshots(spark, root).last.files
+    // NOTE: the predicate must be v1-Filter-translatable — an
+    // untranslatable shape (k % 10 = 3) routes to the row-level CoW
+    // operation regardless of the property (the documented split)
+    spark.sql("DELETE FROM snap.morprop.t WHERE k >= 90")
+    val s = SnapshotLog.snapshots(spark, root).last
+    assert(s.operation === "delete")
+    assert(s.files === preFiles, "MoR-routed DELETE must not rewrite data files")
+    assert(s.dels.nonEmpty)
+    assert(spark.table("snap.morprop.t").count() === 90)
+
+    // UNSET flips back to copy-on-write: the next DELETE rewrites files
+    spark.sql("ALTER TABLE snap.morprop.t UNSET TBLPROPERTIES('write.delete.mode')")
+    spark.sql("DELETE FROM snap.morprop.t WHERE k >= 80")
+    val s2 = SnapshotLog.snapshots(spark, root).last
+    assert(s2.files !== preFiles, "CoW DELETE should rewrite touched files")
+    assert(spark.table("snap.morprop.t").count() === 80)
+  }
+
   test("partition spec evolution: files prune under the spec they were written with") {
     val root = freshRoot("spec_evo")
     val df1 = spark.range(0, 400).selectExpr("id % 4 AS k", "id AS v")

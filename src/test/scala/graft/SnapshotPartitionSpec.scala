@@ -102,15 +102,11 @@ class SnapshotPartitionSpec extends AnyFunSuite {
     assert(range.count() === 2)
   }
 
-  test("appends must reuse the table spec; unpartitioned commit() on top refused via spec check") {
+  test("same-spec appends prune one bucket per commit; spec CHANGE is evolution") {
     val root = freshRoot("speclock")
     val df = (0L until 10L).map(k => (k, k * 2)).toDF("k", "v")
     SnapshotLog.commitPartitioned(df, root,
       Seq("k" -> "bucket[4]"), overwrite = true, commitTsMs = 100L)
-    intercept[IllegalArgumentException] {
-      SnapshotLog.commitPartitioned(df, root,
-        Seq("k" -> "bucket[8]"), overwrite = false, commitTsMs = 200L)
-    }
     // same spec appends fine; pruning spans both commits
     SnapshotLog.commitPartitioned(df, root,
       Seq("k" -> "bucket[4]"), overwrite = false, commitTsMs = 300L)
@@ -118,6 +114,17 @@ class SnapshotPartitionSpec extends AnyFunSuite {
     val probe = t.filter(col("k") === 3L)
     assert(planned(probe) === 2, "one bucket per commit")
     assert(probe.count() === 2)
+    // an append under a DIFFERENT spec is no longer refused: it records a
+    // spec-evolution entry and each generation prunes under its own spec
+    // (full semantics in SnapshotLogSpec "partition spec evolution")
+    SnapshotLog.commitPartitioned(df, root,
+      Seq("k" -> "bucket[8]"), overwrite = false, commitTsMs = 400L)
+    val s = SnapshotLog.snapshots(spark, root).last
+    assert(s.specs.size === 2 && s.spec === Seq("k" -> "bucket[8]"))
+    val probe2 = spark.read.format("snapshotlog").load(root)
+      .filter(col("k") === 3L)
+    assert(planned(probe2) === 3, "one bucket per commit across BOTH specs")
+    assert(probe2.count() === 3)
   }
 
   test("null partition values are never pruned; non-partition predicates untouched") {
