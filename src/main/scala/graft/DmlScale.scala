@@ -70,6 +70,13 @@ object DmlScale {
         SnapshotLog.deleteWhereMoR(spark, root,
           col("k").between(hi + 2000, hi + 3000),
           SnapshotLog.nextCommitTs(spark, root)): Unit),
+      // merge-on-read UPDATE: delete file + one appended fragment —
+      // cost ∝ matched rows, files_rewritten stays 0
+      "update_slice_mor" -> (() =>
+        SnapshotLog.updateWhereMoR(spark, root,
+          col("k").between(hi + 4000, hi + 5000),
+          Map("v" -> (col("v") + 1.0)),
+          SnapshotLog.nextCommitTs(spark, root)): Unit),
       "scan_agg" -> (() =>
         spark.sql(s"SELECT sum(v), count(*) FROM snap.$ns.t").collect(): Unit))
 

@@ -558,6 +558,44 @@ object DdlQueries extends QueryModule {
         .reduce(_ unionByName _)
         .select("stage", "operation", "n_rows", "sum_bal",
           "data_files_changed", "has_dels")
+    }),
+
+    // MERGE-ON-READ UPDATE (Iceberg MoR update semantics): old rows
+    // suppressed by positional delete files, new rows in one appended
+    // fragment, both in a single "update" snapshot — cost ∝ matched
+    // rows, never file sizes. Gated: v3 keeps EVERY pre-existing data
+    // file (pre_files_kept), row count unchanged, the sum shifts by
+    // exactly the update delta, compaction folds it all away, and time
+    // travel to v2 still reads the pre-update values.
+    "ddl_mor_update" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "mor_update") { root =>
+        val c = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 0), root,
+          overwrite = true, commitTsMs = 1000L)
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 1), root,
+          overwrite = false, commitTsMs = 2000L)
+        SnapshotLog.updateWhereMoR(s, root, col("c_custkey") % 10 === 3,
+          Map("c_acctbal" -> (col("c_acctbal") + 1000.0)), 3000L)
+        SnapshotLog.rewriteDataFiles(s, root, commitTsMs = 4000L,
+          targetBytes = 1L << 30)
+      }
+      val snaps = SnapshotLog.snapshots(s, root)
+      val byV = snaps.map(sn => sn.version -> sn).toMap
+      def stage(label: String, v: Int): DataFrame =
+        snapRead(s, root, asOfVersion = Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("c_acctbal")), 2).as("sum_bal"))
+          .withColumn("stage", lit(label))
+          .withColumn("operation", lit(byV(v).operation))
+          .withColumn("pre_files_kept",
+            lit(byV(math.max(v - 1, 2)).files.forall(byV(v).files.contains) ||
+              byV(v).operation == "rewrite"))
+          .withColumn("has_dels", lit(byV(v).dels.nonEmpty))
+      Seq(stage("baseline", 2), stage("mor_updated", 3), stage("folded", 4))
+        .reduce(_ unionByName _)
+        .select("stage", "operation", "n_rows", "sum_bal",
+          "pre_files_kept", "has_dels")
     })
   )
 
@@ -756,6 +794,23 @@ object DdlQueries extends QueryModule {
         |FROM pre
         |UNION ALL
         |SELECT 'mor_deleted', 'delete', n, sb, FALSE, TRUE FROM post
+        |UNION ALL
+        |SELECT 'folded', 'rewrite', n, sb, TRUE, FALSE FROM post""".stripMargin,
+
+    "ddl_mor_update" ->
+      """WITH pre AS (
+        |  SELECT CAST(count(*) AS BIGINT) n, round(sum(c_acctbal), 2) sb
+        |  FROM customer),
+        |post AS (
+        |  SELECT CAST(count(*) AS BIGINT) n,
+        |    round(sum(c_acctbal + CASE WHEN c_custkey % 10 = 3
+        |                               THEN 1000.0 ELSE 0 END), 2) sb
+        |  FROM customer)
+        |SELECT 'baseline' AS stage, 'append' AS operation, n AS n_rows,
+        |  sb AS sum_bal, TRUE AS pre_files_kept, FALSE AS has_dels
+        |FROM pre
+        |UNION ALL
+        |SELECT 'mor_updated', 'update', n, sb, TRUE, TRUE FROM post
         |UNION ALL
         |SELECT 'folded', 'rewrite', n, sb, TRUE, FALSE FROM post""".stripMargin
   )

@@ -976,49 +976,132 @@ object SnapshotLog {
     * deleted ordinals are excluded (stacked deletes never double-count).
     * Returns the new version, or the current version when nothing
     * matched. */
+  /** Write one positional-delete parquet from `matched` (a frame exposing
+    * `_file`/`_pos`), sorted so readers filter it in one pass. Returns
+    * (delete dir, delete files, merged per-data-file dels map), or None
+    * when nothing matched (dir already cleaned up). */
+  private def stageDeleteFiles(spark: SparkSession, root: String,
+      cur: Snapshot, matched: DataFrame)
+      : Option[(Path, Seq[String], Map[String, Seq[String]])] = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val fs = fsFor(spark, new Path(root))
+    val delDir = new Path(new Path(root, "deletes"),
+      java.util.UUID.randomUUID().toString.take(12))
+    matched
+      .select(regexp_replace(col("_file"), "^file:/*", "/").as("file_path"),
+        col("_pos").as("pos"))
+      .repartition(1).sortWithinPartitions("file_path", "pos")
+      .write.parquet(delDir.toString)
+    val delFiles = fs.listStatus(delDir)
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).map(_.getPath.toString).toSeq
+    // affected data files: driver-side metadata (bounded by file count)
+    val affected = spark.read.parquet(delFiles: _*)
+      .select("file_path").distinct()
+      .collect().map(_.getString(0))
+    if (affected.isEmpty) { fs.delete(delDir, true); None }
+    else Some((delDir, delFiles, cur.dels ++ affected.map(f =>
+      f -> (cur.dels.getOrElse(f, Seq.empty) ++ delFiles)).toMap))
+  }
+
   def deleteWhereMoR(spark: SparkSession, root: String,
                      cond: org.apache.spark.sql.Column,
                      commitTsMs: Long): Int = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_replace}
+    import org.apache.spark.sql.functions.{coalesce, lit}
     val cur = pick(spark, root, None, None)
     require(cur.commitTsMs < commitTsMs,
       s"commitTsMs $commitTsMs must advance past the last snapshot")
     if (cur.files.isEmpty) return cur.version
     val fs = fsFor(spark, new Path(root))
-    val delDir = new Path(new Path(root, "deletes"),
-      java.util.UUID.randomUUID().toString.take(12))
     // (file, ordinal) coordinates of the doomed rows, via the pruning
-    // DSv2 scan pinned at the current version; sorted so each delete
-    // file clusters by data file (readers filter it with one pass)
-    spark.read.format("snapshotlog").option("asOfVersion", cur.version)
-      .load(root)
+    // DSv2 scan pinned at the current version
+    val matched = spark.read.format("snapshotlog")
+      .option("asOfVersion", cur.version).load(root)
       .filter(coalesce(cond, lit(false)))
-      .select(regexp_replace(col("_file"), "^file:/*", "/").as("file_path"),
-        col("_pos").as("pos"))
-      .repartition(1).sortWithinPartitions("file_path", "pos")
-      .write.parquet(delDir.toString)
-    val statuses = fs.listStatus(delDir)
-      .filter(s => s.getPath.getName.startsWith("part-") &&
-        s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-    val delFiles = statuses.map(_.getPath.toString).toSeq
-    // affected data files: driver-side metadata (bounded by file count)
-    val affected = spark.read.parquet(delFiles: _*)
-      .select("file_path").distinct()
-      .collect().map(_.getString(0))
-    if (affected.isEmpty) { fs.delete(delDir, true); return cur.version }
-    val merged = cur.dels ++ affected.map(f =>
-      f -> (cur.dels.getOrElse(f, Seq.empty) ++ delFiles)).toMap
-    try {
-      commitManifest(fs, root, cur.version + 1, "delete", commitTsMs,
-        cur.schemaJson, cur.files, cur.stats, cur.sizes,
-        Map("delete.mode" -> "merge-on-read"),
-        cur.spec, cur.parts, cur.cols, merged,
-        cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec)
-    } catch {
-      case e: IllegalStateException => fs.delete(delDir, true); throw e
+    stageDeleteFiles(spark, root, cur, matched) match {
+      case None => cur.version
+      case Some((delDir, _, merged)) =>
+        try {
+          commitManifest(fs, root, cur.version + 1, "delete", commitTsMs,
+            cur.schemaJson, cur.files, cur.stats, cur.sizes,
+            Map("delete.mode" -> "merge-on-read"),
+            cur.spec, cur.parts, cur.cols, merged,
+            cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec)
+        } catch {
+          case e: IllegalStateException => fs.delete(delDir, true); throw e
+        }
+        cur.version + 1
     }
-    cur.version + 1
+  }
+
+  /** MERGE-ON-READ update: positional delete files suppress the OLD rows,
+    * one small appended data file carries the NEW rows — committed
+    * together as one "update" snapshot. Cost is proportional to the
+    * MATCHED ROWS, never to the touched files' sizes: the trickle-UPDATE
+    * answer at 100 TB, where copy-on-write rewrites a whole file per
+    * statement (Iceberg's merge-on-read UPDATE semantics; compaction
+    * folds both the delete files and the update fragments). `set` maps
+    * column name -> replacement expression over the current row. */
+  def updateWhereMoR(spark: SparkSession, root: String,
+                     cond: org.apache.spark.sql.Column,
+                     set: Map[String, org.apache.spark.sql.Column],
+                     commitTsMs: Long, numFiles: Int = 1): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val cur = pick(spark, root, None, None)
+    require(cur.commitTsMs < commitTsMs,
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    if (cur.files.isEmpty) return cur.version
+    val bad = set.keySet -- cur.schema.fieldNames.toSet
+    require(bad.isEmpty, s"updateWhereMoR: unknown column(s) ${bad.mkString(",")}")
+    val fs = fsFor(spark, new Path(root))
+    // one pruned scan feeds BOTH the delete coordinates and the updated
+    // rows; localCheckpoint so the matched set is computed once
+    val matched = spark.read.format("snapshotlog")
+      .option("asOfVersion", cur.version).load(root)
+      .select(col("_file"), col("_pos"),
+        col("*")) // data columns after the coordinates
+      .filter(coalesce(cond, lit(false)))
+      .localCheckpoint()
+    stageDeleteFiles(spark, root, cur, matched) match {
+      case None => cur.version
+      case Some((delDir, _, merged)) =>
+        val dataDir = new Path(new Path(root, "data"),
+          java.util.UUID.randomUUID().toString.take(12))
+        matched
+          .select(cur.schema.fields.map(f =>
+            set.getOrElse(f.name, col(f.name)).as(f.name)).toSeq: _*)
+          .repartition(math.max(1, numFiles)).write.parquet(dataDir.toString)
+        val statuses = fs.listStatus(dataDir)
+          .filter(s => s.getPath.getName.startsWith("part-") &&
+            s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        val rows = footerRowCounts(spark.sessionState.newHadoopConf(),
+          statuses.map(_.getPath.toString).toSeq)
+        val newFiles = statuses.map(_.getPath.toString).toSeq
+          .filter(f => rows(norm(f)) > 0)
+        statuses.map(_.getPath.toString).filterNot(newFiles.contains)
+          .foreach(f => fs.delete(new Path(f), false))
+        val newSizes = statuses.filter(s => newFiles.contains(s.getPath.toString))
+          .map(s => norm(s.getPath.toString) -> s.getLen).toMap
+        val (newStats, newCols) =
+          footerMeta(spark.sessionState.newHadoopConf(), newFiles, cur.schema)
+        val allFiles = cur.files ++ newFiles
+        val (fids, colIds, maxId) =
+          fidCarry(Some(cur), cur.schema, allFiles, newCols)
+        try {
+          commitManifest(fs, root, cur.version + 1, "update", commitTsMs,
+            cur.schemaJson, allFiles,
+            cur.stats ++ newStats, cur.sizes ++ newSizes,
+            Map("update.mode" -> "merge-on-read"),
+            cur.spec, cur.parts, cur.cols ++ newCols, merged,
+            fids, colIds, maxId, cur.specs, cur.fileSpec)
+        } catch {
+          case e: IllegalStateException =>
+            fs.delete(delDir, true); fs.delete(dataDir, true); throw e
+        }
+        cur.version + 1
+    }
   }
 
   /** Order two manifest-stat scalars. Integral pairs compare as longs

@@ -720,6 +720,51 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(t.filter(col("k") === 3).count() === 0)
   }
 
+  test("merge-on-read UPDATE: old rows suppressed, new rows appended, one snapshot") {
+    val root = freshRoot("mor_update")
+    val df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    SnapshotLog.commit(df.filter(col("k") < 50), root, overwrite = true, 100L)
+    SnapshotLog.commit(df.filter(col("k") >= 50), root, overwrite = false, 200L)
+    val preFiles = SnapshotLog.snapshots(spark, root).last.files
+
+    val v3 = SnapshotLog.updateWhereMoR(spark, root,
+      col("k") % 10 === 3, Map("v" -> (col("v") + 1000L)), 300L)
+    assert(v3 === 3)
+    val s3 = SnapshotLog.snapshots(spark, root).last
+    assert(s3.operation === "update")
+    assert(preFiles.forall(s3.files.contains),
+      "MoR update must carry every pre-existing data file untouched")
+    assert(s3.files.size > preFiles.size, "updated rows live in appended files")
+    assert(s3.dels.nonEmpty)
+
+    val cur = spark.read.format("snapshotlog").load(root)
+    assert(cur.count() === 100) // row count unchanged by UPDATE
+    assert(cur.filter(col("k") === 3).select("v").as[Long].head() === 1006L)
+    assert(cur.filter(col("k") === 4).select("v").as[Long].head() === 8L)
+    assert(cur.agg(sum(col("v"))).head().getLong(0) ===
+      (0 until 100).map(k => 2L * k + (if (k % 10 == 3) 1000L else 0L)).sum)
+    // time travel: pre-update values intact
+    assert(spark.read.format("snapshotlog").option("asOfVersion", 2).load(root)
+      .filter(col("k") === 3).select("v").as[Long].head() === 6L)
+
+    // stacked: a second MoR update hits rows living in the APPENDED file
+    val v4 = SnapshotLog.updateWhereMoR(spark, root,
+      col("k") === 3, Map("v" -> lit(-1L)), 400L)
+    assert(v4 === 4)
+    val cur4 = spark.read.format("snapshotlog").load(root)
+    assert(cur4.count() === 100)
+    assert(cur4.filter(col("k") === 3).select("v").as[Long].head() === -1L)
+
+    // compaction folds everything back to plain files
+    SnapshotLog.rewriteDataFiles(spark, root, commitTsMs = 500L,
+      targetBytes = 1L << 30)
+    val s5 = SnapshotLog.snapshots(spark, root).last
+    assert(s5.dels.isEmpty)
+    assert(spark.read.format("snapshotlog").load(root).count() === 100)
+    assert(SnapshotLog.read(spark, root)
+      .filter(col("k") === 3).select("v").as[Long].head() === -1L)
+  }
+
   test("SQL DELETE routes through merge-on-read when the table property says so") {
     val root = "/tmp/graft_snap_warehouse/morprop/t"
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
