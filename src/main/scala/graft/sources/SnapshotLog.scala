@@ -725,6 +725,49 @@ object SnapshotLog {
     merged
   }
 
+  /** Named refs (Iceberg tags): human-readable names pinned to snapshot
+    * versions — `VERSION AS OF 'v1-release'` in SQL, `option("asOfTag",
+    * name)` on the DSv2 source. Tags RETAIN their snapshots: expiry never
+    * reclaims a tagged version, so a tag is a durable audit point that
+    * survives routine expire_snapshots (exactly Iceberg's ref-retention
+    * rule). Stored as a small JSON beside the log; last-writer-wins. */
+  def refs(spark: SparkSession, root: String): Map[String, Int] = {
+    val p = new Path(logDir(root), "refs.json")
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val t = om.readTree(readBytes(fs, p))
+      t.fields().asScala.map(fe => fe.getKey -> fe.getValue.asInt()).toMap
+    }
+  }
+
+  def createTag(spark: SparkSession, root: String, name: String,
+                version: Int): Unit = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"SnapshotLog: tag name '$name' must be non-numeric (it shares the " +
+        "VERSION AS OF namespace with version numbers)")
+    val snaps = snapshots(spark, root)
+    require(snaps.exists(_.version == version),
+      s"SnapshotLog: cannot tag missing version $version at $root")
+    val existing = refs(spark, root)
+    require(!existing.contains(name),
+      s"SnapshotLog: tag '$name' already exists at $root (drop it first)")
+    writeRefs(spark, root, existing + (name -> version))
+  }
+
+  def dropTag(spark: SparkSession, root: String, name: String): Unit =
+    writeRefs(spark, root, refs(spark, root) - name)
+
+  private def writeRefs(spark: SparkSession, root: String,
+                        m: Map[String, Int]): Unit = {
+    val p = new Path(logDir(root), "refs.json")
+    val fs = fsFor(spark, p)
+    val node = om.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val out = fs.create(p, true)
+    try out.write(om.writeValueAsBytes(node)) finally out.close()
+  }
+
   /** A wall-clock commit timestamp guaranteed to advance past the last
     * snapshot (two catalog commits can land in the same millisecond). */
   def nextCommitTs(spark: SparkSession, root: String): Long = {
@@ -1332,7 +1375,11 @@ object SnapshotLog {
                       orphanScan: Boolean = false,
                       orphanGraceMs: Long = 24L * 3600 * 1000): (Int, Int) = {
     val snaps = snapshots(spark, root)
-    val (dead, live) = snaps.partition(_.version < keepFromVersion)
+    // tagged versions are RETAINED regardless of age (Iceberg ref
+    // retention): a tag is a promise that the snapshot stays readable
+    val tagged = refs(spark, root).values.toSet
+    val (dead, live) = snaps.partition(s =>
+      s.version < keepFromVersion && !tagged.contains(s.version))
     require(live.nonEmpty, s"SnapshotLog: expiring every snapshot at $root")
     val fs = fsFor(spark, new Path(root))
     // liveness = data files AND delete files of surviving snapshots

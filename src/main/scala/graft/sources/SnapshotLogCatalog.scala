@@ -84,16 +84,24 @@ class SnapshotLogCatalog extends TableCatalog
   override def loadTable(ident: Identifier): Table =
     load(ident, None, None)
 
-  /** VERSION AS OF n — Spark parses, we pin the manifest. */
+  /** VERSION AS OF n — Spark parses, we pin the manifest. A non-numeric
+    * version is a TAG name (Iceberg refs): 'v1-release' resolves through
+    * the table's refs to its pinned version. */
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(version.toInt), None)
+    if (version.forall(_.isDigit)) load(ident, Some(version.toInt), None)
+    else {
+      val root = rootFor(ident)
+      val v = SnapshotLog.refs(spark, root).getOrElse(version,
+        throw new NoSuchTableException(ident))
+      load(ident, Some(v), None)
+    }
 
   /** TIMESTAMP AS OF t — Spark hands epoch MICROSECONDS; the travel rule
     * (largest commitTs <= asked) lives in SnapshotLog.pick. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
     load(ident, None, Some(timestampMicros / 1000L))
 
-  private val metaSuffixes = Set("history", "files", "snapshots")
+  private val metaSuffixes = Set("history", "files", "snapshots", "refs")
 
   private def load(ident: Identifier, v: Option[Int], tsMs: Option[Long]): Table = {
     val root = rootFor(ident)
@@ -114,6 +122,8 @@ class SnapshotLogCatalog extends TableCatalog
             case "files" =>
               SnapshotMetaTable.files(nm, SnapshotLog.pick(spark, baseRoot, v, tsMs))
             case "snapshots" => SnapshotMetaTable.snapshots(nm, snaps)
+            case "refs" =>
+              SnapshotMetaTable.refsTable(nm, SnapshotLog.refs(spark, baseRoot))
           }
         }
       }

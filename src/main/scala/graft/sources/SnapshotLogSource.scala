@@ -99,8 +99,14 @@ object SnapshotLogSource {
   private[sources] def resolve(opts: Map[String, String]): SnapshotLog.Snapshot = {
     val spark = SparkSession.active
     val root = rootOf(opts)
+    // asOfTag: a named ref resolves to its pinned version (Iceberg tag)
+    val tagVersion = opt(opts, "asOfTag").map { name =>
+      SnapshotLog.refs(spark, root).getOrElse(name,
+        throw new NoSuchElementException(
+          s"snapshotlog: no tag '$name' at $root"))
+    }
     val snap = SnapshotLog.pick(spark, root,
-      opt(opts, "asOfVersion").map(_.toInt),
+      tagVersion.orElse(opt(opts, "asOfVersion").map(_.toInt)),
       opt(opts, "asOfTimestampMs").map(_.toLong))
     opt(opts, "fromVersion").map(_.toInt) match {
       case None => snap

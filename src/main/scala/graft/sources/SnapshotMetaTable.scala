@@ -57,6 +57,14 @@ private[sources] object SnapshotMetaTable {
       snaps.map(s => Seq(s.version, s.operation, s.commitTsMs,
         s.files.size.toLong)))
 
+  def refsTable(name: String, refs: Map[String, Int]): SnapshotMetaTable =
+    new SnapshotMetaTable(name,
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("type", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false))),
+      refs.toSeq.sortBy(_._1).map { case (n, v) => Seq(n, "tag", v) })
+
   def files(name: String, snap: SnapshotLog.Snapshot): SnapshotMetaTable =
     new SnapshotMetaTable(name,
       StructType(Seq(

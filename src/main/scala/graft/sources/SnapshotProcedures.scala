@@ -27,7 +27,9 @@ private[sources] object SnapshotProcedures {
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array(
         Identifier.of(Array("system"), "rewrite_data_files"),
-        Identifier.of(Array("system"), "expire_snapshots"))
+        Identifier.of(Array("system"), "expire_snapshots"),
+        Identifier.of(Array("system"), "create_tag"),
+        Identifier.of(Array("system"), "drop_tag"))
     else Array.empty
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
@@ -37,6 +39,8 @@ private[sources] object SnapshotProcedures {
     ident.name().toLowerCase match {
       case "rewrite_data_files" => new RewriteDataFilesProc(warehouse)
       case "expire_snapshots" => new ExpireSnapshotsProc(warehouse)
+      case "create_tag" => new CreateTagProc(warehouse)
+      case "drop_tag" => new DropTagProc(warehouse)
       case other => throw new UnsupportedOperationException(
         s"snapshotlog catalog: unknown procedure $other")
     }
@@ -130,6 +134,54 @@ private[sources] object SnapshotProcedures {
           StructField("manifests_deleted", LongType, nullable = false),
           StructField("files_deleted", LongType, nullable = false))),
         Seq(manifests.toLong, files.toLong))).asJava
+    }
+  }
+
+  /** CALL snap.system.create_tag('ns.t', 'v1-release', 2) — pin a named
+    * ref to a snapshot version (Iceberg tag). Tagged versions survive
+    * expire_snapshots. */
+  private class CreateTagProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "create_tag"
+    override def description(): String =
+      "pin a named tag to a snapshot version; tags survive expiry"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("tag", StringType).build(),
+      ProcedureParameter.in("version", IntegerType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val tag = input.getUTF8String(1).toString
+      SnapshotLog.createTag(spark, root, tag, input.getInt(2))
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("tag", StringType, nullable = false),
+          StructField("version", IntegerType, nullable = false))),
+        Seq(tag, input.getInt(2)))).asJava
+    }
+  }
+
+  /** CALL snap.system.drop_tag('ns.t', 'v1-release'). */
+  private class DropTagProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_tag"
+    override def description(): String = "remove a named tag"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("tag", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val tag = input.getUTF8String(1).toString
+      SnapshotLog.dropTag(spark, root, tag)
+      Iterator(resultScan(
+        StructType(Seq(StructField("dropped", StringType, nullable = false))),
+        Seq(tag))).asJava
     }
   }
 }

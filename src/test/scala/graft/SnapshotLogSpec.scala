@@ -720,6 +720,44 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(t.filter(col("k") === 3).count() === 0)
   }
 
+  test("tags: named refs resolve in SQL and survive expiry") {
+    val root = "/tmp/graft_snap_warehouse/tagspec/t"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    spark.sql("CREATE TABLE snap.tagspec.t AS SELECT id AS k FROM range(3)")
+    spark.sql("INSERT INTO snap.tagspec.t SELECT id FROM range(3, 10)")
+    // v2 = the CTAS content (3 rows); tag it through SQL
+    val tagged = spark.sql(
+      "CALL snap.system.create_tag('tagspec.t', 'v1-release', 2)").collect()
+    assert(tagged.head.getString(0) === "v1-release")
+    // resolve the tag through Spark's native VERSION AS OF syntax
+    assert(spark.sql("SELECT count(*) FROM snap.tagspec.t VERSION AS OF 'v1-release'")
+      .head().getLong(0) === 3L)
+    // and through the DSv2 option
+    assert(spark.read.format("snapshotlog").option("asOfTag", "v1-release")
+      .load(root).count() === 3)
+    // refs metadata table
+    val refs = spark.sql("SELECT * FROM snap.tagspec.t.refs").collect()
+    assert(refs.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq ===
+      Seq(("v1-release", "tag", 2)))
+    // expiry RETAINS the tagged version even below the keep watermark
+    SnapshotLog.expireSnapshots(spark, root, keepFromVersion = 3)
+    assert(SnapshotLog.snapshots(spark, root).map(_.version) === Seq(2, 3))
+    assert(spark.sql("SELECT count(*) FROM snap.tagspec.t VERSION AS OF 'v1-release'")
+      .head().getLong(0) === 3L)
+    // drop the tag; the next expiry reclaims it
+    spark.sql("CALL snap.system.drop_tag('tagspec.t', 'v1-release')")
+    SnapshotLog.expireSnapshots(spark, root, keepFromVersion = 3)
+    assert(SnapshotLog.snapshots(spark, root).map(_.version) === Seq(3))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM snap.tagspec.t VERSION AS OF 'v1-release'").collect()
+    }
+    // numeric-looking tag names are refused (VERSION AS OF ambiguity)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.createTag(spark, root, "42", 3)
+    }
+  }
+
   test("merge-on-read UPDATE: old rows suppressed, new rows appended, one snapshot") {
     val root = freshRoot("mor_update")
     val df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
