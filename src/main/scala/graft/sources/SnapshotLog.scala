@@ -446,6 +446,20 @@ object SnapshotLog {
       s"SnapshotLog: rename target $to already exists at $root")
     val newSchema = StructType(cur.schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
+    // equality delete files reference key columns BY NAME (their parquet
+    // schema); renaming such a column would silently detach the delete.
+    // Refuse until compaction folds the deletes away.
+    val conf = spark.sessionState.newHadoopConf()
+    cur.dels.values.flatten.toSeq.distinct.foreach { df =>
+      val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(df), conf))
+      val fields =
+        try rdr.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName)
+        finally rdr.close()
+      if (fields != Seq("file_path", "pos"))
+        require(!fields.contains(from),
+          s"SnapshotLog: column $from is a key of equality delete file $df" +
+            " — run rewriteDataFiles to fold the deletes before renaming")
+    }
     val next = cur.version + 1
     commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
       commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
@@ -990,18 +1004,38 @@ object SnapshotLog {
     * `df` must be a direct parquet read so `_metadata` resolves. */
   private[sources] def applyDels(spark: SparkSession, df: DataFrame,
                                  dels: Map[String, Seq[String]]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    import org.apache.spark.sql.functions.{array, broadcast, col, explode, lit, regexp_replace}
+    def schemaOf(f: String): Seq[String] =
+      spark.read.parquet(f).schema.fieldNames.toSeq
     val delFiles = dels.values.flatten.toSeq.distinct
+    val (posFiles, eqFiles) =
+      delFiles.partition(schemaOf(_) == Seq("file_path", "pos"))
     val cols = df.columns.toSeq
-    val delRows = spark.read.parquet(delFiles: _*)
-      .select(col("file_path").as("__del_file"), col("pos").as("__del_pos"))
-    df
+    var out = df
       .withColumn("__file", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
-      .withColumn("__pos", col("_metadata.row_index"))
-      .join(broadcast(delRows),
-        col("__file") === col("__del_file") && col("__pos") === col("__del_pos"),
-        "left_anti")
-      .select(cols.map(col): _*)
+    if (posFiles.nonEmpty) {
+      val delRows = spark.read.parquet(posFiles: _*)
+        .select(col("file_path").as("__del_file"), col("pos").as("__del_pos"))
+      out = out
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(broadcast(delRows),
+          col("__file") === col("__del_file") && col("__pos") === col("__del_pos"),
+          "left_anti")
+    }
+    // equality delete files: anti-join on the key columns, SCOPED to the
+    // data files the manifest maps them to (later appends are unaffected)
+    eqFiles.foreach { ef =>
+      val scope = dels.collect { case (f, ds) if ds.contains(ef) => f }.toSeq
+      val keyCols = schemaOf(ef)
+      val keyed = spark.read.parquet(ef)
+        .withColumn("__del_file", explode(array(scope.map(lit): _*)))
+      // plain === : a null key component yields an unmatched (kept) row,
+      // the same null-never-matches rule the row reader applies
+      val cond = (keyCols.map(k => out(k) === keyed(k)) :+
+        (out("__file") === keyed("__del_file"))).reduce(_ && _)
+      out = out.join(broadcast(keyed), cond, "left_anti")
+    }
+    out.select(cols.map(col): _*)
   }
 
   /** MERGE-ON-READ delete (Iceberg positional delete files): instead of
@@ -1076,6 +1110,91 @@ object SnapshotLog {
         }
         cur.version + 1
     }
+  }
+
+  /** EQUALITY delete (Iceberg equality delete files — the CDC flavor):
+    * delete every row whose KEY COLUMNS match any row of `keys`, without
+    * knowing positions — the shape a change stream provides. The delete
+    * file stores the key VALUES (its parquet schema IS the key list;
+    * readers distinguish it from positional files by that schema), and
+    * the manifest scopes it to the data files present NOW — files
+    * appended later are unaffected (Iceberg's sequence-number rule,
+    * expressed through manifest versioning). Scoping is stats-pruned:
+    * files whose manifest min/max provably exclude every key carry no
+    * delete reference and pay nothing at read time. */
+  def deleteEqualityMoR(spark: SparkSession, root: String,
+                        keys: DataFrame, commitTsMs: Long): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = pick(spark, root, None, None)
+    require(cur.commitTsMs < commitTsMs,
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    if (cur.files.isEmpty) return cur.version
+    val schema = cur.schema
+    val keyCols = keys.schema.fieldNames.toSeq
+    require(keyCols.nonEmpty, "deleteEqualityMoR: no key columns")
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"deleteEqualityMoR: key column $k not in table schema"))
+    require(keyCols.toSet != Set("file_path", "pos"),
+      "deleteEqualityMoR: key set (file_path, pos) is reserved for " +
+        "positional delete files")
+    val fs = fsFor(spark, new Path(root))
+    val delDir = new Path(new Path(root, "deletes"),
+      java.util.UUID.randomUUID().toString.take(12))
+    // conform key types to the table's column types: reader-side
+    // comparison is then type-exact
+    val conformed = keys.select(keyCols.map(k =>
+      col(k).cast(schema(k).dataType).as(k)): _*).distinct()
+    conformed.repartition(1).sortWithinPartitions(keyCols.map(col): _*)
+      .write.parquet(delDir.toString)
+    val delFiles = fs.listStatus(delDir)
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).map(_.getPath.toString).toSeq
+    val n = spark.read.parquet(delFiles: _*).count()
+    if (n == 0) { fs.delete(delDir, true); return cur.version }
+    // scope: every current data file whose stats MAY hold one of the keys
+    // (per-column range intersection; missing stats = conservative keep)
+    val bounds: Map[String, (Any, Any)] = keyCols.flatMap { k =>
+      val r = conformed.agg(
+        org.apache.spark.sql.functions.min(col(k)),
+        org.apache.spark.sql.functions.max(col(k))).head()
+      if (r.isNullAt(0)) None
+      else Some(k -> (canonStat(r.get(0)), canonStat(r.get(1))))
+    }.toMap
+    val affected = cur.files.filter { f =>
+      val stats = cur.stats.getOrElse(norm(f), Map.empty[String, (Any, Any)])
+      bounds.forall { case (k, (lo, hi)) =>
+        // resolve renamed columns to the file's physical stat key
+        val statKey = cur.physName(f, k).getOrElse(k)
+        stats.get(statKey).forall(st => rangeMayMatch(st, lo, hi))
+      }
+    }
+    if (affected.isEmpty) { fs.delete(delDir, true); return cur.version }
+    val merged = cur.dels ++ affected.map(f => norm(f) ->
+      (cur.dels.getOrElse(norm(f), Seq.empty) ++ delFiles)).toMap
+    try {
+      commitManifest(fs, root, cur.version + 1, "delete", commitTsMs,
+        cur.schemaJson, cur.files, cur.stats, cur.sizes,
+        Map("delete.mode" -> "merge-on-read-equality"),
+        cur.spec, cur.parts, cur.cols, merged,
+        cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec)
+    } catch {
+      case e: IllegalStateException => fs.delete(delDir, true); throw e
+    }
+    cur.version + 1
+  }
+
+  /** Canonical form for cross-engine stat comparison (mirrors the
+    * manifest's JSON scalar space: integrals as Long, floats as Double,
+    * strings as String, timestamps as epoch-µs Long). */
+  private def canonStat(v: Any): Any = v match {
+    case i: java.lang.Integer => Long.box(i.longValue())
+    case s: java.lang.Short => Long.box(s.longValue())
+    case b: java.lang.Byte => Long.box(b.longValue())
+    case f: java.lang.Float => Double.box(f.doubleValue())
+    case t: java.sql.Timestamp =>
+      Long.box(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)
+    case other => other
   }
 
   /** MERGE-ON-READ update: positional delete files suppress the OLD rows,

@@ -738,9 +738,25 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
     case None => Some(n)
   }
 
+  /** A delete parquet's schema decides its flavor: exactly
+    * (file_path, pos) = POSITIONAL, anything else = EQUALITY keys (the
+    * key list IS the schema — Iceberg's two delete-file kinds). */
+  private def deleteSchemaOf(df: String): Seq[String] = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(df),
+      hadoopConf.getOrElse(new Configuration())))
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+    finally r.close()
+  }
+  private val (posDeleteFiles, eqDeleteFiles) = deleteFiles.partition(df =>
+    deleteSchemaOf(df) == Seq("file_path", "pos"))
+
   private var projIdx: Array[Int] = _
   private var reader: ParquetReader[Group] = _
   private var nullRows: Long = 0L
+  private var projType: MessageType = _
+  // equality-delete state: per delete file, the key tuples (canonical
+  // form) and each key's position in the DATA projection
+  private var eqSets: Seq[(Array[Int], java.util.HashSet[Vector[Any]])] = Nil
   locally {
     val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     val (fileSchema, rowCount) =
@@ -756,21 +772,77 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
     val present = required.fields.flatMap(f =>
       if (f.name == "_file" || f.name == "_pos") None
       else phys(f.name).filter(fileSchema.containsField).map(p => (f, p)))
-    if (present.isEmpty) {
+    // equality deletes whose every key column physically exists in this
+    // file (a file missing a key column cannot match non-null keys)
+    val eqApplicable: Seq[(String, Seq[String])] = eqDeleteFiles
+      .map(df => df -> deleteSchemaOf(df))
+      .filter(_._2.forall(k =>
+        phys(k).exists(fileSchema.containsField)))
+    // the projection must carry the eq-key columns even when the query
+    // pruned them away — membership is evaluated per row
+    val eqExtraPhys: Seq[String] = eqApplicable
+      .flatMap(_._2).distinct.map(k => phys(k).get)
+      .filterNot(p => present.exists(_._2 == p))
+    if (present.isEmpty && eqApplicable.isEmpty) {
       projIdx = required.fields.map(f => marker(f.name))
       nullRows = rowCount
     } else {
       present.foreach { case (f, p) => validate(f, p, fileSchema) }
-      val projection = new MessageType(fileSchema.getName,
-        present.map { case (_, p) =>
-          fileSchema.getType(fileSchema.getFieldIndex(p)) }.toSeq: _*)
-      conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+      val projPhys = present.map(_._2).toSeq ++ eqExtraPhys
+      projType = new MessageType(fileSchema.getName,
+        projPhys.map(p => fileSchema.getType(fileSchema.getFieldIndex(p))): _*)
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA, projType.toString)
       val pos = present.map(_._1.name).zipWithIndex.toMap
       projIdx = required.fields.map(f => pos.getOrElse(f.name, marker(f.name)))
+      val physPos = projPhys.zipWithIndex.toMap
+      eqSets = eqApplicable.map { case (df, keyCols) =>
+        val idxs = keyCols.map(k => physPos(phys(k).get)).toArray
+        (idxs, loadEqKeys(df))
+      }
       reader = ParquetReader.builder(new GroupReadSupport(), path)
         .withConf(conf).build()
     }
   }
+
+  /** Canonical value space shared by data rows and delete keys (both
+    * sides conform at write time): integrals → Long, floats → Double,
+    * UTF8 binary → String, boolean → Boolean. */
+  private def canonAt(g: Group, idx: Int, t: org.apache.parquet.schema.Type): Any = {
+    import PrimitiveType.PrimitiveTypeName._
+    if (g.getFieldRepetitionCount(idx) == 0) null
+    else t.asPrimitiveType().getPrimitiveTypeName match {
+      case INT32 => Long.box(g.getInteger(idx, 0).toLong)
+      case INT64 => Long.box(g.getLong(idx, 0))
+      case FLOAT => Double.box(g.getFloat(idx, 0).toDouble)
+      case DOUBLE => Double.box(g.getDouble(idx, 0))
+      case BOOLEAN => Boolean.box(g.getBoolean(idx, 0))
+      case _ => g.getBinary(idx, 0).toStringUsingUTF8
+    }
+  }
+
+  private def loadEqKeys(df: String): java.util.HashSet[Vector[Any]] = {
+    val set = new java.util.HashSet[Vector[Any]]()
+    val r = ParquetReader.builder(new GroupReadSupport(), new Path(df))
+      .withConf(hadoopConf.getOrElse(new Configuration())).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        val t = g.getType
+        set.add((0 until t.getFieldCount)
+          .map(i => canonAt(g, i, t.getType(i))).toVector)
+        g = r.read()
+      }
+    } finally r.close()
+    set
+  }
+
+  /** True iff the current data row's key tuple appears in ANY equality
+    * delete set (null key components never match — SQL equality). */
+  private def eqMatched(g: Group): Boolean =
+    eqSets.exists { case (idxs, set) =>
+      val tuple = idxs.map(i => canonAt(g, i, projType.getType(i))).toVector
+      !tuple.contains(null) && set.contains(tuple)
+    }
 
   private val filePathValue = UTF8String.fromString(file)
 
@@ -780,11 +852,11 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
     * scan walks data rows sequentially, so membership is a merge-walk
     * pointer, O(1) per row. */
   private val deletedPos: Array[Long] =
-    if (deleteFiles.isEmpty) Array.emptyLongArray
+    if (posDeleteFiles.isEmpty) Array.emptyLongArray
     else {
       val me = SnapshotLog.norm(file)
       val acc = scala.collection.mutable.ArrayBuffer[Long]()
-      deleteFiles.foreach { df =>
+      posDeleteFiles.foreach { df =>
         val r = ParquetReader.builder(new GroupReadSupport(), new Path(df))
           .withConf(hadoopConf.getOrElse(new Configuration())).build()
         try {
@@ -834,7 +906,7 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
         current = reader.read()
         if (current == null) return false
         ord += 1
-        if (!isDeleted(ord)) return true
+        if (!isDeleted(ord) && !eqMatched(current)) return true
       }
       false // unreachable
     }

@@ -720,6 +720,73 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(t.filter(col("k") === 3).count() === 0)
   }
 
+  test("equality deletes: key-value delete files, scoped to pre-delete files") {
+    val root = freshRoot("eq_del")
+    val df = spark.range(0, 100).selectExpr(
+      "id AS k", "concat('u', cast(id % 7 as string)) AS user", "id * 2 AS v")
+    SnapshotLog.commit(df.filter(col("k") < 50), root, overwrite = true, 100L)
+    SnapshotLog.commit(df.filter(col("k") >= 50), root, overwrite = false, 200L)
+    val preFiles = SnapshotLog.snapshots(spark, root).last.files
+
+    // CDC-style delete by key VALUE (no positions known): drop user u3
+    val v3 = SnapshotLog.deleteEqualityMoR(spark, root,
+      spark.range(1).selectExpr("'u3' AS user"), 300L)
+    assert(v3 === 3)
+    val s3 = SnapshotLog.snapshots(spark, root).last
+    assert(s3.operation === "delete")
+    assert(s3.files === preFiles, "equality delete must not touch data files")
+    val expected = (0 until 100).count(_ % 7 != 3)
+
+    // both read paths
+    assert(spark.read.format("snapshotlog").load(root).count() === expected)
+    assert(SnapshotLog.read(spark, root).count() === expected)
+    assert(spark.read.format("snapshotlog").load(root)
+      .filter(col("user") === "u3").count() === 0)
+    // ... including when the key column is PRUNED from the projection
+    assert(spark.read.format("snapshotlog").load(root)
+      .agg(sum(col("v"))).head().getLong(0) ===
+      (0 until 100).filter(_ % 7 != 3).map(_ * 2L).sum)
+    // count-only path applies the equality filter too
+    assert(spark.read.format("snapshotlog").load(root)
+      .select(lit(1)).count() === expected)
+    // time travel unaffected
+    assert(spark.read.format("snapshotlog").option("asOfVersion", 2).load(root)
+      .count() === 100)
+
+    // LATER APPENDS are NOT scoped by the old delete: a re-inserted u3
+    // row survives (the sequence-number rule)
+    SnapshotLog.commit(
+      spark.range(1000, 1001).selectExpr("id AS k", "'u3' AS user", "id * 2 AS v"),
+      root, overwrite = false, 400L)
+    val cur = spark.read.format("snapshotlog").load(root)
+    assert(cur.filter(col("user") === "u3").count() === 1)
+    assert(cur.count() === expected + 1)
+
+    // multi-column keys compose; compaction folds everything
+    SnapshotLog.deleteEqualityMoR(spark, root,
+      spark.range(1).selectExpr("CAST(10 AS BIGINT) AS k", "'u3' AS user"), 500L)
+    assert(spark.read.format("snapshotlog").load(root).count() === expected + 1)
+    SnapshotLog.deleteEqualityMoR(spark, root,
+      spark.range(1).selectExpr("CAST(12 AS BIGINT) AS k", "'u5' AS user"), 600L)
+    assert(spark.read.format("snapshotlog").load(root).count() === expected)
+    SnapshotLog.rewriteDataFiles(spark, root, commitTsMs = 700L,
+      targetBytes = 1L << 30)
+    val sFinal = SnapshotLog.snapshots(spark, root).last
+    assert(sFinal.dels.isEmpty)
+    assert(spark.read.format("snapshotlog").load(root).count() === expected)
+    assert(SnapshotLog.read(spark, root).filter(col("user") === "u3").count() === 1)
+
+    // rename of an equality-delete key column is refused until folded
+    val root2 = freshRoot("eq_rename")
+    SnapshotLog.commit(df.limit(10), root2, overwrite = true, 100L)
+    SnapshotLog.deleteEqualityMoR(spark, root2,
+      spark.range(1).selectExpr("'u1' AS user"), 200L)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.renameColumn(spark, root2, "user", "uid", 300L)
+    }
+    assert(e.getMessage.contains("equality delete"))
+  }
+
   test("tags: named refs resolve in SQL and survive expiry") {
     val root = "/tmp/graft_snap_warehouse/tagspec/t"
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
