@@ -1122,20 +1122,21 @@ object SnapshotLog {
     * expressed through manifest versioning). Scoping is stats-pruned:
     * files whose manifest min/max provably exclude every key carry no
     * delete reference and pay nothing at read time. */
-  def deleteEqualityMoR(spark: SparkSession, root: String,
-                        keys: DataFrame, commitTsMs: Long): Int = {
+  /** Stage one equality-delete parquet for `keys` against snapshot `cur`:
+    * returns (delete dir, merged dels map scoped to the stats-affected
+    * CURRENT files), or None when the key set is empty or provably
+    * touches nothing (dir cleaned up). */
+  private def stageEqualityDelete(spark: SparkSession, root: String,
+      cur: Snapshot, keys: DataFrame)
+      : Option[(Path, Map[String, Seq[String]])] = {
     import org.apache.spark.sql.functions.col
-    val cur = pick(spark, root, None, None)
-    require(cur.commitTsMs < commitTsMs,
-      s"commitTsMs $commitTsMs must advance past the last snapshot")
-    if (cur.files.isEmpty) return cur.version
     val schema = cur.schema
     val keyCols = keys.schema.fieldNames.toSeq
-    require(keyCols.nonEmpty, "deleteEqualityMoR: no key columns")
+    require(keyCols.nonEmpty, "equality delete: no key columns")
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
-      s"deleteEqualityMoR: key column $k not in table schema"))
+      s"equality delete: key column $k not in table schema"))
     require(keyCols.toSet != Set("file_path", "pos"),
-      "deleteEqualityMoR: key set (file_path, pos) is reserved for " +
+      "equality delete: key set (file_path, pos) is reserved for " +
         "positional delete files")
     val fs = fsFor(spark, new Path(root))
     val delDir = new Path(new Path(root, "deletes"),
@@ -1151,7 +1152,7 @@ object SnapshotLog {
         s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName).map(_.getPath.toString).toSeq
     val n = spark.read.parquet(delFiles: _*).count()
-    if (n == 0) { fs.delete(delDir, true); return cur.version }
+    if (n == 0) { fs.delete(delDir, true); return None }
     // scope: every current data file whose stats MAY hold one of the keys
     // (per-column range intersection; missing stats = conservative keep)
     val bounds: Map[String, (Any, Any)] = keyCols.flatMap { k =>
@@ -1169,17 +1170,91 @@ object SnapshotLog {
         stats.get(statKey).forall(st => rangeMayMatch(st, lo, hi))
       }
     }
-    if (affected.isEmpty) { fs.delete(delDir, true); return cur.version }
-    val merged = cur.dels ++ affected.map(f => norm(f) ->
-      (cur.dels.getOrElse(norm(f), Seq.empty) ++ delFiles)).toMap
+    if (affected.isEmpty) { fs.delete(delDir, true); None }
+    else Some((delDir, cur.dels ++ affected.map(f => norm(f) ->
+      (cur.dels.getOrElse(norm(f), Seq.empty) ++ delFiles)).toMap))
+  }
+
+  def deleteEqualityMoR(spark: SparkSession, root: String,
+                        keys: DataFrame, commitTsMs: Long): Int = {
+    val cur = pick(spark, root, None, None)
+    require(cur.commitTsMs < commitTsMs,
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    if (cur.files.isEmpty) return cur.version
+    val fs = fsFor(spark, new Path(root))
+    stageEqualityDelete(spark, root, cur, keys) match {
+      case None => cur.version
+      case Some((delDir, merged)) =>
+        try {
+          commitManifest(fs, root, cur.version + 1, "delete", commitTsMs,
+            cur.schemaJson, cur.files, cur.stats, cur.sizes,
+            Map("delete.mode" -> "merge-on-read-equality"),
+            cur.spec, cur.parts, cur.cols, merged,
+            cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec)
+        } catch {
+          case e: IllegalStateException => fs.delete(delDir, true); throw e
+        }
+        cur.version + 1
+    }
+  }
+
+  /** ATOMIC merge-on-read UPSERT (Flink/Iceberg CDC "upsert mode"): one
+    * snapshot that equality-deletes the batch's keys from the files
+    * present NOW and appends the batch rows. Old images are suppressed,
+    * new images live in the appended fragment — which is NOT in the
+    * delete's scope, so the new rows survive by construction. Cost ∝
+    * batch size; compaction folds the residue. The upsert stream's
+    * steady-state is exactly this, once per micro-batch. */
+  def upsertEqualityMoR(spark: SparkSession, root: String, batch: DataFrame,
+                        keyCols: Seq[String], commitTsMs: Long,
+                        numFiles: Int = 1,
+                        props: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.col
+    val prior = snapshots(spark, root)
+    if (prior.isEmpty || prior.last.files.isEmpty)
+      return commit(batch, root, overwrite = prior.isEmpty,
+        commitTsMs, math.max(1, numFiles), props)
+    val cur = prior.last
+    require(cur.commitTsMs < commitTsMs,
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    val schema = cur.schema
+    val conformed = batch.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*).localCheckpoint()
+    val fs = fsFor(spark, new Path(root))
+    val staged = stageEqualityDelete(spark, root, cur,
+      conformed.select(keyCols.map(col): _*))
+    val merged = staged.map(_._2).getOrElse(cur.dels)
+    // append the new images
+    val dataDir = new Path(new Path(root, "data"),
+      java.util.UUID.randomUUID().toString.take(12))
+    conformed.repartition(math.max(1, numFiles)).write.parquet(dataDir.toString)
+    val statuses = fs.listStatus(dataDir)
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val rows = footerRowCounts(spark.sessionState.newHadoopConf(),
+      statuses.map(_.getPath.toString).toSeq)
+    val newFiles = statuses.map(_.getPath.toString).toSeq
+      .filter(f => rows(norm(f)) > 0)
+    statuses.map(_.getPath.toString).filterNot(newFiles.contains)
+      .foreach(f => fs.delete(new Path(f), false))
+    val newSizes = statuses.filter(s => newFiles.contains(s.getPath.toString))
+      .map(s => norm(s.getPath.toString) -> s.getLen).toMap
+    val (newStats, newCols) =
+      footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
+    val allFiles = cur.files ++ newFiles
+    val (fids, colIds, maxId) = fidCarry(Some(cur), schema, allFiles, newCols)
     try {
-      commitManifest(fs, root, cur.version + 1, "delete", commitTsMs,
-        cur.schemaJson, cur.files, cur.stats, cur.sizes,
-        Map("delete.mode" -> "merge-on-read-equality"),
-        cur.spec, cur.parts, cur.cols, merged,
-        cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec)
+      commitManifest(fs, root, cur.version + 1, "upsert", commitTsMs,
+        cur.schemaJson, allFiles,
+        cur.stats ++ newStats, cur.sizes ++ newSizes,
+        props ++ Map("upsert.mode" -> "merge-on-read-equality"),
+        cur.spec, cur.parts, cur.cols ++ newCols, merged,
+        fids, colIds, maxId, cur.specs, cur.fileSpec)
     } catch {
-      case e: IllegalStateException => fs.delete(delDir, true); throw e
+      case e: IllegalStateException =>
+        staged.foreach { case (d, _) => fs.delete(d, true) }
+        fs.delete(dataDir, true); throw e
     }
     cur.version + 1
   }

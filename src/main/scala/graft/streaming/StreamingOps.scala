@@ -171,6 +171,38 @@ object StreamingOps {
         commitStreamBatch(batch, root, id): Unit
       }.start()
 
+  /** Exactly-once CDC UPSERT into a snapshot table (Flink/Iceberg upsert
+    * mode): each micro-batch lands as ONE atomic "upsert" snapshot — an
+    * equality delete of the batch's keys over the pre-batch files plus
+    * the appended new images. Replays dedupe on the recorded batch id,
+    * so a restart never double-applies a batch; the final table state is
+    * last-write-wins per key, with full time travel over the stream's
+    * history. */
+  def commitStreamUpsert(batch: DataFrame, root: String,
+                         keyCols: Seq[String], batchId: Long): Boolean = {
+    import graft.sources.SnapshotLog
+    val spark = batch.sparkSession
+    val committed = SnapshotLog.snapshots(spark, root)
+      .flatMap(_.props.get("streaming.batchId")).map(_.toLong)
+      .maxOption.getOrElse(-1L)
+    if (batchId <= committed) false
+    else {
+      SnapshotLog.upsertEqualityMoR(spark, root, batch, keyCols,
+        commitTsMs = SnapshotLog.nextCommitTs(spark, root),
+        props = Map("streaming.batchId" -> batchId.toString))
+      true
+    }
+  }
+
+  def snapshotLogUpsertSink(df: DataFrame, root: String, keyCols: Seq[String],
+                            checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint.getOrElse(s"$root/_checkpoint"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitStreamUpsert(batch, root, keyCols, id): Unit
+      }.start()
+
   case class Click(userId: Long, tsUs: Long)
   case class Session(userId: Long, nEvents: Long, firstUs: Long, lastUs: Long)
 

@@ -133,6 +133,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, root, asOfVersion = Some(lastV)).count() === expected)
   }
 
+  test("upsert sink: per-batch atomic equality-delete + append, last-write-wins") {
+    import graft.sources.SnapshotLog
+    import spark.implicits._
+    val root = s"/tmp/graft_stream_upsert/${System.nanoTime()}"
+
+    // batch 0: initial keys; batch 1: updates k=1,2 + inserts k=5
+    assert(StreamingOps.commitStreamUpsert(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "s", "v"),
+      root, Seq("k"), batchId = 0L))
+    assert(StreamingOps.commitStreamUpsert(
+      Seq((1L, "a2", 10.0), (2L, "b2", 20.0), (5L, "e", 5.0)).toDF("k", "s", "v"),
+      root, Seq("k"), batchId = 1L))
+
+    val cur = SnapshotLog.read(spark, root)
+    assert(cur.count() === 4) // 1,2,3,5 — upsert, not append
+    assert(cur.filter(col("k") === 1L).select("s").as[String].head() === "a2")
+    assert(cur.filter(col("k") === 3L).select("v").as[Double].head() === 3.0)
+    // the DSv2 path agrees (row reader equality filtering)
+    assert(spark.read.format("snapshotlog").load(root).count() === 4)
+    // the upsert snapshot recorded both the op and the batch id
+    val s2 = SnapshotLog.snapshots(spark, root).last
+    assert(s2.operation === "upsert")
+    assert(s2.props.get("streaming.batchId").contains("1"))
+
+    // replayed batch id: recognized, skipped — exactly-once
+    assert(!StreamingOps.commitStreamUpsert(
+      Seq((9L, "x", 9.0)).toDF("k", "s", "v"), root, Seq("k"), batchId = 1L))
+    assert(SnapshotLog.read(spark, root).count() === 4)
+
+    // time travel to batch 0's state
+    assert(SnapshotLog.read(spark, root, asOfVersion = Some(1))
+      .filter(col("k") === 1L).select("s").as[String].head() === "a")
+
+    // compaction folds the upsert residue
+    SnapshotLog.rewriteDataFiles(spark, root,
+      SnapshotLog.nextCommitTs(spark, root), targetBytes = 1L << 30)
+    assert(SnapshotLog.snapshots(spark, root).last.dels.isEmpty)
+    assert(SnapshotLog.read(spark, root).count() === 4)
+    assert(SnapshotLog.read(spark, root)
+      .filter(col("k") === 2L).select("s").as[String].head() === "b2")
+  }
+
   test("snapshotlog streaming source: table-as-a-stream, exactly-once end to end") {
     import graft.sources.SnapshotLog
     import spark.implicits._
