@@ -596,6 +596,43 @@ object DdlQueries extends QueryModule {
         .reduce(_ unionByName _)
         .select("stage", "operation", "n_rows", "sum_bal",
           "pre_files_kept", "has_dels")
+    }),
+
+    // CDC UPSERT loop (Flink/Iceberg upsert mode; reference's Iceberg
+    // streaming write surface): three "micro-batches" of customer deltas
+    // applied through the atomic equality-delete+append commit — batch 2
+    // updates half of batch 1's keys and inserts new ones, batch 3
+    // replays batch 2's id (must be SKIPPED — exactly-once). The gated
+    // output is the per-stage table state: last-write-wins per key, row
+    // counts, and the balance sum shifted by exactly the applied deltas.
+    "ddl_cdc_upsert" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      import graft.streaming.StreamingOps
+      val root = snapFixture(s, d, "cdc_upsert") { root =>
+        val c = customer(s, d)
+          .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+        val b0 = c.filter(col("k") % 3 === 0)
+        val b1 = c.filter(col("k") % 3 === 1)
+          .unionByName(c.filter(col("k") % 6 === 0)
+            .withColumn("bal", col("bal") + 500.0))
+        require(StreamingOps.commitStreamUpsert(b0, root, Seq("k"), 0L))
+        require(StreamingOps.commitStreamUpsert(b1, root, Seq("k"), 1L))
+        // replay of batch 1 must be recognized and skipped
+        require(!StreamingOps.commitStreamUpsert(
+          b1.withColumn("bal", lit(-1.0)), root, Seq("k"), 1L))
+      }
+      val snaps = SnapshotLog.snapshots(s, root)
+      def stage(label: String, v: Int): DataFrame =
+        snapRead(s, root, asOfVersion = Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("bal")), 2).as("sum_bal"))
+          .withColumn("stage", lit(label))
+          .withColumn("operation",
+            lit(snaps.find(_.version == v).get.operation))
+      stage("after_b0", snaps.head.version)
+        .unionByName(stage("final", snaps.last.version))
+        .withColumn("n_versions", lit(snaps.size.toLong))
+        .select("stage", "operation", "n_rows", "sum_bal", "n_versions")
     })
   )
 
@@ -812,6 +849,20 @@ object DdlQueries extends QueryModule {
         |UNION ALL
         |SELECT 'mor_updated', 'update', n, sb, TRUE, TRUE FROM post
         |UNION ALL
-        |SELECT 'folded', 'rewrite', n, sb, TRUE, FALSE FROM post""".stripMargin
+        |SELECT 'folded', 'rewrite', n, sb, TRUE, FALSE FROM post""".stripMargin,
+
+    "ddl_cdc_upsert" ->
+      """WITH b0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) n, round(sum(c_acctbal), 2) sb
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |fin AS (
+        |  SELECT CAST(count(*) AS BIGINT) n,
+        |    round(sum(c_acctbal + CASE WHEN c_custkey % 6 = 0
+        |                               THEN 500.0 ELSE 0 END), 2) sb
+        |  FROM customer WHERE c_custkey % 3 IN (0, 1))
+        |SELECT 'after_b0' AS stage, 'overwrite' AS operation, n AS n_rows,
+        |  sb AS sum_bal, CAST(2 AS BIGINT) AS n_versions FROM b0
+        |UNION ALL
+        |SELECT 'final', 'upsert', n, sb, CAST(2 AS BIGINT) FROM fin""".stripMargin
   )
 }
