@@ -155,8 +155,22 @@ private[sources] class SnapshotLogTable(root: String,
     * ([[SnapshotRowLevelOperation]]); the simple-predicate DELETE keeps the
     * cheaper SupportsDelete metadata path. */
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    new SnapshotRowLevelBuilder(root, snap, info)
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    // write.<command>.mode=merge-on-read selects the DELTA operation
+    // (positional delete files + insert fragments, cost ∝ affected rows);
+    // group-based copy-on-write remains the default — Iceberg's exact
+    // property scheme and default
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val key = info.command() match {
+      case Command.DELETE => "write.delete.mode"
+      case Command.UPDATE => "write.update.mode"
+      case Command.MERGE => "write.merge.mode"
+    }
+    val mor = SnapshotLog.tableProps(SparkSession.active, root)
+      .get(key).contains("merge-on-read")
+    if (mor) new SnapshotDeltaBuilder(root, snap, info)
+    else new SnapshotRowLevelBuilder(root, snap, info)
+  }
   override def name(): String = s"snapshotlog:$root@v${snap.version}"
   override def schema(): StructType = SnapshotLogSource.nullable(snap.schema)
 

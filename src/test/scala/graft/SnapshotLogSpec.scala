@@ -720,6 +720,61 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(t.filter(col("k") === 3).count() === 0)
   }
 
+  test("delta row-level ops: SQL UPDATE/MERGE write position deletes under MoR mode") {
+    val root = "/tmp/graft_snap_warehouse/mordelta/t"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    spark.sql("CREATE TABLE snap.mordelta.t AS SELECT id AS k, id * 2 AS v FROM range(100)")
+    spark.sql("""ALTER TABLE snap.mordelta.t SET TBLPROPERTIES(
+      'write.update.mode'='merge-on-read', 'write.merge.mode'='merge-on-read')""")
+    val preFiles = SnapshotLog.snapshots(spark, root).last.files
+
+    // UPDATE with an untranslatable predicate (modulo) → delta path
+    spark.sql("UPDATE snap.mordelta.t SET v = v + 1000 WHERE k % 10 = 3")
+    val s = SnapshotLog.snapshots(spark, root).last
+    assert(s.operation === "update")
+    assert(preFiles.forall(s.files.contains),
+      "delta UPDATE must carry every pre-existing data file untouched")
+    assert(s.dels.nonEmpty)
+    val t = spark.table("snap.mordelta.t")
+    assert(t.count() === 100)
+    assert(t.filter(col("k") === 3).select("v").as[Long].head() === 1006L)
+    assert(t.filter(col("k") === 4).select("v").as[Long].head() === 8L)
+
+    // MERGE: update one key, insert a new one — still no file rewrites
+    spark.range(1).selectExpr("CAST(3 AS BIGINT) AS k", "CAST(-1 AS BIGINT) AS v")
+      .unionAll(spark.range(1).selectExpr("CAST(500 AS BIGINT) AS k", "CAST(7 AS BIGINT) AS v"))
+      .createOrReplaceTempView("mordelta_src")
+    spark.sql(
+      """MERGE INTO snap.mordelta.t AS t USING mordelta_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val s2 = SnapshotLog.snapshots(spark, root).last
+    assert(s2.operation === "merge")
+    assert(preFiles.forall(s2.files.contains))
+    val t2 = spark.table("snap.mordelta.t")
+    assert(t2.count() === 101)
+    assert(t2.filter(col("k") === 3).select("v").as[Long].head() === -1L)
+    assert(t2.filter(col("k") === 500).select("v").as[Long].head() === 7L)
+    // the no-op merge commits nothing
+    val vBefore = SnapshotLog.snapshots(spark, root).last.version
+    spark.range(1).selectExpr("CAST(99999 AS BIGINT) AS k", "CAST(0 AS BIGINT) AS v")
+      .createOrReplaceTempView("mordelta_noop")
+    spark.sql(
+      """MERGE INTO snap.mordelta.t AS t USING mordelta_noop AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(SnapshotLog.snapshots(spark, root).last.version === vBefore,
+      "a merge matching nothing must not commit a snapshot")
+
+    // compaction folds; results hold
+    SnapshotLog.rewriteDataFiles(spark, root,
+      SnapshotLog.nextCommitTs(spark, root), targetBytes = 1L << 30)
+    assert(SnapshotLog.snapshots(spark, root).last.dels.isEmpty)
+    assert(spark.table("snap.mordelta.t").count() === 101)
+    assert(spark.table("snap.mordelta.t")
+      .filter(col("k") === 3).select("v").as[Long].head() === -1L)
+  }
+
   test("equality deletes: key-value delete files, scoped to pre-delete files") {
     val root = freshRoot("eq_del")
     val df = spark.range(0, 100).selectExpr(
