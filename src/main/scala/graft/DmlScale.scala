@@ -77,6 +77,23 @@ object DmlScale {
           col("k").between(hi + 4000, hi + 5000),
           Map("v" -> (col("v") + 1.0)),
           SnapshotLog.nextCommitTs(spark, root)): Unit),
+      // SQL row-level statements under merge-on-read mode (SupportsDelta):
+      // position deletes + insert fragments instead of file rewrites —
+      // the flat-AND-cheap regime for trickle DML at 100 TB
+      "update_slice_sqlmor" -> { () =>
+        SnapshotLog.setTableProps(spark, root, Map(
+          "write.update.mode" -> "merge-on-read",
+          "write.merge.mode" -> "merge-on-read"))
+        spark.sql(s"UPDATE snap.$ns.t SET v = v * 2 " +
+          s"WHERE k BETWEEN ${hi + 6000} AND ${hi + 7000}"): Unit
+      },
+      "merge_trickle_sqlmor" -> { () =>
+        spark.range(0, 200).selectExpr("id * 16 + 5 AS k", "CAST(1 AS DOUBLE) AS v")
+          .createOrReplaceTempView("dml_scale_src_mor")
+        spark.sql(
+          s"""MERGE INTO snap.$ns.t AS t USING dml_scale_src_mor AS s ON t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET v = t.v + s.v""".stripMargin): Unit
+      },
       "scan_agg" -> (() =>
         spark.sql(s"SELECT sum(v), count(*) FROM snap.$ns.t").collect(): Unit))
 

@@ -633,6 +633,54 @@ object DdlQueries extends QueryModule {
         .unionByName(stage("final", snaps.last.version))
         .withColumn("n_versions", lit(snaps.size.toLong))
         .select("stage", "operation", "n_rows", "sum_bal", "n_versions")
+    }),
+
+    // SQL UPDATE + MERGE under MERGE-ON-READ mode (SupportsDelta — the
+    // Iceberg SparkPositionDeltaWrite path): same statements as
+    // ddl_sql_dml but with write.update.mode/write.merge.mode =
+    // merge-on-read, so each statement commits positional delete files +
+    // insert fragments and EVERY pre-existing data file is carried by
+    // reference (pre_files_kept pins it). Values must match the plain
+    // SQL semantics exactly — MoR is a storage strategy, not a
+    // semantics change.
+    "ddl_sql_dml_mor" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val ns = "dmlmor_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = snapFixture(s, d, "sql_dml_mor") { root =>
+        val p = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_snap_warehouse/$ns")
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        customer(s, d).select(col("c_custkey").as("k"),
+            col("c_acctbal").as("bal"))
+          .createOrReplaceTempView("dml_mor_base")
+        s.sql(s"CREATE TABLE snap.$ns.t AS SELECT * FROM dml_mor_base")
+        s.sql(s"""ALTER TABLE snap.$ns.t SET TBLPROPERTIES(
+          'write.update.mode'='merge-on-read',
+          'write.merge.mode'='merge-on-read')""")
+        s.sql(s"UPDATE snap.$ns.t SET bal = bal + 100 WHERE k % 10 = 3")
+        customer(s, d).filter(col("c_custkey") % 20 === 6)
+          .select(col("c_custkey").as("k"),
+            (col("c_acctbal") * 2).as("bal"))
+          .createOrReplaceTempView("dml_mor_src")
+        s.sql(s"""MERGE INTO snap.$ns.t AS t USING dml_mor_src AS src
+          |ON t.k = src.k
+          |WHEN MATCHED THEN UPDATE SET bal = src.bal
+          |WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (src.k, src.bal)
+          |""".stripMargin)
+        // the table lives in the snap warehouse (catalog-addressed);
+        // snapFixture's `root` only keys the build-once memoization
+      }
+      val wr = s"/tmp/graft_snap_warehouse/$ns/t"
+      val snaps = SnapshotLog.snapshots(s, wr)
+      val byOp = snaps.map(sn => sn.operation -> sn).toMap
+      val pre = byOp("append") // CTAS's data snapshot
+      def kept(op: String): Boolean =
+        pre.files.forall(byOp(op).files.contains)
+      s.table(s"snap.$ns.t")
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("bal")), 2).as("sum_bal"))
+        .withColumn("update_kept_files", lit(kept("update")))
+        .withColumn("merge_kept_files", lit(kept("merge")))
+        .select("n_rows", "sum_bal", "update_kept_files", "merge_kept_files")
     })
   )
 
@@ -863,6 +911,14 @@ object DdlQueries extends QueryModule {
         |SELECT 'after_b0' AS stage, 'overwrite' AS operation, n AS n_rows,
         |  sb AS sum_bal, CAST(2 AS BIGINT) AS n_versions FROM b0
         |UNION ALL
-        |SELECT 'final', 'upsert', n, sb, CAST(2 AS BIGINT) FROM fin""".stripMargin
+        |SELECT 'final', 'upsert', n, sb, CAST(2 AS BIGINT) FROM fin""".stripMargin,
+
+    "ddl_sql_dml_mor" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(CASE WHEN c_custkey % 20 = 6 THEN c_acctbal * 2
+        |                 WHEN c_custkey % 10 = 3 THEN c_acctbal + 100
+        |                 ELSE c_acctbal END), 2) AS sum_bal,
+        |  TRUE AS update_kept_files, TRUE AS merge_kept_files
+        |FROM customer""".stripMargin
   )
 }
