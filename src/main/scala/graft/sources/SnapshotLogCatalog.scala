@@ -101,7 +101,7 @@ class SnapshotLogCatalog extends TableCatalog
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
     load(ident, None, Some(timestampMicros / 1000L))
 
-  private val metaSuffixes = Set("history", "files", "snapshots", "refs")
+  private val metaSuffixes = Set("history", "files", "snapshots", "refs", "deletes")
 
   private def load(ident: Identifier, v: Option[Int], tsMs: Option[Long]): Table = {
     val root = rootFor(ident)
@@ -124,6 +124,9 @@ class SnapshotLogCatalog extends TableCatalog
             case "snapshots" => SnapshotMetaTable.snapshots(nm, snaps)
             case "refs" =>
               SnapshotMetaTable.refsTable(nm, SnapshotLog.refs(spark, baseRoot))
+            case "deletes" =>
+              SnapshotMetaTable.deletesTable(nm,
+                SnapshotLog.pick(spark, baseRoot, v, tsMs))
           }
         }
       }

@@ -65,6 +65,18 @@ private[sources] object SnapshotMetaTable {
         StructField("version", IntegerType, nullable = false))),
       refs.toSeq.sortBy(_._1).map { case (n, v) => Seq(n, "tag", v) })
 
+  /** Positional/equality delete-file inventory of one snapshot (Iceberg's
+    * position_deletes metadata relation, collapsed to file granularity):
+    * one row per (data file, delete file) edge. */
+  def deletesTable(name: String, snap: SnapshotLog.Snapshot): SnapshotMetaTable =
+    new SnapshotMetaTable(name,
+      StructType(Seq(
+        StructField("data_file", StringType, nullable = false),
+        StructField("delete_file", StringType, nullable = false))),
+      snap.dels.toSeq.sortBy(_._1).flatMap { case (df, ds) =>
+        ds.map(d => Seq(df, d))
+      })
+
   def files(name: String, snap: SnapshotLog.Snapshot): SnapshotMetaTable =
     new SnapshotMetaTable(name,
       StructType(Seq(

@@ -945,6 +945,11 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(s.files === preFiles, "MoR-routed DELETE must not rewrite data files")
     assert(s.dels.nonEmpty)
     assert(spark.table("snap.morprop.t").count() === 90)
+    // the deletes metadata table lists the (data file, delete file) edges
+    val edges = spark.sql("SELECT * FROM snap.morprop.t.deletes").collect()
+    assert(edges.nonEmpty)
+    assert(edges.map(_.getString(0)).toSet ===
+      s.dels.keySet)
 
     // UNSET flips back to copy-on-write: the next DELETE rewrites files
     spark.sql("ALTER TABLE snap.morprop.t UNSET TBLPROPERTIES('write.delete.mode')")
