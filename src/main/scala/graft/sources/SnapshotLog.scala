@@ -562,6 +562,39 @@ object SnapshotLog {
     * cover: an equality probe on a hash-distributed key). Appends must
     * reuse the table's existing spec — Iceberg's spec-per-snapshot
     * evolution is out of scope. */
+  /** Layout-preserving partitioned write: shuffle by the derived tuple so
+    * each partition value is written by ONE task (one file per tuple per
+    * write, not one per task per tuple — the small-files discipline a
+    * 1000-executor write needs), then walk the directory layout to
+    * recover each leaf file's tuple. Returns (file, size, tuple) sorted
+    * by path. */
+  private def writePartitionedData(spark: SparkSession, df: DataFrame,
+      dataDir: Path, pCols: Seq[org.apache.spark.sql.Column],
+      spec: Seq[(String, String)]): Seq[(String, Long, Seq[String])] = {
+    val fs = fsFor(spark, dataDir)
+    val pNames = spec.indices.map(i => s"_p_$i")
+    df.select(org.apache.spark.sql.functions.col("*") +: pCols: _*)
+      .repartition(pNames.map(org.apache.spark.sql.functions.col): _*)
+      .write.partitionBy(pNames: _*).parquet(dataDir.toString)
+    // recursive walk: each leaf file's partition tuple is its directory path
+    val found = scala.collection.mutable.ArrayBuffer[(String, Long, Seq[String])]()
+    val it = fs.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (name.startsWith("part-") && name.endsWith(".parquet")) {
+        val rel = s.getPath.toString.stripPrefix(dataDir.toString).split('/')
+        val tuple = pNames.map { pn =>
+          rel.collectFirst { case seg if seg.startsWith(pn + "=") =>
+            seg.substring(pn.length + 1)
+          }.getOrElse(SnapshotPartition.NullMarker)
+        }
+        found += ((s.getPath.toString, s.getLen, tuple.toSeq))
+      }
+    }
+    found.sortBy(_._1).toSeq
+  }
+
   def commitPartitioned(df: DataFrame, root: String, spec: Seq[(String, String)],
                         overwrite: Boolean, commitTsMs: Long,
                         props: Map[String, String] = Map.empty): Int = {
@@ -605,32 +638,7 @@ object SnapshotLog {
       SnapshotPartition.transformCol(src, tr,
         df.schema(src).dataType).as(s"_p_$i")
     }
-    val pNames = spec.indices.map(i => s"_p_$i")
-    // shuffle by the derived tuple so each partition value is written by
-    // ONE task (one file per tuple per commit, not one per task per tuple
-    // — the same small-files discipline a 1000-executor write needs; a
-    // single giant partition would instead size numFiles by target bytes)
-    df.select(org.apache.spark.sql.functions.col("*") +: pCols: _*)
-      .repartition(pNames.map(org.apache.spark.sql.functions.col): _*)
-      .write.partitionBy(pNames: _*).parquet(dataDir.toString)
-
-    // recursive walk: each leaf file's partition tuple is its directory path
-    val found = scala.collection.mutable.ArrayBuffer[(String, Long, Seq[String])]()
-    val it = fs.listFiles(dataDir, true)
-    while (it.hasNext) {
-      val s = it.next()
-      val name = s.getPath.getName
-      if (name.startsWith("part-") && name.endsWith(".parquet")) {
-        val rel = s.getPath.toString.stripPrefix(dataDir.toString).split('/')
-        val tuple = pNames.map { pn =>
-          rel.collectFirst { case seg if seg.startsWith(pn + "=") =>
-            seg.substring(pn.length + 1)
-          }.getOrElse(SnapshotPartition.NullMarker)
-        }
-        found += ((s.getPath.toString, s.getLen, tuple.toSeq))
-      }
-    }
-    val sortedFound = found.sortBy(_._1).toSeq
+    val sortedFound = writePartitionedData(spark, df, dataDir, pCols, spec)
     val newFiles = sortedFound.map(_._1)
     val newSizes = sortedFound.map(f => norm(f._1) -> f._2).toMap
     val newParts = sortedFound.map(f => norm(f._1) -> f._3).toMap
@@ -1449,21 +1457,39 @@ object SnapshotLog {
       if (cur.renameDivergent) readConformed(spark, cur, small)
       else if (smallDels.isEmpty) spark.read.schema(schema).parquet(small: _*)
       else applyDels(spark, spark.read.schema(schema).parquet(small: _*), smallDels)
-    val shaped =
-      if (clusterBy.isEmpty) input.repartition(numOut)
-      else {
-        import org.apache.spark.sql.functions.col
-        val keys = clusterBy.map(col)
-        input.repartitionByRange(numOut, keys: _*)
-          .sortWithinPartitions(keys: _*)
+    // a hidden-partitioned table's compaction PRESERVES the layout
+    // (Iceberg's per-partition compaction): outputs are re-laid by the
+    // ACTIVE spec with fresh partition tuples, so pruning keeps working
+    // on the compacted files — an unpartitioned rewrite would silently
+    // degrade every probe on the table to a full scan
+    val (newFiles, newSizes, newParts) =
+      if (cur.spec.nonEmpty) {
+        val pCols = cur.spec.zipWithIndex.map { case ((src, tr), i) =>
+          SnapshotPartition.transformCol(src, tr,
+            schema(src).dataType).as(s"_p_$i")
+        }
+        val found = writePartitionedData(spark, input, dataDir, pCols, cur.spec)
+        (found.map(_._1),
+          found.map(f => norm(f._1) -> f._2).toMap,
+          found.map(f => norm(f._1) -> f._3).toMap)
+      } else {
+        val shaped =
+          if (clusterBy.isEmpty) input.repartition(numOut)
+          else {
+            import org.apache.spark.sql.functions.col
+            val keys = clusterBy.map(col)
+            input.repartitionByRange(numOut, keys: _*)
+              .sortWithinPartitions(keys: _*)
+          }
+        shaped.write.parquet(dataDir.toString)
+        val statuses = fs.listStatus(dataDir)
+          .filter(s => s.getPath.getName.startsWith("part-") &&
+            s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        (statuses.map(_.getPath.toString).toSeq,
+          statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap,
+          Map.empty[String, Seq[String]])
       }
-    shaped.write.parquet(dataDir.toString)
-    val statuses = fs.listStatus(dataDir)
-      .filter(s => s.getPath.getName.startsWith("part-") &&
-        s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-    val newFiles = statuses.map(_.getPath.toString).toSeq
-    val newSizes = statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap
     val (newStats, newCols) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
 
@@ -1477,14 +1503,18 @@ object SnapshotLog {
         cur.stats.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newStats,
         cur.sizes.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newSizes,
         Map.empty, cur.spec,
-        cur.parts.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap,
+        cur.parts.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newParts,
         cur.cols.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newCols,
         // deletes on rewritten files are folded; kept files carry theirs
         // (none today — dels force files into the rewrite set — but a
         // future partial rewrite must not drop them silently)
         cur.dels.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap,
         fids, colIds, maxId, cur.specs,
-        cur.fileSpec.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap)
+        cur.fileSpec.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++
+          // rewritten files were laid out under the ACTIVE spec
+          (if (cur.specs.nonEmpty && cur.spec.nonEmpty)
+            newFiles.map(f => norm(f) -> cur.specs.indexOf(cur.spec)).toMap
+          else Map.empty))
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }

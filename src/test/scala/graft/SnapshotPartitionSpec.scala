@@ -127,6 +127,32 @@ class SnapshotPartitionSpec extends AnyFunSuite {
     assert(probe2.count() === 3)
   }
 
+  test("compaction on a partitioned table PRESERVES the layout and pruning") {
+    val root = freshRoot("compact_part")
+    val df = (0L until 200L).map(k => (k % 4, k)).toDF("k", "v")
+    // 3 appends under bucket[4]: 12 small files (one per tuple per commit)
+    for (i <- 0 until 3)
+      SnapshotLog.commitPartitioned(df, root, Seq("k" -> "identity"),
+        overwrite = i == 0, commitTsMs = 100L * (i + 1))
+    val before = SnapshotLog.snapshots(spark, root).last
+    assert(before.files.size === 12)
+
+    val v = SnapshotLog.rewriteDataFiles(spark, root,
+      commitTsMs = 1000L, targetBytes = 1L << 30)
+    val after = SnapshotLog.snapshots(spark, root).last
+    assert(v === after.version && after.operation === "rewrite")
+    assert(after.files.size === 4, // one compacted file per tuple
+      s"expected per-tuple compaction, got ${after.files.size} files")
+    // every compacted file carries a partition tuple — pruning still works
+    def norm(p: String) = p.replaceFirst("^file:/*", "/")
+    assert(after.files.forall(f => after.parts.contains(norm(f))))
+    val probe = spark.read.format("snapshotlog").load(root)
+      .filter(col("k") === 2L)
+    assert(planned(probe) === 1,
+      "equality probe must prune to ONE compacted file")
+    assert(probe.count() === 150) // 50 rows x 3 appends for k=2
+  }
+
   test("null partition values are never pruned; non-partition predicates untouched") {
     val root = freshRoot("nulls")
     val df = Seq((java.lang.Long.valueOf(1L), "a"),
