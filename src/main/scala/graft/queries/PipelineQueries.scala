@@ -286,6 +286,86 @@ object PipelineQueries extends QueryModule {
         .select(col("doc_id"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared"),
           (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+    }),
+
+    // RIGHT-TO-BE-FORGOTTEN over a snapshot corpus — the deletion-request
+    // path a 100-TB governed corpus must support: the corpus lives in a
+    // snapshot table, an erasure request arrives as KEY VALUES (here: two
+    // `source` values stand in for requesting users), and
+    // deleteEqualityMoR commits a KB-scale equality delete file — no data
+    // file rewritten at request time; the scheduled compaction
+    // (rewriteDataFiles) then PHYSICALLY removes the bytes. The gate pins
+    // all three states: before, logically-erased (data files untouched),
+    // physically-erased (post-fold), plus audit history ops.
+    "pipeline_rtbf" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = s"/tmp/graft_rtbf/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = documents(s, d).select(col("doc_id"), col("source"),
+        col("n_chars"))
+      SnapshotLog.commit(docs, root, overwrite = true, commitTsMs = 1000L)
+      val erase = s.range(2).selectExpr(
+        "CASE WHEN id = 0 THEN 'src3' ELSE 'src7' END AS source")
+      SnapshotLog.deleteEqualityMoR(s, root, erase, 2000L)
+      SnapshotLog.rewriteDataFiles(s, root, commitTsMs = 3000L,
+        targetBytes = 1L << 30)
+      val snaps = SnapshotLog.snapshots(s, root)
+      def stage(label: String, v: Int): org.apache.spark.sql.DataFrame =
+        SnapshotLog.read(s, root, asOfVersion = Some(v))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .withColumn("stage", lit(label))
+          .withColumn("operation",
+            lit(snaps.find(_.version == v).get.operation))
+          .withColumn("data_files_changed", lit {
+            val cur = snaps.find(_.version == v).get
+            snaps.find(_.version == v - 1) match {
+              case Some(prev) => cur.files.toSet != prev.files.toSet
+              case None => true // the initial corpus write
+            }
+          })
+      Seq(stage("corpus", 1), stage("erased", 2), stage("folded", 3))
+        .reduce(_ unionByName _)
+        .select("stage", "operation", "n_docs", "sum_chars",
+          "data_files_changed")
+    }),
+
+    // PII SCRUB — the governance pass every released corpus runs: redact
+    // emails / IPv4s / long digit runs with typed placeholders, emit
+    // per-doc redaction counts + the scrubbed text's fingerprint (so the
+    // oracle checks the REPLACEMENT text, not just counts). Pure
+    // regexp_replace chain — narrow, codegen'd, zero-shuffle; at 100 TB
+    // this is a map-only pass. The fixture text carries no PII, so a
+    // deterministic per-doc PII suffix is injected on BOTH engines —
+    // every row exercises every pattern. Patterns chosen inside the
+    // RE2 ∩ java.util.regex common dialect.
+    "pipeline_pii_scrub" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val longNum = "\\b\\d{9,}\\b"
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.org from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 ref 900"), (col("doc_id") + 1000000).cast("string"))
+      val scrubbed =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("pii_text"), email, "<EMAIL>"),
+            ipv4, "<IP>"),
+          longNum, "<NUM>")
+      documents(s, d)
+        .withColumn("pii_text", withPii)
+        .select(
+          col("doc_id"),
+          // SQL string literals eat single backslashes — double them
+          size(expr(s"regexp_extract_all(pii_text, '${email.replace("\\", "\\\\")}', 0)"))
+            .cast("long").as("n_emails"),
+          size(expr(s"regexp_extract_all(pii_text, '${ipv4.replace("\\", "\\\\")}', 0)"))
+            .cast("long").as("n_ips"),
+          length(scrubbed).cast("long").as("clean_len"),
+          md5(scrubbed).as("clean_md5"))
     })
   )
 
@@ -421,6 +501,46 @@ object PipelineQueries extends QueryModule {
          |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
          |  coalesce(h.n_shared, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN hits h USING (doc_id)
-         |WHERE d.doc_id % 50 <> 0""".stripMargin
+         |WHERE d.doc_id % 50 <> 0""".stripMargin,
+
+    "pipeline_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.org from 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.7 ref 900'
+        |      || CAST(doc_id + 1000000 AS VARCHAR) AS pii_text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, pii_text,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(pii_text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{9,}\b', '<NUM>', 'g') AS clean
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii_text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(length(clean) AS BIGINT) AS clean_len,
+        |  md5(clean) AS clean_md5
+        |FROM s""".stripMargin,
+
+    "pipeline_rtbf" ->
+      """WITH pre AS (
+        |  SELECT CAST(count(*) AS BIGINT) n, CAST(sum(n_chars) AS BIGINT) sc
+        |  FROM documents),
+        |post AS (
+        |  SELECT CAST(count(*) AS BIGINT) n, CAST(sum(n_chars) AS BIGINT) sc
+        |  FROM documents WHERE source NOT IN ('src3', 'src7'))
+        |SELECT 'corpus' AS stage, 'overwrite' AS operation, n AS n_docs,
+        |  sc AS sum_chars, TRUE AS data_files_changed FROM pre
+        |UNION ALL
+        |SELECT 'erased', 'delete', n, sc, FALSE FROM post
+        |UNION ALL
+        |SELECT 'folded', 'rewrite', n, sc, TRUE FROM post""".stripMargin
   )
 }
