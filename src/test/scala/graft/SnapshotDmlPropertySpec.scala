@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark.spark
+import graft.sources.SnapshotLog
+
+/** Model-based property test for the snapshot-table DML surface: a
+  * random (but seeded-deterministic) sequence of appends, positional
+  * deletes, equality deletes, merge-on-read updates, upserts and
+  * compactions is applied BOTH to the real table and to an in-memory
+  * model; after every operation, both read paths (bulk and DSv2) must
+  * equal the model exactly. This is the net that catches interplay
+  * orderings no hand-written scenario covers — stacked delete flavors,
+  * update-after-delete, compaction mid-sequence, expiry at the end.
+  */
+class SnapshotDmlPropertySpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def stateOf(root: String): Map[Long, Long] =
+    spark.read.format("snapshotlog").load(root)
+      .as[(Long, Long)].collect().toMap
+
+  private def bulkStateOf(root: String): Map[Long, Long] =
+    SnapshotLog.read(spark, root).as[(Long, Long)].collect().toMap
+
+  for (seed <- Seq(7, 23, 91)) {
+    test(s"random DML sequence equals the model (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val root = s"/tmp/graft_snaplog_spec/dmlprop_$seed"
+      val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(root), true)
+
+      var model = Map.empty[Long, Long]
+      var nextKey = 0L
+      var ts = 1000L
+      def tick(): Long = { ts += 1000; ts }
+
+      def appendBatch(n: Int): Unit = {
+        val rows = (0 until n).map { _ =>
+          nextKey += 1; (nextKey, rnd.nextInt(1000).toLong)
+        }
+        SnapshotLog.commit(rows.toDF("k", "v"), root,
+          overwrite = model.isEmpty && SnapshotLog.snapshots(spark, root).isEmpty,
+          commitTsMs = tick())
+        model ++= rows
+      }
+
+      appendBatch(30) // seed content
+
+      val opNames = scala.collection.mutable.ArrayBuffer[String]()
+      for (step <- 0 until 14) {
+        val existing = model.keys.toSeq.sorted
+        rnd.nextInt(6) match {
+          case 0 => // append new keys
+            opNames += "append"
+            appendBatch(5 + rnd.nextInt(10))
+          case 1 => // positional delete by predicate
+            opNames += "posDelete"
+            val m = 2 + rnd.nextInt(5)
+            val r = rnd.nextInt(m)
+            SnapshotLog.deleteWhereMoR(spark, root,
+              col("k") % m === r.toLong, tick())
+            model = model.filter { case (k, _) => k % m != r }
+          case 2 => // equality delete of sampled keys
+            opNames += "eqDelete"
+            val victims = rnd.shuffle(existing).take(3 + rnd.nextInt(4))
+            if (victims.nonEmpty) {
+              SnapshotLog.deleteEqualityMoR(spark, root,
+                victims.toDF("k"), tick())
+              model = model -- victims
+            }
+          case 3 => // merge-on-read update
+            opNames += "morUpdate"
+            val m = 2 + rnd.nextInt(4)
+            val r = rnd.nextInt(m)
+            val delta = 1 + rnd.nextInt(100)
+            SnapshotLog.updateWhereMoR(spark, root,
+              col("k") % m === r.toLong,
+              Map("v" -> (col("v") + delta.toLong)), tick())
+            model = model.map { case (k, v) =>
+              k -> (if (k % m == r) v + delta else v) }
+          case 4 => // upsert: update some existing + insert fresh
+            opNames += "upsert"
+            val ups = rnd.shuffle(existing).take(3)
+              .map(k => (k, rnd.nextInt(1000).toLong))
+            val ins = (0 until 3).map { _ =>
+              nextKey += 1; (nextKey, rnd.nextInt(1000).toLong)
+            }
+            val batch = (ups ++ ins).toDF("k", "v")
+            SnapshotLog.upsertEqualityMoR(spark, root, batch, Seq("k"), tick())
+            model ++= ups ++ ins
+          case 5 => // compaction folds everything so far
+            opNames += "rewrite"
+            SnapshotLog.rewriteDataFiles(spark, root, tick(),
+              targetBytes = 1L << 30)
+        }
+        val ctx = s"seed=$seed step=$step ops=${opNames.mkString(",")}"
+        assert(stateOf(root) === model, s"DSv2 read diverged ($ctx)")
+        assert(bulkStateOf(root) === model, s"bulk read diverged ($ctx)")
+      }
+
+      // final fold + expiry: physical state still equals the model
+      SnapshotLog.rewriteDataFiles(spark, root, tick(), targetBytes = 1L << 30)
+      val head = SnapshotLog.snapshots(spark, root).last.version
+      SnapshotLog.expireSnapshots(spark, root, keepFromVersion = head)
+      assert(stateOf(root) === model, s"post-expiry read diverged (seed=$seed)")
+      assert(SnapshotLog.snapshots(spark, root).last.dels.isEmpty)
+    }
+  }
+}
