@@ -123,7 +123,7 @@ private[sources] class SnapshotDeltaBatchWrite(root: String,
         cur.stats ++ newStats, cur.sizes ++ newSizes,
         Map("write.mode" -> "merge-on-read-delta"),
         cur.spec, cur.parts, cur.cols ++ newCols, merged,
-        fids, colIds, maxId, cur.specs, cur.fileSpec)
+        fids, colIds, maxId, cur.specs, cur.fileSpec, cur.version)
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true); fs.delete(delDir, true); throw e

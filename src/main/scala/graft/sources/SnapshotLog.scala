@@ -115,7 +115,18 @@ object SnapshotLog {
       specs: Seq[Seq[(String, String)]] = Seq.empty,
       // per-file index into `specs`; absent = written under the single
       // legacy `spec`
-      fileSpec: Map[String, Int] = Map.empty) {
+      fileSpec: Map[String, Int] = Map.empty,
+      // PARENT pointer (Iceberg snapshot lineage): the version this
+      // snapshot was committed AGAINST. -1 = legacy manifest (parent is
+      // version-1 by construction — histories were linear before
+      // branches existed). Branch commits point at the branch head, so
+      // the mainline and each branch are parent-chains through one
+      // shared, monotonically-numbered log.
+      parent: Int = -1) {
+    /** Effective parent version (legacy linear fallback). */
+    def parentVersion: Int = if (parent >= 0) parent else version - 1
+    /** True iff this snapshot belongs to a BRANCH (not the main line). */
+    def branch: Option[String] = props.get("ref")
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
     /** The partition spec data file `f` was WRITTEN under — the spec its
@@ -253,7 +264,8 @@ object SnapshotLog {
       t.get("files").elements().asScala.map(_.asText()).toSeq,
       stats, sizes, props, spec, parts, cols, dels, fids, colIds,
       Option(t.get("maxId")).map(_.asInt()).getOrElse(0),
-      specsHist, fileSpec)
+      specsHist, fileSpec,
+      Option(t.get("parent")).map(_.asInt()).getOrElse(-1))
   }
 
   private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
@@ -507,6 +519,9 @@ object SnapshotLog {
     val next = prior.lastOption.map(_.version + 1).getOrElse(1)
     require(prior.forall(_.commitTsMs < commitTsMs),
       s"commitTsMs $commitTsMs must advance past the last snapshot")
+    // content parent is the MAINLINE head (a branch commit may own the
+    // highest version number; it is not this commit's history line)
+    val mainLast = prior.filter(_.branch.isEmpty).lastOption
 
     // one immutable data dir per commit; repartition bounds the file count
     // (a 100 TB commit sizes this to target-file-size, not a constant)
@@ -522,7 +537,7 @@ object SnapshotLog {
     val (newStats, newCols) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
 
-    val parent = if (overwrite) None else prior.lastOption
+    val parent = if (overwrite) None else mainLast
     val files = parent.map(_.files).getOrElse(Seq.empty) ++ newFiles
     val stats = parent.map(_.stats).getOrElse(Map.empty) ++ newStats
     val sizes = parent.map(_.sizes).getOrElse(Map.empty) ++ newSizes
@@ -534,7 +549,7 @@ object SnapshotLog {
       // conservatively by partition pruning; commitPartitioned is the
       // layout-preserving append)
       val (fids, colIds, maxId) =
-        fidCarry(prior.lastOption, df.schema, files, newCols)
+        fidCarry(mainLast, df.schema, files, newCols)
       commitManifest(fs, root, next,
         if (overwrite) "overwrite" else "append",
         commitTsMs, df.schema.json, files, stats, sizes, props,
@@ -542,7 +557,8 @@ object SnapshotLog {
         parent.map(_.parts).getOrElse(Map.empty), cols,
         parent.map(_.dels).getOrElse(Map.empty), fids, colIds, maxId,
         parent.map(_.specs).getOrElse(Seq.empty),
-        parent.map(_.fileSpec).getOrElse(Map.empty))
+        parent.map(_.fileSpec).getOrElse(Map.empty),
+        mainLast.map(_.version).getOrElse(0))
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true) // lost the race: reclaim our unpublished data
@@ -753,41 +769,168 @@ object SnapshotLog {
     * reclaims a tagged version, so a tag is a durable audit point that
     * survives routine expire_snapshots (exactly Iceberg's ref-retention
     * rule). Stored as a small JSON beside the log; last-writer-wins. */
-  def refs(spark: SparkSession, root: String): Map[String, Int] = {
+  /** Typed refs: name -> (kind, version), kind ∈ tag | branch. Legacy
+    * files stored tags as bare ints — read both shapes. */
+  def refsTyped(spark: SparkSession, root: String): Map[String, (String, Int)] = {
     val p = new Path(logDir(root), "refs.json")
     val fs = fsFor(spark, p)
     if (!fs.exists(p)) Map.empty
     else {
       val t = om.readTree(readBytes(fs, p))
-      t.fields().asScala.map(fe => fe.getKey -> fe.getValue.asInt()).toMap
+      t.fields().asScala.map { fe =>
+        val v = fe.getValue
+        if (v.isInt) fe.getKey -> (("tag", v.asInt()))
+        else fe.getKey -> ((v.get("type").asText(), v.get("version").asInt()))
+      }.toMap
     }
   }
 
+  /** Name -> version for resolution (`VERSION AS OF 'name'`, asOfTag /
+    * branch options) — tags and branch HEADS share the namespace. */
+  def refs(spark: SparkSession, root: String): Map[String, Int] =
+    refsTyped(spark, root).view.mapValues(_._2).toMap
+
+  private def requireRefName(name: String): Unit =
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"SnapshotLog: ref name '$name' must be non-numeric (it shares the " +
+        "VERSION AS OF namespace with version numbers)")
+
   def createTag(spark: SparkSession, root: String, name: String,
                 version: Int): Unit = {
-    require(name.nonEmpty && !name.forall(_.isDigit),
-      s"SnapshotLog: tag name '$name' must be non-numeric (it shares the " +
-        "VERSION AS OF namespace with version numbers)")
+    requireRefName(name)
     val snaps = snapshots(spark, root)
     require(snaps.exists(_.version == version),
       s"SnapshotLog: cannot tag missing version $version at $root")
-    val existing = refs(spark, root)
+    val existing = refsTyped(spark, root)
     require(!existing.contains(name),
-      s"SnapshotLog: tag '$name' already exists at $root (drop it first)")
-    writeRefs(spark, root, existing + (name -> version))
+      s"SnapshotLog: ref '$name' already exists at $root (drop it first)")
+    writeRefs(spark, root, existing + (name -> (("tag", version))))
   }
 
   def dropTag(spark: SparkSession, root: String, name: String): Unit =
-    writeRefs(spark, root, refs(spark, root) - name)
+    writeRefs(spark, root, refsTyped(spark, root) - name)
 
   private def writeRefs(spark: SparkSession, root: String,
-                        m: Map[String, Int]): Unit = {
+                        m: Map[String, (String, Int)]): Unit = {
     val p = new Path(logDir(root), "refs.json")
     val fs = fsFor(spark, p)
     val node = om.createObjectNode()
-    m.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    m.toSeq.sortBy(_._1).foreach { case (k, (kind, v)) =>
+      if (kind == "tag") node.put(k, v): Unit // legacy-compatible shape
+      else {
+        val o = node.putObject(k)
+        o.put("type", kind)
+        o.put("version", v): Unit
+      }
+    }
     val out = fs.create(p, true)
     try out.write(om.writeValueAsBytes(node)) finally out.close()
+  }
+
+  /** BRANCHES (Iceberg refs, the write-audit-publish workflow): a branch
+    * is a named, WRITABLE line of history forked from a snapshot. Branch
+    * commits share the table's version numbering and manifest log but
+    * chain through their own parent pointers and carry `ref=<branch>` in
+    * their props — main-line readers never see them. Audit the branch
+    * (read via the ref), then [[fastForward]] publishes it to main. */
+  def createBranch(spark: SparkSession, root: String, name: String,
+                   fromVersion: Int): Unit = {
+    requireRefName(name)
+    val snaps = snapshots(spark, root)
+    require(snaps.exists(_.version == fromVersion),
+      s"SnapshotLog: cannot branch from missing version $fromVersion at $root")
+    val existing = refsTyped(spark, root)
+    require(!existing.contains(name),
+      s"SnapshotLog: ref '$name' already exists at $root")
+    writeRefs(spark, root, existing + (name -> (("branch", fromVersion))))
+  }
+
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit =
+    writeRefs(spark, root, refsTyped(spark, root) - name)
+
+  /** Append `df` to a BRANCH: content builds on the branch head, the new
+    * snapshot records the head as parent and `ref=<branch>` in its props,
+    * and the branch ref advances. Main is untouched. */
+  def commitToBranch(spark: SparkSession, root: String, branch: String,
+                     df: DataFrame, commitTsMs: Long,
+                     numFiles: Int = 2): Int = {
+    validateSchema(spark, df.schema)
+    val typed = refsTyped(spark, root)
+    val (kind, headV) = typed.getOrElse(branch,
+      throw new NoSuchElementException(
+        s"SnapshotLog: no branch '$branch' at $root"))
+    require(kind == "branch", s"SnapshotLog: ref '$branch' is a $kind")
+    val snaps = snapshots(spark, root)
+    val head = snaps.find(_.version == headV).getOrElse(
+      throw new IllegalStateException(
+        s"SnapshotLog: branch '$branch' head v$headV expired at $root"))
+    val next = snaps.last.version + 1
+    require(snaps.forall(_.commitTsMs < commitTsMs),
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    val fs = fsFor(spark, new Path(root))
+    val dataDir = new Path(new Path(root, "data"),
+      java.util.UUID.randomUUID().toString.take(12))
+    df.repartition(math.max(1, numFiles)).write.parquet(dataDir.toString)
+    val statuses = fs.listStatus(dataDir)
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val newFiles = statuses.map(_.getPath.toString).toSeq
+    val newSizes = statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap
+    val (newStats, newCols) =
+      footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
+    val allFiles = head.files ++ newFiles
+    val (fids, colIds, maxId) = fidCarry(Some(head), df.schema, allFiles, newCols)
+    try {
+      commitManifest(fs, root, next, "append", commitTsMs, df.schema.json,
+        allFiles, head.stats ++ newStats, head.sizes ++ newSizes,
+        Map("ref" -> branch), head.spec, head.parts, head.cols ++ newCols,
+        head.dels, fids, colIds, maxId, head.specs, head.fileSpec,
+        head.version)
+    } catch {
+      case e: IllegalStateException => fs.delete(dataDir, true); throw e
+    }
+    writeRefs(spark, root,
+      refsTyped(spark, root) + (branch -> (("branch", next))))
+    next
+  }
+
+  /** Publish a branch to MAIN (Iceberg's fast_forward): one mainline
+    * snapshot adopting the branch head's exact content. When the branch
+    * forked from the CURRENT main head and only appended, the publish is
+    * an ordinary "append" whose delta is exactly the branch's audited
+    * additions (incremental consumers see them as appends); otherwise it
+    * is an "overwrite" (content diverged — consumers must resync). */
+  def fastForward(spark: SparkSession, root: String, branch: String,
+                  commitTsMs: Long): Int = {
+    val typed = refsTyped(spark, root)
+    val (kind, headV) = typed.getOrElse(branch,
+      throw new NoSuchElementException(
+        s"SnapshotLog: no branch '$branch' at $root"))
+    require(kind == "branch", s"SnapshotLog: ref '$branch' is a $kind")
+    val snaps = snapshots(spark, root)
+    val byV = snaps.map(s => s.version -> s).toMap
+    val head = byV.getOrElse(headV, throw new IllegalStateException(
+      s"SnapshotLog: branch '$branch' head v$headV expired at $root"))
+    val mainHead = snaps.filter(_.branch.isEmpty).lastOption.getOrElse(
+      throw new IllegalStateException(s"SnapshotLog: no main line at $root"))
+    // append iff main head is an ancestor of the branch head
+    var anc = Option(head)
+    var isDescendant = false
+    while (anc.isDefined && !isDescendant) {
+      if (anc.get.version == mainHead.version) isDescendant = true
+      else anc = byV.get(anc.get.parentVersion)
+    }
+    val op = if (isDescendant) "append" else "overwrite"
+    val next = snaps.last.version + 1
+    require(snaps.forall(_.commitTsMs < commitTsMs),
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    commitManifest(fsFor(spark, new Path(root)), root, next, op, commitTsMs,
+      head.schemaJson, head.files, head.stats, head.sizes,
+      Map("published.from" -> branch), head.spec, head.parts, head.cols,
+      head.dels, head.fids, head.colIds, head.maxId, head.specs,
+      head.fileSpec, mainHead.version)
+    next
   }
 
   /** A wall-clock commit timestamp guaranteed to advance past the last
@@ -814,7 +957,8 @@ object SnapshotLog {
                              colIds: Map[String, Seq[Int]] = Map.empty,
                              maxId: Int = 0,
                              specs: Seq[Seq[(String, String)]] = Seq.empty,
-                             fileSpec: Map[String, Int] = Map.empty): Unit = {
+                             fileSpec: Map[String, Int] = Map.empty,
+                             parent: Int = -1): Unit = {
     val node = om.createObjectNode()
     node.put("version", version)
     node.put("operation", operation)
@@ -869,6 +1013,7 @@ object SnapshotLog {
       }
       node.put("maxId", maxId): Unit
     }
+    if (parent >= 0) node.put("parent", parent): Unit
     if (specs.nonEmpty) {
       val specsNode = node.putArray("specs")
       specs.foreach { s =>
@@ -938,15 +1083,21 @@ object SnapshotLog {
                    asOfVersion: Option[Int], asOfTsMs: Option[Long]): Snapshot = {
     val snaps = snapshots(spark, root)
     require(snaps.nonEmpty, s"SnapshotLog: no snapshots at $root")
+    // the DEFAULT line of history is main: branch commits share the log's
+    // version numbering but are only reachable by explicit version pin or
+    // branch ref — a main reader never sees them
+    val main = snaps.filter(_.branch.isEmpty)
     (asOfVersion, asOfTsMs) match {
       case (Some(v), _) =>
         snaps.find(_.version == v).getOrElse(
           throw new NoSuchElementException(s"SnapshotLog: no version $v at $root"))
       case (None, Some(ts)) =>
-        snaps.filter(_.commitTsMs <= ts).lastOption.getOrElse(
+        main.filter(_.commitTsMs <= ts).lastOption.getOrElse(
           throw new NoSuchElementException(
             s"SnapshotLog: no snapshot at or before ts $ts at $root"))
-      case _ => snaps.last
+      case _ => main.lastOption.getOrElse(
+        throw new NoSuchElementException(
+          s"SnapshotLog: only branch snapshots at $root"))
     }
   }
 
@@ -1112,7 +1263,8 @@ object SnapshotLog {
             cur.schemaJson, cur.files, cur.stats, cur.sizes,
             Map("delete.mode" -> "merge-on-read"),
             cur.spec, cur.parts, cur.cols, merged,
-            cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec)
+            cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec,
+            cur.version)
         } catch {
           case e: IllegalStateException => fs.delete(delDir, true); throw e
         }
@@ -1198,7 +1350,8 @@ object SnapshotLog {
             cur.schemaJson, cur.files, cur.stats, cur.sizes,
             Map("delete.mode" -> "merge-on-read-equality"),
             cur.spec, cur.parts, cur.cols, merged,
-            cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec)
+            cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec,
+            cur.version)
         } catch {
           case e: IllegalStateException => fs.delete(delDir, true); throw e
         }
@@ -1258,7 +1411,7 @@ object SnapshotLog {
         cur.stats ++ newStats, cur.sizes ++ newSizes,
         props ++ Map("upsert.mode" -> "merge-on-read-equality"),
         cur.spec, cur.parts, cur.cols ++ newCols, merged,
-        fids, colIds, maxId, cur.specs, cur.fileSpec)
+        fids, colIds, maxId, cur.specs, cur.fileSpec, cur.version)
     } catch {
       case e: IllegalStateException =>
         staged.foreach { case (d, _) => fs.delete(d, true) }
@@ -1340,7 +1493,7 @@ object SnapshotLog {
             cur.stats ++ newStats, cur.sizes ++ newSizes,
             Map("update.mode" -> "merge-on-read"),
             cur.spec, cur.parts, cur.cols ++ newCols, merged,
-            fids, colIds, maxId, cur.specs, cur.fileSpec)
+            fids, colIds, maxId, cur.specs, cur.fileSpec, cur.version)
         } catch {
           case e: IllegalStateException =>
             fs.delete(delDir, true); fs.delete(dataDir, true); throw e
@@ -1514,7 +1667,8 @@ object SnapshotLog {
           // rewritten files were laid out under the ACTIVE spec
           (if (cur.specs.nonEmpty && cur.spec.nonEmpty)
             newFiles.map(f => norm(f) -> cur.specs.indexOf(cur.spec)).toMap
-          else Map.empty))
+          else Map.empty),
+        cur.version)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }
@@ -1573,7 +1727,8 @@ object SnapshotLog {
         cur.cols.view.filterKeys(untouchedSet.contains).toMap ++ newCols,
         cur.dels.view.filterKeys(untouchedSet.contains).toMap,
         fids, colIds, maxId, cur.specs,
-        cur.fileSpec.view.filterKeys(untouchedSet.contains).toMap)
+        cur.fileSpec.view.filterKeys(untouchedSet.contains).toMap,
+        cur.version)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }
@@ -1659,38 +1814,61 @@ object SnapshotLog {
                  skipNonAppends: Boolean = false): Seq[(Int, Seq[String])] = {
     val snaps = snapshots(spark, root)
     val byV = snaps.map(s => s.version -> s).toMap
-    // Expiry guard: computing version K's append-delta needs manifest K-1.
-    // If the consumer's offset snapshot was expired (fromVersion > 0 and no
-    // longer retained), the oldest retained snapshot would fall into the
-    // wholly-additive head case below and replay its ENTIRE cumulative file
-    // list — silently duplicating data the consumer already saw, and any
-    // expired intermediate deltas are lost outright. Fail loudly instead
-    // (Iceberg errors the same way when a streaming start snapshot is
-    // expired). fromVersion == 0 is a from-scratch consumer: the head
-    // cumulative list IS its correct initial load, expiry or not.
-    if (fromVersion > 0 && fromVersion < toVersion && !byV.contains(fromVersion))
-      throw new IllegalStateException(
-        s"SnapshotLog: incremental read from expired snapshot v$fromVersion " +
-          s"at $root (oldest retained: v${snaps.headOption.map(_.version).getOrElse(-1)}); " +
-          "the append-delta cannot be computed and replaying the oldest " +
-          "retained snapshot would duplicate already-consumed data. " +
-          "Restart the consumer from scratch (fromVersion=0) or retain " +
-          "snapshots at least as long as the slowest consumer's offset.")
-    val range = snaps.filter(s => s.version > fromVersion && s.version <= toVersion)
-    range.map { s =>
-      val prior: Set[String] =
-        byV.get(s.version - 1).map(_.files.map(norm).toSet).getOrElse(Set.empty)
-      s.operation match {
-        // the log's FIRST snapshot is the table's initial content: wholly
-        // additive whatever its recorded operation (there is no
-        // predecessor whose rows an "overwrite" could have replaced)
-        case _ if s.version == snaps.head.version =>
-          s.version -> s.files
-        case "append" | "create" =>
-          s.version -> s.files.filterNot(f => prior.contains(norm(f)))
-        case "rewrite" | "alter" => s.version -> Seq.empty[String]
+    if (fromVersion >= toVersion) return Seq.empty
+    // Walk the PARENT CHAIN from toVersion down to fromVersion (not a
+    // version-range filter: branch commits share the log's numbering but
+    // are not the consumer's history line). Expiry guard: computing a
+    // snapshot's append-delta needs its PARENT manifest — if the chain
+    // breaks above fromVersion the oldest reachable snapshot would replay
+    // its ENTIRE cumulative file list, silently duplicating data the
+    // consumer already saw (Iceberg errors the same way on an expired
+    // streaming start). fromVersion == 0 is a from-scratch consumer: the
+    // chain root's cumulative list IS its correct initial load.
+    def expired(): Nothing = throw new IllegalStateException(
+      s"SnapshotLog: incremental read from expired or off-line snapshot " +
+        s"v$fromVersion at $root (oldest retained: " +
+        s"v${snaps.headOption.map(_.version).getOrElse(-1)}); the " +
+        "append-delta cannot be computed and replaying the oldest " +
+        "reachable snapshot would duplicate already-consumed data. " +
+        "Restart the consumer from scratch (fromVersion=0) or retain " +
+        "snapshots at least as long as the slowest consumer's offset.")
+    var chain = List.empty[Snapshot]
+    var cur: Option[Snapshot] = Some(byV.getOrElse(toVersion,
+      throw new NoSuchElementException(
+        s"SnapshotLog: no version $toVersion at $root")))
+    var done = false
+    while (!done) {
+      cur match {
+        case Some(s) if s.version > fromVersion =>
+          chain = s :: chain
+          val p = s.parentVersion
+          if (p <= 0) { // chain root
+            if (fromVersion > 0) expired()
+            done = true; cur = None
+          } else byV.get(p) match {
+            case some @ Some(ps) =>
+              if (ps.version < fromVersion) expired() // not an ancestor
+              cur = some
+            case None => // parent expired
+              if (fromVersion > 0) expired()
+              done = true; cur = None
+          }
+        case _ => done = true // reached fromVersion (exclusive) exactly
+      }
+    }
+    chain.map { s =>
+      val prior: Option[Set[String]] =
+        byV.get(s.parentVersion).map(_.files.map(norm).toSet)
+      (s.operation, prior) match {
+        // the chain ROOT is the table's initial content (or the oldest
+        // retained cumulative state for a from-scratch consumer): wholly
+        // additive whatever its recorded operation
+        case (_, None) => s.version -> s.files
+        case ("append" | "create", Some(pf)) =>
+          s.version -> s.files.filterNot(f => pf.contains(norm(f)))
+        case ("rewrite" | "alter", _) => s.version -> Seq.empty[String]
         case _ if skipNonAppends => s.version -> Seq.empty[String]
-        case op => throw new UnsupportedOperationException(
+        case (op, _) => throw new UnsupportedOperationException(
           s"SnapshotLog: incremental read crossed a non-append snapshot " +
             s"v${s.version} ($op) at $root; pass skipNonAppends=true to " +
             "skip content-changing snapshots (Iceberg's skip-overwrite rule)")

@@ -123,7 +123,7 @@ class SnapshotLogCatalog extends TableCatalog
               SnapshotMetaTable.files(nm, SnapshotLog.pick(spark, baseRoot, v, tsMs))
             case "snapshots" => SnapshotMetaTable.snapshots(nm, snaps)
             case "refs" =>
-              SnapshotMetaTable.refsTable(nm, SnapshotLog.refs(spark, baseRoot))
+              SnapshotMetaTable.refsTable(nm, SnapshotLog.refsTyped(spark, baseRoot))
             case "deletes" =>
               SnapshotMetaTable.deletesTable(nm,
                 SnapshotLog.pick(spark, baseRoot, v, tsMs))

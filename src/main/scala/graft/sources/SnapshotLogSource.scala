@@ -99,11 +99,12 @@ object SnapshotLogSource {
   private[sources] def resolve(opts: Map[String, String]): SnapshotLog.Snapshot = {
     val spark = SparkSession.active
     val root = rootOf(opts)
-    // asOfTag: a named ref resolves to its pinned version (Iceberg tag)
-    val tagVersion = opt(opts, "asOfTag").map { name =>
+    // asOfTag / branch: a named ref resolves to its pinned version
+    // (Iceberg tag or branch head — branch reads are ref-addressed)
+    val tagVersion = opt(opts, "asOfTag").orElse(opt(opts, "branch")).map { name =>
       SnapshotLog.refs(spark, root).getOrElse(name,
         throw new NoSuchElementException(
-          s"snapshotlog: no tag '$name' at $root"))
+          s"snapshotlog: no ref '$name' at $root"))
     }
     val snap = SnapshotLog.pick(spark, root,
       tagVersion.orElse(opt(opts, "asOfVersion").map(_.toInt)),

@@ -57,13 +57,13 @@ private[sources] object SnapshotMetaTable {
       snaps.map(s => Seq(s.version, s.operation, s.commitTsMs,
         s.files.size.toLong)))
 
-  def refsTable(name: String, refs: Map[String, Int]): SnapshotMetaTable =
+  def refsTable(name: String, refs: Map[String, (String, Int)]): SnapshotMetaTable =
     new SnapshotMetaTable(name,
       StructType(Seq(
         StructField("name", StringType, nullable = false),
         StructField("type", StringType, nullable = false),
         StructField("version", IntegerType, nullable = false))),
-      refs.toSeq.sortBy(_._1).map { case (n, v) => Seq(n, "tag", v) })
+      refs.toSeq.sortBy(_._1).map { case (n, (k, v)) => Seq(n, k, v) })
 
   /** Positional/equality delete-file inventory of one snapshot (Iceberg's
     * position_deletes metadata relation, collapsed to file granularity):

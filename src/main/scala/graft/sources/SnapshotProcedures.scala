@@ -29,7 +29,10 @@ private[sources] object SnapshotProcedures {
         Identifier.of(Array("system"), "rewrite_data_files"),
         Identifier.of(Array("system"), "expire_snapshots"),
         Identifier.of(Array("system"), "create_tag"),
-        Identifier.of(Array("system"), "drop_tag"))
+        Identifier.of(Array("system"), "drop_tag"),
+        Identifier.of(Array("system"), "create_branch"),
+        Identifier.of(Array("system"), "drop_branch"),
+        Identifier.of(Array("system"), "fast_forward"))
     else Array.empty
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
@@ -41,6 +44,9 @@ private[sources] object SnapshotProcedures {
       case "expire_snapshots" => new ExpireSnapshotsProc(warehouse)
       case "create_tag" => new CreateTagProc(warehouse)
       case "drop_tag" => new DropTagProc(warehouse)
+      case "create_branch" => new CreateBranchProc(warehouse)
+      case "drop_branch" => new DropBranchProc(warehouse)
+      case "fast_forward" => new FastForwardProc(warehouse)
       case other => throw new UnsupportedOperationException(
         s"snapshotlog catalog: unknown procedure $other")
     }
@@ -182,6 +188,79 @@ private[sources] object SnapshotProcedures {
       Iterator(resultScan(
         StructType(Seq(StructField("dropped", StringType, nullable = false))),
         Seq(tag))).asJava
+    }
+  }
+
+  /** CALL snap.system.create_branch('ns.t', 'audit', 2) — fork a writable
+    * branch from a snapshot (write-audit-publish). */
+  private class CreateBranchProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "create_branch"
+    override def description(): String =
+      "fork a writable branch from a snapshot version"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build(),
+      ProcedureParameter.in("version", IntegerType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val br = input.getUTF8String(1).toString
+      SnapshotLog.createBranch(spark, root, br, input.getInt(2))
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("version", IntegerType, nullable = false))),
+        Seq(br, input.getInt(2)))).asJava
+    }
+  }
+
+  private class DropBranchProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String = "remove a branch ref"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val br = input.getUTF8String(1).toString
+      SnapshotLog.dropBranch(spark, root, br)
+      Iterator(resultScan(
+        StructType(Seq(StructField("dropped", StringType, nullable = false))),
+        Seq(br))).asJava
+    }
+  }
+
+  /** CALL snap.system.fast_forward('ns.t', 'audit') — publish a branch to
+    * main: append when the branch descends from the main head, overwrite
+    * when histories diverged. */
+  private class FastForwardProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "fast_forward"
+    override def description(): String =
+      "publish a branch's content to the main line"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val br = input.getUTF8String(1).toString
+      val v = SnapshotLog.fastForward(spark, root, br,
+        SnapshotLog.nextCommitTs(spark, root))
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("published_version", IntegerType, nullable = false))),
+        Seq(br, v))).asJava
     }
   }
 }

@@ -230,7 +230,8 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
         // scan, so their delete baggage folds; untouched files keep theirs
         cur.dels.view.filterKeys(untouchedSet.contains).toMap,
         fids, colIds, maxId, cur.specs,
-        cur.fileSpec.view.filterKeys(untouchedSet.contains).toMap)
+        cur.fileSpec.view.filterKeys(untouchedSet.contains).toMap,
+        cur.version)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }

@@ -842,6 +842,59 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("equality delete"))
   }
 
+  test("branches: write-audit-publish — main isolated until fast_forward") {
+    val root = "/tmp/graft_snap_warehouse/wap/t"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    spark.sql("CREATE TABLE snap.wap.t AS SELECT id AS k FROM range(10)")
+    val mainV = SnapshotLog.snapshots(spark, root).last.version
+
+    // fork an audit branch from the main head, stage two batches on it
+    spark.sql(s"CALL snap.system.create_branch('wap.t', 'audit', $mainV)")
+    SnapshotLog.commitToBranch(spark, root, "audit",
+      spark.range(10, 15).toDF("k"), SnapshotLog.nextCommitTs(spark, root))
+    SnapshotLog.commitToBranch(spark, root, "audit",
+      spark.range(15, 18).toDF("k"), SnapshotLog.nextCommitTs(spark, root))
+
+    // MAIN is untouched: default reads, TIMESTAMP AS OF, and the version
+    // numbering all ignore branch snapshots
+    assert(spark.table("snap.wap.t").count() === 10)
+    assert(SnapshotLog.read(spark, root).count() === 10)
+    // the BRANCH reads its own staged state, by ref and by SQL name
+    assert(spark.read.format("snapshotlog").option("branch", "audit")
+      .load(root).count() === 18)
+    assert(spark.sql("SELECT count(*) FROM snap.wap.t VERSION AS OF 'audit'")
+      .head().getLong(0) === 18L)
+    // branch snapshots chain through parents (audit trail intact)
+    val refs = spark.sql("SELECT * FROM snap.wap.t.refs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(refs.get("audit").contains("branch"))
+
+    // PUBLISH: branch descends from main head → an ordinary append; the
+    // incremental delta main consumers see is exactly the audited rows
+    spark.sql("CALL snap.system.fast_forward('wap.t', 'audit')")
+    assert(spark.table("snap.wap.t").count() === 18)
+    val pub = SnapshotLog.snapshots(spark, root).last
+    assert(pub.operation === "append" && pub.branch.isEmpty)
+    assert(SnapshotLog.readIncremental(spark, root, fromVersion = mainV)
+      .as[Long].collect().sorted === (10L until 18L).toArray)
+
+    // a DIVERGED branch publishes as overwrite: main moved on after fork
+    spark.sql(s"CALL snap.system.create_branch('wap.t', 'fix', ${pub.version})")
+    spark.sql("INSERT INTO snap.wap.t SELECT id FROM range(100, 105)") // main advances
+    SnapshotLog.commitToBranch(spark, root, "fix",
+      spark.range(200, 202).toDF("k"), SnapshotLog.nextCommitTs(spark, root))
+    SnapshotLog.fastForward(spark, root, "fix",
+      SnapshotLog.nextCommitTs(spark, root))
+    val pub2 = SnapshotLog.snapshots(spark, root).last
+    assert(pub2.operation === "overwrite",
+      "diverged publish must be an overwrite, not a fake append")
+    assert(spark.table("snap.wap.t").count() === 20) // 18 + 2, main-only 100s dropped
+    // time travel still reaches the pre-publish main state
+    assert(spark.read.format("snapshotlog")
+      .option("asOfVersion", pub.version + 1).load(root).count() === 23)
+  }
+
   test("tags: named refs resolve in SQL and survive expiry") {
     val root = "/tmp/graft_snap_warehouse/tagspec/t"
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
