@@ -681,6 +681,47 @@ object DdlQueries extends QueryModule {
         .withColumn("update_kept_files", lit(kept("update")))
         .withColumn("merge_kept_files", lit(kept("merge")))
         .select("n_rows", "sum_bal", "update_kept_files", "merge_kept_files")
+    }),
+
+    // WRITE-AUDIT-PUBLISH (Iceberg branches): stage a batch on an audit
+    // branch, verify MAIN never sees it pre-publish, then fast_forward —
+    // the publish lands as an ordinary APPEND (the branch descends from
+    // the main head), so a downstream incremental consumer's delta is
+    // exactly the audited rows. Gated states: main-before (isolated),
+    // branch (staged), main-after (published), plus the consumer delta.
+    "ddl_wap_branch" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "wap_branch") { root =>
+        val c = customer(s, d).select(col("c_custkey").as("k"),
+          col("c_acctbal").as("bal"))
+        SnapshotLog.commit(c.filter(col("k") % 2 === 0), root,
+          overwrite = true, commitTsMs = 1000L)
+        SnapshotLog.createBranch(s, root, "audit", 1)
+        SnapshotLog.commitToBranch(s, root, "audit",
+          c.filter(col("k") % 2 === 1), 2000L)
+      }
+      // pre-publish states read OUT of the build-once fixture; the
+      // publish itself happens here only once (memoized via version count)
+      val preMain = SnapshotLog.read(s, root, asOfVersion = Some(1))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("bal")), 2).as("sum_bal"))
+        .withColumn("stage", lit("main_before"))
+      val branchDf = s.read.format("snapshotlog").option("branch", "audit")
+        .load(root)
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("bal")), 2).as("sum_bal"))
+        .withColumn("stage", lit("branch_staged"))
+      if (!SnapshotLog.snapshots(s, root).exists(sn =>
+          sn.branch.isEmpty && sn.version > 2))
+        SnapshotLog.fastForward(s, root, "audit", 3000L)
+      val postMain = SnapshotLog.read(s, root)
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("bal")), 2).as("sum_bal"))
+        .withColumn("stage", lit("main_after"))
+      val delta = SnapshotLog.readIncremental(s, root, fromVersion = 1)
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("bal")), 2).as("sum_bal"))
+        .withColumn("stage", lit("consumer_delta"))
+      Seq(preMain, branchDf, postMain, delta).reduce(_ unionByName _)
+        .withColumn("publish_op",
+          lit(SnapshotLog.snapshots(s, root).last.operation))
+        .select("stage", "n_rows", "sum_bal", "publish_op")
     })
   )
 
@@ -919,6 +960,22 @@ object DdlQueries extends QueryModule {
         |                 WHEN c_custkey % 10 = 3 THEN c_acctbal + 100
         |                 ELSE c_acctbal END), 2) AS sum_bal,
         |  TRUE AS update_kept_files, TRUE AS merge_kept_files
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    "ddl_wap_branch" ->
+      """WITH ev AS (
+        |  SELECT CAST(count(*) AS BIGINT) n, round(sum(c_acctbal), 2) sb
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |od AS (
+        |  SELECT CAST(count(*) AS BIGINT) n, round(sum(c_acctbal), 2) sb
+        |  FROM customer WHERE c_custkey % 2 = 1),
+        |al AS (
+        |  SELECT CAST(count(*) AS BIGINT) n, round(sum(c_acctbal), 2) sb
+        |  FROM customer)
+        |SELECT 'main_before' AS stage, n AS n_rows, sb AS sum_bal,
+        |  'append' AS publish_op FROM ev
+        |UNION ALL SELECT 'branch_staged', n, sb, 'append' FROM al
+        |UNION ALL SELECT 'main_after', n, sb, 'append' FROM al
+        |UNION ALL SELECT 'consumer_delta', n, sb, 'append' FROM od""".stripMargin
   )
 }
