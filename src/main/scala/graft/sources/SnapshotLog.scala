@@ -1675,6 +1675,58 @@ object SnapshotLog {
     next
   }
 
+  /** Compact the POSITIONAL DELETE FILES of the current snapshot into one
+    * sorted file (Iceberg's rewrite_position_delete_files): a long trickle
+    * of MoR deletes leaves every reader opening N small delete files per
+    * scan — this folds them into one without touching ANY data file. The
+    * commit is content-neutral ("rewrite": incremental consumers skip it).
+    * Equality delete files are left alone (their semantics are scoped by
+    * commit-time file sets; `rewriteDataFiles` folds them fully). Returns
+    * the new version, or the current one when fewer than 2 positional
+    * delete files exist. */
+  def rewriteDeleteFiles(spark: SparkSession, root: String,
+                         commitTsMs: Long): Int = {
+    val cur = pick(spark, root, None, None)
+    val allDel = cur.dels.values.flatten.toSeq.distinct
+    def isPositional(f: String): Boolean =
+      spark.read.parquet(f).schema.fieldNames.toSeq == Seq("file_path", "pos")
+    val (posFiles, eqFiles) = allDel.partition(isPositional)
+    if (posFiles.size < 2) return cur.version
+    require(cur.commitTsMs < commitTsMs,
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    val fs = fsFor(spark, new Path(root))
+    val delDir = new Path(new Path(root, "deletes"),
+      java.util.UUID.randomUUID().toString.take(12))
+    spark.read.parquet(posFiles: _*).distinct()
+      .repartition(1).sortWithinPartitions("file_path", "pos")
+      .write.parquet(delDir.toString)
+    val merged = fs.listStatus(delDir)
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).map(_.getPath.toString).toSeq
+    // remap: every data file that had positional deletes now points at
+    // the merged file (plus any equality files it still carries)
+    val posSet = posFiles.toSet
+    val newDels = cur.dels.map { case (df, ds) =>
+      val eq = ds.filterNot(posSet.contains)
+      val hadPos = ds.exists(posSet.contains)
+      df -> (eq ++ (if (hadPos) merged else Seq.empty))
+    }.filter(_._2.nonEmpty)
+    try {
+      commitManifest(fs, root, cur.version + 1, "rewrite", commitTsMs,
+        cur.schemaJson, cur.files, cur.stats, cur.sizes,
+        Map("rewrite" -> "position-delete-files"),
+        cur.spec, cur.parts, cur.cols, newDels,
+        cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec,
+        cur.version)
+    } catch {
+      case e: IllegalStateException => fs.delete(delDir, true); throw e
+    }
+    // the replaced delete files stay on disk for time travel; expiry
+    // reclaims them once no surviving snapshot references them
+    cur.version + 1
+  }
+
   /** Per-file row counts from parquet footers (metadata IO only). */
   private[sources] def footerRowCounts(conf: Configuration,
                               files: Seq[String]): Map[String, Long] =

@@ -32,7 +32,8 @@ private[sources] object SnapshotProcedures {
         Identifier.of(Array("system"), "drop_tag"),
         Identifier.of(Array("system"), "create_branch"),
         Identifier.of(Array("system"), "drop_branch"),
-        Identifier.of(Array("system"), "fast_forward"))
+        Identifier.of(Array("system"), "fast_forward"),
+        Identifier.of(Array("system"), "rewrite_position_delete_files"))
     else Array.empty
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
@@ -47,6 +48,8 @@ private[sources] object SnapshotProcedures {
       case "create_branch" => new CreateBranchProc(warehouse)
       case "drop_branch" => new DropBranchProc(warehouse)
       case "fast_forward" => new FastForwardProc(warehouse)
+      case "rewrite_position_delete_files" =>
+        new RewriteDeleteFilesProc(warehouse)
       case other => throw new UnsupportedOperationException(
         s"snapshotlog catalog: unknown procedure $other")
     }
@@ -261,6 +264,31 @@ private[sources] object SnapshotProcedures {
           StructField("branch", StringType, nullable = false),
           StructField("published_version", IntegerType, nullable = false))),
         Seq(br, v))).asJava
+    }
+  }
+
+  /** CALL snap.system.rewrite_position_delete_files('ns.t') — fold a
+    * trickle of small positional delete files into one, data untouched. */
+  private class RewriteDeleteFilesProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rewrite_position_delete_files"
+    override def description(): String =
+      "merge the snapshot's positional delete files into one sorted file"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val before = SnapshotLog.pick(spark, root, None, None)
+      val v = SnapshotLog.rewriteDeleteFiles(spark, root,
+        SnapshotLog.nextCommitTs(spark, root))
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("version", IntegerType, nullable = false),
+          StructField("rewrote", BooleanType, nullable = false))),
+        Seq(v, v != before.version))).asJava
     }
   }
 }

@@ -720,6 +720,36 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(t.filter(col("k") === 3).count() === 0)
   }
 
+  test("rewriteDeleteFiles: N trickle delete files fold to one, data untouched") {
+    val root = freshRoot("del_compact")
+    SnapshotLog.commit(spark.range(0, 100).selectExpr("id AS k", "id AS v"),
+      root, overwrite = true, 100L)
+    // a trickle of 5 MoR deletes → 5 positional delete files
+    for (i <- 0 until 5)
+      SnapshotLog.deleteWhereMoR(spark, root, col("k") === (i * 10L),
+        200L + i * 100)
+    val before = SnapshotLog.snapshots(spark, root).last
+    val delFilesBefore = before.dels.values.flatten.toSeq.distinct
+    assert(delFilesBefore.size === 5)
+    assert(spark.read.format("snapshotlog").load(root).count() === 95)
+
+    val v = SnapshotLog.rewriteDeleteFiles(spark, root, 1000L)
+    val after = SnapshotLog.snapshots(spark, root).last
+    assert(v === after.version && after.operation === "rewrite")
+    assert(after.files === before.files, "data files must be untouched")
+    val delFilesAfter = after.dels.values.flatten.toSeq.distinct
+    assert(delFilesAfter.size === 1, s"expected 1 merged delete file, got ${delFilesAfter.size}")
+    assert(spark.read.format("snapshotlog").load(root).count() === 95)
+    assert(SnapshotLog.read(spark, root).count() === 95)
+    assert(spark.read.format("snapshotlog").load(root)
+      .filter(col("k") % 10 === 0 && col("k") < 50).count() === 0)
+    // content-neutral: the incremental delta across the rewrite is empty
+    assert(SnapshotLog.readIncremental(spark, root,
+      fromVersion = before.version).count() === 0)
+    // idempotent when there is nothing left to merge
+    assert(SnapshotLog.rewriteDeleteFiles(spark, root, 2000L) === after.version)
+  }
+
   test("delta row-level ops: SQL UPDATE/MERGE write position deletes under MoR mode") {
     val root = "/tmp/graft_snap_warehouse/mordelta/t"
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
