@@ -113,7 +113,7 @@ private[sources] class SnapshotDeltaBatchWrite(root: String,
       f -> (cur.dels.getOrElse(f, Seq.empty) ++ delFiles)).toMap
     val newSizes = newFiles
       .map(f => SnapshotLog.norm(f) -> fs.getFileStatus(new Path(f)).getLen).toMap
-    val (newStats, newCols) = SnapshotLog.footerMeta(conf, newFiles, schema)
+    val (newStats, newCols, newRows) = SnapshotLog.footerMeta(conf, newFiles, schema)
     val allFiles = cur.files ++ newFiles
     val (fids, colIds, maxId) =
       SnapshotLog.fidCarry(Some(cur), schema, allFiles, newCols)
@@ -123,7 +123,8 @@ private[sources] class SnapshotDeltaBatchWrite(root: String,
         cur.stats ++ newStats, cur.sizes ++ newSizes,
         Map("write.mode" -> "merge-on-read-delta"),
         cur.spec, cur.parts, cur.cols ++ newCols, merged,
-        fids, colIds, maxId, cur.specs, cur.fileSpec, cur.version)
+        fids, colIds, maxId, cur.specs, cur.fileSpec, cur.version,
+        cur.rows ++ newRows)
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true); fs.delete(delDir, true); throw e

@@ -122,7 +122,12 @@ object SnapshotLog {
       // branches existed). Branch commits point at the branch head, so
       // the mainline and each branch are parent-chains through one
       // shared, monotonically-numbered log.
-      parent: Int = -1) {
+      parent: Int = -1,
+      // per-file ROW COUNTS (the footer walk reads them for free):
+      // metadata-only COUNT(*) and completeness checks without opening a
+      // single file. Absent for pre-r13 manifests (aggregate pushdown
+      // then refuses and the scan path answers instead).
+      rows: Map[String, Long] = Map.empty) {
     /** Effective parent version (legacy linear fallback). */
     def parentVersion: Int = if (parent >= 0) parent else version - 1
     /** True iff this snapshot belongs to a BRANCH (not the main line). */
@@ -265,7 +270,10 @@ object SnapshotLog {
       stats, sizes, props, spec, parts, cols, dels, fids, colIds,
       Option(t.get("maxId")).map(_.asInt()).getOrElse(0),
       specsHist, fileSpec,
-      Option(t.get("parent")).map(_.asInt()).getOrElse(-1))
+      Option(t.get("parent")).map(_.asInt()).getOrElse(-1),
+      Option(t.get("rows")).map { rn =>
+        rn.fields().asScala.map(fe => fe.getKey -> fe.getValue.asLong()).toMap
+      }.getOrElse(Map.empty))
   }
 
   private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
@@ -315,14 +323,17 @@ object SnapshotLog {
     * physical column list (metadata IO only — the same open serves both). */
   private[sources] def footerMeta(conf: Configuration, files: Seq[String],
                           schema: StructType)
-      : (Map[String, Map[String, (Any, Any)]], Map[String, Seq[String]]) = {
+      : (Map[String, Map[String, (Any, Any)]], Map[String, Seq[String]],
+         Map[String, Long]) = {
     val wanted: Map[String, Boolean] = statColsOf(schema).toMap
     val colsAcc = scala.collection.mutable.Map[String, Seq[String]]()
+    val rowsAcc = scala.collection.mutable.Map[String, Long]()
     val stats = files.map { f =>
       val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
       try {
         colsAcc(norm(f)) = rdr.getFooter.getFileMetaData.getSchema
           .getFields.asScala.map(_.getName).toSeq
+        rowsAcc(norm(f)) = rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
         val acc = scala.collection.mutable.Map[String, (Any, Any)]()
         val bad = scala.collection.mutable.Set[String]()
         for (b <- rdr.getFooter.getBlocks.asScala;
@@ -366,7 +377,7 @@ object SnapshotLog {
         norm(f) -> acc.toMap
       } finally rdr.close()
     }.toMap
-    (stats, colsAcc.toMap)
+    (stats, colsAcc.toMap, rowsAcc.toMap)
   }
 
   /** Commit `df` as the next version. `overwrite` replaces the table
@@ -480,7 +491,7 @@ object SnapshotLog {
       cur.parts, cur.cols, cur.dels,
       cur.fids - from + (to -> cur.fids(from)), cur.colIds, cur.maxId,
       cur.specs.map(_.map { case (s, t) => (if (s == from) to else s, t) }),
-      cur.fileSpec)
+      cur.fileSpec, cur.version, cur.rows)
     next
   }
 
@@ -504,7 +515,8 @@ object SnapshotLog {
     commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
       commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
       Map.empty, cur.spec, cur.parts, cur.cols, cur.dels,
-      cur.fids - name, cur.colIds, cur.maxId, cur.specs, cur.fileSpec)
+      cur.fids - name, cur.colIds, cur.maxId, cur.specs, cur.fileSpec,
+      cur.version, cur.rows)
     next
   }
 
@@ -534,7 +546,7 @@ object SnapshotLog {
       .sortBy(_.getPath.getName)
     val newFiles = statuses.map(_.getPath.toString).toSeq
     val newSizes = statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap
-    val (newStats, newCols) =
+    val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
 
     val parent = if (overwrite) None else mainLast
@@ -558,7 +570,8 @@ object SnapshotLog {
         parent.map(_.dels).getOrElse(Map.empty), fids, colIds, maxId,
         parent.map(_.specs).getOrElse(Seq.empty),
         parent.map(_.fileSpec).getOrElse(Map.empty),
-        mainLast.map(_.version).getOrElse(0))
+        mainLast.map(_.version).getOrElse(0),
+        parent.map(_.rows).getOrElse(Map.empty) ++ newRows)
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true) // lost the race: reclaim our unpublished data
@@ -623,7 +636,8 @@ object SnapshotLog {
     val next = prior.lastOption.map(_.version + 1).getOrElse(1)
     require(prior.forall(_.commitTsMs < commitTsMs),
       s"commitTsMs $commitTsMs must advance past the last snapshot")
-    val parent = if (overwrite) None else prior.lastOption
+    val mainLast = prior.filter(_.branch.isEmpty).lastOption
+    val parent = if (overwrite) None else mainLast
     spec.foreach { case (src, _) =>
       require(df.schema.fieldNames.contains(src),
         s"commitPartitioned: spec column $src not in ${df.schema.fieldNames.mkString(",")}")
@@ -658,13 +672,13 @@ object SnapshotLog {
     val newFiles = sortedFound.map(_._1)
     val newSizes = sortedFound.map(f => norm(f._1) -> f._2).toMap
     val newParts = sortedFound.map(f => norm(f._1) -> f._3).toMap
-    val (newStats, newCols) =
+    val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
 
     try {
       val allFiles = parent.map(_.files).getOrElse(Seq.empty) ++ newFiles
       val (fids, colIds, maxId) =
-        fidCarry(prior.lastOption, df.schema, allFiles, newCols)
+        fidCarry(mainLast, df.schema, allFiles, newCols)
       commitManifest(fs, root, next,
         if (overwrite) "overwrite" else "append",
         commitTsMs, df.schema.json, allFiles,
@@ -675,7 +689,9 @@ object SnapshotLog {
         parent.map(_.cols).getOrElse(Map.empty) ++ newCols,
         parent.map(_.dels).getOrElse(Map.empty), fids, colIds, maxId,
         specsHist,
-        parentFileSpec ++ newFiles.map(f => norm(f) -> specIdx))
+        parentFileSpec ++ newFiles.map(f => norm(f) -> specIdx),
+        mainLast.map(_.version).getOrElse(0),
+        parent.map(_.rows).getOrElse(Map.empty) ++ newRows)
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true)
@@ -726,7 +742,7 @@ object SnapshotLog {
     commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
       commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
       Map.empty, cur.spec, cur.parts, cur.cols, cur.dels, fids, colIds, maxId,
-      cur.specs, cur.fileSpec)
+      cur.specs, cur.fileSpec, cur.version, cur.rows)
     next
   }
 
@@ -877,7 +893,7 @@ object SnapshotLog {
       .sortBy(_.getPath.getName)
     val newFiles = statuses.map(_.getPath.toString).toSeq
     val newSizes = statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap
-    val (newStats, newCols) =
+    val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
     val allFiles = head.files ++ newFiles
     val (fids, colIds, maxId) = fidCarry(Some(head), df.schema, allFiles, newCols)
@@ -886,7 +902,7 @@ object SnapshotLog {
         allFiles, head.stats ++ newStats, head.sizes ++ newSizes,
         Map("ref" -> branch), head.spec, head.parts, head.cols ++ newCols,
         head.dels, fids, colIds, maxId, head.specs, head.fileSpec,
-        head.version)
+        head.version, head.rows ++ newRows)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }
@@ -929,7 +945,7 @@ object SnapshotLog {
       head.schemaJson, head.files, head.stats, head.sizes,
       Map("published.from" -> branch), head.spec, head.parts, head.cols,
       head.dels, head.fids, head.colIds, head.maxId, head.specs,
-      head.fileSpec, mainHead.version)
+      head.fileSpec, mainHead.version, head.rows)
     next
   }
 
@@ -958,7 +974,8 @@ object SnapshotLog {
                              maxId: Int = 0,
                              specs: Seq[Seq[(String, String)]] = Seq.empty,
                              fileSpec: Map[String, Int] = Map.empty,
-                             parent: Int = -1): Unit = {
+                             parent: Int = -1,
+                             rowCounts: Map[String, Long] = Map.empty): Unit = {
     val node = om.createObjectNode()
     node.put("version", version)
     node.put("operation", operation)
@@ -1014,6 +1031,10 @@ object SnapshotLog {
       node.put("maxId", maxId): Unit
     }
     if (parent >= 0) node.put("parent", parent): Unit
+    if (rowCounts.nonEmpty) {
+      val rowsNode = node.putObject("rows")
+      rowCounts.foreach { case (f, n) => rowsNode.put(f, n) }
+    }
     if (specs.nonEmpty) {
       val specsNode = node.putArray("specs")
       specs.foreach { s =>
@@ -1264,7 +1285,7 @@ object SnapshotLog {
             Map("delete.mode" -> "merge-on-read"),
             cur.spec, cur.parts, cur.cols, merged,
             cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec,
-            cur.version)
+            cur.version, cur.rows)
         } catch {
           case e: IllegalStateException => fs.delete(delDir, true); throw e
         }
@@ -1351,7 +1372,7 @@ object SnapshotLog {
             Map("delete.mode" -> "merge-on-read-equality"),
             cur.spec, cur.parts, cur.cols, merged,
             cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec,
-            cur.version)
+            cur.version, cur.rows)
         } catch {
           case e: IllegalStateException => fs.delete(delDir, true); throw e
         }
@@ -1401,7 +1422,7 @@ object SnapshotLog {
       .foreach(f => fs.delete(new Path(f), false))
     val newSizes = statuses.filter(s => newFiles.contains(s.getPath.toString))
       .map(s => norm(s.getPath.toString) -> s.getLen).toMap
-    val (newStats, newCols) =
+    val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
     val allFiles = cur.files ++ newFiles
     val (fids, colIds, maxId) = fidCarry(Some(cur), schema, allFiles, newCols)
@@ -1411,7 +1432,8 @@ object SnapshotLog {
         cur.stats ++ newStats, cur.sizes ++ newSizes,
         props ++ Map("upsert.mode" -> "merge-on-read-equality"),
         cur.spec, cur.parts, cur.cols ++ newCols, merged,
-        fids, colIds, maxId, cur.specs, cur.fileSpec, cur.version)
+        fids, colIds, maxId, cur.specs, cur.fileSpec, cur.version,
+        cur.rows ++ newRows)
     } catch {
       case e: IllegalStateException =>
         staged.foreach { case (d, _) => fs.delete(d, true) }
@@ -1482,7 +1504,7 @@ object SnapshotLog {
           .foreach(f => fs.delete(new Path(f), false))
         val newSizes = statuses.filter(s => newFiles.contains(s.getPath.toString))
           .map(s => norm(s.getPath.toString) -> s.getLen).toMap
-        val (newStats, newCols) =
+        val (newStats, newCols, newRows) =
           footerMeta(spark.sessionState.newHadoopConf(), newFiles, cur.schema)
         val allFiles = cur.files ++ newFiles
         val (fids, colIds, maxId) =
@@ -1493,7 +1515,8 @@ object SnapshotLog {
             cur.stats ++ newStats, cur.sizes ++ newSizes,
             Map("update.mode" -> "merge-on-read"),
             cur.spec, cur.parts, cur.cols ++ newCols, merged,
-            fids, colIds, maxId, cur.specs, cur.fileSpec, cur.version)
+            fids, colIds, maxId, cur.specs, cur.fileSpec, cur.version,
+            cur.rows ++ newRows)
         } catch {
           case e: IllegalStateException =>
             fs.delete(delDir, true); fs.delete(dataDir, true); throw e
@@ -1643,7 +1666,7 @@ object SnapshotLog {
           statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap,
           Map.empty[String, Seq[String]])
       }
-    val (newStats, newCols) =
+    val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
 
     val keptSet = kept.toSet
@@ -1668,7 +1691,8 @@ object SnapshotLog {
           (if (cur.specs.nonEmpty && cur.spec.nonEmpty)
             newFiles.map(f => norm(f) -> cur.specs.indexOf(cur.spec)).toMap
           else Map.empty),
-        cur.version)
+        cur.version,
+        cur.rows.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newRows)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }
@@ -1718,7 +1742,7 @@ object SnapshotLog {
         Map("rewrite" -> "position-delete-files"),
         cur.spec, cur.parts, cur.cols, newDels,
         cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec,
-        cur.version)
+        cur.version, cur.rows)
     } catch {
       case e: IllegalStateException => fs.delete(delDir, true); throw e
     }
@@ -1764,7 +1788,7 @@ object SnapshotLog {
     husks.foreach(f => fs.delete(new Path(f), false))
     val newSizes = statuses.filter(s => rows(norm(s.getPath.toString)) > 0)
       .map(s => norm(s.getPath.toString) -> s.getLen).toMap
-    val (newStats, newCols) = footerMeta(conf, newFiles, cur.schema)
+    val (newStats, newCols, newRows) = footerMeta(conf, newFiles, cur.schema)
     val untouchedSet = untouched.map(norm).toSet
     val next = cur.version + 1
     try {
@@ -1780,7 +1804,8 @@ object SnapshotLog {
         cur.dels.view.filterKeys(untouchedSet.contains).toMap,
         fids, colIds, maxId, cur.specs,
         cur.fileSpec.view.filterKeys(untouchedSet.contains).toMap,
-        cur.version)
+        cur.version,
+        cur.rows.view.filterKeys(untouchedSet.contains).toMap ++ newRows)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }

@@ -299,10 +299,96 @@ private[sources] class SnapshotLogTable(root: String,
 private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
     root: String = "", opts: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = SnapshotLogSource.nullable(snap.schema)
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, Seq[Any])] = None
+
+  /** METADATA-ONLY aggregates (Iceberg's aggregate pushdown): with no
+    * residual filters and no merge-on-read deletes in play, COUNT(*)
+    * answers from the manifest's per-file row counts and MIN/MAX from its
+    * per-file stats — ZERO data files opened, driver-side arithmetic
+    * over metadata. On a 100 TB table `SELECT count(*), max(ts)` becomes
+    * an O(files) in-memory fold. Anything the manifest cannot answer
+    * EXACTLY (deletes, missing stats, filters, group-by, count(col),
+    * pre-r13 manifests without row counts) refuses, and Spark runs the
+    * ordinary scan+agg plan. */
+  private def tryComputeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (agg.groupByExpressions().nonEmpty) return None
+    if (pushed.nonEmpty) return None // residuals would falsify the values
+    val files = buildKept
+    if (files.exists(f => snap.dels.contains(SnapshotLog.norm(f)))) return None
+    val schema = snap.schema
+
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    // canonical manifest scalar -> Catalyst internal value for `dt`
+    def internal(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+      case (l: java.lang.Long, LongType) => Some(l)
+      case (l: java.lang.Long, IntegerType) => Some(Int.box(l.toInt))
+      case (l: java.lang.Long, TimestampType | TimestampNTZType) => Some(l)
+      case (d: java.lang.Double, DoubleType) => Some(d)
+      case (d: java.lang.Double, FloatType) => Some(Float.box(d.toFloat))
+      case (s: String, StringType) => Some(UTF8String.fromString(s))
+      case _ => None
+    }
+    def bound(name: String, wantMin: Boolean): Option[Any] = {
+      if (!schema.fieldNames.contains(name)) return None
+      if (files.isEmpty) return Some(null) // empty table: SQL min/max = null
+      val perFile = files.map { f =>
+        val st = snap.stats.getOrElse(SnapshotLog.norm(f), Map.empty)
+        snap.physName(f, name).flatMap(st.get)
+      }
+      if (perFile.exists(_.isEmpty)) None // a file without stats: refuse
+      else {
+        val vals = perFile.map(o => if (wantMin) o.get._1 else o.get._2)
+        val best = vals.reduce((a, b) =>
+          if (wantMin) (if (SnapshotLog.cmp(a, b) <= 0) a else b)
+          else (if (SnapshotLog.cmp(a, b) >= 0) a else b))
+        internal(best, schema(name).dataType)
+      }
+    }
+
+    val out = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        val counts = files.map(f => snap.rows.get(SnapshotLog.norm(f)))
+        if (counts.exists(_.isEmpty)) return None // pre-r13 manifest
+        Some((StructField("count(*)", LongType, nullable = false),
+          Long.box(counts.flatten.sum)))
+      case m: Min =>
+        colName(m.column()).flatMap(n =>
+          bound(n, wantMin = true).map(v =>
+            (StructField(s"min($n)", schema(n).dataType), v)))
+      case m: Max =>
+        colName(m.column()).flatMap(n =>
+          bound(n, wantMin = false).map(v =>
+            (StructField(s"max($n)", schema(n).dataType), v)))
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) None
+    else Some((StructType(out.flatten.map(_._1)), out.flatten.map(_._2)))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = tryComputeAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = tryComputeAgg(agg) match {
+    case some @ Some(_) => aggResult = some; true
+    case None => false
+  }
 
   /** Accept every filter the stats can say something about (for pruning +
     * explain), and return ALL filters as residuals — Spark re-applies the
@@ -321,8 +407,42 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
   protected def buildKept: Seq[String] =
     SnapshotLogScanBuilder.prune(snap, snap.files, pushed)
 
-  override def build(): Scan =
-    new SnapshotLogScan(snap, required, pushed, buildKept, root, opts)
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, values)) =>
+      new SnapshotAggScan(snap, aggSchema, values)
+    case None =>
+      new SnapshotLogScan(snap, required, pushed, buildKept, root, opts)
+  }
+}
+
+/** The metadata-answered aggregate: one driver-computed row, zero data
+  * files opened (surfaced in EXPLAIN as `files=0(metadata-agg)`). */
+private[graft] class SnapshotAggScan(snap: SnapshotLog.Snapshot,
+    aggSchema: StructType, values: Seq[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"snapshotlog v${snap.version} files=0(metadata-agg) " +
+      s"ReadSchema: ${aggSchema.catalogString}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapshotAggPartition(values.toArray))
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotAggReaderFactory()
+}
+
+private[sources] case class SnapshotAggPartition(values: Array[Any])
+    extends InputPartition
+
+private[sources] case class SnapshotAggReaderFactory()
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = new GenericInternalRow(
+        partition.asInstanceOf[SnapshotAggPartition].values)
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] object SnapshotLogScanBuilder {

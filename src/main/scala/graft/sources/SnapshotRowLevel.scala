@@ -212,7 +212,7 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
     val replaced = scannedFiles().map(SnapshotLog.norm).toSet
     val untouched = cur.files.filterNot(f => replaced.contains(SnapshotLog.norm(f)))
     val untouchedSet = untouched.map(SnapshotLog.norm).toSet
-    val (newStats, newCols) = SnapshotLog.footerMeta(conf, newFiles, schema)
+    val (newStats, newCols, newRows) = SnapshotLog.footerMeta(conf, newFiles, schema)
     val newSizes = newFiles
       .map(f => SnapshotLog.norm(f) -> fs.getFileStatus(new Path(f)).getLen).toMap
     val (fids, colIds, maxId) =
@@ -231,7 +231,8 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
         cur.dels.view.filterKeys(untouchedSet.contains).toMap,
         fids, colIds, maxId, cur.specs,
         cur.fileSpec.view.filterKeys(untouchedSet.contains).toMap,
-        cur.version)
+        cur.version,
+        cur.rows.view.filterKeys(untouchedSet.contains).toMap ++ newRows)
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }

@@ -720,6 +720,52 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(t.filter(col("k") === 3).count() === 0)
   }
 
+  test("aggregate pushdown: count/min/max answered from manifest metadata") {
+    val root = freshRoot("agg_push")
+    SnapshotLog.commit(
+      spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS DOUBLE) * 0.5 AS v",
+        "concat('s', lpad(cast(id as string), 4, '0')) AS tag"),
+      root, overwrite = true, 100L)
+    SnapshotLog.commit(
+      spark.range(1000, 1500).selectExpr("id AS k", "CAST(id AS DOUBLE) * 0.5 AS v",
+        "concat('s', lpad(cast(id as string), 4, '0')) AS tag"),
+      root, overwrite = false, 200L)
+
+    def aggScanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.scan.isInstanceOf[graft.sources.SnapshotAggScan] => r.scan
+      }
+
+    val t = spark.read.format("snapshotlog").load(root)
+    val q = t.agg(count(lit(1)), min(col("k")), max(col("k")),
+      max(col("v")), min(col("tag")))
+    assert(aggScanOf(q).nonEmpty, "expected the metadata-agg scan:\n" +
+      q.queryExecution.optimizedPlan.toString)
+    val r = q.head()
+    assert(r.getLong(0) === 1500L)
+    assert(r.getLong(1) === 0L && r.getLong(2) === 1499L)
+    assert(r.getDouble(3) === 749.5)
+    assert(r.getString(4) === "s0000")
+
+    // a FILTER blocks complete pushdown (residual semantics) — the plan
+    // falls back to a real scan and the answer is still right
+    val filtered = t.filter(col("k") >= 1000).agg(count(lit(1)))
+    assert(aggScanOf(filtered).isEmpty)
+    assert(filtered.head().getLong(0) === 500L)
+
+    // MoR deletes poison metadata counts — must fall back, stay correct
+    SnapshotLog.deleteWhereMoR(spark, root, col("k") % 100 === 0, 300L)
+    val afterDel = spark.read.format("snapshotlog").load(root).agg(count(lit(1)))
+    assert(aggScanOf(afterDel).isEmpty)
+    assert(afterDel.head().getLong(0) === 1485L)
+    // compaction folds the deletes: metadata answers again
+    SnapshotLog.rewriteDataFiles(spark, root, 400L, targetBytes = 1L << 30)
+    val afterFold = spark.read.format("snapshotlog").load(root).agg(count(lit(1)))
+    assert(aggScanOf(afterFold).nonEmpty)
+    assert(afterFold.head().getLong(0) === 1485L)
+  }
+
   test("rewriteDeleteFiles: N trickle delete files fold to one, data untouched") {
     val root = freshRoot("del_compact")
     SnapshotLog.commit(spark.range(0, 100).selectExpr("id AS k", "id AS v"),
