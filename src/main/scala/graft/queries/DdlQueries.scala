@@ -683,6 +683,26 @@ object DdlQueries extends QueryModule {
         .select("n_rows", "sum_bal", "update_kept_files", "merge_kept_files")
     }),
 
+    // METADATA-ONLY AGGREGATES (SupportsPushDownAggregates — Iceberg's
+    // aggregate pushdown): count(*)/min/max over the 8-file sliced table
+    // answered from manifest row counts + stats, zero data files opened.
+    // metadata_answered pins the PLAN (the scan is the metadata-agg
+    // scan), the values pin correctness against the raw table.
+    "ddl_agg_pushdown" -> ((s, d) => {
+      val root = slicedCustomerRoot(s, d)
+      val t = snapRead(s, root)
+      val q = t.agg(
+        count(lit(1)).as("n_rows"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"),
+        round(max(col("c_acctbal")), 2).as("max_bal"))
+      val metaAnswered = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.scan.isInstanceOf[graft.sources.SnapshotAggScan] => r.scan
+      }.nonEmpty
+      q.withColumn("metadata_answered", lit(metaAnswered))
+    }),
+
     // WRITE-AUDIT-PUBLISH (Iceberg branches): stage a batch on an audit
     // branch, verify MAIN never sees it pre-publish, then fast_forward —
     // the publish lands as an ordinary APPEND (the branch descends from
@@ -960,6 +980,13 @@ object DdlQueries extends QueryModule {
         |                 WHEN c_custkey % 10 = 3 THEN c_acctbal + 100
         |                 ELSE c_acctbal END), 2) AS sum_bal,
         |  TRUE AS update_kept_files, TRUE AS merge_kept_files
+        |FROM customer""".stripMargin,
+
+    "ddl_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+        |  round(max(c_acctbal), 2) AS max_bal,
+        |  TRUE AS metadata_answered
         |FROM customer""".stripMargin,
 
     "ddl_wap_branch" ->
