@@ -304,7 +304,7 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
 
   private var required: StructType = SnapshotLogSource.nullable(snap.schema)
   private var pushed: Array[Filter] = Array.empty
-  private var aggResult: Option[(StructType, Seq[Any])] = None
+  private var aggResult: Option[(StructType, Seq[Seq[Any]])] = None
 
   /** METADATA-ONLY aggregates (Iceberg's aggregate pushdown): with no
     * residual filters and no merge-on-read deletes in play, COUNT(*)
@@ -317,13 +317,12 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
     * ordinary scan+agg plan. */
   private def tryComputeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (agg.groupByExpressions().nonEmpty) return None
     if (pushed.nonEmpty) return None // residuals would falsify the values
-    val files = buildKept
-    if (files.exists(f => snap.dels.contains(SnapshotLog.norm(f)))) return None
+    val allFiles = buildKept
+    if (allFiles.exists(f => snap.dels.contains(SnapshotLog.norm(f)))) return None
     val schema = snap.schema
 
     def colName(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -342,9 +341,9 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
       case (s: String, StringType) => Some(UTF8String.fromString(s))
       case _ => None
     }
-    def bound(name: String, wantMin: Boolean): Option[Any] = {
+    def bound(files: Seq[String], name: String, wantMin: Boolean): Option[Any] = {
       if (!schema.fieldNames.contains(name)) return None
-      if (files.isEmpty) return Some(null) // empty table: SQL min/max = null
+      if (files.isEmpty) return Some(null) // empty group: SQL min/max = null
       val perFile = files.map { f =>
         val st = snap.stats.getOrElse(SnapshotLog.norm(f), Map.empty)
         snap.physName(f, name).flatMap(st.get)
@@ -358,25 +357,76 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
         internal(best, schema(name).dataType)
       }
     }
-
-    val out = agg.aggregateExpressions().toSeq.map {
-      case _: CountStar =>
-        val counts = files.map(f => snap.rows.get(SnapshotLog.norm(f)))
-        if (counts.exists(_.isEmpty)) return None // pre-r13 manifest
-        Some((StructField("count(*)", LongType, nullable = false),
-          Long.box(counts.flatten.sum)))
-      case m: Min =>
-        colName(m.column()).flatMap(n =>
-          bound(n, wantMin = true).map(v =>
-            (StructField(s"min($n)", schema(n).dataType), v)))
-      case m: Max =>
-        colName(m.column()).flatMap(n =>
-          bound(n, wantMin = false).map(v =>
-            (StructField(s"max($n)", schema(n).dataType), v)))
-      case _ => None
+    // one output row's agg columns over a file subset; None = refuse
+    def aggRow(files: Seq[String]): Option[Seq[(StructField, Any)]] = {
+      val out = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          val counts = files.map(f => snap.rows.get(SnapshotLog.norm(f)))
+          if (counts.exists(_.isEmpty)) None // pre-r13 manifest
+          else Some((StructField("count(*)", LongType, nullable = false),
+            Long.box(counts.flatten.sum)))
+        case m: Min =>
+          colName(m.column()).flatMap(n =>
+            bound(files, n, wantMin = true).map(v =>
+              (StructField(s"min($n)", schema(n).dataType), v)))
+        case m: Max =>
+          colName(m.column()).flatMap(n =>
+            bound(files, n, wantMin = false).map(v =>
+              (StructField(s"max($n)", schema(n).dataType), v)))
+        case _ => None
+      }
+      if (out.exists(_.isEmpty)) None else Some(out.flatten)
     }
-    if (out.exists(_.isEmpty)) None
-    else Some((StructType(out.flatten.map(_._1)), out.flatten.map(_._2)))
+
+    val gb = agg.groupByExpressions().toSeq
+    if (gb.isEmpty) {
+      aggRow(allFiles).map(row =>
+        (StructType(row.map(_._1)), Seq(row.map(_._2))))
+    } else {
+      // GROUP BY over IDENTITY-partition source columns: identity layout
+      // means every row of a file carries exactly the file's tuple value,
+      // so the per-group aggregate is the fold over that group's files —
+      // still zero data IO (Iceberg's partition-metadata group-by)
+      val gbCols = gb.map(colName)
+      if (gbCols.exists(_.isEmpty)) return None
+      val names = gbCols.flatten
+      // per file: the group key (typed), or refuse if any gb column is
+      // not identity-partitioned (or tuple missing) for that file
+      val keyed = allFiles.map { f =>
+        val key = SnapshotLog.norm(f)
+        val fspec = snap.specOf(f)
+        val tuple = snap.parts.getOrElse(key, Seq.empty)
+        if (tuple.size != fspec.size) None
+        else {
+          val vals = names.map { n =>
+            val i = fspec.indexWhere { case (src, tr) =>
+              src == n && tr == "identity" }
+            if (i < 0) None
+            else Some(SnapshotPartition
+              .parsePartValue(tuple(i), schema(n).dataType, "identity")
+              .flatMap(v => internal(v, schema(n).dataType)))
+          }
+          if (vals.exists(_.isEmpty)) None
+          else Some(vals.flatten.map(_.orNull)) // None tuple value = NULL key
+        }
+      }
+      if (keyed.exists(_.isEmpty)) return None
+      val groups = allFiles.zip(keyed.map(_.get)).groupBy(_._2)
+      val keySchema = names.map(n => StructField(n, schema(n).dataType))
+      val rows = groups.toSeq.map { case (keyVals, fileKeys) =>
+        aggRow(fileKeys.map(_._1)) match {
+          case Some(aggVals) => Some((aggVals.map(_._1), keyVals ++ aggVals.map(_._2)))
+          case None => None
+        }
+      }
+      if (rows.isEmpty) {
+        // no files: zero groups is the correct GROUP BY result
+        aggRow(Seq.empty).map(r =>
+          (StructType(keySchema ++ r.map(_._1)), Seq.empty[Seq[Any]]))
+      } else if (rows.exists(_.isEmpty)) None
+      else Some((StructType(keySchema ++ rows.head.get._1),
+        rows.map(_.get._2)))
+    }
   }
 
   override def supportCompletePushDown(
@@ -408,8 +458,8 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
     SnapshotLogScanBuilder.prune(snap, snap.files, pushed)
 
   override def build(): Scan = aggResult match {
-    case Some((aggSchema, values)) =>
-      new SnapshotAggScan(snap, aggSchema, values)
+    case Some((aggSchema, rows)) =>
+      new SnapshotAggScan(snap, aggSchema, rows)
     case None =>
       new SnapshotLogScan(snap, required, pushed, buildKept, root, opts)
   }
@@ -418,29 +468,29 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
 /** The metadata-answered aggregate: one driver-computed row, zero data
   * files opened (surfaced in EXPLAIN as `files=0(metadata-agg)`). */
 private[graft] class SnapshotAggScan(snap: SnapshotLog.Snapshot,
-    aggSchema: StructType, values: Seq[Any]) extends Scan with Batch {
+    aggSchema: StructType, rows: Seq[Seq[Any]]) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"snapshotlog v${snap.version} files=0(metadata-agg) " +
       s"ReadSchema: ${aggSchema.catalogString}"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SnapshotAggPartition(values.toArray))
+    Array(SnapshotAggPartition(rows.map(_.toArray).toArray))
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotAggReaderFactory()
 }
 
-private[sources] case class SnapshotAggPartition(values: Array[Any])
+private[sources] case class SnapshotAggPartition(rows: Array[Array[Any]])
     extends InputPartition
 
 private[sources] case class SnapshotAggReaderFactory()
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = { val r = !emitted; emitted = true; r }
-      override def get(): InternalRow = new GenericInternalRow(
-        partition.asInstanceOf[SnapshotAggPartition].values)
+      private val rows = partition.asInstanceOf[SnapshotAggPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i))
       override def close(): Unit = ()
     }
 }

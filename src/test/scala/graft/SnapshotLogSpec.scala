@@ -754,6 +754,23 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(aggScanOf(filtered).isEmpty)
     assert(filtered.head().getLong(0) === 500L)
 
+    // GROUP BY an identity-partition column: per-group rollups still
+    // answered from manifest metadata (tuple + per-file rows/stats)
+    val proot = freshRoot("agg_push_part")
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 400).selectExpr("id % 4 AS g", "id AS v"),
+      proot, Seq("g" -> "identity"), overwrite = true, commitTsMs = 100L)
+    val pt = spark.read.format("snapshotlog").load(proot)
+    val gq = pt.groupBy(col("g")).agg(count(lit(1)).as("n"), max(col("v")).as("mx"))
+    assert(aggScanOf(gq).nonEmpty, "expected metadata group-by:\n" +
+      gq.queryExecution.optimizedPlan.toString)
+    val got = gq.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got === (0L until 4L).map(g => (g, 100L, 396L + g)).toArray)
+    // group-by a NON-partition column must fall back and stay correct
+    val ng = pt.groupBy(col("v") % 2).agg(count(lit(1)))
+    assert(aggScanOf(ng).isEmpty)
+    assert(ng.collect().map(_.getLong(1)).sorted === Array(200L, 200L))
+
     // MoR deletes poison metadata counts — must fall back, stay correct
     SnapshotLog.deleteWhereMoR(spark, root, col("k") % 100 === 0, 300L)
     val afterDel = spark.read.format("snapshotlog").load(root).agg(count(lit(1)))
