@@ -703,6 +703,29 @@ object DdlQueries extends QueryModule {
       q.withColumn("metadata_answered", lit(metaAnswered))
     }),
 
+    // Metadata GROUP-BY (partition rollup): per-nation counts + balance
+    // bounds over an identity-partitioned snapshot table, answered
+    // entirely from manifest tuples + per-file rows/stats — the "show me
+    // per-partition volumes of my 100 TB table" query with zero data IO.
+    "ddl_agg_groupby" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "agg_groupby") { root =>
+        SnapshotLog.commitPartitioned(
+          customer(s, d).select(col("c_nationkey"), col("c_acctbal")),
+          root, Seq("c_nationkey" -> "identity"),
+          overwrite = true, commitTsMs = 1000L)
+      }
+      val t = snapRead(s, root)
+      val q = t.groupBy(col("c_nationkey")).agg(
+        count(lit(1)).as("n_rows"),
+        round(max(col("c_acctbal")), 2).as("max_bal"))
+      val metaAnswered = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.scan.isInstanceOf[graft.sources.SnapshotAggScan] => r.scan
+      }.nonEmpty
+      q.withColumn("metadata_answered", lit(metaAnswered))
+    }),
+
     // WRITE-AUDIT-PUBLISH (Iceberg branches): stage a batch on an audit
     // branch, verify MAIN never sees it pre-publish, then fast_forward —
     // the publish lands as an ordinary APPEND (the branch descends from
@@ -988,6 +1011,12 @@ object DdlQueries extends QueryModule {
         |  round(max(c_acctbal), 2) AS max_bal,
         |  TRUE AS metadata_answered
         |FROM customer""".stripMargin,
+
+    "ddl_agg_groupby" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(max(c_acctbal), 2) AS max_bal,
+        |  TRUE AS metadata_answered
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
 
     "ddl_wap_branch" ->
       """WITH ev AS (
