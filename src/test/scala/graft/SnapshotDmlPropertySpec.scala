@@ -50,9 +50,10 @@ class SnapshotDmlPropertySpec extends AnyFunSuite {
       appendBatch(30) // seed content
 
       val opNames = scala.collection.mutable.ArrayBuffer[String]()
+      var branchN = 0
       for (step <- 0 until 14) {
         val existing = model.keys.toSeq.sorted
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 => // append new keys
             opNames += "append"
             appendBatch(5 + rnd.nextInt(10))
@@ -95,6 +96,24 @@ class SnapshotDmlPropertySpec extends AnyFunSuite {
             opNames += "rewrite"
             SnapshotLog.rewriteDataFiles(spark, root, tick(),
               targetBytes = 1L << 30)
+          case 6 => // full write-audit-publish cycle: stage on a branch,
+            // main must be UNCHANGED mid-cycle, publish lands the rows
+            opNames += "wap"
+            branchN += 1
+            val br = s"audit$branchN"
+            val headV = SnapshotLog.snapshots(spark, root)
+              .filter(_.branch.isEmpty).last.version
+            SnapshotLog.createBranch(spark, root, br, headV)
+            val staged = (0 until 4).map { _ =>
+              nextKey += 1; (nextKey, rnd.nextInt(1000).toLong)
+            }
+            SnapshotLog.commitToBranch(spark, root, br,
+              staged.toDF("k", "v"), tick())
+            assert(stateOf(root) === model,
+              s"main leaked branch rows mid-WAP (seed=$seed step=$step)")
+            SnapshotLog.fastForward(spark, root, br, tick())
+            SnapshotLog.dropBranch(spark, root, br)
+            model ++= staged
         }
         val ctx = s"seed=$seed step=$step ops=${opNames.mkString(",")}"
         assert(stateOf(root) === model, s"DSv2 read diverged ($ctx)")
