@@ -371,7 +371,13 @@ object SnapshotLog {
                   acc(name) = merged
                 case None => bad += name; acc -= name
               }
-            } // all-null block: contributes nothing, other blocks still bound
+            } else if (!st.isNumNullsSet || st.getNumNulls < b.getRowCount) {
+              // no min/max AND not provably all-null: the writer dropped
+              // the stats (e.g. >4 KiB binary bounds are omitted from the
+              // footer) — the column has values this footer cannot bound
+              bad += name; acc -= name
+            } // else: genuinely all-null block — contributes nothing,
+              // other blocks still bound
           }
         }
         norm(f) -> acc.toMap
@@ -483,7 +489,7 @@ object SnapshotLog {
           s"SnapshotLog: column $from is a key of equality delete file $df" +
             " — run rewriteDataFiles to fold the deletes before renaming")
     }
-    val next = cur.version + 1
+    val next = nextVersion(spark, root)
     commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
       commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
       Map.empty,
@@ -511,7 +517,7 @@ object SnapshotLog {
     require(!cur.spec.exists(_._1 == name),
       s"SnapshotLog: $name is a partition source column — drop the spec first")
     val newSchema = StructType(cur.schema.fields.filterNot(_.name == name))
-    val next = cur.version + 1
+    val next = nextVersion(spark, root)
     commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
       commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
       Map.empty, cur.spec, cur.parts, cur.cols, cur.dels,
@@ -736,7 +742,7 @@ object SnapshotLog {
         s"SnapshotLog: alterSchema must keep column ${f.name}: ${f.dataType} " +
           "(additive evolution only — rename/drop/retype unsupported)")
     }
-    val next = cur.version + 1
+    val next = nextVersion(spark, root)
     val (fids, colIds, maxId) =
       fidCarry(Some(cur), newSchema, cur.files, Map.empty)
     commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
@@ -1122,6 +1128,14 @@ object SnapshotLog {
     }
   }
 
+  /** Next version number for a NEW commit: one past the max over ALL
+    * commits including branch commits — version numbers are a single
+    * global sequence shared by every line of history, so mainline DML
+    * concurrent with an unpublished write-audit-publish branch allocates
+    * past the branch head instead of colliding with its version file. */
+  private[sources] def nextVersion(spark: SparkSession, root: String): Int =
+    snapshots(spark, root).lastOption.map(_.version + 1).getOrElse(1)
+
   /** Read a snapshot: the latest, a pinned version, or AS-OF a timestamp
     * (largest commitTsMs <= asOfTsMs — Iceberg's timestamp-travel rule).
     * mergeSchema unions the column sets across data files, so versions
@@ -1139,12 +1153,18 @@ object SnapshotLog {
         snap.schema)
     else if (snap.renameDivergent)
       readConformed(spark, snap, snap.files)
-    else if (snap.dels.isEmpty)
-      spark.read.option("mergeSchema", "true").parquet(snap.files: _*)
-    else
-      applyDels(spark,
-        spark.read.option("mergeSchema", "true").parquet(snap.files: _*),
-        snap.dels)
+    else {
+      // Read under the snapshot's CURRENT schema, not mergeSchema over the
+      // raw files: after a metadata-only dropColumn the physical column
+      // still lives in the data files, and a mergeSchema union would
+      // resurface it (re-exposing dropped — possibly governed — data).
+      // Explicit schema selects by name: dropped physicals are ignored,
+      // columns absent from pre-evolution files null-fill, and the footer-
+      // sampling pass mergeSchema needs is skipped.
+      val raw = spark.read.schema(SnapshotLogSource.nullable(snap.schema))
+        .parquet(snap.files: _*)
+      if (snap.dels.isEmpty) raw else applyDels(spark, raw, snap.dels)
+    }
   }
 
   /** Bulk-read `files` of snapshot `cur` conformed to the CURRENT schema
@@ -1279,8 +1299,9 @@ object SnapshotLog {
     stageDeleteFiles(spark, root, cur, matched) match {
       case None => cur.version
       case Some((delDir, _, merged)) =>
+        val nextV = nextVersion(spark, root)
         try {
-          commitManifest(fs, root, cur.version + 1, "delete", commitTsMs,
+          commitManifest(fs, root, nextV, "delete", commitTsMs,
             cur.schemaJson, cur.files, cur.stats, cur.sizes,
             Map("delete.mode" -> "merge-on-read"),
             cur.spec, cur.parts, cur.cols, merged,
@@ -1289,7 +1310,7 @@ object SnapshotLog {
         } catch {
           case e: IllegalStateException => fs.delete(delDir, true); throw e
         }
-        cur.version + 1
+        nextV
     }
   }
 
@@ -1366,8 +1387,9 @@ object SnapshotLog {
     stageEqualityDelete(spark, root, cur, keys) match {
       case None => cur.version
       case Some((delDir, merged)) =>
+        val nextV = nextVersion(spark, root)
         try {
-          commitManifest(fs, root, cur.version + 1, "delete", commitTsMs,
+          commitManifest(fs, root, nextV, "delete", commitTsMs,
             cur.schemaJson, cur.files, cur.stats, cur.sizes,
             Map("delete.mode" -> "merge-on-read-equality"),
             cur.spec, cur.parts, cur.cols, merged,
@@ -1376,7 +1398,7 @@ object SnapshotLog {
         } catch {
           case e: IllegalStateException => fs.delete(delDir, true); throw e
         }
-        cur.version + 1
+        nextV
     }
   }
 
@@ -1393,10 +1415,16 @@ object SnapshotLog {
                         props: Map[String, String] = Map.empty): Int = {
     import org.apache.spark.sql.functions.col
     val prior = snapshots(spark, root)
-    if (prior.isEmpty || prior.last.files.isEmpty)
-      return commit(batch, root, overwrite = prior.isEmpty,
+    // Build on the MAINLINE head, like every other DML entry point via
+    // pick(): if the latest snapshot is a branch commit (e.g. mid
+    // write-audit-publish), upserting on top of it would silently publish
+    // unaudited branch data into main.
+    val mainline = prior.filter(_.branch.isEmpty)
+    if (mainline.isEmpty || mainline.last.files.isEmpty)
+      return commit(batch, root, overwrite = mainline.isEmpty,
         commitTsMs, math.max(1, numFiles), props)
-    val cur = prior.last
+    val cur = mainline.last
+    val next = prior.last.version + 1 // global sequence: branches included
     require(cur.commitTsMs < commitTsMs,
       s"commitTsMs $commitTsMs must advance past the last snapshot")
     val schema = cur.schema
@@ -1427,7 +1455,7 @@ object SnapshotLog {
     val allFiles = cur.files ++ newFiles
     val (fids, colIds, maxId) = fidCarry(Some(cur), schema, allFiles, newCols)
     try {
-      commitManifest(fs, root, cur.version + 1, "upsert", commitTsMs,
+      commitManifest(fs, root, next, "upsert", commitTsMs,
         cur.schemaJson, allFiles,
         cur.stats ++ newStats, cur.sizes ++ newSizes,
         props ++ Map("upsert.mode" -> "merge-on-read-equality"),
@@ -1439,7 +1467,7 @@ object SnapshotLog {
         staged.foreach { case (d, _) => fs.delete(d, true) }
         fs.delete(dataDir, true); throw e
     }
-    cur.version + 1
+    next
   }
 
   /** Canonical form for cross-engine stat comparison (mirrors the
@@ -1509,8 +1537,9 @@ object SnapshotLog {
         val allFiles = cur.files ++ newFiles
         val (fids, colIds, maxId) =
           fidCarry(Some(cur), cur.schema, allFiles, newCols)
+        val nextV = nextVersion(spark, root)
         try {
-          commitManifest(fs, root, cur.version + 1, "update", commitTsMs,
+          commitManifest(fs, root, nextV, "update", commitTsMs,
             cur.schemaJson, allFiles,
             cur.stats ++ newStats, cur.sizes ++ newSizes,
             Map("update.mode" -> "merge-on-read"),
@@ -1521,7 +1550,7 @@ object SnapshotLog {
           case e: IllegalStateException =>
             fs.delete(delDir, true); fs.delete(dataDir, true); throw e
         }
-        cur.version + 1
+        nextV
     }
   }
 
@@ -1670,7 +1699,7 @@ object SnapshotLog {
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
 
     val keptSet = kept.toSet
-    val next = cur.version + 1
+    val next = nextVersion(spark, root)
     try {
       val (fids, colIds, maxId) =
         fidCarry(Some(cur), schema, kept ++ newFiles, newCols)
@@ -1736,8 +1765,9 @@ object SnapshotLog {
       val hadPos = ds.exists(posSet.contains)
       df -> (eq ++ (if (hadPos) merged else Seq.empty))
     }.filter(_._2.nonEmpty)
+    val nextV = nextVersion(spark, root)
     try {
-      commitManifest(fs, root, cur.version + 1, "rewrite", commitTsMs,
+      commitManifest(fs, root, nextV, "rewrite", commitTsMs,
         cur.schemaJson, cur.files, cur.stats, cur.sizes,
         Map("rewrite" -> "position-delete-files"),
         cur.spec, cur.parts, cur.cols, newDels,
@@ -1748,7 +1778,7 @@ object SnapshotLog {
     }
     // the replaced delete files stay on disk for time travel; expiry
     // reclaims them once no surviving snapshot references them
-    cur.version + 1
+    nextV
   }
 
   /** Per-file row counts from parquet footers (metadata IO only). */
@@ -1790,7 +1820,7 @@ object SnapshotLog {
       .map(s => norm(s.getPath.toString) -> s.getLen).toMap
     val (newStats, newCols, newRows) = footerMeta(conf, newFiles, cur.schema)
     val untouchedSet = untouched.map(norm).toSet
-    val next = cur.version + 1
+    val next = nextVersion(spark, root)
     try {
       val (fids, colIds, maxId) =
         fidCarry(Some(cur), cur.schema, untouched ++ newFiles, newCols)

@@ -351,9 +351,29 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
       if (perFile.exists(_.isEmpty)) None // a file without stats: refuse
       else {
         val vals = perFile.map(o => if (wantMin) o.get._1 else o.get._2)
+        // Parquet writers may TRUNCATE long binary min/max footer stats
+        // (parquet.statistics.truncate.length): a truncated bound is a
+        // valid pruning bound but NOT an actual data value, so returning
+        // it as the exact MIN/MAX would be wrong. Refuse string bounds
+        // long enough to be truncation-suspect (truncation defaults start
+        // at 64 bytes in the column-index path).
+        if (vals.exists {
+          case s: String =>
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length >= 64
+          case _ => false
+        }) return None
+        // Spark's min/max over strings orders by UTF-8 BYTES (UTF8String
+        // binary), not java's UTF-16 code units — the two diverge on
+        // supplementary characters. Pruning only needed conservative
+        // ordering; an EXACT pushed answer must match the scan's order.
+        def ord(a: Any, b: Any): Int = (a, b) match {
+          case (x: String, y: String) =>
+            UTF8String.fromString(x).binaryCompare(UTF8String.fromString(y))
+          case _ => SnapshotLog.cmp(a, b)
+        }
         val best = vals.reduce((a, b) =>
-          if (wantMin) (if (SnapshotLog.cmp(a, b) <= 0) a else b)
-          else (if (SnapshotLog.cmp(a, b) >= 0) a else b))
+          if (wantMin) (if (ord(a, b) <= 0) a else b)
+          else (if (ord(a, b) >= 0) a else b))
         internal(best, schema(name).dataType)
       }
     }
@@ -390,24 +410,40 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
       val gbCols = gb.map(colName)
       if (gbCols.exists(_.isEmpty)) return None
       val names = gbCols.flatten
-      // per file: the group key (typed), or refuse if any gb column is
-      // not identity-partitioned (or tuple missing) for that file
+      // Only int/long/string identity keys: for those types the manifest
+      // string is provably round-trippable (raw.toLong / unescape). Other
+      // identity types (date/timestamp/double/bool) are NOT Long-parseable,
+      // and conflating "unrepresentable" with NULL would silently collapse
+      // every group into one NULL-keyed row — refuse pushdown instead and
+      // let Spark run the real scan+agg.
+      if (names.exists { n =>
+        schema.fields.find(_.name == n) match {
+          case Some(f) => f.dataType != IntegerType &&
+            f.dataType != LongType && f.dataType != StringType
+          case None => true // metadata/virtual column: refuse
+        }
+      }) return None
+      // per file: the group key (typed; Some(null) = genuine NULL key), or
+      // refuse (None) if any gb column is not identity-partitioned, the
+      // tuple is missing, or a value cannot be represented exactly
       val keyed = allFiles.map { f =>
         val key = SnapshotLog.norm(f)
         val fspec = snap.specOf(f)
         val tuple = snap.parts.getOrElse(key, Seq.empty)
         if (tuple.size != fspec.size) None
         else {
-          val vals = names.map { n =>
+          val vals: Seq[Option[Any]] = names.map { n =>
             val i = fspec.indexWhere { case (src, tr) =>
               src == n && tr == "identity" }
             if (i < 0) None
-            else Some(SnapshotPartition
+            else if (tuple(i) == SnapshotPartition.NullMarker)
+              Some(null) // only the Hive null marker is a NULL group key
+            else SnapshotPartition
               .parsePartValue(tuple(i), schema(n).dataType, "identity")
-              .flatMap(v => internal(v, schema(n).dataType)))
+              .flatMap(v => internal(v, schema(n).dataType)) // None = refuse
           }
           if (vals.exists(_.isEmpty)) None
-          else Some(vals.flatten.map(_.orNull)) // None tuple value = NULL key
+          else Some(vals.map(_.get))
         }
       }
       if (keyed.exists(_.isEmpty)) return None

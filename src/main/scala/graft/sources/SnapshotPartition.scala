@@ -64,8 +64,14 @@ object SnapshotPartition {
       // exact for pre-1970 instants too.)
       case "day" => dt match {
         case TimestampType =>
-          val us = unix_micros(col(source))
-          ((us - pmod(us, lit(86400000000L))) / lit(86400000000L)).cast(LongType)
+          // floorDiv(us, 86.4e9) = floorDiv(floorDiv(us, 1e6), 86400), and
+          // unix_seconds does the inner floorDiv in exact LONG arithmetic.
+          // The remaining Column `/` is double division, exact only below
+          // 2^53 — in SECONDS that bound is ~year 285M (vs ~year 2255 if
+          // dividing microseconds), so the writer-side value provably
+          // agrees with transformLit's Math.floorDiv pruning value.
+          val s = unix_seconds(col(source))
+          ((s - pmod(s, lit(86400L))) / lit(86400L)).cast(LongType)
         case DateType => datediff(col(source), lit("1970-01-01").cast(DateType))
         // NTZ has no instant semantics: to_date() truncates the wall-clock
         // value with no TZ involved — identical to the UTC epoch-day math
