@@ -52,6 +52,12 @@ object DmlScale {
     // fixed-size targets, all inside replica 0
     val (lo, hi) = (1000L, 2000L)
     def statements(root: String): Seq[(String, () => Unit)] = Seq(
+      // delete-free control, measured FIRST (the trailing scan_agg runs
+      // after the MoR mutations): scan_agg ≈ scan_agg_clean is the
+      // delete-aware vectorized read evidence — before r14 any MoR
+      // delete demoted every file of the scan to the row reader
+      "scan_agg_clean" -> (() =>
+        spark.sql(s"SELECT sum(v), count(*) FROM snap.$ns.t").collect(): Unit),
       "update_slice" -> (() =>
         spark.sql(s"UPDATE snap.$ns.t SET v = v * 2 WHERE k BETWEEN $lo AND $hi"): Unit),
       "merge_trickle" -> { () =>

@@ -705,9 +705,21 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
     required.fields.nonEmpty &&
       !required.fieldNames.contains("_file") &&
       !required.fieldNames.contains("_pos") &&
-      // merge-on-read: a file with positional deletes must skip ordinals —
-      // only the row reader walks row-by-row
-      files.forall(f => !snap.dels.contains(SnapshotLog.norm(f))) &&
+      // merge-on-read deletes STAY columnar (the vector reader applies
+      // positional ordinal-skips and equality key-probes per batch) —
+      // refuse only when an equality delete's key type cannot be probed
+      // bit-identically from vectors (the row reader then handles it)
+      files.forall { f =>
+        snap.dels.get(SnapshotLog.norm(f)).forall { dfs =>
+          val conf = SparkSession.active.sessionState.newHadoopConf()
+          dfs.forall { df =>
+            val ks = SnapshotDeletes.schemaOf(df, conf)
+            SnapshotDeletes.isPositional(ks) || ks.forall(k =>
+              snap.schema.fields.find(_.name == k)
+                .exists(fd => SnapshotDeletes.vectorCanonical(fd.dataType)))
+          }
+        }
+      } &&
       // nested projections go through the row-based Group reader; the
       // flat primitives stay on the vectorized ColumnarBatch path
       required.fields.forall(f => f.dataType match {
@@ -753,7 +765,7 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
     partitionsFor(kept)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotLogReaderFactory(required.json)
+    SnapshotLogReaderFactory(required.json, Some(snap.schema.json))
 
   /** Post-pruning size from manifest metadata — a pruned probe of a huge
     * table reads as broadcast-small BEFORE any file is opened. */
@@ -884,6 +896,7 @@ private[sources] object SnapshotLogReaderFactory {
 }
 
 private[sources] case class SnapshotLogReaderFactory(requiredJson: String,
+    tableJson: Option[String] = None,
     conf: org.apache.spark.util.SerializableConfiguration =
       SnapshotLogReaderFactory.sessionConf())
     extends PartitionReaderFactory {
@@ -898,33 +911,335 @@ private[sources] case class SnapshotLogReaderFactory(requiredJson: String,
     partition.asInstanceOf[SnapshotFilePartition].columnar
 
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new SnapshotVectorReader(
-      partition.asInstanceOf[SnapshotFilePartition].file,
-      DataType.fromJson(requiredJson).asInstanceOf[StructType])
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[SnapshotFilePartition]
+    new SnapshotVectorReader(p.file,
+      DataType.fromJson(requiredJson).asInstanceOf[StructType],
+      DataType.fromJson(tableJson.getOrElse(requiredJson))
+        .asInstanceOf[StructType],
+      p.deletes, Some(conf.value))
+  }
+}
+
+/** Shared merge-on-read delete-file mechanics for BOTH reader paths.
+  * A delete parquet's schema decides its flavor: exactly
+  * (file_path, pos) = POSITIONAL, anything else = EQUALITY keys (the
+  * key list IS the schema — Iceberg's two delete-file kinds). Delete
+  * files are immutable once committed, so their schemas memoize
+  * JVM-wide: the planner's columnar-eligibility check and every task's
+  * flavor dispatch cost one footer open per delete file per JVM. */
+private[sources] object SnapshotDeletes {
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  def schemaOf(df: String, conf: Configuration): Seq[String] =
+    schemaCache.computeIfAbsent(SnapshotLog.norm(df), _ => {
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(df), conf))
+      try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(_.getName).toSeq
+      finally r.close()
+    })
+
+  def isPositional(schema: Seq[String]): Boolean =
+    schema == Seq("file_path", "pos")
+
+  /** Canonical value space shared by data rows and delete keys (both
+    * sides conform at write time): integrals → Long, floats → Double,
+    * UTF8 binary → String, boolean → Boolean. */
+  def canonGroup(g: Group, idx: Int, t: org.apache.parquet.schema.Type): Any = {
+    import PrimitiveType.PrimitiveTypeName._
+    if (g.getFieldRepetitionCount(idx) == 0) null
+    else t.asPrimitiveType().getPrimitiveTypeName match {
+      case INT32 => Long.box(g.getInteger(idx, 0).toLong)
+      case INT64 => Long.box(g.getLong(idx, 0))
+      case FLOAT => Double.box(g.getFloat(idx, 0).toDouble)
+      case DOUBLE => Double.box(g.getDouble(idx, 0))
+      case BOOLEAN => Boolean.box(g.getBoolean(idx, 0))
+      case _ => g.getBinary(idx, 0).toStringUsingUTF8
+    }
+  }
+
+  /** The same canonical space read from a ColumnarBatch vector typed by
+    * the table's SPARK type (delete keys were cast to the table column
+    * types at stage time, so both sides land on identical scalars). */
+  def canonVector(v: org.apache.spark.sql.vectorized.ColumnVector,
+                  dt: DataType, row: Int): Any =
+    if (v.isNullAt(row)) null
+    else dt match {
+      case LongType | TimestampType | TimestampNTZType => Long.box(v.getLong(row))
+      case IntegerType | DateType => Long.box(v.getInt(row).toLong)
+      case ShortType => Long.box(v.getShort(row).toLong)
+      case ByteType => Long.box(v.getByte(row).toLong)
+      case DoubleType => Double.box(v.getDouble(row))
+      case FloatType => Double.box(v.getFloat(row).toDouble)
+      case BooleanType => Boolean.box(v.getBoolean(row))
+      case StringType => v.getUTF8String(row).toString
+      case BinaryType => UTF8String.fromBytes(v.getBinary(row)).toString
+      case d: DecimalType if d.precision <= 18 =>
+        // INT32/INT64-backed on disk: canonGroup sees the unscaled long
+        Long.box(v.getDecimal(row, d.precision, d.scale).toUnscaledLong)
+      case other => throw new IllegalStateException(
+        s"snapshotlog: equality-delete key type $other not vector-canonical")
+    }
+
+  /** Can the VECTOR path evaluate an equality-delete key of this Spark
+    * type bit-identically to the row reader? (The planner refuses
+    * columnar mode otherwise.) */
+  def vectorCanonical(dt: DataType): Boolean = dt match {
+    case LongType | TimestampType | TimestampNTZType | IntegerType |
+         DateType | ShortType | ByteType | DoubleType | FloatType |
+         BooleanType | StringType | BinaryType => true
+    case d: DecimalType => d.precision <= 18
+    case _ => false
+  }
+
+  /** Sorted ordinals `dataFile` must not serve, folded over the given
+    * positional delete parquets. */
+  def loadPositions(posFiles: Seq[String], dataFile: String,
+                    conf: Configuration): Array[Long] = {
+    if (posFiles.isEmpty) return Array.emptyLongArray
+    val me = SnapshotLog.norm(dataFile)
+    val acc = scala.collection.mutable.ArrayBuffer[Long]()
+    posFiles.foreach { df =>
+      val r = ParquetReader.builder(new GroupReadSupport(), new Path(df))
+        .withConf(conf).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          if (g.getString(0, 0) == me) acc += g.getLong(1, 0)
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    acc.toArray.sorted
+  }
+
+  /** All key tuples of one equality-delete parquet, in canonical form. */
+  def loadEqKeys(df: String, conf: Configuration): java.util.HashSet[Vector[Any]] = {
+    val set = new java.util.HashSet[Vector[Any]]()
+    val r = ParquetReader.builder(new GroupReadSupport(), new Path(df))
+      .withConf(conf).build()
+    try {
+      var g = r.read()
+      while (g != null) {
+        val t = g.getType
+        set.add((0 until t.getFieldCount)
+          .map(i => canonGroup(g, i, t.getType(i))).toVector)
+        g = r.read()
+      }
+    } finally r.close()
+    set
+  }
 }
 
 /** Vectorized read of one data file through Spark's own
   * `VectorizedParquetRecordReader` — the same decode path `spark.read
   * .parquet` uses (ColumnarBatch output, whole-stage codegen consumes
   * the vectors directly). Planned only for files the manifest proves
-  * hold every required column. */
-private[sources] class SnapshotVectorReader(file: String, required: StructType)
+  * hold every required column.
+  *
+  * DELETE-AWARE (Iceberg's vectorized-read-with-deletion-vectors
+  * analog): a file carrying merge-on-read deletes stays on this path.
+  * Positional deletes become a sorted ordinal skip applied per batch —
+  * batches containing no deleted ordinal pass through ZERO-COPY, and a
+  * batch that does pays one surviving-rows copy into fresh vectors.
+  * Equality deletes probe each row's canonical key tuple against the
+  * delete sets during that same copy (key columns are read as hidden
+  * extras when the projection pruned them, then dropped from the output
+  * batch). A trickle of MoR deletes therefore no longer demotes the
+  * whole scan to the row reader — the permanent decode tax the r13
+  * review flagged. */
+private[sources] class SnapshotVectorReader(file: String, required: StructType,
+    tableSchema: StructType,
+    deleteFiles: Seq[String] = Nil,
+    hadoopConf: Option[Configuration] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   import scala.jdk.CollectionConverters._
+
+  private val conf = hadoopConf.getOrElse(new Configuration())
+  private val (posDeleteFiles, eqDeleteFiles) = deleteFiles.partition(df =>
+    SnapshotDeletes.isPositional(SnapshotDeletes.schemaOf(df, conf)))
+
+  // equality deletes applicable to THIS file: every key column must
+  // physically exist here (a file missing a key column cannot match
+  // non-null keys — same rule as the row reader)
+  private val fileFields: Set[String] =
+    if (eqDeleteFiles.isEmpty) Set.empty
+    else {
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(file), conf))
+      try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(_.getName).toSet
+      finally r.close()
+    }
+  private val eqApplicable: Seq[(String, Seq[String])] = eqDeleteFiles
+    .map(df => df -> SnapshotDeletes.schemaOf(df, conf))
+    .filter(_._2.forall(fileFields.contains))
+
+  // the parquet projection: required columns first, then any eq-key
+  // columns the query pruned away (read for the probe, dropped from the
+  // output batch)
+  private val extraKeys: Seq[String] = eqApplicable.flatMap(_._2).distinct
+    .filterNot(required.fieldNames.contains)
+  private val readCols: Seq[String] = required.fieldNames.toSeq ++ extraKeys
+  private def sparkTypeOf(n: String): DataType =
+    required.fields.find(_.name == n).orElse(tableSchema.fields.find(_.name == n))
+      .getOrElse(throw new IllegalStateException(
+        s"snapshotlog: eq-delete key $n not in table schema")).dataType
+
+  private val eqSets: Seq[(Array[Int], Array[DataType], java.util.HashSet[Vector[Any]])] =
+    eqApplicable.map { case (df, keyCols) =>
+      (keyCols.map(readCols.indexOf).toArray,
+        keyCols.map(sparkTypeOf).toArray,
+        SnapshotDeletes.loadEqKeys(df, conf))
+    }
+
+  private val deletedPos: Array[Long] =
+    SnapshotDeletes.loadPositions(posDeleteFiles, file, conf)
+  private var delPtr = 0
+  private var rowsSeen = 0L
 
   private val reader =
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
   locally {
-    reader.initialize(file, required.fieldNames.toList.asJava)
+    reader.initialize(file, readCols.toList.asJava)
     reader.enableReturningBatches()
   }
 
-  override def next(): Boolean = reader.nextKeyValue()
+  private var out: ColumnarBatch = _
 
-  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-    reader.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+  private def eqMatched(src: ColumnarBatch, row: Int): Boolean =
+    eqSets.exists { case (idxs, dts, set) =>
+      var i = 0
+      var hasNull = false
+      val tuple = new Array[Any](idxs.length)
+      while (i < idxs.length) {
+        val v = SnapshotDeletes.canonVector(src.column(idxs(i)), dts(i), row)
+        if (v == null) hasNull = true
+        tuple(i) = v
+        i += 1
+      }
+      !hasNull && set.contains(tuple.toVector)
+    }
+
+  /** Copy the surviving rows of `src` into fresh on-heap vectors over the
+    * REQUIRED schema (hidden eq-key extras dropped). Type dispatch is per
+    * column, not per cell. */
+  private def filterBatch(src: ColumnarBatch, keep: Array[Int]): ColumnarBatch = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    val vecs = OnHeapColumnVector.allocateColumns(math.max(keep.length, 1), required)
+    var c = 0
+    while (c < required.length) {
+      val sv = src.column(c)
+      val dv = vecs(c)
+      val n = keep.length
+      required.fields(c).dataType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          var i = 0; while (i < n) {
+            val r = keep(i)
+            if (sv.isNullAt(r)) dv.putNull(i) else dv.putLong(i, sv.getLong(r))
+            i += 1
+          }
+        case IntegerType | DateType =>
+          var i = 0; while (i < n) {
+            val r = keep(i)
+            if (sv.isNullAt(r)) dv.putNull(i) else dv.putInt(i, sv.getInt(r))
+            i += 1
+          }
+        case DoubleType =>
+          var i = 0; while (i < n) {
+            val r = keep(i)
+            if (sv.isNullAt(r)) dv.putNull(i) else dv.putDouble(i, sv.getDouble(r))
+            i += 1
+          }
+        case FloatType =>
+          var i = 0; while (i < n) {
+            val r = keep(i)
+            if (sv.isNullAt(r)) dv.putNull(i) else dv.putFloat(i, sv.getFloat(r))
+            i += 1
+          }
+        case BooleanType =>
+          var i = 0; while (i < n) {
+            val r = keep(i)
+            if (sv.isNullAt(r)) dv.putNull(i) else dv.putBoolean(i, sv.getBoolean(r))
+            i += 1
+          }
+        case ShortType =>
+          var i = 0; while (i < n) {
+            val r = keep(i)
+            if (sv.isNullAt(r)) dv.putNull(i) else dv.putShort(i, sv.getShort(r))
+            i += 1
+          }
+        case ByteType =>
+          var i = 0; while (i < n) {
+            val r = keep(i)
+            if (sv.isNullAt(r)) dv.putNull(i) else dv.putByte(i, sv.getByte(r))
+            i += 1
+          }
+        case StringType | BinaryType =>
+          var i = 0; while (i < n) {
+            val r = keep(i)
+            if (sv.isNullAt(r)) dv.putNull(i)
+            else { val b = sv.getBinary(r); dv.putByteArray(i, b, 0, b.length): Unit }
+            i += 1
+          }
+        case d: DecimalType =>
+          var i = 0; while (i < n) {
+            val r = keep(i)
+            if (sv.isNullAt(r)) dv.putNull(i)
+            else dv.putDecimal(i, sv.getDecimal(r, d.precision, d.scale), d.precision)
+            i += 1
+          }
+        case other => throw new IllegalStateException(
+          s"snapshotlog: vectorized copy unsupported for $other")
+      }
+      c += 1
+    }
+    new ColumnarBatch(vecs.asInstanceOf[Array[ColumnVector]], keep.length)
+  }
+
+  override def next(): Boolean = {
+    while (reader.nextKeyValue()) {
+      val src = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      val n = src.numRows()
+      val base = rowsSeen
+      rowsSeen += n
+      // positional deletes intersecting this batch's ordinal range
+      while (delPtr < deletedPos.length && deletedPos(delPtr) < base) delPtr += 1
+      val hasPosDel =
+        delPtr < deletedPos.length && deletedPos(delPtr) < base + n
+      if (!hasPosDel && eqSets.isEmpty) {
+        // fast path: nothing to filter — pass the batch through zero-copy
+        // (extraKeys is empty when eqSets is, so the shape is `required`)
+        out = src
+        return true
+      }
+      var p = delPtr
+      val keep = new Array[Int](n)
+      var k = 0
+      var r = 0
+      while (r < n) {
+        val ord = base + r
+        while (p < deletedPos.length && deletedPos(p) < ord) p += 1
+        val posDeleted = p < deletedPos.length && deletedPos(p) == ord
+        if (!posDeleted && !(eqSets.nonEmpty && eqMatched(src, r))) {
+          keep(k) = r; k += 1
+        }
+        r += 1
+      }
+      if (k > 0) {
+        out = filterBatch(src, java.util.Arrays.copyOf(keep, k))
+        return true
+      }
+      // batch fully deleted: fall through to the next one
+    }
+    false
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = out
 
   override def close(): Unit = reader.close()
 }
@@ -959,17 +1274,10 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
     case None => Some(n)
   }
 
-  /** A delete parquet's schema decides its flavor: exactly
-    * (file_path, pos) = POSITIONAL, anything else = EQUALITY keys (the
-    * key list IS the schema — Iceberg's two delete-file kinds). */
-  private def deleteSchemaOf(df: String): Seq[String] = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(df),
-      hadoopConf.getOrElse(new Configuration())))
-    try r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
-    finally r.close()
-  }
+  private def deleteSchemaOf(df: String): Seq[String] =
+    SnapshotDeletes.schemaOf(df, hadoopConf.getOrElse(new Configuration()))
   private val (posDeleteFiles, eqDeleteFiles) = deleteFiles.partition(df =>
-    deleteSchemaOf(df) == Seq("file_path", "pos"))
+    SnapshotDeletes.isPositional(deleteSchemaOf(df)))
 
   private var projIdx: Array[Int] = _
   private var reader: ParquetReader[Group] = _
@@ -1028,34 +1336,11 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
   /** Canonical value space shared by data rows and delete keys (both
     * sides conform at write time): integrals → Long, floats → Double,
     * UTF8 binary → String, boolean → Boolean. */
-  private def canonAt(g: Group, idx: Int, t: org.apache.parquet.schema.Type): Any = {
-    import PrimitiveType.PrimitiveTypeName._
-    if (g.getFieldRepetitionCount(idx) == 0) null
-    else t.asPrimitiveType().getPrimitiveTypeName match {
-      case INT32 => Long.box(g.getInteger(idx, 0).toLong)
-      case INT64 => Long.box(g.getLong(idx, 0))
-      case FLOAT => Double.box(g.getFloat(idx, 0).toDouble)
-      case DOUBLE => Double.box(g.getDouble(idx, 0))
-      case BOOLEAN => Boolean.box(g.getBoolean(idx, 0))
-      case _ => g.getBinary(idx, 0).toStringUsingUTF8
-    }
-  }
+  private def canonAt(g: Group, idx: Int, t: org.apache.parquet.schema.Type): Any =
+    SnapshotDeletes.canonGroup(g, idx, t)
 
-  private def loadEqKeys(df: String): java.util.HashSet[Vector[Any]] = {
-    val set = new java.util.HashSet[Vector[Any]]()
-    val r = ParquetReader.builder(new GroupReadSupport(), new Path(df))
-      .withConf(hadoopConf.getOrElse(new Configuration())).build()
-    try {
-      var g = r.read()
-      while (g != null) {
-        val t = g.getType
-        set.add((0 until t.getFieldCount)
-          .map(i => canonAt(g, i, t.getType(i))).toVector)
-        g = r.read()
-      }
-    } finally r.close()
-    set
-  }
+  private def loadEqKeys(df: String): java.util.HashSet[Vector[Any]] =
+    SnapshotDeletes.loadEqKeys(df, hadoopConf.getOrElse(new Configuration()))
 
   /** True iff the current data row's key tuple appears in ANY equality
     * delete set (null key components never match — SQL equality). */
@@ -1072,24 +1357,8 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
     * file_path — opened once per task, filtered to this data file. The
     * scan walks data rows sequentially, so membership is a merge-walk
     * pointer, O(1) per row. */
-  private val deletedPos: Array[Long] =
-    if (posDeleteFiles.isEmpty) Array.emptyLongArray
-    else {
-      val me = SnapshotLog.norm(file)
-      val acc = scala.collection.mutable.ArrayBuffer[Long]()
-      posDeleteFiles.foreach { df =>
-        val r = ParquetReader.builder(new GroupReadSupport(), new Path(df))
-          .withConf(hadoopConf.getOrElse(new Configuration())).build()
-        try {
-          var g = r.read()
-          while (g != null) {
-            if (g.getString(0, 0) == me) acc += g.getLong(1, 0)
-            g = r.read()
-          }
-        } finally r.close()
-      }
-      acc.toArray.sorted
-    }
+  private val deletedPos: Array[Long] = SnapshotDeletes.loadPositions(
+    posDeleteFiles, file, hadoopConf.getOrElse(new Configuration()))
   private var delPtr = 0
   private var ord = -1L // current row's ordinal within the data file
 
