@@ -101,6 +101,16 @@ object DmlScale {
              |WHEN MATCHED THEN UPDATE SET v = t.v + s.v""".stripMargin): Unit
       },
       "scan_agg" -> (() =>
+        spark.sql(s"SELECT sum(v), count(*) FROM snap.$ns.t").collect(): Unit),
+      // LARGE (25% of the whole table) merge-on-read delete: staging is
+      // range-partitioned per task (r14) — this row grows with the table
+      // but must scale with parallelism, files_rewritten stays 0, and the
+      // read after it shows the delete-aware vectorized path under a
+      // non-trickle delete load
+      "delete_bulk_mor" -> (() =>
+        SnapshotLog.deleteWhereMoR(spark, root, col("k") % 4 === 0,
+          SnapshotLog.nextCommitTs(spark, root)): Unit),
+      "scan_agg_after_bulk" -> (() =>
         spark.sql(s"SELECT sum(v), count(*) FROM snap.$ns.t").collect(): Unit))
 
     val results = scales.map { n =>

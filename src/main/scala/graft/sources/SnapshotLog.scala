@@ -1253,10 +1253,18 @@ object SnapshotLog {
     * deleted ordinals are excluded (stacked deletes never double-count).
     * Returns the new version, or the current version when nothing
     * matched. */
-  /** Write one positional-delete parquet from `matched` (a frame exposing
-    * `_file`/`_pos`), sorted so readers filter it in one pass. Returns
-    * (delete dir, delete files, merged per-data-file dels map), or None
-    * when nothing matched (dir already cleaned up). */
+  /** Write positional-delete parquet(s) from `matched` (a frame exposing
+    * `_file`/`_pos`), range-partitioned by (file_path, pos) and sorted
+    * within each partition so readers filter in one pass. A trickle
+    * delete coalesces to ONE kb-scale file (AQE folds the near-empty
+    * range partitions); a LARGE predicate delete fans out across tasks —
+    * no single-task funnel for the staging shuffle. Each affected data
+    * file is mapped ONLY to the delete parquet(s) that actually hold its
+    * coordinates (range partitioning keeps one file's ordinals in at
+    * most a couple of parts), so reader-side delete loading stays
+    * proportional to the file's own residue, not the statement size.
+    * Returns (delete dir, delete files, merged per-data-file dels map),
+    * or None when nothing matched (dir already cleaned up). */
   private def stageDeleteFiles(spark: SparkSession, root: String,
       cur: Snapshot, matched: DataFrame)
       : Option[(Path, Seq[String], Map[String, Seq[String]])] = {
@@ -1267,19 +1275,34 @@ object SnapshotLog {
     matched
       .select(regexp_replace(col("_file"), "^file:/*", "/").as("file_path"),
         col("_pos").as("pos"))
-      .repartition(1).sortWithinPartitions("file_path", "pos")
+      .repartitionByRange(col("file_path"), col("pos"))
+      .sortWithinPartitions("file_path", "pos")
       .write.parquet(delDir.toString)
     val delFiles = fs.listStatus(delDir)
       .filter(s => s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName).map(_.getPath.toString).toSeq
-    // affected data files: driver-side metadata (bounded by file count)
-    val affected = spark.read.parquet(delFiles: _*)
-      .select("file_path").distinct()
-      .collect().map(_.getString(0))
-    if (affected.isEmpty) { fs.delete(delDir, true); None }
-    else Some((delDir, delFiles, cur.dels ++ affected.map(f =>
-      f -> (cur.dels.getOrElse(f, Seq.empty) ++ delFiles)).toMap))
+    if (delFiles.isEmpty) { fs.delete(delDir, true); return None }
+    // (data file, delete parquet) edges: driver-side metadata, bounded by
+    // |affected files| × |delete parts a file spans| (≈1 under ranging)
+    val pairs = spark.read.parquet(delFiles: _*)
+      .select(col("file_path"),
+        regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("del"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (pairs.isEmpty) { fs.delete(delDir, true); None }
+    else {
+      val byNorm = delFiles.map(d => norm(d) -> d).toMap
+      val referenced = pairs.map(p => norm(p._2)).toSet
+      // empty range partitions wrote empty parts: reclaim them
+      delFiles.filterNot(d => referenced.contains(norm(d)))
+        .foreach(d => fs.delete(new Path(d), false))
+      val live = delFiles.filter(d => referenced.contains(norm(d)))
+      val byData = pairs.groupBy(_._1).view
+        .mapValues(_.map(p => byNorm(norm(p._2))).toSeq.distinct.sorted).toMap
+      Some((delDir, live, cur.dels ++ byData.map { case (f, ds) =>
+        f -> (cur.dels.getOrElse(f, Seq.empty) ++ ds) }))
+    }
   }
 
   def deleteWhereMoR(spark: SparkSession, root: String,
@@ -1347,34 +1370,48 @@ object SnapshotLog {
     // comparison is then type-exact
     val conformed = keys.select(keyCols.map(k =>
       col(k).cast(schema(k).dataType).as(k)): _*).distinct()
-    conformed.repartition(1).sortWithinPartitions(keyCols.map(col): _*)
+    // range-partitioned by the key tuple: a CDC trickle coalesces to one
+    // kb-scale file, a bulk key set fans out across tasks (no
+    // single-task staging funnel), and each delete parquet covers a
+    // contiguous key range — its own footer bounds then scope it
+    conformed.repartitionByRange(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
       .write.parquet(delDir.toString)
-    val delFiles = fs.listStatus(delDir)
+    val allParts = fs.listStatus(delDir)
       .filter(s => s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName).map(_.getPath.toString).toSeq
-    val n = spark.read.parquet(delFiles: _*).count()
-    if (n == 0) { fs.delete(delDir, true); return None }
-    // scope: every current data file whose stats MAY hold one of the keys
-    // (per-column range intersection; missing stats = conservative keep)
-    val bounds: Map[String, (Any, Any)] = keyCols.flatMap { k =>
-      val r = conformed.agg(
-        org.apache.spark.sql.functions.min(col(k)),
-        org.apache.spark.sql.functions.max(col(k))).head()
-      if (r.isNullAt(0)) None
-      else Some(k -> (canonStat(r.get(0)), canonStat(r.get(1))))
-    }.toMap
-    val affected = cur.files.filter { f =>
+    if (allParts.isEmpty) { fs.delete(delDir, true); return None }
+    val conf = spark.sessionState.newHadoopConf()
+    val (delStats, _, delRows) = footerMeta(conf, allParts, conformed.schema)
+    // empty range partitions wrote empty parts: reclaim them
+    allParts.filter(d => delRows.getOrElse(norm(d), 0L) == 0L)
+      .foreach(d => fs.delete(new Path(d), false))
+    val delFiles = allParts.filter(d => delRows.getOrElse(norm(d), 0L) > 0L)
+    if (delFiles.isEmpty) { fs.delete(delDir, true); return None }
+    // scope PER (data file, delete file) PAIR: a data file references a
+    // delete parquet only when every key column's ranges intersect
+    // (missing stats on either side = conservative keep) — reader-side
+    // probe sets stay proportional to the file's own overlap, not the
+    // whole statement's key set
+    val pairs: Map[String, Seq[String]] = cur.files.flatMap { f =>
       val stats = cur.stats.getOrElse(norm(f), Map.empty[String, (Any, Any)])
-      bounds.forall { case (k, (lo, hi)) =>
-        // resolve renamed columns to the file's physical stat key
-        val statKey = cur.physName(f, k).getOrElse(k)
-        stats.get(statKey).forall(st => rangeMayMatch(st, lo, hi))
+      val mine = delFiles.filter { d =>
+        val db = delStats.getOrElse(norm(d), Map.empty[String, (Any, Any)])
+        keyCols.forall { k =>
+          val statKey = cur.physName(f, k).getOrElse(k)
+          (stats.get(statKey), db.get(k)) match {
+            case (Some(st), Some((klo, khi))) =>
+              rangeMayMatch(st, canonStat(klo), canonStat(khi))
+            case _ => true // unknown bounds: keep
+          }
+        }
       }
-    }
-    if (affected.isEmpty) { fs.delete(delDir, true); None }
-    else Some((delDir, cur.dels ++ affected.map(f => norm(f) ->
-      (cur.dels.getOrElse(norm(f), Seq.empty) ++ delFiles)).toMap))
+      if (mine.isEmpty) None else Some(norm(f) -> mine)
+    }.toMap
+    if (pairs.isEmpty) { fs.delete(delDir, true); None }
+    else Some((delDir, cur.dels ++ pairs.map { case (f, ds) =>
+      f -> (cur.dels.getOrElse(f, Seq.empty) ++ ds) }))
   }
 
   def deleteEqualityMoR(spark: SparkSession, root: String,
