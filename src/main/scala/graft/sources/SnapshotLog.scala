@@ -127,7 +127,12 @@ object SnapshotLog {
       // metadata-only COUNT(*) and completeness checks without opening a
       // single file. Absent for pre-r13 manifests (aggregate pushdown
       // then refuses and the scan path answers instead).
-      rows: Map[String, Long] = Map.empty) {
+      rows: Map[String, Long] = Map.empty,
+      // MANIFEST-LIST SHARDING (r14, Iceberg's two-level manifest): the
+      // immutable shard files this snapshot's per-file entries resolve
+      // through (already folded into the maps above at parse time) —
+      // kept for expiry bookkeeping only, never re-serialized
+      shardPaths: Seq[String] = Seq.empty) {
     /** Effective parent version (legacy linear fallback). */
     def parentVersion: Int = if (parent >= 0) parent else version - 1
     /** True iff this snapshot belongs to a BRANCH (not the main line). */
@@ -191,7 +196,7 @@ object SnapshotLog {
     val names = fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.matches("v\\d{5}\\.json")).sorted
     val parsed = names.map { n =>
-      try Some(parseManifest(readBytes(fs, new Path(dir, n))))
+      try Some(parseManifestCached(readBytes(fs, new Path(dir, n)), fs))
       catch { case _: Exception => None }
     }
     parsed.zipWithIndex.foreach { case (p, i) =>
@@ -202,7 +207,81 @@ object SnapshotLog {
     parsed.flatten.toSeq
   }
 
-  private def parseManifest(bytes: Array[Byte]): Snapshot = {
+  /** CONTENT-ADDRESSED resolved-manifest cache: a published manifest's
+    * bytes never change (O_EXCL publish + read-back verify) and shard
+    * files are immutable, so parsing is a pure function of the bytes —
+    * keying by digest is safe even when tests recreate a table at the
+    * same path. Keeps `pick()`-per-statement planning O(1) re-parses on
+    * big sharded tables. */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
+  private def parseManifestCached(bytes: Array[Byte], fs: FileSystem): Snapshot = {
+    val key = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("MD5").digest(bytes))
+    val hit = snapCache.get(key)
+    if (hit != null) hit
+    else {
+      val s = parseManifest(bytes, fs)
+      if (snapCache.size > 4096) snapCache.clear() // crude bound, rare
+      snapCache.put(key, s)
+      s
+    }
+  }
+
+  /** Per-file entry payload of one immutable manifest shard. */
+  private[sources] final case class ShardContent(
+      files: Seq[String],
+      stats: Map[String, Map[String, (Any, Any)]],
+      sizes: Map[String, Long],
+      cols: Map[String, Seq[String]],
+      parts: Map[String, Seq[String]],
+      colIds: Map[String, Seq[Int]],
+      rows: Map[String, Long],
+      fileSpec: Map[String, Int])
+
+  /** Shard files are IMMUTABLE (uuid-named, written once before their
+    * manifest publishes) — parse results memoize JVM-wide. */
+  private val shardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ShardContent]()
+  private[sources] def loadShard(fs: FileSystem, path: String): ShardContent = {
+    val k = norm(path)
+    val hit = shardCache.get(k)
+    if (hit != null) hit
+    else {
+      val t = om.readTree(readBytes(fs, new Path(path)))
+      val sc = ShardContent(
+        Option(t.get("files")).map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Seq.empty),
+        Option(t.get("stats")).map { sn =>
+          sn.fields().asScala.map { fe =>
+            fe.getKey -> fe.getValue.fields().asScala.map { ce =>
+              ce.getKey -> (scalar(ce.getValue.get("min")),
+                scalar(ce.getValue.get("max")))
+            }.toMap
+          }.toMap
+        }.getOrElse(Map.empty),
+        Option(t.get("sizes")).map(_.fields().asScala
+          .map(fe => fe.getKey -> fe.getValue.asLong()).toMap).getOrElse(Map.empty),
+        Option(t.get("cols")).map(_.fields().asScala.map(fe =>
+          fe.getKey -> fe.getValue.elements().asScala.map(_.asText()).toSeq)
+          .toMap).getOrElse(Map.empty),
+        Option(t.get("parts")).map(_.fields().asScala.map(fe =>
+          fe.getKey -> fe.getValue.elements().asScala.map(_.asText()).toSeq)
+          .toMap).getOrElse(Map.empty),
+        Option(t.get("colIds")).map(_.fields().asScala.map(fe =>
+          fe.getKey -> fe.getValue.elements().asScala.map(_.asInt()).toSeq)
+          .toMap).getOrElse(Map.empty),
+        Option(t.get("rows")).map(_.fields().asScala
+          .map(fe => fe.getKey -> fe.getValue.asLong()).toMap).getOrElse(Map.empty),
+        Option(t.get("fileSpec")).map(_.fields().asScala
+          .map(fe => fe.getKey -> fe.getValue.asInt()).toMap).getOrElse(Map.empty))
+      if (shardCache.size > 512) shardCache.clear()
+      shardCache.put(k, sc)
+      sc
+    }
+  }
+
+  private def parseManifest(bytes: Array[Byte], fs: FileSystem): Snapshot = {
     val t = om.readTree(bytes)
     require(t != null && t.has("version"), "not a manifest")
     val stats: Map[String, Map[String, (Any, Any)]] =
@@ -261,19 +340,65 @@ object SnapshotLog {
       Option(t.get("fileSpec")).map { fn =>
         fn.fields().asScala.map(fe => fe.getKey -> fe.getValue.asInt()).toMap
       }.getOrElse(Map.empty)
-    Snapshot(
-      t.get("version").asInt(),
-      t.get("operation").asText(),
-      t.get("commitTsMs").asLong(),
-      t.get("schema").asText(),
-      t.get("files").elements().asScala.map(_.asText()).toSeq,
-      stats, sizes, props, spec, parts, cols, dels, fids, colIds,
-      Option(t.get("maxId")).map(_.asInt()).getOrElse(0),
-      specsHist, fileSpec,
-      Option(t.get("parent")).map(_.asInt()).getOrElse(-1),
+    val rows: Map[String, Long] =
       Option(t.get("rows")).map { rn =>
         rn.fields().asScala.map(fe => fe.getKey -> fe.getValue.asLong()).toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty)
+    val inlineFiles = t.get("files").elements().asScala.map(_.asText()).toSeq
+    val shardPaths: Seq[String] =
+      Option(t.get("shards")).map(_.elements().asScala
+        .map(_.get("path").asText()).toSeq).getOrElse(Seq.empty)
+    if (shardPaths.isEmpty)
+      Snapshot(
+        t.get("version").asInt(),
+        t.get("operation").asText(),
+        t.get("commitTsMs").asLong(),
+        t.get("schema").asText(),
+        inlineFiles,
+        stats, sizes, props, spec, parts, cols, dels, fids, colIds,
+        Option(t.get("maxId")).map(_.asInt()).getOrElse(0),
+        specsHist, fileSpec,
+        Option(t.get("parent")).map(_.asInt()).getOrElse(-1),
+        rows)
+    else {
+      // two-level resolution: shard entries (minus removed / overridden)
+      // come first in shard order, inline entries after — inline wins on
+      // a per-file collision (an entry whose payload drifted from its
+      // shard record is re-inlined by commitManifest)
+      val removed: Set[String] =
+        Option(t.get("removed")).map(_.elements().asScala
+          .map(_.asText()).toSet).getOrElse(Set.empty)
+      val shards = shardPaths.map(p => loadShard(fs, p))
+      val inlineNorm = inlineFiles.map(norm).toSet
+      // dedupe across shards (a re-homed entry appears in its old and new
+      // shard): order keeps the first occurrence, payload folds take the
+      // LAST shard's record — the corrected one
+      val seen = scala.collection.mutable.HashSet[String]()
+      val shardFiles = shards.flatMap(_.files).filter { f =>
+        val nf = norm(f)
+        !removed.contains(nf) && !inlineNorm.contains(nf) && seen.add(nf)
+      }
+      val allFiles = shardFiles ++ inlineFiles
+      val live = allFiles.map(norm).toSet
+      def fold[V](sel: ShardContent => Map[String, V],
+                  inline: Map[String, V]): Map[String, V] =
+        shards.map(sel).fold(Map.empty[String, V])(_ ++ _)
+          .view.filterKeys(live).toMap ++ inline
+      Snapshot(
+        t.get("version").asInt(),
+        t.get("operation").asText(),
+        t.get("commitTsMs").asLong(),
+        t.get("schema").asText(),
+        allFiles,
+        fold(_.stats, stats), fold(_.sizes, sizes), props, spec,
+        fold(_.parts, parts), fold(_.cols, cols), dels, fids,
+        fold(_.colIds, colIds),
+        Option(t.get("maxId")).map(_.asInt()).getOrElse(0),
+        specsHist, fold(_.fileSpec, fileSpec),
+        Option(t.get("parent")).map(_.asInt()).getOrElse(-1),
+        fold(_.rows, rows),
+        shardPaths)
+    }
   }
 
   private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
@@ -982,39 +1107,86 @@ object SnapshotLog {
                              fileSpec: Map[String, Int] = Map.empty,
                              parent: Int = -1,
                              rowCounts: Map[String, Long] = Map.empty): Unit = {
+    // ---- MANIFEST-LIST SHARDING (r14; Iceberg's two-level manifest) ----
+    // Per-file entries above the threshold live in immutable uuid-named
+    // shard files reused across versions: an append's manifest is then
+    // O(new files + shards), not O(table files), and a chain of versions
+    // re-parses each shard once per JVM (shard cache). Per-file payloads
+    // are immutable post-commit; the rare drifted entry (e.g. field-id
+    // bootstrap on legacy files) is re-inlined, and inline wins at parse.
+    val liveNorm = files.map(norm).toSet
+    val parentShardPaths: Seq[String] =
+      if (parent >= 1 && fs.exists(manifestPath(root, parent)))
+        Option(om.readTree(readBytes(fs, manifestPath(root, parent)))
+          .get("shards")).map(_.elements().asScala
+          .map(_.get("path").asText()).toSeq).getOrElse(Seq.empty)
+      else Seq.empty
+    val kept: Seq[(String, ShardContent)] = parentShardPaths
+      .map(p => p -> loadShard(fs, p))
+      .filter(_._2.files.exists(f => liveNorm.contains(norm(f))))
+    def payloadNow(nf: String) = (stats.get(nf), sizes.get(nf), cols.get(nf),
+      parts.get(nf), colIds.get(nf), rowCounts.get(nf), fileSpec.get(nf))
+    def payloadShard(sc: ShardContent, nf: String) =
+      (sc.stats.get(nf), sc.sizes.get(nf), sc.cols.get(nf), sc.parts.get(nf),
+        sc.colIds.get(nf), sc.rows.get(nf), sc.fileSpec.get(nf))
+    val coveredClean: Set[String] = kept.flatMap { case (_, sc) =>
+      sc.files.map(norm).filter(nf =>
+        liveNorm.contains(nf) && payloadNow(nf) == payloadShard(sc, nf))
+    }.toSet
+    val inlineFiles = files.filterNot(f => coveredClean.contains(norm(f)))
+    val newShardPath: Option[String] =
+      if (inlineFiles.size >= shardMin) Some(writeShard(fs, root,
+        inlineFiles, stats, sizes, cols, parts, colIds, rowCounts, fileSpec))
+      else None
+    val shardRefs: Seq[(String, Seq[String])] = // (path, its file list)
+      kept.map { case (p, sc) => p -> sc.files } ++
+        newShardPath.map(p => p -> inlineFiles).toSeq
+    val inlineOut = if (newShardPath.isDefined) Seq.empty else inlineFiles
+    val inlineSet = inlineOut.map(norm).toSet
+    // tombstones: parent-shard entries neither covered-clean nor re-homed
+    // (a re-homed entry — drifted payload or plain re-inline — lives on
+    // as an inline entry or in the NEW shard, which wins at parse)
+    val inlineNormAll = inlineFiles.map(norm).toSet
+    val removed: Seq[String] = kept.flatMap(_._2.files).map(norm)
+      .distinct.filterNot(coveredClean).filterNot(inlineNormAll)
+
     val node = om.createObjectNode()
     node.put("version", version)
     node.put("operation", operation)
     node.put("commitTsMs", commitTsMs)
     node.put("schema", schemaJson)
     val arr = node.putArray("files")
-    files.foreach(arr.add)
+    inlineOut.foreach(arr.add)
+    if (shardRefs.nonEmpty) {
+      val shardsNode = node.putArray("shards")
+      shardRefs.foreach { case (p, fl) =>
+        val e = shardsNode.addObject()
+        e.put("path", p)
+        e.put("files", fl.size): Unit
+      }
+      if (removed.nonEmpty) {
+        val rm = node.putArray("removed")
+        removed.foreach(rm.add)
+      }
+    }
     val statsNode = node.putObject("stats")
-    stats.foreach { case (f, cols) =>
+    stats.view.filterKeys(inlineSet).foreach { case (f, cols) =>
       val fNode = statsNode.putObject(f)
       cols.foreach { case (c, (mn, mx)) =>
         val cNode = fNode.putObject(c)
-        def putScalar(key: String, v: Any): Unit = v match {
-          case l: java.lang.Long    => cNode.put(key, l.longValue())
-          case i: java.lang.Integer => cNode.put(key, i.longValue())
-          case d: java.lang.Double  => cNode.put(key, d.doubleValue())
-          case fl: java.lang.Float  => cNode.put(key, fl.doubleValue())
-          case s: String            => cNode.put(key, s)
-          case other                => cNode.put(key, other.toString)
-        }
-        putScalar("min", mn)
-        putScalar("max", mx)
+        putStatScalar(cNode, "min", mn)
+        putStatScalar(cNode, "max", mx)
       }
     }
     val sizesNode = node.putObject("sizes")
-    sizes.foreach { case (f, len) => sizesNode.put(f, len) }
+    sizes.view.filterKeys(inlineSet).foreach { case (f, len) => sizesNode.put(f, len) }
     if (props.nonEmpty) {
       val propsNode = node.putObject("props")
       props.foreach { case (k, v) => propsNode.put(k, v) }
     }
     if (cols.nonEmpty) {
       val colsNode = node.putObject("cols")
-      cols.foreach { case (f, cs) =>
+      cols.view.filterKeys(inlineSet).foreach { case (f, cs) =>
         val arr = colsNode.putArray(f)
         cs.foreach(arr.add)
       }
@@ -1030,7 +1202,7 @@ object SnapshotLog {
       val fidsNode = node.putObject("fids")
       fids.foreach { case (n, id) => fidsNode.put(n, id) }
       val colIdsNode = node.putObject("colIds")
-      colIds.foreach { case (f, ids) =>
+      colIds.view.filterKeys(inlineSet).foreach { case (f, ids) =>
         val arr = colIdsNode.putArray(f)
         ids.foreach(arr.add)
       }
@@ -1039,7 +1211,7 @@ object SnapshotLog {
     if (parent >= 0) node.put("parent", parent): Unit
     if (rowCounts.nonEmpty) {
       val rowsNode = node.putObject("rows")
-      rowCounts.foreach { case (f, n) => rowsNode.put(f, n) }
+      rowCounts.view.filterKeys(inlineSet).foreach { case (f, n) => rowsNode.put(f, n) }
     }
     if (specs.nonEmpty) {
       val specsNode = node.putArray("specs")
@@ -1052,7 +1224,7 @@ object SnapshotLog {
         }
       }
       val fsNode = node.putObject("fileSpec")
-      fileSpec.foreach { case (f, i) => fsNode.put(f, i) }
+      fileSpec.view.filterKeys(inlineSet).foreach { case (f, i) => fsNode.put(f, i) }
     }
     if (spec.nonEmpty) {
       val specNode = node.putArray("spec")
@@ -1062,12 +1234,96 @@ object SnapshotLog {
         f.put("transform", tr): Unit
       }
       val partsNode = node.putObject("parts")
-      parts.foreach { case (f, vs) =>
+      parts.view.filterKeys(inlineSet).foreach { case (f, vs) =>
         val arr = partsNode.putArray(f)
         vs.foreach(arr.add)
       }
     }
-    publish(fs, manifestPath(root, version), om.writeValueAsBytes(node))
+    try publish(fs, manifestPath(root, version), om.writeValueAsBytes(node))
+    catch {
+      case e: Exception =>
+        // lost the publish race: reclaim the shard written for this commit
+        newShardPath.foreach(p => fs.delete(new Path(p), false))
+        throw e
+    }
+  }
+
+  /** Shard threshold: commits whose inline entry count stays below this
+    * keep the single-manifest layout (small tables see zero format
+    * change); at or above it the entries move to a shard file.
+    * Overridable per session for tests. */
+  private[sources] def shardMin: Int =
+    try SparkSession.active.conf.get("spark.graft.snapshot.shardMin", "512").toInt
+    catch { case _: Exception => 512 }
+
+  private def putStatScalar(cNode: com.fasterxml.jackson.databind.node.ObjectNode,
+                            key: String, v: Any): Unit = v match {
+    case l: java.lang.Long    => cNode.put(key, l.longValue()): Unit
+    case i: java.lang.Integer => cNode.put(key, i.longValue()): Unit
+    case d: java.lang.Double  => cNode.put(key, d.doubleValue()): Unit
+    case fl: java.lang.Float  => cNode.put(key, fl.doubleValue()): Unit
+    case s: String            => cNode.put(key, s): Unit
+    case other                => cNode.put(key, other.toString): Unit
+  }
+
+  /** Write one immutable manifest shard holding the per-file payload of
+    * `shardFiles`. Returns its path. */
+  private def writeShard(fs: FileSystem, root: String,
+      shardFiles: Seq[String],
+      stats: Map[String, Map[String, (Any, Any)]],
+      sizes: Map[String, Long],
+      cols: Map[String, Seq[String]],
+      parts: Map[String, Seq[String]],
+      colIds: Map[String, Seq[Int]],
+      rowCounts: Map[String, Long],
+      fileSpec: Map[String, Int]): String = {
+    val inSet = shardFiles.map(norm).toSet
+    val node = om.createObjectNode()
+    val fArr = node.putArray("files")
+    shardFiles.foreach(fArr.add)
+    val statsNode = node.putObject("stats")
+    stats.view.filterKeys(inSet).foreach { case (f, cs) =>
+      val fNode = statsNode.putObject(f)
+      cs.foreach { case (c, (mn, mx)) =>
+        val cNode = fNode.putObject(c)
+        putStatScalar(cNode, "min", mn)
+        putStatScalar(cNode, "max", mx)
+      }
+    }
+    val sizesNode = node.putObject("sizes")
+    sizes.view.filterKeys(inSet).foreach { case (f, len) => sizesNode.put(f, len) }
+    if (cols.nonEmpty) {
+      val colsNode = node.putObject("cols")
+      cols.view.filterKeys(inSet).foreach { case (f, cs) =>
+        val arr = colsNode.putArray(f); cs.foreach(arr.add)
+      }
+    }
+    if (parts.nonEmpty) {
+      val partsNode = node.putObject("parts")
+      parts.view.filterKeys(inSet).foreach { case (f, vs) =>
+        val arr = partsNode.putArray(f); vs.foreach(arr.add)
+      }
+    }
+    if (colIds.nonEmpty) {
+      val ciNode = node.putObject("colIds")
+      colIds.view.filterKeys(inSet).foreach { case (f, ids) =>
+        val arr = ciNode.putArray(f); ids.foreach(arr.add)
+      }
+    }
+    if (rowCounts.nonEmpty) {
+      val rowsNode = node.putObject("rows")
+      rowCounts.view.filterKeys(inSet).foreach { case (f, n) => rowsNode.put(f, n) }
+    }
+    if (fileSpec.nonEmpty) {
+      val fsNode = node.putObject("fileSpec")
+      fileSpec.view.filterKeys(inSet).foreach { case (f, i) => fsNode.put(f, i) }
+    }
+    val dest = new Path(logDir(root),
+      s"shard-${java.util.UUID.randomUUID().toString.take(12)}.json")
+    fs.mkdirs(dest.getParent)
+    val out = fs.create(dest, false)
+    try out.write(om.writeValueAsBytes(node)) finally out.close()
+    dest.toString
   }
 
   /** Exclusive-claim publish: O_EXCL create on file:// (POSIX rename
@@ -1096,7 +1352,7 @@ object SnapshotLog {
         case _: java.nio.file.FileAlreadyExistsException |
              _: org.apache.hadoop.fs.FileAlreadyExistsException |
              _: org.apache.hadoop.fs.PathExistsException =>
-          val torn = try { parseManifest(readBytes(fs, dest)); false }
+          val torn = try { parseManifest(readBytes(fs, dest), fs); false }
                      catch { case _: Exception => true }
           if (torn && mayReclaim) { fs.delete(dest, false); claim(false) }
           else conflict()
@@ -1916,6 +2172,11 @@ object SnapshotLog {
       orphaned.foreach(f => fs.delete(new Path(f), false))
       dead.foreach(s => fs.delete(manifestPath(root, s.version), false))
       filesDeleted += orphaned.size
+      // manifest shards referenced only by expired versions die with them
+      val liveShards = live.flatMap(_.shardPaths).map(norm).toSet
+      dead.flatMap(_.shardPaths).map(norm).distinct
+        .filterNot(liveShards.contains)
+        .foreach(p => fs.delete(new Path(p), false))
     }
     if (orphanScan) {
       val cutoff = System.currentTimeMillis() - orphanGraceMs
