@@ -92,6 +92,8 @@ object LlmFunctions {
       require(ps.forall(p => p.length > 1 && p.length <= MaxPieceLen &&
         !p.exists(_.isWhitespace) && !p.contains('\'') && !p.contains('\\')),
         s"bpe vocab pieces must be 2..$MaxPieceLen chars, whitespace/quote/backslash-free")
+      require(ps.forall(_.forall(_ < 128)),
+        "bpe vocab pieces must be ASCII (byte-level merge symbols)")
       ps
     } finally is.close()
   }
@@ -138,10 +140,12 @@ object LlmFunctions {
   private val bpePieceId: Map[String, Long] =
     bpeVocabPieces.zipWithIndex.map { case (p, i) => p -> (256L + i) }.toMap
 
-  /** Greedy longest-match BPE over the WHOLE text (spaces are single-char
-    * tokens; vocab pieces contain none, so matches never cross a word
-    * boundary). Lossless: concatenating the pieces restores the input. */
-  def bpePieces(text: String): IndexedSeq[String] = {
+  /** GREEDY longest-match segmentation over the WHOLE text (spaces are
+    * single-char tokens; vocab pieces contain none, so matches never
+    * cross a word boundary). Lossless: concatenating the pieces restores
+    * the input. Named honestly: greedy longest-match is NOT merge-rank
+    * BPE — [[mergeRankPieces]]/[[tokenizeBytes]] carry that contract. */
+  def greedyPieces(text: String): IndexedSeq[String] = {
     val out = Vector.newBuilder[String]
     var pos = 0
     while (pos < text.length) {
@@ -155,20 +159,77 @@ object LlmFunctions {
   def bpeId(piece: String): Long =
     if (piece.length == 1) piece.charAt(0).toLong else bpePieceId(piece)
 
-  /** Column form of the piece stream (array<string>). A deterministic
-    * scalar UDF is the right tool here: a tokenizer is a per-row library
-    * call (like the codec in MultimodalQueries), not relational algebra —
-    * there is nothing for Catalyst to push or reorder inside it. */
-  def bpePiecesCol(text: Column): Column = {
-    val f = udf((t: String) => if (t == null) null else bpePieces(t))
+  /** Column form of the greedy piece stream (array<string>). A
+    * deterministic scalar UDF is the right tool here: a tokenizer is a
+    * per-row library call (like the codec in MultimodalQueries), not
+    * relational algebra — there is nothing for Catalyst to push or
+    * reorder inside it. */
+  def greedyPiecesCol(text: Column): Column = {
+    val f = udf((t: String) => if (t == null) null else greedyPieces(t))
     f(text)
   }
 
-  /** BPE tokenizer: greedy longest-match ids over the checked-in merges
-    * vocab (array<long>). Replaces the earlier md5-hash-vocab stand-in. */
-  def tokenize(text: Column): Column = {
-    val f = udf((t: String) => if (t == null) null else bpePieces(t).map(bpeId))
+  /** Greedy longest-match ids over the checked-in vocab (array<long>). */
+  def tokenizeGreedy(text: Column): Column = {
+    val f = udf((t: String) => if (t == null) null else greedyPieces(t).map(bpeId))
     f(text)
+  }
+
+  // ---- MERGE-RANK BPE (r14): learned-merge-order application ----
+  // HF/GPT-2 BPE does not take the longest match: it repeatedly merges
+  // the ADJACENT SYMBOL PAIR whose concatenation has the LOWEST vocab
+  // rank (the merge learned earliest), leftmost on equal rank, until no
+  // adjacent pair concatenates to a vocab piece. On overlap-heavy input
+  // the two segmentations diverge (MergeRankBpeSpec pins examples).
+
+  /** piece -> vocab rank (line index = learned merge order). */
+  private val bpeRankOf: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    bpeVocabPieces.zipWithIndex.foreach { case (p, i) => m.put(p, i) }
+    m
+  }
+
+  /** RE2's \s — the whitespace class the oracle's word split uses. */
+  private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[String]]()
+
+  /** Merge-rank BPE over one whitespace-free run. Symbols start as
+    * CODEPOINTS (a surrogate pair is one symbol); each step merges the
+    * leftmost lowest-rank adjacent pair whose concatenation is a vocab
+    * piece. O(L^2) per run with L bounded by word length; results
+    * memoize per JVM (corpora repeat words heavily). */
+  def mergeRankPieces(run: String): IndexedSeq[String] = {
+    val hit = mergeCache.get(run)
+    if (hit != null) return hit
+    val syms = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < run.length) {
+      val n = Character.charCount(run.codePointAt(i))
+      syms += run.substring(i, i + n)
+      i += n
+    }
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bi = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        if (syms(j).length + syms(j + 1).length <= MaxPieceLen) {
+          val r = bpeRankOf.get(syms(j) + syms(j + 1))
+          if (r != null && r < bestRank) { bestRank = r; bi = j } // strict <: leftmost wins ties
+        }
+        j += 1
+      }
+      if (bi < 0) done = true
+      else { syms(bi) = syms(bi) + syms(bi + 1); syms.remove(bi + 1): Unit }
+    }
+    val out = syms.toIndexedSeq
+    if (mergeCache.size > (1 << 17)) mergeCache.clear()
+    mergeCache.put(run, out)
+    out
   }
 
   // ---- HF-fidelity surface (r13): byte-level ids, special tokens, NFC ----
@@ -199,9 +260,10 @@ object LlmFunctions {
     f(text)
   }
 
-  /** Cursor-segment stream: special tokens whole, then greedy vocab
-    * pieces, then single characters (a surrogate PAIR is one segment —
-    * half a pair would byte-encode as '?'). Concatenating the segments
+  /** Cursor-segment stream, MERGE-RANK semantics (r14): special tokens
+    * whole, whitespace chars single, and every other maximal run
+    * tokenized by learned-merge-order BPE ([[mergeRankPieces]] — a
+    * surrogate pair stays one symbol). Concatenating the segments
     * restores the input exactly. */
   def byteSegments(text: String): IndexedSeq[String] = {
     val out = Vector.newBuilder[String]
@@ -210,12 +272,15 @@ object LlmFunctions {
       SpecialTokens.find(t => text.startsWith(t, pos)) match {
         case Some(t) => out += t; pos += t.length
         case None =>
-          var len = longestMatchAt(text, pos)
-          if (len == 1 && Character.isHighSurrogate(text.charAt(pos)) &&
-              pos + 1 < text.length && Character.isLowSurrogate(text.charAt(pos + 1)))
-            len = 2
-          out += text.substring(pos, pos + len)
-          pos += len
+          val c = text.charAt(pos)
+          if (isAsciiWs(c)) { out += c.toString; pos += 1 }
+          else {
+            var end = pos
+            while (end < text.length && !isAsciiWs(text.charAt(end)) &&
+                   !SpecialTokens.exists(t => text.startsWith(t, end))) end += 1
+            out ++= mergeRankPieces(text.substring(pos, end))
+            pos = end
+          }
       }
     }
     out.result()
@@ -270,23 +335,19 @@ object LlmFunctions {
   }
 
   /** One-pass summary for the gate: (n_tokens, n_byte_tokens, n_special,
-    * head 5 segments) without tokenizing the text twice. */
+    * id_sum). The id SUM is a strong order-insensitive checksum over the
+    * exact merge-rank token stream — the oracle recomputes it by
+    * replaying learned-merge-order per distinct word. Byte-fallback ids
+    * are exactly those in [128, 256) (UTF-8 lead/continuation bytes). */
   def tokenizeBytesSummaryCol(text: Column): Column = {
     val f = udf((t: String) =>
       if (t == null) null
       else {
-        val segs = byteSegments(t)
-        var n = 0L; var nb = 0L; var ns = 0L
-        segs.foreach { seg =>
-          if (specialIds.contains(seg)) { n += 1; ns += 1 }
-          else if (seg.length > 1 && bpePieceId.contains(seg)) n += 1
-          else if (seg.length == 1 && seg.charAt(0) < 128) n += 1
-          else {
-            val b = seg.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-            n += b; nb += b
-          }
-        }
-        (n, nb, ns, segs.take(5).map(_ + ",").mkString)
+        val ids = tokenizeBytes(t)
+        (ids.length.toLong,
+          ids.count(id => id >= 128 && id < 256).toLong,
+          ids.count(_ >= specialBase).toLong,
+          ids.sum)
       })
     f(text)
   }

@@ -155,7 +155,7 @@ object TextQueries extends QueryModule {
     // replays the exact greedy walk with a recursive CTE over the same
     // inlined vocab, so token COUNTS and piece boundaries are both checked.
     "llm_tokenize" -> ((s, d) => {
-      val pieces = LlmFunctions.bpePiecesCol(col("text"))
+      val pieces = LlmFunctions.greedyPiecesCol(col("text"))
       documents(s, d).select(
         col("doc_id"),
         size(pieces).cast("long").as("n_tokens"),
@@ -163,7 +163,13 @@ object TextQueries extends QueryModule {
           p => concat(p, lit(","))), "").as("head_pieces"))
     }),
 
-    // HF-fidelity tokenizer surface (r13): byte-level ids with SPECIAL
+    // HF-fidelity tokenizer surface (r13; MERGE-RANK since r14: the
+    // lowest-rank adjacent pair merges first, the way HF/GPT-2 BPE
+    // applies its merges file — greedy longest-match diverges on
+    // overlap-heavy input, MergeRankBpeSpec pins examples; the oracle
+    // replays the merge loop per distinct word and checks count,
+    // byte-fallback count, special count, and the exact token-id SUM):
+    // byte-level ids with SPECIAL
     // TOKENS (<|doc|>/<|end|> wrap, matched atomically in a reserved id
     // range), NFC normalization (e+combining-acute ≡ é), and BYTE
     // FALLBACK (non-ASCII chars emit their UTF-8 bytes as ids 128..255 —
@@ -184,7 +190,7 @@ object TextQueries extends QueryModule {
           col("t._1").as("n_tokens"),
           col("t._2").as("n_byte_tokens"),
           col("t._3").as("n_special"),
-          col("t._4").as("head_segments"))
+          col("t._4").as("id_sum"))
     }),
 
     // Batched generate through the mapPartitions operator (real external-
@@ -328,56 +334,79 @@ object TextQueries extends QueryModule {
     },
 
     "llm_tokenize_bytes" -> {
-      // Replay the byte-level walk: special token (len 7, reserved range)
-      // → longest vocab piece (6..2) → single char; a single non-ASCII
-      // char contributes its UTF-8 BYTE COUNT to n_tokens (byte
-      // fallback). Input is '<|doc|>' || nfc(text+suffix) || '<|end|>',
-      // with the suffix decomposed so nfc_normalize does real work.
-      val byLen: Map[Int, Seq[String]] =
-        LlmFunctions.bpeVocabPieces.groupBy(_.length)
-      val step = "CASE WHEN substring(x.s, x.pos, 7) IN ('<|doc|>','<|end|>') THEN 7 " +
-        (LlmFunctions.MaxPieceLen to 2 by -1)
-          .filter(byLen.contains)
-          .map { len =>
-            val lst = byLen(len).map(p => s"'$p'").mkString("[", ",", "]")
-            s"WHEN list_contains($lst, substring(x.s, x.pos, $len)) THEN $len"
-          }.mkString(" ", " ", " ELSE 1 END")
-      s"""WITH inp AS (
+      // Replay MERGE-RANK BPE: per DISTINCT word (RE2 \\S+ runs of the
+      // salted, NFC'd text), start from codepoint symbols and apply K
+      // unrolled merge steps, each merging the LEFTMOST LOWEST-RANK
+      // adjacent pair found by joining candidate pairs against the
+      // ranked vocab (rank = vocab line index, same file the Spark
+      // tokenizer loads). K bounds merges per word: a word of length L
+      // needs at most L-1 (fixture max word length is 8; K=12 leaves
+      // headroom, and corpus drift past K shows up as a mismatch, never
+      // silence). Whitespace chars are single tokens; the
+      // <|doc|>/<|end|> wrap contributes the 2 specials; non-ASCII
+      // symbols contribute their UTF-8 bytes (count and SUM via
+      // codepoint->UTF-8 arithmetic). Checked columns: n_tokens,
+      // n_byte_tokens, n_special, and the exact id SUM of the stream.
+      val K = 12
+      val vocabVals = LlmFunctions.bpeVocabPieces.zipWithIndex
+        .map { case (p, i) => s"('$p',$i)" }.mkString(",")
+      val steps = (1 to K).map { k =>
+        s"""s$k AS MATERIALIZED (
+           |  SELECT s.w,
+           |    CASE WHEN b.bi IS NULL THEN s.syms
+           |         ELSE list_concat(list_concat(s.syms[1:b.bi-1],
+           |              [s.syms[b.bi] || s.syms[b.bi+1]]),
+           |              s.syms[b.bi+2:len(s.syms)]) END AS syms
+           |  FROM s${k - 1} s LEFT JOIN (
+           |    SELECT w, arg_min(i, r * 100 + i) AS bi FROM (
+           |      SELECT s2.w, t.i, v.r
+           |      FROM s${k - 1} s2, UNNEST(range(1, len(s2.syms))) AS t(i)
+           |      JOIN vocab v ON v.p = s2.syms[i] || s2.syms[i + 1])
+           |    GROUP BY w) b USING (w))""".stripMargin
+      }.mkString(",\n")
+      val docId = LlmFunctions.specialIds("<|doc|>")
+      val endId = LlmFunctions.specialIds("<|end|>")
+      // UTF-8 byte count / byte-value sum of one codepoint, as SQL
+      val u8n = "CASE WHEN unicode(x) < 128 THEN 1 WHEN unicode(x) < 2048 THEN 2 " +
+        "WHEN unicode(x) < 65536 THEN 3 ELSE 4 END"
+      val u8sum = "CASE WHEN unicode(x) < 128 THEN unicode(x) " +
+        "WHEN unicode(x) < 2048 THEN (192 + unicode(x) // 64) + (128 + unicode(x) % 64) " +
+        "WHEN unicode(x) < 65536 THEN (224 + unicode(x) // 4096) + (128 + (unicode(x) // 64) % 64) + (128 + unicode(x) % 64) " +
+        "ELSE (240 + unicode(x) // 262144) + (128 + (unicode(x) // 4096) % 64) + (128 + (unicode(x) // 64) % 64) + (128 + unicode(x) % 64) END"
+      // whitespace chars are their own single tokens (id = codepoint)
+      val wsCodes = Seq(32, 9, 10, 13, 12)
+      val wsN = wsCodes.map(c =>
+        s"(length(s) - length(replace(s, chr($c), '')))").mkString(" + ")
+      val wsSum = wsCodes.map(c =>
+        s"(length(s) - length(replace(s, chr($c), ''))) * $c").mkString(" + ")
+      s"""WITH vocab(p, r) AS MATERIALIZED (SELECT * FROM (VALUES $vocabVals) AS vv(p, r)),
+         |inp AS (
          |  SELECT doc_id,
-         |    '<|doc|>' || nfc_normalize(text || ' e' || chr(769) || chr(169) || chr(20013)) || '<|end|>' AS s
+         |    nfc_normalize(text || ' e' || chr(769) || chr(169) || chr(20013)) AS s
          |  FROM documents),
-         |walk AS (
-         |  WITH RECURSIVE tok(doc_id, pos, n, nb, ns, nseg, head) AS (
-         |    SELECT doc_id, 1, 0, 0, 0, 0, '' FROM inp
-         |    UNION ALL
-         |    SELECT y.doc_id, y.pos + y.step,
-         |      y.n + CASE WHEN y.step = 1 THEN y.u8 ELSE 1 END,
-         |      y.nb + CASE WHEN y.step = 1 AND y.u8 > 1 THEN y.u8 ELSE 0 END,
-         |      y.ns + CASE WHEN y.step = 7 THEN 1 ELSE 0 END,
-         |      y.nseg + 1,
-         |      y.head || CASE WHEN y.nseg < 5
-         |                     THEN substring(y.s, y.pos, y.step) || ','
-         |                     ELSE '' END
-         |    FROM (
-         |      SELECT x.*, $step AS step,
-         |        CASE WHEN unicode(substring(x.s, x.pos, 1)) < 128 THEN 1
-         |             WHEN unicode(substring(x.s, x.pos, 1)) < 2048 THEN 2
-         |             WHEN unicode(substring(x.s, x.pos, 1)) < 65536 THEN 3
-         |             ELSE 4 END AS u8
-         |      FROM (
-         |        SELECT t.doc_id, t.pos, t.n, t.nb, t.ns, t.nseg, t.head, i.s
-         |        FROM tok t JOIN inp i USING (doc_id)
-         |        WHERE t.pos <= length(i.s)
-         |      ) x
-         |    ) y
-         |  )
-         |  SELECT doc_id, max(n) AS n, max(nb) AS nb, max(ns) AS ns,
-         |         max_by(head, pos) AS head
-         |  FROM tok GROUP BY doc_id)
-         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-         |  CAST(nb AS BIGINT) AS n_byte_tokens, CAST(ns AS BIGINT) AS n_special,
-         |  head AS head_segments
-         |FROM walk""".stripMargin
+         |dw AS MATERIALIZED (
+         |  SELECT doc_id, t.w, count(*) AS cnt
+         |  FROM inp, UNNEST(regexp_extract_all(s, '\\S+')) AS t(w)
+         |  GROUP BY doc_id, t.w),
+         |s0 AS MATERIALIZED (SELECT DISTINCT w, regexp_extract_all(w, '.') AS syms FROM dw),
+         |$steps,
+         |wid AS (
+         |  SELECT sK.w,
+         |    SUM(CASE WHEN length(x) > 1 THEN 1 ELSE $u8n END) AS n_ids,
+         |    SUM(CASE WHEN length(x) = 1 AND unicode(x) >= 128 THEN $u8n ELSE 0 END) AS nb,
+         |    SUM(CASE WHEN length(x) > 1 THEN 256 + v.r ELSE $u8sum END) AS id_sum
+         |  FROM s$K sK, UNNEST(sK.syms) AS u(x) LEFT JOIN vocab v ON v.p = u.x
+         |  GROUP BY sK.w),
+         |agg AS (
+         |  SELECT dw.doc_id, SUM(dw.cnt * wid.n_ids) AS n,
+         |         SUM(dw.cnt * wid.nb) AS nb, SUM(dw.cnt * wid.id_sum) AS ids
+         |  FROM dw JOIN wid USING (w) GROUP BY dw.doc_id)
+         |SELECT i.doc_id,
+         |  CAST(2 + COALESCE(agg.n, 0) + $wsN AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(agg.nb, 0) AS BIGINT) AS n_byte_tokens,
+         |  CAST(2 AS BIGINT) AS n_special,
+         |  CAST($docId + $endId + COALESCE(agg.ids, 0) + $wsSum AS BIGINT) AS id_sum
+         |FROM inp i LEFT JOIN agg ON agg.doc_id = i.doc_id""".stripMargin
     },
 
     "llm_generate_echo" ->

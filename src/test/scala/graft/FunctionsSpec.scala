@@ -193,19 +193,19 @@ class FunctionsSpec extends AnyFunSuite {
     //   "the window" -> the | ' ' | window  (whole word "window" is a
     //   vocab piece at line 193; ids: merged piece = 256 + line index,
     //   single char = codepoint, ' ' = 32)
-    assert(LlmFunctions.bpePieces("the window") === Seq("the", " ", "window"))
-    assert(LlmFunctions.bpePieces("the window").map(LlmFunctions.bpeId) ===
+    assert(LlmFunctions.greedyPieces("the window") === Seq("the", " ", "window"))
+    assert(LlmFunctions.greedyPieces("the window").map(LlmFunctions.bpeId) ===
       Seq(488L, 32L, 449L))
     // "scan" is itself a piece; chars absent from every piece fall back
     // to codepoints
-    assert(LlmFunctions.bpePieces("scan").map(LlmFunctions.bpeId) === Seq(300L))
-    assert(LlmFunctions.bpePieces("xq").map(LlmFunctions.bpeId) === Seq(120L, 113L))
+    assert(LlmFunctions.greedyPieces("scan").map(LlmFunctions.bpeId) === Seq(300L))
+    assert(LlmFunctions.greedyPieces("xq").map(LlmFunctions.bpeId) === Seq(120L, 113L))
     // greedy = LONGEST match at each cursor, never a shorter prefix
-    assert(LlmFunctions.bpePieces("window").head.length > 2)
+    assert(LlmFunctions.greedyPieces("window").head.length > 2)
     // lossless: pieces concatenate back to the input
     val s = "big batch query over the customer table   with-punct! 42"
-    assert(LlmFunctions.bpePieces(s).mkString === s)
-    assert(LlmFunctions.bpePieces("") === Seq.empty)
+    assert(LlmFunctions.greedyPieces(s).mkString === s)
+    assert(LlmFunctions.greedyPieces("") === Seq.empty)
     // vocab contract the oracle's per-length probes rely on
     assert(LlmFunctions.bpeVocabPieces.forall(p =>
       p.length >= 2 && p.length <= LlmFunctions.MaxPieceLen))
@@ -215,10 +215,10 @@ class FunctionsSpec extends AnyFunSuite {
   test("tokenize/embed are deterministic column expressions") {
     import spark.implicits._
     val df = Seq("hello world").toDF("text")
-    val toks = df.select(LlmFunctions.tokenize(col("text"))).as[Seq[Long]].head()
+    val toks = df.select(LlmFunctions.tokenizeGreedy(col("text"))).as[Seq[Long]].head()
     // "hello world" -> he|l|l|o| |w|or|ld... greedy over the checked-in
     // vocab; just pin determinism + id-range here (exact walk above)
-    assert(toks.nonEmpty && toks === df.select(LlmFunctions.tokenize(col("text"))).as[Seq[Long]].head())
+    assert(toks.nonEmpty && toks === df.select(LlmFunctions.tokenizeGreedy(col("text"))).as[Seq[Long]].head())
     val emb = df.select(LlmFunctions.embed(col("text"), 8)).as[Seq[Double]].head()
     // bag-of-words projection: 2 words, each contributing [-1, 1)
     assert(emb.length === 8 && emb.forall(v => v >= -2.0 && v < 2.0))
