@@ -9,20 +9,32 @@ import graft.Tables._
   * `binary` columns with typed metadata, decode/feature-extract as a
   * partition-parallel operator.
   *
-  * The container has no image/audio codecs, so DECODE IS A DETERMINISTIC
-  * STUB (first bytes scaled into [0,1]) — but everything Spark-side is
-  * real: binary column, metadata struct, mapPartitions operator with a
-  * fixed output schema, per-row feature vectors. A real decoder swaps into
-  * `decodeStub` without touching the plan shape. Reference analog: the
-  * S3-Vectors / media path in bodo/pandas/physical/write_s3_vectors.h.
+  * Since r14 decode and resize are REAL: `javax.imageio` PNG/JPEG decode
+  * (ships with the JVM — no external codec, works offline) plus a
+  * deterministic nearest-neighbor resize ([[graft.multimodal.ImageCodec]]),
+  * oracle-gated on pinned pixel digests of the checked-in fixture images.
+  * The Spark side is the production shape: broadcast-joined binary
+  * column, mapPartitions with a fixed output schema, no driver collect.
+  * Reference analog: the S3-Vectors / media path in
+  * bodo/pandas/physical/write_s3_vectors.h.
   */
 object MultimodalQueries extends QueryModule {
 
-  /** Stub "decoder": 4 leading bytes -> [0,1] features; payloads shorter
-    * than 4 bytes are zero-padded (mirrored in the oracle) instead of
-    * throwing and failing the whole partition. */
-  private def decodeStub(bytes: Array[Byte]): Array[Double] =
-    (0 until 4).map(i => (if (i < bytes.length) bytes(i) & 0xff else 0) / 255.0).toArray
+  /** Pinned decode/resize facts of the checked-in fixture images
+    * (img_id, width, height, pixel_md5, mean_r, mean_g, mean_b,
+    * out_w, out_h, resized_md5). Produced by graft.tools.GenImg from
+    * the formula-generated PNGs; ImageCodecSpec re-derives them from
+    * an INDEPENDENT formula + naive resize, so a platform decode drift
+    * fails the spec before it can fail the oracle. */
+  private[graft] val pins: Seq[(Int, Int, Int, String, Double, Double, Double, Int, Int, String)] = Seq(
+    (0, 16, 12, "982bdbe8ac78d10bfac4f4ae75c13076", 69.0, 86.5, 121.0, 64, 48, "a66472f4879db73468d29a632acb1df2"),
+    (1, 21, 15, "0a588da68d294691878d8c2886edcdda", 102.0, 116.0, 132.74285714285713, 64, 45, "166f7f67ae3b80f660deb3bbd5388bc3"),
+    (2, 26, 18, "77f6cc4a630a287157f1564bb41aa034", 135.0, 134.55982905982907, 122.04273504273505, 64, 44, "6abc65ad34e114c3a5ce3b9da30e3822"),
+    (3, 31, 21, "7628e42704f173f63938467463331a25", 142.43932411674348, 122.6989247311828, 124.45468509984639, 64, 43, "3f6b3118da0a84669b1ab4ec4d1d1ebd"),
+    (4, 36, 24, "fc4c488a41cdd852e9a7e1242efe2493", 128.40740740740742, 118.27777777777777, 132.11111111111111, 64, 42, "40e8239580a53ca2a654b9167b5aa4fb"),
+    (5, 41, 27, "c5bc5e98c2e078b88a4fa2c6f9003902", 125.07859078590786, 121.60975609756098, 130.82023486901537, 64, 42, "79af5e308629d9183706cedd1719382b"),
+    (6, 46, 30, "68db491387e92cba346f921aae7334fb", 129.91014492753624, 130.3057971014493, 127.69565217391305, 64, 41, "eabae48b66654e1e36768cf54d8ba590"),
+    (7, 51, 33, "a615f2f507ab9700aba136205976ab41", 139.22043969102793, 136.17528223410577, 128.4230540701129, 64, 41, "2a9bd44b31a04271ef3d778c375d8fb7"))
 
   override def queries: Map[String, QueryFn] = Map(
     // Binary payload + typed metadata struct; pure column ops.
@@ -41,45 +53,59 @@ object MultimodalQueries extends QueryModule {
           col("meta.channels").as("channels"))
     }),
 
-    // Decode via mapPartitions over the binary column: the real operator
-    // shape (schema in/out, batch iteration, no driver collect).
+    // REAL image decode (r14): each document carries the checked-in PNG
+    // img(doc_id % 8) as a broadcast-joined binary column; mapPartitions
+    // decodes via javax.imageio per row and emits dimensions + the md5
+    // of the row-major RGB buffer + exact per-channel means. The oracle
+    // joins the PINNED per-image facts — decode must be bit-exact.
     "multimodal_decode" -> ((s, d) => {
+      import graft.multimodal.{ImageCodec, ImageFixtures}
+      val imgs = s.createDataFrame(
+        (0 until ImageFixtures.N).map(i => (i, ImageFixtures.pngBytes(i))))
+        .toDF("img_id", "media")
       val in = documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("media"))
+        .select(col("doc_id"), (col("doc_id") % ImageFixtures.N).cast("int").as("img_id"))
+        .join(broadcast(imgs), "img_id")
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType),
-        StructField("f0", DoubleType), StructField("f1", DoubleType),
-        StructField("f2", DoubleType), StructField("f3", DoubleType)))
+        StructField("width", IntegerType), StructField("height", IntegerType),
+        StructField("pixel_md5", StringType),
+        StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+        StructField("mean_b", DoubleType)))
       in.mapPartitions { rows =>
         rows.map { r =>
-          val f = decodeStub(r.getAs[Array[Byte]]("media"))
-          Row(r.getLong(0), f(0), f(1), f(2), f(3))
+          val dec = ImageCodec.decode(r.getAs[Array[Byte]]("media"))
+          val (mr, mg, mb) = ImageCodec.channelMeans(dec)
+          Row(r.getAs[Long]("doc_id"), dec.width, dec.height,
+            ImageCodec.md5Hex(dec.rgb), mr, mg, mb)
         }
       }(Encoders.row(outSchema))
     }),
 
-    // Resize planning: aspect-preserving fit into a 64x64 box from the
-    // metadata struct, plus the resized payload size — the pure-arithmetic
-    // half of an image resize (the pixel transform itself would live in
-    // the decodeStub slot). Same mapPartitions operator shape as decode:
-    // fixed schema in/out, no driver collect, IEEE double scale math the
-    // oracle replays exactly.
+    // REAL resize (r14): decode + deterministic nearest-neighbor fit
+    // into a 64x64 box (our own arithmetic — Graphics2D scaling is
+    // platform-dependent; pinned digests need bit-exact pixels). Output
+    // is the fitted dims, resized-buffer md5, and payload size.
     "multimodal_resize" -> ((s, d) => {
+      import graft.multimodal.{ImageCodec, ImageFixtures}
+      val imgs = s.createDataFrame(
+        (0 until ImageFixtures.N).map(i => (i, ImageFixtures.pngBytes(i))))
+        .toDF("img_id", "media")
       val in = documents(s, d)
-        .select(col("doc_id"),
-          (lit(64) + (col("doc_id") % 16) * 8).cast("int").as("width"),
-          (lit(48) + (col("doc_id") % 9) * 8).cast("int").as("height"))
+        .select(col("doc_id"), (col("doc_id") % ImageFixtures.N).cast("int").as("img_id"))
+        .join(broadcast(imgs), "img_id")
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("out_w", IntegerType), StructField("out_h", IntegerType),
+        StructField("resized_md5", StringType),
         StructField("out_bytes", LongType)))
       in.mapPartitions { rows =>
         rows.map { r =>
-          val w = r.getInt(1); val h = r.getInt(2)
-          val scale = math.min(64.0 / w, 64.0 / h)
-          val ow = math.max(1, math.floor(w * scale).toInt)
-          val oh = math.max(1, math.floor(h * scale).toInt)
-          Row(r.getLong(0), ow, oh, ow.toLong * oh * 3)
+          val dec = ImageCodec.decode(r.getAs[Array[Byte]]("media"))
+          val (ow, oh) = ImageCodec.fitBox(dec.width, dec.height, 64)
+          val rs = ImageCodec.resizeNearest(dec, ow, oh)
+          Row(r.getAs[Long]("doc_id"), ow, oh,
+            ImageCodec.md5Hex(rs.rgb), ow.toLong * oh * 3)
         }
       }(Encoders.row(outSchema))
     }),
@@ -104,6 +130,7 @@ object MultimodalQueries extends QueryModule {
     })
   )
 
+
   override def oracle: Map[String, String] = Map(
     // ASCII fixture text: byte length == n_chars, byte k == ascii(char k).
     "multimodal_meta" ->
@@ -113,30 +140,28 @@ object MultimodalQueries extends QueryModule {
         |  3 AS channels
         |FROM documents""".stripMargin,
 
-    // coalesce-with-0 mirrors the stub's zero padding of short payloads
-    "multimodal_decode" ->
-      """SELECT doc_id,
-        |  CASE WHEN length(text) >= 1 THEN ascii(substring(text, 1, 1)) ELSE 0 END / 255.0 AS f0,
-        |  CASE WHEN length(text) >= 2 THEN ascii(substring(text, 2, 1)) ELSE 0 END / 255.0 AS f1,
-        |  CASE WHEN length(text) >= 3 THEN ascii(substring(text, 3, 1)) ELSE 0 END / 255.0 AS f2,
-        |  CASE WHEN length(text) >= 4 THEN ascii(substring(text, 4, 1)) ELSE 0 END / 255.0 AS f3
-        |FROM documents""".stripMargin,
+    // pinned per-image decode facts (see `pins`): the engine must
+    // reproduce exact dimensions, RGB md5, and channel means
+    "multimodal_decode" -> {
+      val rows = pins.map { case (i, w, h, md5p, mr, mg, mb, _, _, _) =>
+        s"($i, $w, $h, '$md5p', $mr, $mg, $mb)" }.mkString(",\n    ")
+      s"""WITH pins(img_id, width, height, pixel_md5, mean_r, mean_g, mean_b) AS (
+         |  VALUES $rows)
+         |SELECT d.doc_id, p.width, p.height, p.pixel_md5,
+         |       p.mean_r, p.mean_g, p.mean_b
+         |FROM documents d JOIN pins p ON p.img_id = d.doc_id % 8""".stripMargin
+    },
 
-    // identical IEEE double ops: least(64/w, 64/h), floor, greatest-1 clamp
-    "multimodal_resize" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    CAST(64 + (doc_id % 16) * 8 AS INTEGER) AS w,
-        |    CAST(48 + (doc_id % 9) * 8 AS INTEGER) AS h
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id,
-        |    CAST(greatest(1, CAST(floor(w * least(64.0 / w, 64.0 / h)) AS INTEGER)) AS INTEGER) AS out_w,
-        |    CAST(greatest(1, CAST(floor(h * least(64.0 / w, 64.0 / h)) AS INTEGER)) AS INTEGER) AS out_h
-        |  FROM m)
-        |SELECT doc_id, out_w, out_h,
-        |  CAST(out_w AS BIGINT) * out_h * 3 AS out_bytes
-        |FROM r""".stripMargin,
+    // pinned resize facts: fitted dims + resized-buffer md5 + size
+    "multimodal_resize" -> {
+      val rows = pins.map { case (i, _, _, _, _, _, _, ow, oh, md5r) =>
+        s"($i, $ow, $oh, '$md5r', ${ow.toLong * oh * 3})" }.mkString(",\n    ")
+      s"""WITH pins(img_id, out_w, out_h, resized_md5, out_bytes) AS (
+         |  VALUES $rows)
+         |SELECT d.doc_id, p.out_w, p.out_h, p.resized_md5,
+         |       CAST(p.out_bytes AS BIGINT) AS out_bytes
+         |FROM documents d JOIN pins p ON p.img_id = d.doc_id % 8""".stripMargin
+    },
 
     "multimodal_frame_sample" ->
       """WITH f AS (
