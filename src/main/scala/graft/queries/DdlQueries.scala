@@ -432,6 +432,34 @@ object DdlQueries extends QueryModule {
     // file inventory as ordinary SQL, rows from manifest metadata only.
     // The gated output pins the per-version history plus the CURRENT
     // file inventory rollup (4 files, all non-empty).
+    // Per-partition rollup (Iceberg's `partitions` metadata table): the
+    // relation users query for skew/file-size audits. Each INSERT on a
+    // hidden-partitioned table writes ONE file per touched tuple
+    // (writePartitionedData's small-files discipline), so n_files per
+    // partition is exactly the number of inserts containing that value
+    // — stated as a literal in the relational oracle alongside the
+    // recomputed per-partition row counts.
+    "ddl_partitions" -> ((s, d) => {
+      registerViews(s, d)
+      val ns = "gatep_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      snapFixture(s, d, "sqlcat_partitions") { _ =>
+        s.sql(s"DROP TABLE IF EXISTS snap.$ns.cust_p")
+        s.sql(
+          s"""CREATE TABLE snap.$ns.cust_p
+             |  (c_custkey BIGINT, seg BIGINT, c_acctbal DOUBLE)
+             |  USING snapshotlog PARTITIONED BY (seg)""".stripMargin)
+        s.sql(
+          s"""INSERT INTO snap.$ns.cust_p
+             |SELECT c_custkey, c_custkey % 4, c_acctbal FROM customer
+             |WHERE c_custkey % 8 < 4""".stripMargin)
+        s.sql(
+          s"""INSERT INTO snap.$ns.cust_p
+             |SELECT c_custkey, c_custkey % 4, c_acctbal FROM customer
+             |WHERE c_custkey % 8 >= 4""".stripMargin): Unit
+      }
+      s.sql(s"SELECT partition, n_files, n_rows FROM snap.$ns.cust_p.partitions")
+    }),
+
     "ddl_meta_tables" -> ((s, d) => {
       val ns = sqlCatNs(s, d)
       val hist = s.sql(
@@ -893,6 +921,13 @@ object DdlQueries extends QueryModule {
         |FROM orders WHERE o_orderkey % 10 = 7
         |UNION ALL
         |SELECT 'after_rewrite', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)""".stripMargin,
+
+    "ddl_partitions" ->
+      """SELECT 'seg=' || CAST(seg AS VARCHAR) AS "partition",
+        |  CAST(2 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM (SELECT c_custkey % 4 AS seg FROM customer)
+        |GROUP BY seg""".stripMargin,
 
     // CTAS = v1 create (0 files) + v2 append (2); INSERT = v3 append (4).
     "ddl_meta_tables" ->

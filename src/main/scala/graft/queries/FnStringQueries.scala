@@ -101,8 +101,8 @@ object FnStringQueries extends QueryModule {
     "fn_string3" -> ((s, d) => {
       part(s, d).filter(col("p_partkey") % 6 === 0).select(
         col("p_partkey"),
-        ltrim(col("p_name"), "sprd").as("lt_cs"),
-        rtrim(col("p_name"), "aeiou").as("rt_cs"),
+        expr("trim(LEADING 'sprd' FROM p_name)").as("lt_cs"),
+        expr("trim(TRAILING 'aeiou' FROM p_name)").as("rt_cs"),
         expr("trim(BOTH 'sdm' FROM p_name)").as("tb_cs"),
         array_join(split(col("p_type"), " "), "|").as("strtok_arr"),
         substring(col("p_name"), -4, 3).as("sub_neg"),

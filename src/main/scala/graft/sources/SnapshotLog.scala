@@ -877,6 +877,118 @@ object SnapshotLog {
     next
   }
 
+  /** Per-column statistics of one ANALYZE pass: KMV sketch (the k
+    * smallest 60-bit hashes — MERGEABLE state, the Iceberg Puffin/theta
+    * pattern), NDV derived from it, null count, and stringified
+    * avg/max lengths. */
+  final case class ColStat(ndv: Long, nulls: Long, avgLen: Long,
+                           maxLen: Long, k: Int, kmv: Seq[Long])
+
+  /** ANALYZE (Iceberg's ANALYZE + Puffin statistics-file analog): ONE
+    * distributed aggregate pass over the current snapshot computes a
+    * per-column KMV sketch + null count + lengths (bounded k-long state
+    * per column, map-side combined — feasible at 100 TB), persisted as
+    * an immutable sidecar `_log/colstats-vNNNNN.json` keyed by the
+    * analyzed version. Readers pick the newest stats at-or-below their
+    * pinned version ([[colStatsFor]]) and surface row counts + NDV +
+    * min/max through `SupportsReportStatistics`, which Spark's CBO maps
+    * into per-attribute estimates (filter selectivity, join sizing,
+    * broadcast decisions — SnapshotStatsSpec pins the plan flip).
+    * Returns the analyzed version. */
+  def analyze(spark: SparkSession, root: String,
+              k: Int = 256): Int = {
+    import org.apache.spark.sql.functions.{avg, col, count, expr, length, lit, max => fmax}
+    import graft.text.TextKernels.md5Long
+    val cur = pick(spark, root, None, None)
+    // self-contained registration: analyze must work in sessions built
+    // without GraftExtensions
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_sketch"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.KmvSketch].getName, "kmv_sketch"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case Seq(c) => graft.functions.KmvSketch(c)
+          case Seq(c, kk) => graft.functions.KmvSketch(c,
+            kk.eval().asInstanceOf[Int])
+          case _ => throw new IllegalArgumentException("kmv_sketch(hash60[, k])")
+        })
+    val supported = cur.schema.fields.filter(f => f.dataType match {
+      case IntegerType | LongType | ShortType | ByteType | FloatType |
+           DoubleType | StringType | DateType | TimestampType |
+           TimestampNTZType | BooleanType => true
+      case _ => false
+    }).toSeq
+    val df = spark.read.format("snapshotlog")
+      .option("asOfVersion", cur.version).load(root)
+    val sel = supported.flatMap { f =>
+      Seq(md5Long(col(f.name).cast("string")).as(s"__h_${f.name}"),
+        col(f.name).cast("string").as(s"__s_${f.name}"))
+    }
+    val aggs = count(lit(1)).as("__n") +: supported.flatMap { f =>
+      Seq(expr(s"kmv_sketch(`__h_${f.name}`, $k)").as(s"__kmv_${f.name}"),
+        count(col(s"__s_${f.name}")).as(s"__cnt_${f.name}"),
+        avg(length(col(s"__s_${f.name}"))).as(s"__avg_${f.name}"),
+        fmax(length(col(s"__s_${f.name}"))).as(s"__max_${f.name}"))
+    }
+    val row = df.select(sel: _*).agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n")
+    val cols = supported.map { f =>
+      val kmv = row.getSeq[Long](row.fieldIndex(s"__kmv_${f.name}")).toVector
+      val cnt = row.getAs[Long](s"__cnt_${f.name}")
+      val avgL = Option(row.getAs[Any](s"__avg_${f.name}"))
+        .map(v => math.round(v.asInstanceOf[Double])).getOrElse(0L)
+      val maxL = Option(row.getAs[Any](s"__max_${f.name}"))
+        .map(_.asInstanceOf[Int].toLong).getOrElse(0L)
+      f.name -> ColStat(graft.functions.KmvNdv.estimateFromSketch(kmv, k),
+        n - cnt, avgL, maxL, k, kmv)
+    }
+    val node = om.createObjectNode()
+    node.put("version", cur.version)
+    node.put("rowCount", n)
+    val cn = node.putObject("cols")
+    cols.foreach { case (name, cs) =>
+      val c = cn.putObject(name)
+      c.put("ndv", cs.ndv); c.put("nulls", cs.nulls)
+      c.put("avgLen", cs.avgLen); c.put("maxLen", cs.maxLen)
+      c.put("k", cs.k)
+      val arr = c.putArray("kmv")
+      cs.kmv.foreach(arr.add)
+    }
+    val p = new Path(logDir(root), f"colstats-v${cur.version}%05d.json")
+    val fs = fsFor(spark, p)
+    val out = fs.create(p, true) // re-analyze overwrites
+    try out.write(om.writeValueAsBytes(node)) finally out.close()
+    cur.version
+  }
+
+  /** Newest ANALYZE result at-or-below `version`:
+    * (analyzed version, total rows then, per-column stats). */
+  def colStatsFor(spark: SparkSession, root: String,
+                  version: Int): Option[(Int, Long, Map[String, ColStat])] = {
+    val dir = logDir(root)
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(dir)) return None
+    val re = "colstats-v(\\d{5})\\.json".r
+    val best = fs.listStatus(dir).map(_.getPath.getName).collect {
+      case nm @ re(v) if v.toInt <= version => (v.toInt, nm)
+    }.sortBy(_._1).lastOption
+    best.map { case (v, nm) =>
+      val t = om.readTree(readBytes(fs, new Path(dir, nm)))
+      val cols = Option(t.get("cols")).map { cn =>
+        cn.fields().asScala.map { fe =>
+          val c = fe.getValue
+          fe.getKey -> ColStat(c.get("ndv").asLong(), c.get("nulls").asLong(),
+            c.get("avgLen").asLong(), c.get("maxLen").asLong(),
+            c.get("k").asInt(),
+            Option(c.get("kmv")).map(_.elements().asScala.map(_.asLong()).toSeq)
+              .getOrElse(Seq.empty))
+        }.toMap
+      }.getOrElse(Map.empty[String, ColStat])
+      (v, t.get("rowCount").asLong(), cols)
+    }
+  }
+
   /** TABLE-LEVEL properties (Iceberg table-properties analog): a small
     * JSON beside the log. Unlike per-snapshot commit `props` these
     * configure WRITE BEHAVIOR for future statements — e.g.

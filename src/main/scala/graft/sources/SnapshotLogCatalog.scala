@@ -101,7 +101,8 @@ class SnapshotLogCatalog extends TableCatalog
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
     load(ident, None, Some(timestampMicros / 1000L))
 
-  private val metaSuffixes = Set("history", "files", "snapshots", "refs", "deletes")
+  private val metaSuffixes =
+    Set("history", "files", "snapshots", "refs", "deletes", "partitions")
 
   private def load(ident: Identifier, v: Option[Int], tsMs: Option[Long]): Table = {
     val root = rootFor(ident)
@@ -126,6 +127,9 @@ class SnapshotLogCatalog extends TableCatalog
               SnapshotMetaTable.refsTable(nm, SnapshotLog.refsTyped(spark, baseRoot))
             case "deletes" =>
               SnapshotMetaTable.deletesTable(nm,
+                SnapshotLog.pick(spark, baseRoot, v, tsMs))
+            case "partitions" =>
+              SnapshotMetaTable.partitionsTable(nm,
                 SnapshotLog.pick(spark, baseRoot, v, tsMs))
           }
         }

@@ -767,15 +767,84 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotLogReaderFactory(required.json, Some(snap.schema.json))
 
-  /** Post-pruning size from manifest metadata — a pruned probe of a huge
-    * table reads as broadcast-small BEFORE any file is opened. */
-  override def estimateStatistics(): V2Statistics = new V2Statistics {
-    override def sizeInBytes(): OptionalLong = {
-      val known = kept.flatMap(f => snap.sizes.get(SnapshotLog.norm(f)))
-      if (known.size == kept.size) OptionalLong.of(math.max(1L, known.sum))
-      else OptionalLong.empty() // pre-sizes manifest: no estimate
+  /** Post-pruning size/rows from manifest metadata — a pruned probe of a
+    * huge table reads as broadcast-small BEFORE any file is opened — plus
+    * per-column NDV/null/min-max statistics from the newest ANALYZE
+    * sidecar ([[SnapshotLog.colStatsFor]]), which Spark's
+    * `transformV2Stats` maps into per-attribute CBO estimates: filter
+    * selectivity then shrinks plan sizes, flipping join strategies the
+    * way real engines use Puffin/theta stats (SnapshotStatsSpec). */
+  override def estimateStatistics(): V2Statistics = {
+    val rowsKnown = kept.forall(f => snap.rows.contains(SnapshotLog.norm(f))) &&
+      kept.forall(f => !snap.dels.contains(SnapshotLog.norm(f))) // MoR: rows uncounted
+    val numRowsV: OptionalLong =
+      if (rowsKnown && kept.nonEmpty)
+        OptionalLong.of(kept.map(f => snap.rows(SnapshotLog.norm(f))).sum)
+      else if (kept.isEmpty) OptionalLong.of(0L)
+      else OptionalLong.empty()
+    val colStatsV: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (root.nonEmpty) {
+        val loaded = try SnapshotLog.colStatsFor(SparkSession.active, root, snap.version)
+                     catch { case _: Exception => None }
+        loaded.foreach { case (_, _, cols) =>
+          cols.foreach { case (name, cs) =>
+            snap.schema.fields.find(_.name == name).foreach { fd =>
+              // fold per-file footer bounds over the KEPT files into
+              // catalyst-internal min/max (numeric/time types only — the
+              // ones FilterEstimation consumes)
+              def bound(wantMin: Boolean): Option[Any] = {
+                val per = kept.map(f => snap.physName(f, name)
+                  .flatMap(p => snap.stats.getOrElse(SnapshotLog.norm(f), Map.empty).get(p)))
+                if (per.isEmpty || per.exists(_.isEmpty)) None
+                else {
+                  val vs = per.map(o => if (wantMin) o.get._1 else o.get._2)
+                  val best = vs.reduce((a, b) =>
+                    if (wantMin) (if (SnapshotLog.cmp(a, b) <= 0) a else b)
+                    else (if (SnapshotLog.cmp(a, b) >= 0) a else b))
+                  (best, fd.dataType) match {
+                    case (l: java.lang.Long, LongType | TimestampType | TimestampNTZType) => Some(l)
+                    case (l: java.lang.Long, IntegerType) => Some(Int.box(l.toInt))
+                    case (d: java.lang.Double, DoubleType) => Some(d)
+                    case (d: java.lang.Double, FloatType) => Some(Float.box(d.toFloat))
+                    case _ => None
+                  }
+                }
+              }
+              val mn = bound(wantMin = true)
+              val mx = bound(wantMin = false)
+              m.put(org.apache.spark.sql.connector.expressions.Expressions.column(name),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): OptionalLong = OptionalLong.of(cs.ndv)
+                  override def nullCount(): OptionalLong = OptionalLong.of(cs.nulls)
+                  override def avgLen(): OptionalLong = OptionalLong.of(math.max(1L, cs.avgLen))
+                  override def maxLen(): OptionalLong = OptionalLong.of(math.max(1L, cs.maxLen))
+                  override def min(): java.util.Optional[Object] =
+                    mn.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                      .getOrElse(java.util.Optional.empty[Object]())
+                  override def max(): java.util.Optional[Object] =
+                    mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                      .getOrElse(java.util.Optional.empty[Object]())
+                })
+            }
+          }
+        }
+      }
+      m
     }
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    new V2Statistics {
+      override def sizeInBytes(): OptionalLong = {
+        val known = kept.flatMap(f => snap.sizes.get(SnapshotLog.norm(f)))
+        if (known.size == kept.size) OptionalLong.of(math.max(1L, known.sum))
+        else OptionalLong.empty() // pre-sizes manifest: no estimate
+      }
+      override def numRows(): OptionalLong = numRowsV
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStatsV
+    }
   }
 }
 

@@ -91,6 +91,34 @@ private[sources] object SnapshotMetaTable {
         Seq(f, snap.sizes.get(key).map(Long.box).orNull, tuple.orNull)
       })
 
+  /** Per-partition rollup (Iceberg's `partitions` metadata table): one
+    * row per distinct partition tuple with file/row/byte totals — the
+    * relation users query for skew and file-size audits. NULL partition
+    * = unpartitioned files (or a null tuple). Row/byte totals are null
+    * when any member file predates the manifest field that records
+    * them (conservative, like the agg pushdown's refusal). */
+  def partitionsTable(name: String, snap: SnapshotLog.Snapshot): SnapshotMetaTable = {
+    val groups = snap.files.groupBy { f =>
+      val key = SnapshotLog.norm(f)
+      snap.parts.get(key)
+        .map(vs => snap.specOf(f).map(_._1).zip(vs)
+          .map { case (c, v) => s"$c=$v" }.mkString("/")).orNull
+    }
+    new SnapshotMetaTable(name,
+      StructType(Seq(
+        StructField("partition", StringType, nullable = true),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = true),
+        StructField("size_bytes", LongType, nullable = true))),
+      groups.toSeq.sortBy(g => Option(g._1).getOrElse("")).map { case (p, fs) =>
+        val rows = fs.map(f => snap.rows.get(SnapshotLog.norm(f)))
+        val sizes = fs.map(f => snap.sizes.get(SnapshotLog.norm(f)))
+        Seq(p, fs.size.toLong,
+          if (rows.exists(_.isEmpty)) null else Long.box(rows.flatten.sum),
+          if (sizes.exists(_.isEmpty)) null else Long.box(sizes.flatten.sum))
+      })
+  }
+
   def snapshots(name: String, snaps: Seq[SnapshotLog.Snapshot]): SnapshotMetaTable =
     new SnapshotMetaTable(name,
       StructType(Seq(

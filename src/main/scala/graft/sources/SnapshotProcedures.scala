@@ -50,6 +50,7 @@ private[sources] object SnapshotProcedures {
       case "fast_forward" => new FastForwardProc(warehouse)
       case "rewrite_position_delete_files" =>
         new RewriteDeleteFilesProc(warehouse)
+      case "analyze_table" => new AnalyzeTableProc(warehouse)
       case other => throw new UnsupportedOperationException(
         s"snapshotlog catalog: unknown procedure $other")
     }
@@ -109,6 +110,38 @@ private[sources] object SnapshotProcedures {
           StructField("files_after", LongType, nullable = false))),
         Seq(v, v != before.version, before.files.size.toLong,
           after.files.size.toLong))).asJava
+    }
+  }
+
+  /** CALL snap.system.analyze_table('ns.t') — one distributed pass
+    * computing per-column KMV sketches + null counts, persisted as the
+    * Puffin-style sidecar the planner's CBO statistics read
+    * ([[SnapshotLog.analyze]]). */
+  private class AnalyzeTableProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "analyze_table"
+    override def description(): String =
+      "compute per-column NDV/null statistics (KMV sketches) for the " +
+        "current snapshot and persist them for the planner"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("k", IntegerType).defaultValue("256").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val v = SnapshotLog.analyze(spark, root, input.getInt(1))
+      val stats = SnapshotLog.colStatsFor(spark, root, v)
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("analyzed_version", IntegerType, nullable = false),
+          StructField("row_count", LongType, nullable = false),
+          StructField("n_columns", LongType, nullable = false))),
+        Seq[Any](v, stats.map(_._2).getOrElse(0L),
+          stats.map(_._3.size.toLong).getOrElse(0L)))).asJava
     }
   }
 

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark.spark
+import graft.sources.SnapshotLog
+
+/** NDV statistics → planner (r14): ANALYZE writes a Puffin-style
+  * sidecar (KMV sketches + null counts); the DSv2 scan surfaces row
+  * counts, NDV, and footer min/max through SupportsReportStatistics;
+  * Spark's CBO then estimates filter selectivity — and the JOIN
+  * STRATEGY provably changes with stats present.
+  */
+class SnapshotStatsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val root = s"/tmp/graft_stats_spec/$tag"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    root
+  }
+
+  // string match: AQE wraps the plan in AdaptiveSparkPlanExec, whose
+  // inner plan is not reachable through .collect children
+  private def hasBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+
+  private def withConfs[A](kv: (String, String)*)(body: => A): A = {
+    val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  // incompressible-ish payload so parquet sizes track row counts
+  private def wide(n: Long) = spark.range(0, n, 1, 2).selectExpr(
+    "id AS k", "concat(md5(cast(id AS string)), md5(cast(id + 1 AS string)), " +
+      "md5(cast(id + 2 AS string)), md5(cast(id + 3 AS string))) AS pad")
+
+  test("ANALYZE stats flip the join to broadcast via filter selectivity") {
+    val bigRoot = freshRoot("big")
+    val otherRoot = freshRoot("other")
+    SnapshotLog.commit(wide(50000), bigRoot, overwrite = true, 100L, 1)
+    SnapshotLog.commit(wide(50000), otherRoot, overwrite = true, 100L, 1)
+    val snap = SnapshotLog.snapshots(spark, bigRoot).last
+    val tableBytes = snap.sizes.values.sum
+    assert(tableBytes > (1 << 20), s"fixture too small: $tableBytes bytes")
+
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (1 << 20).toString) {
+      // keep the wide pad columns in the join output: with exact row
+      // counts (always reported from the manifest) but NO column stats,
+      // the filter cannot be estimated selective, so both sides stay
+      // ~7MB and neither broadcasts; ANALYZE's min/max/NDV then prove
+      // `k < 20` keeps ~20 rows — only that flips the strategy
+      def q() = spark.read.format("snapshotlog").load(bigRoot)
+        .filter(col("k") < 20)
+        .join(spark.read.format("snapshotlog").load(otherRoot)
+          .withColumnRenamed("pad", "pad2"), "k")
+      assert(!hasBroadcast(q()),
+        "without stats the join must not broadcast:\n" +
+          q().queryExecution.executedPlan.toString)
+
+      val v = SnapshotLog.analyze(spark, bigRoot)
+      assert(v === 1)
+      // WITH stats: rowCount + NDV + min/max make `k < 20` provably tiny
+      // — the filtered side becomes broadcast-eligible
+      val after = q()
+      assert(hasBroadcast(after),
+        "with ANALYZE stats the filtered side must broadcast:\n" +
+          after.queryExecution.executedPlan.toString)
+      assert(after.select("k").distinct().count() === 20)
+    }
+  }
+
+  test("scan reports exact post-prune row counts and per-column NDV") {
+    val root = freshRoot("ndv")
+    SnapshotLog.commit(
+      spark.range(0, 10000).selectExpr("id AS k", "id % 40 AS grp",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE concat('u', id % 500) END AS tag"),
+      root, overwrite = true, 100L, 4)
+    SnapshotLog.analyze(spark, root)
+    val (v, rows, cols) = SnapshotLog.colStatsFor(spark, root, 1).get
+    assert(v === 1 && rows === 10000L)
+    assert(cols("k").ndv > 9000 && cols("k").ndv < 11000) // KMV estimate
+    assert(cols("grp").ndv === 40) // below k: exact
+    assert(cols("tag").nulls === 1000)
+    assert(cols("tag").ndv > 400 && cols("tag").ndv < 600) // 500 > k: estimate
+
+    val df = spark.read.format("snapshotlog").load(root)
+    val stats = df.queryExecution.optimizedPlan.stats
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val s2 = spark.read.format("snapshotlog").load(root)
+        .queryExecution.optimizedPlan.stats
+      assert(s2.rowCount.contains(BigInt(10000)),
+        s"expected exact rowCount, got ${s2.rowCount}")
+      assert(s2.attributeStats.nonEmpty, "expected per-attribute NDV stats")
+      val grpStat = s2.attributeStats.find(_._1.name == "grp").map(_._2)
+      assert(grpStat.exists(_.distinctCount.contains(BigInt(40))))
+    }
+    assert(stats.sizeInBytes > 0)
+  }
+
+  test("stats refer to the analyzed version: later versions still plan, " +
+       "pre-analyze pins see no column stats") {
+    val root = freshRoot("versions")
+    SnapshotLog.commit(spark.range(0, 1000).selectExpr("id AS k"),
+      root, overwrite = true, 100L)
+    SnapshotLog.commit(spark.range(1000, 2000).selectExpr("id AS k"),
+      root, overwrite = false, 200L)
+    SnapshotLog.analyze(spark, root) // analyzes v2
+    assert(SnapshotLog.colStatsFor(spark, root, 1).isEmpty,
+      "a v1 pin must not see stats computed at v2")
+    assert(SnapshotLog.colStatsFor(spark, root, 2).exists(_._1 == 2))
+    // a later append still reads/plans fine with v2 stats as estimates
+    SnapshotLog.commit(spark.range(2000, 2500).selectExpr("id AS k"),
+      root, overwrite = false, 300L)
+    assert(spark.read.format("snapshotlog").load(root).count() === 2500)
+    assert(SnapshotLog.colStatsFor(spark, root, 3).exists(_._1 == 2))
+  }
+
+  test("CALL snap.system.analyze_table runs the ANALYZE pass via SQL") {
+    val wh = "/tmp/graft_snap_warehouse"
+    val fs = new Path(s"$wh/statsns").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"$wh/statsns"), true)
+    spark.sql("DROP TABLE IF EXISTS snap.statsns.t")
+    spark.sql("CREATE TABLE snap.statsns.t AS SELECT id AS k, id % 25 AS g FROM range(5000)")
+    val r = spark.sql("CALL snap.system.analyze_table('statsns.t')").head()
+    assert(r.getInt(0) === 2) // CTAS = create v1 + append v2
+    assert(r.getLong(1) === 5000L)
+    assert(r.getLong(2) === 2L)
+    val (_, _, cols) = SnapshotLog.colStatsFor(spark, s"$wh/statsns/t", 2).get
+    assert(cols("g").ndv === 25)
+  }
+
+  test("kmv_sketch merges across partitions like the live kmv_ndv buffer") {
+    val df = spark.range(0, 5000, 1, 8).selectExpr("id % 700 AS v")
+    val root = freshRoot("sketch")
+    SnapshotLog.commit(df, root, overwrite = true, 100L, 8)
+    SnapshotLog.analyze(spark, root, k = 1024)
+    val (_, _, cols) = SnapshotLog.colStatsFor(spark, root, 1).get
+    assert(cols("v").ndv === 700, "below-k sketch must be exact across 8 partitions")
+  }
+}
