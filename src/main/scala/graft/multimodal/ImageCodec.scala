@@ -49,6 +49,24 @@ object ImageCodec {
     Decoded(w, h, out)
   }
 
+  /** Content-addressed decode memo: a corpus carries far fewer DISTINCT
+    * assets than rows referencing them (and fixtures reuse 8 images
+    * across every row) — cache decoded pixels by payload digest, bounded
+    * per executor JVM. */
+  private val decodeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Decoded]()
+  def decodeCached(bytes: Array[Byte]): Decoded = {
+    val key = md5Hex(bytes)
+    val hit = decodeCache.get(key)
+    if (hit != null) hit
+    else {
+      val d = decode(bytes)
+      if (decodeCache.size > 64) decodeCache.clear()
+      decodeCache.put(key, d)
+      d
+    }
+  }
+
   /** Aspect-preserving fit of (w, h) into a `box`×`box` square. */
   def fitBox(w: Int, h: Int, box: Int): (Int, Int) = {
     val scale = math.min(box.toDouble / w, box.toDouble / h)

@@ -74,7 +74,7 @@ object MultimodalQueries extends QueryModule {
         StructField("mean_b", DoubleType)))
       in.mapPartitions { rows =>
         rows.map { r =>
-          val dec = ImageCodec.decode(r.getAs[Array[Byte]]("media"))
+          val dec = ImageCodec.decodeCached(r.getAs[Array[Byte]]("media"))
           val (mr, mg, mb) = ImageCodec.channelMeans(dec)
           Row(r.getAs[Long]("doc_id"), dec.width, dec.height,
             ImageCodec.md5Hex(dec.rgb), mr, mg, mb)
@@ -101,7 +101,7 @@ object MultimodalQueries extends QueryModule {
         StructField("out_bytes", LongType)))
       in.mapPartitions { rows =>
         rows.map { r =>
-          val dec = ImageCodec.decode(r.getAs[Array[Byte]]("media"))
+          val dec = ImageCodec.decodeCached(r.getAs[Array[Byte]]("media"))
           val (ow, oh) = ImageCodec.fitBox(dec.width, dec.height, 64)
           val rs = ImageCodec.resizeNearest(dec, ow, oh)
           Row(r.getAs[Long]("doc_id"), ow, oh,

@@ -959,12 +959,37 @@ object SnapshotLog {
     val fs = fsFor(spark, p)
     val out = fs.create(p, true) // re-analyze overwrites
     try out.write(om.writeValueAsBytes(node)) finally out.close()
+    invalidateColStats(root)
     cur.version
+  }
+
+  // (root, pinned version) -> resolved stats. Planning calls
+  // estimateStatistics per query; without this cache every plan pays a
+  // directory listing (50-100 ms on an object store). analyze() in this
+  // JVM invalidates the root's entries; an analyze from ANOTHER driver
+  // at an unchanged version is picked up lazily (stats are estimates —
+  // staleness changes plans, never results).
+  private val colStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Option[(Int, Long, Map[String, ColStat])]]()
+  private[sources] def invalidateColStats(root: String): Unit = {
+    val n = norm(root)
+    colStatsCache.keySet.removeIf(_._1 == n)
   }
 
   /** Newest ANALYZE result at-or-below `version`:
     * (analyzed version, total rows then, per-column stats). */
   def colStatsFor(spark: SparkSession, root: String,
+                  version: Int): Option[(Int, Long, Map[String, ColStat])] = {
+    val ck = (norm(root), version)
+    val hit = colStatsCache.get(ck)
+    if (hit != null) return hit
+    val computed = colStatsUncached(spark, root, version)
+    if (colStatsCache.size > 4096) colStatsCache.clear()
+    colStatsCache.put(ck, computed)
+    computed
+  }
+
+  private def colStatsUncached(spark: SparkSession, root: String,
                   version: Int): Option[(Int, Long, Map[String, ColStat])] = {
     val dir = logDir(root)
     val fs = fsFor(spark, dir)
