@@ -25,10 +25,20 @@ class SnapshotDmlPropertySpec extends AnyFunSuite {
   private def bulkStateOf(root: String): Map[Long, Long] =
     SnapshotLog.read(spark, root).as[(Long, Long)].collect().toMap
 
-  for (seed <- Seq(7, 23, 91)) {
-    test(s"random DML sequence equals the model (seed $seed)") {
+  // (seed, shard threshold): the None rows run the legacy single-manifest
+  // layout; the Some(4) rows force MANIFEST-LIST SHARDING (r14) so the
+  // same random interplay exercises shard reuse, tombstones, and
+  // re-homing under every DML flavor
+  for ((seed, shardMin) <- Seq((7, None), (23, None), (91, None),
+         (41, Some(4)), (67, Some(4)))) {
+    test(s"random DML sequence equals the model (seed $seed" +
+         shardMin.map(m => s", shardMin $m").getOrElse("") + ")") {
+      val shardKey = "spark.graft.snapshot.shardMin"
+      val oldShard = spark.conf.getOption(shardKey)
+      shardMin.foreach(m => spark.conf.set(shardKey, m.toString))
+      try {
       val rnd = new scala.util.Random(seed)
-      val root = s"/tmp/graft_snaplog_spec/dmlprop_$seed"
+      val root = s"/tmp/graft_snaplog_spec/dmlprop_${seed}_${shardMin.getOrElse(0)}"
       val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(new Path(root), true)
 
@@ -50,10 +60,11 @@ class SnapshotDmlPropertySpec extends AnyFunSuite {
       appendBatch(30) // seed content
 
       val opNames = scala.collection.mutable.ArrayBuffer[String]()
+      var sawShards = false
       var branchN = 0
       for (step <- 0 until 14) {
         val existing = model.keys.toSeq.sorted
-        rnd.nextInt(7) match {
+        rnd.nextInt(8) match {
           case 0 => // append new keys
             opNames += "append"
             appendBatch(5 + rnd.nextInt(10))
@@ -114,7 +125,13 @@ class SnapshotDmlPropertySpec extends AnyFunSuite {
             SnapshotLog.fastForward(spark, root, br, tick())
             SnapshotLog.dropBranch(spark, root, br)
             model ++= staged
+          case 7 => // ANALYZE: stats sidecar must never change results
+            opNames += "analyze"
+            SnapshotLog.analyze(spark, root, k = 64)
         }
+        if (shardMin.isDefined &&
+            SnapshotLog.snapshots(spark, root).last.shardPaths.nonEmpty)
+          sawShards = true
         val ctx = s"seed=$seed step=$step ops=${opNames.mkString(",")}"
         assert(stateOf(root) === model, s"DSv2 read diverged ($ctx)")
         assert(bulkStateOf(root) === model, s"bulk read diverged ($ctx)")
@@ -126,6 +143,16 @@ class SnapshotDmlPropertySpec extends AnyFunSuite {
       SnapshotLog.expireSnapshots(spark, root, keepFromVersion = head)
       assert(stateOf(root) === model, s"post-expiry read diverged (seed=$seed)")
       assert(SnapshotLog.snapshots(spark, root).last.dels.isEmpty)
+      if (shardMin.isDefined) {
+        // the sharded variants must have actually exercised shards at
+        // some point (the final compaction may fold below the threshold)
+        assert(sawShards,
+          s"shardMin=${shardMin.get} run never sharded (seed=$seed)")
+      }
+      } finally oldShard match {
+        case Some(v) => spark.conf.set(shardKey, v)
+        case None => spark.conf.unset(shardKey)
+      }
     }
   }
 }
