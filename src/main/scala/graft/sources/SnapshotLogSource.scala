@@ -1174,7 +1174,40 @@ private[sources] class SnapshotVectorReader(file: String, required: StructType,
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
   locally {
-    reader.initialize(file, readCols.toList.asJava)
+    // split-based initialize: unlike the (path, columns) helper — which
+    // builds a BARE Configuration internally — this path reads the
+    // TaskAttemptContext's conf, so the SESSION hadoop conf (s3a
+    // credentials, fs tuning) reaches the vectorized read on a real
+    // cluster. The projection travels as Spark's requested-schema conf
+    // (required columns first, then hidden eq-key extras — batch column
+    // order follows this struct), and columns missing from a file
+    // null-fill via the reader's own constant-null vectors.
+    val readStruct = StructType(readCols.map { n =>
+      required.fields.find(_.name == n)
+        .getOrElse(tableSchema.fields.find(_.name == n).getOrElse(
+          throw new IllegalStateException(s"snapshotlog: no schema for $n")))
+    }.map(f => StructField(f.name, f.dataType, nullable = true)))
+    val c = new Configuration(conf)
+    c.set(org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+      .SPARK_ROW_REQUESTED_SCHEMA, readStruct.json)
+    c.set("parquet.read.support.class",
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    // ParquetToSparkSchemaConverter(conf) requires these present (no
+    // fallback in its ctor); session values win, Spark defaults fill in
+    def ensure(key: String, dflt: String): Unit = {
+      val v = c.get(key)
+      if (v == null || v == "null") c.set(key, dflt)
+    }
+    ensure("spark.sql.parquet.binaryAsString", "false")
+    ensure("spark.sql.parquet.int96AsTimestamp", "true")
+    ensure("spark.sql.caseSensitive", "false")
+    ensure("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    ensure("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new Path(file), 0, Long.MaxValue, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      c, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    reader.initialize(split, ctx)
     reader.enableReturningBatches()
   }
 
