@@ -36,6 +36,17 @@ object MultimodalQueries extends QueryModule {
     (6, 46, 30, "68db491387e92cba346f921aae7334fb", 129.91014492753624, 130.3057971014493, 127.69565217391305, 64, 41, "eabae48b66654e1e36768cf54d8ba590"),
     (7, 51, 33, "a615f2f507ab9700aba136205976ab41", 139.22043969102793, 136.17528223410577, 128.4230540701129, 64, 41, "2a9bd44b31a04271ef3d778c375d8fb7"))
 
+  /** Pinned decode/decimate facts of the checked-in WAV fixtures
+    * (clip_id, sample_rate, channels, n_samples, pcm_md5, rms, peak,
+    * zero_cross, ds_samples, ds_md5). Produced by graft.tools.GenAudio;
+    * AudioCodecSpec re-derives every value from the integer generating
+    * formulas (no trig — bit-identical on every platform). */
+  private[graft] val audioPins: Seq[(Int, Int, Int, Long, String, Double, Int, Long, Long, String)] = Seq(
+    (0, 8000, 1, 400L, "879fc303d8159c8f8e345163dd14a5ac", 12000.0, 12000, 15L, 100L, "358ad37d585fc1f97b9b706e7807c02a"),
+    (1, 8000, 1, 480L, "e8facac719cb1bce940efd54cc726324", 11486.804023167919, 19600, 19L, 120L, "4ec04bbbfae599701a61c4863bac296c"),
+    (2, 8000, 1, 560L, "e0a5e41202657efb25e607ab43b103a9", 9243.376006633074, 16000, 14L, 140L, "71551d23f891f8357b1a14bc96a540a9"),
+    (3, 8000, 2, 1280L, "39181d2ab8c702e9fb94587de336f628", 9295.409474910182, 15989, 628L, 320L, "64fa9c6c258592068a9eceb3fe5c7b43"))
+
   override def queries: Map[String, QueryFn] = Map(
     // Binary payload + typed metadata struct; pure column ops.
     "multimodal_meta" -> ((s, d) => {
@@ -110,6 +121,64 @@ object MultimodalQueries extends QueryModule {
       }(Encoders.row(outSchema))
     }),
 
+    // REAL audio decode (r14): each document carries the checked-in WAV
+    // clip(doc_id % 4) as a broadcast-joined binary column; mapPartitions
+    // decodes 16-bit PCM via javax.sound.sampled per row and emits the
+    // format, sample digest, and exact integer feature kernels (RMS,
+    // peak, zero crossings). Oracle joins the PINNED per-clip facts.
+    "multimodal_audio_decode" -> ((s, d) => {
+      import graft.multimodal.{AudioCodec, AudioFixtures}
+      val clips = s.createDataFrame(
+        (0 until AudioFixtures.N).map(i => (i, AudioFixtures.wavBytes(i))))
+        .toDF("clip_id", "media")
+      val in = documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % AudioFixtures.N).cast("int").as("clip_id"))
+        .join(broadcast(clips), "clip_id")
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("sample_rate", IntegerType),
+        StructField("channels", IntegerType),
+        StructField("n_samples", LongType),
+        StructField("pcm_md5", StringType),
+        StructField("rms", DoubleType),
+        StructField("peak", IntegerType),
+        StructField("zero_cross", LongType)))
+      in.mapPartitions { rows =>
+        rows.map { r =>
+          val dec = AudioCodec.decodeWavCached(r.getAs[Array[Byte]]("media"))
+          Row(r.getAs[Long]("doc_id"), dec.sampleRate, dec.channels,
+            dec.samples.length.toLong, AudioCodec.pcmMd5(dec),
+            AudioCodec.rms(dec), AudioCodec.peak(dec),
+            AudioCodec.zeroCrossings(dec))
+        }
+      }(Encoders.row(outSchema))
+    }),
+
+    // Deterministic decimation (keep every 4th frame, all channels) —
+    // the audio analog of frame sampling, digest-pinned like resize.
+    "multimodal_audio_downsample" -> ((s, d) => {
+      import graft.multimodal.{AudioCodec, AudioFixtures}
+      val clips = s.createDataFrame(
+        (0 until AudioFixtures.N).map(i => (i, AudioFixtures.wavBytes(i))))
+        .toDF("clip_id", "media")
+      val in = documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % AudioFixtures.N).cast("int").as("clip_id"))
+        .join(broadcast(clips), "clip_id")
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("ds_samples", LongType),
+        StructField("ds_md5", StringType),
+        StructField("ds_rate", IntegerType)))
+      in.mapPartitions { rows =>
+        rows.map { r =>
+          val dec = AudioCodec.decodeWavCached(r.getAs[Array[Byte]]("media"))
+          val ds = AudioCodec.decimate(dec, 4)
+          Row(r.getAs[Long]("doc_id"), ds.samples.length.toLong,
+            AudioCodec.pcmMd5(ds), ds.sampleRate)
+        }
+      }(Encoders.row(outSchema))
+    }),
+
     // Frame sampling: the binary payload read as a "video" of 16-byte
     // frames, keeping every 4th frame — posexplode of the sampled frame
     // offsets (pure codegen'd lateral, no UDF) plus a per-frame slice of
@@ -161,6 +230,27 @@ object MultimodalQueries extends QueryModule {
          |SELECT d.doc_id, p.out_w, p.out_h, p.resized_md5,
          |       CAST(p.out_bytes AS BIGINT) AS out_bytes
          |FROM documents d JOIN pins p ON p.img_id = d.doc_id % 8""".stripMargin
+    },
+
+    "multimodal_audio_decode" -> {
+      val rows = audioPins.map { case (i, sr, ch, n, md5p, rms, pk, zc, _, _) =>
+        s"($i, $sr, $ch, $n, '$md5p', $rms, $pk, $zc)" }.mkString(",\n    ")
+      s"""WITH pins(clip_id, sample_rate, channels, n_samples, pcm_md5, rms, peak, zero_cross) AS (
+         |  VALUES $rows)
+         |SELECT d.doc_id, p.sample_rate, p.channels,
+         |       CAST(p.n_samples AS BIGINT) AS n_samples, p.pcm_md5, p.rms,
+         |       p.peak, CAST(p.zero_cross AS BIGINT) AS zero_cross
+         |FROM documents d JOIN pins p ON p.clip_id = d.doc_id % 4""".stripMargin
+    },
+
+    "multimodal_audio_downsample" -> {
+      val rows = audioPins.map { case (i, sr, _, _, _, _, _, _, dn, dmd5) =>
+        s"($i, $dn, '$dmd5', ${sr / 4})" }.mkString(",\n    ")
+      s"""WITH pins(clip_id, ds_samples, ds_md5, ds_rate) AS (
+         |  VALUES $rows)
+         |SELECT d.doc_id, CAST(p.ds_samples AS BIGINT) AS ds_samples,
+         |       p.ds_md5, p.ds_rate
+         |FROM documents d JOIN pins p ON p.clip_id = d.doc_id % 4""".stripMargin
     },
 
     "multimodal_frame_sample" ->
