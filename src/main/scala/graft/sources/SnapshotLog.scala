@@ -434,8 +434,13 @@ object SnapshotLog {
     else if (n.isFloatingPointNumber) n.asDouble()
     else n.asText()
 
-  /** Scheme-insensitive path identity (file:/ vs file:/// vs bare). */
-  private[sources] def norm(p: String): String = p.replaceFirst("^file:/*", "/")
+  /** Scheme-insensitive path identity (file:/ vs file:/// vs bare).
+    * Pattern precompiled — String.replaceFirst recompiles per call and
+    * norm runs per file on every planning path. The common no-scheme
+    * case short-circuits without touching the regex at all. */
+  private val NormRe = java.util.regex.Pattern.compile("^file:/*")
+  private[sources] def norm(p: String): String =
+    if (p.startsWith("file:")) NormRe.matcher(p).replaceFirst("/") else p
 
   /** The columns whose min/max the manifest records, with a flag for
     * timestamp columns (recorded as epoch-MICROSECOND longs). */

@@ -538,28 +538,44 @@ private[sources] object SnapshotLogScanBuilder {
   def prune(snap: SnapshotLog.Snapshot, candidates: Seq[String],
             filters: Array[Filter]): Seq[String] = {
     val schema = snap.schema
-    candidates.filter { f =>
-      val key = SnapshotLog.norm(f)
-      val physStats = snap.stats.getOrElse(key, Map.empty[String, (Any, Any)])
-      // stats are keyed by the file's PHYSICAL column names; filters use
-      // CURRENT names — rekey through the field-id mapping so pruning
-      // stays correct (and effective) after a rename. A forced-null-fill
-      // column simply has no stats entry (conservative: keep the file —
-      // the reader null-fills it, and the residual filter applies).
-      val stats =
-        if (snap.fids.isEmpty || !snap.colIds.contains(key)) physStats
-        else schema.fieldNames.flatMap { n =>
-          snap.physName(f, n).flatMap(p => physStats.get(p)).map(n -> _)
-        }.toMap
-      filters.forall(SnapshotStatsFilter.mayMatch(stats, schema, _)) && {
-        // spec EVOLUTION: each file prunes under the spec it was WRITTEN
-        // with (its recorded tuple aligns with that spec, not the
-        // currently-active one)
-        val tuple = snap.parts.getOrElse(key, Seq.empty)
-        val fspec = snap.specOf(f)
-        fspec.isEmpty || tuple.isEmpty ||
-          filters.forall(SnapshotPartition.mayMatch(fspec, tuple, schema, _))
-      }
+    // per-file stat checks are independent and pure: at very large file
+    // counts (10^5-10^6, the 100-TB decade) fan the driver-side prune
+    // across cores instead of walking a million entries serially
+    if (candidates.length > 20000 && filters.nonEmpty) {
+      val arr = candidates.toArray
+      val keep = new Array[Boolean](arr.length)
+      java.util.stream.IntStream.range(0, arr.length).parallel()
+        .forEach(i => keep(i) = mayKeep(snap, schema, arr(i), filters))
+      return arr.indices.collect { case i if keep(i) => arr(i) }
+    }
+    candidates.filter(f => mayKeep(snap, schema, f, filters))
+  }
+
+  /** May data file `f` hold a row matching every filter? Pure per-file
+    * check (manifest stats + hidden-partition tuple) — safe to evaluate
+    * from any thread. */
+  private def mayKeep(snap: SnapshotLog.Snapshot, schema: StructType,
+                      f: String, filters: Array[Filter]): Boolean = {
+    val key = SnapshotLog.norm(f)
+    val physStats = snap.stats.getOrElse(key, Map.empty[String, (Any, Any)])
+    // stats are keyed by the file's PHYSICAL column names; filters use
+    // CURRENT names — rekey through the field-id mapping so pruning
+    // stays correct (and effective) after a rename. A forced-null-fill
+    // column simply has no stats entry (conservative: keep the file —
+    // the reader null-fills it, and the residual filter applies).
+    val stats =
+      if (snap.fids.isEmpty || !snap.colIds.contains(key)) physStats
+      else schema.fieldNames.flatMap { n =>
+        snap.physName(f, n).flatMap(p => physStats.get(p)).map(n -> _)
+      }.toMap
+    filters.forall(SnapshotStatsFilter.mayMatch(stats, schema, _)) && {
+      // spec EVOLUTION: each file prunes under the spec it was WRITTEN
+      // with (its recorded tuple aligns with that spec, not the
+      // currently-active one)
+      val tuple = snap.parts.getOrElse(key, Seq.empty)
+      val fspec = snap.specOf(f)
+      fspec.isEmpty || tuple.isEmpty ||
+        filters.forall(SnapshotPartition.mayMatch(fspec, tuple, schema, _))
     }
   }
 }
