@@ -118,7 +118,8 @@ private[sources] class SnapshotDeltaBatchWrite(root: String,
     val (fids, colIds, maxId) =
       SnapshotLog.fidCarry(Some(cur), schema, allFiles, newCols)
     try {
-      SnapshotLog.commitManifest(fs, root, cur.version + 1, operation,
+      SnapshotLog.commitManifest(fs, root,
+        SnapshotLog.nextVersion(spark, root), operation,
         SnapshotLog.nextCommitTs(spark, root), cur.schemaJson, allFiles,
         cur.stats ++ newStats, cur.sizes ++ newSizes,
         Map("write.mode" -> "merge-on-read-delta"),

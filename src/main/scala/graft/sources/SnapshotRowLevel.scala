@@ -218,7 +218,8 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
     val (fids, colIds, maxId) =
       SnapshotLog.fidCarry(Some(cur), schema, untouched ++ newFiles, newCols)
     try {
-      SnapshotLog.commitManifest(fs, root, cur.version + 1, operation,
+      SnapshotLog.commitManifest(fs, root,
+        SnapshotLog.nextVersion(spark, root), operation,
         SnapshotLog.nextCommitTs(spark, root), cur.schemaJson,
         untouched ++ newFiles,
         cur.stats.view.filterKeys(untouchedSet.contains).toMap ++ newStats,

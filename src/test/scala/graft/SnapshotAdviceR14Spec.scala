@@ -148,6 +148,37 @@ class SnapshotAdviceR14Spec extends AnyFunSuite {
     assert(spark.read.format("snapshotlog").load(root).count() === 15)
   }
 
+  test("SQL row-level DML after an unpublished branch commit allocates " +
+       "past the branch version (delta and group-based paths)") {
+    val wh = "/tmp/graft_snap_warehouse"
+    val fs = new Path(s"$wh/advsql").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"$wh/advsql"), true)
+    spark.sql("DROP TABLE IF EXISTS snap.advsql.t")
+    spark.sql("CREATE TABLE snap.advsql.t AS SELECT id AS k, id AS v FROM range(0, 50)")
+    val root = s"$wh/advsql/t"
+    val mainHead = SnapshotLog.snapshots(spark, root).last.version
+    SnapshotLog.createBranch(spark, root, "wip", mainHead)
+    val bv = SnapshotLog.commitToBranch(spark, root, "wip",
+      spark.range(100, 105).selectExpr("id AS k", "id AS v"),
+      SnapshotLog.nextCommitTs(spark, root))
+    spark.sql("UPDATE snap.advsql.t SET v = -1 WHERE k = 7") // group CoW
+    val afterCow = SnapshotLog.snapshots(spark, root)
+      .filter(_.branch.isEmpty).last
+    assert(afterCow.version === bv + 1,
+      s"CoW DML must allocate past branch v$bv, got v${afterCow.version}")
+    SnapshotLog.setTableProps(spark, root,
+      Map("write.update.mode" -> "merge-on-read"))
+    spark.sql("UPDATE snap.advsql.t SET v = -2 WHERE k = 8") // delta path
+    val afterDelta = SnapshotLog.snapshots(spark, root)
+      .filter(_.branch.isEmpty).last
+    assert(afterDelta.version === bv + 2)
+    val t = spark.table("snap.advsql.t")
+    assert(t.count() === 50, "SQL DML must not publish branch rows")
+    assert(t.filter(col("v") === -1).count() === 1)
+    assert(t.filter(col("v") === -2).count() === 1)
+  }
+
   test("day transform: writer value equals floorDiv pruning value in exact " +
        "long arithmetic far beyond 2^53 microseconds") {
     val df = spark.sql(
