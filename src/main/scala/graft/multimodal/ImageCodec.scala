@@ -155,6 +155,43 @@ object ImageCodec {
   }
 }
 
+/** Motion-JPEG-style video container: length-prefixed frames, each an
+  * independently-decodable still (the MJPEG idea — the only video form
+  * expressible with the JVM's built-in codecs, and a real one: MJPEG is
+  * what many capture pipelines emit). Layout: 4-byte big-endian frame
+  * count, then per frame a 4-byte big-endian byte length + the encoded
+  * image bytes (PNG or JPEG — ImageIO sniffs). */
+object VideoContainer {
+  def pack(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    d.writeInt(frames.size)
+    frames.foreach { f => d.writeInt(f.length); d.write(f) }
+    d.flush()
+    out.toByteArray
+  }
+
+  def frameCount(bytes: Array[Byte]): Int =
+    java.nio.ByteBuffer.wrap(bytes, 0, 4).getInt
+
+  /** The encoded bytes of frame `i` (no decode — container walk only). */
+  def frame(bytes: Array[Byte], i: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    require(i >= 0 && i < n, s"videocontainer: frame $i of $n")
+    var k = 0
+    while (k < i) {
+      val len = bb.getInt // read BEFORE taking position: getInt advances
+      bb.position(bb.position() + len)
+      k += 1
+    }
+    val len = bb.getInt
+    val out = new Array[Byte](len)
+    bb.get(out)
+    out
+  }
+}
+
 /** The checked-in image fixtures: 8 PNGs whose pixels follow a pure
   * FORMULA (the independent ground truth ImageCodecSpec decodes
   * against), shipped as main resources so the gate queries and the
@@ -204,6 +241,38 @@ object ImageFixtures {
     (0 until N).foreach { i =>
       java.nio.file.Files.write(dir.resolve(s"img$i.png"),
         ImageCodec.encodePng(formula(i)))
+    }
+  }
+
+  /** Two checked-in MJPEG-style clips built from the image formulas:
+    * clip v carries 10 PNG frames — frame f is formula((v*3 + f) % N)
+    * resized-by-formula? No: raw formula images, so every frame's
+    * ground truth is the same pure arithmetic the stills use. */
+  val VideoN = 2
+  val FramesPerClip = 10
+
+  def videoFrameTruth(v: Int, f: Int): ImageCodec.Decoded =
+    formula((v * 3 + f) % N)
+
+  def videoBytes(v: Int): Array[Byte] = {
+    val is = getClass.getResourceAsStream(s"/graft/video/clip$v.mjpg")
+    require(is != null, s"missing resource graft/video/clip$v.mjpg")
+    try {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = is.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = is.read(buf) }
+      out.toByteArray
+    } finally is.close()
+  }
+
+  def generateVideos(dir: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    (0 until VideoN).foreach { v =>
+      val frames = (0 until FramesPerClip).map(f =>
+        ImageCodec.encodePng(videoFrameTruth(v, f)))
+      java.nio.file.Files.write(dir.resolve(s"clip$v.mjpg"),
+        VideoContainer.pack(frames))
     }
   }
 }

@@ -47,6 +47,20 @@ object MultimodalQueries extends QueryModule {
     (2, 8000, 1, 560L, "e0a5e41202657efb25e607ab43b103a9", 9243.376006633074, 16000, 14L, 140L, "71551d23f891f8357b1a14bc96a540a9"),
     (3, 8000, 2, 1280L, "39181d2ab8c702e9fb94587de336f628", 9295.409474910182, 15989, 628L, 320L, "64fa9c6c258592068a9eceb3fe5c7b43"))
 
+  /** Pinned per-sampled-frame decode facts of the checked-in MJPEG-style
+    * clips (clip_id, frame_id, width, height, frame_md5, mean_r).
+    * Produced by graft.tools.GenVideo; frames share the image formulas,
+    * so ImageCodecSpec's formula canary covers their ground truth too. */
+  private[graft] val videoPins: Seq[(Int, Int, Int, Int, String, Double)] = Seq(
+    (0, 0, 16, 12, "982bdbe8ac78d10bfac4f4ae75c13076", 69.0),
+    (0, 3, 31, 21, "7628e42704f173f63938467463331a25", 142.43932411674348),
+    (0, 6, 46, 30, "68db491387e92cba346f921aae7334fb", 129.91014492753624),
+    (0, 9, 21, 15, "0a588da68d294691878d8c2886edcdda", 102.0),
+    (1, 0, 31, 21, "7628e42704f173f63938467463331a25", 142.43932411674348),
+    (1, 3, 46, 30, "68db491387e92cba346f921aae7334fb", 129.91014492753624),
+    (1, 6, 21, 15, "0a588da68d294691878d8c2886edcdda", 102.0),
+    (1, 9, 36, 24, "fc4c488a41cdd852e9a7e1242efe2493", 128.40740740740742))
+
   override def queries: Map[String, QueryFn] = Map(
     // Binary payload + typed metadata struct; pure column ops.
     "multimodal_meta" -> ((s, d) => {
@@ -179,6 +193,42 @@ object MultimodalQueries extends QueryModule {
       }(Encoders.row(outSchema))
     }),
 
+    // REAL video frame sampling (r14): each document carries an
+    // MJPEG-style clip (length-prefixed independently-decodable frames,
+    // the only honest video form with JVM-builtin codecs — and a real
+    // one, MJPEG is what capture pipelines emit). The container walk
+    // picks every 3rd frame WITHOUT decoding the skipped ones, then
+    // each sampled frame decodes through the real image codec.
+    "multimodal_video_frames" -> ((s, d) => {
+      import graft.multimodal.{ImageCodec, ImageFixtures, VideoContainer}
+      val clips = s.createDataFrame(
+        (0 until ImageFixtures.VideoN).map(v => (v, ImageFixtures.videoBytes(v))))
+        .toDF("clip_id", "media")
+      val in = documents(s, d)
+        .select(col("doc_id"),
+          (col("doc_id") % ImageFixtures.VideoN).cast("int").as("clip_id"))
+        .join(broadcast(clips), "clip_id")
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("frame_id", IntegerType),
+        StructField("width", IntegerType), StructField("height", IntegerType),
+        StructField("frame_md5", StringType),
+        StructField("mean_r", DoubleType)))
+      in.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val media = r.getAs[Array[Byte]]("media")
+          val docId = r.getAs[Long]("doc_id")
+          val n = VideoContainer.frameCount(media)
+          (0 until n by 3).iterator.map { f =>
+            val dec = ImageCodec.decodeCached(VideoContainer.frame(media, f))
+            val (mr, _, _) = ImageCodec.channelMeans(dec)
+            Row(docId, f, dec.width, dec.height,
+              ImageCodec.md5Hex(dec.rgb), mr)
+          }
+        }
+      }(Encoders.row(outSchema))
+    }),
+
     // Frame sampling: the binary payload read as a "video" of 16-byte
     // frames, keeping every 4th frame — posexplode of the sampled frame
     // offsets (pure codegen'd lateral, no UDF) plus a per-frame slice of
@@ -251,6 +301,15 @@ object MultimodalQueries extends QueryModule {
          |SELECT d.doc_id, CAST(p.ds_samples AS BIGINT) AS ds_samples,
          |       p.ds_md5, p.ds_rate
          |FROM documents d JOIN pins p ON p.clip_id = d.doc_id % 4""".stripMargin
+    },
+
+    "multimodal_video_frames" -> {
+      val rows = videoPins.map { case (v, f, w, h, md5f, mr) =>
+        s"($v, $f, $w, $h, '$md5f', $mr)" }.mkString(",\n    ")
+      s"""WITH pins(clip_id, frame_id, width, height, frame_md5, mean_r) AS (
+         |  VALUES $rows)
+         |SELECT d.doc_id, p.frame_id, p.width, p.height, p.frame_md5, p.mean_r
+         |FROM documents d JOIN pins p ON p.clip_id = d.doc_id % 2""".stripMargin
     },
 
     "multimodal_frame_sample" ->

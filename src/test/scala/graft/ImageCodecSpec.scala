@@ -56,6 +56,28 @@ class ImageCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG-style container: frame walk skips without decoding, frames " +
+       "decode to their formula, pins match") {
+    import graft.multimodal.VideoContainer
+    (0 until ImageFixtures.VideoN).foreach { v =>
+      val bytes = ImageFixtures.videoBytes(v)
+      assert(VideoContainer.frameCount(bytes) === ImageFixtures.FramesPerClip)
+      (0 until ImageFixtures.FramesPerClip).foreach { f =>
+        val dec = ImageCodec.decode(VideoContainer.frame(bytes, f))
+        val truth = ImageFixtures.videoFrameTruth(v, f)
+        assert(dec.rgb === truth.rgb, s"frame drift clip$v frame $f")
+      }
+    }
+    graft.queries.MultimodalQueries.videoPins.foreach {
+      case (v, f, w, h, md5f, mr) =>
+        val dec = ImageCodec.decode(
+          VideoContainer.frame(ImageFixtures.videoBytes(v), f))
+        assert((dec.width, dec.height) === ((w, h)))
+        assert(ImageCodec.md5Hex(dec.rgb) === md5f)
+        assert(ImageCodec.channelMeans(dec)._1 === mr)
+    }
+  }
+
   test("JPEG decodes through the same path (lossy: tolerance on means)") {
     val truth = ImageFixtures.formula(2)
     val jpeg = ImageCodec.encodeJpeg(truth)
