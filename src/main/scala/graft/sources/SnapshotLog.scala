@@ -2348,6 +2348,18 @@ object SnapshotLog {
       dead.flatMap(_.shardPaths).map(norm).distinct
         .filterNot(liveShards.contains)
         .foreach(p => fs.delete(new Path(p), false))
+      // ANALYZE sidecars for expired versions: keep the NEWEST one at or
+      // below the oldest retained version (it remains the best estimate
+      // for the survivors), reap the rest
+      val statsRe = "colstats-v(\\d{5})\\.json".r
+      val statVs = fs.listStatus(logDir(root)).map(_.getPath.getName)
+        .collect { case nm @ statsRe(v) => (v.toInt, nm) }.sorted
+      val oldestLive = live.map(_.version).min
+      val keepStats = statVs.filter(_._1 <= oldestLive).lastOption.map(_._1)
+      statVs.filter { case (v, _) =>
+        v < oldestLive && !keepStats.contains(v)
+      }.foreach { case (_, nm) => fs.delete(new Path(logDir(root), nm), false) }
+      invalidateColStats(root)
     }
     if (orphanScan) {
       val cutoff = System.currentTimeMillis() - orphanGraceMs

@@ -139,6 +139,26 @@ class SnapshotStatsSpec extends AnyFunSuite {
     assert(cols("g").ndv === 25)
   }
 
+  test("expiry reaps stale ANALYZE sidecars but keeps the newest usable one") {
+    val root = freshRoot("expire_stats")
+    SnapshotLog.commit(spark.range(0, 100).selectExpr("id AS k"),
+      root, overwrite = true, 100L)
+    SnapshotLog.analyze(spark, root) // stats at v1
+    SnapshotLog.commit(spark.range(100, 200).selectExpr("id AS k"),
+      root, overwrite = false, 200L)
+    SnapshotLog.analyze(spark, root) // stats at v2
+    SnapshotLog.commit(spark.range(200, 300).selectExpr("id AS k"),
+      root, overwrite = false, 300L)
+    SnapshotLog.expireSnapshots(spark, root, keepFromVersion = 2)
+    // v1's sidecar is gone, v2's survives as the best estimate for v2/v3
+    assert(SnapshotLog.colStatsFor(spark, root, 3).exists(_._1 == 2))
+    val dir = new Path(root, "_log")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val statFiles = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("colstats-"))
+    assert(statFiles.toSeq === Seq("colstats-v00002.json"))
+  }
+
   test("kmv_sketch merges across partitions like the live kmv_ndv buffer") {
     val df = spark.range(0, 5000, 1, 8).selectExpr("id % 700 AS v")
     val root = freshRoot("sketch")
