@@ -196,15 +196,18 @@ object LlmFunctions {
   private val mergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[String]]()
 
-  /** Merge-rank BPE over one whitespace-free run. Symbols start as
-    * CODEPOINTS (a surrogate pair is one symbol); each step merges the
-    * leftmost lowest-rank adjacent pair whose concatenation is a vocab
-    * piece. O(L^2) per run with L bounded by word length; results
+  /** Merge-rank BPE over one whitespace-free run — GPT-2's exact loop:
+    * each iteration selects the lowest-rank adjacent pair present (the
+    * leftmost occurrence defines the tuple on a rank tie) and merges
+    * ALL its non-overlapping occurrences left-to-right before
+    * re-selecting, the way HF's `bpe()` rebuilds the whole word per
+    * chosen merge. Symbols start as CODEPOINTS (a surrogate pair is one
+    * symbol). O(L^2) per run with L bounded by word length; results
     * memoize per JVM (corpora repeat words heavily). */
   def mergeRankPieces(run: String): IndexedSeq[String] = {
     val hit = mergeCache.get(run)
     if (hit != null) return hit
-    val syms = scala.collection.mutable.ArrayBuffer[String]()
+    var syms = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < run.length) {
       val n = Character.charCount(run.codePointAt(i))
@@ -214,17 +217,32 @@ object LlmFunctions {
     var done = syms.length < 2
     while (!done) {
       var bestRank = Int.MaxValue
-      var bi = -1
+      var first: String = null
+      var second: String = null
       var j = 0
       while (j < syms.length - 1) {
         if (syms(j).length + syms(j + 1).length <= MaxPieceLen) {
           val r = bpeRankOf.get(syms(j) + syms(j + 1))
-          if (r != null && r < bestRank) { bestRank = r; bi = j } // strict <: leftmost wins ties
+          if (r != null && r < bestRank) { // strict <: leftmost wins ties
+            bestRank = r; first = syms(j); second = syms(j + 1)
+          }
         }
         j += 1
       }
-      if (bi < 0) done = true
-      else { syms(bi) = syms(bi) + syms(bi + 1); syms.remove(bi + 1): Unit }
+      if (first == null) done = true
+      else {
+        // one GPT-2 merge step: replace every non-overlapping (first,
+        // second) occurrence, scanning left to right
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var p = 0
+        while (p < syms.length) {
+          if (p < syms.length - 1 && syms(p) == first && syms(p + 1) == second) {
+            out += first + second; p += 2
+          } else { out += syms(p); p += 1 }
+        }
+        syms = out
+        done = syms.length < 2
+      }
     }
     val out = syms.toIndexedSeq
     if (mergeCache.size > (1 << 17)) mergeCache.clear()

@@ -334,16 +334,22 @@ object TextQueries extends QueryModule {
     },
 
     "llm_tokenize_bytes" -> {
-      // Replay MERGE-RANK BPE: per DISTINCT word (RE2 \\S+ runs of the
-      // salted, NFC'd text), start from codepoint symbols and apply K
-      // unrolled merge steps, each merging the LEFTMOST LOWEST-RANK
-      // adjacent pair found by joining candidate pairs against the
-      // ranked vocab (rank = vocab line index, same file the Spark
-      // tokenizer loads). K bounds merges per word: a word of length L
-      // needs at most L-1 (fixture max word length is 8; K=12 leaves
-      // headroom, and corpus drift past K shows up as a mismatch, never
-      // silence). Whitespace chars are single tokens; the
-      // <|doc|>/<|end|> wrap contributes the 2 specials; non-ASCII
+      // Replay MERGE-RANK BPE, GPT-2 step semantics: per DISTINCT word
+      // (RE2 \\S+ runs of the salted, NFC'd text), start from codepoint
+      // symbols and apply K unrolled merge steps. Each step selects the
+      // LOWEST-RANK adjacent pair present (BIGINT key r*100000+i — i
+      // never overwhelms a rank difference; the leftmost occurrence
+      // names the tuple on a rank tie) and merges ALL its non-
+      // overlapping occurrences left-to-right at once, exactly the way
+      // HF's bpe() rebuilds the word per chosen merge: occurrence
+      // positions can only be consecutive when first==second, so the
+      // greedy non-overlap set is "odd members of each island of
+      // consecutive positions" (gaps-and-islands over i - row_number).
+      // K bounds merge STEPS per word, each >= 1 merge, so a word of
+      // length L needs at most L-1 (fixture max word length is 8; K=12
+      // leaves headroom, and corpus drift past K shows up as a
+      // mismatch, never silence). Whitespace chars are single tokens;
+      // the <|doc|>/<|end|> wrap contributes the 2 specials; non-ASCII
       // symbols contribute their UTF-8 bytes (count and SUM via
       // codepoint->UTF-8 arithmetic). Checked columns: n_tokens,
       // n_byte_tokens, n_special, and the exact id SUM of the stream.
@@ -353,16 +359,34 @@ object TextQueries extends QueryModule {
       val steps = (1 to K).map { k =>
         s"""s$k AS MATERIALIZED (
            |  SELECT s.w,
-           |    CASE WHEN b.bi IS NULL THEN s.syms
-           |         ELSE list_concat(list_concat(s.syms[1:b.bi-1],
-           |              [s.syms[b.bi] || s.syms[b.bi+1]]),
-           |              s.syms[b.bi+2:len(s.syms)]) END AS syms
+           |    CASE WHEN m.kis IS NULL THEN s.syms
+           |         ELSE list_filter(
+           |           list_transform(range(1, len(s.syms) + 1), p ->
+           |             CASE WHEN list_contains(m.kis, p)
+           |                    THEN s.syms[p] || s.syms[p + 1]
+           |                  WHEN list_contains(m.kis, p - 1) THEN NULL
+           |                  ELSE s.syms[p] END),
+           |           x -> x IS NOT NULL) END AS syms
            |  FROM s${k - 1} s LEFT JOIN (
-           |    SELECT w, arg_min(i, r * 100 + i) AS bi FROM (
-           |      SELECT s2.w, t.i, v.r
-           |      FROM s${k - 1} s2, UNNEST(range(1, len(s2.syms))) AS t(i)
-           |      JOIN vocab v ON v.p = s2.syms[i] || s2.syms[i + 1])
-           |    GROUP BY w) b USING (w))""".stripMargin
+           |    SELECT w, list(i) AS kis FROM (
+           |      SELECT w, i,
+           |        row_number() OVER (PARTITION BY w, i - rn ORDER BY i) AS j
+           |      FROM (
+           |        SELECT s2.w, t.i,
+           |          row_number() OVER (PARTITION BY s2.w ORDER BY t.i) AS rn
+           |        FROM s${k - 1} s2
+           |        JOIN (
+           |          SELECT w, arg_min(i, CAST(r AS BIGINT) * 100000 + i) AS bi
+           |          FROM (
+           |            SELECT s3.w, t.i, v.r
+           |            FROM s${k - 1} s3, UNNEST(range(1, len(s3.syms))) AS t(i)
+           |            JOIN vocab v ON v.p = s3.syms[i] || s3.syms[i + 1])
+           |          GROUP BY w) sel USING (w),
+           |        UNNEST(range(1, len(s2.syms))) AS t(i)
+           |        WHERE s2.syms[t.i] = s2.syms[sel.bi]
+           |          AND s2.syms[t.i + 1] = s2.syms[sel.bi + 1]))
+           |    WHERE j % 2 = 1
+           |    GROUP BY w) m USING (w))""".stripMargin
       }.mkString(",\n")
       val docId = LlmFunctions.specialIds("<|doc|>")
       val endId = LlmFunctions.specialIds("<|end|>")

@@ -726,15 +726,9 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
       // refuse only when an equality delete's key type cannot be probed
       // bit-identically from vectors (the row reader then handles it)
       files.forall { f =>
-        snap.dels.get(SnapshotLog.norm(f)).forall { dfs =>
-          val conf = SparkSession.active.sessionState.newHadoopConf()
-          dfs.forall { df =>
-            val ks = SnapshotDeletes.schemaOf(df, conf)
-            SnapshotDeletes.isPositional(ks) || ks.forall(k =>
-              snap.schema.fields.find(_.name == k)
-                .exists(fd => SnapshotDeletes.vectorCanonical(fd.dataType)))
-          }
-        }
+        eqKeysFor(f).forall(k =>
+          snap.schema.fields.find(_.name == k)
+            .exists(fd => SnapshotDeletes.vectorCanonical(fd.dataType)))
       } &&
       // nested projections go through the row-based Group reader; the
       // flat primitives stay on the vectorized ColumnarBatch path
@@ -750,19 +744,44 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
           .exists(cs => required.fieldNames.forall(cs.contains))
       }
 
+  /** Equality-delete KEY columns (current schema names) that apply to
+    * data file `f` — the delete parquet's schema IS its key list. One
+    * planning-time Hadoop conf per scan and one footer probe per
+    * DISTINCT delete file per JVM ([[SnapshotDeletes.schemaOf]] caches),
+    * never per kept data file. */
+  @transient private lazy val planningConf =
+    SparkSession.active.sessionState.newHadoopConf()
+  protected def eqKeysFor(f: String): Seq[String] =
+    snap.dels.get(SnapshotLog.norm(f)).fold(Seq.empty[String]) { dfs =>
+      dfs.flatMap { df =>
+        val ks = SnapshotDeletes.schemaOf(df, planningConf)
+        if (SnapshotDeletes.isPositional(ks)) Nil else ks
+      }.distinct
+    }
+
   /** Field-id name resolution for one file: required name -> physical
     * name when they DIFFER ("" = forced null-fill: the file predates the
     * column's id, e.g. dropped-then-readded). Empty map = pure name-based
-    * (the common case; costs nothing downstream). */
+    * (the common case; costs nothing downstream).
+    *
+    * Equality-delete KEY columns are resolved alongside the projection
+    * even when the query pruned them away: a data file written before a
+    * column rename stores the OLD physical name, and a delete staged
+    * AFTER the rename keys on the NEW name — without the remap the
+    * reader's name-based applicability check would silently drop the
+    * delete and deleted rows would resurrect. A non-identity key entry
+    * here also refuses columnar (columnarOk's isEmpty guard), routing
+    * the file to the row reader, which honors the remap. */
   protected def physMapFor(f: String): Map[String, String] =
     if (snap.fids.isEmpty) Map.empty
-    else required.fields.iterator
-      .filter(fd => fd.name != "_file" && fd.name != "_pos")
-      .flatMap { fd =>
-        snap.physName(f, fd.name) match {
-          case Some(p) if p == fd.name => None
-          case Some(p) => Some(fd.name -> p)
-          case None => Some(fd.name -> "")
+    else (required.fields.iterator.map(_.name)
+      .filter(n => n != "_file" && n != "_pos") ++ eqKeysFor(f).iterator)
+      .distinct
+      .flatMap { n =>
+        snap.physName(f, n) match {
+          case Some(p) if p == n => None
+          case Some(p) => Some(n -> p)
+          case None => Some(n -> "")
         }
       }.toMap
 

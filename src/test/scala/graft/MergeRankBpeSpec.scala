@@ -29,8 +29,18 @@ class MergeRankBpeSpec extends AnyFunSuite {
         .flatMap(j => rank.get(syms(j) + syms(j + 1)).map(r => (r, j)))
       if (cands.isEmpty) go = false
       else {
-        val (_, j) = cands.min // (rank, position): lowest rank, leftmost
-        syms = (syms.take(j) :+ (syms(j) + syms(j + 1))) ++ syms.drop(j + 2)
+        // GPT-2 step: the lowest-rank pair (leftmost occurrence names the
+        // tuple), then ALL its non-overlapping occurrences merge at once
+        val (_, j) = cands.min
+        val (first, second) = (syms(j), syms(j + 1))
+        val out = Vector.newBuilder[String]
+        var p = 0
+        while (p < syms.length) {
+          if (p < syms.length - 1 && syms(p) == first && syms(p + 1) == second) {
+            out += first + second; p += 2
+          } else { out += syms(p); p += 1 }
+        }
+        syms = out.result()
       }
     }
     syms
