@@ -1,6 +1,7 @@
 package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import java.util.concurrent.ThreadLocalRandom
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
@@ -613,39 +614,45 @@ object SnapshotLog {
     * read under their own schema. Bootstraps field ids on first use. */
   def renameColumn(spark: SparkSession, root: String, from: String,
                    to: String, commitTsMs: Long): Int = {
-    val cur = bootstrapFids(pick(spark, root, None, None))
-    require(cur.commitTsMs < commitTsMs,
+    require(pick(spark, root, None, None).commitTsMs < commitTsMs,
       s"commitTsMs $commitTsMs must advance past the last snapshot")
-    require(cur.schema.fieldNames.contains(from),
-      s"SnapshotLog: no column $from to rename at $root")
-    require(!cur.schema.fieldNames.contains(to),
-      s"SnapshotLog: rename target $to already exists at $root")
-    val newSchema = StructType(cur.schema.fields.map(f =>
-      if (f.name == from) f.copy(name = to) else f))
-    // equality delete files reference key columns BY NAME (their parquet
-    // schema); renaming such a column would silently detach the delete.
-    // Refuse until compaction folds the deletes away.
-    val conf = spark.sessionState.newHadoopConf()
-    cur.dels.values.flatten.toSeq.distinct.foreach { df =>
-      val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(df), conf))
-      val fields =
-        try rdr.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName)
-        finally rdr.close()
-      if (fields != Seq("file_path", "pos"))
-        require(!fields.contains(from),
-          s"SnapshotLog: column $from is a key of equality delete file $df" +
-            " — run rewriteDataFiles to fold the deletes before renaming")
+    // metadata-only ops re-run WHOLESALE against the fresh head on a
+    // lost race — their cost is one manifest compose, and re-validation
+    // (column still present, no eq-delete keys on it) is the whole body
+    retryingCommit("renameColumn") { () =>
+      val cur = bootstrapFids(pick(spark, root, None, None))
+      val ts = math.max(commitTsMs, cur.commitTsMs + 1)
+      require(cur.schema.fieldNames.contains(from),
+        s"SnapshotLog: no column $from to rename at $root")
+      require(!cur.schema.fieldNames.contains(to),
+        s"SnapshotLog: rename target $to already exists at $root")
+      val newSchema = StructType(cur.schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      // equality delete files reference key columns BY NAME (their parquet
+      // schema); renaming such a column would silently detach the delete.
+      // Refuse until compaction folds the deletes away.
+      val conf = spark.sessionState.newHadoopConf()
+      cur.dels.values.flatten.toSeq.distinct.foreach { df =>
+        val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(df), conf))
+        val fields =
+          try rdr.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName)
+          finally rdr.close()
+        if (fields != Seq("file_path", "pos"))
+          require(!fields.contains(from),
+            s"SnapshotLog: column $from is a key of equality delete file $df" +
+              " — run rewriteDataFiles to fold the deletes before renaming")
+      }
+      val next = nextVersion(spark, root)
+      commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
+        ts, newSchema.json, cur.files, cur.stats, cur.sizes,
+        Map.empty,
+        cur.spec.map { case (s, t) => (if (s == from) to else s, t) },
+        cur.parts, cur.cols, cur.dels,
+        cur.fids - from + (to -> cur.fids(from)), cur.colIds, cur.maxId,
+        cur.specs.map(_.map { case (s, t) => (if (s == from) to else s, t) }),
+        cur.fileSpec, cur.version, cur.rows)
+      next
     }
-    val next = nextVersion(spark, root)
-    commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
-      commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
-      Map.empty,
-      cur.spec.map { case (s, t) => (if (s == from) to else s, t) },
-      cur.parts, cur.cols, cur.dels,
-      cur.fids - from + (to -> cur.fids(from)), cur.colIds, cur.maxId,
-      cur.specs.map(_.map { case (s, t) => (if (s == from) to else s, t) }),
-      cur.fileSpec, cur.version, cur.rows)
-    next
   }
 
   /** METADATA-ONLY column drop: the field id is RETIRED, never reused —
@@ -654,23 +661,26 @@ object SnapshotLog {
     * pre-drop versions still reads the column. */
   def dropColumn(spark: SparkSession, root: String, name: String,
                  commitTsMs: Long): Int = {
-    val cur = bootstrapFids(pick(spark, root, None, None))
-    require(cur.commitTsMs < commitTsMs,
+    require(pick(spark, root, None, None).commitTsMs < commitTsMs,
       s"commitTsMs $commitTsMs must advance past the last snapshot")
-    require(cur.schema.fieldNames.contains(name),
-      s"SnapshotLog: no column $name to drop at $root")
-    require(cur.schema.fields.length > 1,
-      s"SnapshotLog: cannot drop the only column at $root")
-    require(!cur.spec.exists(_._1 == name),
-      s"SnapshotLog: $name is a partition source column — drop the spec first")
-    val newSchema = StructType(cur.schema.fields.filterNot(_.name == name))
-    val next = nextVersion(spark, root)
-    commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
-      commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
-      Map.empty, cur.spec, cur.parts, cur.cols, cur.dels,
-      cur.fids - name, cur.colIds, cur.maxId, cur.specs, cur.fileSpec,
-      cur.version, cur.rows)
-    next
+    retryingCommit("dropColumn") { () =>
+      val cur = bootstrapFids(pick(spark, root, None, None))
+      val ts = math.max(commitTsMs, cur.commitTsMs + 1)
+      require(cur.schema.fieldNames.contains(name),
+        s"SnapshotLog: no column $name to drop at $root")
+      require(cur.schema.fields.length > 1,
+        s"SnapshotLog: cannot drop the only column at $root")
+      require(!cur.spec.exists(_._1 == name),
+        s"SnapshotLog: $name is a partition source column — drop the spec first")
+      val newSchema = StructType(cur.schema.fields.filterNot(_.name == name))
+      val next = nextVersion(spark, root)
+      commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
+        ts, newSchema.json, cur.files, cur.stats, cur.sizes,
+        Map.empty, cur.spec, cur.parts, cur.cols, cur.dels,
+        cur.fids - name, cur.colIds, cur.maxId, cur.specs, cur.fileSpec,
+        cur.version, cur.rows)
+      next
+    }
   }
 
   def commit(df: DataFrame, root: String, overwrite: Boolean,
@@ -680,13 +690,15 @@ object SnapshotLog {
     validateSchema(spark, df.schema)
     val rootP = new Path(root)
     val fs = fsFor(spark, rootP)
-    val prior = snapshots(spark, root)
-    val next = prior.lastOption.map(_.version + 1).getOrElse(1)
-    require(prior.forall(_.commitTsMs < commitTsMs),
-      s"commitTsMs $commitTsMs must advance past the last snapshot")
-    // content parent is the MAINLINE head (a branch commit may own the
-    // highest version number; it is not this commit's history line)
-    val mainLast = prior.filter(_.branch.isEmpty).lastOption
+    // no hard "ts must advance" gate here: concurrent writers cannot
+    // coordinate requested timestamps, so each attempt bumps its ts past
+    // the head it actually lands on (commitTsMs stays strictly monotone
+    // per table — the time-travel invariant — without serializing writers).
+    // The schema baseline is read at ENTRY, before the seconds-long data
+    // staging: an ALTER landing during staging or the commit race is then
+    // caught by the re-apply guard below instead of silently reverted.
+    val baseSchema = snapshots(spark, root)
+      .filter(_.branch.isEmpty).lastOption.map(_.schemaJson)
 
     // one immutable data dir per commit; repartition bounds the file count
     // (a 100 TB commit sizes this to target-file-size, not a constant)
@@ -702,13 +714,31 @@ object SnapshotLog {
     val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
 
-    val parent = if (overwrite) None else mainLast
-    val files = parent.map(_.files).getOrElse(Seq.empty) ++ newFiles
-    val stats = parent.map(_.stats).getOrElse(Map.empty) ++ newStats
-    val sizes = parent.map(_.sizes).getOrElse(Map.empty) ++ newSizes
-    val cols = parent.map(_.cols).getOrElse(Map.empty) ++ newCols
-
-    try {
+    // Optimistic-concurrency commit (Iceberg SnapshotProducer): the data
+    // files are staged ONCE above; each attempt re-reads the head and
+    // re-composes the manifest on it, so an append racing other appends
+    // always lands — its uuid-named files cannot overlap anyone's work.
+    // An overwrite is base-independent by definition ("table := df") and
+    // re-applies the same way. Retry timestamps bump past the concurrent
+    // winner to keep commitTsMs strictly monotone.
+    try retryingCommit(if (overwrite) "overwrite" else "append") { () =>
+      val prior = snapshots(spark, root)
+      val next = prior.lastOption.map(_.version + 1).getOrElse(1)
+      // content parent is the MAINLINE head (a branch commit may own the
+      // highest version number; it is not this commit's history line)
+      val mainLast = prior.filter(_.branch.isEmpty).lastOption
+      // the manifest records df's schema: re-applying past a concurrent
+      // ALTER would silently revert it — refuse, the writer must re-run
+      if (!overwrite && mainLast.map(_.schemaJson) != baseSchema)
+        throw new CommitConflictException(
+          "SnapshotLog: append cannot re-apply — schema changed concurrently")
+      val ts = math.max(commitTsMs,
+        prior.lastOption.map(_.commitTsMs + 1).getOrElse(commitTsMs))
+      val parent = if (overwrite) None else mainLast
+      val files = parent.map(_.files).getOrElse(Seq.empty) ++ newFiles
+      val stats = parent.map(_.stats).getOrElse(Map.empty) ++ newStats
+      val sizes = parent.map(_.sizes).getOrElse(Map.empty) ++ newSizes
+      val cols = parent.map(_.cols).getOrElse(Map.empty) ++ newCols
       // an append to a hidden-partitioned table keeps the spec and the
       // parent files' tuples (the new files carry no tuple — kept
       // conservatively by partition pruning; commitPartitioned is the
@@ -717,7 +747,7 @@ object SnapshotLog {
         fidCarry(mainLast, df.schema, files, newCols)
       commitManifest(fs, root, next,
         if (overwrite) "overwrite" else "append",
-        commitTsMs, df.schema.json, files, stats, sizes, props,
+        ts, df.schema.json, files, stats, sizes, props,
         parent.map(_.spec).getOrElse(Seq.empty),
         parent.map(_.parts).getOrElse(Map.empty), cols,
         parent.map(_.dels).getOrElse(Map.empty), fids, colIds, maxId,
@@ -725,12 +755,12 @@ object SnapshotLog {
         parent.map(_.fileSpec).getOrElse(Map.empty),
         mainLast.map(_.version).getOrElse(0),
         parent.map(_.rows).getOrElse(Map.empty) ++ newRows)
+      next
     } catch {
       case e: IllegalStateException =>
-        fs.delete(dataDir, true) // lost the race: reclaim our unpublished data
+        fs.delete(dataDir, true) // out of retries: reclaim unpublished data
         throw e
     }
-    next
   }
 
   /** Commit with HIDDEN PARTITIONING ([[SnapshotPartition]] — Iceberg's
@@ -785,35 +815,14 @@ object SnapshotLog {
     validateSchema(spark, df.schema)
     val rootP = new Path(root)
     val fs = fsFor(spark, rootP)
-    val prior = snapshots(spark, root)
-    val next = prior.lastOption.map(_.version + 1).getOrElse(1)
-    require(prior.forall(_.commitTsMs < commitTsMs),
-      s"commitTsMs $commitTsMs must advance past the last snapshot")
-    val mainLast = prior.filter(_.branch.isEmpty).lastOption
-    val parent = if (overwrite) None else mainLast
     spec.foreach { case (src, _) =>
       require(df.schema.fieldNames.contains(src),
         s"commitPartitioned: spec column $src not in ${df.schema.fieldNames.mkString(",")}")
     }
-    // PARTITION-SPEC EVOLUTION (Iceberg spec-per-snapshot): an append
-    // under a DIFFERENT spec is legal — the new files lay out and prune
-    // under the new spec, carried files keep pruning under the spec they
-    // were written with. The manifest's spec history makes both coexist.
-    val parentSpecs: Seq[Seq[(String, String)]] = parent match {
-      case Some(p) if p.specs.nonEmpty => p.specs
-      case Some(p) if p.spec.nonEmpty => Seq(p.spec)
-      case _ => Seq.empty
-    }
-    val specsHist =
-      if (parentSpecs.contains(spec)) parentSpecs else parentSpecs :+ spec
-    val specIdx = specsHist.indexOf(spec)
-    // backfill: parent files without an explicit entry were written under
-    // the parent's active spec
-    val parentFileSpec: Map[String, Int] = parent.map { p =>
-      val pIdx = specsHist.indexOf(p.spec)
-      p.files.map(norm).map(k =>
-        k -> p.fileSpec.getOrElse(k, math.max(pIdx, 0))).toMap
-    }.getOrElse(Map.empty)
+    // schema baseline at entry (see commit(): a concurrent ALTER landing
+    // during staging must refuse re-apply, not silently revert)
+    val baseSchema = snapshots(spark, root)
+      .filter(_.branch.isEmpty).lastOption.map(_.schemaJson)
 
     val dataDir = new Path(new Path(rootP, "data"),
       java.util.UUID.randomUUID().toString.take(12))
@@ -828,13 +837,41 @@ object SnapshotLog {
     val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
 
-    try {
+    try retryingCommit("commitPartitioned") { () =>
+      val prior = snapshots(spark, root)
+      val next = prior.lastOption.map(_.version + 1).getOrElse(1)
+      val mainLast = prior.filter(_.branch.isEmpty).lastOption
+      val ts = math.max(commitTsMs,
+        prior.lastOption.map(_.commitTsMs + 1).getOrElse(commitTsMs))
+      val parent = if (overwrite) None else mainLast
+      if (!overwrite && mainLast.map(_.schemaJson) != baseSchema)
+        throw new CommitConflictException(
+          "SnapshotLog: commitPartitioned cannot re-apply — schema changed concurrently")
+      // PARTITION-SPEC EVOLUTION (Iceberg spec-per-snapshot): an append
+      // under a DIFFERENT spec is legal — the new files lay out and prune
+      // under the new spec, carried files keep pruning under the spec they
+      // were written with. The manifest's spec history makes both coexist.
+      val parentSpecs: Seq[Seq[(String, String)]] = parent match {
+        case Some(p) if p.specs.nonEmpty => p.specs
+        case Some(p) if p.spec.nonEmpty => Seq(p.spec)
+        case _ => Seq.empty
+      }
+      val specsHist =
+        if (parentSpecs.contains(spec)) parentSpecs else parentSpecs :+ spec
+      val specIdx = specsHist.indexOf(spec)
+      // backfill: parent files without an explicit entry were written under
+      // the parent's active spec
+      val parentFileSpec: Map[String, Int] = parent.map { p =>
+        val pIdx = specsHist.indexOf(p.spec)
+        p.files.map(norm).map(k =>
+          k -> p.fileSpec.getOrElse(k, math.max(pIdx, 0))).toMap
+      }.getOrElse(Map.empty)
       val allFiles = parent.map(_.files).getOrElse(Seq.empty) ++ newFiles
       val (fids, colIds, maxId) =
         fidCarry(mainLast, df.schema, allFiles, newCols)
       commitManifest(fs, root, next,
         if (overwrite) "overwrite" else "append",
-        commitTsMs, df.schema.json, allFiles,
+        ts, df.schema.json, allFiles,
         parent.map(_.stats).getOrElse(Map.empty) ++ newStats,
         parent.map(_.sizes).getOrElse(Map.empty) ++ newSizes,
         props, spec,
@@ -845,12 +882,12 @@ object SnapshotLog {
         parentFileSpec ++ newFiles.map(f => norm(f) -> specIdx),
         mainLast.map(_.version).getOrElse(0),
         parent.map(_.rows).getOrElse(Map.empty) ++ newRows)
+      next
     } catch {
       case e: IllegalStateException =>
         fs.delete(dataDir, true)
         throw e
     }
-    next
   }
 
   /** Create an EMPTY table: a v1 "create" manifest carrying only the
@@ -879,24 +916,27 @@ object SnapshotLog {
     * resolution of old files (Iceberg needs field IDs for those). */
   def alterSchema(spark: SparkSession, root: String, newSchema: StructType,
                   commitTsMs: Long): Int = {
-    val cur = pick(spark, root, None, None)
-    require(cur.commitTsMs < commitTsMs,
+    require(pick(spark, root, None, None).commitTsMs < commitTsMs,
       s"commitTsMs $commitTsMs must advance past the last snapshot")
-    val old = cur.schema
-    old.fields.foreach { f =>
-      val kept = newSchema.find(_.name == f.name)
-      require(kept.exists(_.dataType == f.dataType),
-        s"SnapshotLog: alterSchema must keep column ${f.name}: ${f.dataType} " +
-          "(additive evolution only — rename/drop/retype unsupported)")
+    retryingCommit("alterSchema") { () =>
+      val cur = pick(spark, root, None, None)
+      val ts = math.max(commitTsMs, cur.commitTsMs + 1)
+      val old = cur.schema
+      old.fields.foreach { f =>
+        val kept = newSchema.find(_.name == f.name)
+        require(kept.exists(_.dataType == f.dataType),
+          s"SnapshotLog: alterSchema must keep column ${f.name}: ${f.dataType} " +
+            "(additive evolution only — rename/drop/retype unsupported)")
+      }
+      val next = nextVersion(spark, root)
+      val (fids, colIds, maxId) =
+        fidCarry(Some(cur), newSchema, cur.files, Map.empty)
+      commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
+        ts, newSchema.json, cur.files, cur.stats, cur.sizes,
+        Map.empty, cur.spec, cur.parts, cur.cols, cur.dels, fids, colIds, maxId,
+        cur.specs, cur.fileSpec, cur.version, cur.rows)
+      next
     }
-    val next = nextVersion(spark, root)
-    val (fids, colIds, maxId) =
-      fidCarry(Some(cur), newSchema, cur.files, Map.empty)
-    commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
-      commitTsMs, newSchema.json, cur.files, cur.stats, cur.sizes,
-      Map.empty, cur.spec, cur.parts, cur.cols, cur.dels, fids, colIds, maxId,
-      cur.specs, cur.fileSpec, cur.version, cur.rows)
-    next
   }
 
   /** Per-column statistics of one ANALYZE pass: KMV sketch (the k
@@ -1497,24 +1537,108 @@ object SnapshotLog {
     dest.toString
   }
 
-  /** Exclusive-claim publish: O_EXCL create on file:// (POSIX rename
-    * overwrites silently, so rename cannot detect conflicts there),
-    * create(overwrite=false) elsewhere (atomic on HDFS), then a read-back
-    * verify. An existing-but-unparseable manifest at the destination is a
-    * torn leftover from a crashed publish (never acknowledged) — reclaimed
-    * once, then the claim is retried. */
+  /** Lost the O_EXCL race for a version file: RETRYABLE — the commit can
+    * be re-validated and re-applied against the new head (Iceberg
+    * SnapshotProducer semantics, [[retryingCommit]]). Subclasses
+    * IllegalStateException so every existing staging-cleanup catch keeps
+    * firing. */
+  private[sources] final class CommitRaceLost(msg: String)
+    extends IllegalStateException(msg)
+
+  /** A commit whose re-application on the new base would be UNSOUND —
+    * the concurrent winner touched the same files this statement
+    * targets, or moved the schema/spec under it. Never retried; the
+    * statement must re-run against the new table state. */
+  final class CommitConflictException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Optimistic-concurrency commit loop (Iceberg's SnapshotProducer):
+    * `attempt` re-reads the head ITSELF, validates, composes a manifest
+    * on it and publishes; a lost version-file race re-runs it against
+    * the new head, up to `maxAttempts`. Concurrent writers touching
+    * DISJOINT files — the common case on a large table with many ingest
+    * jobs — thus ALL land; only a validation refusal
+    * ([[CommitConflictException]]) or exhaustion surfaces. The tiny
+    * jittered backoff de-synchronizes contenders without a lock. */
+  private[sources] def retryingCommit[T](what: String, maxAttempts: Int = 6)
+      (attempt: () => T): T = {
+    var n = 1
+    while (true) {
+      try return attempt()
+      catch {
+        case e: CommitRaceLost =>
+          if (n >= maxAttempts) throw new IllegalStateException(
+            s"SnapshotLog: $what lost the commit race $maxAttempts times " +
+              s"(persistent contention): ${e.getMessage}")
+          Thread.sleep(n.toLong + ThreadLocalRandom.current().nextLong(8L))
+          n += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Validate that row-level work staged against `base` may re-apply on
+    * `fresh` (the snapshots that landed in between must not overlap this
+    * statement's work): appends always pass; schema or spec drift, a
+    * targeted data file rewritten away, or concurrent delete files on a
+    * targeted data file refuse with [[CommitConflictException]].
+    * `targeted` holds NORMALIZED paths of the data files this statement
+    * attaches delete files to (its positional coordinates / equality
+    * scoping are only valid while those files and their delete lists are
+    * exactly as staged). */
+  private def validateReapply(what: String, base: Snapshot, fresh: Snapshot,
+      targeted: Set[String]): Unit = {
+    def refuse(why: String): Nothing = throw new CommitConflictException(
+      s"SnapshotLog: $what cannot re-apply on concurrent v${fresh.version}: " +
+        why + " — re-run the statement against the new table state")
+    if (fresh.schemaJson != base.schemaJson) refuse("schema changed")
+    if (fresh.spec != base.spec || fresh.specs != base.specs)
+      refuse("partition spec changed")
+    val freshSet = fresh.files.map(norm).toSet
+    val gone = targeted.filterNot(freshSet)
+    if (gone.nonEmpty)
+      refuse(s"targeted data file(s) no longer live: ${gone.take(3).mkString(", ")}")
+    val overlapped = targeted.filter(f =>
+      fresh.dels.getOrElse(f, Seq.empty) != base.dels.getOrElse(f, Seq.empty))
+    if (overlapped.nonEmpty)
+      refuse("concurrent row-level deletes on targeted file(s): " +
+        overlapped.take(3).mkString(", "))
+  }
+
+  /** The per-statement delete-file DELTA: what `merged` adds over
+    * `base.dels` (staged delete parquets are fresh uuid paths, so list
+    * difference is exact). Re-application folds this onto ANY head that
+    * passes [[validateReapply]]. */
+  private def delsDelta(base: Snapshot,
+      merged: Map[String, Seq[String]]): Map[String, Seq[String]] =
+    merged.map { case (f, ds) =>
+      f -> ds.filterNot(base.dels.getOrElse(f, Seq.empty).contains)
+    }.filter(_._2.nonEmpty)
+
+  /** Exclusive-claim publish. On file:// the payload is written to a
+    * sibling temp file and HARD-LINKED into place: link(2) is atomic
+    * O_EXCL (POSIX rename overwrites silently, so rename cannot detect
+    * conflicts) AND the destination carries the FULL payload at claim
+    * instant — no empty-file window a concurrent writer could misread
+    * as a torn leftover and reclaim. Elsewhere create(overwrite=false)
+    * (atomic claim on HDFS), then a read-back verify. An
+    * existing-but-unparseable manifest at the destination is a torn
+    * leftover from a crashed non-atomic publish (never acknowledged) —
+    * reclaimed once, then the claim is retried. */
   private def publish(fs: FileSystem, dest: Path, payload: Array[Byte]): Unit = {
     fs.mkdirs(dest.getParent)
-    def conflict(): Nothing = throw new IllegalStateException(
+    def conflict(): Nothing = throw new CommitRaceLost(
       s"SnapshotLog: concurrent commit won ${dest.getName} at ${dest.getParent}")
     def claim(mayReclaim: Boolean): Unit = {
       val scheme = dest.toUri.getScheme
       try {
         if (scheme == null || scheme == "file") {
-          java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(dest.toUri.getPath)) // atomic O_EXCL
-          val out = fs.create(dest, true)
-          try out.write(payload) finally out.close()
+          val destNio = java.nio.file.Paths.get(dest.toUri.getPath)
+          val tmp = destNio.resolveSibling(
+            s".${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+          java.nio.file.Files.write(tmp, payload)
+          try java.nio.file.Files.createLink(destNio, tmp) // atomic O_EXCL + payload
+          finally java.nio.file.Files.deleteIfExists(tmp)
         } else {
           val out = fs.create(dest, false)
           try out.write(payload) finally out.close()
@@ -1525,7 +1649,14 @@ object SnapshotLog {
              _: org.apache.hadoop.fs.PathExistsException =>
           val torn = try { parseManifest(readBytes(fs, dest), fs); false }
                      catch { case _: Exception => true }
-          if (torn && mayReclaim) { fs.delete(dest, false); claim(false) }
+          // reclaim only STALE torn files (crash leftovers age before
+          // anyone retries; a concurrent writer's publish is fresh) — a
+          // hot torn-check racing a valid publish must never delete it
+          val oldEnough = try {
+            System.currentTimeMillis() -
+              fs.getFileStatus(dest).getModificationTime > 10000L
+          } catch { case _: Exception => false }
+          if (torn && oldEnough && mayReclaim) { fs.delete(dest, false); claim(false) }
           else conflict()
       }
     }
@@ -1749,18 +1880,28 @@ object SnapshotLog {
     stageDeleteFiles(spark, root, cur, matched) match {
       case None => cur.version
       case Some((delDir, _, merged)) =>
-        val nextV = nextVersion(spark, root)
-        try {
-          commitManifest(fs, root, nextV, "delete", commitTsMs,
-            cur.schemaJson, cur.files, cur.stats, cur.sizes,
+        val delta = delsDelta(cur, merged)
+        // optimistic re-apply: a concurrent append merges (delete files
+        // fold onto the fresh head); overlapping row-level work refuses
+        try retryingCommit("deleteWhereMoR") { () =>
+          val head = pick(spark, root, None, None)
+          val ts = if (head.version == cur.version) commitTsMs else {
+            validateReapply("deleteWhereMoR", cur, head, delta.keySet)
+            math.max(commitTsMs, head.commitTsMs + 1)
+          }
+          val mergedNow = head.dels ++ delta.map { case (f, ds) =>
+            f -> (head.dels.getOrElse(f, Seq.empty) ++ ds) }
+          val nextV = nextVersion(spark, root)
+          commitManifest(fs, root, nextV, "delete", ts,
+            head.schemaJson, head.files, head.stats, head.sizes,
             Map("delete.mode" -> "merge-on-read"),
-            cur.spec, cur.parts, cur.cols, merged,
-            cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec,
-            cur.version, cur.rows)
+            head.spec, head.parts, head.cols, mergedNow,
+            head.fids, head.colIds, head.maxId, head.specs, head.fileSpec,
+            head.version, head.rows)
+          nextV
         } catch {
           case e: IllegalStateException => fs.delete(delDir, true); throw e
         }
-        nextV
     }
   }
 
@@ -1851,18 +1992,26 @@ object SnapshotLog {
     stageEqualityDelete(spark, root, cur, keys) match {
       case None => cur.version
       case Some((delDir, merged)) =>
-        val nextV = nextVersion(spark, root)
-        try {
-          commitManifest(fs, root, nextV, "delete", commitTsMs,
-            cur.schemaJson, cur.files, cur.stats, cur.sizes,
+        val delta = delsDelta(cur, merged)
+        try retryingCommit("deleteEqualityMoR") { () =>
+          val head = pick(spark, root, None, None)
+          val ts = if (head.version == cur.version) commitTsMs else {
+            validateReapply("deleteEqualityMoR", cur, head, delta.keySet)
+            math.max(commitTsMs, head.commitTsMs + 1)
+          }
+          val mergedNow = head.dels ++ delta.map { case (f, ds) =>
+            f -> (head.dels.getOrElse(f, Seq.empty) ++ ds) }
+          val nextV = nextVersion(spark, root)
+          commitManifest(fs, root, nextV, "delete", ts,
+            head.schemaJson, head.files, head.stats, head.sizes,
             Map("delete.mode" -> "merge-on-read-equality"),
-            cur.spec, cur.parts, cur.cols, merged,
-            cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec,
-            cur.version, cur.rows)
+            head.spec, head.parts, head.cols, mergedNow,
+            head.fids, head.colIds, head.maxId, head.specs, head.fileSpec,
+            head.version, head.rows)
+          nextV
         } catch {
           case e: IllegalStateException => fs.delete(delDir, true); throw e
         }
-        nextV
     }
   }
 
@@ -1888,7 +2037,6 @@ object SnapshotLog {
       return commit(batch, root, overwrite = mainline.isEmpty,
         commitTsMs, math.max(1, numFiles), props)
     val cur = mainline.last
-    val next = prior.last.version + 1 // global sequence: branches included
     require(cur.commitTsMs < commitTsMs,
       s"commitTsMs $commitTsMs must advance past the last snapshot")
     val schema = cur.schema
@@ -1916,22 +2064,31 @@ object SnapshotLog {
       .map(s => norm(s.getPath.toString) -> s.getLen).toMap
     val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
-    val allFiles = cur.files ++ newFiles
-    val (fids, colIds, maxId) = fidCarry(Some(cur), schema, allFiles, newCols)
-    try {
-      commitManifest(fs, root, next, "upsert", commitTsMs,
-        cur.schemaJson, allFiles,
-        cur.stats ++ newStats, cur.sizes ++ newSizes,
+    val delta = delsDelta(cur, merged)
+    try retryingCommit("upsertEqualityMoR") { () =>
+      val head = pick(spark, root, None, None)
+      val ts = if (head.version == cur.version) commitTsMs else {
+        validateReapply("upsertEqualityMoR", cur, head, delta.keySet)
+        math.max(commitTsMs, head.commitTsMs + 1)
+      }
+      val mergedNow = head.dels ++ delta.map { case (f, ds) =>
+        f -> (head.dels.getOrElse(f, Seq.empty) ++ ds) }
+      val allFiles = head.files ++ newFiles
+      val (fids, colIds, maxId) = fidCarry(Some(head), schema, allFiles, newCols)
+      val nextV = nextVersion(spark, root)
+      commitManifest(fs, root, nextV, "upsert", ts,
+        head.schemaJson, allFiles,
+        head.stats ++ newStats, head.sizes ++ newSizes,
         props ++ Map("upsert.mode" -> "merge-on-read-equality"),
-        cur.spec, cur.parts, cur.cols ++ newCols, merged,
-        fids, colIds, maxId, cur.specs, cur.fileSpec, cur.version,
-        cur.rows ++ newRows)
+        head.spec, head.parts, head.cols ++ newCols, mergedNow,
+        fids, colIds, maxId, head.specs, head.fileSpec, head.version,
+        head.rows ++ newRows)
+      nextV
     } catch {
       case e: IllegalStateException =>
         staged.foreach { case (d, _) => fs.delete(d, true) }
         fs.delete(dataDir, true); throw e
     }
-    next
   }
 
   /** Canonical form for cross-engine stat comparison (mirrors the
@@ -1998,23 +2155,31 @@ object SnapshotLog {
           .map(s => norm(s.getPath.toString) -> s.getLen).toMap
         val (newStats, newCols, newRows) =
           footerMeta(spark.sessionState.newHadoopConf(), newFiles, cur.schema)
-        val allFiles = cur.files ++ newFiles
-        val (fids, colIds, maxId) =
-          fidCarry(Some(cur), cur.schema, allFiles, newCols)
-        val nextV = nextVersion(spark, root)
-        try {
-          commitManifest(fs, root, nextV, "update", commitTsMs,
-            cur.schemaJson, allFiles,
-            cur.stats ++ newStats, cur.sizes ++ newSizes,
+        val delta = delsDelta(cur, merged)
+        try retryingCommit("updateWhereMoR") { () =>
+          val head = pick(spark, root, None, None)
+          val ts = if (head.version == cur.version) commitTsMs else {
+            validateReapply("updateWhereMoR", cur, head, delta.keySet)
+            math.max(commitTsMs, head.commitTsMs + 1)
+          }
+          val mergedNow = head.dels ++ delta.map { case (f, ds) =>
+            f -> (head.dels.getOrElse(f, Seq.empty) ++ ds) }
+          val allFiles = head.files ++ newFiles
+          val (fids, colIds, maxId) =
+            fidCarry(Some(head), cur.schema, allFiles, newCols)
+          val nextV = nextVersion(spark, root)
+          commitManifest(fs, root, nextV, "update", ts,
+            head.schemaJson, allFiles,
+            head.stats ++ newStats, head.sizes ++ newSizes,
             Map("update.mode" -> "merge-on-read"),
-            cur.spec, cur.parts, cur.cols ++ newCols, merged,
-            fids, colIds, maxId, cur.specs, cur.fileSpec, cur.version,
-            cur.rows ++ newRows)
+            head.spec, head.parts, head.cols ++ newCols, mergedNow,
+            fids, colIds, maxId, head.specs, head.fileSpec, head.version,
+            head.rows ++ newRows)
+          nextV
         } catch {
           case e: IllegalStateException =>
             fs.delete(delDir, true); fs.delete(dataDir, true); throw e
         }
-        nextV
     }
   }
 
@@ -2162,87 +2327,134 @@ object SnapshotLog {
     val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
 
-    val keptSet = kept.toSet
-    val next = nextVersion(spark, root)
-    try {
+    val smallSet = small.map(norm).toSet
+    // optimistic re-apply: a concurrent append carries through (the new
+    // head's untouched files are taken by reference); a concurrent
+    // writer touching a REPLACED file (new deletes, rewrite) refuses —
+    // this compaction folded a state that no longer exists
+    try retryingCommit("rewriteDataFiles") { () =>
+      val head = pick(spark, root, None, None)
+      val ts = if (head.version == cur.version) commitTsMs else {
+        validateReapply("rewriteDataFiles", cur, head, smallSet)
+        math.max(commitTsMs, head.commitTsMs + 1)
+      }
+      val keptNow = head.files.filterNot(f => smallSet.contains(norm(f)))
+      val keptNorm = keptNow.map(norm).toSet
+      val next = nextVersion(spark, root)
       val (fids, colIds, maxId) =
-        fidCarry(Some(cur), schema, kept ++ newFiles, newCols)
-      commitManifest(fs, root, next, "rewrite", commitTsMs, cur.schemaJson,
-        kept ++ newFiles,
-        cur.stats.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newStats,
-        cur.sizes.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newSizes,
-        Map.empty, cur.spec,
-        cur.parts.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newParts,
-        cur.cols.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newCols,
+        fidCarry(Some(head), schema, keptNow ++ newFiles, newCols)
+      commitManifest(fs, root, next, "rewrite", ts, head.schemaJson,
+        keptNow ++ newFiles,
+        head.stats.view.filterKeys(keptNorm).toMap ++ newStats,
+        head.sizes.view.filterKeys(keptNorm).toMap ++ newSizes,
+        Map.empty, head.spec,
+        head.parts.view.filterKeys(keptNorm).toMap ++ newParts,
+        head.cols.view.filterKeys(keptNorm).toMap ++ newCols,
         // deletes on rewritten files are folded; kept files carry theirs
         // (none today — dels force files into the rewrite set — but a
         // future partial rewrite must not drop them silently)
-        cur.dels.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap,
-        fids, colIds, maxId, cur.specs,
-        cur.fileSpec.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++
+        head.dels.view.filterKeys(keptNorm).toMap,
+        fids, colIds, maxId, head.specs,
+        head.fileSpec.view.filterKeys(keptNorm).toMap ++
           // rewritten files were laid out under the ACTIVE spec
-          (if (cur.specs.nonEmpty && cur.spec.nonEmpty)
-            newFiles.map(f => norm(f) -> cur.specs.indexOf(cur.spec)).toMap
+          (if (head.specs.nonEmpty && head.spec.nonEmpty)
+            newFiles.map(f => norm(f) -> head.specs.indexOf(head.spec)).toMap
           else Map.empty),
-        cur.version,
-        cur.rows.view.filterKeys(k => keptSet.exists(f => norm(f) == k)).toMap ++ newRows)
+        head.version,
+        head.rows.view.filterKeys(keptNorm).toMap ++ newRows)
+      next
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }
-    next
   }
 
-  /** Compact the POSITIONAL DELETE FILES of the current snapshot into one
-    * sorted file (Iceberg's rewrite_position_delete_files): a long trickle
-    * of MoR deletes leaves every reader opening N small delete files per
-    * scan — this folds them into one without touching ANY data file. The
-    * commit is content-neutral ("rewrite": incremental consumers skip it).
+  /** Compact the POSITIONAL DELETE FILES of the current snapshot
+    * (Iceberg's rewrite_position_delete_files): a long trickle of MoR
+    * deletes leaves every reader opening N small delete files per scan —
+    * this folds them WITHOUT touching any data file. The rewrite is
+    * range-partitioned by (file_path, pos) and sized by total delete
+    * bytes: a KB-scale trickle coalesces to ONE sorted file (the point
+    * of the procedure), while the accumulated case — exactly when this
+    * procedure gets run — fans out across tasks, one sorted delete file
+    * per data-file range, and each data file is remapped to ONLY the
+    * ranges that hold its rows. No single-task funnel
+    * (SnapshotMorStagingSpec asserts the plan). The commit is
+    * content-neutral ("rewrite": incremental consumers skip it).
     * Equality delete files are left alone (their semantics are scoped by
-    * commit-time file sets; `rewriteDataFiles` folds them fully). Returns
-    * the new version, or the current one when fewer than 2 positional
-    * delete files exist. */
+    * commit-time file sets; `rewriteDataFiles` folds them fully).
+    * Returns the new version, or the current one when fewer than 2
+    * positional delete files exist. */
   def rewriteDeleteFiles(spark: SparkSession, root: String,
-                         commitTsMs: Long): Int = {
+                         commitTsMs: Long,
+                         targetBytes: Long = 32L << 20): Int = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
     val cur = pick(spark, root, None, None)
     val allDel = cur.dels.values.flatten.toSeq.distinct
-    def isPositional(f: String): Boolean =
-      spark.read.parquet(f).schema.fieldNames.toSeq == Seq("file_path", "pos")
-    val (posFiles, eqFiles) = allDel.partition(isPositional)
+    val conf = spark.sessionState.newHadoopConf()
+    // flavor split via the JVM-wide footer-schema cache — no
+    // spark.read.parquet schema job per delete file
+    val posFiles = allDel.filter(df =>
+      SnapshotDeletes.isPositional(SnapshotDeletes.schemaOf(df, conf)))
     if (posFiles.size < 2) return cur.version
     require(cur.commitTsMs < commitTsMs,
       s"commitTsMs $commitTsMs must advance past the last snapshot")
     val fs = fsFor(spark, new Path(root))
     val delDir = new Path(new Path(root, "deletes"),
       java.util.UUID.randomUUID().toString.take(12))
+    val totalBytes = posFiles.map(f =>
+      fs.getFileStatus(new Path(f)).getLen).sum
+    val numOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(posFiles: _*).distinct()
-      .repartition(1).sortWithinPartitions("file_path", "pos")
+      .repartitionByRange(numOut, col("file_path"), col("pos"))
+      .sortWithinPartitions("file_path", "pos")
       .write.parquet(delDir.toString)
-    val merged = fs.listStatus(delDir)
+    val written = fs.listStatus(delDir)
       .filter(s => s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName).map(_.getPath.toString).toSeq
-    // remap: every data file that had positional deletes now points at
-    // the merged file (plus any equality files it still carries)
+    // per-range remap: (data file -> merged parts holding its rows), read
+    // back from the written ranges; unreferenced (empty) parts reclaimed
+    val pairs = spark.read.parquet(written: _*)
+      .select(col("file_path"),
+        regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("del"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byNorm = written.map(d => norm(d) -> d).toMap
+    val referenced = pairs.map(p => norm(p._2)).toSet
+    written.filterNot(d => referenced.contains(norm(d)))
+      .foreach(d => fs.delete(new Path(d), false))
+    val mergedFor: Map[String, Seq[String]] = pairs.groupBy(_._1).view
+      .mapValues(_.map(p => byNorm(norm(p._2))).toSeq.distinct.sorted).toMap
     val posSet = posFiles.toSet
-    val newDels = cur.dels.map { case (df, ds) =>
-      val eq = ds.filterNot(posSet.contains)
-      val hadPos = ds.exists(posSet.contains)
-      df -> (eq ++ (if (hadPos) merged else Seq.empty))
-    }.filter(_._2.nonEmpty)
-    val nextV = nextVersion(spark, root)
-    try {
-      commitManifest(fs, root, nextV, "rewrite", commitTsMs,
-        cur.schemaJson, cur.files, cur.stats, cur.sizes,
+    // data files whose delete lists this rewrite rewires — the re-apply
+    // validation set (a concurrent delete on one of them would be lost)
+    val targeted = cur.dels.collect {
+      case (df, ds) if ds.exists(posSet.contains) => df
+    }.toSet
+    try retryingCommit("rewriteDeleteFiles") { () =>
+      val head = pick(spark, root, None, None)
+      val ts = if (head.version == cur.version) commitTsMs else {
+        validateReapply("rewriteDeleteFiles", cur, head, targeted)
+        math.max(commitTsMs, head.commitTsMs + 1)
+      }
+      val newDels = head.dels.map { case (df, ds) =>
+        val eq = ds.filterNot(posSet.contains)
+        val hadPos = ds.exists(posSet.contains)
+        df -> (eq ++ (if (hadPos) mergedFor.getOrElse(df, Seq.empty) else Seq.empty))
+      }.filter(_._2.nonEmpty)
+      val nextV = nextVersion(spark, root)
+      commitManifest(fs, root, nextV, "rewrite", ts,
+        head.schemaJson, head.files, head.stats, head.sizes,
         Map("rewrite" -> "position-delete-files"),
-        cur.spec, cur.parts, cur.cols, newDels,
-        cur.fids, cur.colIds, cur.maxId, cur.specs, cur.fileSpec,
-        cur.version, cur.rows)
+        head.spec, head.parts, head.cols, newDels,
+        head.fids, head.colIds, head.maxId, head.specs, head.fileSpec,
+        head.version, head.rows)
+      nextV
     } catch {
       case e: IllegalStateException => fs.delete(delDir, true); throw e
     }
     // the replaced delete files stay on disk for time travel; expiry
     // reclaims them once no surviving snapshot references them
-    nextV
   }
 
   /** Per-file row counts from parquet footers (metadata IO only). */
@@ -2283,27 +2495,36 @@ object SnapshotLog {
     val newSizes = statuses.filter(s => rows(norm(s.getPath.toString)) > 0)
       .map(s => norm(s.getPath.toString) -> s.getLen).toMap
     val (newStats, newCols, newRows) = footerMeta(conf, newFiles, cur.schema)
-    val untouchedSet = untouched.map(norm).toSet
-    val next = nextVersion(spark, root)
-    try {
+    // the files this copy-on-write REPLACES: their rows were recomputed
+    // into `keep`, so a concurrent writer touching them refuses re-apply
+    val replaced = cur.files.map(norm).toSet -- untouched.map(norm).toSet
+    try retryingCommit(s"rewriteTouched($operation)") { () =>
+      val head = pick(spark, root, None, None)
+      val ts = if (head.version == cur.version) commitTsMs else {
+        validateReapply(s"rewriteTouched($operation)", cur, head, replaced)
+        math.max(commitTsMs, head.commitTsMs + 1)
+      }
+      val untouchedNow = head.files.filterNot(f => replaced.contains(norm(f)))
+      val untouchedSet = untouchedNow.map(norm).toSet
+      val next = nextVersion(spark, root)
       val (fids, colIds, maxId) =
-        fidCarry(Some(cur), cur.schema, untouched ++ newFiles, newCols)
-      commitManifest(fs, root, next, operation, commitTsMs, cur.schemaJson,
-        untouched ++ newFiles,
-        cur.stats.view.filterKeys(untouchedSet.contains).toMap ++ newStats,
-        cur.sizes.view.filterKeys(untouchedSet.contains).toMap ++ newSizes,
-        Map.empty, cur.spec,
-        cur.parts.view.filterKeys(untouchedSet.contains).toMap,
-        cur.cols.view.filterKeys(untouchedSet.contains).toMap ++ newCols,
-        cur.dels.view.filterKeys(untouchedSet.contains).toMap,
-        fids, colIds, maxId, cur.specs,
-        cur.fileSpec.view.filterKeys(untouchedSet.contains).toMap,
-        cur.version,
-        cur.rows.view.filterKeys(untouchedSet.contains).toMap ++ newRows)
+        fidCarry(Some(head), cur.schema, untouchedNow ++ newFiles, newCols)
+      commitManifest(fs, root, next, operation, ts, head.schemaJson,
+        untouchedNow ++ newFiles,
+        head.stats.view.filterKeys(untouchedSet.contains).toMap ++ newStats,
+        head.sizes.view.filterKeys(untouchedSet.contains).toMap ++ newSizes,
+        Map.empty, head.spec,
+        head.parts.view.filterKeys(untouchedSet.contains).toMap,
+        head.cols.view.filterKeys(untouchedSet.contains).toMap ++ newCols,
+        head.dels.view.filterKeys(untouchedSet.contains).toMap,
+        fids, colIds, maxId, head.specs,
+        head.fileSpec.view.filterKeys(untouchedSet.contains).toMap,
+        head.version,
+        head.rows.view.filterKeys(untouchedSet.contains).toMap ++ newRows)
+      next
     } catch {
       case e: IllegalStateException => fs.delete(dataDir, true); throw e
     }
-    next
   }
 
   /** Expire snapshots older than `keepFromVersion`: delete their

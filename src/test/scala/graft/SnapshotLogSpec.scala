@@ -80,12 +80,15 @@ class SnapshotLogSpec extends AnyFunSuite {
     val out = fs.create(new Path(s"$root/_log/v00002.json"), false)
     out.write("""{"version":2,"operation":"append","commitTsMs":150,"schema":"{\"type\":\"struct\",\"fields\":[]}","files":[]}""".getBytes)
     out.close()
-    // next commit computes version 3 (it lists the foreign v2) and must
-    // still advance the ts monotonically; a STALE ts is rejected
-    intercept[IllegalArgumentException] {
-      SnapshotLog.commit(Seq(2).toDF("x"), root, overwrite = false, 120L)
-    }
-    assert(SnapshotLog.commit(Seq(2).toDF("x"), root, overwrite = false, 300L) === 3)
+    // next commit computes version 3 (it lists the foreign v2); a STALE
+    // requested ts is bumped past the head (r15: concurrent writers
+    // cannot coordinate timestamps — monotonicity is enforced by the
+    // commit loop, not by refusing the caller)
+    assert(SnapshotLog.commit(Seq(2).toDF("x"), root, overwrite = false, 120L) === 3)
+    val tss = SnapshotLog.snapshots(spark, root).map(_.commitTsMs)
+    assert(tss === tss.sorted && tss.distinct.size == tss.size,
+      s"commitTsMs must stay strictly monotone, got $tss")
+    assert(SnapshotLog.commit(Seq(3).toDF("x"), root, overwrite = false, 300L) === 4)
   }
 
   test("tmp leftovers and foreign files in _log are ignored") {
@@ -415,12 +418,16 @@ class SnapshotLogSpec extends AnyFunSuite {
     SnapshotLog.commit(Seq(1).toDF("x"), root, overwrite = true, 100L)
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     // crash mid-publish: v2 claimed but half-written (unparseable)
-    val out = fs.create(new Path(s"$root/_log/v00002.json"), false)
+    val torn = new Path(s"$root/_log/v00002.json")
+    val out = fs.create(torn, false)
     out.write("""{"version": 2, "operat""".getBytes)
     out.close()
+    // age it past the reclaim grace (a FRESH torn-looking file is never
+    // reclaimed — it could be a concurrent writer's publish in flight)
+    fs.setTimes(torn, System.currentTimeMillis() - 60000L, -1L)
     assert(SnapshotLog.snapshots(spark, root).map(_.version) === Seq(1))
     assert(SnapshotLog.read(spark, root).count() === 1)
-    // the next commit reclaims the torn slot and succeeds as v2
+    // the next commit reclaims the stale torn slot and succeeds as v2
     assert(SnapshotLog.commit(Seq(2).toDF("x"), root, overwrite = false, 200L) === 2)
     assert(SnapshotLog.read(spark, root).count() === 2)
   }

@@ -92,6 +92,44 @@ class SnapshotMorStagingSpec extends AnyFunSuite {
     assert(t.filter(col("k") % 4 === 0).count() === 0)
   }
 
+  test("rewriteDeleteFiles fans ACCUMULATED deletes across ranges; each " +
+       "data file remaps only to the parts holding its rows") {
+    val root = freshRoot("delcompact")
+    SnapshotLog.commit(
+      spark.range(0, 100000, 1, 4).selectExpr("id AS k"),
+      root, overwrite = true, 100L, 4)
+    // a trickle of 6 MoR deletes accumulates 6+ positional delete files
+    (0 until 6).foreach { i =>
+      SnapshotLog.deleteWhereMoR(spark, root,
+        col("k") % 100 === i.toLong, 200L + i)
+    }
+    val before = SnapshotLog.snapshots(spark, root).last
+    val beforeDel = before.dels.values.flatten.toSeq.distinct
+    assert(beforeDel.size >= 6, s"expected accumulation, got ${beforeDel.size}")
+    // size targetBytes to a third of the accumulated volume: the
+    // rewrite must fan out across ~3 (file_path, pos) ranges — the
+    // accumulated path, no repartition(1) funnel
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val total = beforeDel.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    SnapshotLog.rewriteDeleteFiles(spark, root, 900L,
+      targetBytes = (total + 2) / 3)
+    val after = SnapshotLog.snapshots(spark, root).last
+    val afterDel = after.dels.values.flatten.toSeq.distinct
+    assert(afterDel.size > 1,
+      s"accumulated compaction must fan out across ranges, got ${afterDel.size}")
+    assert(afterDel.size < beforeDel.size,
+      "compaction should still reduce the per-scan delete file count")
+    // per-range remap: range partitioning by file_path keeps each data
+    // file's coordinates in few ranges — no file references every part
+    assert(after.dels.values.exists(_.size < afterDel.size),
+      "per-file remap should scope files to overlapping ranges only")
+    val t = spark.read.format("snapshotlog").load(root)
+    assert(t.count() === 100000L - 6 * 1000)
+    (0 until 6).foreach { i =>
+      assert(t.filter(col("k") % 100 === i.toLong).count() === 0)
+    }
+  }
+
   test("equality pair scoping: a delete part whose key range misses a " +
        "file's stats is not referenced by it") {
     val root = freshRoot("eqscope")
