@@ -721,7 +721,8 @@ object SnapshotLog {
     // An overwrite is base-independent by definition ("table := df") and
     // re-applies the same way. Retry timestamps bump past the concurrent
     // winner to keep commitTsMs strictly monotone.
-    try retryingCommit(if (overwrite) "overwrite" else "append") { () =>
+    val committed = try retryingCommit(
+      if (overwrite) "overwrite" else "append") { () =>
       val prior = snapshots(spark, root)
       val next = prior.lastOption.map(_.version + 1).getOrElse(1)
       // content parent is the MAINLINE head (a branch commit may own the
@@ -761,6 +762,8 @@ object SnapshotLog {
         fs.delete(dataDir, true) // out of retries: reclaim unpublished data
         throw e
     }
+    maybeMaintain(spark, root)
+    committed
   }
 
   /** Commit with HIDDEN PARTITIONING ([[SnapshotPartition]] — Iceberg's
@@ -1883,7 +1886,7 @@ object SnapshotLog {
         val delta = delsDelta(cur, merged)
         // optimistic re-apply: a concurrent append merges (delete files
         // fold onto the fresh head); overlapping row-level work refuses
-        try retryingCommit("deleteWhereMoR") { () =>
+        val committed = try retryingCommit("deleteWhereMoR") { () =>
           val head = pick(spark, root, None, None)
           val ts = if (head.version == cur.version) commitTsMs else {
             validateReapply("deleteWhereMoR", cur, head, delta.keySet)
@@ -1902,6 +1905,7 @@ object SnapshotLog {
         } catch {
           case e: IllegalStateException => fs.delete(delDir, true); throw e
         }
+        locally { maybeMaintain(spark, root); committed }
     }
   }
 
@@ -1993,7 +1997,7 @@ object SnapshotLog {
       case None => cur.version
       case Some((delDir, merged)) =>
         val delta = delsDelta(cur, merged)
-        try retryingCommit("deleteEqualityMoR") { () =>
+        val committed = try retryingCommit("deleteEqualityMoR") { () =>
           val head = pick(spark, root, None, None)
           val ts = if (head.version == cur.version) commitTsMs else {
             validateReapply("deleteEqualityMoR", cur, head, delta.keySet)
@@ -2012,6 +2016,7 @@ object SnapshotLog {
         } catch {
           case e: IllegalStateException => fs.delete(delDir, true); throw e
         }
+        locally { maybeMaintain(spark, root); committed }
     }
   }
 
@@ -2065,7 +2070,7 @@ object SnapshotLog {
     val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
     val delta = delsDelta(cur, merged)
-    try retryingCommit("upsertEqualityMoR") { () =>
+    val committed = try retryingCommit("upsertEqualityMoR") { () =>
       val head = pick(spark, root, None, None)
       val ts = if (head.version == cur.version) commitTsMs else {
         validateReapply("upsertEqualityMoR", cur, head, delta.keySet)
@@ -2089,6 +2094,7 @@ object SnapshotLog {
         staged.foreach { case (d, _) => fs.delete(d, true) }
         fs.delete(dataDir, true); throw e
     }
+        locally { maybeMaintain(spark, root); committed }
   }
 
   /** Canonical form for cross-engine stat comparison (mirrors the
@@ -2156,7 +2162,7 @@ object SnapshotLog {
         val (newStats, newCols, newRows) =
           footerMeta(spark.sessionState.newHadoopConf(), newFiles, cur.schema)
         val delta = delsDelta(cur, merged)
-        try retryingCommit("updateWhereMoR") { () =>
+        val committed = try retryingCommit("updateWhereMoR") { () =>
           val head = pick(spark, root, None, None)
           val ts = if (head.version == cur.version) commitTsMs else {
             validateReapply("updateWhereMoR", cur, head, delta.keySet)
@@ -2180,6 +2186,7 @@ object SnapshotLog {
           case e: IllegalStateException =>
             fs.delete(delDir, true); fs.delete(dataDir, true); throw e
         }
+        locally { maybeMaintain(spark, root); committed }
     }
   }
 
@@ -2455,6 +2462,62 @@ object SnapshotLog {
     }
     // the replaced delete files stay on disk for time travel; expiry
     // reclaims them once no surviving snapshot references them
+  }
+
+  /** COMMIT-TIME AUTOMATIC MAINTENANCE (the policy layer Iceberg leaves
+    * to external schedulers and Delta ships as auto-compaction): a
+    * steady MoR trickle or many tiny appends degrade every future scan,
+    * and relying on an operator to remember `CALL rewrite_*` is how
+    * 100-TB tables rot. Opt-in via TABLE PROPERTIES ([[tableProps]]):
+    *
+    *  - `write.delete.max-files-per-data-file` = N — after a commit, if
+    *    any live data file carries more than N POSITIONAL delete files,
+    *    fold them ([[rewriteDeleteFiles]], range-sharded).
+    *  - `write.data.max-small-files` = N (with optional
+    *    `write.data.small-file-bytes`, default 32 MiB, and
+    *    `write.data.target-file-size-bytes`, default 128 MiB) — if more
+    *    than N live data files sit under the small threshold, bin-pack
+    *    them ([[rewriteDataFiles]]).
+    *
+    * Best-effort by design: maintenance rides AFTER the caller's commit
+    * (which is already durable), and a concurrent-writer conflict or
+    * lost race simply skips — the thresholds re-trip on the next commit.
+    * Reference behavior: Bodo's Iceberg writer leaves this to the
+    * catalog's background services; here the policy IS the service. */
+  private[sources] def maybeMaintain(spark: SparkSession, root: String): Unit = {
+    val props = tableProps(spark, root)
+    val maxDel = props.get("write.delete.max-files-per-data-file").map(_.toInt)
+    val maxSmall = props.get("write.data.max-small-files").map(_.toInt)
+    if (maxDel.isEmpty && maxSmall.isEmpty) return
+    val conf = spark.sessionState.newHadoopConf()
+    try {
+      maxDel.foreach { n =>
+        val head = pick(spark, root, None, None)
+        val worst = head.dels.values.map(_.count(df =>
+          SnapshotDeletes.isPositional(SnapshotDeletes.schemaOf(df, conf))))
+          .maxOption.getOrElse(0)
+        if (worst > n)
+          rewriteDeleteFiles(spark, root, head.commitTsMs + 1)
+      }
+      maxSmall.foreach { n =>
+        val head = pick(spark, root, None, None)
+        val smallBytes = props.get("write.data.small-file-bytes")
+          .map(_.toLong).getOrElse(32L << 20)
+        val fs = fsFor(spark, new Path(root))
+        val smallCount = head.files.count(f => head.sizes.getOrElse(norm(f),
+          fs.getFileStatus(new Path(f)).getLen) < smallBytes)
+        if (smallCount > n)
+          rewriteDataFiles(spark, root, head.commitTsMs + 1,
+            targetBytes = props.get("write.data.target-file-size-bytes")
+              .map(_.toLong).getOrElse(128L << 20),
+            smallBytes = smallBytes)
+      }
+    } catch {
+      // never fail the caller's (already-published) commit over
+      // housekeeping — contention means someone else is writing; the
+      // thresholds re-evaluate on their commit
+      case _: IllegalStateException =>
+    }
   }
 
   /** Per-file row counts from parquet footers (metadata IO only). */
