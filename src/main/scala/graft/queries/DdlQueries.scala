@@ -793,6 +793,66 @@ object DdlQueries extends QueryModule {
         .withColumn("publish_op",
           lit(SnapshotLog.snapshots(s, root).last.operation))
         .select("stage", "n_rows", "sum_bal", "publish_op")
+    }),
+
+    // COMMIT-TIME AUTO-MAINTENANCE (SnapshotLog.maybeMaintain — the
+    // policy layer Iceberg leaves to external schedulers, Delta ships
+    // as auto-compaction): table properties arm best-effort maintenance
+    // that rides AFTER each commit publishes. Gated end-to-end with no
+    // manual CALLs: (1) `write.delete.max-files-per-data-file`=2 lets
+    // two MoR trickle deletes pass, the third auto-folds the positional
+    // delete files (rewrite snapshot #1); (2) `write.data.max-small-
+    // files`=4 trips on the 5th small file and auto-bin-packs (rewrite
+    // #2, which also folds remaining deletes); (3) a MALFORMED
+    // threshold value must never fail the already-durable commit —
+    // the policy warns and skips. Final state: ≤4 live files, zero
+    // delete files, both rewrites present, content matching the oracle.
+    "ddl_auto_maintain" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "auto_maintain") { root =>
+        val c = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 0), root,
+          overwrite = true, commitTsMs = 1000L)
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 1), root,
+          overwrite = false, commitTsMs = 2000L)
+        SnapshotLog.setTableProps(s, root,
+          Map("write.delete.max-files-per-data-file" -> "2"))
+        // all-odd residues so every trickle hits the SAME (odd-keyed)
+        // data files — the third pushes past the threshold → auto-fold
+        SnapshotLog.deleteWhereMoR(s, root, col("c_custkey") % 100 === 1, 3000L)
+        SnapshotLog.deleteWhereMoR(s, root, col("c_custkey") % 100 === 3, 4000L)
+        SnapshotLog.deleteWhereMoR(s, root, col("c_custkey") % 100 === 5, 5000L)
+        SnapshotLog.setTableProps(s, root,
+          Map("write.data.max-small-files" -> "4"),
+          unset = Seq("write.delete.max-files-per-data-file"))
+        // 5th small live file → auto-bin-pack (every sf-scale file is
+        // under the 32 MiB default small threshold); negated keys keep
+        // the appended rows disjoint from the base table
+        SnapshotLog.commit(
+          c.filter(col("c_custkey") % 97 === 0)
+            .select((-col("c_custkey")).as("c_custkey"), col("c_acctbal")),
+          root, overwrite = false, commitTsMs = 6000L, numFiles = 1)
+        // malformed threshold: the append must still land (warn + skip)
+        SnapshotLog.setTableProps(s, root,
+          Map("write.data.max-small-files" -> "many"))
+        SnapshotLog.commit(
+          c.filter(col("c_custkey") % 97 === 1)
+            .select((-col("c_custkey") - 2000000L).as("c_custkey"),
+              col("c_acctbal")),
+          root, overwrite = false, commitTsMs = 7000L, numFiles = 1)
+      }
+      val snaps = SnapshotLog.snapshots(s, root)
+      val head = snaps.last
+      snapRead(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .withColumn("auto_rewrites",
+          lit(snaps.count(_.operation == "rewrite").toLong))
+        .withColumn("dels_folded", lit(head.dels.isEmpty))
+        .withColumn("files_bounded", lit(head.files.size <= 4))
+        .withColumn("malformed_survived", lit(head.operation == "append"))
+        .select("n_rows", "sum_bal", "auto_rewrites", "dels_folded",
+          "files_bounded", "malformed_survived")
     })
   )
 
@@ -1067,6 +1127,20 @@ object DdlQueries extends QueryModule {
         |  'append' AS publish_op FROM ev
         |UNION ALL SELECT 'branch_staged', n, sb, 'append' FROM al
         |UNION ALL SELECT 'main_after', n, sb, 'append' FROM al
-        |UNION ALL SELECT 'consumer_delta', n, sb, 'append' FROM od""".stripMargin
+        |UNION ALL SELECT 'consumer_delta', n, sb, 'append' FROM od""".stripMargin,
+
+    "ddl_auto_maintain" ->
+      """WITH kept AS (
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 100 NOT IN (1, 3, 5)
+        |  UNION ALL
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 97 = 0
+        |  UNION ALL
+        |  SELECT c_acctbal FROM customer WHERE c_custkey % 97 = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  CAST(2 AS BIGINT) AS auto_rewrites,
+        |  TRUE AS dels_folded, TRUE AS files_bounded,
+        |  TRUE AS malformed_survived
+        |FROM kept""".stripMargin
   )
 }

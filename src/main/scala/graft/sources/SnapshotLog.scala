@@ -55,6 +55,9 @@ import scala.jdk.CollectionConverters._
   */
 object SnapshotLog {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private def logWarning(msg: String): Unit = log.warn(msg)
+
   final case class Snapshot(
       version: Int,
       operation: String,
@@ -840,7 +843,7 @@ object SnapshotLog {
     val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
 
-    try retryingCommit("commitPartitioned") { () =>
+    val committed = try retryingCommit("commitPartitioned") { () =>
       val prior = snapshots(spark, root)
       val next = prior.lastOption.map(_.version + 1).getOrElse(1)
       val mainLast = prior.filter(_.branch.isEmpty).lastOption
@@ -891,6 +894,10 @@ object SnapshotLog {
         fs.delete(dataDir, true)
         throw e
     }
+    // hidden-partitioned tables get the same commit-time maintenance as
+    // flat ones (rewriteDataFiles preserves partition layout)
+    maybeMaintain(spark, root)
+    committed
   }
 
   /** Create an EMPTY table: a v1 "create" manifest carrying only the
@@ -2485,12 +2492,27 @@ object SnapshotLog {
     * Reference behavior: Bodo's Iceberg writer leaves this to the
     * catalog's background services; here the policy IS the service. */
   private[sources] def maybeMaintain(spark: SparkSession, root: String): Unit = {
-    val props = tableProps(spark, root)
-    val maxDel = props.get("write.delete.max-files-per-data-file").map(_.toInt)
-    val maxSmall = props.get("write.data.max-small-files").map(_.toInt)
-    if (maxDel.isEmpty && maxSmall.isEmpty) return
-    val conf = spark.sessionState.newHadoopConf()
+    // EVERYTHING — property parsing included — sits inside the
+    // best-effort guard: this runs after the caller's commit is already
+    // durable, so a malformed property value or a lost maintenance race
+    // must never surface as a failed write. Malformed values warn once
+    // per call and disable the policy for this pass.
     try {
+      val props = tableProps(spark, root)
+      def intProp(k: String): Option[Int] = props.get(k).flatMap { v =>
+        val p = v.trim.toIntOption
+        if (p.isEmpty) logWarning(s"SnapshotLog maintenance: ignoring malformed $k='$v'")
+        p
+      }
+      def longProp(k: String, dflt: Long): Long = props.get(k).flatMap { v =>
+        val p = v.trim.toLongOption
+        if (p.isEmpty) logWarning(s"SnapshotLog maintenance: ignoring malformed $k='$v'")
+        p
+      }.getOrElse(dflt)
+      val maxDel = intProp("write.delete.max-files-per-data-file")
+      val maxSmall = intProp("write.data.max-small-files")
+      if (maxDel.isEmpty && maxSmall.isEmpty) return
+      val conf = spark.sessionState.newHadoopConf()
       maxDel.foreach { n =>
         val head = pick(spark, root, None, None)
         val worst = head.dels.values.map(_.count(df =>
@@ -2501,22 +2523,22 @@ object SnapshotLog {
       }
       maxSmall.foreach { n =>
         val head = pick(spark, root, None, None)
-        val smallBytes = props.get("write.data.small-file-bytes")
-          .map(_.toLong).getOrElse(32L << 20)
+        val smallBytes = longProp("write.data.small-file-bytes", 32L << 20)
         val fs = fsFor(spark, new Path(root))
         val smallCount = head.files.count(f => head.sizes.getOrElse(norm(f),
           fs.getFileStatus(new Path(f)).getLen) < smallBytes)
         if (smallCount > n)
           rewriteDataFiles(spark, root, head.commitTsMs + 1,
-            targetBytes = props.get("write.data.target-file-size-bytes")
-              .map(_.toLong).getOrElse(128L << 20),
+            targetBytes = longProp("write.data.target-file-size-bytes", 128L << 20),
             smallBytes = smallBytes)
       }
     } catch {
       // never fail the caller's (already-published) commit over
-      // housekeeping — contention means someone else is writing; the
-      // thresholds re-evaluate on their commit
-      case _: IllegalStateException =>
+      // housekeeping — contention (CommitConflict / lost race /
+      // require(ts) between two pick()s) means someone else is writing;
+      // the thresholds re-evaluate on their commit. Log, don't hide.
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"SnapshotLog maintenance skipped for $root: ${e.getMessage}")
     }
   }
 
