@@ -202,11 +202,28 @@ object SnapshotLog {
     val parsed = names.map { n =>
       try Some(parseManifestCached(readBytes(fs, new Path(dir, n)), fs))
       catch { case _: Exception => None }
-    }
+    }.toArray
     parsed.zipWithIndex.foreach { case (p, i) =>
-      if (p.isEmpty && i < parsed.length - 1)
-        throw new IllegalStateException(
+      if (p.isEmpty && i < parsed.length - 1) {
+        // An unparseable NON-TRAILING manifest on an hdfs-like scheme is
+        // usually a publish caught MID-WRITE (a newer version already
+        // landed, so this writer's payload is in flight, not crashed) —
+        // re-read inside the torn-reclaim grace before declaring
+        // corruption, so a transient torn window never surfaces to
+        // readers. Still torn past the grace = genuine corruption.
+        val path = new Path(dir, names(i))
+        val deadline = (try fs.getFileStatus(path).getModificationTime
+                        catch { case _: Exception => 0L }) + tornReclaimGraceMs
+        var snap: Option[Snapshot] = None
+        while (snap.isEmpty && System.currentTimeMillis() < deadline) {
+          Thread.sleep(100L)
+          snap = try Some(parseManifestCached(readBytes(fs, path), fs))
+                 catch { case _: Exception => None }
+        }
+        if (snap.isEmpty) throw new IllegalStateException(
           s"SnapshotLog: corrupt non-trailing manifest ${names(i)} at $root")
+        parsed(i) = snap
+      }
     }
     parsed.flatten.toSeq
   }
@@ -736,6 +753,20 @@ object SnapshotLog {
       if (!overwrite && mainLast.map(_.schemaJson) != baseSchema)
         throw new CommitConflictException(
           "SnapshotLog: append cannot re-apply — schema changed concurrently")
+      // appends are ADDITIVE-ONLY evolution (Iceberg: writers conform to
+      // the current schema; renames/drops go through ALTER). An append
+      // whose schema is missing a current column — e.g. one built against
+      // a pre-rename schema that serialized entirely AFTER the rename, so
+      // the baseline check above can't see it — would narrow or revert
+      // the table schema for every other reader. Refuse instead.
+      mainLast.filter(_ => !overwrite).foreach { h =>
+        val missing = h.schema.fieldNames.filterNot(df.schema.fieldNames.contains)
+        if (missing.nonEmpty) throw new CommitConflictException(
+          "SnapshotLog: append schema is missing current column(s) " +
+            missing.mkString(", ") +
+            " — appends may only ADD columns; rename/drop via ALTER, or " +
+            "re-run the append against the current table schema")
+      }
       val ts = math.max(commitTsMs,
         prior.lastOption.map(_.commitTsMs + 1).getOrElse(commitTsMs))
       val parent = if (overwrite) None else mainLast
@@ -853,6 +884,14 @@ object SnapshotLog {
       if (!overwrite && mainLast.map(_.schemaJson) != baseSchema)
         throw new CommitConflictException(
           "SnapshotLog: commitPartitioned cannot re-apply — schema changed concurrently")
+      // additive-only, like commit(): a partitioned append must not
+      // narrow or rename-revert the current schema
+      mainLast.filter(_ => !overwrite).foreach { h =>
+        val missing = h.schema.fieldNames.filterNot(df.schema.fieldNames.contains)
+        if (missing.nonEmpty) throw new CommitConflictException(
+          "SnapshotLog: partitioned append schema is missing current " +
+            s"column(s) ${missing.mkString(", ")} — appends may only ADD columns")
+      }
       // PARTITION-SPEC EVOLUTION (Iceberg spec-per-snapshot): an append
       // under a DIFFERENT spec is legal — the new files lay out and prune
       // under the new spec, carried files keep pruning under the spec they
@@ -1552,7 +1591,11 @@ object SnapshotLog {
     * SnapshotProducer semantics, [[retryingCommit]]). Subclasses
     * IllegalStateException so every existing staging-cleanup catch keeps
     * firing. */
-  private[sources] final class CommitRaceLost(msg: String)
+  private[sources] final class CommitRaceLost(msg: String,
+      /** When positive: the destination is a TORN manifest still inside
+        * the reclaim grace window — retry only helps after this many ms
+        * (a crashed publish ages past the gate; a live one finishes). */
+      val retryAfterMs: Long = 0L)
     extends IllegalStateException(msg)
 
   /** A commit whose re-application on the new base would be UNSOUND —
@@ -1580,7 +1623,11 @@ object SnapshotLog {
           if (n >= maxAttempts) throw new IllegalStateException(
             s"SnapshotLog: $what lost the commit race $maxAttempts times " +
               s"(persistent contention): ${e.getMessage}")
-          Thread.sleep(n.toLong + ThreadLocalRandom.current().nextLong(8L))
+          // a torn-but-fresh destination asks for a sleep past the
+          // reclaim grace (millisecond backoffs would exhaust every
+          // attempt inside the window and hard-fail a recoverable state)
+          Thread.sleep(math.max(e.retryAfterMs,
+            n.toLong + ThreadLocalRandom.current().nextLong(8L)))
           n += 1
       }
     }
@@ -1615,6 +1662,37 @@ object SnapshotLog {
         overlapped.take(3).mkString(", "))
   }
 
+  /** Iceberg's `validateAddedDataFiles` analog for equality-delete
+    * writers: on re-apply, any data file the head gained since `base`
+    * whose column stats MAY contain the statement's key range could carry
+    * the very keys this upsert believes it replaced — its equality delete
+    * was scoped to the files present at `base`, so letting both land
+    * leaves duplicate rows for a key. Stats disambiguate: a concurrent
+    * append of a provably-disjoint key range merges freely (the common
+    * case — disjoint CDC shards); overlapping or stat-less additions
+    * refuse. `keyBounds` empty (empty batch / all-null keys) skips. */
+  private def validateAddedFiles(what: String, base: Snapshot,
+      fresh: Snapshot, keyCols: Seq[String],
+      keyBounds: Map[String, (Any, Any)]): Unit = {
+    if (keyBounds.isEmpty) return
+    val baseSet = base.files.map(norm).toSet
+    val suspect = fresh.files.map(norm).filterNot(baseSet).filter { f =>
+      val stats = fresh.stats.getOrElse(f, Map.empty[String, (Any, Any)])
+      keyCols.forall { k =>
+        val statKey = fresh.physName(f, k).getOrElse(k)
+        (stats.get(statKey), keyBounds.get(k)) match {
+          case (Some(st), Some((klo, khi))) => rangeMayMatch(st, klo, khi)
+          case _ => true // unknown bounds: conservative — refuse
+        }
+      }
+    }
+    if (suspect.nonEmpty) throw new CommitConflictException(
+      s"SnapshotLog: $what cannot re-apply on concurrent v${fresh.version}: " +
+        "concurrently added data file(s) may contain the statement's keys: " +
+        suspect.take(3).mkString(", ") +
+        " — re-run the statement against the new table state")
+  }
+
   /** The per-statement delete-file DELTA: what `merged` adds over
     * `base.dels` (staged delete parquets are fresh uuid paths, so list
     * difference is exact). Re-application folds this onto ANY head that
@@ -1635,20 +1713,50 @@ object SnapshotLog {
     * existing-but-unparseable manifest at the destination is a torn
     * leftover from a crashed non-atomic publish (never acknowledged) —
     * reclaimed once, then the claim is retried. */
+  /** Age a torn (unparseable) manifest must reach before a writer may
+    * reclaim its version slot / a reader declares it corrupt — long
+    * enough for any in-flight non-atomic publish to finish. Tunable for
+    * ops (and tests) via -Dgraft.snapshotlog.tornGraceMs. */
+  private[sources] def tornReclaimGraceMs: Long =
+    java.lang.Long.getLong("graft.snapshotlog.tornGraceMs", 10000L)
+
+  /** file:// exclusive claim: write a sibling temp, hard-link into place
+    * (atomic O_EXCL + full payload at claim instant). On mounts without
+    * hard links (some NFS/FUSE/overlay), falls back to O_EXCL
+    * create-then-write — still an atomic claim, whose torn-payload window
+    * the reclaim grace covers. `linkFn` is injectable for tests. */
+  private[graft] def claimFileDest(destNio: java.nio.file.Path,
+      payload: Array[Byte],
+      linkFn: (java.nio.file.Path, java.nio.file.Path) => Unit =
+        (d, t) => { java.nio.file.Files.createLink(d, t): Unit }): Unit = {
+    val tmp = destNio.resolveSibling(
+      s".${destNio.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    java.nio.file.Files.write(tmp, payload)
+    try linkFn(destNio, tmp)
+    catch {
+      // FileAlreadyExists is the conflict signal — rethrow to the outer
+      // handler (it subclasses FileSystemException, so this arm first)
+      case e: java.nio.file.FileAlreadyExistsException => throw e
+      case _: UnsupportedOperationException |
+           _: SecurityException |
+           _: java.nio.file.FileSystemException =>
+        val out = java.nio.file.Files.newOutputStream(destNio,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        try out.write(payload) finally out.close()
+    }
+    finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   private def publish(fs: FileSystem, dest: Path, payload: Array[Byte]): Unit = {
     fs.mkdirs(dest.getParent)
-    def conflict(): Nothing = throw new CommitRaceLost(
-      s"SnapshotLog: concurrent commit won ${dest.getName} at ${dest.getParent}")
+    def conflict(retryAfterMs: Long = 0L): Nothing = throw new CommitRaceLost(
+      s"SnapshotLog: concurrent commit won ${dest.getName} at ${dest.getParent}",
+      retryAfterMs)
     def claim(mayReclaim: Boolean): Unit = {
       val scheme = dest.toUri.getScheme
       try {
         if (scheme == null || scheme == "file") {
-          val destNio = java.nio.file.Paths.get(dest.toUri.getPath)
-          val tmp = destNio.resolveSibling(
-            s".${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-          java.nio.file.Files.write(tmp, payload)
-          try java.nio.file.Files.createLink(destNio, tmp) // atomic O_EXCL + payload
-          finally java.nio.file.Files.deleteIfExists(tmp)
+          claimFileDest(java.nio.file.Paths.get(dest.toUri.getPath), payload)
         } else {
           val out = fs.create(dest, false)
           try out.write(payload) finally out.close()
@@ -1662,11 +1770,19 @@ object SnapshotLog {
           // reclaim only STALE torn files (crash leftovers age before
           // anyone retries; a concurrent writer's publish is fresh) — a
           // hot torn-check racing a valid publish must never delete it
-          val oldEnough = try {
-            System.currentTimeMillis() -
-              fs.getFileStatus(dest).getModificationTime > 10000L
-          } catch { case _: Exception => false }
+          val ageMs = try {
+            System.currentTimeMillis() - fs.getFileStatus(dest).getModificationTime
+          } catch { case _: Exception => Long.MinValue }
+          val oldEnough = ageMs != Long.MinValue && ageMs > tornReclaimGraceMs
           if (torn && oldEnough && mayReclaim) { fs.delete(dest, false); claim(false) }
+          // torn but FRESH: either a publish in flight (it will finish —
+          // the version is genuinely taken) or a just-crashed writer
+          // whose leftover only becomes reclaimable after the grace.
+          // Tell the retry loop how long to wait so at least one attempt
+          // runs after the gate opens, instead of exhausting millisecond
+          // backoffs inside the window.
+          else if (torn && mayReclaim && ageMs != Long.MinValue)
+            conflict(retryAfterMs = math.max(tornReclaimGraceMs - ageMs + 250L, 50L))
           else conflict()
       }
     }
@@ -2077,10 +2193,26 @@ object SnapshotLog {
     val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
     val delta = delsDelta(cur, merged)
+    // the batch's key bounds, for validateAddedFiles on re-apply (the
+    // staged key set may be empty when no current file overlaps — the
+    // concurrent-insert-of-a-new-key case the bounds check exists for)
+    val keyBounds: Map[String, (Any, Any)] = {
+      import org.apache.spark.sql.functions.{max => smax, min => smin}
+      val aggs = keyCols.flatMap(k =>
+        Seq(smin(col(k)).as(s"__lo_$k"), smax(col(k)).as(s"__hi_$k")))
+      val r = conformed.agg(aggs.head, aggs.tail: _*).head()
+      keyCols.zipWithIndex.flatMap { case (k, i) =>
+        (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
+          case (Some(lo), Some(hi)) => Some(k -> (canonStat(lo), canonStat(hi)))
+          case _ => None
+        }
+      }.toMap
+    }
     val committed = try retryingCommit("upsertEqualityMoR") { () =>
       val head = pick(spark, root, None, None)
       val ts = if (head.version == cur.version) commitTsMs else {
         validateReapply("upsertEqualityMoR", cur, head, delta.keySet)
+        validateAddedFiles("upsertEqualityMoR", cur, head, keyCols, keyBounds)
         math.max(commitTsMs, head.commitTsMs + 1)
       }
       val mergedNow = head.dels ++ delta.map { case (f, ds) =>

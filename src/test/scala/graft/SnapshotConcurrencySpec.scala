@@ -155,6 +155,67 @@ class SnapshotConcurrencySpec extends AnyFunSuite {
     assert(t.count() === 200 + 100)
   }
 
+  test("concurrent upserts of the SAME new key never leave duplicates " +
+       "(validateAddedDataFiles analog)") {
+    val root = freshRoot("upsert_same_new_key")
+    SnapshotLog.commit(
+      spark.range(0, 200).selectExpr("id AS k", "CAST(0 AS LONG) AS v"),
+      root, overwrite = true, 100L, 2)
+    // key 5000 exists in NEITHER writer's base snapshot: both stage an
+    // EMPTY equality-delete delta, so the r15 validation passed trivially
+    // and both landed — duplicate rows for the key. The added-files check
+    // must make the re-applying loser refuse (or the two serialize, the
+    // later one deleting the earlier one's image). Either way: ONE row.
+    val results = race(Seq(
+      () => SnapshotLog.upsertEqualityMoR(spark, root,
+        spark.range(5000, 5001).selectExpr("id AS k", "CAST(7 AS LONG) AS v"),
+        Seq("k"), 200L),
+      () => SnapshotLog.upsertEqualityMoR(spark, root,
+        spark.range(5000, 5001).selectExpr("id AS k", "CAST(9 AS LONG) AS v"),
+        Seq("k"), 201L)
+    ))
+    val hard = results.collect {
+      case Left(e) if !e.isInstanceOf[SnapshotLog.CommitConflictException] => e
+    }
+    assert(hard.isEmpty, s"unexpected failure: ${hard.map(_.getMessage)}")
+    val rows = spark.read.format("snapshotlog").load(root)
+      .where(col("k") === 5000L).select("v").as[Long].collect()
+    assert(rows.length === 1,
+      s"duplicate rows for an upserted key: ${rows.mkString(",")}")
+    assert(rows.head === 7L || rows.head === 9L)
+    assert(spark.read.format("snapshotlog").load(root).count() === 201)
+  }
+
+  test("concurrent upserts of DISJOINT new key ranges both land " +
+       "(stats disambiguate the added files)") {
+    val root = freshRoot("upsert_disjoint_new_keys")
+    SnapshotLog.commit(
+      spark.range(0, 200).selectExpr("id AS k", "CAST(0 AS LONG) AS v"),
+      root, overwrite = true, 100L, 2)
+    val results = race(Seq(
+      () => SnapshotLog.upsertEqualityMoR(spark, root,
+        spark.range(5000, 5050).selectExpr("id AS k", "CAST(7 AS LONG) AS v"),
+        Seq("k"), 200L),
+      () => SnapshotLog.upsertEqualityMoR(spark, root,
+        spark.range(9000, 9050).selectExpr("id AS k", "CAST(9 AS LONG) AS v"),
+        Seq("k"), 201L)
+    ))
+    val conflicts = results.collect {
+      case Left(e: SnapshotLog.CommitConflictException) => e
+    }
+    val hard = results.collect {
+      case Left(e) if !e.isInstanceOf[SnapshotLog.CommitConflictException] => e
+    }
+    assert(hard.isEmpty, s"unexpected failure: ${hard.map(_.getMessage)}")
+    assert(conflicts.isEmpty,
+      "provably-disjoint key ranges must merge: " +
+        conflicts.map(_.getMessage).mkString("; "))
+    val t = spark.read.format("snapshotlog").load(root)
+    assert(t.where(col("v") === 7).count() === 50)
+    assert(t.where(col("v") === 9).count() === 50)
+    assert(t.count() === 300)
+  }
+
   test("append re-applied past a concurrent ALTER refuses (schema would revert)") {
     val root = freshRoot("append_vs_alter")
     SnapshotLog.commit(spark.range(0, 10).selectExpr("id AS k", "'a' AS tag"),
