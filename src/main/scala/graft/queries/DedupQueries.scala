@@ -255,19 +255,31 @@ object DedupQueries extends QueryModule {
         (0 until dim).map(i => element_at(a, i + 1) * element_at(b, i + 1))
           .reduce(_ + _)
       // plane coefficients from a Knuth multiplicative hash of (i+1)(j+1),
-      // wide range (±999) so no plane is near-degenerate. Folded to Scala
-      // constants: the signature is then 64 codegen'd multiply-add chains,
-      // not 64 interpreted lambda evaluations per row.
-      def planeDot(e: org.apache.spark.sql.Column, j: Int) =
-        (0 until dim).map { i =>
-          val c = ((i + 1).toLong * (j + 1) * 2654435761L) % 1000003 % 1999 - 999
-          element_at(e, i + 1) * lit(c.toDouble)
-        }.reduce(_ + _)
-      // disjoint bit positions: two's-complement addition never carries,
-      // so the 1L << 63 wrap to negative is just the sign bit landing
-      val sig = (0 until blkW * blocks)
-        .map(j => when(planeDot(col("emb"), j) >= 0, lit(1L << j)).otherwise(0L))
-        .reduce(_ + _)
+      // wide range (±999) so no plane is near-degenerate. The 64×8
+      // multiply-add matrix lives in ONE compact UDF (same left-to-right
+      // accumulation order as the oracle's list_sum, so signs — and the
+      // gated output — are bit-identical): unrolling it into 512 Catalyst
+      // expression nodes made this stage's codegen the largest task
+      // binary in the whole bench (1.3 MiB shipped per stage).
+      val planes: Array[Array[Double]] =
+        Array.tabulate(blkW * blocks, dim) { (j, i) =>
+          ((i + 1).toLong * (j + 1) * 2654435761L % 1000003 % 1999 - 999).toDouble
+        }
+      val sigOf = udf { (emb: Seq[Double]) =>
+        var s = 0L
+        var j = 0
+        while (j < blkW * blocks) {
+          var dAcc = 0.0
+          var i = 0
+          while (i < dim) { dAcc += emb(i) * planes(j)(i); i += 1 }
+          // disjoint bit positions: addition never carries; 1L << 63
+          // wrapping negative is just the sign bit landing
+          if (dAcc >= 0) s += 1L << j
+          j += 1
+        }
+        s
+      }
+      val sig = sigOf(col("emb"))
       val embDf = LlmFunctions.embedAgg(documents(s, d), "doc_id", "text", dim)
       val e = embDf
         .select(col("doc_id"),
