@@ -853,6 +853,62 @@ object DdlQueries extends QueryModule {
         .withColumn("malformed_survived", lit(head.operation == "append"))
         .select("n_rows", "sum_bal", "auto_rewrites", "dels_folded",
           "files_bounded", "malformed_survived")
+    }),
+
+    // `.manifests` METADATA TABLE (Iceberg's manifests relation for the
+    // two-level sharded layout; 7th metadata relation): per-shard path,
+    // size, entry count split LIVE vs TOMBSTONED — the inventory an
+    // operator debugging planning time queries. Fixture (shardMin forced
+    // to 4): partitioned table, two INSERTs shard 6 entries each; a CoW
+    // DELETE of one partition tombstones exactly one entry per shard
+    // (partition-pruned touch set, zero-row outputs dropped). Gated via
+    // time travel (pre-delete: 12 live, 0 tombstoned) and at head
+    // (10 live, 2 tombstoned across the same 2 shards), plus the data
+    // totals proving the inventory describes the readable table.
+    "ddl_manifests" -> ((s, d) => {
+      val ns = "gatem_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val shardKey = "spark.graft.snapshot.shardMin"
+      snapFixture(s, d, "sqlcat_manifests") { _ =>
+        registerViews(s, d)
+        val old = s.conf.getOption(shardKey)
+        s.conf.set(shardKey, "4")
+        try {
+          s.sql(s"DROP TABLE IF EXISTS snap.$ns.cust_m")
+          s.sql(
+            s"""CREATE TABLE snap.$ns.cust_m
+               |  (c_custkey BIGINT, seg BIGINT, c_acctbal DOUBLE)
+               |  USING snapshotlog PARTITIONED BY (seg)""".stripMargin)
+          s.sql(
+            s"""INSERT INTO snap.$ns.cust_m
+               |SELECT c_custkey, c_custkey % 6, c_acctbal FROM customer""".stripMargin)
+          s.sql(
+            s"""INSERT INTO snap.$ns.cust_m
+               |SELECT c_custkey, c_custkey % 6, c_acctbal FROM customer
+               |WHERE c_custkey % 5 = 0""".stripMargin)
+          s.sql(s"DELETE FROM snap.$ns.cust_m WHERE seg = 2"): Unit
+        } finally old match {
+          case Some(v) => s.conf.set(shardKey, v)
+          case None => s.conf.unset(shardKey)
+        }
+      }
+      def inv(label: String, rel: DataFrame): DataFrame =
+        rel.agg(
+          count(lit(1)).as("n_manifests"),
+          sum(col("n_entries")).as("entries"),
+          sum(col("n_live")).as("live"),
+          sum(col("n_tombstoned")).as("tombstoned"),
+          (min(col("size_bytes")) > 0).as("sizes_ok"))
+          .withColumn("stage", lit(label))
+      val data = s.sql(
+        s"""SELECT count(*) AS n_rows, round(sum(c_acctbal), 2) AS sum_bal
+           |FROM snap.$ns.cust_m""".stripMargin)
+      inv("pre_delete",
+          s.sql(s"SELECT * FROM snap.$ns.cust_m.manifests VERSION AS OF 3"))
+        .unionByName(
+          inv("head", s.sql(s"SELECT * FROM snap.$ns.cust_m.manifests")))
+        .crossJoin(data)
+        .select("stage", "n_manifests", "entries", "live", "tombstoned",
+          "sizes_ok", "n_rows", "sum_bal")
     })
   )
 
@@ -1141,6 +1197,24 @@ object DdlQueries extends QueryModule {
         |  CAST(2 AS BIGINT) AS auto_rewrites,
         |  TRUE AS dels_folded, TRUE AS files_bounded,
         |  TRUE AS malformed_survived
-        |FROM kept""".stripMargin
+        |FROM kept""".stripMargin,
+
+    "ddl_manifests" ->
+      """WITH dat AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    round(sum(c_acctbal), 2) AS sum_bal
+        |  FROM (SELECT c_acctbal FROM customer WHERE c_custkey % 6 <> 2
+        |        UNION ALL
+        |        SELECT c_acctbal FROM customer
+        |        WHERE c_custkey % 5 = 0 AND c_custkey % 6 <> 2))
+        |SELECT 'pre_delete' AS stage, CAST(2 AS BIGINT) AS n_manifests,
+        |  CAST(12 AS BIGINT) AS entries, CAST(12 AS BIGINT) AS live,
+        |  CAST(0 AS BIGINT) AS tombstoned, TRUE AS sizes_ok,
+        |  n_rows, sum_bal
+        |FROM dat
+        |UNION ALL
+        |SELECT 'head', CAST(2 AS BIGINT), CAST(12 AS BIGINT),
+        |  CAST(10 AS BIGINT), CAST(2 AS BIGINT), TRUE, n_rows, sum_bal
+        |FROM dat""".stripMargin
   )
 }

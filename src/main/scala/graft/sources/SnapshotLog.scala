@@ -439,6 +439,50 @@ object SnapshotLog {
     }
   }
 
+  /** `.manifests` metadata relation (Iceberg's manifests table for the
+    * two-level layout): one row per manifest SHARD of the picked
+    * snapshot — path, on-disk size, entry count, how many entries are
+    * LIVE at this snapshot and how many are tombstoned/superseded
+    * (removed-set hits, inline overrides, cross-shard duplicates shadowed
+    * by an earlier shard) — plus one row for the manifest's INLINE entry
+    * block. This is the shard inventory an operator debugging planning
+    * time queries: metadata IO only, never a data scan. */
+  private[sources] def manifestInventory(spark: SparkSession, root: String,
+      v: Option[Int], tsMs: Option[Long])
+      : Seq[(String, String, Long, Long, Long, Long)] = {
+    val snap = pick(spark, root, v, tsMs)
+    val dir = logDir(root)
+    val fs = fsFor(spark, dir)
+    val mp = manifestPath(root, snap.version)
+    val t = om.readTree(readBytes(fs, mp))
+    val inline = Option(t.get("files"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val shardPaths = Option(t.get("shards")).map(_.elements().asScala
+      .map(_.get("path").asText()).toSeq).getOrElse(Seq.empty)
+    val removed = Option(t.get("removed")).map(_.elements().asScala
+      .map(_.asText()).toSet).getOrElse(Set.empty[String])
+    val inlineNorm = inline.map(norm).toSet
+    // live = the same first-occurrence rule parseManifest applies
+    val seen = scala.collection.mutable.HashSet[String]()
+    val shardRows = shardPaths.map { sp =>
+      val sc = loadShard(fs, sp)
+      val n = sc.files.size.toLong
+      val live = sc.files.count { f =>
+        val nf = norm(f)
+        !removed.contains(nf) && !inlineNorm.contains(nf) && seen.add(nf)
+      }.toLong
+      val size = try fs.getFileStatus(new Path(sp)).getLen catch {
+        case _: java.io.FileNotFoundException => -1L
+      }
+      (sp, "shard", size, n, live, n - live)
+    }
+    val inlineRow =
+      if (inline.isEmpty && shardPaths.nonEmpty) Seq.empty
+      else Seq((mp.toString, "inline", fs.getFileStatus(mp).getLen,
+        inline.size.toLong, inline.size.toLong, 0L))
+    shardRows ++ inlineRow
+  }
+
   private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
     val in = fs.open(p)
     try {

@@ -102,7 +102,8 @@ class SnapshotLogCatalog extends TableCatalog
     load(ident, None, Some(timestampMicros / 1000L))
 
   private val metaSuffixes =
-    Set("history", "files", "snapshots", "refs", "deletes", "partitions")
+    Set("history", "files", "snapshots", "refs", "deletes", "partitions",
+      "manifests")
 
   private def load(ident: Identifier, v: Option[Int], tsMs: Option[Long]): Table = {
     val root = rootFor(ident)
@@ -131,6 +132,9 @@ class SnapshotLogCatalog extends TableCatalog
             case "partitions" =>
               SnapshotMetaTable.partitionsTable(nm,
                 SnapshotLog.pick(spark, baseRoot, v, tsMs))
+            case "manifests" =>
+              SnapshotMetaTable.manifestsTable(nm,
+                SnapshotLog.manifestInventory(spark, baseRoot, v, tsMs))
           }
         }
       }

@@ -77,6 +77,22 @@ private[sources] object SnapshotMetaTable {
         ds.map(d => Seq(df, d))
       })
 
+  /** Shard inventory (Iceberg's `manifests` table): one row per manifest
+    * shard + one for the inline block — path, size, entry counts split
+    * live vs tombstoned. Input rows come from
+    * [[SnapshotLog.manifestInventory]]. */
+  def manifestsTable(name: String,
+      rows: Seq[(String, String, Long, Long, Long, Long)]): SnapshotMetaTable =
+    new SnapshotMetaTable(name,
+      StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("size_bytes", LongType, nullable = false),
+        StructField("n_entries", LongType, nullable = false),
+        StructField("n_live", LongType, nullable = false),
+        StructField("n_tombstoned", LongType, nullable = false))),
+      rows.map(r => Seq(r._1, r._2, r._3, r._4, r._5, r._6)))
+
   def files(name: String, snap: SnapshotLog.Snapshot): SnapshotMetaTable =
     new SnapshotMetaTable(name,
       StructType(Seq(

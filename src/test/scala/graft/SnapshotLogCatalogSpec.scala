@@ -271,4 +271,28 @@ class SnapshotLogCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM snap.spec7.t WHERE k = 42")
       .as[Long].head() === 1)
   }
+
+  test(".manifests inventory: inline-only table reports one live block; " +
+       "totals always reconcile with the live file count") {
+    spark.sql("DROP TABLE IF EXISTS snap.spec8.t")
+    spark.sql("CREATE TABLE snap.spec8.t AS SELECT id AS k FROM range(0, 50)")
+    spark.sql("INSERT INTO snap.spec8.t SELECT id FROM range(50, 80)")
+    val inv = spark.sql(
+      "SELECT kind, n_entries, n_live, n_tombstoned, size_bytes " +
+        "FROM snap.spec8.t.manifests").collect()
+    assert(inv.length === 1, "unsharded table = one inline block row")
+    val r = inv.head
+    assert(r.getString(0) === "inline")
+    assert(r.getLong(2) === r.getLong(1) && r.getLong(3) === 0L)
+    assert(r.getLong(4) > 0L)
+    val root = s"$wh/spec8/t"
+    val liveFiles = SnapshotLog.snapshots(spark, root).last.files.size.toLong
+    assert(r.getLong(2) === liveFiles,
+      ".manifests live total must equal the snapshot's live file count")
+    // time travel applies to the metadata relation too
+    val v2 = spark.sql(
+      "SELECT sum(n_live) FROM snap.spec8.t.manifests VERSION AS OF 2")
+      .as[Long].head()
+    assert(v2 < liveFiles)
+  }
 }
