@@ -1036,8 +1036,14 @@ object SnapshotLog {
     * smallest 60-bit hashes — MERGEABLE state, the Iceberg Puffin/theta
     * pattern), NDV derived from it, null count, and stringified
     * avg/max lengths. */
+  /** Equi-height histogram (Spark's catalyst Histogram shape): `height`
+    * = non-null rows per bin; each bin = (lo, hi, ndv) over the column's
+    * DOUBLE value space. */
+  final case class HistStat(height: Double, bins: Vector[(Double, Double, Long)])
+
   final case class ColStat(ndv: Long, nulls: Long, avgLen: Long,
-                           maxLen: Long, k: Int, kmv: Seq[Long])
+                           maxLen: Long, k: Int, kmv: Seq[Long],
+                           hist: Option[HistStat] = None)
 
   /** ANALYZE (Iceberg's ANALYZE + Puffin statistics-file analog): ONE
     * distributed aggregate pass over the current snapshot computes a
@@ -1051,7 +1057,7 @@ object SnapshotLog {
     * broadcast decisions — SnapshotStatsSpec pins the plan flip).
     * Returns the analyzed version. */
   def analyze(spark: SparkSession, root: String,
-              k: Int = 256): Int = {
+              k: Int = 256, histBins: Int = 64): Int = {
     import org.apache.spark.sql.functions.{avg, col, count, expr, length, lit, max => fmax}
     import graft.text.TextKernels.md5Long
     val cur = pick(spark, root, None, None)
@@ -1088,7 +1094,7 @@ object SnapshotLog {
     }
     val row = df.select(sel: _*).agg(aggs.head, aggs.tail: _*).head()
     val n = row.getAs[Long]("__n")
-    val cols = supported.map { f =>
+    val baseCols = supported.map { f =>
       val kmv = row.getSeq[Long](row.fieldIndex(s"__kmv_${f.name}")).toVector
       val cnt = row.getAs[Long](s"__cnt_${f.name}")
       val avgL = Option(row.getAs[Any](s"__avg_${f.name}"))
@@ -1097,6 +1103,60 @@ object SnapshotLog {
         .map(_.asInstanceOf[Int].toLong).getOrElse(0L)
       f.name -> ColStat(graft.functions.KmvNdv.estimateFromSketch(kmv, k),
         n - cnt, avgL, maxL, k, kmv)
+    }
+    // ---- EQUI-HEIGHT HISTOGRAMS (numeric columns; Spark's catalyst
+    // Histogram shape, consumed by FilterEstimation for skewed
+    // predicates where uniform min/max interpolation is wrong by orders
+    // of magnitude). Two more bounded-state passes, exactly like Spark's
+    // own ANALYZE ... COMPUTE STATISTICS FOR COLUMNS with
+    // spark.sql.statistics.histogram.enabled: approx percentiles give
+    // the bin endpoints, ApproxCountDistinctForIntervals gives per-bin
+    // NDV — both map-side combined, feasible at 100 TB. ----
+    val numericCols = supported.filter(f => f.dataType match {
+      case IntegerType | LongType | ShortType | ByteType | FloatType |
+           DoubleType => true
+      case _ => false
+    })
+    val hists: Map[String, HistStat] =
+      if (histBins <= 0 || numericCols.isEmpty || n == 0) Map.empty
+      else {
+        val probs = (0 to histBins).map(i => i.toDouble / histBins)
+        val pctAggs = numericCols.map(f => expr(
+          s"percentile_approx(cast(`${f.name}` AS double), " +
+            s"array(${probs.mkString(",")}), 10000)").as(s"__p_${f.name}"))
+        val pr = df.agg(pctAggs.head, pctAggs.tail: _*).head()
+        val endpoints: Seq[(String, Seq[Double])] = numericCols.flatMap { f =>
+          val idx = pr.fieldIndex(s"__p_${f.name}")
+          if (pr.isNullAt(idx)) None // all-null column
+          else Some(f.name -> pr.getSeq[Double](idx))
+        }.filter(_._2.forall(d => !d.isNaN))
+        if (endpoints.isEmpty) Map.empty
+        else {
+          spark.sessionState.functionRegistry.registerFunction(
+            org.apache.spark.sql.catalyst.FunctionIdentifier("acd_intervals"),
+            new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+              classOf[org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals].getName,
+              "acd_intervals"),
+            (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+              new org.apache.spark.sql.catalyst.expressions.aggregate
+                .ApproxCountDistinctForIntervals(args.head, args(1),
+                  org.apache.spark.sql.catalyst.expressions.Literal(0.05)))
+          val ndvAggs = endpoints.map { case (name, ep) => expr(
+            s"acd_intervals(cast(`$name` AS double), array(${ep.mkString(",")}))")
+            .as(s"__nd_$name") }
+          val nr = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+          val nullsOf = baseCols.toMap
+          endpoints.map { case (name, ep) =>
+            val ndvs = nr.getSeq[Long](nr.fieldIndex(s"__nd_$name"))
+            val nonNull = n - nullsOf(name).nulls
+            name -> HistStat(nonNull.toDouble / histBins,
+              ep.init.lazyZip(ep.tail).lazyZip(ndvs)
+                .map((lo, hi, d) => (lo, hi, d)).toVector)
+          }.toMap
+        }
+      }
+    val cols = baseCols.map { case (name, cs) =>
+      name -> cs.copy(hist = hists.get(name))
     }
     val node = om.createObjectNode()
     node.put("version", cur.version)
@@ -1109,6 +1169,14 @@ object SnapshotLog {
       c.put("k", cs.k)
       val arr = c.putArray("kmv")
       cs.kmv.foreach(arr.add)
+      cs.hist.foreach { h =>
+        val hn = c.putObject("hist")
+        hn.put("height", h.height)
+        val bn = hn.putArray("bins")
+        h.bins.foreach { case (lo, hi, d) =>
+          val b = bn.addArray(); b.add(lo); b.add(hi); b.add(d): Unit
+        }
+      }
     }
     val p = new Path(logDir(root), f"colstats-v${cur.version}%05d.json")
     val fs = fsFor(spark, p)
@@ -1158,11 +1226,18 @@ object SnapshotLog {
       val cols = Option(t.get("cols")).map { cn =>
         cn.fields().asScala.map { fe =>
           val c = fe.getValue
+          val hist = Option(c.get("hist")).map { hn =>
+            HistStat(hn.get("height").asDouble(),
+              hn.get("bins").elements().asScala.map { b =>
+                (b.get(0).asDouble(), b.get(1).asDouble(), b.get(2).asLong())
+              }.toVector)
+          }
           fe.getKey -> ColStat(c.get("ndv").asLong(), c.get("nulls").asLong(),
             c.get("avgLen").asLong(), c.get("maxLen").asLong(),
             c.get("k").asInt(),
             Option(c.get("kmv")).map(_.elements().asScala.map(_.asLong()).toSeq)
-              .getOrElse(Seq.empty))
+              .getOrElse(Seq.empty),
+            hist)
         }.toMap
       }.getOrElse(Map.empty[String, ColStat])
       (v, t.get("rowCount").asLong(), cols)

@@ -850,6 +850,30 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
               }
               val mn = bound(wantMin = true)
               val mx = bound(wantMin = false)
+              // equi-height histogram from the sidecar (numeric cols):
+              // transformV2Stats maps it into the catalyst Histogram
+              // FilterEstimation consumes for skewed predicates
+              val histV: java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                cs.hist match {
+                  case Some(h) =>
+                    java.util.Optional.of(
+                      new org.apache.spark.sql.connector.read.colstats.Histogram {
+                        override def height(): Double = h.height
+                        override def bins(): Array[
+                            org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                          h.bins.map { case (l, u, d) =>
+                            new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                              override def lo(): Double = l
+                              override def hi(): Double = u
+                              override def ndv(): Long = d
+                            }
+                          }.toArray
+                      })
+                  case None =>
+                    java.util.Optional.empty[
+                      org.apache.spark.sql.connector.read.colstats.Histogram]()
+                }
               m.put(org.apache.spark.sql.connector.expressions.Expressions.column(name),
                 new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
                   override def distinctCount(): OptionalLong = OptionalLong.of(cs.ndv)
@@ -862,6 +886,8 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
                   override def max(): java.util.Optional[Object] =
                     mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
                       .getOrElse(java.util.Optional.empty[Object]())
+                  override def histogram(): java.util.Optional[
+                      org.apache.spark.sql.connector.read.colstats.Histogram] = histV
                 })
             }
           }

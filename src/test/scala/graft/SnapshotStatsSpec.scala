@@ -167,4 +167,59 @@ class SnapshotStatsSpec extends AnyFunSuite {
     val (_, _, cols) = SnapshotLog.colStatsFor(spark, root, 1).get
     assert(cols("v").ndv === 700, "below-k sketch must be exact across 8 partitions")
   }
+
+  test("equi-height histograms fix skewed-filter estimates and the " +
+       "join-side choice") {
+    val root = freshRoot("hist_skew")
+    val other = freshRoot("hist_other")
+    // 99% of keys in [0,100), 1% flung to ~1e6: uniform min/max
+    // interpolation estimates `k < 100` at ~0.01% when the truth is 99%
+    val skew = spark.range(0, 60000, 1, 2).selectExpr(
+      "CASE WHEN id % 100 < 99 THEN id % 100 ELSE 1000000 + id % 1000 END AS k",
+      "concat(md5(cast(id AS string)), md5(cast(id + 1 AS string)), " +
+        "md5(cast(id + 2 AS string)), md5(cast(id + 3 AS string))) AS pad")
+    SnapshotLog.commit(skew, root, overwrite = true, 100L, 1)
+    SnapshotLog.commit(wide(60000), other, overwrite = true, 100L, 1)
+
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (1 << 20).toString) {
+      def filtered() = spark.read.format("snapshotlog").load(root)
+        .filter(col("k") < 100)
+      def estimate() = filtered().queryExecution.optimizedPlan.stats
+        .rowCount.map(_.toLong)
+      def joined() = filtered()
+        .join(spark.read.format("snapshotlog").load(other)
+          .withColumnRenamed("pad", "pad2"), "k")
+
+      // NDV + min/max only (histBins = 0): the uniform-range estimate is
+      // off by orders of magnitude, and the misestimated-tiny filtered
+      // side WRONGLY broadcasts a ~7 MB table
+      SnapshotLog.analyze(spark, root, histBins = 0)
+      val uniform = estimate()
+      assert(uniform.exists(_ < 5000),
+        s"expected a wild underestimate without histograms, got $uniform")
+      assert(hasBroadcast(joined()),
+        "without histograms the misestimated side broadcasts — " +
+          "the hazard this test pins")
+
+      // re-ANALYZE with histograms: ~63/64 bins sit inside [0,100), so
+      // the estimate lands near the true 99% and the broadcast vanishes
+      SnapshotLog.analyze(spark, root, histBins = 64)
+      val (_, _, cols) = SnapshotLog.colStatsFor(spark, root, 1).get
+      val h = cols("k").hist.getOrElse(fail("no histogram recorded"))
+      assert(h.bins.size === 64)
+      assert(math.abs(h.height - 60000.0 / 64) < 1.0)
+      assert(h.bins.count(b => b._2 < 100) >= 60,
+        s"skew must concentrate the equi-height bins below 100: $h")
+      val withHist = estimate()
+      assert(withHist.exists(_ > 40000),
+        s"histogram estimate should approach the true 59400, got $withHist")
+      assert(!hasBroadcast(joined()),
+        "with histograms the big filtered side must NOT broadcast:\n" +
+          joined().queryExecution.executedPlan.toString)
+      // ground truth unchanged by stats
+      assert(filtered().count() === 59400)
+    }
+  }
 }
