@@ -98,7 +98,8 @@ private[sources] class SnapshotDeltaBatchWrite(root: String,
     val delFiles = msgs.flatMap(m => Option(m.deletePath)).toSeq.sorted
     val affected = msgs.flatMap(_.affectedFiles).distinct
 
-    val cur = SnapshotLog.pick(spark, root, None, None)
+    // single atomic read: head + version slot + ts (TOCTOU guard)
+    val (cur, nextV, nextTs) = SnapshotLog.headNextTs(spark, root)
     if (cur.version != snap.version) {
       fs.delete(dataDir, true); fs.delete(delDir, true)
       throw new IllegalStateException(
@@ -119,8 +120,8 @@ private[sources] class SnapshotDeltaBatchWrite(root: String,
       SnapshotLog.fidCarry(Some(cur), schema, allFiles, newCols)
     try {
       SnapshotLog.commitManifest(fs, root,
-        SnapshotLog.nextVersion(spark, root), operation,
-        SnapshotLog.nextCommitTs(spark, root), cur.schemaJson, allFiles,
+        nextV, operation,
+        nextTs, cur.schemaJson, allFiles,
         cur.stats ++ newStats, cur.sizes ++ newSizes,
         Map("write.mode" -> "merge-on-read-delta"),
         cur.spec, cur.parts, cur.cols ++ newCols, merged,

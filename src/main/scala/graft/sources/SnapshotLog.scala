@@ -684,7 +684,8 @@ object SnapshotLog {
     // lost race — their cost is one manifest compose, and re-validation
     // (column still present, no eq-delete keys on it) is the whole body
     retryingCommit("renameColumn") { () =>
-      val cur = bootstrapFids(pick(spark, root, None, None))
+      val (head, next) = headAndNext(spark, root)
+      val cur = bootstrapFids(head)
       val ts = math.max(commitTsMs, cur.commitTsMs + 1)
       require(cur.schema.fieldNames.contains(from),
         s"SnapshotLog: no column $from to rename at $root")
@@ -706,7 +707,6 @@ object SnapshotLog {
             s"SnapshotLog: column $from is a key of equality delete file $df" +
               " — run rewriteDataFiles to fold the deletes before renaming")
       }
-      val next = nextVersion(spark, root)
       commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
         ts, newSchema.json, cur.files, cur.stats, cur.sizes,
         Map.empty,
@@ -728,7 +728,8 @@ object SnapshotLog {
     require(pick(spark, root, None, None).commitTsMs < commitTsMs,
       s"commitTsMs $commitTsMs must advance past the last snapshot")
     retryingCommit("dropColumn") { () =>
-      val cur = bootstrapFids(pick(spark, root, None, None))
+      val (head, next) = headAndNext(spark, root)
+      val cur = bootstrapFids(head)
       val ts = math.max(commitTsMs, cur.commitTsMs + 1)
       require(cur.schema.fieldNames.contains(name),
         s"SnapshotLog: no column $name to drop at $root")
@@ -737,7 +738,6 @@ object SnapshotLog {
       require(!cur.spec.exists(_._1 == name),
         s"SnapshotLog: $name is a partition source column — drop the spec first")
       val newSchema = StructType(cur.schema.fields.filterNot(_.name == name))
-      val next = nextVersion(spark, root)
       commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
         ts, newSchema.json, cur.files, cur.stats, cur.sizes,
         Map.empty, cur.spec, cur.parts, cur.cols, cur.dels,
@@ -1012,7 +1012,7 @@ object SnapshotLog {
     require(pick(spark, root, None, None).commitTsMs < commitTsMs,
       s"commitTsMs $commitTsMs must advance past the last snapshot")
     retryingCommit("alterSchema") { () =>
-      val cur = pick(spark, root, None, None)
+      val (cur, next) = headAndNext(spark, root)
       val ts = math.max(commitTsMs, cur.commitTsMs + 1)
       val old = cur.schema
       old.fields.foreach { f =>
@@ -1021,7 +1021,6 @@ object SnapshotLog {
           s"SnapshotLog: alterSchema must keep column ${f.name}: ${f.dataType} " +
             "(additive evolution only — rename/drop/retype unsupported)")
       }
-      val next = nextVersion(spark, root)
       val (fids, colIds, maxId) =
         fidCarry(Some(cur), newSchema, cur.files, Map.empty)
       commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
@@ -1939,6 +1938,36 @@ object SnapshotLog {
   private[sources] def nextVersion(spark: SparkSession, root: String): Int =
     snapshots(spark, root).lastOption.map(_.version + 1).getOrElse(1)
 
+  /** ONE atomic log read per commit attempt: (mainline head, version slot
+    * to claim). THE invariant of the optimistic protocol: a manifest
+    * published at slot N must be composed from a read whose last version
+    * was N-1 — then any concurrent commit that landed after that read
+    * must have claimed slot ≤ N itself, so OUR O_EXCL claim of N fails
+    * and the attempt retries on the fresh head. Deriving head and slot
+    * from TWO separate reads is a lost-update TOCTOU: a commit landing
+    * between them hands the composer a STALE head and a FREE slot — the
+    * publish succeeds conflict-free and the intervening commit's files
+    * and deletes silently vanish (caught by
+    * SnapshotConcurrentPropertySpec, r16). */
+  private[sources] def headAndNext(spark: SparkSession,
+                                   root: String): (Snapshot, Int) = {
+    val (h, n, _) = headNextTs(spark, root)
+    (h, n)
+  }
+
+  /** [[headAndNext]] plus the monotone commit timestamp — all three from
+    * the SAME read (the DSv2 row-level/delta writers need the ts too). */
+  private[sources] def headNextTs(spark: SparkSession,
+                                  root: String): (Snapshot, Int, Long) = {
+    val snaps = snapshots(spark, root)
+    require(snaps.nonEmpty, s"SnapshotLog: no snapshots at $root")
+    val main = snaps.filter(_.branch.isEmpty).lastOption.getOrElse(
+      throw new NoSuchElementException(
+        s"SnapshotLog: only branch snapshots at $root"))
+    (main, snaps.last.version + 1,
+      math.max(System.currentTimeMillis(), snaps.last.commitTsMs + 1))
+  }
+
   /** Read a snapshot: the latest, a pinned version, or AS-OF a timestamp
     * (largest commitTsMs <= asOfTsMs — Iceberg's timestamp-travel rule).
     * mergeSchema unions the column sets across data files, so versions
@@ -2129,14 +2158,13 @@ object SnapshotLog {
         // optimistic re-apply: a concurrent append merges (delete files
         // fold onto the fresh head); overlapping row-level work refuses
         val committed = try retryingCommit("deleteWhereMoR") { () =>
-          val head = pick(spark, root, None, None)
+          val (head, nextV) = headAndNext(spark, root)
           val ts = if (head.version == cur.version) commitTsMs else {
             validateReapply("deleteWhereMoR", cur, head, delta.keySet)
             math.max(commitTsMs, head.commitTsMs + 1)
           }
           val mergedNow = head.dels ++ delta.map { case (f, ds) =>
             f -> (head.dels.getOrElse(f, Seq.empty) ++ ds) }
-          val nextV = nextVersion(spark, root)
           commitManifest(fs, root, nextV, "delete", ts,
             head.schemaJson, head.files, head.stats, head.sizes,
             Map("delete.mode" -> "merge-on-read"),
@@ -2240,14 +2268,13 @@ object SnapshotLog {
       case Some((delDir, merged)) =>
         val delta = delsDelta(cur, merged)
         val committed = try retryingCommit("deleteEqualityMoR") { () =>
-          val head = pick(spark, root, None, None)
+          val (head, nextV) = headAndNext(spark, root)
           val ts = if (head.version == cur.version) commitTsMs else {
             validateReapply("deleteEqualityMoR", cur, head, delta.keySet)
             math.max(commitTsMs, head.commitTsMs + 1)
           }
           val mergedNow = head.dels ++ delta.map { case (f, ds) =>
             f -> (head.dels.getOrElse(f, Seq.empty) ++ ds) }
-          val nextV = nextVersion(spark, root)
           commitManifest(fs, root, nextV, "delete", ts,
             head.schemaJson, head.files, head.stats, head.sizes,
             Map("delete.mode" -> "merge-on-read-equality"),
@@ -2328,7 +2355,7 @@ object SnapshotLog {
       }.toMap
     }
     val committed = try retryingCommit("upsertEqualityMoR") { () =>
-      val head = pick(spark, root, None, None)
+      val (head, nextV) = headAndNext(spark, root)
       val ts = if (head.version == cur.version) commitTsMs else {
         validateReapply("upsertEqualityMoR", cur, head, delta.keySet)
         validateAddedFiles("upsertEqualityMoR", cur, head, keyCols, keyBounds)
@@ -2338,7 +2365,6 @@ object SnapshotLog {
         f -> (head.dels.getOrElse(f, Seq.empty) ++ ds) }
       val allFiles = head.files ++ newFiles
       val (fids, colIds, maxId) = fidCarry(Some(head), schema, allFiles, newCols)
-      val nextV = nextVersion(spark, root)
       commitManifest(fs, root, nextV, "upsert", ts,
         head.schemaJson, allFiles,
         head.stats ++ newStats, head.sizes ++ newSizes,
@@ -2421,7 +2447,7 @@ object SnapshotLog {
           footerMeta(spark.sessionState.newHadoopConf(), newFiles, cur.schema)
         val delta = delsDelta(cur, merged)
         val committed = try retryingCommit("updateWhereMoR") { () =>
-          val head = pick(spark, root, None, None)
+          val (head, nextV) = headAndNext(spark, root)
           val ts = if (head.version == cur.version) commitTsMs else {
             validateReapply("updateWhereMoR", cur, head, delta.keySet)
             math.max(commitTsMs, head.commitTsMs + 1)
@@ -2431,7 +2457,6 @@ object SnapshotLog {
           val allFiles = head.files ++ newFiles
           val (fids, colIds, maxId) =
             fidCarry(Some(head), cur.schema, allFiles, newCols)
-          val nextV = nextVersion(spark, root)
           commitManifest(fs, root, nextV, "update", ts,
             head.schemaJson, allFiles,
             head.stats ++ newStats, head.sizes ++ newSizes,
@@ -2598,14 +2623,13 @@ object SnapshotLog {
     // writer touching a REPLACED file (new deletes, rewrite) refuses —
     // this compaction folded a state that no longer exists
     try retryingCommit("rewriteDataFiles") { () =>
-      val head = pick(spark, root, None, None)
+      val (head, next) = headAndNext(spark, root)
       val ts = if (head.version == cur.version) commitTsMs else {
         validateReapply("rewriteDataFiles", cur, head, smallSet)
         math.max(commitTsMs, head.commitTsMs + 1)
       }
       val keptNow = head.files.filterNot(f => smallSet.contains(norm(f)))
       val keptNorm = keptNow.map(norm).toSet
-      val next = nextVersion(spark, root)
       val (fids, colIds, maxId) =
         fidCarry(Some(head), schema, keptNow ++ newFiles, newCols)
       commitManifest(fs, root, next, "rewrite", ts, head.schemaJson,
@@ -2697,7 +2721,7 @@ object SnapshotLog {
       case (df, ds) if ds.exists(posSet.contains) => df
     }.toSet
     try retryingCommit("rewriteDeleteFiles") { () =>
-      val head = pick(spark, root, None, None)
+      val (head, nextV) = headAndNext(spark, root)
       val ts = if (head.version == cur.version) commitTsMs else {
         validateReapply("rewriteDeleteFiles", cur, head, targeted)
         math.max(commitTsMs, head.commitTsMs + 1)
@@ -2707,7 +2731,6 @@ object SnapshotLog {
         val hadPos = ds.exists(posSet.contains)
         df -> (eq ++ (if (hadPos) mergedFor.getOrElse(df, Seq.empty) else Seq.empty))
       }.filter(_._2.nonEmpty)
-      val nextV = nextVersion(spark, root)
       commitManifest(fs, root, nextV, "rewrite", ts,
         head.schemaJson, head.files, head.stats, head.sizes,
         Map("rewrite" -> "position-delete-files"),
@@ -2835,14 +2858,13 @@ object SnapshotLog {
     // into `keep`, so a concurrent writer touching them refuses re-apply
     val replaced = cur.files.map(norm).toSet -- untouched.map(norm).toSet
     try retryingCommit(s"rewriteTouched($operation)") { () =>
-      val head = pick(spark, root, None, None)
+      val (head, next) = headAndNext(spark, root)
       val ts = if (head.version == cur.version) commitTsMs else {
         validateReapply(s"rewriteTouched($operation)", cur, head, replaced)
         math.max(commitTsMs, head.commitTsMs + 1)
       }
       val untouchedNow = head.files.filterNot(f => replaced.contains(norm(f)))
       val untouchedSet = untouchedNow.map(norm).toSet
-      val next = nextVersion(spark, root)
       val (fids, colIds, maxId) =
         fidCarry(Some(head), cur.schema, untouchedNow ++ newFiles, newCols)
       commitManifest(fs, root, next, operation, ts, head.schemaJson,

@@ -202,7 +202,8 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
       written.partition(f => rowCounts(SnapshotLog.norm(f)) > 0)
     husks.foreach(f => fs.delete(new Path(f), false))
 
-    val cur = SnapshotLog.pick(spark, root, None, None)
+    // single atomic read: head + version slot + ts (TOCTOU guard)
+    val (cur, nextV, nextTs) = SnapshotLog.headNextTs(spark, root)
     if (cur.version != snap.version) {
       fs.delete(dataDir, true)
       throw new IllegalStateException(
@@ -219,8 +220,8 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
       SnapshotLog.fidCarry(Some(cur), schema, untouched ++ newFiles, newCols)
     try {
       SnapshotLog.commitManifest(fs, root,
-        SnapshotLog.nextVersion(spark, root), operation,
-        SnapshotLog.nextCommitTs(spark, root), cur.schemaJson,
+        nextV, operation,
+        nextTs, cur.schemaJson,
         untouched ++ newFiles,
         cur.stats.view.filterKeys(untouchedSet.contains).toMap ++ newStats,
         cur.sizes.view.filterKeys(untouchedSet.contains).toMap ++ newSizes,
