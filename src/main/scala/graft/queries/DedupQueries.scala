@@ -135,9 +135,14 @@ object DedupQueries extends QueryModule {
     // band rows CARRY their full signature through the bucket join, so
     // the signature aggregate is computed once — no join-back to `sig`
     // (which would re-run the shingle explode + 16-min agg twice more).
+    // materialize the band rows before the self-join (like jaccard and
+    // the embedding path): otherwise BOTH join sides re-run the shingle
+    // explode + 16-min signature aggregate — exchange reuse under AQE is
+    // not guaranteed across the self-join's two branches
     val buckets = withB.select(
       expr(s"stack($BANDS, $stackExpr) as (band, bh)") +:
         col("doc_id") +: (0 until K).map(i => col(s"m$i")): _*)
+      .localCheckpoint()
     val agree = (0 until K)
       .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
       .reduce(_ + _)

