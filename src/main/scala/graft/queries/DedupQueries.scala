@@ -339,8 +339,11 @@ object DedupQueries extends QueryModule {
         shiftright(col("sh"), BLOCKW * bk).bitwiseAND(lit(BLOCKMASK)).as(s"blk$bk"))
       val withBlk = sh.select(col("doc_id") +: col("sh") +: blockCols: _*)
       val stackExpr = (0 until BLOCKS).map(bk => s"$bk, blk$bk").mkString(", ")
+      // materialized before the self-join: both branches otherwise re-run
+      // the shingle explode + 48 bit-sum aggregates (same fix as minhash)
       val buckets = withBlk.select(col("doc_id"), col("sh"),
         expr(s"stack($BLOCKS, $stackExpr) as (blk, bval)"))
+        .localCheckpoint()
       buckets.as("a").join(buckets.as("b"),
           col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
             col("a.doc_id") < col("b.doc_id"))

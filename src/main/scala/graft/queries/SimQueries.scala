@@ -258,7 +258,9 @@ object SimQueries extends QueryModule {
       val sig = (0 until NPLANES)
         .map(j => when(planeDot(col("emb"), j) >= 0, lit(1L << j)).otherwise(0L))
         .reduce(_ + _)
-      val e = base(s, d).withColumn("sig", sig)
+      // materialized once: the probe side and the bucket side otherwise
+      // BOTH re-run the embedding load + NPLANES-plane signature
+      val e = base(s, d).withColumn("sig", sig).localCheckpoint()
       val probeKeys = array(
         col("sig") +: (0 until NPLANES).map(j => col("sig").bitwiseXOR(lit(1L << j))): _*)
       val a = e.select(col("vec_id").as("vec_i"), col("emb").as("ea"),
