@@ -128,12 +128,16 @@ private[sources] object SnapshotProcedures {
 
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("k", IntegerType).defaultValue("256").build())
+      ProcedureParameter.in("k", IntegerType).defaultValue("256").build(),
+      // equi-height histogram bins for numeric columns (0 disables)
+      ProcedureParameter.in("hist_bins", IntegerType)
+        .defaultValue("64").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val root = rootFor(warehouse, input.getUTF8String(0).toString)
-      val v = SnapshotLog.analyze(spark, root, input.getInt(1))
+      val v = SnapshotLog.analyze(spark, root, input.getInt(1),
+        histBins = input.getInt(2))
       val stats = SnapshotLog.colStatsFor(spark, root, v)
       Iterator(resultScan(
         StructType(Seq(
