@@ -1111,24 +1111,34 @@ object SnapshotLog {
     // spark.sql.statistics.histogram.enabled: approx percentiles give
     // the bin endpoints, ApproxCountDistinctForIntervals gives per-bin
     // NDV — both map-side combined, feasible at 100 TB. ----
-    val numericCols = supported.filter(f => f.dataType match {
-      case IntegerType | LongType | ShortType | ByteType | FloatType |
-           DoubleType => true
-      case _ => false
-    })
+    // histogram value space = catalyst's internal double representation
+    // (numerics as-is; dates as days since epoch; timestamps as epoch
+    // MICROS — what FilterEstimation compares predicate bounds against)
+    val numericCols: Seq[(StructField, String)] = supported.flatMap { f =>
+      f.dataType match {
+        case IntegerType | LongType | ShortType | ByteType | FloatType |
+             DoubleType => Some(f -> s"CAST(`${f.name}` AS double)")
+        case DateType => Some(f -> s"CAST(unix_date(`${f.name}`) AS double)")
+        case TimestampType | TimestampNTZType =>
+          Some(f ->
+            s"CAST(unix_micros(CAST(`${f.name}` AS timestamp)) AS double)")
+        case _ => None
+      }
+    }
     val hists: Map[String, HistStat] =
       if (histBins <= 0 || numericCols.isEmpty || n == 0) Map.empty
       else {
         val probs = (0 to histBins).map(i => i.toDouble / histBins)
-        val pctAggs = numericCols.map(f => expr(
-          s"percentile_approx(cast(`${f.name}` AS double), " +
-            s"array(${probs.mkString(",")}), 10000)").as(s"__p_${f.name}"))
+        val pctAggs = numericCols.map { case (f, conv) => expr(
+          s"percentile_approx($conv, " +
+            s"array(${probs.mkString(",")}), 10000)").as(s"__p_${f.name}") }
         val pr = df.agg(pctAggs.head, pctAggs.tail: _*).head()
-        val endpoints: Seq[(String, Seq[Double])] = numericCols.flatMap { f =>
-          val idx = pr.fieldIndex(s"__p_${f.name}")
-          if (pr.isNullAt(idx)) None // all-null column
-          else Some(f.name -> pr.getSeq[Double](idx))
-        }.filter(_._2.forall(d => !d.isNaN))
+        val endpoints: Seq[(String, String, Seq[Double])] =
+          numericCols.flatMap { case (f, conv) =>
+            val idx = pr.fieldIndex(s"__p_${f.name}")
+            if (pr.isNullAt(idx)) None // all-null column
+            else Some((f.name, conv, pr.getSeq[Double](idx)))
+          }.filter(_._3.forall(d => !d.isNaN))
         if (endpoints.isEmpty) Map.empty
         else {
           spark.sessionState.functionRegistry.registerFunction(
@@ -1140,12 +1150,12 @@ object SnapshotLog {
               new org.apache.spark.sql.catalyst.expressions.aggregate
                 .ApproxCountDistinctForIntervals(args.head, args(1),
                   org.apache.spark.sql.catalyst.expressions.Literal(0.05)))
-          val ndvAggs = endpoints.map { case (name, ep) => expr(
-            s"acd_intervals(cast(`$name` AS double), array(${ep.mkString(",")}))")
+          val ndvAggs = endpoints.map { case (name, conv, ep) => expr(
+            s"acd_intervals($conv, array(${ep.mkString(",")}))")
             .as(s"__nd_$name") }
           val nr = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
           val nullsOf = baseCols.toMap
-          endpoints.map { case (name, ep) =>
+          endpoints.map { case (name, _, ep) =>
             val ndvs = nr.getSeq[Long](nr.fieldIndex(s"__nd_$name"))
             val nonNull = n - nullsOf(name).nulls
             name -> HistStat(nonNull.toDouble / histBins,

@@ -222,4 +222,36 @@ class SnapshotStatsSpec extends AnyFunSuite {
       assert(filtered().count() === 59400)
     }
   }
+
+  test("timestamp histograms live in epoch-micros space and fix " +
+       "time-skewed range estimates") {
+    val root = freshRoot("hist_ts")
+    // 99% of events in one hour of 2024-01-01, 1% spread over the year
+    val skew = spark.range(0, 40000, 1, 2).selectExpr(
+      "id AS k",
+      "CASE WHEN id % 100 < 99 " +
+        "THEN timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id % 3600) " +
+        "ELSE timestamp'2024-01-01 00:00:00' + make_interval(0,0,0, CAST(id % 365 AS INT)) END AS ts")
+    SnapshotLog.commit(skew, root, overwrite = true, 100L, 1)
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      SnapshotLog.analyze(spark, root, histBins = 64)
+      val (_, _, cols) = SnapshotLog.colStatsFor(spark, root, 1).get
+      val h = cols("ts").hist.getOrElse(fail("no timestamp histogram"))
+      // bins are epoch MICROS (catalyst's internal timestamp space)
+      val epoch2024Micros = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000.0
+      assert(h.bins.head._1 >= epoch2024Micros &&
+        h.bins.head._1 < epoch2024Micros + 366.0 * 86400 * 1000000,
+        s"first bin lo not in 2024 epoch-micros range: ${h.bins.head._1}")
+      // equi-height: most bins sit inside the hot hour
+      assert(h.bins.count(_._2 <= epoch2024Micros + 3600e6) >= 60,
+        "time skew must concentrate the bins in the hot hour")
+      // the skewed range probe estimates near its true 99% share
+      val est = spark.read.format("snapshotlog").load(root)
+        .filter(col("ts") < to_timestamp(lit("2024-01-01 01:00:00")))
+        .queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
+      assert(est.exists(_ > 25000),
+        s"histogram should push the hot-hour estimate toward 39600, got $est")
+    }
+  }
 }
