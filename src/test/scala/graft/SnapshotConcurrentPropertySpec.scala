@@ -72,8 +72,14 @@ class SnapshotConcurrentPropertySpec extends AnyFunSuite {
     case _ => false
   }
 
-  for (seed <- Seq(11, 29, 53)) {
-    test(s"2-3 racing writers always leave a serializable state (seed $seed)") {
+  // the maintain=true row additionally ARMS commit-time auto-maintenance
+  // (maybeMaintain) for the whole run: the delete-fold and bin-pack then
+  // ride inside the racing commits, and the serializability oracle
+  // proves they are content-neutral even while racing other writers
+  for ((seed, maintain) <- Seq((11, false), (29, false), (53, false),
+         (77, true))) {
+    test(s"2-3 racing writers always leave a serializable state (seed $seed" +
+         (if (maintain) ", auto-maintenance armed" else "") + ")") {
       val rnd = new scala.util.Random(seed)
       val root = freshRoot(s"mix_$seed")
       var nextKey = 0L
@@ -85,6 +91,9 @@ class SnapshotConcurrentPropertySpec extends AnyFunSuite {
       val seedRows = freshKeys(40).map(k => k -> (k % 7))
       SnapshotLog.commit(seedRows.toDF("k", "v"), root,
         overwrite = true, 1000L, 2)
+      if (maintain) SnapshotLog.setTableProps(spark, root, Map(
+        "write.delete.max-files-per-data-file" -> "3",
+        "write.data.max-small-files" -> "10"))
       var model: Map[Long, Long] = seedRows.toMap
       var ts = 1000L
 
