@@ -2351,8 +2351,10 @@ object SnapshotLog {
     val delta = delsDelta(cur, merged)
     // the batch's key bounds, for validateAddedFiles on re-apply (the
     // staged key set may be empty when no current file overlaps — the
-    // concurrent-insert-of-a-new-key case the bounds check exists for)
-    val keyBounds: Map[String, (Any, Any)] = {
+    // concurrent-insert-of-a-new-key case the bounds check exists for).
+    // LAZY: the extra one-row aggregate only runs when a race actually
+    // forces a re-apply — the uncontended CDC fast path never pays it
+    lazy val keyBounds: Map[String, (Any, Any)] = {
       import org.apache.spark.sql.functions.{max => smax, min => smin}
       val aggs = keyCols.flatMap(k =>
         Seq(smin(col(k)).as(s"__lo_$k"), smax(col(k)).as(s"__hi_$k")))
