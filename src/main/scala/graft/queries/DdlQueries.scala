@@ -427,6 +427,36 @@ object DdlQueries extends QueryModule {
         .select("delta", "n_rows", "sum_price")
     }),
 
+    // CDC CHANGELOG (Iceberg create_changelog_view / Delta CDF analog):
+    // net row-level changes between versions, tagged insert/delete with
+    // the commit version. The fixture exercises every change-producing
+    // op — append (pure inserts), MoR predicate delete (pure deletes),
+    // MoR update (delete+insert PAIR per matched row) — and a trailing
+    // compaction whose absence from the output IS part of the gate
+    // (rewrite snapshots are logically neutral and must not be paid
+    // for or surfaced). Each transition diffs only its touched files;
+    // the oracle replays visibility set-algebra over `customer`.
+    "ddl_changelog" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "changelog") { root =>
+        val c = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 0), root,
+          overwrite = true, commitTsMs = 1000L)
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 1), root,
+          overwrite = false, commitTsMs = 2000L)
+        SnapshotLog.deleteWhereMoR(s, root, col("c_acctbal") > 8000, 3000L)
+        SnapshotLog.updateWhereMoR(s, root, col("c_custkey") % 10 === 3,
+          Map("c_acctbal" -> (col("c_acctbal") + 1000.0)), 4000L)
+        SnapshotLog.rewriteDataFiles(s, root, commitTsMs = 5000L,
+          targetBytes = 1L << 30)
+      }
+      SnapshotLog.changes(s, root, fromVersion = 1)
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .select("_commit_version", "_change_type", "n_rows", "sum_bal")
+    }),
+
     // SQL METADATA TABLES (Iceberg's history/files/snapshots relations):
     // snap.ns.t.history joined against snap.ns.t.files — the log and the
     // file inventory as ordinary SQL, rows from manifest metadata only.
@@ -1037,6 +1067,32 @@ object DdlQueries extends QueryModule {
         |FROM orders WHERE o_orderkey % 10 = 7
         |UNION ALL
         |SELECT 'after_rewrite', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)""".stripMargin,
+
+    // Visibility set-algebra replay: v2 inserts = the appended half;
+    // v3 deletes = rows the predicate removed from what was visible;
+    // v4 = a delete+insert pair over the rows the update matched among
+    // the still-visible; the v5 compaction contributes NO rows at all.
+    "ddl_changelog" ->
+      """WITH v1 AS (SELECT c_custkey AS k, c_acctbal AS b FROM customer
+        |            WHERE c_custkey % 2 = 0),
+        |v2n AS (SELECT c_custkey AS k, c_acctbal AS b FROM customer
+        |        WHERE c_custkey % 2 = 1),
+        |vis2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2n),
+        |del3 AS (SELECT * FROM vis2 WHERE b > 8000),
+        |vis3 AS (SELECT * FROM vis2 WHERE b <= 8000),
+        |upd4 AS (SELECT * FROM vis3 WHERE k % 10 = 3)
+        |SELECT CAST(2 AS INT) AS _commit_version, 'insert' AS _change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows, round(sum(b), 2) AS sum_bal
+        |FROM v2n
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'delete', CAST(count(*) AS BIGINT),
+        |  round(sum(b), 2) FROM del3
+        |UNION ALL
+        |SELECT CAST(4 AS INT), 'delete', CAST(count(*) AS BIGINT),
+        |  round(sum(b), 2) FROM upd4
+        |UNION ALL
+        |SELECT CAST(4 AS INT), 'insert', CAST(count(*) AS BIGINT),
+        |  round(sum(b + 1000.0), 2) FROM upd4""".stripMargin,
 
     "ddl_partitions" ->
       """SELECT 'seg=' || CAST(seg AS VARCHAR) AS "partition",

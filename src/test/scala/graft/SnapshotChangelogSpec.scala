@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark.spark
+import graft.sources.SnapshotLog
+
+/** CDC changelog ([[SnapshotLog.changes]]): net row-level change rows
+  * between versions — Iceberg create_changelog_view / Delta CDF analog.
+  * Pins the per-operation contract (append = inserts, MoR delete =
+  * deletes, update = delete+insert pairs, compaction = NOTHING), the
+  * touched-files-only cost model's correctness consequences (untouched
+  * rows never appear), range bounds, the from=0 genesis read, and
+  * schema evolution across the range. */
+class SnapshotChangelogSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val root = s"/tmp/graft_changelog_spec/$tag"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    root
+  }
+
+  /** v1 overwrite evens 0..99, v2 append odds, v3 MoR-delete k%10==3,
+    * v4 update k%10==6 (v := v+100), v5 compaction. */
+  private lazy val root5: String = {
+    val root = freshRoot("mixed")
+    val df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    SnapshotLog.commit(df.filter($"k" % 2 === 0), root, overwrite = true, 1000L)
+    SnapshotLog.commit(df.filter($"k" % 2 === 1), root, overwrite = false, 2000L)
+    SnapshotLog.deleteWhereMoR(spark, root, col("k") % 10 === 3, 3000L)
+    SnapshotLog.updateWhereMoR(spark, root, col("k") % 10 === 6,
+      Map("v" -> (col("v") + 100)), 4000L)
+    SnapshotLog.rewriteDataFiles(spark, root, commitTsMs = 5000L,
+      targetBytes = 1L << 30)
+    root
+  }
+
+  test("append transition emits exactly the appended rows as inserts") {
+    val ch = SnapshotLog.changes(spark, root5, fromVersion = 1,
+      toVersion = Some(2)).collect()
+    assert(ch.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(ch.forall(_.getAs[Int]("_commit_version") == 2))
+    assert(ch.forall(_.getAs[Long]("_commit_ts_ms") == 2000L))
+    assert(ch.map(_.getAs[Long]("k")).sorted.toSeq ==
+      (1L until 100L by 2).toSeq)
+  }
+
+  test("MoR delete emits exactly the suppressed rows as deletes") {
+    val ch = SnapshotLog.changes(spark, root5, fromVersion = 2,
+      toVersion = Some(3)).collect()
+    assert(ch.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(ch.map(_.getAs[Long]("k")).sorted.toSeq ==
+      (0L until 100L).filter(_ % 10 == 3).toSeq)
+  }
+
+  test("update emits a delete+insert pair per matched row, values exact") {
+    val ch = SnapshotLog.changes(spark, root5, fromVersion = 3,
+      toVersion = Some(4))
+      .select("k", "v", "_change_type").as[(Long, Long, String)]
+      .collect().toSet
+    val matched = (0L until 100L).filter(_ % 10 == 6)
+    val expect = matched.map(k => (k, k * 2, "delete")).toSet ++
+      matched.map(k => (k, k * 2 + 100, "insert")).toSet
+    assert(ch == expect)
+  }
+
+  test("compaction emits nothing (rewrite snapshots are skipped wholesale)") {
+    assert(SnapshotLog.changes(spark, root5, fromVersion = 4).isEmpty)
+  }
+
+  test("full range composes per-transition slices; net state reconciles") {
+    val ch = SnapshotLog.changes(spark, root5, fromVersion = 1)
+    // replaying the changelog on top of v1 must yield the v5 table
+    val v1 = SnapshotLog.read(spark, root5, asOfVersion = Some(1))
+      .select("k", "v").as[(Long, Long)].collect().toBuffer
+    ch.select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Int)].collect()
+      .sortBy(_._4).foreach {
+        case (k, v, "insert", _) => v1 += ((k, v))
+        case (k, v, "delete", _) =>
+          val i = v1.indexOf((k, v)); assert(i >= 0); v1.remove(i): Unit
+        case other => fail(s"unexpected change row $other")
+      }
+    val now = SnapshotLog.read(spark, root5).select("k", "v")
+      .as[(Long, Long)].collect()
+    assert(v1.sorted.toSeq == now.sorted.toSeq)
+  }
+
+  test("fromVersion 0 reads genesis as inserts") {
+    val ch = SnapshotLog.changes(spark, root5, fromVersion = 0,
+      toVersion = Some(1)).collect()
+    assert(ch.forall(r => r.getAs[String]("_change_type") == "insert" &&
+      r.getAs[Int]("_commit_version") == 1))
+    assert(ch.map(_.getAs[Long]("k")).sorted.toSeq ==
+      (0L until 100L by 2).toSeq)
+  }
+
+  test("empty range returns an empty frame with the changelog schema") {
+    val ch = SnapshotLog.changes(spark, root5, fromVersion = 5)
+    assert(ch.isEmpty)
+    assert(ch.columns.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_ts_ms"))
+  }
+
+  test("schema added mid-range: earlier transitions null-fill, output " +
+    "carries the end-of-range schema") {
+    val root = freshRoot("evolve")
+    SnapshotLog.commit(spark.range(0, 10).selectExpr("id AS k"), root,
+      overwrite = true, 1000L)
+    SnapshotLog.commit(
+      spark.range(10, 20).selectExpr("id AS k", "id * 3 AS extra"), root,
+      overwrite = false, 2000L)
+    val ch = SnapshotLog.changes(spark, root, fromVersion = 0)
+    assert(ch.columns.take(2).toSeq == Seq("k", "extra"))
+    val rows = ch.select("k", "extra", "_commit_version")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(2)))
+    assert(rows.filter(_._3 == 1).forall(_._2.isEmpty))
+    assert(rows.filter(_._3 == 2).forall(r => r._2.contains(r._1 * 3)))
+    assert(rows.length == 20)
+  }
+
+  test("upsert surfaces as deletes of old images plus inserts of the batch") {
+    val root = freshRoot("upsert")
+    val df = spark.range(0, 20).selectExpr("id AS k", "id AS v")
+    SnapshotLog.commit(df, root, overwrite = true, 1000L)
+    val batch = spark.range(15, 25).selectExpr("id AS k", "id + 1000 AS v")
+    SnapshotLog.upsertEqualityMoR(spark, root, batch, Seq("k"), 2000L)
+    val ch = SnapshotLog.changes(spark, root, fromVersion = 1)
+      .select("k", "v", "_change_type").as[(Long, Long, String)]
+      .collect().toSet
+    val expect =
+      (15L until 20L).map(k => (k, k, "delete")).toSet ++
+        (15L until 25L).map(k => (k, k + 1000, "insert")).toSet
+    assert(ch == expect)
+  }
+}
