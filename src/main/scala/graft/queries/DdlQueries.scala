@@ -457,6 +457,44 @@ object DdlQueries extends QueryModule {
         .select("_commit_version", "_change_type", "n_rows", "sum_bal")
     }),
 
+    // STREAMING CDC (format "snapshotlog-cdc"): the changelog as a
+    // micro-batch stream, snapshot versions as durable offsets. The
+    // fixture drives the stream to exhaustion ONCE (foreachBatch dumps
+    // every change batch to parquet); the gate aggregates the dump —
+    // v1/v2 appends arrive as inserts, the MoR delete as deletes, the
+    // trailing compaction as NOTHING. Same set-algebra oracle family as
+    // ddl_changelog, but the rows here traveled through
+    // MicroBatchExecution, offsets and all.
+    "ddl_cdc_stream" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "cdc_stream") { root =>
+        val tbl = s"$root/table"
+        val c = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 0), tbl,
+          overwrite = true, 1000L)
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 1), tbl,
+          overwrite = false, 2000L)
+        SnapshotLog.deleteWhereMoR(s, tbl, col("c_acctbal") > 8000, 3000L)
+        SnapshotLog.rewriteDataFiles(s, tbl, commitTsMs = 4000L,
+          targetBytes = 1L << 30)
+        val q = s.readStream.format("snapshotlog-cdc")
+          .option("fromVersion", "0").load(tbl)
+          .writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              b.write.mode("append").parquet(s"$root/changes"); ()
+          }
+          .option("checkpointLocation", s"$root/ckpt").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(s"$root/changes")
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .select("_commit_version", "_change_type", "n_rows", "sum_bal")
+    }),
+
     // SQL METADATA TABLES (Iceberg's history/files/snapshots relations):
     // snap.ns.t.history joined against snap.ns.t.files — the log and the
     // file inventory as ordinary SQL, rows from manifest metadata only.
@@ -1093,6 +1131,20 @@ object DdlQueries extends QueryModule {
         |UNION ALL
         |SELECT CAST(4 AS INT), 'insert', CAST(count(*) AS BIGINT),
         |  round(sum(b + 1000.0), 2) FROM upd4""".stripMargin,
+
+    // Stream-carried changes: v1 inserts = evens, v2 inserts = odds,
+    // v3 deletes = every row the predicate removed; the compaction
+    // version contributes no group at all.
+    "ddl_cdc_stream" ->
+      """SELECT CAST(1 AS INT) AS _commit_version, 'insert' AS _change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'insert', CAST(count(*) AS BIGINT),
+        |  round(sum(c_acctbal), 2) FROM customer WHERE c_custkey % 2 = 1
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'delete', CAST(count(*) AS BIGINT),
+        |  round(sum(c_acctbal), 2) FROM customer WHERE c_acctbal > 8000""".stripMargin,
 
     "ddl_partitions" ->
       """SELECT 'seg=' || CAST(seg AS VARCHAR) AS "partition",

@@ -11,4 +11,18 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-wrap a computed batch DataFrame as a STREAMING frame for a legacy
+    * `Source.getBatch` return: MicroBatchExecution asserts
+    * `isStreaming=true` on the returned plan, and a multi-stage computed
+    * plan (e.g. a CDC diff) can only carry that flag through a
+    * `LogicalRDD` leaf over its own lazily-materialized row RDD — the
+    * exact wrap Spark's built-in v1 sources use
+    * (`internalCreateDataFrame(rdd, schema, isStreaming = true)`). */
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val qe = df.queryExecution
+    ofRows(spark, execution.LogicalRDD(
+      qe.analyzed.output, qe.toRdd, isStreaming = true)(cs))
+  }
 }
