@@ -659,6 +659,16 @@ object SnapshotLog {
   /** Assign field ids to a table that predates them: current-schema order
     * (ids 1..n), every live file's physical columns mapped by name —
     * sound because no rename can have happened before ids existed. */
+  /** Field ids of a snapshot, bootstrapped positionally for manifests
+    * that predate the first ALTER — the same assignment [[bootstrapFids]]
+    * makes when the first ALTER lands, so both sides of a rename agree.
+    * Used by the changelog/CDC conform steps to resolve an output column
+    * back to its name-at-the-time. */
+  private[sources] def fidsOf(s: Snapshot): Map[String, Int] =
+    if (s.fids.nonEmpty) s.fids
+    else s.schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+
   private def bootstrapFids(cur: Snapshot): Snapshot =
     if (cur.fids.nonEmpty) cur
     else {
@@ -2087,13 +2097,24 @@ object SnapshotLog {
     val base = main.filter(_.version <= fromVersion).lastOption.getOrElse(
       inRange.head.copy(files = Seq.empty, dels = Map.empty,
         stats = Map.empty, version = fromVersion))
+    val endFids = fidsOf(inRange.last)
     def visible(s: Snapshot, files: Seq[String]): DataFrame =
       if (files.isEmpty) emptyDf(s.schema) else readConformed(spark, s, files)
-    def conform(df: DataFrame): DataFrame =
+    // conform a transition's rows (read under snapshot `at`'s schema) to
+    // the output schema, resolving RENAMES through the stable field ids:
+    // an output column renamed after this transition reads from its
+    // name-at-the-time, not null-filled (only columns that genuinely did
+    // not exist yet null-fill)
+    def conform(df: DataFrame, at: Snapshot): DataFrame = {
+      val atFids = fidsOf(at)
       df.select(outSchema.fields.toSeq.map { f =>
-        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        val nameAt = endFids.get(f.name)
+          .flatMap(id => atFids.collectFirst { case (n, i) if i == id => n })
+          .getOrElse(f.name)
+        (if (df.columns.contains(nameAt)) col(nameAt).cast(f.dataType)
          else lit(null).cast(f.dataType)).as(f.name)
       }: _*)
+    }
     val slices = (base +: inRange).sliding(2).flatMap {
       case Seq(prev, cur) if cur.operation != "rewrite" =>
         val curSet = cur.files.map(norm).toSet
@@ -2106,8 +2127,8 @@ object SnapshotLog {
           !prevSet(norm(f)) || delsOf(cur, f) != delsOf(prev, f))
         if (touchedPrev.isEmpty && touchedCur.isEmpty) None
         else {
-          val after = conform(visible(cur, touchedCur))
-          val before = conform(visible(prev, touchedPrev))
+          val after = conform(visible(cur, touchedCur), cur)
+          val before = conform(visible(prev, touchedPrev), prev)
           Some(after.exceptAll(before).withColumn("_change_type", lit("insert"))
             .union(
               before.exceptAll(after).withColumn("_change_type", lit("delete")))

@@ -74,6 +74,14 @@ private[sources] object SnapshotLogCdcSource {
 
     override def schema: StructType = declared
 
+    // field ids of the declared (stream-start) schema: a mid-stream
+    // RENAME then still feeds the declared column from its new name
+    // instead of silently null-filling it
+    private val declaredFids: Map[String, Int] = {
+      val main = SnapshotLog.snapshots(spark, root).filter(_.branch.isEmpty)
+      main.lastOption.map(SnapshotLog.fidsOf).getOrElse(Map.empty)
+    }
+
     // rate-limit watermark: the highest version this source has PLANNED
     // (not committed) — restart resets it to fromVersion, and the first
     // getBatch bumps it past the checkpoint's recovered end, so recovery
@@ -104,8 +112,18 @@ private[sources] object SnapshotLogCdcSource {
       // end's schema, which can drift from the stream-start pin under
       // mid-stream column adds
       val ch = SnapshotLog.changes(spark, root, fromV, Some(toV))
+      // the batch's columns carry the RANGE END's names; resolve each
+      // declared column through its stable field id so a mid-stream
+      // rename keeps feeding it (a column dropped mid-stream null-fills)
+      val rangeEndFids = SnapshotLog.snapshots(spark, root)
+        .filter(_.branch.isEmpty).filter(_.version <= toV).lastOption
+        .map(SnapshotLog.fidsOf).getOrElse(Map.empty)
       val conformed = ch.select(declared.fields.toSeq.map { f =>
-        (if (ch.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        val nameNow = declaredFids.get(f.name)
+          .flatMap(id => rangeEndFids.collectFirst {
+            case (n, i) if i == id => n })
+          .getOrElse(f.name)
+        (if (ch.columns.contains(nameNow)) col(nameNow).cast(f.dataType)
          else lit(null).cast(f.dataType)).as(f.name)
       }: _*)
       // MicroBatchExecution asserts isStreaming on the returned plan

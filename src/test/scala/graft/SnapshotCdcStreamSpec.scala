@@ -86,6 +86,33 @@ class SnapshotCdcStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("cdc stream: a mid-stream rename keeps feeding the declared column") {
+    val root = freshDir("rename/table")
+    SnapshotLog.commit(Seq((1L, 10L)).toDF("k", "v"), root,
+      overwrite = true, 1000L)
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, String)]())
+    val q = spark.readStream.format("snapshotlog-cdc")
+      .option("fromVersion", "0").load(root)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.select("k", "v", "_change_type")
+          .as[(Long, Long, String)].collect().foreach(seen.add)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      SnapshotLog.renameColumn(spark, root, "v", "w", 2000L)
+      SnapshotLog.commit(Seq((2L, 20L)).toDF("k", "w"), root,
+        overwrite = false, 3000L)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      // the post-rename append still lands in the stream-start column 'v'
+      assert(seen.asScala.toSet ==
+        Set((1L, 10L, "insert"), (2L, 20L, "insert")))
+    } finally q.stop()
+  }
+
   test("cdc stream: maxVersionsPerTrigger paces one version per batch") {
     val root = freshDir("rate/table")
     for (i <- 1 to 4)

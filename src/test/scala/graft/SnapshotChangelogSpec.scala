@@ -123,6 +123,38 @@ class SnapshotChangelogSpec extends AnyFunSuite {
     assert(rows.length == 20)
   }
 
+  test("rename mid-range: earlier transitions resolve through field ids, " +
+    "not null-fill") {
+    val root = freshRoot("rename")
+    SnapshotLog.commit(spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"),
+      root, overwrite = true, 1000L)
+    SnapshotLog.renameColumn(spark, root, "v", "w", 2000L)
+    SnapshotLog.deleteWhereMoR(spark, root, col("k") === 5, 3000L)
+    val ch = SnapshotLog.changes(spark, root, fromVersion = 0)
+    assert(ch.columns.take(2).toSeq == Seq("k", "w"))
+    val rows = ch.select("k", "w", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Int)].collect().toSet
+    // v1 inserts carry the ORIGINAL v values under the new name (field-id
+    // resolution); the rename snapshot itself (no touched files) is silent
+    val expect = (0L until 10L).map(k => (k, k * 2, "insert", 1)).toSet +
+      ((5L, 10L, "delete", 3))
+    assert(rows == expect)
+  }
+
+  test("hidden-partitioned table: changelog reads partitioned files") {
+    val root = freshRoot("parts")
+    val df = spark.range(0, 40).selectExpr("id AS k", "id % 4 AS seg")
+    SnapshotLog.commitPartitioned(df, root,
+      Seq(("seg", "identity")), overwrite = true, 1000L)
+    SnapshotLog.commitPartitioned(
+      spark.range(40, 50).selectExpr("id AS k", "id % 4 AS seg"), root,
+      Seq(("seg", "identity")), overwrite = false, 2000L)
+    val ch = SnapshotLog.changes(spark, root, fromVersion = 1)
+    assert(ch.select("k").as[Long].collect().sorted.toSeq ==
+      (40L until 50L).toSeq)
+    assert(ch.select("seg").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L))
+  }
+
   test("upsert surfaces as deletes of old images plus inserts of the batch") {
     val root = freshRoot("upsert")
     val df = spark.range(0, 20).selectExpr("id AS k", "id AS v")
