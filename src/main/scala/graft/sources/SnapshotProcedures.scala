@@ -33,7 +33,8 @@ private[sources] object SnapshotProcedures {
         Identifier.of(Array("system"), "create_branch"),
         Identifier.of(Array("system"), "drop_branch"),
         Identifier.of(Array("system"), "fast_forward"),
-        Identifier.of(Array("system"), "rewrite_position_delete_files"))
+        Identifier.of(Array("system"), "rewrite_position_delete_files"),
+        Identifier.of(Array("system"), "create_changelog_view"))
     else Array.empty
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
@@ -51,6 +52,7 @@ private[sources] object SnapshotProcedures {
       case "rewrite_position_delete_files" =>
         new RewriteDeleteFilesProc(warehouse)
       case "analyze_table" => new AnalyzeTableProc(warehouse)
+      case "create_changelog_view" => new CreateChangelogViewProc(warehouse)
       case other => throw new UnsupportedOperationException(
         s"snapshotlog catalog: unknown procedure $other")
     }
@@ -110,6 +112,50 @@ private[sources] object SnapshotProcedures {
           StructField("files_after", LongType, nullable = false))),
         Seq(v, v != before.version, before.files.size.toLong,
           after.files.size.toLong))).asJava
+    }
+  }
+
+  /** CALL snap.system.create_changelog_view(table => 'ns.t',
+    * from_version => 1) — Iceberg's create_changelog_view procedure:
+    * registers a TEMP VIEW over [[SnapshotLog.changes]] (net
+    * insert/delete rows tagged _change_type/_commit_version) and returns
+    * the view name, so the changelog is queryable from plain SQL. The
+    * view's plan is the lazy touched-files diff — registering it runs
+    * nothing. */
+  private class CreateChangelogViewProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "create_changelog_view"
+    override def description(): String =
+      "register a temp view of the net row-level changes in " +
+        "(from_version, to_version]"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table as 'ns.t'").build(),
+      ProcedureParameter.in("from_version", IntegerType)
+        .defaultValue("0").build(),
+      ProcedureParameter.in("to_version", IntegerType)
+        .defaultValue("-1").comment("-1 = current head").build(),
+      ProcedureParameter.in("view_name", StringType)
+        .defaultValue("''").comment("default: <table>_changes").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val table = input.getUTF8String(0).toString
+      val root = rootFor(warehouse, table)
+      val fromV = input.getInt(1)
+      val toV = input.getInt(2) match { case -1 => None; case v => Some(v) }
+      val view = Option(input.getUTF8String(3)).map(_.toString)
+        .filter(_.nonEmpty)
+        .getOrElse(table.substring(table.lastIndexOf('.') + 1) + "_changes")
+      SnapshotLog.changes(spark, root, fromV, toV)
+        .createOrReplaceTempView(view)
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("changelog_view", StringType, nullable = false))),
+        Seq(view))).asJava
     }
   }
 

@@ -155,6 +155,30 @@ class SnapshotChangelogSpec extends AnyFunSuite {
     assert(ch.select("seg").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("CALL snap.system.create_changelog_view registers a SQL-queryable " +
+    "changelog view") {
+    val wh = "/tmp/graft_snap_warehouse"
+    val p = new Path(s"$wh/chgproc")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    spark.sql(
+      "CREATE TABLE snap.chgproc.t AS SELECT id AS k, id * 2 AS v FROM range(10)")
+    spark.sql("INSERT INTO snap.chgproc.t SELECT id AS k, 0 AS v FROM range(100, 103)")
+    // SQL CTAS = v1 "create" (0 files) + v2 data append; INSERT = v3
+    val res = spark.sql(
+      "CALL snap.system.create_changelog_view(table => 'chgproc.t', " +
+        "from_version => 2)").collect().head
+    assert(res.getString(0) == "t_changes")
+    val rows = spark.sql(
+      "SELECT k, _change_type, _commit_version FROM t_changes ORDER BY k")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(rows == (100L until 103L).map(k => (k, "insert", 3)))
+    // explicit view name + full history
+    spark.sql(
+      "CALL snap.system.create_changelog_view(table => 'chgproc.t', " +
+        "view_name => 'all_changes')")
+    assert(spark.table("all_changes").count() === 13)
+  }
+
   test("upsert surfaces as deletes of old images plus inserts of the batch") {
     val root = freshRoot("upsert")
     val df = spark.range(0, 20).selectExpr("id AS k", "id AS v")
