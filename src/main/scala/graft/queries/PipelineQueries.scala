@@ -81,48 +81,12 @@ object PipelineQueries extends QueryModule {
     // distinct×filter form is O(k²) per doc, and higher-order lambdas are
     // interpreted — quadratic per-row work is exactly what melts first when
     // document length grows).
-    "text_repetition" -> ((s, d) => {
-      // One tight per-row pass: distinct-word count via a hash set,
-      // max-bigram count via a hash map over consecutive pairs — O(k)
-      // per document. The previous form (array_sort + the `aggregate`
-      // higher-order lambda over bigram strings) was semantically
-      // identical but ran INTERPRETED (HOFs are CodegenFallback) and
-      // allocated a struct per array element — ~3× slower per row and
-      // the gap widens with document length. Fractions use the same
-      // double arithmetic, so the gated values are bit-identical.
-      val rep = udf { (ws: Seq[String]) =>
-        val nw = ws.length
-        val seen = new java.util.HashSet[String]()
-        var i = 0
-        while (i < nw) { seen.add(ws(i)); i += 1 }
-        var best = 0L
-        if (nw >= 2) {
-          val m = new java.util.HashMap[String, java.lang.Long]()
-          var j = 0
-          while (j < nw - 1) {
-            val key = ws(j) + " " + ws(j + 1)
-            val c = m.merge(key, 1L, (a, b) => a + b)
-            if (c > best) best = c
-            j += 1
-          }
-        }
-        val ng = math.max(nw - 1, 0)
-        (nw.toLong,
-          1.0 - seen.size.toDouble / nw,
-          if (ng > 0) best.toDouble / ng else 0.0)
-      }
+    "text_repetition" -> ((s, d) =>
       // the fixture is one parquet split; a production corpus has thousands
       // of natural splits. Round-robin the raw text so the per-row array
       // work uses every core — the only exchange in the plan.
-      documents(s, d).repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), rep(words(col("text"))).as("r"))
-        .select(
-          col("doc_id"),
-          col("r._1").as("n_words"),
-          col("r._2").as("dup_word_frac"),
-          col("r._3").as("top_bigram_frac"),
-          (col("r._3") > 0.1).as("repetitive"))
-    }),
+      repetitionSignals(
+        documents(s, d).repartition(s.sparkContext.defaultParallelism))),
 
     // Corpus vocabulary job: global top-25 trigrams with deterministic
     // tie-break — the n-gram statistics pass (tokenizer training, stop-
@@ -568,4 +532,51 @@ object PipelineQueries extends QueryModule {
 
   /** Build-once-per-process rtbf fixture roots (deterministic content). */
   private val rtbfRoots = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1) over a frame
+    * with (doc_id, text). One tight per-row pass: distinct-word count via
+    * a hash set, max-bigram count via a hash map over consecutive pairs —
+    * O(k) per document. The previous form (array_sort + the `aggregate`
+    * higher-order lambda over bigram strings) was semantically identical
+    * but ran INTERPRETED (HOFs are CodegenFallback) and allocated a struct
+    * per array element — ~3× slower per row, widening with document
+    * length. Fractions use the same double arithmetic, so the gated
+    * values are bit-identical. */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // reference-typed args do NOT null-short-circuit a Scala UDF: a null
+    // document's split() is null and must propagate as null metrics
+    // (the Catalyst-expression form this replaced did exactly that)
+    val rep = udf { (ws: Seq[String]) =>
+      if (ws == null) null.asInstanceOf[(Long, Double, Double)]
+      else {
+        val nw = ws.length
+        val seen = new java.util.HashSet[String]()
+        var i = 0
+        while (i < nw) { seen.add(ws(i)); i += 1 }
+        var best = 0L
+        if (nw >= 2) {
+          val m = new java.util.HashMap[String, java.lang.Long]()
+          var j = 0
+          while (j < nw - 1) {
+            val key = ws(j) + " " + ws(j + 1)
+            val c = m.merge(key, 1L, (a, b) => a + b)
+            if (c > best) best = c
+            j += 1
+          }
+        }
+        val ng = math.max(nw - 1, 0)
+        (nw.toLong,
+          1.0 - seen.size.toDouble / nw,
+          if (ng > 0) best.toDouble / ng else 0.0)
+      }
+    }
+    docs.select(col("doc_id"), rep(words(col("text"))).as("r"))
+      .select(
+        col("doc_id"),
+        col("r._1").as("n_words"),
+        col("r._2").as("dup_word_frac"),
+        col("r._3").as("top_bigram_frac"),
+        (col("r._3") > 0.1).as("repetitive"))
+  }
 }

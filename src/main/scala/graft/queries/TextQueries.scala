@@ -193,6 +193,30 @@ object TextQueries extends QueryModule {
           col("t._4").as("id_sum"))
     }),
 
+    // EXTERNAL HF tokenizer assets (r16): both loaders — merges.txt +
+    // vocab.json AND fast-tokenizer tokenizer.json — tokenize pinned
+    // strings whose GPT-2 token ids are PUBLISHED (Hello=15496,
+    // Ġworld=995, Ġthe=262, '!'=0, '.'=13, base-alphabet byte-fallback
+    // ids for é's UTF-8 bytes). The oracle is a VALUES table of those
+    // published ids — fully independent of this engine — so the gate
+    // proves the asset parser + byte alphabet + merge loop reproduce the
+    // real tokenizer through the external-file path end to end.
+    "llm_tokenize_hf" -> ((s, _) => {
+      val a = graft.llm.HfBpeTokenizer.bundledAssetDir
+      val in = s.createDataFrame(Seq(
+        ("s1", "Hello world"), ("s2", "Hello the world!"),
+        ("s3", "."), ("s4", "Hé"))).toDF("s_id", "text")
+      def shape(loader: String, ids: org.apache.spark.sql.Column) =
+        in.select(col("s_id"), lit(loader).as("loader"),
+            posexplode(ids).as(Seq("pos", "token_id")))
+          .select(col("s_id"), col("loader"),
+            col("pos").cast("long").as("pos"), col("token_id"))
+      shape("merges", graft.llm.HfBpeTokenizer.tokenizeCol(
+          col("text"), s"$a/merges.txt", s"$a/vocab.json"))
+        .union(shape("json", graft.llm.HfBpeTokenizer.tokenizeJsonCol(
+          col("text"), s"$a/tokenizer.json")))
+    }),
+
     // Batched generate through the mapPartitions operator (real external-
     // service plumbing; deterministic echo backend stands in for the API).
     "llm_generate_echo" -> ((s, d) => {
@@ -332,6 +356,22 @@ object TextQueries extends QueryModule {
          |       max_by(head, pos) AS head_pieces
          |FROM tok GROUP BY doc_id""".stripMargin
     },
+
+    "llm_tokenize_hf" ->
+      // the PUBLISHED GPT-2 ids for the pinned strings — written down
+      // here independently, never derived from the engine. 'Hé' falls
+      // back to base-alphabet ids in this fixture subset: H=39 (72-33),
+      // then é's UTF-8 bytes 0xC3/0xA9 at their bytes_to_unicode ranks
+      // (0xC3 -> 106+(195-174)=127, 0xA9 -> 94+(169-161)=102).
+      """WITH expect(s_id, pos, token_id) AS (VALUES
+        |  ('s1', 0, 15496), ('s1', 1, 995),
+        |  ('s2', 0, 15496), ('s2', 1, 262), ('s2', 2, 995), ('s2', 3, 0),
+        |  ('s3', 0, 13),
+        |  ('s4', 0, 39), ('s4', 1, 127), ('s4', 2, 102))
+        |SELECT s_id, l.loader, CAST(pos AS BIGINT) AS pos,
+        |       CAST(token_id AS BIGINT) AS token_id
+        |FROM expect CROSS JOIN (VALUES ('merges'), ('json')) AS l(loader)
+        |""".stripMargin,
 
     "llm_tokenize_bytes" -> {
       // Replay MERGE-RANK BPE, GPT-2 step semantics: per DISTINCT word

@@ -669,6 +669,25 @@ object SnapshotLog {
     else s.schema.fieldNames.zipWithIndex
       .map { case (n, i) => n -> (i + 1) }.toMap
 
+  /** Schema an APPEND records in the manifest: existing columns in the
+    * PARENT's order, genuinely-new columns after (Iceberg: writers conform
+    * to the table schema — a writer's projection order is not a schema
+    * change). Keeping the order stable is what makes [[fidsOf]]'s
+    * positional bootstrap sound for pre-ALTER manifests: without it, an
+    * append of `df.select("v","k")` onto a (k,v) table would record (v,k)
+    * and the changelog's positional ids would swap the two columns'
+    * values. Data files still carry the writer's physical order — reads
+    * resolve by name through the per-file column lists. */
+  private def conformedSchema(parent: Option[Snapshot],
+      dfSchema: StructType): StructType =
+    parent.fold(dfSchema) { h =>
+      val byName = dfSchema.fields.map(f => f.name -> f).toMap
+      val kept = h.schema.fieldNames.flatMap(byName.get)
+      val added = dfSchema.fields.filterNot(f =>
+        h.schema.fieldNames.contains(f.name))
+      StructType(kept ++ added)
+    }
+
   private def bootstrapFids(cur: Snapshot): Snapshot =
     if (cur.fids.nonEmpty) cur
     else {
@@ -832,11 +851,12 @@ object SnapshotLog {
       // parent files' tuples (the new files carry no tuple — kept
       // conservatively by partition pruning; commitPartitioned is the
       // layout-preserving append)
+      val schema = conformedSchema(parent, df.schema)
       val (fids, colIds, maxId) =
-        fidCarry(mainLast, df.schema, files, newCols)
+        fidCarry(mainLast, schema, files, newCols)
       commitManifest(fs, root, next,
         if (overwrite) "overwrite" else "append",
-        ts, df.schema.json, files, stats, sizes, props,
+        ts, schema.json, files, stats, sizes, props,
         parent.map(_.spec).getOrElse(Seq.empty),
         parent.map(_.parts).getOrElse(Map.empty), cols,
         parent.map(_.dels).getOrElse(Map.empty), fids, colIds, maxId,
@@ -966,11 +986,12 @@ object SnapshotLog {
           k -> p.fileSpec.getOrElse(k, math.max(pIdx, 0))).toMap
       }.getOrElse(Map.empty)
       val allFiles = parent.map(_.files).getOrElse(Seq.empty) ++ newFiles
+      val schema = conformedSchema(parent, df.schema)
       val (fids, colIds, maxId) =
-        fidCarry(mainLast, df.schema, allFiles, newCols)
+        fidCarry(mainLast, schema, allFiles, newCols)
       commitManifest(fs, root, next,
         if (overwrite) "overwrite" else "append",
-        ts, df.schema.json, allFiles,
+        ts, schema.json, allFiles,
         parent.map(_.stats).getOrElse(Map.empty) ++ newStats,
         parent.map(_.sizes).getOrElse(Map.empty) ++ newSizes,
         props, spec,
@@ -1148,7 +1169,11 @@ object SnapshotLog {
             val idx = pr.fieldIndex(s"__p_${f.name}")
             if (pr.isNullAt(idx)) None // all-null column
             else Some((f.name, conv, pr.getSeq[Double](idx)))
-          }.filter(_._3.forall(d => !d.isNaN))
+          // non-FINITE endpoints (NaN from all-NaN data, ±Infinity from a
+          // float column containing infinities) would render as bare
+          // `Infinity` tokens in the interval-NDV SQL below and fail the
+          // whole ANALYZE — skip the histogram for that column instead
+          }.filter(_._3.forall(d => java.lang.Double.isFinite(d)))
         if (endpoints.isEmpty) Map.empty
         else {
           spark.sessionState.functionRegistry.registerFunction(
@@ -2088,8 +2113,14 @@ object SnapshotLog {
       StructField("_commit_ts_ms", LongType, nullable = false))
     def emptyDf(schema: StructType): DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    if (inRange.isEmpty)
-      return emptyDf(StructType(main.last.schema.fields ++ metaFields))
+    // empty range: keep the documented "schema of the last in-range
+    // snapshot" contract by shaping on the snapshot AT toV (the head may
+    // have gained columns after toV — a bounded consumer unioning batches
+    // must not see them)
+    if (inRange.isEmpty) {
+      val shapeAt = main.filter(_.version <= toV).lastOption.getOrElse(main.last)
+      return emptyDf(StructType(shapeAt.schema.fields ++ metaFields))
+    }
     val outSchema = inRange.last.schema
     // the baseline the first in-range transition diffs against: the
     // mainline snapshot AT fromVersion (fromVersion 0 / pre-history =

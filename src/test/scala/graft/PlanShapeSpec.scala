@@ -185,6 +185,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Aggregate"), "repetition signals plan an aggregation")
   }
 
+  test("text_repetition null-propagates a null document (UDF must not NPE)") {
+    import spark.implicits._
+    // reference-typed Scala UDF args are NOT null-short-circuited; the
+    // replaced Catalyst-expression form returned null metrics for null text
+    Seq(("d1", "a a a"), ("d2", null)).toDF("doc_id", "text")
+      .createOrReplaceTempView("__rep_null_docs")
+    val rep = graft.queries.PipelineQueries.repetitionSignals(
+      spark.table("__rep_null_docs")).collect()
+    val nullRow = rep.find(_.getAs[String]("doc_id") == "d2").get
+    assert(nullRow.isNullAt(nullRow.fieldIndex("n_words")))
+    val ok = rep.find(_.getAs[String]("doc_id") == "d1").get
+    assert(ok.getAs[Long]("n_words") == 3L)
+  }
+
   test("pipeline_mixture_resample broadcasts the per-lang count table") {
     assert(physical("pipeline_mixture_resample").contains("BroadcastHashJoin"),
       "mixture acceptance join did not broadcast the counts side")

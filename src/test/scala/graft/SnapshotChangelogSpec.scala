@@ -193,4 +193,42 @@ class SnapshotChangelogSpec extends AnyFunSuite {
         (15L until 25L).map(k => (k, k + 1000, "insert")).toSet
     assert(ch == expect)
   }
+
+  test("column-reordered append: recorded schema keeps table order, so " +
+    "the pre-ALTER positional fid bootstrap never swaps column values") {
+    val root = freshRoot("reorder")
+    val df = spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v")
+    SnapshotLog.commit(df, root, overwrite = true, 1000L)
+    // a writer's projection order is not a schema change (Iceberg:
+    // writers conform to the table schema) — append (v, k)
+    val df2 = spark.range(10, 20).selectExpr("id * 2 AS v", "id AS k")
+    SnapshotLog.commit(df2, root, overwrite = false, 2000L)
+    val head = SnapshotLog.snapshots(spark, root).last
+    assert(head.schema.fieldNames.toSeq == Seq("k", "v"),
+      "append must record existing columns in the parent's order")
+    // the changelog conforms v1 rows through positional fids — with a
+    // reordered recorded schema those ids would swap k and v
+    val ch = SnapshotLog.changes(spark, root, fromVersion = 0)
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(ch == (0L until 20L).map(k => (k, k * 2)).toSet)
+    // and the table read itself stays sound
+    val all = SnapshotLog.read(spark, root)
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(all == (0L until 20L).map(k => (k, k * 2)).toSet)
+  }
+
+  test("empty version range returns the schema AT toVersion, not the " +
+    "head's (a later-added column must not leak into a bounded batch)") {
+    val root = freshRoot("emptyrange")
+    val df = spark.range(0, 5).selectExpr("id AS k", "id AS v")
+    SnapshotLog.commit(df, root, overwrite = true, 1000L)
+    val wide = spark.range(5, 10).selectExpr(
+      "id AS k", "id AS v", "id AS extra")
+    SnapshotLog.commit(wide, root, overwrite = false, 2000L)
+    val empty = SnapshotLog.changes(spark, root, fromVersion = 1,
+      toVersion = Some(1))
+    assert(empty.isEmpty)
+    assert(empty.schema.fieldNames.toSeq ==
+      Seq("k", "v", "_change_type", "_commit_version", "_commit_ts_ms"))
+  }
 }

@@ -254,4 +254,23 @@ class SnapshotStatsSpec extends AnyFunSuite {
         s"histogram should push the hot-hour estimate toward 39600, got $est")
     }
   }
+
+  test("ANALYZE survives a double column containing ±Infinity: the " +
+       "non-finite histogram is skipped, every other stat records") {
+    val root = freshRoot("hist_inf")
+    val df = spark.range(0, 1000, 1, 2).selectExpr(
+      "id AS k",
+      // a ratio with a zero denominator upstream: real corpora have these
+      "CASE WHEN id % 100 = 0 THEN double('Infinity') " +
+        "WHEN id % 101 = 0 THEN double('-Infinity') " +
+        "ELSE id * 1.5 END AS ratio")
+    SnapshotLog.commit(df, root, overwrite = true, 100L, 1)
+    SnapshotLog.analyze(spark, root, histBins = 16) // must not throw
+    val (_, n, cols) = SnapshotLog.colStatsFor(spark, root, 1).get
+    assert(n === 1000L)
+    assert(cols("ratio").hist.isEmpty,
+      "non-finite endpoints must skip the histogram, not crash ANALYZE")
+    assert(cols("k").hist.nonEmpty,
+      "the finite column's histogram still records")
+  }
 }
