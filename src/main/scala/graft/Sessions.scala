@@ -41,6 +41,9 @@ object Sessions {
       // with VERSION AS OF / TIMESTAMP AS OF served from the manifest log
       .config("spark.sql.catalog.snap", "graft.sources.SnapshotLogCatalog")
       .config("spark.sql.catalog.snap.warehouse", "/tmp/graft_snap_warehouse")
+      // Storage-partitioned joins: honor KeyGroupedPartitioning reported
+      // by DSv2 scans — co-bucketed snapshot tables join with NO shuffle
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -324,6 +324,42 @@ object DdlQueries extends QueryModule {
         .select("snap", "n_rows", "sum_price")
     }),
 
+    // STORAGE-PARTITIONED JOIN (r16 — Iceberg SPJ): customer and a
+    // per-customer orders slice are both laid out bucket[8] on the
+    // customer key; the scans report KeyGroupedPartitioning (bucket
+    // resolving through the catalog's V2 function) and the join plans
+    // with ZERO shuffle — at 100 TB this removes the dominant exchange
+    // of every repeated fact-to-fact co-located join. The MERGE hint
+    // pins the sort-merge strategy (a broadcast would bypass the
+    // partitioned path at gate scale); SnapshotSpjSpec + PlanShapeSpec
+    // assert the exchange-free plan, this gate pins the RESULTS.
+    "ddl_spj_join" -> ((s, d) => {
+      registerViews(s, d)
+      val ns = "spj_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      snapFixture(s, d, "spj") { _ =>
+        import graft.sources.SnapshotLog
+        val wh = "/tmp/graft_snap_warehouse"
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        Seq("cust_b", "ord_b").foreach(t =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$wh/$ns/$t"), true))
+        SnapshotLog.commitPartitioned(
+          customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          s"$wh/$ns/cust_b", Seq("c_custkey" -> "bucket[8]"),
+          overwrite = true, 1000L)
+        SnapshotLog.commitPartitioned(
+          orders(s, d).filter(col("o_orderkey") % 4 === 0)
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          s"$wh/$ns/ord_b", Seq("o_custkey" -> "bucket[8]"),
+          overwrite = true, 1000L): Unit
+      }
+      s.table(s"snap.$ns.ord_b").hint("merge")
+        .join(s.table(s"snap.$ns.cust_b"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"),
+          col("c_acctbal"), col("o_totalprice"))
+    }),
+
     // SQL UPDATE + MERGE INTO on a snapshot table through Spark's
     // row-level-operation API (SupportsRowLevelOperations, group-based
     // copy-on-write — the reference's Iceberg MERGE surface,
@@ -1049,6 +1085,11 @@ object DdlQueries extends QueryModule {
         |SELECT 'in_list', CAST(count(*) AS BIGINT),
         |  round(sum(c_acctbal), 2), CAST(4 AS BIGINT)
         |FROM customer WHERE c_custkey IN (10, 800)""".stripMargin,
+
+    "ddl_spj_join" ->
+      """SELECT o.o_orderkey, c.c_custkey, c.c_acctbal, o.o_totalprice
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 4 = 0""".stripMargin,
 
     "ddl_sql_catalog" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),

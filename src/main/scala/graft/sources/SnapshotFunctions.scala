@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Murmur3Hash}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+/** V2 catalog functions backing storage-partitioned joins (SPJ).
+  *
+  * Spark plans a shuffle-free join between two `KeyGroupedPartitioning`
+  * scans only when it can resolve each partition TRANSFORM to a catalyst
+  * expression. `identity` resolves natively; `bucket[N]` resolves through
+  * the table catalog's [[org.apache.spark.sql.connector.catalog.FunctionCatalog]]
+  * — exactly how Iceberg's SparkCatalog exposes its bucket function. The
+  * bound function must compute the SAME bucket id the writer's layout
+  * derivation does ([[SnapshotPartition.transformCol]]: `pmod(hash(col),
+  * n)`, Murmur3 seed 42), or a runtime re-evaluation (e.g. Spark's
+  * partially-clustered distribution) would disagree with the stored
+  * tuples. (Reference surface: the reference reads/writes Iceberg bucket
+  * layouts through the connector; this is the native function analog.) */
+object SnapshotFunctions {
+
+  /** `bucket(numBuckets, col)` — unbound: binds to any key type the
+    * writer can hash (Murmur3Hash covers all atomic types). */
+  object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col): pmod(murmur3_hash(col), n) — snapshotlog layout hash"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket expects (numBuckets, value), got ${inputType.catalogString}")
+      new BucketBound(inputType.fields(1).dataType)
+    }
+  }
+
+  /** Bound per key type. `canonicalName` carries the type so two sides of
+    * a join compare equal exactly when their key types match —
+    * `KeyGroupedShuffleSpec` compatibility hinges on this equality. */
+  final class BucketBound(dt: DataType) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String =
+      s"snapshotlog.bucket(${dt.catalogString})"
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+    // Murmur3 over the value at ordinal 1, seed 42 — bit-identical to the
+    // writer's functions.hash(col); evaluated only when Spark needs the
+    // transform's VALUE (the SPJ fast path compares stored tuples)
+    @transient private lazy val hasher =
+      Murmur3Hash(Seq(BoundReference(1, dt, nullable = true)), 42)
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      Integer.valueOf(java.lang.Math.floorMod(
+        hasher.eval(input).asInstanceOf[Int], n))
+    }
+  }
+}

@@ -38,7 +38,22 @@ import scala.jdk.CollectionConverters._
   * commit path as the programmatic API (no per-row DSv2 writer needed).
   */
 class SnapshotLogCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** V2 functions backing storage-partitioned joins: Spark resolves a
+    * table's `bucket[N]` partition transform through the owning catalog
+    * (Iceberg's SparkCatalog does the same). Exposed under every
+    * namespace — the resolver probes with the transform's bare name. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name match {
+      case "bucket" => SnapshotFunctions.BucketUnbound
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
   private var catalogName: String = _
   private var warehouse: String = _
 

@@ -678,7 +678,8 @@ private[sources] object SnapshotStatsFilter {
 private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
     required: StructType, pushed: Array[Filter], kept: Seq[String],
     root: String = "", opts: Map[String, String] = Map.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -791,9 +792,84 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
     * null in DML rewrites. */
   protected def partitionsFor(files: Seq[String]): Array[InputPartition] = {
     val columnar = columnarOk(files)
+    val keys = spjFileKeys
     files.map(f => SnapshotFilePartition(f, columnar,
       snap.dels.getOrElse(SnapshotLog.norm(f), Nil),
-      physMapFor(f))).toArray
+      physMapFor(f), keys.flatMap(_.get(SnapshotLog.norm(f))))).toArray
+  }
+
+  // ---- STORAGE-PARTITIONED JOIN (Iceberg SPJ analog): when every kept
+  // file carries a full partition tuple under the CURRENT spec and every
+  // spec transform is identity/bucket, the scan reports
+  // KeyGroupedPartitioning and each InputPartition its tuple — a join of
+  // two co-partitioned snapshot tables on the source keys then plans with
+  // ZERO shuffle (Spark groups splits by key and zips partitions), the
+  // single biggest exchange eliminated at 100 TB. Files written under an
+  // older spec, null tuples, or range-y transforms (truncate/day could be
+  // sound but need V2 function plumbing) degrade to UnknownPartitioning —
+  // never wrong, just shuffled. ----
+
+  /** Catalyst-internal key values per kept file, in spec-field order;
+    * None = ineligible (report UnknownPartitioning). */
+  @transient protected lazy val spjFileKeys: Option[Map[String, Seq[Any]]] = {
+    val B = """bucket\[(\d+)\]""".r
+    def keyOf(raw: String, src: String, tr: String): Option[Any] = {
+      if (raw == SnapshotPartition.NullMarker) return None
+      val dt = snap.schema.fields.find(_.name == src).map(_.dataType)
+      tr match {
+        case B(_) => raw.toIntOption
+        case "identity" => dt.flatMap {
+          case IntegerType => raw.toIntOption
+          case LongType => raw.toLongOption
+          case StringType => Some(org.apache.spark.unsafe.types.UTF8String
+            .fromString(SnapshotPartition.unescape(raw)))
+          case DateType =>
+            try Some(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+            catch { case _: Exception => None }
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    val specOk = snap.spec.nonEmpty && snap.spec.forall {
+      case (_, "identity") | (_, B(_)) => true
+      case _ => false
+    }
+    if (!specOk) None
+    else {
+      val perFile = kept.map { f =>
+        val k = SnapshotLog.norm(f)
+        val tuple = snap.parts.getOrElse(k, Seq.empty)
+        val vals =
+          if (snap.specOf(f) != snap.spec || tuple.length != snap.spec.length)
+            Seq.empty
+          else snap.spec.zip(tuple).flatMap { case ((src, tr), raw) =>
+            keyOf(raw, src, tr)
+          }
+        k -> vals
+      }
+      if (perFile.forall(_._2.length == snap.spec.length))
+        Some(perFile.toMap)
+      else None
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    val B = """bucket\[(\d+)\]""".r
+    spjFileKeys match {
+      case Some(keys) if keys.nonEmpty =>
+        val clustering = snap.spec.map {
+          case (c, "identity") => Expressions.identity(c)
+          case (c, B(n)) => Expressions.bucket(n.toInt, c)
+          case (c, tr) => throw new IllegalStateException(
+            s"spj: unexpected transform $tr on $c") // spjFileKeys gated
+        }.toArray[org.apache.spark.sql.connector.expressions.Expression]
+        new KeyGroupedPartitioning(clustering, keys.values.toSet.size)
+      case _ => new UnknownPartitioning(kept.size)
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -1014,7 +1090,16 @@ private[sources] object SnapshotLogMicroBatchStream {
 private[sources] case class SnapshotFilePartition(file: String,
     columnar: Boolean = false,
     deletes: Seq[String] = Nil,
-    physMap: Map[String, String] = Map.empty) extends InputPartition
+    physMap: Map[String, String] = Map.empty,
+    // catalyst-internal partition-tuple values (SPJ); Spark calls
+    // partitionKey() only when the scan reported KeyGroupedPartitioning,
+    // which spjFileKeys gates on every file carrying one
+    partKey: Option[Seq[Any]] = None) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    partKey.map(vs => new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(vs.toArray)).orNull
+}
 
 private[sources] object SnapshotLogReaderFactory {
   /** Driver-side capture of the session Hadoop conf for executor-side

@@ -152,7 +152,7 @@ object SnapshotPartition {
   }
 
   /** Undo Hive's %xx path escaping (partitionBy escapes specials). */
-  private def unescape(s: String): String = {
+  private[sources] def unescape(s: String): String = {
     if (!s.contains('%')) return s
     val sb = new StringBuilder
     var i = 0

@@ -105,6 +105,18 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("ddl_spj_join: the co-bucketed join plans with ZERO shuffle " +
+    "(storage-partitioned join through KeyGroupedPartitioning)") {
+    val df = SparkEntry.queries("ddl_spj_join")(spark, sf)
+    df.collect() // finalize AQE
+    val s = df.queryExecution.executedPlan.toString
+    val shuffles = "Exchange".r.findAllIn(s).size -
+      "BroadcastExchange".r.findAllIn(s).size
+    assert(s.contains("SortMergeJoin"), s"expected the hinted SMJ:\n$s")
+    assert(shuffles === 0,
+      s"co-bucketed snapshot tables must join without an exchange:\n$s")
+  }
+
   test("LSH candidate generation is equi-join bucketed, never a cross product") {
     for (q <- Seq("dedup_docs_minhash", "dedup_docs_simhash", "dedup_docs_jaccard", "ann_lsh")) {
       val plan = physical(q)

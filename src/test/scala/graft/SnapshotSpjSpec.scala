@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark.spark
+import graft.sources.SnapshotLog
+
+/** Storage-partitioned joins (r16 — Iceberg SPJ analog): two snapshot
+  * tables laid out under the SAME partition spec report
+  * KeyGroupedPartitioning from the DSv2 scan, and Spark joins them with
+  * ZERO shuffle — the dominant exchange of a repeated co-located join
+  * eliminated. `bucket[N]` transforms resolve through the catalog's V2
+  * bucket function ([[graft.sources.SnapshotFunctions]]); `identity`
+  * resolves natively. Ineligible layouts (spec evolution mid-table,
+  * missing tuples) must DEGRADE to a shuffled join, never mis-join.
+  */
+class SnapshotSpjSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val wh = "/tmp/graft_snap_warehouse"
+
+  private def freshTable(ns: String, name: String): String = {
+    val root = s"$wh/$ns/$name"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    root
+  }
+
+  private def withConfs[A](kv: (String, String)*)(body: => A): A = {
+    val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def shuffles(df: DataFrame): Int = {
+    df.collect() // materialize so AQE finalizes the plan
+    // shuffle nodes print as "Exchange hashpartitioning(...)"; broadcast
+    // exchanges are not shuffles
+    val s = df.queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(s).size - "BroadcastExchange".r.findAllIn(s).size
+  }
+
+  private def noBroadcast[A](body: => A): A =
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1")(body)
+
+  test("co-bucketed tables join with zero shuffle (V2 bucket function)") {
+    val l = freshTable("spj", "fact_l")
+    val r = freshTable("spj", "fact_r")
+    val spec = Seq("k" -> "bucket[8]")
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS v"),
+      l, spec, overwrite = true, 1000L)
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 2000, 4).selectExpr("id AS k", "id + 7 AS w"),
+      r, spec, overwrite = true, 1000L)
+    noBroadcast {
+      val j = spark.table("snap.spj.fact_l")
+        .join(spark.table("snap.spj.fact_r"), "k")
+        .select(col("k"), col("v"), col("w"))
+      assert(shuffles(j) === 0,
+        "co-bucketed snapshotlog tables must storage-partition-join:\n" +
+          j.queryExecution.executedPlan)
+      val got = j.as[(Long, Long, Long)].collect().toSet
+      assert(got === (0L until 2000L by 4).map(k => (k, k * 2, k + 7)).toSet)
+    }
+  }
+
+  test("co-identity-partitioned tables join with zero shuffle") {
+    val l = freshTable("spj", "dim_l")
+    val r = freshTable("spj", "dim_r")
+    val spec = Seq("g" -> "identity")
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 1000).selectExpr("id % 7 AS g", "id AS v"),
+      l, spec, overwrite = true, 1000L)
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 70).selectExpr("id % 7 AS g", "id AS w"),
+      r, spec, overwrite = true, 1000L)
+    noBroadcast {
+      val j = spark.table("snap.spj.dim_l")
+        .join(spark.table("snap.spj.dim_r"), "g")
+      assert(shuffles(j) === 0,
+        "identity-co-partitioned join must not shuffle:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.count() === 1000L * 10) // each g matches 10 right rows
+    }
+  }
+
+  test("one-sided layout degrades to a shuffled join with exact results") {
+    val l = freshTable("spj", "mix_l")
+    val r = freshTable("spj", "mix_r")
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 500).selectExpr("id AS k", "id AS v"),
+      l, Seq("k" -> "bucket[8]"), overwrite = true, 1000L)
+    SnapshotLog.commit( // unpartitioned right side
+      spark.range(0, 500, 5).selectExpr("id AS k", "id AS w"),
+      r, overwrite = true, 1000L)
+    noBroadcast {
+      val j = spark.table("snap.spj.mix_l")
+        .join(spark.table("snap.spj.mix_r"), "k")
+      assert(shuffles(j) > 0, "unpartitioned side cannot SPJ")
+      assert(j.count() === 100L)
+    }
+  }
+
+  test("a plain append breaking the layout disables SPJ but stays correct") {
+    val l = freshTable("spj", "evo_l")
+    val r = freshTable("spj", "evo_r")
+    val spec = Seq("k" -> "bucket[8]")
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 400).selectExpr("id AS k", "id AS v"),
+      l, spec, overwrite = true, 1000L)
+    // tuple-less append: those files have no partition key -> ineligible
+    SnapshotLog.commit(
+      spark.range(400, 500).selectExpr("id AS k", "id AS v"),
+      l, overwrite = false, 2000L)
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 500, 10).selectExpr("id AS k", "id AS w"),
+      r, spec, overwrite = true, 1000L)
+    noBroadcast {
+      val j = spark.table("snap.spj.evo_l")
+        .join(spark.table("snap.spj.evo_r"), "k")
+      assert(shuffles(j) > 0,
+        "files without tuples must degrade to a shuffled join")
+      assert(j.count() === 50L)
+    }
+  }
+
+  test("SPJ composes with MoR deletes: suppressed rows stay deleted") {
+    val l = freshTable("spj", "mor_l")
+    val r = freshTable("spj", "mor_r")
+    val spec = Seq("k" -> "bucket[4]")
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 200).selectExpr("id AS k", "id AS v"),
+      l, spec, overwrite = true, 1000L)
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 200).selectExpr("id AS k", "id AS w"),
+      r, spec, overwrite = true, 1000L)
+    SnapshotLog.deleteWhereMoR(spark, l, col("k") % 2 === 0, 2000L)
+    noBroadcast {
+      val j = spark.table("snap.spj.mor_l")
+        .join(spark.table("snap.spj.mor_r"), "k")
+      assert(shuffles(j) === 0,
+        "MoR deletes must not break the key-grouped layout:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.select("k").as[Long].collect().toSet ===
+        (1L until 200L by 2).toSet)
+    }
+  }
+}
