@@ -679,7 +679,8 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
     required: StructType, pushed: Array[Filter], kept: Seq[String],
     root: String = "", opts: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -708,7 +709,32 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
       s"ReadSchema: ${required.catalogString}"
 
   /** Kept-file count, for plan assertions (PlanShapeSpec / ddl gates). */
-  def keptFiles: Seq[String] = kept
+  def keptFiles: Seq[String] = liveKept
+
+  // ---- DYNAMIC PARTITION PRUNING (runtime filtering): Spark's
+  // PartitionPruning rule plans a subquery over the build side of a join
+  // whose key matches one of filterAttributes, and feeds the resulting
+  // IN-set here BEFORE execution — a star-schema probe then opens only
+  // the fact files whose partition tuple / stats can hold the dim keys
+  // the query actually selects. At 100 TB this is the difference between
+  // scanning the fact table and scanning a few buckets of it. ----
+
+  @volatile private var liveKept: Seq[String] = kept
+
+  /** Runtime-filterable columns: the partition spec's SOURCE columns —
+    * a runtime IN-set on them prunes via the recorded tuples (bucket
+    * equality probes included) and footer stats. Empty spec = no DPP
+    * anchor (Spark then never calls [[filter]]). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    snap.spec.map(_._1).distinct.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach { f =>
+      if (SnapshotStatsFilter.usable(f))
+        liveKept = SnapshotLogScanBuilder.prune(snap, liveKept, Array(f))
+    }
 
   /** VECTORIZED when every kept file physically holds every required
     * column (decided from the manifest's recorded column lists — no
@@ -873,7 +899,7 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    partitionsFor(kept)
+    partitionsFor(keptFiles)
 
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotLogReaderFactory(required.json, Some(snap.schema.json))

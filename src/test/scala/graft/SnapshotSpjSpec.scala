@@ -130,6 +130,21 @@ class SnapshotSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("group-by on the partition key aggregates with zero shuffle") {
+    val t = freshTable("spj", "agg_t")
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 3000).selectExpr("id % 11 AS g", "id AS v"),
+      t, Seq("g" -> "identity"), overwrite = true, 1000L)
+    val a = spark.table("snap.spj.agg_t")
+      .groupBy(col("g")).agg(sum(col("v")).as("sv"))
+    assert(shuffles(a) === 0,
+      "identity-partitioned group-by must aggregate in place:\n" +
+        a.queryExecution.executedPlan)
+    val got = a.as[(Long, Long)].collect().toMap
+    val want = (0L until 3000L).groupBy(_ % 11).map { case (g, vs) => g -> vs.sum }
+    assert(got === want)
+  }
+
   test("SPJ composes with MoR deletes: suppressed rows stay deleted") {
     val l = freshTable("spj", "mor_l")
     val r = freshTable("spj", "mor_r")
