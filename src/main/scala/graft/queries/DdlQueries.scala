@@ -493,6 +493,32 @@ object DdlQueries extends QueryModule {
         .select("_commit_version", "_change_type", "n_rows", "sum_bal")
     }),
 
+    // NET changelog (Iceberg net_changes): the same 5-version fixture
+    // netted across the WHOLE range — intermediate churn vanishes, the
+    // result is exactly the start-vs-end visible-set bag difference,
+    // which is what the DuckDB oracle computes independently via
+    // EXCEPT ALL over replayed visible sets.
+    "ddl_changelog_net" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "changelog") { root =>
+        val c = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 0), root,
+          overwrite = true, commitTsMs = 1000L)
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 1), root,
+          overwrite = false, commitTsMs = 2000L)
+        SnapshotLog.deleteWhereMoR(s, root, col("c_acctbal") > 8000, 3000L)
+        SnapshotLog.updateWhereMoR(s, root, col("c_custkey") % 10 === 3,
+          Map("c_acctbal" -> (col("c_acctbal") + 1000.0)), 4000L)
+        SnapshotLog.rewriteDataFiles(s, root, commitTsMs = 5000L,
+          targetBytes = 1L << 30)
+      }
+      SnapshotLog.changes(s, root, fromVersion = 1, netChanges = true)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .select("_change_type", "n_rows", "sum_bal")
+    }),
+
     // STREAMING CDC (format "snapshotlog-cdc"): the changelog as a
     // micro-batch stream, snapshot versions as durable offsets. The
     // fixture drives the stream to exhaustion ONCE (foreachBatch dumps
@@ -1090,6 +1116,23 @@ object DdlQueries extends QueryModule {
       """SELECT o.o_orderkey, c.c_custkey, c.c_acctbal, o.o_totalprice
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderkey % 4 = 0""".stripMargin,
+
+    // net changelog = bag difference of the replayed START (v1: evens)
+    // and END (survivors of the delete, update applied) visible sets
+    "ddl_changelog_net" ->
+      """WITH s AS (SELECT c_custkey k, c_acctbal b FROM customer
+        |           WHERE c_custkey % 2 = 0),
+        |e AS (SELECT c_custkey k,
+        |             CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 1000
+        |                  ELSE c_acctbal END b
+        |      FROM customer WHERE NOT c_acctbal > 8000),
+        |ins AS (SELECT * FROM e EXCEPT ALL SELECT * FROM s),
+        |del AS (SELECT * FROM s EXCEPT ALL SELECT * FROM e)
+        |SELECT 'insert' AS _change_type, CAST(count(*) AS BIGINT) n_rows,
+        |       round(sum(b), 2) sum_bal FROM ins
+        |UNION ALL
+        |SELECT 'delete', CAST(count(*) AS BIGINT), round(sum(b), 2)
+        |FROM del""".stripMargin,
 
     "ddl_sql_catalog" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),

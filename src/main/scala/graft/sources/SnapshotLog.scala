@@ -2055,22 +2055,37 @@ object SnapshotLog {
                                      files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val schema = cur.schema
-    files.map { f =>
+    // Files sharing (physical projection, delete list) read as ONE
+    // relation with the read schema SUPPLIED from manifest metadata —
+    // zero plan-time footer opens (schema inference per file was the
+    // dominant cost of a changelog plan: one driver round-trip per file).
+    val grouped = files.map { f =>
       val key = norm(f)
       val present = cur.cols.get(key).map(_.toSet)
-      val raw = spark.read.parquet(f)
-      val withDels = cur.dels.get(key) match {
-        case Some(ds) => applyDels(spark, raw, Map(key -> ds))
-        case None => raw
+      // per OUTPUT field: physical name to read, or null-fill
+      val phys: Seq[Option[String]] = schema.fields.toSeq.map { fd =>
+        cur.physName(f, fd.name).filter(p => present.forall(_.contains(p)))
       }
-      val sel = schema.fields.map { fd =>
-        cur.physName(f, fd.name)
-          .filter(p => present.forall(_.contains(p))) match {
-          case Some(p) => col(p).as(fd.name)
-          case None => lit(null).cast(fd.dataType).as(fd.name)
-        }
+      (phys, cur.dels.getOrElse(key, Seq.empty), cur.cols.contains(key)) -> f
+    }.groupBy(_._1).map { case ((phys, dels, hasCols), fs) =>
+      (phys, dels, hasCols, fs.map(_._2))
+    }
+    grouped.map { case (phys, dels, hasCols, fs) =>
+      val raw =
+        if (hasCols) {
+          val readFields = schema.fields.toSeq.zip(phys).collect {
+            case (fd, Some(p)) => StructField(p, fd.dataType, nullable = true)
+          }
+          spark.read.schema(StructType(readFields)).parquet(fs: _*)
+        } else spark.read.parquet(fs: _*) // legacy manifest: infer
+      val withDels =
+        if (dels.isEmpty) raw
+        else applyDels(spark, raw, fs.map(f => norm(f) -> dels).toMap)
+      val sel = schema.fields.toSeq.zip(phys).map {
+        case (fd, Some(p)) => col(p).as(fd.name)
+        case (fd, None) => lit(null).cast(fd.dataType).as(fd.name)
       }
-      withDels.select(sel.toSeq: _*)
+      withDels.select(sel: _*)
     }.reduce(_ unionByName _)
   }
 
@@ -2081,8 +2096,9 @@ object SnapshotLog {
     * `_commit_ts_ms` (the snapshot's commit timestamp, epoch ms).
     *
     * Each snapshot transition diffs ONLY its TOUCHED data files — files
-    * added, removed, or whose delete-file list changed — with a pair of
-    * `exceptAll`s: rows visible after but not before are inserts, the
+    * added, removed, or whose delete-file list changed — by tagging the
+    * before(-1)/after(+1) rows and netting multiplicities in ONE global
+    * aggregation: rows visible after but not before are inserts, the
     * reverse are deletes. Cost is therefore proportional to the
     * transition's touched bytes, never the table size: trickle DML on a
     * 100-TB table replays from the kb-scale fragments + their source
@@ -2099,9 +2115,17 @@ object SnapshotLog {
     * added mid-range null-fill for earlier transitions, dropped columns
     * vanish. (Reference surface: the reference reads Iceberg CDC through
     * the connector's changelog scan; this is the native equivalent over
-    * the snapshot log.) */
+    * the snapshot log.)
+    *
+    * `netChanges` (Iceberg create_changelog_view net_changes): net the
+    * multiplicities across the WHOLE range instead of per transition —
+    * intermediate churn vanishes (inserted-then-deleted rows cancel; an
+    * updated row surfaces once with its final value), `_commit_version`/
+    * `_commit_ts_ms` carry the LAST transition that touched the row.
+    * Same single-aggregation plan; only the grouping key changes. */
   def changes(spark: SparkSession, root: String, fromVersion: Int,
-              toVersion: Option[Int] = None): DataFrame = {
+              toVersion: Option[Int] = None,
+              netChanges: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val main = snapshots(spark, root).filter(_.branch.isEmpty)
     require(main.nonEmpty, s"SnapshotLog: no mainline snapshots at $root")
@@ -2159,17 +2183,53 @@ object SnapshotLog {
         if (touchedPrev.isEmpty && touchedCur.isEmpty) None
         else {
           val after = conform(visible(cur, touchedCur), cur)
+            .withColumn("__tag", lit(1L))
           val before = conform(visible(prev, touchedPrev), prev)
-          Some(after.exceptAll(before).withColumn("_change_type", lit("insert"))
-            .union(
-              before.exceptAll(after).withColumn("_change_type", lit("delete")))
+            .withColumn("__tag", lit(-1L))
+          Some(after.unionByName(before)
             .withColumn("_commit_version", lit(cur.version))
             .withColumn("_commit_ts_ms", lit(cur.commitTsMs)))
         }
       case _ => None
     }.toSeq
     if (slices.isEmpty) emptyDf(StructType(outSchema.fields ++ metaFields))
-    else slices.reduce(_ unionByName _)
+    else {
+      // ONE aggregation for the whole changelog: every transition's
+      // before(-1)/after(+1) rows union tagged, a single groupBy over
+      // (row, version) nets the multiplicities — bag semantics identical
+      // to per-transition after.exceptAll(before) ∪ before.exceptAll(after)
+      // (net > 0 → that many inserts, net < 0 → deletes), but a K-version
+      // changelog costs ONE shuffle instead of 2K exchanges, the
+      // difference between a trickle-CDC read and a full-table-scan-sized
+      // plan at 100 TB. Multiplicity re-expansion explodes in ≤4096-element
+      // chunks so a pathological all-duplicate file cannot materialize a
+      // row-count-sized array.
+      import org.apache.spark.sql.functions.{abs => fAbs, explode, least, max => fMax, sequence, sum => fSum, when}
+      val outCols = outSchema.fieldNames.toSeq
+      val tagged = slices.reduce(_ unionByName _)
+      val grouped =
+        if (netChanges)
+          tagged.groupBy(outCols.map(col): _*)
+            .agg(fSum(col("__tag")).as("__net"),
+              fMax(col("_commit_version")).as("_commit_version"),
+              fMax(col("_commit_ts_ms")).as("_commit_ts_ms"))
+        else
+          tagged
+            .groupBy((outCols ++ Seq("_commit_version", "_commit_ts_ms"))
+              .map(col): _*)
+            .agg(fSum(col("__tag")).as("__net"))
+      grouped
+        .filter(col("__net") =!= 0L)
+        .withColumn("_change_type",
+          when(col("__net") > 0, lit("insert")).otherwise(lit("delete")))
+        .withColumn("__m", fAbs(col("__net")))
+        .withColumn("__chunk", explode(sequence(lit(0L),
+          ((col("__m") - 1L) / 4096L).cast("long")))) // exact below 2^53
+        .withColumn("__i", explode(sequence(lit(1L),
+          least(lit(4096L), col("__m") - col("__chunk") * 4096L))))
+        .select((outCols.map(col) :+ col("_change_type") :+
+          col("_commit_version") :+ col("_commit_ts_ms")): _*)
+    }
   }
 
   /** Apply merge-on-read positional deletes to a raw parquet read of the
@@ -2180,8 +2240,10 @@ object SnapshotLog {
   private[sources] def applyDels(spark: SparkSession, df: DataFrame,
                                  dels: Map[String, Seq[String]]): DataFrame = {
     import org.apache.spark.sql.functions.{array, broadcast, col, explode, lit, regexp_replace}
-    def schemaOf(f: String): Seq[String] =
-      spark.read.parquet(f).schema.fieldNames.toSeq
+    // footer schemas from the per-JVM cache; plan-time spark.read
+    // inference here cost one driver round-trip per delete file
+    val hconf = spark.sessionState.newHadoopConf()
+    def schemaOf(f: String): Seq[String] = SnapshotDeletes.schemaOf(f, hconf)
     val delFiles = dels.values.flatten.toSeq.distinct
     val (posFiles, eqFiles) =
       delFiles.partition(schemaOf(_) == Seq("file_path", "pos"))
@@ -2189,7 +2251,9 @@ object SnapshotLog {
     var out = df
       .withColumn("__file", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
     if (posFiles.nonEmpty) {
-      val delRows = spark.read.parquet(posFiles: _*)
+      val delRows = spark.read.schema(StructType(Seq(
+          StructField("file_path", StringType), StructField("pos", LongType))))
+        .parquet(posFiles: _*)
         .select(col("file_path").as("__del_file"), col("pos").as("__del_pos"))
       out = out
         .withColumn("__pos", col("_metadata.row_index"))
@@ -2202,7 +2266,12 @@ object SnapshotLog {
     eqFiles.foreach { ef =>
       val scope = dels.collect { case (f, ds) if ds.contains(ef) => f }.toSeq
       val keyCols = schemaOf(ef)
-      val keyed = spark.read.parquet(ef)
+      // key types come from the data frame itself (delete keys conform to
+      // the table schema at write time) — no footer inference needed
+      val keySchema = StructType(keyCols.map(k =>
+        df.schema.find(_.name == k).map(_.copy(nullable = true))
+          .getOrElse(StructField(k, StringType))))
+      val keyed = spark.read.schema(keySchema).parquet(ef)
         .withColumn("__del_file", explode(array(scope.map(lit): _*)))
       // plain === : a null key component yields an unmatched (kept) row,
       // the same null-never-matches rule the row reader applies

@@ -139,7 +139,11 @@ private[sources] object SnapshotProcedures {
       ProcedureParameter.in("to_version", IntegerType)
         .defaultValue("-1").comment("-1 = current head").build(),
       ProcedureParameter.in("view_name", StringType)
-        .defaultValue("''").comment("default: <table>_changes").build())
+        .defaultValue("''").comment("default: <table>_changes").build(),
+      ProcedureParameter.in("net_changes", BooleanType)
+        .defaultValue("false")
+        .comment("net across the whole range: intermediate churn vanishes, " +
+          "rows carry the last touching version").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
@@ -150,7 +154,8 @@ private[sources] object SnapshotProcedures {
       val view = Option(input.getUTF8String(3)).map(_.toString)
         .filter(_.nonEmpty)
         .getOrElse(table.substring(table.lastIndexOf('.') + 1) + "_changes")
-      SnapshotLog.changes(spark, root, fromV, toV)
+      SnapshotLog.changes(spark, root, fromV, toV,
+        netChanges = !input.isNullAt(4) && input.getBoolean(4))
         .createOrReplaceTempView(view)
       Iterator(resultScan(
         StructType(Seq(

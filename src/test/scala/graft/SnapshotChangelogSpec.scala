@@ -177,6 +177,18 @@ class SnapshotChangelogSpec extends AnyFunSuite {
       "CALL snap.system.create_changelog_view(table => 'chgproc.t', " +
         "view_name => 'all_changes')")
     assert(spark.table("all_changes").count() === 13)
+    // net_changes through SQL: delete some of v2's rows, then the net
+    // view cancels them while the plain view shows both sides
+    SnapshotLog.deleteWhereMoR(spark, s"$wh/chgproc/t", col("k") < 3,
+      System.currentTimeMillis()) // SQL CTAS committed at wall-clock ts
+    spark.sql(
+      "CALL snap.system.create_changelog_view(table => 'chgproc.t', " +
+        "view_name => 'net_changes', net_changes => true)")
+    val net = spark.table("net_changes")
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(net === ((3L until 10L).map(k => (k, "insert")).toSet ++
+      (100L until 103L).map(k => (k, "insert")).toSet),
+      "rows inserted then deleted inside the range must cancel in the net view")
   }
 
   test("upsert surfaces as deletes of old images plus inserts of the batch") {
@@ -192,6 +204,49 @@ class SnapshotChangelogSpec extends AnyFunSuite {
       (15L until 20L).map(k => (k, k, "delete")).toSet ++
         (15L until 25L).map(k => (k, k + 1000, "insert")).toSet
     assert(ch == expect)
+  }
+
+  test("net_changes collapses intermediate churn to the range's net diff") {
+    val root = freshRoot("net")
+    val df = spark.range(0, 30).selectExpr("id AS k", "id AS v")
+    SnapshotLog.commit(df, root, overwrite = true, 1000L)               // v1
+    // k<10: updated twice (v -> v+1 -> v+2): net = one delete(old) +
+    // one insert(final); k in [20,30): deleted entirely: net = deletes;
+    // k in [10,20): untouched: net = NOTHING
+    SnapshotLog.updateWhereMoR(spark, root, col("k") < 10,
+      Map("v" -> (col("v") + 1)), 2000L)                                // v2
+    SnapshotLog.updateWhereMoR(spark, root, col("k") < 10,
+      Map("v" -> (col("v") + 1)), 3000L)                                // v3
+    SnapshotLog.deleteWhereMoR(spark, root, col("k") >= 20, 4000L)      // v4
+    val net = SnapshotLog.changes(spark, root, fromVersion = 1,
+      netChanges = true)
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Int)].collect().toSet
+    val expect =
+      (0L until 10L).map(k => (k, k, "delete", 2)).toSet ++        // old image
+        (0L until 10L).map(k => (k, k + 2, "insert", 3)).toSet ++  // final image
+        (20L until 30L).map(k => (k, k, "delete", 4)).toSet
+    assert(net === expect)
+    // intermediate image (v+1) appears nowhere
+    assert(!net.exists { case (k, v, _, _) => k < 10 && v == k + 1 })
+    // the per-transition changelog DOES carry the intermediate image
+    val full = SnapshotLog.changes(spark, root, fromVersion = 1)
+    assert(full.filter(col("v") === col("k") + 1).count() > 0)
+  }
+
+  test("net_changes: a row inserted then deleted inside the range vanishes") {
+    val root = freshRoot("net_cancel")
+    SnapshotLog.commit(
+      spark.range(0, 5).selectExpr("id AS k", "id AS v"),
+      root, overwrite = true, 1000L)
+    SnapshotLog.commit(
+      spark.range(5, 10).selectExpr("id AS k", "id AS v"),
+      root, overwrite = false, 2000L)
+    SnapshotLog.deleteWhereMoR(spark, root, col("k") >= 5, 3000L)
+    val net = SnapshotLog.changes(spark, root, fromVersion = 1,
+      netChanges = true).collect()
+    assert(net.isEmpty,
+      s"insert+delete inside the range must cancel: ${net.mkString(",")}")
   }
 
   test("column-reordered append: recorded schema keeps table order, so " +
