@@ -766,6 +766,18 @@ object SnapshotLog {
         s"SnapshotLog: cannot drop the only column at $root")
       require(!cur.spec.exists(_._1 == name),
         s"SnapshotLog: $name is a partition source column — drop the spec first")
+      // equality delete files key BY NAME (their parquet schema); dropping
+      // a key column would detach the delete from its rows on every read
+      // path (the changelog's narrowed reads included). Refuse until
+      // compaction folds the deletes away — same rule as renameColumn.
+      val dconf = spark.sessionState.newHadoopConf()
+      cur.dels.values.flatten.toSeq.distinct.foreach { df =>
+        val fields = SnapshotDeletes.schemaOf(df, dconf)
+        if (fields != Seq("file_path", "pos"))
+          require(!fields.contains(name),
+            s"SnapshotLog: column $name is a key of equality delete file $df" +
+              " — run rewriteDataFiles to fold the deletes before dropping")
+      }
       val newSchema = StructType(cur.schema.fields.filterNot(_.name == name))
       commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
         ts, newSchema.json, cur.files, cur.stats, cur.sizes,
@@ -2071,13 +2083,23 @@ object SnapshotLog {
       (phys, dels, hasCols, fs.map(_._2))
     }
     grouped.map { case (phys, dels, hasCols, fs) =>
+      // equality-delete KEY columns must be readable even when the
+      // current schema no longer carries them (a key column dropped
+      // after the delete staged): a supplied schema missing a key would
+      // fail applyDels — fall back to footer inference for that group
+      val hconf = spark.sessionState.newHadoopConf()
+      val eqKeys = dels.flatMap { df =>
+        val ks = SnapshotDeletes.schemaOf(df, hconf)
+        if (SnapshotDeletes.isPositional(ks)) Nil else ks
+      }.distinct
+      val readFields = schema.fields.toSeq.zip(phys).collect {
+        case (fd, Some(p)) => StructField(p, fd.dataType, nullable = true)
+      }
+      val suppliedNames = readFields.map(_.name).toSet
       val raw =
-        if (hasCols) {
-          val readFields = schema.fields.toSeq.zip(phys).collect {
-            case (fd, Some(p)) => StructField(p, fd.dataType, nullable = true)
-          }
+        if (hasCols && eqKeys.forall(suppliedNames.contains))
           spark.read.schema(StructType(readFields)).parquet(fs: _*)
-        } else spark.read.parquet(fs: _*) // legacy manifest: infer
+        else spark.read.parquet(fs: _*) // legacy manifest / dropped key: infer
       val withDels =
         if (dels.isEmpty) raw
         else applyDels(spark, raw, fs.map(f => norm(f) -> dels).toMap)
@@ -2146,6 +2168,18 @@ object SnapshotLog {
       return emptyDf(StructType(shapeAt.schema.fields ++ metaFields))
     }
     val outSchema = inRange.last.schema
+    val outCols = outSchema.fieldNames.toSeq
+    // internal column names PROVABLY absent from the table schema (a user
+    // column literally named __tag must not be overwritten by the netting
+    // machinery — it would silently corrupt the changelog values)
+    val tmpPrefix = Iterator.from(0)
+      .map(i => "__chg" + (if (i == 0) "" else i.toString))
+      .find(pre => !outCols.exists(_.startsWith(pre))).get
+    val tagC = s"${tmpPrefix}_tag"
+    val netC = s"${tmpPrefix}_net"
+    val mC = s"${tmpPrefix}_m"
+    val chunkC = s"${tmpPrefix}_chunk"
+    val iC = s"${tmpPrefix}_i"
     // the baseline the first in-range transition diffs against: the
     // mainline snapshot AT fromVersion (fromVersion 0 / pre-history =
     // an empty table, so v1's whole content reads as inserts)
@@ -2183,9 +2217,9 @@ object SnapshotLog {
         if (touchedPrev.isEmpty && touchedCur.isEmpty) None
         else {
           val after = conform(visible(cur, touchedCur), cur)
-            .withColumn("__tag", lit(1L))
+            .withColumn(tagC, lit(1L))
           val before = conform(visible(prev, touchedPrev), prev)
-            .withColumn("__tag", lit(-1L))
+            .withColumn(tagC, lit(-1L))
           Some(after.unionByName(before)
             .withColumn("_commit_version", lit(cur.version))
             .withColumn("_commit_ts_ms", lit(cur.commitTsMs)))
@@ -2198,35 +2232,41 @@ object SnapshotLog {
       // before(-1)/after(+1) rows union tagged, a single groupBy over
       // (row, version) nets the multiplicities — bag semantics identical
       // to per-transition after.exceptAll(before) ∪ before.exceptAll(after)
-      // (net > 0 → that many inserts, net < 0 → deletes), but a K-version
-      // changelog costs ONE shuffle instead of 2K exchanges, the
+      // (net > 0 → that many inserts, net < 0 → deletes; Spark's own
+      // RewriteExceptAll uses this tag/sum/replicate algorithm), but a
+      // K-version changelog costs ONE shuffle instead of 2K exchanges, the
       // difference between a trickle-CDC read and a full-table-scan-sized
       // plan at 100 TB. Multiplicity re-expansion explodes in ≤4096-element
       // chunks so a pathological all-duplicate file cannot materialize a
       // row-count-sized array.
       import org.apache.spark.sql.functions.{abs => fAbs, explode, least, max => fMax, sequence, sum => fSum, when}
-      val outCols = outSchema.fieldNames.toSeq
       val tagged = slices.reduce(_ unionByName _)
+      val perVersion = tagged
+        .groupBy((outCols ++ Seq("_commit_version", "_commit_ts_ms"))
+          .map(col): _*)
+        .agg(fSum(col(tagC)).as(netC))
+        .filter(col(netC) =!= 0L)
+      // net_changes: a SECOND (already-netted-small) aggregation over the
+      // per-version nets — carried rows (a file touched by sibling-row DML
+      // re-reads its unchanged rows as a +1/-1 pair) net to zero PER
+      // VERSION first, so the surviving row's version is the last
+      // transition that CHANGED it, not the last that touched its file
+      // (Iceberg net_changes semantics).
       val grouped =
-        if (netChanges)
-          tagged.groupBy(outCols.map(col): _*)
-            .agg(fSum(col("__tag")).as("__net"),
-              fMax(col("_commit_version")).as("_commit_version"),
-              fMax(col("_commit_ts_ms")).as("_commit_ts_ms"))
-        else
-          tagged
-            .groupBy((outCols ++ Seq("_commit_version", "_commit_ts_ms"))
-              .map(col): _*)
-            .agg(fSum(col("__tag")).as("__net"))
+        if (!netChanges) perVersion
+        else perVersion.groupBy(outCols.map(col): _*)
+          .agg(fSum(col(netC)).as(netC),
+            fMax(col("_commit_version")).as("_commit_version"),
+            fMax(col("_commit_ts_ms")).as("_commit_ts_ms"))
+          .filter(col(netC) =!= 0L)
       grouped
-        .filter(col("__net") =!= 0L)
         .withColumn("_change_type",
-          when(col("__net") > 0, lit("insert")).otherwise(lit("delete")))
-        .withColumn("__m", fAbs(col("__net")))
-        .withColumn("__chunk", explode(sequence(lit(0L),
-          ((col("__m") - 1L) / 4096L).cast("long")))) // exact below 2^53
-        .withColumn("__i", explode(sequence(lit(1L),
-          least(lit(4096L), col("__m") - col("__chunk") * 4096L))))
+          when(col(netC) > 0, lit("insert")).otherwise(lit("delete")))
+        .withColumn(mC, fAbs(col(netC)))
+        .withColumn(chunkC, explode(sequence(lit(0L),
+          ((col(mC) - 1L) / 4096L).cast("long")))) // exact below 2^53
+        .withColumn(iC, explode(sequence(lit(1L),
+          least(lit(4096L), col(mC) - col(chunkC) * 4096L))))
         .select((outCols.map(col) :+ col("_change_type") :+
           col("_commit_version") :+ col("_commit_ts_ms")): _*)
     }

@@ -43,17 +43,27 @@ class SnapshotLogCatalog extends TableCatalog
 
   /** V2 functions backing storage-partitioned joins: Spark resolves a
     * table's `bucket[N]` partition transform through the owning catalog
-    * (Iceberg's SparkCatalog does the same). Exposed under every
-    * namespace — the resolver probes with the transform's bare name. */
+    * (Iceberg's SparkCatalog does the same). The resolver probes with the
+    * transform's bare name under an EMPTY namespace; explicit namespaces
+    * must exist (FunctionCatalog contract — a nonexistent namespace is
+    * NoSuchNamespaceException, not a phantom function listing). */
+  private def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val nsDir = (warehouse +: namespace.toSeq).mkString("/")
+      fs(nsDir).exists(new Path(nsDir))
+    }
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name match {
-      case "bucket" => SnapshotFunctions.BucketUnbound
+      case "bucket" if namespaceExists(ident.namespace()) =>
+        SnapshotFunctions.BucketUnbound
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    if (namespaceExists(namespace)) Array(Identifier.of(namespace, "bucket"))
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(namespace)
   private var catalogName: String = _
   private var warehouse: String = _
 

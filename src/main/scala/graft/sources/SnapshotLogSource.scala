@@ -702,9 +702,10 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
       SnapshotLogSource.opt(opts, "skipNonAppends").exists(_.toBoolean),
       SnapshotLogSource.opt(opts, "maxFilesPerTrigger").map(_.toInt))
 
-  /** Surfaced in EXPLAIN: snapshot pin, files pruned, pushed filters. */
+  /** Surfaced in EXPLAIN: snapshot pin, files pruned (LIVE count — after
+    * any runtime filtering), pushed filters. */
   override def description(): String =
-    s"snapshotlog v${snap.version} files=${kept.size}/${snap.files.size} " +
+    s"snapshotlog v${snap.version} files=${keptFiles.size}/${snap.files.size} " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
@@ -894,7 +895,7 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
             s"spj: unexpected transform $tr on $c") // spjFileKeys gated
         }.toArray[org.apache.spark.sql.connector.expressions.Expression]
         new KeyGroupedPartitioning(clustering, keys.values.toSet.size)
-      case _ => new UnknownPartitioning(kept.size)
+      case _ => new UnknownPartitioning(keptFiles.size)
     }
   }
 

@@ -234,6 +234,57 @@ class SnapshotChangelogSpec extends AnyFunSuite {
     assert(full.filter(col("v") === col("k") + 1).count() > 0)
   }
 
+  test("a user column literally named __tag survives the netting machinery") {
+    val root = freshRoot("tagcol")
+    val df = spark.range(0, 8).selectExpr("id AS k", "id * 10 AS __tag")
+    SnapshotLog.commit(df, root, overwrite = true, 1000L)
+    SnapshotLog.commit(
+      spark.range(8, 12).selectExpr("id AS k", "id * 10 AS __tag"),
+      root, overwrite = false, 2000L)
+    val ch = SnapshotLog.changes(spark, root, fromVersion = 0)
+      .select("k", "__tag", "_change_type").as[(Long, Long, String)]
+      .collect().toSet
+    assert(ch === (0L until 12L).map(k => (k, k * 10, "insert")).toSet,
+      "__tag data values must pass through, not be overwritten by the tag")
+  }
+
+  test("net_changes: rows merely CARRIED through a sibling-row DML keep " +
+    "the version that actually changed them") {
+    val root = freshRoot("net_carry")
+    // one file holds k 0..9; v2 MoR-deletes only the odd half — the even
+    // half re-reads as a +1/-1 carried pair at v2 and must still report
+    // _commit_version = 1 in the net view
+    SnapshotLog.commit(
+      spark.range(0, 10).selectExpr("id AS k", "id AS v").repartition(1),
+      root, overwrite = true, 1000L, numFiles = 1)
+    SnapshotLog.deleteWhereMoR(spark, root, col("k") % 2 === 1, 2000L)
+    val net = SnapshotLog.changes(spark, root, fromVersion = 0,
+      netChanges = true)
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Int)].collect().toSet
+    assert(net === (0L until 10L by 2).map(k => (k, "insert", 1)).toSet,
+      "carried rows must keep the inserting version, not the file-touch version")
+  }
+
+  test("dropping an equality-delete KEY column refuses (the delete would " +
+    "detach); compaction folds the deletes and then the drop lands") {
+    val root = freshRoot("dropkey")
+    SnapshotLog.commit(
+      spark.range(0, 10).selectExpr("id AS k", "id AS v", "id % 3 AS x"),
+      root, overwrite = true, 1000L)
+    SnapshotLog.upsertEqualityMoR(spark, root,
+      spark.range(0, 2).selectExpr("id AS k", "id + 50 AS v", "id % 3 AS x"),
+      Seq("k"), 2000L)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.dropColumn(spark, root, "k", 3000L)
+    }
+    assert(e.getMessage.contains("equality delete"))
+    SnapshotLog.rewriteDataFiles(spark, root, commitTsMs = 4000L,
+      targetBytes = 1L << 30)
+    SnapshotLog.dropColumn(spark, root, "x", 5000L) // folds away, drop ok
+    assert(SnapshotLog.read(spark, root).columns.toSeq == Seq("k", "v"))
+  }
+
   test("net_changes: a row inserted then deleted inside the range vanishes") {
     val root = freshRoot("net_cancel")
     SnapshotLog.commit(

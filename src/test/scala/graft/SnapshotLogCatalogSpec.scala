@@ -295,4 +295,25 @@ class SnapshotLogCatalogSpec extends AnyFunSuite {
       .as[Long].head()
     assert(v2 < liveFiles)
   }
+
+  test("FunctionCatalog: bucket resolves under existing namespaces, " +
+    "nonexistent namespaces throw NoSuchNamespace/NoSuchFunction") {
+    val cat = spark.sessionState.catalogManager.catalog("snap")
+      .asInstanceOf[graft.sources.SnapshotLogCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    // bare-name probe (how the SPJ resolver asks) and empty-ns listing
+    assert(cat.loadFunction(Identifier.of(Array.empty[String], "bucket"))
+      .name() == "bucket")
+    assert(cat.listFunctions(Array.empty[String]).map(_.name()).toSeq ==
+      Seq("bucket"))
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException] {
+      cat.listFunctions(Array("no_such_namespace_xyz"))
+    }
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException] {
+      cat.loadFunction(Identifier.of(Array("no_such_namespace_xyz"), "bucket"))
+    }
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException] {
+      cat.loadFunction(Identifier.of(Array.empty[String], "no_such_fn"))
+    }
+  }
 }
