@@ -33,6 +33,42 @@ object SnapshotFunctions {
     }
   }
 
+  /** `days(col)` — the time-partitioning transform (UTC epoch days),
+    * matching the writer's derivation exactly: timestamps floorDiv
+    * through epoch seconds, dates pass through, NTZ truncates the
+    * wall-clock value ([[SnapshotPartition.transformCol]] "day"). */
+  object DaysUnbound extends UnboundFunction {
+    override def name(): String = "days"
+    override def description(): String =
+      "days(ts): UTC epoch days — snapshotlog day-partition transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"days expects (value), got ${inputType.catalogString}")
+      new DaysBound(inputType.fields.head.dataType)
+    }
+  }
+
+  final class DaysBound(dt: DataType) extends ScalarFunction[Integer] {
+    require(dt == DateType || dt == TimestampType || dt == TimestampNTZType,
+      s"days: unsupported source type ${dt.catalogString}")
+    override def inputTypes(): Array[DataType] = Array(dt)
+    override def resultType(): DataType = DateType
+    override def name(): String = "days"
+    override def canonicalName(): String =
+      s"snapshotlog.days(${dt.catalogString})"
+    override def isResultNullable: Boolean = true
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: InternalRow): Integer =
+      if (input.isNullAt(0)) null
+      else dt match {
+        case DateType => Integer.valueOf(input.getInt(0))
+        case _ => // catalyst timestamps are epoch MICROS (NTZ: wall-clock
+          // micros — the same value the writer's to_date truncation uses)
+          Integer.valueOf(java.lang.Math.floorDiv(
+            input.getLong(0), 86400000000L).toInt)
+      }
+  }
+
   /** Bound per key type. `canonicalName` carries the type so two sides of
     * a join compare equal exactly when their key types match —
     * `KeyGroupedShuffleSpec` compatibility hinges on this equality. */

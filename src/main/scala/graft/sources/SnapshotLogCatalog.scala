@@ -57,11 +57,15 @@ class SnapshotLogCatalog extends TableCatalog
     ident.name match {
       case "bucket" if namespaceExists(ident.namespace()) =>
         SnapshotFunctions.BucketUnbound
+      case "days" if namespaceExists(ident.namespace()) =>
+        SnapshotFunctions.DaysUnbound
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespaceExists(namespace)) Array(Identifier.of(namespace, "bucket"))
+    if (namespaceExists(namespace))
+      Array(Identifier.of(namespace, "bucket"),
+        Identifier.of(namespace, "days"))
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchNamespaceException(namespace)
   private var catalogName: String = _

@@ -832,9 +832,8 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
   // two co-partitioned snapshot tables on the source keys then plans with
   // ZERO shuffle (Spark groups splits by key and zips partitions), the
   // single biggest exchange eliminated at 100 TB. Files written under an
-  // older spec, null tuples, or range-y transforms (truncate/day could be
-  // sound but need V2 function plumbing) degrade to UnknownPartitioning —
-  // never wrong, just shuffled. ----
+  // older spec, null tuples, or truncate transforms degrade to
+  // UnknownPartitioning — never wrong, just shuffled. ----
 
   /** Catalyst-internal key values per kept file, in spec-field order;
     * None = ineligible (report UnknownPartitioning). */
@@ -845,6 +844,10 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
       val dt = snap.schema.fields.find(_.name == src).map(_.dataType)
       tr match {
         case B(_) => raw.toIntOption
+        // day tuples are UTC epoch days (written as LONG strings); the
+        // V2 days() function's result type is DateType, so the key value
+        // is the Int day ordinal
+        case "day" => raw.toLongOption.map(l => Int.box(l.toInt))
         case "identity" => dt.flatMap {
           case IntegerType => raw.toIntOption
           case LongType => raw.toLongOption
@@ -859,7 +862,7 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
       }
     }
     val specOk = snap.spec.nonEmpty && snap.spec.forall {
-      case (_, "identity") | (_, B(_)) => true
+      case (_, "identity") | (_, "day") | (_, B(_)) => true
       case _ => false
     }
     if (!specOk) None
@@ -890,6 +893,7 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
       case Some(keys) if keys.nonEmpty =>
         val clustering = snap.spec.map {
           case (c, "identity") => Expressions.identity(c)
+          case (c, "day") => Expressions.days(c)
           case (c, B(n)) => Expressions.bucket(n.toInt, c)
           case (c, tr) => throw new IllegalStateException(
             s"spj: unexpected transform $tr on $c") // spjFileKeys gated

@@ -130,6 +130,32 @@ class SnapshotSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("co-day-partitioned tables join with zero shuffle (V2 days function)") {
+    val l = freshTable("spj", "day_l")
+    val r = freshTable("spj", "day_r")
+    val spec = Seq("ts" -> "day")
+    // ts spans ~12 distinct UTC days; equality on ts implies same day,
+    // so the day-grouped layout co-locates every join match
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 1000).selectExpr(
+        "timestamp_seconds(id * 1000) AS ts", "id AS v"),
+      l, spec, overwrite = true, 1000L)
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 1000, 4).selectExpr(
+        "timestamp_seconds(id * 1000) AS ts", "id AS w"),
+      r, spec, overwrite = true, 1000L)
+    noBroadcast {
+      val j = spark.table("snap.spj.day_l")
+        .join(spark.table("snap.spj.day_r"), "ts")
+        .select(col("v"), col("w"))
+      assert(shuffles(j) === 0,
+        "day-co-partitioned snapshot tables must storage-partition-join:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.as[(Long, Long)].collect().toSet ===
+        (0L until 1000L by 4).map(i => (i, i)).toSet)
+    }
+  }
+
   test("group-by on the partition key aggregates with zero shuffle") {
     val t = freshTable("spj", "agg_t")
     SnapshotLog.commitPartitioned(
