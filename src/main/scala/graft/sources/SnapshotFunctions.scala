@@ -69,6 +69,51 @@ object SnapshotFunctions {
       }
   }
 
+  /** `truncate(width, col)` — numeric floorDiv(v,W)*W (LONG), string
+    * W-char prefix; matches the writer's truncate[W] layout exactly. */
+  object TruncateUnbound extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(w, col): floorDiv(col, w)*w for numerics, w-char prefix " +
+        "for strings — snapshotlog truncate-partition transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"truncate expects (width, value), got ${inputType.catalogString}")
+      new TruncateBound(inputType.fields(1).dataType)
+    }
+  }
+
+  final class TruncateBound(dt: DataType) extends ScalarFunction[Any] {
+    require(dt == IntegerType || dt == LongType || dt == StringType,
+      s"truncate: unsupported source type ${dt.catalogString}")
+    override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+    // numeric truncation is computed in LONG space (the writer casts the
+    // derived column to LongType); strings truncate to strings
+    override def resultType(): DataType =
+      if (dt == StringType) StringType else LongType
+    override def name(): String = "truncate"
+    override def canonicalName(): String =
+      s"snapshotlog.truncate(${dt.catalogString})"
+    override def isResultNullable: Boolean = true
+    override def isDeterministic: Boolean = true
+    override def produceResult(input: InternalRow): Any =
+      if (input.isNullAt(1)) null
+      else {
+        val w = input.getInt(0)
+        dt match {
+          case StringType =>
+            val s = input.getUTF8String(1)
+            if (s.numChars() <= w) s else s.substringSQL(1, w)
+          case IntegerType =>
+            java.lang.Long.valueOf(
+              java.lang.Math.floorDiv(input.getInt(1).toLong, w.toLong) * w)
+          case _ =>
+            java.lang.Long.valueOf(
+              java.lang.Math.floorDiv(input.getLong(1), w.toLong) * w)
+        }
+      }
+  }
+
   /** Bound per key type. `canonicalName` carries the type so two sides of
     * a join compare equal exactly when their key types match —
     * `KeyGroupedShuffleSpec` compatibility hinges on this equality. */

@@ -59,13 +59,16 @@ class SnapshotLogCatalog extends TableCatalog
         SnapshotFunctions.BucketUnbound
       case "days" if namespaceExists(ident.namespace()) =>
         SnapshotFunctions.DaysUnbound
+      case "truncate" if namespaceExists(ident.namespace()) =>
+        SnapshotFunctions.TruncateUnbound
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespaceExists(namespace))
       Array(Identifier.of(namespace, "bucket"),
-        Identifier.of(namespace, "days"))
+        Identifier.of(namespace, "days"),
+        Identifier.of(namespace, "truncate"))
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchNamespaceException(namespace)
   private var catalogName: String = _

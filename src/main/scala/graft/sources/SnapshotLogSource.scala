@@ -832,8 +832,8 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
   // two co-partitioned snapshot tables on the source keys then plans with
   // ZERO shuffle (Spark groups splits by key and zips partitions), the
   // single biggest exchange eliminated at 100 TB. Files written under an
-  // older spec, null tuples, or truncate transforms degrade to
-  // UnknownPartitioning — never wrong, just shuffled. ----
+  // older spec or null tuples degrade to UnknownPartitioning — never
+  // wrong, just shuffled. ----
 
   /** Catalyst-internal key values per kept file, in spec-field order;
     * None = ineligible (report UnknownPartitioning). */
@@ -861,6 +861,12 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
         case _ => None
       }
     }
+    // truncate is EXCLUDED even though the catalog exposes a V2 truncate
+    // function: Spark's KeyGroupedPartitioning.supportsExpressions only
+    // accepts single-reference transforms (bucket's width is special-cased
+    // into numBucketsOpt by V2ExpressionUtils; truncate's width stays a
+    // second child), so reporting it would group scan tasks by tuple —
+    // losing per-file parallelism — while the join still shuffles.
     val specOk = snap.spec.nonEmpty && snap.spec.forall {
       case (_, "identity") | (_, "day") | (_, B(_)) => true
       case _ => false

@@ -305,7 +305,7 @@ class SnapshotLogCatalogSpec extends AnyFunSuite {
     assert(cat.loadFunction(Identifier.of(Array.empty[String], "bucket"))
       .name() == "bucket")
     assert(cat.listFunctions(Array.empty[String]).map(_.name()).toSeq ==
-      Seq("bucket", "days"))
+      Seq("bucket", "days", "truncate"))
     intercept[org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException] {
       cat.listFunctions(Array("no_such_namespace_xyz"))
     }

@@ -156,6 +156,38 @@ class SnapshotSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("truncate-partitioned tables keep full scan parallelism and join " +
+       "shuffled (Spark's SPJ supports single-reference transforms only)") {
+    // Spark's KeyGroupedPartitioning.supportsExpressions rejects
+    // TransformExpressions with >1 child; bucket's width is special-cased
+    // into numBucketsOpt, truncate's width is not — so a truncate spec
+    // must NOT report key-grouped partitioning (it would group scan tasks
+    // by tuple, shrinking parallelism, while the join still shuffles).
+    val l = freshTable("spj", "tr_l")
+    val r = freshTable("spj", "tr_r")
+    val spec = Seq("k" -> "truncate[100]")
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 2000).selectExpr("id AS k", "id AS v"),
+      l, spec, overwrite = true, 1000L)
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 2000, 8).selectExpr("id AS k", "id AS w"),
+      r, spec, overwrite = true, 1000L)
+    val single = spark.table("snap.spj.tr_l")
+    single.collect()
+    val leaf = single.queryExecution.executedPlan.collectLeaves().head
+    assert(leaf.outputPartitioning.toString.startsWith("UnknownPartitioning"),
+      s"truncate spec must not key-group the scan: ${leaf.outputPartitioning}")
+    // one task per FILE (20 tuples × 1 file), not one per tuple-group
+    assert(single.rdd.getNumPartitions >= 20,
+      "per-file scan parallelism must survive a truncate spec")
+    noBroadcast {
+      val j = spark.table("snap.spj.tr_l")
+        .join(spark.table("snap.spj.tr_r"), "k")
+      assert(shuffles(j) > 0) // honest: no SPJ for truncate
+      assert(j.count() === 250L)
+    }
+  }
+
   test("group-by on the partition key aggregates with zero shuffle") {
     val t = freshTable("spj", "agg_t")
     SnapshotLog.commitPartitioned(
