@@ -203,6 +203,40 @@ class SnapshotSpjSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("SPJ survives layout-preserving compaction and trickle appends") {
+    val l = freshTable("spj", "cmp_l")
+    val r = freshTable("spj", "cmp_r")
+    val spec = Seq("k" -> "bucket[8]")
+    // trickle: 3 small partitioned appends -> multiple files per bucket
+    (0 until 3).foreach { i =>
+      SnapshotLog.commitPartitioned(
+        spark.range(i * 500, (i + 1) * 500).selectExpr("id AS k", "id AS v"),
+        l, spec, overwrite = i == 0, 1000L * (i + 1))
+    }
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 1500, 6).selectExpr("id AS k", "id AS w"),
+      r, spec, overwrite = true, 1000L)
+    noBroadcast {
+      val j0 = spark.table("snap.spj.cmp_l")
+        .join(spark.table("snap.spj.cmp_r"), "k")
+      assert(shuffles(j0) === 0,
+        "multi-file-per-bucket trickle layout must still SPJ:\n" +
+          j0.queryExecution.executedPlan)
+      assert(j0.count() === 250L)
+    }
+    // compaction preserves the partition layout -> SPJ still holds
+    SnapshotLog.rewriteDataFiles(spark, l, commitTsMs = 9000L,
+      targetBytes = 1L << 30)
+    noBroadcast {
+      val j = spark.table("snap.spj.cmp_l")
+        .join(spark.table("snap.spj.cmp_r"), "k")
+      assert(shuffles(j) === 0,
+        "layout-preserving compaction must keep the SPJ layout:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.count() === 250L)
+    }
+  }
+
   test("SPJ composes with MoR deletes: suppressed rows stay deleted") {
     val l = freshTable("spj", "mor_l")
     val r = freshTable("spj", "mor_r")
