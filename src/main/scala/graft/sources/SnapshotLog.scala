@@ -1124,16 +1124,39 @@ object SnapshotLog {
     }).toSeq
     val df = spark.read.format("snapshotlog")
       .option("asOfVersion", cur.version).load(root)
+    // histogram value space = catalyst's internal double representation
+    // (numerics as-is; dates as days since epoch; timestamps as epoch
+    // MICROS — what FilterEstimation compares predicate bounds against)
+    val numericCols: Seq[(StructField, String)] = supported.flatMap { f =>
+      f.dataType match {
+        case IntegerType | LongType | ShortType | ByteType | FloatType |
+             DoubleType => Some(f -> s"CAST(`${f.name}` AS double)")
+        case DateType => Some(f -> s"CAST(unix_date(`${f.name}`) AS double)")
+        case TimestampType | TimestampNTZType =>
+          Some(f ->
+            s"CAST(unix_micros(CAST(`${f.name}` AS timestamp)) AS double)")
+        case _ => None
+      }
+    }
+    val histOn = histBins > 0 && numericCols.nonEmpty
+    val probs = (0 to histBins).map(i => i.toDouble / histBins)
     val sel = supported.flatMap { f =>
       Seq(md5Long(col(f.name).cast("string")).as(s"__h_${f.name}"),
         col(f.name).cast("string").as(s"__s_${f.name}"))
-    }
-    val aggs = count(lit(1)).as("__n") +: supported.flatMap { f =>
+    } ++ (if (histOn) numericCols.map { case (f, conv) =>
+      expr(conv).as(s"__pc_${f.name}") } else Nil)
+    // the histogram BIN ENDPOINTS (approx percentiles) ride the SAME
+    // aggregate pass as the KMV/null/length stats — one scan, not two;
+    // only the per-bin interval-NDV pass below needs the endpoints first
+    val aggs = (count(lit(1)).as("__n") +: supported.flatMap { f =>
       Seq(expr(s"kmv_sketch(`__h_${f.name}`, $k)").as(s"__kmv_${f.name}"),
         count(col(s"__s_${f.name}")).as(s"__cnt_${f.name}"),
         avg(length(col(s"__s_${f.name}"))).as(s"__avg_${f.name}"),
         fmax(length(col(s"__s_${f.name}"))).as(s"__max_${f.name}"))
-    }
+    }) ++ (if (histOn) numericCols.map { case (f, _) => expr(
+      s"percentile_approx(`__pc_${f.name}`, " +
+        s"array(${probs.mkString(",")}), 10000)").as(s"__p_${f.name}")
+    } else Nil)
     val row = df.select(sel: _*).agg(aggs.head, aggs.tail: _*).head()
     val n = row.getAs[Long]("__n")
     val baseCols = supported.map { f =>
@@ -1149,33 +1172,14 @@ object SnapshotLog {
     // ---- EQUI-HEIGHT HISTOGRAMS (numeric columns; Spark's catalyst
     // Histogram shape, consumed by FilterEstimation for skewed
     // predicates where uniform min/max interpolation is wrong by orders
-    // of magnitude). Two more bounded-state passes, exactly like Spark's
-    // own ANALYZE ... COMPUTE STATISTICS FOR COLUMNS with
-    // spark.sql.statistics.histogram.enabled: approx percentiles give
-    // the bin endpoints, ApproxCountDistinctForIntervals gives per-bin
-    // NDV — both map-side combined, feasible at 100 TB. ----
-    // histogram value space = catalyst's internal double representation
-    // (numerics as-is; dates as days since epoch; timestamps as epoch
-    // MICROS — what FilterEstimation compares predicate bounds against)
-    val numericCols: Seq[(StructField, String)] = supported.flatMap { f =>
-      f.dataType match {
-        case IntegerType | LongType | ShortType | ByteType | FloatType |
-             DoubleType => Some(f -> s"CAST(`${f.name}` AS double)")
-        case DateType => Some(f -> s"CAST(unix_date(`${f.name}`) AS double)")
-        case TimestampType | TimestampNTZType =>
-          Some(f ->
-            s"CAST(unix_micros(CAST(`${f.name}` AS timestamp)) AS double)")
-        case _ => None
-      }
-    }
+    // of magnitude). The endpoints came back with the base row above;
+    // ONE more bounded-state pass computes per-bin NDV
+    // (ApproxCountDistinctForIntervals) — both map-side combined,
+    // feasible at 100 TB. ----
     val hists: Map[String, HistStat] =
-      if (histBins <= 0 || numericCols.isEmpty || n == 0) Map.empty
+      if (!histOn || n == 0) Map.empty
       else {
-        val probs = (0 to histBins).map(i => i.toDouble / histBins)
-        val pctAggs = numericCols.map { case (f, conv) => expr(
-          s"percentile_approx($conv, " +
-            s"array(${probs.mkString(",")}), 10000)").as(s"__p_${f.name}") }
-        val pr = df.agg(pctAggs.head, pctAggs.tail: _*).head()
+        val pr = row
         val endpoints: Seq[(String, String, Seq[Double])] =
           numericCols.flatMap { case (f, conv) =>
             val idx = pr.fieldIndex(s"__p_${f.name}")
