@@ -97,9 +97,10 @@ object SnapshotFunctions {
     override def isResultNullable: Boolean = true
     override def isDeterministic: Boolean = true
     override def produceResult(input: InternalRow): Any =
-      if (input.isNullAt(1)) null
+      if (input.isNullAt(0) || input.isNullAt(1)) null // null-in, null-out
       else {
         val w = input.getInt(0)
+        require(w > 0, s"truncate: width must be positive, got $w")
         dt match {
           case StringType =>
             val s = input.getUTF8String(1)
@@ -123,17 +124,21 @@ object SnapshotFunctions {
     override def name(): String = "bucket"
     override def canonicalName(): String =
       s"snapshotlog.bucket(${dt.catalogString})"
-    override def isResultNullable: Boolean = false
+    override def isResultNullable: Boolean = true // null numBuckets -> null
     override def isDeterministic: Boolean = true
     // Murmur3 over the value at ordinal 1, seed 42 — bit-identical to the
     // writer's functions.hash(col); evaluated only when Spark needs the
     // transform's VALUE (the SPJ fast path compares stored tuples)
     @transient private lazy val hasher =
       Murmur3Hash(Seq(BoundReference(1, dt, nullable = true)), 42)
-    override def produceResult(input: InternalRow): Integer = {
-      val n = input.getInt(0)
-      Integer.valueOf(java.lang.Math.floorMod(
-        hasher.eval(input).asInstanceOf[Int], n))
-    }
+    override def produceResult(input: InternalRow): Integer =
+      if (input.isNullAt(0)) null // null numBuckets -> null, not mod-zero
+      else {
+        val n = input.getInt(0)
+        require(n > 0, s"bucket: numBuckets must be positive, got $n")
+        // null VALUES hash to the seed (writer semantics: pmod(hash(null),n))
+        Integer.valueOf(java.lang.Math.floorMod(
+          hasher.eval(input).asInstanceOf[Int], n))
+      }
   }
 }

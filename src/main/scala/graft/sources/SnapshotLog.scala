@@ -1132,9 +1132,19 @@ object SnapshotLog {
         case IntegerType | LongType | ShortType | ByteType | FloatType |
              DoubleType => Some(f -> s"CAST(`${f.name}` AS double)")
         case DateType => Some(f -> s"CAST(unix_date(`${f.name}`) AS double)")
-        case TimestampType | TimestampNTZType =>
-          Some(f ->
-            s"CAST(unix_micros(CAST(`${f.name}` AS timestamp)) AS double)")
+        case TimestampType =>
+          Some(f -> s"CAST(unix_micros(`${f.name}`) AS double)")
+        // NTZ internal values are WALL-CLOCK micros; CAST(ntz AS timestamp)
+        // would shift by the session timezone and put every histogram bin
+        // hours away from the bounds FilterEstimation actually compares.
+        // Derive wall-clock micros TZ-independently: epoch-day * 86.4e9 +
+        // micros-within-day (date_part('SECOND') carries the fraction).
+        case TimestampNTZType =>
+          Some(f -> (s"(CAST(unix_date(CAST(`${f.name}` AS DATE)) AS double)" +
+            s" * 86400000000.0" +
+            s" + CAST(date_part('HOUR', `${f.name}`) AS double) * 3600000000.0" +
+            s" + CAST(date_part('MINUTE', `${f.name}`) AS double) * 60000000.0" +
+            s" + CAST(date_part('SECOND', `${f.name}`) AS double) * 1000000.0)"))
         case _ => None
       }
     }
@@ -1179,12 +1189,11 @@ object SnapshotLog {
     val hists: Map[String, HistStat] =
       if (!histOn || n == 0) Map.empty
       else {
-        val pr = row
         val endpoints: Seq[(String, String, Seq[Double])] =
           numericCols.flatMap { case (f, conv) =>
-            val idx = pr.fieldIndex(s"__p_${f.name}")
-            if (pr.isNullAt(idx)) None // all-null column
-            else Some((f.name, conv, pr.getSeq[Double](idx)))
+            val idx = row.fieldIndex(s"__p_${f.name}")
+            if (row.isNullAt(idx)) None // all-null column
+            else Some((f.name, conv, row.getSeq[Double](idx)))
           // non-FINITE endpoints (NaN from all-NaN data, ±Infinity from a
           // float column containing infinities) would render as bare
           // `Infinity` tokens in the interval-NDV SQL below and fail the

@@ -847,7 +847,8 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
         // day tuples are UTC epoch days (written as LONG strings); the
         // V2 days() function's result type is DateType, so the key value
         // is the Int day ordinal
-        case "day" => raw.toLongOption.map(l => Int.box(l.toInt))
+        case "day" => raw.toLongOption.filter(_.isValidInt)
+          .map(l => Int.box(l.toInt)) // out-of-range tuple: degrade, never wrap
         case "identity" => dt.flatMap {
           case IntegerType => raw.toIntOption
           case LongType => raw.toLongOption

@@ -316,4 +316,32 @@ class SnapshotLogCatalogSpec extends AnyFunSuite {
       cat.loadFunction(Identifier.of(Array.empty[String], "no_such_fn"))
     }
   }
+
+  test("V2 functions: null width/numBuckets -> null; nonpositive widths " +
+    "fail loudly, never divide by zero") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    val trunc = graft.sources.SnapshotFunctions.TruncateUnbound
+      .bind(StructType(Seq(StructField("w", IntegerType),
+        StructField("v", LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Any]]
+    assert(trunc.produceResult(
+      new GenericInternalRow(Array[Any](null, 7L))) == null)
+    assert(trunc.produceResult(
+      new GenericInternalRow(Array[Any](100, null))) == null)
+    assert(trunc.produceResult(
+      new GenericInternalRow(Array[Any](100, 734L))) == 700L)
+    intercept[IllegalArgumentException](trunc.produceResult(
+      new GenericInternalRow(Array[Any](0, 7L))))
+    val bucket = graft.sources.SnapshotFunctions.BucketUnbound
+      .bind(StructType(Seq(StructField("n", IntegerType),
+        StructField("v", LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    assert(bucket.produceResult(
+      new GenericInternalRow(Array[Any](null, 7L))) == null)
+    intercept[IllegalArgumentException](bucket.produceResult(
+      new GenericInternalRow(Array[Any](0, 7L))))
+    val b = bucket.produceResult(new GenericInternalRow(Array[Any](8, 7L)))
+    assert(b >= 0 && b < 8)
+  }
 }

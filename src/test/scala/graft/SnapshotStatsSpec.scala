@@ -255,6 +255,33 @@ class SnapshotStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("NTZ histograms live in WALL-CLOCK micros regardless of session TZ " +
+       "(the space FilterEstimation compares NTZ bounds in)") {
+    val root = freshRoot("hist_ntz")
+    // 1000 NTZ values, one per minute from wall-clock midnight 2021-03-01
+    val df = spark.range(0, 1000, 1, 2).selectExpr(
+      "id AS k",
+      "timestampadd(MINUTE, CAST(id AS int), " +
+        "TIMESTAMP_NTZ'2021-03-01 00:00:00') AS t")
+    SnapshotLog.commit(df, root, overwrite = true, 100L, 1)
+    val wallLo = java.time.LocalDateTime.parse("2021-03-01T00:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1e6
+    val wallHi = wallLo + 999L * 60 * 1e6
+    for (tz <- Seq("UTC", "America/New_York")) {
+      withConfs("spark.sql.session.timeZone" -> tz) {
+        SnapshotLog.analyze(spark, root, histBins = 8)
+        val (_, _, cols) = SnapshotLog.colStatsFor(spark, root, 1).get
+        val h = cols("t").hist.getOrElse(fail(s"no NTZ histogram under $tz"))
+        assert(math.abs(h.bins.head._1 - wallLo) < 60e6,
+          s"under $tz the first endpoint must sit at wall-clock midnight " +
+            s"(±1min), got ${h.bins.head._1} want ~$wallLo")
+        assert(math.abs(h.bins.last._2 - wallHi) < 60e6,
+          s"under $tz the last endpoint must be TZ-independent, " +
+            s"got ${h.bins.last._2} want ~$wallHi")
+      }
+    }
+  }
+
   test("ANALYZE survives a double column containing ±Infinity: the " +
        "non-finite histogram is skipped, every other stat records") {
     val root = freshRoot("hist_inf")
