@@ -137,6 +137,31 @@ class SnapshotDmlPropertySpec extends AnyFunSuite {
         assert(bulkStateOf(root) === model, s"bulk read diverged ($ctx)")
       }
 
+      // CDC invariant over the WHOLE random history (before expiry drops
+      // old manifests): replaying the changelog from genesis — net insert
+      // multiplicity per (k, v) — must reconstruct the model exactly, and
+      // the net_changes view must BE the model as pure inserts (genesis
+      // start set is empty, so intermediate churn cancels to the end state)
+      {
+        val net = scala.collection.mutable.Map.empty[(Long, Long), Long]
+        SnapshotLog.changes(spark, root, fromVersion = 0).collect().foreach { r =>
+          val key = (r.getAs[Long]("k"), r.getAs[Long]("v"))
+          val d = if (r.getAs[String]("_change_type") == "insert") 1L else -1L
+          net(key) = net.getOrElse(key, 0L) + d
+        }
+        assert(net.values.forall(c => c == 0L || c == 1L),
+          s"changelog net multiplicities out of {0,1} (seed=$seed)")
+        val replayed = net.collect { case ((k, v), 1L) => k -> v }.toMap
+        assert(replayed === model, s"changelog replay diverged (seed=$seed)")
+        val nv = SnapshotLog.changes(spark, root, fromVersion = 0,
+          netChanges = true).collect()
+        assert(nv.forall(_.getAs[String]("_change_type") == "insert"),
+          s"genesis net view must be pure inserts (seed=$seed)")
+        assert(nv.map(r =>
+          r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap === model,
+          s"net_changes view diverged from the model (seed=$seed)")
+      }
+
       // final fold + expiry: physical state still equals the model
       SnapshotLog.rewriteDataFiles(spark, root, tick(), targetBytes = 1L << 30)
       val head = SnapshotLog.snapshots(spark, root).last.version
