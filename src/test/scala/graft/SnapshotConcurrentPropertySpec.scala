@@ -179,6 +179,23 @@ class SnapshotConcurrentPropertySpec extends AnyFunSuite {
         model = actual
         ts = baseTs + nWriters * 1000L + 5000L
       }
+      // CDC under concurrency: whatever serialization won, replaying the
+      // changelog from genesis must reconstruct exactly the final state
+      // (the changelog is derived from the committed snapshot chain, so a
+      // lost update or duplicated row would surface here even if the
+      // table read happened to look serializable)
+      {
+        val net = scala.collection.mutable.Map.empty[(Long, Long), Long]
+        SnapshotLog.changes(spark, root, fromVersion = 0).collect().foreach { r =>
+          val key = (r.getAs[Long]("k"), r.getAs[Long]("v"))
+          val d = if (r.getAs[String]("_change_type") == "insert") 1L else -1L
+          net(key) = net.getOrElse(key, 0L) + d
+        }
+        val replayed = net.collect { case ((k, v), 1L) => k -> v }.toMap
+        assert(net.values.forall(c => c == 0L || c == 1L) &&
+          replayed === model,
+          s"seed=$seed: changelog replay diverged from the raced-in state")
+      }
       // the table stays fully consistent for a final fold + read
       SnapshotLog.rewriteDataFiles(spark, root, ts + 1000L, targetBytes = 1L << 30)
       assert(stateOf(root) === model)
