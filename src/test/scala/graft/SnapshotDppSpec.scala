@@ -74,6 +74,45 @@ class SnapshotDppSpec extends AnyFunSuite {
       s"expected a DPP subquery on the fact scan:\n$plan")
   }
 
+  test("DPP composes with SPJ: the co-bucketed join stays exchange-free " +
+       "while the fact side prunes at runtime") {
+    val fact = freshTable("spjdpp_fact")
+    val dim = freshTable("spjdpp_dim")
+    val spec = Seq("k" -> "bucket[16]")
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 20000).selectExpr("id AS k", "id * 2 AS v"),
+      fact, spec, overwrite = true, 1000L)
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 20000, 100)
+        .selectExpr("id AS k", "cast(id % 7 AS int) AS cat"),
+      dim, spec, overwrite = true, 1000L)
+    val olds = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try {
+      val j = spark.table("snap.dpp.spjdpp_fact")
+        .join(spark.table("snap.dpp.spjdpp_dim").filter(col("cat") === 3), "k")
+        .select(col("k"), col("v"))
+      val rows = j.as[(Long, Long)].collect().toSet
+      assert(rows === (500L until 20000L by 700).map(k => (k, k * 2)).toSet)
+      val plan = j.queryExecution.executedPlan.toString
+      val shuffles = "Exchange".r.findAllIn(plan).size -
+        "BroadcastExchange".r.findAllIn(plan).size
+      assert(shuffles === 0,
+        s"the co-bucketed join must stay storage-partitioned:\n$plan")
+      assert(plan.contains("dynamicpruning"),
+        s"with reuseBroadcastOnly=false the selective dim filter must " +
+          s"inject a runtime pruning subquery on the fact scan:\n$plan")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime filtering composes with MoR deletes and stays exact") {
     val fact = freshTable("fact_mor")
     val dim = freshTable("dim_mor")
