@@ -891,6 +891,12 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
     }
   }
 
+  /** Distinct tuple count, computed once (outputPartitioning can be
+    * consulted several times per plan; a 10^6-file table should not
+    * rebuild a tuple set each call). */
+  @transient private lazy val spjNumGroups: Int =
+    spjFileKeys.map(_.values.toSet.size).getOrElse(0)
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.expressions.Expressions
@@ -905,7 +911,7 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
           case (c, tr) => throw new IllegalStateException(
             s"spj: unexpected transform $tr on $c") // spjFileKeys gated
         }.toArray[org.apache.spark.sql.connector.expressions.Expression]
-        new KeyGroupedPartitioning(clustering, keys.values.toSet.size)
+        new KeyGroupedPartitioning(clustering, spjNumGroups)
       case _ => new UnknownPartitioning(keptFiles.size)
     }
   }
