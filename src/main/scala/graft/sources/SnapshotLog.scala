@@ -2253,12 +2253,22 @@ object SnapshotLog {
       // chunks so a pathological all-duplicate file cannot materialize a
       // row-count-sized array.
       import org.apache.spark.sql.functions.{abs => fAbs, explode, least, max => fMax, sequence, sum => fSum, when}
-      val tagged = slices.reduce(_ unionByName _)
-      val perVersion = tagged
-        .groupBy((outCols ++ Seq("_commit_version", "_commit_ts_ms"))
-          .map(col): _*)
-        .agg(fSum(col(tagC)).as(netC))
-        .filter(col(netC) =!= 0L)
+      val verKeys = (outCols ++ Seq("_commit_version", "_commit_ts_ms")).map(col)
+      def netOf(chunk: Seq[DataFrame]): DataFrame =
+        chunk.reduce(_ unionByName _)
+          .groupBy(verKeys: _*)
+          .agg(fSum(col(tagC)).as(netC))
+          .filter(col(netC) =!= 0L)
+      // Bound the PLAN, not just the data: a long version range (hundreds
+      // of trickle commits) would otherwise union hundreds of per-file
+      // relations into one codegen stage — netting in ≤32-transition
+      // chunks (each materialized) keeps plan size O(1) per chunk, and
+      // chunk results union losslessly because a (row, version) pair
+      // lives in exactly ONE transition's slice.
+      val perVersion =
+        if (slices.size <= 32) netOf(slices)
+        else slices.grouped(32).map(c => netOf(c).localCheckpoint())
+          .reduce(_ unionByName _)
       // net_changes: a SECOND (already-netted-small) aggregation over the
       // per-version nets — carried rows (a file touched by sibling-row DML
       // re-reads its unchanged rows as a +1/-1 pair) net to zero PER
