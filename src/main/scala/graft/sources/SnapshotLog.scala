@@ -58,6 +58,13 @@ object SnapshotLog {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private def logWarning(msg: String): Unit = log.warn(msg)
 
+  /** Reserved CDC meta column names (Delta CDF / Iceberg changelog
+    * parity): a table column with one of these names would be silently
+    * overwritten by the changelog machinery, so `changes()` and the
+    * streaming CDC source refuse such schemas. */
+  private[sources] val ChangelogMetaCols: Set[String] =
+    Set("_change_type", "_commit_version", "_commit_ts_ms")
+
   final case class Snapshot(
       version: Int,
       operation: String,
@@ -203,6 +210,10 @@ object SnapshotLog {
       try Some(parseManifestCached(readBytes(fs, new Path(dir, n)), fs))
       catch { case _: Exception => None }
     }.toArray
+    // total wait budget ACROSS all torn manifests in this call: multiple
+    // torn files must not compound into minutes of blocked planning (the
+    // grace is per-file, the budget is per-snapshots() call)
+    var waitBudgetMs = 3L * tornReclaimGraceMs
     parsed.zipWithIndex.foreach { case (p, i) =>
       if (p.isEmpty && i < parsed.length - 1) {
         // An unparseable NON-TRAILING manifest on an hdfs-like scheme is
@@ -212,13 +223,21 @@ object SnapshotLog {
         // corruption, so a transient torn window never surfaces to
         // readers. Still torn past the grace = genuine corruption.
         val path = new Path(dir, names(i))
-        val deadline = (try fs.getFileStatus(path).getModificationTime
-                        catch { case _: Exception => 0L }) + tornReclaimGraceMs
+        def mtime: Long = try fs.getFileStatus(path).getModificationTime
+                          catch { case _: Exception => 0L }
+        // the deadline tracks the LAST-OBSERVED mtime: a slow in-flight
+        // publish that is visibly still writing (mtime advancing) keeps
+        // extending its grace instead of being declared corrupt on the
+        // first-observed timestamp
+        var deadline = mtime + tornReclaimGraceMs
         var snap: Option[Snapshot] = None
-        while (snap.isEmpty && System.currentTimeMillis() < deadline) {
-          Thread.sleep(100L)
+        while (snap.isEmpty && waitBudgetMs > 0 &&
+               System.currentTimeMillis() < deadline) {
+          Thread.sleep(100L); waitBudgetMs -= 100L
           snap = try Some(parseManifestCached(readBytes(fs, path), fs))
                  catch { case _: Exception => None }
+          if (snap.isEmpty)
+            deadline = math.max(deadline, mtime + tornReclaimGraceMs)
         }
         if (snap.isEmpty) throw new IllegalStateException(
           s"SnapshotLog: corrupt non-trailing manifest ${names(i)} at $root")
@@ -678,6 +697,24 @@ object SnapshotLog {
     * and the changelog's positional ids would swap the two columns'
     * values. Data files still carry the writer's physical order — reads
     * resolve by name through the per-file column lists. */
+  /** True when `app` is an ADDITIVE-evolution-compatible redefinition of
+    * table type `tbl`: identical up to nullability flags, except structs
+    * (at any nesting depth) may GAIN fields — the supported widening path
+    * (old files null-fill the new fields). Any narrowed/renamed/retyped
+    * leaf is incompatible. */
+  private def additiveCompatible(tbl: DataType, app: DataType): Boolean =
+    (tbl, app) match {
+      case (t: StructType, a: StructType) =>
+        t.fields.forall(tf => a.fields.find(_.name == tf.name)
+          .exists(af => additiveCompatible(tf.dataType, af.dataType)))
+      case (t: ArrayType, a: ArrayType) =>
+        additiveCompatible(t.elementType, a.elementType)
+      case (t: MapType, a: MapType) =>
+        additiveCompatible(t.keyType, a.keyType) &&
+          additiveCompatible(t.valueType, a.valueType)
+      case (t, a) => t == a
+    }
+
   private def conformedSchema(parent: Option[Snapshot],
       dfSchema: StructType): StructType =
     parent.fold(dfSchema) { h =>
@@ -851,6 +888,24 @@ object SnapshotLog {
             missing.mkString(", ") +
             " — appends may only ADD columns; rename/drop via ALTER, or " +
             "re-run the append against the current table schema")
+        // names are not enough: an append that REDEFINES a shared column
+        // with a different dataType would pass both checks above and let
+        // conformedSchema silently retype the table for all readers —
+        // the same silent-revert class this guard exists to prevent.
+        // ADDITIVE nested evolution stays legal (a struct may gain fields
+        // at any depth — old files null-fill, the supported path) and
+        // nullability flags are ignored (not a retype).
+        val retyped = h.schema.fields.flatMap { hf =>
+          df.schema.find(_.name == hf.name)
+            .filterNot(nf => additiveCompatible(hf.dataType, nf.dataType))
+            .map(nf => s"${hf.name} (table ${hf.dataType.simpleString} vs " +
+              s"append ${nf.dataType.simpleString})")
+        }
+        if (retyped.nonEmpty) throw new CommitConflictException(
+          "SnapshotLog: append redefines column type(s) " +
+            retyped.mkString(", ") +
+            " — appends may only ADD columns; rename/drop/retype via " +
+            "ALTER, or re-run the append against the current table schema")
       }
       val ts = math.max(commitTsMs,
         prior.lastOption.map(_.commitTsMs + 1).getOrElse(commitTsMs))
@@ -1201,19 +1256,27 @@ object SnapshotLog {
           }.filter(_._3.forall(d => java.lang.Double.isFinite(d)))
         if (endpoints.isEmpty) Map.empty
         else {
+          // collision-proof internal registration: a uuid-suffixed name
+          // that cannot clobber (or race) a user-defined function, dropped
+          // again right after the one aggregation that uses it
+          val fnName = "__graft_acd_" +
+            java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+          val fnId = org.apache.spark.sql.catalyst.FunctionIdentifier(fnName)
           spark.sessionState.functionRegistry.registerFunction(
-            org.apache.spark.sql.catalyst.FunctionIdentifier("acd_intervals"),
+            fnId,
             new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
               classOf[org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals].getName,
-              "acd_intervals"),
+              fnName),
             (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
               new org.apache.spark.sql.catalyst.expressions.aggregate
                 .ApproxCountDistinctForIntervals(args.head, args(1),
                   org.apache.spark.sql.catalyst.expressions.Literal(0.05)))
-          val ndvAggs = endpoints.map { case (name, conv, ep) => expr(
-            s"acd_intervals($conv, array(${ep.mkString(",")}))")
-            .as(s"__nd_$name") }
-          val nr = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+          val nr = try {
+            val ndvAggs = endpoints.map { case (name, conv, ep) => expr(
+              s"$fnName($conv, array(${ep.mkString(",")}))")
+              .as(s"__nd_$name") }
+            df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+          } finally spark.sessionState.functionRegistry.dropFunction(fnId)
           val nullsOf = baseCols.toMap
           endpoints.map { case (name, _, ep) =>
             val ndvs = nr.getSeq[Long](nr.fieldIndex(s"__nd_$name"))
@@ -2182,6 +2245,15 @@ object SnapshotLog {
     }
     val outSchema = inRange.last.schema
     val outCols = outSchema.fieldNames.toSeq
+    // the three public meta columns are RESERVED (Delta CDF refuses such
+    // writes; Iceberg reserves the names): a user column with one of these
+    // names would be silently overwritten by withColumn below, vanishing
+    // user data and corrupting the netting — refuse loudly instead
+    val reservedClash = outCols.filter(ChangelogMetaCols.contains)
+    require(reservedClash.isEmpty,
+      s"SnapshotLog.changes: table schema contains reserved CDC meta " +
+        s"column(s) ${reservedClash.mkString(", ")}; rename them before " +
+        "reading a changelog (these names are reserved for change metadata)")
     // internal column names PROVABLY absent from the table schema (a user
     // column literally named __tag must not be overwritten by the netting
     // machinery — it would silently corrupt the changelog values)

@@ -62,6 +62,10 @@ private[sources] object SnapshotLogCdcSource {
   private[sources] def cdcSchema(spark: SparkSession, root: String): StructType = {
     val main = SnapshotLog.snapshots(spark, root).filter(_.branch.isEmpty)
     require(main.nonEmpty, s"snapshotlog-cdc: no mainline snapshots at $root")
+    val clash = main.last.schema.fieldNames.filter(SnapshotLog.ChangelogMetaCols)
+    require(clash.isEmpty,
+      s"snapshotlog-cdc: table schema contains reserved CDC meta column(s) " +
+        s"${clash.mkString(", ")}; rename them before streaming a changelog")
     StructType(main.last.schema.fields ++ Seq(
       StructField("_change_type", StringType, nullable = false),
       StructField("_commit_version", IntegerType, nullable = false),
@@ -99,8 +103,12 @@ private[sources] object SnapshotLogCdcSource {
       val next = maxVersionsPerTrigger
         .map(m => math.min(head, planned + math.max(1, m)))
         .getOrElse(head)
-      if (next <= fromVersion) None
-      else { planned = math.max(planned, next); Some(LongOffset(next.toLong)) }
+      // monotonic clamp: `planned` is the highest offset ever returned OR
+      // seen in getBatch, so even if a restart path calls getOffset before
+      // the recovery getBatch, this source never emits an offset that
+      // regresses below an end the engine has already checkpointed
+      if (next <= math.max(fromVersion, planned)) None
+      else { planned = next; Some(LongOffset(next.toLong)) }
     }
 
     override def getBatch(start: Option[LegacyOffset],

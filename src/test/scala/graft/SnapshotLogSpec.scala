@@ -542,7 +542,7 @@ class SnapshotLogSpec extends AnyFunSuite {
       "named_struct('lang', 'l9', 'n', id * 10, 'extra', id + 100) AS meta",
       "array('y') AS toks", "map('k', id) AS m",
       "encode('z', 'UTF-8') AS raw",
-      "array(named_struct('p', id, 'q', 1.0)) AS nested_arr",
+      "array(named_struct('p', id, 'q', cast(1.0 as double))) AS nested_arr",
       "array(id) AS with_nulls")
     SnapshotLog.commit(widened, root, overwrite = false, 300L)
     val evolved = spark.read.format("snapshotlog").load(root)
