@@ -223,6 +223,46 @@ object DdlQueries extends QueryModule {
       SnapshotLog.history(s, root)
     }),
 
+    // PER-FILE BLOOM pruning (SnapshotBlooms — Iceberg Puffin-blob /
+    // parquet-bloom analog): the point-lookup case min/max stats provably
+    // cannot serve — an UNSORTED high-cardinality key (md5 strings) whose
+    // per-file (min, max) spans the whole space. With `write.bloom
+    // .columns` set, commits record per-file blooms and the planner skips
+    // files the bloom proves keyless. Layout: v1 = 2 files WITHOUT blooms
+    // (pre-property — stays conservative), v2..v4 = 6 bloom-covered
+    // files. files_scanned is the optimized plan's own kept-file count:
+    // a MISS keeps only the 2 uncovered files, a HIT keeps them + the one
+    // containing file, an IN mixing present/absent keys keeps their union.
+    "ddl_bloom_pruning" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "bloomgate") { root =>
+        val c = customer(s, d).selectExpr(
+          "md5(cast(c_custkey AS string)) AS k", "c_custkey", "c_acctbal")
+        SnapshotLog.commit(c.filter(col("c_custkey") % 4 === 0), root,
+          overwrite = true, commitTsMs = 100L, numFiles = 2)
+        SnapshotLog.setTableProps(s, root,
+          Map("write.bloom.columns" -> "k"))
+        for (i <- 1 to 3)
+          SnapshotLog.commit(c.filter(col("c_custkey") % 4 === i), root,
+            overwrite = false, commitTsMs = 100L * (i + 1), numFiles = 2): Unit
+      }
+      val t = snapRead(s, root)
+      val total = graft.sources.SnapshotLog.snapshots(s, root).last.files.size
+      def probe(label: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("c_custkey")), lit(0L)).as("sum_key"))
+          .withColumn("files_scanned", lit(filesPlanned(df)))
+          .withColumn("files_total", lit(total.toLong))
+          .withColumn("probe", lit(label))
+      Seq(
+        probe("hit", t.filter(col("k") === md5(lit("5")))),
+        probe("miss", t.filter(col("k") === md5(lit("-999")))),
+        probe("in_mixed", t.filter(col("k").isin(
+          md5(lit("10")), md5(lit("11")), md5(lit("absent-key"))))))
+        .reduce(_ unionByName _)
+        .select("probe", "n_rows", "sum_key", "files_scanned", "files_total")
+    }),
+
     // Manifest-stats data skipping through the PLANNER (Iceberg
     // lower_bounds/upper_bounds → file pruning via a pushed-down filter):
     // a range probe over the 4-slice table must intersect exactly one
@@ -487,6 +527,35 @@ object DdlQueries extends QueryModule {
           targetBytes = 1L << 30)
       }
       SnapshotLog.changes(s, root, fromVersion = 1)
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .select("_commit_version", "_change_type", "n_rows", "sum_bal")
+    }),
+
+    // COMPUTE-UPDATES changelog (Iceberg create_changelog_view's third
+    // mode): the same fixture read with identifier_columns=c_custkey —
+    // each version's delete+insert of a key pairs into
+    // update_preimage/update_postimage (v4's MoR UPDATE), while v2's
+    // pure inserts and v3's pure deletes keep their tags. The pairing is
+    // ONE extra grouping over the already-netted changelog (changed rows
+    // only), keyed on the identifier columns.
+    "ddl_changelog_updates" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "changelog") { root =>
+        val c = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 0), root,
+          overwrite = true, commitTsMs = 1000L)
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 1), root,
+          overwrite = false, commitTsMs = 2000L)
+        SnapshotLog.deleteWhereMoR(s, root, col("c_acctbal") > 8000, 3000L)
+        SnapshotLog.updateWhereMoR(s, root, col("c_custkey") % 10 === 3,
+          Map("c_acctbal" -> (col("c_acctbal") + 1000.0)), 4000L)
+        SnapshotLog.rewriteDataFiles(s, root, commitTsMs = 5000L,
+          targetBytes = 1L << 30): Unit
+      }
+      SnapshotLog.changes(s, root, fromVersion = 1,
+        identifierCols = Seq("c_custkey"))
         .groupBy(col("_commit_version"), col("_change_type"))
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("c_acctbal")), 2).as("sum_bal"))
@@ -1088,6 +1157,27 @@ object DdlQueries extends QueryModule {
         |  (CAST(3 AS INT), 'overwrite', CAST(3000 AS BIGINT), CAST(2 AS BIGINT))
         |) t(version, operation, commit_ts_ms, n_files)""".stripMargin,
 
+    // files_scanned literals: 2 uncovered v1 files always survive; a MISS
+    // prunes all 6 bloom-covered files (2 kept), a HIT keeps the one
+    // containing file (3), the IN keeps the union of its two present
+    // keys' files (4). Deterministic: fixed data, fixed xxhash64.
+    "ddl_bloom_pruning" ->
+      """SELECT 'hit' AS probe, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS sum_key,
+        |  CAST(3 AS BIGINT) AS files_scanned, CAST(8 AS BIGINT) AS files_total
+        |FROM customer WHERE md5(CAST(c_custkey AS VARCHAR)) = md5('5')
+        |UNION ALL
+        |SELECT 'miss', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(c_custkey), 0) AS BIGINT),
+        |  CAST(2 AS BIGINT), CAST(8 AS BIGINT)
+        |FROM customer WHERE md5(CAST(c_custkey AS VARCHAR)) = md5('-999')
+        |UNION ALL
+        |SELECT 'in_mixed', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(c_custkey), 0) AS BIGINT),
+        |  CAST(4 AS BIGINT), CAST(8 AS BIGINT)
+        |FROM customer WHERE md5(CAST(c_custkey AS VARCHAR)) IN
+        |  (md5('10'), md5('11'), md5('absent-key'))""".stripMargin,
+
     "ddl_stats_pruning" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  round(sum(c_acctbal), 2) AS sum_bal,
@@ -1214,6 +1304,30 @@ object DdlQueries extends QueryModule {
         |  round(sum(b), 2) FROM upd4
         |UNION ALL
         |SELECT CAST(4 AS INT), 'insert', CAST(count(*) AS BIGINT),
+        |  round(sum(b + 1000.0), 2) FROM upd4""".stripMargin,
+
+    // compute_updates: v4's delete+insert pairs retag as pre/post images;
+    // everything else matches ddl_changelog
+    "ddl_changelog_updates" ->
+      """WITH v1 AS (SELECT c_custkey AS k, c_acctbal AS b FROM customer
+        |            WHERE c_custkey % 2 = 0),
+        |v2n AS (SELECT c_custkey AS k, c_acctbal AS b FROM customer
+        |        WHERE c_custkey % 2 = 1),
+        |vis2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2n),
+        |del3 AS (SELECT * FROM vis2 WHERE b > 8000),
+        |vis3 AS (SELECT * FROM vis2 WHERE b <= 8000),
+        |upd4 AS (SELECT * FROM vis3 WHERE k % 10 = 3)
+        |SELECT CAST(2 AS INT) AS _commit_version, 'insert' AS _change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows, round(sum(b), 2) AS sum_bal
+        |FROM v2n
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'delete', CAST(count(*) AS BIGINT),
+        |  round(sum(b), 2) FROM del3
+        |UNION ALL
+        |SELECT CAST(4 AS INT), 'update_preimage', CAST(count(*) AS BIGINT),
+        |  round(sum(b), 2) FROM upd4
+        |UNION ALL
+        |SELECT CAST(4 AS INT), 'update_postimage', CAST(count(*) AS BIGINT),
         |  round(sum(b + 1000.0), 2) FROM upd4""".stripMargin,
 
     // Stream-carried changes: v1 inserts = evens, v2 inserts = odds,

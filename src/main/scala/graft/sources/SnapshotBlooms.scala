@@ -1,0 +1,299 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, In, Or}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+
+import scala.jdk.CollectionConverters._
+
+/** PER-FILE BLOOM FILTERS for point-lookup file skipping — the Iceberg
+  * Puffin-blob / reference-engine answer (reference bloom machinery:
+  * bodo/libs/streaming/_join.h:16 SIMD block bloom; Puffin writer
+  * bodo/libs/_puffin.cpp) re-expressed over the snapshot log.
+  *
+  * THE GAP THIS CLOSES: manifest min/max stats prune range probes, but a
+  * needle query (`WHERE request_id = 'uuid…'`) on a high-cardinality
+  * UNSORTED column prunes NOTHING — every file's min/max spans the key
+  * space, so a 100-TB table scans every file for one row. A small per-file
+  * bloom answers "provably absent" for equality/IN probes and lets the
+  * planner skip the file outright.
+  *
+  * Design:
+  *  - Opt-in via table property `write.bloom.columns` = comma-separated
+  *    column names (int/long/string — the needle-lookup types).
+  *  - Built at COMMIT time from the freshly staged files: one distributed,
+  *    column-pruned pass over ONLY the new files (`groupBy(_metadata
+  *    .file_path)` + Spark's own BloomFilterAggregate over `xxhash64(col)`
+  *    — the exact hash/sketch pair the runtime-filter machinery uses, so
+  *    build and probe are consistent by construction). Cost is O(new
+  *    data's bloom columns), never a re-read of the table.
+  *  - Bits are sized from the commit's per-file row counts (~10 bits/key
+  *    ≈ 1% fpp), capped by `write.bloom.max-bytes` (default 1 MiB/file/col)
+  *    — an over-full bloom degrades to higher fpp, never to wrong answers.
+  *  - Stored as one immutable JSON sidecar per commit under `blooms/`
+  *    (base64 payloads). The manifest format is untouched: sidecars key by
+  *    data-file path, data files are uuid-named and immutable, so a
+  *    (file, column) bloom is valid for EVERY snapshot containing the file
+  *    — time travel included. Readers that find no sidecar entry keep the
+  *    file (conservative).
+  *  - Consulted in [[SnapshotLogScanBuilder.prune]] AFTER min/max pruning,
+  *    only for EqualTo / EqualNullSafe / In probes on bloom columns.
+  *    Sidecars parse once per JVM (immutable ⇒ path-keyed cache).
+  *  - The same columns also get PARQUET-NATIVE bloom filters written into
+  *    the data files (`parquet.bloom.filter.enabled#col`): at the 10⁶-file
+  *    decade, where driver-side bloom metadata would not fit one JVM, the
+  *    pushed predicate still row-group-skips per task via parquet-mr's
+  *    own bloom path — the two tiers compose.
+  *
+  * False positives keep the file (the residual filter still applies —
+  * pruning is pure skipping, never semantics); false negatives are
+  * impossible for committed-through-this-path files.
+  */
+private[sources] object SnapshotBlooms {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val om = new ObjectMapper()
+
+  val ColsProp = "write.bloom.columns"
+  val MaxBytesProp = "write.bloom.max-bytes"
+  val DefaultMaxBytes: Long = 1L << 20 // 1 MiB per file per column
+
+  private def bloomsDir(root: String) = new Path(root, "blooms")
+
+  /** Bloom-eligible columns of this commit: the property's names that
+    * exist in the written schema with a supported type. */
+  def bloomColumns(props: Map[String, String],
+                   schema: StructType): Seq[StructField] =
+    props.get(ColsProp).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .distinct
+      .flatMap(n => schema.fields.find(_.name == n))
+      .filter(f => f.dataType match {
+        case IntegerType | LongType | ShortType | ByteType | StringType => true
+        case _ => false
+      })
+
+  /** Writer options enabling PARQUET-NATIVE blooms for the same columns
+    * (the task-level tier: parquet-mr row-group-skips on pushed equality
+    * predicates even when the driver-side sidecar is not consulted). */
+  def parquetWriterOptions(props: Map[String, String],
+                           schema: StructType): Map[String, String] =
+    bloomColumns(props, schema).map(f =>
+      s"parquet.bloom.filter.enabled#${f.name}" -> "true").toMap
+
+  /** Compute per-file blooms for `newFiles` and publish one immutable
+    * sidecar. Call ONCE per commit, outside the retry loop (uuid-named
+    * data files never collide; a lost commit race leaves an orphan
+    * sidecar that expiry reclaims). NonFatal-guarded: bloom metadata is
+    * an accelerator, a failure must never fail the commit. */
+  def writeSidecar(spark: SparkSession, root: String, newFiles: Seq[String],
+                   schema: StructType, rowsByFile: Map[String, Long]): Unit = {
+    val props = try SnapshotLog.tableProps(spark, root)
+                catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
+    val cols = bloomColumns(props, schema)
+    if (cols.isEmpty || newFiles.isEmpty) return
+    try {
+      val maxBytes = props.get(MaxBytesProp).flatMap(v =>
+        scala.util.Try(v.toLong).toOption).getOrElse(DefaultMaxBytes)
+      // size from the LARGEST new file (one aggregate literal serves the
+      // whole commit; uniform staged writes keep files near-equal)
+      val maxRows = math.max(1L,
+        newFiles.map(f => rowsByFile.getOrElse(SnapshotLog.norm(f), 0L)).max)
+      val numBits = math.min(math.max(64L, maxRows * 10L), maxBytes * 8L)
+      // Spark's BloomFilterAggregate over xxhash64(col): per-file grouping
+      // via the _metadata file path — one column-pruned scan of ONLY the
+      // new files. Registered under a uuid name (collision-proof, dropped
+      // after use — same discipline as ANALYZE's interval-NDV pass).
+      val fnName = "__graft_bloom_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+      val fnId = org.apache.spark.sql.catalyst.FunctionIdentifier(fnName)
+      spark.sessionState.functionRegistry.registerFunction(
+        fnId,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+          fnName),
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(args.head, args(1), args(2)))
+      val rows = try {
+        import org.apache.spark.sql.functions.{col, expr, regexp_replace}
+        val src = spark.read.schema(schema).parquet(newFiles: _*)
+          .select((regexp_replace(col("_metadata.file_path"), "^file:/*", "/")
+            .as("__f")) +: cols.map(f => col(f.name)): _*)
+        val aggs = cols.map(f => expr(
+          s"$fnName(xxhash64(`${f.name}`), ${maxRows}L, ${numBits}L)")
+          .as(s"__b_${f.name}"))
+        src.groupBy(col("__f")).agg(aggs.head, aggs.tail: _*).collect()
+      } finally spark.sessionState.functionRegistry.dropFunction(fnId)
+      val node = om.createObjectNode()
+      val colsArr = node.putArray("cols")
+      cols.foreach(f => colsArr.add(f.name))
+      node.put("numBits", numBits)
+      val filesNode = node.putObject("files")
+      rows.foreach { r =>
+        val fNode = filesNode.putObject(SnapshotLog.norm(r.getString(0)))
+        cols.zipWithIndex.foreach { case (f, i) =>
+          val bytes = r.getAs[Array[Byte]](s"__b_${f.name}")
+          if (bytes != null)
+            fNode.put(f.name,
+              java.util.Base64.getEncoder.encodeToString(bytes)): Unit
+        }
+      }
+      val dir = bloomsDir(root)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(dir)
+      val dest = new Path(dir,
+        "b-" + java.util.UUID.randomUUID().toString.take(12) + ".json")
+      val out = fs.create(dest, false)
+      try out.write(om.writeValueAsBytes(node)) finally out.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"snapshotlog: bloom sidecar write failed at $root " +
+          s"(pruning degrades, commits unaffected): $e")
+    }
+  }
+
+  // ---- read side ----
+
+  /** Parsed sidecar: column -> (normFile -> bloom). Sidecars are
+    * immutable (uuid-named, written once) — cache parses per JVM. */
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Map[String, BloomFilter]]]()
+
+  private def parseSidecar(fs: FileSystem, p: Path)
+      : Map[String, Map[String, BloomFilter]] = {
+    val key = p.toString
+    val hit = sidecarCache.get(key)
+    if (hit != null) return hit
+    val parsed: Map[String, Map[String, BloomFilter]] =
+      try {
+        val in = fs.open(p)
+        val bytes = try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          in.readFully(0, buf); buf
+        } finally in.close()
+        val node = om.readTree(bytes)
+        val cols = node.get("cols").elements().asScala.map(_.asText()).toSeq
+        val acc = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, BloomFilter]]()
+        cols.foreach(c => acc(c) = scala.collection.mutable.Map.empty)
+        node.get("files").fields().asScala.foreach { fe =>
+          val file = fe.getKey
+          fe.getValue.fields().asScala.foreach { ce =>
+            val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(ce.getValue.asText())))
+            acc.getOrElseUpdate(ce.getKey,
+              scala.collection.mutable.Map.empty)(file) = bf
+          }
+        }
+        acc.view.mapValues(_.toMap).toMap
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"snapshotlog: unreadable bloom sidecar $p (ignored): $e")
+          Map.empty
+      }
+    sidecarCache.put(key, parsed)
+    parsed
+  }
+
+  /** All bloom entries at `root`, merged across sidecars:
+    * column -> (normFile -> bloom). Empty when the feature is unused
+    * (one FS existence probe — the only cost a bloom-free table pays). */
+  def bloomsAt(root: String): Map[String, Map[String, BloomFilter]] = {
+    if (root.isEmpty) return Map.empty
+    try {
+      val dir = bloomsDir(root)
+      val conf = try SparkSession.active.sessionState.newHadoopConf()
+                 catch { case scala.util.control.NonFatal(_) =>
+                   new org.apache.hadoop.conf.Configuration() }
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) return Map.empty
+      val sidecars = fs.listStatus(dir)
+        .filter(s => s.getPath.getName.startsWith("b-") &&
+          s.getPath.getName.endsWith(".json"))
+        .map(_.getPath).toSeq
+      if (sidecars.isEmpty) Map.empty
+      else sidecars.map(parseSidecar(fs, _))
+        .reduce { (a, b) =>
+          (a.keySet ++ b.keySet).map(c =>
+            c -> (a.getOrElse(c, Map.empty) ++ b.getOrElse(c, Map.empty))).toMap
+        }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"snapshotlog: bloom lookup failed at $root (ignored): $e")
+        Map.empty
+    }
+  }
+
+  /** The probe hash for value `v` of column type `dt`: XxHash64 over the
+    * Catalyst literal — bit-identical to the build side's `xxhash64(col)`
+    * per row. None = untyped/unconvertible value (caller keeps the file). */
+  def probeHash(v: Any, dt: DataType): Option[Long] =
+    try {
+      val lit = Literal.create(v, dt)
+      Some(new XxHash64(Seq(lit)).eval(null).asInstanceOf[Long])
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** May a file contain a row matching `f`, per its blooms? `bloomOf`
+    * resolves a CURRENT-schema column name to the file's bloom (the
+    * caller rekeys through field ids so renames stay correct). Mirrors
+    * [[SnapshotStatsFilter.mayMatch]]'s tri-state collapse: any missing
+    * bloom, unsupported shape, or unconvertible literal is `true`. */
+  def mayMatch(bloomOf: String => Option[BloomFilter],
+               schema: StructType, f: Filter): Boolean = {
+    def probe(attr: String, v: Any): Boolean =
+      if (v == null) true
+      else (bloomOf(attr), schema.fields.find(_.name == attr)) match {
+        case (Some(bf), Some(field)) =>
+          probeHash(v, field.dataType).forall(bf.mightContainLong)
+        case _ => true
+      }
+    f match {
+      case And(l, r) => mayMatch(bloomOf, schema, l) &&
+        mayMatch(bloomOf, schema, r)
+      case Or(l, r) => mayMatch(bloomOf, schema, l) ||
+        mayMatch(bloomOf, schema, r)
+      case EqualTo(a, v) => probe(a, v)
+      case EqualNullSafe(a, v) if v != null => probe(a, v)
+      case In(a, vs) =>
+        if (vs == null || vs.isEmpty) true
+        else vs.exists(v => v == null || probe(a, v))
+      case _ => true
+    }
+  }
+
+  /** Reclaim sidecars none of whose files are referenced by any retained
+    * snapshot (expiry hook). Returns the number deleted. */
+  def expireSidecars(spark: SparkSession, root: String,
+                     liveFiles: Set[String]): Int = {
+    try {
+      val dir = bloomsDir(root)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(dir)) return 0
+      var n = 0
+      fs.listStatus(dir)
+        .filter(s => s.getPath.getName.startsWith("b-") &&
+          s.getPath.getName.endsWith(".json"))
+        .foreach { s =>
+          val files = try {
+            om.readTree({
+              val in = fs.open(s.getPath)
+              try {
+                val buf = new Array[Byte](s.getLen.toInt)
+                in.readFully(0, buf); buf
+              } finally in.close()
+            }).get("files").fieldNames().asScala.toSeq
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+          if (files.nonEmpty && !files.exists(liveFiles.contains)) {
+            fs.delete(s.getPath, false)
+            sidecarCache.remove(s.getPath.toString)
+            n += 1
+          }
+        }
+      n
+    } catch { case scala.util.control.NonFatal(_) => 0 }
+  }
+}

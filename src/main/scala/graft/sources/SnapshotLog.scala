@@ -846,7 +846,12 @@ object SnapshotLog {
     // (a 100 TB commit sizes this to target-file-size, not a constant)
     val dataDir = new Path(new Path(rootP, "data"),
       java.util.UUID.randomUUID().toString.take(12))
-    df.repartition(numFiles).write.parquet(dataDir.toString)
+    val writeProps = try tableProps(spark, root)
+                     catch { case scala.util.control.NonFatal(_) =>
+                       Map.empty[String, String] }
+    df.repartition(numFiles).write
+      .options(SnapshotBlooms.parquetWriterOptions(writeProps, df.schema))
+      .parquet(dataDir.toString)
     val statuses = fs.listStatus(dataDir)
       .filter(s => s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
@@ -855,6 +860,7 @@ object SnapshotLog {
     val newSizes = statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap
     val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
+    SnapshotBlooms.writeSidecar(spark, root, newFiles, df.schema, newRows)
 
     // Optimistic-concurrency commit (Iceberg SnapshotProducer): the data
     // files are staged ONCE above; each attempt re-reads the head and
@@ -1014,6 +1020,7 @@ object SnapshotLog {
     val newParts = sortedFound.map(f => norm(f._1) -> f._3).toMap
     val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
+    SnapshotBlooms.writeSidecar(spark, root, newFiles, df.schema, newRows)
 
     val committed = try retryingCommit("commitPartitioned") { () =>
       val prior = snapshots(spark, root)
@@ -2223,8 +2230,13 @@ object SnapshotLog {
     * Same single-aggregation plan; only the grouping key changes. */
   def changes(spark: SparkSession, root: String, fromVersion: Int,
               toVersion: Option[Int] = None,
-              netChanges: Boolean = false): DataFrame = {
+              netChanges: Boolean = false,
+              identifierCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(!(netChanges && identifierCols.nonEmpty),
+      "SnapshotLog.changes: net_changes and compute-updates (identifier " +
+        "columns) cannot be combined — Iceberg's create_changelog_view " +
+        "restriction: nets have no per-version delete/insert pairs to pair")
     val main = snapshots(spark, root).filter(_.branch.isEmpty)
     require(main.nonEmpty, s"SnapshotLog: no mainline snapshots at $root")
     val toV = toVersion.getOrElse(main.last.version)
@@ -2354,7 +2366,7 @@ object SnapshotLog {
             fMax(col("_commit_version")).as("_commit_version"),
             fMax(col("_commit_ts_ms")).as("_commit_ts_ms"))
           .filter(col(netC) =!= 0L)
-      grouped
+      val expanded = grouped
         .withColumn("_change_type",
           when(col(netC) > 0, lit("insert")).otherwise(lit("delete")))
         .withColumn(mC, fAbs(col(netC)))
@@ -2364,7 +2376,70 @@ object SnapshotLog {
           least(lit(4096L), col(mC) - col(chunkC) * 4096L))))
         .select((outCols.map(col) :+ col("_change_type") :+
           col("_commit_version") :+ col("_commit_ts_ms")): _*)
+      if (identifierCols.isEmpty) expanded
+      else computeUpdateImages(expanded, outSchema, identifierCols, tmpPrefix)
     }
+  }
+
+  /** COMPUTE-UPDATES mode (Iceberg create_changelog_view's third shape):
+    * within each commit version, pair the delete+insert of the same
+    * identifier key into `update_preimage` / `update_postimage` rows;
+    * unpaired rows keep their insert/delete tag. ONE additional grouping
+    * keyed on (identifier columns, version) over the ALREADY-NETTED
+    * changelog — a pair lives in exactly one group, so the pairing costs
+    * one shuffle of the changed rows only, never a re-read.
+    *
+    * Identifier uniqueness is Iceberg's contract: more than one delete or
+    * more than one insert for a key within one version cannot be paired
+    * unambiguously and raises (Iceberg's ComputeUpdateIterator does the
+    * same), rather than guessing pairs. */
+  private def computeUpdateImages(expanded: DataFrame, outSchema: StructType,
+      identifierCols: Seq[String], tmpPrefix: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val outCols = outSchema.fieldNames.toSeq
+    val missing = identifierCols.filterNot(outCols.contains)
+    require(missing.isEmpty,
+      s"SnapshotLog.changes: identifier column(s) not in table schema: " +
+        missing.mkString(", "))
+    val restCols = outCols.filterNot(identifierCols.contains)
+    val rowsC = s"${tmpPrefix}_rows"
+    val rowType = StructType(restCols.map(n =>
+      outSchema(n).copy(nullable = true)) :+
+      StructField("_change_type", StringType, nullable = true))
+    val gKey = identifierCols.map(col) ++
+      Seq(col("_commit_version"), col("_commit_ts_ms"))
+    val packed = expanded.groupBy(gKey: _*)
+      .agg(collect_list(struct(
+        (restCols.map(col) :+ col("_change_type")): _*)).as(rowsC))
+    def side(tag: String) = filter(col(rowsC),
+      r => r.getField("_change_type") === lit(tag))
+    def retag(a: org.apache.spark.sql.Column, t: String) = transform(a,
+      r => struct((restCols.map(n => r.getField(n).as(n)) :+
+        lit(t).as("_change_type")): _*))
+    val delsA = side("delete")
+    val insA = side("insert")
+    val errA = raise_error(concat(
+      lit("SnapshotLog.changes: cannot compute update images — multiple " +
+        "rows share identifier (" + identifierCols.mkString(", ") +
+        ") within version "), col("_commit_version").cast("string")))
+      .cast(org.apache.spark.sql.types.ArrayType(rowType))
+    val outA =
+      when(size(delsA) > 1 || size(insA) > 1, errA)
+        .when(size(delsA) === 1 && size(insA) === 1,
+          concat(retag(delsA, "update_preimage"),
+            retag(insA, "update_postimage")))
+        .otherwise(col(rowsC).cast(
+          org.apache.spark.sql.types.ArrayType(rowType)))
+    val rC = s"${tmpPrefix}_r"
+    packed
+      .select((identifierCols.map(col) ++
+        Seq(col("_commit_version"), col("_commit_ts_ms"),
+          explode(outA).as(rC))): _*)
+      .select((outCols.map(n =>
+        if (identifierCols.contains(n)) col(n)
+        else col(rC).getField(n).as(n)) ++
+        Seq(col(rC).getField("_change_type").as("_change_type"),
+          col("_commit_version"), col("_commit_ts_ms"))): _*)
   }
 
   /** Apply merge-on-read positional deletes to a raw parquet read of the
@@ -2965,6 +3040,10 @@ object SnapshotLog {
       }
     val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
+    // compacted outputs regenerate bloom coverage (an absent bloom is
+    // merely weaker pruning, but compaction folding a bloom'd table
+    // should not silently shed its point-lookup skipping)
+    SnapshotBlooms.writeSidecar(spark, root, newFiles, schema, newRows)
 
     val smallSet = small.map(norm).toSet
     // optimistic re-apply: a concurrent append carries through (the new
@@ -3288,6 +3367,8 @@ object SnapshotLog {
         v < oldestLive && !keepStats.contains(v)
       }.foreach { case (_, nm) => fs.delete(new Path(logDir(root), nm), false) }
       invalidateColStats(root)
+      // bloom sidecars all of whose files died with the expired versions
+      SnapshotBlooms.expireSidecars(spark, root, liveFiles): Unit
     }
     if (orphanScan) {
       val cutoff = System.currentTimeMillis() - orphanGraceMs

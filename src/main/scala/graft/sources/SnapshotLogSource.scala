@@ -235,8 +235,8 @@ private[sources] class SnapshotLogTable(root: String,
       return
     }
     val schema = cur.schema
-    // same pruning as the scan (field-id stats rekey included)
-    val touched = SnapshotLogScanBuilder.prune(cur, cur.files, filters)
+    // same pruning as the scan (field-id stats rekey + blooms included)
+    val touched = SnapshotLogScanBuilder.prune(cur, cur.files, filters, root)
     val touchedSet = touched.map(SnapshotLog.norm).toSet
     val untouched =
       cur.files.filterNot(f => touchedSet.contains(SnapshotLog.norm(f)))
@@ -491,7 +491,7 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
   protected def buildRequired: StructType = required
   protected def buildPushed: Array[Filter] = pushed
   protected def buildKept: Seq[String] =
-    SnapshotLogScanBuilder.prune(snap, snap.files, pushed)
+    SnapshotLogScanBuilder.prune(snap, snap.files, pushed, root)
 
   override def build(): Scan = aggResult match {
     case Some((aggSchema, rows)) =>
@@ -534,10 +534,20 @@ private[sources] case class SnapshotAggReaderFactory()
 private[sources] object SnapshotLogScanBuilder {
   /** Files of `candidates` that may hold a row matching every filter,
     * per manifest stats AND hidden-partition tuples (the pruning min/max
-    * stats cannot do — bucket probes on hashed keys). */
+    * stats cannot do — bucket probes on hashed keys) AND, when `root` is
+    * supplied and the table opted in, per-file BLOOM sidecars (the
+    * needle-lookup case stats AND partitioning cannot serve: equality/IN
+    * on a high-cardinality unsorted column). */
   def prune(snap: SnapshotLog.Snapshot, candidates: Seq[String],
-            filters: Array[Filter]): Seq[String] = {
+            filters: Array[Filter], root: String = ""): Seq[String] = {
     val schema = snap.schema
+    // load blooms only when some filter could consult them (equality/IN
+    // shapes) — a bloom-free table pays one FS existence probe, nothing
+    // else; sidecar parses are JVM-cached (immutable files)
+    val blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+      if (root.nonEmpty && filters.exists(SnapshotStatsFilter.usable))
+        SnapshotBlooms.bloomsAt(root)
+      else Map.empty
     // per-file stat checks are independent and pure: at very large file
     // counts (10^5-10^6, the 100-TB decade) fan the driver-side prune
     // across cores instead of walking a million entries serially
@@ -545,17 +555,19 @@ private[sources] object SnapshotLogScanBuilder {
       val arr = candidates.toArray
       val keep = new Array[Boolean](arr.length)
       java.util.stream.IntStream.range(0, arr.length).parallel()
-        .forEach(i => keep(i) = mayKeep(snap, schema, arr(i), filters))
+        .forEach(i => keep(i) = mayKeep(snap, schema, arr(i), filters, blooms))
       return arr.indices.collect { case i if keep(i) => arr(i) }
     }
-    candidates.filter(f => mayKeep(snap, schema, f, filters))
+    candidates.filter(f => mayKeep(snap, schema, f, filters, blooms))
   }
 
   /** May data file `f` hold a row matching every filter? Pure per-file
     * check (manifest stats + hidden-partition tuple) — safe to evaluate
     * from any thread. */
   private def mayKeep(snap: SnapshotLog.Snapshot, schema: StructType,
-                      f: String, filters: Array[Filter]): Boolean = {
+                      f: String, filters: Array[Filter],
+                      blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+                        = Map.empty): Boolean = {
     val key = SnapshotLog.norm(f)
     val physStats = snap.stats.getOrElse(key, Map.empty[String, (Any, Any)])
     // stats are keyed by the file's PHYSICAL column names; filters use
@@ -576,7 +588,18 @@ private[sources] object SnapshotLogScanBuilder {
       val fspec = snap.specOf(f)
       fspec.isEmpty || tuple.isEmpty ||
         filters.forall(SnapshotPartition.mayMatch(fspec, tuple, schema, _))
-    }
+    } && (blooms.isEmpty || {
+      // bloom sidecars key by the column's name AT COMMIT TIME — resolve
+      // the current name through the field-id map like the stats above,
+      // so renames neither lose pruning nor (worse) probe a wrong bloom
+      def bloomOf(n: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+        val phys =
+          if (snap.fids.isEmpty || !snap.colIds.contains(key)) Some(n)
+          else snap.physName(f, n)
+        phys.flatMap(blooms.get).flatMap(_.get(key))
+      }
+      filters.forall(SnapshotBlooms.mayMatch(bloomOf, schema, _))
+    })
   }
 }
 
@@ -734,7 +757,7 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
   override def filter(filters: Array[Filter]): Unit =
     filters.foreach { f =>
       if (SnapshotStatsFilter.usable(f))
-        liveKept = SnapshotLogScanBuilder.prune(snap, liveKept, Array(f))
+        liveKept = SnapshotLogScanBuilder.prune(snap, liveKept, Array(f), root)
     }
 
   /** VECTORIZED when every kept file physically holds every required

@@ -143,7 +143,12 @@ private[sources] object SnapshotProcedures {
       ProcedureParameter.in("net_changes", BooleanType)
         .defaultValue("false")
         .comment("net across the whole range: intermediate churn vanishes, " +
-          "rows carry the last touching version").build())
+          "rows carry the last touching version").build(),
+      ProcedureParameter.in("identifier_columns", StringType)
+        .defaultValue("''")
+        .comment("comma-separated key columns: pair each version's " +
+          "delete+insert of a key into update_preimage/update_postimage " +
+          "rows (not combinable with net_changes)").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
@@ -154,8 +159,11 @@ private[sources] object SnapshotProcedures {
       val view = Option(input.getUTF8String(3)).map(_.toString)
         .filter(_.nonEmpty)
         .getOrElse(table.substring(table.lastIndexOf('.') + 1) + "_changes")
+      val idCols = Option(input.getUTF8String(5)).map(_.toString)
+        .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
       SnapshotLog.changes(spark, root, fromV, toV,
-        netChanges = !input.isNullAt(4) && input.getBoolean(4))
+        netChanges = !input.isNullAt(4) && input.getBoolean(4),
+        identifierCols = idCols)
         .createOrReplaceTempView(view)
       Iterator(resultScan(
         StructType(Seq(

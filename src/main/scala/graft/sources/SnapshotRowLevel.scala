@@ -49,6 +49,9 @@ private[sources] class SnapshotRowLevelOperation(root: String,
     snap: SnapshotLog.Snapshot, cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
 
+  /** Table root for prune-side bloom consultation. */
+  private[sources] def tableRoot: String = root
+
   /** The scan this operation built — its kept files ARE the replaced
     * groups; scan and write coordinate through this field (the same
     * pairing Iceberg's SparkCopyOnWriteScan/Write use). */
@@ -170,7 +173,8 @@ private[sources] class SnapshotCowScan(snap: SnapshotLog.Snapshot,
         current = current.filter(f => SnapshotLog.norm(f) == keep)
       case other => // any data-column filter still prunes via stats/partitions
         if (SnapshotStatsFilter.usable(other))
-          current = SnapshotLogScanBuilder.prune(snap, current, Array(other))
+          current = SnapshotLogScanBuilder.prune(snap, current, Array(other),
+            op.tableRoot)
     }
   }
 }

@@ -337,4 +337,99 @@ class SnapshotChangelogSpec extends AnyFunSuite {
     assert(empty.schema.fieldNames.toSeq ==
       Seq("k", "v", "_change_type", "_commit_version", "_commit_ts_ms"))
   }
+
+  test("compute_updates pairs each version's delete+insert of a key into " +
+       "update_preimage/update_postimage; unpaired rows keep their tags") {
+    val ch = SnapshotLog.changes(spark, root5, fromVersion = 1,
+      identifierCols = Seq("k")).collect()
+    // v2 appends: pure inserts (no delete to pair)
+    val v2 = ch.filter(_.getAs[Int]("_commit_version") == 2)
+    assert(v2.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(v2.length === 50)
+    // v3 deletes: pure deletes
+    val v3 = ch.filter(_.getAs[Int]("_commit_version") == 3)
+    assert(v3.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(v3.map(_.getAs[Long]("k")).forall(_ % 10 == 3))
+    // v4 update (k%10==6, v := v+100): every row paired, pre/post exact
+    val v4 = ch.filter(_.getAs[Int]("_commit_version") == 4)
+    assert(v4.nonEmpty)
+    val byK = v4.groupBy(_.getAs[Long]("k"))
+    byK.foreach { case (k, rows) =>
+      assert(k % 10 === 6)
+      assert(rows.map(_.getAs[String]("_change_type")).sorted.toSeq ===
+        Seq("update_postimage", "update_preimage"))
+      val pre = rows.find(_.getAs[String]("_change_type") == "update_preimage").get
+      val post = rows.find(_.getAs[String]("_change_type") == "update_postimage").get
+      assert(pre.getAs[Long]("v") === k * 2)
+      assert(post.getAs[Long]("v") === k * 2 + 100)
+    }
+    // schema: same column set as the plain changelog
+    assert(SnapshotLog.changes(spark, root5, 1, identifierCols = Seq("k"))
+      .schema.fieldNames.toSeq ===
+      Seq("k", "v", "_change_type", "_commit_version", "_commit_ts_ms"))
+    // total row count preserved: pairing retags, never drops/duplicates
+    assert(ch.length ===
+      SnapshotLog.changes(spark, root5, fromVersion = 1).count())
+  }
+
+  test("compute_updates raises on ambiguous identifiers (two rows share a " +
+       "key within one version) instead of guessing pairs") {
+    val root = freshRoot("dup_ids")
+    val df = spark.range(0, 10).selectExpr("id % 5 AS k", "id AS v") // dup keys
+    SnapshotLog.commit(df, root, overwrite = true, 1000L)
+    SnapshotLog.deleteWhereMoR(spark, root, col("k") === 2, 2000L) // 2 dels of k=2
+    val e = intercept[Exception] {
+      SnapshotLog.changes(spark, root, fromVersion = 1,
+        identifierCols = Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("multiple rows share identifier") ||
+      Option(e.getCause).exists(_.getMessage.contains(
+        "multiple rows share identifier")), s"got: ${e.getMessage}")
+  }
+
+  test("compute_updates composes with net_changes refusal and bad columns") {
+    intercept[IllegalArgumentException] {
+      SnapshotLog.changes(spark, root5, 1, netChanges = true,
+        identifierCols = Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.changes(spark, root5, 1,
+        identifierCols = Seq("no_such_col")).collect()
+    }
+  }
+
+  test("create_changelog_view with identifier_columns yields update images " +
+       "through SQL") {
+    val wh = "/tmp/graft_snap_warehouse"
+    val ns = "chgupd"
+    val fs = new Path(s"$wh/$ns").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"$wh/$ns"), true)
+    spark.sql(s"DROP TABLE IF EXISTS snap.$ns.t")
+    spark.sql(s"CREATE TABLE snap.$ns.t AS SELECT id AS k, id * 2 AS v " +
+      "FROM range(0, 50)")
+    spark.sql(s"UPDATE snap.$ns.t SET v = v + 1000 WHERE k % 7 = 0")
+    // the UPDATE is the head version; scope the view to just it (CTAS
+    // itself may land as more than one snapshot)
+    val head = SnapshotLog.snapshots(spark, s"$wh/$ns/t").last.version
+    val view = spark.sql(
+      s"""CALL snap.system.create_changelog_view(
+         |  table => '$ns.t', from_version => ${head - 1},
+         |  identifier_columns => 'k')""".stripMargin)
+      .head().getString(0)
+    val out = spark.table(view)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nUpd = (0L until 50L).count(_ % 7 == 0)
+    assert(out === Map("update_preimage" -> nUpd,
+      "update_postimage" -> nUpd))
+    // pre/post values exact through SQL
+    val sums = spark.sql(
+      s"""SELECT _change_type, CAST(sum(v) AS BIGINT) s FROM $view
+         |GROUP BY 1""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = (0L until 50L).filter(_ % 7 == 0)
+    assert(sums("update_preimage") === keys.map(_ * 2).sum)
+    assert(sums("update_postimage") === keys.map(_ * 2 + 1000).sum)
+  }
 }

@@ -160,6 +160,34 @@ class SnapshotDmlPropertySpec extends AnyFunSuite {
         assert(nv.map(r =>
           r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap === model,
           s"net_changes view diverged from the model (seed=$seed)")
+        // compute_updates invariant: pairing is a pure RETAG — mapping
+        // pre→delete / post→insert reproduces the plain changelog's
+        // multiset exactly, and per (key, version) images come in
+        // complete pairs (k is unique per version in this model)
+        val plain = SnapshotLog.changes(spark, root, fromVersion = 0)
+          .collect()
+        val cu = SnapshotLog.changes(spark, root, fromVersion = 0,
+          identifierCols = Seq("k")).collect()
+        def ms(rows: Array[org.apache.spark.sql.Row],
+               remap: String => String) =
+          rows.groupBy(r => (r.getAs[Long]("k"), r.getAs[Long]("v"),
+            r.getAs[Int]("_commit_version"),
+            remap(r.getAs[String]("_change_type"))))
+            .view.mapValues(_.length).toMap
+        val demoted = ms(cu, {
+          case "update_preimage" => "delete"
+          case "update_postimage" => "insert"
+          case t => t
+        })
+        assert(demoted === ms(plain, identity),
+          s"compute_updates is not a pure retag (seed=$seed)")
+        cu.groupBy(r => (r.getAs[Long]("k"),
+            r.getAs[Int]("_commit_version"))).foreach { case (kv, rows) =>
+          val pre = rows.count(_.getAs[String]("_change_type") == "update_preimage")
+          val post = rows.count(_.getAs[String]("_change_type") == "update_postimage")
+          assert(pre == post && pre <= 1,
+            s"unbalanced update images at $kv (seed=$seed)")
+        }
       }
 
       // final fold + expiry: physical state still equals the model
