@@ -400,6 +400,53 @@ object DdlQueries extends QueryModule {
           col("c_acctbal"), col("o_totalprice"))
     }),
 
+    // SORT-ORDER REPORTING over SPJ (r17): the same co-bucketed layout
+    // compacted with clusterBy — each bucket one KEY-SORTED file, the
+    // scan reports SupportsReportOrdering, and the merge join runs with
+    // ZERO exchanges AND ZERO sorts (both plan-asserted into the gated
+    // output; the oracle pins them at 0 alongside the join's aggregate).
+    "ddl_sorted_spj" -> ((s, d) => {
+      registerViews(s, d)
+      val ns = "srtspj_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      snapFixture(s, d, "sortedspj") { _ =>
+        import graft.sources.SnapshotLog
+        val wh = "/tmp/graft_snap_warehouse"
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        Seq("cust_s", "ord_s").foreach(t =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$wh/$ns/$t"), true))
+        SnapshotLog.commitPartitioned(
+          customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          s"$wh/$ns/cust_s", Seq("c_custkey" -> "bucket[8]"),
+          overwrite = true, 1000L)
+        SnapshotLog.commitPartitioned(
+          orders(s, d).filter(col("o_orderkey") % 4 === 0)
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          s"$wh/$ns/ord_s", Seq("o_custkey" -> "bucket[8]"),
+          overwrite = true, 1000L)
+        SnapshotLog.rewriteDataFiles(s, s"$wh/$ns/cust_s", 2000L,
+          targetBytes = 1L << 30, clusterBy = Seq("c_custkey"))
+        SnapshotLog.rewriteDataFiles(s, s"$wh/$ns/ord_s", 2000L,
+          targetBytes = 1L << 30, clusterBy = Seq("o_custkey")): Unit
+      }
+      val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = s.table(s"snap.$ns.ord_s").hint("merge")
+          .join(s.table(s"snap.$ns.cust_s"),
+            col("o_custkey") === col("c_custkey"))
+        j.write.format("noop").mode("overwrite").save() // AQE-final plan
+        val plan = j.queryExecution.executedPlan.toString
+        val nShuffles = "Exchange".r.findAllIn(plan).size -
+          "BroadcastExchange".r.findAllIn(plan).size
+        val nSorts = "\\bSort \\[".r.findAllIn(plan).size
+        j.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice") + col("c_acctbal")), 2).as("sum_j"))
+          .withColumn("n_shuffles", lit(nShuffles.toLong))
+          .withColumn("n_sorts", lit(nSorts.toLong))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    }),
+
     // SQL UPDATE + MERGE INTO on a snapshot table through Spark's
     // row-level-operation API (SupportsRowLevelOperations, group-based
     // copy-on-write — the reference's Iceberg MERGE surface,
@@ -1204,6 +1251,14 @@ object DdlQueries extends QueryModule {
 
     "ddl_spj_join" ->
       """SELECT o.o_orderkey, c.c_custkey, c.c_acctbal, o.o_totalprice
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 4 = 0""".stripMargin,
+
+    // sorted SPJ: the merge join must pay neither exchange nor sort
+    "ddl_sorted_spj" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(o.o_totalprice + c.c_acctbal), 2) AS sum_j,
+        |  CAST(0 AS BIGINT) AS n_shuffles, CAST(0 AS BIGINT) AS n_sorts
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderkey % 4 = 0""".stripMargin,
 

@@ -966,12 +966,21 @@ object SnapshotLog {
     * by path. */
   private def writePartitionedData(spark: SparkSession, df: DataFrame,
       dataDir: Path, pCols: Seq[org.apache.spark.sql.Column],
-      spec: Seq[(String, String)]): Seq[(String, Long, Seq[String])] = {
+      spec: Seq[(String, String)],
+      sortBy: Seq[String] = Nil): Seq[(String, Long, Seq[String])] = {
     val fs = fsFor(spark, dataDir)
     val pNames = spec.indices.map(i => s"_p_$i")
-    df.select(org.apache.spark.sql.functions.col("*") +: pCols: _*)
+    val shaped0 = df.select(org.apache.spark.sql.functions.col("*") +: pCols: _*)
       .repartition(pNames.map(org.apache.spark.sql.functions.col): _*)
-      .write.partitionBy(pNames: _*).parquet(dataDir.toString)
+    // cluster-by: sort by (partition cols, keys) so FileFormatWriter's
+    // required partition-column ordering is ALREADY satisfied (it inserts
+    // no sort of its own — an unstable re-sort would scramble the keys)
+    // and every written file carries key-sorted rows
+    val shaped =
+      if (sortBy.isEmpty) shaped0
+      else shaped0.sortWithinPartitions(
+        (pNames ++ sortBy).map(org.apache.spark.sql.functions.col): _*)
+    shaped.write.partitionBy(pNames: _*).parquet(dataDir.toString)
     // recursive walk: each leaf file's partition tuple is its directory path
     val found = scala.collection.mutable.ArrayBuffer[(String, Long, Seq[String])]()
     val it = fs.listFiles(dataDir, true)
@@ -3016,7 +3025,8 @@ object SnapshotLog {
           SnapshotPartition.transformCol(src, tr,
             schema(src).dataType).as(s"_p_$i")
         }
-        val found = writePartitionedData(spark, input, dataDir, pCols, cur.spec)
+        val found = writePartitionedData(spark, input, dataDir, pCols,
+          cur.spec, sortBy = clusterBy)
         (found.map(_._1),
           found.map(f => norm(f._1) -> f._2).toMap,
           found.map(f => norm(f._1) -> f._3).toMap)
@@ -3044,6 +3054,10 @@ object SnapshotLog {
     // merely weaker pruning, but compaction folding a bloom'd table
     // should not silently shed its point-lookup skipping)
     SnapshotBlooms.writeSidecar(spark, root, newFiles, schema, newRows)
+    // cluster-by outputs are key-sorted: record the per-file sort order so
+    // the DSv2 scan can report SupportsReportOrdering (co-sorted SPJ joins
+    // then skip the Sort as well as the Exchange)
+    SnapshotSorts.record(spark, root, newFiles, clusterBy)
 
     val smallSet = small.map(norm).toSet
     // optimistic re-apply: a concurrent append carries through (the new
@@ -3367,8 +3381,10 @@ object SnapshotLog {
         v < oldestLive && !keepStats.contains(v)
       }.foreach { case (_, nm) => fs.delete(new Path(logDir(root), nm), false) }
       invalidateColStats(root)
-      // bloom sidecars all of whose files died with the expired versions
+      // bloom/sort sidecars all of whose files died with the expired
+      // versions
       SnapshotBlooms.expireSidecars(spark, root, liveFiles): Unit
+      SnapshotSorts.expireSidecars(spark, root, liveFiles): Unit
     }
     if (orphanScan) {
       val cutoff = System.currentTimeMillis() - orphanGraceMs

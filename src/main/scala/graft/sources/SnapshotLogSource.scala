@@ -703,6 +703,7 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
     root: String = "", opts: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
@@ -941,6 +942,57 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
 
   override def planInputPartitions(): Array[InputPartition] =
     partitionsFor(keptFiles)
+
+  // ---- SORT-ORDER REPORTING (Iceberg sort orders): when every kept file
+  // is recorded key-sorted by rewriteDataFiles(clusterBy) AND the layout
+  // makes per-task order provable, report the ordering so a co-sorted
+  // co-partitioned join skips BOTH the Exchange (SPJ) and the Sort. The
+  // conservative gates are CORRECTNESS gates, not optimizations — a
+  // merge join trusting a falsely-reported order returns wrong rows:
+  //  - every kept file shares one recorded order (a mixed layout's
+  //    concatenation proves nothing);
+  //  - the sort columns survive projection (Spark must resolve the
+  //    ordering against the scan output) and are rename-free for every
+  //    file (recorded orders are physical names at rewrite time);
+  //  - under KeyGroupedPartitioning, at most ONE file per key tuple:
+  //    Spark's SPJ grouping CONCATENATES same-tuple files into one task,
+  //    and concatenated sorted runs are not sorted. Per-file tasks
+  //    (UnknownPartitioning) are always safe — one file, one task. ----
+  @transient private lazy val reportedOrdering
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    computeOrdering()
+
+  private def computeOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+    val sorts = SnapshotSorts.sortsAt(root)
+    if (sorts.isEmpty || kept.isEmpty) return Array.empty
+    val perFile = kept.map(f => sorts.get(SnapshotLog.norm(f)))
+    if (perFile.exists(_.isEmpty)) return Array.empty
+    val distinct = perFile.flatten.distinct
+    if (distinct.size != 1) return Array.empty
+    val order = distinct.head
+    val outCols = required.fieldNames.toSet
+    if (!order.forall(outCols.contains)) return Array.empty
+    // rename safety: a recorded (physical) name that no longer equals the
+    // current name fails the outCols check above; additionally refuse if
+    // any file resolves a sort column to a DIFFERENT physical name
+    if (snap.fids.nonEmpty && kept.exists(f =>
+      order.exists(c => !snap.physName(f, c).contains(c))))
+      return Array.empty
+    val spjSafe = spjFileKeys match {
+      case Some(keys) =>
+        kept.groupBy(f => keys(SnapshotLog.norm(f))).forall(_._2.size <= 1)
+      case None => true
+    }
+    if (!spjSafe) return Array.empty
+    order.map(c => Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+  }
+
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    reportedOrdering
 
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotLogReaderFactory(required.json, Some(snap.schema.json))
