@@ -859,6 +859,21 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
   // older spec or null tuples degrade to UnknownPartitioning — never
   // wrong, just shuffled. ----
 
+  /** The ONE partition spec every kept file was written under, or empty
+    * when the kept set is mixed-spec / unpartitioned. SPEC EVOLUTION
+    * (r17, Iceberg task-grouping analog): a long-lived table whose spec
+    * evolved keeps old-generation files around, but a QUERY whose pruned
+    * file set lands entirely in one generation (the common case after
+    * evolution + compaction, or with partition predicates) still deserves
+    * SPJ — group by the KEPT files' own spec, not the table's active one.
+    * A genuinely mixed kept set degrades to UnknownPartitioning (shuffled,
+    * never wrong). */
+  @transient protected lazy val spjEffSpec: Seq[(String, String)] =
+    kept.map(f => snap.specOf(f)).distinct match {
+      case Seq(one) => one
+      case _ => Seq.empty
+    }
+
   /** Catalyst-internal key values per kept file, in spec-field order;
     * None = ineligible (report UnknownPartitioning). */
   @transient protected lazy val spjFileKeys: Option[Map[String, Seq[Any]]] = {
@@ -892,7 +907,7 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
     // into numBucketsOpt by V2ExpressionUtils; truncate's width stays a
     // second child), so reporting it would group scan tasks by tuple —
     // losing per-file parallelism — while the join still shuffles.
-    val specOk = snap.spec.nonEmpty && snap.spec.forall {
+    val specOk = spjEffSpec.nonEmpty && spjEffSpec.forall {
       case (_, "identity") | (_, "day") | (_, B(_)) => true
       case _ => false
     }
@@ -902,14 +917,13 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
         val k = SnapshotLog.norm(f)
         val tuple = snap.parts.getOrElse(k, Seq.empty)
         val vals =
-          if (snap.specOf(f) != snap.spec || tuple.length != snap.spec.length)
-            Seq.empty
-          else snap.spec.zip(tuple).flatMap { case ((src, tr), raw) =>
+          if (tuple.length != spjEffSpec.length) Seq.empty
+          else spjEffSpec.zip(tuple).flatMap { case ((src, tr), raw) =>
             keyOf(raw, src, tr)
           }
         k -> vals
       }
-      if (perFile.forall(_._2.length == snap.spec.length))
+      if (perFile.forall(_._2.length == spjEffSpec.length))
         Some(perFile.toMap)
       else None
     }
@@ -928,7 +942,10 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
     val B = """bucket\[(\d+)\]""".r
     spjFileKeys match {
       case Some(keys) if keys.nonEmpty =>
-        val clustering = snap.spec.map {
+        // cluster by the KEPT files' spec (== active spec except under
+        // spec evolution, where a pruned single-generation kept set
+        // reports its own generation's grouping)
+        val clustering = spjEffSpec.map {
           case (c, "identity") => Expressions.identity(c)
           case (c, "day") => Expressions.days(c)
           case (c, B(n)) => Expressions.bucket(n.toInt, c)

@@ -258,4 +258,71 @@ class SnapshotSpjSpec extends AnyFunSuite {
         (1L until 200L by 2).toSet)
     }
   }
+
+  test("spec evolution: a query whose kept files land in ONE generation " +
+       "still SPJs — pruning pre-evolution files re-arms the join") {
+    val l = freshTable("spj", "evo_l")
+    val r = freshTable("spj", "evo_r")
+    // L: v1 under bucket[4] (keys < 1000), evolved v2 under bucket[8]
+    // (keys >= 1000); R: single-generation bucket[8] (keys >= 1000)
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v"),
+      l, Seq("k" -> "bucket[4]"), overwrite = true, 1000L)
+    SnapshotLog.commitPartitioned(
+      spark.range(1000, 2000).selectExpr("id AS k", "id * 2 AS v"),
+      l, Seq("k" -> "bucket[8]"), overwrite = false, 2000L)
+    SnapshotLog.commitPartitioned(
+      spark.range(1000, 2000, 4).selectExpr("id AS k", "id + 7 AS w"),
+      r, Seq("k" -> "bucket[8]"), overwrite = true, 1000L)
+    noBroadcast {
+      // filtered: min/max stats prune every bucket[4]-generation file,
+      // the kept set is single-spec bucket[8] => SPJ fires
+      val j = spark.table("snap.spj.evo_l").filter(col("k") >= 1000L)
+        .join(spark.table("snap.spj.evo_r"), "k")
+        .select(col("k"), col("v"), col("w"))
+      assert(shuffles(j) === 0,
+        "single-generation kept set must storage-partition-join:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.as[(Long, Long, Long)].collect().toSet ===
+        (1000L until 2000L by 4).map(k => (k, k * 2, k + 7)).toSet)
+
+      // unfiltered: mixed-generation kept set degrades to a shuffled
+      // join — and stays CORRECT
+      val mixed = spark.table("snap.spj.evo_l")
+        .join(spark.table("snap.spj.evo_r"), "k")
+        .select(col("k"), col("v"), col("w"))
+      assert(shuffles(mixed) > 0,
+        "mixed-spec kept set must degrade to a shuffled join:\n" +
+          mixed.queryExecution.executedPlan)
+      assert(mixed.as[(Long, Long, Long)].collect().toSet ===
+        (1000L until 2000L by 4).map(k => (k, k * 2, k + 7)).toSet)
+    }
+  }
+
+  test("spec evolution: the OLD generation alone also SPJs under its own " +
+       "spec when both sides match it") {
+    val l = freshTable("spj", "evo_old_l")
+    val r = freshTable("spj", "evo_old_r")
+    // both tables: v1 bucket[4] over keys < 500, evolved v2 bucket[8]
+    // over keys >= 500 — a query pinned to the OLD key range groups by
+    // the old generation's bucket[4] on both sides
+    Seq((l, "v"), (r, "w")).foreach { case (root, c) =>
+      SnapshotLog.commitPartitioned(
+        spark.range(0, 500).selectExpr("id AS k", s"id * 2 AS $c"),
+        root, Seq("k" -> "bucket[4]"), overwrite = true, 1000L)
+      SnapshotLog.commitPartitioned(
+        spark.range(500, 1000).selectExpr("id AS k", s"id * 2 AS $c"),
+        root, Seq("k" -> "bucket[8]"), overwrite = false, 2000L): Unit
+    }
+    noBroadcast {
+      val j = spark.table("snap.spj.evo_old_l").filter(col("k") < 500L)
+        .join(spark.table("snap.spj.evo_old_r").filter(col("k") < 500L), "k")
+        .select(col("k"), col("v"), col("w"))
+      assert(shuffles(j) === 0,
+        "both sides pruned to the old generation must SPJ under bucket[4]:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.as[(Long, Long, Long)].collect().toSet ===
+        (0L until 500L).map(k => (k, k * 2, k * 2)).toSet)
+    }
+  }
 }
