@@ -139,6 +139,48 @@ object IoQueries extends QueryModule {
         .select(col("c_custkey"), col("c_acctbal"))
     }),
 
+    // JDBC AGGREGATE pushdown (r17): the DSv2 JDBC catalog compiles the
+    // whole GROUP BY + COUNT/SUM/MIN/MAX into remote SQL
+    // (SupportsPushDownAggregates -> PushedAggregates in the scan), so
+    // only the aggregated groups cross the wire — the Snowflake-adapter
+    // win the reference gets from pushing agg into the warehouse
+    // (ref BodoSQL adapter/snowflake/). Plan-asserted into the gated
+    // output: agg_pushed = the scan's own PushedAggregates claim.
+    "jdbc_agg_pushdown" -> ((s, d) => {
+      val url = s"jdbc:derby:/tmp/graft_derby/db_${d.replaceAll("[^a-zA-Z0-9]", "_")};create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .write.mode("overwrite")
+        // Derby maps StringType to CLOB by default, and CLOB cannot GROUP
+        // BY — pin a comparable VARCHAR so the remote aggregation is legal
+        .option("createTableColumnTypes", "c_mktsegment VARCHAR(32)")
+        .jdbc(url, "graft_cust_v2agg", props)
+      val cat = "gjdbc_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.url", url)
+      s.conf.set(s"spark.sql.catalog.$cat.driver",
+        "org.apache.derby.jdbc.EmbeddedDriver")
+      s.conf.set(s"spark.sql.catalog.$cat.pushDownAggregate", "true")
+      val q = s.sql(
+        s"""SELECT c_mktsegment, COUNT(*) AS n,
+           |  MIN(c_nationkey) AS min_nk, MAX(c_nationkey) AS max_nk
+           |FROM $cat.APP.GRAFT_CUST_V2AGG
+           |GROUP BY c_mktsegment""".stripMargin)
+      // complete pushdown: the optimized plan has NO Aggregate node left —
+      // the remote database computed the groups and the scan returns them
+      val hasScan = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.nonEmpty
+      val noLocalAgg = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty
+      q.withColumn("agg_pushed", lit(hasScan && noLocalAgg))
+    }),
+
     // Bucketed co-located join (the §2.3 pre-shuffled join story): both
     // sides written bucketed + sorted on the join key, so the sort-merge
     // join reads bucket-aligned splits with NO exchange on either side
@@ -261,6 +303,12 @@ object IoQueries extends QueryModule {
     "jdbc_pushdown" ->
       """SELECT c_custkey, c_acctbal
         |FROM customer WHERE c_acctbal > 5000""".stripMargin,
+
+    "jdbc_agg_pushdown" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  min(c_nationkey) AS min_nk, max(c_nationkey) AS max_nk,
+        |  true AS agg_pushed
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "layout_zorder" -> {
       val z = (0 until 10).map { j =>
