@@ -609,6 +609,48 @@ object DdlQueries extends QueryModule {
         .select("_commit_version", "_change_type", "n_rows", "sum_bal")
     }),
 
+    // INCREMENTAL MATERIALIZED-VIEW maintenance (r17 composite): a
+    // downstream count/sum aggregate kept EXACT by MERGE-ing net_changes
+    // deltas — create at v1, then append + MoR delete + group-moving MoR
+    // update + duplicate-row append land on the base, and two maintain()
+    // calls (one per range, second proving watermark idempotency) refresh
+    // the MV by reading ONLY the touched rows. The oracle rebuilds the
+    // aggregate from scratch over the replayed final state — maintained
+    // MUST equal rebuilt.
+    "composite_incremental_mv" -> ((s, d) => {
+      import graft.operators.IncrementalMv
+      import graft.sources.SnapshotLog
+      val ns = "mv_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      snapFixture(s, d, "incmv") { root =>
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_snap_warehouse/$ns"), true)
+        val b = customer(s, d).selectExpr("c_custkey AS k",
+          "c_nationkey AS grp",
+          "CAST(floor(c_acctbal * 100) AS BIGINT) AS v")
+        SnapshotLog.commit(b.filter(col("k") % 2 === 0), root,
+          overwrite = true, commitTsMs = 1000L)
+        IncrementalMv.create(s, root, s"$ns.mv", "grp", "v")
+        SnapshotLog.commit(b.filter(col("k") % 2 === 1), root,
+          overwrite = false, commitTsMs = 2000L)
+        SnapshotLog.deleteWhereMoR(s, root, col("v") < 0L, 3000L)
+        val w1 = IncrementalMv.maintain(s, root, s"$ns.mv", "grp", "v")
+        // group-moving update: rows change aggregation key mid-stream
+        SnapshotLog.updateWhereMoR(s, root, col("k") % 10 === 3,
+          Map("grp" -> (col("grp") + 100)), 4000L)
+        // duplicate-row append: multiplicities must carry into the MV
+        SnapshotLog.commit(b.filter(col("k") % 4 === 2), root,
+          overwrite = false, commitTsMs = 5000L)
+        val w2 = IncrementalMv.maintain(s, root, s"$ns.mv", "grp", "v")
+        require(w2 > w1, s"watermark must advance ($w1 -> $w2)")
+        require(IncrementalMv.maintain(s, root, s"$ns.mv", "grp", "v") == w2,
+          "maintain() must be idempotent at the head")
+      }
+      s.table(s"snap.$ns.mv")
+        .select(col("grp"), col("n"), col("s"))
+    }),
+
     // NET changelog (Iceberg net_changes): the same 5-version fixture
     // netted across the WHOLE range — intermediate churn vanishes, the
     // result is exactly the start-vs-end visible-set bag difference,
@@ -1360,6 +1402,23 @@ object DdlQueries extends QueryModule {
         |UNION ALL
         |SELECT CAST(4 AS INT), 'insert', CAST(count(*) AS BIGINT),
         |  round(sum(b + 1000.0), 2) FROM upd4""".stripMargin,
+
+    // incremental MV vs from-scratch rebuild over the replayed final
+    // state: all rows minus negative balances, k%10=3 survivors moved to
+    // grp+100, then the k%4=2 slice appended AGAIN (duplicates — the
+    // appended copies keep their ORIGINAL grp and include negative-v rows)
+    "composite_incremental_mv" ->
+      """WITH b AS (SELECT c_custkey AS k, c_nationkey AS grp,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS v
+        |           FROM customer),
+        |surv AS (SELECT * FROM b WHERE v >= 0),
+        |upd AS (SELECT k, CASE WHEN k % 10 = 3 THEN grp + 100 ELSE grp END
+        |          AS grp, v FROM surv),
+        |fin AS (SELECT * FROM upd
+        |        UNION ALL SELECT * FROM b WHERE k % 4 = 2)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS s
+        |FROM fin GROUP BY grp""".stripMargin,
 
     // compute_updates: v4's delete+insert pairs retag as pre/post images;
     // everything else matches ddl_changelog

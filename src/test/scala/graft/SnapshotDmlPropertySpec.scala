@@ -59,6 +59,26 @@ class SnapshotDmlPropertySpec extends AnyFunSuite {
 
       appendBatch(30) // seed content
 
+      // incremental MV over the same random history: count/sum per value
+      // bucket, created at the seed version, maintained mid-run and at the
+      // end — must equal a from-scratch rebuild at every refresh
+      val mvTable = s"mvprop.mv_${seed}_${shardMin.getOrElse(0)}"
+      new Path(s"/tmp/graft_snap_warehouse/mvprop").getFileSystem(
+        spark.sessionState.newHadoopConf()).delete(
+        new Path(s"/tmp/graft_snap_warehouse/" +
+          mvTable.replace('.', '/')), true)
+      graft.operators.IncrementalMv.create(spark, root, mvTable, "v", "k")
+      def mvMatchesRebuild(ctx: String): Unit = {
+        graft.operators.IncrementalMv.maintain(spark, root, mvTable, "v", "k")
+        val got = spark.table(s"snap.$mvTable").collect()
+          .map(r => (r.getAs[Long]("v"),
+            (r.getAs[Long]("n"), r.getAs[Long]("s")))).toMap
+        val want = model.toSeq.groupBy(_._2).map { case (v, kvs) =>
+          v -> (kvs.size.toLong, kvs.map(_._1).sum)
+        }
+        assert(got === want, s"incremental MV diverged from rebuild ($ctx)")
+      }
+
       val opNames = scala.collection.mutable.ArrayBuffer[String]()
       var sawShards = false
       var branchN = 0
@@ -135,7 +155,11 @@ class SnapshotDmlPropertySpec extends AnyFunSuite {
         val ctx = s"seed=$seed step=$step ops=${opNames.mkString(",")}"
         assert(stateOf(root) === model, s"DSv2 read diverged ($ctx)")
         assert(bulkStateOf(root) === model, s"bulk read diverged ($ctx)")
+        // refresh the incremental MV mid-run at a couple of random points
+        // (multi-version catch-up ranges), not just at the end
+        if (step == 6 || step == 11) mvMatchesRebuild(ctx)
       }
+      mvMatchesRebuild(s"seed=$seed end-of-run")
 
       // CDC invariant over the WHOLE random history (before expiry drops
       // old manifests): replaying the changelog from genesis — net insert
