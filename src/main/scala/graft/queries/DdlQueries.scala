@@ -124,6 +124,78 @@ object DdlQueries extends QueryModule {
     // Output = the recorded row count and the o_orderstatus NDV read back
     // from catalog metadata (HLL++ is exact at this cardinality, so the
     // DuckDB oracle can check values, not just presence).
+    // HISTOGRAM-DRIVEN JOIN CHOICE (r17 bench gate): a 99%-selective
+    // filter on a SKEWED key (99% of keys < 100, 1% flung to ~1e6) is
+    // underestimated by orders of magnitude under uniform min/max
+    // interpolation — CBO then wrongly BROADCASTS the multi-MB filtered
+    // side. Equi-height histograms (riding ANALYZE) land the estimate near
+    // the truth and the broadcast flips away. Both directions are
+    // exercised LIVE in this gate (ANALYZE histBins=0 then histBins=64 on
+    // the same fixture) and pinned as booleans in the oracle-checked
+    // output; the join's own aggregate is the relational payload. Benched
+    // per-round, so the CBO surface carries a perf gate.
+    "cbo_hist_skew_join" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val skewRoot = snapFixture(s, d, "cboskew") { root =>
+        // ×4 replication keeps the filtered side well past the broadcast
+        // threshold even at small SF (AQE re-checks REAL shuffle bytes at
+        // runtime — a genuinely tiny side would legitimately re-broadcast)
+        val skew = orders(s, d)
+          .selectExpr("o_orderkey", "explode(sequence(0, 1)) AS j")
+          .selectExpr(
+            "CASE WHEN o_orderkey % 100 < 99 THEN o_orderkey % 100 " +
+              "ELSE 1000000 + o_orderkey % 1000 END AS k",
+            "concat(md5(cast(o_orderkey + j AS string)), " +
+              "md5(cast(o_orderkey + j + 1 AS string)), " +
+              "md5(cast(o_orderkey + j + 2 AS string)), " +
+              "md5(cast(o_orderkey + j + 3 AS string))) AS pad")
+        SnapshotLog.commit(skew, root, overwrite = true,
+          commitTsMs = 100L, numFiles = 1): Unit
+      }
+      val dimRoot = snapFixture(s, d, "cbodim") { root =>
+        // the dim side must sit ABOVE the broadcast threshold too (674 KB
+        // of 6-md5 pad legitimately broadcast — that is the correct plan,
+        // not the hazard this gate pins), so pad it past 1 MiB: the only
+        // broadcast left on the table is the misestimated skew side
+        // UNIQUE dim keys: the join output stays ~|filtered skew| rows
+        // at every SF (a %128 dim key exploded the join quadratically)
+        SnapshotLog.commit(orders(s, d).selectExpr(
+          "o_orderkey AS k",
+          (0 until 12).map(i =>
+            s"md5(cast(o_orderkey + $i AS string))")
+            .mkString("concat(", ", ", ") AS pad2")),
+          root, overwrite = true, commitTsMs = 100L, numFiles = 1): Unit
+      }
+      val olds = Seq("spark.sql.cbo.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").map(k =>
+        k -> s.conf.getOption(k))
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      // 512 KiB: both REAL sides (dim ~0.8 MiB parquet-bytes estimate,
+      // filtered skew ~8 MiB with histograms) sit above it; only the
+      // uniform-interpolation misestimate (~1 KiB) falls below
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", (1 << 19).toString)
+      try {
+        def joined() = snapRead(s, skewRoot).filter(col("k") < 100L)
+          .join(snapRead(s, dimRoot), "k")
+        def broadcasts() = {
+          val j = joined()
+          j.write.format("noop").mode("overwrite").save()
+          j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+        }
+        SnapshotLog.analyze(s, skewRoot, histBins = 0)
+        val uniformBroadcasts = broadcasts() // the hazard: misestimated-tiny
+        SnapshotLog.analyze(s, skewRoot, histBins = 64)
+        val histBroadcasts = broadcasts() // corrected: stays shuffled
+        joined().agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).as("sum_k"))
+          .withColumn("uniform_broadcasts", lit(uniformBroadcasts))
+          .withColumn("hist_broadcasts", lit(histBroadcasts))
+      } finally olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     "ddl_analyze" -> ((s, d) => {
       registerViews(s, d)
       s.sql("DROP TABLE IF EXISTS graft_stats_orders")
@@ -1402,6 +1474,20 @@ object DdlQueries extends QueryModule {
         |UNION ALL
         |SELECT CAST(4 AS INT), 'insert', CAST(count(*) AS BIGINT),
         |  round(sum(b + 1000.0), 2) FROM upd4""".stripMargin,
+
+    // the skewed filter truly keeps ~99% of rows; the booleans pin the
+    // CBO flip (uniform min/max wrongly broadcasts, histograms do not)
+    "cbo_hist_skew_join" ->
+      """WITH skew AS (SELECT CASE WHEN o_orderkey % 100 < 99
+        |         THEN o_orderkey % 100
+        |         ELSE 1000000 + o_orderkey % 1000 END AS k
+        |       FROM orders CROSS JOIN (VALUES (0), (1)) r(j)),
+        |dim AS (SELECT o_orderkey AS k FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(s.k) AS BIGINT) AS sum_k,
+        |  true AS uniform_broadcasts, false AS hist_broadcasts
+        |FROM (SELECT k FROM skew WHERE k < 100) s
+        |JOIN dim d ON s.k = d.k""".stripMargin,
 
     // incremental MV vs from-scratch rebuild over the replayed final
     // state: all rows minus negative balances, k%10=3 survivors moved to
