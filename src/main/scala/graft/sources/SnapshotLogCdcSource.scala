@@ -26,9 +26,12 @@ import org.apache.spark.sql.types._
   * Options: `fromVersion` (default 0 = full history as inserts first),
   * `maxVersionsPerTrigger` (bound versions per micro-batch; a restart
   * may plan one larger catch-up batch from the checkpoint, like every
-  * rate-limited Spark source). The output schema is pinned at stream
-  * start; columns added to the table mid-stream surface after a stream
-  * restart (Delta CDF's contract).
+  * rate-limited Spark source), `identifierColumns` (comma-separated key
+  * columns: each micro-batch pairs a version's delete+insert of a key
+  * into `update_preimage`/`update_postimage` rows — Delta CDF's streamed
+  * update images). The output schema is pinned at stream start; columns
+  * added to the table mid-stream surface after a stream restart (Delta
+  * CDF's contract).
   *
   * Reference surface: the reference reads Iceberg CDC through the
   * connector; this is the native stream over the snapshot log. */
@@ -50,7 +53,9 @@ class SnapshotLogCdcSource extends StreamSourceProvider with DataSourceRegister 
     new CdcSource(spark, root,
       parameters.get("fromVersion").map(_.toInt).getOrElse(0),
       parameters.get("maxVersionsPerTrigger").map(_.toInt),
-      cdcSchema(spark, root))
+      cdcSchema(spark, root),
+      parameters.get("identifierColumns").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
   }
 }
 
@@ -74,7 +79,8 @@ private[sources] object SnapshotLogCdcSource {
 
   private[sources] class CdcSource(spark: SparkSession, root: String,
       fromVersion: Int, maxVersionsPerTrigger: Option[Int],
-      declared: StructType) extends Source {
+      declared: StructType,
+      identifierCols: Seq[String] = Nil) extends Source {
 
     override def schema: StructType = declared
 
@@ -119,7 +125,8 @@ private[sources] object SnapshotLogCdcSource {
       // conform to the DECLARED schema: changes() conforms to the range
       // end's schema, which can drift from the stream-start pin under
       // mid-stream column adds
-      val ch = SnapshotLog.changes(spark, root, fromV, Some(toV))
+      val ch = SnapshotLog.changes(spark, root, fromV, Some(toV),
+        identifierCols = identifierCols)
       // the batch's columns carry the RANGE END's names; resolve each
       // declared column through its stable field id so a mid-stream
       // rename keeps feeding it (a column dropped mid-stream null-fills)

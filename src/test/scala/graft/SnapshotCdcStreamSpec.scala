@@ -132,4 +132,35 @@ class SnapshotCdcStreamSpec extends AnyFunSuite {
       assert(prog.forall(_.numInputRows == 1))
     } finally q.stop()
   }
+
+  test("identifierColumns streams update images (Delta CDF parity)") {
+    val root = freshDir("updimg/table")
+    val ckpt = freshDir("updimg/ckpt")
+    SnapshotLog.commit(
+      spark.range(0, 20).selectExpr("id AS k", "id * 10 AS v"), root,
+      overwrite = true, 1000L)
+    val q = spark.readStream.format("snapshotlog-cdc")
+      .option("fromVersion", "0").option("identifierColumns", "k")
+      .load(root)
+      .writeStream.format("memory").queryName("cdc_upd")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // live update: the stream carries paired images, not delete+insert
+      SnapshotLog.updateWhereMoR(spark, root, col("k") % 5 === 0,
+        Map("v" -> (col("v") + 1L)), 2000L)
+      q.processAllAvailable()
+      val v2 = spark.table("cdc_upd").filter(col("_commit_version") === 2)
+        .select("k", "v", "_change_type")
+        .as[(Long, Long, String)].collect().toSet
+      val keys = (0L until 20L).filter(_ % 5 == 0)
+      assert(v2 === keys.flatMap(k => Seq(
+        (k, k * 10, "update_preimage"),
+        (k, k * 10 + 1, "update_postimage"))).toSet)
+      // v1 history stayed plain inserts
+      assert(spark.table("cdc_upd").filter(col("_commit_version") === 1)
+        .select("_change_type").distinct().as[String].collect().toSeq ===
+        Seq("insert"))
+    } finally q.stop()
+  }
 }
