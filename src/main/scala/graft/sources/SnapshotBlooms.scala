@@ -265,10 +265,15 @@ private[sources] object SnapshotBlooms {
     }
   }
 
-  /** Reclaim sidecars none of whose files are referenced by any retained
-    * snapshot (expiry hook). Returns the number deleted. */
+  /** Reclaim sidecars whose files are ALL provably dead: every file
+    * appears in `knownDead` (files of the snapshots being expired) and
+    * none is live. "Unknown" files keep the sidecar — they may belong to
+    * an IN-FLIGHT commit whose sidecar is written before its manifest
+    * publishes (reclaiming those would silently shed the new commit's
+    * bloom coverage). Returns the number deleted. */
   def expireSidecars(spark: SparkSession, root: String,
-                     liveFiles: Set[String]): Int = {
+                     liveFiles: Set[String],
+                     knownDead: Set[String]): Int = {
     try {
       val dir = bloomsDir(root)
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -287,7 +292,8 @@ private[sources] object SnapshotBlooms {
               } finally in.close()
             }).get("files").fieldNames().asScala.toSeq
           } catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
-          if (files.nonEmpty && !files.exists(liveFiles.contains)) {
+          if (files.nonEmpty && !files.exists(liveFiles.contains) &&
+              files.forall(knownDead.contains)) {
             fs.delete(s.getPath, false)
             sidecarCache.remove(s.getPath.toString)
             n += 1

@@ -3381,10 +3381,13 @@ object SnapshotLog {
         v < oldestLive && !keepStats.contains(v)
       }.foreach { case (_, nm) => fs.delete(new Path(logDir(root), nm), false) }
       invalidateColStats(root)
-      // bloom/sort sidecars all of whose files died with the expired
-      // versions
-      SnapshotBlooms.expireSidecars(spark, root, liveFiles): Unit
-      SnapshotSorts.expireSidecars(spark, root, liveFiles): Unit
+      // bloom/sort sidecars all of whose files PROVABLY died with the
+      // expired versions (files of an in-flight commit are unknown, not
+      // dead — their sidecars stay)
+      val deadFiles = (dead.flatMap(_.files) ++
+        dead.flatMap(_.dels.values.flatten)).map(norm).toSet
+      SnapshotBlooms.expireSidecars(spark, root, liveFiles, deadFiles): Unit
+      SnapshotSorts.expireSidecars(spark, root, liveFiles, deadFiles): Unit
     }
     if (orphanScan) {
       val cutoff = System.currentTimeMillis() - orphanGraceMs

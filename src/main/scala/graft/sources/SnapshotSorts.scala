@@ -106,9 +106,12 @@ private[graft] object SnapshotSorts {
     }
   }
 
-  /** Expiry hook: reclaim sidecars none of whose files survive. */
+  /** Expiry hook: reclaim sidecars whose files are ALL provably dead
+    * (in `knownDead`, none live) — unknown files may belong to an
+    * in-flight commit whose sidecar published before its manifest. */
   def expireSidecars(spark: SparkSession, root: String,
-                     liveFiles: Set[String]): Int = {
+                     liveFiles: Set[String],
+                     knownDead: Set[String]): Int = {
     try {
       val dir = sortsDir(root)
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -119,7 +122,8 @@ private[graft] object SnapshotSorts {
           s.getPath.getName.endsWith(".json"))
         .foreach { s =>
           val files = parse(fs, s.getPath).keySet
-          if (files.nonEmpty && !files.exists(liveFiles.contains)) {
+          if (files.nonEmpty && !files.exists(liveFiles.contains) &&
+              files.forall(knownDead.contains)) {
             fs.delete(s.getPath, false)
             cache.remove(s.getPath.toString)
             n += 1
