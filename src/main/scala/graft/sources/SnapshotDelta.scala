@@ -115,6 +115,8 @@ private[sources] class SnapshotDeltaBatchWrite(root: String,
     val newSizes = newFiles
       .map(f => SnapshotLog.norm(f) -> fs.getFileStatus(new Path(f)).getLen).toMap
     val (newStats, newCols, newRows) = SnapshotLog.footerMeta(conf, newFiles, schema)
+    // delta-appended files carry bloom coverage like any other commit
+    SnapshotBlooms.writeSidecar(spark, root, newFiles, schema, newRows)
     val allFiles = cur.files ++ newFiles
     val (fids, colIds, maxId) =
       SnapshotLog.fidCarry(Some(cur), schema, allFiles, newCols)

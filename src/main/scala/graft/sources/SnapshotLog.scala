@@ -1541,6 +1541,7 @@ object SnapshotLog {
     val newSizes = statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap
     val (newStats, newCols, newRows) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
+    SnapshotBlooms.writeSidecar(spark, root, newFiles, df.schema, newRows)
     val allFiles = head.files ++ newFiles
     val (fids, colIds, maxId) = fidCarry(Some(head), df.schema, allFiles, newCols)
     try {

@@ -220,6 +220,9 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
     val (newStats, newCols, newRows) = SnapshotLog.footerMeta(conf, newFiles, schema)
     val newSizes = newFiles
       .map(f => SnapshotLog.norm(f) -> fs.getFileStatus(new Path(f)).getLen).toMap
+    // rewritten files regenerate bloom coverage (a DML-heavy table must
+    // not bleed point-lookup pruning file by file until compaction)
+    SnapshotBlooms.writeSidecar(spark, root, newFiles, schema, newRows)
     val (fids, colIds, maxId) =
       SnapshotLog.fidCarry(Some(cur), schema, untouched ++ newFiles, newCols)
     try {

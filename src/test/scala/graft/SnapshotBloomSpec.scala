@@ -153,6 +153,34 @@ class SnapshotBloomSpec extends AnyFunSuite {
     assert(t.filter(col("k") === k).select("v").as[Long].head() === 123L)
   }
 
+  test("row-level DML rewrites regenerate bloom coverage (SQL UPDATE)") {
+    val wh = "/tmp/graft_snap_warehouse"
+    val ns = "bloomdml"
+    val root = s"$wh/$ns/t"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    spark.sql(s"DROP TABLE IF EXISTS snap.$ns.t")
+    spark.sql(s"CREATE TABLE snap.$ns.t AS " +
+      "SELECT md5(cast(id AS string)) AS k, id AS v FROM range(0, 4000)")
+    SnapshotLog.setTableProps(spark, root,
+      Map("write.bloom.columns" -> "k"))
+    // re-commit under the property so every file is covered
+    SnapshotLog.rewriteDataFiles(spark, root,
+      SnapshotLog.snapshots(spark, root).last.commitTsMs + 1000,
+      targetBytes = 1L << 30, smallBytes = Long.MaxValue) // rewrite ALL
+    // copy-on-write UPDATE rewrites the touched file(s)
+    spark.sql(s"UPDATE snap.$ns.t SET v = v + 1 WHERE v % 100 = 7")
+    val t = spark.read.format("snapshotlog").load(root)
+    val total = SnapshotLog.snapshots(spark, root).last.files.size
+    val miss = t.filter(col("k") === md5(lit("absent")))
+    assert(filesPlanned(miss) === 0,
+      s"DML-rewritten files must carry fresh blooms " +
+        s"(planned ${filesPlanned(miss)}/$total):\n")
+    // correctness: updated row found under its (unchanged) key
+    val k7 = spark.sql("SELECT md5('7')").head().getString(0)
+    assert(t.filter(col("k") === k7).select("v").as[Long].head() === 8L)
+  }
+
   test("parquet-native blooms are written into the data files (task-level tier)") {
     val root = freshRoot("native")
     SnapshotLog.commit(spark.range(0, 10).selectExpr(
