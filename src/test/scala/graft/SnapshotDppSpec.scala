@@ -113,6 +113,51 @@ class SnapshotDppSpec extends AnyFunSuite {
     }
   }
 
+  test("DPP + SPJ + sort-order compose: runtime-pruned, exchange-free AND " +
+       "sort-free merge join on cluster-by-compacted tables") {
+    val fact = freshTable("spjdpps_fact")
+    val dim = freshTable("spjdpps_dim")
+    val spec = Seq("k" -> "bucket[8]")
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 20000).selectExpr("id AS k", "id * 2 AS v"),
+      fact, spec, overwrite = true, 1000L)
+    SnapshotLog.commitPartitioned(
+      spark.range(0, 20000, 100)
+        .selectExpr("id AS k", "cast(id % 7 AS int) AS cat"),
+      dim, spec, overwrite = true, 1000L)
+    // cluster-by compaction: one KEY-SORTED file per bucket on both sides
+    SnapshotLog.rewriteDataFiles(spark, fact, 2000L,
+      targetBytes = 1L << 30, clusterBy = Seq("k"))
+    SnapshotLog.rewriteDataFiles(spark, dim, 2000L,
+      targetBytes = 1L << 30, clusterBy = Seq("k"))
+    val olds = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try {
+      val j = spark.table("snap.dpp.spjdpps_fact").hint("merge")
+        .join(spark.table("snap.dpp.spjdpps_dim").filter(col("cat") === 3), "k")
+        .select(col("k"), col("v"))
+      val rows = j.as[(Long, Long)].collect().toSet
+      assert(rows === (500L until 20000L by 700).map(k => (k, k * 2)).toSet)
+      val plan = j.queryExecution.executedPlan.toString
+      val shuffles = "Exchange".r.findAllIn(plan).size -
+        "BroadcastExchange".r.findAllIn(plan).size
+      assert(shuffles === 0,
+        s"the co-bucketed join must stay storage-partitioned:\n$plan")
+      assert("\\bSort \\[".r.findAllIn(plan).isEmpty,
+        s"co-sorted compacted files must also skip the merge-join Sort:\n$plan")
+      assert(plan.contains("dynamicpruning"),
+        s"the selective dim filter must still runtime-prune the fact scan:\n$plan")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime filtering composes with MoR deletes and stays exact") {
     val fact = freshTable("fact_mor")
     val dim = freshTable("dim_mor")
