@@ -135,7 +135,7 @@ class SnapshotLogCatalog extends TableCatalog
 
   private val metaSuffixes =
     Set("history", "files", "snapshots", "refs", "deletes", "partitions",
-      "manifests")
+      "manifests", "blooms", "sorts")
 
   private def load(ident: Identifier, v: Option[Int], tsMs: Option[Long]): Table = {
     val root = rootFor(ident)
@@ -167,6 +167,14 @@ class SnapshotLogCatalog extends TableCatalog
             case "manifests" =>
               SnapshotMetaTable.manifestsTable(nm,
                 SnapshotLog.manifestInventory(spark, baseRoot, v, tsMs))
+            case "blooms" =>
+              SnapshotMetaTable.bloomsTable(nm,
+                SnapshotLog.pick(spark, baseRoot, v, tsMs),
+                SnapshotBlooms.bloomsAt(baseRoot))
+            case "sorts" =>
+              SnapshotMetaTable.sortsTable(nm,
+                SnapshotLog.pick(spark, baseRoot, v, tsMs),
+                SnapshotSorts.sortsAt(baseRoot))
           }
         }
       }

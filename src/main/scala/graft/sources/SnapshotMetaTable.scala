@@ -77,6 +77,37 @@ private[sources] object SnapshotMetaTable {
         ds.map(d => Seq(df, d))
       })
 
+  /** Bloom-sidecar inventory of one snapshot: one row per covered
+    * (data file, column) with the bloom's bit size — the observability
+    * face of [[SnapshotBlooms]] (which files a needle probe can skip). */
+  def bloomsTable(name: String, snap: SnapshotLog.Snapshot,
+                  blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]])
+      : SnapshotMetaTable = {
+    val live = snap.files.map(SnapshotLog.norm).toSet
+    new SnapshotMetaTable(name,
+      StructType(Seq(
+        StructField("data_file", StringType, nullable = false),
+        StructField("column", StringType, nullable = false),
+        StructField("bloom_bits", LongType, nullable = false))),
+      blooms.toSeq.sortBy(_._1).flatMap { case (c, perFile) =>
+        perFile.toSeq.filter(e => live.contains(e._1)).sortBy(_._1)
+          .map { case (f, bf) => Seq(f, c, bf.bitSize()) }
+      })
+  }
+
+  /** Sort-order inventory of one snapshot: one row per recorded-sorted
+    * data file with its comma-joined sort columns ([[SnapshotSorts]]). */
+  def sortsTable(name: String, snap: SnapshotLog.Snapshot,
+                 sorts: Map[String, Seq[String]]): SnapshotMetaTable = {
+    val live = snap.files.map(SnapshotLog.norm).toSet
+    new SnapshotMetaTable(name,
+      StructType(Seq(
+        StructField("data_file", StringType, nullable = false),
+        StructField("sort_order", StringType, nullable = false))),
+      sorts.toSeq.filter(e => live.contains(e._1)).sortBy(_._1)
+        .map { case (f, o) => Seq(f, o.mkString(",")) })
+  }
+
   /** Shard inventory (Iceberg's `manifests` table): one row per manifest
     * shard + one for the inline block — path, size, entry counts split
     * live vs tombstoned. Input rows come from

@@ -181,6 +181,27 @@ class SnapshotBloomSpec extends AnyFunSuite {
     assert(t.filter(col("k") === k7).select("v").as[Long].head() === 8L)
   }
 
+  test(".blooms metadata table inventories live covered (file, column) pairs") {
+    val wh = "/tmp/graft_snap_warehouse"
+    val ns = "bloommeta"
+    val root = s"$wh/$ns/t"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    spark.sql(s"DROP TABLE IF EXISTS snap.$ns.t")
+    spark.sql(s"CREATE TABLE snap.$ns.t AS " +
+      "SELECT md5(cast(id AS string)) AS k, id AS v FROM range(0, 100)")
+    SnapshotLog.setTableProps(spark, root, Map("write.bloom.columns" -> "k"))
+    SnapshotLog.commit(spark.range(100, 200).selectExpr(
+      "md5(cast(id AS string)) AS k", "id AS v"), root,
+      overwrite = false, 99999L, 2)
+    val rows = spark.sql(s"SELECT * FROM snap.$ns.t.blooms").collect()
+    assert(rows.length === 2, "2 covered files expected")
+    assert(rows.forall(_.getAs[String]("column") == "k"))
+    assert(rows.forall(_.getAs[Long]("bloom_bits") > 0))
+    val total = SnapshotLog.snapshots(spark, root).last.files.size
+    assert(rows.length < total, "v1 (pre-property) files are uncovered")
+  }
+
   test("parquet-native blooms are written into the data files (task-level tier)") {
     val root = freshRoot("native")
     SnapshotLog.commit(spark.range(0, 10).selectExpr(

@@ -146,6 +146,24 @@ class SnapshotSortOrderSpec extends AnyFunSuite {
       "a scan that pruned the sort column must not claim its ordering")
   }
 
+  test(".sorts metadata table lists recorded-sorted live files") {
+    val ns = "sortmeta"
+    val l = freshTable(ns, "t")
+    spark.sql(s"DROP TABLE IF EXISTS snap.$ns.t")
+    spark.sql(s"CREATE TABLE snap.$ns.t AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(0, 500)")
+    SnapshotLog.rewriteDataFiles(spark, l,
+      SnapshotLog.snapshots(spark, l).last.commitTsMs + 1000,
+      targetBytes = 1L << 30, smallBytes = Long.MaxValue,
+      clusterBy = Seq("k"))
+    val rows = spark.sql(s"SELECT * FROM snap.$ns.t.sorts").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("sort_order") == "k"))
+    val live = SnapshotLog.snapshots(spark, l).last.files
+      .map(_.replaceFirst("^file:/*", "/")).toSet
+    assert(rows.map(_.getAs[String]("data_file")).forall(live.contains))
+  }
+
   test("expiry reclaims sort sidecars whose files all died") {
     val ns = "sortexp"
     val l = freshTable(ns, "t")
