@@ -127,6 +127,43 @@ object DdlQueries extends QueryModule {
     // Output = the recorded row count and the o_orderstatus NDV read back
     // from catalog metadata (HLL++ is exact at this cardinality, so the
     // DuckDB oracle can check values, not just presence).
+    // Z-ORDER COMPACTION (r17 — Iceberg rewrite_data_files sort_order =
+    // zorder(x, y)): the multi-dimensional file-skipping layout a
+    // lexicographic clusterBy cannot give. Orders-derived (x, y) keys are
+    // z-order-rewritten into 16 files; a RANGE PROBE ON EACH DIMENSION
+    // independently prunes to a fraction of the files (files_scanned is
+    // the planner's own count). A clusterBy(x) control would prune y
+    // probes NOT AT ALL — z-order pays a small x-degradation to buy y
+    // pruning a total order can never have.
+    "ddl_zorder_rewrite" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "zorder") { root =>
+        val t = orders(s, d).selectExpr(
+          "o_custkey % 1024 AS x", "o_orderkey % 1024 AS y",
+          "o_totalprice AS p")
+        SnapshotLog.commit(t, root, overwrite = true, 100L, 4)
+        val fileBytes = SnapshotLog.snapshots(s, root).last
+          .sizes.values.sum
+        val v = SnapshotLog.rewriteDataFiles(s, root, 200L,
+          targetBytes = math.max(1L, fileBytes / 32),
+          smallBytes = Long.MaxValue, zorderBy = Seq("x", "y"))
+        require(v == 2, s"z-order rewrite expected at v2, got $v")
+      }
+      val t = snapRead(s, root)
+      val total = SnapshotLog.snapshots(s, root).last.files.size
+      def probe(label: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("p")), 2).as("sum_p"))
+          .withColumn("pruned", lit(filesPlanned(df) * 2 <= total))
+          .withColumn("probe", lit(label))
+      Seq(
+        probe("x_range", t.filter(col("x") >= 100L && col("x") < 200L)),
+        probe("y_range", t.filter(col("y") >= 700L && col("y") < 800L)),
+        probe("xy_point", t.filter(col("x") === 37L && col("y") === 503L)))
+        .reduce(_ unionByName _)
+        .select("probe", "n_rows", "sum_p", "pruned")
+    }),
+
     // HISTOGRAM-DRIVEN JOIN CHOICE (r17 bench gate): a 99%-selective
     // filter on a SKEWED key (99% of keys < 100, 1% flung to ~1e6) is
     // underestimated by orders of magnitude under uniform min/max
@@ -1484,6 +1521,21 @@ object DdlQueries extends QueryModule {
         |UNION ALL
         |SELECT CAST(4 AS INT), 'insert', CAST(count(*) AS BIGINT),
         |  round(sum(b + 1000.0), 2) FROM upd4""".stripMargin,
+
+    // z-order: every probe direction prunes to <= half the files (pinned
+    // as booleans); the aggregates replay relationally
+    "ddl_zorder_rewrite" ->
+      """WITH t AS (SELECT o_custkey % 1024 AS x, o_orderkey % 1024 AS y,
+        |             o_totalprice AS p FROM orders)
+        |SELECT 'x_range' AS probe, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(p), 2) AS sum_p, true AS pruned
+        |FROM t WHERE x >= 100 AND x < 200
+        |UNION ALL
+        |SELECT 'y_range', CAST(count(*) AS BIGINT), round(sum(p), 2), true
+        |FROM t WHERE y >= 700 AND y < 800
+        |UNION ALL
+        |SELECT 'xy_point', CAST(count(*) AS BIGINT), round(sum(p), 2), true
+        |FROM t WHERE x = 37 AND y = 503""".stripMargin,
 
     // the skewed filter truly keeps ~99% of rows; the booleans pin the
     // CBO flip (uniform min/max wrongly broadcasts, histograms do not)

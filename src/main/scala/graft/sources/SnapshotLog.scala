@@ -2983,12 +2983,72 @@ object SnapshotLog {
     * into near-partition-pruning (Iceberg's sort-order rewrite; the
     * Z-order analog for one sort dimension). Daily-append tables commit
     * in arrival order; this is where they get query order. */
+  /** Bit-interleaved Z-VALUE over `zCols`: each column is linearly
+    * bucketed to 2^bits ids through its own (min, max) — ONE aggregate
+    * pass over data the compaction reads anyway — and the ids' bits are
+    * interleaved (col i contributes bit j to position j*n+i). Sorting by
+    * this value gives every output file a TIGHT min/max on EVERY z
+    * column (the Iceberg zorder() sort-function analog in integer
+    * space). Numeric columns only; nulls bucket to 0 (they cluster
+    * together, pruning stays conservative via the normal null rules). */
+  private def validateZorderBy(schema: StructType, zCols: Seq[String]): Unit = {
+    require(zCols.size >= 2, "zorderBy needs at least 2 columns " +
+      "(use clusterBy for a single key)")
+    require(zCols.size <= 6, "zorderBy supports at most 6 columns")
+    zCols.foreach { c =>
+      val dt = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"zorderBy: no column $c in ${schema.fieldNames.mkString(",")}")
+      ).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zorderBy: $c is ${dt.simpleString}; z-order supports numeric " +
+          "columns (truncate/bucket strings into a numeric key first)")
+    }
+  }
+
+  private def zorderColumn(spark: SparkSession, df: DataFrame,
+                           zCols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    validateZorderBy(df.schema, zCols)
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bits = 10 // 2^10 buckets per dimension; n*bits <= 60 bits total
+    val n = zCols.size
+    zCols.zipWithIndex.map { case (c, i) =>
+      val mn = Option(row.getAs[java.lang.Double](s"__mn_$c"))
+        .map(_.doubleValue).getOrElse(0.0)
+      val mx = Option(row.getAs[java.lang.Double](s"__mx_$c"))
+        .map(_.doubleValue).getOrElse(0.0)
+      val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+      val bucket = least(lit((1 << bits) - 1L), greatest(lit(0L),
+        floor((coalesce(col(c).cast("double"), lit(mn)) - mn)
+          / span * (1 << bits)).cast("long")))
+      (0 until bits).map(j =>
+        shiftright(bucket, j).bitwiseAND(lit(1L)) * lit(1L << (j * n + i)))
+        .reduce(_ + _)
+    }.reduce(_ + _)
+  }
+
   def rewriteDataFiles(spark: SparkSession, root: String, commitTsMs: Long,
                        targetBytes: Long = 128L << 20,
                        smallBytes: Long = -1L,
-                       clusterBy: Seq[String] = Nil): Int = {
+                       clusterBy: Seq[String] = Nil,
+                       zorderBy: Seq[String] = Nil): Int = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "rewriteDataFiles: clusterBy and zorderBy are mutually exclusive " +
+        "(a z-order trades total order for multi-dimension locality)")
     val threshold = if (smallBytes > 0) smallBytes else targetBytes
+    if (zorderBy.nonEmpty)
+      require(pick(spark, root, None, None).spec.isEmpty,
+        "rewriteDataFiles: zorderBy on a hidden-partitioned table is " +
+          "unsupported — the layout-preserving partitioned compaction " +
+          "already clusters by the partition tuple")
     val cur = pick(spark, root, None, None)
+    // misuse must refuse even when the table needs no rewrite (a no-op
+    // early return would silently bless an invalid zorderBy spec)
+    if (zorderBy.nonEmpty) validateZorderBy(cur.schema, zorderBy)
     val fs = fsFor(spark, new Path(root))
     def sizeOf(f: String): Long = cur.sizes.getOrElse(norm(f),
       fs.getFileStatus(new Path(f)).getLen)
@@ -3032,10 +3092,24 @@ object SnapshotLog {
           found.map(f => norm(f._1) -> f._2).toMap,
           found.map(f => norm(f._1) -> f._3).toMap)
       } else {
+        import org.apache.spark.sql.functions.col
         val shaped =
-          if (clusterBy.isEmpty) input.repartition(numOut)
+          if (zorderBy.nonEmpty) {
+            // Z-ORDER layout (Iceberg rewrite_data_files sort_order =
+            // zorder(...)): range-partition + sort by the bit-interleaved
+            // key so every output file's (min, max) is TIGHT on EVERY
+            // z dimension — probes on any single dimension prune, the
+            // multi-key file-skipping layout a lexicographic sort cannot
+            // give (its second key's min/max spans the space in every
+            // file). The z column is a transient sort key, dropped before
+            // write (projection preserves the sort).
+            input.withColumn("__z", zorderColumn(spark, input, zorderBy))
+              .repartitionByRange(numOut, col("__z"))
+              .sortWithinPartitions("__z")
+              .drop("__z")
+          }
+          else if (clusterBy.isEmpty) input.repartition(numOut)
           else {
-            import org.apache.spark.sql.functions.col
             val keys = clusterBy.map(col)
             input.repartitionByRange(numOut, keys: _*)
               .sortWithinPartitions(keys: _*)

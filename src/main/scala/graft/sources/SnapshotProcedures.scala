@@ -90,19 +90,23 @@ private[sources] object SnapshotProcedures {
         .defaultValue("134217728").build(),
       ProcedureParameter.in("cluster_by", StringType)
         .defaultValue("''")
-        .comment("comma-separated sort columns; empty = bin-pack only").build())
+        .comment("comma-separated sort columns; empty = bin-pack only").build(),
+      ProcedureParameter.in("zorder_by", StringType)
+        .defaultValue("''")
+        .comment("comma-separated z-order columns (2-6, numeric); " +
+          "mutually exclusive with cluster_by").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val root = rootFor(warehouse, input.getUTF8String(0).toString)
       val targetBytes = input.getLong(1)
-      val clusterBy = Option(input.getUTF8String(2)).map(_.toString)
-        .filter(_.nonEmpty).map(_.split(',').map(_.trim).toSeq)
-        .getOrElse(Seq.empty)
+      def cols(i: Int): Seq[String] = Option(input.getUTF8String(i))
+        .map(_.toString).filter(_.nonEmpty)
+        .map(_.split(',').map(_.trim).toSeq).getOrElse(Seq.empty)
       val before = SnapshotLog.pick(spark, root, None, None)
       val v = SnapshotLog.rewriteDataFiles(spark, root,
         commitTsMs = SnapshotLog.nextCommitTs(spark, root),
-        targetBytes = targetBytes, clusterBy = clusterBy)
+        targetBytes = targetBytes, clusterBy = cols(2), zorderBy = cols(3))
       val after = SnapshotLog.pick(spark, root, None, None)
       Iterator(resultScan(
         StructType(Seq(
