@@ -3302,7 +3302,8 @@ object SnapshotLog {
       }.getOrElse(dflt)
       val maxDel = intProp("write.delete.max-files-per-data-file")
       val maxSmall = intProp("write.data.max-small-files")
-      if (maxDel.isEmpty && maxSmall.isEmpty) return
+      val analyzeEvery = intProp("write.analyze.every-commits")
+      if (maxDel.isEmpty && maxSmall.isEmpty && analyzeEvery.isEmpty) return
       val conf = spark.sessionState.newHadoopConf()
       maxDel.foreach { n =>
         val head = pick(spark, root, None, None)
@@ -3322,6 +3323,20 @@ object SnapshotLog {
           rewriteDataFiles(spark, root, head.commitTsMs + 1,
             targetBytes = longProp("write.data.target-file-size-bytes", 128L << 20),
             smallBytes = smallBytes)
+      }
+      // `write.analyze.every-commits` = N — re-ANALYZE when the head has
+      // advanced N+ versions past the newest stats sidecar (CBO estimates
+      // rot as the data drifts; this keeps histograms/NDV fresh without
+      // an external scheduler). One extra fs.list, zero data IO unless
+      // the threshold trips.
+      analyzeEvery.foreach { n =>
+        val head = pick(spark, root, None, None)
+        val re = "colstats-v(\\d{5})\\.json".r
+        val lastAnalyzed = fsFor(spark, logDir(root))
+          .listStatus(logDir(root)).map(_.getPath.getName)
+          .collect { case re(v) => v.toInt }.maxOption.getOrElse(0)
+        if (head.version - lastAnalyzed >= math.max(1, n))
+          analyze(spark, root): Unit
       }
     } catch {
       // never fail the caller's (already-published) commit over

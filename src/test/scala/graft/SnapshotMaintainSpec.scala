@@ -175,4 +175,37 @@ class SnapshotMaintainSpec extends AnyFunSuite {
     }
     assert(rewrites(root) >= 1, "the trickle never tripped maintenance")
   }
+
+  test("write.analyze.every-commits keeps stats fresh automatically") {
+    val root = freshRoot("auto_analyze")
+    def statVersions(): Seq[Int] = {
+      val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+      val re = "colstats-v(\\d{5})\\.json".r
+      val dir = new Path(root, "_log")
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case re(v) => v.toInt }.toSeq.sorted
+    }
+    SnapshotLog.commit(df(0, 1000), root, overwrite = true, 1000L)
+    SnapshotLog.setTableProps(spark, root,
+      Map("write.analyze.every-commits" -> "2"))
+    assert(statVersions().isEmpty) // property alone analyzes nothing
+    // commit 1 past v1: head=2, lastAnalyzed=0 -> 2 >= 2 trips
+    SnapshotLog.commit(df(1000, 2000), root, overwrite = false, 2000L)
+    assert(statVersions() === Seq(2))
+    // next commit: head=3, lastAnalyzed=2 -> 1 < 2 does NOT trip
+    SnapshotLog.commit(df(2000, 3000), root, overwrite = false, 3000L)
+    assert(statVersions() === Seq(2))
+    // one more: head=4 -> trips again
+    SnapshotLog.commit(df(3000, 4000), root, overwrite = false, 4000L)
+    assert(statVersions() === Seq(2, 4))
+    // the fresh stats are real: planner sees the analyzed NDV
+    val (v, n, cols) = SnapshotLog.colStatsFor(spark, root, 4).get
+    assert(v === 4 && n === 4000 && cols.contains("k"))
+    // malformed value never fails the commit
+    SnapshotLog.setTableProps(spark, root,
+      Map("write.analyze.every-commits" -> "often"))
+    SnapshotLog.commit(df(4000, 4100), root, overwrite = false, 5000L)
+    assert(spark.read.format("snapshotlog").load(root).count() === 4100)
+  }
 }
