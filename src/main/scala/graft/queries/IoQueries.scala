@@ -310,6 +310,7 @@ object IoQueries extends QueryModule {
         |  true AS agg_pushed
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
+
     "layout_zorder" -> {
       val z = (0 until 10).map { j =>
         s"((x >> $j) & 1) * ${1L << (2 * j)} + ((y >> $j) & 1) * ${1L << (2 * j + 1)}"
