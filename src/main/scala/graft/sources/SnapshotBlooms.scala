@@ -199,6 +199,14 @@ private[sources] object SnapshotBlooms {
     parsed
   }
 
+  /** Merged-view cache: per root, the union of all sidecars keyed by the
+    * exact sidecar LISTING — a new commit's sidecar (or an expiry) changes
+    * the listing and rebuilds; a steady-state table re-merges nothing, so
+    * a 10^4-sidecar 100-TB table pays one dir listing per plan, not an
+    * O(total entries) map union. */
+  private val mergedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Map[String, Map[String, BloomFilter]])]()
+
   /** All bloom entries at `root`, merged across sidecars:
     * column -> (normFile -> bloom). Empty when the feature is unused
     * (one FS existence probe — the only cost a bloom-free table pays). */
@@ -214,13 +222,19 @@ private[sources] object SnapshotBlooms {
       val sidecars = fs.listStatus(dir)
         .filter(s => s.getPath.getName.startsWith("b-") &&
           s.getPath.getName.endsWith(".json"))
-        .map(_.getPath).toSeq
-      if (sidecars.isEmpty) Map.empty
-      else sidecars.map(parseSidecar(fs, _))
+        .map(_.getPath).sortBy(_.getName).toSeq
+      if (sidecars.isEmpty) return Map.empty
+      val listKey = sidecars.map(_.getName).mkString("|")
+      val hit = mergedCache.get(root)
+      if (hit != null && hit._1 == listKey) return hit._2
+      val merged = sidecars.map(parseSidecar(fs, _))
         .reduce { (a, b) =>
           (a.keySet ++ b.keySet).map(c =>
             c -> (a.getOrElse(c, Map.empty) ++ b.getOrElse(c, Map.empty))).toMap
         }
+      if (mergedCache.size > 1024) mergedCache.clear()
+      mergedCache.put(root, (listKey, merged))
+      merged
     } catch {
       case scala.util.control.NonFatal(e) =>
         log.warn(s"snapshotlog: bloom lookup failed at $root (ignored): $e")

@@ -82,6 +82,12 @@ private[graft] object SnapshotSorts {
     parsed
   }
 
+  /** Merged-view cache keyed by the exact sidecar listing (see
+    * [[SnapshotBlooms]] — same rationale: steady-state plans re-merge
+    * nothing). */
+  private val mergedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Map[String, Seq[String]])]()
+
   /** normFile -> sort columns, merged across sidecars; empty when the
     * table never recorded one (one FS existence probe). */
   def sortsAt(root: String): Map[String, Seq[String]] = {
@@ -93,11 +99,19 @@ private[graft] object SnapshotSorts {
                    new org.apache.hadoop.conf.Configuration() }
       val fs = dir.getFileSystem(conf)
       if (!fs.exists(dir)) return Map.empty
-      fs.listStatus(dir)
+      val sidecars = fs.listStatus(dir)
         .filter(s => s.getPath.getName.startsWith("s-") &&
           s.getPath.getName.endsWith(".json"))
-        .map(s => parse(fs, s.getPath))
+        .map(_.getPath).sortBy(_.getName).toSeq
+      if (sidecars.isEmpty) return Map.empty
+      val listKey = sidecars.map(_.getName).mkString("|")
+      val hit = mergedCache.get(root)
+      if (hit != null && hit._1 == listKey) return hit._2
+      val merged = sidecars.map(parse(fs, _))
         .foldLeft(Map.empty[String, Seq[String]])(_ ++ _)
+      if (mergedCache.size > 1024) mergedCache.clear()
+      mergedCache.put(root, (listKey, merged))
+      merged
     } catch {
       case scala.util.control.NonFatal(e) =>
         log.warn(s"snapshotlog: sort-order lookup failed at $root " +
