@@ -382,6 +382,77 @@ object DdlQueries extends QueryModule {
         .select("probe", "n_rows", "sum_key", "files_scanned", "files_total")
     }),
 
+    // DYNAMIC FILE PRUNING (r17): runtime join filters × per-file
+    // blooms. The static bloom gate above needs the needle key IN the
+    // query text; here the keys only exist on the BUILD SIDE of a star
+    // join — the scan declares bloom-covered columns runtime-filterable
+    // (SupportsRuntimeFiltering), Spark injects a dynamicpruning
+    // subquery over the filtered dim, and the IN-set it produces prunes
+    // fact files through the blooms BEFORE the probe side executes.
+    // Layout matches the bloom gate: 2 uncovered v1 files + 6 covered.
+    // The 2 surviving dim keys live in different commits, so exactly
+    // 2 covered files + the 2 uncovered ones are read (pinned in the
+    // oracle, like the static gate's counts). At 100 TB this is the
+    // needle-JOIN analog: open a handful of fact files, not the table.
+    "ddl_dfp_bloom_join" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "dfpgate") { root =>
+        val c = customer(s, d).selectExpr(
+          "md5(cast(c_custkey AS string)) AS k", "c_custkey", "c_acctbal")
+        SnapshotLog.commit(c.filter(col("c_custkey") % 4 === 0),
+          s"$root/fact", overwrite = true, commitTsMs = 100L, numFiles = 2)
+        SnapshotLog.setTableProps(s, s"$root/fact",
+          Map("write.bloom.columns" -> "k"))
+        for (i <- 1 to 3)
+          SnapshotLog.commit(c.filter(col("c_custkey") % 4 === i),
+            s"$root/fact", overwrite = false, commitTsMs = 100L * (i + 1),
+            numFiles = 2): Unit
+        // dim: cat=1 keeps keys 10 and 11 plus one absent key — the
+        // selective filter Spark's runtime-pruning heuristic needs
+        SnapshotLog.commit(s.createDataFrame(Seq(
+            ("10", 1), ("11", 1), ("no-such-key", 1),
+            ("12", 2), ("13", 2))).toDF("src", "cat")
+          .selectExpr("md5(src) AS dk", "cat"),
+          s"$root/dim", overwrite = true, commitTsMs = 100L)
+      }
+      val total = SnapshotLog.snapshots(s, s"$root/fact").last.files.size
+      val j = snapRead(s, s"$root/fact")
+        .join(snapRead(s, s"$root/dim").filter(col("cat") === 1),
+          col("k") === col("dk"))
+        .select(col("c_custkey"), col("c_acctbal"))
+      val rows = j.collect()
+      val injected = j.queryExecution.executedPlan.toString
+        .contains("dynamicpruning")
+      def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[graft.sources.SnapshotLogScan] = {
+        val here = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+              if b.scan.isInstanceOf[graft.sources.SnapshotLogScan] &&
+                 b.scan.readSchema().fieldNames.contains("c_custkey") =>
+            Seq(b.scan.asInstanceOf[graft.sources.SnapshotLogScan])
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case _ => p.children
+        }
+        here ++ kids.flatMap(scansIn)
+      }
+      val kept = scansIn(j.queryExecution.executedPlan)
+        .map(_.keptFiles.size).headOption.getOrElse(-1)
+      import s.implicits._
+      Seq((rows.length.toLong,
+        rows.map(_.getLong(0)).sum,
+        BigDecimal(rows.map(_.getDouble(1)).sum).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        injected, kept.toLong, total.toLong))
+        .toDF("n_rows", "sum_key", "sum_bal", "dfp_injected",
+          "files_scanned_runtime", "files_total")
+    }),
+
     // Manifest-stats data skipping through the PLANNER (Iceberg
     // lower_bounds/upper_bounds → file pruning via a pushed-down filter):
     // a range probe over the 4-slice table must intersect exactly one
@@ -1385,6 +1456,20 @@ object DdlQueries extends QueryModule {
         |  CAST(4 AS BIGINT), CAST(8 AS BIGINT)
         |FROM customer WHERE md5(CAST(c_custkey AS VARCHAR)) IN
         |  (md5('10'), md5('11'), md5('absent-key'))""".stripMargin,
+
+    // dynamic file pruning: the surviving dim keys are custkeys 10 and
+    // 11 (different %4 commits → different bloom-covered files), so the
+    // runtime IN-set keeps exactly those 2 covered files + the 2
+    // pre-property uncovered ones — 4 of 8. dfp_injected pins that the
+    // plan really carried a runtime-pruning subquery.
+    "ddl_dfp_bloom_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  TRUE AS dfp_injected,
+        |  CAST(4 AS BIGINT) AS files_scanned_runtime,
+        |  CAST(8 AS BIGINT) AS files_total
+        |FROM customer WHERE c_custkey IN (10, 11)""".stripMargin,
 
     "ddl_stats_pruning" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

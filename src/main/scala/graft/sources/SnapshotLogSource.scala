@@ -531,6 +531,15 @@ private[sources] case class SnapshotAggReaderFactory()
     }
 }
 
+private[graft] object SnapshotLogScan {
+  /** Largest runtime IN-set the scan will probe against driver-side
+    * metadata (stats / partition tuples / blooms). Past this the build
+    * side is not selective enough to pay the O(keys × files) probe.
+    * Tunable via -Dgraft.snapshotlog.dfp.maxKeys. */
+  def maxRuntimeKeys: Int =
+    Integer.getInteger("graft.snapshotlog.dfp.maxKeys", 10000)
+}
+
 private[sources] object SnapshotLogScanBuilder {
   /** Files of `candidates` that may hold a row matching every filter,
     * per manifest stats AND hidden-partition tuples (the pruning min/max
@@ -746,18 +755,52 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
 
   @volatile private var liveKept: Seq[String] = kept
 
+  /** Columns whose per-file BLOOM sidecars can answer a runtime IN-set:
+    * a schema field counts as covered when at least one live file holds a
+    * bloom for it (resolved through the field-id map, so renamed columns
+    * stay covered). Computed once per Scan — the sidecar parse itself is
+    * JVM-cached by [[SnapshotBlooms.bloomsAt]]. */
+  private lazy val bloomCoveredCols: Seq[String] = {
+    if (root.isEmpty) Seq.empty
+    else {
+      val blooms = SnapshotBlooms.bloomsAt(root)
+      if (blooms.isEmpty) Seq.empty
+      else snap.schema.fieldNames.filter { n =>
+        kept.exists { f =>
+          val key = SnapshotLog.norm(f)
+          val phys =
+            if (snap.fids.isEmpty || !snap.colIds.contains(key)) Some(n)
+            else snap.physName(f, n)
+          phys.flatMap(blooms.get).exists(_.contains(key))
+        }
+      }.toSeq
+    }
+  }
+
   /** Runtime-filterable columns: the partition spec's SOURCE columns —
     * a runtime IN-set on them prunes via the recorded tuples (bucket
-    * equality probes included) and footer stats. Empty spec = no DPP
-    * anchor (Spark then never calls [[filter]]). */
+    * equality probes included) and footer stats — PLUS any bloom-covered
+    * column (DYNAMIC FILE PRUNING: a join key that is neither partition
+    * nor sort anchor still skips files whose bloom provably lacks every
+    * build-side key — the needle-join analog of the static needle
+    * lookup). Empty union = no DPP/DFP anchor (Spark then never calls
+    * [[filter]]). */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    snap.spec.map(_._1).distinct.map(
+    (snap.spec.map(_._1) ++ bloomCoveredCols).distinct.map(
       org.apache.spark.sql.connector.expressions.Expressions.column).toArray
 
   override def filter(filters: Array[Filter]): Unit =
     filters.foreach { f =>
-      if (SnapshotStatsFilter.usable(f))
+      // cap runtime IN-set size: probing stats/blooms is O(keys × files)
+      // on the driver — a non-selective build side (100k+ distinct keys)
+      // would cost more to probe than it prunes, so skip it (pruning is
+      // an accelerator; keeping every file is always correct)
+      val tooWide = f match {
+        case In(_, vs) => vs.length > SnapshotLogScan.maxRuntimeKeys
+        case _ => false
+      }
+      if (!tooWide && SnapshotStatsFilter.usable(f))
         liveKept = SnapshotLogScanBuilder.prune(snap, liveKept, Array(f), root)
     }
 
