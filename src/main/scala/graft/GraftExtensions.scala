@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // optimizer rule: levenshtein(a,b) <= k  ->  banded levenshtein(a,b,k)
     ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
+    // transparent materialized-view rewrite: a registered MV's defining
+    // aggregate over its base snapshot table reads the maintained MV
+    // instead (exact version-watermark freshness check)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
     // whole-operator path: logical AsofJoin -> AsofJoinExec sorted merge
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     // keyless point-in-interval join -> broadcast binary-search operator

@@ -42,6 +42,7 @@ object IncrementalMv {
     spark.catalog.dropTempView("__mv_seed")
     SnapshotLog.setTableProps(spark, mvRoot(spark, mvTable),
       Map(AppliedProp -> baseV.toString))
+    register(spark, baseRoot, mvTable, groupCol, valueCol)
     baseV
   }
 
@@ -86,4 +87,43 @@ object IncrementalMv {
 
   private def mvRoot(spark: SparkSession, mvTable: String): String =
     "/tmp/graft_snap_warehouse/" + mvTable.replace('.', '/')
+
+  // ---- MV registry (feeds the transparent query-rewrite rule) ----
+
+  /** One registered MV: `SELECT groupCol, count(*) n, sum(valueCol) s
+    * FROM <baseRoot> GROUP BY groupCol`, materialized at `mvRoot`. */
+  final case class MvDef(baseRoot: String, mvRoot: String,
+                         groupCol: String, valueCol: String)
+
+  /** baseRoot (trailing-slash-normalized) → MV definition. JVM-wide like
+    * the sidecar caches: registration is the opt-in, and the rewrite
+    * rule re-validates freshness against durable table state on every
+    * use, so a stale registry entry can never produce wrong answers. */
+  private val registry =
+    scala.collection.concurrent.TrieMap[String, MvDef]()
+
+  private def normRoot(r: String): String = r.stripSuffix("/")
+
+  /** Register `mvTable` as the materialization of the canonical
+    * group/count/sum aggregate over `baseRoot` — [[create]] calls this;
+    * exposed for MVs maintained by external loops. */
+  def register(spark: SparkSession, baseRoot: String, mvTable: String,
+               groupCol: String, valueCol: String): Unit =
+    registry.put(normRoot(baseRoot), MvDef(normRoot(baseRoot),
+      mvRoot(spark, mvTable), groupCol, valueCol)): Unit
+
+  def unregister(baseRoot: String): Unit =
+    registry.remove(normRoot(baseRoot)): Unit
+
+  private[graft] def registered(baseRoot: String): Option[MvDef] =
+    registry.get(normRoot(baseRoot))
+
+  private[graft] def registryEmpty: Boolean = registry.isEmpty
+
+  /** The base version the MV at `mvRoot` has applied, from its durable
+    * table properties — the rewrite rule's freshness anchor. */
+  private[graft] def appliedVersion(spark: SparkSession,
+                                    mvRoot: String): Option[Int] =
+    try SnapshotLog.tableProps(spark, mvRoot).get(AppliedProp).map(_.toInt)
+    catch { case scala.util.control.NonFatal(_) => None }
 }

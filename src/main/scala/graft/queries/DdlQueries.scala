@@ -59,6 +59,48 @@ object DdlQueries extends QueryModule {
     r.load(root)
   }
 
+  /** The incremental-MV fixture shared by `composite_incremental_mv` and
+    * `composite_mv_rewrite`: a base table driven through append + MoR
+    * delete + group-moving MoR update + duplicate-row append, with an
+    * `IncrementalMv` count/sum MV created at v1 and maintained to the
+    * head (watermark == head ⇒ the rewrite gate's "fresh" direction).
+    * Returns (base root, snap-catalog namespace of the MV). */
+  private def incMvFixture(s: SparkSession, d: String): (String, String) = {
+    import graft.operators.IncrementalMv
+    import graft.sources.SnapshotLog
+    val ns = "mv_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = snapFixture(s, d, "incmv") { root =>
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_snap_warehouse/$ns"), true)
+      val b = customer(s, d).selectExpr("c_custkey AS k",
+        "c_nationkey AS grp",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS v")
+      SnapshotLog.commit(b.filter(col("k") % 2 === 0), root,
+        overwrite = true, commitTsMs = 1000L)
+      IncrementalMv.create(s, root, s"$ns.mv", "grp", "v")
+      SnapshotLog.commit(b.filter(col("k") % 2 === 1), root,
+        overwrite = false, commitTsMs = 2000L)
+      SnapshotLog.deleteWhereMoR(s, root, col("v") < 0L, 3000L)
+      val w1 = IncrementalMv.maintain(s, root, s"$ns.mv", "grp", "v")
+      // group-moving update: rows change aggregation key mid-stream
+      SnapshotLog.updateWhereMoR(s, root, col("k") % 10 === 3,
+        Map("grp" -> (col("grp") + 100)), 4000L)
+      // duplicate-row append: multiplicities must carry into the MV
+      SnapshotLog.commit(b.filter(col("k") % 4 === 2), root,
+        overwrite = false, commitTsMs = 5000L)
+      val w2 = IncrementalMv.maintain(s, root, s"$ns.mv", "grp", "v")
+      require(w2 > w1, s"watermark must advance ($w1 -> $w2)")
+      require(IncrementalMv.maintain(s, root, s"$ns.mv", "grp", "v") == w2,
+        "maintain() must be idempotent at the head")
+    }
+    // the fixture memo survives process reuse, the MV REGISTRY does not
+    // follow it automatically on pre-built roots — re-register (idempotent)
+    IncrementalMv.register(s, root, s"$ns.mv", "grp", "v")
+    (root, ns)
+  }
+
   /** Files the DSv2 scan actually plans after manifest-stats pruning —
     * read from the optimized plan's pinned scan, so the gated
     * files_scanned number IS the planner's decision, not a re-derivation. */
@@ -808,37 +850,46 @@ object DdlQueries extends QueryModule {
     // aggregate from scratch over the replayed final state — maintained
     // MUST equal rebuilt.
     "composite_incremental_mv" -> ((s, d) => {
-      import graft.operators.IncrementalMv
-      import graft.sources.SnapshotLog
-      val ns = "mv_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-      snapFixture(s, d, "incmv") { root =>
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(s.sessionState.newHadoopConf())
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"/tmp/graft_snap_warehouse/$ns"), true)
-        val b = customer(s, d).selectExpr("c_custkey AS k",
-          "c_nationkey AS grp",
-          "CAST(floor(c_acctbal * 100) AS BIGINT) AS v")
-        SnapshotLog.commit(b.filter(col("k") % 2 === 0), root,
-          overwrite = true, commitTsMs = 1000L)
-        IncrementalMv.create(s, root, s"$ns.mv", "grp", "v")
-        SnapshotLog.commit(b.filter(col("k") % 2 === 1), root,
-          overwrite = false, commitTsMs = 2000L)
-        SnapshotLog.deleteWhereMoR(s, root, col("v") < 0L, 3000L)
-        val w1 = IncrementalMv.maintain(s, root, s"$ns.mv", "grp", "v")
-        // group-moving update: rows change aggregation key mid-stream
-        SnapshotLog.updateWhereMoR(s, root, col("k") % 10 === 3,
-          Map("grp" -> (col("grp") + 100)), 4000L)
-        // duplicate-row append: multiplicities must carry into the MV
-        SnapshotLog.commit(b.filter(col("k") % 4 === 2), root,
-          overwrite = false, commitTsMs = 5000L)
-        val w2 = IncrementalMv.maintain(s, root, s"$ns.mv", "grp", "v")
-        require(w2 > w1, s"watermark must advance ($w1 -> $w2)")
-        require(IncrementalMv.maintain(s, root, s"$ns.mv", "grp", "v") == w2,
-          "maintain() must be idempotent at the head")
-      }
+      val (_, ns) = incMvFixture(s, d)
       s.table(s"snap.$ns.mv")
         .select(col("grp"), col("n"), col("s"))
+    }),
+
+    // TRANSPARENT MV REWRITE (r17, the optimizer half of the incremental
+    // MV loop): the same defining aggregate, re-stated as an ordinary
+    // groupBy over the BASE table, is rewritten by the injected
+    // MvRewriteRule to read the maintained MV instead — iff the base
+    // relation's pinned snapshot version equals the MV's applied-version
+    // watermark. mv_served pins that the optimized plan really lost its
+    // Aggregate and gained the MV scan; pinned_keeps_aggregate pins the
+    // freshness gate the OTHER way (a time-traveled read at an older
+    // version must keep aggregating the base). Row payload = the
+    // rewritten query's own output, oracle-checked against a from-scratch
+    // rebuild — the rewrite must be invisible except in the plan.
+    "composite_mv_rewrite" -> ((s, d) => {
+      val (root, ns) = incMvFixture(s, d)
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val q = agg(s.read.format("snapshotlog").load(root))
+      def hasAggregate(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty
+      val mvServed = !hasAggregate(q) &&
+        q.queryExecution.optimizedPlan.collect {
+          // by end of optimization the relation is a ScanRelation
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if r.relation.table.name().contains(s"$ns/mv") => r
+        }.nonEmpty
+      // a pinned time-travel read one version back is NOT the watermark
+      // version — the rule must leave its aggregate alone
+      val head = graft.sources.SnapshotLog.snapshots(s, root)
+        .filter(_.branch.isEmpty).last.version
+      val pinned = agg(s.read.format("snapshotlog")
+        .option("asOfVersion", head - 1).load(root))
+      q.withColumn("mv_served", lit(mvServed))
+        .withColumn("pinned_keeps_aggregate", lit(hasAggregate(pinned)))
     }),
 
     // NET changelog (Iceberg net_changes): the same 5-version fixture
@@ -1651,6 +1702,22 @@ object DdlQueries extends QueryModule {
         |        UNION ALL SELECT * FROM b WHERE k % 4 = 2)
         |SELECT grp, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(v) AS BIGINT) AS s
+        |FROM fin GROUP BY grp""".stripMargin,
+
+    // the rewritten plan must be INVISIBLE in the rows: same rebuild
+    // oracle as composite_incremental_mv, plus the two plan booleans
+    "composite_mv_rewrite" ->
+      """WITH b AS (SELECT c_custkey AS k, c_nationkey AS grp,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS v
+        |           FROM customer),
+        |surv AS (SELECT * FROM b WHERE v >= 0),
+        |upd AS (SELECT k, CASE WHEN k % 10 = 3 THEN grp + 100 ELSE grp END
+        |          AS grp, v FROM surv),
+        |fin AS (SELECT * FROM upd
+        |        UNION ALL SELECT * FROM b WHERE k % 4 = 2)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS s,
+        |  TRUE AS mv_served, TRUE AS pinned_keeps_aggregate
         |FROM fin GROUP BY grp""".stripMargin,
 
     // compute_updates: v4's delete+insert pairs retag as pre/post images;

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark.spark
+import graft.operators.IncrementalMv
+import graft.sources.SnapshotLog
+
+/** Transparent MV rewrite (plans/MvRewriteRule): a query re-stating a
+  * registered MV's defining aggregate over the base snapshot table is
+  * served from the maintained MV — exactly when the base relation's
+  * pinned version equals the MV's applied watermark. */
+class MvRewriteSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val root = s"/tmp/graft_mvrw/$name"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    fs.delete(new Path(s"/tmp/graft_snap_warehouse/mvrw_$name"), true)
+    root
+  }
+
+  private def base(n: Long): DataFrame =
+    spark.range(0, n).selectExpr("id AS k", "cast(id % 7 AS int) AS grp",
+      "id * 2 AS v")
+
+  private def defAgg(root: String): DataFrame =
+    spark.read.format("snapshotlog").load(root)
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+
+  private def servedByMv(df: DataFrame, ns: String): Boolean = {
+    val noAgg = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty
+    val mvScan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.relation.table.name().contains(ns) => r
+    }.nonEmpty
+    noAgg && mvScan
+  }
+
+  test("fresh MV serves the defining aggregate; results identical") {
+    val root = fresh("basic")
+    SnapshotLog.commit(base(1000), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_basic.mv", "grp", "v")
+    try {
+      val q = defAgg(root)
+      assert(servedByMv(q, "mvrw_basic"), q.queryExecution.optimizedPlan.toString)
+      val got = q.as[(Int, Long, Long)].collect().toSet
+      val want = (0 until 7).map { g =>
+        val ks = (0L until 1000L).filter(_ % 7 == g)
+        (g, ks.size.toLong, ks.map(_ * 2).sum)
+      }.toSet
+      assert(got === want)
+    } finally IncrementalMv.unregister(root)
+  }
+
+  test("stale MV leaves the aggregate alone; maintain() re-arms it") {
+    val root = fresh("stale")
+    SnapshotLog.commit(base(500), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_stale.mv", "grp", "v")
+    try {
+      SnapshotLog.commit(base(500).filter(col("k") < 10), root,
+        overwrite = false, 2000L)
+      val q1 = defAgg(root)
+      assert(!servedByMv(q1, "mvrw_stale"),
+        "a base commit past the watermark must disable the rewrite")
+      // and the un-rewritten result is the TRUE current aggregate
+      assert(q1.filter(col("grp") === 0).select("n").as[Long].head() ===
+        (0L until 500L).count(_ % 7 == 0) + 2) // k=0 and k=7 re-appended
+      IncrementalMv.maintain(spark, root, "mvrw_stale.mv", "grp", "v")
+      val q2 = defAgg(root)
+      assert(servedByMv(q2, "mvrw_stale"), "maintained to head ⇒ rewrite")
+      assert(q2.filter(col("grp") === 0).select("n").as[Long].head() ===
+        (0L until 500L).count(_ % 7 == 0) + 2)
+    } finally IncrementalMv.unregister(root)
+  }
+
+  test("non-defining shapes never rewrite: filter, extra agg, other group") {
+    val root = fresh("shapes")
+    SnapshotLog.commit(base(300), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_shapes.mv", "grp", "v")
+    try {
+      val t = spark.read.format("snapshotlog").load(root)
+      val withFilter = t.filter(col("v") > 100)
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val withAvg = t.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), avg(col("v")).as("a"))
+      val otherKey = t.groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val sumOther = t.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+      for (q <- Seq(withFilter, withAvg, otherKey, sumOther))
+        assert(!servedByMv(q, "mvrw_shapes"),
+          q.queryExecution.optimizedPlan.toString)
+      // and they still compute correctly (rule must be a no-op, not a bug)
+      assert(withAvg.count() === 7)
+    } finally IncrementalMv.unregister(root)
+  }
+
+  test("rewritten output attributes re-bind in parent operators") {
+    val root = fresh("parents")
+    SnapshotLog.commit(base(700), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_parents.mv", "grp", "v")
+    try {
+      val q = defAgg(root).filter(col("n") > 99L)
+        .orderBy(col("s").desc).select(col("grp"), col("s"))
+      assert(servedByMv(q, "mvrw_parents"))
+      val got = q.as[(Int, Long)].collect().toSeq
+      val want = (0 until 7).map { g =>
+        val ks = (0L until 700L).filter(_ % 7 == g)
+        (g, ks.map(_ * 2).sum, ks.size)
+      }.filter(_._3 > 99).sortBy(-_._2).map(t => (t._1, t._2))
+      assert(got === want)
+    } finally IncrementalMv.unregister(root)
+  }
+
+  test("conf kill-switch and unregistration both disable the rewrite") {
+    val root = fresh("conf")
+    SnapshotLog.commit(base(200), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_conf.mv", "grp", "v")
+    try {
+      spark.conf.set("spark.graft.mv.autoRewrite", "false")
+      try assert(!servedByMv(defAgg(root), "mvrw_conf"))
+      finally spark.conf.unset("spark.graft.mv.autoRewrite")
+      assert(servedByMv(defAgg(root), "mvrw_conf"))
+      IncrementalMv.unregister(root)
+      assert(!servedByMv(defAgg(root), "mvrw_conf"))
+    } finally IncrementalMv.unregister(root)
+  }
+
+  test("time-traveled reads rewrite only at the watermark version") {
+    val root = fresh("tt")
+    SnapshotLog.commit(base(400), root, overwrite = true, 1000L)
+    SnapshotLog.commit(base(400).filter(col("k") < 5), root,
+      overwrite = false, 2000L)
+    IncrementalMv.create(spark, root, "mvrw_tt.mv", "grp", "v") // applied=2
+    try {
+      def at(v: Int): DataFrame =
+        spark.read.format("snapshotlog").option("asOfVersion", v).load(root)
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      assert(!servedByMv(at(1), "mvrw_tt"), "v1 != watermark ⇒ aggregate")
+      assert(servedByMv(at(2), "mvrw_tt"), "v2 == watermark ⇒ MV")
+      // v1 result stays the un-duplicated aggregate
+      assert(at(1).filter(col("grp") === 0).select("n").as[Long].head() ===
+        (0L until 400L).count(_ % 7 == 0).toLong)
+    } finally IncrementalMv.unregister(root)
+  }
+}
