@@ -495,6 +495,36 @@ object DdlQueries extends QueryModule {
           "files_scanned_runtime", "files_total")
     }),
 
+    // TOP-K / LIMIT file skipping (r17): ORDER BY … LIMIT k and bare
+    // LIMIT n push into the DSv2 scan as PARTIAL pushdown — Spark keeps
+    // its TakeOrdered/Limit, the scan plans only files whose manifest
+    // bounds + row counts + null-count sidecars prove they can hold
+    // answer rows. On the 4-slice clustered layout a DESC top-10 plans
+    // the top slice, not the table — the time-clustered `ORDER BY ts
+    // DESC LIMIT 100` dashboard probe at 100 TB. `pruned` pins that the
+    // planner skipped > half the files; rows are oracle-exact.
+    "ddl_topk_pruning" -> ((s, d) => {
+      val root = slicedCustomerRoot(s, d)
+      val t = snapRead(s, root)
+      val total = graft.sources.SnapshotLog.snapshots(s, root).last.files.size
+      def probe(label: String, df: DataFrame, sumKey: Boolean): DataFrame = {
+        val planned = filesPlanned(df)
+        df.agg(count(lit(1)).as("n_rows"),
+          (if (sumKey) sum(col("c_custkey")) else lit(-1L)).as("sum_key"))
+          .withColumn("probe", lit(label))
+          .withColumn("pruned", lit(planned <= total / 2))
+          .withColumn("files_total", lit(total.toLong))
+      }
+      Seq(
+        probe("top10_desc", t.orderBy(col("c_custkey").desc).limit(10),
+          sumKey = true),
+        probe("top10_asc", t.orderBy(col("c_custkey")).limit(10),
+          sumKey = true),
+        probe("limit100", t.limit(100), sumKey = false))
+        .reduce(_ unionByName _)
+        .select("probe", "n_rows", "sum_key", "pruned", "files_total")
+    }),
+
     // Manifest-stats data skipping through the PLANNER (Iceberg
     // lower_bounds/upper_bounds → file pruning via a pushed-down filter):
     // a range probe over the 4-slice table must intersect exactly one
@@ -1521,6 +1551,23 @@ object DdlQueries extends QueryModule {
         |  CAST(4 AS BIGINT) AS files_scanned_runtime,
         |  CAST(8 AS BIGINT) AS files_total
         |FROM customer WHERE c_custkey IN (10, 11)""".stripMargin,
+
+    // top-k: keys 1491..1500 (desc) and 1..10 (asc) at sf0.01; the bare
+    // limit's content is whichever 100 rows the prefix file serves → the
+    // payload is the count alone (sum_key = -1 both sides)
+    "ddl_topk_pruning" ->
+      """SELECT 'top10_desc' AS probe, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |  TRUE AS pruned, CAST(8 AS BIGINT) AS files_total
+        |FROM (SELECT c_custkey FROM customer ORDER BY c_custkey DESC LIMIT 10)
+        |UNION ALL
+        |SELECT 'top10_asc', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c_custkey) AS BIGINT), TRUE, CAST(8 AS BIGINT)
+        |FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 10)
+        |UNION ALL
+        |SELECT 'limit100', CAST(count(*) AS BIGINT),
+        |  CAST(-1 AS BIGINT), TRUE, CAST(8 AS BIGINT)
+        |FROM (SELECT c_custkey FROM customer LIMIT 100)""".stripMargin,
 
     "ddl_stats_pruning" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -114,9 +114,10 @@ private[sources] class SnapshotDeltaBatchWrite(root: String,
       f -> (cur.dels.getOrElse(f, Seq.empty) ++ delFiles)).toMap
     val newSizes = newFiles
       .map(f => SnapshotLog.norm(f) -> fs.getFileStatus(new Path(f)).getLen).toMap
-    val (newStats, newCols, newRows) = SnapshotLog.footerMeta(conf, newFiles, schema)
+    val (newStats, newCols, newRows, newNulls) = SnapshotLog.footerMeta(conf, newFiles, schema)
     // delta-appended files carry bloom coverage like any other commit
     SnapshotBlooms.writeSidecar(spark, root, newFiles, schema, newRows)
+    SnapshotNulls.record(spark, root, newNulls)
     val allFiles = cur.files ++ newFiles
     val (fids, colIds, maxId) =
       SnapshotLog.fidCarry(Some(cur), schema, allFiles, newCols)

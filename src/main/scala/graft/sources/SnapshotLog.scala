@@ -550,15 +550,20 @@ object SnapshotLog {
                           schema: StructType): Map[String, Map[String, (Any, Any)]] =
     footerMeta(conf, files, schema)._1
 
-  /** One footer walk yielding BOTH per-file min/max stats and the file's
-    * physical column list (metadata IO only — the same open serves both). */
+  /** One footer walk yielding per-file min/max stats, the file's physical
+    * column list, row counts, AND per-column null counts (Iceberg's
+    * null_value_counts — the missing piece for top-k file skipping, where
+    * "this file holds N rows ≥ T" must mean N NON-NULL rows). A column
+    * whose blocks don't all set numNulls is absent from the nulls map
+    * (unknown — readers treat it conservatively). Metadata IO only. */
   private[sources] def footerMeta(conf: Configuration, files: Seq[String],
                           schema: StructType)
       : (Map[String, Map[String, (Any, Any)]], Map[String, Seq[String]],
-         Map[String, Long]) = {
+         Map[String, Long], Map[String, Map[String, Long]]) = {
     val wanted: Map[String, Boolean] = statColsOf(schema).toMap
     val colsAcc = scala.collection.mutable.Map[String, Seq[String]]()
     val rowsAcc = scala.collection.mutable.Map[String, Long]()
+    val nullsAcc = scala.collection.mutable.Map[String, Map[String, Long]]()
     val stats = files.map { f =>
       val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
       try {
@@ -567,9 +572,16 @@ object SnapshotLog {
         rowsAcc(norm(f)) = rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
         val acc = scala.collection.mutable.Map[String, (Any, Any)]()
         val bad = scala.collection.mutable.Set[String]()
+        val nullCnt = scala.collection.mutable.Map[String, Long]()
+        val nullBad = scala.collection.mutable.Set[String]()
         for (b <- rdr.getFooter.getBlocks.asScala;
              c <- b.getColumns.asScala) {
           val name = c.getPath.toDotString
+          if (wanted.contains(name) && !nullBad.contains(name)) {
+            val st = c.getStatistics
+            if (st == null || !st.isNumNullsSet) { nullBad += name; nullCnt -= name }
+            else nullCnt(name) = nullCnt.getOrElse(name, 0L) + st.getNumNulls
+          }
           if (wanted.contains(name) && !bad.contains(name)) {
             val st = c.getStatistics
             val prim = c.getPrimitiveType.getPrimitiveTypeName
@@ -611,10 +623,11 @@ object SnapshotLog {
               // other blocks still bound
           }
         }
+        nullsAcc(norm(f)) = nullCnt.toMap
         norm(f) -> acc.toMap
       } finally rdr.close()
     }.toMap
-    (stats, colsAcc.toMap, rowsAcc.toMap)
+    (stats, colsAcc.toMap, rowsAcc.toMap, nullsAcc.toMap)
   }
 
   /** Commit `df` as the next version. `overwrite` replaces the table
@@ -858,9 +871,10 @@ object SnapshotLog {
       .sortBy(_.getPath.getName)
     val newFiles = statuses.map(_.getPath.toString).toSeq
     val newSizes = statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap
-    val (newStats, newCols, newRows) =
+    val (newStats, newCols, newRows, newNulls) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
     SnapshotBlooms.writeSidecar(spark, root, newFiles, df.schema, newRows)
+    SnapshotNulls.record(spark, root, newNulls)
 
     // Optimistic-concurrency commit (Iceberg SnapshotProducer): the data
     // files are staged ONCE above; each attempt re-reads the head and
@@ -1027,9 +1041,10 @@ object SnapshotLog {
     val newFiles = sortedFound.map(_._1)
     val newSizes = sortedFound.map(f => norm(f._1) -> f._2).toMap
     val newParts = sortedFound.map(f => norm(f._1) -> f._3).toMap
-    val (newStats, newCols, newRows) =
+    val (newStats, newCols, newRows, newNulls) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
     SnapshotBlooms.writeSidecar(spark, root, newFiles, df.schema, newRows)
+    SnapshotNulls.record(spark, root, newNulls)
 
     val committed = try retryingCommit("commitPartitioned") { () =>
       val prior = snapshots(spark, root)
@@ -1539,9 +1554,10 @@ object SnapshotLog {
       .sortBy(_.getPath.getName)
     val newFiles = statuses.map(_.getPath.toString).toSeq
     val newSizes = statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap
-    val (newStats, newCols, newRows) =
+    val (newStats, newCols, newRows, newNulls) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
     SnapshotBlooms.writeSidecar(spark, root, newFiles, df.schema, newRows)
+    SnapshotNulls.record(spark, root, newNulls)
     val allFiles = head.files ++ newFiles
     val (fids, colIds, maxId) = fidCarry(Some(head), df.schema, allFiles, newCols)
     try {
@@ -2657,7 +2673,7 @@ object SnapshotLog {
       .sortBy(_.getPath.getName).map(_.getPath.toString).toSeq
     if (allParts.isEmpty) { fs.delete(delDir, true); return None }
     val conf = spark.sessionState.newHadoopConf()
-    val (delStats, _, delRows) = footerMeta(conf, allParts, conformed.schema)
+    val (delStats, _, delRows, _) = footerMeta(conf, allParts, conformed.schema)
     // empty range partitions wrote empty parts: reclaim them
     allParts.filter(d => delRows.getOrElse(norm(d), 0L) == 0L)
       .foreach(d => fs.delete(new Path(d), false))
@@ -2768,8 +2784,9 @@ object SnapshotLog {
       .foreach(f => fs.delete(new Path(f), false))
     val newSizes = statuses.filter(s => newFiles.contains(s.getPath.toString))
       .map(s => norm(s.getPath.toString) -> s.getLen).toMap
-    val (newStats, newCols, newRows) =
+    val (newStats, newCols, newRows, newNulls) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
+    SnapshotNulls.record(spark, root, newNulls)
     val delta = delsDelta(cur, merged)
     // the batch's key bounds, for validateAddedFiles on re-apply (the
     // staged key set may be empty when no current file overlaps — the
@@ -2877,8 +2894,9 @@ object SnapshotLog {
           .foreach(f => fs.delete(new Path(f), false))
         val newSizes = statuses.filter(s => newFiles.contains(s.getPath.toString))
           .map(s => norm(s.getPath.toString) -> s.getLen).toMap
-        val (newStats, newCols, newRows) =
+        val (newStats, newCols, newRows, newNulls) =
           footerMeta(spark.sessionState.newHadoopConf(), newFiles, cur.schema)
+        SnapshotNulls.record(spark, root, newNulls)
         val delta = delsDelta(cur, merged)
         val committed = try retryingCommit("updateWhereMoR") { () =>
           val (head, nextV) = headAndNext(spark, root)
@@ -3123,12 +3141,13 @@ object SnapshotLog {
           statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap,
           Map.empty[String, Seq[String]])
       }
-    val (newStats, newCols, newRows) =
+    val (newStats, newCols, newRows, newNulls) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
     // compacted outputs regenerate bloom coverage (an absent bloom is
     // merely weaker pruning, but compaction folding a bloom'd table
     // should not silently shed its point-lookup skipping)
     SnapshotBlooms.writeSidecar(spark, root, newFiles, schema, newRows)
+    SnapshotNulls.record(spark, root, newNulls)
     // cluster-by outputs are key-sorted: record the per-file sort order so
     // the DSv2 scan can report SupportsReportOrdering (co-sorted SPJ joins
     // then skip the Sort as well as the Exchange)
@@ -3385,7 +3404,8 @@ object SnapshotLog {
     husks.foreach(f => fs.delete(new Path(f), false))
     val newSizes = statuses.filter(s => rows(norm(s.getPath.toString)) > 0)
       .map(s => norm(s.getPath.toString) -> s.getLen).toMap
-    val (newStats, newCols, newRows) = footerMeta(conf, newFiles, cur.schema)
+    val (newStats, newCols, newRows, newNulls) = footerMeta(conf, newFiles, cur.schema)
+    SnapshotNulls.record(spark, root, newNulls)
     // the files this copy-on-write REPLACES: their rows were recomputed
     // into `keep`, so a concurrent writer touching them refuses re-apply
     val replaced = cur.files.map(norm).toSet -- untouched.map(norm).toSet
@@ -3478,6 +3498,7 @@ object SnapshotLog {
         dead.flatMap(_.dels.values.flatten)).map(norm).toSet
       SnapshotBlooms.expireSidecars(spark, root, liveFiles, deadFiles): Unit
       SnapshotSorts.expireSidecars(spark, root, liveFiles, deadFiles): Unit
+      SnapshotNulls.expireSidecars(spark, root, liveFiles, deadFiles): Unit
     }
     if (orphanScan) {
       val cutoff = System.currentTimeMillis() - orphanGraceMs

@@ -300,11 +300,57 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
     root: String = "", opts: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = SnapshotLogSource.nullable(snap.schema)
   private var pushed: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, Seq[Seq[Any]])] = None
+  private var limitN: Option[Int] = None
+  // (order column, descending?, k) — first sort key only; see pushTopN
+  private var topN: Option[(String, Boolean, Int)] = None
+
+  /** LIMIT-aware file planning: `SELECT * FROM t LIMIT n` needs only a
+    * prefix of files whose manifest row counts reach n — on a 10⁶-file
+    * table that is one file opened, not a million planned. PARTIAL push:
+    * Spark keeps its own Limit, the scan just plans fewer files, so
+    * over-planning is impossible and under-planning is prevented by
+    * counting a file as 0 rows whenever its live count is uncertain
+    * (merge-on-read deletes attached, or a pre-rowcount manifest). */
+  override def pushLimit(l: Int): Boolean = { limitN = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TOP-K file skipping (ORDER BY … LIMIT k): any answer row must rank
+    * at least k-th on the FIRST sort key, and manifest stats bound every
+    * file's key range — so pick the tightest threshold T with ≥ k
+    * provably-qualifying NON-NULL rows above it (null counts from the
+    * commit-time sidecar; rows with deletes or unknown counts count 0)
+    * and skip every file whose bounds sit strictly beyond T. PARTIAL
+    * push: Spark still runs its TakeOrdered, the scan only plans fewer
+    * files. On a time-clustered 100-TB table, `ORDER BY ts DESC LIMIT
+    * 100` opens the newest file or two. Only Spark's default null
+    * orderings are accepted (ASC+NULLS FIRST / DESC+NULLS LAST); other
+    * combinations refuse the push and scan normally. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
+    orders.headOption.map { o =>
+      o.expression() match {
+        case ref: NamedReference if ref.fieldNames().length == 1 &&
+            snap.schema.fieldNames.contains(ref.fieldNames()(0)) =>
+          val desc = o.direction() == SortDirection.DESCENDING
+          val nullsFirst = o.nullOrdering() == NullOrdering.NULLS_FIRST
+          if (desc == nullsFirst) false // non-default null ordering
+          else {
+            topN = Some((ref.fieldNames()(0), desc, l))
+            true
+          }
+        case _ => false
+      }
+    }.getOrElse(false)
+  }
 
   /** METADATA-ONLY aggregates (Iceberg's aggregate pushdown): with no
     * residual filters and no merge-on-read deletes in play, COUNT(*)
@@ -490,8 +536,20 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
 
   protected def buildRequired: StructType = required
   protected def buildPushed: Array[Filter] = pushed
-  protected def buildKept: Seq[String] =
-    SnapshotLogScanBuilder.prune(snap, snap.files, pushed, root)
+  protected def buildKept: Seq[String] = {
+    val base = SnapshotLogScanBuilder.prune(snap, snap.files, pushed, root)
+    // limit/top-k planning composes only on a filter-free scan (Spark
+    // already never pushes either past a residual Filter; double-guard)
+    if (pushed.nonEmpty) base
+    else topN match {
+      case Some((c, desc, k)) =>
+        SnapshotLogScanBuilder.topKKeep(snap, base, root, c, desc, k)
+      case None => limitN match {
+        case Some(l) => SnapshotLogScanBuilder.limitKeep(snap, base, l)
+        case None => base
+      }
+    }
+  }
 
   override def build(): Scan = aggResult match {
     case Some((aggSchema, rows)) =>
@@ -541,6 +599,113 @@ private[graft] object SnapshotLogScan {
 }
 
 private[sources] object SnapshotLogScanBuilder {
+
+  /** A file's LIVE row count, provable from metadata alone: manifest row
+    * count, unless merge-on-read deletes are attached or the count is
+    * unrecorded (pre-r13 manifest) — then 0, so limit/top-k planning can
+    * only ever UNDER-count and keep extra files, never starve the query. */
+  private def provableRows(snap: SnapshotLog.Snapshot, f: String): Long = {
+    val key = SnapshotLog.norm(f)
+    if (snap.dels.contains(key)) 0L
+    else snap.rows.getOrElse(key, 0L)
+  }
+
+  /** Keep a manifest-order prefix of files whose provable rows reach
+    * `limit`; if they never do, keep everything. */
+  def limitKeep(snap: SnapshotLog.Snapshot, candidates: Seq[String],
+                limit: Int): Seq[String] = {
+    var acc = 0L
+    val taken = candidates.takeWhile { f =>
+      val more = acc < limit
+      if (more) acc += provableRows(snap, f)
+      more
+    }
+    if (acc >= limit) taken else candidates
+  }
+
+  /** Top-k file skipping for ORDER BY <col> [DESC] LIMIT k under Spark's
+    * default null orderings. DESC (nulls last): find the largest
+    * threshold T — a candidate file min — such that files with min ≥ T
+    * provably hold ≥ k non-null rows; every answer row then has value
+    * ≥ T, so files with max < T are skipped. ASC (nulls first) mirrors
+    * with maxes, after first serving up to k rows from provable nulls.
+    * Files with unknown stats/rows/null-counts are never skipped and
+    * contribute 0 to the proofs — absent metadata degrades to a plain
+    * scan, never to a wrong answer. Deletes only remove rows, so
+    * bound-based skipping stays valid on delete-carrying files (their
+    * counts already contribute 0). */
+  def topKKeep(snap: SnapshotLog.Snapshot, candidates: Seq[String],
+               root: String, column: String, desc: Boolean,
+               k: Int): Seq[String] = {
+    if (k <= 0) return candidates
+    val allNulls = SnapshotNulls.nullsAt(root)
+    final case class Meta(f: String, lo: Option[Any], hi: Option[Any],
+                          nonNull: Long, provableNoNulls: Boolean,
+                          knownNulls: Long)
+    val metas = candidates.map { f =>
+      val key = SnapshotLog.norm(f)
+      val physStats = snap.stats.getOrElse(key, Map.empty[String, (Any, Any)])
+      val phys: Option[String] =
+        if (snap.fids.isEmpty || !snap.colIds.contains(key)) Some(column)
+        else snap.physName(f, column)
+      val bound = phys.flatMap(physStats.get)
+      val nn: Option[Long] = phys.flatMap(p =>
+        allNulls.get(key).flatMap(_.get(p)))
+      val rows = provableRows(snap, f)
+      val nonNull = nn match {
+        case Some(n) if rows > 0L => math.max(0L, rows - n)
+        case _ => 0L
+      }
+      Meta(f, bound.map(_._1), bound.map(_._2), nonNull,
+        provableNoNulls = nn.contains(0L),
+        knownNulls = if (snap.dels.contains(key)) 0L else nn.getOrElse(0L))
+    }
+    import SnapshotLog.cmp
+    if (desc) {
+      // threshold candidates: file mins, best-first
+      val cands = metas.filter(m => m.lo.isDefined && m.nonNull > 0)
+        .sortWith((a, b) => cmp(a.lo.get, b.lo.get) > 0)
+      var acc = 0L
+      var thr: Option[Any] = None
+      val it = cands.iterator
+      while (thr.isEmpty && it.hasNext) {
+        val m = it.next()
+        acc += m.nonNull // all files seen so far have min >= m.lo
+        if (acc >= k) thr = m.lo
+      }
+      thr match {
+        case Some(t) =>
+          metas.filter(m => m.hi.isEmpty || cmp(m.hi.get, t) >= 0).map(_.f)
+        case None => candidates
+      }
+    } else {
+      // nulls sort FIRST: k provable nulls answer the query from the
+      // null-carrying files alone; otherwise serve k - knownNulls from
+      // the smallest value ranges
+      val n0 = metas.map(_.knownNulls).sum
+      if (n0 >= k) metas.filterNot(_.provableNoNulls).map(_.f)
+      else {
+        val need = k - n0
+        val cands = metas.filter(m => m.hi.isDefined && m.nonNull > 0)
+          .sortWith((a, b) => cmp(a.hi.get, b.hi.get) < 0)
+        var acc = 0L
+        var thr: Option[Any] = None
+        val it = cands.iterator
+        while (thr.isEmpty && it.hasNext) {
+          val m = it.next()
+          acc += m.nonNull
+          if (acc >= need) thr = m.hi
+        }
+        thr match {
+          case Some(t) =>
+            metas.filter(m => !m.provableNoNulls || m.lo.isEmpty ||
+              cmp(m.lo.get, t) <= 0).map(_.f)
+          case None => candidates
+        }
+      }
+    }
+  }
+
   /** Files of `candidates` that may hold a row matching every filter,
     * per manifest stats AND hidden-partition tuples (the pruning min/max
     * stats cannot do — bucket probes on hashed keys) AND, when `root` is

@@ -217,12 +217,13 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
     val replaced = scannedFiles().map(SnapshotLog.norm).toSet
     val untouched = cur.files.filterNot(f => replaced.contains(SnapshotLog.norm(f)))
     val untouchedSet = untouched.map(SnapshotLog.norm).toSet
-    val (newStats, newCols, newRows) = SnapshotLog.footerMeta(conf, newFiles, schema)
+    val (newStats, newCols, newRows, newNulls) = SnapshotLog.footerMeta(conf, newFiles, schema)
     val newSizes = newFiles
       .map(f => SnapshotLog.norm(f) -> fs.getFileStatus(new Path(f)).getLen).toMap
     // rewritten files regenerate bloom coverage (a DML-heavy table must
     // not bleed point-lookup pruning file by file until compaction)
     SnapshotBlooms.writeSidecar(spark, root, newFiles, schema, newRows)
+    SnapshotNulls.record(spark, root, newNulls)
     val (fids, colIds, maxId) =
       SnapshotLog.fidCarry(Some(cur), schema, untouched ++ newFiles, newCols)
     try {
