@@ -95,30 +95,85 @@ object IncrementalMv {
   final case class MvDef(baseRoot: String, mvRoot: String,
                          groupCol: String, valueCol: String)
 
-  /** baseRoot (trailing-slash-normalized) → MV definition. JVM-wide like
-    * the sidecar caches: registration is the opt-in, and the rewrite
-    * rule re-validates freshness against durable table state on every
-    * use, so a stale registry entry can never produce wrong answers. */
+  /** DURABLE registration: the BASE table's properties carry its
+    * materialization's location and defining columns, so a fresh engine
+    * process (new JVM, new session) keeps rewriting without re-running
+    * create() — the registration lives with the data, like everything
+    * else in the snapshot log. */
+  val BaseMvRootProp = "mv.materialization-root"
+  val BaseMvGroupProp = "mv.materialization-group-col"
+  val BaseMvValueProp = "mv.materialization-value-col"
+
+  /** In-memory view of registrations: definitive entries written by
+    * register(), plus a TTL cache of property hydrations (positive AND
+    * negative — a base table with no MV must not pay an FS read per
+    * optimized query). Freshness is still re-proved against the MV's
+    * durable watermark on every use, so staleness here can never produce
+    * wrong answers — only a (bounded) missed or attempted rewrite. */
   private val registry =
     scala.collection.concurrent.TrieMap[String, MvDef]()
+  private val hydrated =
+    scala.collection.concurrent.TrieMap[String, (Long, Option[MvDef])]()
+
+  private def hydrateTtlMs: Long =
+    java.lang.Long.getLong("graft.mv.hydrateTtlMs", 30000L)
 
   private def normRoot(r: String): String = r.stripSuffix("/")
 
   /** Register `mvTable` as the materialization of the canonical
     * group/count/sum aggregate over `baseRoot` — [[create]] calls this;
-    * exposed for MVs maintained by external loops. */
+    * exposed for MVs maintained by external loops. Durable: recorded in
+    * the base table's properties. */
   def register(spark: SparkSession, baseRoot: String, mvTable: String,
-               groupCol: String, valueCol: String): Unit =
-    registry.put(normRoot(baseRoot), MvDef(normRoot(baseRoot),
-      mvRoot(spark, mvTable), groupCol, valueCol)): Unit
+               groupCol: String, valueCol: String): Unit = {
+    val d = MvDef(normRoot(baseRoot), mvRoot(spark, mvTable),
+      groupCol, valueCol)
+    try SnapshotLog.setTableProps(spark, baseRoot, Map(
+      BaseMvRootProp -> d.mvRoot,
+      BaseMvGroupProp -> groupCol,
+      BaseMvValueProp -> valueCol))
+    catch { case scala.util.control.NonFatal(_) => () } // in-memory still works
+    hydrated.remove(d.baseRoot)
+    registry.put(d.baseRoot, d): Unit
+  }
 
-  def unregister(baseRoot: String): Unit =
+  /** Remove the registration durably (base props) and in-memory. */
+  def unregister(spark: SparkSession, baseRoot: String): Unit = {
+    try SnapshotLog.setTableProps(spark, baseRoot, Map.empty,
+      unset = Seq(BaseMvRootProp, BaseMvGroupProp, BaseMvValueProp))
+    catch { case scala.util.control.NonFatal(_) => () }
+    hydrated.remove(normRoot(baseRoot))
     registry.remove(normRoot(baseRoot)): Unit
+  }
 
-  private[graft] def registered(baseRoot: String): Option[MvDef] =
-    registry.get(normRoot(baseRoot))
+  /** Test hook: drop all in-memory registration state (the durable
+    * base-table properties survive) — simulates a fresh engine process. */
+  private[graft] def forgetInMemory(): Unit = {
+    registry.clear(); hydrated.clear()
+  }
 
-  private[graft] def registryEmpty: Boolean = registry.isEmpty
+  private[graft] def registered(baseRoot: String): Option[MvDef] = {
+    val key = normRoot(baseRoot)
+    registry.get(key).orElse {
+      val now = System.nanoTime() / 1000000L
+      hydrated.get(key) match {
+        case Some((ts, v)) if now - ts < hydrateTtlMs => v
+        case _ =>
+          val v: Option[MvDef] =
+            try {
+              val props = SnapshotLog.tableProps(SparkSession.active, key)
+              for {
+                mvRoot <- props.get(BaseMvRootProp)
+                g <- props.get(BaseMvGroupProp)
+                vc <- props.get(BaseMvValueProp)
+              } yield MvDef(key, mvRoot, g, vc)
+            } catch { case scala.util.control.NonFatal(_) => None }
+          if (hydrated.size > 4096) hydrated.clear()
+          hydrated.put(key, (now, v))
+          v
+      }
+    }
+  }
 
   /** The base version the MV at `mvRoot` has applied, from its durable
     * table properties — the rewrite rule's freshness anchor. */

@@ -39,7 +39,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     catch { case scala.util.control.NonFatal(_) => true }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (IncrementalMv.registryEmpty || !enabled) return plan
+    if (!enabled) return plan
     plan.transformUp {
       case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
         rewrite(g, aggExprs, child).getOrElse(agg)

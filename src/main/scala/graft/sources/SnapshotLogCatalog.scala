@@ -135,7 +135,7 @@ class SnapshotLogCatalog extends TableCatalog
 
   private val metaSuffixes =
     Set("history", "files", "snapshots", "refs", "deletes", "partitions",
-      "manifests", "blooms", "sorts")
+      "manifests", "blooms", "sorts", "nulls")
 
   private def load(ident: Identifier, v: Option[Int], tsMs: Option[Long]): Table = {
     val root = rootFor(ident)
@@ -175,6 +175,10 @@ class SnapshotLogCatalog extends TableCatalog
               SnapshotMetaTable.sortsTable(nm,
                 SnapshotLog.pick(spark, baseRoot, v, tsMs),
                 SnapshotSorts.sortsAt(baseRoot))
+            case "nulls" =>
+              SnapshotMetaTable.nullsTable(nm,
+                SnapshotLog.pick(spark, baseRoot, v, tsMs),
+                SnapshotNulls.nullsAt(baseRoot))
           }
         }
       }

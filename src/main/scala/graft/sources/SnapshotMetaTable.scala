@@ -108,6 +108,23 @@ private[sources] object SnapshotMetaTable {
         .map { case (f, o) => Seq(f, o.mkString(",")) })
   }
 
+  /** Null-count inventory of one snapshot: one row per recorded
+    * (data file, column) with its null count ([[SnapshotNulls]], the
+    * Iceberg null_value_counts analog feeding top-k file skipping). */
+  def nullsTable(name: String, snap: SnapshotLog.Snapshot,
+                 nulls: Map[String, Map[String, Long]]): SnapshotMetaTable = {
+    val live = snap.files.map(SnapshotLog.norm).toSet
+    new SnapshotMetaTable(name,
+      StructType(Seq(
+        StructField("data_file", StringType, nullable = false),
+        StructField("column", StringType, nullable = false),
+        StructField("null_count", LongType, nullable = false))),
+      nulls.toSeq.filter(e => live.contains(e._1)).sortBy(_._1)
+        .flatMap { case (f, cols) =>
+          cols.toSeq.sortBy(_._1).map { case (c, n) => Seq(f, c, n) }
+        })
+  }
+
   /** Shard inventory (Iceberg's `manifests` table): one row per manifest
     * shard + one for the inline block — path, size, entry counts split
     * live vs tombstoned. Input rows come from

@@ -55,7 +55,7 @@ class MvRewriteSpec extends AnyFunSuite {
         (g, ks.size.toLong, ks.map(_ * 2).sum)
       }.toSet
       assert(got === want)
-    } finally IncrementalMv.unregister(root)
+    } finally IncrementalMv.unregister(spark, root)
   }
 
   test("stale MV leaves the aggregate alone; maintain() re-arms it") {
@@ -76,7 +76,7 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(servedByMv(q2, "mvrw_stale"), "maintained to head ⇒ rewrite")
       assert(q2.filter(col("grp") === 0).select("n").as[Long].head() ===
         (0L until 500L).count(_ % 7 == 0) + 2)
-    } finally IncrementalMv.unregister(root)
+    } finally IncrementalMv.unregister(spark, root)
   }
 
   test("non-defining shapes never rewrite: filter, extra agg, other group") {
@@ -98,7 +98,7 @@ class MvRewriteSpec extends AnyFunSuite {
           q.queryExecution.optimizedPlan.toString)
       // and they still compute correctly (rule must be a no-op, not a bug)
       assert(withAvg.count() === 7)
-    } finally IncrementalMv.unregister(root)
+    } finally IncrementalMv.unregister(spark, root)
   }
 
   test("rewritten output attributes re-bind in parent operators") {
@@ -115,7 +115,7 @@ class MvRewriteSpec extends AnyFunSuite {
         (g, ks.map(_ * 2).sum, ks.size)
       }.filter(_._3 > 99).sortBy(-_._2).map(t => (t._1, t._2))
       assert(got === want)
-    } finally IncrementalMv.unregister(root)
+    } finally IncrementalMv.unregister(spark, root)
   }
 
   test("conf kill-switch and unregistration both disable the rewrite") {
@@ -127,9 +127,25 @@ class MvRewriteSpec extends AnyFunSuite {
       try assert(!servedByMv(defAgg(root), "mvrw_conf"))
       finally spark.conf.unset("spark.graft.mv.autoRewrite")
       assert(servedByMv(defAgg(root), "mvrw_conf"))
-      IncrementalMv.unregister(root)
+      IncrementalMv.unregister(spark, root)
       assert(!servedByMv(defAgg(root), "mvrw_conf"))
-    } finally IncrementalMv.unregister(root)
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
+  test("registration is durable: a fresh process re-hydrates from the " +
+       "base table's properties") {
+    val root = fresh("durable")
+    SnapshotLog.commit(base(300), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_durable.mv", "grp", "v")
+    try {
+      IncrementalMv.forgetInMemory() // simulate a new JVM
+      assert(servedByMv(defAgg(root), "mvrw_durable"),
+        "the base props must re-arm the rewrite without re-registering")
+      // durable unregistration survives the same way
+      IncrementalMv.unregister(spark, root)
+      IncrementalMv.forgetInMemory()
+      assert(!servedByMv(defAgg(root), "mvrw_durable"))
+    } finally IncrementalMv.unregister(spark, root)
   }
 
   test("time-traveled reads rewrite only at the watermark version") {
@@ -148,6 +164,6 @@ class MvRewriteSpec extends AnyFunSuite {
       // v1 result stays the un-duplicated aggregate
       assert(at(1).filter(col("grp") === 0).select("n").as[Long].head() ===
         (0L until 400L).count(_ % 7 == 0).toLong)
-    } finally IncrementalMv.unregister(root)
+    } finally IncrementalMv.unregister(spark, root)
   }
 }

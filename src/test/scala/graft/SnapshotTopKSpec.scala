@@ -141,6 +141,23 @@ class SnapshotTopKSpec extends AnyFunSuite {
       (3990L to 3999L).reverse)
   }
 
+  test(".nulls metadata table inventories recorded (file, column) counts") {
+    val ns = "nullmeta"
+    val root = s"/tmp/graft_snap_warehouse/$ns/t"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    spark.sql(s"DROP TABLE IF EXISTS snap.$ns.t")
+    spark.sql(s"CREATE TABLE snap.$ns.t AS SELECT id AS k, " +
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE id * 2 END AS v FROM range(0, 500)")
+    val rows = spark.sql(s"SELECT * FROM snap.$ns.t.nulls").collect()
+    assert(rows.nonEmpty)
+    val vNulls = rows.filter(_.getAs[String]("column") == "v")
+      .map(_.getAs[Long]("null_count")).sum
+    assert(vNulls === 100L, s"100 of 500 v values are null, got $vNulls")
+    assert(rows.filter(_.getAs[String]("column") == "k")
+      .forall(_.getAs[Long]("null_count") == 0L))
+  }
+
   test("non-default null ordering refuses the push and scans everything") {
     val root = fresh("nullorder")
     clustered(root)
