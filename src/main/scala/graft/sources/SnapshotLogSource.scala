@@ -367,6 +367,11 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     if (pushed.nonEmpty) return None // residuals would falsify the values
+    // defense in depth: Spark never pushes an aggregate AND a limit/topN
+    // into one scan (a Limit between them blocks either side), but a
+    // metadata-computed count over a limit-planned file subset would be
+    // silently wrong — refuse if that invariant ever breaks
+    if (limitN.nonEmpty || topN.nonEmpty) return None
     val allFiles = buildKept
     if (allFiles.exists(f => snap.dels.contains(SnapshotLog.norm(f)))) return None
     val schema = snap.schema
