@@ -19,38 +19,57 @@ import graft.sources.SnapshotLog
   *
   * Count-sum aggregates are SELF-MAINTAINABLE (insert adds, delete
   * subtracts, a group whose count reaches zero is deleted) — the textbook
-  * incremental-view-maintenance algebra. The applied watermark rides the
+  * incremental-view-maintenance algebra. SQL null semantics are preserved
+  * the textbook way too: the MV carries `n` (rows), `nv` (rows with a
+  * NON-NULL value) and `s` (sum over those, 0 when none), so
+  * `sum(v)` reconstructs as `IF(nv = 0, NULL, s)` and `avg(v)` as
+  * `s / nv` — exactly SQL's ignore-nulls aggregation, maintained
+  * incrementally. Group keys join NULL-SAFELY (`<=>`) so a NULL group is
+  * one group, as GROUP BY defines it. The applied watermark rides the
   * MV's own table properties, so refresh is idempotent and restartable:
   * re-running maintain() applies exactly the unapplied suffix. */
 object IncrementalMv {
   /** Watermark property on the MV table: highest base version applied. */
   val AppliedProp = "mv.applied-base-version"
 
-  /** Create the MV `SELECT group, count(*) n, sum(valueCol) s FROM base
-    * GROUP BY group` at the base's current version, recording the
-    * watermark. `mvTable` is a `snap` catalog name (ns.t). */
+  /** Create the MV `SELECT groups…, count(*) n, count(v) nv,
+    * coalesce(sum(v), 0) s FROM base GROUP BY groups…` at the base's
+    * current version, recording the watermark. `mvTable` is a `snap`
+    * catalog name (ns.t). */
   def create(spark: SparkSession, baseRoot: String, mvTable: String,
-             groupCol: String, valueCol: String): Int = {
+             groupCols: Seq[String], valueCol: String): Int = {
+    require(groupCols.nonEmpty && !groupCols.contains(valueCol),
+      s"IncrementalMv: bad definition (groups=$groupCols value=$valueCol)")
     val baseV = SnapshotLog.snapshots(spark, baseRoot)
       .filter(_.branch.isEmpty).last.version
     val base = spark.read.format("snapshotlog").load(baseRoot)
     spark.sql(s"DROP TABLE IF EXISTS snap.$mvTable")
-    base.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"))
-      .createOrReplaceTempView("__mv_seed")
+    // coalesce needs a typed zero — cast 0 to the sum's own result type
+    val seed = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), count(col(valueCol)).as("nv"),
+        sum(col(valueCol)).as("__s"))
+    val sType = seed.schema("__s").dataType.sql
+    val seeded = seed.withColumn("s",
+      coalesce(col("__s"), expr(s"CAST(0 AS $sType)"))).drop("__s")
+    seeded.createOrReplaceTempView("__mv_seed")
     spark.sql(s"CREATE TABLE snap.$mvTable AS SELECT * FROM __mv_seed")
     spark.catalog.dropTempView("__mv_seed")
     SnapshotLog.setTableProps(spark, mvRoot(spark, mvTable),
       Map(AppliedProp -> baseV.toString))
-    register(spark, baseRoot, mvTable, groupCol, valueCol)
+    register(spark, baseRoot, mvTable, groupCols, valueCol)
     baseV
   }
+
+  /** Single-group convenience overload. */
+  def create(spark: SparkSession, baseRoot: String, mvTable: String,
+             groupCol: String, valueCol: String): Int =
+    create(spark, baseRoot, mvTable, Seq(groupCol), valueCol)
 
   /** Apply every unapplied base version to the MV: ONE net_changes read
     * over (applied, head], one per-group delta aggregate, one MERGE.
     * Returns the new watermark (== old when nothing to do). */
   def maintain(spark: SparkSession, baseRoot: String, mvTable: String,
-               groupCol: String, valueCol: String): Int = {
+               groupCols: Seq[String], valueCol: String): Int = {
     val root = mvRoot(spark, mvTable)
     val applied = SnapshotLog.tableProps(spark, root)
       .getOrElse(AppliedProp, throw new IllegalStateException(
@@ -62,38 +81,57 @@ object IncrementalMv {
     // net_changes: intermediate churn inside the range cancels — the MV
     // sees one ±row per net-changed row, regardless of how many versions
     // the range spans
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val v = col(valueCol)
     val delta = SnapshotLog.changes(spark, baseRoot, applied, Some(head),
         netChanges = true)
-      .groupBy(col(groupCol).as("g"))
+      .groupBy(groupCols.map(col): _*)
       .agg(
-        sum(when(col("_change_type") === "insert", 1L).otherwise(-1L))
-          .as("dn"),
-        sum(when(col("_change_type") === "insert", col(valueCol))
-          .otherwise(-col(valueCol))).as("ds"))
-      .filter(col("dn") =!= 0L || col("ds") =!= 0L)
+        sum(sign).as("dn"),
+        coalesce(sum(when(v.isNotNull, sign).otherwise(0L)), lit(0L))
+          .as("dnv"),
+        sum(when(v.isNotNull, when(col("_change_type") === "insert", v)
+          .otherwise(-v))).as("__ds"))
+    val dsType = delta.schema("__ds").dataType.sql
+    val deltaZ = delta
+      .withColumn("ds", coalesce(col("__ds"), expr(s"CAST(0 AS $dsType)")))
+      .drop("__ds")
+      .filter(col("dn") =!= 0L || col("dnv") =!= 0L || col("ds") =!= 0L)
     val view = "__mv_delta_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    delta.createOrReplaceTempView(view)
+    deltaZ.createOrReplaceTempView(view)
+    // NULL-SAFE key equality: GROUP BY treats NULL as one group, so the
+    // MERGE must too — plain `=` would re-insert the null group forever
+    val on = groupCols.map(c => s"t.$c <=> s.$c").mkString(" AND ")
+    val gList = groupCols.mkString(", ")
+    val gVals = groupCols.map(c => s"s.$c").mkString(", ")
     try spark.sql(
-      s"""MERGE INTO snap.$mvTable t USING $view s ON t.$groupCol = s.g
+      s"""MERGE INTO snap.$mvTable t USING $view s ON $on
          |WHEN MATCHED AND t.n + s.dn = 0 THEN DELETE
-         |WHEN MATCHED THEN UPDATE SET n = t.n + s.dn, s = t.s + s.ds
-         |WHEN NOT MATCHED THEN INSERT ($groupCol, n, s)
-         |  VALUES (s.g, s.dn, s.ds)""".stripMargin)
+         |WHEN MATCHED THEN UPDATE SET n = t.n + s.dn, nv = t.nv + s.dnv,
+         |  s = t.s + s.ds
+         |WHEN NOT MATCHED THEN INSERT ($gList, n, nv, s)
+         |  VALUES ($gVals, s.dn, s.dnv, s.ds)""".stripMargin)
     finally spark.catalog.dropTempView(view)
     SnapshotLog.setTableProps(spark, root, Map(AppliedProp -> head.toString))
     head
   }
+
+  /** Single-group convenience overload. */
+  def maintain(spark: SparkSession, baseRoot: String, mvTable: String,
+               groupCol: String, valueCol: String): Int =
+    maintain(spark, baseRoot, mvTable, Seq(groupCol), valueCol)
 
   private def mvRoot(spark: SparkSession, mvTable: String): String =
     "/tmp/graft_snap_warehouse/" + mvTable.replace('.', '/')
 
   // ---- MV registry (feeds the transparent query-rewrite rule) ----
 
-  /** One registered MV: `SELECT groupCol, count(*) n, sum(valueCol) s
-    * FROM <baseRoot> GROUP BY groupCol`, materialized at `mvRoot`. */
+  /** One registered MV: `SELECT groups…, count(*) n, count(v) nv,
+    * sum-with-zero s FROM <baseRoot> GROUP BY groups…`, materialized at
+    * `mvRoot`. */
   final case class MvDef(baseRoot: String, mvRoot: String,
-                         groupCol: String, valueCol: String)
+                         groupCols: Seq[String], valueCol: String)
 
   /** DURABLE registration: the BASE table's properties carry its
     * materialization's location and defining columns, so a fresh engine
@@ -123,19 +161,23 @@ object IncrementalMv {
   /** Register `mvTable` as the materialization of the canonical
     * group/count/sum aggregate over `baseRoot` — [[create]] calls this;
     * exposed for MVs maintained by external loops. Durable: recorded in
-    * the base table's properties. */
+    * the base table's properties (group columns comma-joined). */
   def register(spark: SparkSession, baseRoot: String, mvTable: String,
-               groupCol: String, valueCol: String): Unit = {
+               groupCols: Seq[String], valueCol: String): Unit = {
     val d = MvDef(normRoot(baseRoot), mvRoot(spark, mvTable),
-      groupCol, valueCol)
+      groupCols, valueCol)
     try SnapshotLog.setTableProps(spark, baseRoot, Map(
       BaseMvRootProp -> d.mvRoot,
-      BaseMvGroupProp -> groupCol,
+      BaseMvGroupProp -> groupCols.mkString(","),
       BaseMvValueProp -> valueCol))
     catch { case scala.util.control.NonFatal(_) => () } // in-memory still works
     hydrated.remove(d.baseRoot)
     registry.put(d.baseRoot, d): Unit
   }
+
+  def register(spark: SparkSession, baseRoot: String, mvTable: String,
+               groupCol: String, valueCol: String): Unit =
+    register(spark, baseRoot, mvTable, Seq(groupCol), valueCol)
 
   /** Remove the registration durably (base props) and in-memory. */
   def unregister(spark: SparkSession, baseRoot: String): Unit = {
@@ -166,7 +208,8 @@ object IncrementalMv {
                 mvRoot <- props.get(BaseMvRootProp)
                 g <- props.get(BaseMvGroupProp)
                 vc <- props.get(BaseMvValueProp)
-              } yield MvDef(key, mvRoot, g, vc)
+              } yield MvDef(key, mvRoot,
+                g.split(",").map(_.trim).filter(_.nonEmpty).toSeq, vc)
             } catch { case scala.util.control.NonFatal(_) => None }
           if (hydrated.size > 4096) hydrated.clear()
           hydrated.put(key, (now, v))

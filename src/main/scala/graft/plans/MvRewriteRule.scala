@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, EqualTo, Expression, If, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.operators.IncrementalMv
 
 /** TRANSPARENT MATERIALIZED-VIEW REWRITE — the optimizer half of the
@@ -16,6 +17,14 @@ import graft.operators.IncrementalMv
   * instead of re-aggregating the base — the BigQuery/Hive/Snowflake
   * "automatic query rewrite" surface, done the Catalyst-idiomatic way
   * as an injected `Rule[LogicalPlan]`.
+  *
+  * Served shapes, for GROUP BY exactly the MV's group columns:
+  * `count(*)` (→ n), `sum(v)` (→ IF(nv = 0, NULL, s) — SQL's
+  * ignore-nulls sum, reconstructed from the maintained non-null count),
+  * `count(v)` (→ nv), and `avg(v)` (→ s / nv, null when nv = 0).
+  * For integral v the MV's sums are exact longs, so avg is bit-honest;
+  * for floating v both the direct and the maintained sum are
+  * association-dependent anyway.
   *
   * Correctness gate: the rewrite fires ONLY when the base relation's
   * pinned snapshot version equals the MV's durable applied-version
@@ -41,8 +50,10 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
-      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
-        rewrite(g, aggExprs, child).getOrElse(agg)
+      case agg @ Aggregate(groups, aggExprs, child, _)
+          if groups.nonEmpty && groups.forall(_.isInstanceOf[AttributeReference]) =>
+        rewrite(groups.map(_.asInstanceOf[AttributeReference]), aggExprs,
+          child).getOrElse(agg)
     }
   }
 
@@ -68,53 +79,63 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def rewrite(g: AttributeReference, aggExprs: Seq[NamedExpression],
+  private def rewrite(groups: Seq[AttributeReference],
+                      aggExprs: Seq[NamedExpression],
                       child: LogicalPlan): Option[LogicalPlan] = {
     for {
       rel <- baseRelation(child)
       (root, pinned) <- parsePin(rel.table.name())
       mv <- IncrementalMv.registered(root)
-      if g.name == mv.groupCol
+      if groups.map(_.name).toSet == mv.groupCols.toSet &&
+        groups.size == mv.groupCols.size
       spark = SparkSession.active
       applied <- IncrementalMv.appliedVersion(spark, mv.mvRoot)
       if applied == pinned
-      // every output must be the group column, COUNT(*)/COUNT(1), or
-      // SUM(valueCol) — the MV's exact shape; anything else bails
-      binds <- bindOutputs(g, mv.valueCol, aggExprs)
-      plan <- materialize(spark, mv, g, binds)
+      binds <- bindOutputs(groups, mv.valueCol, aggExprs)
+      plan <- materialize(spark, mv, binds)
     } yield plan
   }
 
-  /** For each aggregate output, which MV column serves it. */
+  /** For each aggregate output, which MV-derived expression serves it. */
   private sealed trait Bind
-  private case object GroupB extends Bind
-  private case object CountB extends Bind
-  private case object SumB extends Bind
+  private case class GroupB(name: String) extends Bind
+  private case object CountB extends Bind  // count(*)       → n
+  private case object CountVB extends Bind // count(v)       → nv
+  private case object SumB extends Bind    // sum(v)         → if(nv=0,null,s)
+  private case object AvgB extends Bind    // avg(v)         → s / nv
 
-  private def bindOutputs(g: AttributeReference, valueCol: String,
+  private def bindOutputs(groups: Seq[AttributeReference], valueCol: String,
       aggExprs: Seq[NamedExpression]): Option[Seq[(NamedExpression, Bind)]] = {
+    def groupOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+          if groups.exists(g => g.semanticEquals(a)) => Some(a.name)
+      case _ => None
+    }
     val out = aggExprs.map {
-      case a: AttributeReference if a.semanticEquals(g) => Some(a -> (GroupB: Bind))
-      case al @ Alias(c, _) => bindExpr(g, valueCol, c).map(al -> _)
+      case a: AttributeReference => groupOf(a).map(n => a -> (GroupB(n): Bind))
+      case al @ Alias(c, _) =>
+        groupOf(c).map(n => al -> (GroupB(n): Bind))
+          .orElse(bindAgg(valueCol, c).map(al -> _))
       case _ => None
     }
     if (out.forall(_.isDefined)) Some(out.flatten) else None
   }
 
-  private def bindExpr(g: AttributeReference, valueCol: String,
-                       e: Expression): Option[Bind] = e match {
-    case a: AttributeReference if a.semanticEquals(g) => Some(GroupB)
+  private def bindAgg(valueCol: String, e: Expression): Option[Bind] = e match {
     case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) =>
       Some(CountB)
+    case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _)
+        if a.name == valueCol => Some(CountVB)
     case AggregateExpression(Sum(a: AttributeReference, _), Complete, false, None, _)
         if a.name == valueCol => Some(SumB)
+    case AggregateExpression(Average(a: AttributeReference, _), Complete, false, None, _)
+        if a.name == valueCol => Some(AvgB)
     case _ => None
   }
 
   /** Project the MV relation onto the aggregate's original output
     * attribute ids, so parents re-bind without a rewrite of their own. */
   private def materialize(spark: SparkSession, mv: IncrementalMv.MvDef,
-      g: AttributeReference,
       binds: Seq[(NamedExpression, Bind)]): Option[LogicalPlan] = {
     val mvPlan = try
       spark.read.format("snapshotlog").load(mv.mvRoot)
@@ -124,12 +145,22 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       mvPlan.output.collectFirst {
         case a: AttributeReference if a.name == n => a }
     for {
-      gCol <- attr(mv.groupCol); nCol <- attr("n"); sCol <- attr("s")
-      // type identity — an evolved/retyped MV must never bind silently
-      if gCol.dataType == g.dataType
+      nCol <- attr("n"); nvCol <- attr("nv"); sCol <- attr("s")
+      if nCol.dataType == LongType && nvCol.dataType == LongType
       projections <- Some(binds.map { case (orig, b) =>
-        val src = b match {
-          case GroupB => gCol; case CountB => nCol; case SumB => sCol }
+        val src: Expression = b match {
+          case GroupB(n) => attr(n).getOrElse(return None)
+          case CountB => nCol
+          case CountVB => nvCol
+          case SumB =>
+            // SQL sum ignores nulls and is NULL over an all-null group —
+            // reconstruct that from the maintained non-null count
+            If(EqualTo(nvCol, Literal(0L)),
+              Literal.create(null, sCol.dataType), sCol)
+          case AvgB =>
+            If(EqualTo(nvCol, Literal(0L)), Literal.create(null, DoubleType),
+              Divide(Cast(sCol, DoubleType), Cast(nvCol, DoubleType)))
+        }
         if (src.dataType != orig.dataType) return None
         Alias(src, orig.name)(exprId = orig.exprId,
           qualifier = orig.qualifier)

@@ -900,7 +900,8 @@ object DdlQueries extends QueryModule {
       val (root, ns) = incMvFixture(s, d)
       def agg(df: DataFrame): DataFrame =
         df.groupBy(col("grp"))
-          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+            avg(col("v")).as("a")) // avg served as s / nv from the MV
       val q = agg(s.read.format("snapshotlog").load(root))
       def hasAggregate(df: DataFrame): Boolean =
         df.queryExecution.optimizedPlan.collect {
@@ -1764,6 +1765,7 @@ object DdlQueries extends QueryModule {
         |        UNION ALL SELECT * FROM b WHERE k % 4 = 2)
         |SELECT grp, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(v) AS BIGINT) AS s,
+        |  CAST(sum(v) AS DOUBLE) / count(v) AS a,
         |  TRUE AS mv_served, TRUE AS pinned_keeps_aggregate
         |FROM fin GROUP BY grp""".stripMargin,
 
