@@ -34,7 +34,9 @@ private[sources] object SnapshotProcedures {
         Identifier.of(Array("system"), "drop_branch"),
         Identifier.of(Array("system"), "fast_forward"),
         Identifier.of(Array("system"), "rewrite_position_delete_files"),
-        Identifier.of(Array("system"), "create_changelog_view"))
+        Identifier.of(Array("system"), "create_changelog_view"),
+        Identifier.of(Array("system"), "create_mv"),
+        Identifier.of(Array("system"), "refresh_mv"))
     else Array.empty
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
@@ -53,6 +55,8 @@ private[sources] object SnapshotProcedures {
         new RewriteDeleteFilesProc(warehouse)
       case "analyze_table" => new AnalyzeTableProc(warehouse)
       case "create_changelog_view" => new CreateChangelogViewProc(warehouse)
+      case "create_mv" => new CreateMvProc(warehouse)
+      case "refresh_mv" => new RefreshMvProc(warehouse)
       case other => throw new UnsupportedOperationException(
         s"snapshotlog catalog: unknown procedure $other")
     }
@@ -209,6 +213,76 @@ private[sources] object SnapshotProcedures {
           StructField("n_columns", LongType, nullable = false))),
         Seq[Any](v, stats.map(_._2).getOrElse(0L),
           stats.map(_._3.size.toLong).getOrElse(0L)))).asJava
+    }
+  }
+
+  /** `CALL snap.system.create_mv('ns.base', 'ns.mv', 'day,cc', 'v')` —
+    * materialize the canonical group/count/sum aggregate and register it
+    * durably for transparent query rewrite + incremental refresh. */
+  private class CreateMvProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "create_mv"
+    override def description(): String =
+      "materialize a group/count/sum aggregate over a snapshot table " +
+        "and register it for transparent rewrite + incremental refresh"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("mv_table", StringType).build(),
+      ProcedureParameter.in("group_cols", StringType).build(),
+      ProcedureParameter.in("value_col", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val mvTable = input.getUTF8String(1).toString
+      val groups = input.getUTF8String(2).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val applied = graft.operators.IncrementalMv.create(spark, root,
+        mvTable, groups, input.getUTF8String(3).toString)
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("mv_table", StringType, nullable = false),
+          StructField("applied_base_version", IntegerType, nullable = false))),
+        Seq[Any](org.apache.spark.unsafe.types.UTF8String.fromString(mvTable),
+          applied))).asJava
+    }
+  }
+
+  /** `CALL snap.system.refresh_mv('ns.base')` — apply every unapplied
+    * base version to the registered MV (one changelog read, one MERGE);
+    * idempotent at the head. */
+  private class RefreshMvProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "refresh_mv"
+    override def description(): String =
+      "incrementally refresh the registered materialization of a " +
+        "snapshot table from its net_changes delta"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val mv = graft.operators.IncrementalMv.registered(root).getOrElse(
+        throw new IllegalArgumentException(
+          s"refresh_mv: no materialization registered for " +
+            input.getUTF8String(0).toString))
+      // MV tables live in the same warehouse: root path back to ns.t name
+      val mvTable = mv.mvRoot.stripPrefix(s"$warehouse/").replace('/', '.')
+      val applied = graft.operators.IncrementalMv.maintain(spark, root,
+        mvTable, mv.groupCols, mv.valueCol)
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("mv_table", StringType, nullable = false),
+          StructField("applied_base_version", IntegerType, nullable = false))),
+        Seq[Any](org.apache.spark.unsafe.types.UTF8String.fromString(mvTable),
+          applied))).asJava
     }
   }
 

@@ -222,6 +222,32 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally IncrementalMv.unregister(spark, root)
   }
 
+  test("SQL procedures drive the whole loop: create_mv + refresh_mv") {
+    val ns = "mvrw_proc"
+    val root = s"/tmp/graft_snap_warehouse/$ns/base"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"/tmp/graft_snap_warehouse/$ns"), true)
+    spark.sql(s"DROP TABLE IF EXISTS snap.$ns.base")
+    spark.sql(s"CREATE TABLE snap.$ns.base AS SELECT id AS k, " +
+      "cast(id % 4 AS int) AS grp, id * 2 AS v FROM range(0, 400)")
+    try {
+      val created = spark.sql(
+        s"CALL snap.system.create_mv('$ns.base', '$ns.mv', 'grp', 'v')")
+        .collect().head
+      assert(created.getString(0) === s"$ns.mv")
+      spark.sql(s"INSERT INTO snap.$ns.base " +
+        "SELECT id, cast(id % 4 AS int), id * 2 FROM range(400, 500)")
+      val refreshed = spark.sql(
+        s"CALL snap.system.refresh_mv('$ns.base')").collect().head
+      assert(refreshed.getInt(1) >
+        created.getInt(1), "refresh must advance the watermark")
+      val q = spark.table(s"snap.$ns.base").groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      assert(servedByMv(q, s"$ns/mv"))
+      assert(q.select(sum(col("n"))).as[Long].head() === 500L)
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
   test("time-traveled reads rewrite only at the watermark version") {
     val root = fresh("tt")
     SnapshotLog.commit(base(400), root, overwrite = true, 1000L)
