@@ -203,6 +203,31 @@ object StreamingOps {
         commitStreamUpsert(batch, root, keyCols, id): Unit
       }.start()
 
+  /** CONTINUOUS MV MAINTENANCE — the "dynamic table" composition: a
+    * version stream over the base snapshot table triggers
+    * [[graft.operators.IncrementalMv.maintain]] per micro-batch, so the
+    * materialization (and every query the rewrite rule serves from it)
+    * trails the base by one trigger. maintain() is watermark-idempotent,
+    * so replayed triggers after a restart are no-ops — exactly-once falls
+    * out of the same property the batch loop relies on. The stream reads
+    * VERSIONS (tiny — the batch content is discarded); the heavy lifting
+    * stays in maintain()'s one-changelog-read + one-MERGE shape. */
+  def mvMaintenanceStream(spark: SparkSession, baseRoot: String,
+                          mvTable: String, groupCols: Seq[String],
+                          valueCol: String,
+                          checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("snapshotlog")
+      .option("skipNonAppends", "true") // deletes/updates flow via changes()
+      .load(baseRoot)
+      .writeStream
+      .option("checkpointLocation",
+        checkpoint.getOrElse(s"$baseRoot/_mv_checkpoint"))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.operators.IncrementalMv.maintain(
+          SparkSession.active, baseRoot, mvTable, groupCols, valueCol): Unit
+      }.start()
+
   case class Click(userId: Long, tsUs: Long)
   case class Session(userId: Long, nEvents: Long, firstUs: Long, lastUs: Long)
 

@@ -248,6 +248,29 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally IncrementalMv.unregister(spark, root)
   }
 
+  test("continuous maintenance: the version stream keeps the MV fresh " +
+       "and the rewrite keeps firing") {
+    val root = fresh("stream")
+    SnapshotLog.commit(base(200), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_stream.mv", "grp", "v")
+    val q = graft.streaming.StreamingOps.mvMaintenanceStream(
+      spark, root, "mvrw_stream.mv", Seq("grp"), "v",
+      checkpoint = Some(s"/tmp/graft_mvrw/stream_ckpt_${System.nanoTime()}"))
+    try {
+      SnapshotLog.commit(base(200).filter(col("k") < 20), root,
+        overwrite = false, 2000L)
+      q.processAllAvailable()
+      val served = defAgg(root)
+      assert(servedByMv(served, "mvrw_stream"),
+        "after the trigger the MV must be at the head again")
+      assert(served.filter(col("grp") === 0).select("n").as[Long].head() ===
+        (0L until 200L).count(_ % 7 == 0) + 3L) // k=0,7,14 duplicated
+    } finally {
+      q.stop()
+      IncrementalMv.unregister(spark, root)
+    }
+  }
+
   test("time-traveled reads rewrite only at the watermark version") {
     val root = fresh("tt")
     SnapshotLog.commit(base(400), root, overwrite = true, 1000L)
