@@ -603,7 +603,7 @@ private[graft] object SnapshotLogScan {
     Integer.getInteger("graft.snapshotlog.dfp.maxKeys", 10000)
 }
 
-private[sources] object SnapshotLogScanBuilder {
+private[graft] object SnapshotLogScanBuilder {
 
   /** A file's LIVE row count, provable from metadata alone: manifest row
     * count, unless merge-on-read deletes are attached or the count is
@@ -711,6 +711,63 @@ private[sources] object SnapshotLogScanBuilder {
     }
   }
 
+  /** A large IN-set compiled ONCE per prune call: literals normalized
+    * into stat space and sorted (per-file range probe becomes a binary
+    * search, O(log k) instead of O(k)) and bloom hashes precomputed
+    * (per-file probe pays lookups, never re-hashing). Without this a
+    * runtime join filter of 10k keys against 10^5 zone-mapped files is
+    * 10^9 comparisons on the driver; with it, ~10^5 log k. */
+  private[graft] final case class CompiledIn(
+      attr: String, statsKeepAlways: Boolean, bloomKeepAlways: Boolean,
+      sortedLits: Array[Any], hashes: Array[Long]) {
+    import SnapshotLog.cmp
+    /** ∃ value in [mn, mx]? — smallest value ≥ mn, then check ≤ mx. */
+    def statsMayMatch(stats: Map[String, (Any, Any)]): Boolean =
+      statsKeepAlways || (stats.get(attr) match {
+        case Some((mn, mx)) =>
+          var lo = 0; var hi = sortedLits.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cmp(sortedLits(mid), mn) < 0) lo = mid + 1 else hi = mid
+          }
+          lo < sortedLits.length && cmp(sortedLits(lo), mx) <= 0
+        case None => true
+      })
+    def bloomMayMatch(
+        bloomOf: String => Option[org.apache.spark.util.sketch.BloomFilter])
+        : Boolean =
+      bloomKeepAlways || (bloomOf(attr) match {
+        case Some(bf) =>
+          var i = 0
+          while (i < hashes.length) {
+            if (bf.mightContainLong(hashes(i))) return true
+            i += 1
+          }
+          false
+        case None => true
+      })
+  }
+
+  private[graft] def compileIn(in: In, schema: StructType): CompiledIn = {
+    import SnapshotLog.cmp
+    val field = schema.fields.find(_.name == in.attribute)
+    val lits = in.values.filter(_ != null)
+      .map(v => SnapshotStatsFilter.statLitOf(schema, in.attribute, v))
+    val hashes = field.map(fd => in.values.filter(_ != null)
+      .map(v => SnapshotBlooms.probeHash(v, fd.dataType)))
+      .getOrElse(Array.empty[Option[Long]])
+    CompiledIn(in.attribute,
+      statsKeepAlways = in.values.exists(_ == null) || lits.exists(_.isEmpty),
+      bloomKeepAlways = in.values.exists(_ == null) || field.isEmpty ||
+        hashes.exists(_.isEmpty),
+      sortedLits = lits.flatten.sortWith(cmp(_, _) < 0),
+      hashes = hashes.flatten)
+  }
+
+  /** IN-sets this long take the compiled path; short ones stay on the
+    * simple per-value probe (same answers, less setup). */
+  private val CompileInThreshold = 32
+
   /** Files of `candidates` that may hold a row matching every filter,
     * per manifest stats AND hidden-partition tuples (the pruning min/max
     * stats cannot do — bucket probes on hashed keys) AND, when `root` is
@@ -727,6 +784,10 @@ private[sources] object SnapshotLogScanBuilder {
       if (root.nonEmpty && filters.exists(SnapshotStatsFilter.usable))
         SnapshotBlooms.bloomsAt(root)
       else Map.empty
+    val probes: Map[Filter, CompiledIn] = filters.collect {
+      case in @ In(_, vs) if vs != null && vs.length > CompileInThreshold =>
+        (in: Filter) -> compileIn(in, schema)
+    }.toMap
     // per-file stat checks are independent and pure: at very large file
     // counts (10^5-10^6, the 100-TB decade) fan the driver-side prune
     // across cores instead of walking a million entries serially
@@ -734,10 +795,10 @@ private[sources] object SnapshotLogScanBuilder {
       val arr = candidates.toArray
       val keep = new Array[Boolean](arr.length)
       java.util.stream.IntStream.range(0, arr.length).parallel()
-        .forEach(i => keep(i) = mayKeep(snap, schema, arr(i), filters, blooms))
+        .forEach(i => keep(i) = mayKeep(snap, schema, arr(i), filters, blooms, probes))
       return arr.indices.collect { case i if keep(i) => arr(i) }
     }
-    candidates.filter(f => mayKeep(snap, schema, f, filters, blooms))
+    candidates.filter(f => mayKeep(snap, schema, f, filters, blooms, probes))
   }
 
   /** May data file `f` hold a row matching every filter? Pure per-file
@@ -746,7 +807,8 @@ private[sources] object SnapshotLogScanBuilder {
   private def mayKeep(snap: SnapshotLog.Snapshot, schema: StructType,
                       f: String, filters: Array[Filter],
                       blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
-                        = Map.empty): Boolean = {
+                        = Map.empty,
+                      probes: Map[Filter, CompiledIn] = Map.empty): Boolean = {
     val key = SnapshotLog.norm(f)
     val physStats = snap.stats.getOrElse(key, Map.empty[String, (Any, Any)])
     // stats are keyed by the file's PHYSICAL column names; filters use
@@ -759,7 +821,10 @@ private[sources] object SnapshotLogScanBuilder {
       else schema.fieldNames.flatMap { n =>
         snap.physName(f, n).flatMap(p => physStats.get(p)).map(n -> _)
       }.toMap
-    filters.forall(SnapshotStatsFilter.mayMatch(stats, schema, _)) && {
+    filters.forall(flt => probes.get(flt) match {
+      case Some(p) => p.statsMayMatch(stats)
+      case None => SnapshotStatsFilter.mayMatch(stats, schema, flt)
+    }) && {
       // spec EVOLUTION: each file prunes under the spec it was WRITTEN
       // with (its recorded tuple aligns with that spec, not the
       // currently-active one)
@@ -777,7 +842,10 @@ private[sources] object SnapshotLogScanBuilder {
           else snap.physName(f, n)
         phys.flatMap(blooms.get).flatMap(_.get(key))
       }
-      filters.forall(SnapshotBlooms.mayMatch(bloomOf, schema, _))
+      filters.forall(flt => probes.get(flt) match {
+        case Some(p) => p.bloomMayMatch(bloomOf)
+        case None => SnapshotBlooms.mayMatch(bloomOf, schema, flt)
+      })
     })
   }
 }
@@ -800,6 +868,10 @@ private[sources] object SnapshotStatsFilter {
     case Or(l, r) => usable(l) && usable(r)
     case _ => false
   }
+
+  /** [[statLit]] for the compiled IN-probe path. */
+  private[sources] def statLitOf(schema: StructType, attr: String,
+                                 v: Any): Option[Any] = statLit(schema, attr, v)
 
   /** Normalize a pushed literal into manifest-stat space (timestamps →
     * epoch-µs longs, the unit commit records). None = not comparable. */
@@ -947,18 +1019,27 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
     }
   }
 
-  /** Runtime-filterable columns: the partition spec's SOURCE columns —
-    * a runtime IN-set on them prunes via the recorded tuples (bucket
-    * equality probes included) and footer stats — PLUS any bloom-covered
-    * column (DYNAMIC FILE PRUNING: a join key that is neither partition
-    * nor sort anchor still skips files whose bloom provably lacks every
-    * build-side key — the needle-join analog of the static needle
-    * lookup). Empty union = no DPP/DFP anchor (Spark then never calls
-    * [[filter]]). */
+  /** Runtime-filterable columns — the DYNAMIC FILE PRUNING anchors:
+    * the partition spec's SOURCE columns (a runtime IN-set prunes via
+    * recorded tuples, bucket equality probes included), bloom-covered
+    * columns (skip files whose bloom provably lacks every build-side
+    * key — the needle-join case), and EVERY stat-typed top-level column
+    * (zone maps: manifest min/max ranges serve a runtime IN-set on any
+    * clustered or naturally-ordered join key — large sets probe as one
+    * binary search per file via [[SnapshotLogScanBuilder.CompiledIn]]).
+    * Advertising a column costs nothing until a join actually feeds an
+    * IN-set, and [[filter]] caps probe work at dfp.maxKeys; an unsorted
+    * low-correlation column simply prunes nothing (kept files are always
+    * correct). Empty = no DFP anchor (Spark then never calls filter). */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    (snap.spec.map(_._1) ++ bloomCoveredCols).distinct.map(
-      org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+    (snap.spec.map(_._1) ++ bloomCoveredCols ++
+      SnapshotLog.statColsOf(snap.schema).map(_._1)).distinct
+      // Spark resolves these against the scan's (column-pruned) OUTPUT —
+      // advertising a pruned-away column fails analysis
+      .filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
 
   override def filter(filters: Array[Filter]): Unit =
     filters.foreach { f =>

@@ -51,8 +51,8 @@ class SnapshotDfpSpec extends AnyFunSuite {
     val scan = new graft.sources.SnapshotLogScan(snap,
       org.apache.spark.sql.types.StructType(snap.schema.fields),
       Array.empty, snap.files, root)
-    assert(scan.filterAttributes().map(_.describe()).toSet == Set("k"),
-      "unpartitioned table: the bloom column is the only runtime anchor")
+    assert(scan.filterAttributes().map(_.describe()).toSet == Set("k", "v"),
+      "bloom column + stat-typed columns are the runtime anchors")
     val before = scan.keptFiles.size
     assert(before === 8)
     // 2 present keys: keep the <=2 covered files containing them + the 2
@@ -130,6 +130,76 @@ class SnapshotDfpSpec extends AnyFunSuite {
     assert(kept <= 4,
       s"2 dim keys should open <=2 covered fact files + 2 uncovered, " +
         s"got $kept/8")
+  }
+
+  test("zone-map DFP: a runtime IN-set on a CLUSTERED key prunes via " +
+       "manifest min/max, no blooms needed") {
+    val fact = freshTable("zonemap_fact")
+    val dim = freshTable("zonemap_dim")
+    // 8 single-file commits with disjoint ts ranges — a time-clustered
+    // fact table; NO bloom property, NO partition spec
+    for (i <- 0 until 8)
+      SnapshotLog.commit(
+        spark.range(i * 1000L, i * 1000L + 1000L)
+          .selectExpr("id AS ts", "id * 3 AS v"),
+        fact, overwrite = i == 0, 100L * (i + 1), 1)
+    SnapshotLog.commit(
+      spark.range(0, 8000, 40).selectExpr("id AS dts",
+        "cast(id / 40 % 100 AS int) AS cat"),
+      dim, overwrite = true, 100L)
+    val j = spark.read.format("snapshotlog").load(fact)
+      .join(spark.read.format("snapshotlog").load(dim)
+          .filter(col("cat") === 80), // keys 3200, 7200 — 2 of 8 ranges
+        col("ts") === col("dts"))
+      .select(col("v"))
+    val rows = j.collect().map(_.getLong(0)).toSet
+    assert(rows === Set(3200L * 3, 7200L * 3))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a runtime pruning subquery on the clustered fact:\n$plan")
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[graft.sources.SnapshotLogScan] = {
+      val here = p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[graft.sources.SnapshotLogScan] &&
+               b.scan.readSchema().fieldNames.contains("v") =>
+          Seq(b.scan.asInstanceOf[graft.sources.SnapshotLogScan])
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(scansIn)
+    }
+    val kept = scansIn(j.queryExecution.executedPlan).map(_.keptFiles.size)
+    assert(kept.nonEmpty && kept.head <= 2,
+      s"2 surviving dim keys in 2 ranges should keep 2 of 8 files, " +
+        s"got ${kept.headOption}")
+  }
+
+  test("CompiledIn: binary-search range probe and precomputed bloom " +
+       "hashes agree with the per-value path (unit)") {
+    import graft.sources.SnapshotLogScanBuilder.{compileIn => comp}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("x", LongType)))
+    val in = org.apache.spark.sql.sources.In("x",
+      (0L to 200L by 4).map(Long.box).toArray[Any])
+    val p = comp(in, schema)
+    // boundaries and gaps
+    assert(p.statsMayMatch(Map("x" -> (0L, 0L))))      // exact min
+    assert(p.statsMayMatch(Map("x" -> (199L, 300L))))  // 200 inside
+    assert(p.statsMayMatch(Map("x" -> (-5L, -0L))))    // 0 at edge
+    assert(!p.statsMayMatch(Map("x" -> (201L, 999L)))) // past the set
+    assert(!p.statsMayMatch(Map("x" -> (1L, 3L))))     // inside a gap
+    assert(p.statsMayMatch(Map.empty))                 // no stats: keep
+    // null value in the set ⇒ keep always
+    val withNull = org.apache.spark.sql.sources.In("x",
+      (Array[Any](null) ++ (0L to 100L).map(Long.box)))
+    assert(comp(withNull, schema).statsMayMatch(Map("x" -> (900L, 999L))))
   }
 
   test("runtime bloom pruning never drops rows: randomized keys, " +

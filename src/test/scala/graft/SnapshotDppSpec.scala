@@ -36,7 +36,7 @@ class SnapshotDppSpec extends AnyFunSuite {
       Array.empty, snap.files)
     val before = scan.keptFiles.size
     assert(before >= 16, s"expected >=16 bucket files, got $before")
-    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("k"))
+    assert(scan.filterAttributes().map(_.describe()).contains("k"))
     // a 2-key dim IN-set must collapse the scan to <=2 buckets' files
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("k",
