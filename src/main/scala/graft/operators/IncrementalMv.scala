@@ -122,8 +122,11 @@ object IncrementalMv {
                groupCol: String, valueCol: String): Int =
     maintain(spark, baseRoot, mvTable, Seq(groupCol), valueCol)
 
-  private def mvRoot(spark: SparkSession, mvTable: String): String =
-    "/tmp/graft_snap_warehouse/" + mvTable.replace('.', '/')
+  private def mvRoot(spark: SparkSession, mvTable: String): String = {
+    val wh = spark.conf.getOption("spark.sql.catalog.snap.warehouse")
+      .getOrElse("/tmp/graft_snap_warehouse")
+    s"$wh/" + mvTable.replace('.', '/')
+  }
 
   // ---- MV registry (feeds the transparent query-rewrite rule) ----
 
@@ -166,6 +169,10 @@ object IncrementalMv {
                groupCols: Seq[String], valueCol: String): Unit = {
     val d = MvDef(normRoot(baseRoot), mvRoot(spark, mvTable),
       groupCols, valueCol)
+    // a self-referential registration would let the rewrite serve the
+    // MV's own defining aggregate FROM ITSELF without aggregating
+    require(normRoot(d.mvRoot) != d.baseRoot,
+      s"IncrementalMv: mv table must differ from its base ($baseRoot)")
     try SnapshotLog.setTableProps(spark, baseRoot, Map(
       BaseMvRootProp -> d.mvRoot,
       BaseMvGroupProp -> groupCols.mkString(","),

@@ -101,6 +101,33 @@ object DdlQueries extends QueryModule {
     (root, ns)
   }
 
+  /** The POST-EXECUTION kept-file count of the snapshot scan whose read
+    * schema contains `marker` — runtime filtering mutates the live kept
+    * set during execution, so this must walk the finalized adaptive plan
+    * (AQE hides scans inside QueryStageExec wrappers, not `children`). */
+  private def runtimeKeptFiles(df: DataFrame, marker: String): Int = {
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[graft.sources.SnapshotLogScan] = {
+      val here = p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[graft.sources.SnapshotLogScan] &&
+               b.scan.readSchema().fieldNames.contains(marker) =>
+          Seq(b.scan.asInstanceOf[graft.sources.SnapshotLogScan])
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(scansIn)
+    }
+    scansIn(df.queryExecution.executedPlan)
+      .map(_.keptFiles.size).headOption.getOrElse(-1)
+  }
+
   /** Files the DSv2 scan actually plans after manifest-stats pruning —
     * read from the optimized plan's pinned scan, so the gated
     * files_scanned number IS the planner's decision, not a re-derivation. */
@@ -465,26 +492,7 @@ object DdlQueries extends QueryModule {
       val rows = j.collect()
       val injected = j.queryExecution.executedPlan.toString
         .contains("dynamicpruning")
-      def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[graft.sources.SnapshotLogScan] = {
-        val here = p match {
-          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-              if b.scan.isInstanceOf[graft.sources.SnapshotLogScan] &&
-                 b.scan.readSchema().fieldNames.contains("c_custkey") =>
-            Seq(b.scan.asInstanceOf[graft.sources.SnapshotLogScan])
-          case _ => Seq.empty
-        }
-        val kids = p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            Seq(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            Seq(q.plan)
-          case _ => p.children
-        }
-        here ++ kids.flatMap(scansIn)
-      }
-      val kept = scansIn(j.queryExecution.executedPlan)
-        .map(_.keptFiles.size).headOption.getOrElse(-1)
+      val kept = runtimeKeptFiles(j, "c_custkey")
       import s.implicits._
       Seq((rows.length.toLong,
         rows.map(_.getLong(0)).sum,
@@ -493,6 +501,38 @@ object DdlQueries extends QueryModule {
         injected, kept.toLong, total.toLong))
         .toDF("n_rows", "sum_key", "sum_bal", "dfp_injected",
           "files_scanned_runtime", "files_total")
+    }),
+
+    // ZONE-MAP dynamic file pruning (r17): the bloom gate's complement —
+    // the fact here is the CLUSTERED 4-slice customer layout with no
+    // blooms and no partition spec; the runtime IN-set a selective dim
+    // feeds prunes files through manifest min/max alone. 2 surviving
+    // keys land in 2 slices ⇒ at most half the files are read.
+    "ddl_dfp_zonemap" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = slicedCustomerRoot(s, d)
+      val dimRoot = snapFixture(s, d, "dfpzone_dim") { r =>
+        SnapshotLog.commit(s.createDataFrame(Seq(
+          (400L, 1), (1200L, 1), (410L, 2), (1210L, 2), (800L, 2)))
+          .toDF("dk", "cat"), r, overwrite = true, commitTsMs = 100L)
+      }
+      val total = SnapshotLog.snapshots(s, root).last.files.size
+      val j = snapRead(s, root)
+        .join(snapRead(s, dimRoot).filter(col("cat") === 1),
+          col("c_custkey") === col("dk"))
+        .select(col("c_custkey"), col("c_acctbal"))
+      val rows = j.collect()
+      val injected = j.queryExecution.executedPlan.toString
+        .contains("dynamicpruning")
+      val kept = runtimeKeptFiles(j, "c_custkey")
+      import s.implicits._
+      Seq((rows.length.toLong,
+        rows.map(_.getLong(0)).sum,
+        BigDecimal(rows.map(_.getDouble(1)).sum).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        injected, kept >= 0 && kept <= total / 2, total.toLong))
+        .toDF("n_rows", "sum_key", "sum_bal", "dfp_injected",
+          "half_pruned", "files_total")
     }),
 
     // TOP-K / LIMIT file skipping (r17): ORDER BY … LIMIT k and bare
@@ -1552,6 +1592,15 @@ object DdlQueries extends QueryModule {
         |  CAST(4 AS BIGINT) AS files_scanned_runtime,
         |  CAST(8 AS BIGINT) AS files_total
         |FROM customer WHERE c_custkey IN (10, 11)""".stripMargin,
+
+    // zone-map DFP: surviving dim keys 400 and 1200
+    "ddl_dfp_zonemap" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  TRUE AS dfp_injected, TRUE AS half_pruned,
+        |  CAST(8 AS BIGINT) AS files_total
+        |FROM customer WHERE c_custkey IN (400, 1200)""".stripMargin,
 
     // top-k: keys 1491..1500 (desc) and 1..10 (asc) at sf0.01; the bare
     // limit's content is whichever 100 rows the prefix file serves → the
