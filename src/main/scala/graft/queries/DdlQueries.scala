@@ -503,6 +503,31 @@ object DdlQueries extends QueryModule {
           "files_scanned_runtime", "files_total")
     }),
 
+    // COLUMN DEFAULTS (r17; Iceberg v3 initial-default / SQL DEFAULT):
+    // ADD COLUMN … DEFAULT 'legacy' makes every PRE-EVOLUTION row read
+    // the default — metadata-only, no data rewritten — while appended
+    // rows keep their written values including explicit NULLs. The gate
+    // groups by the evolved column: evens (v1 rows) must all surface as
+    // 'legacy', odds carry 'prio'/NULL exactly as written.
+    "ddl_column_defaults" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "coldefaults") { root =>
+        val c = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 0), root,
+          overwrite = true, commitTsMs = 1000L)
+        SnapshotLog.addColumn(s, root, "segment",
+          org.apache.spark.sql.types.StringType, Some("'legacy'"), 2000L)
+        SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 1)
+          .withColumn("segment", when(col("c_custkey") % 3 === 0, "prio")
+            .otherwise(lit(null).cast("string"))),
+          root, overwrite = false, commitTsMs = 3000L): Unit
+      }
+      snapRead(s, root).groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .select("segment", "n_rows", "sum_bal")
+    }),
+
     // ZONE-MAP dynamic file pruning (r17): the bloom gate's complement —
     // the fact here is the CLUSTERED 4-slice customer layout with no
     // blooms and no partition spec; the runtime IN-set a selective dim
@@ -1592,6 +1617,15 @@ object DdlQueries extends QueryModule {
         |  CAST(4 AS BIGINT) AS files_scanned_runtime,
         |  CAST(8 AS BIGINT) AS files_total
         |FROM customer WHERE c_custkey IN (10, 11)""".stripMargin,
+
+    // column defaults: evens read the post-hoc default, odds read their
+    // written values (multiples of 3 'prio', the rest genuinely NULL)
+    "ddl_column_defaults" ->
+      """SELECT CASE WHEN c_custkey % 2 = 0 THEN 'legacy'
+        |            WHEN c_custkey % 3 = 0 THEN 'prio' END AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer GROUP BY 1""".stripMargin,
 
     // zone-map DFP: surviving dim keys 400 and 1200
     "ddl_dfp_zonemap" ->

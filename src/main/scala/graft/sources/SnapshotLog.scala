@@ -732,7 +732,11 @@ object SnapshotLog {
       dfSchema: StructType): StructType =
     parent.fold(dfSchema) { h =>
       val byName = dfSchema.fields.map(f => f.name -> f).toMap
-      val kept = h.schema.fieldNames.flatMap(byName.get)
+      // keep the PARENT's field metadata for surviving columns — an
+      // appended DataFrame's plain fields must not shed the table's
+      // column-default (or any other) metadata
+      val kept = h.schema.fields.flatMap(hf =>
+        byName.get(hf.name).map(_.copy(metadata = hf.metadata)))
       val added = dfSchema.fields.filterNot(f =>
         h.schema.fieldNames.contains(f.name))
       StructType(kept ++ added)
@@ -1158,6 +1162,39 @@ object SnapshotLog {
         cur.specs, cur.fileSpec, cur.version, cur.rows)
       next
     }
+  }
+
+  /** ADD COLUMN with an optional DEFAULT (Iceberg v3 initial-default /
+    * SQL standard column default): the default rides the field's
+    * metadata under Spark's OWN convention (`EXISTS_DEFAULT` fills the
+    * column for pre-evolution files — Spark's parquet readers honor it
+    * natively on the bulk path, and the DSv2 row reader fills it for
+    * files the manifest says predate the column; `CURRENT_DEFAULT` makes
+    * INSERTs that omit the column take the default at analysis time).
+    * The default must be a foldable literal expression of a castable
+    * type — validated HERE so a bad default is a commit-time error, not
+    * a read-time surprise. Metadata-only: no data moves. */
+  def addColumn(spark: SparkSession, root: String, name: String,
+                dataType: DataType, defaultSql: Option[String],
+                commitTsMs: Long): Int = {
+    val cur = pick(spark, root, None, None).schema
+    require(!cur.fieldNames.contains(name),
+      s"SnapshotLog: column $name already exists")
+    val md = defaultSql.map { d =>
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .CURRENT_DEFAULT_COLUMN_METADATA_KEY, d)
+        .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .EXISTS_DEFAULT_COLUMN_METADATA_KEY, d)
+        .build()
+    }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    val field = StructField(name, dataType, nullable = true, md)
+    // fail fast: resolvable, foldable, and castable to the column type
+    defaultSql.foreach { _ =>
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .analyze(field, "ALTER TABLE ADD COLUMN"): Unit
+    }
+    alterSchema(spark, root, StructType(cur.fields :+ field), commitTsMs)
   }
 
   /** Per-column statistics of one ANALYZE pass: KMV sketch (the k
@@ -2149,7 +2186,7 @@ object SnapshotLog {
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         snap.schema)
-    else if (snap.renameDivergent)
+    else if (snap.renameDivergent || defaultsNeedConform(snap))
       readConformed(spark, snap, snap.files)
     else {
       // Read under the snapshot's CURRENT schema, not mergeSchema over the
@@ -2163,6 +2200,35 @@ object SnapshotLog {
         .parquet(snap.files: _*)
       if (snap.dels.isEmpty) raw else applyDels(spark, raw, snap.dels)
     }
+  }
+
+  /** True when a column with a declared default is physically absent
+    * from some live file — the bulk supplied-schema parquet read would
+    * null-fill it (Spark's existence-default machinery does not ride a
+    * DataFrameReader schema), so the per-file-group conformed read must
+    * serve the default instead. */
+  private def defaultsNeedConform(snap: Snapshot): Boolean = {
+    val k = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .EXISTS_DEFAULT_COLUMN_METADATA_KEY
+    val defaulted = snap.schema.fields.filter(_.metadata.contains(k))
+    defaulted.nonEmpty && snap.files.exists { f =>
+      val cs = snap.cols.get(norm(f))
+      defaulted.exists(fd =>
+        !snap.physName(f, fd.name).exists(p => cs.forall(_.contains(p))) ||
+          cs.isEmpty)
+    }
+  }
+
+  /** Fill expression for an output column a file/version predates: its
+    * declared existence default (addColumn's Iceberg-v3 initial-default
+    * metadata), else null. */
+  private def absentFillCol(f: StructField): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.expr
+    val k = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .EXISTS_DEFAULT_COLUMN_METADATA_KEY
+    if (f.metadata.contains(k))
+      expr(f.metadata.getString(k)).cast(f.dataType)
+    else org.apache.spark.sql.functions.lit(null).cast(f.dataType)
   }
 
   /** Bulk-read `files` of snapshot `cur` conformed to the CURRENT schema
@@ -2214,7 +2280,7 @@ object SnapshotLog {
         else applyDels(spark, raw, fs.map(f => norm(f) -> dels).toMap)
       val sel = schema.fields.toSeq.zip(phys).map {
         case (fd, Some(p)) => col(p).as(fd.name)
-        case (fd, None) => lit(null).cast(fd.dataType).as(fd.name)
+        case (fd, None) => absentFillCol(fd).as(fd.name)
       }
       withDels.select(sel: _*)
     }.reduce(_ unionByName _)
@@ -2324,7 +2390,7 @@ object SnapshotLog {
           .flatMap(id => atFids.collectFirst { case (n, i) if i == id => n })
           .getOrElse(f.name)
         (if (df.columns.contains(nameAt)) col(nameAt).cast(f.dataType)
-         else lit(null).cast(f.dataType)).as(f.name)
+         else absentFillCol(f)).as(f.name)
       }: _*)
     }
     val slices = (base +: inRange).sliding(2).flatMap {

@@ -41,6 +41,14 @@ class SnapshotLogCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
+  /** Accept `DEFAULT <expr>` in DDL — ALTER TABLE ADD COLUMN records the
+    * default as Iceberg-v3-style initial-default metadata the readers
+    * honor for pre-evolution files. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** V2 functions backing storage-partitioned joins: Spark resolves a
     * table's `bucket[N]` partition transform through the owning catalog
     * (Iceberg's SparkCatalog does the same). The resolver probes with the
@@ -222,10 +230,12 @@ class SnapshotLogCatalog extends TableCatalog
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "snapshotlog catalog: nested ADD COLUMN is not supported")
-        // always nullable: pre-evolution files cannot hold a value
-        val schema = SnapshotLog.pick(spark, root, None, None).schema
-          .add(add.fieldNames()(0), add.dataType(), nullable = true)
-        SnapshotLog.alterSchema(spark, root, schema,
+        // always nullable: pre-evolution files hold the DEFAULT if one
+        // was declared (Iceberg v3 initial-default), else null
+        SnapshotLog.addColumn(spark, root, add.fieldNames()(0),
+          add.dataType(),
+          Option(add.defaultValue()).map(_.getSql)
+            .filter(s => s != null && s.nonEmpty),
           SnapshotLog.nextCommitTs(spark, root)): Unit
       // rename/drop are METADATA-ONLY through field ids (Iceberg schema
       // evolution): the id keeps across a rename so old files resolve;

@@ -1547,9 +1547,17 @@ private[sources] case class SnapshotLogReaderFactory(requiredJson: String,
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
+    // existence defaults live on the TABLE schema's field metadata (the
+    // pruned `required` may have shed it through Spark's attribute plumbing)
+    val table = DataType.fromJson(tableJson.getOrElse(requiredJson))
+      .asInstanceOf[StructType]
+    val defaults: Map[String, Any] =
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .getExistenceDefaultValues(table).zip(table.fieldNames)
+        .collect { case (v, n) if v != null => (n, v) }.toMap
     new SnapshotFileReader(p.file,
       DataType.fromJson(requiredJson).asInstanceOf[StructType], p.deletes,
-      p.physMap, Some(conf.value))
+      p.physMap, Some(conf.value), defaults)
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -1934,8 +1942,16 @@ private[sources] class SnapshotVectorReader(file: String, required: StructType,
 private[sources] class SnapshotFileReader(file: String, required: StructType,
     deleteFiles: Seq[String] = Nil,
     physMap: Map[String, String] = Map.empty,
-    hadoopConf: Option[Configuration] = None)
+    hadoopConf: Option[Configuration] = None,
+    existenceDefaults: Map[String, Any] = Map.empty)
     extends PartitionReader[InternalRow] {
+
+  /** Per required field: the internal value to emit when the FILE lacks
+    * the column (null unless an existence default was declared). A
+    * present-but-null cell stays null — defaults are initial values for
+    * pre-evolution rows, never a null-rewriting coalesce. */
+  private val absentFill: Array[Any] =
+    required.fields.map(f => existenceDefaults.getOrElse(f.name, null))
 
   // fresh copy per reader: the projection set below must not leak into
   // the shared session conf the factory captured
@@ -2087,8 +2103,9 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
       val j = projIdx(i)
       if (j == -2) row.update(i, filePathValue)
       else if (j == -3) row.update(i, ord)
-      else if (j < 0 || current == null || current.getFieldRepetitionCount(j) == 0)
-        row.update(i, null)
+      else if (j < 0) row.update(i, absentFill(i)) // file predates the column
+      else if (current == null || current.getFieldRepetitionCount(j) == 0)
+        row.update(i, null) // genuine NULL cell in a present column
       else row.update(i, extract(current, j, required.fields(i).dataType))
       i += 1
     }
