@@ -2207,11 +2207,12 @@ object SnapshotLog {
     * null-fill it (Spark's existence-default machinery does not ride a
     * DataFrameReader schema), so the per-file-group conformed read must
     * serve the default instead. */
-  private def defaultsNeedConform(snap: Snapshot): Boolean = {
+  private[sources] def defaultsNeedConform(snap: Snapshot,
+      filesOf: Option[Seq[String]] = None): Boolean = {
     val k = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
       .EXISTS_DEFAULT_COLUMN_METADATA_KEY
     val defaulted = snap.schema.fields.filter(_.metadata.contains(k))
-    defaulted.nonEmpty && snap.files.exists { f =>
+    defaulted.nonEmpty && filesOf.getOrElse(snap.files).exists { f =>
       val cs = snap.cols.get(norm(f))
       defaulted.exists(fd =>
         !snap.physName(f, fd.name).exists(p => cs.forall(_.contains(p))) ||
@@ -3150,13 +3151,16 @@ object SnapshotLog {
       (small.map(sizeOf).sum + targetBytes - 1) / targetBytes).toInt
     val dataDir = new Path(new Path(root, "data"),
       java.util.UUID.randomUUID().toString.take(12))
-    // explicit schema null-fills columns absent from pre-evolution files —
-    // the rewrite conforms every output file to the current table schema;
-    // merge-on-read deletes on the rewritten files are applied here (the
-    // fold: the output files carry no delete baggage)
+    // the rewrite conforms every output file to the current table schema:
+    // columns absent from pre-evolution files fill their declared DEFAULT
+    // (else null) — a raw supplied-schema read would MATERIALIZE null into
+    // the rewritten file and silently lose the default forever; merge-on-
+    // read deletes on the rewritten files are applied here (the fold: the
+    // output files carry no delete baggage)
     val smallDels = cur.dels.view.filterKeys(k => small.exists(f => norm(f) == k)).toMap
     val input =
-      if (cur.renameDivergent) readConformed(spark, cur, small)
+      if (cur.renameDivergent || defaultsNeedConform(cur, Some(small)))
+        readConformed(spark, cur, small)
       else if (smallDels.isEmpty) spark.read.schema(schema).parquet(small: _*)
       else applyDels(spark, spark.read.schema(schema).parquet(small: _*), smallDels)
     // a hidden-partitioned table's compaction PRESERVES the layout

@@ -251,7 +251,9 @@ private[sources] class SnapshotLogTable(root: String,
     val touchedDels = cur.dels.view
       .filterKeys(k => touched.exists(f => SnapshotLog.norm(f) == k)).toMap
     val conformed =
-      if (cur.renameDivergent) SnapshotLog.readConformed(spark, cur, touched)
+      if (cur.renameDivergent ||
+          SnapshotLog.defaultsNeedConform(cur, Some(touched)))
+        SnapshotLog.readConformed(spark, cur, touched)
       else {
         val rawTouched = spark.read.schema(schema).parquet(touched: _*)
         if (touchedDels.isEmpty) rawTouched

@@ -115,6 +115,38 @@ class SnapshotDefaultsSpec extends AnyFunSuite {
     assert(!v1.columns.contains("flag"))
   }
 
+  test("compaction MATERIALIZES the default, never null: rewritten files " +
+       "keep serving it") {
+    val root = fresh("compact")
+    SnapshotLog.commit(spark.range(0, 40).selectExpr("id AS k"),
+      root, overwrite = true, 1000L)
+    SnapshotLog.addColumn(spark, root, "flag", LongType, Some("5"), 2000L)
+    SnapshotLog.commit(spark.range(40, 50)
+      .selectExpr("id AS k", "id AS flag"), root, overwrite = false, 3000L)
+    SnapshotLog.rewriteDataFiles(spark, root, 4000L, targetBytes = 1L << 30)
+    val t = spark.read.format("snapshotlog").load(root)
+    assert(t.filter(col("k") < 40).select("flag").distinct()
+      .as[Long].collect().toSeq === Seq(5L),
+      "pre-evolution rows must still read the default AFTER compaction " +
+        "(the rewritten file physically holds it now)")
+    assert(t.filter(col("k") >= 40).agg(sum(col("flag"))).as[Long].head() ===
+      (40L until 50L).sum)
+    // same hazard on the copy-on-write DELETE rewrite path
+    val ns = "defaults_cow"
+    val root2 = s"/tmp/graft_snap_warehouse/$ns/t"
+    new Path(root2).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(s"/tmp/graft_snap_warehouse/$ns"), true)
+    spark.sql(s"DROP TABLE IF EXISTS snap.$ns.t")
+    spark.sql(s"CREATE TABLE snap.$ns.t AS SELECT id AS k FROM range(0, 30)")
+    SnapshotLog.addColumn(spark, root2, "flag", LongType, Some("7"),
+      SnapshotLog.nextCommitTs(spark, root2))
+    spark.sql(s"DELETE FROM snap.$ns.t WHERE k >= 20")
+    val t2 = spark.table(s"snap.$ns.t")
+    assert(t2.count() === 20)
+    assert(t2.select("flag").distinct().as[Long].collect().toSeq === Seq(7L),
+      "CoW delete must rewrite surviving rows WITH the default")
+  }
+
   test("changelog rows from pre-default versions carry the default") {
     val root = fresh("cdc")
     SnapshotLog.commit(spark.range(0, 20).selectExpr("id AS k"),
