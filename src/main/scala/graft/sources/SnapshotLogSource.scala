@@ -790,6 +790,10 @@ private[graft] object SnapshotLogScanBuilder {
       case in @ In(_, vs) if vs != null && vs.length > CompileInThreshold =>
         (in: Filter) -> compileIn(in, schema)
     }.toMap
+    // a file that provably LACKS a defaulted column serves the default
+    // for every row — its effective bound is (default, default), so a
+    // probe on any OTHER value prunes pre-evolution files wholesale
+    val defaultBounds: Map[String, (Any, Any)] = defaultStatBounds(schema)
     // per-file stat checks are independent and pure: at very large file
     // counts (10^5-10^6, the 100-TB decade) fan the driver-side prune
     // across cores instead of walking a million entries serially
@@ -797,10 +801,35 @@ private[graft] object SnapshotLogScanBuilder {
       val arr = candidates.toArray
       val keep = new Array[Boolean](arr.length)
       java.util.stream.IntStream.range(0, arr.length).parallel()
-        .forEach(i => keep(i) = mayKeep(snap, schema, arr(i), filters, blooms, probes))
+        .forEach(i => keep(i) =
+          mayKeep(snap, schema, arr(i), filters, blooms, probes, defaultBounds))
       return arr.indices.collect { case i if keep(i) => arr(i) }
     }
-    candidates.filter(f => mayKeep(snap, schema, f, filters, blooms, probes))
+    candidates.filter(f =>
+      mayKeep(snap, schema, f, filters, blooms, probes, defaultBounds))
+  }
+
+  /** Stat-space (min, max) = (default, default) for every column with a
+    * declared existence default: Int→Long / Float→Double / UTF8String→
+    * String to match the manifest's recorded scalar space. Columns whose
+    * default cannot convert are simply absent (conservative). */
+  private def defaultStatBounds(schema: StructType): Map[String, (Any, Any)] = {
+    val k = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .EXISTS_DEFAULT_COLUMN_METADATA_KEY
+    if (!schema.fields.exists(_.metadata.contains(k))) return Map.empty
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .getExistenceDefaultValues(schema).zip(schema.fields)
+      .collect { case (v, f) if v != null && f.metadata.contains(k) =>
+        val statV: Option[Any] = v match {
+          case i: java.lang.Integer => Some(Long.box(i.longValue()))
+          case l: java.lang.Long => Some(l)
+          case fl: java.lang.Float => Some(Double.box(fl.doubleValue()))
+          case d: java.lang.Double => Some(d)
+          case s: UTF8String => Some(s.toString)
+          case _ => None
+        }
+        statV.map(sv => f.name -> ((sv, sv): (Any, Any)))
+      }.flatten.toMap
   }
 
   /** May data file `f` hold a row matching every filter? Pure per-file
@@ -810,7 +839,9 @@ private[graft] object SnapshotLogScanBuilder {
                       f: String, filters: Array[Filter],
                       blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
                         = Map.empty,
-                      probes: Map[Filter, CompiledIn] = Map.empty): Boolean = {
+                      probes: Map[Filter, CompiledIn] = Map.empty,
+                      defaultBounds: Map[String, (Any, Any)] = Map.empty)
+      : Boolean = {
     val key = SnapshotLog.norm(f)
     val physStats = snap.stats.getOrElse(key, Map.empty[String, (Any, Any)])
     // stats are keyed by the file's PHYSICAL column names; filters use
@@ -823,9 +854,26 @@ private[graft] object SnapshotLogScanBuilder {
       else schema.fieldNames.flatMap { n =>
         snap.physName(f, n).flatMap(p => physStats.get(p)).map(n -> _)
       }.toMap
+    // augment with (default, default) bounds for defaulted columns this
+    // file PROVABLY lacks — its every row serves the default, so the
+    // bound is exact, and real recorded stats always win
+    val effStats =
+      if (defaultBounds.isEmpty) stats
+      else defaultBounds.filter { case (n, _) =>
+        !stats.contains(n) && {
+          val cs = snap.cols.get(key)
+          val phys =
+            if (snap.fids.isEmpty || !snap.colIds.contains(key)) Some(n)
+            else snap.physName(f, n)
+          phys match {
+            case None => true // field ids prove the file predates the column
+            case Some(p) => cs.exists(!_.contains(p))
+          }
+        }
+      } ++ stats
     filters.forall(flt => probes.get(flt) match {
-      case Some(p) => p.statsMayMatch(stats)
-      case None => SnapshotStatsFilter.mayMatch(stats, schema, flt)
+      case Some(p) => p.statsMayMatch(effStats)
+      case None => SnapshotStatsFilter.mayMatch(effStats, schema, flt)
     }) && {
       // spec EVOLUTION: each file prunes under the spec it was WRITTEN
       // with (its recorded tuple aligns with that spec, not the

@@ -147,6 +147,36 @@ class SnapshotDefaultsSpec extends AnyFunSuite {
       "CoW delete must rewrite surviving rows WITH the default")
   }
 
+  test("defaults prune: a probe on a non-default value skips files that " +
+       "provably hold only the default") {
+    val root = fresh("prune")
+    for (i <- 0 until 3) // 3 pre-evolution files
+      SnapshotLog.commit(
+        spark.range(i * 100L, i * 100L + 100L).selectExpr("id AS k"),
+        root, overwrite = i == 0, 1000L * (i + 1), 1)
+    SnapshotLog.addColumn(spark, root, "flag", LongType, Some("5"), 9000L)
+    SnapshotLog.commit(spark.range(300, 400)
+      .selectExpr("id AS k", "id AS flag"), root, overwrite = false, 10000L, 1)
+    val t = spark.read.format("snapshotlog").load(root)
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[graft.sources.SnapshotLogScan].keptFiles.size
+      }.head
+    // non-default probe: the 3 pre-evolution files provably hold only 5
+    val q9 = t.filter(col("flag") === 350L)
+    assert(planned(q9) === 1, s"expected 1/4 files, got ${planned(q9)}")
+    assert(q9.select("k").as[Long].collect().toSeq === Seq(350L))
+    // the default itself: pre-evolution files must all be KEPT
+    val q5 = t.filter(col("flag") === 5L)
+    assert(planned(q5) >= 3)
+    assert(q5.count() === 300L)
+    // range probe excluding the default prunes them too
+    val qr = t.filter(col("flag") > 300L && col("flag") <= 360L)
+    assert(planned(qr) === 1)
+    assert(qr.count() === 60L)
+  }
+
   test("changelog rows from pre-default versions carry the default") {
     val root = fresh("cdc")
     SnapshotLog.commit(spark.range(0, 20).selectExpr("id AS k"),
