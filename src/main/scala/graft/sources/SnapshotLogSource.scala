@@ -603,6 +603,17 @@ private[graft] object SnapshotLogScan {
     * Tunable via -Dgraft.snapshotlog.dfp.maxKeys. */
   def maxRuntimeKeys: Int =
     Integer.getInteger("graft.snapshotlog.dfp.maxKeys", 10000)
+
+  /** Target bytes per scan task: files materially larger than this split
+    * into byte ranges (row-group-aligned at read time). Matches Spark's
+    * files.maxPartitionBytes default; tunable via
+    * -Dgraft.snapshotlog.split.targetBytes (tests shrink it). */
+  def splitTargetBytes: Long =
+    java.lang.Long.getLong("graft.snapshotlog.split.targetBytes", 128L << 20)
+
+  /** Backstop against a pathological size/target ratio. */
+  def maxSplitsPerFile: Int =
+    Integer.getInteger("graft.snapshotlog.split.maxPerFile", 256)
 }
 
 private[graft] object SnapshotLogScanBuilder {
@@ -1188,9 +1199,36 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
   protected def partitionsFor(files: Seq[String]): Array[InputPartition] = {
     val columnar = columnarOk(files)
     val keys = spjFileKeys
-    files.map(f => SnapshotFilePartition(f, columnar,
-      snap.dels.getOrElse(SnapshotLog.norm(f), Nil),
-      physMapFor(f), keys.flatMap(_.get(SnapshotLog.norm(f))))).toArray
+    // SPLIT large files into ~target-byte tasks (row-group-aligned at
+    // read time): a pruned scan of a few multi-GB files must still fan
+    // across a cluster's cores, not serialize one task per file. Never
+    // split under KeyGroupedPartitioning — Spark CONCATENATES same-tuple
+    // partitions into one task (no gain) and concatenated runs would
+    // break the ≤1-file-per-tuple sort-order proof. A contiguous range
+    // of a key-sorted file stays sorted, so SupportsReportOrdering and
+    // splits compose fine outside SPJ.
+    val target = SnapshotLogScan.splitTargetBytes
+    def ranges(f: String): Seq[Option[(Long, Long)]] = {
+      val size = snap.sizes.getOrElse(SnapshotLog.norm(f), 0L)
+      // double math: a sentinel target like Long.MaxValue must not
+      // overflow into "split everything"
+      if (keys.nonEmpty || target <= 0 ||
+          size.toDouble <= target.toDouble * 1.2) Seq(None)
+      else {
+        val n = math.max(1, math.min(
+          math.ceil(size.toDouble / target).toLong,
+          SnapshotLogScan.maxSplitsPerFile.toLong).toInt)
+        val step = (size + n - 1) / n
+        (0 until n).map(i =>
+          Some((i * step, math.min((i + 1L) * step, size))))
+      }
+    }
+    files.flatMap { f =>
+      val dels = snap.dels.getOrElse(SnapshotLog.norm(f), Nil)
+      val pm = physMapFor(f)
+      val pk = keys.flatMap(_.get(SnapshotLog.norm(f)))
+      ranges(f).map(r => SnapshotFilePartition(f, columnar, dels, pm, pk, r))
+    }.toArray
   }
 
   // ---- STORAGE-PARTITIONED JOIN (Iceberg SPJ analog): when every kept
@@ -1574,7 +1612,12 @@ private[sources] case class SnapshotFilePartition(file: String,
     // catalyst-internal partition-tuple values (SPJ); Spark calls
     // partitionKey() only when the scan reported KeyGroupedPartitioning,
     // which spjFileKeys gates on every file carrying one
-    partKey: Option[Seq[Any]] = None) extends InputPartition
+    partKey: Option[Seq[Any]] = None,
+    // byte range [start, end) for SPLIT reads of large files: the reader
+    // serves only row groups whose midpoint falls in range (parquet-mr's
+    // split rule), with row ordinals offset so merge-on-read positional
+    // deletes stay exact. None = the whole file (one task).
+    range: Option[(Long, Long)] = None) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     partKey.map(vs => new org.apache.spark.sql.catalyst.expressions
@@ -1607,7 +1650,7 @@ private[sources] case class SnapshotLogReaderFactory(requiredJson: String,
         .collect { case (v, n) if v != null => (n, v) }.toMap
     new SnapshotFileReader(p.file,
       DataType.fromJson(requiredJson).asInstanceOf[StructType], p.deletes,
-      p.physMap, Some(conf.value), defaults)
+      p.physMap, Some(conf.value), defaults, p.range)
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -1620,7 +1663,7 @@ private[sources] case class SnapshotLogReaderFactory(requiredJson: String,
       DataType.fromJson(requiredJson).asInstanceOf[StructType],
       DataType.fromJson(tableJson.getOrElse(requiredJson))
         .asInstanceOf[StructType],
-      p.deletes, Some(conf.value))
+      p.deletes, Some(conf.value), p.range)
   }
 }
 
@@ -1756,7 +1799,8 @@ private[sources] object SnapshotDeletes {
 private[sources] class SnapshotVectorReader(file: String, required: StructType,
     tableSchema: StructType,
     deleteFiles: Seq[String] = Nil,
-    hadoopConf: Option[Configuration] = None)
+    hadoopConf: Option[Configuration] = None,
+    range: Option[(Long, Long)] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   import scala.jdk.CollectionConverters._
@@ -1802,7 +1846,19 @@ private[sources] class SnapshotVectorReader(file: String, required: StructType,
   private val deletedPos: Array[Long] =
     SnapshotDeletes.loadPositions(posDeleteFiles, file, conf)
   private var delPtr = 0
-  private var rowsSeen = 0L
+  // ranged splits start their ordinal count past the skipped row groups
+  // (same midpoint rule the split uses) so positional deletes keep their
+  // file-level coordinates; whole-file reads pay no footer open here
+  private var rowsSeen: Long = range match {
+    case Some((s, _)) if posDeleteFiles.nonEmpty =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(file), conf))
+      try r.getFooter.getBlocks.asScala
+        .filter(b => b.getStartingPos + b.getCompressedSize / 2 < s)
+        .map(_.getRowCount).sum
+      finally r.close()
+    case _ => 0L
+  }
 
   private val reader =
     new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
@@ -1837,8 +1893,12 @@ private[sources] class SnapshotVectorReader(file: String, required: StructType,
     ensure("spark.sql.caseSensitive", "false")
     ensure("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     ensure("spark.sql.legacy.parquet.nanosAsLong", "false")
-    val split = new org.apache.hadoop.mapred.FileSplit(
-      new Path(file), 0, Long.MaxValue, Array.empty[String])
+    val split = range match {
+      case Some((s, e)) => new org.apache.hadoop.mapred.FileSplit(
+        new Path(file), s, e - s, Array.empty[String])
+      case None => new org.apache.hadoop.mapred.FileSplit(
+        new Path(file), 0, Long.MaxValue, Array.empty[String])
+    }
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
       c, new org.apache.hadoop.mapreduce.TaskAttemptID())
     reader.initialize(split, ctx)
@@ -1993,7 +2053,8 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
     deleteFiles: Seq[String] = Nil,
     physMap: Map[String, String] = Map.empty,
     hadoopConf: Option[Configuration] = None,
-    existenceDefaults: Map[String, Any] = Map.empty)
+    existenceDefaults: Map[String, Any] = Map.empty,
+    range: Option[(Long, Long)] = None)
     extends PartitionReader[InternalRow] {
 
   /** Per required field: the internal value to emit when the FILE lacks
@@ -2030,11 +2091,27 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
   // equality-delete state: per delete file, the key tuples (canonical
   // form) and each key's position in the DATA projection
   private var eqSets: Seq[(Array[Int], java.util.HashSet[Vector[Any]])] = Nil
+  private var ord0 = 0L // ordinal of the range's first row within the FILE
   locally {
     val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     val (fileSchema, rowCount) =
-      try (pfr.getFooter.getFileMetaData.getSchema,
-        pfr.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      try {
+        val blocks = pfr.getFooter.getBlocks.asScala
+        // parquet-mr's split rule: a row group belongs to the range whose
+        // [start, end) contains its MIDPOINT — mirror it exactly so row
+        // ordinals (the coordinate system of positional deletes) offset
+        // by precisely the rows the ranged reader will skip
+        def mid(b: org.apache.parquet.hadoop.metadata.BlockMetaData): Long =
+          b.getStartingPos + b.getCompressedSize / 2
+        val inRange = range match {
+          case Some((s, e)) => blocks.filter(b => mid(b) >= s && mid(b) < e)
+          case None => blocks
+        }
+        ord0 = range.fold(0L) { case (s, _) =>
+          blocks.filter(b => mid(b) < s).map(_.getRowCount).sum }
+        (pfr.getFooter.getFileMetaData.getSchema,
+          inRange.map(_.getRowCount).sum)
+      }
       finally pfr.close()
     // -1 = absent (null-fill), -2 = the _file metadata column, -3 = the
     // _pos metadata column (both served from the reader itself, never
@@ -2072,8 +2149,9 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
         val idxs = keyCols.map(k => physPos(phys(k).get)).toArray
         (idxs, loadEqKeys(df))
       }
-      reader = ParquetReader.builder(new GroupReadSupport(), path)
-        .withConf(conf).build()
+      val b = ParquetReader.builder(new GroupReadSupport(), path)
+        .withConf(conf)
+      reader = range.fold(b)(r => b.withFileRange(r._1, r._2)).build()
     }
   }
 
@@ -2104,7 +2182,10 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
   private val deletedPos: Array[Long] = SnapshotDeletes.loadPositions(
     posDeleteFiles, file, hadoopConf.getOrElse(new Configuration()))
   private var delPtr = 0
-  private var ord = -1L // current row's ordinal within the data file
+  // current row's ordinal within the data FILE (not the range): ranged
+  // splits start past the skipped row groups so positional deletes keep
+  // their coordinates
+  private var ord = ord0 - 1L
 
   /** Advance the delete pointer past `o`; true iff `o` is deleted. */
   private def isDeleted(o: Long): Boolean = {
