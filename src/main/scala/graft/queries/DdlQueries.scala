@@ -503,6 +503,29 @@ object DdlQueries extends QueryModule {
           "files_scanned_runtime", "files_total")
     }),
 
+    // IN-PLACE IMPORT (r17; Iceberg `snapshot` procedure analog): adopt
+    // an existing parquet directory as snapshot v1 with ZERO data
+    // movement — the manifest references the source files where they
+    // are, footer stats/row counts lift into it, and from then on the
+    // table is a first-class snapshot table. in_place pins that every
+    // manifest path still points INTO the source (nothing copied);
+    // the row payload is the imported table's own aggregate.
+    "ddl_import_parquet" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "imported") { root =>
+        SnapshotLog.importParquetDir(s, s"$d/supplier.parquet", root, 1000L): Unit
+      }
+      val snap = SnapshotLog.snapshots(s, root).last
+      val inPlace = snap.files.nonEmpty &&
+        snap.files.forall(_.contains("supplier.parquet"))
+      snapRead(s, root).agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("s_acctbal")), 2).as("sum_bal"),
+        countDistinct(col("s_nationkey")).as("n_nations"))
+        .withColumn("in_place", lit(inPlace))
+        .withColumn("operation", lit(snap.operation))
+    }),
+
     // COLUMN DEFAULTS (r17; Iceberg v3 initial-default / SQL DEFAULT):
     // ADD COLUMN … DEFAULT 'legacy' makes every PRE-EVOLUTION row read
     // the default — metadata-only, no data rewritten — while appended
@@ -1617,6 +1640,13 @@ object DdlQueries extends QueryModule {
         |  CAST(4 AS BIGINT) AS files_scanned_runtime,
         |  CAST(8 AS BIGINT) AS files_total
         |FROM customer WHERE c_custkey IN (10, 11)""".stripMargin,
+
+    "ddl_import_parquet" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(s_acctbal), 2) AS sum_bal,
+        |  CAST(count(DISTINCT s_nationkey) AS BIGINT) AS n_nations,
+        |  TRUE AS in_place, 'import' AS operation
+        |FROM supplier""".stripMargin,
 
     // column defaults: evens read the post-hoc default, odds read their
     // written values (multiples of 3 'prio', the rest genuinely NULL)

@@ -1164,6 +1164,45 @@ object SnapshotLog {
     }
   }
 
+  /** IMPORT an existing parquet directory as snapshot version 1 WITHOUT
+    * moving or rewriting a byte — Iceberg's `snapshot` procedure analog:
+    * the manifest references the source files IN PLACE, lifting footer
+    * stats / row counts / column lists (and null counts into the
+    * sidecar) through the same one-footer-walk path a native commit
+    * uses. From then on the table is a first-class snapshot table —
+    * time travel, DML (copy-on-write rewrites land under the table
+    * root), changelog, the lot. The SOURCE files are never
+    * garbage-collected: expiry only reclaims files under the table root
+    * (Iceberg's snapshot tables pin gc.enabled=false the same way).
+    * At 100 TB this is adoption without a 100-TB rewrite. */
+  def importParquetDir(spark: SparkSession, srcDir: String, root: String,
+                       commitTsMs: Long): Int = {
+    require(snapshots(spark, root).isEmpty,
+      s"SnapshotLog: cannot import into existing table at $root")
+    val fs = fsFor(spark, new Path(srcDir))
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet") &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")) Seq(s)
+        else Seq.empty
+      }
+    val statuses = walk(new Path(srcDir)).sortBy(_.getPath.toString)
+    require(statuses.nonEmpty, s"SnapshotLog: no parquet files in $srcDir")
+    val files = statuses.map(_.getPath.toString)
+    val schema = spark.read.parquet(srcDir).schema
+    validateSchema(spark, schema)
+    val (stats, cols, rows, nulls) =
+      footerMeta(spark.sessionState.newHadoopConf(), files, schema)
+    SnapshotNulls.record(spark, root, nulls)
+    commitManifest(fsFor(spark, new Path(root)), root, 1, "import",
+      commitTsMs, schema.json, files, stats,
+      statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap,
+      cols = cols, rowCounts = rows)
+    1
+  }
+
   /** ADD COLUMN with an optional DEFAULT (Iceberg v3 initial-default /
     * SQL standard column default): the default rides the field's
     * metadata under Spark's OWN convention (`EXISTS_DEFAULT` fills the
@@ -3538,9 +3577,16 @@ object SnapshotLog {
       live.flatMap(_.dels.values.flatten)).map(norm).toSet
     var filesDeleted = 0
     if (dead.nonEmpty) {
+      val rootPrefix = norm(root).stripSuffix("/") + "/"
       val orphaned = (dead.flatMap(_.files) ++
         dead.flatMap(_.dels.values.flatten)).map(norm).distinct
         .filterNot(liveFiles.contains)
+        // NEVER reclaim files outside the table root: an IMPORTED table
+        // (importParquetDir — Iceberg's `snapshot` procedure analog)
+        // references the source directory's files in place, and the
+        // source data is the user's, not this table's to garbage-collect
+        // (Iceberg's snapshot tables set gc.enabled=false the same way)
+        .filter(_.startsWith(rootPrefix))
       orphaned.foreach(f => fs.delete(new Path(f), false))
       dead.foreach(s => fs.delete(manifestPath(root, s.version), false))
       filesDeleted += orphaned.size

@@ -36,7 +36,8 @@ private[sources] object SnapshotProcedures {
         Identifier.of(Array("system"), "rewrite_position_delete_files"),
         Identifier.of(Array("system"), "create_changelog_view"),
         Identifier.of(Array("system"), "create_mv"),
-        Identifier.of(Array("system"), "refresh_mv"))
+        Identifier.of(Array("system"), "refresh_mv"),
+        Identifier.of(Array("system"), "import_parquet"))
     else Array.empty
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
@@ -57,6 +58,7 @@ private[sources] object SnapshotProcedures {
       case "create_changelog_view" => new CreateChangelogViewProc(warehouse)
       case "create_mv" => new CreateMvProc(warehouse)
       case "refresh_mv" => new RefreshMvProc(warehouse)
+      case "import_parquet" => new ImportParquetProc(warehouse)
       case other => throw new UnsupportedOperationException(
         s"snapshotlog catalog: unknown procedure $other")
     }
@@ -283,6 +285,39 @@ private[sources] object SnapshotProcedures {
           StructField("applied_base_version", IntegerType, nullable = false))),
         Seq[Any](org.apache.spark.unsafe.types.UTF8String.fromString(mvTable),
           applied))).asJava
+    }
+  }
+
+  /** `CALL snap.system.import_parquet('/path/to/dir', 'ns.t')` — adopt an
+    * existing parquet directory as a snapshot table IN PLACE (Iceberg's
+    * `snapshot` procedure): no data moves, footer stats lift into the
+    * manifest, and the source files are never garbage-collected. */
+  private class ImportParquetProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "import_parquet"
+    override def description(): String =
+      "adopt an existing parquet directory as snapshot version 1 " +
+        "in place (zero data movement; source files never reclaimed)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source_dir", StringType).build(),
+      ProcedureParameter.in("table", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val src = input.getUTF8String(0).toString
+      val root = rootFor(warehouse, input.getUTF8String(1).toString)
+      val v = SnapshotLog.importParquetDir(spark, src, root,
+        System.currentTimeMillis())
+      val snap = SnapshotLog.snapshots(spark, root).last
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("imported_version", IntegerType, nullable = false),
+          StructField("n_files", LongType, nullable = false),
+          StructField("n_rows", LongType, nullable = false))),
+        Seq[Any](v, snap.files.size.toLong, snap.rows.values.sum))).asJava
     }
   }
 
