@@ -1195,6 +1195,20 @@ object SnapshotLog {
     validateSchema(spark, schema)
     val (stats, cols, rows, nulls) =
       footerMeta(spark.sessionState.newHadoopConf(), files, schema)
+    // hive-style partition directories put columns in PATHS, not files:
+    // the inferred schema would carry them but every file lacks them
+    // physically, and the import would silently null-fill a column that
+    // has real values. Refuse with the fix spelled out.
+    schema.fieldNames.foreach { n =>
+      val missing = files.filterNot(f =>
+        cols.get(norm(f)).exists(_.contains(n)))
+      require(missing.isEmpty,
+        s"SnapshotLog: cannot import $srcDir — column '$n' is not " +
+          s"physically present in ${missing.size} file(s) (hive-style " +
+          "partition directories keep values in paths). Rewrite the " +
+          "source once with the partition column materialized, or " +
+          "commitPartitioned it into a new table.")
+    }
     SnapshotNulls.record(spark, root, nulls)
     commitManifest(fsFor(spark, new Path(root)), root, 1, "import",
       commitTsMs, schema.json, files, stats,

@@ -67,6 +67,18 @@ class SnapshotImportSpec extends AnyFunSuite {
       .forall(_.contains("/table/")))
   }
 
+  test("hive-partitioned sources refuse with a clear error (the " +
+       "partition column lives in paths, not files)") {
+    val (src, root) = fresh("hive")
+    spark.range(0, 300).selectExpr("id AS k", "cast(id % 3 AS int) AS p")
+      .write.partitionBy("p").parquet(src)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.importParquetDir(spark, src, root, 1000L)
+    }
+    assert(e.getMessage.contains("not physically present") ||
+      e.getMessage.contains("hive-style"), e.getMessage)
+  }
+
   test("SQL procedure surfaces the import; re-import refuses") {
     val (src, root0) = fresh("proc")
     writeSource(src, 800)
