@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.SnapshotLog
 
@@ -20,56 +20,83 @@ import graft.sources.SnapshotLog
   * Count-sum aggregates are SELF-MAINTAINABLE (insert adds, delete
   * subtracts, a group whose count reaches zero is deleted) — the textbook
   * incremental-view-maintenance algebra. SQL null semantics are preserved
-  * the textbook way too: the MV carries `n` (rows), `nv` (rows with a
-  * NON-NULL value) and `s` (sum over those, 0 when none), so
-  * `sum(v)` reconstructs as `IF(nv = 0, NULL, s)` and `avg(v)` as
-  * `s / nv` — exactly SQL's ignore-nulls aggregation, maintained
-  * incrementally. Group keys join NULL-SAFELY (`<=>`) so a NULL group is
-  * one group, as GROUP BY defines it. The applied watermark rides the
-  * MV's own table properties, so refresh is idempotent and restartable:
-  * re-running maintain() applies exactly the unapplied suffix. */
+  * the textbook way too: the MV carries `n` (rows) and, PER MEASURE column
+  * `c`, `nv_c` (rows with a NON-NULL c) and `s_c` (sum over those, 0 when
+  * none), so `sum(c)` reconstructs as `IF(nv_c = 0, NULL, s_c)` and
+  * `avg(c)` as `s_c / nv_c` — exactly SQL's ignore-nulls aggregation,
+  * maintained incrementally. A single MV thus serves EVERY
+  * count(*)/count(c)/sum(c)/avg(c) combination over its measure set (the
+  * multi-measure dashboard shape). Group keys join NULL-SAFELY (`<=>`) so
+  * a NULL group is one group, as GROUP BY defines it. The applied
+  * watermark rides the MV's own table properties, so refresh is idempotent
+  * and restartable: re-running maintain() applies exactly the unapplied
+  * suffix. */
 object IncrementalMv {
   /** Watermark property on the MV table: highest base version applied. */
   val AppliedProp = "mv.applied-base-version"
 
-  /** Create the MV `SELECT groups…, count(*) n, count(v) nv,
-    * coalesce(sum(v), 0) s FROM base GROUP BY groups…` at the base's
+  /** Opt-in MV table property: a stale-but-refreshable MV may be refreshed
+    * BY THE REWRITE RULE (refresh-then-serve) when a query's pinned base
+    * version is at most [[AutoRefreshBudgetProp]] versions past the
+    * watermark. Off by default — an optimizer rule that writes is a
+    * deliberate choice, not a surprise. */
+  val AutoRefreshProp = "mv.auto-refresh-on-stale"
+  /** Staleness version budget for [[AutoRefreshProp]] (default 16). */
+  val AutoRefreshBudgetProp = "mv.auto-refresh-max-versions"
+
+  /** Per-measure MV column names: `nv_<c>` / `s_<c>`. */
+  def nvCol(c: String): String = s"nv_$c"
+  def sCol(c: String): String = s"s_$c"
+
+  private def checkDef(groupCols: Seq[String], valueCols: Seq[String]): Unit =
+    require(groupCols.nonEmpty && valueCols.nonEmpty &&
+      valueCols.distinct == valueCols &&
+      !valueCols.exists(groupCols.contains),
+      s"IncrementalMv: bad definition (groups=$groupCols values=$valueCols)")
+
+  /** Create the MV `SELECT groups…, count(*) n, count(c) nv_c,
+    * coalesce(sum(c), 0) s_c … FROM base GROUP BY groups…` at the base's
     * current version, recording the watermark. `mvTable` is a `snap`
     * catalog name (ns.t). */
   def create(spark: SparkSession, baseRoot: String, mvTable: String,
-             groupCols: Seq[String], valueCol: String): Int = {
-    require(groupCols.nonEmpty && !groupCols.contains(valueCol),
-      s"IncrementalMv: bad definition (groups=$groupCols value=$valueCol)")
+             groupCols: Seq[String], valueCols: Seq[String]): Int = {
+    checkDef(groupCols, valueCols)
     val baseV = SnapshotLog.snapshots(spark, baseRoot)
       .filter(_.branch.isEmpty).last.version
     val base = spark.read.format("snapshotlog").load(baseRoot)
     spark.sql(s"DROP TABLE IF EXISTS snap.$mvTable")
-    // coalesce needs a typed zero — cast 0 to the sum's own result type
-    val seed = base.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), count(col(valueCol)).as("nv"),
-        sum(col(valueCol)).as("__s"))
-    val sType = seed.schema("__s").dataType.sql
-    val seeded = seed.withColumn("s",
-      coalesce(col("__s"), expr(s"CAST(0 AS $sType)"))).drop("__s")
+    val aggs: Seq[Column] = count(lit(1)).as("n") +: valueCols.flatMap { c =>
+      Seq(count(col(c)).as(nvCol(c)), sum(col(c)).as(s"__s_$c")) }
+    val seed = base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // coalesce needs a typed zero — cast 0 to each sum's own result type
+    val seeded = valueCols.foldLeft(seed) { (df, c) =>
+      val sType = seed.schema(s"__s_$c").dataType.sql
+      df.withColumn(sCol(c),
+        coalesce(col(s"__s_$c"), expr(s"CAST(0 AS $sType)"))).drop(s"__s_$c")
+    }
     seeded.createOrReplaceTempView("__mv_seed")
     spark.sql(s"CREATE TABLE snap.$mvTable AS SELECT * FROM __mv_seed")
     spark.catalog.dropTempView("__mv_seed")
     SnapshotLog.setTableProps(spark, mvRoot(spark, mvTable),
       Map(AppliedProp -> baseV.toString))
-    register(spark, baseRoot, mvTable, groupCols, valueCol)
+    register(spark, baseRoot, mvTable, groupCols, valueCols)
     baseV
   }
 
-  /** Single-group convenience overload. */
+  /** Single-measure convenience overloads. */
+  def create(spark: SparkSession, baseRoot: String, mvTable: String,
+             groupCols: Seq[String], valueCol: String): Int =
+    create(spark, baseRoot, mvTable, groupCols, Seq(valueCol))
   def create(spark: SparkSession, baseRoot: String, mvTable: String,
              groupCol: String, valueCol: String): Int =
-    create(spark, baseRoot, mvTable, Seq(groupCol), valueCol)
+    create(spark, baseRoot, mvTable, Seq(groupCol), Seq(valueCol))
 
   /** Apply every unapplied base version to the MV: ONE net_changes read
     * over (applied, head], one per-group delta aggregate, one MERGE.
     * Returns the new watermark (== old when nothing to do). */
   def maintain(spark: SparkSession, baseRoot: String, mvTable: String,
-               groupCols: Seq[String], valueCol: String): Int = {
+               groupCols: Seq[String], valueCols: Seq[String]): Int = {
+    checkDef(groupCols, valueCols)
     val root = mvRoot(spark, mvTable)
     val applied = SnapshotLog.tableProps(spark, root)
       .getOrElse(AppliedProp, throw new IllegalStateException(
@@ -81,22 +108,29 @@ object IncrementalMv {
     // net_changes: intermediate churn inside the range cancels — the MV
     // sees one ±row per net-changed row, regardless of how many versions
     // the range spans
-    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    val v = col(valueCol)
+    val insert = col("_change_type") === "insert"
+    val sign = when(insert, 1L).otherwise(-1L)
+    val aggs: Seq[Column] = sum(sign).as("dn") +: valueCols.flatMap { c =>
+      val v = col(c)
+      Seq(
+        coalesce(sum(when(v.isNotNull, sign).otherwise(0L)), lit(0L))
+          .as(s"dnv_$c"),
+        sum(when(v.isNotNull, when(insert, v).otherwise(-v))).as(s"__ds_$c"))
+    }
     val delta = SnapshotLog.changes(spark, baseRoot, applied, Some(head),
         netChanges = true)
       .groupBy(groupCols.map(col): _*)
-      .agg(
-        sum(sign).as("dn"),
-        coalesce(sum(when(v.isNotNull, sign).otherwise(0L)), lit(0L))
-          .as("dnv"),
-        sum(when(v.isNotNull, when(col("_change_type") === "insert", v)
-          .otherwise(-v))).as("__ds"))
-    val dsType = delta.schema("__ds").dataType.sql
-    val deltaZ = delta
-      .withColumn("ds", coalesce(col("__ds"), expr(s"CAST(0 AS $dsType)")))
-      .drop("__ds")
-      .filter(col("dn") =!= 0L || col("dnv") =!= 0L || col("ds") =!= 0L)
+      .agg(aggs.head, aggs.tail: _*)
+    val deltaZ0 = valueCols.foldLeft(delta) { (df, c) =>
+      val dsType = delta.schema(s"__ds_$c").dataType.sql
+      df.withColumn(s"ds_$c",
+        coalesce(col(s"__ds_$c"), expr(s"CAST(0 AS $dsType)")))
+        .drop(s"__ds_$c")
+    }
+    val nonZero = valueCols
+      .flatMap(c => Seq(col(s"dnv_$c") =!= 0L, col(s"ds_$c") =!= 0L))
+      .foldLeft(col("dn") =!= 0L)(_ || _)
+    val deltaZ = deltaZ0.filter(nonZero)
     val view = "__mv_delta_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     deltaZ.createOrReplaceTempView(view)
@@ -105,36 +139,52 @@ object IncrementalMv {
     val on = groupCols.map(c => s"t.$c <=> s.$c").mkString(" AND ")
     val gList = groupCols.mkString(", ")
     val gVals = groupCols.map(c => s"s.$c").mkString(", ")
+    val updates = ("n = t.n + s.dn" +: valueCols.flatMap(c => Seq(
+      s"${nvCol(c)} = t.${nvCol(c)} + s.dnv_$c",
+      s"${sCol(c)} = t.${sCol(c)} + s.ds_$c"))).mkString(", ")
+    val insCols = (Seq(gList, "n") ++
+      valueCols.flatMap(c => Seq(nvCol(c), sCol(c)))).mkString(", ")
+    val insVals = (Seq(gVals, "s.dn") ++
+      valueCols.flatMap(c => Seq(s"s.dnv_$c", s"s.ds_$c"))).mkString(", ")
     try spark.sql(
       s"""MERGE INTO snap.$mvTable t USING $view s ON $on
          |WHEN MATCHED AND t.n + s.dn = 0 THEN DELETE
-         |WHEN MATCHED THEN UPDATE SET n = t.n + s.dn, nv = t.nv + s.dnv,
-         |  s = t.s + s.ds
-         |WHEN NOT MATCHED THEN INSERT ($gList, n, nv, s)
-         |  VALUES ($gVals, s.dn, s.dnv, s.ds)""".stripMargin)
+         |WHEN MATCHED THEN UPDATE SET $updates
+         |WHEN NOT MATCHED THEN INSERT ($insCols)
+         |  VALUES ($insVals)""".stripMargin)
     finally spark.catalog.dropTempView(view)
     SnapshotLog.setTableProps(spark, root, Map(AppliedProp -> head.toString))
     head
   }
 
-  /** Single-group convenience overload. */
+  /** Single-measure convenience overloads. */
+  def maintain(spark: SparkSession, baseRoot: String, mvTable: String,
+               groupCols: Seq[String], valueCol: String): Int =
+    maintain(spark, baseRoot, mvTable, groupCols, Seq(valueCol))
   def maintain(spark: SparkSession, baseRoot: String, mvTable: String,
                groupCol: String, valueCol: String): Int =
-    maintain(spark, baseRoot, mvTable, Seq(groupCol), valueCol)
+    maintain(spark, baseRoot, mvTable, Seq(groupCol), Seq(valueCol))
 
-  private def mvRoot(spark: SparkSession, mvTable: String): String = {
-    val wh = spark.conf.getOption("spark.sql.catalog.snap.warehouse")
+  /** The snap-catalog table name for an MV root path (inverse of
+    * [[mvRoot]]) — lets callers that hold only the durable MvDef (e.g.
+    * the rewrite rule's refresh-then-serve path) invoke maintain(). */
+  private[graft] def mvTableName(spark: SparkSession, mvRoot: String): String =
+    mvRoot.stripPrefix(warehouse(spark) + "/").replace('/', '.')
+
+  private def warehouse(spark: SparkSession): String =
+    spark.conf.getOption("spark.sql.catalog.snap.warehouse")
       .getOrElse("/tmp/graft_snap_warehouse")
-    s"$wh/" + mvTable.replace('.', '/')
-  }
+
+  private def mvRoot(spark: SparkSession, mvTable: String): String =
+    s"${warehouse(spark)}/" + mvTable.replace('.', '/')
 
   // ---- MV registry (feeds the transparent query-rewrite rule) ----
 
-  /** One registered MV: `SELECT groups…, count(*) n, count(v) nv,
-    * sum-with-zero s FROM <baseRoot> GROUP BY groups…`, materialized at
-    * `mvRoot`. */
+  /** One registered MV: `SELECT groups…, count(*) n, [count(c) nv_c,
+    * sum-with-zero s_c per measure] FROM <baseRoot> GROUP BY groups…`,
+    * materialized at `mvRoot`. */
   final case class MvDef(baseRoot: String, mvRoot: String,
-                         groupCols: Seq[String], valueCol: String)
+                         groupCols: Seq[String], valueCols: Seq[String])
 
   /** DURABLE registration: the BASE table's properties carry its
     * materialization's location and defining columns, so a fresh engine
@@ -164,11 +214,12 @@ object IncrementalMv {
   /** Register `mvTable` as the materialization of the canonical
     * group/count/sum aggregate over `baseRoot` — [[create]] calls this;
     * exposed for MVs maintained by external loops. Durable: recorded in
-    * the base table's properties (group columns comma-joined). */
+    * the base table's properties (group/value columns comma-joined). */
   def register(spark: SparkSession, baseRoot: String, mvTable: String,
-               groupCols: Seq[String], valueCol: String): Unit = {
+               groupCols: Seq[String], valueCols: Seq[String]): Unit = {
+    checkDef(groupCols, valueCols)
     val d = MvDef(normRoot(baseRoot), mvRoot(spark, mvTable),
-      groupCols, valueCol)
+      groupCols, valueCols)
     // a self-referential registration would let the rewrite serve the
     // MV's own defining aggregate FROM ITSELF without aggregating
     require(normRoot(d.mvRoot) != d.baseRoot,
@@ -176,15 +227,18 @@ object IncrementalMv {
     try SnapshotLog.setTableProps(spark, baseRoot, Map(
       BaseMvRootProp -> d.mvRoot,
       BaseMvGroupProp -> groupCols.mkString(","),
-      BaseMvValueProp -> valueCol))
+      BaseMvValueProp -> valueCols.mkString(",")))
     catch { case scala.util.control.NonFatal(_) => () } // in-memory still works
     hydrated.remove(d.baseRoot)
     registry.put(d.baseRoot, d): Unit
   }
 
   def register(spark: SparkSession, baseRoot: String, mvTable: String,
+               groupCols: Seq[String], valueCol: String): Unit =
+    register(spark, baseRoot, mvTable, groupCols, Seq(valueCol))
+  def register(spark: SparkSession, baseRoot: String, mvTable: String,
                groupCol: String, valueCol: String): Unit =
-    register(spark, baseRoot, mvTable, Seq(groupCol), valueCol)
+    register(spark, baseRoot, mvTable, Seq(groupCol), Seq(valueCol))
 
   /** Remove the registration durably (base props) and in-memory. */
   def unregister(spark: SparkSession, baseRoot: String): Unit = {
@@ -216,7 +270,8 @@ object IncrementalMv {
                 g <- props.get(BaseMvGroupProp)
                 vc <- props.get(BaseMvValueProp)
               } yield MvDef(key, mvRoot,
-                g.split(",").map(_.trim).filter(_.nonEmpty).toSeq, vc)
+                g.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+                vc.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             } catch { case scala.util.control.NonFatal(_) => None }
           if (hydrated.size > 4096) hydrated.clear()
           hydrated.put(key, (now, v))

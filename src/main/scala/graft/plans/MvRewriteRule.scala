@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, EqualTo, Expression, If, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, EqualTo, Expression, If, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -18,13 +18,22 @@ import graft.operators.IncrementalMv
   * "automatic query rewrite" surface, done the Catalyst-idiomatic way
   * as an injected `Rule[LogicalPlan]`.
   *
-  * Served shapes, for GROUP BY exactly the MV's group columns:
-  * `count(*)` (→ n), `sum(v)` (→ IF(nv = 0, NULL, s) — SQL's
-  * ignore-nulls sum, reconstructed from the maintained non-null count),
-  * `count(v)` (→ nv), and `avg(v)` (→ s / nv, null when nv = 0).
-  * For integral v the MV's sums are exact longs, so avg is bit-honest;
-  * for floating v both the direct and the maintained sum are
-  * association-dependent anyway.
+  * Served shapes, for GROUP BY exactly the MV's group columns and any
+  * combination of its measure columns: `count(*)` (→ n), `sum(c)`
+  * (→ IF(nv_c = 0, NULL, s_c) — SQL's ignore-nulls sum, reconstructed
+  * from the maintained non-null count), `count(c)` (→ nv_c), and
+  * `avg(c)` (→ s_c / nv_c, null when nv_c = 0). For integral c the MV's
+  * sums are exact longs, so avg is bit-honest; for floating c both the
+  * direct and the maintained sum are association-dependent anyway.
+  *
+  * A Filter between the aggregate and the scan is ALSO served when its
+  * predicate references only GROUP columns: filtering group values
+  * before or after aggregation is the same relation (each group's rows
+  * all share the group value), and the MV carries the group columns
+  * exactly — so `WHERE region = 'x' GROUP BY region` becomes the same
+  * Filter over the MV scan (the first thing every real dashboard adds).
+  * A predicate touching any NON-group column disqualifies the rewrite,
+  * as it must: the MV has already aggregated those rows away.
   *
   * Correctness gate: the rewrite fires ONLY when the base relation's
   * pinned snapshot version equals the MV's durable applied-version
@@ -35,6 +44,17 @@ import graft.operators.IncrementalMv
   * read ANYWAY, by snapshot isolation), and a stale MV simply leaves
   * the plan untouched. Time-traveled reads only rewrite if their pinned
   * version happens to equal the watermark — same rule, for free.
+  *
+  * REFRESH-THEN-SERVE (opt-in): when the MV table carries
+  * `mv.auto-refresh-on-stale=true` and the read is AHEAD of the
+  * watermark by at most `mv.auto-refresh-max-versions` (default 16),
+  * the rule runs one incremental maintain() and serves the refreshed
+  * MV — a dashboard never reads a stale-but-refreshable MV. The budget
+  * bounds optimizer-time work; past it the plan is left untouched. A
+  * thread-local guard makes the maintenance's own inner queries ignore
+  * the rule (no recursion), and the exact version-watermark check is
+  * re-proved AFTER the refresh — a concurrent base commit can make the
+  * refresh overshoot the pin, in which case we still refuse to serve.
   *
   * At 100 TB: the maintained MV answers the dashboard aggregate from
   * kilobytes; without the rewrite every consumer re-scans the base.
@@ -47,8 +67,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       .getConfString("spark.graft.mv.autoRewrite", "true") == "true"
     catch { case scala.util.control.NonFatal(_) => true }
 
+  /** True while THIS thread is inside an auto-refresh maintain() — the
+    * maintenance's own changelog/MERGE queries must not re-enter. */
+  private val refreshing = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!enabled) return plan
+    if (!enabled || refreshing.get()) return plan
     plan.transformUp {
       case agg @ Aggregate(groups, aggExprs, child, _)
           if groups.nonEmpty && groups.forall(_.isInstanceOf[AttributeReference]) =>
@@ -69,42 +95,77 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
 
   /** The relation under the aggregate, tolerating the pure-attribute
-    * Project that ColumnPruning inserts. Any Filter/expression in
-    * between disqualifies the rewrite (the MV aggregates ALL rows). */
-  private def baseRelation(child: LogicalPlan): Option[DataSourceV2Relation] =
-    child match {
-      case r: DataSourceV2Relation => Some(r)
-      case Project(ps, r: DataSourceV2Relation)
-          if ps.forall(_.isInstanceOf[AttributeReference]) => Some(r)
-      case _ => None
-    }
+    * Project that ColumnPruning inserts and AT MOST ONE deterministic
+    * Filter (CombineFilters collapses stacks) in any order. Returns the
+    * filter condition (if any) for the group-column admissibility check.
+    * Any other operator in between disqualifies the rewrite. */
+  private def decompose(child: LogicalPlan)
+      : Option[(Option[Expression], DataSourceV2Relation)] = child match {
+    case r: DataSourceV2Relation => Some((None, r))
+    case Project(ps, inner) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      decompose(inner)
+    case Filter(cond, inner) if cond.deterministic &&
+        cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
+      decompose(inner).collect { case (None, r) => (Some(cond), r) }
+    case _ => None
+  }
 
   private def rewrite(groups: Seq[AttributeReference],
                       aggExprs: Seq[NamedExpression],
                       child: LogicalPlan): Option[LogicalPlan] = {
     for {
-      rel <- baseRelation(child)
+      (cond, rel) <- decompose(child)
+      // filter-above admissibility: every referenced column is a GROUP
+      // column — then filtering the MV's group rows is the same relation
+      if cond.forall(_.references.forall(a =>
+        groups.exists(g => g.semanticEquals(a))))
       (root, pinned) <- parsePin(rel.table.name())
       mv <- IncrementalMv.registered(root)
       if groups.map(_.name).toSet == mv.groupCols.toSet &&
         groups.size == mv.groupCols.size
       spark = SparkSession.active
-      applied <- IncrementalMv.appliedVersion(spark, mv.mvRoot)
+      applied <- freshOrRefreshed(spark, mv, pinned)
       if applied == pinned
-      binds <- bindOutputs(groups, mv.valueCol, aggExprs)
-      plan <- materialize(spark, mv, binds)
+      binds <- bindOutputs(groups, mv.valueCols.toSet, aggExprs)
+      plan <- materialize(spark, mv, binds, cond)
     } yield plan
+  }
+
+  /** The MV's applied watermark — after one bounded refresh-then-serve
+    * maintain() if the MV opted in and the pin is within budget. */
+  private def freshOrRefreshed(spark: SparkSession, mv: IncrementalMv.MvDef,
+                               pinned: Int): Option[Int] = {
+    val applied = IncrementalMv.appliedVersion(spark, mv.mvRoot)
+    applied match {
+      case Some(a) if a < pinned => // stale — refresh iff opted in + budget
+        val props =
+          try graft.sources.SnapshotLog.tableProps(spark, mv.mvRoot)
+          catch { case scala.util.control.NonFatal(_) => return applied }
+        val optIn = props.get(IncrementalMv.AutoRefreshProp).contains("true")
+        val budget = props.get(IncrementalMv.AutoRefreshBudgetProp)
+          .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(16)
+        if (!optIn || pinned - a > budget) return applied
+        refreshing.set(java.lang.Boolean.TRUE)
+        try IncrementalMv.maintain(spark, mv.baseRoot,
+          IncrementalMv.mvTableName(spark, mv.mvRoot), mv.groupCols,
+          mv.valueCols)
+        catch { case scala.util.control.NonFatal(_) => return applied }
+        finally refreshing.set(java.lang.Boolean.FALSE)
+        IncrementalMv.appliedVersion(spark, mv.mvRoot) // re-prove, no trust
+      case other => other
+    }
   }
 
   /** For each aggregate output, which MV-derived expression serves it. */
   private sealed trait Bind
   private case class GroupB(name: String) extends Bind
-  private case object CountB extends Bind  // count(*)       → n
-  private case object CountVB extends Bind // count(v)       → nv
-  private case object SumB extends Bind    // sum(v)         → if(nv=0,null,s)
-  private case object AvgB extends Bind    // avg(v)         → s / nv
+  private case object CountB extends Bind          // count(*)  → n
+  private case class CountVB(c: String) extends Bind // count(c) → nv_c
+  private case class SumB(c: String) extends Bind    // sum(c)   → if(nv_c=0,null,s_c)
+  private case class AvgB(c: String) extends Bind    // avg(c)   → s_c / nv_c
 
-  private def bindOutputs(groups: Seq[AttributeReference], valueCol: String,
+  private def bindOutputs(groups: Seq[AttributeReference],
+      valueCols: Set[String],
       aggExprs: Seq[NamedExpression]): Option[Seq[(NamedExpression, Bind)]] = {
     def groupOf(e: Expression): Option[String] = e match {
       case a: AttributeReference
@@ -115,28 +176,31 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case a: AttributeReference => groupOf(a).map(n => a -> (GroupB(n): Bind))
       case al @ Alias(c, _) =>
         groupOf(c).map(n => al -> (GroupB(n): Bind))
-          .orElse(bindAgg(valueCol, c).map(al -> _))
+          .orElse(bindAgg(valueCols, c).map(al -> _))
       case _ => None
     }
     if (out.forall(_.isDefined)) Some(out.flatten) else None
   }
 
-  private def bindAgg(valueCol: String, e: Expression): Option[Bind] = e match {
-    case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) =>
-      Some(CountB)
-    case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _)
-        if a.name == valueCol => Some(CountVB)
-    case AggregateExpression(Sum(a: AttributeReference, _), Complete, false, None, _)
-        if a.name == valueCol => Some(SumB)
-    case AggregateExpression(Average(a: AttributeReference, _), Complete, false, None, _)
-        if a.name == valueCol => Some(AvgB)
-    case _ => None
-  }
+  private def bindAgg(valueCols: Set[String], e: Expression): Option[Bind] =
+    e match {
+      case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) =>
+        Some(CountB)
+      case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _)
+          if valueCols(a.name) => Some(CountVB(a.name))
+      case AggregateExpression(Sum(a: AttributeReference, _), Complete, false, None, _)
+          if valueCols(a.name) => Some(SumB(a.name))
+      case AggregateExpression(Average(a: AttributeReference, _), Complete, false, None, _)
+          if valueCols(a.name) => Some(AvgB(a.name))
+      case _ => None
+    }
 
   /** Project the MV relation onto the aggregate's original output
-    * attribute ids, so parents re-bind without a rewrite of their own. */
+    * attribute ids (so parents re-bind without a rewrite of their own),
+    * under the group-column filter rebound to MV attributes (if any). */
   private def materialize(spark: SparkSession, mv: IncrementalMv.MvDef,
-      binds: Seq[(NamedExpression, Bind)]): Option[LogicalPlan] = {
+      binds: Seq[(NamedExpression, Bind)],
+      cond: Option[Expression]): Option[LogicalPlan] = {
     val mvPlan = try
       spark.read.format("snapshotlog").load(mv.mvRoot)
         .queryExecution.analyzed
@@ -144,27 +208,48 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def attr(n: String): Option[AttributeReference] =
       mvPlan.output.collectFirst {
         case a: AttributeReference if a.name == n => a }
+    def measure(c: String): Option[(AttributeReference, AttributeReference)] =
+      for {
+        nv <- attr(IncrementalMv.nvCol(c)) if nv.dataType == LongType
+        s <- attr(IncrementalMv.sCol(c))
+      } yield (nv, s)
     for {
-      nCol <- attr("n"); nvCol <- attr("nv"); sCol <- attr("s")
-      if nCol.dataType == LongType && nvCol.dataType == LongType
+      nCol <- attr("n") if nCol.dataType == LongType
       projections <- Some(binds.map { case (orig, b) =>
         val src: Expression = b match {
           case GroupB(n) => attr(n).getOrElse(return None)
           case CountB => nCol
-          case CountVB => nvCol
-          case SumB =>
+          case CountVB(c) => measure(c).getOrElse(return None)._1
+          case SumB(c) =>
             // SQL sum ignores nulls and is NULL over an all-null group —
             // reconstruct that from the maintained non-null count
-            If(EqualTo(nvCol, Literal(0L)),
-              Literal.create(null, sCol.dataType), sCol)
-          case AvgB =>
-            If(EqualTo(nvCol, Literal(0L)), Literal.create(null, DoubleType),
-              Divide(Cast(sCol, DoubleType), Cast(nvCol, DoubleType)))
+            val (nv, s) = measure(c).getOrElse(return None)
+            If(EqualTo(nv, Literal(0L)), Literal.create(null, s.dataType), s)
+          case AvgB(c) =>
+            val (nv, s) = measure(c).getOrElse(return None)
+            If(EqualTo(nv, Literal(0L)), Literal.create(null, DoubleType),
+              Divide(Cast(s, DoubleType), Cast(nv, DoubleType)))
         }
         if (src.dataType != orig.dataType) return None
         Alias(src, orig.name)(exprId = orig.exprId,
           qualifier = orig.qualifier)
       })
-    } yield Project(projections, mvPlan)
+      filtered <- cond match {
+        case None => Some(mvPlan)
+        case Some(c) =>
+          // rebind the base-relation group attributes to the MV's, by
+          // name (types must agree exactly — the MV carries the group
+          // columns verbatim, so a mismatch means schema drift: refuse)
+          var ok = true
+          val rebound = c.transform {
+            case a: AttributeReference =>
+              attr(a.name).filter(_.dataType == a.dataType) match {
+                case Some(m) => m
+                case None => ok = false; a
+              }
+          }
+          if (ok) Some(Filter(rebound, mvPlan)) else None
+      }
+    } yield Project(projections, filtered)
   }
 }

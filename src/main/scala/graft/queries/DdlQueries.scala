@@ -69,7 +69,9 @@ object DdlQueries extends QueryModule {
     import graft.operators.IncrementalMv
     import graft.sources.SnapshotLog
     val ns = "mv_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = snapFixture(s, d, "incmv") { root =>
+    // fixture name carries the MV schema generation (r18: per-measure
+    // nv_<c>/s_<c> columns) so stale /tmp fixtures can't serve old shapes
+    val root = snapFixture(s, d, "incmv18") { root =>
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(
@@ -98,6 +100,35 @@ object DdlQueries extends QueryModule {
     // the fixture memo survives process reuse, the MV REGISTRY does not
     // follow it automatically on pre-built roots — re-register (idempotent)
     IncrementalMv.register(s, root, s"$ns.mv", "grp", "v")
+    (root, ns)
+  }
+
+  /** MULTI-MEASURE MV fixture (`composite_mv_rewrite_multi`): one MV
+    * carrying two measures — `v` (dense) and `w` (nullable, every 5th key
+    * NULL) — created at v1, driven through append + MoR delete, maintained
+    * to the head. One MV serves every count/sum/avg over BOTH measures. */
+  private def incMvMultiFixture(s: SparkSession, d: String): (String, String) = {
+    import graft.operators.IncrementalMv
+    import graft.sources.SnapshotLog
+    val ns = "mvm_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = snapFixture(s, d, "incmv_multi18") { root =>
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_snap_warehouse/$ns"), true)
+      val b = customer(s, d).selectExpr("c_custkey AS k",
+        "c_nationkey AS grp",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS v",
+        "CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey % 97 END AS w")
+      SnapshotLog.commit(b.filter(col("k") % 2 === 0), root,
+        overwrite = true, commitTsMs = 1000L)
+      IncrementalMv.create(s, root, s"$ns.mv", Seq("grp"), Seq("v", "w"))
+      SnapshotLog.commit(b.filter(col("k") % 2 === 1), root,
+        overwrite = false, commitTsMs = 2000L)
+      SnapshotLog.deleteWhereMoR(s, root, col("v") < 0L, 3000L)
+      IncrementalMv.maintain(s, root, s"$ns.mv", Seq("grp"), Seq("v", "w"))
+    }
+    IncrementalMv.register(s, root, s"$ns.mv", Seq("grp"), Seq("v", "w"))
     (root, ns)
   }
 
@@ -970,7 +1001,7 @@ object DdlQueries extends QueryModule {
     "composite_incremental_mv" -> ((s, d) => {
       val (_, ns) = incMvFixture(s, d)
       s.table(s"snap.$ns.mv")
-        .select(col("grp"), col("n"), col("s"))
+        .select(col("grp"), col("n"), col("s_v").as("s"))
     }),
 
     // TRANSPARENT MV REWRITE (r17, the optimizer half of the incremental
@@ -1009,6 +1040,106 @@ object DdlQueries extends QueryModule {
         .option("asOfVersion", head - 1).load(root))
       q.withColumn("mv_served", lit(mvServed))
         .withColumn("pinned_keeps_aggregate", lit(hasAggregate(pinned)))
+    }),
+
+    // MV REWRITE UNDER A GROUP-COLUMN FILTER (r18): `WHERE grp < 10` over
+    // the base's defining aggregate — the predicate references only the
+    // MV's group columns, so filtering before or after aggregation is the
+    // same relation, and the rule serves it as the SAME Filter over the
+    // MV scan. The negative direction is pinned too: a predicate on a
+    // NON-group column (v > 0) touches rows the MV already aggregated
+    // away, so it must keep aggregating the base.
+    "composite_mv_rewrite_filter" -> ((s, d) => {
+      val (root, ns) = incMvFixture(s, d)
+      def hasAggregate(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty
+      def servedByMv(df: DataFrame): Boolean = !hasAggregate(df) &&
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if r.relation.table.name().contains(s"$ns/mv") => r
+        }.nonEmpty
+      val t = s.read.format("snapshotlog").load(root)
+      val q = t.filter(col("grp") < 10)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val nonGroup = t.filter(col("v") > 0L)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      q.withColumn("mv_served", lit(servedByMv(q)))
+        .withColumn("nongroup_keeps_aggregate", lit(hasAggregate(nonGroup)))
+    }),
+
+    // MULTI-MEASURE MV REWRITE (r18): ONE maintained MV over measures
+    // (v, w) serves count(*)+sum(v)+count(w)+avg(w) in a single query —
+    // each output binds independently to its nv_<c>/s_<c> pair, with
+    // SQL's ignore-nulls semantics reconstructed per measure (w is NULL
+    // on every 5th key). Oracle = from-scratch rebuild of the final
+    // state; mv_served pins that the optimized plan lost its Aggregate.
+    "composite_mv_rewrite_multi" -> ((s, d) => {
+      val (root, ns) = incMvMultiFixture(s, d)
+      val q = s.read.format("snapshotlog").load(root)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          count(col("w")).as("nw"), avg(col("w")).as("aw"))
+      val mvServed = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty &&
+        q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if r.relation.table.name().contains(s"$ns/mv") => r
+        }.nonEmpty
+      q.withColumn("mv_served", lit(mvServed))
+    }),
+
+    // ROLLBACK (r18): commit bad data, `CALL snap.system
+    // .rollback_to_snapshot` — one new LINEAR commit re-adopts the prior
+    // mainline state. Pinned: reads serve the pre-bad state (the
+    // relational payload), the changelog across the rollback nets to
+    // EMPTY (the bad inserts cancel against the rollback's deletes), the
+    // rolled-past version stays time-travelable, and the head operation
+    // is "rollback". Incident recovery from plain SQL.
+    "ddl_rollback" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val ns = "rb_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val wh = s.conf.getOption("spark.sql.catalog.snap.warehouse")
+        .getOrElse("/tmp/graft_snap_warehouse")
+      val root = s"$wh/$ns/t"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$wh/$ns"), true)
+      val c = customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 0), root,
+        overwrite = true, commitTsMs = 1000L)
+      SnapshotLog.commit(c.filter(col("c_custkey") % 2 === 1), root,
+        overwrite = false, commitTsMs = 2000L)
+      // v3: the bad batch — evens duplicated with negated balances
+      SnapshotLog.commit(
+        c.filter(col("c_custkey") % 2 === 0)
+          .withColumn("c_acctbal", -col("c_acctbal")),
+        root, overwrite = false, commitTsMs = 3000L)
+      val res = s.sql(
+        s"CALL snap.system.rollback_to_snapshot('$ns.t', 2)").collect().head
+      val rolledToHead = res.getInt(0) == 3 && res.getInt(1) == 4 &&
+        res.getInt(2) == 2
+      val headIsRollback = SnapshotLog.snapshots(s, root)
+        .filter(_.branch.isEmpty).last.operation == "rollback"
+      // bad inserts (v3) cancel the rollback's deletes (v4): net EMPTY
+      val netEmpty = SnapshotLog.changes(s, root, fromVersion = 2,
+        netChanges = true).isEmpty
+      // the rolled-past version is still time-travelable (nothing deleted)
+      val evens = c.filter(col("c_custkey") % 2 === 0).count()
+      val travelable =
+        snapRead(s, root, asOfVersion = Some(3)).count() == c.count() + evens
+      snapRead(s, root).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .withColumn("rolled_to_head", lit(rolledToHead))
+        .withColumn("head_is_rollback", lit(headIsRollback))
+        .withColumn("net_empty", lit(netEmpty))
+        .withColumn("bad_version_travelable", lit(travelable))
     }),
 
     // NET changelog (Iceberg net_changes): the same 5-version fixture
@@ -1720,6 +1851,16 @@ object DdlQueries extends QueryModule {
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderkey % 4 = 0""".stripMargin,
 
+    // rollback restores exactly the v2 state = the whole customer table
+    // (evens + odds); all four procedure/changelog/time-travel booleans
+    // pinned TRUE
+    "ddl_rollback" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  TRUE AS rolled_to_head, TRUE AS head_is_rollback,
+        |  TRUE AS net_empty, TRUE AS bad_version_travelable
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
     // net changelog = bag difference of the replayed START (v1: evens)
     // and END (survivors of the delete, update applied) visible sets
     "ddl_changelog_net" ->
@@ -1880,6 +2021,41 @@ object DdlQueries extends QueryModule {
         |  CAST(sum(v) AS BIGINT) AS s,
         |  CAST(sum(v) AS DOUBLE) / count(v) AS a,
         |  TRUE AS mv_served, TRUE AS pinned_keeps_aggregate
+        |FROM fin GROUP BY grp""".stripMargin,
+
+    // same replayed final state, restricted to grp < 10 — filtering group
+    // values commutes with GROUP BY, which is exactly why the rewrite may
+    // serve it from the MV; both plan booleans pinned TRUE
+    "composite_mv_rewrite_filter" ->
+      """WITH b AS (SELECT c_custkey AS k, c_nationkey AS grp,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS v
+        |           FROM customer),
+        |surv AS (SELECT * FROM b WHERE v >= 0),
+        |upd AS (SELECT k, CASE WHEN k % 10 = 3 THEN grp + 100 ELSE grp END
+        |          AS grp, v FROM surv),
+        |fin AS (SELECT * FROM upd
+        |        UNION ALL SELECT * FROM b WHERE k % 4 = 2)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS s,
+        |  TRUE AS mv_served, TRUE AS nongroup_keeps_aggregate
+        |FROM fin WHERE grp < 10 GROUP BY grp""".stripMargin,
+
+    // multi-measure rebuild: evens + odds minus negative-v MoR deletes;
+    // w is NULL on every 5th key, so count(w)/avg(w) exercise the
+    // per-measure ignore-nulls reconstruction (avg spelled as the same
+    // sum/count division the rewrite emits)
+    "composite_mv_rewrite_multi" ->
+      """WITH b AS (SELECT c_custkey AS k, c_nationkey AS grp,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS v,
+        |             CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |                  ELSE c_custkey % 97 END AS w
+        |           FROM customer),
+        |fin AS (SELECT * FROM b WHERE v >= 0)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sv,
+        |  CAST(count(w) AS BIGINT) AS nw,
+        |  CAST(sum(w) AS DOUBLE) / count(w) AS aw,
+        |  TRUE AS mv_served
         |FROM fin GROUP BY grp""".stripMargin,
 
     // compute_updates: v4's delete+insert pairs retag as pre/post images;

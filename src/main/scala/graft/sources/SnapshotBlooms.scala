@@ -53,13 +53,25 @@ import scala.jdk.CollectionConverters._
   * pruning is pure skipping, never semantics); false negatives are
   * impossible for committed-through-this-path files.
   */
-private[sources] object SnapshotBlooms {
+private[graft] object SnapshotBlooms {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val om = new ObjectMapper()
 
   val ColsProp = "write.bloom.columns"
   val MaxBytesProp = "write.bloom.max-bytes"
   val DefaultMaxBytes: Long = 1L << 20 // 1 MiB per file per column
+  /** Files per build batch (one aggregate pass + one sidecar each) — caps
+    * the driver-resident bloom bytes of a bulk import/backfill at
+    * batch × cols × max-bytes (default 1024 × cols × 1 MiB) instead of
+    * O(all new files). Sidecars are a union on read, so a multi-sidecar
+    * commit is indistinguishable from a single-sidecar one. */
+  val BuildBatchProp = "write.bloom.build-batch-files"
+  val DefaultBuildBatch: Int = 1024
+
+  /** Batch count for an N-file commit at batch size B — the arithmetic
+    * [[writeSidecar]] executes (exposed for the equivalence spec). */
+  def batchCountFor(nFiles: Int, batch: Int): Int =
+    if (nFiles <= 0) 0 else (nFiles + batch - 1) / batch
 
   private def bloomsDir(root: String) = new Path(root, "blooms")
 
@@ -98,11 +110,8 @@ private[sources] object SnapshotBlooms {
     try {
       val maxBytes = props.get(MaxBytesProp).flatMap(v =>
         scala.util.Try(v.toLong).toOption).getOrElse(DefaultMaxBytes)
-      // size from the LARGEST new file (one aggregate literal serves the
-      // whole commit; uniform staged writes keep files near-equal)
-      val maxRows = math.max(1L,
-        newFiles.map(f => rowsByFile.getOrElse(SnapshotLog.norm(f), 0L)).max)
-      val numBits = math.min(math.max(64L, maxRows * 10L), maxBytes * 8L)
+      val batchSize = math.max(1, props.get(BuildBatchProp).flatMap(v =>
+        scala.util.Try(v.toInt).toOption).getOrElse(DefaultBuildBatch))
       // Spark's BloomFilterAggregate over xxhash64(col): per-file grouping
       // via the _metadata file path — one column-pruned scan of ONLY the
       // new files. Registered under a uuid name (collision-proof, dropped
@@ -118,37 +127,48 @@ private[sources] object SnapshotBlooms {
         (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           new org.apache.spark.sql.catalyst.expressions.aggregate
             .BloomFilterAggregate(args.head, args(1), args(2)))
-      val rows = try {
+      // BOUNDED BATCHES: a 100k-file bulk import with 3 bloom columns
+      // would otherwise concentrate ~tens of GB of bloom bytes in one
+      // driver collect — per-batch passes cap residency at
+      // batch × cols × max-bytes, each batch publishing its own sidecar
+      // (the read side unions sidecars, so batching is invisible there)
+      try newFiles.grouped(batchSize).foreach { batch =>
+        // size from the LARGEST file in the batch (one aggregate literal
+        // serves the batch; uniform staged writes keep files near-equal)
+        val maxRows = math.max(1L,
+          batch.map(f => rowsByFile.getOrElse(SnapshotLog.norm(f), 0L)).max)
+        val numBits = math.min(math.max(64L, maxRows * 10L), maxBytes * 8L)
         import org.apache.spark.sql.functions.{col, expr, regexp_replace}
-        val src = spark.read.schema(schema).parquet(newFiles: _*)
+        val src = spark.read.schema(schema).parquet(batch: _*)
           .select((regexp_replace(col("_metadata.file_path"), "^file:/*", "/")
             .as("__f")) +: cols.map(f => col(f.name)): _*)
         val aggs = cols.map(f => expr(
           s"$fnName(xxhash64(`${f.name}`), ${maxRows}L, ${numBits}L)")
           .as(s"__b_${f.name}"))
-        src.groupBy(col("__f")).agg(aggs.head, aggs.tail: _*).collect()
-      } finally spark.sessionState.functionRegistry.dropFunction(fnId)
-      val node = om.createObjectNode()
-      val colsArr = node.putArray("cols")
-      cols.foreach(f => colsArr.add(f.name))
-      node.put("numBits", numBits)
-      val filesNode = node.putObject("files")
-      rows.foreach { r =>
-        val fNode = filesNode.putObject(SnapshotLog.norm(r.getString(0)))
-        cols.zipWithIndex.foreach { case (f, i) =>
-          val bytes = r.getAs[Array[Byte]](s"__b_${f.name}")
-          if (bytes != null)
-            fNode.put(f.name,
-              java.util.Base64.getEncoder.encodeToString(bytes)): Unit
+        val rows = src.groupBy(col("__f")).agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val node = om.createObjectNode()
+        val colsArr = node.putArray("cols")
+        cols.foreach(f => colsArr.add(f.name))
+        node.put("numBits", numBits)
+        val filesNode = node.putObject("files")
+        rows.foreach { r =>
+          val fNode = filesNode.putObject(SnapshotLog.norm(r.getString(0)))
+          cols.zipWithIndex.foreach { case (f, i) =>
+            val bytes = r.getAs[Array[Byte]](s"__b_${f.name}")
+            if (bytes != null)
+              fNode.put(f.name,
+                java.util.Base64.getEncoder.encodeToString(bytes)): Unit
+          }
         }
-      }
-      val dir = bloomsDir(root)
-      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.mkdirs(dir)
-      val dest = new Path(dir,
-        "b-" + java.util.UUID.randomUUID().toString.take(12) + ".json")
-      val out = fs.create(dest, false)
-      try out.write(om.writeValueAsBytes(node)) finally out.close()
+        val dir = bloomsDir(root)
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.mkdirs(dir)
+        val dest = new Path(dir,
+          "b-" + java.util.UUID.randomUUID().toString.take(12) + ".json")
+        val out = fs.create(dest, false)
+        try out.write(om.writeValueAsBytes(node)) finally out.close()
+      } finally spark.sessionState.functionRegistry.dropFunction(fnId)
     } catch {
       case scala.util.control.NonFatal(e) =>
         log.warn(s"snapshotlog: bloom sidecar write failed at $root " +

@@ -1702,6 +1702,85 @@ object SnapshotLog {
     next
   }
 
+  /** ROLLBACK — Iceberg's `rollback_to_snapshot` semantics, the
+    * "bad commit, recover NOW" surface: ONE new mainline snapshot
+    * re-adopting a prior mainline snapshot's exact content (files, delete
+    * files, schema, spec, stats). History stays LINEAR and append-only —
+    * nothing is deleted, the rolled-past versions remain time-travelable
+    * (expire_snapshots reaps them later), incremental consumers see one
+    * non-append "rollback" step (they must resync, exactly as for an
+    * overwrite), and the changelog across the rollback reads as the undo
+    * itself (the bad rows as deletes). The target must be a MAINLINE
+    * ancestor of the current head — `setCurrentSnapshot` is the
+    * unrestricted form (any retained snapshot, branches included).
+    * Returns the new head version (the target version itself when the
+    * rollback is a no-op because the head already IS the target).
+    * Ref: Iceberg SetCurrentSnapshot/RollbackToSnapshot procedures;
+    * reference DDL surface IcebergDDLExecutor.kt. */
+  def rollbackTo(spark: SparkSession, root: String, toVersion: Int,
+                 commitTsMs: Long): Int = {
+    val snaps = snapshots(spark, root)
+    val byV = snaps.map(s => s.version -> s).toMap
+    val mainHead = snaps.filter(_.branch.isEmpty).lastOption.getOrElse(
+      throw new IllegalStateException(s"SnapshotLog: no main line at $root"))
+    val target = byV.getOrElse(toVersion, throw new NoSuchElementException(
+      s"SnapshotLog: no snapshot v$toVersion at $root (expired?)"))
+    require(target.branch.isEmpty,
+      s"SnapshotLog: rollback target v$toVersion is a branch snapshot " +
+        s"(${target.branch.get}) — use setCurrentSnapshot to adopt it")
+    if (mainHead.version == toVersion) return toVersion
+    // ancestor proof: walk the head's parent chain down to the target —
+    // rolling back to a non-ancestor would silently ADOPT foreign content
+    var anc: Option[Snapshot] = Some(mainHead)
+    var isAncestor = false
+    while (anc.isDefined && !isAncestor) {
+      if (anc.get.version == toVersion) isAncestor = true
+      else anc = byV.get(anc.get.parentVersion)
+    }
+    require(isAncestor,
+      s"SnapshotLog: v$toVersion is not an ancestor of the current head " +
+        s"v${mainHead.version} at $root — rollback must undo, not adopt " +
+        "(setCurrentSnapshot is the unrestricted form)")
+    adoptAsHead(spark, root, target, mainHead, snaps, "rollback",
+      Map("rollback.to" -> toVersion.toString), commitTsMs)
+  }
+
+  /** Iceberg's `set_current_snapshot`: re-point the mainline head at ANY
+    * retained snapshot's content — branch snapshots included (adopting a
+    * branch head without publishing the branch) — via one new linear
+    * commit. No ancestor restriction; see [[rollbackTo]] for the guarded
+    * incident-recovery form. */
+  def setCurrentSnapshot(spark: SparkSession, root: String, toVersion: Int,
+                         commitTsMs: Long): Int = {
+    val snaps = snapshots(spark, root)
+    val mainHead = snaps.filter(_.branch.isEmpty).lastOption.getOrElse(
+      throw new IllegalStateException(s"SnapshotLog: no main line at $root"))
+    val target = snaps.find(_.version == toVersion).getOrElse(
+      throw new NoSuchElementException(
+        s"SnapshotLog: no snapshot v$toVersion at $root (expired?)"))
+    if (mainHead.version == toVersion) return toVersion
+    adoptAsHead(spark, root, target, mainHead, snaps, "rollback",
+      Map("set-current.to" -> toVersion.toString), commitTsMs)
+  }
+
+  /** One new mainline snapshot with `target`'s exact content, parented at
+    * the current head so history stays linear (shared by rollbackTo /
+    * setCurrentSnapshot; fastForward is the branch-publish sibling). */
+  private def adoptAsHead(spark: SparkSession, root: String, target: Snapshot,
+                          mainHead: Snapshot, snaps: Seq[Snapshot],
+                          op: String, props: Map[String, String],
+                          commitTsMs: Long): Int = {
+    val next = snaps.last.version + 1
+    require(snaps.forall(_.commitTsMs < commitTsMs),
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    commitManifest(fsFor(spark, new Path(root)), root, next, op, commitTsMs,
+      target.schemaJson, target.files, target.stats, target.sizes,
+      props, target.spec, target.parts, target.cols,
+      target.dels, target.fids, target.colIds, target.maxId, target.specs,
+      target.fileSpec, mainHead.version, target.rows)
+    next
+  }
+
   /** A wall-clock commit timestamp guaranteed to advance past the last
     * snapshot (two catalog commits can land in the same millisecond). */
   def nextCommitTs(spark: SparkSession, root: String): Long = {

@@ -37,7 +37,9 @@ private[sources] object SnapshotProcedures {
         Identifier.of(Array("system"), "create_changelog_view"),
         Identifier.of(Array("system"), "create_mv"),
         Identifier.of(Array("system"), "refresh_mv"),
-        Identifier.of(Array("system"), "import_parquet"))
+        Identifier.of(Array("system"), "import_parquet"),
+        Identifier.of(Array("system"), "rollback_to_snapshot"),
+        Identifier.of(Array("system"), "set_current_snapshot"))
     else Array.empty
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
@@ -59,6 +61,10 @@ private[sources] object SnapshotProcedures {
       case "create_mv" => new CreateMvProc(warehouse)
       case "refresh_mv" => new RefreshMvProc(warehouse)
       case "import_parquet" => new ImportParquetProc(warehouse)
+      case "rollback_to_snapshot" =>
+        new AdoptSnapshotProc(warehouse, restricted = true)
+      case "set_current_snapshot" =>
+        new AdoptSnapshotProc(warehouse, restricted = false)
       case other => throw new UnsupportedOperationException(
         s"snapshotlog catalog: unknown procedure $other")
     }
@@ -234,16 +240,17 @@ private[sources] object SnapshotProcedures {
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("mv_table", StringType).build(),
       ProcedureParameter.in("group_cols", StringType).build(),
-      ProcedureParameter.in("value_col", StringType).build())
+      // one measure or a comma-separated list — each gets nv_<c>/s_<c>
+      ProcedureParameter.in("value_cols", StringType).build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val root = rootFor(warehouse, input.getUTF8String(0).toString)
       val mvTable = input.getUTF8String(1).toString
-      val groups = input.getUTF8String(2).toString
+      def cols(i: Int): Seq[String] = input.getUTF8String(i).toString
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val applied = graft.operators.IncrementalMv.create(spark, root,
-        mvTable, groups, input.getUTF8String(3).toString)
+        mvTable, cols(2), cols(3))
       Iterator(resultScan(
         StructType(Seq(
           StructField("mv_table", StringType, nullable = false),
@@ -278,13 +285,56 @@ private[sources] object SnapshotProcedures {
       // MV tables live in the same warehouse: root path back to ns.t name
       val mvTable = mv.mvRoot.stripPrefix(s"$warehouse/").replace('/', '.')
       val applied = graft.operators.IncrementalMv.maintain(spark, root,
-        mvTable, mv.groupCols, mv.valueCol)
+        mvTable, mv.groupCols, mv.valueCols)
       Iterator(resultScan(
         StructType(Seq(
           StructField("mv_table", StringType, nullable = false),
           StructField("applied_base_version", IntegerType, nullable = false))),
         Seq[Any](org.apache.spark.unsafe.types.UTF8String.fromString(mvTable),
           applied))).asJava
+    }
+  }
+
+  /** `CALL snap.system.rollback_to_snapshot('ns.t', 3)` /
+    * `CALL snap.system.set_current_snapshot('ns.t', 3)` — the
+    * incident-recovery surface (Iceberg's procedures of the same names):
+    * ONE new linear commit re-adopting the target snapshot's exact
+    * content. rollback_to_snapshot demands the target be a mainline
+    * ancestor of the head (an undo, never an adoption);
+    * set_current_snapshot re-points at any retained snapshot. */
+  private class AdoptSnapshotProc(warehouse: String, restricted: Boolean)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String =
+      if (restricted) "rollback_to_snapshot" else "set_current_snapshot"
+    override def description(): String =
+      if (restricted)
+        "roll the table back to a prior mainline snapshot via one new " +
+          "linear commit (history and time travel preserved)"
+      else
+        "re-point the table head at any retained snapshot's content " +
+          "via one new linear commit"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", IntegerType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val toV = input.getInt(1)
+      val previous = SnapshotLog.pick(spark, root, None, None).version
+      val ts = SnapshotLog.nextCommitTs(spark, root)
+      val head =
+        if (restricted) SnapshotLog.rollbackTo(spark, root, toV, ts)
+        else SnapshotLog.setCurrentSnapshot(spark, root, toV, ts)
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("previous_version", IntegerType, nullable = false),
+          StructField("current_version", IntegerType, nullable = false),
+          StructField("restored_version", IntegerType, nullable = false))),
+        Seq[Any](previous, head, toV))).asJava
     }
   }
 

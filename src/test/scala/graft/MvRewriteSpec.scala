@@ -271,6 +271,114 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("filter on GROUP columns rewrites to the same filter over the MV; " +
+       "mixed or non-group predicates never do") {
+    val root = fresh("filt")
+    SnapshotLog.commit(base(900), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_filt.mv", "grp", "v")
+    try {
+      val t = spark.read.format("snapshotlog").load(root)
+      def agg(df: DataFrame): DataFrame = df.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val onGroup = agg(t.filter(col("grp") >= 2 && col("grp") =!= 5))
+      assert(servedByMv(onGroup, "mvrw_filt"),
+        onGroup.queryExecution.optimizedPlan.toString)
+      val got = onGroup.as[(Int, Long, Long)].collect().toSet
+      val want = (0 until 7).filter(g => g >= 2 && g != 5).map { g =>
+        val ks = (0L until 900L).filter(_ % 7 == g)
+        (g, ks.size.toLong, ks.map(_ * 2).sum)
+      }.toSet
+      assert(got === want)
+      // non-group and mixed predicates must keep aggregating the base
+      val onValue = agg(t.filter(col("v") > 100))
+      val mixed = agg(t.filter(col("grp") < 5 && col("v") > 100))
+      val onKey = agg(t.filter(col("k") % 2 === 0))
+      for (q <- Seq(onValue, mixed, onKey))
+        assert(!servedByMv(q, "mvrw_filt"),
+          q.queryExecution.optimizedPlan.toString)
+      assert(onValue.count() === 7)
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
+  test("multi-measure MV: one materialization serves every count/sum/avg " +
+       "combination over its measure set, null semantics per measure") {
+    val root = fresh("mm")
+    // v dense, w NULL on every 3rd row
+    SnapshotLog.commit(
+      spark.range(0, 600).selectExpr("id AS k", "cast(id % 4 AS int) AS grp",
+        "id * 2 AS v",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE id % 11 END AS w"),
+      root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_mm.mv", Seq("grp"), Seq("v", "w"))
+    try {
+      val t = spark.read.format("snapshotlog").load(root)
+      def shapes(df: DataFrame): DataFrame = df.groupBy(col("grp")).agg(
+        count(lit(1)).as("n"), sum(col("v")).as("sv"), avg(col("v")).as("av"),
+        count(col("w")).as("nw"), sum(col("w")).as("sw"),
+        avg(col("w")).as("aw"))
+      val q = shapes(t)
+      assert(servedByMv(q, "mvrw_mm"), q.queryExecution.optimizedPlan.toString)
+      def rows(df: DataFrame) = df.collect().map(r =>
+        (r.getInt(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          r.getLong(4), Option(r.get(5)), Option(r.get(6)))).toSet
+      val got = rows(q)
+      spark.conf.set("spark.graft.mv.autoRewrite", "false")
+      val want = try rows(shapes(t))
+      finally spark.conf.unset("spark.graft.mv.autoRewrite")
+      assert(got === want)
+      // a SUBSET of the measures is served by the same MV
+      val sub = t.groupBy(col("grp")).agg(sum(col("w")).as("sw"))
+      assert(servedByMv(sub, "mvrw_mm"))
+      // an aggregate over a NON-measure column is not
+      val non = t.groupBy(col("grp")).agg(sum(col("k")).as("sk"))
+      assert(!servedByMv(non, "mvrw_mm"))
+      // maintenance applies per-measure deltas (delete odd keys)
+      SnapshotLog.deleteWhereMoR(spark, root, col("k") % 2 === 1, 2000L)
+      IncrementalMv.maintain(spark, root, "mvrw_mm.mv", Seq("grp"),
+        Seq("v", "w"))
+      val q2 = shapes(spark.read.format("snapshotlog").load(root))
+      assert(servedByMv(q2, "mvrw_mm"))
+      val got2 = rows(q2)
+      spark.conf.set("spark.graft.mv.autoRewrite", "false")
+      val want2 = try rows(shapes(spark.read.format("snapshotlog").load(root)))
+      finally spark.conf.unset("spark.graft.mv.autoRewrite")
+      assert(got2 === want2)
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
+  test("auto-refresh-on-stale: an opted-in MV refreshes inside the rule " +
+       "and serves; the version budget and default-off are honored") {
+    val root = fresh("autor")
+    SnapshotLog.commit(base(400), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_autor.mv", "grp", "v")
+    val mvRoot = IncrementalMv.registered(root).get.mvRoot
+    try {
+      // default off: a stale MV leaves the aggregate alone
+      SnapshotLog.commit(base(400).filter(col("k") < 10), root,
+        overwrite = false, 2000L)
+      assert(!servedByMv(defAgg(root), "mvrw_autor"))
+      // opt in: the SAME query now refreshes-then-serves
+      SnapshotLog.setTableProps(spark, mvRoot,
+        Map(IncrementalMv.AutoRefreshProp -> "true"))
+      val q = defAgg(root)
+      assert(servedByMv(q, "mvrw_autor"),
+        q.queryExecution.optimizedPlan.toString)
+      assert(q.filter(col("grp") === 0).select("n").as[Long].head() ===
+        (0L until 400L).count(_ % 7 == 0) + 2) // k=0, k=7 duplicated
+      // and the refresh really advanced the durable watermark
+      assert(IncrementalMv.appliedVersion(spark, mvRoot).contains(2))
+      // budget 0: one version past the watermark is already too stale
+      SnapshotLog.setTableProps(spark, mvRoot,
+        Map(IncrementalMv.AutoRefreshBudgetProp -> "0"))
+      SnapshotLog.commit(base(400).filter(col("k") < 3), root,
+        overwrite = false, 3000L)
+      assert(!servedByMv(defAgg(root), "mvrw_autor"),
+        "budget 0 must refuse the optimizer-time refresh")
+      assert(IncrementalMv.appliedVersion(spark, mvRoot).contains(2),
+        "a refused refresh must not advance the watermark")
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
   test("time-traveled reads rewrite only at the watermark version") {
     val root = fresh("tt")
     SnapshotLog.commit(base(400), root, overwrite = true, 1000L)

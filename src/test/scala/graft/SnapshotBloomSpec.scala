@@ -113,6 +113,43 @@ class SnapshotBloomSpec extends AnyFunSuite {
     assert(fpp < 0.05, s"bloom fpp too high: $fpp (kept $keptCovered/2400)")
   }
 
+  test("chunked sidecar build: batch size 1 publishes one sidecar per " +
+       "file and prunes identically to the single-pass build") {
+    val root = freshRoot("batched")
+    val df = spark.range(0, 8000).selectExpr("md5(cast(id AS string)) AS k",
+      "id AS v")
+    SnapshotLog.commit(df.filter("v % 4 = 0"), root, overwrite = true, 100L, 4)
+    SnapshotLog.setTableProps(spark, root, Map(
+      "write.bloom.columns" -> "k",
+      "write.bloom.build-batch-files" -> "1")) // worst-case batching
+    for (i <- 1 to 3)
+      SnapshotLog.commit(df.filter(s"v % 4 = $i"), root, overwrite = false,
+        100L * (i + 1), 4)
+    // 3 bloom-armed commits × 4 files × batch 1 = 12 sidecars (the
+    // single-pass build writes 3) — the batch arithmetic, executed
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val sidecars = fs.listStatus(new Path(root, "blooms"))
+      .count(s => s.getPath.getName.startsWith("b-") &&
+        s.getPath.getName.endsWith(".json"))
+    assert(sidecars === 12, s"expected one sidecar per file-batch, got $sidecars")
+    import graft.sources.SnapshotBlooms
+    assert(SnapshotBlooms.batchCountFor(4, 1) === 4)
+    assert(SnapshotBlooms.batchCountFor(100000, 1024) === 98)
+    assert(SnapshotBlooms.batchCountFor(1024, 1024) === 1)
+    assert(SnapshotBlooms.batchCountFor(0, 1024) === 0)
+    // pruning equivalence with the single-sidecar build (`needle` test):
+    // a miss prunes every covered file; a hit keeps its one covered file
+    val t = spark.read.format("snapshotlog").load(root)
+    val miss = t.filter(col("k") === md5(lit("no-such-key")))
+    assert(filesPlanned(miss) <= 4, s"planned ${filesPlanned(miss)}/16")
+    assert(miss.count() === 0)
+    val hitKey = spark.range(4001, 4002)
+      .selectExpr("md5(cast(id AS string)) AS k").head().getString(0)
+    val hit = t.filter(col("k") === hitKey)
+    assert(filesPlanned(hit) <= 5, s"planned ${filesPlanned(hit)}")
+    assert(hit.select("v").as[Long].head() === 4001L)
+  }
+
   test("rename keeps bloom pruning correct through field ids") {
     val root = freshRoot("rename")
     buildNeedleTable(root, withBlooms = true)
