@@ -30,6 +30,11 @@ object Sessions {
       // forbids INT96, and INT96 carries no usable footer min/max stats —
       // SnapshotLog lifts commit-time stats straight from parquet footers.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // ANSI TIME (Spark 4.1 TimeType, feature-flagged): the TIME kit
+      // (fn_time, TIME_FROM_PARTS) serves native time(6) columns; the
+      // long-nanos helpers remain as compat aliases (SURVEY §1.2 note
+      // predates the type's availability)
+      .config("spark.sql.timeType.enabled", "true")
       // AQE: runtime coalescing, skew-join handling, bcast demotion.
       .config("spark.sql.adaptive.enabled", "true")
       // Build-side bloom filter pushed into probe-side scans — the Spark

@@ -285,8 +285,35 @@ object SnowflakeFns {
     ((tot % day) + day) % day
   }
 
-  /** TIME_FROM_PARTS rendered 'HH:MM:SS' (the repo's TIME surface form —
-    * Spark has no TIME type; fn_time documents the ns-of-day model). */
+  /** TIME_FROM_PARTS as a NATIVE `time(6)` column (Spark 4.1 TimeType,
+    * session flag spark.sql.timeType.enabled — set by graft.Sessions):
+    * same Snowflake rollover contract as [[timeFromPartsNs]] (any part may
+    * be out of range or negative; the total wraps into [0, 24h)), built
+    * through the wrapped ns-of-day so the two forms agree bit-for-bit at
+    * µs grain. The ns/str forms below remain as compat aliases from the
+    * pre-TimeType convention (SURVEY §1.2). */
+  def timeFromParts(hour: Column, minute: Column, sec: Column,
+                    ns: Column): Column = {
+    val us = (timeFromPartsNs(hour, minute, sec, ns) / 1000L).cast("long")
+    toTimeOfDayUs(us)
+  }
+
+  /** A native `time(6)` from a TIMESTAMP's time-of-day (Spark 4.1 has no
+    * direct timestamp→time cast yet; µs-of-day → make_time is exact). */
+  def toTime(ts: Column): Column =
+    toTimeOfDayUs(pmod(unix_micros(ts), lit(86400000000L)))
+
+  /** µs-of-day → native time(6) via make_time (exact: seconds carry their
+    * microsecond fraction through a decimal(16,6)). */
+  private def toTimeOfDayUs(us: Column): Column =
+    call_function("make_time",
+      (us / 3600000000L).cast("int"),
+      ((us % 3600000000L) / 60000000L).cast("int"),
+      (us % 60000000L).cast("decimal(16,6)") / lit(1000000))
+
+  /** TIME_FROM_PARTS rendered 'HH:MM:SS' (compat alias from the
+    * pre-TimeType ns-of-day convention; [[timeFromParts]] is the native
+    * form). */
   def timeFromPartsStr(hour: Column, minute: Column, sec: Column): Column = {
     // Column `/` is double division — cast back to long at each step so
     // the rendered pieces are integers, not "1.0"

@@ -184,13 +184,23 @@ object FnSemiQueries extends QueryModule {
     }),
 
     // TIME-of-day kit over events.ts (µs-truncated timestamp; see Tables).
+    // r18: NATIVE Spark 4.1 TimeType — `t` is a real time(6) column
+    // (schema_match proves the type; DuckDB oracles TIME directly) built
+    // from the timestamp's µs-of-day, `tfp` exercises TIME_FROM_PARTS'
+    // Snowflake rollover as native TIME, and hh/mi/ss extract FROM the
+    // TIME column. The long-nanos columns stay as the compat surface.
     "fn_time" -> ((s, d) => {
+      import graft.functions.SnowflakeFns
       val ts = col("ts")
+      val t = SnowflakeFns.toTime(ts)
       events(s, d).filter(col("event_id") % 20 === 0).select(
         col("event_id"),
-        hour(ts).as("hh"),
-        minute(ts).as("mi"),
-        second(ts).as("ss"),
+        t.as("t"),
+        SnowflakeFns.timeFromParts(hour(ts), minute(ts) + lit(150),
+          second(ts), lit(0L)).as("tfp"), // minute 150 rolls over
+        hour(t).as("hh"),
+        minute(t).as("mi"),
+        second(t).as("ss"),
         ((unix_micros(ts) % 86400000000L) * 1000).as("time_ns"),
         (unix_micros(ts) % 1000000L).as("us_frac"),
         date_format(ts, "HH:mm:ss").as("tstr"))
@@ -334,16 +344,24 @@ object FnSemiQueries extends QueryModule {
         |FROM t""".stripMargin,
 
     // Oracle must µs-truncate the ns timestamp first (FIXTURES ns policy).
+    // `t` is DuckDB's own TIME cast; `tfp` replays the Snowflake rollover
+    // (minute + 150 wraps into [0, 24h)) with make_time.
     "fn_time" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
-        |           WHERE event_id % 20 = 0)
+        |           WHERE event_id % 20 = 0),
+        |p AS (SELECT *,
+        |  ((hour(ts) * 3600 + (minute(ts) + 150) * 60 + second(ts))
+        |    % 86400 + 86400) % 86400 AS fp_s FROM e)
         |SELECT event_id,
+        |  CAST(ts AS TIME) AS t,
+        |  make_time(fp_s // 3600, (fp_s % 3600) // 60,
+        |    CAST(fp_s % 60 AS DOUBLE)) AS tfp,
         |  CAST(hour(ts) AS INTEGER) AS hh,
         |  CAST(minute(ts) AS INTEGER) AS mi,
         |  CAST(second(ts) AS INTEGER) AS ss,
         |  (epoch_us(ts) % 86400000000) * 1000 AS time_ns,
         |  epoch_us(ts) % 1000000 AS us_frac,
         |  strftime(ts, '%H:%M:%S') AS tstr
-        |FROM e""".stripMargin
+        |FROM p""".stripMargin
   )
 }

@@ -500,4 +500,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(VectorIndex.query(spark, paths.head, vecs.filter(col("vec_id") < 2), 3)
       .count() > 0)
   }
+
+  test("native TIME kit (Spark 4.1 TimeType): toTime/timeFromParts are " +
+       "real time(6) columns agreeing with the long-nanos compat form") {
+    import graft.functions.SnowflakeFns
+    val df = spark.range(0, 1000)
+      .selectExpr("timestampadd(SECOND, cast(id * 977 AS int), " +
+        "timestamp'2024-03-01 00:00:00') AS ts",
+        "cast(id % 30 AS int) AS h", "cast(id % 700 - 200 AS int) AS mi",
+        "cast(id % 90 AS int) AS s")
+    val out = df.select(
+      SnowflakeFns.toTime(col("ts")).as("t"),
+      SnowflakeFns.timeFromParts(col("h"), col("mi"), col("s"), lit(0L))
+        .as("tfp"),
+      SnowflakeFns.timeFromPartsNs(col("h"), col("mi"), col("s"), lit(0L))
+        .as("tfp_ns"),
+      col("ts"))
+    // the column IS the native type (the re-gate's schema_match proof)
+    assert(out.schema("t").dataType ===
+      org.apache.spark.sql.types.TimeType(6))
+    assert(out.schema("tfp").dataType ===
+      org.apache.spark.sql.types.TimeType(6))
+    val rows = out.selectExpr(
+      "cast(t AS STRING) AS t_s", "date_format(ts, 'HH:mm:ss') AS ts_s",
+      "cast(tfp AS STRING) AS tfp_s", "tfp_ns").collect()
+    rows.foreach { r =>
+      // toTime: the wall clock's time-of-day, second-exact here
+      assert(r.getString(0).startsWith(r.getString(1)),
+        s"toTime ${r.getString(0)} != ${r.getString(1)}")
+      // timeFromParts agrees with the wrapped ns-of-day compat form
+      val ns = r.getLong(3)
+      val sOfDay = ns / 1000000000L
+      val want = f"${sOfDay / 3600}%02d:${(sOfDay % 3600) / 60}%02d:${sOfDay % 60}%02d"
+      assert(r.getString(2) === want, s"timeFromParts vs ns form")
+    }
+    // negative/overflow parts wrap into [0, 24h) — the Snowflake contract
+    val edge = spark.sql(
+      "SELECT 1").select(
+      SnowflakeFns.timeFromParts(lit(-1), lit(0), lit(0), lit(0L)).as("a"),
+      SnowflakeFns.timeFromParts(lit(25), lit(150), lit(0), lit(0L)).as("b"))
+      .selectExpr("cast(a AS STRING)", "cast(b AS STRING)").head()
+    assert(edge.getString(0) === "23:00:00")
+    assert(edge.getString(1) === "03:30:00") // 25h + 150min = 27:30 → 03:30
+  }
 }

@@ -72,7 +72,7 @@ class SnapshotDmlPropertySpec extends AnyFunSuite {
         graft.operators.IncrementalMv.maintain(spark, root, mvTable, "v", "k")
         val got = spark.table(s"snap.$mvTable").collect()
           .map(r => (r.getAs[Long]("v"),
-            (r.getAs[Long]("n"), r.getAs[Long]("s")))).toMap
+            (r.getAs[Long]("n"), r.getAs[Long]("s_k")))).toMap
         val want = model.toSeq.groupBy(_._2).map { case (v, kvs) =>
           v -> (kvs.size.toLong, kvs.map(_._1).sum)
         }
