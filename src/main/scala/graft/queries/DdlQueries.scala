@@ -1093,6 +1093,46 @@ object DdlQueries extends QueryModule {
       q.withColumn("mv_served", lit(mvServed))
     }),
 
+    // DELETION-VECTOR MoR deletes (r18; Iceberg v3 Puffin-DV analog):
+    // with `write.delete.vector=true` a MoR delete stages one `.dv`
+    // RoaringBitmap sidecar per affected data file instead of parquet
+    // (file_path, pos) rows — cached O(own ordinals) apply instead of a
+    // per-task scan of every delete parquet. Pinned: the relational
+    // payload after a DV delete + DV update (oracle replays both), dv
+    // sidecars really in play (extension-checked), BOTH reader paths
+    // agree (columnar vs row), and time travel serves the pre-delete
+    // state.
+    "ddl_mor_dv" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "mor_dv") { root =>
+        val c = customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        SnapshotLog.commit(c, root, overwrite = true, commitTsMs = 1000L, 4)
+        SnapshotLog.setTableProps(s, root,
+          Map("write.delete.vector" -> "true"))
+        SnapshotLog.deleteWhereMoR(s, root, col("c_acctbal") < 0, 2000L)
+        SnapshotLog.updateWhereMoR(s, root, col("c_custkey") % 10 === 3,
+          Map("c_acctbal" -> (col("c_acctbal") + 1000.0)), 3000L)
+      }
+      val dels = SnapshotLog.snapshots(s, root).filter(_.branch.isEmpty)
+        .last.dels.values.flatten.toSeq.distinct
+      val dvUsed = dels.nonEmpty && dels.forall(_.endsWith(".dv"))
+      val t = snapRead(s, root)
+      val rowPath = t.select(col("c_custkey"), col("_pos")) // forces row reader
+        .agg(count(lit(1)), sum(col("c_custkey"))).head()
+      val colPath = t.agg(count(lit(1)), sum(col("c_custkey"))).head()
+      val pathsAgree = rowPath.getLong(0) == colPath.getLong(0) &&
+        rowPath.getLong(1) == colPath.getLong(1)
+      val ttOk = snapRead(s, root, asOfVersion = Some(1)).count() ==
+        customer(s, d).count()
+      t.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .withColumn("dv_used", lit(dvUsed))
+        .withColumn("paths_agree", lit(pathsAgree))
+        .withColumn("timetravel_ok", lit(ttOk))
+    }),
+
     // ROLLBACK (r18): commit bad data, `CALL snap.system
     // .rollback_to_snapshot` — one new LINEAR commit re-adopts the prior
     // mainline state. Pinned: reads serve the pre-bad state (the
@@ -1850,6 +1890,19 @@ object DdlQueries extends QueryModule {
         |  CAST(0 AS BIGINT) AS n_shuffles, CAST(0 AS BIGINT) AS n_sorts
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderkey % 4 = 0""".stripMargin,
+
+    // DV replay: drop negative balances, then +1000 on the k%10=3
+    // survivors; the three plan/semantics booleans pinned TRUE
+    "ddl_mor_dv" ->
+      """WITH surv AS (SELECT c_custkey, c_nationkey, c_acctbal
+        |              FROM customer WHERE c_acctbal >= 0),
+        |fin AS (SELECT c_custkey, c_nationkey,
+        |          CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 1000.0
+        |               ELSE c_acctbal END AS c_acctbal FROM surv)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  TRUE AS dv_used, TRUE AS paths_agree, TRUE AS timetravel_ok
+        |FROM fin GROUP BY c_nationkey""".stripMargin,
 
     // rollback restores exactly the v2 state = the whole customer table
     // (evens + odds); all four procedure/changelog/time-travel booleans

@@ -826,11 +826,9 @@ object SnapshotLog {
       // compaction folds the deletes away — same rule as renameColumn.
       val dconf = spark.sessionState.newHadoopConf()
       cur.dels.values.flatten.toSeq.distinct.foreach { df =>
-        val fields = SnapshotDeletes.schemaOf(df, dconf)
-        if (fields != Seq("file_path", "pos"))
-          require(!fields.contains(name),
-            s"SnapshotLog: column $name is a key of equality delete file $df" +
-              " — run rewriteDataFiles to fold the deletes before dropping")
+        require(!SnapshotDeletes.eqKeysOf(df, dconf).contains(name),
+          s"SnapshotLog: column $name is a key of equality delete file $df" +
+            " — run rewriteDataFiles to fold the deletes before dropping")
       }
       val newSchema = StructType(cur.schema.fields.filterNot(_.name == name))
       commitManifest(fsFor(spark, new Path(root)), root, next, "alter",
@@ -2396,10 +2394,8 @@ object SnapshotLog {
       // after the delete staged): a supplied schema missing a key would
       // fail applyDels — fall back to footer inference for that group
       val hconf = spark.sessionState.newHadoopConf()
-      val eqKeys = dels.flatMap { df =>
-        val ks = SnapshotDeletes.schemaOf(df, hconf)
-        if (SnapshotDeletes.isPositional(ks)) Nil else ks
-      }.distinct
+      val eqKeys = dels.flatMap(df =>
+        SnapshotDeletes.eqKeysOf(df, hconf)).distinct
       val readFields = schema.fields.toSeq.zip(phys).collect {
         case (fd, Some(p)) => StructField(p, fd.dataType, nullable = true)
       }
@@ -2680,16 +2676,34 @@ object SnapshotLog {
     val hconf = spark.sessionState.newHadoopConf()
     def schemaOf(f: String): Seq[String] = SnapshotDeletes.schemaOf(f, hconf)
     val delFiles = dels.values.flatten.toSeq.distinct
+    val (dvFiles, parquetDels) = delFiles.partition(SnapshotDeletes.isVector)
     val (posFiles, eqFiles) =
-      delFiles.partition(schemaOf(_) == Seq("file_path", "pos"))
+      parquetDels.partition(schemaOf(_) == Seq("file_path", "pos"))
     val cols = df.columns.toSeq
     var out = df
       .withColumn("__file", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
-    if (posFiles.nonEmpty) {
-      val delRows = spark.read.schema(StructType(Seq(
-          StructField("file_path", StringType), StructField("pos", LongType))))
-        .parquet(posFiles: _*)
-        .select(col("file_path").as("__del_file"), col("pos").as("__del_pos"))
+    if (posFiles.nonEmpty || dvFiles.nonEmpty) {
+      val posRows = if (posFiles.isEmpty) None else Some(
+        spark.read.schema(StructType(Seq(
+            StructField("file_path", StringType), StructField("pos", LongType))))
+          .parquet(posFiles: _*)
+          .select(col("file_path").as("__del_file"), col("pos").as("__del_pos")))
+      // deletion vectors expand EXECUTOR-SIDE: each (data file, dv) pair
+      // maps to that file's own ordinals (the manifest scopes a vector to
+      // exactly one data file), bounded by the deleted-row count
+      val dvRows = if (dvFiles.isEmpty) None else {
+        val dvSet = dvFiles.map(norm).toSet
+        val dvPairs = dels.toSeq.flatMap { case (f, ds) =>
+          ds.filter(d => dvSet.contains(norm(d))).map(dv => (norm(f), dv))
+        }.distinct
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        import spark.implicits._
+        Some(spark.createDataset(dvPairs).flatMap { case (f, dv) =>
+          SnapshotDeletes.loadVector(dv, hconf.value).iterator.map(p => (f, p))
+        }.toDF("__del_file", "__del_pos"))
+      }
+      val delRows = (posRows.toSeq ++ dvRows.toSeq).reduce(_ unionByName _)
       out = out
         .withColumn("__pos", col("_metadata.row_index"))
         .join(broadcast(delRows),
@@ -2784,6 +2798,64 @@ object SnapshotLog {
     }
   }
 
+  /** DELETION-VECTOR staging (opt-in via table property
+    * `write.delete.vector=true` — Iceberg v3's Puffin DV shape, reference
+    * Puffin machinery bodo/libs/_puffin.cpp): instead of parquet
+    * (file_path, pos) rows, each affected data file gets ONE `.dv` binary
+    * sidecar holding a RoaringBitmap of its deleted ordinals. Readers pay
+    * a cached O(own ordinals) bitmap parse instead of scanning every
+    * delete parquet's full coordinate list per task, and compaction folds
+    * a file's stacked vectors with a bitmap-or. Built DISTRIBUTED: the
+    * matched coordinates hash-partition by data file, each task writes
+    * the vectors for its files directly (one file's ordinals land in
+    * exactly one partition), only (data file, dv path) pairs reach the
+    * driver. Same return shape as [[stageDeleteFiles]]. */
+  private def stageDeleteVectors(spark: SparkSession, root: String,
+      cur: Snapshot, matched: DataFrame)
+      : Option[(Path, Seq[String], Map[String, Seq[String]])] = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val fs = fsFor(spark, new Path(root))
+    val delDir = new Path(new Path(root, "deletes"),
+      java.util.UUID.randomUUID().toString.take(12))
+    val dirStr = delDir.toString
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    val pairs: Array[(String, String)] = matched
+      .select(regexp_replace(col("_file"), "^file:/*", "/").as("f"),
+        col("_pos").cast("long").as("p"))
+      .repartition(col("f"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val bms = scala.collection.mutable.LinkedHashMap[
+          String, org.roaringbitmap.longlong.Roaring64NavigableMap]()
+        it.foreach { case (f, p) =>
+          bms.getOrElseUpdate(f,
+            new org.roaringbitmap.longlong.Roaring64NavigableMap()).addLong(p)
+        }
+        if (bms.isEmpty) Iterator.empty
+        else {
+          val fsx = new Path(dirStr).getFileSystem(hconf.value)
+          fsx.mkdirs(new Path(dirStr))
+          bms.iterator.map { case (f, bm) =>
+            val dest = new Path(dirStr, "dv-" +
+              java.util.UUID.randomUUID().toString.take(12) +
+              SnapshotDeletes.VectorExt)
+            SnapshotDeletes.writeVector(fsx, dest, bm)
+            (f, dest.toString)
+          }
+        }
+      }.collect()
+    if (pairs.isEmpty) { fs.delete(delDir, true); None }
+    else {
+      val byData = pairs.groupBy(_._1).view
+        .mapValues(_.map(_._2).toSeq.sorted).toMap
+      Some((delDir, pairs.map(_._2).toSeq.sorted,
+        cur.dels ++ byData.map { case (f, ds) =>
+          f -> (cur.dels.getOrElse(f, Seq.empty) ++ ds) }))
+    }
+  }
+
   def deleteWhereMoR(spark: SparkSession, root: String,
                      cond: org.apache.spark.sql.Column,
                      commitTsMs: Long): Int = {
@@ -2798,7 +2870,11 @@ object SnapshotLog {
     val matched = spark.read.format("snapshotlog")
       .option("asOfVersion", cur.version).load(root)
       .filter(coalesce(cond, lit(false)))
-    stageDeleteFiles(spark, root, cur, matched) match {
+    val useDv = (try tableProps(spark, root)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] })
+      .get("write.delete.vector").contains("true")
+    (if (useDv) stageDeleteVectors(spark, root, cur, matched)
+     else stageDeleteFiles(spark, root, cur, matched)) match {
       case None => cur.version
       case Some((delDir, _, merged)) =>
         val delta = delsDelta(cur, merged)
@@ -3072,7 +3148,11 @@ object SnapshotLog {
         col("*")) // data columns after the coordinates
       .filter(coalesce(cond, lit(false)))
       .localCheckpoint()
-    stageDeleteFiles(spark, root, cur, matched) match {
+    val useDv = (try tableProps(spark, root)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] })
+      .get("write.delete.vector").contains("true")
+    (if (useDv) stageDeleteVectors(spark, root, cur, matched)
+     else stageDeleteFiles(spark, root, cur, matched)) match {
       case None => cur.version
       case Some((delDir, _, merged)) =>
         val dataDir = new Path(new Path(root, "data"),
@@ -3422,42 +3502,65 @@ object SnapshotLog {
     // spark.read.parquet schema job per delete file
     val posFiles = allDel.filter(df =>
       SnapshotDeletes.isPositional(SnapshotDeletes.schemaOf(df, conf)))
-    if (posFiles.size < 2) return cur.version
+    // deletion vectors fold PER DATA FILE: a file carrying 2+ `.dv`
+    // sidecars gets them unioned into one (bitmap-or — the blooms-style
+    // sidecar fold); bounded by that file's own deleted ordinals
+    val dvFold: Map[String, Seq[String]] = cur.dels.collect {
+      case (df, ds) if ds.count(SnapshotDeletes.isVector) >= 2 =>
+        df -> ds.filter(SnapshotDeletes.isVector)
+    }
+    val mergePos = posFiles.size >= 2
+    if (!mergePos && dvFold.isEmpty) return cur.version
     require(cur.commitTsMs < commitTsMs,
       s"commitTsMs $commitTsMs must advance past the last snapshot")
     val fs = fsFor(spark, new Path(root))
     val delDir = new Path(new Path(root, "deletes"),
       java.util.UUID.randomUUID().toString.take(12))
-    val totalBytes = posFiles.map(f =>
-      fs.getFileStatus(new Path(f)).getLen).sum
-    val numOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(posFiles: _*).distinct()
-      .repartitionByRange(numOut, col("file_path"), col("pos"))
-      .sortWithinPartitions("file_path", "pos")
-      .write.parquet(delDir.toString)
-    val written = fs.listStatus(delDir)
-      .filter(s => s.getPath.getName.startsWith("part-") &&
-        s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName).map(_.getPath.toString).toSeq
-    // per-range remap: (data file -> merged parts holding its rows), read
-    // back from the written ranges; unreferenced (empty) parts reclaimed
-    val pairs = spark.read.parquet(written: _*)
-      .select(col("file_path"),
-        regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("del"))
-      .distinct().collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    val byNorm = written.map(d => norm(d) -> d).toMap
-    val referenced = pairs.map(p => norm(p._2)).toSet
-    written.filterNot(d => referenced.contains(norm(d)))
-      .foreach(d => fs.delete(new Path(d), false))
-    val mergedFor: Map[String, Seq[String]] = pairs.groupBy(_._1).view
-      .mapValues(_.map(p => byNorm(norm(p._2))).toSeq.distinct.sorted).toMap
+    val foldedDv: Map[String, String] = if (dvFold.isEmpty) Map.empty else {
+      fs.mkdirs(delDir)
+      dvFold.map { case (df, dvs) =>
+        val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+        dvs.foreach(dv =>
+          SnapshotDeletes.loadVector(dv, conf).foreach(bm.addLong))
+        val dest = new Path(delDir, "dv-" +
+          java.util.UUID.randomUUID().toString.take(12) +
+          SnapshotDeletes.VectorExt)
+        SnapshotDeletes.writeVector(fs, dest, bm)
+        df -> dest.toString
+      }
+    }
+    val mergedFor: Map[String, Seq[String]] = if (!mergePos) Map.empty else {
+      val totalBytes = posFiles.map(f =>
+        fs.getFileStatus(new Path(f)).getLen).sum
+      val numOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+      spark.read.parquet(posFiles: _*).distinct()
+        .repartitionByRange(numOut, col("file_path"), col("pos"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("append").parquet(delDir.toString)
+      val written = fs.listStatus(delDir)
+        .filter(s => s.getPath.getName.startsWith("part-") &&
+          s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).map(_.getPath.toString).toSeq
+      // per-range remap: (data file -> merged parts holding its rows), read
+      // back from the written ranges; unreferenced (empty) parts reclaimed
+      val pairs = spark.read.parquet(written: _*)
+        .select(col("file_path"),
+          regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("del"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val byNorm = written.map(d => norm(d) -> d).toMap
+      val referenced = pairs.map(p => norm(p._2)).toSet
+      written.filterNot(d => referenced.contains(norm(d)))
+        .foreach(d => fs.delete(new Path(d), false))
+      pairs.groupBy(_._1).view
+        .mapValues(_.map(p => byNorm(norm(p._2))).toSeq.distinct.sorted).toMap
+    }
     val posSet = posFiles.toSet
     // data files whose delete lists this rewrite rewires — the re-apply
     // validation set (a concurrent delete on one of them would be lost)
     val targeted = cur.dels.collect {
       case (df, ds) if ds.exists(posSet.contains) => df
-    }.toSet
+    }.toSet ++ dvFold.keySet
     try retryingCommit("rewriteDeleteFiles") { () =>
       val (head, nextV) = headAndNext(spark, root)
       val ts = if (head.version == cur.version) commitTsMs else {
@@ -3465,9 +3568,12 @@ object SnapshotLog {
         math.max(commitTsMs, head.commitTsMs + 1)
       }
       val newDels = head.dels.map { case (df, ds) =>
-        val eq = ds.filterNot(posSet.contains)
+        val folded = foldedDv.get(df)
+        val eq = ds.filterNot(d => posSet.contains(d) ||
+          (folded.isDefined && SnapshotDeletes.isVector(d)))
         val hadPos = ds.exists(posSet.contains)
-        df -> (eq ++ (if (hadPos) mergedFor.getOrElse(df, Seq.empty) else Seq.empty))
+        df -> (eq ++ folded.toSeq ++
+          (if (hadPos) mergedFor.getOrElse(df, Seq.empty) else Seq.empty))
       }.filter(_._2.nonEmpty)
       commitManifest(fs, root, nextV, "rewrite", ts,
         head.schemaJson, head.files, head.stats, head.sizes,
@@ -3528,8 +3634,11 @@ object SnapshotLog {
       val conf = spark.sessionState.newHadoopConf()
       maxDel.foreach { n =>
         val head = pick(spark, root, None, None)
+        // vectors count toward the per-file delete pressure too: past the
+        // threshold the data-file fold (not the parquet merge) absorbs them
         val worst = head.dels.values.map(_.count(df =>
-          SnapshotDeletes.isPositional(SnapshotDeletes.schemaOf(df, conf))))
+          SnapshotDeletes.isVector(df) ||
+            SnapshotDeletes.isPositional(SnapshotDeletes.schemaOf(df, conf))))
           .maxOption.getOrElse(0)
         if (worst > n)
           rewriteDeleteFiles(spark, root, head.commitTsMs + 1)
@@ -3715,7 +3824,8 @@ object SnapshotLog {
            dataRoot = new Path(root, sub) if fs.exists(dataRoot)) {
         for (d <- fs.listStatus(dataRoot) if d.isDirectory) {
           val contents = fs.listStatus(d.getPath)
-            .filter(_.getPath.getName.endsWith(".parquet"))
+            .filter(c => c.getPath.getName.endsWith(".parquet") ||
+              c.getPath.getName.endsWith(SnapshotDeletes.VectorExt))
           // Grace period (Iceberg remove_orphan_files `older_than`): a
           // concurrent commit writes data BEFORE publishing its manifest,
           // so a young unreferenced directory may be an in-flight commit,

@@ -1160,10 +1160,7 @@ private[graft] class SnapshotLogScan(snap: SnapshotLog.Snapshot,
     SparkSession.active.sessionState.newHadoopConf()
   protected def eqKeysFor(f: String): Seq[String] =
     snap.dels.get(SnapshotLog.norm(f)).fold(Seq.empty[String]) { dfs =>
-      dfs.flatMap { df =>
-        val ks = SnapshotDeletes.schemaOf(df, planningConf)
-        if (SnapshotDeletes.isPositional(ks)) Nil else ks
-      }.distinct
+      dfs.flatMap(df => SnapshotDeletes.eqKeysOf(df, planningConf)).distinct
     }
 
   /** Field-id name resolution for one file: required name -> physical
@@ -1678,8 +1675,24 @@ private[sources] object SnapshotDeletes {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
+  /** DELETION-VECTOR delete files (Iceberg v3 Puffin-DV analog; reference
+    * Puffin machinery bodo/libs/_puffin.cpp): one `.dv` binary sidecar per
+    * (commit, data file) holding a RoaringBitmap of that ONE file's
+    * deleted row ordinals — no file_path column, no per-task parse of
+    * other files' coordinates, O(1) membership, and a JVM-wide cache
+    * keyed by the immutable path. Classified by extension so the footer
+    * probe never opens them as parquet. */
+  val VectorExt = ".dv"
+  /** Sentinel "schema" reported for vector delete files: never positional,
+    * never a usable equality key set. */
+  val VectorSentinel = "__dv__"
+  private val VectorMagic = 0x47445631 // "GDV1"
+
+  def isVector(path: String): Boolean = path.endsWith(VectorExt)
+
   def schemaOf(df: String, conf: Configuration): Seq[String] =
-    schemaCache.computeIfAbsent(SnapshotLog.norm(df), _ => {
+    if (isVector(df)) Seq(VectorSentinel)
+    else schemaCache.computeIfAbsent(SnapshotLog.norm(df), _ => {
       val r = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(df), conf))
       try r.getFooter.getFileMetaData.getSchema.getFields.asScala
@@ -1689,6 +1702,43 @@ private[sources] object SnapshotDeletes {
 
   def isPositional(schema: Seq[String]): Boolean =
     schema == Seq("file_path", "pos")
+
+  /** Equality-key columns of a delete file: Nil for positional AND vector
+    * flavors (shared guard for every key-enumeration site). */
+  def eqKeysOf(df: String, conf: Configuration): Seq[String] = {
+    val ks = schemaOf(df, conf)
+    if (isPositional(ks) || ks == Seq(VectorSentinel)) Nil else ks
+  }
+
+  /** Serialize one data file's deleted ordinals as a `.dv` sidecar
+    * (magic + RoaringBitmap-64). Caller owns naming and placement. */
+  def writeVector(fs: org.apache.hadoop.fs.FileSystem, dest: Path,
+                  bm: org.roaringbitmap.longlong.Roaring64NavigableMap): Unit = {
+    bm.runOptimize()
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(dest, false)))
+    try { out.writeInt(VectorMagic); bm.serialize(out) } finally out.close()
+  }
+
+  /** Sorted ordinal array of one `.dv` sidecar — parsed once per JVM
+    * (immutable uuid-named file ⇒ path-keyed cache; the array is the
+    * readers' merge-walk form). */
+  private val dvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  def loadVector(dv: String, conf: Configuration): Array[Long] =
+    dvCache.computeIfAbsent(SnapshotLog.norm(dv), _ => {
+      val p = new Path(dv)
+      val fs = p.getFileSystem(conf)
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(fs.open(p)))
+      try {
+        require(in.readInt() == VectorMagic,
+          s"snapshotlog: $dv is not a deletion-vector file")
+        val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+        bm.deserialize(in)
+        bm.toArray // ascending
+      } finally in.close()
+    })
 
   /** Canonical value space shared by data rows and delete keys (both
     * sides conform at write time): integrals → Long, floats → Double,
@@ -1741,13 +1791,17 @@ private[sources] object SnapshotDeletes {
   }
 
   /** Sorted ordinals `dataFile` must not serve, folded over the given
-    * positional delete parquets. */
+    * positional delete parquets and/or `.dv` deletion vectors (a `.dv`
+    * in this list is BY CONSTRUCTION the data file's own — the manifest
+    * maps each vector to exactly one data file — so its ordinals apply
+    * without any file_path probe). */
   def loadPositions(posFiles: Seq[String], dataFile: String,
                     conf: Configuration): Array[Long] = {
     if (posFiles.isEmpty) return Array.emptyLongArray
+    val (dvs, parquets) = posFiles.partition(isVector)
     val me = SnapshotLog.norm(dataFile)
     val acc = scala.collection.mutable.ArrayBuffer[Long]()
-    posFiles.foreach { df =>
+    parquets.foreach { df =>
       val r = ParquetReader.builder(new GroupReadSupport(), new Path(df))
         .withConf(conf).build()
       try {
@@ -1758,7 +1812,9 @@ private[sources] object SnapshotDeletes {
         }
       } finally r.close()
     }
-    acc.toArray.sorted
+    dvs.foreach(dv => acc ++= loadVector(dv, conf))
+    if (dvs.isEmpty && parquets.size == 1) acc.toArray.sorted
+    else acc.toArray.distinct.sorted // stacked flavors may overlap ordinals
   }
 
   /** All key tuples of one equality-delete parquet, in canonical form. */
@@ -1807,7 +1863,8 @@ private[sources] class SnapshotVectorReader(file: String, required: StructType,
 
   private val conf = hadoopConf.getOrElse(new Configuration())
   private val (posDeleteFiles, eqDeleteFiles) = deleteFiles.partition(df =>
-    SnapshotDeletes.isPositional(SnapshotDeletes.schemaOf(df, conf)))
+    SnapshotDeletes.isVector(df) ||
+      SnapshotDeletes.isPositional(SnapshotDeletes.schemaOf(df, conf)))
 
   // equality deletes applicable to THIS file: every key column must
   // physically exist here (a file missing a key column cannot match
@@ -2082,7 +2139,8 @@ private[sources] class SnapshotFileReader(file: String, required: StructType,
   private def deleteSchemaOf(df: String): Seq[String] =
     SnapshotDeletes.schemaOf(df, hadoopConf.getOrElse(new Configuration()))
   private val (posDeleteFiles, eqDeleteFiles) = deleteFiles.partition(df =>
-    SnapshotDeletes.isPositional(deleteSchemaOf(df)))
+    SnapshotDeletes.isVector(df) ||
+      SnapshotDeletes.isPositional(deleteSchemaOf(df)))
 
   private var projIdx: Array[Int] = _
   private var reader: ParquetReader[Group] = _
