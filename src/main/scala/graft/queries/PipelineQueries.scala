@@ -117,13 +117,16 @@ object PipelineQueries extends QueryModule {
       val tok = documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(explode(words(col("text"))).as("w"))
-      val cand = tok.agg(expr("mg_topk_candidates(w, 64)").as("cands"))
-        .select(explode(col("cands")).as("w"))
-      val total = tok.agg(count(lit(1)).as("n_total"))
+      // ONE pass-1 scan: the MG sketch and the total ride the same
+      // aggregate (r18 — the query previously tokenized the corpus three
+      // times; the sketch pass and the count pass are the same scan)
+      val cand = tok
+        .agg(expr("mg_topk_candidates(w, 64)").as("cands"),
+          count(lit(1)).as("n_total"))
+        .select(explode(col("cands")).as("w"), col("n_total"))
       tok.join(broadcast(cand), Seq("w"))
-        .groupBy(col("w"))
+        .groupBy(col("w"), col("n_total"))
         .agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(total))
         .filter(col("cnt") * 30 > col("n_total"))
         .select(col("w"), col("cnt"), col("n_total"))
     }),
