@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, EqualTo, Expression, If, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -34,6 +34,22 @@ import graft.operators.IncrementalMv
   * Filter over the MV scan (the first thing every real dashboard adds).
   * A predicate touching any NON-group column disqualifies the rewrite,
   * as it must: the MV has already aggregated those rows away.
+  *
+  * ROLLUP SERVING (r18): a query grouping by a PROPER SUBSET of the MV's
+  * key set (including the empty set — a global aggregate) is served by
+  * RE-AGGREGATING the MV, the textbook rollup property of count/sum
+  * algebra: `count(*)` → `sum(n)`, `count(c)` → `sum(nv_c)`, `sum(c)` →
+  * `sum(s_c)` masked NULL when `sum(nv_c) = 0`, `avg(c)` →
+  * `sum(s_c) / sum(nv_c)` (the only composition of averages that is
+  * correct under unequal group sizes). The re-aggregation runs over MV
+  * rows — one per fine-grained group — instead of base rows, so a
+  * 100-TB base answers its coarser dashboards from the same kilobytes.
+  * Filter admissibility widens accordingly: a predicate may reference
+  * ANY MV group column (queried or not), since filtering rows of a group
+  * column commutes with grouping; it is applied to the MV rows below the
+  * re-aggregation. Decimal measures are refused on the rollup path (a
+  * re-sum widens the decimal type away from the query's) — refusal, not
+  * wrongness.
   *
   * Correctness gate: the rewrite fires ONLY when the base relation's
   * pinned snapshot version equals the MV's durable applied-version
@@ -77,7 +93,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     if (!enabled || refreshing.get()) return plan
     plan.transformUp {
       case agg @ Aggregate(groups, aggExprs, child, _)
-          if groups.nonEmpty && groups.forall(_.isInstanceOf[AttributeReference]) =>
+          if groups.forall(_.isInstanceOf[AttributeReference]) =>
         rewrite(groups.map(_.asInstanceOf[AttributeReference]), aggExprs,
           child).getOrElse(agg)
     }
@@ -115,19 +131,23 @@ object MvRewriteRule extends Rule[LogicalPlan] {
                       child: LogicalPlan): Option[LogicalPlan] = {
     for {
       (cond, rel) <- decompose(child)
-      // filter-above admissibility: every referenced column is a GROUP
-      // column — then filtering the MV's group rows is the same relation
-      if cond.forall(_.references.forall(a =>
-        groups.exists(g => g.semanticEquals(a))))
       (root, pinned) <- parsePin(rel.table.name())
       mv <- IncrementalMv.registered(root)
-      if groups.map(_.name).toSet == mv.groupCols.toSet &&
-        groups.size == mv.groupCols.size
+      // query groups must be a (possibly improper, possibly empty) subset
+      // of the MV's key set; equal sets → direct serve, proper subset →
+      // rollup re-aggregation over the MV
+      if groups.map(_.name).distinct.size == groups.size &&
+        groups.forall(g => mv.groupCols.contains(g.name))
+      // filter-above admissibility: every referenced column is an MV
+      // GROUP column (queried or not) — then filtering the MV's group
+      // rows before (re-)aggregation is the same relation
+      if cond.forall(_.references.forall(a => mv.groupCols.contains(a.name)))
       spark = SparkSession.active
       applied <- freshOrRefreshed(spark, mv, pinned)
       if applied == pinned
       binds <- bindOutputs(groups, mv.valueCols.toSet, aggExprs)
-      plan <- materialize(spark, mv, binds, cond)
+      plan <- materialize(spark, mv, binds, cond,
+        rollup = groups.size != mv.groupCols.size, groups)
     } yield plan
   }
 
@@ -195,12 +215,15 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Project the MV relation onto the aggregate's original output
+  /** Project (exact group match) or re-aggregate (rollup: query groups ⊂
+    * MV keys) the MV relation onto the aggregate's original output
     * attribute ids (so parents re-bind without a rewrite of their own),
     * under the group-column filter rebound to MV attributes (if any). */
   private def materialize(spark: SparkSession, mv: IncrementalMv.MvDef,
       binds: Seq[(NamedExpression, Bind)],
-      cond: Option[Expression]): Option[LogicalPlan] = {
+      cond: Option[Expression],
+      rollup: Boolean,
+      queryGroups: Seq[AttributeReference]): Option[LogicalPlan] = {
     val mvPlan = try
       spark.read.format("snapshotlog").load(mv.mvRoot)
         .queryExecution.analyzed
@@ -213,23 +236,47 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         nv <- attr(IncrementalMv.nvCol(c)) if nv.dataType == LongType
         s <- attr(IncrementalMv.sCol(c))
       } yield (nv, s)
+    // the re-aggregated MV column serving each bind on the ROLLUP path;
+    // Sum(s_c) is total-correct because maintenance pins s_c = 0 (never
+    // NULL) for all-null fine groups, and Sum over the LongType n/nv_c
+    // stays LongType so the query's count types are preserved
+    def rollupSrc(b: Bind): Option[Expression] = b match {
+      case GroupB(n) => attr(n)
+      case CountB => attr("n").map(n =>
+        Coalesce(Seq(Sum(n).toAggregateExpression(), Literal(0L))))
+      case CountVB(c) => measure(c).map { case (nv, _) =>
+        Coalesce(Seq(Sum(nv).toAggregateExpression(), Literal(0L))) }
+      case SumB(c) => measure(c).map { case (nv, s) =>
+        // NULL iff no fine group saw a non-null c (sum of an empty or
+        // all-null input); a NULL comparison falls to the else branch,
+        // where Sum(s) is itself NULL over empty input — still correct
+        If(EqualTo(Sum(nv).toAggregateExpression(), Literal(0L)),
+          Literal.create(null, Sum(s).toAggregateExpression().dataType),
+          Sum(s).toAggregateExpression()) }
+      case AvgB(c) => measure(c).map { case (nv, s) =>
+        val sumNv = Sum(nv).toAggregateExpression()
+        If(EqualTo(sumNv, Literal(0L)), Literal.create(null, DoubleType),
+          Divide(Cast(Sum(s).toAggregateExpression(), DoubleType),
+            Cast(sumNv, DoubleType))) }
+    }
+    def directSrc(nCol: AttributeReference)(b: Bind): Option[Expression] =
+      b match {
+        case GroupB(n) => attr(n)
+        case CountB => Some(nCol)
+        case CountVB(c) => measure(c).map(_._1)
+        case SumB(c) => measure(c).map { case (nv, s) =>
+          // SQL sum ignores nulls and is NULL over an all-null group —
+          // reconstruct that from the maintained non-null count
+          If(EqualTo(nv, Literal(0L)), Literal.create(null, s.dataType), s) }
+        case AvgB(c) => measure(c).map { case (nv, s) =>
+          If(EqualTo(nv, Literal(0L)), Literal.create(null, DoubleType),
+            Divide(Cast(s, DoubleType), Cast(nv, DoubleType))) }
+      }
     for {
       nCol <- attr("n") if nCol.dataType == LongType
+      srcOf = if (rollup) rollupSrc _ else directSrc(nCol) _
       projections <- Some(binds.map { case (orig, b) =>
-        val src: Expression = b match {
-          case GroupB(n) => attr(n).getOrElse(return None)
-          case CountB => nCol
-          case CountVB(c) => measure(c).getOrElse(return None)._1
-          case SumB(c) =>
-            // SQL sum ignores nulls and is NULL over an all-null group —
-            // reconstruct that from the maintained non-null count
-            val (nv, s) = measure(c).getOrElse(return None)
-            If(EqualTo(nv, Literal(0L)), Literal.create(null, s.dataType), s)
-          case AvgB(c) =>
-            val (nv, s) = measure(c).getOrElse(return None)
-            If(EqualTo(nv, Literal(0L)), Literal.create(null, DoubleType),
-              Divide(Cast(s, DoubleType), Cast(nv, DoubleType)))
-        }
+        val src = srcOf(b).getOrElse(return None)
         if (src.dataType != orig.dataType) return None
         Alias(src, orig.name)(exprId = orig.exprId,
           qualifier = orig.qualifier)
@@ -250,6 +297,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           }
           if (ok) Some(Filter(rebound, mvPlan)) else None
       }
-    } yield Project(projections, filtered)
+      plan <-
+        if (!rollup) Some(Project(projections, filtered))
+        else {
+          // re-aggregate the MV by the query's (coarser) key set, rebound
+          // to the MV's own attributes; types must agree exactly
+          val groupAttrs = queryGroups.map(g =>
+            attr(g.name).filter(_.dataType == g.dataType))
+          if (groupAttrs.exists(_.isEmpty)) None
+          else Some(Aggregate(groupAttrs.map(_.get), projections, filtered))
+        }
+    } yield plan
   }
 }

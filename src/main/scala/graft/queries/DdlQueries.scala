@@ -132,6 +132,38 @@ object DdlQueries extends QueryModule {
     (root, ns)
   }
 
+  /** TWO-KEY MV fixture (`composite_mv_rewrite_rollup`): MV keyed on
+    * (grp, sub) with measures (v, w) — the fine-grained MV a dashboard
+    * rolls up to coarser groupings (`GROUP BY grp`, or the global
+    * aggregate) without touching the base. */
+  private def incMvRollupFixture(s: SparkSession, d: String): (String, String) = {
+    import graft.operators.IncrementalMv
+    import graft.sources.SnapshotLog
+    val ns = "mvr_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = snapFixture(s, d, "incmv_rollup18") { root =>
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_snap_warehouse/$ns"), true)
+      val b = customer(s, d).selectExpr("c_custkey AS k",
+        "c_nationkey AS grp", "c_custkey % 4 AS sub",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS v",
+        "CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey % 97 END AS w")
+      SnapshotLog.commit(b.filter(col("k") % 2 === 0), root,
+        overwrite = true, commitTsMs = 1000L)
+      IncrementalMv.create(s, root, s"$ns.mv", Seq("grp", "sub"),
+        Seq("v", "w"))
+      SnapshotLog.commit(b.filter(col("k") % 2 === 1), root,
+        overwrite = false, commitTsMs = 2000L)
+      SnapshotLog.deleteWhereMoR(s, root, col("v") < 0L, 3000L)
+      IncrementalMv.maintain(s, root, s"$ns.mv", Seq("grp", "sub"),
+        Seq("v", "w"))
+    }
+    IncrementalMv.register(s, root, s"$ns.mv", Seq("grp", "sub"),
+      Seq("v", "w"))
+    (root, ns)
+  }
+
   /** The POST-EXECUTION kept-file count of the snapshot scan whose read
     * schema contains `marker` — runtime filtering mutates the live kept
     * set during execution, so this must walk the finalized adaptive plan
@@ -1091,6 +1123,39 @@ object DdlQueries extends QueryModule {
               if r.relation.table.name().contains(s"$ns/mv") => r
         }.nonEmpty
       q.withColumn("mv_served", lit(mvServed))
+    }),
+
+    // MV ROLLUP REWRITE (r18): the MV is keyed on (grp, sub) but the
+    // dashboard asks GROUP BY grp — count/sum algebra rolls up, so the
+    // rule RE-AGGREGATES the (tiny) MV instead of the base: count(*) →
+    // sum(n), count(w) → sum(nv_w), sum(v) → sum(s_v) masked by
+    // sum(nv_v)=0, avg(w) → sum(s_w)/sum(nv_w) — the only avg
+    // composition correct under unequal fine-group sizes. Pinned: the
+    // rollup scans ONLY the MV (rollup_served), a filter on the
+    // UNQUERIED MV key (sub = 1) still serves (filter commutes with
+    // grouping on group columns), the GLOBAL aggregate serves, and a
+    // grouping by any non-MV-key column falls back to the base.
+    "composite_mv_rewrite_rollup" -> ((s, d) => {
+      val (root, ns) = incMvRollupFixture(s, d)
+      def scansOnlyMv(df: DataFrame): Boolean = {
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            => r.relation.table.name() }
+        scans.nonEmpty && scans.forall(_.contains(s"$ns/mv"))
+      }
+      val t = s.read.format("snapshotlog").load(root)
+      val q = t.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          count(col("w")).as("nw"), avg(col("w")).as("aw"))
+      val filtered = t.filter(col("sub") === 1)
+        .groupBy(col("grp")).agg(sum(col("v")).as("sv"))
+      val global = t.agg(count(lit(1)).as("n"), avg(col("w")).as("aw"))
+      val nonMv = t.groupBy(col("grp"), col("k"))
+        .agg(count(lit(1)).as("n"))
+      q.withColumn("rollup_served", lit(scansOnlyMv(q)))
+        .withColumn("filter_rollup_served", lit(scansOnlyMv(filtered)))
+        .withColumn("global_served", lit(scansOnlyMv(global)))
+        .withColumn("nonmv_group_keeps_base", lit(!scansOnlyMv(nonMv)))
     }),
 
     // DELETION-VECTOR MoR deletes (r18; Iceberg v3 Puffin-DV analog):
@@ -2109,6 +2174,25 @@ object DdlQueries extends QueryModule {
         |  CAST(count(w) AS BIGINT) AS nw,
         |  CAST(sum(w) AS DOUBLE) / count(w) AS aw,
         |  TRUE AS mv_served
+        |FROM fin GROUP BY grp""".stripMargin,
+
+    // rollup rebuild: same replayed final state as _multi but grouped
+    // COARSER than the MV's (grp, sub) key set — the re-aggregation over
+    // the MV must be invisible in the rows; all four plan booleans pinned
+    "composite_mv_rewrite_rollup" ->
+      """WITH b AS (SELECT c_custkey AS k, c_nationkey AS grp,
+        |             c_custkey % 4 AS sub,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS v,
+        |             CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |                  ELSE c_custkey % 97 END AS w
+        |           FROM customer),
+        |fin AS (SELECT * FROM b WHERE v >= 0)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sv,
+        |  CAST(count(w) AS BIGINT) AS nw,
+        |  CAST(sum(w) AS DOUBLE) / count(w) AS aw,
+        |  TRUE AS rollup_served, TRUE AS filter_rollup_served,
+        |  TRUE AS global_served, TRUE AS nonmv_group_keeps_base
         |FROM fin GROUP BY grp""".stripMargin,
 
     // compute_updates: v4's delete+insert pairs retag as pre/post images;

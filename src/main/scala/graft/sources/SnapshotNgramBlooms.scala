@@ -1,0 +1,334 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, Or, StringContains, StringEndsWith, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+import scala.jdk.CollectionConverters._
+
+/** PER-FILE CHARACTER-N-GRAM BLOOM FILTERS for substring-search file
+  * skipping — the ClickHouse `ngrambf_v1` skipping-index idea (public
+  * design; also PostgreSQL pg_trgm's trigram decomposition) re-expressed
+  * as snapshot-log sidecars, completing the text-corpus story the
+  * reference serves with its string kernels at scale
+  * (ref: bodo/libs/_bodo_common.h string arrays; BodoSQL LIKE kernels).
+  *
+  * THE GAP THIS CLOSES: [[SnapshotBlooms]] prunes EQUALITY needles, but
+  * the query a 100-TB document corpus serves constantly is
+  * `WHERE contains(text, 'needle')` — min/max stats and value blooms
+  * prune nothing there (every file's text spans the alphabet, and the
+  * needle is a substring, not a cell value). A per-file bloom over the
+  * text's character TRIGRAMS answers "provably not a substring of any
+  * row": if any trigram of the needle is absent from the file's trigram
+  * set, no cell in the file can contain the needle — skip the file.
+  *
+  * Soundness: `s contains needle` ⇒ every trigram of `needle` is a
+  * trigram of `s`. Bloom false POSITIVES keep the file (the residual
+  * filter still applies — Spark re-evaluates the exact predicate); false
+  * negatives are impossible. Needles shorter than the gram size carry no
+  * evidence (kept). Matching is exact-case and code-point-based on BOTH
+  * sides: the build hashes `substring(col, i, 3)` (Catalyst counts code
+  * points), the probe hashes `UTF8String.substringSQL` windows of the
+  * literal — bit-identical by construction.
+  *
+  * Servable pushed shapes: `contains` / `startsWith` / `endsWith` (their
+  * needle is a substring of every match) and string EQUALITY (a value is
+  * a substring of itself) — LIKE '%x%' / '%x' / 'x%' all reach the scan
+  * as these.
+  *
+  * Design (mirrors [[SnapshotBlooms]]): opt-in via
+  * `write.ngrambloom.columns`; built at COMMIT time from only the new
+  * files in bounded batches (explode the trigram windows, one
+  * map-side-combined BloomFilterAggregate per column grouped by
+  * `_metadata.file_path`); FIXED-SIZE blooms (`write.ngrambloom.bits`,
+  * default 2^21 bits = 256 KiB/file/col — trigram cardinality saturates
+  * with natural text, and an over-full bloom degrades to keeping files,
+  * never to wrong answers); immutable uuid-named JSON sidecars under
+  * `ngrams/`, valid for every snapshot containing the file (time travel
+  * included); consulted in [[SnapshotLogScanBuilder.prune]]; expired with
+  * the files they describe. The effective skip probability compounds:
+  * keeping a file wrongly needs ALL m trigrams of the needle to false-
+  * positive at once (~fpp^m), so even a saturated bloom skips well. */
+private[graft] object SnapshotNgramBlooms {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val om = new ObjectMapper()
+
+  val ColsProp = "write.ngrambloom.columns"
+  val BitsProp = "write.ngrambloom.bits"
+  val DefaultBits: Long = 1L << 21 // 256 KiB per file per column
+  /** Files per build batch — same bounded-driver-residency discipline as
+    * [[SnapshotBlooms.BuildBatchProp]], smaller default because trigram
+    * explosion makes each file's pass heavier. */
+  val BuildBatchProp = "write.ngrambloom.build-batch-files"
+  val DefaultBuildBatch: Int = 256
+  /** The gram size. Fixed: 3 (trigrams) — the sidecar records it so a
+    * future size change cannot mis-probe old sidecars. */
+  val Gram = 3
+
+  private def ngramsDir(root: String) = new Path(root, "ngrams")
+
+  /** N-gram-eligible columns of this commit: the property's names that
+    * exist in the written schema as STRING columns. */
+  def ngramColumns(props: Map[String, String],
+                   schema: StructType): Seq[StructField] =
+    props.get(ColsProp).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .distinct
+      .flatMap(n => schema.fields.find(_.name == n))
+      .filter(_.dataType == StringType)
+
+  /** Compute per-file trigram blooms for `newFiles` and publish one
+    * immutable sidecar per batch. NonFatal-guarded: an accelerator's
+    * failure must never fail the commit. */
+  def writeSidecar(spark: SparkSession, root: String, newFiles: Seq[String],
+                   schema: StructType): Unit = {
+    val props = try SnapshotLog.tableProps(spark, root)
+                catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
+    val cols = ngramColumns(props, schema)
+    if (cols.isEmpty || newFiles.isEmpty) return
+    try {
+      val numBits = math.max(64L, props.get(BitsProp).flatMap(v =>
+        scala.util.Try(v.toLong).toOption).getOrElse(DefaultBits))
+      val batchSize = math.max(1, props.get(BuildBatchProp).flatMap(v =>
+        scala.util.Try(v.toInt).toOption).getOrElse(DefaultBuildBatch))
+      val fnName = "__graft_ngram_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+      val fnId = org.apache.spark.sql.catalyst.FunctionIdentifier(fnName)
+      spark.sessionState.functionRegistry.registerFunction(
+        fnId,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+          fnName),
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(args.head, args(1), args(2)))
+      try newFiles.grouped(batchSize).foreach { batch =>
+        import org.apache.spark.sql.functions.{col, expr, explode, regexp_replace}
+        // estimated items sized so numHashFunctions lands near the
+        // optimal k for a bloom filled to ~numBits/16 items (~11 hashes)
+        val estItems = math.max(1L, numBits / 16L)
+        val node = om.createObjectNode()
+        val colsArr = node.putArray("cols")
+        cols.foreach(f => colsArr.add(f.name))
+        node.put("numBits", numBits)
+        node.put("gram", Gram)
+        val filesNode = node.putObject("files")
+        // one pass per column: the trigram explode multiplies rows, so
+        // fusing columns would cross-multiply; ngram column sets are
+        // small (usually one text column)
+        cols.foreach { f =>
+          val c = s"`${f.name}`"
+          val tri = spark.read.schema(schema).parquet(batch: _*)
+            .select(
+              regexp_replace(col("_metadata.file_path"), "^file:/*", "/")
+                .as("__f"),
+              explode(expr(
+                s"CASE WHEN length($c) >= $Gram THEN " +
+                s"transform(sequence(1, length($c) - ${Gram - 1}), " +
+                s"i -> substring($c, i, $Gram)) " +
+                "ELSE array() END")).as("__t"))
+          val rows = tri.groupBy(col("__f"))
+            .agg(expr(s"$fnName(xxhash64(__t), ${estItems}L, ${numBits}L)")
+              .as("__b"))
+            .collect()
+          rows.foreach { r =>
+            val key = SnapshotLog.norm(r.getString(0))
+            val fNode =
+              if (filesNode.has(key))
+                filesNode.get(key).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              else filesNode.putObject(key)
+            val bytes = r.getAs[Array[Byte]]("__b")
+            if (bytes != null)
+              fNode.put(f.name,
+                java.util.Base64.getEncoder.encodeToString(bytes)): Unit
+          }
+        }
+        val dir = ngramsDir(root)
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.mkdirs(dir)
+        val dest = new Path(dir,
+          "n-" + java.util.UUID.randomUUID().toString.take(12) + ".json")
+        val out = fs.create(dest, false)
+        try out.write(om.writeValueAsBytes(node)) finally out.close()
+      } finally spark.sessionState.functionRegistry.dropFunction(fnId)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"snapshotlog: ngram sidecar write failed at $root " +
+          s"(pruning degrades, commits unaffected): $e")
+    }
+  }
+
+  // ---- read side ----
+
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Map[String, BloomFilter]]]()
+
+  private def parseSidecar(fs: FileSystem, p: Path)
+      : Map[String, Map[String, BloomFilter]] = {
+    val key = p.toString
+    val hit = sidecarCache.get(key)
+    if (hit != null) return hit
+    val parsed: Map[String, Map[String, BloomFilter]] =
+      try {
+        val in = fs.open(p)
+        val bytes = try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          in.readFully(0, buf); buf
+        } finally in.close()
+        val node = om.readTree(bytes)
+        // a sidecar built with a DIFFERENT gram size cannot be probed
+        // with this reader's windows — ignore it wholesale (conservative)
+        if (node.has("gram") && node.get("gram").asInt() != Gram) Map.empty
+        else {
+          val acc = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, BloomFilter]]()
+          node.get("cols").elements().asScala.map(_.asText())
+            .foreach(c => acc(c) = scala.collection.mutable.Map.empty)
+          node.get("files").fields().asScala.foreach { fe =>
+            val file = fe.getKey
+            fe.getValue.fields().asScala.foreach { ce =>
+              val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+                java.util.Base64.getDecoder.decode(ce.getValue.asText())))
+              acc.getOrElseUpdate(ce.getKey,
+                scala.collection.mutable.Map.empty)(file) = bf
+            }
+          }
+          acc.view.mapValues(_.toMap).toMap
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"snapshotlog: unreadable ngram sidecar $p (ignored): $e")
+          Map.empty
+      }
+    sidecarCache.put(key, parsed)
+    parsed
+  }
+
+  private val mergedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Map[String, Map[String, BloomFilter]])]()
+
+  /** All ngram-bloom entries at `root`, merged across sidecars:
+    * column -> (normFile -> bloom). */
+  def ngramsAt(root: String): Map[String, Map[String, BloomFilter]] = {
+    if (root.isEmpty) return Map.empty
+    try {
+      val dir = ngramsDir(root)
+      val conf = try SparkSession.active.sessionState.newHadoopConf()
+                 catch { case scala.util.control.NonFatal(_) =>
+                   new org.apache.hadoop.conf.Configuration() }
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) return Map.empty
+      val sidecars = fs.listStatus(dir)
+        .filter(s => s.getPath.getName.startsWith("n-") &&
+          s.getPath.getName.endsWith(".json"))
+        .map(_.getPath).sortBy(_.getName).toSeq
+      if (sidecars.isEmpty) return Map.empty
+      val listKey = sidecars.map(_.getName).mkString("|")
+      val hit = mergedCache.get(root)
+      if (hit != null && hit._1 == listKey) return hit._2
+      val merged = sidecars.map(parseSidecar(fs, _))
+        .reduce { (a, b) =>
+          (a.keySet ++ b.keySet).map(c =>
+            c -> (a.getOrElse(c, Map.empty) ++ b.getOrElse(c, Map.empty))).toMap
+        }
+      if (mergedCache.size > 1024) mergedCache.clear()
+      mergedCache.put(root, (listKey, merged))
+      merged
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"snapshotlog: ngram lookup failed at $root (ignored): $e")
+        Map.empty
+    }
+  }
+
+  /** Does this filter tree contain a shape the ngram blooms could prune
+    * (substring evidence of length >= gram on SOME column)? Used both to
+    * gate the sidecar load and to report the filter as pushed. */
+  def usable(f: Filter): Boolean = f match {
+    case StringContains(_, v) => v != null && longEnough(v)
+    case StringStartsWith(_, v) => v != null && longEnough(v)
+    case StringEndsWith(_, v) => v != null && longEnough(v)
+    case EqualTo(_, v: String) => longEnough(v)
+    case And(l, r) => usable(l) || usable(r)
+    case Or(l, r) => usable(l) && usable(r)
+    case _ => false
+  }
+
+  private def longEnough(v: String): Boolean =
+    UTF8String.fromString(v).numChars() >= Gram
+
+  /** The code-point trigram windows of `needle` — EXACTLY the build
+    * side's `substring(col, i, 3)` windows (UTF8String.substringSQL is
+    * the Substring expression's engine), hashed the same way. */
+  private[sources] def probeGrams(needle: String): Seq[UTF8String] = {
+    val u = UTF8String.fromString(needle)
+    val n = u.numChars()
+    if (n < Gram) Seq.empty
+    else (1 to (n - Gram + 1)).map(i => u.substringSQL(i, Gram))
+  }
+
+  private def gramHash(g: UTF8String): Long =
+    new XxHash64(Seq(Literal(g, StringType))).eval(null).asInstanceOf[Long]
+
+  /** May a file contain a row matching `f`, per its trigram blooms?
+    * Tri-state collapsed like [[SnapshotBlooms.mayMatch]]: missing bloom,
+    * short needle, or unsupported shape is `true` (keep). */
+  def mayMatch(bloomOf: String => Option[BloomFilter], f: Filter): Boolean = {
+    def probe(attr: String, needle: String): Boolean =
+      if (needle == null) true
+      else bloomOf(attr) match {
+        case Some(bf) =>
+          val grams = probeGrams(needle)
+          grams.isEmpty || grams.forall(g => bf.mightContainLong(gramHash(g)))
+        case None => true
+      }
+    f match {
+      case And(l, r) => mayMatch(bloomOf, l) && mayMatch(bloomOf, r)
+      case Or(l, r) => mayMatch(bloomOf, l) || mayMatch(bloomOf, r)
+      case StringContains(a, v) => probe(a, v)
+      case StringStartsWith(a, v) => probe(a, v)
+      case StringEndsWith(a, v) => probe(a, v)
+      case EqualTo(a, v: String) => probe(a, v)
+      case _ => true
+    }
+  }
+
+  /** Reclaim sidecars whose files are ALL provably dead — same in-flight
+    * protection as [[SnapshotBlooms.expireSidecars]]. */
+  def expireSidecars(spark: SparkSession, root: String,
+                     liveFiles: Set[String],
+                     knownDead: Set[String]): Int = {
+    try {
+      val dir = ngramsDir(root)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(dir)) return 0
+      var n = 0
+      fs.listStatus(dir)
+        .filter(s => s.getPath.getName.startsWith("n-") &&
+          s.getPath.getName.endsWith(".json"))
+        .foreach { s =>
+          val files = try {
+            om.readTree({
+              val in = fs.open(s.getPath)
+              try {
+                val buf = new Array[Byte](s.getLen.toInt)
+                in.readFully(0, buf); buf
+              } finally in.close()
+            }).get("files").fieldNames().asScala.toSeq
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+          if (files.nonEmpty && !files.exists(liveFiles.contains) &&
+              files.forall(knownDead.contains)) {
+            fs.delete(s.getPath, false)
+            sidecarCache.remove(s.getPath.toString)
+            n += 1
+          }
+        }
+      n
+    } catch { case scala.util.control.NonFatal(_) => 0 }
+  }
+}

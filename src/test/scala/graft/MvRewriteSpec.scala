@@ -42,6 +42,16 @@ class MvRewriteSpec extends AnyFunSuite {
     noAgg && mvScan
   }
 
+  /** Rollup serving keeps an Aggregate (the re-aggregation) but must scan
+    * ONLY the MV — the base relation disappears from the plan. */
+  private def rolledUpFromMv(df: DataFrame, ns: String): Boolean = {
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        => r.relation.table.name()
+    }
+    scans.nonEmpty && scans.forall(_.contains(ns))
+  }
+
   test("fresh MV serves the defining aggregate; results identical") {
     val root = fresh("basic")
     SnapshotLog.commit(base(1000), root, overwrite = true, 1000L)
@@ -169,11 +179,15 @@ class MvRewriteSpec extends AnyFunSuite {
         .map { case ((d, c), is) =>
           (d.toInt, c.toInt, is.size.toLong, is.map(_ * 2).sum) }.toSet
       assert(q1.as[(Int, Int, Long, Long)].collect().toSet === want)
-      // subset of the group columns must NOT rewrite (different grain)
+      // a subset of the group columns ROLLS UP over the MV (r18): the
+      // plan keeps a (re-)Aggregate but scans only the MV relation
       val q3 = t.groupBy(col("day"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
-      assert(!servedByMv(q3, "mvrw_multi"))
-      assert(q3.count() === 5)
+      assert(rolledUpFromMv(q3, "mvrw_multi"),
+        q3.queryExecution.optimizedPlan.toString)
+      val want3 = (0L until 2000L).groupBy(_ % 5).map { case (d, is) =>
+        (d.toInt, is.size.toLong, is.map(_ * 2).sum) }.toSet
+      assert(q3.as[(Int, Long, Long)].collect().toSet === want3)
     } finally IncrementalMv.unregister(spark, root)
   }
 
@@ -376,6 +390,77 @@ class MvRewriteSpec extends AnyFunSuite {
         "budget 0 must refuse the optimizer-time refresh")
       assert(IncrementalMv.appliedVersion(spark, mvRoot).contains(2),
         "a refused refresh must not advance the watermark")
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
+  test("rollup: a coarser grouping re-aggregates the MV — counts, sums, " +
+       "and the sum/count-composed avg all match the direct aggregate") {
+    val root = fresh("roll")
+    // two MV keys (day, cc); w NULL on every 3rd row so the rollup's
+    // ignore-nulls reconstruction is really exercised; cc=2 has ALL w
+    // null within day 0 (ids ≡ 0 mod 5 and ≡ 2 mod 3 and ≡ 0 mod 3 — no
+    // such rows; keep it simple and just compare against the direct agg)
+    SnapshotLog.commit(
+      spark.range(0, 1500).selectExpr("id AS k", "cast(id % 5 AS int) AS day",
+        "cast(id % 3 AS int) AS cc", "id * 2 AS v",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE id % 13 END AS w"),
+      root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_roll.mv", Seq("day", "cc"),
+      Seq("v", "w"))
+    try {
+      val t = spark.read.format("snapshotlog").load(root)
+      def shapes(df: DataFrame): DataFrame = df.groupBy(col("day")).agg(
+        count(lit(1)).as("n"), sum(col("v")).as("sv"), avg(col("v")).as("av"),
+        count(col("w")).as("nw"), sum(col("w")).as("sw"),
+        avg(col("w")).as("aw"))
+      def rows(df: DataFrame) = df.collect().map(r =>
+        (r.getInt(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          r.getLong(4), Option(r.get(5)), Option(r.get(6)))).toSet
+      val q = shapes(t)
+      assert(rolledUpFromMv(q, "mvrw_roll"),
+        q.queryExecution.optimizedPlan.toString)
+      val got = rows(q)
+      spark.conf.set("spark.graft.mv.autoRewrite", "false")
+      val want = try rows(shapes(t))
+      finally spark.conf.unset("spark.graft.mv.autoRewrite")
+      assert(got === want,
+        "rollup over the MV must be invisible in the rows — including the " +
+        "sum/count-composed avg (a mean-of-means would differ here)")
+      // filter on the UNQUERIED MV key commutes with grouping → serves
+      val filt = t.filter(col("cc") === 1).groupBy(col("day"))
+        .agg(sum(col("v")).as("sv"))
+      assert(rolledUpFromMv(filt, "mvrw_roll"),
+        filt.queryExecution.optimizedPlan.toString)
+      val wantF = (0L until 1500L).filter(_ % 3 == 1).groupBy(_ % 5)
+        .map { case (d, is) => (d.toInt, is.map(_ * 2).sum) }.toSet
+      assert(filt.as[(Int, Long)].collect().toSet === wantF)
+      // the GLOBAL aggregate is the full rollup
+      val g = t.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        avg(col("w")).as("aw"))
+      assert(rolledUpFromMv(g, "mvrw_roll"),
+        g.queryExecution.optimizedPlan.toString)
+      val (gn, gsv, gaw) = g.as[(Long, Long, Double)].head()
+      assert(gn === 1500L)
+      assert(gsv === (0L until 1500L).map(_ * 2).sum)
+      val ws = (0L until 1500L).filter(_ % 3 != 0).map(_ % 13)
+      assert(math.abs(gaw - ws.sum.toDouble / ws.size) < 1e-12)
+      // negatives: non-MV grouping column, non-group filter, non-count/sum
+      // agg, and staleness all keep the base scan
+      val byK = t.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      val vFilt = t.filter(col("v") > 100).agg(count(lit(1)).as("n"))
+      val withMax = t.groupBy(col("day")).agg(max(col("v")).as("m"))
+      for (neg <- Seq(byK, vFilt, withMax))
+        assert(!rolledUpFromMv(neg, "mvrw_roll"),
+          neg.queryExecution.optimizedPlan.toString)
+      SnapshotLog.commit(
+        spark.range(0, 10).selectExpr("id AS k", "cast(0 AS int) AS day",
+          "cast(0 AS int) AS cc", "id AS v", "id AS w"),
+        root, overwrite = false, 2000L)
+      val stale = spark.read.format("snapshotlog").load(root)
+        .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      assert(!rolledUpFromMv(stale, "mvrw_roll"),
+        "a stale MV must not serve rollups either")
+      assert(stale.as[(Int, Long)].collect().toMap.apply(0) === 310L)
     } finally IncrementalMv.unregister(spark, root)
   }
 
