@@ -117,6 +117,7 @@ private[sources] class SnapshotDeltaBatchWrite(root: String,
     val (newStats, newCols, newRows, newNulls) = SnapshotLog.footerMeta(conf, newFiles, schema)
     // delta-appended files carry bloom coverage like any other commit
     SnapshotBlooms.writeSidecar(spark, root, newFiles, schema, newRows)
+    SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, schema)
     SnapshotNulls.record(spark, root, newNulls)
     val allFiles = cur.files ++ newFiles
     val (fids, colIds, maxId) =

@@ -864,7 +864,25 @@ object SnapshotLog {
     val writeProps = try tableProps(spark, root)
                      catch { case scala.util.control.NonFatal(_) =>
                        Map.empty[String, String] }
-    df.repartition(numFiles).write
+    // SORT-ON-WRITE (Iceberg write.sort-order analog): with
+    // `write.sort.order` set, every commit range-partitions across files
+    // and sorts within them — ingest-time clustering, so zone-map range
+    // pruning, top-k skipping, and sort-order reporting all engage
+    // WITHOUT a separate compaction pass. Names missing from this
+    // commit's schema disable it (conservative: unsorted, never wrong).
+    val sortCols = writeProps.get("write.sort.order").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val sortOn =
+      if (sortCols.nonEmpty && sortCols.forall(df.schema.fieldNames.contains))
+        sortCols
+      else Seq.empty
+    val staged =
+      if (sortOn.isEmpty) df.repartition(numFiles)
+      else df.repartitionByRange(math.max(1, numFiles),
+          sortOn.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(
+          sortOn.map(org.apache.spark.sql.functions.col): _*)
+    staged.write
       .options(SnapshotBlooms.parquetWriterOptions(writeProps, df.schema))
       .parquet(dataDir.toString)
     val statuses = fs.listStatus(dataDir)
@@ -876,7 +894,9 @@ object SnapshotLog {
     val (newStats, newCols, newRows, newNulls) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
     SnapshotBlooms.writeSidecar(spark, root, newFiles, df.schema, newRows)
+    SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, df.schema)
     SnapshotNulls.record(spark, root, newNulls)
+    if (sortOn.nonEmpty) SnapshotSorts.record(spark, root, newFiles, sortOn)
 
     // Optimistic-concurrency commit (Iceberg SnapshotProducer): the data
     // files are staged ONCE above; each attempt re-reads the head and
@@ -1046,6 +1066,7 @@ object SnapshotLog {
     val (newStats, newCols, newRows, newNulls) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
     SnapshotBlooms.writeSidecar(spark, root, newFiles, df.schema, newRows)
+    SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, df.schema)
     SnapshotNulls.record(spark, root, newNulls)
 
     val committed = try retryingCommit("commitPartitioned") { () =>
@@ -1645,6 +1666,7 @@ object SnapshotLog {
     val (newStats, newCols, newRows, newNulls) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
     SnapshotBlooms.writeSidecar(spark, root, newFiles, df.schema, newRows)
+    SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, df.schema)
     SnapshotNulls.record(spark, root, newNulls)
     val allFiles = head.files ++ newFiles
     val (fids, colIds, maxId) = fidCarry(Some(head), df.schema, allFiles, newCols)
@@ -3429,6 +3451,7 @@ object SnapshotLog {
     // merely weaker pruning, but compaction folding a bloom'd table
     // should not silently shed its point-lookup skipping)
     SnapshotBlooms.writeSidecar(spark, root, newFiles, schema, newRows)
+    SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, schema)
     SnapshotNulls.record(spark, root, newNulls)
     // cluster-by outputs are key-sorted: record the per-file sort order so
     // the DSv2 scan can report SupportsReportOrdering (co-sorted SPJ joins
@@ -3815,6 +3838,7 @@ object SnapshotLog {
       val deadFiles = (dead.flatMap(_.files) ++
         dead.flatMap(_.dels.values.flatten)).map(norm).toSet
       SnapshotBlooms.expireSidecars(spark, root, liveFiles, deadFiles): Unit
+      SnapshotNgramBlooms.expireSidecars(spark, root, liveFiles, deadFiles): Unit
       SnapshotSorts.expireSidecars(spark, root, liveFiles, deadFiles): Unit
       SnapshotNulls.expireSidecars(spark, root, liveFiles, deadFiles): Unit
     }

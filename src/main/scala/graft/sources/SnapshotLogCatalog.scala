@@ -143,7 +143,7 @@ class SnapshotLogCatalog extends TableCatalog
 
   private val metaSuffixes =
     Set("history", "files", "snapshots", "refs", "deletes", "partitions",
-      "manifests", "blooms", "sorts", "nulls")
+      "manifests", "blooms", "ngrams", "sorts", "nulls")
 
   private def load(ident: Identifier, v: Option[Int], tsMs: Option[Long]): Table = {
     val root = rootFor(ident)
@@ -179,6 +179,10 @@ class SnapshotLogCatalog extends TableCatalog
               SnapshotMetaTable.bloomsTable(nm,
                 SnapshotLog.pick(spark, baseRoot, v, tsMs),
                 SnapshotBlooms.bloomsAt(baseRoot))
+            case "ngrams" => // same (file, column, bits) inventory shape
+              SnapshotMetaTable.bloomsTable(nm,
+                SnapshotLog.pick(spark, baseRoot, v, tsMs),
+                SnapshotNgramBlooms.ngramsAt(baseRoot))
             case "sorts" =>
               SnapshotMetaTable.sortsTable(nm,
                 SnapshotLog.pick(spark, baseRoot, v, tsMs),

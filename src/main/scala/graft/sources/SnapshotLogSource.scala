@@ -533,7 +533,10 @@ private[sources] class SnapshotLogScanBuilder(snap: SnapshotLog.Snapshot,
     * explain), and return ALL filters as residuals — Spark re-applies the
     * exact predicate, so stat-pruning is pure skipping, never semantics. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(SnapshotStatsFilter.usable)
+    // ngram-usable substring shapes prune through trigram-bloom sidecars
+    // (no-op on tables that never opted in — one FS probe at plan time)
+    pushed = filters.filter(f => SnapshotStatsFilter.usable(f) ||
+      SnapshotNgramBlooms.usable(f))
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -797,6 +800,12 @@ private[graft] object SnapshotLogScanBuilder {
       if (root.nonEmpty && filters.exists(SnapshotStatsFilter.usable))
         SnapshotBlooms.bloomsAt(root)
       else Map.empty
+    // trigram blooms serve SUBSTRING shapes (contains/startsWith/endsWith/
+    // string equality) — loaded only when such a filter is present
+    val ngrams: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+      if (root.nonEmpty && filters.exists(SnapshotNgramBlooms.usable))
+        SnapshotNgramBlooms.ngramsAt(root)
+      else Map.empty
     val probes: Map[Filter, CompiledIn] = filters.collect {
       case in @ In(_, vs) if vs != null && vs.length > CompileInThreshold =>
         (in: Filter) -> compileIn(in, schema)
@@ -813,11 +822,12 @@ private[graft] object SnapshotLogScanBuilder {
       val keep = new Array[Boolean](arr.length)
       java.util.stream.IntStream.range(0, arr.length).parallel()
         .forEach(i => keep(i) =
-          mayKeep(snap, schema, arr(i), filters, blooms, probes, defaultBounds))
+          mayKeep(snap, schema, arr(i), filters, blooms, probes,
+            defaultBounds, ngrams))
       return arr.indices.collect { case i if keep(i) => arr(i) }
     }
     candidates.filter(f =>
-      mayKeep(snap, schema, f, filters, blooms, probes, defaultBounds))
+      mayKeep(snap, schema, f, filters, blooms, probes, defaultBounds, ngrams))
   }
 
   /** Stat-space (min, max) = (default, default) for every column with a
@@ -851,7 +861,9 @@ private[graft] object SnapshotLogScanBuilder {
                       blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
                         = Map.empty,
                       probes: Map[Filter, CompiledIn] = Map.empty,
-                      defaultBounds: Map[String, (Any, Any)] = Map.empty)
+                      defaultBounds: Map[String, (Any, Any)] = Map.empty,
+                      ngrams: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+                        = Map.empty)
       : Boolean = {
     val key = SnapshotLog.norm(f)
     val physStats = snap.stats.getOrElse(key, Map.empty[String, (Any, Any)])
@@ -907,6 +919,16 @@ private[graft] object SnapshotLogScanBuilder {
         case Some(p) => p.bloomMayMatch(bloomOf)
         case None => SnapshotBlooms.mayMatch(bloomOf, schema, flt)
       })
+    }) && (ngrams.isEmpty || {
+      // trigram-bloom sidecars: same commit-time-name resolution through
+      // the field-id map as the value blooms above
+      def ngramOf(n: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+        val phys =
+          if (snap.fids.isEmpty || !snap.colIds.contains(key)) Some(n)
+          else snap.physName(f, n)
+        phys.flatMap(ngrams.get).flatMap(_.get(key))
+      }
+      filters.forall(SnapshotNgramBlooms.mayMatch(ngramOf, _))
     })
   }
 }

@@ -265,7 +265,7 @@ private[graft] object SnapshotNgramBlooms {
   /** The code-point trigram windows of `needle` — EXACTLY the build
     * side's `substring(col, i, 3)` windows (UTF8String.substringSQL is
     * the Substring expression's engine), hashed the same way. */
-  private[sources] def probeGrams(needle: String): Seq[UTF8String] = {
+  private[graft] def probeGrams(needle: String): Seq[UTF8String] = {
     val u = UTF8String.fromString(needle)
     val n = u.numChars()
     if (n < Gram) Seq.empty

@@ -223,6 +223,7 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
     // rewritten files regenerate bloom coverage (a DML-heavy table must
     // not bleed point-lookup pruning file by file until compaction)
     SnapshotBlooms.writeSidecar(spark, root, newFiles, schema, newRows)
+    SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, schema)
     SnapshotNulls.record(spark, root, newNulls)
     val (fids, colIds, maxId) =
       SnapshotLog.fidCarry(Some(cur), schema, untouched ++ newFiles, newCols)

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark.spark
+import graft.sources.{SnapshotLog, SnapshotNgramBlooms}
+
+/** Per-file character-trigram blooms for SUBSTRING-search file skipping
+  * (the ClickHouse ngrambf_v1 idea as snapshot-log sidecars).
+  *
+  * The scenario neither min/max stats nor value blooms can serve:
+  * `WHERE contains(text, 'needle')` — the needle is a substring of a
+  * cell, not a cell value, so equality machinery proves nothing. The
+  * trigram bloom proves "no cell in this file contains the needle" when
+  * any trigram of the needle is absent. */
+class SnapshotNgramSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val root = s"/tmp/graft_ngram_spec/$tag"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    root
+  }
+
+  private def filesPlanned(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.SnapshotLogScan].keptFiles.size
+    }.head
+
+  /** 4 commits × 2 files of synthetic prose; docs 7 and 4003 carry rare
+    * marker substrings (one per commit quadrant). */
+  private def buildCorpus(root: String, withNgrams: Boolean): Unit = {
+    val df = spark.range(0, 8000).selectExpr(
+      "id",
+      """concat('alpha beta gamma delta text number ', cast(id AS string),
+         CASE WHEN id = 7 THEN ' zebraquuxmarker' ELSE '' END,
+         CASE WHEN id = 4003 THEN ' höllenwörter' ELSE '' END) AS text""")
+    SnapshotLog.commit(df.filter("id % 4 = 0"), root, overwrite = true, 100L, 2)
+    if (withNgrams)
+      SnapshotLog.setTableProps(spark, root,
+        Map("write.ngrambloom.columns" -> "text"))
+    for (i <- 1 to 3)
+      SnapshotLog.commit(df.filter(s"id % 4 = $i"), root, overwrite = false,
+        100L * (i + 1), 2)
+  }
+
+  test("contains() prunes files whose trigram bloom lacks a needle trigram") {
+    val root = freshRoot("contains")
+    buildCorpus(root, withNgrams = true)
+    val t = spark.read.format("snapshotlog").load(root)
+    assert(t.count() === 8000)
+
+    // miss: a needle whose trigrams exist nowhere — all 6 covered files
+    // pruned, only the 2 property-less v1 files stay (conservative)
+    val miss = t.filter(col("text").contains("qqqzzzvvv"))
+    assert(filesPlanned(miss) <= 2,
+      s"miss should prune all covered files, planned ${filesPlanned(miss)}/8")
+    assert(miss.count() === 0)
+
+    // hit: the marker lives in ONE file of commit 4 (7 % 4 = 3) — that
+    // file plus the 2 uncovered v1 files survive
+    val hit = t.filter(col("text").contains("zebraquuxmarker"))
+    assert(filesPlanned(hit) <= 3,
+      s"hit should keep ~1 covered file, planned ${filesPlanned(hit)}")
+    assert(hit.select("id").as[Long].collect().toSeq === Seq(7L))
+
+    // control: same layout without the property keeps every file
+    val root2 = freshRoot("contains_ctl")
+    buildCorpus(root2, withNgrams = false)
+    val ctl = spark.read.format("snapshotlog").load(root2)
+      .filter(col("text").contains("qqqzzzvvv"))
+    assert(filesPlanned(ctl) === 8,
+      "without ngram blooms a substring probe keeps every file")
+  }
+
+  test("LIKE / startsWith / endsWith / equality shapes all prune; short " +
+       "needles and non-covered columns keep everything") {
+    val root = freshRoot("shapes")
+    buildCorpus(root, withNgrams = true)
+    val t = spark.read.format("snapshotlog").load(root)
+
+    // LIKE '%x%' reaches the scan as StringContains
+    assert(filesPlanned(t.filter(col("text").like("%qqqzzzvvv%"))) <= 2)
+    // prefix / suffix / equality: the literal is a substring of any match
+    assert(filesPlanned(t.filter(col("text").startsWith("qqqzzzvvv"))) <= 2)
+    assert(filesPlanned(t.filter(col("text").endsWith("qqqzzzvvv"))) <= 2)
+    assert(filesPlanned(t.filter(col("text") === "qqqzzzvvv absent row")) <= 2)
+    // a 2-char needle carries no trigram evidence — keep all files
+    assert(filesPlanned(t.filter(col("text").contains("qq"))) === 8)
+    // substring probe on an untagged column keeps all files
+    assert(filesPlanned(t.filter(col("id").cast("string").contains("999"))) === 8)
+    // AND composes (either side may prune); OR needs both sides to prune
+    assert(filesPlanned(t.filter(col("text").contains("qqqzzzvvv") &&
+      col("id") > 0)) <= 2)
+    assert(filesPlanned(t.filter(col("text").contains("qqqzzzvvv") ||
+      col("text").contains("zebraquuxmarker"))) <= 3)
+  }
+
+  test("matching is exact-case and code-point-based (multi-byte needles)") {
+    val root = freshRoot("unicode")
+    buildCorpus(root, withNgrams = true)
+    val t = spark.read.format("snapshotlog").load(root)
+    // multi-byte marker: build windows count code points; probe must agree
+    val hit = t.filter(col("text").contains("höllenwörter"))
+    assert(filesPlanned(hit) <= 3,
+      s"unicode hit planned ${filesPlanned(hit)}")
+    assert(hit.select("id").as[Long].collect().toSeq === Seq(4003L))
+    // contains() is case-sensitive: the upper-case probe finds nothing,
+    // and the trigram bloom (built raw) prunes it as a miss
+    val cased = t.filter(col("text").contains("ZEBRAQUUXMARKER"))
+    assert(filesPlanned(cased) <= 2)
+    assert(cased.count() === 0)
+    // probe windows really are code-point windows
+    assert(SnapshotNgramBlooms.probeGrams("höllo").map(_.toString) ===
+      Seq("höl", "öll", "llo"))
+  }
+
+  test("sidecars survive DML and time travel; expiry reclaims dead ones") {
+    val root = freshRoot("dml")
+    buildCorpus(root, withNgrams = true)
+    // MoR delete of the marker row: the file keeps its bloom (false
+    // positives are fine — the residual filter applies)
+    SnapshotLog.deleteWhereMoR(spark, root, col("id") === 7L, 1000L)
+    val t = spark.read.format("snapshotlog").load(root)
+    val gone = t.filter(col("text").contains("zebraquuxmarker"))
+    assert(gone.count() === 0, "deleted row must not resurface")
+    // time travel to before the delete still finds it, still pruned
+    val v4 = spark.read.format("snapshotlog").option("asOfVersion", 4)
+      .load(root).filter(col("text").contains("zebraquuxmarker"))
+    assert(filesPlanned(v4) <= 3)
+    assert(v4.select("id").as[Long].collect().toSeq === Seq(7L))
+    // overwrite everything, expire: the old files' sidecars are reclaimed
+    val v6 = SnapshotLog.commit(spark.range(0, 10).selectExpr("id",
+      "concat('fresh ', cast(id AS string)) AS text"),
+      root, overwrite = true, 2000L)
+    SnapshotLog.expireSnapshots(spark, root, keepFromVersion = v6)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val left = fs.listStatus(new Path(root, "ngrams"))
+      .count(_.getPath.getName.endsWith(".json"))
+    assert(left === 1,
+      s"expiry must reclaim sidecars of dead files (left $left; the " +
+        "overwrite commit's own sidecar survives)")
+  }
+
+  test("the .ngrams metadata table inventories live (file, column) blooms") {
+    val ns = "ngram_meta"
+    spark.sql(s"DROP TABLE IF EXISTS snap.$ns.t")
+    val fs = new Path("/tmp/graft_snap_warehouse")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"/tmp/graft_snap_warehouse/$ns"), true)
+    spark.sql(s"CREATE TABLE snap.$ns.t AS " +
+      "SELECT id, concat('doc text ', cast(id AS string)) AS text " +
+      "FROM range(0, 100)")
+    val root = s"/tmp/graft_snap_warehouse/$ns/t"
+    SnapshotLog.setTableProps(spark, root,
+      Map("write.ngrambloom.columns" -> "text"))
+    spark.sql(s"INSERT INTO snap.$ns.t " +
+      "SELECT id, concat('doc text ', cast(id AS string)) FROM range(100, 200)")
+    val rows = spark.table(s"snap.$ns.t.ngrams").collect()
+    assert(rows.nonEmpty, "the INSERT's files must carry ngram blooms")
+    assert(rows.forall(_.getString(1) == "text"))
+    assert(rows.forall(_.getLong(2) >= 64L))
+  }
+}
