@@ -514,6 +514,87 @@ object DdlQueries extends QueryModule {
         .select("probe", "n_rows", "sum_key", "files_scanned", "files_total")
     }),
 
+    // N-GRAM BLOOM PRUNING (r18; ClickHouse ngrambf_v1-style skipping
+    // index as snapshot sidecars): with `write.ngrambloom.columns` set,
+    // commits record per-file blooms over the column's character
+    // TRIGRAMS, and a pushed substring probe (contains / LIKE '%x%' /
+    // prefix / suffix / equality) skips any file missing one of the
+    // needle's trigrams — the keyword-search query a 100-TB document
+    // corpus serves constantly, which neither min/max stats nor value
+    // blooms can prune. Layout: commit 1 (2 files) pre-property =
+    // uncovered control, commits 2-4 (6 files) covered; the marker
+    // string rides exactly one doc (id%4=3 → commit 4). Counts pinned:
+    // hit opens 1 covered + 2 uncovered files, miss only the 2
+    // uncovered; rows oracled via LIKE.
+    "ddl_ngram_pruning" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "ngramgate") { root =>
+        val docs = documents(s, d).selectExpr("doc_id",
+          "CASE WHEN doc_id = 7 THEN concat(text, ' zebraquuxmarker') " +
+            "ELSE text END AS text", "lang")
+        SnapshotLog.commit(docs.filter(col("doc_id") % 4 === 0), root,
+          overwrite = true, commitTsMs = 100L, numFiles = 2)
+        SnapshotLog.setTableProps(s, root,
+          Map("write.ngrambloom.columns" -> "text"))
+        for (i <- 1 to 3)
+          SnapshotLog.commit(docs.filter(col("doc_id") % 4 === i), root,
+            overwrite = false, commitTsMs = 100L * (i + 1), numFiles = 2): Unit
+      }
+      val t = snapRead(s, root)
+      val total = graft.sources.SnapshotLog.snapshots(s, root).last.files.size
+      def probe(label: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_id"))
+          .withColumn("files_scanned", lit(filesPlanned(df)))
+          .withColumn("files_total", lit(total.toLong))
+          .withColumn("probe", lit(label))
+      Seq(
+        probe("hit", t.filter(col("text").contains("zebraquuxmarker"))),
+        probe("miss", t.filter(col("text").contains("qqqzzzvvvwww"))),
+        probe("like", t.filter(col("text").like("%zebraquuxmarker%"))))
+        .reduce(_ unionByName _)
+        .select("probe", "n_rows", "sum_id", "files_scanned", "files_total")
+    }),
+
+    // SORT-ON-WRITE (r18; Iceberg write.sort-order analog): with
+    // `write.sort.order` set, EVERY commit range-partitions across its
+    // files and sorts within them — ingest-time clustering, so zone-map
+    // range pruning, top-k skipping, and sort-order reporting engage
+    // without a compaction pass. Pinned: a ~10% key-range probe plans
+    // <=2 of the 4 sorted files (disjoint zone maps) while the same
+    // probe on an unsorted control keeps all 4; ORDER BY key DESC
+    // LIMIT 5 opens <=2 files; the sort sidecar covers every new file.
+    "ddl_sort_on_write" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "sortwrite") { root =>
+        val c = customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        val boot = s.sql("SELECT CAST(-1 AS BIGINT) AS c_custkey, " +
+          "CAST(0 AS INT) AS c_nationkey, CAST(0.0 AS DOUBLE) AS c_acctbal")
+        SnapshotLog.commit(boot, s"$root/sorted", overwrite = true, 100L, 1)
+        SnapshotLog.setTableProps(s, s"$root/sorted",
+          Map("write.sort.order" -> "c_custkey"))
+        SnapshotLog.commit(c, s"$root/sorted", overwrite = false, 200L, 4)
+        SnapshotLog.commit(boot, s"$root/ctl", overwrite = true, 100L, 1)
+        SnapshotLog.commit(c, s"$root/ctl", overwrite = false, 200L, 4)
+      }
+      val t = snapRead(s, s"$root/sorted")
+      val ctl = snapRead(s, s"$root/ctl")
+      val mx = customer(s, d).agg(max(col("c_custkey"))).head().getLong(0)
+      val (lo, hi) = (mx / 2, mx / 2 + mx / 10)
+      val probe = t.filter(col("c_custkey").between(lo, hi))
+      val ctlProbe = ctl.filter(col("c_custkey").between(lo, hi))
+      val topk = t.orderBy(col("c_custkey").desc).limit(5)
+      val recorded = graft.sources.SnapshotSorts.sortsAt(s"$root/sorted")
+      probe.agg(count(lit(1)).as("n_rows"),
+          sum(col("c_custkey")).as("sum_key"))
+        .withColumn("range_pruned", lit(filesPlanned(probe) <= 2))
+        .withColumn("unsorted_keeps_all", lit(filesPlanned(ctlProbe) >= 4))
+        .withColumn("topk_pruned", lit(filesPlanned(topk) <= 2))
+        .withColumn("sorted_recorded", lit(
+          recorded.count(_._2 == Seq("c_custkey")) >= 4))
+    }),
+
     // DYNAMIC FILE PRUNING (r17): runtime join filters × per-file
     // blooms. The static bloom gate above needs the needle key IN the
     // query text; here the keys only exist on the BUILD SIDE of a star
@@ -1846,6 +1927,44 @@ object DdlQueries extends QueryModule {
     // prunes all 6 bloom-covered files (2 kept), a HIT keeps the one
     // containing file (3), the IN keeps the union of its two present
     // keys' files (4). Deterministic: fixed data, fixed xxhash64.
+    // sort-on-write: the range-probe payload over the replayed table;
+    // the four plan facts pinned as booleans (range pruning, unsorted
+    // control, top-k pruning, sidecar coverage)
+    "ddl_sort_on_write" ->
+      """WITH b AS (SELECT CAST(-1 AS BIGINT) AS c_custkey
+        |           UNION ALL SELECT c_custkey FROM customer),
+        |r AS (SELECT max(c_custkey) // 2 AS lo,
+        |             max(c_custkey) // 2 + max(c_custkey) // 10 AS hi
+        |      FROM customer)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |  TRUE AS range_pruned, TRUE AS unsorted_keeps_all,
+        |  TRUE AS topk_pruned, TRUE AS sorted_recorded
+        |FROM b, r WHERE c_custkey BETWEEN lo AND hi""".stripMargin,
+
+    // trigram-bloom substring pruning: rows via LIKE over the replayed
+    // (marker-injected) corpus; file counts pinned like the bloom gate —
+    // hit/like open 1 covered file + the 2 uncovered v1 files, miss
+    // only the 2 uncovered
+    "ddl_ngram_pruning" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id = 7 THEN text || ' zebraquuxmarker'
+        |       ELSE text END AS text FROM documents)
+        |SELECT 'hit' AS probe, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS sum_id,
+        |  CAST(3 AS BIGINT) AS files_scanned, CAST(8 AS BIGINT) AS files_total
+        |FROM t WHERE text LIKE '%zebraquuxmarker%'
+        |UNION ALL
+        |SELECT 'miss', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(2 AS BIGINT), CAST(8 AS BIGINT)
+        |FROM t WHERE text LIKE '%qqqzzzvvvwww%'
+        |UNION ALL
+        |SELECT 'like', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(3 AS BIGINT), CAST(8 AS BIGINT)
+        |FROM t WHERE text LIKE '%zebraquuxmarker%'""".stripMargin,
+
     "ddl_bloom_pruning" ->
       """SELECT 'hit' AS probe, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS sum_key,

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark.spark
+import graft.sources.{SnapshotLog, SnapshotSorts}
+
+/** Sort-on-write (`write.sort.order`, the Iceberg write.sort-order
+  * analog): every commit range-partitions across its files and sorts
+  * within them, recording the order sidecar — ingest-time clustering, so
+  * zone-map pruning and top-k skipping engage without compaction. */
+class SnapshotSortOnWriteSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val root = s"/tmp/graft_sortwrite_spec/$tag"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    root
+  }
+
+  private def filesPlanned(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.SnapshotLogScan].keptFiles.size
+    }.head
+
+  private def boot(root: String): Unit =
+    SnapshotLog.commit(
+      spark.sql("SELECT CAST(-1 AS BIGINT) AS k, CAST(-1 AS BIGINT) AS v"),
+      root, overwrite = true, 100L, 1)
+
+  test("commits range-cluster their files: disjoint zone maps, recorded " +
+       "order, pruning + top-k engage; rows bit-identical") {
+    val root = freshRoot("basic")
+    boot(root)
+    SnapshotLog.setTableProps(spark, root, Map("write.sort.order" -> "k"))
+    // scrambled input — the WRITE must impose the clustering
+    val df = spark.range(0, 40000).selectExpr(
+      "cast(xxhash64(id) % 1000000 AS bigint) AS k", "id AS v")
+    SnapshotLog.commit(df, root, overwrite = false, 200L, 8)
+    val t = spark.read.format("snapshotlog").load(root)
+    assert(t.count() === 40001)
+    // every committed file carries the recorded order
+    val snap = SnapshotLog.snapshots(spark, root).last
+    val rec = SnapshotSorts.sortsAt(root)
+    assert(snap.files.size === 9)
+    assert(rec.count(_._2 == Seq("k")) === 8,
+      "all 8 data files must record the sort order (bootstrap predates it)")
+    // zone maps are disjoint: per-file (min,max) ranges must not overlap
+    // (stats are keyed by normalized path; bootstrap's (-1,-1) included)
+    val ranges = snap.stats.valuesIterator
+      .flatMap(_.get("k")).toSeq
+      .map { case (mn, mx) =>
+        (mn.asInstanceOf[Number].longValue(), mx.asInstanceOf[Number].longValue()) }
+      .filterNot(_ == ((-1L, -1L))) // the pre-property bootstrap file
+      .sortBy(_._1)
+    assert(ranges.size === 8)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, aMax), (bMin, _)) => aMax <= bMin
+      case _ => true
+    }, s"range-partitioned files must have non-overlapping key ranges: $ranges")
+    // a narrow range probe plans ~1 file of 9
+    val probeK = ranges(4)._1 // a real key-range interior point
+    val probe = t.filter(col("k").between(probeK, probeK + 10))
+    assert(filesPlanned(probe) <= 2,
+      s"sorted layout must range-prune, planned ${filesPlanned(probe)}/9")
+    // top-k skipping composes: the max-key file alone serves DESC LIMIT
+    val topk = t.orderBy(col("k").desc).limit(5)
+    assert(filesPlanned(topk) <= 2,
+      s"top-k over the sorted layout planned ${filesPlanned(topk)}/9")
+    // and the data really is what was committed
+    assert(t.agg(sum(col("v"))).as[Long].head() ===
+      (0L until 40000L).sum - 1L)
+  }
+
+  test("a missing sort column disables the feature for that commit — " +
+       "unsorted, unrecorded, never failed") {
+    val root = freshRoot("missing")
+    boot(root)
+    SnapshotLog.setTableProps(spark, root,
+      Map("write.sort.order" -> "no_such_column"))
+    SnapshotLog.commit(
+      spark.range(0, 100).selectExpr("id AS k", "id AS v"),
+      root, overwrite = false, 200L, 2)
+    val t = spark.read.format("snapshotlog").load(root)
+    assert(t.count() === 101)
+    assert(SnapshotSorts.sortsAt(root).isEmpty,
+      "an inapplicable order must not be recorded")
+  }
+
+  test("later appends keep clustering; multi-column orders record whole") {
+    val root = freshRoot("multi")
+    boot(root)
+    SnapshotLog.setTableProps(spark, root, Map("write.sort.order" -> "k, v"))
+    val df = spark.range(0, 1000).selectExpr(
+      "cast(id % 7 AS bigint) AS k", "id AS v")
+    SnapshotLog.commit(df, root, overwrite = false, 200L, 2)
+    SnapshotLog.commit(df, root, overwrite = false, 300L, 2)
+    val rec = SnapshotSorts.sortsAt(root)
+    assert(rec.count(_._2 == Seq("k", "v")) === 4,
+      "both appends' files must record the two-column order")
+  }
+}
