@@ -1059,7 +1059,21 @@ object SnapshotLog {
       SnapshotPartition.transformCol(src, tr,
         df.schema(src).dataType).as(s"_p_$i")
     }
-    val sortedFound = writePartitionedData(spark, df, dataDir, pCols, spec)
+    // SORT-ON-WRITE under a partition spec (see commit()): the order is
+    // imposed WITHIN each partition tuple — every tuple's file comes out
+    // key-sorted, so zone maps tighten and SupportsReportOrdering can
+    // prove co-sorted SPJ joins on freshly ingested data
+    val partProps = try tableProps(spark, root)
+                    catch { case scala.util.control.NonFatal(_) =>
+                      Map.empty[String, String] }
+    val sortCols = partProps.get("write.sort.order").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val sortOn =
+      if (sortCols.nonEmpty && sortCols.forall(df.schema.fieldNames.contains))
+        sortCols
+      else Seq.empty
+    val sortedFound =
+      writePartitionedData(spark, df, dataDir, pCols, spec, sortOn)
     val newFiles = sortedFound.map(_._1)
     val newSizes = sortedFound.map(f => norm(f._1) -> f._2).toMap
     val newParts = sortedFound.map(f => norm(f._1) -> f._3).toMap
@@ -1068,6 +1082,7 @@ object SnapshotLog {
     SnapshotBlooms.writeSidecar(spark, root, newFiles, df.schema, newRows)
     SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, df.schema)
     SnapshotNulls.record(spark, root, newNulls)
+    if (sortOn.nonEmpty) SnapshotSorts.record(spark, root, newFiles, sortOn)
 
     val committed = try retryingCommit("commitPartitioned") { () =>
       val prior = snapshots(spark, root)

@@ -76,6 +76,51 @@ class SnapshotSortOnWriteSpec extends AnyFunSuite {
       (0L until 40000L).sum - 1L)
   }
 
+  test("partitioned sort-on-write: a freshly ingested co-bucketed pair " +
+       "joins with ZERO exchanges AND zero sorts — no compaction needed") {
+    val wh = "/tmp/graft_snap_warehouse"
+    val ns = "sortwrite_spj"
+    val fs = new Path(wh).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"$wh/$ns"), true)
+    spark.sql(s"DROP TABLE IF EXISTS snap.$ns.l")
+    spark.sql(s"DROP TABLE IF EXISTS snap.$ns.r")
+    val spec = Seq("k" -> "bucket[4]")
+    val seed = spark.sql("SELECT CAST(-1 AS BIGINT) AS k, " +
+      "CAST(-1 AS BIGINT) AS v")
+    def build(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val root = s"$wh/$ns/$name"
+      // create → arm the property → the REAL ingest overwrites the seed,
+      // so every live tuple has exactly one key-sorted file
+      SnapshotLog.commitPartitioned(seed.toDF(df.columns: _*), root, spec,
+        overwrite = true, 1000L)
+      SnapshotLog.setTableProps(spark, root, Map("write.sort.order" -> "k"))
+      SnapshotLog.commitPartitioned(df, root, spec,
+        overwrite = true, 2000L)
+      s"snap.$ns.$name"
+    }
+    val lt = build("l", spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS v"))
+    val rt = build("r", spark.range(0, 2000, 4).selectExpr("id AS k", "id + 7 AS w"))
+    val old = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table(lt).hint("merge").join(spark.table(rt), "k")
+        .select(col("k"), col("v"), col("w"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      val shuffles = "Exchange".r.findAllIn(p).size -
+        "BroadcastExchange".r.findAllIn(p).size
+      val sorts = "\\bSort \\[".r.findAllIn(p).size
+      assert(shuffles === 0, s"expected SPJ (no exchange):\n$p")
+      assert(sorts === 0,
+        s"sort-on-write files must skip the merge-join Sort:\n$p")
+      assert(j.as[(Long, Long, Long)].collect().toSet ===
+        (0L until 2000L by 4).map(k => (k, k * 2, k + 7)).toSet)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("a missing sort column disables the feature for that commit — " +
        "unsorted, unrecorded, never failed") {
     val root = freshRoot("missing")
