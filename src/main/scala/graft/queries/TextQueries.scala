@@ -51,6 +51,42 @@ object TextQueries extends QueryModule {
         ((col("n_chars") - (nt - 1)) / nt).as("mean_token_len"))
     }),
 
+    // BM25 RANKED RETRIEVAL (r18; Robertson/Lucene IDF form) — the
+    // keyword-relevance query of a corpus search stack, composed from
+    // the classic two-aggregate shape: per-(doc, term) tf + per-doc
+    // length in ONE map-side-combined groupBy over exploded tokens, then
+    // the tiny query-term df joined back BROADCAST. At 100 TB the only
+    // wide shuffle is the (doc_id, term) aggregate; corpus constants
+    // (N, avgdl) are scalar aggregates and the df table is |query| rows.
+    // Emitted as per-doc scores on an id-bounded slice (set membership
+    // is integer-deterministic; the float score compares under rtol).
+    "text_bm25" -> ((s, d) => {
+      val qTerms = Seq("table", "merge", "vector")
+      val (k1, b) = (1.2, 0.75)
+      val toks = documents(s, d).select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+        .filter(length(col("term")) > 0)
+      val byDoc = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val corpus = dlen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+        .head()
+      val (n, avgdl) = (corpus.getLong(0), corpus.getDouble(1))
+      val dfreq = byDoc.filter(col("term").isin(qTerms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      byDoc.filter(col("term").isin(qTerms: _*))
+        .join(broadcast(dfreq), "term")
+        .join(dlen, "doc_id")
+        .withColumn("w",
+          log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (k1 + 1)) /
+            (col("tf") + (col("dl") * (b / avgdl) + (1 - b)) * k1))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("matched"), sum(col("w")).as("score"))
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("matched"), col("score"))
+    }),
+
     // n-gram-free language-ID heuristic: stopword density vs threshold.
     "text_lang_id" -> ((s, d) => {
       val w = words(col("text"))
@@ -267,6 +303,34 @@ object TextQueries extends QueryModule {
         |  (n_chars - (len(string_split_regex(text, '\s+')) - 1))
         |    / len(string_split_regex(text, '\s+')) AS mean_token_len
         |FROM documents""".stripMargin,
+
+    // BM25: identical tokenizer (lowercase, non-alnum split), Lucene IDF
+    // ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2 b=0.75; score is a top-level
+    // float column (rtol), membership is integer-deterministic
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |bydoc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |          FROM toks GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |         FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl
+        |          FROM dlen),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bydoc
+        |          WHERE term IN ('table', 'merge', 'vector') GROUP BY 1)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS matched,
+        |  sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+        |      * (b.tf * 2.2) / (b.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)))
+        |    AS score
+        |FROM bydoc b
+        |JOIN dfreq f USING (term)
+        |JOIN dlen l USING (doc_id)
+        |CROSS JOIN stats s
+        |WHERE b.doc_id < 50
+        |GROUP BY 1""".stripMargin,
 
     "text_lang_id" ->
       s"""WITH t AS (
