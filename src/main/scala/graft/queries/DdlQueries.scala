@@ -1760,6 +1760,50 @@ object DdlQueries extends QueryModule {
         .select("stage", "n_rows", "sum_bal", "publish_op")
     }),
 
+    // WAP WITH DML (r18): the audit step of write-audit-publish usually
+    // FINDS something — deleteWhereMoRBranch deletes the failing rows ON
+    // THE BRANCH (same MoR staging as mainline, snapshot carries
+    // ref=audit, branch ref advances, main untouched), then fast_forward
+    // publishes the corrected content. The publish still lands as an
+    // APPEND (the branch only added files + delete files over them), so
+    // a downstream incremental consumer's delta is the audited rows.
+    "ddl_wap_audit_delete" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "wap_audit_del") { root =>
+        val c = customer(s, d).select(col("c_custkey").as("k"),
+          col("c_acctbal").as("bal"))
+        SnapshotLog.commit(c.filter(col("k") % 2 === 0), root,
+          overwrite = true, commitTsMs = 1000L)
+        SnapshotLog.createBranch(s, root, "audit", 1)
+        SnapshotLog.commitToBranch(s, root, "audit",
+          c.filter(col("k") % 2 === 1), 2000L)
+        // the audit: staged rows with a negative balance fail — delete
+        // them on the branch before anyone publishes
+        SnapshotLog.deleteWhereMoRBranch(s, root, "audit",
+          col("k") % 2 === 1 && col("bal") < 0, 3000L): Unit
+      }
+      def agg(df: DataFrame, stage: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("bal")), 2).as("sum_bal"))
+          .withColumn("stage", lit(stage))
+      val preMain = agg(SnapshotLog.read(s, root, asOfVersion = Some(1)),
+        "main_before")
+      // the branch pre-audit state stays time-travelable (v2)
+      val staged = agg(SnapshotLog.read(s, root, asOfVersion = Some(2)),
+        "branch_staged")
+      val audited = agg(s.read.format("snapshotlog")
+        .option("branch", "audit").load(root), "branch_audited")
+      if (!SnapshotLog.snapshots(s, root).exists(sn =>
+          sn.branch.isEmpty && sn.version > 1))
+        SnapshotLog.fastForward(s, root, "audit", 4000L): Unit
+      val postMain = agg(SnapshotLog.read(s, root), "main_after")
+      Seq(preMain, staged, audited, postMain).reduce(_ unionByName _)
+        .withColumn("publish_op",
+          lit(SnapshotLog.snapshots(s, root).filter(_.branch.isEmpty)
+            .last.operation))
+        .select("stage", "n_rows", "sum_bal", "publish_op")
+    }),
+
     // COMMIT-TIME AUTO-MAINTENANCE (SnapshotLog.maybeMaintain — the
     // policy layer Iceberg leaves to external schedulers, Delta ships
     // as auto-compaction): table properties arm best-effort maintenance
@@ -2498,6 +2542,26 @@ object DdlQueries extends QueryModule {
         |UNION ALL SELECT 'branch_staged', n, sb, 'append' FROM al
         |UNION ALL SELECT 'main_after', n, sb, 'append' FROM al
         |UNION ALL SELECT 'consumer_delta', n, sb, 'append' FROM od""".stripMargin,
+
+    // WAP with an audit delete: branch_staged = everything (pre-audit,
+    // time-traveled), branch_audited and main_after drop the staged
+    // negative-balance rows; the publish is still an append
+    "ddl_wap_audit_delete" ->
+      """WITH ev AS (
+        |  SELECT CAST(count(*) AS BIGINT) n, round(sum(c_acctbal), 2) sb
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |al AS (
+        |  SELECT CAST(count(*) AS BIGINT) n, round(sum(c_acctbal), 2) sb
+        |  FROM customer),
+        |aud AS (
+        |  SELECT CAST(count(*) AS BIGINT) n, round(sum(c_acctbal), 2) sb
+        |  FROM customer
+        |  WHERE c_custkey % 2 = 0 OR c_acctbal >= 0)
+        |SELECT 'main_before' AS stage, n AS n_rows, sb AS sum_bal,
+        |  'append' AS publish_op FROM ev
+        |UNION ALL SELECT 'branch_staged', n, sb, 'append' FROM al
+        |UNION ALL SELECT 'branch_audited', n, sb, 'append' FROM aud
+        |UNION ALL SELECT 'main_after', n, sb, 'append' FROM aud""".stripMargin,
 
     "ddl_auto_maintain" ->
       """WITH kept AS (

@@ -2939,6 +2939,69 @@ object SnapshotLog {
     }
   }
 
+  /** MoR DELETE on a BRANCH — the missing half of write-audit-publish:
+    * stage data on the branch ([[commitToBranch]]), AUDIT it, delete the
+    * rows that fail the audit ON THE BRANCH with this, then
+    * [[fastForward]] publishes the corrected content. Same staging
+    * machinery as [[deleteWhereMoR]] (positional parquet or `.dv`
+    * vectors per `write.delete.vector`), pinned at the branch head; the
+    * new snapshot carries `ref=<branch>` and the branch ref advances —
+    * main is untouched until publish. A branch head that moved during
+    * staging REFUSES (no silent re-apply across a concurrent branch
+    * writer — row-level work is never blind-merged). */
+  def deleteWhereMoRBranch(spark: SparkSession, root: String, branch: String,
+                           cond: org.apache.spark.sql.Column,
+                           commitTsMs: Long): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val typed = refsTyped(spark, root)
+    val (kind, headV) = typed.getOrElse(branch,
+      throw new NoSuchElementException(
+        s"SnapshotLog: no branch '$branch' at $root"))
+    require(kind == "branch", s"SnapshotLog: ref '$branch' is a $kind")
+    val snaps = snapshots(spark, root)
+    val cur = snaps.find(_.version == headV).getOrElse(
+      throw new IllegalStateException(
+        s"SnapshotLog: branch '$branch' head v$headV expired at $root"))
+    if (cur.files.isEmpty) return cur.version
+    require(snaps.forall(_.commitTsMs < commitTsMs),
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    val fs = fsFor(spark, new Path(root))
+    val matched = spark.read.format("snapshotlog")
+      .option("asOfVersion", cur.version).load(root)
+      .filter(coalesce(cond, lit(false)))
+    val useDv = (try tableProps(spark, root)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] })
+      .get("write.delete.vector").contains("true")
+    (if (useDv) stageDeleteVectors(spark, root, cur, matched)
+     else stageDeleteFiles(spark, root, cur, matched)) match {
+      case None => cur.version
+      case Some((delDir, _, merged)) =>
+        val committed = try retryingCommit("deleteWhereMoRBranch") { () =>
+          // the version counter is GLOBAL (branch commits share the log's
+          // numbering) — allocate under the retry loop so mainline racers
+          // only cost a re-allocation, never a content conflict
+          val snapsNow = snapshots(spark, root)
+          if (!refsTyped(spark, root).get(branch).exists(_._2 == headV))
+            throw new CommitConflictException(
+              s"SnapshotLog: branch '$branch' advanced during the delete " +
+                "staging — re-run against the new head")
+          val next = snapsNow.last.version + 1
+          val ts = math.max(commitTsMs, snapsNow.last.commitTsMs + 1)
+          commitManifest(fs, root, next, "delete", ts, cur.schemaJson,
+            cur.files, cur.stats, cur.sizes,
+            Map("ref" -> branch, "delete.mode" -> "merge-on-read"),
+            cur.spec, cur.parts, cur.cols, merged, cur.fids, cur.colIds,
+            cur.maxId, cur.specs, cur.fileSpec, cur.version, cur.rows)
+          next
+        } catch {
+          case e: IllegalStateException => fs.delete(delDir, true); throw e
+        }
+        writeRefs(spark, root,
+          refsTyped(spark, root) + (branch -> (("branch", committed))))
+        committed
+    }
+  }
+
   /** EQUALITY delete (Iceberg equality delete files — the CDC flavor):
     * delete every row whose KEY COLUMNS match any row of `keys`, without
     * knowing positions — the shape a change stream provides. The delete
