@@ -146,6 +146,48 @@ class SnapshotNgramSpec extends AnyFunSuite {
         "overwrite commit's own sidecar survives)")
   }
 
+  test("property: pruning never changes results — 30 random present " +
+       "needles return exactly the control rows, 10 absent return none") {
+    val root = freshRoot("prop")
+    val rnd = new scala.util.Random(181818L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "query", "table",
+      "window", "merge", "vector", "stream", "filter", "batch", "höllen",
+      "数据", "café")
+    val docs = (0 until 4000).map { i =>
+      (i.toLong, (0 until 12).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val df = spark.createDataFrame(docs).toDF("id", "text")
+    SnapshotLog.commit(df.filter(col("id") % 2 === 0), root,
+      overwrite = true, 100L, 4)
+    SnapshotLog.setTableProps(spark, root,
+      Map("write.ngrambloom.columns" -> "text"))
+    SnapshotLog.commit(df.filter(col("id") % 2 === 1), root,
+      overwrite = false, 200L, 4)
+    val t = spark.read.format("snapshotlog").load(root)
+    // present needles: random substrings of random docs (any length 3-12,
+    // arbitrary alignment — including multi-byte and cross-word slices)
+    val present = (0 until 30).map { _ =>
+      val d = docs(rnd.nextInt(docs.size))._2
+      val a = rnd.nextInt(math.max(1, d.length - 4))
+      d.substring(a, math.min(d.length, a + 3 + rnd.nextInt(10)))
+    }
+    for (needle <- present) {
+      val got = t.filter(col("text").contains(needle))
+        .select("id").as[Long].collect().toSet
+      val want = docs.filter(_._2.contains(needle)).map(_._1).toSet
+      assert(got === want, s"needle '$needle' lost rows through pruning")
+      assert(want.nonEmpty)
+    }
+    // absent needles: random strings over an alphabet disjoint enough to
+    // never occur — count must be 0 (and pruning must not throw)
+    for (_ <- 0 until 10) {
+      val needle = (0 until 5 + rnd.nextInt(6))
+        .map(_ => ('0' + rnd.nextInt(10)).toChar).mkString("q", "", "z")
+      assert(t.filter(col("text").contains(needle)).count() === 0L)
+    }
+  }
+
   test("the .ngrams metadata table inventories live (file, column) blooms") {
     val ns = "ngram_meta"
     spark.sql(s"DROP TABLE IF EXISTS snap.$ns.t")
