@@ -595,6 +595,54 @@ object DdlQueries extends QueryModule {
           recorded.count(_._2 == Seq("c_custkey")) >= 4))
     }),
 
+    // INDEX BACKFILL (r18): arming write.bloom.columns /
+    // write.ngrambloom.columns on an EXISTING table covers only later
+    // commits — `CALL snap.system.rebuild_file_indexes` builds sidecars
+    // for the uncovered history without rewriting a byte of data.
+    // Pinned: the first call covers all 4 pre-property files for both
+    // index kinds, a second call is idempotent (0, 0), and both a
+    // needle-equality miss and a substring miss then prune EVERY file;
+    // the hit probes return the real row through <=2 planned files.
+    "ddl_index_backfill" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val ns = "ixbf_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"/tmp/graft_snap_warehouse/$ns/t"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_snap_warehouse/$ns"), true)
+      val c = customer(s, d).selectExpr(
+        "md5(cast(c_custkey AS string)) AS k", "c_custkey",
+        "concat('row text ', cast(c_custkey % 50 AS string), " +
+          "CASE WHEN c_custkey = 77 THEN ' zebraixmarker' ELSE '' END) AS txt")
+      SnapshotLog.commit(c, root, overwrite = true, commitTsMs = 1000L, 4)
+      SnapshotLog.setTableProps(s, root, Map(
+        "write.bloom.columns" -> "k", "write.ngrambloom.columns" -> "txt"))
+      val first = s.sql(s"CALL snap.system.rebuild_file_indexes('$ns.t')")
+        .collect().head
+      val second = s.sql(s"CALL snap.system.rebuild_file_indexes('$ns.t')")
+        .collect().head
+      val t = snapRead(s, root)
+      val bloomMiss = t.filter(col("k") === md5(lit("no-such")))
+      val ngramMiss = t.filter(col("txt").contains("qqqzzzvvvwww"))
+      def probe(label: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("c_custkey")), lit(0L)).as("sum_key"))
+          .withColumn("hit_pruned", lit(filesPlanned(df) <= 2))
+          .withColumn("probe", lit(label))
+      Seq(probe("bloom_hit", t.filter(col("k") === md5(lit("77")))),
+          probe("ngram_hit", t.filter(col("txt").contains("zebraixmarker"))))
+        .reduce(_ unionByName _)
+        .withColumn("backfilled",
+          lit(first.getInt(0) == 4 && first.getInt(1) == 4))
+        .withColumn("idempotent",
+          lit(second.getInt(0) == 0 && second.getInt(1) == 0))
+        .withColumn("bloom_miss_pruned", lit(filesPlanned(bloomMiss) == 0))
+        .withColumn("ngram_miss_pruned", lit(filesPlanned(ngramMiss) == 0))
+        .select("probe", "n_rows", "sum_key", "hit_pruned", "backfilled",
+          "idempotent", "bloom_miss_pruned", "ngram_miss_pruned")
+    }),
+
     // DYNAMIC FILE PRUNING (r17): runtime join filters × per-file
     // blooms. The static bloom gate above needs the needle key IN the
     // query text; here the keys only exist on the BUILD SIDE of a star
@@ -1985,6 +2033,20 @@ object DdlQueries extends QueryModule {
         |  TRUE AS range_pruned, TRUE AS unsorted_keeps_all,
         |  TRUE AS topk_pruned, TRUE AS sorted_recorded
         |FROM b, r WHERE c_custkey BETWEEN lo AND hi""".stripMargin,
+
+    // index backfill: both hit probes land on the c_custkey = 77 row;
+    // the six plan/procedure facts pinned as booleans
+    "ddl_index_backfill" ->
+      """SELECT 'bloom_hit' AS probe, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS sum_key,
+        |  TRUE AS hit_pruned, TRUE AS backfilled, TRUE AS idempotent,
+        |  TRUE AS bloom_miss_pruned, TRUE AS ngram_miss_pruned
+        |FROM customer WHERE md5(CAST(c_custkey AS VARCHAR)) = md5('77')
+        |UNION ALL
+        |SELECT 'ngram_hit', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(c_custkey), 0) AS BIGINT),
+        |  TRUE, TRUE, TRUE, TRUE, TRUE
+        |FROM customer WHERE c_custkey = 77""".stripMargin,
 
     // trigram-bloom substring pruning: rows via LIKE over the replayed
     // (marker-injected) corpus; file counts pinned like the bloom gate —

@@ -3002,6 +3002,51 @@ object SnapshotLog {
     }
   }
 
+  /** BACKFILL bloom + ngram sidecars for live files missing coverage —
+    * the operational gap of opt-in index properties: arming
+    * `write.bloom.columns` / `write.ngrambloom.columns` on an EXISTING
+    * table covers only files committed afterwards, and re-covering the
+    * history would otherwise need a full rewrite. This builds sidecars
+    * for every live file that (a) physically carries ALL the property's
+    * columns under their current names (renamed/pre-evolution files are
+    * SKIPPED — a bloom built from a null-filled read could wrongly prune
+    * a declared column default) and (b) lacks an entry for at least one
+    * of them. Batched like the commit-time builds; returns
+    * (bloom files backfilled, ngram files backfilled). Idempotent: a
+    * second call finds full coverage and builds nothing. */
+  def rebuildFileIndexes(spark: SparkSession, root: String): (Int, Int) = {
+    val snap = pick(spark, root, None, None)
+    val props = try tableProps(spark, root)
+                catch { case scala.util.control.NonFatal(_) =>
+                  Map.empty[String, String] }
+    val schema = snap.schema
+    def backfillable(colNames: Seq[String],
+                     covered: (String, String) => Boolean): Seq[String] =
+      if (colNames.isEmpty) Seq.empty
+      else snap.files.filter { f =>
+        val key = norm(f)
+        colNames.exists(n => !covered(key, n)) && colNames.forall { n =>
+          val phys =
+            if (snap.fids.isEmpty || !snap.colIds.contains(key)) Some(n)
+            else snap.physName(f, n)
+          phys.contains(n) && snap.cols.get(key).exists(_.contains(n))
+        }
+      }
+    val bloomCols = SnapshotBlooms.bloomColumns(props, schema).map(_.name)
+    val bloomsNow = SnapshotBlooms.bloomsAt(root)
+    val bFiles = backfillable(bloomCols,
+      (key, c) => bloomsNow.get(c).exists(_.contains(key)))
+    if (bFiles.nonEmpty)
+      SnapshotBlooms.writeSidecar(spark, root, bFiles, schema, snap.rows)
+    val ngramCols = SnapshotNgramBlooms.ngramColumns(props, schema).map(_.name)
+    val ngramsNow = SnapshotNgramBlooms.ngramsAt(root)
+    val nFiles = backfillable(ngramCols,
+      (key, c) => ngramsNow.get(c).exists(_.contains(key)))
+    if (nFiles.nonEmpty)
+      SnapshotNgramBlooms.writeSidecar(spark, root, nFiles, schema)
+    (bFiles.size, nFiles.size)
+  }
+
   /** EQUALITY delete (Iceberg equality delete files — the CDC flavor):
     * delete every row whose KEY COLUMNS match any row of `keys`, without
     * knowing positions — the shape a change stream provides. The delete

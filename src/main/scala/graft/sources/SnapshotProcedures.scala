@@ -39,7 +39,8 @@ private[sources] object SnapshotProcedures {
         Identifier.of(Array("system"), "refresh_mv"),
         Identifier.of(Array("system"), "import_parquet"),
         Identifier.of(Array("system"), "rollback_to_snapshot"),
-        Identifier.of(Array("system"), "set_current_snapshot"))
+        Identifier.of(Array("system"), "set_current_snapshot"),
+        Identifier.of(Array("system"), "rebuild_file_indexes"))
     else Array.empty
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
@@ -65,6 +66,7 @@ private[sources] object SnapshotProcedures {
         new AdoptSnapshotProc(warehouse, restricted = true)
       case "set_current_snapshot" =>
         new AdoptSnapshotProc(warehouse, restricted = false)
+      case "rebuild_file_indexes" => new RebuildFileIndexesProc(warehouse)
       case other => throw new UnsupportedOperationException(
         s"snapshotlog catalog: unknown procedure $other")
     }
@@ -192,6 +194,34 @@ private[sources] object SnapshotProcedures {
     * computing per-column KMV sketches + null counts, persisted as the
     * Puffin-style sidecar the planner's CBO statistics read
     * ([[SnapshotLog.analyze]]). */
+  /** CALL snap.system.rebuild_file_indexes('ns.t') — backfill bloom +
+    * ngram sidecars for live files missing coverage (arming the index
+    * properties on an existing table covers only later commits; this
+    * covers the history without rewriting a byte of data). */
+  private class RebuildFileIndexesProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rebuild_file_indexes"
+    override def description(): String =
+      "backfill per-file bloom/ngram sidecars for live files that " +
+        "predate the index properties"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val (b, n) = SnapshotLog.rebuildFileIndexes(spark, root)
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("bloom_files", IntegerType, nullable = false),
+          StructField("ngram_files", IntegerType, nullable = false))),
+        Seq[Any](b, n))).asJava
+    }
+  }
+
   private class AnalyzeTableProc(warehouse: String)
       extends UnboundProcedure with BoundProcedure {
     override def name(): String = "analyze_table"
