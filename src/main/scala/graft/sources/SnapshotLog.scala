@@ -3002,6 +3002,98 @@ object SnapshotLog {
     }
   }
 
+  /** MoR UPDATE on a BRANCH — the audit-FIX half of WAP DML (the
+    * audit-delete half is [[deleteWhereMoRBranch]]): rewrite the failing
+    * rows' values ON THE BRANCH (delete coordinates + re-inserted
+    * updated rows, exactly [[updateWhereMoR]]'s shape), pinned at the
+    * branch head; the snapshot carries `ref=<branch>`, the branch ref
+    * advances, main is untouched until [[fastForward]]. A branch head
+    * that moved during staging refuses. */
+  def updateWhereMoRBranch(spark: SparkSession, root: String, branch: String,
+                           cond: org.apache.spark.sql.Column,
+                           set: Map[String, org.apache.spark.sql.Column],
+                           commitTsMs: Long, numFiles: Int = 2): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val typed = refsTyped(spark, root)
+    val (kind, headV) = typed.getOrElse(branch,
+      throw new NoSuchElementException(
+        s"SnapshotLog: no branch '$branch' at $root"))
+    require(kind == "branch", s"SnapshotLog: ref '$branch' is a $kind")
+    val snaps = snapshots(spark, root)
+    val cur = snaps.find(_.version == headV).getOrElse(
+      throw new IllegalStateException(
+        s"SnapshotLog: branch '$branch' head v$headV expired at $root"))
+    if (cur.files.isEmpty) return cur.version
+    require(snaps.forall(_.commitTsMs < commitTsMs),
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    val bad = set.keySet -- cur.schema.fieldNames.toSet
+    require(bad.isEmpty,
+      s"updateWhereMoRBranch: unknown column(s) ${bad.mkString(",")}")
+    val fs = fsFor(spark, new Path(root))
+    val matched = spark.read.format("snapshotlog")
+      .option("asOfVersion", cur.version).load(root)
+      .select(col("_file"), col("_pos"), col("*"))
+      .filter(coalesce(cond, lit(false)))
+      .localCheckpoint()
+    val useDv = (try tableProps(spark, root)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] })
+      .get("write.delete.vector").contains("true")
+    (if (useDv) stageDeleteVectors(spark, root, cur, matched)
+     else stageDeleteFiles(spark, root, cur, matched)) match {
+      case None => cur.version
+      case Some((delDir, _, merged)) =>
+        val dataDir = new Path(new Path(root, "data"),
+          java.util.UUID.randomUUID().toString.take(12))
+        matched
+          .select(cur.schema.fields.map(f =>
+            set.getOrElse(f.name, col(f.name)).as(f.name)).toSeq: _*)
+          .repartition(math.max(1, numFiles)).write.parquet(dataDir.toString)
+        val statuses = fs.listStatus(dataDir)
+          .filter(s => s.getPath.getName.startsWith("part-") &&
+            s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        val rowCounts = footerRowCounts(spark.sessionState.newHadoopConf(),
+          statuses.map(_.getPath.toString).toSeq)
+        val newFiles = statuses.map(_.getPath.toString).toSeq
+          .filter(f => rowCounts(norm(f)) > 0)
+        statuses.map(_.getPath.toString).filterNot(newFiles.contains)
+          .foreach(f => fs.delete(new Path(f), false))
+        val newSizes = statuses
+          .filter(s => newFiles.contains(s.getPath.toString))
+          .map(s => norm(s.getPath.toString) -> s.getLen).toMap
+        val (newStats, newCols, newRows, newNulls) =
+          footerMeta(spark.sessionState.newHadoopConf(), newFiles, cur.schema)
+        SnapshotBlooms.writeSidecar(spark, root, newFiles, cur.schema, newRows)
+        SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, cur.schema)
+        SnapshotNulls.record(spark, root, newNulls)
+        val committed = try retryingCommit("updateWhereMoRBranch") { () =>
+          val snapsNow = snapshots(spark, root)
+          if (!refsTyped(spark, root).get(branch).exists(_._2 == headV))
+            throw new CommitConflictException(
+              s"SnapshotLog: branch '$branch' advanced during the update " +
+                "staging — re-run against the new head")
+          val next = snapsNow.last.version + 1
+          val ts = math.max(commitTsMs, snapsNow.last.commitTsMs + 1)
+          val allFiles = cur.files ++ newFiles
+          val (fids, colIds, maxId) =
+            fidCarry(Some(cur), cur.schema, allFiles, newCols)
+          commitManifest(fs, root, next, "update", ts, cur.schemaJson,
+            allFiles, cur.stats ++ newStats, cur.sizes ++ newSizes,
+            Map("ref" -> branch, "update.mode" -> "merge-on-read"),
+            cur.spec, cur.parts, cur.cols ++ newCols, merged, fids, colIds,
+            maxId, cur.specs, cur.fileSpec, cur.version,
+            cur.rows ++ newRows)
+          next
+        } catch {
+          case e: IllegalStateException =>
+            fs.delete(delDir, true); fs.delete(dataDir, true); throw e
+        }
+        writeRefs(spark, root,
+          refsTyped(spark, root) + (branch -> (("branch", committed))))
+        committed
+    }
+  }
+
   /** BACKFILL bloom + ngram sidecars for live files missing coverage —
     * the operational gap of opt-in index properties: arming
     * `write.bloom.columns` / `write.ngrambloom.columns` on an EXISTING

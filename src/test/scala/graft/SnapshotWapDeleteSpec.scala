@@ -67,6 +67,31 @@ class SnapshotWapDeleteSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, root).count() === 50)
   }
 
+  test("audit FIX: updateWhereMoRBranch rewrites failing rows on the " +
+       "branch; publish carries the corrected values") {
+    val root = fresh("fix")
+    SnapshotLog.commit(
+      spark.range(0, 100).selectExpr("id AS k", "id AS v"),
+      root, overwrite = true, 1000L)
+    SnapshotLog.createBranch(spark, root, "audit", 1)
+    SnapshotLog.commitToBranch(spark, root, "audit",
+      spark.range(100, 200).selectExpr("id AS k", "id * 0 - 5 AS v"), 2000L)
+    // audit finds the staged batch wrote sentinel v = -5 — fix on branch
+    SnapshotLog.updateWhereMoRBranch(spark, root, "audit",
+      col("v") < 0, Map("v" -> (col("k") * 10)), 3000L)
+    val b = branchRead(root, "audit")
+    assert(b.count() === 200)
+    assert(b.filter(col("v") < 0).count() === 0)
+    assert(b.filter(col("k") === 150).select("v").as[Long].head() === 1500L)
+    // main untouched pre-publish
+    assert(SnapshotLog.read(spark, root).count() === 100)
+    SnapshotLog.fastForward(spark, root, "audit", 4000L)
+    val main = SnapshotLog.read(spark, root)
+    assert(main.count() === 200)
+    assert(main.filter(col("v") < 0).count() === 0)
+    assert(main.filter(col("k") === 199).select("v").as[Long].head() === 1990L)
+  }
+
   test("misuse refuses: no such branch, tag ref, empty-match no-op") {
     val root = fresh("refuse")
     SnapshotLog.commit(
