@@ -1671,7 +1671,24 @@ object SnapshotLog {
     val fs = fsFor(spark, new Path(root))
     val dataDir = new Path(new Path(root, "data"),
       java.util.UUID.randomUUID().toString.take(12))
-    df.repartition(math.max(1, numFiles)).write.parquet(dataDir.toString)
+    // branch commits honor write.sort.order like mainline commits (see
+    // commit()): audited-then-published data arrives already clustered
+    val branchProps = try tableProps(spark, root)
+                      catch { case scala.util.control.NonFatal(_) =>
+                        Map.empty[String, String] }
+    val sortCols = branchProps.get("write.sort.order").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val sortOn =
+      if (sortCols.nonEmpty && sortCols.forall(df.schema.fieldNames.contains))
+        sortCols
+      else Seq.empty
+    val staged =
+      if (sortOn.isEmpty) df.repartition(math.max(1, numFiles))
+      else df.repartitionByRange(math.max(1, numFiles),
+          sortOn.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(
+          sortOn.map(org.apache.spark.sql.functions.col): _*)
+    staged.write.parquet(dataDir.toString)
     val statuses = fs.listStatus(dataDir)
       .filter(s => s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
@@ -1683,6 +1700,7 @@ object SnapshotLog {
     SnapshotBlooms.writeSidecar(spark, root, newFiles, df.schema, newRows)
     SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, df.schema)
     SnapshotNulls.record(spark, root, newNulls)
+    if (sortOn.nonEmpty) SnapshotSorts.record(spark, root, newFiles, sortOn)
     val allFiles = head.files ++ newFiles
     val (fids, colIds, maxId) = fidCarry(Some(head), df.schema, allFiles, newCols)
     try {

@@ -136,6 +136,28 @@ class SnapshotSortOnWriteSpec extends AnyFunSuite {
       "an inapplicable order must not be recorded")
   }
 
+  test("branch commits and streaming micro-batches inherit sort-on-write") {
+    val root = freshRoot("inherit")
+    boot(root)
+    SnapshotLog.setTableProps(spark, root, Map("write.sort.order" -> "k"))
+    // branch commit: staged data arrives clustered too
+    SnapshotLog.createBranch(spark, root, "b", 1)
+    SnapshotLog.commitToBranch(spark, root, "b",
+      spark.range(0, 500).selectExpr(
+        "cast(xxhash64(id) % 1000 AS bigint) AS k", "id AS v"), 200L, 2)
+    assert(SnapshotSorts.sortsAt(root).count(_._2 == Seq("k")) === 2,
+      "the branch commit's files must record the sort order")
+    // streaming micro-batch: commitStreamBatch rides commit(), so the
+    // sink's files cluster and record without any sink-side code
+    val ok = graft.streaming.StreamingOps.commitStreamBatch(
+      spark.range(500, 900).selectExpr(
+        "cast(xxhash64(id) % 1000 AS bigint) AS k", "id AS v")
+        .repartition(7), root, batchId = 0L)
+    assert(ok)
+    assert(SnapshotSorts.sortsAt(root).count(_._2 == Seq("k")) === 4,
+      "the micro-batch's files must record the sort order (2 branch + 2)")
+  }
+
   test("later appends keep clustering; multi-column orders record whole") {
     val root = freshRoot("multi")
     boot(root)
