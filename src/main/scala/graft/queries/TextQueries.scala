@@ -68,7 +68,11 @@ object TextQueries extends QueryModule {
         .filter(length(col("term")) > 0)
       val byDoc = toks.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .localCheckpoint() // tf feeds dlen, dfreq, AND the score join —
+                           // one corpus tokenization, not three
+      // |d| = Σ tf over the doc's terms: derived from the tf aggregate,
+      // never a second corpus pass
+      val dlen = byDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val corpus = dlen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
         .head()
       val (n, avgdl) = (corpus.getLong(0), corpus.getDouble(1))
@@ -315,8 +319,8 @@ object TextQueries extends QueryModule {
         |    FROM documents) WHERE t <> ''),
         |bydoc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
         |          FROM toks GROUP BY 1, 2),
-        |dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-        |         FROM toks GROUP BY 1),
+        |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |         FROM bydoc GROUP BY 1),
         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl
         |          FROM dlen),
         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bydoc
