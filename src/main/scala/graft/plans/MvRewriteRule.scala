@@ -47,9 +47,13 @@ import graft.operators.IncrementalMv
   * Filter admissibility widens accordingly: a predicate may reference
   * ANY MV group column (queried or not), since filtering rows of a group
   * column commutes with grouping; it is applied to the MV rows below the
-  * re-aggregation. Decimal measures are refused on the rollup path (a
-  * re-sum widens the decimal type away from the query's) — refusal, not
-  * wrongness.
+  * re-aggregation. The rollup path additionally serves
+  * `count(DISTINCT g)` for an UNQUERIED MV group column g: the MV's rows
+  * enumerate the live full-key groups exactly, so a distinct count of g
+  * over MV ROWS equals the one over base rows — a COUNT DISTINCT
+  * answered from kilobytes. Decimal measures are refused on the rollup
+  * path (a re-sum widens the decimal type away from the query's) —
+  * refusal, not wrongness.
   *
   * Correctness gate: the rewrite fires ONLY when the base relation's
   * pinned snapshot version equals the MV's durable applied-version
@@ -145,7 +149,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       spark = SparkSession.active
       applied <- freshOrRefreshed(spark, mv, pinned)
       if applied == pinned
-      binds <- bindOutputs(groups, mv.valueCols.toSet, aggExprs)
+      binds <- bindOutputs(groups, mv.valueCols.toSet, mv.groupCols.toSet,
+        aggExprs)
       plan <- materialize(spark, mv, binds, cond,
         rollup = groups.size != mv.groupCols.size, groups)
     } yield plan
@@ -183,9 +188,15 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private case class CountVB(c: String) extends Bind // count(c) → nv_c
   private case class SumB(c: String) extends Bind    // sum(c)   → if(nv_c=0,null,s_c)
   private case class AvgB(c: String) extends Bind    // avg(c)   → s_c / nv_c
+  // count(DISTINCT g) for an MV GROUP column g: the MV's rows enumerate
+  // the live (full-key) groups exactly, so distinct-counting g over MV
+  // ROWS equals distinct-counting it over base rows — a COUNT DISTINCT
+  // served from kilobytes. Rollup path only (on the exact path g is a
+  // query group, so the "distinct count" is the degenerate 0/1).
+  private case class DistinctGroupB(g: String) extends Bind
 
   private def bindOutputs(groups: Seq[AttributeReference],
-      valueCols: Set[String],
+      valueCols: Set[String], mvGroupCols: Set[String],
       aggExprs: Seq[NamedExpression]): Option[Seq[(NamedExpression, Bind)]] = {
     def groupOf(e: Expression): Option[String] = e match {
       case a: AttributeReference
@@ -196,13 +207,15 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case a: AttributeReference => groupOf(a).map(n => a -> (GroupB(n): Bind))
       case al @ Alias(c, _) =>
         groupOf(c).map(n => al -> (GroupB(n): Bind))
-          .orElse(bindAgg(valueCols, c).map(al -> _))
+          .orElse(bindAgg(valueCols, mvGroupCols,
+            groups.map(_.name).toSet, c).map(al -> _))
       case _ => None
     }
     if (out.forall(_.isDefined)) Some(out.flatten) else None
   }
 
-  private def bindAgg(valueCols: Set[String], e: Expression): Option[Bind] =
+  private def bindAgg(valueCols: Set[String], mvGroupCols: Set[String],
+      queryGroups: Set[String], e: Expression): Option[Bind] =
     e match {
       case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) =>
         Some(CountB)
@@ -212,6 +225,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           if valueCols(a.name) => Some(SumB(a.name))
       case AggregateExpression(Average(a: AttributeReference, _), Complete, false, None, _)
           if valueCols(a.name) => Some(AvgB(a.name))
+      case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, true, None, _)
+          if mvGroupCols(a.name) && !queryGroups(a.name) =>
+        Some(DistinctGroupB(a.name))
       case _ => None
     }
 
@@ -258,6 +274,11 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         If(EqualTo(sumNv, Literal(0L)), Literal.create(null, DoubleType),
           Divide(Cast(Sum(s).toAggregateExpression(), DoubleType),
             Cast(sumNv, DoubleType))) }
+      case DistinctGroupB(g) => attr(g).map(a =>
+        // Count DISTINCT over MV rows: within any coarser grouping the
+        // MV's (full-key) rows enumerate each live g value at least once
+        // and distinct-count collapses the repetition exactly
+        Count(a).toAggregateExpression(isDistinct = true, filter = None))
     }
     def directSrc(nCol: AttributeReference)(b: Bind): Option[Expression] =
       b match {
@@ -271,6 +292,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         case AvgB(c) => measure(c).map { case (nv, s) =>
           If(EqualTo(nv, Literal(0L)), Literal.create(null, DoubleType),
             Divide(Cast(s, DoubleType), Cast(nv, DoubleType))) }
+        case DistinctGroupB(_) => None // rollup-only bind (see Bind doc)
       }
     for {
       nCol <- attr("n") if nCol.dataType == LongType

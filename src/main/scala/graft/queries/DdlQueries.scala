@@ -1275,7 +1275,10 @@ object DdlQueries extends QueryModule {
       val t = s.read.format("snapshotlog").load(root)
       val q = t.groupBy(col("grp"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
-          count(col("w")).as("nw"), avg(col("w")).as("aw"))
+          count(col("w")).as("nw"), avg(col("w")).as("aw"),
+          // count(DISTINCT <unqueried MV key>) rides the same rollup —
+          // the MV's rows enumerate the live (grp, sub) groups exactly
+          countDistinct(col("sub")).as("nsub"))
       val filtered = t.filter(col("sub") === 1)
         .groupBy(col("grp")).agg(sum(col("v")).as("sv"))
       val global = t.agg(count(lit(1)).as("n"), avg(col("w")).as("aw"))
@@ -2416,6 +2419,7 @@ object DdlQueries extends QueryModule {
         |  CAST(sum(v) AS BIGINT) AS sv,
         |  CAST(count(w) AS BIGINT) AS nw,
         |  CAST(sum(w) AS DOUBLE) / count(w) AS aw,
+        |  CAST(count(DISTINCT sub) AS BIGINT) AS nsub,
         |  TRUE AS rollup_served, TRUE AS filter_rollup_served,
         |  TRUE AS global_served, TRUE AS nonmv_group_keeps_base
         |FROM fin GROUP BY grp""".stripMargin,

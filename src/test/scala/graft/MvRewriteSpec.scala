@@ -444,6 +444,21 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(gsv === (0L until 1500L).map(_ * 2).sum)
       val ws = (0L until 1500L).filter(_ % 3 != 0).map(_ % 13)
       assert(math.abs(gaw - ws.sum.toDouble / ws.size) < 1e-12)
+      // count(DISTINCT <unqueried MV key>) rides the rollup: the MV rows
+      // enumerate the live (day, cc) groups, distinct-count collapses them
+      val dcc = t.groupBy(col("day"))
+        .agg(countDistinct(col("cc")).as("ncc"), sum(col("v")).as("sv"))
+      assert(rolledUpFromMv(dcc, "mvrw_roll"),
+        dcc.queryExecution.optimizedPlan.toString)
+      val wantD = (0L until 1500L).groupBy(_ % 5).map { case (d, is) =>
+        (d.toInt, is.map(_ % 3).distinct.size.toLong, is.map(_ * 2).sum) }.toSet
+      assert(dcc.as[(Int, Long, Long)].collect().toSet === wantD)
+      // distinct over a VALUE column or a QUERIED group column refuses
+      val dv = t.groupBy(col("day")).agg(countDistinct(col("v")).as("x"))
+      val dday = t.groupBy(col("day")).agg(countDistinct(col("day")).as("x"))
+      for (neg0 <- Seq(dv, dday))
+        assert(!rolledUpFromMv(neg0, "mvrw_roll"),
+          neg0.queryExecution.optimizedPlan.toString)
       // negatives: non-MV grouping column, non-group filter, non-count/sum
       // agg, and staleness all keep the base scan
       val byK = t.groupBy(col("k")).agg(count(lit(1)).as("n"))
