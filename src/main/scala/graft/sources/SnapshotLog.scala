@@ -1611,6 +1611,25 @@ object SnapshotLog {
   def dropTag(spark: SparkSession, root: String, name: String): Unit =
     writeRefs(spark, root, refsTyped(spark, root) - name)
 
+  /** Advance branch `branch` from `expected` to `committed`, RE-PROVING at
+    * write time that no concurrent branch writer advanced the ref since
+    * the commit closure's head check — an unconditional overwrite here
+    * would silently drop that writer's snapshot from the branch chain.
+    * On mismatch the just-committed snapshot stays in the log (it is a
+    * valid child of `expected`) but is NOT adopted as the branch head;
+    * the caller re-runs against the new head. */
+  private def advanceBranchRef(spark: SparkSession, root: String,
+                               branch: String, expected: Int,
+                               committed: Int): Unit = {
+    val now = refsTyped(spark, root)
+    if (!now.get(branch).exists(r => r._1 == "branch" && r._2 == expected))
+      throw new CommitConflictException(
+        s"SnapshotLog: branch '$branch' advanced concurrently during the " +
+          s"commit at $root — snapshot v$committed committed but not " +
+          "adopted as the branch head; re-run against the new head")
+    writeRefs(spark, root, now + (branch -> (("branch", committed))))
+  }
+
   private def writeRefs(spark: SparkSession, root: String,
                         m: Map[String, (String, Int)]): Unit = {
     val p = new Path(logDir(root), "refs.json")
@@ -3014,8 +3033,7 @@ object SnapshotLog {
         } catch {
           case e: IllegalStateException => fs.delete(delDir, true); throw e
         }
-        writeRefs(spark, root,
-          refsTyped(spark, root) + (branch -> (("branch", committed))))
+        advanceBranchRef(spark, root, branch, headV, committed)
         committed
     }
   }
@@ -3081,9 +3099,6 @@ object SnapshotLog {
           .map(s => norm(s.getPath.toString) -> s.getLen).toMap
         val (newStats, newCols, newRows, newNulls) =
           footerMeta(spark.sessionState.newHadoopConf(), newFiles, cur.schema)
-        SnapshotBlooms.writeSidecar(spark, root, newFiles, cur.schema, newRows)
-        SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, cur.schema)
-        SnapshotNulls.record(spark, root, newNulls)
         val committed = try retryingCommit("updateWhereMoRBranch") { () =>
           val snapsNow = snapshots(spark, root)
           if (!refsTyped(spark, root).get(branch).exists(_._2 == headV))
@@ -3106,8 +3121,15 @@ object SnapshotLog {
           case e: IllegalStateException =>
             fs.delete(delDir, true); fs.delete(dataDir, true); throw e
         }
-        writeRefs(spark, root,
-          refsTyped(spark, root) + (branch -> (("branch", committed))))
+        // index sidecars AFTER the commit succeeds: on refusal the data
+        // files above are deleted, and sidecar entries written first would
+        // reference them forever (expireSidecars only reclaims files that
+        // appear in dead snapshots). A scan between commit and these
+        // writes merely keeps the new files (conservative).
+        SnapshotBlooms.writeSidecar(spark, root, newFiles, cur.schema, newRows)
+        SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, cur.schema)
+        SnapshotNulls.record(spark, root, newNulls)
+        advanceBranchRef(spark, root, branch, headV, committed)
         committed
     }
   }
@@ -3316,7 +3338,6 @@ object SnapshotLog {
       .map(s => norm(s.getPath.toString) -> s.getLen).toMap
     val (newStats, newCols, newRows, newNulls) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
-    SnapshotNulls.record(spark, root, newNulls)
     val delta = delsDelta(cur, merged)
     // the batch's key bounds, for validateAddedFiles on re-apply (the
     // staged key set may be empty when no current file overlaps — the
@@ -3359,7 +3380,10 @@ object SnapshotLog {
         staged.foreach { case (d, _) => fs.delete(d, true) }
         fs.delete(dataDir, true); throw e
     }
-        locally { maybeMaintain(spark, root); committed }
+    // null-count sidecar AFTER the commit: a refused commit deletes the
+    // data files, and a record written first would orphan forever
+    SnapshotNulls.record(spark, root, newNulls)
+    locally { maybeMaintain(spark, root); committed }
   }
 
   /** Canonical form for cross-engine stat comparison (mirrors the
@@ -3430,7 +3454,6 @@ object SnapshotLog {
           .map(s => norm(s.getPath.toString) -> s.getLen).toMap
         val (newStats, newCols, newRows, newNulls) =
           footerMeta(spark.sessionState.newHadoopConf(), newFiles, cur.schema)
-        SnapshotNulls.record(spark, root, newNulls)
         val delta = delsDelta(cur, merged)
         val committed = try retryingCommit("updateWhereMoR") { () =>
           val (head, nextV) = headAndNext(spark, root)
@@ -3455,6 +3478,9 @@ object SnapshotLog {
           case e: IllegalStateException =>
             fs.delete(delDir, true); fs.delete(dataDir, true); throw e
         }
+        // null-count sidecar AFTER the commit: a refused commit deletes
+        // the data files, and a record written first would orphan forever
+        SnapshotNulls.record(spark, root, newNulls)
         locally { maybeMaintain(spark, root); committed }
     }
   }

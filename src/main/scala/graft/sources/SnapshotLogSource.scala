@@ -806,6 +806,10 @@ private[graft] object SnapshotLogScanBuilder {
       if (root.nonEmpty && filters.exists(SnapshotNgramBlooms.usable))
         SnapshotNgramBlooms.ngramsAt(root)
       else Map.empty
+    // each needle's gram hashes computed once (not per file per gram)
+    val gramProbes: Map[String, Array[Long]] =
+      if (ngrams.isEmpty) Map.empty
+      else SnapshotNgramBlooms.compileGrams(filters)
     val probes: Map[Filter, CompiledIn] = filters.collect {
       case in @ In(_, vs) if vs != null && vs.length > CompileInThreshold =>
         (in: Filter) -> compileIn(in, schema)
@@ -823,11 +827,12 @@ private[graft] object SnapshotLogScanBuilder {
       java.util.stream.IntStream.range(0, arr.length).parallel()
         .forEach(i => keep(i) =
           mayKeep(snap, schema, arr(i), filters, blooms, probes,
-            defaultBounds, ngrams))
+            defaultBounds, ngrams, gramProbes))
       return arr.indices.collect { case i if keep(i) => arr(i) }
     }
     candidates.filter(f =>
-      mayKeep(snap, schema, f, filters, blooms, probes, defaultBounds, ngrams))
+      mayKeep(snap, schema, f, filters, blooms, probes, defaultBounds, ngrams,
+        gramProbes))
   }
 
   /** Stat-space (min, max) = (default, default) for every column with a
@@ -863,7 +868,8 @@ private[graft] object SnapshotLogScanBuilder {
                       probes: Map[Filter, CompiledIn] = Map.empty,
                       defaultBounds: Map[String, (Any, Any)] = Map.empty,
                       ngrams: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
-                        = Map.empty)
+                        = Map.empty,
+                      gramProbes: Map[String, Array[Long]] = Map.empty)
       : Boolean = {
     val key = SnapshotLog.norm(f)
     val physStats = snap.stats.getOrElse(key, Map.empty[String, (Any, Any)])
@@ -928,7 +934,7 @@ private[graft] object SnapshotLogScanBuilder {
           else snap.physName(f, n)
         phys.flatMap(ngrams.get).flatMap(_.get(key))
       }
-      filters.forall(SnapshotNgramBlooms.mayMatch(ngramOf, _))
+      filters.forall(SnapshotNgramBlooms.mayMatch(ngramOf, _, gramProbes))
     })
   }
 }

@@ -275,21 +275,54 @@ private[graft] object SnapshotNgramBlooms {
   private def gramHash(g: UTF8String): Long =
     new XxHash64(Seq(Literal(g, StringType))).eval(null).asInstanceOf[Long]
 
+  /** Each distinct needle's gram-hash array, computed ONCE per prune call
+    * (the [[SnapshotLogScanBuilder.CompiledIn]] discipline): the per-file
+    * probe then pays bloom lookups only — without this a long needle over
+    * a 10^5-file manifest re-windows and re-hashes (interpreted Catalyst
+    * XxHash64 evals) millions of times inside the planning path. */
+  def compileGrams(filters: Array[Filter]): Map[String, Array[Long]] = {
+    val acc = scala.collection.mutable.HashMap[String, Array[Long]]()
+    def add(v: String): Unit =
+      if (v != null && !acc.contains(v))
+        acc(v) = probeGrams(v).map(gramHash).toArray
+    def visit(f: Filter): Unit = f match {
+      case And(l, r) => visit(l); visit(r)
+      case Or(l, r) => visit(l); visit(r)
+      case StringContains(_, v) => add(v)
+      case StringStartsWith(_, v) => add(v)
+      case StringEndsWith(_, v) => add(v)
+      case EqualTo(_, v: String) => add(v)
+      case _ => ()
+    }
+    filters.foreach(visit)
+    acc.toMap
+  }
+
   /** May a file contain a row matching `f`, per its trigram blooms?
     * Tri-state collapsed like [[SnapshotBlooms.mayMatch]]: missing bloom,
-    * short needle, or unsupported shape is `true` (keep). */
-  def mayMatch(bloomOf: String => Option[BloomFilter], f: Filter): Boolean = {
+    * short needle, or unsupported shape is `true` (keep). `grams` carries
+    * the [[compileGrams]] precomputation; a needle absent from it (never
+    * the case through prune()) conservatively keeps the file. */
+  def mayMatch(bloomOf: String => Option[BloomFilter], f: Filter,
+               grams: Map[String, Array[Long]]): Boolean = {
     def probe(attr: String, needle: String): Boolean =
       if (needle == null) true
       else bloomOf(attr) match {
         case Some(bf) =>
-          val grams = probeGrams(needle)
-          grams.isEmpty || grams.forall(g => bf.mightContainLong(gramHash(g)))
+          grams.get(needle).forall { hs =>
+            var i = 0
+            var all = true
+            while (all && i < hs.length) {
+              all = bf.mightContainLong(hs(i))
+              i += 1
+            }
+            all
+          }
         case None => true
       }
     f match {
-      case And(l, r) => mayMatch(bloomOf, l) && mayMatch(bloomOf, r)
-      case Or(l, r) => mayMatch(bloomOf, l) || mayMatch(bloomOf, r)
+      case And(l, r) => mayMatch(bloomOf, l, grams) && mayMatch(bloomOf, r, grams)
+      case Or(l, r) => mayMatch(bloomOf, l, grams) || mayMatch(bloomOf, r, grams)
       case StringContains(a, v) => probe(a, v)
       case StringStartsWith(a, v) => probe(a, v)
       case StringEndsWith(a, v) => probe(a, v)
