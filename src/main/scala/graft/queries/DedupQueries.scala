@@ -45,6 +45,21 @@ object DedupQueries extends QueryModule {
     * bucket.) */
   val DFCAP = 64
 
+  /** Sub-document dedup passage width, in words: the fixture's documents
+    * carry no paragraph delimiters, so the passage unit is the
+    * non-overlapping PARAW-word window — the token-window analog of
+    * paragraph/line granularity. */
+  val PARAW = 8
+
+  /** Passage document-frequency strip threshold (the DFCAP of
+    * dedup_paragraphs): a passage appearing in more than PARADF places is
+    * corpus boilerplate — a repeated header, a license block — and is
+    * STRIPPED from every document (not deduplicated to one keeper: the
+    * boilerplate-removal semantics of C4/RefinedWeb-style pipelines). The
+    * hot-passage list is tiny by construction (a passage universe grows
+    * with the corpus, its df>k tail does not), so it broadcasts. */
+  val PARADF = 2
+
   /** distinct (doc_id, 60-bit shingle hash) pairs — shingles are hashed at
     * the source so every downstream shuffle/join/agg moves an 8-byte long
     * instead of a ~25-byte string. The oracle applies the identical md5
@@ -197,6 +212,42 @@ object DedupQueries extends QueryModule {
     // with map-side partial min) -> 4 band hashes -> candidates share a band
     // bucket -> estimated similarity from signature agreement.
     "dedup_docs_minhash" -> ((s, d) => minhashPairs(s, d)),
+
+    // SUB-DOCUMENT exact dedup (repeated-passage removal): the document-
+    // level families above keep/drop whole documents; a 100-TB training
+    // corpus ALSO needs the passage-granular pass that strips repeated
+    // boilerplate from inside otherwise-unique documents (ref analog:
+    // drop_duplicates kernels, bodo/libs/streaming/union.py:38, applied at
+    // passage granularity). Shape: posexplode the PARAW-word windows (the
+    // position index rides along for order-preserving reassembly), 60-bit
+    // md5 passage hash, ONE global passage-df aggregate, the df>PARADF hot
+    // list BROADCAST into a left-anti join, ONE reassembly aggregate that
+    // re-joins each document's surviving passages in original order. Two
+    // wide shuffles total — df agg and reassembly, both map-side-combined
+    // — pinned in PlanShapeSpec; candidates never pair up (no self-join:
+    // exact hashing needs df counts, not pair enumeration). A document
+    // whose every passage is boilerplate disappears (oracle agrees).
+    "dedup_paragraphs" -> ((s, d) => {
+      val paras = documents(s, d)
+        // single-split fixture: spread the explode+hash work (see
+        // shingleSets — a production corpus has natural splits)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(split(text, ' ')) / $PARAW.0) as int) - 1), " +
+            s"i -> array_join(slice(split(text, ' '), i * $PARAW + 1, $PARAW), ' '))"))
+          .as(Seq("idx", "para")))
+        .withColumn("ph", md5Long(col("para")))
+        // one passage pass feeds BOTH the df aggregate and the strip join
+        .localCheckpoint()
+      val hot = paras.groupBy("ph").agg(count(lit(1)).as("df"))
+        .filter(col("df") > PARADF).select("ph")
+      paras.join(broadcast(hot), Seq("ph"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("idx"), col("para")))),
+            x => x.getField("para")), " ").as("clean_text"))
+    }),
 
     // Cluster decision step: pair generators emit EDGES, the keep/drop
     // policy needs CLUSTERS (A~B and B~C collapse to one kept document
@@ -420,6 +471,20 @@ object DedupQueries extends QueryModule {
          |WHERE i.inter / (si.n + sj.n - i.inter) >= 0.8""".stripMargin,
 
     "dedup_docs_minhash" -> duckMinhashPairsSql,
+
+    "dedup_paragraphs" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |p AS (SELECT doc_id, i AS idx,
+         |        array_to_string(ws[(i*$PARAW+1):(i*$PARAW+$PARAW)], ' ') AS para
+         |      FROM w, (SELECT unnest(range(0, 10000)) AS i)
+         |      WHERE i*$PARAW < len(ws)),
+         |pr AS (SELECT doc_id, idx, para,
+         |        ('0x' || substring(md5(para), 1, 15))::BIGINT AS ph FROM p),
+         |hot AS (SELECT ph FROM pr GROUP BY ph HAVING count(*) > $PARADF)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(para, ' ' ORDER BY idx) AS clean_text
+         |FROM pr WHERE ph NOT IN (SELECT ph FROM hot)
+         |GROUP BY doc_id""".stripMargin,
 
     "dedup_cluster_cc" ->
       s"""WITH RECURSIVE pairs AS (

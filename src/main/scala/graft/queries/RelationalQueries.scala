@@ -146,6 +146,21 @@ object RelationalQueries extends QueryModule {
       orders(s, d).sample(withReplacement = false, 0.1, seed = 42)
         .select(col("o_orderkey"), col("o_totalprice"))),
 
+    // Deterministic twin of `sample_fraction`: the same 10%-of-orders
+    // surface with membership decided by a 60-bit md5 hash of the row key
+    // instead of rand(seed) — exactly reproducible across runs, engines,
+    // and retries (the auditable-sample shape of sample_stratified at a
+    // single rate), so the fraction-sampling surface ALSO has a
+    // hash-matched oracle row while native .sample() stays rows-only
+    // gated beside it. Pure narrow filter: no shuffle.
+    "sample_fraction_hash" -> ((s, d) => {
+      import graft.text.TextKernels.md5Long
+      orders(s, d)
+        .filter(md5Long(concat(lit("frac"),
+          col("o_orderkey").cast("string"))) % 100 < 10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // Stratified sampling with per-stratum rates (sampleBy / the data-
     // mixture knob of a pretraining pipeline: up-weight one language,
     // down-weight another). Membership is decided by a deterministic
@@ -208,6 +223,10 @@ object RelationalQueries extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "sample_fraction_hash" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE ('0x' || substring(md5('frac' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 < 10""".stripMargin,
+
     "sample_stratified" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_id

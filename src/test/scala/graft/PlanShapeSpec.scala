@@ -450,6 +450,39 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_paragraphs: two wide shuffles, hot-passage list broadcast") {
+    // the r19 sub-document dedup contract: ONE passage-df aggregate and
+    // ONE reassembly aggregate are the only wide shuffles (the passage
+    // rows are localCheckpoint'd, so the fixture repartition is not in
+    // this plan); the df>PARADF hot list joins back as a BROADCAST
+    // anti-join — a shuffled strip join would move the whole passage set
+    // a third time at corpus scale.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = SparkEntry.queries("dedup_paragraphs")(spark, sf)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val plan = df.queryExecution.executedPlan.toString
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 2,
+      s"dedup_paragraphs plans $shuffles shuffles; the contract is 2 " +
+        "(passage-df aggregate + order-preserving reassembly)")
+    assert(plan.contains("BroadcastHashJoin"),
+      "hot-passage strip must be a broadcast anti-join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("native as-of join matches the window composition row-for-row") {
     // two independent implementations of the same semantics must agree —
     // the strongest in-repo oracle (the DuckDB ASOF check runs driver-side).
