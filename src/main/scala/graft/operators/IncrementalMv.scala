@@ -35,6 +35,21 @@ object IncrementalMv {
   /** Watermark property on the MV table: highest base version applied. */
   val AppliedProp = "mv.applied-base-version"
 
+  /** JOIN-MV properties on the MV table (star-schema MVs, r19): the MV is
+    * `SELECT groups…, count/sum… FROM fact JOIN dim ON fact.k = dim.k
+    * GROUP BY groups…` with the DIM PINNED at [[AppliedDimProp]]. The
+    * incremental algebra stays exact because the pinned dim is STATIC:
+    * each net fact delta row joins the same dim rows it would have at
+    * create time, so insert-adds/delete-subtracts compose through the
+    * join unchanged. A dim that has advanced past the watermark does not
+    * break maintenance (it keeps maintaining the fact⋈dim@pinned view);
+    * it makes the REWRITE refuse queries reading the newer dim — refresh
+    * by re-running createJoin (the full-refresh path), never by guessing. */
+  val AppliedDimProp = "mv.applied-dim-version"
+  val JoinDimRootProp = "mv.join-dim-root"
+  val JoinFactKeyProp = "mv.join-fact-key"
+  val JoinDimKeyProp = "mv.join-dim-key"
+
   /** Opt-in MV table property: a stale-but-refreshable MV may be refreshed
     * BY THE REWRITE RULE (refresh-then-serve) when a query's pinned base
     * version is at most [[AutoRefreshBudgetProp]] versions past the
@@ -54,6 +69,26 @@ object IncrementalMv {
       !valueCols.exists(groupCols.contains),
       s"IncrementalMv: bad definition (groups=$groupCols values=$valueCols)")
 
+  /** Seed aggregate `count(*) n, count(c) nv_c, coalesce(sum(c), 0) s_c…`
+    * over `src`, CTAS'd into `snap.<mvTable>` — shared by the single-table
+    * and join create paths. */
+  private def seedMv(spark: SparkSession, src: DataFrame, mvTable: String,
+                     groupCols: Seq[String], valueCols: Seq[String]): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS snap.$mvTable")
+    val aggs: Seq[Column] = count(lit(1)).as("n") +: valueCols.flatMap { c =>
+      Seq(count(col(c)).as(nvCol(c)), sum(col(c)).as(s"__s_$c")) }
+    val seed = src.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // coalesce needs a typed zero — cast 0 to each sum's own result type
+    val seeded = valueCols.foldLeft(seed) { (df, c) =>
+      val sType = seed.schema(s"__s_$c").dataType.sql
+      df.withColumn(sCol(c),
+        coalesce(col(s"__s_$c"), expr(s"CAST(0 AS $sType)"))).drop(s"__s_$c")
+    }
+    seeded.createOrReplaceTempView("__mv_seed")
+    spark.sql(s"CREATE TABLE snap.$mvTable AS SELECT * FROM __mv_seed")
+    spark.catalog.dropTempView("__mv_seed")
+  }
+
   /** Create the MV `SELECT groups…, count(*) n, count(c) nv_c,
     * coalesce(sum(c), 0) s_c … FROM base GROUP BY groups…` at the base's
     * current version, recording the watermark. `mvTable` is a `snap`
@@ -64,23 +99,70 @@ object IncrementalMv {
     val baseV = SnapshotLog.snapshots(spark, baseRoot)
       .filter(_.branch.isEmpty).last.version
     val base = spark.read.format("snapshotlog").load(baseRoot)
-    spark.sql(s"DROP TABLE IF EXISTS snap.$mvTable")
-    val aggs: Seq[Column] = count(lit(1)).as("n") +: valueCols.flatMap { c =>
-      Seq(count(col(c)).as(nvCol(c)), sum(col(c)).as(s"__s_$c")) }
-    val seed = base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    // coalesce needs a typed zero — cast 0 to each sum's own result type
-    val seeded = valueCols.foldLeft(seed) { (df, c) =>
-      val sType = seed.schema(s"__s_$c").dataType.sql
-      df.withColumn(sCol(c),
-        coalesce(col(s"__s_$c"), expr(s"CAST(0 AS $sType)"))).drop(s"__s_$c")
-    }
-    seeded.createOrReplaceTempView("__mv_seed")
-    spark.sql(s"CREATE TABLE snap.$mvTable AS SELECT * FROM __mv_seed")
-    spark.catalog.dropTempView("__mv_seed")
+    seedMv(spark, base, mvTable, groupCols, valueCols)
     SnapshotLog.setTableProps(spark, mvRoot(spark, mvTable),
       Map(AppliedProp -> baseV.toString))
     register(spark, baseRoot, mvTable, groupCols, valueCols)
     baseV
+  }
+
+  /** STAR-SCHEMA MV (r19): materialize `SELECT groups…, count/sum…
+    * FROM <factRoot> f JOIN <dimRoot> d ON f.factKey = d.dimKey
+    * GROUP BY groups…` — the most common real dashboard materialization
+    * (fact measures grouped by dim attributes). The dim is read PINNED at
+    * its current mainline version and that version is watermarked
+    * ([[AppliedDimProp]]): maintenance joins fact deltas against the SAME
+    * static dim (exact incremental algebra — see [[AppliedDimProp]]), and
+    * the rewrite serves only queries whose dim read resolves to the
+    * watermarked version (a changed dim refuses, never guesses; re-run
+    * createJoin to refresh against the new dim).
+    *
+    * Group and measure columns may come from either side (the algebra is
+    * over the JOINED relation); the two schemas must be column-disjoint —
+    * the MV and the rewrite are name-keyed, so a shared name would be
+    * ambiguous. Returns the fact watermark.
+    *
+    * Reference analog: Calcite's materialized-view substitution recognizes
+    * exactly this join-aggregate shape
+    * (BodoSQL/calcite_sql/.../plan/RelOptMaterialization.java:55). */
+  def createJoin(spark: SparkSession, factRoot: String, dimRoot: String,
+                 factKey: String, dimKey: String, mvTable: String,
+                 groupCols: Seq[String], valueCols: Seq[String]): Int = {
+    checkDef(groupCols, valueCols)
+    val factV = SnapshotLog.snapshots(spark, factRoot)
+      .filter(_.branch.isEmpty).last.version
+    val dimV = SnapshotLog.snapshots(spark, dimRoot)
+      .filter(_.branch.isEmpty).last.version
+    val fact = spark.read.format("snapshotlog").load(factRoot)
+    val dim = spark.read.format("snapshotlog")
+      .option("asOfVersion", dimV).load(dimRoot)
+    val shared = fact.columns.toSet.intersect(dim.columns.toSet)
+    require(shared.isEmpty,
+      s"IncrementalMv.createJoin: fact and dim share column name(s) " +
+        s"${shared.mkString(",")} — rename before materializing (the MV " +
+        "and the rewrite are name-keyed)")
+    require(fact.columns.contains(factKey),
+      s"IncrementalMv.createJoin: no fact column '$factKey'")
+    require(dim.columns.contains(dimKey),
+      s"IncrementalMv.createJoin: no dim column '$dimKey'")
+    val joinedCols = fact.columns.toSet ++ dim.columns
+    val missing = (groupCols ++ valueCols).filterNot(joinedCols.contains)
+    require(missing.isEmpty,
+      s"IncrementalMv.createJoin: column(s) ${missing.mkString(",")} in " +
+        "neither fact nor dim")
+    // small dims broadcast on their reported size; big dims shuffle — the
+    // planner's call, same as the user's own dashboard query
+    val joined = fact.join(dim, fact(factKey) === dim(dimKey), "inner")
+    seedMv(spark, joined, mvTable, groupCols, valueCols)
+    SnapshotLog.setTableProps(spark, mvRoot(spark, mvTable), Map(
+      AppliedProp -> factV.toString,
+      AppliedDimProp -> dimV.toString,
+      JoinDimRootProp -> normRoot(dimRoot),
+      JoinFactKeyProp -> factKey,
+      JoinDimKeyProp -> dimKey))
+    registerJoin(spark, factRoot, dimRoot, factKey, dimKey, mvTable,
+      groupCols, valueCols)
+    factV
   }
 
   /** Single-measure convenience overloads. */
@@ -98,7 +180,8 @@ object IncrementalMv {
                groupCols: Seq[String], valueCols: Seq[String]): Int = {
     checkDef(groupCols, valueCols)
     val root = mvRoot(spark, mvTable)
-    val applied = SnapshotLog.tableProps(spark, root)
+    val mvProps = SnapshotLog.tableProps(spark, root)
+    val applied = mvProps
       .getOrElse(AppliedProp, throw new IllegalStateException(
         s"IncrementalMv: $mvTable has no $AppliedProp — create() it first"))
       .toInt
@@ -117,8 +200,26 @@ object IncrementalMv {
           .as(s"dnv_$c"),
         sum(when(v.isNotNull, when(insert, v).otherwise(-v))).as(s"__ds_$c"))
     }
-    val delta = SnapshotLog.changes(spark, baseRoot, applied, Some(head),
-        netChanges = true)
+    val changed = SnapshotLog.changes(spark, baseRoot, applied, Some(head),
+      netChanges = true)
+    // a JOIN MV's fact deltas acquire their dim attributes through the
+    // SAME join as the defining query, against the dim PINNED at the
+    // watermarked version — static dim ⇒ the ± algebra composes through
+    // the join exactly (see AppliedDimProp)
+    val deltaSrc = mvProps.get(JoinDimRootProp) match {
+      case None => changed
+      case Some(dimRoot) =>
+        val dimV = mvProps.getOrElse(AppliedDimProp,
+          throw new IllegalStateException(
+            s"IncrementalMv: $mvTable has $JoinDimRootProp but no " +
+              s"$AppliedDimProp")).toInt
+        val fk = mvProps(JoinFactKeyProp)
+        val dk = mvProps(JoinDimKeyProp)
+        val dim = spark.read.format("snapshotlog")
+          .option("asOfVersion", dimV).load(dimRoot)
+        changed.join(dim, changed(fk) === dim(dk), "inner")
+    }
+    val delta = deltaSrc
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     val deltaZ0 = valueCols.foldLeft(delta) { (df, c) =>
@@ -180,11 +281,19 @@ object IncrementalMv {
 
   // ---- MV registry (feeds the transparent query-rewrite rule) ----
 
+  /** The join half of a star-schema MvDef: dim table root and the equi
+    * keys (fact side, dim side). The watermarked dim VERSION is not here —
+    * it lives durably on the MV table ([[AppliedDimProp]]) and is re-read
+    * at every rewrite, so a rebase can never serve through a stale cache. */
+  final case class JoinDef(dimRoot: String, factKey: String, dimKey: String)
+
   /** One registered MV: `SELECT groups…, count(*) n, [count(c) nv_c,
-    * sum-with-zero s_c per measure] FROM <baseRoot> GROUP BY groups…`,
+    * sum-with-zero s_c per measure] FROM <baseRoot> [JOIN <join.dimRoot>
+    * ON baseRoot.factKey = dimRoot.dimKey] GROUP BY groups…`,
     * materialized at `mvRoot`. */
   final case class MvDef(baseRoot: String, mvRoot: String,
-                         groupCols: Seq[String], valueCols: Seq[String])
+                         groupCols: Seq[String], valueCols: Seq[String],
+                         join: Option[JoinDef] = None)
 
   /** DURABLE registration: the BASE table's properties carry its
     * materialization's location and defining columns, so a fresh engine
@@ -194,6 +303,9 @@ object IncrementalMv {
   val BaseMvRootProp = "mv.materialization-root"
   val BaseMvGroupProp = "mv.materialization-group-col"
   val BaseMvValueProp = "mv.materialization-value-col"
+  val BaseMvDimRootProp = "mv.materialization-dim-root"
+  val BaseMvFactKeyProp = "mv.materialization-fact-key"
+  val BaseMvDimKeyProp = "mv.materialization-dim-key"
 
   /** In-memory view of registrations: definitive entries written by
     * register(), plus a TTL cache of property hydrations (positive AND
@@ -216,18 +328,41 @@ object IncrementalMv {
     * exposed for MVs maintained by external loops. Durable: recorded in
     * the base table's properties (group/value columns comma-joined). */
   def register(spark: SparkSession, baseRoot: String, mvTable: String,
-               groupCols: Seq[String], valueCols: Seq[String]): Unit = {
-    checkDef(groupCols, valueCols)
-    val d = MvDef(normRoot(baseRoot), mvRoot(spark, mvTable),
-      groupCols, valueCols)
+               groupCols: Seq[String], valueCols: Seq[String]): Unit =
+    registerDef(spark, MvDef(normRoot(baseRoot), mvRoot(spark, mvTable),
+      groupCols, valueCols))
+
+  /** Register a star-schema MV ([[createJoin]] calls this): the FACT
+    * table's properties carry the dim root and keys alongside the usual
+    * materialization columns. */
+  def registerJoin(spark: SparkSession, factRoot: String, dimRoot: String,
+                   factKey: String, dimKey: String, mvTable: String,
+                   groupCols: Seq[String], valueCols: Seq[String]): Unit =
+    registerDef(spark, MvDef(normRoot(factRoot), mvRoot(spark, mvTable),
+      groupCols, valueCols,
+      Some(JoinDef(normRoot(dimRoot), factKey, dimKey))))
+
+  private def registerDef(spark: SparkSession, d: MvDef): Unit = {
+    checkDef(d.groupCols, d.valueCols)
     // a self-referential registration would let the rewrite serve the
     // MV's own defining aggregate FROM ITSELF without aggregating
     require(normRoot(d.mvRoot) != d.baseRoot,
-      s"IncrementalMv: mv table must differ from its base ($baseRoot)")
-    try SnapshotLog.setTableProps(spark, baseRoot, Map(
+      s"IncrementalMv: mv table must differ from its base (${d.baseRoot})")
+    d.join.foreach(j => require(normRoot(d.mvRoot) != j.dimRoot,
+      s"IncrementalMv: mv table must differ from its dim (${j.dimRoot})"))
+    val joinProps = d.join.map(j => Map(
+      BaseMvDimRootProp -> j.dimRoot,
+      BaseMvFactKeyProp -> j.factKey,
+      BaseMvDimKeyProp -> j.dimKey)).getOrElse(Map.empty)
+    try SnapshotLog.setTableProps(spark, d.baseRoot, Map(
       BaseMvRootProp -> d.mvRoot,
-      BaseMvGroupProp -> groupCols.mkString(","),
-      BaseMvValueProp -> valueCols.mkString(",")))
+      BaseMvGroupProp -> d.groupCols.mkString(","),
+      BaseMvValueProp -> d.valueCols.mkString(",")) ++ joinProps,
+      // a re-registration from join to single-table must not leave stale
+      // dim props behind
+      unset = if (d.join.isEmpty)
+        Seq(BaseMvDimRootProp, BaseMvFactKeyProp, BaseMvDimKeyProp)
+      else Seq.empty)
     catch { case scala.util.control.NonFatal(_) => () } // in-memory still works
     hydrated.remove(d.baseRoot)
     registry.put(d.baseRoot, d): Unit
@@ -243,7 +378,8 @@ object IncrementalMv {
   /** Remove the registration durably (base props) and in-memory. */
   def unregister(spark: SparkSession, baseRoot: String): Unit = {
     try SnapshotLog.setTableProps(spark, baseRoot, Map.empty,
-      unset = Seq(BaseMvRootProp, BaseMvGroupProp, BaseMvValueProp))
+      unset = Seq(BaseMvRootProp, BaseMvGroupProp, BaseMvValueProp,
+        BaseMvDimRootProp, BaseMvFactKeyProp, BaseMvDimKeyProp))
     catch { case scala.util.control.NonFatal(_) => () }
     hydrated.remove(normRoot(baseRoot))
     registry.remove(normRoot(baseRoot)): Unit
@@ -271,7 +407,12 @@ object IncrementalMv {
                 vc <- props.get(BaseMvValueProp)
               } yield MvDef(key, mvRoot,
                 g.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-                vc.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                vc.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+                for {
+                  dr <- props.get(BaseMvDimRootProp)
+                  fk <- props.get(BaseMvFactKeyProp)
+                  dk <- props.get(BaseMvDimKeyProp)
+                } yield JoinDef(normRoot(dr), fk, dk))
             } catch { case scala.util.control.NonFatal(_) => None }
           if (hydrated.size > 4096) hydrated.clear()
           hydrated.put(key, (now, v))
@@ -285,5 +426,12 @@ object IncrementalMv {
   private[graft] def appliedVersion(spark: SparkSession,
                                     mvRoot: String): Option[Int] =
     try SnapshotLog.tableProps(spark, mvRoot).get(AppliedProp).map(_.toInt)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The dim version a JOIN MV was materialized against ([[AppliedDimProp]])
+    * — the rewrite's second freshness anchor. None for single-table MVs. */
+  private[graft] def appliedDimVersion(spark: SparkSession,
+                                       mvRoot: String): Option[Int] =
+    try SnapshotLog.tableProps(spark, mvRoot).get(AppliedDimProp).map(_.toInt)
     catch { case scala.util.control.NonFatal(_) => None }
 }

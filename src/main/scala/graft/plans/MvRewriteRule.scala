@@ -1,9 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If, IsNotNull, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.VirtualColumn
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -76,6 +78,29 @@ import graft.operators.IncrementalMv
   * re-proved AFTER the refresh — a concurrent base commit can make the
   * refresh overshoot the pin, in which case we still refuse to serve.
   *
+  * STAR-SCHEMA MVs (r19): an MV registered via
+  * [[IncrementalMv.createJoin]] is defined over `fact JOIN dim ON
+  * fact.k = dim.k` — the single most common real dashboard
+  * materialization (fact measures grouped by dim attributes; the
+  * reference ships Calcite's materialized-view substitution for exactly
+  * this join-aggregate shape,
+  * BodoSQL/calcite_sql/.../plan/RelOptMaterialization.java:55). The rule
+  * matches `Aggregate(… , Join(fact, dim, Inner, fact.k = dim.k))` with
+  * the same Project/Filter tolerance on every level (group-column
+  * predicates commute with the join AND the grouping, wherever
+  * PushDownPredicates parked them; IsNotNull(joinKey) conjuncts planted
+  * by InferFiltersFromConstraints are implied by the inner equi-join and
+  * ignored). Freshness is TWO exact version checks: the fact pin against
+  * the MV's applied watermark, and the dim pin against the MV's
+  * materialized dim version ([[IncrementalMv.AppliedDimProp]]) — a dim
+  * that moved refuses the rewrite (refresh = re-run createJoin), never
+  * guesses. Filter-above, rollup-to-subset, global aggregates, and
+  * count(DISTINCT <mv-key>) all compose with the join shape unchanged —
+  * they operate on the MV table, which is shape-agnostic. A single-table
+  * MV never serves a join query and a join MV never serves a bare fact
+  * scan (the two aggregate DIFFERENT row sets — inner joins drop
+  * unmatched fact rows).
+  *
   * At 100 TB: the maintained MV answers the dashboard aggregate from
   * kilobytes; without the rewrite every consumer re-scans the base.
   * Disable with spark.graft.mv.autoRewrite=false (registration is
@@ -98,8 +123,10 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg @ Aggregate(groups, aggExprs, child, _)
           if groups.forall(_.isInstanceOf[AttributeReference]) =>
-        rewrite(groups.map(_.asInstanceOf[AttributeReference]), aggExprs,
-          child).getOrElse(agg)
+        val gs = groups.map(_.asInstanceOf[AttributeReference])
+        rewrite(gs, aggExprs, child)
+          .orElse(rewriteGsets(gs, aggExprs, child))
+          .getOrElse(agg)
     }
   }
 
@@ -114,44 +141,133 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           name.substring(at + 2).toInt)).toOption
     }
 
-  /** The relation under the aggregate, tolerating the pure-attribute
-    * Project that ColumnPruning inserts and AT MOST ONE deterministic
-    * Filter (CombineFilters collapses stacks) in any order. Returns the
-    * filter condition (if any) for the group-column admissibility check.
-    * Any other operator in between disqualifies the rewrite. */
-  private def decompose(child: LogicalPlan)
-      : Option[(Option[Expression], DataSourceV2Relation)] = child match {
-    case r: DataSourceV2Relation => Some((None, r))
+  /** Peel pure-attribute Projects (ColumnPruning) and deterministic
+    * Filters off `p`, collecting every filter condition for the
+    * group-column admissibility check. Returns (conditions, leaf). */
+  private def peel(p: LogicalPlan): (Seq[Expression], LogicalPlan) = p match {
     case Project(ps, inner) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      decompose(inner)
+      peel(inner)
     case Filter(cond, inner) if cond.deterministic &&
         cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
-      decompose(inner).collect { case (None, r) => (Some(cond), r) }
-    case _ => None
+      val (cs, leaf) = peel(inner)
+      (cond +: cs, leaf)
+    case other => (Nil, other)
+  }
+
+  /** The source shape under the aggregate: a bare DSv2 relation, or a
+    * single-equality INNER join of two (the star-schema MV shape). Filter
+    * conditions are collected from EVERY level — above the join and
+    * pushed below it onto either side (PushDownPredicates moves
+    * group-column predicates there before this rule sees the plan);
+    * filtering a group column commutes with the join AND with the
+    * grouping, so placement doesn't change admissibility. Any other
+    * operator disqualifies the rewrite. */
+  private sealed trait Src
+  private case class SingleSrc(conds: Seq[Expression],
+      rel: DataSourceV2Relation) extends Src
+  private case class JoinSrc(conds: Seq[Expression],
+      left: DataSourceV2Relation, leftKey: String,
+      right: DataSourceV2Relation, rightKey: String) extends Src
+
+  private def decompose(child: LogicalPlan): Option[Src] =
+    peel(child) match {
+      case (conds, r: DataSourceV2Relation) => Some(SingleSrc(conds, r))
+      case (conds, Join(l, r, Inner,
+          Some(EqualTo(a: AttributeReference, b: AttributeReference)), _)) =>
+        (peel(l), peel(r)) match {
+          case ((lc, lr: DataSourceV2Relation), (rc, rr: DataSourceV2Relation)) =>
+            // bind the equality's sides to their relations (either order)
+            val keys =
+              if (lr.output.exists(_.exprId == a.exprId) &&
+                  rr.output.exists(_.exprId == b.exprId)) Some((a, b))
+              else if (lr.output.exists(_.exprId == b.exprId) &&
+                       rr.output.exists(_.exprId == a.exprId)) Some((b, a))
+              else None
+            keys.map { case (lk, rk) =>
+              JoinSrc(conds ++ lc ++ rc, lr, lk.name, rr, rk.name) }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
   }
 
   private def rewrite(groups: Seq[AttributeReference],
                       aggExprs: Seq[NamedExpression],
-                      child: LogicalPlan): Option[LogicalPlan] = {
+                      child: LogicalPlan): Option[LogicalPlan] =
+    decompose(child).flatMap {
+      case SingleSrc(conds, rel) =>
+        serve(conds, rel, None, groups, aggExprs)
+      case JoinSrc(conds, l, lKey, r, rKey) =>
+        // which side is the fact is the registration's call — try both
+        serve(conds, l, Some((lKey, r, rKey)), groups, aggExprs)
+          .orElse(serve(conds, r, Some((rKey, l, lKey)), groups, aggExprs))
+    }
+
+  /** Shape + filter + freshness admission, shared by the flat and the
+    * grouping-sets paths: the source relations must BE the MV's (with
+    * dim-version watermark equality for join MVs), every filter conjunct
+    * must reference only MV group columns, and the fact pin must equal
+    * the (possibly just refreshed) applied watermark. Returns the MvDef
+    * and the admissible conjuncts (not yet rebound to MV attributes). */
+  private def admit(conds: Seq[Expression], rel: DataSourceV2Relation,
+                    dim: Option[(String, DataSourceV2Relation, String)])
+      : Option[(IncrementalMv.MvDef, Seq[Expression])] = {
     for {
-      (cond, rel) <- decompose(child)
       (root, pinned) <- parsePin(rel.table.name())
       mv <- IncrementalMv.registered(root)
+      // the query's source shape must BE the MV's: single-table MVs never
+      // serve joins (the MV aggregated only base rows), join MVs never
+      // serve bare scans of the fact (the MV aggregated fact⋈dim rows,
+      // which drop fact rows without a dim match)
+      keyNames <- (mv.join, dim) match {
+        case (None, None) => Some(Set.empty[String])
+        case (Some(jd), Some((factKey, dimRel, dimKey))) =>
+          for {
+            (dimRoot, dimPinned) <- parsePin(dimRel.table.name())
+            if dimRoot == jd.dimRoot && factKey == jd.factKey &&
+              dimKey == jd.dimKey
+            // the dim read must resolve to the EXACT version the MV was
+            // materialized against — a changed dim refuses, never guesses
+            dimApplied <- IncrementalMv.appliedDimVersion(
+              SparkSession.active, mv.mvRoot)
+            if dimApplied == dimPinned
+          } yield Set(jd.factKey, jd.dimKey)
+        case _ => None
+      }
+      // filter admissibility, per conjunct: every referenced column is an
+      // MV GROUP column (queried or not) — then filtering the group rows
+      // before (re-)aggregation is the same relation. IsNotNull on a JOIN
+      // KEY is implied by the inner equi-join itself (null keys never
+      // match) — InferFiltersFromConstraints plants those below the join;
+      // they are a no-op on the join result and are dropped here.
+      cs = conds.flatMap(conjuncts).filterNot {
+        case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+        case _ => false
+      }
+      if cs.forall(_.references.forall(a => mv.groupCols.contains(a.name)))
+      applied <- freshOrRefreshed(SparkSession.active, mv, pinned)
+      if applied == pinned
+    } yield (mv, cs)
+  }
+
+  private def serve(conds: Seq[Expression], rel: DataSourceV2Relation,
+                    dim: Option[(String, DataSourceV2Relation, String)],
+                    groups: Seq[AttributeReference],
+                    aggExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
+    for {
+      (mv, cs) <- admit(conds, rel, dim)
       // query groups must be a (possibly improper, possibly empty) subset
       // of the MV's key set; equal sets → direct serve, proper subset →
       // rollup re-aggregation over the MV
       if groups.map(_.name).distinct.size == groups.size &&
         groups.forall(g => mv.groupCols.contains(g.name))
-      // filter-above admissibility: every referenced column is an MV
-      // GROUP column (queried or not) — then filtering the MV's group
-      // rows before (re-)aggregation is the same relation
-      if cond.forall(_.references.forall(a => mv.groupCols.contains(a.name)))
-      spark = SparkSession.active
-      applied <- freshOrRefreshed(spark, mv, pinned)
-      if applied == pinned
       binds <- bindOutputs(groups, mv.valueCols.toSet, mv.groupCols.toSet,
         aggExprs)
-      plan <- materialize(spark, mv, binds, cond,
+      plan <- materialize(SparkSession.active, mv, binds, cs.reduceOption(And),
         rollup = groups.size != mv.groupCols.size, groups)
     } yield plan
   }
@@ -179,6 +295,156 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         IncrementalMv.appliedVersion(spark, mv.mvRoot) // re-prove, no trust
       case other => other
     }
+  }
+
+  /** GROUPING SETS / ROLLUP / CUBE over the MV base (r19): Spark plans
+    * grouping sets as `Aggregate(groupAttrs :+ spark_grouping_id, aggs,
+    * Expand(projections, output, child))` — each Expand projection passes
+    * the aggregation inputs through unchanged and null-masks the grouping
+    * columns per set, with a gid literal tagging the set. When the child
+    * decomposes to the MV's source shape and every grouping attribute is
+    * an MV key, EVERY grouping set is a subset of the MV key set — each is
+    * individually rollup-servable — so the rewrite keeps the
+    * Aggregate+Expand STRUCTURE and substitutes the source: the Expand
+    * re-expands MV ROWS instead of base rows (one row per fine-grained
+    * group — kilobytes at 100 TB), pass-through measure positions become
+    * the MV's n/nv_c/s_c columns, and each aggregate re-composes exactly
+    * like the rollup path (count(*) → sum(n), sum(c) → nv-masked
+    * sum(s_c), avg(c) → sum(s_c)/sum(nv_c), count(DISTINCT g) for an MV
+    * key g → count(DISTINCT g) over MV rows — correct in every set, the
+    * sets grouping ON g included, where it degenerates to 1 exactly as
+    * the direct query does). The grouping attrs and spark_grouping_id
+    * keep their exprIds, so grouping()/grouping_id() projections and
+    * every parent re-bind unchanged; non-subset grouping attrs (any
+    * non-MV-key column) fall back to the base scan.
+    * Reference exercises subset grouping sets:
+    * BodoSQL/bodosql/tests/test_groupby_grouping_sets.py:121. */
+  private def rewriteGsets(groups: Seq[AttributeReference],
+                           aggExprs: Seq[NamedExpression],
+                           child: LogicalPlan): Option[LogicalPlan] =
+    child match {
+      case Expand(projections, output, eChild) =>
+        val gid = groups.find(_.name == VirtualColumn.groupingIdName)
+        val others = groups.filterNot(g => gid.exists(_.exprId == g.exprId))
+        val src = decompose(eChild)
+        for {
+          g <- gid
+          s <- src
+          (mv, cs) <- s match {
+            case SingleSrc(conds, rel) => admit(conds, rel, None)
+            case JoinSrc(conds, l, lKey, r, rKey) =>
+              admit(conds, l, Some((lKey, r, rKey)))
+                .orElse(admit(conds, r, Some((rKey, l, lKey))))
+          }
+          plan <- materializeGsets(SparkSession.active, mv, cs, projections,
+            output, groups, g, others, aggExprs)
+        } yield plan
+      case _ => None
+    }
+
+  /** Build the substituted Expand + Aggregate (see [[rewriteGsets]]). */
+  private def materializeGsets(spark: SparkSession, mv: IncrementalMv.MvDef,
+      conds: Seq[Expression],
+      projections: Seq[Seq[Expression]], output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      groups: Seq[AttributeReference], gid: AttributeReference,
+      groupAttrs: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
+    val mvPlan = mvRelation(spark, mv).getOrElse(return None)
+    val attr = attrIn(mvPlan) _
+    val groupIds = groupAttrs.map(_.exprId).toSet
+    // classify each Expand output position: the gid column (all literals),
+    // a grouping column (base attr or null per set), or a pass-through
+    // (the SAME base attribute in every set)
+    val gidPos = output.indexWhere(_.exprId == gid.exprId)
+    if (gidPos < 0 ||
+        !projections.forall(p => p(gidPos).isInstanceOf[Literal])) return None
+    // per grouping attr: its position and the base attr behind it
+    val groupInfo: Seq[(AttributeReference, Int, AttributeReference)] =
+      groupAttrs.map { ga =>
+        val pos = output.indexWhere(_.exprId == ga.exprId)
+        if (pos < 0) return None
+        val bases = projections.map(_(pos)).collect {
+          case a: AttributeReference => a }
+        // every non-null entry must be ONE base attr; nulls mask the rest
+        if (bases.isEmpty || bases.map(_.exprId).distinct.size != 1 ||
+            !projections.map(_(pos)).forall(e =>
+              e.isInstanceOf[AttributeReference] ||
+                (e match { case Literal(null, _) => true; case _ => false })))
+          return None
+        (ga, pos, bases.head)
+      }
+    // every grouping column must be an MV key of the same type, and no
+    // two grouping attrs may ride the same name
+    if (groupInfo.map(_._3.name).distinct.size != groupInfo.size) return None
+    val mvGroupOf: Map[Int, AttributeReference] = groupInfo.map {
+      case (_, pos, base) =>
+        val m = attr(base.name)
+          .filter(a => mv.groupCols.contains(base.name) &&
+            a.dataType == base.dataType)
+          .getOrElse(return None)
+        pos -> m
+    }.toMap
+    // bind each aggregate output: pure group/gid computations pass
+    // through; aggregate functions bind by the PASS-THROUGH base name
+    // (queryGroups = empty — in Expand form the functions reference the
+    // pass-through copies, so count(DISTINCT <any MV key>) is servable)
+    val groupSide = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      groups)
+    val rollupSrc = rollupSrcOf(attr) _
+    val newAggExprs: Seq[NamedExpression] = aggExprs.map {
+      // an aggregate output binds by shape FIRST: count(*) has no
+      // attribute references at all, so a reference-based passthrough
+      // test would wrongly keep it counting (substituted) MV rows
+      case al @ Alias(c: AggregateExpression, _) =>
+        val b = bindAgg(mv.valueCols.toSet, mv.groupCols.toSet,
+          Set.empty, c).getOrElse(return None)
+        val srcE = rollupSrc(b).getOrElse(return None)
+        if (srcE.dataType != al.dataType) return None
+        Alias(srcE, al.name)(exprId = al.exprId, qualifier = al.qualifier)
+      // pure group/gid computations (the group attrs themselves,
+      // grouping()/grouping_id() projections) pass through unchanged
+      case ne if ne.references.subsetOf(groupSide) &&
+          !ne.exists(_.isInstanceOf[AggregateExpression]) => ne
+      case _ => return None
+    }
+    // the MV attributes the new aggregates/projections consume
+    val usedMv: Seq[AttributeReference] =
+      newAggExprs.flatMap(_.references.toSeq).collect {
+        case a: AttributeReference
+            if mvPlan.outputSet.contains(a) => a
+      }.distinct
+    // rebuild the Expand over the MV relation: pass-throughs become the
+    // used MV columns (identical in every set), grouping positions mirror
+    // the original attr-or-null mask with the MV's group attrs, the gid
+    // literal is copied verbatim
+    val newOutput = usedMv ++ groupAttrs :+ gid
+    val newProjections = projections.map { p =>
+      (usedMv: Seq[Expression]) ++
+        groupInfo.map { case (_, pos, _) =>
+          p(pos) match {
+            case _: AttributeReference => mvGroupOf(pos): Expression
+            case lit => lit // Literal(null, _)
+          }
+        } :+ p(gidPos)
+    }
+    // the admissible filter applies to MV rows BELOW the Expand — the
+    // same placement the original plan gave it relative to the expansion
+    val filtered = conds.reduceOption(And) match {
+      case None => mvPlan
+      case Some(c) =>
+        var ok = true
+        val rebound = c.transform {
+          case a: AttributeReference =>
+            attr(a.name).filter(_.dataType == a.dataType) match {
+              case Some(m) => m
+              case None => ok = false; a
+            }
+        }
+        if (!ok) return None
+        Filter(rebound, mvPlan)
+    }
+    Some(Aggregate(groups, newAggExprs,
+      Expand(newProjections, newOutput, filtered)))
   }
 
   /** For each aggregate output, which MV-derived expression serves it. */
@@ -231,32 +497,28 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Project (exact group match) or re-aggregate (rollup: query groups ⊂
-    * MV keys) the MV relation onto the aggregate's original output
-    * attribute ids (so parents re-bind without a rewrite of their own),
-    * under the group-column filter rebound to MV attributes (if any). */
-  private def materialize(spark: SparkSession, mv: IncrementalMv.MvDef,
-      binds: Seq[(NamedExpression, Bind)],
-      cond: Option[Expression],
-      rollup: Boolean,
-      queryGroups: Seq[AttributeReference]): Option[LogicalPlan] = {
-    val mvPlan = try
-      spark.read.format("snapshotlog").load(mv.mvRoot)
-        .queryExecution.analyzed
-    catch { case scala.util.control.NonFatal(_) => return None }
-    def attr(n: String): Option[AttributeReference] =
-      mvPlan.output.collectFirst {
-        case a: AttributeReference if a.name == n => a }
-    def measure(c: String): Option[(AttributeReference, AttributeReference)] =
-      for {
-        nv <- attr(IncrementalMv.nvCol(c)) if nv.dataType == LongType
-        s <- attr(IncrementalMv.sCol(c))
-      } yield (nv, s)
-    // the re-aggregated MV column serving each bind on the ROLLUP path;
-    // Sum(s_c) is total-correct because maintenance pins s_c = 0 (never
-    // NULL) for all-null fine groups, and Sum over the LongType n/nv_c
-    // stays LongType so the query's count types are preserved
-    def rollupSrc(b: Bind): Option[Expression] = b match {
+  /** Name → attribute lookup over a plan's output. */
+  private def attrIn(plan: LogicalPlan)(n: String): Option[AttributeReference] =
+    plan.output.collectFirst {
+      case a: AttributeReference if a.name == n => a }
+
+  private def measureIn(attr: String => Option[AttributeReference],
+      c: String): Option[(AttributeReference, AttributeReference)] =
+    for {
+      nv <- attr(IncrementalMv.nvCol(c)) if nv.dataType == LongType
+      s <- attr(IncrementalMv.sCol(c))
+    } yield (nv, s)
+
+  /** The re-aggregated MV column serving each bind on the ROLLUP path
+    * (shared with the grouping-sets path, whose per-set aggregation is
+    * the same re-composition); Sum(s_c) is total-correct because
+    * maintenance pins s_c = 0 (never NULL) for all-null fine groups, and
+    * Sum over the LongType n/nv_c stays LongType so the query's count
+    * types are preserved. */
+  private def rollupSrcOf(attr: String => Option[AttributeReference])
+      (b: Bind): Option[Expression] = {
+    def measure(c: String) = measureIn(attr, c)
+    b match {
       case GroupB(n) => attr(n)
       case CountB => attr("n").map(n =>
         Coalesce(Seq(Sum(n).toAggregateExpression(), Literal(0L))))
@@ -280,6 +542,29 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         // and distinct-count collapses the repetition exactly
         Count(a).toAggregateExpression(isDistinct = true, filter = None))
     }
+  }
+
+  /** The MV relation's analyzed plan, or None when unreadable. */
+  private def mvRelation(spark: SparkSession,
+      mv: IncrementalMv.MvDef): Option[LogicalPlan] =
+    try Some(spark.read.format("snapshotlog").load(mv.mvRoot)
+      .queryExecution.analyzed)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Project (exact group match) or re-aggregate (rollup: query groups ⊂
+    * MV keys) the MV relation onto the aggregate's original output
+    * attribute ids (so parents re-bind without a rewrite of their own),
+    * under the group-column filter rebound to MV attributes (if any). */
+  private def materialize(spark: SparkSession, mv: IncrementalMv.MvDef,
+      binds: Seq[(NamedExpression, Bind)],
+      cond: Option[Expression],
+      rollup: Boolean,
+      queryGroups: Seq[AttributeReference]): Option[LogicalPlan] = {
+    val mvPlan = mvRelation(spark, mv).getOrElse(return None)
+    val attr = attrIn(mvPlan) _
+    def measure(c: String): Option[(AttributeReference, AttributeReference)] =
+      measureIn(attr, c)
+    def rollupSrc(b: Bind): Option[Expression] = rollupSrcOf(attr)(b)
     def directSrc(nCol: AttributeReference)(b: Bind): Option[Expression] =
       b match {
         case GroupB(n) => attr(n)

@@ -479,6 +479,267 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally IncrementalMv.unregister(spark, root)
   }
 
+  test("grouping sets / rollup / cube re-aggregate the MV through the " +
+       "Expand; non-subset sets and non-servable aggs fall back") {
+    val root = fresh("gsets")
+    SnapshotLog.commit(
+      spark.range(0, 1200).selectExpr("id AS k", "cast(id % 5 AS int) AS day",
+        "cast(id % 3 AS int) AS cc", "id * 2 AS v",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE id % 13 END AS w"),
+      root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_gsets.mv", Seq("day", "cc"),
+      Seq("v", "w"))
+    try {
+      val t = spark.read.format("snapshotlog").load(root)
+      t.createOrReplaceTempView("gsets_t")
+      // IMPORTANT: cmp takes a BUILDER, not a DataFrame — a Dataset
+      // caches its QueryExecution, so the rewrite-off comparison must
+      // re-plan from scratch or it silently re-reads the rewritten plan
+      def cmp(mk: () => DataFrame): Unit = {
+        val df = mk()
+        assert(rolledUpFromMv(df, "mvrw_gsets"),
+          df.queryExecution.optimizedPlan.toString)
+        val got = df.collect().map(_.toString).sorted
+        spark.conf.set("spark.graft.mv.autoRewrite", "false")
+        val want = try mk().collect().map(_.toString).sorted
+        finally spark.conf.unset("spark.graft.mv.autoRewrite")
+        assert(got.sameElements(want),
+          s"got=${got.mkString("|")}\nwant=${want.mkString("|")}")
+      }
+      // ROLLUP: every set (day,cc) (day) () served by ONE Expand over the
+      // MV — counts, masked sums, composed avg, per-measure null handling
+      val roll = t.rollup(col("day"), col("cc")).agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sv"), count(col("w")).as("nw"),
+        avg(col("w")).as("aw"))
+      cmp(() => t.rollup(col("day"), col("cc")).agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sv"), count(col("w")).as("nw"),
+        avg(col("w")).as("aw")))
+      // absolute pin (belt and braces over the relative compare): the
+      // global set counts every base row, not the MV rows it scans
+      assert(roll.filter(col("day").isNull && col("cc").isNull)
+        .select("n").as[Long].head() === 1200L)
+      // CUBE adds the (cc) set — same machinery
+      cmp(() => t.cube(col("day"), col("cc")).agg(sum(col("v")).as("sv")))
+      // explicit GROUPING SETS with grouping_id() and count(DISTINCT cc)
+      // (servable in EVERY set: over MV rows it collapses to the same
+      // per-set distinct count, degenerate 1 where cc is grouped)
+      cmp(() => spark.sql(
+        """SELECT day, cc, grouping(day) AS gd, grouping_id() AS gidx,
+          |  count(*) AS n, sum(v) AS sv, count(DISTINCT cc) AS ncc
+          |FROM gsets_t
+          |GROUP BY GROUPING SETS ((day), (cc), (day, cc), ())""".stripMargin))
+      // group-column filter composes (applied to MV rows below the Expand)
+      cmp(() => t.filter(col("day") < 3).rollup(col("day"), col("cc"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")))
+      // negatives: a non-MV-key grouping column, a non-servable agg, a
+      // non-group filter — all keep the base scan
+      val negK = t.rollup(col("day"), col("k")).agg(count(lit(1)).as("n"))
+      val negMax = t.rollup(col("day"), col("cc")).agg(max(col("v")).as("m"))
+      val negF = t.filter(col("v") > 100).rollup(col("day"))
+        .agg(count(lit(1)).as("n"))
+      for (neg <- Seq(negK, negMax, negF))
+        assert(!rolledUpFromMv(neg, "mvrw_gsets"),
+          neg.queryExecution.optimizedPlan.toString)
+      // and staleness refuses gsets exactly like flat shapes
+      SnapshotLog.commit(
+        spark.range(0, 5).selectExpr("id AS k", "cast(0 AS int) AS day",
+          "cast(0 AS int) AS cc", "id AS v", "id AS w"),
+        root, overwrite = false, 2000L)
+      val stale = spark.read.format("snapshotlog").load(root)
+        .rollup(col("day"), col("cc")).agg(count(lit(1)).as("n"))
+      assert(!rolledUpFromMv(stale, "mvrw_gsets"))
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
+  // ---- star-schema (join) MVs ----
+
+  /** fact(k, ck, v): 9 customers referenced, v = k*2; dim(dk, grp, seg):
+    * 10 customers (dk 0..9; dk 9 never referenced), grp = dk % 3. */
+  private def joinFixture(name: String): (String, String) = {
+    val factRoot = fresh(s"${name}_fact")
+    val dimRoot = s"/tmp/graft_mvrw/${name}_dim"
+    val fs = new Path(dimRoot).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dimRoot), true)
+    SnapshotLog.commit(
+      spark.range(0, 10).selectExpr("id AS dk", "cast(id % 3 AS int) AS grp",
+        "concat('s', id % 2) AS seg"),
+      dimRoot, overwrite = true, 500L)
+    SnapshotLog.commit(
+      spark.range(0, 900).selectExpr("id AS k", "id % 9 AS ck", "id * 2 AS v"),
+      factRoot, overwrite = true, 1000L)
+    (factRoot, dimRoot)
+  }
+
+  private def joinAgg(factRoot: String, dimRoot: String,
+                      dimPin: Option[Int] = None): DataFrame = {
+    val f = spark.read.format("snapshotlog").load(factRoot)
+    var rd = spark.read.format("snapshotlog")
+    dimPin.foreach(v => rd = rd.option("asOfVersion", v))
+    val d = rd.load(dimRoot)
+    f.join(d, f("ck") === d("dk"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"), avg(col("v")).as("a"))
+  }
+
+  test("join MV: fresh fact+dim serves the join-aggregate; results match " +
+       "the rewrite-off plan; maintenance through fact DML stays exact") {
+    val (factRoot, dimRoot) = joinFixture("j_basic")
+    IncrementalMv.createJoin(spark, factRoot, dimRoot, "ck", "dk",
+      "mvrw_j_basic.mv", Seq("grp"), Seq("v"))
+    try {
+      def rows(df: DataFrame) = df.collect().map(r => (r.getInt(0),
+        r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toSet
+      val q = joinAgg(factRoot, dimRoot)
+      assert(servedByMv(q, "mvrw_j_basic"),
+        q.queryExecution.optimizedPlan.toString)
+      val got = rows(q)
+      spark.conf.set("spark.graft.mv.autoRewrite", "false")
+      val want = try rows(joinAgg(factRoot, dimRoot))
+      finally spark.conf.unset("spark.graft.mv.autoRewrite")
+      assert(got === want)
+      // fact DML: append + MoR delete; maintain applies deltas THROUGH
+      // the join (fact deltas acquire dim attrs via the pinned dim)
+      SnapshotLog.commit(
+        spark.range(900, 1000).selectExpr("id AS k", "id % 9 AS ck",
+          "id * 2 AS v"),
+        factRoot, overwrite = false, 2000L)
+      SnapshotLog.deleteWhereMoR(spark, factRoot, col("k") % 7 === 3, 3000L)
+      assert(!servedByMv(joinAgg(factRoot, dimRoot), "mvrw_j_basic"),
+        "a fact commit past the watermark must disable the rewrite")
+      IncrementalMv.maintain(spark, factRoot, "mvrw_j_basic.mv",
+        Seq("grp"), Seq("v"))
+      val q2 = joinAgg(factRoot, dimRoot)
+      assert(servedByMv(q2, "mvrw_j_basic"))
+      val got2 = rows(q2)
+      spark.conf.set("spark.graft.mv.autoRewrite", "false")
+      val want2 = try rows(joinAgg(factRoot, dimRoot))
+      finally spark.conf.unset("spark.graft.mv.autoRewrite")
+      assert(got2 === want2,
+        "maintained join MV must equal the from-scratch join aggregate")
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
+
+  test("join MV: filter-above and rollup compose with the join shape; " +
+       "non-group predicates and bare fact scans refuse") {
+    val (factRoot, dimRoot) = joinFixture("j_comp")
+    IncrementalMv.createJoin(spark, factRoot, dimRoot, "ck", "dk",
+      "mvrw_j_comp.mv", Seq("grp", "seg"), Seq("v"))
+    try {
+      val f = spark.read.format("snapshotlog").load(factRoot)
+      val d = spark.read.format("snapshotlog").load(dimRoot)
+      val j = f.join(d, f("ck") === d("dk"))
+      // exact group set + filter on a dim group column
+      val filt = j.filter(col("grp") < 2).groupBy(col("grp"), col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      assert(servedByMv(filt, "mvrw_j_comp"),
+        filt.queryExecution.optimizedPlan.toString)
+      // rollup to a subset of the MV keys keeps only the MV scan
+      val roll = j.groupBy(col("seg")).agg(sum(col("v")).as("s"),
+        countDistinct(col("grp")).as("ng"))
+      assert(rolledUpFromMv(roll, "mvrw_j_comp"),
+        roll.queryExecution.optimizedPlan.toString)
+      // global aggregate = full rollup
+      val glob = j.agg(count(lit(1)).as("n"), avg(col("v")).as("a"))
+      assert(rolledUpFromMv(glob, "mvrw_j_comp"),
+        glob.queryExecution.optimizedPlan.toString)
+      // rows all match the rewrite-off plans — REBUILT (a Dataset caches
+      // its QueryExecution; re-collecting the same object would just
+      // re-run the rewritten plan)
+      def j2 = {
+        val f2 = spark.read.format("snapshotlog").load(factRoot)
+        val d2 = spark.read.format("snapshotlog").load(dimRoot)
+        f2.join(d2, f2("ck") === d2("dk"))
+      }
+      val builders: Seq[() => DataFrame] = Seq(
+        () => j2.filter(col("grp") < 2).groupBy(col("grp"), col("seg"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s")),
+        () => j2.groupBy(col("seg")).agg(sum(col("v")).as("s"),
+          countDistinct(col("grp")).as("ng")),
+        () => j2.agg(count(lit(1)).as("n"), avg(col("v")).as("a")))
+      for (mk <- builders) {
+        val got = mk().collect().map(_.toString).sorted
+        spark.conf.set("spark.graft.mv.autoRewrite", "false")
+        val want = try mk().collect().map(_.toString).sorted
+        finally spark.conf.unset("spark.graft.mv.autoRewrite")
+        assert(got.sameElements(want),
+          s"got=${got.mkString("|")}\nwant=${want.mkString("|")}")
+      }
+      // a predicate on a fact MEASURE keeps the base join
+      val onV = j.filter(col("v") > 100).groupBy(col("grp"), col("seg"))
+        .agg(count(lit(1)).as("n"))
+      assert(!servedByMv(onV, "mvrw_j_comp") &&
+        !rolledUpFromMv(onV, "mvrw_j_comp"))
+      // a predicate on the JOIN KEY is not a group column either
+      val onKey = j.filter(col("dk") < 5).groupBy(col("grp"), col("seg"))
+        .agg(count(lit(1)).as("n"))
+      assert(!servedByMv(onKey, "mvrw_j_comp") &&
+        !rolledUpFromMv(onKey, "mvrw_j_comp"))
+      // a bare fact scan NEVER serves from a join MV (inner join drops
+      // fact rows without a dim match — different row set)
+      val bare = f.groupBy(col("ck")).agg(count(lit(1)).as("n"))
+      assert(!servedByMv(bare, "mvrw_j_comp") &&
+        !rolledUpFromMv(bare, "mvrw_j_comp"))
+      // a join with the WRONG keys never serves
+      val wrongKey = f.join(d, f("ck") === d("grp"))
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      assert(!servedByMv(wrongKey, "mvrw_j_comp") &&
+        !rolledUpFromMv(wrongKey, "mvrw_j_comp"))
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
+
+  test("join MV: a dim change refuses the rewrite until re-created; " +
+       "dim reads pinned at the watermark still serve") {
+    val (factRoot, dimRoot) = joinFixture("j_dim")
+    IncrementalMv.createJoin(spark, factRoot, dimRoot, "ck", "dk",
+      "mvrw_j_dim.mv", Seq("grp"), Seq("v"))
+    try {
+      assert(servedByMv(joinAgg(factRoot, dimRoot), "mvrw_j_dim"))
+      // the dim moves: grp re-mapped for dk 0 (would change MV content)
+      SnapshotLog.updateWhereMoR(spark, dimRoot, col("dk") === 0,
+        Map("grp" -> lit(2)), 2000L)
+      val stale = joinAgg(factRoot, dimRoot)
+      assert(!servedByMv(stale, "mvrw_j_dim"),
+        "a dim commit past the materialized dim version must refuse")
+      // and the un-rewritten result reflects the NEW dim
+      assert(stale.filter(col("grp") === 0).select("n").as[Long].head() ===
+        200L) // dk 0,3,6 each 100 fact rows; dk 0 moved to grp 2
+      // a read PINNED at the materialized dim version still serves
+      val pinned = joinAgg(factRoot, dimRoot, dimPin = Some(1))
+      assert(servedByMv(pinned, "mvrw_j_dim"),
+        pinned.queryExecution.optimizedPlan.toString)
+      // full refresh: re-create against the new dim re-arms head reads
+      IncrementalMv.createJoin(spark, factRoot, dimRoot, "ck", "dk",
+        "mvrw_j_dim.mv", Seq("grp"), Seq("v"))
+      val fresh2 = joinAgg(factRoot, dimRoot)
+      assert(servedByMv(fresh2, "mvrw_j_dim"))
+      assert(fresh2.filter(col("grp") === 0).select("n").as[Long].head()
+        === 200L)
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
+
+  test("join MV: registration is durable and single-table MVs never " +
+       "serve join queries") {
+    val (factRoot, dimRoot) = joinFixture("j_dur")
+    IncrementalMv.createJoin(spark, factRoot, dimRoot, "ck", "dk",
+      "mvrw_j_dur.mv", Seq("grp"), Seq("v"))
+    try {
+      IncrementalMv.forgetInMemory() // simulate a new JVM
+      assert(servedByMv(joinAgg(factRoot, dimRoot), "mvrw_j_dur"),
+        "the fact props must re-hydrate the JOIN registration")
+      // flip the registration to a single-table MV over the fact: the
+      // join query must stop serving (and the dim props must be gone)
+      IncrementalMv.create(spark, factRoot, "mvrw_j_dur.mv2",
+        Seq("ck"), Seq("v"))
+      IncrementalMv.forgetInMemory()
+      assert(!servedByMv(joinAgg(factRoot, dimRoot), "mvrw_j_dur") &&
+        !servedByMv(joinAgg(factRoot, dimRoot), "mvrw_j_dur.mv2"),
+        "a single-table registration must not serve the join query")
+      val bare = spark.read.format("snapshotlog").load(factRoot)
+        .groupBy(col("ck")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      assert(servedByMv(bare, "mvrw_j_dur/mv2"))
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
+
   test("time-traveled reads rewrite only at the watermark version") {
     val root = fresh("tt")
     SnapshotLog.commit(base(400), root, overwrite = true, 1000L)
