@@ -840,6 +840,48 @@ object SnapshotLog {
     }
   }
 
+  /** Sort-on-write shaping for a commit batch. `write.sort.order=c1,c2`
+    * range-clusters linearly and reports the order
+    * (SupportsReportOrdering); `write.sort.order=zorder(c1,c2)` (r19)
+    * composes the compaction z-order machinery with the ingest hook:
+    * rows sort by the bit-interleaved z-value, so EVERY fresh file gets a
+    * tight min/max on EVERY z column and multi-dimensional probes engage
+    * on just-committed data without a compaction pass. Returns (shaped
+    * df, linear sort columns to record — empty for z-order, whose files
+    * are NOT totally ordered by any single column, so reporting a sort
+    * would be a lie). A named column missing from THIS commit's schema
+    * disables shaping conservatively (both flavors); a structurally
+    * invalid zorder spec (under 2 columns, non-numeric) REFUSES like
+    * rewriteDataFiles — a silent skip would bless the typo forever. The
+    * z-value bucketing costs one extra aggregate pass over the BATCH
+    * (min/max per z column), never the table. */
+  private def stageSorted(spark: SparkSession, df: DataFrame, numFiles: Int,
+                          writeProps: Map[String, String])
+      : (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    val n = math.max(1, numFiles)
+    val spec = writeProps.get("write.sort.order").map(_.trim).getOrElse("")
+    if (spec.isEmpty) return (df.repartition(n), Seq.empty)
+    "(?i)^zorder\\s*\\((.*)\\)$".r.findFirstMatchIn(spec) match {
+      case Some(m) =>
+        val zCols = m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (zCols.isEmpty || !zCols.forall(df.schema.fieldNames.contains))
+          return (df.repartition(n), Seq.empty)
+        validateZorderBy(df.schema, zCols)
+        (df.withColumn("__z", zorderColumn(spark, df, zCols))
+          .repartitionByRange(n, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z"), Seq.empty)
+      case None =>
+        val sortCols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (sortCols.isEmpty || !sortCols.forall(df.schema.fieldNames.contains))
+          (df.repartition(n), Seq.empty)
+        else
+          (df.repartitionByRange(n, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*), sortCols)
+    }
+  }
+
   def commit(df: DataFrame, root: String, overwrite: Boolean,
              commitTsMs: Long, numFiles: Int = 2,
              props: Map[String, String] = Map.empty): Int = {
@@ -866,22 +908,10 @@ object SnapshotLog {
                        Map.empty[String, String] }
     // SORT-ON-WRITE (Iceberg write.sort-order analog): with
     // `write.sort.order` set, every commit range-partitions across files
-    // and sorts within them — ingest-time clustering, so zone-map range
-    // pruning, top-k skipping, and sort-order reporting all engage
-    // WITHOUT a separate compaction pass. Names missing from this
-    // commit's schema disable it (conservative: unsorted, never wrong).
-    val sortCols = writeProps.get("write.sort.order").toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    val sortOn =
-      if (sortCols.nonEmpty && sortCols.forall(df.schema.fieldNames.contains))
-        sortCols
-      else Seq.empty
-    val staged =
-      if (sortOn.isEmpty) df.repartition(numFiles)
-      else df.repartitionByRange(math.max(1, numFiles),
-          sortOn.map(org.apache.spark.sql.functions.col): _*)
-        .sortWithinPartitions(
-          sortOn.map(org.apache.spark.sql.functions.col): _*)
+    // and sorts within them — ingest-time clustering (linear or z-order,
+    // see stageSorted), so zone-map range pruning, top-k skipping, and
+    // sort-order reporting all engage WITHOUT a separate compaction pass.
+    val (staged, sortOn) = stageSorted(spark, df, numFiles, writeProps)
     staged.write
       .options(SnapshotBlooms.parquetWriterOptions(writeProps, df.schema))
       .parquet(dataDir.toString)
@@ -1067,6 +1097,10 @@ object SnapshotLog {
                     catch { case scala.util.control.NonFatal(_) =>
                       Map.empty[String, String] }
     val sortCols = partProps.get("write.sort.order").toSeq
+      // a zorder(...) order under a partition SPEC is unsupported, like
+      // rewriteDataFiles' zorderBy refusal: the partition-tuple layout
+      // already clusters — within-tuple order stays linear
+      .filterNot(_.trim.toLowerCase.startsWith("zorder"))
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val sortOn =
       if (sortCols.nonEmpty && sortCols.forall(df.schema.fieldNames.contains))
@@ -1691,22 +1725,12 @@ object SnapshotLog {
     val dataDir = new Path(new Path(root, "data"),
       java.util.UUID.randomUUID().toString.take(12))
     // branch commits honor write.sort.order like mainline commits (see
-    // commit()): audited-then-published data arrives already clustered
+    // commit()/stageSorted, linear AND z-order): audited-then-published
+    // data arrives already clustered
     val branchProps = try tableProps(spark, root)
                       catch { case scala.util.control.NonFatal(_) =>
                         Map.empty[String, String] }
-    val sortCols = branchProps.get("write.sort.order").toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    val sortOn =
-      if (sortCols.nonEmpty && sortCols.forall(df.schema.fieldNames.contains))
-        sortCols
-      else Seq.empty
-    val staged =
-      if (sortOn.isEmpty) df.repartition(math.max(1, numFiles))
-      else df.repartitionByRange(math.max(1, numFiles),
-          sortOn.map(org.apache.spark.sql.functions.col): _*)
-        .sortWithinPartitions(
-          sortOn.map(org.apache.spark.sql.functions.col): _*)
+    val (staged, sortOn) = stageSorted(spark, df, numFiles, branchProps)
     staged.write.parquet(dataDir.toString)
     val statuses = fs.listStatus(dataDir)
       .filter(s => s.getPath.getName.startsWith("part-") &&
@@ -3129,6 +3153,145 @@ object SnapshotLog {
         SnapshotBlooms.writeSidecar(spark, root, newFiles, cur.schema, newRows)
         SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, cur.schema)
         SnapshotNulls.record(spark, root, newNulls)
+        advanceBranchRef(spark, root, branch, headV, committed)
+        committed
+    }
+  }
+
+  /** Test seam for branch DML: invoked after row/delete staging, before
+    * the commit closure — lets specs interleave a concurrent branch
+    * writer DETERMINISTICALLY (the refusal paths are otherwise pure
+    * races). Production value is a no-op. */
+  private[graft] var branchDmlAfterStage: () => Unit = () => ()
+
+  /** Resolve `branch` to (head snapshot, all snapshots), with the usual
+    * misuse refusals — shared by the branch DML entry points. */
+  private def branchHeadFor(spark: SparkSession, root: String,
+                            branch: String, commitTsMs: Long)
+      : (Snapshot, Seq[Snapshot]) = {
+    val typed = refsTyped(spark, root)
+    val (kind, headV) = typed.getOrElse(branch,
+      throw new NoSuchElementException(
+        s"SnapshotLog: no branch '$branch' at $root"))
+    require(kind == "branch", s"SnapshotLog: ref '$branch' is a $kind")
+    val snaps = snapshots(spark, root)
+    val cur = snaps.find(_.version == headV).getOrElse(
+      throw new IllegalStateException(
+        s"SnapshotLog: branch '$branch' head v$headV expired at $root"))
+    require(snaps.forall(_.commitTsMs < commitTsMs),
+      s"commitTsMs $commitTsMs must advance past the last snapshot")
+    (cur, snaps)
+  }
+
+  /** ATOMIC MoR UPSERT (MERGE) on a BRANCH — the WAP merge that completes
+    * branch DML parity with mainline (reference: Iceberg MERGE INTO,
+    * bodo/io/iceberg/merge_into.py, composed with write-audit-publish):
+    * ONE branch snapshot that EQUALITY-DELETES the batch's keys from the
+    * files at the branch head and appends the batch rows — the audit-fix
+    * that needs upsert semantics no longer has to publish-then-merge.
+    * Same staging as [[upsertEqualityMoR]] (range-partitioned equality
+    * delete parquet scoped per (data file, delete file) pair), pinned at
+    * the branch head; the snapshot carries `ref=<branch>`, the branch ref
+    * advances, main is untouched until [[fastForward]]. A branch head
+    * that moved during staging REFUSES (checked in the commit closure AND
+    * re-proved at ref-write time — row-level work is never blind-merged
+    * across a concurrent branch writer). */
+  def upsertEqualityMoRBranch(spark: SparkSession, root: String,
+                              branch: String, batch: DataFrame,
+                              keyCols: Seq[String], commitTsMs: Long,
+                              numFiles: Int = 1): Int = {
+    import org.apache.spark.sql.functions.col
+    val (cur, _) = branchHeadFor(spark, root, branch, commitTsMs)
+    if (cur.files.isEmpty)
+      return commitToBranch(spark, root, branch, batch, commitTsMs,
+        math.max(1, numFiles))
+    val headV = cur.version
+    val schema = cur.schema
+    val conformed = batch.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*).localCheckpoint()
+    val fs = fsFor(spark, new Path(root))
+    val staged = stageEqualityDelete(spark, root, cur,
+      conformed.select(keyCols.map(col): _*))
+    val merged = staged.map(_._2).getOrElse(cur.dels)
+    val dataDir = new Path(new Path(root, "data"),
+      java.util.UUID.randomUUID().toString.take(12))
+    conformed.repartition(math.max(1, numFiles)).write.parquet(dataDir.toString)
+    val statuses = fs.listStatus(dataDir)
+      .filter(st => st.getPath.getName.startsWith("part-") &&
+        st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val rowCounts = footerRowCounts(spark.sessionState.newHadoopConf(),
+      statuses.map(_.getPath.toString).toSeq)
+    val newFiles = statuses.map(_.getPath.toString).toSeq
+      .filter(f => rowCounts(norm(f)) > 0)
+    statuses.map(_.getPath.toString).filterNot(newFiles.contains)
+      .foreach(f => fs.delete(new Path(f), false))
+    val newSizes = statuses
+      .filter(st => newFiles.contains(st.getPath.toString))
+      .map(st => norm(st.getPath.toString) -> st.getLen).toMap
+    val (newStats, newCols, newRows, newNulls) =
+      footerMeta(spark.sessionState.newHadoopConf(), newFiles, schema)
+    branchDmlAfterStage()
+    val committed = try retryingCommit("upsertEqualityMoRBranch") { () =>
+      val snapsNow = snapshots(spark, root)
+      if (!refsTyped(spark, root).get(branch).exists(_._2 == headV))
+        throw new CommitConflictException(
+          s"SnapshotLog: branch '$branch' advanced during the merge " +
+            "staging — re-run against the new head")
+      val next = snapsNow.last.version + 1
+      val ts = math.max(commitTsMs, snapsNow.last.commitTsMs + 1)
+      val allFiles = cur.files ++ newFiles
+      val (fids, colIds, maxId) = fidCarry(Some(cur), schema, allFiles, newCols)
+      commitManifest(fs, root, next, "upsert", ts, cur.schemaJson, allFiles,
+        cur.stats ++ newStats, cur.sizes ++ newSizes,
+        Map("ref" -> branch, "upsert.mode" -> "merge-on-read-equality"),
+        cur.spec, cur.parts, cur.cols ++ newCols, merged, fids, colIds,
+        maxId, cur.specs, cur.fileSpec, cur.version, cur.rows ++ newRows)
+      next
+    } catch {
+      case e: IllegalStateException =>
+        staged.foreach { case (dd, _) => fs.delete(dd, true) }
+        fs.delete(dataDir, true); throw e
+    }
+    // null sidecar AFTER the commit (same orphan-avoidance as mainline)
+    SnapshotNulls.record(spark, root, newNulls)
+    advanceBranchRef(spark, root, branch, headV, committed)
+    committed
+  }
+
+  /** Equality DELETE on a BRANCH — [[deleteEqualityMoR]]'s branch twin
+    * (delete-by-key-set during audit, e.g. "drop these ids before
+    * publish"): stages the same range-partitioned equality delete parquet
+    * against the branch head, commits with `ref=<branch>`, refuses if the
+    * branch moved. */
+  def deleteEqualityMoRBranch(spark: SparkSession, root: String,
+                              branch: String, keys: DataFrame,
+                              commitTsMs: Long): Int = {
+    val (cur, _) = branchHeadFor(spark, root, branch, commitTsMs)
+    if (cur.files.isEmpty) return cur.version
+    val headV = cur.version
+    val fs = fsFor(spark, new Path(root))
+    stageEqualityDelete(spark, root, cur, keys) match {
+      case None => cur.version
+      case Some((delDir, merged)) =>
+        branchDmlAfterStage()
+        val committed = try retryingCommit("deleteEqualityMoRBranch") { () =>
+          val snapsNow = snapshots(spark, root)
+          if (!refsTyped(spark, root).get(branch).exists(_._2 == headV))
+            throw new CommitConflictException(
+              s"SnapshotLog: branch '$branch' advanced during the delete " +
+                "staging — re-run against the new head")
+          val next = snapsNow.last.version + 1
+          val ts = math.max(commitTsMs, snapsNow.last.commitTsMs + 1)
+          commitManifest(fs, root, next, "delete", ts, cur.schemaJson,
+            cur.files, cur.stats, cur.sizes,
+            Map("ref" -> branch, "delete.mode" -> "merge-on-read-equality"),
+            cur.spec, cur.parts, cur.cols, merged, cur.fids, cur.colIds,
+            cur.maxId, cur.specs, cur.fileSpec, cur.version, cur.rows)
+          next
+        } catch {
+          case e: IllegalStateException => fs.delete(delDir, true); throw e
+        }
         advanceBranchRef(spark, root, branch, headV, committed)
         committed
     }

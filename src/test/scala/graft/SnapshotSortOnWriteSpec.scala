@@ -158,6 +158,67 @@ class SnapshotSortOnWriteSpec extends AnyFunSuite {
       "the micro-batch's files must record the sort order (2 branch + 2)")
   }
 
+  test("zorder(x,y) on write: fresh commits lay out multi-dimensionally — " +
+       "range probes on EITHER dimension prune; no linear order recorded") {
+    val root = freshRoot("zorder")
+    SnapshotLog.commit(
+      spark.sql("SELECT CAST(-1 AS BIGINT) AS x, CAST(-1 AS BIGINT) AS y, " +
+        "CAST(0 AS BIGINT) AS v"),
+      root, overwrite = true, 100L, 1)
+    SnapshotLog.setTableProps(spark, root,
+      Map("write.sort.order" -> "zorder(x, y)"))
+    // scrambled 2-D keys; ONE fresh 4-file commit = a 2×2 half-grid
+    val df = spark.range(0, 40000).selectExpr(
+      "cast(xxhash64(id) % 1024 AS bigint) % 1024 AS x0",
+      "cast(xxhash64(id + 7) % 1024 AS bigint) AS y0", "id AS v")
+      .selectExpr("abs(x0) AS x", "abs(y0) AS y", "v")
+    SnapshotLog.commit(df, root, overwrite = false, 200L, 4)
+    val t = spark.read.format("snapshotlog").load(root)
+    assert(t.count() === 40001)
+    // one-sided range probes prune to ≤2 of the 4 fresh files (+boot)
+    val px = t.filter(col("x") >= 100L && col("x") < 200L)
+    val py = t.filter(col("y") >= 700L && col("y") < 800L)
+    assert(filesPlanned(px) <= 2,
+      s"x-range over z-laid files planned ${filesPlanned(px)}/5")
+    assert(filesPlanned(py) <= 2,
+      s"y-range over z-laid files planned ${filesPlanned(py)}/5")
+    // z-laid files are NOT totally ordered by any single column: no
+    // linear sort order may be recorded (reporting one would be a lie)
+    assert(SnapshotSorts.sortsAt(root).isEmpty)
+    // rows bit-identical through the re-layout
+    assert(t.agg(sum(col("v"))).as[Long].head() === (0L until 40000L).sum)
+  }
+
+  test("zorder misuse refuses the commit (single column, non-numeric); " +
+       "a missing z column disables conservatively") {
+    val root = freshRoot("zmisuse")
+    SnapshotLog.commit(
+      spark.range(0, 10).selectExpr("id AS x", "id AS y",
+        "cast(id AS string) AS s"),
+      root, overwrite = true, 100L, 1)
+    val df = spark.range(10, 20).selectExpr("id AS x", "id AS y",
+      "cast(id AS string) AS s")
+    SnapshotLog.setTableProps(spark, root,
+      Map("write.sort.order" -> "zorder(x)"))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.commit(df, root, overwrite = false, 200L, 1)
+    }
+    SnapshotLog.setTableProps(spark, root,
+      Map("write.sort.order" -> "zorder(x, s)"))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.commit(df, root, overwrite = false, 300L, 1)
+    }
+    // refusals really refused: nothing landed
+    assert(spark.read.format("snapshotlog").load(root).count() === 10)
+    // a z column missing from the commit's schema skips shaping (same
+    // conservative rule as the linear path), never fails the commit
+    SnapshotLog.setTableProps(spark, root,
+      Map("write.sort.order" -> "zorder(x, nope)"))
+    SnapshotLog.commit(df, root, overwrite = false, 400L, 1)
+    assert(spark.read.format("snapshotlog").load(root).count() === 20)
+    assert(SnapshotSorts.sortsAt(root).isEmpty)
+  }
+
   test("later appends keep clustering; multi-column orders record whole") {
     val root = freshRoot("multi")
     boot(root)

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark.spark
+import graft.sources.SnapshotLog
+
+/** WAP MERGE (upsertEqualityMoRBranch) and equality DELETE
+  * (deleteEqualityMoRBranch) on a branch — the r19 completion of branch
+  * DML parity with mainline: audit-fix with upsert semantics happens
+  * PRE-publish, and concurrent branch writers are refused
+  * deterministically (test seam), never silently overwritten. */
+class SnapshotWapMergeSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def fresh(tag: String): String = {
+    val root = s"/tmp/graft_wapmerge_spec/$tag"
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(root), true)
+    root
+  }
+
+  private def branchRead(root: String, b: String) =
+    spark.read.format("snapshotlog").option("branch", b).load(root)
+
+  test("merge on branch replaces by key + inserts new keys; main is " +
+       "untouched until fast_forward publishes as an append") {
+    val root = fresh("merge")
+    SnapshotLog.commit(
+      spark.range(0, 100).selectExpr("id AS k", "id AS v"),
+      root, overwrite = true, 1000L)
+    SnapshotLog.createBranch(spark, root, "audit", 1)
+    SnapshotLog.commitToBranch(spark, root, "audit",
+      spark.range(100, 200).selectExpr("id AS k", "id AS v"), 2000L)
+    // fix keys 150..159 (v := v + 10000), insert keys 500..504
+    val batch = spark.range(150, 160).selectExpr("id AS k", "id + 10000 AS v")
+      .unionByName(spark.range(500, 505).selectExpr("id AS k", "id AS v"))
+    val mv = SnapshotLog.upsertEqualityMoRBranch(spark, root, "audit",
+      batch, Seq("k"), 3000L)
+    assert(mv === 3)
+    val b = branchRead(root, "audit")
+    assert(b.count() === 205)
+    assert(b.filter(col("k") === 155).select("v").as[Long].head() === 10155L)
+    assert(b.filter(col("k") >= 500).count() === 5)
+    // the branch snapshot is a ref-tagged equality upsert
+    val sn = SnapshotLog.snapshots(spark, root).find(_.version == 3).get
+    assert(sn.branch.contains("audit") && sn.operation === "upsert")
+    // main untouched pre-publish
+    assert(SnapshotLog.read(spark, root).count() === 100)
+    // publish: branch descends from main head → append
+    SnapshotLog.fastForward(spark, root, "audit", 4000L)
+    val m = SnapshotLog.read(spark, root)
+    assert(m.count() === 205)
+    assert(m.filter(col("k") === 155).select("v").as[Long].head() === 10155L)
+    assert(SnapshotLog.snapshots(spark, root)
+      .filter(_.branch.isEmpty).last.operation === "append")
+  }
+
+  test("equality delete on branch removes the key set pre-publish; " +
+       "misuse refuses (no branch, tag ref)") {
+    val root = fresh("eqdel")
+    SnapshotLog.commit(
+      spark.range(0, 100).selectExpr("id AS k", "id AS v"),
+      root, overwrite = true, 1000L)
+    SnapshotLog.createBranch(spark, root, "audit", 1)
+    SnapshotLog.commitToBranch(spark, root, "audit",
+      spark.range(100, 150).selectExpr("id AS k", "id AS v"), 2000L)
+    val dv = SnapshotLog.deleteEqualityMoRBranch(spark, root, "audit",
+      spark.range(120, 140).selectExpr("id AS k"), 3000L)
+    assert(dv === 3)
+    assert(branchRead(root, "audit").count() === 130)
+    assert(SnapshotLog.read(spark, root).count() === 100)
+    // the pre-delete branch state stays time-travelable
+    assert(SnapshotLog.read(spark, root, asOfVersion = Some(2)).count() === 150)
+    intercept[NoSuchElementException] {
+      SnapshotLog.deleteEqualityMoRBranch(spark, root, "nope",
+        spark.range(0, 1).selectExpr("id AS k"), 4000L)
+    }
+    SnapshotLog.createTag(spark, root, "t1", 1)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.deleteEqualityMoRBranch(spark, root, "t1",
+        spark.range(0, 1).selectExpr("id AS k"), 5000L)
+    }
+  }
+
+  test("concurrent branch-head movement between staging and commit " +
+       "REFUSES the merge (deterministic via the test seam) and adopts " +
+       "the concurrent writer's head") {
+    val root = fresh("race")
+    SnapshotLog.commit(
+      spark.range(0, 50).selectExpr("id AS k", "id AS v"),
+      root, overwrite = true, 1000L)
+    SnapshotLog.createBranch(spark, root, "audit", 1)
+    SnapshotLog.commitToBranch(spark, root, "audit",
+      spark.range(50, 100).selectExpr("id AS k", "id AS v"), 2000L)
+    // the seam fires after the merge's staging: a concurrent writer
+    // advances the branch ref underneath it
+    SnapshotLog.branchDmlAfterStage = () => {
+      SnapshotLog.branchDmlAfterStage = () => ()
+      SnapshotLog.commitToBranch(spark, root, "audit",
+        spark.range(100, 110).selectExpr("id AS k", "id AS v"), 2500L): Unit
+    }
+    try {
+      intercept[SnapshotLog.CommitConflictException] {
+        SnapshotLog.upsertEqualityMoRBranch(spark, root, "audit",
+          spark.range(60, 70).selectExpr("id AS k", "id + 5000 AS v"),
+          Seq("k"), 3000L)
+      }
+    } finally SnapshotLog.branchDmlAfterStage = () => ()
+    // the concurrent writer's snapshot IS the branch head; the refused
+    // merge changed nothing (no upsert on the chain, no key rewritten)
+    val b = branchRead(root, "audit")
+    assert(b.count() === 110)
+    assert(b.filter(col("k") === 65).select("v").as[Long].head() === 65L)
+    assert(!SnapshotLog.snapshots(spark, root).exists(sn =>
+      sn.branch.contains("audit") && sn.operation == "upsert"))
+    // the equality-delete flavor refuses through the same seam
+    SnapshotLog.branchDmlAfterStage = () => {
+      SnapshotLog.branchDmlAfterStage = () => ()
+      SnapshotLog.commitToBranch(spark, root, "audit",
+        spark.range(110, 115).selectExpr("id AS k", "id AS v"), 3500L): Unit
+    }
+    try {
+      intercept[SnapshotLog.CommitConflictException] {
+        SnapshotLog.deleteEqualityMoRBranch(spark, root, "audit",
+          spark.range(0, 10).selectExpr("id AS k"), 4000L)
+      }
+    } finally SnapshotLog.branchDmlAfterStage = () => ()
+    assert(branchRead(root, "audit").count() === 115)
+  }
+}
