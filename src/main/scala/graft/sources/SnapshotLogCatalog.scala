@@ -182,7 +182,8 @@ class SnapshotLogCatalog extends TableCatalog
             case "ngrams" => // same (file, column, bits) inventory shape
               SnapshotMetaTable.bloomsTable(nm,
                 SnapshotLog.pick(spark, baseRoot, v, tsMs),
-                SnapshotNgramBlooms.ngramsAt(baseRoot))
+                SnapshotNgramBlooms.ngramsAt(baseRoot)
+                  .view.mapValues(_.view.mapValues(_._2).toMap).toMap)
             case "sorts" =>
               SnapshotMetaTable.sortsTable(nm,
                 SnapshotLog.pick(spark, baseRoot, v, tsMs),

@@ -802,14 +802,16 @@ private[graft] object SnapshotLogScanBuilder {
       else Map.empty
     // trigram blooms serve SUBSTRING shapes (contains/startsWith/endsWith/
     // string equality) — loaded only when such a filter is present
-    val ngrams: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+    val ngrams: Map[String, Map[String, (Int, org.apache.spark.util.sketch.BloomFilter)]] =
       if (root.nonEmpty && filters.exists(SnapshotNgramBlooms.usable))
         SnapshotNgramBlooms.ngramsAt(root)
       else Map.empty
-    // each needle's gram hashes computed once (not per file per gram)
-    val gramProbes: Map[String, Array[Long]] =
+    // each needle's gram hashes computed once per gram size present in
+    // the sidecars (not per file per gram)
+    val gramProbes: Map[(String, Int), Array[Long]] =
       if (ngrams.isEmpty) Map.empty
-      else SnapshotNgramBlooms.compileGrams(filters)
+      else SnapshotNgramBlooms.compileGrams(filters,
+        ngrams.valuesIterator.flatMap(_.valuesIterator.map(_._1)).toSet)
     val probes: Map[Filter, CompiledIn] = filters.collect {
       case in @ In(_, vs) if vs != null && vs.length > CompileInThreshold =>
         (in: Filter) -> compileIn(in, schema)
@@ -867,9 +869,9 @@ private[graft] object SnapshotLogScanBuilder {
                         = Map.empty,
                       probes: Map[Filter, CompiledIn] = Map.empty,
                       defaultBounds: Map[String, (Any, Any)] = Map.empty,
-                      ngrams: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+                      ngrams: Map[String, Map[String, (Int, org.apache.spark.util.sketch.BloomFilter)]]
                         = Map.empty,
-                      gramProbes: Map[String, Array[Long]] = Map.empty)
+                      gramProbes: Map[(String, Int), Array[Long]] = Map.empty)
       : Boolean = {
     val key = SnapshotLog.norm(f)
     val physStats = snap.stats.getOrElse(key, Map.empty[String, (Any, Any)])
@@ -928,7 +930,7 @@ private[graft] object SnapshotLogScanBuilder {
     }) && (ngrams.isEmpty || {
       // trigram-bloom sidecars: same commit-time-name resolution through
       // the field-id map as the value blooms above
-      def ngramOf(n: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+      def ngramOf(n: String): Option[(Int, org.apache.spark.util.sketch.BloomFilter)] = {
         val phys =
           if (snap.fids.isEmpty || !snap.colIds.contains(key)) Some(n)
           else snap.physName(f, n)

@@ -66,9 +66,22 @@ private[graft] object SnapshotNgramBlooms {
     * explosion makes each file's pass heavier. */
   val BuildBatchProp = "write.ngrambloom.build-batch-files"
   val DefaultBuildBatch: Int = 256
-  /** The gram size. Fixed: 3 (trigrams) — the sidecar records it so a
-    * future size change cannot mis-probe old sidecars. */
-  val Gram = 3
+  /** Gram size (`write.ngrambloom.gram`, default 3, clamped to [3, 8]).
+    * Each sidecar RECORDS the gram it was built with and the probe honors
+    * it per sidecar, so re-tuning the knob never mis-probes history: a
+    * needle shorter than a sidecar's gram simply carries no evidence for
+    * its files (kept, conservative). Guidance from the r19 knob study
+    * (SCALE_STUDY_NGRAM2_r19.json / BASELINE.md): gram 3 is the safe
+    * default; gram 4 only pays off when probes are consistently long. */
+  val GramProp = "write.ngrambloom.gram"
+  val DefaultGram = 3
+  /** Legacy name for the default gram (pre-r19 sidecars omit `gram` and
+    * were all built with 3). */
+  val Gram = DefaultGram
+
+  private[sources] def gramOf(props: Map[String, String]): Int =
+    math.min(8, math.max(3, props.get(GramProp).flatMap(v =>
+      scala.util.Try(v.toInt).toOption).getOrElse(DefaultGram)))
 
   private def ngramsDir(root: String) = new Path(root, "ngrams")
 
@@ -96,6 +109,7 @@ private[graft] object SnapshotNgramBlooms {
         scala.util.Try(v.toLong).toOption).getOrElse(DefaultBits))
       val batchSize = math.max(1, props.get(BuildBatchProp).flatMap(v =>
         scala.util.Try(v.toInt).toOption).getOrElse(DefaultBuildBatch))
+      val gram = gramOf(props)
       val fnName = "__graft_ngram_" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(16)
       val fnId = org.apache.spark.sql.catalyst.FunctionIdentifier(fnName)
@@ -116,7 +130,7 @@ private[graft] object SnapshotNgramBlooms {
         val colsArr = node.putArray("cols")
         cols.foreach(f => colsArr.add(f.name))
         node.put("numBits", numBits)
-        node.put("gram", Gram)
+        node.put("gram", gram)
         val filesNode = node.putObject("files")
         // one pass per column: the trigram explode multiplies rows, so
         // fusing columns would cross-multiply; ngram column sets are
@@ -128,9 +142,9 @@ private[graft] object SnapshotNgramBlooms {
               regexp_replace(col("_metadata.file_path"), "^file:/*", "/")
                 .as("__f"),
               explode(expr(
-                s"CASE WHEN length($c) >= $Gram THEN " +
-                s"transform(sequence(1, length($c) - ${Gram - 1}), " +
-                s"i -> substring($c, i, $Gram)) " +
+                s"CASE WHEN length($c) >= $gram THEN " +
+                s"transform(sequence(1, length($c) - ${gram - 1}), " +
+                s"i -> substring($c, i, $gram)) " +
                 "ELSE array() END")).as("__t"))
           val rows = tri.groupBy(col("__f"))
             .agg(expr(s"$fnName(xxhash64(__t), ${estItems}L, ${numBits}L)")
@@ -166,14 +180,14 @@ private[graft] object SnapshotNgramBlooms {
   // ---- read side ----
 
   private val sidecarCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Map[String, BloomFilter]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Map[String, (Int, BloomFilter)]]]()
 
   private def parseSidecar(fs: FileSystem, p: Path)
-      : Map[String, Map[String, BloomFilter]] = {
+      : Map[String, Map[String, (Int, BloomFilter)]] = {
     val key = p.toString
     val hit = sidecarCache.get(key)
     if (hit != null) return hit
-    val parsed: Map[String, Map[String, BloomFilter]] =
+    val parsed: Map[String, Map[String, (Int, BloomFilter)]] =
       try {
         val in = fs.open(p)
         val bytes = try {
@@ -182,11 +196,14 @@ private[graft] object SnapshotNgramBlooms {
           in.readFully(0, buf); buf
         } finally in.close()
         val node = om.readTree(bytes)
-        // a sidecar built with a DIFFERENT gram size cannot be probed
-        // with this reader's windows — ignore it wholesale (conservative)
-        if (node.has("gram") && node.get("gram").asInt() != Gram) Map.empty
+        // each sidecar carries the gram it was built with (pre-r19
+        // sidecars omit it: all were trigram builds); the probe windows
+        // per-file to that gram, so a knob change never mis-probes
+        val gram =
+          if (node.has("gram")) node.get("gram").asInt() else DefaultGram
+        if (gram < 3 || gram > 8) Map.empty // unprobeable: ignore
         else {
-          val acc = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, BloomFilter]]()
+          val acc = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, (Int, BloomFilter)]]()
           node.get("cols").elements().asScala.map(_.asText())
             .foreach(c => acc(c) = scala.collection.mutable.Map.empty)
           node.get("files").fields().asScala.foreach { fe =>
@@ -195,7 +212,7 @@ private[graft] object SnapshotNgramBlooms {
               val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
                 java.util.Base64.getDecoder.decode(ce.getValue.asText())))
               acc.getOrElseUpdate(ce.getKey,
-                scala.collection.mutable.Map.empty)(file) = bf
+                scala.collection.mutable.Map.empty)(file) = (gram, bf)
             }
           }
           acc.view.mapValues(_.toMap).toMap
@@ -210,11 +227,11 @@ private[graft] object SnapshotNgramBlooms {
   }
 
   private val mergedCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Map[String, Map[String, BloomFilter]])]()
+    String, (String, Map[String, Map[String, (Int, BloomFilter)]])]()
 
   /** All ngram-bloom entries at `root`, merged across sidecars:
-    * column -> (normFile -> bloom). */
-  def ngramsAt(root: String): Map[String, Map[String, BloomFilter]] = {
+    * column -> (normFile -> (gram, bloom)). */
+  def ngramsAt(root: String): Map[String, Map[String, (Int, BloomFilter)]] = {
     if (root.isEmpty) return Map.empty
     try {
       val dir = ngramsDir(root)
@@ -262,29 +279,34 @@ private[graft] object SnapshotNgramBlooms {
   private def longEnough(v: String): Boolean =
     UTF8String.fromString(v).numChars() >= Gram
 
-  /** The code-point trigram windows of `needle` — EXACTLY the build
-    * side's `substring(col, i, 3)` windows (UTF8String.substringSQL is
-    * the Substring expression's engine), hashed the same way. */
-  private[graft] def probeGrams(needle: String): Seq[UTF8String] = {
+  /** The code-point gram windows of `needle` — EXACTLY the build side's
+    * `substring(col, i, gram)` windows (UTF8String.substringSQL is the
+    * Substring expression's engine), hashed the same way. */
+  private[graft] def probeGrams(needle: String,
+                                gram: Int = DefaultGram): Seq[UTF8String] = {
     val u = UTF8String.fromString(needle)
     val n = u.numChars()
-    if (n < Gram) Seq.empty
-    else (1 to (n - Gram + 1)).map(i => u.substringSQL(i, Gram))
+    if (n < gram) Seq.empty
+    else (1 to (n - gram + 1)).map(i => u.substringSQL(i, gram))
   }
 
   private def gramHash(g: UTF8String): Long =
     new XxHash64(Seq(Literal(g, StringType))).eval(null).asInstanceOf[Long]
 
-  /** Each distinct needle's gram-hash array, computed ONCE per prune call
-    * (the [[SnapshotLogScanBuilder.CompiledIn]] discipline): the per-file
-    * probe then pays bloom lookups only — without this a long needle over
-    * a 10^5-file manifest re-windows and re-hashes (interpreted Catalyst
+  /** Each distinct (needle, gram)'s hash array, computed ONCE per prune
+    * call (the [[SnapshotLogScanBuilder.CompiledIn]] discipline) for
+    * every gram size present in the loaded sidecars: the per-file probe
+    * then pays bloom lookups only — without this a long needle over a
+    * 10^5-file manifest re-windows and re-hashes (interpreted Catalyst
     * XxHash64 evals) millions of times inside the planning path. */
-  def compileGrams(filters: Array[Filter]): Map[String, Array[Long]] = {
-    val acc = scala.collection.mutable.HashMap[String, Array[Long]]()
+  def compileGrams(filters: Array[Filter],
+                   gramSizes: Set[Int]): Map[(String, Int), Array[Long]] = {
+    val acc = scala.collection.mutable.HashMap[(String, Int), Array[Long]]()
     def add(v: String): Unit =
-      if (v != null && !acc.contains(v))
-        acc(v) = probeGrams(v).map(gramHash).toArray
+      if (v != null) gramSizes.foreach { g =>
+        if (!acc.contains((v, g)))
+          acc((v, g)) = probeGrams(v, g).map(gramHash).toArray
+      }
     def visit(f: Filter): Unit = f match {
       case And(l, r) => visit(l); visit(r)
       case Or(l, r) => visit(l); visit(r)
@@ -298,18 +320,19 @@ private[graft] object SnapshotNgramBlooms {
     acc.toMap
   }
 
-  /** May a file contain a row matching `f`, per its trigram blooms?
+  /** May a file contain a row matching `f`, per its gram blooms?
     * Tri-state collapsed like [[SnapshotBlooms.mayMatch]]: missing bloom,
-    * short needle, or unsupported shape is `true` (keep). `grams` carries
-    * the [[compileGrams]] precomputation; a needle absent from it (never
-    * the case through prune()) conservatively keeps the file. */
-  def mayMatch(bloomOf: String => Option[BloomFilter], f: Filter,
-               grams: Map[String, Array[Long]]): Boolean = {
+    * needle shorter than the file's gram, or unsupported shape is `true`
+    * (keep). `grams` carries the [[compileGrams]] precomputation keyed by
+    * (needle, gram); a needle absent from it (never the case through
+    * prune()) conservatively keeps the file. */
+  def mayMatch(bloomOf: String => Option[(Int, BloomFilter)], f: Filter,
+               grams: Map[(String, Int), Array[Long]]): Boolean = {
     def probe(attr: String, needle: String): Boolean =
       if (needle == null) true
       else bloomOf(attr) match {
-        case Some(bf) =>
-          grams.get(needle).forall { hs =>
+        case Some((g, bf)) =>
+          grams.get((needle, g)).forall { hs =>
             var i = 0
             var all = true
             while (all && i < hs.length) {

@@ -188,6 +188,51 @@ class SnapshotNgramSpec extends AnyFunSuite {
     }
   }
 
+  test("gram knob (write.ngrambloom.gram=4): 4-gram sidecars build, " +
+       "probe per-sidecar gram, and mixed-gram histories stay sound") {
+    val root = freshRoot("gram4")
+    val df = spark.range(0, 4000).selectExpr(
+      "id",
+      """concat('alpha beta gamma delta text number ', cast(id AS string),
+         CASE WHEN id = 7 THEN ' zebraquuxmarker' ELSE '' END) AS text""")
+    // v1 files: default trigram sidecars
+    SnapshotLog.commit(df.filter("id % 2 = 0"), root, overwrite = true, 100L, 2)
+    SnapshotLog.setTableProps(spark, root,
+      Map("write.ngrambloom.columns" -> "text"))
+    // backfill v1 under gram 3, then switch the knob: LATER files carry
+    // gram-4 sidecars while v1 keeps its gram-3 ones — per-sidecar gram
+    SnapshotLog.rebuildFileIndexes(spark, root)
+    SnapshotLog.setTableProps(spark, root,
+      Map("write.ngrambloom.gram" -> "4"))
+    SnapshotLog.commit(df.filter("id % 2 = 1"), root, overwrite = false,
+      200L, 2)
+    val entries = SnapshotNgramBlooms.ngramsAt(root)("text")
+    assert(entries.values.map(_._1).toSet === Set(3, 4),
+      "history must carry BOTH gram sizes after the knob change")
+    val t = spark.read.format("snapshotlog").load(root)
+    // a long miss needle prunes EVERY covered file under both grams
+    val miss = t.filter(col("text").contains("qqqzzzvvvwww"))
+    assert(filesPlanned(miss) === 0, s"planned ${filesPlanned(miss)}")
+    // the hit needle keeps its one file (id=7 is odd... id=7 % 2 = 1 →
+    // second commit, gram-4 covered)
+    val hit = t.filter(col("text").contains("zebraquuxmarker"))
+    assert(filesPlanned(hit) <= 2)
+    assert(hit.count() === 1)
+    // a 3-char needle carries no evidence for gram-4 files (kept) but
+    // still prunes gram-3 files lacking it: results stay exact
+    val short3 = t.filter(col("text").contains("xqz"))
+    assert(short3.count() === 0)
+    assert(filesPlanned(short3) <= 2,
+      "gram-3 sidecars must still prune the 3-char miss; only gram-4 " +
+        s"files are kept (planned ${filesPlanned(short3)})")
+    // property: random present needles keep their rows under mixed grams
+    val sample = df.selectExpr("substring(text, 14, 9) AS ndl").limit(5)
+      .collect().map(_.getString(0))
+    for (n <- sample)
+      assert(t.filter(col("text").contains(n)).count() ===
+        df.filter(col("text").contains(n)).count())
+  }
+
   test("the .ngrams metadata table inventories live (file, column) blooms") {
     val ns = "ngram_meta"
     spark.sql(s"DROP TABLE IF EXISTS snap.$ns.t")
