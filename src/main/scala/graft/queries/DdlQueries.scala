@@ -164,6 +164,50 @@ object DdlQueries extends QueryModule {
     (root, ns)
   }
 
+  /** STAR-SCHEMA MV fixture (`composite_mv_rewrite_join`, r19): a fact
+    * table (orders: ck, v) and a dim table (customer: dk, grp, seg), an
+    * [[graft.operators.IncrementalMv.createJoin]] MV over
+    * `fact JOIN dim ON ck = dk GROUP BY grp`, driven through fact append
+    * + MoR delete + maintain, then a DIM change + full re-create (the
+    * dim-refresh path). Returns (fact root, dim root, namespace). */
+  private def incMvJoinFixture(s: SparkSession, d: String)
+      : (String, String, String) = {
+    import graft.operators.IncrementalMv
+    import graft.sources.SnapshotLog
+    val ns = "mvj_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = snapFixture(s, d, "incmv_join19") { root =>
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_snap_warehouse/$ns"), true)
+      val dim = customer(s, d).selectExpr("c_custkey AS dk",
+        "c_nationkey AS grp", "c_mktsegment AS seg")
+      val fact = orders(s, d).selectExpr("o_orderkey AS k",
+        "o_custkey AS ck", "CAST(floor(o_totalprice * 100) AS BIGINT) AS v")
+      SnapshotLog.commit(dim, s"$root/dim", overwrite = true, 500L)
+      SnapshotLog.commit(fact.filter(col("k") % 2 === 0), s"$root/fact",
+        overwrite = true, 1000L)
+      IncrementalMv.createJoin(s, s"$root/fact", s"$root/dim", "ck", "dk",
+        s"$ns.mv", Seq("grp"), Seq("v"))
+      // fact-side DML maintains incrementally through the join
+      SnapshotLog.commit(fact.filter(col("k") % 2 === 1), s"$root/fact",
+        overwrite = false, 2000L)
+      SnapshotLog.deleteWhereMoR(s, s"$root/fact", col("v") < 10000000L, 3000L)
+      val w = IncrementalMv.maintain(s, s"$root/fact", s"$ns.mv",
+        Seq("grp"), Seq("v"))
+      require(w == 3, s"fact watermark must reach the head ($w)")
+      // dim change: the rewrite must refuse reads of the NEW dim until a
+      // full refresh (re-create) re-bases the MV on it
+      SnapshotLog.updateWhereMoR(s, s"$root/dim", col("dk") % 25 === 3,
+        Map("grp" -> (col("grp") + 100)), 4000L)
+      IncrementalMv.createJoin(s, s"$root/fact", s"$root/dim", "ck", "dk",
+        s"$ns.mv", Seq("grp"), Seq("v"))
+    }
+    IncrementalMv.registerJoin(s, s"$root/fact", s"$root/dim", "ck", "dk",
+      s"$ns.mv", Seq("grp"), Seq("v"))
+    (s"$root/fact", s"$root/dim", ns)
+  }
+
   /** The POST-EXECUTION kept-file count of the snapshot scan whose read
     * schema contains `marker` — runtime filtering mutates the live kept
     * set during execution, so this must walk the finalized adaptive plan
@@ -593,6 +637,72 @@ object DdlQueries extends QueryModule {
         .withColumn("topk_pruned", lit(filesPlanned(topk) <= 2))
         .withColumn("sorted_recorded", lit(
           recorded.count(_._2 == Seq("c_custkey")) >= 4))
+    }),
+
+    // Z-ORDER ON WRITE (r19): `write.sort.order=zorder(x,y)` composes
+    // the r17 z-order machinery with the r18 sort-on-write hook — every
+    // FRESH commit lays its batch out by the bit-interleaved z-value, so
+    // range probes on EITHER dimension prune just-committed files with
+    // NO compaction pass (each 32-file batch covers tight z-curve
+    // rectangles: a one-sided quarter-range keeps well under half).
+    // Pinned: x-range,
+    // y-range, and point probes all plan under half the files while the
+    // property-less control keeps every data file; and the misuse
+    // refusals mirror rewriteDataFiles' zorderBy (a single column and a
+    // non-numeric column both REFUSE the commit, never silently bless
+    // the spec).
+    "ddl_zorder_on_write" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "zorder_write") { root =>
+        val t = orders(s, d).selectExpr(
+          "o_custkey % 1024 AS x", "o_orderkey % 1024 AS y",
+          "o_totalprice AS p", "o_orderpriority AS tag")
+        val boot = s.sql("SELECT CAST(-1 AS BIGINT) AS x, " +
+          "CAST(-1 AS BIGINT) AS y, CAST(0.0 AS DOUBLE) AS p, 'b' AS tag")
+        SnapshotLog.commit(boot, s"$root/z", overwrite = true, 100L, 1)
+        SnapshotLog.setTableProps(s, s"$root/z",
+          Map("write.sort.order" -> "zorder(x,y)"))
+        SnapshotLog.commit(t.filter(col("y") % 2 === 0), s"$root/z",
+          overwrite = false, 200L, 32)
+        SnapshotLog.commit(t.filter(col("y") % 2 === 1), s"$root/z",
+          overwrite = false, 300L, 32)
+        SnapshotLog.commit(boot, s"$root/ctl", overwrite = true, 100L, 1)
+        SnapshotLog.commit(t, s"$root/ctl", overwrite = false, 200L, 4)
+      }
+      val t = snapRead(s, s"$root/z")
+      val ctl = snapRead(s, s"$root/ctl")
+      val total = graft.sources.SnapshotLog.snapshots(s, s"$root/z")
+        .last.files.size
+      // misuse refusals (validation fires BEFORE any data stages, so the
+      // table is untouched); the valid spec is restored afterwards
+      def refuses(spec: String): Boolean = {
+        SnapshotLog.setTableProps(s, s"$root/z",
+          Map("write.sort.order" -> spec))
+        try {
+          try { SnapshotLog.commit(t.limit(1), s"$root/z",
+            overwrite = false, 9000L, 1); false }
+          catch { case _: IllegalArgumentException => true }
+        } finally SnapshotLog.setTableProps(s, s"$root/z",
+          Map("write.sort.order" -> "zorder(x,y)"))
+      }
+      val refuseSingle = refuses("zorder(x)")
+      val refuseNonNumeric = refuses("zorder(x,tag)")
+      def probe(label: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+          round(coalesce(sum(col("p")), lit(0.0)), 2).as("sum_p"))
+          .withColumn("pruned", lit(filesPlanned(df) * 2 <= total))
+          .withColumn("probe", lit(label))
+      val ctlProbe = ctl.filter(col("x") >= 100L && col("x") < 200L)
+      Seq(
+        probe("x_range", t.filter(col("x") >= 100L && col("x") < 200L)),
+        probe("y_range", t.filter(col("y") >= 600L && col("y") < 700L)),
+        probe("xy_point", t.filter(col("x") === 37L && col("y") === 503L)))
+        .reduce(_ unionByName _)
+        .withColumn("ctl_keeps_all", lit(filesPlanned(ctlProbe) >= 4))
+        .withColumn("refuse_single", lit(refuseSingle))
+        .withColumn("refuse_non_numeric", lit(refuseNonNumeric))
+        .select("probe", "n_rows", "sum_p", "pruned", "ctl_keeps_all",
+          "refuse_single", "refuse_non_numeric")
     }),
 
     // INDEX BACKFILL (r18): arming write.bloom.columns /
@@ -1290,6 +1400,80 @@ object DdlQueries extends QueryModule {
         .withColumn("nonmv_group_keeps_base", lit(!scansOnlyMv(nonMv)))
     }),
 
+    // MV REWRITE UNDER GROUPING SETS (r19): a dashboard issuing `GROUP BY
+    // ROLLUP(grp, sub)` (or CUBE) over the MV's base re-aggregates the
+    // kilobyte MV through ONE substituted Expand — every grouping set is
+    // a subset of the MV key set, so each is individually servable and
+    // the Expand+Aggregate structure is preserved with the MV as source.
+    // Pinned: the ROLLUP and the CUBE scan only the MV, and a rollup
+    // including a non-MV-key column falls back to the base. Oracle =
+    // DuckDB rebuild with the identical ROLLUP.
+    "composite_mv_rewrite_gsets" -> ((s, d) => {
+      val (root, ns) = incMvRollupFixture(s, d)
+      def scansOnlyMv(df: DataFrame): Boolean = {
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            => r.relation.table.name() }
+        scans.nonEmpty && scans.forall(_.contains(s"$ns/mv"))
+      }
+      val t = snapRead(s, root)
+      val q = t.rollup(col("grp"), col("sub"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          count(col("w")).as("nw"), avg(col("w")).as("aw"))
+      val cube = t.cube(col("grp"), col("sub")).agg(sum(col("v")).as("sv"))
+      val nonMv = t.rollup(col("grp"), col("k")).agg(count(lit(1)).as("n"))
+      q.withColumn("gsets_served", lit(scansOnlyMv(q)))
+        .withColumn("cube_served", lit(scansOnlyMv(cube)))
+        .withColumn("nonmv_keeps_base", lit(!scansOnlyMv(nonMv)))
+    }),
+
+    // STAR-SCHEMA MV REWRITE (r19): the MV is `fact JOIN dim ON ck = dk
+    // GROUP BY grp` (fact measures by dim attribute — the most common
+    // real dashboard materialization; the reference ships Calcite's MV
+    // substitution for exactly this join-aggregate shape). Pinned: the
+    // head query loses BOTH its Join and its Aggregate and scans only
+    // the kilobyte MV (mv_served); a group-column filter above the join
+    // composes (filter_served); the global aggregate rolls up over the
+    // MV (global_served); and a query reading the dim at a version OTHER
+    // than the MV's materialized dim version keeps the base join —
+    // dim-version watermarking refuses, never guesses
+    // (stale_dim_keeps_join). Oracle = from-scratch DuckDB replay of the
+    // fact DML + dim update + join.
+    "composite_mv_rewrite_join" -> ((s, d) => {
+      val (factRoot, dimRoot, ns) = incMvJoinFixture(s, d)
+      def scansOnlyMv(df: DataFrame): Boolean = {
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            => r.relation.table.name() }
+        scans.nonEmpty && scans.forall(_.contains(s"$ns/mv"))
+      }
+      def servedByMv(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty && scansOnlyMv(df)
+      def hasJoin(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.nonEmpty
+      val f = snapRead(s, factRoot)
+      val dm = snapRead(s, dimRoot)
+      def joined = f.join(dm, f("ck") === dm("dk"))
+      val q = joined.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          avg(col("v")).as("av"))
+      val filt = joined.filter(col("grp") < 10)
+        .groupBy(col("grp")).agg(sum(col("v")).as("sv"))
+      val glob = joined.agg(count(lit(1)).as("n"))
+      val dmOld = snapRead(s, dimRoot, asOfVersion = Some(1))
+      val stale = f.join(dmOld, f("ck") === dmOld("dk"))
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      q.withColumn("mv_served", lit(servedByMv(q)))
+        .withColumn("filter_served", lit(servedByMv(filt)))
+        .withColumn("global_served", lit(scansOnlyMv(glob)))
+        .withColumn("stale_dim_keeps_join", lit(hasJoin(stale)))
+    }),
+
     // DELETION-VECTOR MoR deletes (r18; Iceberg v3 Puffin-DV analog):
     // with `write.delete.vector=true` a MoR delete stages one `.dv`
     // RoaringBitmap sidecar per affected data file instead of parquet
@@ -1853,6 +2037,58 @@ object DdlQueries extends QueryModule {
           lit(SnapshotLog.snapshots(s, root).filter(_.branch.isEmpty)
             .last.operation))
         .select("stage", "n_rows", "sum_bal", "publish_op")
+    }),
+
+    // WAP MERGE (r19): the audit-fix that needs UPSERT semantics —
+    // upsertEqualityMoRBranch stages ONE equality-delete + append
+    // snapshot ON THE BRANCH (ref=audit, upsert.mode=merge-on-read-
+    // equality): corrected rows replace failing ones BY KEY and
+    // brand-new rows land, all pre-publish (no publish-then-merge
+    // detour); fast_forward then publishes the merged content, still as
+    // an APPEND (the branch only added files + delete files over its own
+    // content). Pinned: main-before/branch-merged/main-after payloads
+    // (oracle replays the key-replacement), the publish op, and that the
+    // merge snapshot really is a branch-ref equality upsert.
+    "ddl_wap_merge" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val root = snapFixture(s, d, "wap_merge") { root =>
+        val c = customer(s, d).select(col("c_custkey").as("k"),
+          col("c_acctbal").as("bal"))
+        SnapshotLog.commit(c.filter(col("k") % 2 === 0), root,
+          overwrite = true, commitTsMs = 1000L)
+        SnapshotLog.createBranch(s, root, "audit", 1)
+        SnapshotLog.commitToBranch(s, root, "audit",
+          c.filter(col("k") % 2 === 1), 2000L)
+        // the audit finds fixable rows (k % 10 = 1 → bal + 1000) and
+        // MISSING rows (negated keys) — one merge commit on the branch
+        val fix = c.filter(col("k") % 10 === 1)
+          .select(col("k"), (col("bal") + 1000.0).as("bal"))
+        val ins = c.filter(col("k") % 97 === 3)
+          .select((-col("k") - 5).as("k"), col("bal"))
+        SnapshotLog.upsertEqualityMoRBranch(s, root, "audit",
+          fix.unionByName(ins), Seq("k"), 3000L): Unit
+      }
+      def agg(df: DataFrame, stage: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("bal")), 2).as("sum_bal"))
+          .withColumn("stage", lit(stage))
+      val preMain = agg(SnapshotLog.read(s, root, asOfVersion = Some(1)),
+        "main_before")
+      val merged = agg(s.read.format("snapshotlog")
+        .option("branch", "audit").load(root), "branch_merged")
+      if (!SnapshotLog.snapshots(s, root).exists(sn =>
+          sn.branch.isEmpty && sn.version > 1))
+        SnapshotLog.fastForward(s, root, "audit", 4000L): Unit
+      val postMain = agg(SnapshotLog.read(s, root), "main_after")
+      val mergeOnBranch = SnapshotLog.snapshots(s, root).exists(sn =>
+        sn.branch.contains("audit") && sn.operation == "upsert")
+      Seq(preMain, merged, postMain).reduce(_ unionByName _)
+        .withColumn("publish_op",
+          lit(SnapshotLog.snapshots(s, root).filter(_.branch.isEmpty)
+            .last.operation))
+        .withColumn("merge_on_branch", lit(mergeOnBranch))
+        .select("stage", "n_rows", "sum_bal", "publish_op",
+          "merge_on_branch")
     }),
 
     // COMMIT-TIME AUTO-MAINTENANCE (SnapshotLog.maybeMaintain — the
@@ -2424,6 +2660,47 @@ object DdlQueries extends QueryModule {
         |  TRUE AS global_served, TRUE AS nonmv_group_keeps_base
         |FROM fin GROUP BY grp""".stripMargin,
 
+    // grouping-sets rebuild: same replayed final state as _rollup but
+    // grouped by ROLLUP(grp, sub) — DuckDB expands the identical sets;
+    // avg spelled as the division the rewrite composes
+    "composite_mv_rewrite_gsets" ->
+      """WITH b AS (SELECT c_custkey AS k, c_nationkey AS grp,
+        |             c_custkey % 4 AS sub,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS v,
+        |             CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |                  ELSE c_custkey % 97 END AS w
+        |           FROM customer),
+        |fin AS (SELECT * FROM b WHERE v >= 0)
+        |SELECT grp, sub, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sv,
+        |  CAST(count(w) AS BIGINT) AS nw,
+        |  CAST(sum(w) AS DOUBLE) / count(w) AS aw,
+        |  TRUE AS gsets_served, TRUE AS cube_served,
+        |  TRUE AS nonmv_keeps_base
+        |FROM fin GROUP BY ROLLUP(grp, sub)""".stripMargin,
+
+    // star-schema rebuild: the fact's final state (evens + odds minus the
+    // v < 10000000 MoR deletes) joined to the dim's final state (grp
+    // bumped +100 where dk % 25 = 3), grouped by the dim attribute — avg
+    // spelled as the same sum/count division the rewrite emits; all four
+    // plan booleans pinned TRUE
+    "composite_mv_rewrite_join" ->
+      """WITH fact AS (SELECT o_custkey AS ck,
+        |                CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |              FROM orders
+        |              WHERE CAST(floor(o_totalprice * 100) AS BIGINT)
+        |                    >= 10000000),
+        |dim AS (SELECT c_custkey AS dk,
+        |          c_nationkey + CASE WHEN c_custkey % 25 = 3
+        |                             THEN 100 ELSE 0 END AS grp
+        |        FROM customer)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sv,
+        |  CAST(sum(v) AS DOUBLE) / count(v) AS av,
+        |  TRUE AS mv_served, TRUE AS filter_served,
+        |  TRUE AS global_served, TRUE AS stale_dim_keeps_join
+        |FROM fact JOIN dim ON ck = dk GROUP BY grp""".stripMargin,
+
     // compute_updates: v4's delete+insert pairs retag as pre/post images;
     // everything else matches ddl_changelog
     "ddl_changelog_updates" ->
@@ -2628,6 +2905,39 @@ object DdlQueries extends QueryModule {
         |UNION ALL SELECT 'branch_staged', n, sb, 'append' FROM al
         |UNION ALL SELECT 'branch_audited', n, sb, 'append' FROM aud
         |UNION ALL SELECT 'main_after', n, sb, 'append' FROM aud""".stripMargin,
+
+    "ddl_zorder_on_write" ->
+      """WITH t AS (SELECT o_custkey % 1024 AS x, o_orderkey % 1024 AS y,
+        |             o_totalprice AS p FROM orders),
+        |w AS (SELECT x, y, p FROM t UNION ALL SELECT -1, -1, 0.0)
+        |SELECT 'x_range' AS probe, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(coalesce(sum(p), 0.0), 2) AS sum_p, TRUE AS pruned,
+        |  TRUE AS ctl_keeps_all, TRUE AS refuse_single,
+        |  TRUE AS refuse_non_numeric
+        |FROM w WHERE x >= 100 AND x < 200
+        |UNION ALL
+        |SELECT 'y_range', CAST(count(*) AS BIGINT),
+        |  round(coalesce(sum(p), 0.0), 2), TRUE, TRUE, TRUE, TRUE
+        |FROM w WHERE y >= 600 AND y < 700
+        |UNION ALL
+        |SELECT 'xy_point', CAST(count(*) AS BIGINT),
+        |  round(coalesce(sum(p), 0.0), 2), TRUE, TRUE, TRUE, TRUE
+        |FROM w WHERE x = 37 AND y = 503""".stripMargin,
+
+    "ddl_wap_merge" ->
+      """WITH c AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |ev AS (SELECT CAST(count(*) AS BIGINT) n, round(sum(bal), 2) sb
+        |       FROM c WHERE k % 2 = 0),
+        |merged AS (
+        |  SELECT k, bal FROM c WHERE k % 10 <> 1
+        |  UNION ALL SELECT k, bal + 1000.0 FROM c WHERE k % 10 = 1
+        |  UNION ALL SELECT -k - 5, bal FROM c WHERE k % 97 = 3),
+        |mg AS (SELECT CAST(count(*) AS BIGINT) n, round(sum(bal), 2) sb
+        |       FROM merged)
+        |SELECT 'main_before' AS stage, n AS n_rows, sb AS sum_bal,
+        |  'append' AS publish_op, TRUE AS merge_on_branch FROM ev
+        |UNION ALL SELECT 'branch_merged', n, sb, 'append', TRUE FROM mg
+        |UNION ALL SELECT 'main_after', n, sb, 'append', TRUE FROM mg""".stripMargin,
 
     "ddl_auto_maintain" ->
       """WITH kept AS (
