@@ -7,8 +7,8 @@ import graft.Sessions
 
 /** r19 KNOB STUDY: gram size (3 vs 4) × bloom bits (2^19..2^23) for the
   * trigram-bloom substring-skipping sidecars, at the NEXT file decade
-  * above the r18 study (640 data files, 200k docs of ~60-word synthetic
-  * prose — the r18 run topped out at 65 files).
+  * above the r18 study (640 data files, 100k docs of 60 hex-word synthetic
+  * text — the r18 run topped out at 65 files).
   *
   * What it measures, per (gram, bits) cell:
   *   - sidecar bytes per file (the storage knob being tuned),
@@ -28,7 +28,7 @@ import graft.Sessions
 private[sources] object NgramScale2 {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
-    val docs = 200000L
+    val docs = 100000L
     val files = 640
     // needles that match nothing in the corpus, by code-point length
     val missNeedles = Seq(
@@ -40,24 +40,35 @@ private[sources] object NgramScale2 {
       val root = s"/tmp/graft_ngram_scale2/g$gram"
       val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(new Path(root), true)
+      // HIGH-diversity text (hex words): the r18 study's 18-word vocab
+      // yields only ~250 distinct trigrams — every bloom level prunes
+      // perfectly and the knob shows nothing. Hex words saturate the
+      // 16^3 ≈ 4.1k trigram (16^4 ≈ 65k 4-gram) space per file, so the
+      // bits axis crosses a REAL saturation knee.
       val df = spark.range(0, docs).selectExpr(
         "id",
         s"""concat(
            array_join(transform(sequence(1, 60), i ->
-             element_at(array('alpha','beta','gamma','delta','epsilon',
-               'table','value','query','window','batch','stream','merge',
-               'column','filter','vector','group','order','hash'),
-               1 + cast(pmod(xxhash64(id * 100 + i), 18) AS int))), ' '),
+             lower(hex(xxhash64(id * 100 + i)))), ' '),
            CASE WHEN id = ${docs / 2} THEN ' zebraquuxmarker' ELSE '' END)
            AS text""")
       SnapshotLog.commit(df, root, overwrite = true, 100L, files)
       val t = spark.read.format("snapshotlog").load(root)
+      // corpus-distinct gram count, to read each cell as bits-per-item:
+      // with a uniform vocab every file carries nearly the full set
+      val distinctGrams = t.selectExpr(
+        s"explode(transform(sequence(1, greatest(length(text) - ${gram - 1}, 0)), " +
+          s"i -> substring(text, i, $gram))) AS g")
+        .distinct().count()
       def filesPlanned(df2: org.apache.spark.sql.DataFrame): Int =
         df2.queryExecution.optimizedPlan.collect {
           case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
             r.scan.asInstanceOf[SnapshotLogScan].keptFiles.size
         }.head
-      for (bitsLog <- Seq(19, 20, 21, 22, 23)) {
+      // 2^13..2^17 crosses the saturation knee for this corpus's ~10^3.5
+      // distinct grams per file; 2^19/2^21 bracket the safe plateau (the
+      // r18 run already showed the 2^21 default never false-keeps here)
+      for (bitsLog <- Seq(13, 14, 15, 16, 17, 19, 21)) {
         // re-index the SAME corpus under this (gram, bits) cell
         fs.delete(new Path(root, "ngrams"), true)
         SnapshotLog.setTableProps(spark, root, Map(
@@ -78,7 +89,8 @@ private[sources] object NgramScale2 {
           t.filter(col("text").contains("zebraquuxmarker")))
         require(hitKept >= 1, "the hit needle must keep its file")
         println(s"""{"gram":$gram,"bits_log2":$bitsLog,"files":$files,""" +
-          s""""docs":$docs,"sidecar_bytes":$sidecarBytes,""" +
+          s""""docs":$docs,"distinct_grams":$distinctGrams,""" +
+          s""""sidecar_bytes":$sidecarBytes,""" +
           f""""build_s":$buildS%.1f,$keeps,"hit_kept":$hitKept}""")
       }
       fs.delete(new Path(root), true)
