@@ -36,6 +36,7 @@ private[sources] object SnapshotProcedures {
         Identifier.of(Array("system"), "rewrite_position_delete_files"),
         Identifier.of(Array("system"), "create_changelog_view"),
         Identifier.of(Array("system"), "create_mv"),
+        Identifier.of(Array("system"), "create_join_mv"),
         Identifier.of(Array("system"), "refresh_mv"),
         Identifier.of(Array("system"), "import_parquet"),
         Identifier.of(Array("system"), "rollback_to_snapshot"),
@@ -60,6 +61,7 @@ private[sources] object SnapshotProcedures {
       case "analyze_table" => new AnalyzeTableProc(warehouse)
       case "create_changelog_view" => new CreateChangelogViewProc(warehouse)
       case "create_mv" => new CreateMvProc(warehouse)
+      case "create_join_mv" => new CreateJoinMvProc(warehouse)
       case "refresh_mv" => new RefreshMvProc(warehouse)
       case "import_parquet" => new ImportParquetProc(warehouse)
       case "rollback_to_snapshot" =>
@@ -287,6 +289,54 @@ private[sources] object SnapshotProcedures {
           StructField("applied_base_version", IntegerType, nullable = false))),
         Seq[Any](org.apache.spark.unsafe.types.UTF8String.fromString(mvTable),
           applied))).asJava
+    }
+  }
+
+  /** `CALL snap.system.create_join_mv('ns.fact', 'ns.dim', 'ck', 'dk',
+    * 'ns.mv', 'grp,seg', 'v')` — materialize the star-schema aggregate
+    * `fact JOIN dim ON fact.ck = dim.dk GROUP BY …` with the dim pinned
+    * at its current version, and register it durably for transparent
+    * rewrite + incremental (fact-delta) refresh. Re-running after a dim
+    * change is the full-refresh path (the rewrite refuses newer-dim
+    * reads until then). */
+  private class CreateJoinMvProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "create_join_mv"
+    override def description(): String =
+      "materialize a fact-join-dim group/count/sum aggregate (dim " +
+        "pinned + watermarked) and register it for transparent rewrite " +
+        "+ incremental fact-delta refresh"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("fact_table", StringType).build(),
+      ProcedureParameter.in("dim_table", StringType).build(),
+      ProcedureParameter.in("fact_key", StringType).build(),
+      ProcedureParameter.in("dim_key", StringType).build(),
+      ProcedureParameter.in("mv_table", StringType).build(),
+      ProcedureParameter.in("group_cols", StringType).build(),
+      ProcedureParameter.in("value_cols", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val factRoot = rootFor(warehouse, input.getUTF8String(0).toString)
+      val dimRoot = rootFor(warehouse, input.getUTF8String(1).toString)
+      val mvTable = input.getUTF8String(4).toString
+      def cols(i: Int): Seq[String] = input.getUTF8String(i).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val applied = graft.operators.IncrementalMv.createJoin(spark,
+        factRoot, dimRoot, input.getUTF8String(2).toString,
+        input.getUTF8String(3).toString, mvTable, cols(5), cols(6))
+      val dimV = graft.operators.IncrementalMv.appliedDimVersion(spark,
+        rootFor(warehouse, mvTable.replace('.', '/'))).getOrElse(-1)
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("mv_table", StringType, nullable = false),
+          StructField("applied_fact_version", IntegerType, nullable = false),
+          StructField("applied_dim_version", IntegerType, nullable = false))),
+        Seq[Any](org.apache.spark.unsafe.types.UTF8String.fromString(mvTable),
+          applied, dimV))).asJava
     }
   }
 

@@ -740,6 +740,74 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally IncrementalMv.unregister(spark, factRoot)
   }
 
+  test("grouping sets compose WITH the join shape: ROLLUP over fact⋈dim " +
+       "serves from the join MV through the substituted Expand") {
+    val (factRoot, dimRoot) = joinFixture("j_gsets")
+    IncrementalMv.createJoin(spark, factRoot, dimRoot, "ck", "dk",
+      "mvrw_j_gsets.mv", Seq("grp", "seg"), Seq("v"))
+    try {
+      def mk() = {
+        val f = spark.read.format("snapshotlog").load(factRoot)
+        val d = spark.read.format("snapshotlog").load(dimRoot)
+        f.join(d, f("ck") === d("dk"))
+          .rollup(col("grp"), col("seg"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      }
+      val q = mk()
+      assert(rolledUpFromMv(q, "mvrw_j_gsets"),
+        q.queryExecution.optimizedPlan.toString)
+      val got = q.collect().map(_.toString).sorted
+      spark.conf.set("spark.graft.mv.autoRewrite", "false")
+      val want = try mk().collect().map(_.toString).sorted
+      finally spark.conf.unset("spark.graft.mv.autoRewrite")
+      assert(got.sameElements(want),
+        s"got=${got.mkString("|")}\nwant=${want.mkString("|")}")
+      // and the global row really counts JOIN rows (900 fact rows all
+      // match a dim row)
+      assert(q.filter(col("grp").isNull && col("seg").isNull)
+        .select("n").as[Long].head() === 900L)
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
+
+  test("SQL procedures drive the star-schema loop: create_join_mv + " +
+       "refresh_mv applies fact deltas through the pinned dim") {
+    val ns = "mvrw_jproc"
+    val fs = new Path(s"/tmp/graft_snap_warehouse/$ns")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"/tmp/graft_snap_warehouse/$ns"), true)
+    spark.sql(s"DROP TABLE IF EXISTS snap.$ns.fact")
+    spark.sql(s"DROP TABLE IF EXISTS snap.$ns.dim")
+    spark.sql(s"CREATE TABLE snap.$ns.dim AS SELECT id AS dk, " +
+      "cast(id % 3 AS int) AS grp FROM range(0, 9)")
+    spark.sql(s"CREATE TABLE snap.$ns.fact AS SELECT id AS k, " +
+      "id % 9 AS ck, id * 2 AS v FROM range(0, 450)")
+    val factRoot = s"/tmp/graft_snap_warehouse/$ns/fact"
+    try {
+      val created = spark.sql(
+        s"CALL snap.system.create_join_mv('$ns.fact', '$ns.dim', " +
+          s"'ck', 'dk', '$ns.mv', 'grp', 'v')").collect().head
+      assert(created.getString(0) === s"$ns.mv")
+      assert(created.getInt(2) >= 1, "dim version must be watermarked")
+      def q() = {
+        val f = spark.table(s"snap.$ns.fact")
+        val d = spark.table(s"snap.$ns.dim")
+        f.join(d, f("ck") === d("dk")).groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      }
+      assert(servedByMv(q(), s"$ns/mv"))
+      spark.sql(s"INSERT INTO snap.$ns.fact " +
+        "SELECT id, id % 9, id * 2 FROM range(450, 500)")
+      assert(!servedByMv(q(), s"$ns/mv"), "stale fact must refuse")
+      val refreshed = spark.sql(
+        s"CALL snap.system.refresh_mv('$ns.fact')").collect().head
+      assert(refreshed.getInt(1) > created.getInt(1),
+        "refresh must advance the fact watermark")
+      val served = q()
+      assert(servedByMv(served, s"$ns/mv"))
+      assert(served.select(sum(col("n"))).as[Long].head() === 500L)
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
+
   test("time-traveled reads rewrite only at the watermark version") {
     val root = fresh("tt")
     SnapshotLog.commit(base(400), root, overwrite = true, 1000L)
