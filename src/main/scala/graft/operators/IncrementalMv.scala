@@ -63,20 +63,43 @@ object IncrementalMv {
   def nvCol(c: String): String = s"nv_$c"
   def sCol(c: String): String = s"s_$c"
 
-  private def checkDef(groupCols: Seq[String], valueCols: Seq[String]): Unit =
+  /** MIN/MAX measures (r19): per minmax column `c` the MV carries
+    * `mn_<c>` / `mx_<c>`. Min/max are SELF-MAINTAINABLE ONLY UNDER
+    * INSERTS (least/greatest folds a new batch in; deleting the current
+    * extremum would need a rescan), so maintenance merges them from the
+    * delta's INSERT rows and, the moment a version range contains any
+    * delete, durably flips [[MinMaxValidProp]] to false — the rewrite
+    * then refuses min/max binds (count/sum/avg keep serving) until a
+    * full re-create revalidates. Refusal, not wrongness: the textbook
+    * non-distributive-aggregate limitation, surfaced as a watermark. */
+  def mnCol(c: String): String = s"mn_$c"
+  def mxCol(c: String): String = s"mx_$c"
+  val MinMaxValidProp = "mv.minmax-valid"
+  /** MV-table prop recording the minmax column list — maintain() reads it
+    * durably (like the join props), so no caller signature changes. */
+  val MinMaxColsProp = "mv.minmax-cols"
+
+  private def checkDef(groupCols: Seq[String], valueCols: Seq[String],
+                       minMaxCols: Seq[String] = Nil): Unit =
     require(groupCols.nonEmpty && valueCols.nonEmpty &&
       valueCols.distinct == valueCols &&
-      !valueCols.exists(groupCols.contains),
-      s"IncrementalMv: bad definition (groups=$groupCols values=$valueCols)")
+      !valueCols.exists(groupCols.contains) &&
+      minMaxCols.distinct == minMaxCols &&
+      !minMaxCols.exists(groupCols.contains),
+      s"IncrementalMv: bad definition (groups=$groupCols " +
+        s"values=$valueCols minmax=$minMaxCols)")
 
   /** Seed aggregate `count(*) n, count(c) nv_c, coalesce(sum(c), 0) s_c…`
     * over `src`, CTAS'd into `snap.<mvTable>` — shared by the single-table
     * and join create paths. */
   private def seedMv(spark: SparkSession, src: DataFrame, mvTable: String,
-                     groupCols: Seq[String], valueCols: Seq[String]): Unit = {
+                     groupCols: Seq[String], valueCols: Seq[String],
+                     minMaxCols: Seq[String] = Nil): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS snap.$mvTable")
-    val aggs: Seq[Column] = count(lit(1)).as("n") +: valueCols.flatMap { c =>
-      Seq(count(col(c)).as(nvCol(c)), sum(col(c)).as(s"__s_$c")) }
+    val aggs: Seq[Column] = count(lit(1)).as("n") +: (valueCols.flatMap { c =>
+      Seq(count(col(c)).as(nvCol(c)), sum(col(c)).as(s"__s_$c")) } ++
+      minMaxCols.flatMap { c =>
+        Seq(min(col(c)).as(mnCol(c)), max(col(c)).as(mxCol(c))) })
     val seed = src.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     // coalesce needs a typed zero — cast 0 to each sum's own result type
     val seeded = valueCols.foldLeft(seed) { (df, c) =>
@@ -94,17 +117,25 @@ object IncrementalMv {
     * current version, recording the watermark. `mvTable` is a `snap`
     * catalog name (ns.t). */
   def create(spark: SparkSession, baseRoot: String, mvTable: String,
-             groupCols: Seq[String], valueCols: Seq[String]): Int = {
-    checkDef(groupCols, valueCols)
+             groupCols: Seq[String], valueCols: Seq[String],
+             minMaxCols: Seq[String] = Nil): Int = {
+    checkDef(groupCols, valueCols, minMaxCols)
     val baseV = SnapshotLog.snapshots(spark, baseRoot)
       .filter(_.branch.isEmpty).last.version
     val base = spark.read.format("snapshotlog").load(baseRoot)
-    seedMv(spark, base, mvTable, groupCols, valueCols)
+    seedMv(spark, base, mvTable, groupCols, valueCols, minMaxCols)
     SnapshotLog.setTableProps(spark, mvRoot(spark, mvTable),
-      Map(AppliedProp -> baseV.toString))
-    register(spark, baseRoot, mvTable, groupCols, valueCols)
+      Map(AppliedProp -> baseV.toString) ++ minMaxProps(minMaxCols))
+    register(spark, baseRoot, mvTable, groupCols, valueCols, minMaxCols)
     baseV
   }
+
+  /** Fresh-materialization minmax props: the column list plus a TRUE
+    * validity flag — a full (re-)create always revalidates. */
+  private def minMaxProps(minMaxCols: Seq[String]): Map[String, String] =
+    if (minMaxCols.isEmpty) Map.empty
+    else Map(MinMaxColsProp -> minMaxCols.mkString(","),
+      MinMaxValidProp -> "true")
 
   /** STAR-SCHEMA MV (r19): materialize `SELECT groups…, count/sum…
     * FROM <factRoot> f JOIN <dimRoot> d ON f.factKey = d.dimKey
@@ -127,8 +158,9 @@ object IncrementalMv {
     * (BodoSQL/calcite_sql/.../plan/RelOptMaterialization.java:55). */
   def createJoin(spark: SparkSession, factRoot: String, dimRoot: String,
                  factKey: String, dimKey: String, mvTable: String,
-                 groupCols: Seq[String], valueCols: Seq[String]): Int = {
-    checkDef(groupCols, valueCols)
+                 groupCols: Seq[String], valueCols: Seq[String],
+                 minMaxCols: Seq[String] = Nil): Int = {
+    checkDef(groupCols, valueCols, minMaxCols)
     val factV = SnapshotLog.snapshots(spark, factRoot)
       .filter(_.branch.isEmpty).last.version
     val dimV = SnapshotLog.snapshots(spark, dimRoot)
@@ -146,22 +178,23 @@ object IncrementalMv {
     require(dim.columns.contains(dimKey),
       s"IncrementalMv.createJoin: no dim column '$dimKey'")
     val joinedCols = fact.columns.toSet ++ dim.columns
-    val missing = (groupCols ++ valueCols).filterNot(joinedCols.contains)
+    val missing = (groupCols ++ valueCols ++ minMaxCols)
+      .filterNot(joinedCols.contains)
     require(missing.isEmpty,
       s"IncrementalMv.createJoin: column(s) ${missing.mkString(",")} in " +
         "neither fact nor dim")
     // small dims broadcast on their reported size; big dims shuffle — the
     // planner's call, same as the user's own dashboard query
     val joined = fact.join(dim, fact(factKey) === dim(dimKey), "inner")
-    seedMv(spark, joined, mvTable, groupCols, valueCols)
+    seedMv(spark, joined, mvTable, groupCols, valueCols, minMaxCols)
     SnapshotLog.setTableProps(spark, mvRoot(spark, mvTable), Map(
       AppliedProp -> factV.toString,
       AppliedDimProp -> dimV.toString,
       JoinDimRootProp -> normRoot(dimRoot),
       JoinFactKeyProp -> factKey,
-      JoinDimKeyProp -> dimKey))
+      JoinDimKeyProp -> dimKey) ++ minMaxProps(minMaxCols))
     registerJoin(spark, factRoot, dimRoot, factKey, dimKey, mvTable,
-      groupCols, valueCols)
+      groupCols, valueCols, minMaxCols)
     factV
   }
 
@@ -191,17 +224,32 @@ object IncrementalMv {
     // net_changes: intermediate churn inside the range cancels — the MV
     // sees one ±row per net-changed row, regardless of how many versions
     // the range spans
+    // minmax measures ride the MV's own durable props (no caller change)
+    val minMaxCols = mvProps.get(MinMaxColsProp).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val insert = col("_change_type") === "insert"
     val sign = when(insert, 1L).otherwise(-1L)
-    val aggs: Seq[Column] = sum(sign).as("dn") +: valueCols.flatMap { c =>
+    val aggs: Seq[Column] = sum(sign).as("dn") +: (valueCols.flatMap { c =>
       val v = col(c)
       Seq(
         coalesce(sum(when(v.isNotNull, sign).otherwise(0L)), lit(0L))
           .as(s"dnv_$c"),
         sum(when(v.isNotNull, when(insert, v).otherwise(-v))).as(s"__ds_$c"))
-    }
+    } ++ minMaxCols.flatMap { c =>
+      // INSERT rows only: least/greatest folds new extrema in; deletes
+      // flip the validity flag below instead (see MinMaxValidProp)
+      Seq(min(when(insert, col(c))).as(s"dmn_$c"),
+        max(when(insert, col(c))).as(s"dmx_$c"))
+    })
     val changed = SnapshotLog.changes(spark, baseRoot, applied, Some(head),
       netChanges = true)
+    // a delete in the range makes min/max non-maintainable (the deleted
+    // row might BE the extremum): flip validity durably BEFORE applying,
+    // so a partial failure can only over-refuse, never serve stale extrema
+    if (minMaxCols.nonEmpty &&
+        mvProps.get(MinMaxValidProp).contains("true") &&
+        !changed.filter(col("_change_type") =!= "insert").isEmpty)
+      SnapshotLog.setTableProps(spark, root, Map(MinMaxValidProp -> "false"))
     // a JOIN MV's fact deltas acquire their dim attributes through the
     // SAME join as the defining query, against the dim PINNED at the
     // watermarked version — static dim ⇒ the ± algebra composes through
@@ -240,13 +288,21 @@ object IncrementalMv {
     val on = groupCols.map(c => s"t.$c <=> s.$c").mkString(" AND ")
     val gList = groupCols.mkString(", ")
     val gVals = groupCols.map(c => s"s.$c").mkString(", ")
-    val updates = ("n = t.n + s.dn" +: valueCols.flatMap(c => Seq(
+    val updates = ("n = t.n + s.dn" +: (valueCols.flatMap(c => Seq(
       s"${nvCol(c)} = t.${nvCol(c)} + s.dnv_$c",
-      s"${sCol(c)} = t.${sCol(c)} + s.ds_$c"))).mkString(", ")
+      s"${sCol(c)} = t.${sCol(c)} + s.ds_$c")) ++
+      // least/greatest skip NULLs: an all-null or empty insert delta
+      // leaves the stored extremum; a NULL stored extremum adopts the
+      // delta's — exactly min/max's ignore-nulls merge
+      minMaxCols.flatMap(c => Seq(
+        s"${mnCol(c)} = least(t.${mnCol(c)}, s.dmn_$c)",
+        s"${mxCol(c)} = greatest(t.${mxCol(c)}, s.dmx_$c)")))).mkString(", ")
     val insCols = (Seq(gList, "n") ++
-      valueCols.flatMap(c => Seq(nvCol(c), sCol(c)))).mkString(", ")
+      valueCols.flatMap(c => Seq(nvCol(c), sCol(c))) ++
+      minMaxCols.flatMap(c => Seq(mnCol(c), mxCol(c)))).mkString(", ")
     val insVals = (Seq(gVals, "s.dn") ++
-      valueCols.flatMap(c => Seq(s"s.dnv_$c", s"s.ds_$c"))).mkString(", ")
+      valueCols.flatMap(c => Seq(s"s.dnv_$c", s"s.ds_$c")) ++
+      minMaxCols.flatMap(c => Seq(s"s.dmn_$c", s"s.dmx_$c"))).mkString(", ")
     try spark.sql(
       s"""MERGE INTO snap.$mvTable t USING $view s ON $on
          |WHEN MATCHED AND t.n + s.dn = 0 THEN DELETE
@@ -293,7 +349,8 @@ object IncrementalMv {
     * materialized at `mvRoot`. */
   final case class MvDef(baseRoot: String, mvRoot: String,
                          groupCols: Seq[String], valueCols: Seq[String],
-                         join: Option[JoinDef] = None)
+                         join: Option[JoinDef] = None,
+                         minMaxCols: Seq[String] = Nil)
 
   /** DURABLE registration: the BASE table's properties carry its
     * materialization's location and defining columns, so a fresh engine
@@ -303,6 +360,7 @@ object IncrementalMv {
   val BaseMvRootProp = "mv.materialization-root"
   val BaseMvGroupProp = "mv.materialization-group-col"
   val BaseMvValueProp = "mv.materialization-value-col"
+  val BaseMvMinMaxProp = "mv.materialization-minmax-col"
   val BaseMvDimRootProp = "mv.materialization-dim-root"
   val BaseMvFactKeyProp = "mv.materialization-fact-key"
   val BaseMvDimKeyProp = "mv.materialization-dim-key"
@@ -328,19 +386,21 @@ object IncrementalMv {
     * exposed for MVs maintained by external loops. Durable: recorded in
     * the base table's properties (group/value columns comma-joined). */
   def register(spark: SparkSession, baseRoot: String, mvTable: String,
-               groupCols: Seq[String], valueCols: Seq[String]): Unit =
+               groupCols: Seq[String], valueCols: Seq[String],
+               minMaxCols: Seq[String] = Nil): Unit =
     registerDef(spark, MvDef(normRoot(baseRoot), mvRoot(spark, mvTable),
-      groupCols, valueCols))
+      groupCols, valueCols, None, minMaxCols))
 
   /** Register a star-schema MV ([[createJoin]] calls this): the FACT
     * table's properties carry the dim root and keys alongside the usual
     * materialization columns. */
   def registerJoin(spark: SparkSession, factRoot: String, dimRoot: String,
                    factKey: String, dimKey: String, mvTable: String,
-                   groupCols: Seq[String], valueCols: Seq[String]): Unit =
+                   groupCols: Seq[String], valueCols: Seq[String],
+                   minMaxCols: Seq[String] = Nil): Unit =
     registerDef(spark, MvDef(normRoot(factRoot), mvRoot(spark, mvTable),
       groupCols, valueCols,
-      Some(JoinDef(normRoot(dimRoot), factKey, dimKey))))
+      Some(JoinDef(normRoot(dimRoot), factKey, dimKey)), minMaxCols))
 
   private def registerDef(spark: SparkSession, d: MvDef): Unit = {
     checkDef(d.groupCols, d.valueCols)
@@ -354,15 +414,18 @@ object IncrementalMv {
       BaseMvDimRootProp -> j.dimRoot,
       BaseMvFactKeyProp -> j.factKey,
       BaseMvDimKeyProp -> j.dimKey)).getOrElse(Map.empty)
+    val mmProps = if (d.minMaxCols.isEmpty) Map.empty[String, String]
+      else Map(BaseMvMinMaxProp -> d.minMaxCols.mkString(","))
     try SnapshotLog.setTableProps(spark, d.baseRoot, Map(
       BaseMvRootProp -> d.mvRoot,
       BaseMvGroupProp -> d.groupCols.mkString(","),
-      BaseMvValueProp -> d.valueCols.mkString(",")) ++ joinProps,
-      // a re-registration from join to single-table must not leave stale
-      // dim props behind
-      unset = if (d.join.isEmpty)
+      BaseMvValueProp -> d.valueCols.mkString(",")) ++ joinProps ++ mmProps,
+      // a re-registration from join to single-table (or minmax to plain)
+      // must not leave stale props behind
+      unset = (if (d.join.isEmpty)
         Seq(BaseMvDimRootProp, BaseMvFactKeyProp, BaseMvDimKeyProp)
-      else Seq.empty)
+      else Seq.empty) ++
+        (if (d.minMaxCols.isEmpty) Seq(BaseMvMinMaxProp) else Seq.empty))
     catch { case scala.util.control.NonFatal(_) => () } // in-memory still works
     hydrated.remove(d.baseRoot)
     registry.put(d.baseRoot, d): Unit
@@ -379,7 +442,8 @@ object IncrementalMv {
   def unregister(spark: SparkSession, baseRoot: String): Unit = {
     try SnapshotLog.setTableProps(spark, baseRoot, Map.empty,
       unset = Seq(BaseMvRootProp, BaseMvGroupProp, BaseMvValueProp,
-        BaseMvDimRootProp, BaseMvFactKeyProp, BaseMvDimKeyProp))
+        BaseMvDimRootProp, BaseMvFactKeyProp, BaseMvDimKeyProp,
+        BaseMvMinMaxProp))
     catch { case scala.util.control.NonFatal(_) => () }
     hydrated.remove(normRoot(baseRoot))
     registry.remove(normRoot(baseRoot)): Unit
@@ -412,7 +476,9 @@ object IncrementalMv {
                   dr <- props.get(BaseMvDimRootProp)
                   fk <- props.get(BaseMvFactKeyProp)
                   dk <- props.get(BaseMvDimKeyProp)
-                } yield JoinDef(normRoot(dr), fk, dk))
+                } yield JoinDef(normRoot(dr), fk, dk),
+                props.get(BaseMvMinMaxProp).toSeq
+                  .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
             } catch { case scala.util.control.NonFatal(_) => None }
           if (hydrated.size > 4096) hydrated.clear()
           hydrated.put(key, (now, v))
@@ -434,4 +500,12 @@ object IncrementalMv {
                                        mvRoot: String): Option[Int] =
     try SnapshotLog.tableProps(spark, mvRoot).get(AppliedDimProp).map(_.toInt)
     catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Are the MV's min/max columns currently SERVABLE? False after any
+    * delete reached maintenance ([[MinMaxValidProp]]) — count/sum/avg
+    * keep serving; a full re-create revalidates. Unreadable props refuse. */
+  private[graft] def minMaxValid(spark: SparkSession, mvRoot: String): Boolean =
+    try SnapshotLog.tableProps(spark, mvRoot)
+      .get(MinMaxValidProp).contains("true")
+    catch { case scala.util.control.NonFatal(_) => false }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If, IsNotNull, Literal, NamedExpression, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.expressions.VirtualColumn
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project}
@@ -266,7 +266,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       if groups.map(_.name).distinct.size == groups.size &&
         groups.forall(g => mv.groupCols.contains(g.name))
       binds <- bindOutputs(groups, mv.valueCols.toSet, mv.groupCols.toSet,
-        aggExprs)
+        aggExprs, servableMinMax(mv, aggExprs))
       plan <- materialize(SparkSession.active, mv, binds, cs.reduceOption(And),
         rollup = groups.size != mv.groupCols.size, groups)
     } yield plan
@@ -391,13 +391,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val groupSide = org.apache.spark.sql.catalyst.expressions.AttributeSet(
       groups)
     val rollupSrc = rollupSrcOf(attr) _
+    val mmCols = servableMinMax(mv, aggExprs)
     val newAggExprs: Seq[NamedExpression] = aggExprs.map {
       // an aggregate output binds by shape FIRST: count(*) has no
       // attribute references at all, so a reference-based passthrough
       // test would wrongly keep it counting (substituted) MV rows
       case al @ Alias(c: AggregateExpression, _) =>
         val b = bindAgg(mv.valueCols.toSet, mv.groupCols.toSet,
-          Set.empty, c).getOrElse(return None)
+          Set.empty, mmCols, c).getOrElse(return None)
         val srcE = rollupSrc(b).getOrElse(return None)
         if (srcE.dataType != al.dataType) return None
         Alias(srcE, al.name)(exprId = al.exprId, qualifier = al.qualifier)
@@ -460,10 +461,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   // served from kilobytes. Rollup path only (on the exact path g is a
   // query group, so the "distinct count" is the degenerate 0/1).
   private case class DistinctGroupB(g: String) extends Bind
+  // min(c)/max(c) for a registered MINMAX measure (r19): served only
+  // while the MV's durable validity flag holds (insert-only history) —
+  // bound through the servable-minmax set the caller computes
+  private case class MinB(c: String) extends Bind   // min(c) → mn_c
+  private case class MaxB(c: String) extends Bind   // max(c) → mx_c
 
   private def bindOutputs(groups: Seq[AttributeReference],
       valueCols: Set[String], mvGroupCols: Set[String],
-      aggExprs: Seq[NamedExpression]): Option[Seq[(NamedExpression, Bind)]] = {
+      aggExprs: Seq[NamedExpression],
+      mmCols: Set[String]): Option[Seq[(NamedExpression, Bind)]] = {
     def groupOf(e: Expression): Option[String] = e match {
       case a: AttributeReference
           if groups.exists(g => g.semanticEquals(a)) => Some(a.name)
@@ -474,14 +481,15 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case al @ Alias(c, _) =>
         groupOf(c).map(n => al -> (GroupB(n): Bind))
           .orElse(bindAgg(valueCols, mvGroupCols,
-            groups.map(_.name).toSet, c).map(al -> _))
+            groups.map(_.name).toSet, mmCols, c).map(al -> _))
       case _ => None
     }
     if (out.forall(_.isDefined)) Some(out.flatten) else None
   }
 
   private def bindAgg(valueCols: Set[String], mvGroupCols: Set[String],
-      queryGroups: Set[String], e: Expression): Option[Bind] =
+      queryGroups: Set[String], mmCols: Set[String],
+      e: Expression): Option[Bind] =
     e match {
       case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) =>
         Some(CountB)
@@ -491,11 +499,29 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           if valueCols(a.name) => Some(SumB(a.name))
       case AggregateExpression(Average(a: AttributeReference, _), Complete, false, None, _)
           if valueCols(a.name) => Some(AvgB(a.name))
+      case AggregateExpression(Min(a: AttributeReference), Complete, false, None, _)
+          if mmCols(a.name) => Some(MinB(a.name))
+      case AggregateExpression(Max(a: AttributeReference), Complete, false, None, _)
+          if mmCols(a.name) => Some(MaxB(a.name))
       case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, true, None, _)
           if mvGroupCols(a.name) && !queryGroups(a.name) =>
         Some(DistinctGroupB(a.name))
       case _ => None
     }
+
+  /** The servable minmax-column set for this query: empty unless the
+    * query actually asks for a min/max (the durable validity flag costs a
+    * props read — pay it only when needed) AND the MV's flag is TRUE. */
+  private def servableMinMax(mv: IncrementalMv.MvDef,
+      aggExprs: Seq[NamedExpression]): Set[String] = {
+    val wants = mv.minMaxCols.nonEmpty && aggExprs.exists(_.exists {
+      case AggregateExpression(_: Min | _: Max, _, _, _, _) => true
+      case _ => false
+    })
+    if (wants && IncrementalMv.minMaxValid(SparkSession.active, mv.mvRoot))
+      mv.minMaxCols.toSet
+    else Set.empty
+  }
 
   /** Name → attribute lookup over a plan's output. */
   private def attrIn(plan: LogicalPlan)(n: String): Option[AttributeReference] =
@@ -541,6 +567,13 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         // MV's (full-key) rows enumerate each live g value at least once
         // and distinct-count collapses the repetition exactly
         Count(a).toAggregateExpression(isDistinct = true, filter = None))
+      // min of per-group minima IS the coarser min (distributive); Min/
+      // Max ignore the NULL extrema of all-null fine groups, exactly as
+      // the direct aggregate ignores their null inputs
+      case MinB(c) => attr(IncrementalMv.mnCol(c)).map(a =>
+        Min(a).toAggregateExpression())
+      case MaxB(c) => attr(IncrementalMv.mxCol(c)).map(a =>
+        Max(a).toAggregateExpression())
     }
   }
 
@@ -577,6 +610,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         case AvgB(c) => measure(c).map { case (nv, s) =>
           If(EqualTo(nv, Literal(0L)), Literal.create(null, DoubleType),
             Divide(Cast(s, DoubleType), Cast(nv, DoubleType))) }
+        case MinB(c) => attr(IncrementalMv.mnCol(c))
+        case MaxB(c) => attr(IncrementalMv.mxCol(c))
         case DistinctGroupB(_) => None // rollup-only bind (see Bind doc)
       }
     for {

@@ -1400,6 +1400,71 @@ object DdlQueries extends QueryModule {
         .withColumn("nonmv_group_keeps_base", lit(!scansOnlyMv(nonMv)))
     }),
 
+    // MIN/MAX MV MEASURES (r19): min/max are self-maintainable ONLY under
+    // inserts (deleting the current extremum needs a rescan), so the MV
+    // merges mn_<c>/mx_<c> from insert deltas and durably INVALIDATES
+    // them the moment a delete reaches maintenance — the rewrite then
+    // refuses min/max binds while count/sum/avg keep serving, until a
+    // full re-create revalidates. Pinned: an insert-only table serves
+    // count+sum+min+max from the MV (minmax_served); on a sibling table
+    // that suffered a MoR delete the min/max query keeps the base
+    // (delete_refuses) while its count/sum query still serves
+    // (cs_still_served). Oracle = DuckDB rebuild of the insert-only
+    // table's aggregate.
+    "composite_mv_rewrite_minmax" -> ((s, d) => {
+      import graft.operators.IncrementalMv
+      import graft.sources.SnapshotLog
+      val ns = "mvmm_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = snapFixture(s, d, "incmv_minmax19") { root =>
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_snap_warehouse/$ns"), true)
+        val b = customer(s, d).selectExpr("c_custkey AS k",
+          "c_nationkey AS grp",
+          "CAST(floor(c_acctbal * 100) AS BIGINT) AS v",
+          "CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey % 97 END AS w")
+        for (sub <- Seq("ins", "del")) {
+          SnapshotLog.commit(b.filter(col("k") % 2 === 0), s"$root/$sub",
+            overwrite = true, commitTsMs = 1000L)
+          IncrementalMv.create(s, s"$root/$sub", s"$ns.mv_$sub",
+            Seq("grp"), Seq("v"), minMaxCols = Seq("v", "w"))
+          SnapshotLog.commit(b.filter(col("k") % 2 === 1), s"$root/$sub",
+            overwrite = false, commitTsMs = 2000L)
+          IncrementalMv.maintain(s, s"$root/$sub", s"$ns.mv_$sub",
+            Seq("grp"), Seq("v"))
+        }
+        // only the del sibling suffers a delete (and re-maintains)
+        SnapshotLog.deleteWhereMoR(s, s"$root/del", col("v") < 0L, 3000L)
+        IncrementalMv.maintain(s, s"$root/del", s"$ns.mv_del",
+          Seq("grp"), Seq("v"))
+      }
+      IncrementalMv.register(s, s"$root/ins", s"$ns.mv_ins",
+        Seq("grp"), Seq("v"), Seq("v", "w"))
+      IncrementalMv.register(s, s"$root/del", s"$ns.mv_del",
+        Seq("grp"), Seq("v"), Seq("v", "w"))
+      def servedByMv(df: DataFrame, mv: String): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isEmpty && df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if r.relation.table.name().contains(mv) => r
+        }.nonEmpty
+      def mmAgg(t: DataFrame): DataFrame = t.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          min(col("v")).as("mnv"), max(col("v")).as("mxv"),
+          min(col("w")).as("mnw"), max(col("w")).as("mxw"))
+      val q = mmAgg(snapRead(s, s"$root/ins"))
+      val delMm = mmAgg(snapRead(s, s"$root/del"))
+      val delCs = snapRead(s, s"$root/del").groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      q.withColumn("minmax_served", lit(servedByMv(q, s"$ns/mv_ins")))
+        .withColumn("cs_still_served",
+          lit(servedByMv(delCs, s"$ns/mv_del")))
+        .withColumn("delete_refuses",
+          lit(!servedByMv(delMm, s"$ns/mv_del")))
+    }),
+
     // MV REWRITE UNDER GROUPING SETS (r19): a dashboard issuing `GROUP BY
     // ROLLUP(grp, sub)` (or CUBE) over the MV's base re-aggregates the
     // kilobyte MV through ONE substituted Expand — every grouping set is
@@ -2659,6 +2724,22 @@ object DdlQueries extends QueryModule {
         |  TRUE AS rollup_served, TRUE AS filter_rollup_served,
         |  TRUE AS global_served, TRUE AS nonmv_group_keeps_base
         |FROM fin GROUP BY grp""".stripMargin,
+
+    // minmax rebuild: the insert-only sibling is simply the whole
+    // customer projection — min/max with per-measure ignore-nulls
+    // semantics (w NULL on every 5th key); plan booleans pinned TRUE
+    "composite_mv_rewrite_minmax" ->
+      """WITH b AS (SELECT c_custkey AS k, c_nationkey AS grp,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS v,
+        |             CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |                  ELSE c_custkey % 97 END AS w
+        |           FROM customer)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sv,
+        |  min(v) AS mnv, max(v) AS mxv, min(w) AS mnw, max(w) AS mxw,
+        |  TRUE AS minmax_served, TRUE AS cs_still_served,
+        |  TRUE AS delete_refuses
+        |FROM b GROUP BY grp""".stripMargin,
 
     // grouping-sets rebuild: same replayed final state as _rollup but
     // grouped by ROLLUP(grp, sub) — DuckDB expands the identical sets;

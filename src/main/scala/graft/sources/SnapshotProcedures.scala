@@ -273,16 +273,21 @@ private[sources] object SnapshotProcedures {
       ProcedureParameter.in("mv_table", StringType).build(),
       ProcedureParameter.in("group_cols", StringType).build(),
       // one measure or a comma-separated list — each gets nv_<c>/s_<c>
-      ProcedureParameter.in("value_cols", StringType).build())
+      ProcedureParameter.in("value_cols", StringType).build(),
+      // optional min/max measures — each gets mn_<c>/mx_<c>, served only
+      // while the table's history since create is insert-only
+      ProcedureParameter.in("minmax_cols", StringType)
+        .defaultValue("''").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val root = rootFor(warehouse, input.getUTF8String(0).toString)
       val mvTable = input.getUTF8String(1).toString
-      def cols(i: Int): Seq[String] = input.getUTF8String(i).toString
+      def cols(i: Int): Seq[String] = Option(input.getUTF8String(i))
+        .map(_.toString).getOrElse("")
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val applied = graft.operators.IncrementalMv.create(spark, root,
-        mvTable, cols(2), cols(3))
+        mvTable, cols(2), cols(3), cols(4))
       Iterator(resultScan(
         StructType(Seq(
           StructField("mv_table", StringType, nullable = false),

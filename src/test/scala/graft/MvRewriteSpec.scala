@@ -808,6 +808,78 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally IncrementalMv.unregister(spark, factRoot)
   }
 
+  test("min/max measures: served while insert-only (exact, rollup, and " +
+       "gsets compose), a delete invalidates ONLY min/max, re-create " +
+       "revalidates") {
+    val root = fresh("minmax")
+    SnapshotLog.commit(
+      spark.range(0, 800).selectExpr("id AS k", "cast(id % 5 AS int) AS grp",
+        "cast(id % 3 AS int) AS sub", "id * 2 AS v",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE id % 101 END AS w"),
+      root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_minmax.mv", Seq("grp", "sub"),
+      Seq("v"), minMaxCols = Seq("v", "w"))
+    try {
+      def mk() = {
+        val t = spark.read.format("snapshotlog").load(root)
+        t.groupBy(col("grp"), col("sub")).agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sv"), min(col("v")).as("mnv"),
+          max(col("v")).as("mxv"), min(col("w")).as("mnw"),
+          max(col("w")).as("mxw"))
+      }
+      def cmp(q: () => DataFrame, served: DataFrame => Boolean): Unit = {
+        val df = q()
+        assert(served(df), df.queryExecution.optimizedPlan.toString)
+        val got = df.collect().map(_.toString).sorted
+        spark.conf.set("spark.graft.mv.autoRewrite", "false")
+        val want = try q().collect().map(_.toString).sorted
+        finally spark.conf.unset("spark.graft.mv.autoRewrite")
+        assert(got.sameElements(want),
+          s"got=${got.mkString("|")}\nwant=${want.mkString("|")}")
+      }
+      // exact path (w has nulls; some (grp,sub) groups may be all-null)
+      cmp(() => mk(), servedByMv(_, "mvrw_minmax"))
+      // rollup composes: min of per-group minima
+      cmp(() => spark.read.format("snapshotlog").load(root)
+        .groupBy(col("grp")).agg(min(col("v")).as("mnv"),
+          max(col("w")).as("mxw")), rolledUpFromMv(_, "mvrw_minmax"))
+      // grouping sets compose through the Expand
+      cmp(() => spark.read.format("snapshotlog").load(root)
+        .rollup(col("grp"), col("sub"))
+        .agg(count(lit(1)).as("n"), max(col("v")).as("mxv")),
+        rolledUpFromMv(_, "mvrw_minmax"))
+      // insert-only maintenance keeps min/max exact (new extrema + new
+      // groups arrive)
+      SnapshotLog.commit(
+        spark.range(800, 1000).selectExpr("id AS k",
+          "cast(id % 5 AS int) AS grp", "cast(3 AS int) AS sub",
+          "id * 3 AS v", "cast(-5 AS bigint) AS w"),
+        root, overwrite = false, 2000L)
+      IncrementalMv.maintain(spark, root, "mvrw_minmax.mv",
+        Seq("grp", "sub"), Seq("v"))
+      cmp(() => mk(), servedByMv(_, "mvrw_minmax"))
+      // a DELETE invalidates min/max — the min/max query falls back to
+      // the base (correct rows), while count/sum KEEP serving
+      SnapshotLog.deleteWhereMoR(spark, root, col("k") % 11 === 3, 3000L)
+      IncrementalMv.maintain(spark, root, "mvrw_minmax.mv",
+        Seq("grp", "sub"), Seq("v"))
+      val mm = mk()
+      assert(!servedByMv(mm, "mvrw_minmax") &&
+        !rolledUpFromMv(mm, "mvrw_minmax"),
+        "min/max after a delete must refuse the MV")
+      cmp(() => mk(), _ => true) // rows still correct, just un-served
+      val cs = spark.read.format("snapshotlog").load(root)
+        .groupBy(col("grp"), col("sub"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(servedByMv(cs, "mvrw_minmax"),
+        "count/sum must keep serving after minmax invalidation")
+      // full re-create revalidates min/max against the current state
+      IncrementalMv.create(spark, root, "mvrw_minmax.mv", Seq("grp", "sub"),
+        Seq("v"), minMaxCols = Seq("v", "w"))
+      cmp(() => mk(), servedByMv(_, "mvrw_minmax"))
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
   test("time-traveled reads rewrite only at the watermark version") {
     val root = fresh("tt")
     SnapshotLog.commit(base(400), root, overwrite = true, 1000L)
