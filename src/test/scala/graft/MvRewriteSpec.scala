@@ -808,6 +808,47 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally IncrementalMv.unregister(spark, factRoot)
   }
 
+  test("join MVs compose with refresh-then-serve and the streaming " +
+       "maintenance loop (fact deltas apply through the pinned dim)") {
+    val (factRoot, dimRoot) = joinFixture("j_auto")
+    IncrementalMv.createJoin(spark, factRoot, dimRoot, "ck", "dk",
+      "mvrw_j_auto.mv", Seq("grp"), Seq("v"))
+    val mvRoot = IncrementalMv.registered(factRoot).get.mvRoot
+    try {
+      // refresh-then-serve: an opted-in stale join MV refreshes INSIDE
+      // the rule (maintain() resolves the dim from the MV's props)
+      SnapshotLog.setTableProps(spark, mvRoot,
+        Map(IncrementalMv.AutoRefreshProp -> "true"))
+      SnapshotLog.commit(
+        spark.range(900, 950).selectExpr("id AS k", "id % 9 AS ck",
+          "id * 2 AS v"),
+        factRoot, overwrite = false, 2000L)
+      val q = joinAgg(factRoot, dimRoot)
+      assert(servedByMv(q, "mvrw_j_auto"),
+        q.queryExecution.optimizedPlan.toString)
+      assert(q.select(sum(col("n"))).as[Long].head() === 950L)
+      assert(IncrementalMv.appliedVersion(spark, mvRoot).contains(2))
+      // streaming maintenance: a fact micro-batch triggers maintain()
+      // and the rewrite re-arms without any manual call
+      val sq = graft.streaming.StreamingOps.mvMaintenanceStream(
+        spark, factRoot, "mvrw_j_auto.mv", Seq("grp"), "v",
+        checkpoint = Some(s"/tmp/graft_mvrw/j_auto_ckpt_${System.nanoTime()}"))
+      try {
+        SnapshotLog.setTableProps(spark, mvRoot,
+          Map(IncrementalMv.AutoRefreshProp -> "false"))
+        SnapshotLog.commit(
+          spark.range(950, 1000).selectExpr("id AS k", "id % 9 AS ck",
+            "id * 2 AS v"),
+          factRoot, overwrite = false, 3000L)
+        sq.processAllAvailable()
+        val q2 = joinAgg(factRoot, dimRoot)
+        assert(servedByMv(q2, "mvrw_j_auto"),
+          "the stream must have maintained the join MV to the head")
+        assert(q2.select(sum(col("n"))).as[Long].head() === 1000L)
+      } finally sq.stop()
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
+
   test("min/max measures: served while insert-only (exact, rollup, and " +
        "gsets compose), a delete invalidates ONLY min/max, re-create " +
        "revalidates") {
