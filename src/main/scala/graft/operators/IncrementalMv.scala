@@ -159,42 +159,62 @@ object IncrementalMv {
   def createJoin(spark: SparkSession, factRoot: String, dimRoot: String,
                  factKey: String, dimKey: String, mvTable: String,
                  groupCols: Seq[String], valueCols: Seq[String],
-                 minMaxCols: Seq[String] = Nil): Int = {
+                 minMaxCols: Seq[String] = Nil): Int =
+    createJoins(spark, factRoot, Seq((dimRoot, factKey, dimKey)), mvTable,
+      groupCols, valueCols, minMaxCols)
+
+  /** MULTI-DIM (star / snowflake) MV: `dims` is an ORDERED list of
+    * (dimRoot, factKey, dimKey) steps — each factKey may name a column of
+    * the fact OR of an earlier dim (the snowflake chain). All relations
+    * must be column-disjoint (name-keyed machinery); each dim is pinned
+    * at its current version and watermarked individually. */
+  def createJoins(spark: SparkSession, factRoot: String,
+                  dims: Seq[(String, String, String)], mvTable: String,
+                  groupCols: Seq[String], valueCols: Seq[String],
+                  minMaxCols: Seq[String] = Nil): Int = {
     checkDef(groupCols, valueCols, minMaxCols)
+    require(dims.nonEmpty, "IncrementalMv.createJoins: no dims")
     val factV = SnapshotLog.snapshots(spark, factRoot)
       .filter(_.branch.isEmpty).last.version
-    val dimV = SnapshotLog.snapshots(spark, dimRoot)
-      .filter(_.branch.isEmpty).last.version
     val fact = spark.read.format("snapshotlog").load(factRoot)
-    val dim = spark.read.format("snapshotlog")
-      .option("asOfVersion", dimV).load(dimRoot)
-    val shared = fact.columns.toSet.intersect(dim.columns.toSet)
-    require(shared.isEmpty,
-      s"IncrementalMv.createJoin: fact and dim share column name(s) " +
-        s"${shared.mkString(",")} — rename before materializing (the MV " +
-        "and the rewrite are name-keyed)")
-    require(fact.columns.contains(factKey),
-      s"IncrementalMv.createJoin: no fact column '$factKey'")
-    require(dim.columns.contains(dimKey),
-      s"IncrementalMv.createJoin: no dim column '$dimKey'")
-    val joinedCols = fact.columns.toSet ++ dim.columns
+    var joined = fact
+    var seenCols = fact.columns.toSet
+    val dimVs = dims.map { case (dimRoot, factKey, dimKey) =>
+      val dimV = SnapshotLog.snapshots(spark, dimRoot)
+        .filter(_.branch.isEmpty).last.version
+      val dim = spark.read.format("snapshotlog")
+        .option("asOfVersion", dimV).load(dimRoot)
+      val shared = seenCols.intersect(dim.columns.toSet)
+      require(shared.isEmpty,
+        s"IncrementalMv.createJoins: relations share column name(s) " +
+          s"${shared.mkString(",")} — rename before materializing (the " +
+          "MV and the rewrite are name-keyed)")
+      require(seenCols.contains(factKey),
+        s"IncrementalMv.createJoins: no accumulated column '$factKey' " +
+          s"(fact or an earlier dim must carry it)")
+      require(dim.columns.contains(dimKey),
+        s"IncrementalMv.createJoins: no dim column '$dimKey'")
+      // small dims broadcast on their reported size; big dims shuffle —
+      // the planner's call, same as the user's own dashboard query
+      joined = joined.join(dim, joined(factKey) === dim(dimKey), "inner")
+      seenCols ++= dim.columns
+      dimV
+    }
     val missing = (groupCols ++ valueCols ++ minMaxCols)
-      .filterNot(joinedCols.contains)
+      .filterNot(seenCols.contains)
     require(missing.isEmpty,
-      s"IncrementalMv.createJoin: column(s) ${missing.mkString(",")} in " +
-        "neither fact nor dim")
-    // small dims broadcast on their reported size; big dims shuffle — the
-    // planner's call, same as the user's own dashboard query
-    val joined = fact.join(dim, fact(factKey) === dim(dimKey), "inner")
+      s"IncrementalMv.createJoins: column(s) ${missing.mkString(",")} in " +
+        "no joined relation")
     seedMv(spark, joined, mvTable, groupCols, valueCols, minMaxCols)
     SnapshotLog.setTableProps(spark, mvRoot(spark, mvTable), Map(
       AppliedProp -> factV.toString,
-      AppliedDimProp -> dimV.toString,
-      JoinDimRootProp -> normRoot(dimRoot),
-      JoinFactKeyProp -> factKey,
-      JoinDimKeyProp -> dimKey) ++ minMaxProps(minMaxCols))
-    registerJoin(spark, factRoot, dimRoot, factKey, dimKey, mvTable,
-      groupCols, valueCols, minMaxCols)
+      AppliedDimProp -> dimVs.mkString(","),
+      JoinDimRootProp -> dims.map(d => normRoot(d._1)).mkString(","),
+      JoinFactKeyProp -> dims.map(_._2).mkString(","),
+      JoinDimKeyProp -> dims.map(_._3).mkString(",")) ++
+      minMaxProps(minMaxCols))
+    registerJoins(spark, factRoot, dims, mvTable, groupCols, valueCols,
+      minMaxCols)
     factV
   }
 
@@ -256,16 +276,19 @@ object IncrementalMv {
     // the join exactly (see AppliedDimProp)
     val deltaSrc = mvProps.get(JoinDimRootProp) match {
       case None => changed
-      case Some(dimRoot) =>
-        val dimV = mvProps.getOrElse(AppliedDimProp,
+      case Some(dimRoots) =>
+        val dimVs = mvProps.getOrElse(AppliedDimProp,
           throw new IllegalStateException(
             s"IncrementalMv: $mvTable has $JoinDimRootProp but no " +
-              s"$AppliedDimProp")).toInt
-        val fk = mvProps(JoinFactKeyProp)
-        val dk = mvProps(JoinDimKeyProp)
-        val dim = spark.read.format("snapshotlog")
-          .option("asOfVersion", dimV).load(dimRoot)
-        changed.join(dim, changed(fk) === dim(dk), "inner")
+              s"$AppliedDimProp")).split(",").map(_.trim.toInt).toSeq
+        val fks = mvProps(JoinFactKeyProp).split(",").map(_.trim).toSeq
+        val dks = mvProps(JoinDimKeyProp).split(",").map(_.trim).toSeq
+        val roots = dimRoots.split(",").map(_.trim).toSeq
+        roots.indices.foldLeft(changed) { (df, i) =>
+          val dim = spark.read.format("snapshotlog")
+            .option("asOfVersion", dimVs(i)).load(roots(i))
+          df.join(dim, df(fks(i)) === dim(dks(i)), "inner")
+        }
     }
     val delta = deltaSrc
       .groupBy(groupCols.map(col): _*)
@@ -337,19 +360,23 @@ object IncrementalMv {
 
   // ---- MV registry (feeds the transparent query-rewrite rule) ----
 
-  /** The join half of a star-schema MvDef: dim table root and the equi
-    * keys (fact side, dim side). The watermarked dim VERSION is not here —
-    * it lives durably on the MV table ([[AppliedDimProp]]) and is re-read
-    * at every rewrite, so a rebase can never serve through a stale cache. */
+  /** One join step of a star/snowflake MvDef: dim table root and the
+    * equi keys. `factKey` names a column of the ACCUMULATED join so far —
+    * a fact column for star dims, an earlier dim's column for snowflake
+    * chains (dim-of-dim). The watermarked dim VERSIONS are not here —
+    * they live durably on the MV table ([[AppliedDimProp]], parallel
+    * comma list) and are re-read at every rewrite, so a rebase can never
+    * serve through a stale cache. */
   final case class JoinDef(dimRoot: String, factKey: String, dimKey: String)
 
   /** One registered MV: `SELECT groups…, count(*) n, [count(c) nv_c,
-    * sum-with-zero s_c per measure] FROM <baseRoot> [JOIN <join.dimRoot>
-    * ON baseRoot.factKey = dimRoot.dimKey] GROUP BY groups…`,
-    * materialized at `mvRoot`. */
+    * sum-with-zero s_c per measure] FROM <baseRoot> [JOIN dim_i ON
+    * factKey_i = dimKey_i …] GROUP BY groups…`, materialized at
+    * `mvRoot`. `joins` is ordered (snowflake chains join left-to-right);
+    * empty = single-table MV. */
   final case class MvDef(baseRoot: String, mvRoot: String,
                          groupCols: Seq[String], valueCols: Seq[String],
-                         join: Option[JoinDef] = None,
+                         joins: Seq[JoinDef] = Nil,
                          minMaxCols: Seq[String] = Nil)
 
   /** DURABLE registration: the BASE table's properties carry its
@@ -389,7 +416,7 @@ object IncrementalMv {
                groupCols: Seq[String], valueCols: Seq[String],
                minMaxCols: Seq[String] = Nil): Unit =
     registerDef(spark, MvDef(normRoot(baseRoot), mvRoot(spark, mvTable),
-      groupCols, valueCols, None, minMaxCols))
+      groupCols, valueCols, Nil, minMaxCols))
 
   /** Register a star-schema MV ([[createJoin]] calls this): the FACT
     * table's properties carry the dim root and keys alongside the usual
@@ -398,9 +425,16 @@ object IncrementalMv {
                    factKey: String, dimKey: String, mvTable: String,
                    groupCols: Seq[String], valueCols: Seq[String],
                    minMaxCols: Seq[String] = Nil): Unit =
+    registerJoins(spark, factRoot, Seq((dimRoot, factKey, dimKey)), mvTable,
+      groupCols, valueCols, minMaxCols)
+
+  def registerJoins(spark: SparkSession, factRoot: String,
+                    dims: Seq[(String, String, String)], mvTable: String,
+                    groupCols: Seq[String], valueCols: Seq[String],
+                    minMaxCols: Seq[String] = Nil): Unit =
     registerDef(spark, MvDef(normRoot(factRoot), mvRoot(spark, mvTable),
       groupCols, valueCols,
-      Some(JoinDef(normRoot(dimRoot), factKey, dimKey)), minMaxCols))
+      dims.map(d => JoinDef(normRoot(d._1), d._2, d._3)), minMaxCols))
 
   private def registerDef(spark: SparkSession, d: MvDef): Unit = {
     checkDef(d.groupCols, d.valueCols)
@@ -408,12 +442,12 @@ object IncrementalMv {
     // MV's own defining aggregate FROM ITSELF without aggregating
     require(normRoot(d.mvRoot) != d.baseRoot,
       s"IncrementalMv: mv table must differ from its base (${d.baseRoot})")
-    d.join.foreach(j => require(normRoot(d.mvRoot) != j.dimRoot,
+    d.joins.foreach(j => require(normRoot(d.mvRoot) != j.dimRoot,
       s"IncrementalMv: mv table must differ from its dim (${j.dimRoot})"))
-    val joinProps = d.join.map(j => Map(
-      BaseMvDimRootProp -> j.dimRoot,
-      BaseMvFactKeyProp -> j.factKey,
-      BaseMvDimKeyProp -> j.dimKey)).getOrElse(Map.empty)
+    val joinProps = if (d.joins.isEmpty) Map.empty[String, String] else Map(
+      BaseMvDimRootProp -> d.joins.map(_.dimRoot).mkString(","),
+      BaseMvFactKeyProp -> d.joins.map(_.factKey).mkString(","),
+      BaseMvDimKeyProp -> d.joins.map(_.dimKey).mkString(","))
     val mmProps = if (d.minMaxCols.isEmpty) Map.empty[String, String]
       else Map(BaseMvMinMaxProp -> d.minMaxCols.mkString(","))
     try SnapshotLog.setTableProps(spark, d.baseRoot, Map(
@@ -422,7 +456,7 @@ object IncrementalMv {
       BaseMvValueProp -> d.valueCols.mkString(",")) ++ joinProps ++ mmProps,
       // a re-registration from join to single-table (or minmax to plain)
       // must not leave stale props behind
-      unset = (if (d.join.isEmpty)
+      unset = (if (d.joins.isEmpty)
         Seq(BaseMvDimRootProp, BaseMvFactKeyProp, BaseMvDimKeyProp)
       else Seq.empty) ++
         (if (d.minMaxCols.isEmpty) Seq(BaseMvMinMaxProp) else Seq.empty))
@@ -472,11 +506,14 @@ object IncrementalMv {
               } yield MvDef(key, mvRoot,
                 g.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
                 vc.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-                for {
-                  dr <- props.get(BaseMvDimRootProp)
-                  fk <- props.get(BaseMvFactKeyProp)
-                  dk <- props.get(BaseMvDimKeyProp)
-                } yield JoinDef(normRoot(dr), fk, dk),
+                (for {
+                  dr <- props.get(BaseMvDimRootProp).toSeq
+                  fk <- props.get(BaseMvFactKeyProp).toSeq
+                  dk <- props.get(BaseMvDimKeyProp).toSeq
+                } yield dr.split(",").map(_.trim).toSeq
+                  .lazyZip(fk.split(",").map(_.trim).toSeq)
+                  .lazyZip(dk.split(",").map(_.trim).toSeq)
+                  .map((a, b, c) => JoinDef(normRoot(a), b, c))).flatten,
                 props.get(BaseMvMinMaxProp).toSeq
                   .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
             } catch { case scala.util.control.NonFatal(_) => None }
@@ -494,11 +531,13 @@ object IncrementalMv {
     try SnapshotLog.tableProps(spark, mvRoot).get(AppliedProp).map(_.toInt)
     catch { case scala.util.control.NonFatal(_) => None }
 
-  /** The dim version a JOIN MV was materialized against ([[AppliedDimProp]])
-    * — the rewrite's second freshness anchor. None for single-table MVs. */
-  private[graft] def appliedDimVersion(spark: SparkSession,
-                                       mvRoot: String): Option[Int] =
-    try SnapshotLog.tableProps(spark, mvRoot).get(AppliedDimProp).map(_.toInt)
+  /** The dim versions a JOIN MV was materialized against
+    * ([[AppliedDimProp]], ordered like MvDef.joins) — the rewrite's
+    * per-dim freshness anchors. None for single-table MVs. */
+  private[graft] def appliedDimVersions(spark: SparkSession,
+                                        mvRoot: String): Option[Seq[Int]] =
+    try SnapshotLog.tableProps(spark, mvRoot).get(AppliedDimProp)
+      .map(_.split(",").map(_.trim.toInt).toSeq)
     catch { case scala.util.control.NonFatal(_) => None }
 
   /** Are the MV's min/max columns currently SERVABLE? False after any

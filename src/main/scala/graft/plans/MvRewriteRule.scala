@@ -154,39 +154,34 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     case other => (Nil, other)
   }
 
-  /** The source shape under the aggregate: a bare DSv2 relation, or a
-    * single-equality INNER join of two (the star-schema MV shape). Filter
-    * conditions are collected from EVERY level — above the join and
-    * pushed below it onto either side (PushDownPredicates moves
-    * group-column predicates there before this rule sees the plan);
-    * filtering a group column commutes with the join AND with the
-    * grouping, so placement doesn't change admissibility. Any other
-    * operator disqualifies the rewrite. */
-  private sealed trait Src
-  private case class SingleSrc(conds: Seq[Expression],
-      rel: DataSourceV2Relation) extends Src
-  private case class JoinSrc(conds: Seq[Expression],
-      left: DataSourceV2Relation, leftKey: String,
-      right: DataSourceV2Relation, rightKey: String) extends Src
+  /** The source shape under the aggregate: a tree of single-equality
+    * INNER joins over DSv2 relations (a bare relation = the degenerate
+    * 0-join tree) — the star/snowflake MV shape, flattened to
+    * (relations, key-name pairs) regardless of how ReorderJoin
+    * associated the tree. Filter conditions are collected from EVERY
+    * level — above each join and pushed below onto any side
+    * (PushDownPredicates moves group-column predicates there before this
+    * rule sees the plan); filtering a group column commutes with the
+    * joins AND with the grouping, so placement doesn't change
+    * admissibility. Any other operator disqualifies the rewrite. */
+  private case class Srcs(conds: Seq[Expression],
+      rels: Seq[DataSourceV2Relation], pairs: Seq[(String, String)])
 
-  private def decompose(child: LogicalPlan): Option[Src] =
+  private def decompose(child: LogicalPlan): Option[Srcs] =
     peel(child) match {
-      case (conds, r: DataSourceV2Relation) => Some(SingleSrc(conds, r))
+      case (conds, r: DataSourceV2Relation) => Some(Srcs(conds, Seq(r), Nil))
       case (conds, Join(l, r, Inner,
           Some(EqualTo(a: AttributeReference, b: AttributeReference)), _)) =>
-        (peel(l), peel(r)) match {
-          case ((lc, lr: DataSourceV2Relation), (rc, rr: DataSourceV2Relation)) =>
-            // bind the equality's sides to their relations (either order)
-            val keys =
-              if (lr.output.exists(_.exprId == a.exprId) &&
-                  rr.output.exists(_.exprId == b.exprId)) Some((a, b))
-              else if (lr.output.exists(_.exprId == b.exprId) &&
-                       rr.output.exists(_.exprId == a.exprId)) Some((b, a))
-              else None
-            keys.map { case (lk, rk) =>
-              JoinSrc(conds ++ lc ++ rc, lr, lk.name, rr, rk.name) }
-          case _ => None
-        }
+        for {
+          ls <- decompose(l)
+          rs <- decompose(r)
+          // the equality must bridge the two subtrees (either order)
+          if (ls.rels.exists(_.outputSet.contains(a)) &&
+              rs.rels.exists(_.outputSet.contains(b))) ||
+            (ls.rels.exists(_.outputSet.contains(b)) &&
+              rs.rels.exists(_.outputSet.contains(a)))
+        } yield Srcs(conds ++ ls.conds ++ rs.conds, ls.rels ++ rs.rels,
+          (a.name, b.name) +: (ls.pairs ++ rs.pairs))
       case _ => None
     }
 
@@ -198,68 +193,75 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def rewrite(groups: Seq[AttributeReference],
                       aggExprs: Seq[NamedExpression],
                       child: LogicalPlan): Option[LogicalPlan] =
-    decompose(child).flatMap {
-      case SingleSrc(conds, rel) =>
-        serve(conds, rel, None, groups, aggExprs)
-      case JoinSrc(conds, l, lKey, r, rKey) =>
-        // which side is the fact is the registration's call — try both
-        serve(conds, l, Some((lKey, r, rKey)), groups, aggExprs)
-          .orElse(serve(conds, r, Some((rKey, l, lKey)), groups, aggExprs))
+    decompose(child).flatMap(serve(_, groups, aggExprs))
+
+  /** Does one relation of `srcs`, taken as the fact, make the query's
+    * source shape BE `mv`'s? Every OTHER relation must match exactly one
+    * of the MV's JoinDefs — by key-name pair (relation schemas are
+    * column-disjoint at create, so the name pair identifies the step),
+    * by dim root, and by the dim pin equalling that step's watermarked
+    * version. Single-table MVs never serve joins (they aggregated only
+    * base rows); join MVs never serve bare fact scans or a SUBSET of
+    * their joins (inner joins drop unmatched rows — different row set). */
+  private def joinsMatch(mv: IncrementalMv.MvDef,
+      dims: Seq[DataSourceV2Relation],
+      pairs: Seq[(String, String)]): Boolean = {
+    if (mv.joins.size != dims.size || mv.joins.size != pairs.size)
+      return false
+    if (mv.joins.isEmpty) return true
+    val dimVs = IncrementalMv.appliedDimVersions(
+      SparkSession.active, mv.mvRoot).getOrElse(return false)
+    if (dimVs.size != mv.joins.size) return false
+    val pairSets = pairs.map { case (x, y) => Set(x, y) }
+    mv.joins.zip(dimVs).forall { case (j, wantV) =>
+      pairSets.contains(Set(j.factKey, j.dimKey)) &&
+        dims.exists { r =>
+          r.output.exists(_.name == j.dimKey) &&
+            parsePin(r.table.name()).exists { case (dr, dp) =>
+              // the dim read must resolve to the EXACT version this step
+              // was materialized against — a changed dim refuses
+              dr == j.dimRoot && dp == wantV
+            }
+        }
     }
+  }
 
   /** Shape + filter + freshness admission, shared by the flat and the
     * grouping-sets paths: the source relations must BE the MV's (with
-    * dim-version watermark equality for join MVs), every filter conjunct
-    * must reference only MV group columns, and the fact pin must equal
-    * the (possibly just refreshed) applied watermark. Returns the MvDef
-    * and the admissible conjuncts (not yet rebound to MV attributes). */
-  private def admit(conds: Seq[Expression], rel: DataSourceV2Relation,
-                    dim: Option[(String, DataSourceV2Relation, String)])
+    * per-dim version watermark equality for join MVs), every filter
+    * conjunct must reference only MV group columns, and the fact pin must
+    * equal the (possibly just refreshed) applied watermark. Returns the
+    * MvDef and the admissible conjuncts (not yet rebound). */
+  private def admit(srcs: Srcs)
       : Option[(IncrementalMv.MvDef, Seq[Expression])] = {
-    for {
-      (root, pinned) <- parsePin(rel.table.name())
-      mv <- IncrementalMv.registered(root)
-      // the query's source shape must BE the MV's: single-table MVs never
-      // serve joins (the MV aggregated only base rows), join MVs never
-      // serve bare scans of the fact (the MV aggregated fact⋈dim rows,
-      // which drop fact rows without a dim match)
-      keyNames <- (mv.join, dim) match {
-        case (None, None) => Some(Set.empty[String])
-        case (Some(jd), Some((factKey, dimRel, dimKey))) =>
-          for {
-            (dimRoot, dimPinned) <- parsePin(dimRel.table.name())
-            if dimRoot == jd.dimRoot && factKey == jd.factKey &&
-              dimKey == jd.dimKey
-            // the dim read must resolve to the EXACT version the MV was
-            // materialized against — a changed dim refuses, never guesses
-            dimApplied <- IncrementalMv.appliedDimVersion(
-              SparkSession.active, mv.mvRoot)
-            if dimApplied == dimPinned
-          } yield Set(jd.factKey, jd.dimKey)
-        case _ => None
-      }
-      // filter admissibility, per conjunct: every referenced column is an
-      // MV GROUP column (queried or not) — then filtering the group rows
-      // before (re-)aggregation is the same relation. IsNotNull on a JOIN
-      // KEY is implied by the inner equi-join itself (null keys never
-      // match) — InferFiltersFromConstraints plants those below the join;
-      // they are a no-op on the join result and are dropped here.
-      cs = conds.flatMap(conjuncts).filterNot {
-        case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
-        case _ => false
-      }
-      if cs.forall(_.references.forall(a => mv.groupCols.contains(a.name)))
-      applied <- freshOrRefreshed(SparkSession.active, mv, pinned)
-      if applied == pinned
-    } yield (mv, cs)
+    // which relation is the fact is the registration's call — try each
+    srcs.rels.iterator.flatMap { factRel =>
+      (for {
+        (root, pinned) <- parsePin(factRel.table.name())
+        mv <- IncrementalMv.registered(root)
+        if joinsMatch(mv, srcs.rels.filterNot(_ eq factRel), srcs.pairs)
+        keyNames = mv.joins.flatMap(j => Seq(j.factKey, j.dimKey)).toSet
+        // filter admissibility, per conjunct: every referenced column is
+        // an MV GROUP column (queried or not) — then filtering the group
+        // rows before (re-)aggregation is the same relation. IsNotNull on
+        // a JOIN KEY is implied by the inner equi-joins themselves (null
+        // keys never match) — InferFiltersFromConstraints plants those
+        // below the joins; they are a no-op on the result and dropped.
+        cs = srcs.conds.flatMap(conjuncts).filterNot {
+          case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+          case _ => false
+        }
+        if cs.forall(_.references.forall(a => mv.groupCols.contains(a.name)))
+        applied <- freshOrRefreshed(SparkSession.active, mv, pinned)
+        if applied == pinned
+      } yield (mv, cs)).iterator
+    }.nextOption()
   }
 
-  private def serve(conds: Seq[Expression], rel: DataSourceV2Relation,
-                    dim: Option[(String, DataSourceV2Relation, String)],
-                    groups: Seq[AttributeReference],
+  private def serve(srcs: Srcs, groups: Seq[AttributeReference],
                     aggExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
     for {
-      (mv, cs) <- admit(conds, rel, dim)
+      (mv, cs) <- admit(srcs)
       // query groups must be a (possibly improper, possibly empty) subset
       // of the MV's key set; equal sets → direct serve, proper subset →
       // rollup re-aggregation over the MV
@@ -330,12 +332,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         for {
           g <- gid
           s <- src
-          (mv, cs) <- s match {
-            case SingleSrc(conds, rel) => admit(conds, rel, None)
-            case JoinSrc(conds, l, lKey, r, rKey) =>
-              admit(conds, l, Some((lKey, r, rKey)))
-                .orElse(admit(conds, r, Some((rKey, l, lKey))))
-          }
+          (mv, cs) <- admit(s)
           plan <- materializeGsets(SparkSession.active, mv, cs, projections,
             output, groups, g, others, aggExprs)
         } yield plan

@@ -1400,6 +1400,72 @@ object DdlQueries extends QueryModule {
         .withColumn("nonmv_group_keeps_base", lit(!scansOnlyMv(nonMv)))
     }),
 
+    // SNOWFLAKE MV REWRITE (r19): the MV is `orders ⋈ customer ⋈ nation`
+    // — dim-of-dim, the nation key coming from CUSTOMER, not the fact —
+    // grouped by the outermost dim attribute. createJoins watermarks
+    // EACH dim's version; the rewrite flattens the query's join tree
+    // (whatever way it associated) and matches the relation/key-pair SET
+    // against the registration. Pinned: the 3-way join query loses both
+    // Joins and the Aggregate and scans only the MV (snow_served); a
+    // SUBSET of the joins (orders ⋈ customer only) keeps the base — an
+    // inner join with nation drops rows, so the row sets differ
+    // (subset_keeps_base). Oracle = DuckDB 3-way rebuild.
+    "composite_mv_rewrite_snowflake" -> ((s, d) => {
+      import graft.operators.IncrementalMv
+      import graft.sources.SnapshotLog
+      val ns = "mvsn_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = snapFixture(s, d, "incmv_snow19") { root =>
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_snap_warehouse/$ns"), true)
+        SnapshotLog.commit(nation(s, d).selectExpr("n_nationkey AS nnk",
+          "n_name AS nname"), s"$root/nat", overwrite = true, 300L)
+        SnapshotLog.commit(customer(s, d).selectExpr("c_custkey AS dk",
+          "c_nationkey AS nk"), s"$root/cust", overwrite = true, 500L)
+        val fact = orders(s, d).selectExpr("o_orderkey AS k",
+          "o_custkey AS ck", "CAST(floor(o_totalprice * 100) AS BIGINT) AS v")
+        SnapshotLog.commit(fact.filter(col("k") % 2 === 0), s"$root/fact",
+          overwrite = true, 1000L)
+        IncrementalMv.createJoins(s, s"$root/fact",
+          Seq((s"$root/cust", "ck", "dk"), (s"$root/nat", "nk", "nnk")),
+          s"$ns.mv", Seq("nname"), Seq("v"))
+        SnapshotLog.commit(fact.filter(col("k") % 2 === 1), s"$root/fact",
+          overwrite = false, 2000L)
+        SnapshotLog.deleteWhereMoR(s, s"$root/fact", col("v") < 10000000L,
+          3000L)
+        IncrementalMv.maintain(s, s"$root/fact", s"$ns.mv",
+          Seq("nname"), Seq("v"))
+      }
+      IncrementalMv.registerJoins(s, s"$root/fact",
+        Seq((s"$root/cust", "ck", "dk"), (s"$root/nat", "nk", "nnk")),
+        s"$ns.mv", Seq("nname"), Seq("v"))
+      def scansOnlyMv(df: DataFrame): Boolean = {
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            => r.relation.table.name() }
+        scans.nonEmpty && scans.forall(_.contains(s"$ns/mv"))
+      }
+      def servedByMv(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty && scansOnlyMv(df)
+      val f = snapRead(s, s"$root/fact")
+      val c = snapRead(s, s"$root/cust")
+      val n = snapRead(s, s"$root/nat")
+      val q = f.join(c, f("ck") === c("dk")).join(n, c("nk") === n("nnk"))
+        .groupBy(col("nname"))
+        .agg(count(lit(1)).as("nr"), sum(col("v")).as("sv"),
+          avg(col("v")).as("av"))
+      val f2 = snapRead(s, s"$root/fact")
+      val c2 = snapRead(s, s"$root/cust")
+      val subset = f2.join(c2, f2("ck") === c2("dk"))
+        .groupBy(col("nk")).agg(count(lit(1)).as("nr"))
+      q.withColumn("snow_served", lit(servedByMv(q)))
+        .withColumn("subset_keeps_base", lit(!scansOnlyMv(subset)))
+    }),
+
     // MIN/MAX MV MEASURES (r19): min/max are self-maintainable ONLY under
     // inserts (deleting the current extremum needs a rescan), so the MV
     // merges mn_<c>/mx_<c> from insert deltas and durably INVALIDATES
@@ -2724,6 +2790,24 @@ object DdlQueries extends QueryModule {
         |  TRUE AS rollup_served, TRUE AS filter_rollup_served,
         |  TRUE AS global_served, TRUE AS nonmv_group_keeps_base
         |FROM fin GROUP BY grp""".stripMargin,
+
+    // snowflake rebuild: evens + odds minus the v < 10^7 MoR deletes,
+    // joined through customer to nation, grouped by nation name — avg
+    // spelled as the division the rewrite composes
+    "composite_mv_rewrite_snowflake" ->
+      """WITH fact AS (SELECT o_custkey AS ck,
+        |                CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |              FROM orders
+        |              WHERE CAST(floor(o_totalprice * 100) AS BIGINT)
+        |                    >= 10000000)
+        |SELECT n_name AS nname, CAST(count(*) AS BIGINT) AS nr,
+        |  CAST(sum(v) AS BIGINT) AS sv,
+        |  CAST(sum(v) AS DOUBLE) / count(v) AS av,
+        |  TRUE AS snow_served, TRUE AS subset_keeps_base
+        |FROM fact
+        |JOIN customer ON ck = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
 
     // minmax rebuild: the insert-only sibling is simply the whole
     // customer projection — min/max with per-measure ignore-nulls

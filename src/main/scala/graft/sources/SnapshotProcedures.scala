@@ -326,15 +326,23 @@ private[sources] object SnapshotProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val factRoot = rootFor(warehouse, input.getUTF8String(0).toString)
-      val dimRoot = rootFor(warehouse, input.getUTF8String(1).toString)
       val mvTable = input.getUTF8String(4).toString
       def cols(i: Int): Seq[String] = input.getUTF8String(i).toString
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      val applied = graft.operators.IncrementalMv.createJoin(spark,
-        factRoot, dimRoot, input.getUTF8String(2).toString,
-        input.getUTF8String(3).toString, mvTable, cols(5), cols(6))
-      val dimV = graft.operators.IncrementalMv.appliedDimVersion(spark,
-        rootFor(warehouse, mvTable.replace('.', '/'))).getOrElse(-1)
+      // dim_table/fact_key/dim_key accept PARALLEL comma lists — the
+      // snowflake form ('ns.cust,ns.nation', 'ck,nk', 'dk,nnk'); a
+      // single value is the plain star shape
+      val dimRoots = cols(1).map(t => rootFor(warehouse, t))
+      val (fks, dks) = (cols(2), cols(3))
+      require(dimRoots.size == fks.size && fks.size == dks.size,
+        "create_join_mv: dim_table, fact_key, dim_key must be " +
+          "comma-lists of one length")
+      val applied = graft.operators.IncrementalMv.createJoins(spark,
+        factRoot, dimRoots.lazyZip(fks).lazyZip(dks).map((r, f, k) =>
+          (r, f, k)), mvTable, cols(5), cols(6))
+      val dimV = graft.operators.IncrementalMv.appliedDimVersions(spark,
+        rootFor(warehouse, mvTable.replace('.', '/')))
+        .flatMap(_.headOption).getOrElse(-1)
       Iterator(resultScan(
         StructType(Seq(
           StructField("mv_table", StringType, nullable = false),

@@ -849,6 +849,101 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally IncrementalMv.unregister(spark, factRoot)
   }
 
+  test("snowflake MV (fact ⋈ dim ⋈ dim-of-dim): served whichever way the " +
+       "query associates the joins; per-dim staleness and join subsets " +
+       "refuse; maintenance applies fact deltas through BOTH pinned dims") {
+    val factRoot = fresh("snow_fact")
+    val d1Root = "/tmp/graft_mvrw/snow_d1"
+    val d2Root = "/tmp/graft_mvrw/snow_d2"
+    val fs = new Path(d1Root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(d1Root), true)
+    fs.delete(new Path(d2Root), true)
+    // dim2 (region) keys off DIM1's nk — the snowflake chain
+    SnapshotLog.commit(
+      spark.range(0, 4).selectExpr("id AS nnk", "concat('r', id) AS region"),
+      d2Root, overwrite = true, 300L)
+    SnapshotLog.commit(
+      spark.range(0, 12).selectExpr("id AS dk", "cast(id % 3 AS int) AS grp",
+        "id % 4 AS nk"),
+      d1Root, overwrite = true, 500L)
+    SnapshotLog.commit(
+      spark.range(0, 600).selectExpr("id AS k", "id % 12 AS ck", "id * 2 AS v"),
+      factRoot, overwrite = true, 1000L)
+    IncrementalMv.createJoins(spark, factRoot,
+      Seq((d1Root, "ck", "dk"), (d2Root, "nk", "nnk")),
+      "mvrw_snow.mv", Seq("region"), Seq("v"))
+    try {
+      // fresh reads per query build, captured as vals: `df(col)` must
+      // come from the SAME Dataset instance that sits in the join
+      def reads() = (spark.read.format("snapshotlog").load(factRoot),
+        spark.read.format("snapshotlog").load(d1Root),
+        spark.read.format("snapshotlog").load(d2Root))
+      def q1() = { // fact-first association
+        val (ff, dd1, dd2) = reads()
+        ff.join(dd1, ff("ck") === dd1("dk")).join(dd2, dd1("nk") === dd2("nnk"))
+          .groupBy(col("region"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      }
+      def q2() = { // dims-first association (ReorderJoin's prerogative)
+        val (ff, dd1, dd2) = reads()
+        dd1.join(dd2, dd1("nk") === dd2("nnk"))
+          .join(ff, ff("ck") === dd1("dk"))
+          .groupBy(col("region"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      }
+      for (mk <- Seq(q1 _, q2 _)) {
+        val df = mk()
+        assert(servedByMv(df, "mvrw_snow"),
+          df.queryExecution.optimizedPlan.toString)
+        val got = df.collect().map(_.toString).sorted
+        spark.conf.set("spark.graft.mv.autoRewrite", "false")
+        val want = try mk().collect().map(_.toString).sorted
+        finally spark.conf.unset("spark.graft.mv.autoRewrite")
+        assert(got.sameElements(want))
+      }
+      // rollup: the global aggregate over the 3-way join
+      val (gf, gd1, gd2) = reads()
+      val glob = gf.join(gd1, gf("ck") === gd1("dk"))
+        .join(gd2, gd1("nk") === gd2("nnk"))
+        .agg(count(lit(1)).as("n"), avg(col("v")).as("a"))
+      assert(rolledUpFromMv(glob, "mvrw_snow"))
+      // a SUBSET of the joins (fact ⋈ dim1 only) must refuse — inner
+      // joining dim2 drops rows, so the MV's row set differs
+      val (ff2, dd, _) = reads()
+      val subset = ff2.join(dd, ff2("ck") === dd("dk"))
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      assert(!servedByMv(subset, "mvrw_snow") &&
+        !rolledUpFromMv(subset, "mvrw_snow"))
+      // fact DML maintains through BOTH pinned dims
+      SnapshotLog.commit(
+        spark.range(600, 700).selectExpr("id AS k", "id % 12 AS ck",
+          "id * 3 AS v"),
+        factRoot, overwrite = false, 2000L)
+      SnapshotLog.deleteWhereMoR(spark, factRoot, col("k") % 9 === 2, 3000L)
+      IncrementalMv.maintain(spark, factRoot, "mvrw_snow.mv",
+        Seq("region"), Seq("v"))
+      val q3 = q1()
+      assert(servedByMv(q3, "mvrw_snow"))
+      val got3 = q3.collect().map(_.toString).sorted
+      spark.conf.set("spark.graft.mv.autoRewrite", "false")
+      val want3 = try q1().collect().map(_.toString).sorted
+      finally spark.conf.unset("spark.graft.mv.autoRewrite")
+      assert(got3.sameElements(want3),
+        s"got=${got3.mkString("|")}\nwant=${want3.mkString("|")}")
+      // EITHER dim advancing refuses until re-create (per-dim watermark)
+      SnapshotLog.commit(
+        spark.range(4, 5).selectExpr("id AS nnk", "concat('r', id) AS region"),
+        d2Root, overwrite = false, 4000L)
+      assert(!servedByMv(q1(), "mvrw_snow"),
+        "a dim-of-dim commit past its watermark must refuse")
+      IncrementalMv.createJoins(spark, factRoot,
+        Seq((d1Root, "ck", "dk"), (d2Root, "nk", "nnk")),
+        "mvrw_snow.mv", Seq("region"), Seq("v"))
+      assert(servedByMv(q1(), "mvrw_snow"),
+        "re-create against the new dim must re-arm")
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
+
   test("min/max measures: served while insert-only (exact, rollup, and " +
        "gsets compose), a delete invalidates ONLY min/max, re-create " +
        "revalidates") {
