@@ -463,6 +463,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   // bound through the servable-minmax set the caller computes
   private case class MinB(c: String) extends Bind   // min(c) → mn_c
   private case class MaxB(c: String) extends Bind   // max(c) → mx_c
+  // a FOLDABLE output (CollapseProject merges literal projections into
+  // the Aggregate's output list) touches no base rows — emit verbatim.
+  // Without this, `agg(...).withColumn("flag", lit(true))` silently
+  // refuses the rewrite at its FINAL optimization even though the bare
+  // aggregate serves.
+  private case class FoldB(e: NamedExpression) extends Bind
 
   private def bindOutputs(groups: Seq[AttributeReference],
       valueCols: Set[String], mvGroupCols: Set[String],
@@ -479,6 +485,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         groupOf(c).map(n => al -> (GroupB(n): Bind))
           .orElse(bindAgg(valueCols, mvGroupCols,
             groups.map(_.name).toSet, mmCols, c).map(al -> _))
+          .orElse(if (c.foldable) Some(al -> (FoldB(al): Bind)) else None)
       case _ => None
     }
     if (out.forall(_.isDefined)) Some(out.flatten) else None
@@ -571,6 +578,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         Min(a).toAggregateExpression())
       case MaxB(c) => attr(IncrementalMv.mxCol(c)).map(a =>
         Max(a).toAggregateExpression())
+      case FoldB(_) => None // handled verbatim by the projections builder
     }
   }
 
@@ -610,15 +618,18 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         case MinB(c) => attr(IncrementalMv.mnCol(c))
         case MaxB(c) => attr(IncrementalMv.mxCol(c))
         case DistinctGroupB(_) => None // rollup-only bind (see Bind doc)
+        case FoldB(_) => None // handled verbatim by the projections builder
       }
     for {
       nCol <- attr("n") if nCol.dataType == LongType
       srcOf = if (rollup) rollupSrc _ else directSrc(nCol) _
-      projections <- Some(binds.map { case (orig, b) =>
-        val src = srcOf(b).getOrElse(return None)
-        if (src.dataType != orig.dataType) return None
-        Alias(src, orig.name)(exprId = orig.exprId,
-          qualifier = orig.qualifier)
+      projections <- Some(binds.map {
+        case (_, FoldB(e)) => e // literal output: verbatim, same exprId
+        case (orig, b) =>
+          val src = srcOf(b).getOrElse(return None)
+          if (src.dataType != orig.dataType) return None
+          Alias(src, orig.name)(exprId = orig.exprId,
+            qualifier = orig.qualifier)
       })
       filtered <- cond match {
         case None => Some(mvPlan)

@@ -1016,6 +1016,32 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally IncrementalMv.unregister(spark, root)
   }
 
+  test("literal outputs collapsed INTO the aggregate still serve: " +
+       "agg(...).withColumn(lit) — the gate/dashboard flag shape") {
+    // CollapseProject merges `withColumn(\"flag\", lit(true))` into the
+    // Aggregate's output list; a foldable output touches no base rows and
+    // must pass through verbatim instead of refusing the whole rewrite
+    // (found live: every composite_mv gate's RETURNED plan re-aggregated
+    // the base at collect time while its probe boolean said \"served\")
+    val root = fresh("fold")
+    SnapshotLog.commit(base(400), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_fold.mv", "grp", "v")
+    try {
+      val q = defAgg(root).withColumn("flag", lit(true))
+        .withColumn("tag", lit("x"))
+      assert(servedByMv(q, "mvrw_fold"),
+        q.queryExecution.optimizedPlan.toString)
+      assert(q.filter(col("grp") === 0).select("n").as[Long].head() ===
+        (0L until 400L).count(_ % 7 == 0))
+      // and on the rollup path too
+      val r = spark.read.format("snapshotlog").load(root)
+        .agg(count(lit(1)).as("n")).withColumn("flag", lit(true))
+      assert(rolledUpFromMv(r, "mvrw_fold"),
+        r.queryExecution.optimizedPlan.toString)
+      assert(r.select("n").as[Long].head() === 400L)
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
   test("time-traveled reads rewrite only at the watermark version") {
     val root = fresh("tt")
     SnapshotLog.commit(base(400), root, overwrite = true, 1000L)
