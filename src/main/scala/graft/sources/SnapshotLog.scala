@@ -3037,6 +3037,7 @@ object SnapshotLog {
      else stageDeleteFiles(spark, root, cur, matched)) match {
       case None => cur.version
       case Some((delDir, _, merged)) =>
+        branchDmlAfterStage()
         val committed = try retryingCommit("deleteWhereMoRBranch") { () =>
           // the version counter is GLOBAL (branch commits share the log's
           // numbering) — allocate under the retry loop so mainline racers
@@ -3123,6 +3124,7 @@ object SnapshotLog {
           .map(s => norm(s.getPath.toString) -> s.getLen).toMap
         val (newStats, newCols, newRows, newNulls) =
           footerMeta(spark.sessionState.newHadoopConf(), newFiles, cur.schema)
+        branchDmlAfterStage()
         val committed = try retryingCommit("updateWhereMoRBranch") { () =>
           val snapsNow = snapshots(spark, root)
           if (!refsTyped(spark, root).get(branch).exists(_._2 == headV))

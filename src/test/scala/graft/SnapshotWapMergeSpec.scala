@@ -128,5 +128,34 @@ class SnapshotWapMergeSpec extends AnyFunSuite {
       }
     } finally SnapshotLog.branchDmlAfterStage = () => ()
     assert(branchRead(root, "audit").count() === 115)
+    // the WHERE flavors refuse through the same seam (r19 symmetry:
+    // every branch DML path is deterministically race-tested)
+    SnapshotLog.branchDmlAfterStage = () => {
+      SnapshotLog.branchDmlAfterStage = () => ()
+      SnapshotLog.commitToBranch(spark, root, "audit",
+        spark.range(115, 120).selectExpr("id AS k", "id AS v"), 4500L): Unit
+    }
+    try {
+      intercept[SnapshotLog.CommitConflictException] {
+        SnapshotLog.deleteWhereMoRBranch(spark, root, "audit",
+          col("k") < 5, 5000L)
+      }
+    } finally SnapshotLog.branchDmlAfterStage = () => ()
+    assert(branchRead(root, "audit").count() === 120)
+    SnapshotLog.branchDmlAfterStage = () => {
+      SnapshotLog.branchDmlAfterStage = () => ()
+      SnapshotLog.commitToBranch(spark, root, "audit",
+        spark.range(120, 125).selectExpr("id AS k", "id AS v"), 5500L): Unit
+    }
+    try {
+      intercept[SnapshotLog.CommitConflictException] {
+        SnapshotLog.updateWhereMoRBranch(spark, root, "audit",
+          col("k") < 5, Map("v" -> (col("v") + 100L)), 6000L)
+      }
+    } finally SnapshotLog.branchDmlAfterStage = () => ()
+    val b2 = branchRead(root, "audit")
+    assert(b2.count() === 125)
+    assert(b2.filter(col("k") === 2).select("v").as[Long].head() === 2L,
+      "the refused update must not have rewritten any row")
   }
 }
