@@ -63,6 +63,47 @@ object IncrementalMv {
   def nvCol(c: String): String = s"nv_$c"
   def sCol(c: String): String = s"s_$c"
 
+  /** EXPRESSION GROUP KEYS (r20, time-grain MVs): any `groupCols` entry
+    * may be `"<sql-expr> AS <name>"` — the MV materializes the computed
+    * column under `<name>` (`GROUP BY date_trunc('day', ts) AS day` is
+    * the single most common dashboard grain). The expr SQL is recorded
+    * durably on the MV table ([[GroupExprsProp]]) and in the base
+    * registration ([[BaseMvGroupExprProp]]), so maintenance recomputes
+    * the key on every delta row and the rewrite can match a query's
+    * semantically-equal expression (and serve COARSER grains of a trunc
+    * key by re-truncating MV rows). A computed name must not shadow a
+    * physical base column — refuse at create, never overwrite. */
+  val GroupExprsProp = "mv.group-exprs"
+  /** Session time zone the expression keys were materialized under —
+    * `date_trunc` boundaries are tz-dependent, so maintenance REFUSES
+    * and the rewrite silently declines under a different session tz
+    * (re-create under the new tz instead of mixing boundaries). */
+  val GroupExprsTzProp = "mv.group-exprs-tz"
+
+  /** `name<US>sql` pairs joined by <RS> (US=\u001F, RS=\u001E) — the
+    * exprs themselves contain commas, so a comma list won't do. */
+  private val US = "\u001F"
+  private val RS = "\u001E"
+  private def encodeExprs(m: Seq[(String, String)]): String =
+    m.map { case (n, s) => s"$n$US$s" }.mkString(RS)
+  private[graft] def decodeExprs(s: String): Seq[(String, String)] =
+    s.split(RS).toSeq.filter(_.nonEmpty).map { e =>
+      val i = e.indexOf(US)
+      (e.take(i), e.drop(i + 1))
+    }
+
+  /** `"expr AS name"` → (name, Some(expr)); bare name → (name, None).
+    * The alias must be a plain identifier at the END of the entry (the
+    * greedy group makes `CAST(a AS INT) AS c` parse as expr=CAST…,
+    * name=c). Expression keys REQUIRE the alias. */
+  private val AsRe = "(?is)^(.+)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+  private[graft] def parseGroupDefs(groupCols: Seq[String])
+      : Seq[(String, Option[String])] =
+    groupCols.map(_.trim).map {
+      case AsRe(e, n) => (n, Some(e.trim))
+      case n => (n, None)
+    }
+
   /** MIN/MAX measures (r19): per minmax column `c` the MV carries
     * `mn_<c>` / `mx_<c>`. Min/max are SELF-MAINTAINABLE ONLY UNDER
     * INSERTS (least/greatest folds a new batch in; deleting the current
@@ -119,16 +160,57 @@ object IncrementalMv {
   def create(spark: SparkSession, baseRoot: String, mvTable: String,
              groupCols: Seq[String], valueCols: Seq[String],
              minMaxCols: Seq[String] = Nil): Int = {
-    checkDef(groupCols, valueCols, minMaxCols)
+    val defs = parseGroupDefs(groupCols)
+    val names = defs.map(_._1)
+    val exprs = defs.collect { case (n, Some(e)) => (n, e) }
+    checkDef(names, valueCols, minMaxCols)
     val baseV = SnapshotLog.snapshots(spark, baseRoot)
       .filter(_.branch.isEmpty).last.version
-    val base = spark.read.format("snapshotlog").load(baseRoot)
-    seedMv(spark, base, mvTable, groupCols, valueCols, minMaxCols)
+    // seed PINNED at the watermark version: an unpinned read racing a
+    // concurrent commit would bake newer rows into the MV while the
+    // watermark records the older version — the next maintain() would
+    // then re-apply that delta and double-count
+    val base0 = spark.read.format("snapshotlog")
+      .option("asOfVersion", baseV).load(baseRoot)
+    val base = withGroupExprs(base0, exprs)
+    seedMv(spark, base, mvTable, names, valueCols, minMaxCols)
     SnapshotLog.setTableProps(spark, mvRoot(spark, mvTable),
-      Map(AppliedProp -> baseV.toString) ++ minMaxProps(minMaxCols))
+      Map(AppliedProp -> baseV.toString) ++ minMaxProps(minMaxCols) ++
+        exprProps(exprs))
     register(spark, baseRoot, mvTable, groupCols, valueCols, minMaxCols)
     baseV
   }
+
+  /** Compute the expression group keys on `df`. A computed name shadowing
+    * a physical column would silently destroy that column's data in the
+    * MV key (withColumn replaces) — refuse. */
+  private def withGroupExprs(df: DataFrame,
+                             exprs: Seq[(String, String)]): DataFrame = {
+    exprs.foreach { case (n, _) =>
+      require(!df.columns.contains(n),
+        s"IncrementalMv: expression key '$n' shadows a physical column — " +
+          "pick a fresh name")
+    }
+    exprs.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+  }
+
+  private def exprProps(exprs: Seq[(String, String)]): Map[String, String] =
+    if (exprs.isEmpty) Map.empty
+    else Map(GroupExprsProp -> encodeExprs(exprs),
+      GroupExprsTzProp -> org.apache.spark.sql.internal.SQLConf.get
+        .sessionLocalTimeZone)
+
+  /** Refuse cross-tz maintenance of expression keys (see
+    * [[GroupExprsTzProp]]). */
+  private def checkExprTz(mvProps: Map[String, String], mvTable: String): Unit =
+    mvProps.get(GroupExprsTzProp).foreach { tz =>
+      val cur = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+      require(tz == cur,
+        s"IncrementalMv: $mvTable's expression keys were materialized " +
+          s"under session time zone '$tz' but the session is now '$cur' — " +
+          "tz-dependent key boundaries would mix; re-create the MV under " +
+          "the new zone")
+    }
 
   /** Fresh-materialization minmax props: the column list plus a TRUE
     * validity flag — a full (re-)create always revalidates. */
@@ -172,11 +254,17 @@ object IncrementalMv {
                   dims: Seq[(String, String, String)], mvTable: String,
                   groupCols: Seq[String], valueCols: Seq[String],
                   minMaxCols: Seq[String] = Nil): Int = {
-    checkDef(groupCols, valueCols, minMaxCols)
+    val defs = parseGroupDefs(groupCols)
+    val names = defs.map(_._1)
+    val exprs = defs.collect { case (n, Some(e)) => (n, e) }
+    checkDef(names, valueCols, minMaxCols)
     require(dims.nonEmpty, "IncrementalMv.createJoins: no dims")
     val factV = SnapshotLog.snapshots(spark, factRoot)
       .filter(_.branch.isEmpty).last.version
-    val fact = spark.read.format("snapshotlog").load(factRoot)
+    // seed scan PINNED at factV (same race as create(): the seed and the
+    // recorded watermark must be guaranteed to agree)
+    val fact = spark.read.format("snapshotlog")
+      .option("asOfVersion", factV).load(factRoot)
     var joined = fact
     var seenCols = fact.columns.toSet
     val dimVs = dims.map { case (dimRoot, factKey, dimKey) =>
@@ -200,19 +288,20 @@ object IncrementalMv {
       seenCols ++= dim.columns
       dimV
     }
-    val missing = (groupCols ++ valueCols ++ minMaxCols)
-      .filterNot(seenCols.contains)
+    val missing = (names.filterNot(n => exprs.exists(_._1 == n)) ++
+      valueCols ++ minMaxCols).filterNot(seenCols.contains)
     require(missing.isEmpty,
       s"IncrementalMv.createJoins: column(s) ${missing.mkString(",")} in " +
         "no joined relation")
-    seedMv(spark, joined, mvTable, groupCols, valueCols, minMaxCols)
+    seedMv(spark, withGroupExprs(joined, exprs), mvTable, names, valueCols,
+      minMaxCols)
     SnapshotLog.setTableProps(spark, mvRoot(spark, mvTable), Map(
       AppliedProp -> factV.toString,
       AppliedDimProp -> dimVs.mkString(","),
       JoinDimRootProp -> dims.map(d => normRoot(d._1)).mkString(","),
       JoinFactKeyProp -> dims.map(_._2).mkString(","),
       JoinDimKeyProp -> dims.map(_._3).mkString(",")) ++
-      minMaxProps(minMaxCols))
+      minMaxProps(minMaxCols) ++ exprProps(exprs))
     registerJoins(spark, factRoot, dims, mvTable, groupCols, valueCols,
       minMaxCols)
     factV
@@ -231,7 +320,10 @@ object IncrementalMv {
     * Returns the new watermark (== old when nothing to do). */
   def maintain(spark: SparkSession, baseRoot: String, mvTable: String,
                groupCols: Seq[String], valueCols: Seq[String]): Int = {
-    checkDef(groupCols, valueCols)
+    // groupCols may carry "expr AS name" entries (create()'s convention);
+    // maintenance keys by NAME and recomputes exprs from the durable prop
+    val groupNames = parseGroupDefs(groupCols).map(_._1)
+    checkDef(groupNames, valueCols)
     val root = mvRoot(spark, mvTable)
     val mvProps = SnapshotLog.tableProps(spark, root)
     val applied = mvProps
@@ -247,29 +339,10 @@ object IncrementalMv {
     // minmax measures ride the MV's own durable props (no caller change)
     val minMaxCols = mvProps.get(MinMaxColsProp).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    val insert = col("_change_type") === "insert"
-    val sign = when(insert, 1L).otherwise(-1L)
-    val aggs: Seq[Column] = sum(sign).as("dn") +: (valueCols.flatMap { c =>
-      val v = col(c)
-      Seq(
-        coalesce(sum(when(v.isNotNull, sign).otherwise(0L)), lit(0L))
-          .as(s"dnv_$c"),
-        sum(when(v.isNotNull, when(insert, v).otherwise(-v))).as(s"__ds_$c"))
-    } ++ minMaxCols.flatMap { c =>
-      // INSERT rows only: least/greatest folds new extrema in; deletes
-      // flip the validity flag below instead (see MinMaxValidProp)
-      Seq(min(when(insert, col(c))).as(s"dmn_$c"),
-        max(when(insert, col(c))).as(s"dmx_$c"))
-    })
+    val trackMm = minMaxCols.nonEmpty &&
+      mvProps.get(MinMaxValidProp).contains("true")
     val changed = SnapshotLog.changes(spark, baseRoot, applied, Some(head),
       netChanges = true)
-    // a delete in the range makes min/max non-maintainable (the deleted
-    // row might BE the extremum): flip validity durably BEFORE applying,
-    // so a partial failure can only over-refuse, never serve stale extrema
-    if (minMaxCols.nonEmpty &&
-        mvProps.get(MinMaxValidProp).contains("true") &&
-        !changed.filter(col("_change_type") =!= "insert").isEmpty)
-      SnapshotLog.setTableProps(spark, root, Map(MinMaxValidProp -> "false"))
     // a JOIN MV's fact deltas acquire their dim attributes through the
     // SAME join as the defining query, against the dim PINNED at the
     // watermarked version — static dim ⇒ the ± algebra composes through
@@ -290,6 +363,151 @@ object IncrementalMv {
           df.join(dim, df(fks(i)) === dim(dks(i)), "inner")
         }
     }
+    // expression keys recompute on every delta row from the durable SQL
+    // (under the SAME session tz they were materialized with)
+    checkExprTz(mvProps, mvTable)
+    val deltaSrcE = withGroupExprs(deltaSrc,
+      mvProps.get(GroupExprsProp).toSeq.flatMap(decodeExprs))
+    applyDelta(spark, root, mvTable, groupNames, valueCols, minMaxCols,
+      trackMm, deltaSrcE)
+    SnapshotLog.setTableProps(spark, root, Map(AppliedProp -> head.toString))
+    head
+  }
+
+  /** DIM-DELTA MAINTENANCE for JOIN MVs (r20) — the known-hard half of
+    * join-view maintenance: apply every unapplied DIM version to the MV
+    * WITHOUT re-creating it. The textbook delta algebra: for a dim change
+    * batch Δd (net ±rows over the dim's unapplied range), the view delta
+    * is `fact@factWatermark ⋈ … ⋈ Δd ⋈ …` with sign from Δd's change
+    * type — each DELETED dim row subtracts the joined fact rows'
+    * contribution from its (old) groups, each INSERTED dim row adds its
+    * (new) groups' contribution. Exact for count/sum/avg because the
+    * OTHER relations are pinned (fact at the applied fact watermark, the
+    * other dims at their own watermarks), so a dim-key change that
+    * re-routes fact rows is just its delete+insert pair — both sides of
+    * the re-route recompute. Dims are processed one at a time in
+    * registration order, each against the then-current watermark vector,
+    * so interleaved multi-dim drift composes exactly.
+    *
+    * 100-TB shape: the fact side is PRUNED to the affected keys — Δd's
+    * distinct join keys (bounded by `graft.mv.dimDeltaKeyCap`, default
+    * 100k) push down as an IN filter on the fact's join column, so the
+    * fact scan engages min/max + bloom file skipping and reads only the
+    * files that can contain re-routed rows. Maintenance cost is
+    * proportional to Δdim (and the fact rows it touches), never the
+    * fact table: a slowly-changing dim no longer forces a full
+    * [[createJoins]] re-create. Min/max measures stay valid only for
+    * pure dim INSERT batches (a dim delete can remove the extremum's
+    * contribution) — same flip-before-apply rule as fact-side deletes.
+    *
+    * Returns the new dim-version watermark vector. Fact staleness is
+    * untouched (run [[maintain]] for fact deltas — the two compose in
+    * either order).
+    *
+    * Reference analog: Calcite's materialized-view substitution pairs
+    * with exactly this maintenance algebra
+    * (BodoSQL/calcite_sql/.../plan/RelOptMaterialization.java:55). */
+  def maintainDims(spark: SparkSession, factRoot: String, mvTable: String,
+                   groupCols: Seq[String], valueCols: Seq[String]): Seq[Int] = {
+    val groupNames = parseGroupDefs(groupCols).map(_._1)
+    checkDef(groupNames, valueCols)
+    val root = mvRoot(spark, mvTable)
+    val mvProps = SnapshotLog.tableProps(spark, root)
+    val factW = mvProps.getOrElse(AppliedProp, throw new IllegalStateException(
+      s"IncrementalMv: $mvTable has no $AppliedProp — create it first")).toInt
+    val roots = mvProps.getOrElse(JoinDimRootProp,
+      throw new IllegalStateException(
+        s"IncrementalMv: $mvTable is not a join MV — maintainDims needs " +
+          s"$JoinDimRootProp")).split(",").map(_.trim).toSeq
+    val fks = mvProps(JoinFactKeyProp).split(",").map(_.trim).toSeq
+    val dks = mvProps(JoinDimKeyProp).split(",").map(_.trim).toSeq
+    var dimVs = mvProps.getOrElse(AppliedDimProp,
+      throw new IllegalStateException(
+        s"IncrementalMv: $mvTable has $JoinDimRootProp but no " +
+          s"$AppliedDimProp")).split(",").map(_.trim.toInt).toSeq
+    val minMaxCols = mvProps.get(MinMaxColsProp).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val keyCap = java.lang.Long.getLong("graft.mv.dimDeltaKeyCap", 100000L)
+    roots.indices.foreach { i =>
+      val dimHead = SnapshotLog.snapshots(spark, roots(i))
+        .filter(_.branch.isEmpty).last.version
+      if (dimHead > dimVs(i)) {
+        // validity re-read per step: an earlier dim's delete already flips
+        val trackMm = minMaxCols.nonEmpty &&
+          SnapshotLog.tableProps(spark, root)
+            .get(MinMaxValidProp).contains("true")
+        // Δdim materialized once (group-key collection AND the join both
+        // read it); dim deltas are small by the slowly-changing premise
+        val dDelta = SnapshotLog.changes(spark, roots(i), dimVs(i),
+          Some(dimHead), netChanges = true)
+          .drop("_commit_version", "_commit_ts_ms")
+          .localCheckpoint()
+        // the affected rows are exactly those whose accumulated join
+        // column hits a changed dim key — collect the (small) key set and
+        // push it down so the fact scan file-skips; past the cap, fall
+        // back to the plain join (still delta-sized per group, just an
+        // unpruned probe side)
+        val rawKeys = dDelta.select(col(dks(i))).distinct()
+          .limit(keyCap.toInt + 1).collect().map(_.get(0))
+        // over-cap detection BEFORE null filtering: a truncated key set
+        // must never become an IN filter (it would drop affected rows)
+        val overCap = rawKeys.length > keyCap
+        val keys = rawKeys.filter(_ != null) // null keys never inner-join
+        if (rawKeys.nonEmpty) {
+          var joined: DataFrame = spark.read.format("snapshotlog")
+            .option("asOfVersion", factW).load(factRoot)
+          roots.indices.foreach { j =>
+            val right =
+              if (j == i) dDelta
+              else spark.read.format("snapshotlog")
+                .option("asOfVersion", dimVs(j)).load(roots(j))
+            if (j == i && !overCap)
+              joined = joined.filter(col(fks(j)).isin(keys.toSeq: _*))
+            joined = joined.join(right, joined(fks(j)) === right(dks(j)),
+              "inner")
+          }
+          checkExprTz(mvProps, mvTable)
+          applyDelta(spark, root, mvTable, groupNames, valueCols, minMaxCols,
+            trackMm, withGroupExprs(joined,
+              mvProps.get(GroupExprsProp).toSeq.flatMap(decodeExprs)))
+        }
+        dimVs = dimVs.updated(i, dimHead)
+        SnapshotLog.setTableProps(spark, root,
+          Map(AppliedDimProp -> dimVs.mkString(",")))
+      }
+    }
+    dimVs
+  }
+
+  /** Aggregate a signed (±`_change_type`) delta source per group and
+    * MERGE it into the MV — the shared apply half of [[maintain]] (fact
+    * deltas) and [[maintainDims]] (dim deltas). ONE pass over the delta
+    * source: the group-sized aggregate is checkpointed eagerly, then the
+    * min/max validity probe and the MERGE both read the tiny checkpoint —
+    * never the (possibly large) changelog again. */
+  private def applyDelta(spark: SparkSession, root: String, mvTable: String,
+                         groupCols: Seq[String], valueCols: Seq[String],
+                         minMaxCols: Seq[String], trackMm: Boolean,
+                         deltaSrc: DataFrame): Unit = {
+    val insert = col("_change_type") === "insert"
+    val sign = when(insert, 1L).otherwise(-1L)
+    val aggs: Seq[Column] = sum(sign).as("dn") +: ((valueCols.flatMap { c =>
+      val v = col(c)
+      Seq(
+        coalesce(sum(when(v.isNotNull, sign).otherwise(0L)), lit(0L))
+          .as(s"dnv_$c"),
+        sum(when(v.isNotNull, when(insert, v).otherwise(-v))).as(s"__ds_$c"))
+    } ++ minMaxCols.flatMap { c =>
+      // INSERT rows only: least/greatest folds new extrema in; deletes
+      // flip the validity flag below instead (see MinMaxValidProp)
+      Seq(min(when(insert, col(c))).as(s"dmn_$c"),
+        max(when(insert, col(c))).as(s"dmx_$c"))
+    }) ++ (if (trackMm)
+      // per-group delete count: the validity probe rides the SAME
+      // aggregate instead of a second changelog pass
+      Seq(coalesce(sum(when(insert, 0L).otherwise(1L)), lit(0L))
+        .as("__dndel"))
+    else Seq.empty))
     val delta = deltaSrc
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -299,10 +517,20 @@ object IncrementalMv {
         coalesce(col(s"__ds_$c"), expr(s"CAST(0 AS $dsType)")))
         .drop(s"__ds_$c")
     }
+    val deltaC = deltaZ0.localCheckpoint()
+    // a delete in the range makes min/max non-maintainable (the deleted
+    // row might BE the extremum): flip validity durably BEFORE applying,
+    // so a partial failure can only over-refuse, never serve stale
+    // extrema. The probe runs over the checkpointed delta BEFORE the
+    // all-zero-group filter (an update that nets to zero in every
+    // measure still contains a delete).
+    if (trackMm && !deltaC.filter(col("__dndel") > 0L).isEmpty)
+      SnapshotLog.setTableProps(spark, root, Map(MinMaxValidProp -> "false"))
     val nonZero = valueCols
       .flatMap(c => Seq(col(s"dnv_$c") =!= 0L, col(s"ds_$c") =!= 0L))
       .foldLeft(col("dn") =!= 0L)(_ || _)
-    val deltaZ = deltaZ0.filter(nonZero)
+    val deltaZ = (if (trackMm) deltaC.drop("__dndel") else deltaC)
+      .filter(nonZero)
     val view = "__mv_delta_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     deltaZ.createOrReplaceTempView(view)
@@ -333,8 +561,6 @@ object IncrementalMv {
          |WHEN NOT MATCHED THEN INSERT ($insCols)
          |  VALUES ($insVals)""".stripMargin)
     finally spark.catalog.dropTempView(view)
-    SnapshotLog.setTableProps(spark, root, Map(AppliedProp -> head.toString))
-    head
   }
 
   /** Single-measure convenience overloads. */
@@ -377,7 +603,9 @@ object IncrementalMv {
   final case class MvDef(baseRoot: String, mvRoot: String,
                          groupCols: Seq[String], valueCols: Seq[String],
                          joins: Seq[JoinDef] = Nil,
-                         minMaxCols: Seq[String] = Nil)
+                         minMaxCols: Seq[String] = Nil,
+                         groupExprs: Seq[(String, String)] = Nil,
+                         groupExprsTz: Option[String] = None)
 
   /** DURABLE registration: the BASE table's properties carry its
     * materialization's location and defining columns, so a fresh engine
@@ -391,6 +619,8 @@ object IncrementalMv {
   val BaseMvDimRootProp = "mv.materialization-dim-root"
   val BaseMvFactKeyProp = "mv.materialization-fact-key"
   val BaseMvDimKeyProp = "mv.materialization-dim-key"
+  val BaseMvGroupExprProp = "mv.materialization-group-expr"
+  val BaseMvGroupExprTzProp = "mv.materialization-group-expr-tz"
 
   /** In-memory view of registrations: definitive entries written by
     * register(), plus a TTL cache of property hydrations (positive AND
@@ -414,9 +644,15 @@ object IncrementalMv {
     * the base table's properties (group/value columns comma-joined). */
   def register(spark: SparkSession, baseRoot: String, mvTable: String,
                groupCols: Seq[String], valueCols: Seq[String],
-               minMaxCols: Seq[String] = Nil): Unit =
+               minMaxCols: Seq[String] = Nil): Unit = {
+    val defs = parseGroupDefs(groupCols)
+    val exprs = defs.collect { case (n, Some(e)) => (n, e) }
     registerDef(spark, MvDef(normRoot(baseRoot), mvRoot(spark, mvTable),
-      groupCols, valueCols, Nil, minMaxCols))
+      defs.map(_._1), valueCols, Nil, minMaxCols, exprs,
+      if (exprs.isEmpty) None
+      else Some(org.apache.spark.sql.internal.SQLConf.get
+        .sessionLocalTimeZone)))
+  }
 
   /** Register a star-schema MV ([[createJoin]] calls this): the FACT
     * table's properties carry the dim root and keys alongside the usual
@@ -431,10 +667,16 @@ object IncrementalMv {
   def registerJoins(spark: SparkSession, factRoot: String,
                     dims: Seq[(String, String, String)], mvTable: String,
                     groupCols: Seq[String], valueCols: Seq[String],
-                    minMaxCols: Seq[String] = Nil): Unit =
+                    minMaxCols: Seq[String] = Nil): Unit = {
+    val defs = parseGroupDefs(groupCols)
+    val exprs = defs.collect { case (n, Some(e)) => (n, e) }
     registerDef(spark, MvDef(normRoot(factRoot), mvRoot(spark, mvTable),
-      groupCols, valueCols,
-      dims.map(d => JoinDef(normRoot(d._1), d._2, d._3)), minMaxCols))
+      defs.map(_._1), valueCols,
+      dims.map(d => JoinDef(normRoot(d._1), d._2, d._3)), minMaxCols, exprs,
+      if (exprs.isEmpty) None
+      else Some(org.apache.spark.sql.internal.SQLConf.get
+        .sessionLocalTimeZone)))
+  }
 
   private def registerDef(spark: SparkSession, d: MvDef): Unit = {
     checkDef(d.groupCols, d.valueCols)
@@ -450,16 +692,22 @@ object IncrementalMv {
       BaseMvDimKeyProp -> d.joins.map(_.dimKey).mkString(","))
     val mmProps = if (d.minMaxCols.isEmpty) Map.empty[String, String]
       else Map(BaseMvMinMaxProp -> d.minMaxCols.mkString(","))
+    val exProps = if (d.groupExprs.isEmpty) Map.empty[String, String]
+      else Map(BaseMvGroupExprProp -> encodeExprs(d.groupExprs)) ++
+        d.groupExprsTz.map(BaseMvGroupExprTzProp -> _)
     try SnapshotLog.setTableProps(spark, d.baseRoot, Map(
       BaseMvRootProp -> d.mvRoot,
       BaseMvGroupProp -> d.groupCols.mkString(","),
-      BaseMvValueProp -> d.valueCols.mkString(",")) ++ joinProps ++ mmProps,
-      // a re-registration from join to single-table (or minmax to plain)
-      // must not leave stale props behind
+      BaseMvValueProp -> d.valueCols.mkString(",")) ++ joinProps ++ mmProps
+      ++ exProps,
+      // a re-registration from join to single-table (or minmax to plain,
+      // or expr-keyed to plain) must not leave stale props behind
       unset = (if (d.joins.isEmpty)
         Seq(BaseMvDimRootProp, BaseMvFactKeyProp, BaseMvDimKeyProp)
       else Seq.empty) ++
-        (if (d.minMaxCols.isEmpty) Seq(BaseMvMinMaxProp) else Seq.empty))
+        (if (d.minMaxCols.isEmpty) Seq(BaseMvMinMaxProp) else Seq.empty) ++
+        (if (d.groupExprs.isEmpty)
+          Seq(BaseMvGroupExprProp, BaseMvGroupExprTzProp) else Seq.empty))
     catch { case scala.util.control.NonFatal(_) => () } // in-memory still works
     hydrated.remove(d.baseRoot)
     registry.put(d.baseRoot, d): Unit
@@ -477,7 +725,7 @@ object IncrementalMv {
     try SnapshotLog.setTableProps(spark, baseRoot, Map.empty,
       unset = Seq(BaseMvRootProp, BaseMvGroupProp, BaseMvValueProp,
         BaseMvDimRootProp, BaseMvFactKeyProp, BaseMvDimKeyProp,
-        BaseMvMinMaxProp))
+        BaseMvMinMaxProp, BaseMvGroupExprProp, BaseMvGroupExprTzProp))
     catch { case scala.util.control.NonFatal(_) => () }
     hydrated.remove(normRoot(baseRoot))
     registry.remove(normRoot(baseRoot)): Unit
@@ -515,7 +763,9 @@ object IncrementalMv {
                   .lazyZip(dk.split(",").map(_.trim).toSeq)
                   .map((a, b, c) => JoinDef(normRoot(a), b, c))).flatten,
                 props.get(BaseMvMinMaxProp).toSeq
-                  .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+                  .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+                props.get(BaseMvGroupExprProp).toSeq.flatMap(decodeExprs),
+                props.get(BaseMvGroupExprTzProp))
             } catch { case scala.util.control.NonFatal(_) => None }
           if (hydrated.size > 4096) hydrated.clear()
           hydrated.put(key, (now, v))

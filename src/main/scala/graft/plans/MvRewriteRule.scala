@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If, IsNotNull, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Divide, EqualTo, ExprId, Expression, If, IsNotNull, Literal, NamedExpression, PlanExpression, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.expressions.VirtualColumn
 import org.apache.spark.sql.catalyst.plans.Inner
@@ -141,17 +141,34 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           name.substring(at + 2).toInt)).toOption
     }
 
-  /** Peel pure-attribute Projects (ColumnPruning) and deterministic
-    * Filters off `p`, collecting every filter condition for the
-    * group-column admissibility check. Returns (conditions, leaf). */
-  private def peel(p: LogicalPlan): (Seq[Expression], LogicalPlan) = p match {
-    case Project(ps, inner) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      peel(inner)
+  /** Peel Projects and deterministic Filters off `p`, collecting every
+    * filter condition for the group-column admissibility check PLUS a
+    * SUBSTITUTION map for aliased projections (r20): `Alias(e, n)#id`
+    * records id → e (with inner aliases recursively substituted), so a
+    * grouping attribute that is really `date_trunc('day', ts)` — the
+    * shape PullOutGroupingExpressions leaves as a computed
+    * `_groupingexpression` column — can be matched against a registered
+    * MV expression key. Pure-attribute projections pass through as
+    * before. Returns (conditions, substitutions, leaf). */
+  private def peel(p: LogicalPlan)
+      : (Seq[Expression], Map[ExprId, Expression], LogicalPlan) = p match {
+    case Project(ps, inner) if ps.forall {
+        case _: AttributeReference => true
+        case Alias(c, _) => c.deterministic &&
+          c.find(_.isInstanceOf[PlanExpression[_]]).isEmpty
+        case _ => false } =>
+      val (cs, sub, leaf) = peel(inner)
+      val here = ps.collect { case al @ Alias(c, _) =>
+        al.exprId -> c.transform {
+          case a: AttributeReference if sub.contains(a.exprId) => sub(a.exprId)
+        }
+      }
+      (cs, sub ++ here, leaf)
     case Filter(cond, inner) if cond.deterministic &&
         cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
-      val (cs, leaf) = peel(inner)
-      (cond +: cs, leaf)
-    case other => (Nil, other)
+      val (cs, sub, leaf) = peel(inner)
+      (cond +: cs, sub, leaf)
+    case other => (Nil, Map.empty, other)
   }
 
   /** The source shape under the aggregate: a tree of single-equality
@@ -163,25 +180,35 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     * (PushDownPredicates moves group-column predicates there before this
     * rule sees the plan); filtering a group column commutes with the
     * joins AND with the grouping, so placement doesn't change
-    * admissibility. Any other operator disqualifies the rewrite. */
+    * admissibility. Any other operator disqualifies the rewrite.
+    * `subst` maps computed-projection attributes to their defining
+    * expressions over leaf attributes (see [[peel]]). */
   private case class Srcs(conds: Seq[Expression],
-      rels: Seq[DataSourceV2Relation], pairs: Seq[(String, String)])
+      rels: Seq[DataSourceV2Relation], pairs: Seq[(String, String)],
+      subst: Map[ExprId, Expression])
 
   private def decompose(child: LogicalPlan): Option[Srcs] =
     peel(child) match {
-      case (conds, r: DataSourceV2Relation) => Some(Srcs(conds, Seq(r), Nil))
-      case (conds, Join(l, r, Inner,
-          Some(EqualTo(a: AttributeReference, b: AttributeReference)), _)) =>
+      case (conds, sub, r: DataSourceV2Relation) =>
+        Some(Srcs(conds, Seq(r), Nil, sub))
+      case (conds, sub, Join(l, r, Inner,
+          Some(EqualTo(a: AttributeReference, b: AttributeReference)), _))
+          // join keys must be PHYSICAL leaf columns, not computed aliases
+          // (the MV's key pairs are name-keyed against leaf schemas)
+          if !sub.contains(a.exprId) && !sub.contains(b.exprId) =>
         for {
           ls <- decompose(l)
           rs <- decompose(r)
+          if !ls.subst.contains(a.exprId) && !ls.subst.contains(b.exprId) &&
+            !rs.subst.contains(a.exprId) && !rs.subst.contains(b.exprId)
           // the equality must bridge the two subtrees (either order)
           if (ls.rels.exists(_.outputSet.contains(a)) &&
               rs.rels.exists(_.outputSet.contains(b))) ||
             (ls.rels.exists(_.outputSet.contains(b)) &&
               rs.rels.exists(_.outputSet.contains(a)))
         } yield Srcs(conds ++ ls.conds ++ rs.conds, ls.rels ++ rs.rels,
-          (a.name, b.name) +: (ls.pairs ++ rs.pairs))
+          (a.name, b.name) +: (ls.pairs ++ rs.pairs),
+          sub ++ ls.subst ++ rs.subst)
       case _ => None
     }
 
@@ -229,11 +256,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   /** Shape + filter + freshness admission, shared by the flat and the
     * grouping-sets paths: the source relations must BE the MV's (with
     * per-dim version watermark equality for join MVs), every filter
-    * conjunct must reference only MV group columns, and the fact pin must
-    * equal the (possibly just refreshed) applied watermark. Returns the
-    * MvDef and the admissible conjuncts (not yet rebound). */
-  private def admit(srcs: Srcs)
-      : Option[(IncrementalMv.MvDef, Seq[Expression])] = {
+    * conjunct must — after substituting computed aliases and folding
+    * registered-expression subtrees into their MV key columns — reference
+    * only MV group columns, and the fact pin must equal the (possibly
+    * just refreshed) applied watermark. Returns the MvDef, the conjuncts
+    * REWRITTEN into the MV's name space (materialize rebinds them to MV
+    * attributes by name), and the resolved expression keys. */
+  private def admit(srcs: Srcs): Option[(IncrementalMv.MvDef,
+      Seq[Expression], Map[String, Expression])] = {
     // which relation is the fact is the registration's call — try each
     srcs.rels.iterator.flatMap { factRel =>
       (for {
@@ -241,36 +271,162 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         mv <- IncrementalMv.registered(root)
         if joinsMatch(mv, srcs.rels.filterNot(_ eq factRel), srcs.pairs)
         keyNames = mv.joins.flatMap(j => Seq(j.factKey, j.dimKey)).toSet
+        resolved = resolveGroupExprs(mv, srcs.rels)
         // filter admissibility, per conjunct: every referenced column is
         // an MV GROUP column (queried or not) — then filtering the group
-        // rows before (re-)aggregation is the same relation. IsNotNull on
-        // a JOIN KEY is implied by the inner equi-joins themselves (null
-        // keys never match) — InferFiltersFromConstraints plants those
-        // below the joins; they are a no-op on the result and dropped.
-        cs = srcs.conds.flatMap(conjuncts).filterNot {
+        // rows before (re-)aggregation is the same relation. A conjunct
+        // over a registered EXPRESSION key (`WHERE date_trunc('day',ts) >=
+        // x`) folds the matched subtree into the MV key column first —
+        // filtering the computed group value commutes identically.
+        // IsNotNull on a JOIN KEY is implied by the inner equi-joins
+        // themselves (null keys never match) — InferFiltersFromConstraints
+        // plants those below the joins; they are a no-op on the result
+        // and dropped.
+        cs0 = srcs.conds.flatMap(conjuncts).filterNot {
           case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
           case _ => false
         }
-        if cs.forall(_.references.forall(a => mv.groupCols.contains(a.name)))
+        csT = cs0.map(rebindCond(mv, resolved, srcs.subst, _))
+        if csT.forall(_.isDefined)
         applied <- freshOrRefreshed(SparkSession.active, mv, pinned)
         if applied == pinned
-      } yield (mv, cs)).iterator
+      } yield (mv, csT.flatten, resolved)).iterator
     }.nextOption()
+  }
+
+  /** Rewrite a filter conjunct into the MV's column space: substitute
+    * computed aliases, fold subtrees semantically equal to a registered
+    * expression key into a placeholder attribute named after the MV
+    * column (rebound to the real MV attribute by name in materialize),
+    * then demand every remaining reference be an MV group column. */
+  private def rebindCond(mv: IncrementalMv.MvDef,
+      resolved: Map[String, Expression], subst: Map[ExprId, Expression],
+      c: Expression): Option[Expression] = {
+    val substituted = c.transform {
+      case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+    }
+    val replaced =
+      if (resolved.isEmpty) substituted
+      else substituted.transformUp {
+        case e if resolved.exists(_._2.semanticEquals(e)) =>
+          val (n, _) = resolved.find(_._2.semanticEquals(e)).get
+          AttributeReference(n, e.dataType, e.nullable)()
+      }
+    if (replaced.references.forall(a => mv.groupCols.contains(a.name)))
+      Some(replaced)
+    else None
+  }
+
+  /** Resolve the MV's registered expression keys against the query's own
+    * relation instances (same exprIds ⇒ semanticEquals works): each SQL
+    * string is parsed and analyzed as a one-column Project over each
+    * relation until one resolves. Cached per (sql, relation output ids) —
+    * the fixpoint optimizer revisits the same plan repeatedly. */
+  private val resolveCache = scala.collection.concurrent.TrieMap[
+    (String, Seq[Long]), Option[Expression]]()
+
+  private def resolveGroupExprs(mv: IncrementalMv.MvDef,
+      rels: Seq[DataSourceV2Relation]): Map[String, Expression] =
+    if (mv.groupExprs.isEmpty) Map.empty
+    // tz-dependent key boundaries (date_trunc) were materialized under
+    // the recorded session tz — under a DIFFERENT session tz the keys
+    // are unmatchable (refuse, never serve shifted boundaries)
+    else if (!mv.groupExprsTz.contains(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      Map.empty
+    else {
+      val spark = SparkSession.active
+      mv.groupExprs.flatMap { case (n, sql) =>
+        rels.iterator.flatMap { rel =>
+          val key = (sql, rel.output.map(_.exprId.id))
+          resolveCache.getOrElseUpdate(key, {
+            if (resolveCache.size > 4096) resolveCache.clear()
+            try {
+              val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+              val analyzed = spark.sessionState.analyzer.execute(
+                Project(Seq(Alias(parsed, n)()), rel))
+              analyzed.collectFirst {
+                case Project(Seq(al: Alias), _) if al.child.resolved =>
+                  al.child
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          })
+        }.nextOption().map(n -> _)
+      }.toMap
+    }
+
+  /** One matched query group: the MV key column serving it, plus — for a
+    * COARSER time grain than the materialized one — the query-side
+    * date_trunc to re-apply over the MV column (carries the query's
+    * format AND time zone; forces the rollup path). */
+  private case class GM(mvCol: String, coarse: Option[TruncTimestamp])
+
+  /** date_trunc grain lattice: which query grains recompose from a
+    * materialized finer grain. week only composes over ≤day grains (a
+    * month/quarter boundary splits weeks); week as the FINE grain only
+    * serves week itself (years/quarters/months don't align to weeks). */
+  private val grainLevel = Map(
+    "second" -> 1, "minute" -> 2, "hour" -> 3, "day" -> 4, "dd" -> 4,
+    "month" -> 5, "mon" -> 5, "mm" -> 5, "quarter" -> 6,
+    "year" -> 7, "yyyy" -> 7, "yy" -> 7, "week" -> 100)
+
+  private def composes(fine: String, coarse: String): Boolean =
+    (grainLevel.get(fine.toLowerCase(java.util.Locale.ROOT)),
+      grainLevel.get(coarse.toLowerCase(java.util.Locale.ROOT))) match {
+      case (Some(f), Some(c)) =>
+        if (c == 100) f <= 4 // week over second..day
+        else if (f == 100) false // week fine: exact only (caught earlier)
+        else c >= f
+      case _ => false
+    }
+
+  /** Match one query grouping attribute against the MV's key set: a
+    * plain leaf column by name; a computed alias by semantic equality
+    * with a registered expression key; or a COARSER date_trunc of a
+    * materialized trunc key (re-truncating the MV's day column by month
+    * equals truncating the raw timestamp by month — the grain lattice). */
+  private def matchGroup(mv: IncrementalMv.MvDef,
+      resolved: Map[String, Expression], subst: Map[ExprId, Expression],
+      g: AttributeReference): Option[GM] = {
+    subst.getOrElse(g.exprId, g) match {
+      case a: AttributeReference
+          if mv.groupCols.contains(a.name) &&
+            !mv.groupExprs.exists(_._1 == a.name) =>
+        Some(GM(a.name, None))
+      case e =>
+        resolved.collectFirst {
+          case (n, re) if re.semanticEquals(e) => GM(n, None)
+        }.orElse(e match {
+          case qt @ TruncTimestamp(Literal(qf, _), qChild, _) =>
+            resolved.collectFirst {
+              case (n, TruncTimestamp(Literal(mf, _), mChild, _))
+                  if mChild.semanticEquals(qChild) &&
+                    composes(mf.toString, qf.toString) =>
+                GM(n, Some(qt))
+            }
+          case _ => None
+        })
+    }
   }
 
   private def serve(srcs: Srcs, groups: Seq[AttributeReference],
                     aggExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
     for {
-      (mv, cs) <- admit(srcs)
-      // query groups must be a (possibly improper, possibly empty) subset
-      // of the MV's key set; equal sets → direct serve, proper subset →
-      // rollup re-aggregation over the MV
-      if groups.map(_.name).distinct.size == groups.size &&
-        groups.forall(g => mv.groupCols.contains(g.name))
-      binds <- bindOutputs(groups, mv.valueCols.toSet, mv.groupCols.toSet,
-        aggExprs, servableMinMax(mv, aggExprs))
+      (mv, cs, resolved) <- admit(srcs)
+      // every query group must match a DISTINCT MV key (by name, by
+      // registered expression, or as a coarser grain); equal coverage
+      // with no coarsening → direct serve, otherwise → rollup
+      // re-aggregation over the MV
+      gms0 = groups.map(matchGroup(mv, resolved, srcs.subst, _))
+      if gms0.forall(_.isDefined)
+      gms = groups.zip(gms0.flatten)
+      if gms.map(_._2.mvCol).distinct.size == gms.size
+      rollup = gms.exists(_._2.coarse.isDefined) ||
+        gms.size != mv.groupCols.size
+      binds <- bindOutputs(gms, srcs.subst, mv.valueCols.toSet,
+        mv.groupCols.toSet, aggExprs, servableMinMax(mv, aggExprs))
       plan <- materialize(SparkSession.active, mv, binds, cs.reduceOption(And),
-        rollup = groups.size != mv.groupCols.size, groups)
+        rollup, gms)
     } yield plan
   }
 
@@ -332,7 +488,11 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         for {
           g <- gid
           s <- src
-          (mv, cs) <- admit(s)
+          // the gsets substitution binds positions to PHYSICAL columns;
+          // computed aliases below the Expand are out of scope (an
+          // expression-keyed grouping set falls back to the base)
+          if s.subst.isEmpty
+          (mv, cs, _) <- admit(s)
           plan <- materializeGsets(SparkSession.active, mv, cs, projections,
             output, groups, g, others, aggExprs)
         } yield plan
@@ -395,7 +555,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       // test would wrongly keep it counting (substituted) MV rows
       case al @ Alias(c: AggregateExpression, _) =>
         val b = bindAgg(mv.valueCols.toSet, mv.groupCols.toSet,
-          Set.empty, mmCols, c).getOrElse(return None)
+          Set.empty, mmCols, Map.empty, c).getOrElse(return None)
         val srcE = rollupSrc(b).getOrElse(return None)
         if (srcE.dataType != al.dataType) return None
         Alias(srcE, al.name)(exprId = al.exprId, qualifier = al.qualifier)
@@ -447,7 +607,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
   /** For each aggregate output, which MV-derived expression serves it. */
   private sealed trait Bind
-  private case class GroupB(name: String) extends Bind
+  private case class GroupB(gm: GM) extends Bind
   private case object CountB extends Bind          // count(*)  → n
   private case class CountVB(c: String) extends Bind // count(c) → nv_c
   private case class SumB(c: String) extends Bind    // sum(c)   → if(nv_c=0,null,s_c)
@@ -470,21 +630,23 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   // aggregate serves.
   private case class FoldB(e: NamedExpression) extends Bind
 
-  private def bindOutputs(groups: Seq[AttributeReference],
+  private def bindOutputs(gms: Seq[(AttributeReference, GM)],
+      subst: Map[ExprId, Expression],
       valueCols: Set[String], mvGroupCols: Set[String],
       aggExprs: Seq[NamedExpression],
       mmCols: Set[String]): Option[Seq[(NamedExpression, Bind)]] = {
-    def groupOf(e: Expression): Option[String] = e match {
-      case a: AttributeReference
-          if groups.exists(g => g.semanticEquals(a)) => Some(a.name)
+    def groupOf(e: Expression): Option[GM] = e match {
+      case a: AttributeReference =>
+        gms.collectFirst { case (g, gm) if g.exprId == a.exprId => gm }
       case _ => None
     }
+    val queryMvCols = gms.map(_._2.mvCol).toSet
     val out = aggExprs.map {
-      case a: AttributeReference => groupOf(a).map(n => a -> (GroupB(n): Bind))
+      case a: AttributeReference => groupOf(a).map(gm => a -> (GroupB(gm): Bind))
       case al @ Alias(c, _) =>
-        groupOf(c).map(n => al -> (GroupB(n): Bind))
+        groupOf(c).map(gm => al -> (GroupB(gm): Bind))
           .orElse(bindAgg(valueCols, mvGroupCols,
-            groups.map(_.name).toSet, mmCols, c).map(al -> _))
+            queryMvCols, mmCols, subst, c).map(al -> _))
           .orElse(if (c.foldable) Some(al -> (FoldB(al): Bind)) else None)
       case _ => None
     }
@@ -493,25 +655,34 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
   private def bindAgg(valueCols: Set[String], mvGroupCols: Set[String],
       queryGroups: Set[String], mmCols: Set[String],
-      e: Expression): Option[Bind] =
+      subst: Map[ExprId, Expression],
+      e: Expression): Option[Bind] = {
+    // a measure must be a PHYSICAL leaf column: an attribute that is
+    // really a computed alias (`v + 1 AS v`) must not bind by its name
+    def leaf(a: AttributeReference): Option[String] = subst.get(a.exprId) match {
+      case None => Some(a.name)
+      case Some(ar: AttributeReference) => Some(ar.name)
+      case _ => None
+    }
     e match {
       case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) =>
         Some(CountB)
-      case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _)
-          if valueCols(a.name) => Some(CountVB(a.name))
-      case AggregateExpression(Sum(a: AttributeReference, _), Complete, false, None, _)
-          if valueCols(a.name) => Some(SumB(a.name))
-      case AggregateExpression(Average(a: AttributeReference, _), Complete, false, None, _)
-          if valueCols(a.name) => Some(AvgB(a.name))
-      case AggregateExpression(Min(a: AttributeReference), Complete, false, None, _)
-          if mmCols(a.name) => Some(MinB(a.name))
-      case AggregateExpression(Max(a: AttributeReference), Complete, false, None, _)
-          if mmCols(a.name) => Some(MaxB(a.name))
-      case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, true, None, _)
-          if mvGroupCols(a.name) && !queryGroups(a.name) =>
-        Some(DistinctGroupB(a.name))
+      case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _) =>
+        leaf(a).filter(valueCols).map(CountVB.apply)
+      case AggregateExpression(Sum(a: AttributeReference, _), Complete, false, None, _) =>
+        leaf(a).filter(valueCols).map(SumB.apply)
+      case AggregateExpression(Average(a: AttributeReference, _), Complete, false, None, _) =>
+        leaf(a).filter(valueCols).map(AvgB.apply)
+      case AggregateExpression(Min(a: AttributeReference), Complete, false, None, _) =>
+        leaf(a).filter(mmCols).map(MinB.apply)
+      case AggregateExpression(Max(a: AttributeReference), Complete, false, None, _) =>
+        leaf(a).filter(mmCols).map(MaxB.apply)
+      case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, true, None, _) =>
+        leaf(a).filter(n => mvGroupCols(n) && !queryGroups(n))
+          .map(DistinctGroupB.apply)
       case _ => None
     }
+  }
 
   /** The servable minmax-column set for this query: empty unless the
     * query actually asks for a min/max (the durable validity flag costs a
@@ -545,11 +716,25 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     * maintenance pins s_c = 0 (never NULL) for all-null fine groups, and
     * Sum over the LongType n/nv_c stays LongType so the query's count
     * types are preserved. */
+  /** The MV-side grouping expression for a matched group: the key column
+    * itself, or — for a coarser grain — the query's date_trunc re-applied
+    * over the MV column (withNewChildren keeps the query's format literal
+    * AND time zone; `date_trunc('month', day)` == `date_trunc('month',
+    * ts)` for every ts in the day group — the grain lattice). */
+  private def groupSrcOf(attr: String => Option[AttributeReference])
+      (gm: GM): Option[Expression] =
+    attr(gm.mvCol).map { a =>
+      gm.coarse match {
+        case None => a
+        case Some(qt) => qt.withNewChildren(Seq(qt.children.head, a))
+      }
+    }
+
   private def rollupSrcOf(attr: String => Option[AttributeReference])
       (b: Bind): Option[Expression] = {
     def measure(c: String) = measureIn(attr, c)
     b match {
-      case GroupB(n) => attr(n)
+      case GroupB(gm) => groupSrcOf(attr)(gm)
       case CountB => attr("n").map(n =>
         Coalesce(Seq(Sum(n).toAggregateExpression(), Literal(0L))))
       case CountVB(c) => measure(c).map { case (nv, _) =>
@@ -597,7 +782,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       binds: Seq[(NamedExpression, Bind)],
       cond: Option[Expression],
       rollup: Boolean,
-      queryGroups: Seq[AttributeReference]): Option[LogicalPlan] = {
+      gms: Seq[(AttributeReference, GM)]): Option[LogicalPlan] = {
     val mvPlan = mvRelation(spark, mv).getOrElse(return None)
     val attr = attrIn(mvPlan) _
     def measure(c: String): Option[(AttributeReference, AttributeReference)] =
@@ -605,7 +790,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def rollupSrc(b: Bind): Option[Expression] = rollupSrcOf(attr)(b)
     def directSrc(nCol: AttributeReference)(b: Bind): Option[Expression] =
       b match {
-        case GroupB(n) => attr(n)
+        case GroupB(gm) if gm.coarse.isEmpty => attr(gm.mvCol)
+        case GroupB(_) => None // coarse grains always take the rollup path
         case CountB => Some(nCol)
         case CountVB(c) => measure(c).map(_._1)
         case SumB(c) => measure(c).map { case (nv, s) =>
@@ -650,12 +836,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       plan <-
         if (!rollup) Some(Project(projections, filtered))
         else {
-          // re-aggregate the MV by the query's (coarser) key set, rebound
-          // to the MV's own attributes; types must agree exactly
-          val groupAttrs = queryGroups.map(g =>
-            attr(g.name).filter(_.dataType == g.dataType))
-          if (groupAttrs.exists(_.isEmpty)) None
-          else Some(Aggregate(groupAttrs.map(_.get), projections, filtered))
+          // re-aggregate the MV by the query's (coarser) key set — each
+          // matched group's MV-side expression (key column, or re-trunc
+          // of a finer grain); types must agree exactly
+          val groupExprs = gms.map { case (g, gm) =>
+            groupSrcOf(attr)(gm).filter(_.dataType == g.dataType)
+          }
+          if (groupExprs.exists(_.isEmpty)) None
+          else Some(Aggregate(groupExprs.map(_.get), projections, filtered))
         }
     } yield plan
   }

@@ -1605,6 +1605,274 @@ object DdlQueries extends QueryModule {
         .withColumn("stale_dim_keeps_join", lit(hasJoin(stale)))
     }),
 
+    // DIM-DELTA MAINTENANCE (r20): the known-hard half of join-view
+    // maintenance — a dim UPDATE + a dim DELETE are applied to the star
+    // MV INCREMENTALLY (IncrementalMv.maintainDims: fact@watermark ⋈
+    // Δdim with ± signs, fact scan pruned to the changed keys), never by
+    // re-creating. Pinned: the head query serves from the MV after the
+    // dim changes (dimdelta_served), the fact watermark was untouched
+    // (maintenance cost ∝ Δdim, not a fact re-scan), the MV table saw
+    // exactly ONE create (no re-CTAS), and a query reading the dim at
+    // the OLD version now refuses (the dim watermark really moved).
+    // Oracle = DuckDB rebuild of fact ⋈ FINAL dim.
+    "composite_mv_rewrite_dimdelta" -> ((s, d) => {
+      import graft.operators.IncrementalMv
+      import graft.sources.SnapshotLog
+      val ns = "mvdd_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = snapFixture(s, d, "incmv_dimdelta20") { root =>
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_snap_warehouse/$ns"), true)
+        val dim = customer(s, d).selectExpr("c_custkey AS dk",
+          "c_nationkey AS grp", "c_mktsegment AS seg")
+        val fact = orders(s, d).selectExpr("o_orderkey AS k",
+          "o_custkey AS ck", "CAST(floor(o_totalprice * 100) AS BIGINT) AS v")
+        SnapshotLog.commit(dim, s"$root/dim", overwrite = true, 500L)
+        SnapshotLog.commit(fact.filter(col("k") % 2 === 0), s"$root/fact",
+          overwrite = true, 1000L)
+        IncrementalMv.createJoin(s, s"$root/fact", s"$root/dim", "ck", "dk",
+          s"$ns.mv", Seq("grp"), Seq("v"))
+        SnapshotLog.commit(fact.filter(col("k") % 2 === 1), s"$root/fact",
+          overwrite = false, 2000L)
+        IncrementalMv.maintain(s, s"$root/fact", s"$ns.mv",
+          Seq("grp"), Seq("v"))
+        // the slowly-changing dim: a group re-assignment AND a key
+        // retirement — both maintained by dim deltas, no re-create
+        SnapshotLog.updateWhereMoR(s, s"$root/dim", col("dk") % 25 === 3,
+          Map("grp" -> (col("grp") + 100)), 3000L)
+        SnapshotLog.deleteWhereMoR(s, s"$root/dim", col("dk") % 50 === 7,
+          4000L)
+        IncrementalMv.maintainDims(s, s"$root/fact", s"$ns.mv",
+          Seq("grp"), Seq("v")): Unit
+      }
+      IncrementalMv.registerJoin(s, s"$root/fact", s"$root/dim", "ck", "dk",
+        s"$ns.mv", Seq("grp"), Seq("v"))
+      def scansOnlyMv(df: DataFrame): Boolean = {
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            => r.relation.table.name() }
+        scans.nonEmpty && scans.forall(_.contains(s"$ns/mv"))
+      }
+      def servedByMv(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty && scansOnlyMv(df)
+      def hasJoin(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.nonEmpty
+      val f = snapRead(s, s"$root/fact")
+      val dm = snapRead(s, s"$root/dim")
+      val q = f.join(dm, f("ck") === dm("dk")).groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          avg(col("v")).as("av"))
+      val dmOld = snapRead(s, s"$root/dim", asOfVersion = Some(1))
+      val old = f.join(dmOld, f("ck") === dmOld("dk"))
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      val mvRoot = IncrementalMv.registered(s"$root/fact").get.mvRoot
+      val factWatermarkUntouched =
+        IncrementalMv.appliedVersion(s, mvRoot).contains(2)
+      // a re-create would WIPE the MV log (drop + CTAS): one create plus
+      // the two maintenance MERGEs (fact delta; dim update+delete net
+      // into ONE dim-range delta) in the SAME log proves incremental
+      // maintenance end-to-end
+      val mvOps = SnapshotLog.snapshots(s, mvRoot).map(_.operation)
+      val noRecreate = mvOps.count(_ == "create") == 1 &&
+        mvOps.count(_ == "merge") >= 2
+      q.withColumn("dimdelta_served", lit(servedByMv(q)))
+        .withColumn("fact_watermark_untouched", lit(factWatermarkUntouched))
+        .withColumn("no_recreate", lit(noRecreate))
+        .withColumn("old_dim_keeps_join", lit(hasJoin(old)))
+    }),
+
+    // MIN/MAX ON A JOIN MV (r20, gate-level for the r19 spec-only
+    // composition): two sibling star MVs with minmax measures — the
+    // INSERT-ONLY fact serves min/max THROUGH the join (a pure MV scan),
+    // the sibling that suffered a fact MoR delete refuses min/max while
+    // count/sum keep serving. Oracle = DuckDB join rebuild with min/max.
+    "composite_mv_rewrite_join_minmax" -> ((s, d) => {
+      import graft.operators.IncrementalMv
+      import graft.sources.SnapshotLog
+      val ns = "mvjmm_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = snapFixture(s, d, "incmv_join_minmax20") { root =>
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_snap_warehouse/$ns"), true)
+        val dim = customer(s, d).selectExpr("c_custkey AS dk",
+          "c_nationkey AS grp")
+        val fact = orders(s, d).selectExpr("o_orderkey AS k",
+          "o_custkey AS ck", "CAST(floor(o_totalprice * 100) AS BIGINT) AS v")
+        for (sub <- Seq("ins", "del")) {
+          SnapshotLog.commit(dim, s"$root/$sub/dim", overwrite = true, 500L)
+          SnapshotLog.commit(fact.filter(col("k") % 2 === 0),
+            s"$root/$sub/fact", overwrite = true, 1000L)
+          IncrementalMv.createJoin(s, s"$root/$sub/fact", s"$root/$sub/dim",
+            "ck", "dk", s"$ns.mv_$sub", Seq("grp"), Seq("v"),
+            minMaxCols = Seq("v"))
+          SnapshotLog.commit(fact.filter(col("k") % 2 === 1),
+            s"$root/$sub/fact", overwrite = false, 2000L)
+          IncrementalMv.maintain(s, s"$root/$sub/fact", s"$ns.mv_$sub",
+            Seq("grp"), Seq("v"))
+        }
+        SnapshotLog.deleteWhereMoR(s, s"$root/del/fact",
+          col("v") < 10000000L, 3000L)
+        IncrementalMv.maintain(s, s"$root/del/fact", s"$ns.mv_del",
+          Seq("grp"), Seq("v"))
+      }
+      for (sub <- Seq("ins", "del"))
+        IncrementalMv.registerJoin(s, s"$root/$sub/fact", s"$root/$sub/dim",
+          "ck", "dk", s"$ns.mv_$sub", Seq("grp"), Seq("v"), Seq("v"))
+      def scansOnlyMv(df: DataFrame, mv: String): Boolean = {
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            => r.relation.table.name() }
+        scans.nonEmpty && scans.forall(_.contains(mv))
+      }
+      def servedByMv(df: DataFrame, mv: String): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty && scansOnlyMv(df, mv)
+      def mmQ(sub: String): DataFrame = {
+        val f = snapRead(s, s"$root/$sub/fact")
+        val dm = snapRead(s, s"$root/$sub/dim")
+        f.join(dm, f("ck") === dm("dk")).groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            min(col("v")).as("mnv"), max(col("v")).as("mxv"))
+      }
+      def csQ(sub: String): DataFrame = {
+        val f = snapRead(s, s"$root/$sub/fact")
+        val dm = snapRead(s, s"$root/$sub/dim")
+        f.join(dm, f("ck") === dm("dk")).groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      }
+      val q = mmQ("ins")
+      q.withColumn("join_minmax_served",
+          lit(servedByMv(q, s"$ns/mv_ins")))
+        .withColumn("delete_refuses_minmax",
+          lit(!servedByMv(mmQ("del"), s"$ns/mv_del")))
+        .withColumn("cs_still_served",
+          lit(servedByMv(csQ("del"), s"$ns/mv_del")))
+    }),
+
+    // STREAMING JOIN-MV MAINTENANCE (r20, gate-level for the r19
+    // spec-only composition): a version stream over the FACT triggers
+    // maintain() per micro-batch — fact deltas apply through the pinned
+    // dim with NO manual refresh call, and the rewrite serves the join
+    // query afterwards from the kilobyte MV. Pinned: stream-maintained
+    // watermark reached the fact head, the head query is a pure MV scan.
+    // Oracle = DuckDB join rebuild of the final fact state.
+    "composite_mv_stream_join" -> ((s, d) => {
+      import graft.operators.IncrementalMv
+      import graft.sources.SnapshotLog
+      val ns = "mvsj_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = snapFixture(s, d, "incmv_stream_join20") { root =>
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_snap_warehouse/$ns"), true)
+        val dim = customer(s, d).selectExpr("c_custkey AS dk",
+          "c_nationkey AS grp")
+        val fact = orders(s, d).selectExpr("o_orderkey AS k",
+          "o_custkey AS ck", "CAST(floor(o_totalprice * 100) AS BIGINT) AS v")
+        SnapshotLog.commit(dim, s"$root/dim", overwrite = true, 500L)
+        SnapshotLog.commit(fact.filter(col("k") % 4 === 0), s"$root/fact",
+          overwrite = true, 1000L)
+        IncrementalMv.createJoin(s, s"$root/fact", s"$root/dim", "ck", "dk",
+          s"$ns.mv", Seq("grp"), Seq("v"))
+        val sq = graft.streaming.StreamingOps.mvMaintenanceStream(s,
+          s"$root/fact", s"$ns.mv", Seq("grp"), "v",
+          checkpoint = Some(s"$root/_ckpt"))
+        try {
+          SnapshotLog.commit(fact.filter(col("k") % 4 === 1), s"$root/fact",
+            overwrite = false, 2000L)
+          sq.processAllAvailable()
+          SnapshotLog.commit(fact.filter(col("k") % 4 > 1), s"$root/fact",
+            overwrite = false, 3000L)
+          sq.processAllAvailable()
+        } finally sq.stop()
+      }
+      IncrementalMv.registerJoin(s, s"$root/fact", s"$root/dim", "ck", "dk",
+        s"$ns.mv", Seq("grp"), Seq("v"))
+      def servedByMv(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty && {
+          val scans = df.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              => r.relation.table.name() }
+          scans.nonEmpty && scans.forall(_.contains(s"$ns/mv"))
+        }
+      val mvRoot = IncrementalMv.registered(s"$root/fact").get.mvRoot
+      val streamedToHead =
+        IncrementalMv.appliedVersion(s, mvRoot).contains(3)
+      val f = snapRead(s, s"$root/fact")
+      val dm = snapRead(s, s"$root/dim")
+      val q = f.join(dm, f("ck") === dm("dk")).groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      q.withColumn("stream_maintained_to_head", lit(streamedToHead))
+        .withColumn("mv_served", lit(servedByMv(q)))
+    }),
+
+    // TIME-GRAIN MV (r20): the MV key is an EXPRESSION —
+    // `GROUP BY date_trunc('day', ts) AS day`, the single most common
+    // real dashboard grain — materialized as a computed column,
+    // maintained by recomputing the key on every delta row, and matched
+    // in the rewrite by semantic expression equality. Pinned: the
+    // day-grain query is served as a pure MV scan (day_served), WEEK and
+    // MONTH queries re-truncate the day MV (the grain lattice — served
+    // without touching the base), and an HOUR query (finer than the
+    // materialized grain) keeps the base aggregate. Oracle = DuckDB
+    // rebuild at the day grain.
+    "composite_mv_rewrite_timegrain" -> ((s, d) => {
+      import graft.operators.IncrementalMv
+      import graft.sources.SnapshotLog
+      val ns = "mvtg_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = snapFixture(s, d, "incmv_timegrain20") { root =>
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_snap_warehouse/$ns"), true)
+        val b = events(s, d).selectExpr("event_id AS k", "ts",
+          "CAST(floor(value * 100) AS BIGINT) AS v")
+        SnapshotLog.commit(b.filter(col("k") % 2 === 0), root,
+          overwrite = true, commitTsMs = 1000L)
+        IncrementalMv.create(s, root, s"$ns.mv",
+          Seq("date_trunc('day', ts) AS day"), Seq("v"))
+        SnapshotLog.commit(b.filter(col("k") % 2 === 1), root,
+          overwrite = false, commitTsMs = 2000L)
+        SnapshotLog.deleteWhereMoR(s, root, col("v") < 500L, 3000L)
+        IncrementalMv.maintain(s, root, s"$ns.mv", Seq("day"), Seq("v"))
+      }
+      IncrementalMv.register(s, root, s"$ns.mv",
+        Seq("date_trunc('day', ts) AS day"), Seq("v"))
+      def scansOnlyMv(df: DataFrame): Boolean = {
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            => r.relation.table.name() }
+        scans.nonEmpty && scans.forall(_.contains(s"$ns/mv"))
+      }
+      def servedByMv(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isEmpty && scansOnlyMv(df)
+      def grainQ(grain: String): DataFrame = snapRead(s, root)
+        .groupBy(date_trunc(grain, col("ts")).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val q = snapRead(s, root)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          avg(col("v")).as("av"))
+      q.withColumn("day_served", lit(servedByMv(q)))
+        .withColumn("week_served", lit(scansOnlyMv(grainQ("week"))))
+        .withColumn("month_served", lit(scansOnlyMv(grainQ("month"))))
+        .withColumn("hour_keeps_base", lit(!scansOnlyMv(grainQ("hour"))))
+    }),
+
     // DELETION-VECTOR MoR deletes (r18; Iceberg v3 Puffin-DV analog):
     // with `write.delete.vector=true` a MoR delete stages one `.dv`
     // RoaringBitmap sidecar per affected data file instead of parquet
@@ -2220,6 +2488,65 @@ object DdlQueries extends QueryModule {
         .withColumn("merge_on_branch", lit(mergeOnBranch))
         .select("stage", "n_rows", "sum_bal", "publish_op",
           "merge_on_branch")
+    }),
+
+    // WAP FROM SQL (r20): the whole write-audit-publish loop driven by
+    // CALLs + SQL only — create_branch → merge_branch (stage odds) →
+    // audit via VERSION AS OF 'audit' → delete_branch_where (drop the
+    // negative balances the audit flagged) → update_branch_where (bump
+    // the k%10=1 cohort) → fast_forward. Pinned: the three branch DML
+    // snapshots really carry ref=audit with MoR ops (upsert/delete/
+    // update), the MAIN line saw NOTHING between the fork and the
+    // publish (3 mainline snapshots total: create, append, publish),
+    // and the audit read saw the staged rows. Oracle = DuckDB replay of
+    // the published state.
+    "ddl_wap_sql" -> ((s, d) => {
+      import graft.sources.SnapshotLog
+      val ns = "wapsql_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val wh = s.conf.getOption("spark.sql.catalog.snap.warehouse")
+        .getOrElse("/tmp/graft_snap_warehouse")
+      val root = s"$wh/$ns/t"
+      val auditRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+      snapFixture(s, d, "wap_sql") { _ =>
+        registerViews(s, d)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(s"$wh/$ns"), true)
+        s.sql(s"DROP TABLE IF EXISTS snap.$ns.t")
+        s.sql(s"""CREATE TABLE snap.$ns.t AS
+                 |SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+                 |WHERE c_custkey % 2 = 0""".stripMargin)
+        s.sql(s"CALL snap.system.create_branch('$ns.t', 'audit', 2)")
+        s.sql("""SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+                |WHERE c_custkey % 2 = 1""".stripMargin)
+          .createOrReplaceTempView("wap_odds")
+        s.sql(s"CALL snap.system.merge_branch('$ns.t', 'audit', " +
+          "'wap_odds', 'k')")
+        auditRows.set(s.sql(
+          s"SELECT count(*) FROM snap.$ns.t VERSION AS OF 'audit'")
+          .head().getLong(0))
+        s.sql(s"CALL snap.system.delete_branch_where('$ns.t', 'audit', " +
+          "'bal < 0')")
+        s.sql(s"CALL snap.system.update_branch_where('$ns.t', 'audit', " +
+          "'k % 10 = 1', 'bal = bal + 1000')")
+        s.sql(s"CALL snap.system.fast_forward('$ns.t', 'audit')"): Unit
+      }
+      val snaps = SnapshotLog.snapshots(s, root)
+      val branchOps = snaps.filter(_.branch.contains("audit"))
+        .map(_.operation)
+      val mainOps = snaps.filter(_.branch.isEmpty).map(_.operation)
+      val auditSawStaged = auditRows.get() == -1L || // memoized fixture
+        auditRows.get() == customer(s, d).count()
+      snapRead(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("bal")), 2).as("sum_bal"))
+        .withColumn("branch_dml_ops",
+          lit(Seq("upsert", "delete", "update")
+            .forall(branchOps.contains)))
+        .withColumn("main_untouched_until_publish", lit(mainOps.size == 3))
+        .withColumn("audit_saw_staged", lit(auditSawStaged))
+        .select("n_rows", "sum_bal", "branch_dml_ops",
+          "main_untouched_until_publish", "audit_saw_staged")
     }),
 
     // COMMIT-TIME AUTO-MAINTENANCE (SnapshotLog.maybeMaintain — the
@@ -2865,6 +3192,81 @@ object DdlQueries extends QueryModule {
         |  TRUE AS mv_served, TRUE AS filter_served,
         |  TRUE AS global_served, TRUE AS stale_dim_keeps_join
         |FROM fact JOIN dim ON ck = dk GROUP BY grp""".stripMargin,
+
+    // dim-delta rebuild: the FULL fact (evens + odds) joined to the dim's
+    // FINAL state (grp bumped +100 where dk % 25 = 3, dk % 50 = 7 rows
+    // deleted) — the engine got there by incremental dim-delta MERGEs,
+    // the oracle by replaying from scratch; avg spelled as the division
+    // the rewrite emits; plan booleans pinned TRUE
+    "composite_mv_rewrite_dimdelta" ->
+      """WITH fact AS (SELECT o_custkey AS ck,
+        |                CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |              FROM orders),
+        |dim AS (SELECT c_custkey AS dk,
+        |          c_nationkey + CASE WHEN c_custkey % 25 = 3
+        |                             THEN 100 ELSE 0 END AS grp
+        |        FROM customer WHERE c_custkey % 50 <> 7)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sv,
+        |  CAST(sum(v) AS DOUBLE) / count(v) AS av,
+        |  TRUE AS dimdelta_served, TRUE AS fact_watermark_untouched,
+        |  TRUE AS no_recreate, TRUE AS old_dim_keeps_join
+        |FROM fact JOIN dim ON ck = dk GROUP BY grp""".stripMargin,
+
+    // join-minmax rebuild: the INSERT-ONLY sibling is the full fact ⋈
+    // dim with min/max; plan booleans pinned TRUE
+    "composite_mv_rewrite_join_minmax" ->
+      """WITH fact AS (SELECT o_custkey AS ck,
+        |                CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |              FROM orders),
+        |dim AS (SELECT c_custkey AS dk, c_nationkey AS grp FROM customer)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sv, min(v) AS mnv, max(v) AS mxv,
+        |  TRUE AS join_minmax_served, TRUE AS delete_refuses_minmax,
+        |  TRUE AS cs_still_served
+        |FROM fact JOIN dim ON ck = dk GROUP BY grp""".stripMargin,
+
+    // streaming join-MV rebuild: the final fact state is ALL orders
+    // (three committed quarters = the whole table); plan booleans TRUE
+    "composite_mv_stream_join" ->
+      """WITH fact AS (SELECT o_custkey AS ck,
+        |                CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |              FROM orders),
+        |dim AS (SELECT c_custkey AS dk, c_nationkey AS grp FROM customer)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sv,
+        |  TRUE AS stream_maintained_to_head, TRUE AS mv_served
+        |FROM fact JOIN dim ON ck = dk GROUP BY grp""".stripMargin,
+
+    // time-grain rebuild: full events minus the v < 500 MoR deletes,
+    // grouped at the day grain — DuckDB date_trunc returns DATE, cast
+    // back to TIMESTAMP to match Spark; avg spelled as the division the
+    // rewrite emits; plan booleans pinned TRUE
+    "composite_mv_rewrite_timegrain" ->
+      """WITH b AS (SELECT CAST(ts AS TIMESTAMP) AS ts,
+        |             CAST(floor(value * 100) AS BIGINT) AS v
+        |           FROM events),
+        |fin AS (SELECT * FROM b WHERE v >= 500)
+        |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+        |  CAST(sum(v) AS DOUBLE) / count(v) AS av,
+        |  TRUE AS day_served, TRUE AS week_served, TRUE AS month_served,
+        |  TRUE AS hour_keeps_base
+        |FROM fin GROUP BY 1""".stripMargin,
+
+    // WAP-from-SQL rebuild: the published state is all customers minus
+    // the negative balances, with the k%10=1 cohort bumped +1000 (the
+    // update ran AFTER the delete, so it only touched surviving rows);
+    // plan booleans pinned TRUE
+    "ddl_wap_sql" ->
+      """WITH a AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |d AS (SELECT * FROM a WHERE bal >= 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(CASE WHEN k % 10 = 1 THEN bal + 1000
+        |            ELSE bal END), 2) AS sum_bal,
+        |  TRUE AS branch_dml_ops, TRUE AS main_untouched_until_publish,
+        |  TRUE AS audit_saw_staged
+        |FROM d""".stripMargin,
 
     // compute_updates: v4's delete+insert pairs retag as pre/post images;
     // everything else matches ddl_changelog

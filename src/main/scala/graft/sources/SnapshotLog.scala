@@ -855,6 +855,12 @@ object SnapshotLog {
     * rewriteDataFiles — a silent skip would bless the typo forever. The
     * z-value bucketing costs one extra aggregate pass over the BATCH
     * (min/max per z column), never the table. */
+  /** First `__z_tmp_<i>` name absent from `fields` — the z-order staging
+    * column must never shadow (and thereby destroy) a real column. */
+  private def zTmpName(fields: Seq[String]): String =
+    Iterator.from(0).map(i => if (i == 0) "__z" else s"__z_tmp_$i")
+      .find(n => !fields.contains(n)).get
+
   private def stageSorted(spark: SparkSession, df: DataFrame, numFiles: Int,
                           writeProps: Map[String, String])
       : (DataFrame, Seq[String]) = {
@@ -868,10 +874,14 @@ object SnapshotLog {
         if (zCols.isEmpty || !zCols.forall(df.schema.fieldNames.contains))
           return (df.repartition(n), Seq.empty)
         validateZorderBy(df.schema, zCols)
-        (df.withColumn("__z", zorderColumn(spark, df, zCols))
-          .repartitionByRange(n, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z"), Seq.empty)
+        // collision-proof transient sort key: withColumn REPLACES an
+        // existing column of the same name, so a fixed "__z" would
+        // destroy a real __z column's data on every commit
+        val zTmp = zTmpName(df.schema.fieldNames)
+        (df.withColumn(zTmp, zorderColumn(spark, df, zCols))
+          .repartitionByRange(n, col(zTmp))
+          .sortWithinPartitions(zTmp)
+          .drop(zTmp), Seq.empty)
       case None =>
         val sortCols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         if (sortCols.isEmpty || !sortCols.forall(df.schema.fieldNames.contains))
@@ -1657,10 +1667,16 @@ object SnapshotLog {
                                committed: Int): Unit = {
     val now = refsTyped(spark, root)
     if (!now.get(branch).exists(r => r._1 == "branch" && r._2 == expected))
+      // the orphan version rides the exception: v$committed is durable in
+      // the log (a valid child of `expected`) but unreachable from any
+      // ref — the caller's re-run re-stages the same work, so surface the
+      // handle for deliberate expiry instead of waiting for routine GC
       throw new CommitConflictException(
         s"SnapshotLog: branch '$branch' advanced concurrently during the " +
           s"commit at $root — snapshot v$committed committed but not " +
-          "adopted as the branch head; re-run against the new head")
+          "adopted as the branch head (orphan; expire deliberately or " +
+          "let routine expiry reclaim it); re-run against the new head",
+        orphanVersion = Some(committed))
     writeRefs(spark, root, now + (branch -> (("branch", committed))))
   }
 
@@ -2151,7 +2167,14 @@ object SnapshotLog {
     * the concurrent winner touched the same files this statement
     * targets, or moved the schema/spec under it. Never retried; the
     * statement must re-run against the new table state. */
-  final class CommitConflictException(msg: String)
+  /** `orphanVersion`: set when a snapshot was already durably committed
+    * before the refusal (branch-ref advancement lost its race) — the
+    * caller's re-run re-stages the same row-level work, so the orphan's
+    * staged files would otherwise linger until routine expiry. The
+    * handle lets callers/maintenance expire it deliberately
+    * (`expireSnapshots` below that version reclaims its staged files). */
+  final class CommitConflictException(msg: String,
+      val orphanVersion: Option[Int] = None)
     extends IllegalStateException(msg)
 
   /** Optimistic-concurrency commit loop (Iceberg's SnapshotProducer):
@@ -3058,6 +3081,7 @@ object SnapshotLog {
         } catch {
           case e: IllegalStateException => fs.delete(delDir, true); throw e
         }
+        branchDmlBeforeRefWrite()
         advanceBranchRef(spark, root, branch, headV, committed)
         committed
     }
@@ -3155,6 +3179,7 @@ object SnapshotLog {
         SnapshotBlooms.writeSidecar(spark, root, newFiles, cur.schema, newRows)
         SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, cur.schema)
         SnapshotNulls.record(spark, root, newNulls)
+        branchDmlBeforeRefWrite()
         advanceBranchRef(spark, root, branch, headV, committed)
         committed
     }
@@ -3165,6 +3190,12 @@ object SnapshotLog {
     * writer DETERMINISTICALLY (the refusal paths are otherwise pure
     * races). Production value is a no-op. */
   private[graft] var branchDmlAfterStage: () => Unit = () => ()
+
+  /** Second test seam: invoked after the branch DML's snapshot is
+    * DURABLY COMMITTED but before [[advanceBranchRef]] re-proves the ref —
+    * the narrow window whose loss ORPHANS the committed snapshot
+    * (surfaced via CommitConflictException.orphanVersion). */
+  private[graft] var branchDmlBeforeRefWrite: () => Unit = () => ()
 
   /** Resolve `branch` to (head snapshot, all snapshots), with the usual
     * misuse refusals — shared by the branch DML entry points. */
@@ -3257,6 +3288,7 @@ object SnapshotLog {
     }
     // null sidecar AFTER the commit (same orphan-avoidance as mainline)
     SnapshotNulls.record(spark, root, newNulls)
+    branchDmlBeforeRefWrite()
     advanceBranchRef(spark, root, branch, headV, committed)
     committed
   }
@@ -3294,6 +3326,7 @@ object SnapshotLog {
         } catch {
           case e: IllegalStateException => fs.delete(delDir, true); throw e
         }
+        branchDmlBeforeRefWrite()
         advanceBranchRef(spark, root, branch, headV, committed)
         committed
     }
@@ -3849,10 +3882,13 @@ object SnapshotLog {
             // give (its second key's min/max spans the space in every
             // file). The z column is a transient sort key, dropped before
             // write (projection preserves the sort).
-            input.withColumn("__z", zorderColumn(spark, input, zorderBy))
-              .repartitionByRange(numOut, col("__z"))
-              .sortWithinPartitions("__z")
-              .drop("__z")
+            // transient key name collision-proofed against the schema
+            // (withColumn would replace a real column of the same name)
+            val zTmp = zTmpName(input.schema.fieldNames)
+            input.withColumn(zTmp, zorderColumn(spark, input, zorderBy))
+              .repartitionByRange(numOut, col(zTmp))
+              .sortWithinPartitions(zTmp)
+              .drop(zTmp)
           }
           else if (clusterBy.isEmpty) input.repartition(numOut)
           else {

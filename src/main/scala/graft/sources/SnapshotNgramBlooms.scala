@@ -105,7 +105,18 @@ private[graft] object SnapshotNgramBlooms {
     val cols = ngramColumns(props, schema)
     if (cols.isEmpty || newFiles.isEmpty) return
     try {
-      val numBits = math.max(64L, props.get(BitsProp).flatMap(v =>
+      // AUTO-SIZING (r20, from the r19 knob study: healthy pruning needs
+      // ~>=8 bits per distinct gram per file): `write.ngrambloom.bits=
+      // auto` measures the batch's max per-file distinct-gram count and
+      // sizes the bloom at the next power of two >= 8x that, clamped to
+      // [2^12, 2^22] — low-diversity columns (IDs, codes, templated
+      // text) get 16-64x smaller sidecars with the same skipping, and an
+      // unexpectedly diverse column degrades to keeping files, never to
+      // wrong answers. Costs one extra distinct-count pass per batch —
+      // build-time only, opt-in.
+      val autoBits = props.get(BitsProp)
+        .exists(_.trim.equalsIgnoreCase("auto"))
+      val numBitsFixed = math.max(64L, props.get(BitsProp).flatMap(v =>
         scala.util.Try(v.toLong).toOption).getOrElse(DefaultBits))
       val batchSize = math.max(1, props.get(BuildBatchProp).flatMap(v =>
         scala.util.Try(v.toInt).toOption).getOrElse(DefaultBuildBatch))
@@ -122,22 +133,19 @@ private[graft] object SnapshotNgramBlooms {
           new org.apache.spark.sql.catalyst.expressions.aggregate
             .BloomFilterAggregate(args.head, args(1), args(2)))
       try newFiles.grouped(batchSize).foreach { batch =>
-        import org.apache.spark.sql.functions.{col, expr, explode, regexp_replace}
-        // estimated items sized so numHashFunctions lands near the
-        // optimal k for a bloom filled to ~numBits/16 items (~11 hashes)
-        val estItems = math.max(1L, numBits / 16L)
+        import org.apache.spark.sql.functions.{approx_count_distinct, col, expr, explode, max, regexp_replace}
         val node = om.createObjectNode()
         val colsArr = node.putArray("cols")
         cols.foreach(f => colsArr.add(f.name))
-        node.put("numBits", numBits)
         node.put("gram", gram)
+        val colBits = node.putObject("colBits")
         val filesNode = node.putObject("files")
         // one pass per column: the trigram explode multiplies rows, so
         // fusing columns would cross-multiply; ngram column sets are
         // small (usually one text column)
         cols.foreach { f =>
           val c = s"`${f.name}`"
-          val tri = spark.read.schema(schema).parquet(batch: _*)
+          def tri = spark.read.schema(schema).parquet(batch: _*)
             .select(
               regexp_replace(col("_metadata.file_path"), "^file:/*", "/")
                 .as("__f"),
@@ -146,6 +154,21 @@ private[graft] object SnapshotNgramBlooms {
                 s"transform(sequence(1, length($c) - ${gram - 1}), " +
                 s"i -> substring($c, i, $gram)) " +
                 "ELSE array() END")).as("__t"))
+          val numBits =
+            if (!autoBits) numBitsFixed
+            else {
+              val r = tri.groupBy(col("__f"))
+                .agg(approx_count_distinct(col("__t"), 0.02).as("__d"))
+                .agg(max(col("__d"))).head()
+              val maxDistinct = if (r.isNullAt(0)) 1L else r.getLong(0)
+              var b = 1L << 12
+              while (b < 8L * maxDistinct && b < (1L << 22)) b <<= 1
+              b
+            }
+          colBits.put(f.name, numBits)
+          // estimated items sized so numHashFunctions lands near the
+          // optimal k for a bloom filled to ~numBits/16 items (~11 hashes)
+          val estItems = math.max(1L, numBits / 16L)
           val rows = tri.groupBy(col("__f"))
             .agg(expr(s"$fnName(xxhash64(__t), ${estItems}L, ${numBits}L)")
               .as("__b"))

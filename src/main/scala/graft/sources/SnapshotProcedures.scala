@@ -33,6 +33,9 @@ private[sources] object SnapshotProcedures {
         Identifier.of(Array("system"), "create_branch"),
         Identifier.of(Array("system"), "drop_branch"),
         Identifier.of(Array("system"), "fast_forward"),
+        Identifier.of(Array("system"), "merge_branch"),
+        Identifier.of(Array("system"), "delete_branch_where"),
+        Identifier.of(Array("system"), "update_branch_where"),
         Identifier.of(Array("system"), "rewrite_position_delete_files"),
         Identifier.of(Array("system"), "create_changelog_view"),
         Identifier.of(Array("system"), "create_mv"),
@@ -56,6 +59,9 @@ private[sources] object SnapshotProcedures {
       case "create_branch" => new CreateBranchProc(warehouse)
       case "drop_branch" => new DropBranchProc(warehouse)
       case "fast_forward" => new FastForwardProc(warehouse)
+      case "merge_branch" => new MergeBranchProc(warehouse)
+      case "delete_branch_where" => new DeleteBranchWhereProc(warehouse)
+      case "update_branch_where" => new UpdateBranchWhereProc(warehouse)
       case "rewrite_position_delete_files" =>
         new RewriteDeleteFilesProc(warehouse)
       case "analyze_table" => new AnalyzeTableProc(warehouse)
@@ -277,17 +283,23 @@ private[sources] object SnapshotProcedures {
       // optional min/max measures — each gets mn_<c>/mx_<c>, served only
       // while the table's history since create is insert-only
       ProcedureParameter.in("minmax_cols", StringType)
+        .defaultValue("''").build(),
+      // optional EXPRESSION keys, ';'-separated "expr AS name" entries
+      // (exprs contain commas): group_exprs =>
+      // "date_trunc('day', ts) AS day" — the time-grain MV surface
+      ProcedureParameter.in("group_exprs", StringType)
         .defaultValue("''").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val root = rootFor(warehouse, input.getUTF8String(0).toString)
       val mvTable = input.getUTF8String(1).toString
-      def cols(i: Int): Seq[String] = Option(input.getUTF8String(i))
+      def split(i: Int, sep: Char): Seq[String] = Option(input.getUTF8String(i))
         .map(_.toString).getOrElse("")
-        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .split(sep).map(_.trim).filter(_.nonEmpty).toSeq
+      def cols(i: Int): Seq[String] = split(i, ',')
       val applied = graft.operators.IncrementalMv.create(spark, root,
-        mvTable, cols(2), cols(3), cols(4))
+        mvTable, cols(2) ++ split(5, ';'), cols(3), cols(4))
       Iterator(resultScan(
         StructType(Seq(
           StructField("mv_table", StringType, nullable = false),
@@ -321,13 +333,18 @@ private[sources] object SnapshotProcedures {
       ProcedureParameter.in("dim_key", StringType).build(),
       ProcedureParameter.in("mv_table", StringType).build(),
       ProcedureParameter.in("group_cols", StringType).build(),
-      ProcedureParameter.in("value_cols", StringType).build())
+      ProcedureParameter.in("value_cols", StringType).build(),
+      // optional min/max measures — parity with create_mv (served only
+      // while the FACT's history since create is insert-only)
+      ProcedureParameter.in("minmax_cols", StringType)
+        .defaultValue("''").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val factRoot = rootFor(warehouse, input.getUTF8String(0).toString)
       val mvTable = input.getUTF8String(4).toString
-      def cols(i: Int): Seq[String] = input.getUTF8String(i).toString
+      def cols(i: Int): Seq[String] = Option(input.getUTF8String(i))
+        .map(_.toString).getOrElse("")
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       // dim_table/fact_key/dim_key accept PARALLEL comma lists — the
       // snowflake form ('ns.cust,ns.nation', 'ck,nk', 'dk,nnk'); a
@@ -339,17 +356,24 @@ private[sources] object SnapshotProcedures {
           "comma-lists of one length")
       val applied = graft.operators.IncrementalMv.createJoins(spark,
         factRoot, dimRoots.lazyZip(fks).lazyZip(dks).map((r, f, k) =>
-          (r, f, k)), mvTable, cols(5), cols(6))
-      val dimV = graft.operators.IncrementalMv.appliedDimVersions(spark,
-        rootFor(warehouse, mvTable.replace('.', '/')))
-        .flatMap(_.headOption).getOrElse(-1)
+          (r, f, k)), mvTable, cols(5), cols(6), minMaxCols = cols(7))
+      // the FULL ordered dim-version list (one per join step, snowflake
+      // included) — a truncated or defaulted report would mask an
+      // unreadable watermark; fail loudly instead
+      val dimVs = graft.operators.IncrementalMv.appliedDimVersions(spark,
+        rootFor(warehouse, mvTable)).getOrElse(
+        throw new IllegalStateException(
+          s"create_join_mv: $mvTable committed but its dim watermark " +
+            "props are unreadable"))
       Iterator(resultScan(
         StructType(Seq(
           StructField("mv_table", StringType, nullable = false),
           StructField("applied_fact_version", IntegerType, nullable = false),
-          StructField("applied_dim_version", IntegerType, nullable = false))),
+          StructField("applied_dim_versions", StringType, nullable = false))),
         Seq[Any](org.apache.spark.unsafe.types.UTF8String.fromString(mvTable),
-          applied, dimV))).asJava
+          applied,
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            dimVs.mkString(","))))).asJava
     }
   }
 
@@ -616,6 +640,128 @@ private[sources] object SnapshotProcedures {
           StructField("branch", StringType, nullable = false),
           StructField("published_version", IntegerType, nullable = false))),
         Seq(br, v))).asJava
+    }
+  }
+
+  /** CALL snap.system.merge_branch('ns.t', 'audit', 'fix_view', 'k') —
+    * SQL surface for WAP MERGE ([[SnapshotLog.upsertEqualityMoRBranch]]):
+    * ONE branch snapshot equality-deletes the source view's keys from
+    * the branch head and appends its rows, so the whole
+    * write-audit-publish loop (create_branch → DML → audit →
+    * fast_forward) runs verbatim from SQL, like the MV loop. A branch
+    * head that moved during staging REFUSES (re-proved at commit AND at
+    * ref-write; a lost ref race surfaces the orphan snapshot version in
+    * the error). Reference: MERGE INTO as the primary surface,
+    * bodo/io/iceberg/merge_into.py. */
+  private class MergeBranchProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "merge_branch"
+    override def description(): String =
+      "merge (upsert-by-key) a view's rows into a branch as one " +
+        "merge-on-read snapshot; refuses if the branch head moved"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build(),
+      ProcedureParameter.in("source", StringType)
+        .comment("temp view / table name holding the merge rows").build(),
+      ProcedureParameter.in("key_cols", StringType)
+        .comment("comma-separated equality key columns").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val branch = input.getUTF8String(1).toString
+      val source = spark.table(input.getUTF8String(2).toString)
+      val keys = input.getUTF8String(3).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val v = SnapshotLog.upsertEqualityMoRBranch(spark, root, branch,
+        source, keys, SnapshotLog.nextCommitTs(spark, root))
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("merged_version", IntegerType, nullable = false))),
+        Seq(branch, v))).asJava
+    }
+  }
+
+  /** CALL snap.system.delete_branch_where('ns.t', 'audit', 'bal < 0') —
+    * the audit-delete half of WAP DML from SQL
+    * ([[SnapshotLog.deleteWhereMoRBranch]]). */
+  private class DeleteBranchWhereProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "delete_branch_where"
+    override def description(): String =
+      "merge-on-read DELETE on a branch by SQL predicate; refuses if " +
+        "the branch head moved"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build(),
+      ProcedureParameter.in("predicate", StringType)
+        .comment("SQL boolean expression over the table's columns").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val branch = input.getUTF8String(1).toString
+      val v = SnapshotLog.deleteWhereMoRBranch(spark, root, branch,
+        org.apache.spark.sql.functions.expr(
+          input.getUTF8String(2).toString),
+        SnapshotLog.nextCommitTs(spark, root))
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("deleted_version", IntegerType, nullable = false))),
+        Seq(branch, v))).asJava
+    }
+  }
+
+  /** CALL snap.system.update_branch_where('ns.t', 'audit', 'k % 10 = 1',
+    * 'bal = bal + 1000') — the audit-fix half of WAP DML from SQL
+    * ([[SnapshotLog.updateWhereMoRBranch]]). `set_exprs` is a
+    * ';'-separated list of `col = sql-expr` assignments (exprs may
+    * contain commas). */
+  private class UpdateBranchWhereProc(warehouse: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "update_branch_where"
+    override def description(): String =
+      "merge-on-read UPDATE on a branch by SQL predicate and " +
+        "assignment list; refuses if the branch head moved"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build(),
+      ProcedureParameter.in("predicate", StringType).build(),
+      ProcedureParameter.in("set_exprs", StringType)
+        .comment("';'-separated `col = expr` assignments").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val root = rootFor(warehouse, input.getUTF8String(0).toString)
+      val branch = input.getUTF8String(1).toString
+      val sets = input.getUTF8String(3).toString.split(';').toSeq
+        .map(_.trim).filter(_.nonEmpty).map { a =>
+          val i = a.indexOf('=')
+          require(i > 0, s"update_branch_where: malformed assignment '$a'")
+          a.take(i).trim ->
+            org.apache.spark.sql.functions.expr(a.drop(i + 1).trim)
+        }.toMap
+      val v = SnapshotLog.updateWhereMoRBranch(spark, root, branch,
+        org.apache.spark.sql.functions.expr(
+          input.getUTF8String(2).toString),
+        sets, SnapshotLog.nextCommitTs(spark, root))
+      Iterator(resultScan(
+        StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("updated_version", IntegerType, nullable = false))),
+        Seq(branch, v))).asJava
     }
   }
 

@@ -787,7 +787,9 @@ class MvRewriteSpec extends AnyFunSuite {
         s"CALL snap.system.create_join_mv('$ns.fact', '$ns.dim', " +
           s"'ck', 'dk', '$ns.mv', 'grp', 'v')").collect().head
       assert(created.getString(0) === s"$ns.mv")
-      assert(created.getInt(2) >= 1, "dim version must be watermarked")
+      // full comma-joined dim-version list (one entry per join step)
+      assert(created.getString(2).split(",").forall(_.toInt >= 1),
+        "dim version(s) must be watermarked")
       def q() = {
         val f = spark.table(s"snap.$ns.fact")
         val d = spark.table(s"snap.$ns.dim")
@@ -1039,6 +1041,457 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(rolledUpFromMv(r, "mvrw_fold"),
         r.queryExecution.optimizedPlan.toString)
       assert(r.select("n").as[Long].head() === 400L)
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
+  // ---- dim-delta maintenance (r20) ----
+
+  test("dim-delta maintenance: dim UPDATE / DELETE / INSERT / key " +
+       "re-route all maintain the join MV WITHOUT re-create; the rewrite " +
+       "serves the new dim afterwards") {
+    val (factRoot, dimRoot) = joinFixture("dimdelta")
+    IncrementalMv.createJoin(spark, factRoot, dimRoot, "ck", "dk",
+      "mvrw_dimdelta.mv", Seq("grp"), Seq("v"))
+    val mvRoot = IncrementalMv.registered(factRoot).get.mvRoot
+    try {
+      def check(): Unit = {
+        val q = joinAgg(factRoot, dimRoot)
+        assert(servedByMv(q, "mvrw_dimdelta"),
+          q.queryExecution.optimizedPlan.toString)
+        val got = q.collect().map(_.toString).sorted
+        spark.conf.set("spark.graft.mv.autoRewrite", "false")
+        val want = try joinAgg(factRoot, dimRoot).collect()
+          .map(_.toString).sorted
+        finally spark.conf.unset("spark.graft.mv.autoRewrite")
+        assert(got.sameElements(want),
+          s"got=${got.mkString("|")}\nwant=${want.mkString("|")}")
+      }
+      val factW = IncrementalMv.appliedVersion(spark, mvRoot).get
+      // 1) dim UPDATE moving groups (the slowly-changing-dim case)
+      SnapshotLog.updateWhereMoR(spark, dimRoot, col("dk") % 4 === 1,
+        Map("grp" -> (col("grp") + 10)), 1500L)
+      assert(!servedByMv(joinAgg(factRoot, dimRoot), "mvrw_dimdelta"),
+        "a dim commit past the dim watermark must refuse first")
+      IncrementalMv.maintainDims(spark, factRoot, "mvrw_dimdelta.mv",
+        Seq("grp"), Seq("v"))
+      check()
+      // 2) dim DELETE drops its fact rows from the MV
+      SnapshotLog.deleteWhereMoR(spark, dimRoot, col("dk") === 2, 2500L)
+      IncrementalMv.maintainDims(spark, factRoot, "mvrw_dimdelta.mv",
+        Seq("grp"), Seq("v"))
+      check()
+      // 3) dim INSERT matches previously-dangling fact rows... none
+      //    dangle here, so first re-insert dk=2 under a NEW group
+      SnapshotLog.commit(
+        spark.range(2, 3).selectExpr("id AS dk", "cast(77 AS int) AS grp",
+          "'s0' AS seg"),
+        dimRoot, overwrite = false, 3500L)
+      IncrementalMv.maintainDims(spark, factRoot, "mvrw_dimdelta.mv",
+        Seq("grp"), Seq("v"))
+      check()
+      // 4) dim KEY change re-routes fact rows (delete+insert pair)
+      SnapshotLog.updateWhereMoR(spark, dimRoot, col("dk") === 3,
+        Map("dk" -> lit(4L)), 4500L) // dk 4 now twice: join multiplies
+      IncrementalMv.maintainDims(spark, factRoot, "mvrw_dimdelta.mv",
+        Seq("grp"), Seq("v"))
+      check()
+      // through it all: NO re-create (fact watermark untouched, the MV
+      // table was MERGEd, never re-CTAS'd) and maintainDims is idempotent
+      assert(IncrementalMv.appliedVersion(spark, mvRoot).contains(factW),
+        "dim-delta maintenance must not touch the fact watermark")
+      val dimVs = IncrementalMv.appliedDimVersions(spark, mvRoot).get
+      assert(IncrementalMv.maintainDims(spark, factRoot, "mvrw_dimdelta.mv",
+        Seq("grp"), Seq("v")) === dimVs, "idempotent at the dim head")
+      // and fact-side maintenance composes AFTER dim deltas (joins the
+      // NEW dim watermark)
+      SnapshotLog.commit(
+        spark.range(900, 960).selectExpr("id AS k", "id % 9 AS ck",
+          "id * 2 AS v"),
+        factRoot, overwrite = false, 5500L)
+      IncrementalMv.maintain(spark, factRoot, "mvrw_dimdelta.mv",
+        Seq("grp"), Seq("v"))
+      check()
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
+
+  test("dim-delta on a snowflake chain: dim-of-dim AND mid-chain changes " +
+       "maintain sequentially; interleaved fact+dim drift composes") {
+    val factRoot = fresh("snowdelta_fact")
+    val d1Root = s"/tmp/graft_mvrw/snowdelta_d1"
+    val d2Root = s"/tmp/graft_mvrw/snowdelta_d2"
+    val fs = new Path(d1Root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(d1Root), true)
+    fs.delete(new Path(d2Root), true)
+    SnapshotLog.commit(
+      spark.range(0, 6).selectExpr("id AS nnk", "concat('r', id % 2) AS region"),
+      d2Root, overwrite = true, 400L)
+    SnapshotLog.commit(
+      spark.range(0, 12).selectExpr("id AS dk", "cast(id % 3 AS int) AS grp",
+        "id % 6 AS nk"),
+      d1Root, overwrite = true, 500L)
+    SnapshotLog.commit(
+      spark.range(0, 600).selectExpr("id AS k", "id % 12 AS ck", "id * 2 AS v"),
+      factRoot, overwrite = true, 1000L)
+    IncrementalMv.createJoins(spark, factRoot,
+      Seq((d1Root, "ck", "dk"), (d2Root, "nk", "nnk")),
+      "mvrw_snowdelta.mv", Seq("region"), Seq("v"))
+    try {
+      def q() = {
+        val ff = spark.read.format("snapshotlog").load(factRoot)
+        val dd1 = spark.read.format("snapshotlog").load(d1Root)
+        val dd2 = spark.read.format("snapshotlog").load(d2Root)
+        ff.join(dd1, ff("ck") === dd1("dk")).join(dd2, dd1("nk") === dd2("nnk"))
+          .groupBy(col("region"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      }
+      def check(): Unit = {
+        val df = q()
+        assert(servedByMv(df, "mvrw_snowdelta"),
+          df.queryExecution.optimizedPlan.toString)
+        val got = df.collect().map(_.toString).sorted
+        spark.conf.set("spark.graft.mv.autoRewrite", "false")
+        val want = try q().collect().map(_.toString).sorted
+        finally spark.conf.unset("spark.graft.mv.autoRewrite")
+        assert(got.sameElements(want),
+          s"got=${got.mkString("|")}\nwant=${want.mkString("|")}")
+      }
+      // dim-of-dim (d2) change: region renames (the classic SCD)
+      SnapshotLog.updateWhereMoR(spark, d2Root, col("nnk") % 2 === 0,
+        Map("region" -> concat(col("region"), lit("_x"))), 1500L)
+      // AND mid-chain (d1) change in the same drift window: nk re-route
+      SnapshotLog.updateWhereMoR(spark, d1Root, col("dk") === 5,
+        Map("nk" -> lit(1L)), 1600L)
+      IncrementalMv.maintainDims(spark, factRoot, "mvrw_snowdelta.mv",
+        Seq("region"), Seq("v"))
+      check()
+      // fact delta AFTER the dim deltas: maintain() joins the new
+      // watermarks
+      SnapshotLog.commit(
+        spark.range(600, 660).selectExpr("id AS k", "id % 12 AS ck",
+          "id * 3 AS v"),
+        factRoot, overwrite = false, 2500L)
+      IncrementalMv.maintain(spark, factRoot, "mvrw_snowdelta.mv",
+        Seq("region"), Seq("v"))
+      check()
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
+
+  test("dim-delta min/max: a pure dim INSERT keeps min/max valid; a dim " +
+       "DELETE flips validity (count/sum keep serving)") {
+    val (factRoot, dimRoot) = joinFixture("dimmm")
+    IncrementalMv.createJoin(spark, factRoot, dimRoot, "ck", "dk",
+      "mvrw_dimmm.mv", Seq("grp"), Seq("v"), minMaxCols = Seq("v"))
+    val mvRoot = IncrementalMv.registered(factRoot).get.mvRoot
+    try {
+      def mmAgg() = {
+        val f = spark.read.format("snapshotlog").load(factRoot)
+        val dm = spark.read.format("snapshotlog").load(dimRoot)
+        f.join(dm, f("ck") === dm("dk")).groupBy(col("grp"))
+          .agg(min(col("v")).as("mnv"), max(col("v")).as("mxv"))
+      }
+      assert(servedByMv(mmAgg(), "mvrw_dimmm"))
+      // dim INSERT (new dk, unmatched by any fact row — and a matched
+      // path would also be insert-only): validity holds
+      SnapshotLog.commit(
+        spark.range(20, 22).selectExpr("id AS dk", "cast(9 AS int) AS grp",
+          "'s1' AS seg"),
+        dimRoot, overwrite = false, 1500L)
+      IncrementalMv.maintainDims(spark, factRoot, "mvrw_dimmm.mv",
+        Seq("grp"), Seq("v"))
+      assert(IncrementalMv.minMaxValid(spark, mvRoot),
+        "a pure dim insert must keep min/max valid")
+      val q = mmAgg()
+      assert(servedByMv(q, "mvrw_dimmm"),
+        q.queryExecution.optimizedPlan.toString)
+      // dim DELETE: its fact rows leave the groups — extremum may be gone
+      SnapshotLog.deleteWhereMoR(spark, dimRoot, col("dk") === 0, 2500L)
+      IncrementalMv.maintainDims(spark, factRoot, "mvrw_dimmm.mv",
+        Seq("grp"), Seq("v"))
+      assert(!IncrementalMv.minMaxValid(spark, mvRoot),
+        "a dim delete must flip min/max validity")
+      assert(!servedByMv(mmAgg(), "mvrw_dimmm"))
+      val cs = {
+        val f = spark.read.format("snapshotlog").load(factRoot)
+        val dm = spark.read.format("snapshotlog").load(dimRoot)
+        f.join(dm, f("ck") === dm("dk")).groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      }
+      assert(servedByMv(cs, "mvrw_dimmm"),
+        "count/sum must keep serving after the flip")
+      val got = cs.collect().map(_.toString).sorted
+      spark.conf.set("spark.graft.mv.autoRewrite", "false")
+      val want = try {
+        val f = spark.read.format("snapshotlog").load(factRoot)
+        val dm = spark.read.format("snapshotlog").load(dimRoot)
+        f.join(dm, f("ck") === dm("dk")).groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+          .collect().map(_.toString).sorted
+      } finally spark.conf.unset("spark.graft.mv.autoRewrite")
+      assert(got.sameElements(want))
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
+
+  test("maintain() reads the changelog ONCE: the minmax validity probe " +
+       "and the MERGE both consume the checkpointed group-sized delta") {
+    val root = fresh("onepass")
+    SnapshotLog.commit(
+      spark.range(0, 60000).selectExpr("id AS k", "cast(id % 5 AS int) AS grp",
+        "id * 2 AS v"),
+      root, overwrite = true, 1000L, numFiles = 4)
+    IncrementalMv.create(spark, root, "mvrw_onepass.mv", Seq("grp"),
+      Seq("v"), minMaxCols = Seq("v"))
+    try {
+      // a sizable delta range WITH a delete (the probe-armed path)
+      SnapshotLog.commit(
+        spark.range(60000, 120000).selectExpr("id AS k",
+          "cast(id % 5 AS int) AS grp", "id * 2 AS v"),
+        root, overwrite = false, 2000L, numFiles = 4)
+      SnapshotLog.deleteWhereMoR(spark, root, col("k") % 3 === 1, 3000L)
+      val bytes = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead): Unit
+      }
+      def quiesce(): Long = {
+        var last = -1L
+        var cur = bytes.get()
+        while (cur != last) { Thread.sleep(300); last = cur; cur = bytes.get() }
+        cur
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // baseline: ONE explicit changelog pass over the same range
+        bytes.set(0L)
+        SnapshotLog.changes(spark, root, 1, Some(3), netChanges = true)
+          .groupBy(col("grp")).agg(count(lit(1))).collect(): Unit
+        val onePass = quiesce()
+        assert(onePass > 0L)
+        bytes.set(0L)
+        IncrementalMv.maintain(spark, root, "mvrw_onepass.mv", Seq("grp"),
+          Seq("v"))
+        val maintainBytes = quiesce()
+        // one changelog pass + the (tiny) MV read for the MERGE — a
+        // second changelog pass would land near 2x
+        assert(maintainBytes < (onePass * 1.6).toLong,
+          s"maintain read $maintainBytes bytes vs $onePass for one pass — " +
+            "the changelog is being re-read")
+        assert(!IncrementalMv.minMaxValid(spark,
+          IncrementalMv.registered(root).get.mvRoot),
+          "the delete in range must still flip validity (probe intact)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
+  // ---- expression group keys / time-grain MVs (r20) ----
+
+  /** base(k, ts, v): hourly timestamps over ~42 days, v with nulls. */
+  private def grainBase(n: Long) =
+    spark.range(0, n).selectExpr("id AS k",
+      "TIMESTAMP'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, CAST(id % 1000 AS INT), 0, 0) AS ts",
+      "CASE WHEN id % 9 = 0 THEN NULL ELSE id % 1000 END AS v")
+
+  test("time-grain MV: GROUP BY date_trunc('day', ts) creates, maintains " +
+       "through DML, and serves the day query exactly") {
+    val root = fresh("grain")
+    SnapshotLog.commit(grainBase(2000), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_grain.mv",
+      Seq("date_trunc('day', ts) AS day"), Seq("v"))
+    try {
+      def q() = spark.read.format("snapshotlog").load(root)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          avg(col("v")).as("av"))
+      def cmp(mk: () => DataFrame, served: DataFrame => Boolean): Unit = {
+        val df = mk()
+        assert(served(df), df.queryExecution.optimizedPlan.toString)
+        val got = df.collect().map(_.toString).sorted
+        spark.conf.set("spark.graft.mv.autoRewrite", "false")
+        val want = try mk().collect().map(_.toString).sorted
+        finally spark.conf.unset("spark.graft.mv.autoRewrite")
+        assert(got.sameElements(want),
+          s"got=${got.mkString("|")}\nwant=${want.mkString("|")}")
+      }
+      cmp(() => q(), servedByMv(_, "mvrw_grain"))
+      // SQL spelling too
+      spark.read.format("snapshotlog").load(root)
+        .createOrReplaceTempView("grain_t")
+      cmp(() => spark.sql(
+        "SELECT date_trunc('day', ts) AS day, count(*) AS n, " +
+          "sum(v) AS sv FROM grain_t GROUP BY 1"),
+        servedByMv(_, "mvrw_grain"))
+      // maintenance recomputes the expr key on delta rows (append+delete)
+      SnapshotLog.commit(grainBase(2600).filter(col("k") >= 2000), root,
+        overwrite = false, 2000L)
+      SnapshotLog.deleteWhereMoR(spark, root, col("k") % 13 === 5, 3000L)
+      assert(!servedByMv(q(), "mvrw_grain"))
+      IncrementalMv.maintain(spark, root, "mvrw_grain.mv",
+        Seq("day"), Seq("v"))
+      cmp(() => q(), servedByMv(_, "mvrw_grain"))
+      // durable: a fresh process re-hydrates the expr key from props
+      IncrementalMv.forgetInMemory()
+      cmp(() => q(), servedByMv(_, "mvrw_grain"))
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
+  test("time-grain rollup: month / week / year queries re-truncate the " +
+       "day MV; group-expr filters fold to the MV key; wrong grains and " +
+       "shadowed measures refuse") {
+    val root = fresh("grain2")
+    SnapshotLog.commit(grainBase(3000), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_grain2.mv",
+      Seq("date_trunc('day', ts) AS day"), Seq("v"))
+    try {
+      val t = spark.read.format("snapshotlog").load(root)
+      def cmp(mk: () => DataFrame): Unit = {
+        val df = mk()
+        assert(rolledUpFromMv(df, "mvrw_grain2"),
+          df.queryExecution.optimizedPlan.toString)
+        val got = df.collect().map(_.toString).sorted
+        spark.conf.set("spark.graft.mv.autoRewrite", "false")
+        val want = try mk().collect().map(_.toString).sorted
+        finally spark.conf.unset("spark.graft.mv.autoRewrite")
+        assert(got.sameElements(want),
+          s"got=${got.mkString("|")}\nwant=${want.mkString("|")}")
+      }
+      for (grain <- Seq("month", "week", "year"))
+        cmp(() => t.groupBy(date_trunc(grain, col("ts")).as("g"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            avg(col("v")).as("av")))
+      // global rollup still composes
+      cmp(() => t.agg(count(lit(1)).as("n"), sum(col("v")).as("sv")))
+      // a filter over the registered expression folds to the MV key —
+      // served on both the exact and the coarser path
+      val filt = t.filter(date_trunc("day", col("ts")) >=
+          lit("2024-01-10 00:00:00").cast("timestamp"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("v")).as("sv"))
+      assert(servedByMv(filt, "mvrw_grain2"),
+        filt.queryExecution.optimizedPlan.toString)
+      val filtMon = t.filter(date_trunc("day", col("ts")) >=
+          lit("2024-01-10 00:00:00").cast("timestamp"))
+        .groupBy(date_trunc("month", col("ts")).as("mon"))
+        .agg(sum(col("v")).as("sv"))
+      assert(rolledUpFromMv(filtMon, "mvrw_grain2"))
+      val gotF = filtMon.collect().map(_.toString).sorted
+      spark.conf.set("spark.graft.mv.autoRewrite", "false")
+      val wantF = try t.filter(date_trunc("day", col("ts")) >=
+          lit("2024-01-10 00:00:00").cast("timestamp"))
+        .groupBy(date_trunc("month", col("ts")).as("mon"))
+        .agg(sum(col("v")).as("sv")).collect().map(_.toString).sorted
+      finally spark.conf.unset("spark.graft.mv.autoRewrite")
+      assert(gotF.sameElements(wantF))
+      // REFUSALS, each still computing correctly: a FINER grain (hour),
+      // a different expression over ts, a filter on raw ts, and a
+      // shadowed measure (v+1 AS v) must never bind the MV's v
+      val hour = t.groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val other = t.groupBy(date_format(col("ts"), "yyyy-MM").as("m"))
+        .agg(count(lit(1)).as("n"))
+      val rawFilt = t.filter(col("ts") >
+          lit("2024-01-10 00:00:00").cast("timestamp"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val shadow = t.select(col("ts"), (col("v") + 1).as("v"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("v")).as("sv"))
+      for (bad <- Seq(hour, other, rawFilt, shadow))
+        assert(!servedByMv(bad, "mvrw_grain2") &&
+          !rolledUpFromMv(bad, "mvrw_grain2"),
+          bad.queryExecution.optimizedPlan.toString)
+      // and the shadowed-measure result really is the +1 aggregate
+      val s1 = shadow.agg(sum(col("sv"))).head().getLong(0)
+      val s0 = t.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("v")).as("sv")).agg(sum(col("sv"))).head().getLong(0)
+      assert(s1 === s0 + grainBase(3000)
+        .filter(col("v").isNotNull).count())
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
+  test("a session-tz change after create REFUSES expression-key serving " +
+       "and maintenance (date_trunc boundaries are tz-dependent)") {
+    val root = fresh("graintz")
+    SnapshotLog.commit(grainBase(500), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_graintz.mv",
+      Seq("date_trunc('day', ts) AS day"), Seq("v"))
+    try {
+      def q() = spark.read.format("snapshotlog").load(root)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("v")).as("sv"))
+      assert(servedByMv(q(), "mvrw_graintz"))
+      val tzKey = "spark.sql.session.timeZone"
+      val old = spark.conf.get(tzKey)
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      try {
+        assert(!servedByMv(q(), "mvrw_graintz") &&
+          !rolledUpFromMv(q(), "mvrw_graintz"),
+          "a different session tz must refuse expression-key serving")
+        SnapshotLog.commit(grainBase(600).filter(col("k") >= 500), root,
+          overwrite = false, 2000L)
+        intercept[IllegalArgumentException] {
+          IncrementalMv.maintain(spark, root, "mvrw_graintz.mv",
+            Seq("day"), Seq("v"))
+        }
+      } finally spark.conf.set(tzKey, old)
+      // back under the create-time tz: maintenance and serving resume
+      IncrementalMv.maintain(spark, root, "mvrw_graintz.mv",
+        Seq("day"), Seq("v"))
+      assert(servedByMv(q(), "mvrw_graintz"))
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
+  test("create_mv's group_exprs parameter drives the time-grain loop " +
+       "from SQL") {
+    val ns = "mvrw_tgproc"
+    val fs = new Path(s"/tmp/graft_snap_warehouse/$ns")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"/tmp/graft_snap_warehouse/$ns"), true)
+    spark.sql(s"DROP TABLE IF EXISTS snap.$ns.base")
+    grainBase(1500).createOrReplaceTempView("tgproc_src")
+    spark.sql(s"CREATE TABLE snap.$ns.base AS SELECT * FROM tgproc_src")
+    val baseRoot = s"/tmp/graft_snap_warehouse/$ns/base"
+    try {
+      spark.sql(
+        s"CALL snap.system.create_mv('$ns.base', '$ns.mv', '', 'v', " +
+          s"group_exprs => \"date_trunc('day', ts) AS day\")").collect()
+      val q = spark.table(s"snap.$ns.base")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(servedByMv(q, s"$ns/mv"),
+        q.queryExecution.optimizedPlan.toString)
+      spark.sql(s"INSERT INTO snap.$ns.base SELECT k + 10000, ts, v " +
+        "FROM tgproc_src WHERE k % 3 = 0")
+      spark.sql(s"CALL snap.system.refresh_mv('$ns.base')").collect()
+      val q2 = spark.table(s"snap.$ns.base")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      assert(servedByMv(q2, s"$ns/mv"))
+      assert(q2.agg(sum(col("n"))).head().getLong(0) === 2000L)
+    } finally IncrementalMv.unregister(spark, baseRoot)
+  }
+
+  test("week-grain MV serves week but refuses month/year (weeks don't " +
+       "nest); mixed plain+expr keys compose") {
+    val root = fresh("grain3")
+    SnapshotLog.commit(grainBase(2000)
+      .withColumn("cc", col("k") % 5), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_grain3.mv",
+      Seq("date_trunc('week', ts) AS wk", "cc"), Seq("v"))
+    try {
+      val t = spark.read.format("snapshotlog").load(root)
+      val wk = t.groupBy(date_trunc("week", col("ts")).as("wk"), col("cc"))
+        .agg(count(lit(1)).as("n"))
+      assert(servedByMv(wk, "mvrw_grain3"),
+        wk.queryExecution.optimizedPlan.toString)
+      // rollup to just cc (dropping the week key) composes
+      val ccOnly = t.groupBy(col("cc")).agg(sum(col("v")).as("sv"))
+      assert(rolledUpFromMv(ccOnly, "mvrw_grain3"))
+      // month over a week MV must refuse — weeks straddle month bounds
+      val mon = t.groupBy(date_trunc("month", col("ts")).as("m"))
+        .agg(count(lit(1)).as("n"))
+      assert(!servedByMv(mon, "mvrw_grain3") &&
+        !rolledUpFromMv(mon, "mvrw_grain3"))
     } finally IncrementalMv.unregister(spark, root)
   }
 

@@ -252,4 +252,68 @@ class SnapshotNgramSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(1) == "text"))
     assert(rows.forall(_.getLong(2) >= 64L))
   }
+
+  test("bits=auto sizes from measured gram diversity: same pruning as " +
+       "the fixed default at 16x+ smaller sidecars on a low-diversity " +
+       "column") {
+    // low diversity: a small closed vocabulary — a few hundred distinct
+    // trigrams, for which the 2^21-bit default is ~64x oversized
+    def corpus = spark.range(0, 8000).selectExpr(
+      "id",
+      """concat('alpha beta gamma delta ', cast(id % 7 AS string),
+         CASE WHEN id = 7 THEN ' zebraquuxmarker' ELSE '' END) AS text""")
+    def build(root: String, bits: String): Unit = {
+      SnapshotLog.commit(corpus.filter("id % 2 = 0"), root,
+        overwrite = true, 100L, 2)
+      SnapshotLog.setTableProps(spark, root,
+        Map("write.ngrambloom.columns" -> "text",
+          "write.ngrambloom.bits" -> bits))
+      SnapshotLog.commit(corpus.filter("id % 2 = 1"), root,
+        overwrite = false, 200L, 2)
+    }
+    val rootA = freshRoot("auto"); build(rootA, "auto")
+    val rootF = freshRoot("auto_ctl"); build(rootF, (1L << 21).toString)
+    def sidecarBytes(root: String): Long = {
+      val dir = new Path(root, "ngrams")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(dir).map(_.getLen).sum
+    }
+    val (aB, fB) = (sidecarBytes(rootA), sidecarBytes(rootF))
+    assert(aB * 16 <= fB,
+      s"auto sidecars must be >=16x smaller ($aB vs $fB bytes)")
+    // identical pruning decisions on misses AND hits, identical results
+    for (needle <- Seq("qqqzzzvvv", "zebraquuxmarker", "alpha beta")) {
+      def probe(root: String) = spark.read.format("snapshotlog").load(root)
+        .filter(col("text").contains(needle))
+      assert(filesPlanned(probe(rootA)) === filesPlanned(probe(rootF)),
+        s"auto and fixed must prune identically for '$needle'")
+      assert(probe(rootA).count() === probe(rootF).count())
+    }
+    // and a HIGH-diversity column auto-sizes UP (>= 2^18 bits), so auto
+    // never quietly under-sizes real text (hex is NOT diverse — 16^3 =
+    // 4096 possible trigrams; base64's 64-char alphabet is)
+    val rootH = freshRoot("auto_high")
+    def soup = "concat(base64(unhex(md5(cast(id AS string)))), " +
+      "base64(unhex(md5(cast(id * 7 AS string))))) AS text"
+    SnapshotLog.commit(
+      spark.range(0, 4000).selectExpr("id", soup),
+      rootH, overwrite = true, 100L, 1)
+    SnapshotLog.setTableProps(spark, rootH,
+      Map("write.ngrambloom.columns" -> "text",
+        "write.ngrambloom.bits" -> "auto"))
+    SnapshotLog.commit(
+      spark.range(4000, 8000).selectExpr("id", soup),
+      rootH, overwrite = false, 200L, 1)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dirH = new Path(rootH, "ngrams")
+    val fsH = dirH.getFileSystem(spark.sessionState.newHadoopConf())
+    val bitsH = fsH.listStatus(dirH).map { st =>
+      val in = fsH.open(st.getPath)
+      val buf = new Array[Byte](st.getLen.toInt)
+      try in.readFully(0, buf) finally in.close()
+      om.readTree(buf).get("colBits").get("text").asLong()
+    }.max
+    assert(bitsH >= (1L << 18),
+      s"hex-soup text must auto-size up, got $bitsH bits")
+  }
 }

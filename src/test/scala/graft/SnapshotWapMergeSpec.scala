@@ -158,4 +158,81 @@ class SnapshotWapMergeSpec extends AnyFunSuite {
     assert(b2.filter(col("k") === 2).select("v").as[Long].head() === 2L,
       "the refused update must not have rewritten any row")
   }
+
+  test("the SQL surface (merge_branch CALL) refuses concurrent head " +
+       "movement through the same seam") {
+    val ns = "wapsql_race"
+    val fs = new Path(s"/tmp/graft_snap_warehouse/$ns")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"/tmp/graft_snap_warehouse/$ns"), true)
+    spark.sql(s"DROP TABLE IF EXISTS snap.$ns.t")
+    spark.sql(s"CREATE TABLE snap.$ns.t AS " +
+      "SELECT id AS k, id AS v FROM range(0, 50)")
+    val root = s"/tmp/graft_snap_warehouse/$ns/t"
+    spark.sql(s"CALL snap.system.create_branch('$ns.t', 'audit', 2)")
+    spark.range(50, 60).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("wapsql_race_src")
+    SnapshotLog.branchDmlAfterStage = () => {
+      SnapshotLog.branchDmlAfterStage = () => ()
+      SnapshotLog.commitToBranch(spark, root, "audit",
+        spark.range(900, 905).selectExpr("id AS k", "id AS v"),
+        SnapshotLog.nextCommitTs(spark, root)): Unit
+    }
+    val e = try intercept[Exception] {
+      spark.sql(s"CALL snap.system.merge_branch('$ns.t', 'audit', " +
+        "'wapsql_race_src', 'k')").collect()
+    } finally SnapshotLog.branchDmlAfterStage = () => ()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("advanced during the merge")),
+      s"CALL must surface the refusal, got: ${messages(e).mkString(" | ")}")
+    // the concurrent writer's rows are the branch state; no upsert landed
+    assert(branchRead(root, "audit").count() === 55)
+  }
+
+  test("a ref-write race AFTER the snapshot committed surfaces the " +
+       "ORPHAN version in the refusal, and deliberate expiry reclaims " +
+       "its staged files") {
+    val root = fresh("orphan")
+    SnapshotLog.commit(
+      spark.range(0, 50).selectExpr("id AS k", "id AS v"),
+      root, overwrite = true, 1000L)
+    SnapshotLog.createBranch(spark, root, "audit", 1)
+    SnapshotLog.commitToBranch(spark, root, "audit",
+      spark.range(50, 100).selectExpr("id AS k", "id AS v"), 2000L)
+    // the narrow window: the commit closure's head check passed, the
+    // snapshot is durable — THEN a concurrent writer advances the ref
+    // (ts past the in-flight upsert's 3000: the DML snapshot is already
+    // durable when this concurrent writer lands)
+    SnapshotLog.branchDmlBeforeRefWrite = () => {
+      SnapshotLog.branchDmlBeforeRefWrite = () => ()
+      SnapshotLog.commitToBranch(spark, root, "audit",
+        spark.range(100, 110).selectExpr("id AS k", "id AS v"), 5000L): Unit
+    }
+    val e = try intercept[SnapshotLog.CommitConflictException] {
+      SnapshotLog.upsertEqualityMoRBranch(spark, root, "audit",
+        spark.range(60, 70).selectExpr("id AS k", "id + 5000 AS v"),
+        Seq("k"), 3000L)
+    } finally SnapshotLog.branchDmlBeforeRefWrite = () => ()
+    val orphan = e.orphanVersion.getOrElse(
+      fail("ref-write refusal must carry the orphan version"))
+    // the orphan IS in the log (a durable child of the old head) but is
+    // NOT the branch head — the concurrent writer's snapshot is
+    val snaps = SnapshotLog.snapshots(spark, root)
+    assert(snaps.exists(sn => sn.version == orphan &&
+      sn.branch.contains("audit") && sn.operation == "upsert"))
+    assert(SnapshotLog.refs(spark, root)("audit") !== orphan)
+    assert(branchRead(root, "audit").count() === 110,
+      "the branch must serve the concurrent writer's state")
+    // the surfaced handle enables deliberate reclamation: expiring below
+    // the live head drops the orphan's manifest and its staged files
+    val orphanFiles = snaps.find(_.version == orphan).get.files
+      .filterNot(snaps.filter(_.version != orphan).flatMap(_.files).toSet)
+    assert(orphanFiles.nonEmpty, "the orphan staged new data files")
+    SnapshotLog.expireSnapshots(spark, root,
+      keepFromVersion = orphan + 1, orphanScan = false)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(orphanFiles.forall(f => !fs.exists(new Path(f))),
+      "expiry below the orphan must reclaim its staged files")
+  }
 }
