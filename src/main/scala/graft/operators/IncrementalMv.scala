@@ -42,9 +42,10 @@ object IncrementalMv {
     * each net fact delta row joins the same dim rows it would have at
     * create time, so insert-adds/delete-subtracts compose through the
     * join unchanged. A dim that has advanced past the watermark does not
-    * break maintenance (it keeps maintaining the fact⋈dim@pinned view);
-    * it makes the REWRITE refuse queries reading the newer dim — refresh
-    * by re-running createJoin (the full-refresh path), never by guessing. */
+    * break fact-side maintenance (it keeps maintaining the fact⋈dim@pinned
+    * view); it makes the REWRITE refuse queries reading the newer dim
+    * until [[maintainDims]] applies the dim deltas (r20 — incremental,
+    * cost ∝ Δdim) or createJoin re-creates — never by guessing. */
   val AppliedDimProp = "mv.applied-dim-version"
   val JoinDimRootProp = "mv.join-dim-root"
   val JoinFactKeyProp = "mv.join-fact-key"

@@ -269,7 +269,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       (for {
         (root, pinned) <- parsePin(factRel.table.name())
         mv <- IncrementalMv.registered(root)
-        if joinsMatch(mv, srcs.rels.filterNot(_ eq factRel), srcs.pairs)
+        dimRels = srcs.rels.filterNot(_ eq factRel)
+        if joinsMatch(mv, dimRels, srcs.pairs) ||
+          dimRefreshedAndMatches(mv, dimRels, srcs.pairs)
         keyNames = mv.joins.flatMap(j => Seq(j.factKey, j.dimKey)).toSet
         resolved = resolveGroupExprs(mv, srcs.rels)
         // filter admissibility, per conjunct: every referenced column is
@@ -292,6 +294,50 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         if applied == pinned
       } yield (mv, csT.flatten, resolved)).iterator
     }.nextOption()
+  }
+
+  /** DIM-side refresh-then-serve (r20, the [[freshOrRefreshed]] analog
+    * for join MVs): when the MV opted into auto-refresh and every dim
+    * read is pinned AHEAD of its watermark by at most the version
+    * budget, run one incremental [[IncrementalMv.maintainDims]] (dim
+    * deltas against the pinned fact — cost ∝ Δdim) and re-prove the
+    * watermark equality. A pin behind a watermark (time travel) or past
+    * the budget leaves the plan untouched; the post-refresh re-check
+    * never trusts the refresh (a concurrent dim commit can overshoot). */
+  private def dimRefreshedAndMatches(mv: IncrementalMv.MvDef,
+      dims: Seq[DataSourceV2Relation],
+      pairs: Seq[(String, String)]): Boolean = {
+    if (mv.joins.isEmpty || mv.joins.size != dims.size || refreshing.get())
+      return false
+    val spark = SparkSession.active
+    val props =
+      try graft.sources.SnapshotLog.tableProps(spark, mv.mvRoot)
+      catch { case scala.util.control.NonFatal(_) => return false }
+    if (!props.get(IncrementalMv.AutoRefreshProp).contains("true"))
+      return false
+    val budget = props.get(IncrementalMv.AutoRefreshBudgetProp)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(16)
+    val dimVs = IncrementalMv.appliedDimVersions(spark, mv.mvRoot)
+      .getOrElse(return false)
+    if (dimVs.size != mv.joins.size) return false
+    // every step's dim read must be pinned in [watermark, watermark +
+    // budget], and at least one strictly ahead (else the mismatch is
+    // not dim staleness and a refresh can't help)
+    val gaps = mv.joins.zip(dimVs).map { case (j, w) =>
+      dims.flatMap(r => parsePin(r.table.name()).collect {
+        case (dr, dp) if dr == j.dimRoot &&
+          r.output.exists(_.name == j.dimKey) => dp - w
+      }).headOption.getOrElse(return false)
+    }
+    if (!gaps.forall(g => g >= 0 && g <= budget) || !gaps.exists(_ > 0))
+      return false
+    refreshing.set(java.lang.Boolean.TRUE)
+    try IncrementalMv.maintainDims(spark, mv.baseRoot,
+      IncrementalMv.mvTableName(spark, mv.mvRoot), mv.groupCols,
+      mv.valueCols)
+    catch { case scala.util.control.NonFatal(_) => return false }
+    finally refreshing.set(java.lang.Boolean.FALSE)
+    joinsMatch(mv, dims, pairs) // re-prove, no trust
   }
 
   /** Rewrite a filter conjunct into the MV's column space: substitute

@@ -337,15 +337,20 @@ private[sources] object SnapshotProcedures {
       // optional min/max measures — parity with create_mv (served only
       // while the FACT's history since create is insert-only)
       ProcedureParameter.in("minmax_cols", StringType)
+        .defaultValue("''").build(),
+      // optional EXPRESSION keys, ';'-separated "expr AS name" entries
+      // (may reference fact OR dim columns — computed post-join)
+      ProcedureParameter.in("group_exprs", StringType)
         .defaultValue("''").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val factRoot = rootFor(warehouse, input.getUTF8String(0).toString)
       val mvTable = input.getUTF8String(4).toString
-      def cols(i: Int): Seq[String] = Option(input.getUTF8String(i))
+      def split(i: Int, sep: Char): Seq[String] = Option(input.getUTF8String(i))
         .map(_.toString).getOrElse("")
-        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .split(sep).map(_.trim).filter(_.nonEmpty).toSeq
+      def cols(i: Int): Seq[String] = split(i, ',')
       // dim_table/fact_key/dim_key accept PARALLEL comma lists — the
       // snowflake form ('ns.cust,ns.nation', 'ck,nk', 'dk,nnk'); a
       // single value is the plain star shape
@@ -356,7 +361,8 @@ private[sources] object SnapshotProcedures {
           "comma-lists of one length")
       val applied = graft.operators.IncrementalMv.createJoins(spark,
         factRoot, dimRoots.lazyZip(fks).lazyZip(dks).map((r, f, k) =>
-          (r, f, k)), mvTable, cols(5), cols(6), minMaxCols = cols(7))
+          (r, f, k)), mvTable, cols(5) ++ split(8, ';'), cols(6),
+        minMaxCols = cols(7))
       // the FULL ordered dim-version list (one per join step, snowflake
       // included) — a truncated or defaulted report would mask an
       // unreadable watermark; fail loudly instead
@@ -379,13 +385,17 @@ private[sources] object SnapshotProcedures {
 
   /** `CALL snap.system.refresh_mv('ns.base')` — apply every unapplied
     * base version to the registered MV (one changelog read, one MERGE);
-    * idempotent at the head. */
+    * for a JOIN MV, every unapplied DIM version is applied too
+    * ([[graft.operators.IncrementalMv.maintainDims]], r20 — a
+    * slowly-changing dim refreshes incrementally instead of forcing a
+    * re-create). Idempotent at the heads. */
   private class RefreshMvProc(warehouse: String)
       extends UnboundProcedure with BoundProcedure {
     override def name(): String = "refresh_mv"
     override def description(): String =
       "incrementally refresh the registered materialization of a " +
-        "snapshot table from its net_changes delta"
+        "snapshot table from its net_changes delta (join MVs: fact AND " +
+        "dim deltas)"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
 
@@ -403,12 +413,19 @@ private[sources] object SnapshotProcedures {
       val mvTable = mv.mvRoot.stripPrefix(s"$warehouse/").replace('/', '.')
       val applied = graft.operators.IncrementalMv.maintain(spark, root,
         mvTable, mv.groupCols, mv.valueCols)
+      val dimVs =
+        if (mv.joins.isEmpty) Seq.empty[Int]
+        else graft.operators.IncrementalMv.maintainDims(spark, root,
+          mvTable, mv.groupCols, mv.valueCols)
       Iterator(resultScan(
         StructType(Seq(
           StructField("mv_table", StringType, nullable = false),
-          StructField("applied_base_version", IntegerType, nullable = false))),
+          StructField("applied_base_version", IntegerType, nullable = false),
+          StructField("applied_dim_versions", StringType, nullable = false))),
         Seq[Any](org.apache.spark.unsafe.types.UTF8String.fromString(mvTable),
-          applied))).asJava
+          applied,
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            dimVs.mkString(","))))).asJava
     }
   }
 

@@ -807,6 +807,19 @@ class MvRewriteSpec extends AnyFunSuite {
       val served = q()
       assert(servedByMv(served, s"$ns/mv"))
       assert(served.select(sum(col("n"))).as[Long].head() === 500L)
+      // r20: refresh_mv ALSO applies DIM deltas for join MVs — a dim
+      // update no longer needs a re-create through the SQL loop
+      spark.sql(s"UPDATE snap.$ns.dim SET grp = grp + 5 WHERE dk = 2")
+      assert(!servedByMv(q(), s"$ns/mv"), "stale dim must refuse first")
+      val refreshed2 = spark.sql(
+        s"CALL snap.system.refresh_mv('$ns.fact')").collect().head
+      assert(refreshed2.getString(2).split(",").forall(_.toInt >= 2),
+        "refresh must advance the dim watermark(s)")
+      val served2 = q()
+      assert(servedByMv(served2, s"$ns/mv"),
+        served2.queryExecution.optimizedPlan.toString)
+      assert(served2.filter(col("grp") === 7).select(sum(col("n")))
+        .as[Long].head() === 56L) // dk=2's 56 fact rows moved to grp 7
     } finally IncrementalMv.unregister(spark, factRoot)
   }
 
@@ -1228,6 +1241,112 @@ class MvRewriteSpec extends AnyFunSuite {
           .collect().map(_.toString).sorted
       } finally spark.conf.unset("spark.graft.mv.autoRewrite")
       assert(got.sameElements(want))
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
+
+  test("dim refresh-then-serve: an opted-in join MV refreshes DIM deltas " +
+       "inside the rule; default-off and budget-exceeded refuse") {
+    val (factRoot, dimRoot) = joinFixture("dimauto")
+    IncrementalMv.createJoin(spark, factRoot, dimRoot, "ck", "dk",
+      "mvrw_dimauto.mv", Seq("grp"), Seq("v"))
+    val mvRoot = IncrementalMv.registered(factRoot).get.mvRoot
+    try {
+      def q() = joinAgg(factRoot, dimRoot)
+      // default OFF: a dim commit refuses until manual maintenance
+      SnapshotLog.updateWhereMoR(spark, dimRoot, col("dk") === 1,
+        Map("grp" -> lit(11)), 1500L)
+      assert(!servedByMv(q(), "mvrw_dimauto"),
+        "auto-refresh must be opt-in")
+      SnapshotLog.setTableProps(spark, mvRoot,
+        Map(IncrementalMv.AutoRefreshProp -> "true"))
+      val served = q()
+      assert(servedByMv(served, "mvrw_dimauto"),
+        served.queryExecution.optimizedPlan.toString)
+      val got = served.collect().map(_.toString).sorted
+      spark.conf.set("spark.graft.mv.autoRewrite", "false")
+      val want = try q().collect().map(_.toString).sorted
+      finally spark.conf.unset("spark.graft.mv.autoRewrite")
+      assert(got.sameElements(want))
+      assert(IncrementalMv.appliedDimVersions(spark, mvRoot)
+        .contains(Seq(2)), "the rule must have advanced the dim watermark")
+      // budget: a gap past mv.auto-refresh-max-versions refuses
+      SnapshotLog.setTableProps(spark, mvRoot,
+        Map(IncrementalMv.AutoRefreshBudgetProp -> "1"))
+      SnapshotLog.updateWhereMoR(spark, dimRoot, col("dk") === 2,
+        Map("grp" -> lit(12)), 2500L)
+      SnapshotLog.deleteWhereMoR(spark, dimRoot, col("dk") === 9, 3500L)
+      assert(!servedByMv(q(), "mvrw_dimauto"),
+        "a 2-version dim gap must exceed the budget of 1")
+      // and a time-traveled dim read (pin BEHIND the watermark) never
+      // triggers a refresh
+      val old = joinAgg(factRoot, dimRoot, dimPin = Some(1))
+      assert(!servedByMv(old, "mvrw_dimauto"))
+      assert(IncrementalMv.appliedDimVersions(spark, mvRoot)
+        .contains(Seq(2)), "refused paths must not have refreshed")
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
+
+  test("expression keys compose with JOIN MVs: a time-grain key over the " +
+       "fact ts, grouped with a dim attribute, creates/maintains/serves") {
+    val factRoot = fresh("jgrain_fact")
+    val dimRoot = s"/tmp/graft_mvrw/jgrain_dim"
+    val fs = new Path(dimRoot).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(dimRoot), true)
+    SnapshotLog.commit(
+      spark.range(0, 10).selectExpr("id AS dk", "cast(id % 3 AS int) AS grp"),
+      dimRoot, overwrite = true, 500L)
+    SnapshotLog.commit(
+      spark.range(0, 900).selectExpr("id AS k", "id % 9 AS ck",
+        "TIMESTAMP'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, CAST(id % 700 AS INT), 0, 0) AS ts",
+        "id * 2 AS v"),
+      factRoot, overwrite = true, 1000L)
+    IncrementalMv.createJoin(spark, factRoot, dimRoot, "ck", "dk",
+      "mvrw_jgrain.mv", Seq("grp", "date_trunc('day', ts) AS day"), Seq("v"))
+    try {
+      def q() = {
+        val f = spark.read.format("snapshotlog").load(factRoot)
+        val dm = spark.read.format("snapshotlog").load(dimRoot)
+        f.join(dm, f("ck") === dm("dk"))
+          .groupBy(col("grp"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      }
+      def check(): Unit = {
+        val df = q()
+        assert(servedByMv(df, "mvrw_jgrain"),
+          df.queryExecution.optimizedPlan.toString)
+        val got = df.collect().map(_.toString).sorted
+        spark.conf.set("spark.graft.mv.autoRewrite", "false")
+        val want = try q().collect().map(_.toString).sorted
+        finally spark.conf.unset("spark.graft.mv.autoRewrite")
+        assert(got.sameElements(want),
+          s"got=${got.mkString("|")}\nwant=${want.mkString("|")}")
+      }
+      check()
+      // fact delta maintains the computed key through the join
+      SnapshotLog.commit(
+        spark.range(900, 1000).selectExpr("id AS k", "id % 9 AS ck",
+          "TIMESTAMP'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, CAST(id % 700 AS INT), 0, 0) AS ts",
+          "id * 3 AS v"),
+        factRoot, overwrite = false, 2000L)
+      IncrementalMv.maintain(spark, factRoot, "mvrw_jgrain.mv",
+        Seq("grp", "day"), Seq("v"))
+      check()
+      // dim delta maintains it too (maintainDims composes with exprs)
+      SnapshotLog.updateWhereMoR(spark, dimRoot, col("dk") === 4,
+        Map("grp" -> lit(21)), 3000L)
+      IncrementalMv.maintainDims(spark, factRoot, "mvrw_jgrain.mv",
+        Seq("grp", "day"), Seq("v"))
+      check()
+      // month rollup over (grp, day-grain) join MV composes
+      val mon = {
+        val f = spark.read.format("snapshotlog").load(factRoot)
+        val dm = spark.read.format("snapshotlog").load(dimRoot)
+        f.join(dm, f("ck") === dm("dk"))
+          .groupBy(date_trunc("month", col("ts")).as("mon"))
+          .agg(sum(col("v")).as("sv"))
+      }
+      assert(rolledUpFromMv(mon, "mvrw_jgrain"),
+        mon.queryExecution.optimizedPlan.toString)
     } finally IncrementalMv.unregister(spark, factRoot)
   }
 
