@@ -1687,6 +1687,68 @@ object DdlQueries extends QueryModule {
         .withColumn("old_dim_keeps_join", lit(hasJoin(old)))
     }),
 
+    // DIM REFRESH-THEN-SERVE (r20): the dim analog of fact
+    // refresh-then-serve — a join MV opted into mv.auto-refresh-on-stale
+    // whose dim moved PAST the watermark is refreshed BY THE REWRITE
+    // RULE (one incremental maintainDims, cost ∝ Δdim) and serves the
+    // same query; no manual CALL anywhere after create. Pinned: the head
+    // query is a pure MV scan (the rule refreshed it), the dim watermark
+    // advanced to the dim head, and the MV log shows merges, not a
+    // re-create. Oracle = DuckDB rebuild against the NEW dim.
+    "composite_mv_dim_autorefresh" -> ((s, d) => {
+      import graft.operators.IncrementalMv
+      import graft.sources.SnapshotLog
+      val ns = "mvdar_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = snapFixture(s, d, "incmv_dim_autorefresh20") { root =>
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_snap_warehouse/$ns"), true)
+        val dim = customer(s, d).selectExpr("c_custkey AS dk",
+          "c_nationkey AS grp")
+        val fact = orders(s, d).selectExpr("o_orderkey AS k",
+          "o_custkey AS ck", "CAST(floor(o_totalprice * 100) AS BIGINT) AS v")
+        SnapshotLog.commit(dim, s"$root/dim", overwrite = true, 500L)
+        SnapshotLog.commit(fact, s"$root/fact", overwrite = true, 1000L)
+        IncrementalMv.createJoin(s, s"$root/fact", s"$root/dim", "ck", "dk",
+          s"$ns.mv", Seq("grp"), Seq("v"))
+        SnapshotLog.setTableProps(s,
+          s"/tmp/graft_snap_warehouse/${ns}/mv",
+          Map(IncrementalMv.AutoRefreshProp -> "true"))
+        // the slowly-changing dim moves; NOBODY calls maintainDims —
+        // the rewrite rule will, at first query time
+        SnapshotLog.updateWhereMoR(s, s"$root/dim", col("dk") % 25 === 3,
+          Map("grp" -> (col("grp") + 100)), 2000L): Unit
+      }
+      IncrementalMv.registerJoin(s, s"$root/fact", s"$root/dim", "ck", "dk",
+        s"$ns.mv", Seq("grp"), Seq("v"))
+      def servedByMv(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty && {
+          val scans = df.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              => r.relation.table.name() }
+          scans.nonEmpty && scans.forall(_.contains(s"$ns/mv"))
+        }
+      val f = snapRead(s, s"$root/fact")
+      val dm = snapRead(s, s"$root/dim")
+      val q = f.join(dm, f("ck") === dm("dk")).groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          avg(col("v")).as("av"))
+      val ruleServed = servedByMv(q) // this optimize triggers the refresh
+      val mvRoot = IncrementalMv.registered(s"$root/fact").get.mvRoot
+      val dimWatermarkAdvanced =
+        IncrementalMv.appliedDimVersions(s, mvRoot).contains(Seq(2))
+      val mvOps = SnapshotLog.snapshots(s, mvRoot).map(_.operation)
+      val noRecreate = mvOps.count(_ == "create") == 1 &&
+        mvOps.contains("merge")
+      q.withColumn("rule_refreshed_and_served", lit(ruleServed))
+        .withColumn("dim_watermark_advanced", lit(dimWatermarkAdvanced))
+        .withColumn("no_recreate", lit(noRecreate))
+    }),
+
     // MIN/MAX ON A JOIN MV (r20, gate-level for the r19 spec-only
     // composition): two sibling star MVs with minmax measures — the
     // INSERT-ONLY fact serves min/max THROUGH the join (a pure MV scan),
@@ -3211,6 +3273,24 @@ object DdlQueries extends QueryModule {
         |  CAST(sum(v) AS DOUBLE) / count(v) AS av,
         |  TRUE AS dimdelta_served, TRUE AS fact_watermark_untouched,
         |  TRUE AS no_recreate, TRUE AS old_dim_keeps_join
+        |FROM fact JOIN dim ON ck = dk GROUP BY grp""".stripMargin,
+
+    // dim-autorefresh rebuild: full orders ⋈ the NEW dim (grp +100 where
+    // dk % 25 = 3) — the engine got there because the REWRITE RULE ran
+    // the dim-delta maintenance itself; plan booleans pinned TRUE
+    "composite_mv_dim_autorefresh" ->
+      """WITH fact AS (SELECT o_custkey AS ck,
+        |                CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |              FROM orders),
+        |dim AS (SELECT c_custkey AS dk,
+        |          c_nationkey + CASE WHEN c_custkey % 25 = 3
+        |                             THEN 100 ELSE 0 END AS grp
+        |        FROM customer)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sv,
+        |  CAST(sum(v) AS DOUBLE) / count(v) AS av,
+        |  TRUE AS rule_refreshed_and_served,
+        |  TRUE AS dim_watermark_advanced, TRUE AS no_recreate
         |FROM fact JOIN dim ON ck = dk GROUP BY grp""".stripMargin,
 
     // join-minmax rebuild: the INSERT-ONLY sibling is the full fact ⋈
