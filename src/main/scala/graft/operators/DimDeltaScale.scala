@@ -68,13 +68,20 @@ private[graft] object DimDeltaScale {
         SnapshotLog.updateWhereMoR(spark, dimRoot,
           col("dk") >= lo && col("dk") < lo + 200L,
           Map("grp" -> (col("grp") + 37)), 10000L + round * 100L)
+        // the study measures the pushdown ablation on purpose: force the
+        // probe ON for the "pruned" arm (the r21 cost switch would skip
+        // it below 64 fact files) and OFF via cap=0 for the ablation
         if (!pushdown) System.setProperty("graft.mv.dimDeltaKeyCap", "0")
+        System.setProperty("graft.mv.dimDeltaPruneMinFiles", "0")
         try {
           val t0 = System.nanoTime()
           IncrementalMv.maintainDims(spark, factRoot, s"$ns.mv",
             Seq("grp"), Seq("v")): Unit
           (System.nanoTime() - t0) / 1e9
-        } finally System.clearProperty("graft.mv.dimDeltaKeyCap")
+        } finally {
+          System.clearProperty("graft.mv.dimDeltaKeyCap")
+          System.clearProperty("graft.mv.dimDeltaPruneMinFiles")
+        }
       }
       val prunedS = Seq(oneDimDelta(true), oneDimDelta(true)).min
       val unprunedS = oneDimDelta(false)

@@ -420,8 +420,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     (grainLevel.get(fine.toLowerCase(java.util.Locale.ROOT)),
       grainLevel.get(coarse.toLowerCase(java.util.Locale.ROOT))) match {
       case (Some(f), Some(c)) =>
-        if (c == 100) f <= 4 // week over second..day
-        else if (f == 100) false // week fine: exact only (caught earlier)
+        // equal grains under ANY spelling ('WEEK' vs 'week', 'mm' vs
+        // 'month') compose: re-truncating an already-truncated value at
+        // the same grain is the identity, so the rollup path serves it
+        // (ADVICE r20 — the exact-literal semanticEquals path upstream is
+        // case-sensitive and missed these serves)
+        if (f == c) true
+        else if (c == 100) f <= 4 // week over second..day
+        else if (f == 100) false // week fine: exact only (handled above)
         else c >= f
       case _ => false
     }

@@ -252,10 +252,16 @@ object IoQueries extends QueryModule {
 
     // Partitioned parquet write; read-back filters one partition value so
     // the scan is partition-pruned (directory-level, no data read).
+    // The write hash-distributes on the partition column first (r21) —
+    // the Iceberg write.distribution-mode=hash posture (guide §6): without
+    // it EVERY write task opens a file in EVERY partition directory (the
+    // small-files explosion at 100 TB: tasks x partitions files), and on
+    // the single-split fixture the whole encode ran on one core.
     "parquet_partitioned" -> ((s, d) => {
       val path = tmp(d, "pq")
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartition(col("l_returnflag"))
         .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
       s.read.parquet(path)
         .filter(col("l_returnflag") === "R")

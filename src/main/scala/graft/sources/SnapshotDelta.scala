@@ -127,7 +127,8 @@ private[sources] class SnapshotDeltaBatchWrite(root: String,
         nextV, operation,
         nextTs, cur.schemaJson, allFiles,
         cur.stats ++ newStats, cur.sizes ++ newSizes,
-        Map("write.mode" -> "merge-on-read-delta"),
+        Map("write.mode" -> "merge-on-read-delta") ++
+          SnapshotLog.takePendingCommitProps(),
         cur.spec, cur.parts, cur.cols ++ newCols, merged,
         fids, colIds, maxId, cur.specs, cur.fileSpec, cur.version,
         cur.rows ++ newRows)

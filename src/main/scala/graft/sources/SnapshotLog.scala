@@ -1575,6 +1575,26 @@ object SnapshotLog {
     }
   }
 
+  /** Commit-props injection for the NEXT DML statement on this thread
+    * (ADVICE r20: MV maintenance must record its applied-watermark token
+    * ATOMICALLY with the MERGE snapshot, or a crash between the MERGE and
+    * the separate tblprops write re-applies the same delta on restart —
+    * silent double-counting). The DML commit paths (CoW row-level and
+    * MoR delta) fold these into the snapshot's per-commit props; the
+    * caller sets before issuing the statement and clears in `finally`.
+    * Thread-local because DML executes eagerly on the calling thread;
+    * if an exotic execution path ever commits from another thread the
+    * token is merely absent and behavior degrades to the pre-fix window
+    * (the post-merge tblprops write still runs). */
+  private val pendingProps = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
+  }
+  def setPendingCommitProps(p: Map[String, String]): Unit = pendingProps.set(p)
+  def clearPendingCommitProps(): Unit = pendingProps.remove()
+  private[sources] def takePendingCommitProps(): Map[String, String] = {
+    val p = pendingProps.get(); pendingProps.remove(); p
+  }
+
   /** TABLE-LEVEL properties (Iceberg table-properties analog): a small
     * JSON beside the log. Unlike per-snapshot commit `props` these
     * configure WRITE BEHAVIOR for future statements — e.g.

@@ -161,8 +161,14 @@ private[graft] object SnapshotNgramBlooms {
                 .agg(approx_count_distinct(col("__t"), 0.02).as("__d"))
                 .agg(max(col("__d"))).head()
               val maxDistinct = if (r.isNullAt(0)) 1L else r.getLong(0)
+              // 10% headroom over the 2%-rsd estimate (ADVICE r20): an
+              // undercount just below a power-of-two boundary would
+              // otherwise undersize the bloom and raise its FPR (degraded
+              // pruning — never wrong answers); the margin keeps estimator
+              // error from crossing a sizing boundary downward
+              val target = (1.1 * maxDistinct).toLong
               var b = 1L << 12
-              while (b < 8L * maxDistinct && b < (1L << 22)) b <<= 1
+              while (b < 8L * target && b < (1L << 22)) b <<= 1
               b
             }
           colBits.put(f.name, numBits)

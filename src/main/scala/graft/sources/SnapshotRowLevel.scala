@@ -234,7 +234,7 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
         untouched ++ newFiles,
         cur.stats.view.filterKeys(untouchedSet.contains).toMap ++ newStats,
         cur.sizes.view.filterKeys(untouchedSet.contains).toMap ++ newSizes,
-        Map.empty, cur.spec,
+        SnapshotLog.takePendingCommitProps(), cur.spec,
         cur.parts.view.filterKeys(untouchedSet.contains).toMap,
         cur.cols.view.filterKeys(untouchedSet.contains).toMap ++ newCols,
         // replaced files' rows were re-derived through the dels-applying

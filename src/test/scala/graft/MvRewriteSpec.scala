@@ -1632,4 +1632,59 @@ class MvRewriteSpec extends AnyFunSuite {
         (0L until 400L).count(_ % 7 == 0).toLong)
     } finally IncrementalMv.unregister(spark, root)
   }
+
+  // ---- apply-token crash recovery (r21, ADVICE r20 item 1) ----
+
+  test("fact maintain(): a lost watermark write after the MERGE never " +
+       "double-applies (apply token rides the MERGE snapshot)") {
+    val root = fresh("crashfact")
+    SnapshotLog.commit(base(500), root, overwrite = true, 1000L)
+    IncrementalMv.create(spark, root, "mvrw_crashfact.mv", "grp", "v")
+    val mvRoot = IncrementalMv.registered(root).get.mvRoot
+    try {
+      SnapshotLog.commit(base(500).filter(col("k") < 20), root,
+        overwrite = false, 2000L)
+      IncrementalMv.maintain(spark, root, "mvrw_crashfact.mv", "grp", "v")
+      val want = defAgg(root).collect().map(_.toString).sorted
+      // simulate the crash window: MERGE landed (token in the MV history),
+      // the separate tblprops watermark write did not
+      SnapshotLog.setTableProps(spark, mvRoot,
+        Map(IncrementalMv.AppliedProp -> "1"))
+      val again = IncrementalMv.maintain(
+        spark, root, "mvrw_crashfact.mv", "grp", "v")
+      assert(again === 2, "recovery must complete the watermark")
+      val got = defAgg(root).collect().map(_.toString).sorted
+      assert(got.sameElements(want),
+        s"delta re-applied (double count)\ngot=${got.mkString("|")}\n" +
+          s"want=${want.mkString("|")}")
+      assert(servedByMv(defAgg(root), "mvrw_crashfact"))
+    } finally IncrementalMv.unregister(spark, root)
+  }
+
+  test("maintainDims(): a lost dim-watermark write after the MERGE never " +
+       "double-applies the dim delta") {
+    val (factRoot, dimRoot) = joinFixture("crashdim")
+    IncrementalMv.createJoin(spark, factRoot, dimRoot, "ck", "dk",
+      "mvrw_crashdim.mv", Seq("grp"), Seq("v"))
+    val mvRoot = IncrementalMv.registered(factRoot).get.mvRoot
+    try {
+      SnapshotLog.updateWhereMoR(spark, dimRoot, col("dk") % 4 === 1,
+        Map("grp" -> (col("grp") + 10)), 1500L)
+      val dimVs = IncrementalMv.maintainDims(spark, factRoot,
+        "mvrw_crashdim.mv", Seq("grp"), Seq("v"))
+      val want = joinAgg(factRoot, dimRoot).collect().map(_.toString).sorted
+      // crash window: revert the dim watermark as if the tblprops write
+      // was lost right after the MERGE committed
+      SnapshotLog.setTableProps(spark, mvRoot,
+        Map(IncrementalMv.AppliedDimProp -> "1"))
+      assert(IncrementalMv.maintainDims(spark, factRoot, "mvrw_crashdim.mv",
+        Seq("grp"), Seq("v")) === dimVs,
+        "recovery must restore the dim watermark without re-applying")
+      val got = joinAgg(factRoot, dimRoot).collect().map(_.toString).sorted
+      assert(got.sameElements(want),
+        s"dim delta re-applied (double count)\ngot=${got.mkString("|")}\n" +
+          s"want=${want.mkString("|")}")
+      assert(servedByMv(joinAgg(factRoot, dimRoot), "mvrw_crashdim"))
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
 }
