@@ -13,24 +13,7 @@ import org.apache.spark.sql.SparkSession
   * RuntimeJoinFilterProgram.kt) via Spark's built-in equivalents.
   */
 object Sessions {
-  def build(master: String, shufflePartitions: Int): SparkSession =
-    build(master, shufflePartitions, coalesceToAdvisory = false)
-
-  /** @param coalesceToAdvisory post-shuffle AQE coalescing posture:
-    *   `true` sets `coalescePartitions.parallelismFirst=false`, i.e.
-    *   coalesce to the ADVISORY size (guide §2.2 "fewer, larger reduce
-    *   partitions" — the Spark-documented busy-cluster recommendation;
-    *   measured r21: TPC-H battery 15.6 -> 13.9 s on local[32]/sf0.1).
-    *   The batch entrypoints (Bench/Verify, [[local]]) use it. The shared
-    *   TEST session keeps the fragment-per-core default (`false` here):
-    *   the suite races concurrent DML writers on a 4-core/8 GB session
-    *   where larger coalesced partitions raised peak per-task execution
-    *   memory enough to starve page allocation once (observed r21:
-    *   TaskMemoryManager 64 MB allocate-retry loop in the racing-writers
-    *   property suite under the full-suite cumulative cache state) —
-    *   sequential bench queries never see that interaction. */
-  def build(master: String, shufflePartitions: Int,
-            coalesceToAdvisory: Boolean): SparkSession = {
+  def build(master: String, shufflePartitions: Int): SparkSession = {
     val spark = SparkSession.builder()
       .master(master)
       // library extension point: registers the custom Catalyst expressions
@@ -54,19 +37,31 @@ object Sessions {
       .config("spark.sql.timeType.enabled", "true")
       // AQE: runtime coalescing, skew-join handling, bcast demotion.
       .config("spark.sql.adaptive.enabled", "true")
-      // Post-shuffle coalescing posture — see the scaladoc above. At
-      // 100 TB the two settings coincide everywhere except the reduced
-      // tail stages, where fragment-per-core partitioning only adds
-      // scheduling and fetch overhead. Measured r21 on local[32]/sf0.1:
-      // TPC-H battery 15.6 s -> 13.9 s (q9 1.20->0.77, q20 1.36->0.86),
-      // dedup family neutral. Env-overridable for A/B; the advisory size
-      // stays at the 64m default, raise via env for huge-shuffle
-      // deployments.
+      // Post-shuffle coalescing: the r21 optimization round A/B'd every
+      // posture over the FULL suite (env knobs below, full-bench runs):
+      //   - parallelismFirst=true, floor 1m (Spark defaults): 97.4 s
+      //   - pf=true, minPartitionSize floor 4m:               101.0 s
+      //   - pf=true, floor 8m:                                100.0 s
+      //   - pf=false (coalesce to advisory 64m):              108.5 s*
+      // Byte-based coalescing cannot see COMPUTE density: floors/advisory
+      // help byte-light agg tails (TPC-H family -0.8..-1.2 s) but
+      // serialize the compute-dense-per-byte stages — LSH/shingle
+      // self-joins whose pair output explodes relative to shuffle bytes
+      // (dedup family +1.6 s, composite +0.9 s) — and the advisory
+      // posture additionally starved page allocation once under the
+      // racing-writers suite (TaskMemoryManager 64 MB allocate-retry
+      // loop; bigger partitions = bigger per-task memory, guide §2.2's
+      // own caveat). Spark's scale-adaptive default (target =
+      // clamp(bytes/parallelism, 1m, advisory)) is the measured best
+      // overall and is what ships; the knobs stay for cluster-side A/B.
+      // (*advisory run pre-dated two per-query fixes; family deltas are
+      // from matched runs.)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST",
-          (!coalesceToAdvisory).toString))
+        sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("GRAFT_AQE_ADVISORY", "64m"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("GRAFT_AQE_MIN_PARTITION", "1m"))
       // Build-side bloom filter pushed into probe-side scans — the Spark
       // counterpart of the reference's runtime join filters.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
@@ -85,11 +80,9 @@ object Sessions {
     spark
   }
 
-  /** local[N] with N shuffle partitions, N from SPARK_GRAFT_CPUS (driver
-    * contract). Batch entrypoint: coalesces post-shuffle partitions to
-    * the advisory size (see [[build]]). */
+  /** local[N] with N shuffle partitions, N from SPARK_GRAFT_CPUS (driver contract). */
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    build(s"local[$cpus]", cpus.toInt, coalesceToAdvisory = true)
+    build(s"local[$cpus]", cpus.toInt)
   }
 }

@@ -19,8 +19,10 @@ private[graft] object TpchSf1Gen {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
     val src = "/root/testdata/sf0.1"
-    val out = "/tmp/graft_sf1"
-    val copies = 10
+    // r21: parameterized so the same generator scales the probe further
+    // (sf10 = 100 copies -> 600M lineitems, the spill checkpoint)
+    val copies = sys.env.getOrElse("GRAFT_SF_COPIES", "10").toInt
+    val out = sys.env.getOrElse("GRAFT_SF_OUT", "/tmp/graft_sf1")
 
     def shifted(df: DataFrame, keyShifts: Map[String, Long]): DataFrame =
       (0 until copies).map { i =>
@@ -46,13 +48,15 @@ private[graft] object TpchSf1Gen {
       df.repartition(parts).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
 
-    write("customer", shifted(customer, Map("c_custkey" -> ck)), 8)
+    // file counts scale with the copy count so per-file sizes stay flat
+    val sc = math.max(1, copies / 10)
+    write("customer", shifted(customer, Map("c_custkey" -> ck)), 8 * sc)
     write("orders", shifted(orders,
-      Map("o_orderkey" -> ok, "o_custkey" -> ck)), 16)
+      Map("o_orderkey" -> ok, "o_custkey" -> ck)), 16 * sc)
     write("lineitem", shifted(lineitem,
-      Map("l_orderkey" -> ok, "l_partkey" -> pk, "l_suppkey" -> sk)), 48)
-    write("part", shifted(part, Map("p_partkey" -> pk)), 8)
-    write("supplier", shifted(supplier, Map("s_suppkey" -> sk)), 2)
+      Map("l_orderkey" -> ok, "l_partkey" -> pk, "l_suppkey" -> sk)), 48 * sc)
+    write("part", shifted(part, Map("p_partkey" -> pk)), 8 * sc)
+    write("supplier", shifted(supplier, Map("s_suppkey" -> sk)), 2 * sc)
     // shared dims + the non-TPCH tables, copied verbatim (the tpch
     // battery needs region/nation; the rest keep the dir loadable)
     for (t <- Seq("region", "nation", "events", "documents", "embeddings"))
