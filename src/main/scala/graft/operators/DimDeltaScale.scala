@@ -85,6 +85,20 @@ private[graft] object DimDeltaScale {
       }
       val prunedS = Seq(oneDimDelta(true), oneDimDelta(true)).min
       val unprunedS = oneDimDelta(false)
+      // the SHIPPED behavior (r21 cost switch): prune only when the fact
+      // has >= graft.mv.dimDeltaPruneMinFiles live files — measures that
+      // the small-fact points no longer pay the probe's 2-3x penalty
+      val autoS = {
+        val lo = round * 200L
+        round += 1
+        SnapshotLog.updateWhereMoR(spark, dimRoot,
+          col("dk") >= lo && col("dk") < lo + 200L,
+          Map("grp" -> (col("grp") + 37)), 10000L + round * 100L)
+        val t0 = System.nanoTime()
+        IncrementalMv.maintainDims(spark, factRoot, s"$ns.mv",
+          Seq("grp"), Seq("v")): Unit
+        (System.nanoTime() - t0) / 1e9
+      }
       // the fact-scan pruning DECISION, read from the planner: the same
       // changed-key IN filter maintainDims pushes, over the pinned fact
       val keys = ((round - 1) * 200L until round * 200L).map(Long.box)
@@ -107,7 +121,7 @@ private[graft] object DimDeltaScale {
         .load(s"/tmp/graft_snap_warehouse/$ns/mv")
         .agg(sum(col("n"))).head().getLong(0)
       require(got == want, s"MV drifted: $got != $want")
-      println(f"""{"mult":$mult,"fact_rows":$n,"dim_delta_rows":200,"maintain_pruned_s":$prunedS%.3f,"maintain_unpruned_s":$unprunedS%.3f,"recreate_s":$recreateS%.3f,"fact_files_kept":$kept,"fact_files_total":$total}""")
+      println(f"""{"mult":$mult,"fact_rows":$n,"dim_delta_rows":200,"maintain_pruned_s":$prunedS%.3f,"maintain_unpruned_s":$unprunedS%.3f,"maintain_auto_s":$autoS%.3f,"recreate_s":$recreateS%.3f,"fact_files_kept":$kept,"fact_files_total":$total}""")
       IncrementalMv.unregister(spark, factRoot)
       fs.delete(new Path(root), true)
     }
