@@ -14,14 +14,18 @@ import org.apache.spark.sql.DataFrame
   * regression. Min (not mean) is the right statistic when noise is purely
   * additive interference.
   *
-  * Output channels (VERDICT r3 item 7 + r4 ADVICE): the driver's stdout
-  * parser keeps only a 2000-char tail, so the stdout line is a COMPACT
-  * summary (total + TPC-H + slowest-15 per-query, 3-decimal precision)
-  * guaranteed to fit; the full per-query map goes to a file. The canonical
-  * file path is taken from SPARK_GRAFT_BENCH_OUT (default
-  * /tmp/graft_bench.json); dev-filtered runs never clobber the canonical
-  * file — they write a ".dev"-suffixed sibling. A second full copy lands in
-  * ./BENCH_LOCAL.json so the repo snapshot carries the latest detail.
+  * Output channels (VERDICT r3 item 7 + r4 ADVICE; re-fixed per VERDICT r21
+  * item 2): the driver's stdout parser keeps only a ~2000-char tail and has
+  * failed to parse the line since r18 because even the "compact" variant
+  * (TPC-H + slowest-15 inline) plus the trailing Spark WARN lines overflowed
+  * that window. The stdout line is now a SHORT summary — total, n, errors,
+  * sf, drift, detail path, NO inline queries map — printed as the very last
+  * thing (after spark.stop()), with bench-time logging at ERROR so no WARN
+  * noise lands between it and EOF. The full per-query map goes to files: the
+  * canonical path from SPARK_GRAFT_BENCH_OUT (default /tmp/graft_bench.json;
+  * dev-filtered runs write a ".dev" sibling, never the canonical file) and a
+  * second full copy in ./BENCH_LOCAL.json so the repo snapshot carries the
+  * latest detail. Timing methodology is UNCHANGED.
   */
 object Bench {
   private def run(df: DataFrame): Unit =
@@ -43,13 +47,12 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + esc(k) + "\":" + f3(v) }.mkString("{", ",", "}")
-    // compact stdout line: every tpch_* plus the slowest 15 of the rest
-    val (tpch, rest) = results.partition(_._1.startsWith("tpch_"))
-    val headline = tpch ++ rest.sortBy(-_._2).take(15)
     val common = s""""value":${f3(total)},"unit":"sec","n":${results.size},""" +
       s""""errors":${failed.mkString("[", ",", "]")},"sf":"${esc(sfDir)}",""" +
       s""""drift":${f3(drift)}"""
-    val compact = s"""{"metric":"total",$common,"queries":${qmap(headline)},"detail":"${esc(detail)}"}"""
+    // short stdout line: must fit the driver's ~2000-char tail with room to
+    // spare, so no per-query entries inline — they live in the detail file
+    val compact = s"""{"metric":"total",$common,"detail":"${esc(detail)}"}"""
     val full = s"""{"metric":"total",$common,"queries":${qmap(results)}}"""
     (compact, full)
   }
@@ -59,6 +62,9 @@ object Bench {
     // optional dev-only name-substring filter (driver passes no args)
     val flt = if (args.nonEmpty) args(0) else ""
     val spark = Sessions.local()
+    // ERROR, not WARN: the driver's tail capture must end with the JSON line,
+    // not a run of DataSourceV2Strategy/DAGScheduler WARNs (VERDICT r21 §2)
+    spark.sparkContext.setLogLevel("ERROR")
     val queries = SparkEntry.queries.filter(_._1.contains(flt))
     // Warm pass: executes every plan once (codegen compiled, buffers sized).
     queries.foreach { case (_, fn) =>
@@ -100,12 +106,14 @@ object Bench {
     val canonical = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     val out = if (flt.isEmpty) canonical else canonical + ".dev"
     val (compact, full) = jsonLine(results, sfDir, out, drift)
-    println(compact)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     if (flt.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
       catch { case _: Throwable => () }
     spark.stop()
+    // last line of output on purpose: nothing (not even shutdown logging)
+    // may land between this and EOF or the driver's tail window loses it
+    println(compact)
   }
 }
