@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{JaroWinkler, KmvNdv, MisraGries, NfcNormalize, NfkcNormalize, SnowflakeAliases, StripAccents, Uuid5}
+import graft.functions.{GraftBitmapAgg, GraftBitmapOrAgg, JaroWinkler, KmvNdv, MisraGries, NfcNormalize, NfkcNormalize, SnowflakeAliases, StripAccents, Uuid5}
 
 /** SparkSessionExtensions entry point — the idiomatic way to ship the
   * library's Catalyst extensions: a user adds
@@ -55,6 +55,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, k) => MisraGries(c, k.eval().asInstanceOf[Int])
         case _ => throw new IllegalArgumentException("mg_topk_candidates(expr[, capacity])")
       }))
+    // fixed-width bitmap aggregates: byte-identical to the builtin
+    // bitmap_construct_agg / bitmap_or_agg but TypedImperative over a
+    // long-array buffer, so grouped bitmap NDV hash-aggregates instead
+    // of falling to SortAggregate (r22)
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_agg"),
+      new ExpressionInfo(classOf[GraftBitmapAgg].getName, "graft_bitmap_agg"),
+      (args: Seq[Expression]) => GraftBitmapAgg(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_or_agg"),
+      new ExpressionInfo(classOf[GraftBitmapOrAgg].getName, "graft_bitmap_or_agg"),
+      (args: Seq[Expression]) => GraftBitmapOrAgg(args.head)))
     // unicode text-normalization kernels (NFC/NFKC/accent-strip) — Spark
     // has no builtin normalizer; these are the cleaning-pipeline folds
     for ((name, build) <- Seq[(String, Expression => Expression)](

@@ -236,7 +236,10 @@ object AggQueries2 extends QueryModule {
       val exact = o
         .groupBy(col("o_orderpriority").as("prio"))
         .agg(countDistinct(col("o_custkey")).cast("double").as("ndv_cust_exact"))
-      sketches.join(broadcast(exact), col("o_orderpriority") === col("prio"))
+      // null-safe join key (ADVICE r21): the fused aggregate would have
+      // kept a NULL o_orderpriority group; the split must too. <=> keeps
+      // the broadcast hash join (EqualNullSafe is a supported equi-key).
+      sketches.join(broadcast(exact), col("o_orderpriority") <=> col("prio"))
         .select(col("o_orderpriority"), col("ndv_cust_est"),
           col("ndv_status"), col("ndv_cust_exact"))
     }),
@@ -254,13 +257,23 @@ object AggQueries2 extends QueryModule {
       // keys shifted to strictly positive (the fixture's partkeys start at
       // 0, where the bucket formula's negative branch kicks in); NDV is
       // unaffected by the shift
+      //
+      // r22 (VERDICT r21 item 3): the builtin bitmap_construct_agg /
+      // bitmap_or_agg keep BINARY agg buffers, which neither HashAggregate
+      // (not mutable-fixed-width) nor ObjectHashAggregate (not
+      // TypedImperative) can hold — the whole three-level aggregation fell
+      // to SortAggregate x4 with three sorts. graft_bitmap_agg /
+      // graft_bitmap_or_agg are byte-identical twins (same 4 KiB map, same
+      // bit layout, same out-of-range refusal — see functions/BitmapAgg)
+      // over a long-array TypedImperative buffer, so every level
+      // hash-aggregates; bitmap_count and the oracle see identical bytes.
       lineitem(s, d)
         .withColumn("pk", col("l_partkey") + 1)
         .groupBy(col("l_returnflag"), col("l_linestatus"),
           expr("bitmap_bucket_number(pk)").as("bkt"))
-        .agg(expr("bitmap_construct_agg(bitmap_bit_position(pk))").as("bm1"))
+        .agg(expr("graft_bitmap_agg(bitmap_bit_position(pk))").as("bm1"))
         .groupBy(col("l_returnflag"), col("bkt"))
-        .agg(expr("bitmap_or_agg(bm1)").as("bm"))
+        .agg(expr("graft_bitmap_or_agg(bm1)").as("bm"))
         .groupBy(col("l_returnflag"))
         .agg(sum(expr("bitmap_count(bm)")).as("ndv_part"),
           count(lit(1)).as("n_buckets"))

@@ -543,4 +543,51 @@ class FunctionsSpec extends AnyFunSuite {
     assert(edge.getString(0) === "23:00:00")
     assert(edge.getString(1) === "03:30:00") // 25h + 150min = 27:30 → 03:30
   }
+
+  test("graft_bitmap_agg / graft_bitmap_or_agg are byte-identical to the " +
+       "builtin bitmap aggregates and hash-aggregate (no SortAggregate)") {
+    import spark.implicits._
+    // deterministic positions across several groups, duplicates included
+    val df = (0L until 20000L)
+      .map(i => (i % 7, (i * 2654435761L % 32768L + 32768L) % 32768L))
+      .toDF("g", "pos")
+    df.createOrReplaceTempView("bm_src")
+    // level 1: construct per group — bytes must match the builtin exactly
+    val both = spark.sql(
+      """SELECT g, bitmap_construct_agg(pos) AS b0, graft_bitmap_agg(pos) AS b1
+        |FROM bm_src GROUP BY g""".stripMargin).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("b0"),
+        r.getAs[Array[Byte]]("b1")), s"construct bytes differ for g=${r.get(0)}")
+    }
+    // level 2: or-merge of the builtin-built bitmaps — bytes must match too
+    val or2 = spark.sql(
+      """WITH lvl1 AS (
+        |  SELECT g % 2 AS h, bitmap_construct_agg(pos) AS bm
+        |  FROM bm_src GROUP BY g % 2, g)
+        |SELECT h, bitmap_or_agg(bm) AS b0, graft_bitmap_or_agg(bm) AS b1,
+        |       bitmap_count(bitmap_or_agg(bm)) AS c0,
+        |       bitmap_count(graft_bitmap_or_agg(bm)) AS c1
+        |FROM lvl1 GROUP BY h""".stripMargin).collect()
+    or2.foreach { r =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("b0"),
+        r.getAs[Array[Byte]]("b1")), s"or bytes differ for h=${r.get(0)}")
+      assert(r.getAs[Long]("c0") === r.getAs[Long]("c1"))
+    }
+    // the custom pair must plan as hash aggregation, not SortAggregate
+    val plan = spark.sql(
+      """SELECT g, graft_bitmap_or_agg(bm) FROM (
+        |  SELECT g, graft_bitmap_agg(pos) AS bm FROM bm_src GROUP BY g, pos % 3)
+        |GROUP BY g""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      s"custom bitmap aggregates fell back to SortAggregate:\n$plan")
+    // out-of-range refusal, like the builtin
+    val err = intercept[Exception] {
+      Seq(40000L).toDF("pos").selectExpr("graft_bitmap_agg(pos)").collect()
+    }
+    assert(err.toString.toLowerCase.contains("position") ||
+      err.getCause != null)
+  }
 }
