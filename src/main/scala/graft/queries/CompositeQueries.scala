@@ -54,12 +54,18 @@ object CompositeQueries extends QueryModule {
 
   /** Sessionized events: one shuffle on user_id (the window partition);
     * `gapMs` of inactivity starts a new session. Same construction as
-    * win_sessionize, parameterized so affinity can use a wider gap. */
-  private def sessionized(s: SparkSession, d: String, gapMs: Long): DataFrame = {
+    * win_sessionize, parameterized so affinity can use a wider gap.
+    * `pre` projects the events BEFORE the window shuffle (guide §2.3 —
+    * project before the exchange): a caller that only needs a derived
+    * value of a wide column computes it scan-side and drops the payload,
+    * so the user_id exchange never carries it. Default identity keeps
+    * every other caller byte-identical. */
+  private def sessionized(s: SparkSession, d: String, gapMs: Long,
+                          pre: DataFrame => DataFrame = identity): DataFrame = {
     val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val run = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gap = (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byTs)) > gapMs
-    events(s, d)
+    pre(events(s, d))
       .withColumn("new_sess", coalesce(gap.cast("long"), lit(0L)))
       .withColumn("session_idx", sum(col("new_sess")).over(run))
   }
@@ -96,8 +102,14 @@ object CompositeQueries extends QueryModule {
         .withColumn("quality", qualityScore)
         .filter(col("quality") >= 0.5)
         .select(col("doc_id"), col("lang"))
-      val sess = sessionized(s, d, 600000L)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // k extracted BEFORE the window shuffle and props dropped (r22,
+      // guide §2.3): the user_id exchange previously carried the raw JSON
+      // string through shuffle + two window passes only for a post-window
+      // get_json_object — at 100 TB that is the whole props payload
+      // crossing the network for one long. Same rows, same k values.
+      val sess = sessionized(s, d, 600000L, df => df.select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")))
       sess.join(broadcast(kept), col("k") === col("doc_id"))
         .groupBy(col("lang"))
         .pivot("event_type", eventTypes)
@@ -113,13 +125,24 @@ object CompositeQueries extends QueryModule {
     // (no Σbucket² blowup — sessions are bounded by the gap), and both
     // sides are the same deduped child so the exchange is reused.
     "composite_session_pair_affinity" -> ((s, d) => {
+      // r22 (VERDICT r21 item 6): the distinct+self-join formulation
+      // planned the ENTIRE sessionize pipeline twice — the r22-start plan
+      // shows two full scan→exchange→sort→window×2→distinct chains (no
+      // subtree reuse; one side re-built under a BroadcastExchange) joined
+      // by a BHJ. Sessions hold at most |event_type| = 5 distinct types,
+      // so the per-session type set is a tiny array: collect it ONCE
+      // (collect_set — the groupBy(user_id, session_idx) re-uses the
+      // window's user_id partitioning, no new exchange) and explode the
+      // ordered pairs from the sorted array. One pipeline instead of two,
+      // no join; identical pairs (sorted distinct array ⇒ a < b pairs
+      // exactly once per session), identical counts, oracle-verified.
       val sess = sessionized(s, d, 21600000L)
         .select(col("user_id"), col("session_idx"), col("event_type"))
-        .distinct()
-      sess.select(col("user_id"), col("session_idx"), col("event_type").as("type_a"))
-        .join(sess.select(col("user_id"), col("session_idx"), col("event_type").as("type_b")),
-          Seq("user_id", "session_idx"))
-        .filter(col("type_a") < col("type_b"))
+      sess.groupBy(col("user_id"), col("session_idx"))
+        .agg(sort_array(collect_set(col("event_type"))).as("tset"))
+        .select(posexplode(col("tset")).as(Seq("i", "type_a")), col("tset"))
+        .select(col("type_a"),
+          explode(expr("slice(tset, i + 2, size(tset))")).as("type_b"))
         .groupBy(col("type_a"), col("type_b"))
         .agg(count(lit(1)).as("n_sessions"))
         .filter(col("n_sessions") >= 2)

@@ -259,9 +259,23 @@ object IoQueries extends QueryModule {
     // the single-split fixture the whole encode ran on one core.
     "parquet_partitioned" -> ((s, d) => {
       val path = tmp(d, "pq")
+      // COMPOSITE write distribution (r22, VERDICT r21 item 5): hashing on
+      // the partition column alone (r21) bounded files-per-partition at 1
+      // but serialized the encode — 3 distinct l_returnflag values = <=3
+      // active writer tasks regardless of cluster size (~33 TB per task at
+      // 100 TB). A deterministic intra-partition splitter (guide §2.5 —
+      // never rand()) fans each partition value across `splits` tasks:
+      // files per partition stay bounded at `splits` (each (flag, split)
+      // lands in exactly one task), writers scale with the cluster. The
+      // split count is conf-driven (`graft.write.partition.splits`, local
+      // default 4 ≈ cores/partitions); a 100 TB deploy sizes it to
+      // partition-bytes / target-file-size.
+      val splits = s.conf.getOption("graft.write.partition.splits")
+        .flatMap(_.toIntOption).getOrElse(4)
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
-        .repartition(col("l_returnflag"))
+        .repartition(col("l_returnflag"),
+          pmod(xxhash64(col("l_orderkey")), lit(splits)))
         .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
       s.read.parquet(path)
         .filter(col("l_returnflag") === "R")

@@ -66,13 +66,20 @@ object TextQueries extends QueryModule {
       val toks = documents(s, d).select(col("doc_id"),
           explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
         .filter(length(col("term")) > 0)
+      // LAZY checkpoints (r22): tf feeds dlen, dfreq, AND the score join —
+      // one corpus tokenization, not three; lazy (not eager) so the corpus
+      // head() below materializes BOTH caches while computing the stats.
+      // Before: 3 jobs (eager tf checkpoint, corpus stats, score query)
+      // with dlen aggregated twice (the checkpoint drops partitioning —
+      // the plan showed UnknownPartitioning — so its agg re-shuffled too).
+      // After: 2 jobs, dlen aggregated once and served from its own cache.
       val byDoc = toks.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-        .localCheckpoint() // tf feeds dlen, dfreq, AND the score join —
-                           // one corpus tokenization, not three
+        .localCheckpoint(eager = false)
       // |d| = Σ tf over the doc's terms: derived from the tf aggregate,
       // never a second corpus pass
       val dlen = byDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .localCheckpoint(eager = false)
       val corpus = dlen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
         .head()
       val (n, avgdl) = (corpus.getLong(0), corpus.getDouble(1))

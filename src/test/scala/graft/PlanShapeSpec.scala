@@ -256,6 +256,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "partition filter did not reach the partitioned scan")
   }
 
+  test("parquet_partitioned write bounds files per partition at the split " +
+       "count (composite hash distribution, r22)") {
+    // physical() above already ran the query fn, so the write exists
+    physical("parquet_partitioned")
+    val splits = spark.conf.getOption("graft.write.partition.splits")
+      .flatMap(_.toIntOption).getOrElse(4)
+    val base = new java.io.File(s"/tmp/graft_io/pq_${sf.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val dirs = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("l_returnflag="))
+    assert(dirs.nonEmpty, s"no partition dirs under $base")
+    dirs.foreach { dir =>
+      val n = dir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n >= 1 && n <= splits,
+        s"${dir.getName}: $n files, expected 1..$splits")
+    }
+  }
+
   test("runtime bloom filter injects on a selective shuffle join (M0 session conf)") {
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
@@ -422,7 +439,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // session window + distinct-agg two-phase + pivot agg
       ("composite_gate_session_pivot", 4, Seq("BroadcastHashJoin")),
       // session window + distinct + join-on-dedup (exchange reuse) + agg
-      ("composite_session_pair_affinity", 3, Seq("ReusedExchange")),
+      // r22: pair generation via per-session collect_set + explode — ONE
+      // sessionize pipeline (the r21 self-join planned it twice), the
+      // session agg reuses the window's user_id partitioning, so the only
+      // shuffles are the window exchange and the tiny pair-count exchange
+      ("composite_session_pair_affinity", 2, Seq("ObjectHashAggregate")),
       // union + user_id running window + dow agg
       ("composite_funnel_conversion", 3, Seq("Window")),
       // star join (AQE broadcasts small sides at this SF) + agg
