@@ -44,8 +44,13 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    // LAZY checkpoints (r22, VERDICT r21 item 4): the convergence probe is
+    // the round's ONLY action — its aggregate computes the new label table
+    // and materializes the checkpoint cache as a side effect, so each
+    // round costs one job, not two (checkpoint job + probe job). At scale
+    // that halves the O(log diameter) driver round-trips.
     var labels = nodes.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def labelSum(df: DataFrame): BigDecimal = BigDecimal(
       df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head.getDecimal(0))
@@ -65,7 +70,7 @@ object ConnectedComponents {
       labels = relabeled.join(hop, relabeled("component") === hop("cid"), "left")
         .select(relabeled("id"),
           coalesce(col("cc"), relabeled("component")).as("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       curSum = labelSum(labels)
       it += 1
     } while (curSum < prevSum && it < maxIter)

@@ -1687,4 +1687,75 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(servedByMv(joinAgg(factRoot, dimRoot), "mvrw_crashdim"))
     } finally IncrementalMv.unregister(spark, factRoot)
   }
+
+  // ---- symmetric crash recovery (r22, ADVICE r21 medium item): each
+  // maintenance entry point must repair BOTH watermark families before
+  // pinning either, or the crash window of one side silently drifts the
+  // other side's algebra ----
+
+  test("maintain() after a dim-side crash window repairs the dim " +
+       "watermark before pinning the dim (no stale-dim join)") {
+    val (factRoot, dimRoot) = joinFixture("crashsymf")
+    IncrementalMv.createJoin(spark, factRoot, dimRoot, "ck", "dk",
+      "mvrw_crashsymf.mv", Seq("grp"), Seq("v"))
+    val mvRoot = IncrementalMv.registered(factRoot).get.mvRoot
+    try {
+      // dim advances and is applied (MV now reflects dim v2)...
+      SnapshotLog.updateWhereMoR(spark, dimRoot, col("dk") % 4 === 1,
+        Map("grp" -> (col("grp") + 10)), 1500L)
+      IncrementalMv.maintainDims(spark, factRoot, "mvrw_crashsymf.mv",
+        Seq("grp"), Seq("v"))
+      // ...but the watermark write is lost (crash window)
+      SnapshotLog.setTableProps(spark, mvRoot,
+        Map(IncrementalMv.AppliedDimProp -> "1"))
+      // a fact delta arrives; maintain() must join it against the dim the
+      // MV CONTENTS reflect (v2), not the stale pinned v1
+      SnapshotLog.commit(
+        spark.range(900, 1100).selectExpr("id AS k", "id % 9 AS ck",
+          "id * 2 AS v"),
+        factRoot, overwrite = false, 2000L)
+      IncrementalMv.maintain(spark, factRoot, "mvrw_crashsymf.mv",
+        Seq("grp"), Seq("v"))
+      val want = joinAgg(factRoot, dimRoot).collect().map(_.toString).sorted
+      assert(servedByMv(joinAgg(factRoot, dimRoot), "mvrw_crashsymf"),
+        "watermarks must both be repaired and current")
+      val got = joinAgg(factRoot, dimRoot).collect().map(_.toString).sorted
+      assert(got.sameElements(want),
+        s"fact delta joined a stale dim (crash-window drift)\n" +
+          s"got=${got.mkString("|")}\nwant=${want.mkString("|")}")
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
+
+  test("maintainDims() after a fact-side crash window repairs the fact " +
+       "watermark before pinning the fact (no stale-fact join)") {
+    val (factRoot, dimRoot) = joinFixture("crashsymd")
+    IncrementalMv.createJoin(spark, factRoot, dimRoot, "ck", "dk",
+      "mvrw_crashsymd.mv", Seq("grp"), Seq("v"))
+    val mvRoot = IncrementalMv.registered(factRoot).get.mvRoot
+    try {
+      // fact advances and is applied (MV now reflects fact v2)...
+      SnapshotLog.commit(
+        spark.range(900, 1100).selectExpr("id AS k", "id % 9 AS ck",
+          "id * 2 AS v"),
+        factRoot, overwrite = false, 2000L)
+      IncrementalMv.maintain(spark, factRoot, "mvrw_crashsymd.mv",
+        Seq("grp"), Seq("v"))
+      // ...but the fact watermark write is lost (crash window)
+      SnapshotLog.setTableProps(spark, mvRoot,
+        Map(IncrementalMv.AppliedProp -> "1"))
+      // a dim delta arrives; maintainDims() must join it against the fact
+      // the MV CONTENTS reflect (v2), not the stale pinned v1
+      SnapshotLog.updateWhereMoR(spark, dimRoot, col("dk") % 4 === 1,
+        Map("grp" -> (col("grp") + 10)), 2500L)
+      IncrementalMv.maintainDims(spark, factRoot, "mvrw_crashsymd.mv",
+        Seq("grp"), Seq("v"))
+      val want = joinAgg(factRoot, dimRoot).collect().map(_.toString).sorted
+      assert(servedByMv(joinAgg(factRoot, dimRoot), "mvrw_crashsymd"),
+        "watermarks must both be repaired and current")
+      val got = joinAgg(factRoot, dimRoot).collect().map(_.toString).sorted
+      assert(got.sameElements(want),
+        s"dim delta joined a stale fact (crash-window drift)\n" +
+          s"got=${got.mkString("|")}\nwant=${want.mkString("|")}")
+    } finally IncrementalMv.unregister(spark, factRoot)
+  }
 }
