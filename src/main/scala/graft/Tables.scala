@@ -21,8 +21,19 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Kill switch for the schema cache (ADVICE r21): a harness that rewrites
+    * a fixture path with a DIFFERENT schema inside one JVM would silently
+    * read through the stale cached schema — set `-Dgraft.schema.cache=false`
+    * (or the env var GRAFT_SCHEMA_CACHE=false) to fall back to per-call
+    * footer inference. Default on: fixtures are process-immutable. */
+  private val cacheEnabled: Boolean =
+    sys.props.get("graft.schema.cache")
+      .orElse(sys.env.get("GRAFT_SCHEMA_CACHE"))
+      .forall(v => !v.equalsIgnoreCase("false"))
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
+    if (!cacheEnabled) return spark.read.parquet(path)
     val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
     spark.read.schema(schema).parquet(path)
   }

@@ -2011,10 +2011,15 @@ object DdlQueries extends QueryModule {
       // bad inserts (v3) cancel the rollback's deletes (v4): net EMPTY
       val netEmpty = SnapshotLog.changes(s, root, fromVersion = 2,
         netChanges = true).isEmpty
-      // the rolled-past version is still time-travelable (nothing deleted)
-      val evens = c.filter(col("c_custkey") % 2 === 0).count()
+      // the rolled-past version is still time-travelable (nothing deleted).
+      // total and even-key counts fused into ONE aggregate job (r22 —
+      // the gate previously paid two separate count actions on the same
+      // projection); same values, one fewer driver round-trip.
+      val cRow = c.agg(count(lit(1)).as("n"),
+        count(when(col("c_custkey") % 2 === 0, 1)).as("evens")).head()
+      val (cTotal, evens) = (cRow.getLong(0), cRow.getLong(1))
       val travelable =
-        snapRead(s, root, asOfVersion = Some(3)).count() == c.count() + evens
+        snapRead(s, root, asOfVersion = Some(3)).count() == cTotal + evens
       snapRead(s, root).groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("c_acctbal")), 2).as("sum_bal"))

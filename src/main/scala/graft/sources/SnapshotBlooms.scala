@@ -102,9 +102,11 @@ private[graft] object SnapshotBlooms {
     * sidecar that expiry reclaims). NonFatal-guarded: bloom metadata is
     * an accelerator, a failure must never fail the commit. */
   def writeSidecar(spark: SparkSession, root: String, newFiles: Seq[String],
-                   schema: StructType, rowsByFile: Map[String, Long]): Unit = {
-    val props = try SnapshotLog.tableProps(spark, root)
-                catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
+                   schema: StructType, rowsByFile: Map[String, Long],
+                   propsOpt: Option[Map[String, String]] = None): Unit = CommitTimings.time("bloomSidecar") {
+    val props = propsOpt.getOrElse(
+      try SnapshotLog.tableProps(spark, root)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] })
     val cols = bloomColumns(props, schema)
     if (cols.isEmpty || newFiles.isEmpty) return
     try {
@@ -297,6 +299,41 @@ private[graft] object SnapshotBlooms {
         else vs.exists(v => v == null || probe(a, v))
       case _ => true
     }
+  }
+
+  /** Build the value-bloom AND ngram sidecars for one commit's new files,
+    * CONCURRENTLY when both features are armed (r22, guide §2.6 — overlap
+    * independent jobs): the two builds are independent column-pruned Spark
+    * jobs over the same files reading DIFFERENT columns; serialized, each
+    * job's tail leaves the executors idle while the other waits. Two
+    * driver threads let the scheduler back-fill — same bytes, same
+    * sidecars, lower wall. Table props are read ONCE here (each writer
+    * previously re-read them) and passed down. Tables with neither (the
+    * overwhelmingly common commit) pay one props read and return; tables
+    * with one feature run it inline — no thread is spawned unless both
+    * fire. Sidecar bytes are unchanged in every case. */
+  def writeBothSidecars(spark: SparkSession, root: String,
+                        newFiles: Seq[String], schema: StructType,
+                        rowsByFile: Map[String, Long]): Unit = {
+    val props = try SnapshotLog.tableProps(spark, root)
+                catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
+    val doBloom = newFiles.nonEmpty && bloomColumns(props, schema).nonEmpty
+    val doNgram = newFiles.nonEmpty &&
+      SnapshotNgramBlooms.ngramColumns(props, schema).nonEmpty
+    if (doBloom && doNgram) {
+      val bloomT = new Thread(() =>
+        writeSidecar(spark, root, newFiles, schema, rowsByFile, Some(props)),
+        "graft-bloom-sidecar")
+      bloomT.setDaemon(true)
+      bloomT.start()
+      try SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, schema,
+        Some(props))
+      finally bloomT.join()
+    } else if (doBloom)
+      writeSidecar(spark, root, newFiles, schema, rowsByFile, Some(props))
+    else if (doNgram)
+      SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, schema,
+        Some(props))
   }
 
   /** Reclaim sidecars whose files are ALL provably dead: every file

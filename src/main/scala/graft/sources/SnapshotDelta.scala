@@ -116,8 +116,7 @@ private[sources] class SnapshotDeltaBatchWrite(root: String,
       .map(f => SnapshotLog.norm(f) -> fs.getFileStatus(new Path(f)).getLen).toMap
     val (newStats, newCols, newRows, newNulls) = SnapshotLog.footerMeta(conf, newFiles, schema)
     // delta-appended files carry bloom coverage like any other commit
-    SnapshotBlooms.writeSidecar(spark, root, newFiles, schema, newRows)
-    SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, schema)
+    SnapshotBlooms.writeBothSidecars(spark, root, newFiles, schema, newRows)
     SnapshotNulls.record(spark, root, newNulls)
     val allFiles = cur.files ++ newFiles
     val (fids, colIds, maxId) =

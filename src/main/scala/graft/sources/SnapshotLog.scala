@@ -200,7 +200,7 @@ object SnapshotLog {
     * An unparseable TRAILING manifest is an in-flight or crashed publish
     * that was never acknowledged — skipped; unparseable earlier manifests
     * are real corruption and throw. */
-  def snapshots(spark: SparkSession, root: String): Seq[Snapshot] = {
+  def snapshots(spark: SparkSession, root: String): Seq[Snapshot] = CommitTimings.time("snapshots") {
     val dir = logDir(root)
     val fs = fsFor(spark, dir)
     if (!fs.exists(dir)) return Seq.empty
@@ -557,6 +557,39 @@ object SnapshotLog {
     * whose blocks don't all set numNulls is absent from the nulls map
     * (unknown — readers treat it conservatively). Metadata IO only. */
   private[sources] def footerMeta(conf: Configuration, files: Seq[String],
+                          schema: StructType)
+      : (Map[String, Map[String, (Any, Any)]], Map[String, Seq[String]],
+         Map[String, Long], Map[String, Map[String, Long]]) =
+    CommitTimings.time("footerMeta") {
+      // PARALLEL footer walk (r22, guide §6/§7.3 — driver metadata I/O):
+      // footers were opened strictly sequentially; a 10k-file commit at
+      // 100 TB pays 10k round-trips of object-store latency on one driver
+      // thread. Each file's walk is independent — fan it across a small
+      // pool (bounded: this is latency hiding, not a compute farm) and
+      // merge per-file results in input order. Single-file commits skip
+      // the pool entirely.
+      if (files.lengthCompare(2) < 0) footerMetaOne(conf, files, schema)
+      else {
+        val par = math.min(8, files.size)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+        try {
+          val futures = files.map(f =>
+            pool.submit(new java.util.concurrent.Callable[
+              (Map[String, Map[String, (Any, Any)]], Map[String, Seq[String]],
+               Map[String, Long], Map[String, Map[String, Long]])] {
+              def call() = footerMetaOne(conf, Seq(f), schema)
+            }))
+          futures.map(_.get()).foldLeft(
+            (Map.empty[String, Map[String, (Any, Any)]],
+             Map.empty[String, Seq[String]], Map.empty[String, Long],
+             Map.empty[String, Map[String, Long]])) { (acc, r) =>
+            (acc._1 ++ r._1, acc._2 ++ r._2, acc._3 ++ r._3, acc._4 ++ r._4)
+          }
+        } finally pool.shutdown()
+      }
+    }
+
+  private def footerMetaOne(conf: Configuration, files: Seq[String],
                           schema: StructType)
       : (Map[String, Map[String, (Any, Any)]], Map[String, Seq[String]],
          Map[String, Long], Map[String, Map[String, Long]]) = {
@@ -922,9 +955,11 @@ object SnapshotLog {
     // see stageSorted), so zone-map range pruning, top-k skipping, and
     // sort-order reporting all engage WITHOUT a separate compaction pass.
     val (staged, sortOn) = stageSorted(spark, df, numFiles, writeProps)
-    staged.write
-      .options(SnapshotBlooms.parquetWriterOptions(writeProps, df.schema))
-      .parquet(dataDir.toString)
+    CommitTimings.time("dataWrite") {
+      staged.write
+        .options(SnapshotBlooms.parquetWriterOptions(writeProps, df.schema))
+        .parquet(dataDir.toString)
+    }
     val statuses = fs.listStatus(dataDir)
       .filter(s => s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
@@ -933,8 +968,7 @@ object SnapshotLog {
     val newSizes = statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap
     val (newStats, newCols, newRows, newNulls) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
-    SnapshotBlooms.writeSidecar(spark, root, newFiles, df.schema, newRows)
-    SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, df.schema)
+    SnapshotBlooms.writeBothSidecars(spark, root, newFiles, df.schema, newRows)
     SnapshotNulls.record(spark, root, newNulls)
     if (sortOn.nonEmpty) SnapshotSorts.record(spark, root, newFiles, sortOn)
 
@@ -1123,8 +1157,7 @@ object SnapshotLog {
     val newParts = sortedFound.map(f => norm(f._1) -> f._3).toMap
     val (newStats, newCols, newRows, newNulls) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
-    SnapshotBlooms.writeSidecar(spark, root, newFiles, df.schema, newRows)
-    SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, df.schema)
+    SnapshotBlooms.writeBothSidecars(spark, root, newFiles, df.schema, newRows)
     SnapshotNulls.record(spark, root, newNulls)
     if (sortOn.nonEmpty) SnapshotSorts.record(spark, root, newFiles, sortOn)
 
@@ -1603,7 +1636,7 @@ object SnapshotLog {
     * versioned: they steer future commits, they don't describe past ones
     * (matching Iceberg, where properties changes don't create
     * snapshots). Last-writer-wins on concurrent SET. */
-  def tableProps(spark: SparkSession, root: String): Map[String, String] = {
+  def tableProps(spark: SparkSession, root: String): Map[String, String] = CommitTimings.time("tableProps") {
     val p = new Path(logDir(root), "tblprops.json")
     val fs = fsFor(spark, p)
     if (!fs.exists(p)) Map.empty
@@ -1776,8 +1809,7 @@ object SnapshotLog {
     val newSizes = statuses.map(s => norm(s.getPath.toString) -> s.getLen).toMap
     val (newStats, newCols, newRows, newNulls) =
       footerMeta(spark.sessionState.newHadoopConf(), newFiles, df.schema)
-    SnapshotBlooms.writeSidecar(spark, root, newFiles, df.schema, newRows)
-    SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, df.schema)
+    SnapshotBlooms.writeBothSidecars(spark, root, newFiles, df.schema, newRows)
     SnapshotNulls.record(spark, root, newNulls)
     if (sortOn.nonEmpty) SnapshotSorts.record(spark, root, newFiles, sortOn)
     val allFiles = head.files ++ newFiles
@@ -1939,7 +1971,7 @@ object SnapshotLog {
                              specs: Seq[Seq[(String, String)]] = Seq.empty,
                              fileSpec: Map[String, Int] = Map.empty,
                              parent: Int = -1,
-                             rowCounts: Map[String, Long] = Map.empty): Unit = {
+                             rowCounts: Map[String, Long] = Map.empty): Unit = CommitTimings.time("commitManifest") {
     // ---- MANIFEST-LIST SHARDING (r14; Iceberg's two-level manifest) ----
     // Per-file entries above the threshold live in immutable uuid-named
     // shard files reused across versions: an append's manifest is then
@@ -3196,8 +3228,7 @@ object SnapshotLog {
         // reference them forever (expireSidecars only reclaims files that
         // appear in dead snapshots). A scan between commit and these
         // writes merely keeps the new files (conservative).
-        SnapshotBlooms.writeSidecar(spark, root, newFiles, cur.schema, newRows)
-        SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, cur.schema)
+        SnapshotBlooms.writeBothSidecars(spark, root, newFiles, cur.schema, newRows)
         SnapshotNulls.record(spark, root, newNulls)
         branchDmlBeforeRefWrite()
         advanceBranchRef(spark, root, branch, headV, committed)
@@ -3386,14 +3417,28 @@ object SnapshotLog {
     val bloomsNow = SnapshotBlooms.bloomsAt(root)
     val bFiles = backfillable(bloomCols,
       (key, c) => bloomsNow.get(c).exists(_.contains(key)))
-    if (bFiles.nonEmpty)
-      SnapshotBlooms.writeSidecar(spark, root, bFiles, schema, snap.rows)
     val ngramCols = SnapshotNgramBlooms.ngramColumns(props, schema).map(_.name)
     val ngramsNow = SnapshotNgramBlooms.ngramsAt(root)
     val nFiles = backfillable(ngramCols,
       (key, c) => ngramsNow.get(c).exists(_.contains(key)))
-    if (nFiles.nonEmpty)
-      SnapshotNgramBlooms.writeSidecar(spark, root, nFiles, schema)
+    // overlap the two backfill builds (r22, guide §2.6) — independent
+    // column-pruned jobs, possibly over different file sets; same sidecar
+    // bytes as the sequential order
+    if (bFiles.nonEmpty && nFiles.nonEmpty) {
+      val bloomT = new Thread(() => SnapshotBlooms.writeSidecar(
+        spark, root, bFiles, schema, snap.rows, Some(props)),
+        "graft-bloom-backfill")
+      bloomT.setDaemon(true)
+      bloomT.start()
+      try SnapshotNgramBlooms.writeSidecar(spark, root, nFiles, schema,
+        Some(props))
+      finally bloomT.join()
+    } else if (bFiles.nonEmpty)
+      SnapshotBlooms.writeSidecar(spark, root, bFiles, schema, snap.rows,
+        Some(props))
+    else if (nFiles.nonEmpty)
+      SnapshotNgramBlooms.writeSidecar(spark, root, nFiles, schema,
+        Some(props))
     (bFiles.size, nFiles.size)
   }
 
@@ -3930,8 +3975,7 @@ object SnapshotLog {
     // compacted outputs regenerate bloom coverage (an absent bloom is
     // merely weaker pruning, but compaction folding a bloom'd table
     // should not silently shed its point-lookup skipping)
-    SnapshotBlooms.writeSidecar(spark, root, newFiles, schema, newRows)
-    SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, schema)
+    SnapshotBlooms.writeBothSidecars(spark, root, newFiles, schema, newRows)
     SnapshotNulls.record(spark, root, newNulls)
     // cluster-by outputs are key-sorted: record the per-file sort order so
     // the DSv2 scan can report SupportsReportOrdering (co-sorted SPJ joins
@@ -4112,7 +4156,7 @@ object SnapshotLog {
     * lost race simply skips — the thresholds re-trip on the next commit.
     * Reference behavior: Bodo's Iceberg writer leaves this to the
     * catalog's background services; here the policy IS the service. */
-  private[sources] def maybeMaintain(spark: SparkSession, root: String): Unit = {
+  private[sources] def maybeMaintain(spark: SparkSession, root: String): Unit = CommitTimings.time("maybeMaintain") {
     // EVERYTHING — property parsing included — sits inside the
     // best-effort guard: this runs after the caller's commit is already
     // durable, so a malformed property value or a lost maintenance race

@@ -99,9 +99,11 @@ private[graft] object SnapshotNgramBlooms {
     * immutable sidecar per batch. NonFatal-guarded: an accelerator's
     * failure must never fail the commit. */
   def writeSidecar(spark: SparkSession, root: String, newFiles: Seq[String],
-                   schema: StructType): Unit = {
-    val props = try SnapshotLog.tableProps(spark, root)
-                catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
+                   schema: StructType,
+                   propsOpt: Option[Map[String, String]] = None): Unit = CommitTimings.time("ngramSidecar") {
+    val props = propsOpt.getOrElse(
+      try SnapshotLog.tableProps(spark, root)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] })
     val cols = ngramColumns(props, schema)
     if (cols.isEmpty || newFiles.isEmpty) return
     try {

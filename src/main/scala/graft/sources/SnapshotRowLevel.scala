@@ -222,8 +222,7 @@ private[sources] class SnapshotReplaceBatchWrite(root: String,
       .map(f => SnapshotLog.norm(f) -> fs.getFileStatus(new Path(f)).getLen).toMap
     // rewritten files regenerate bloom coverage (a DML-heavy table must
     // not bleed point-lookup pruning file by file until compaction)
-    SnapshotBlooms.writeSidecar(spark, root, newFiles, schema, newRows)
-    SnapshotNgramBlooms.writeSidecar(spark, root, newFiles, schema)
+    SnapshotBlooms.writeBothSidecars(spark, root, newFiles, schema, newRows)
     SnapshotNulls.record(spark, root, newNulls)
     val (fids, colIds, maxId) =
       SnapshotLog.fidCarry(Some(cur), schema, untouched ++ newFiles, newCols)
