@@ -22,17 +22,17 @@ object VectorIndex {
   /** Index bucket count = 2^NPLANES; public so oracle SQL stays in lockstep. */
   val NPLANES = 8
 
+  // r22 (guide §4 / §1.1): the per-plane signature HOFs and the per-pair
+  // cos dot — aggregate(zip_with()), CodegenFallback, interpreted with a
+  // fresh zip array per call — moved to tight-loop UDFs in
+  // functions/VecExprs: same fold order, bit-identical doubles, so
+  // existing fingerprint-keyed indexes stay valid (identical buckets).
+  // The per-row norm/cast HOFs stay (unrolled replacements measured
+  // slower on the focused A/B; row-bounded call count).
+
   /** Same deterministic hyperplanes as SimQueries (oracle-replicable). */
-  def signature(emb: Column): Column = {
-    def planeDot(j: Int): Column =
-      aggregate(
-        zip_with(emb, sequence(lit(0), lit(DIM - 1)),
-          (x, i) => x * ((i * 31 + lit(j * 17)) % 7 - 3)),
-        lit(0.0), (acc, x) => acc + x)
-    (0 until NPLANES)
-      .map(j => when(planeDot(j) >= 0, lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
-  }
+  private lazy val sigUdf = graft.functions.VecExprs.lshSig(DIM, NPLANES)
+  def signature(emb: Column): Column = sigUdf(emb)
 
   private def withDoubles(df: DataFrame): DataFrame =
     df.select(col("vec_id"),
@@ -111,8 +111,8 @@ object VectorIndex {
     val idx = spark.read.parquet(path)
       .select(col("vec_id").as("c_id"), col("emb").as("ce"), col("nrm").as("cn"),
         col("bucket"))
-    val cos = aggregate(zip_with(col("qe"), col("ce"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x) / (col("qn") * col("cn"))
+    val cos = graft.functions.VecExprs.dotLoop(col("qe"), col("ce")) /
+      (col("qn") * col("cn"))
     idx.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       // partition-column type inference reads the bucket dir as int

@@ -249,13 +249,22 @@ object CompositeQueries extends QueryModule {
     // weekly event counts against the surviving docs. Families: text
     // kernels, dedup window, broadcast join, datetime trunc, pivot agg.
     "composite_dedup_gate_weekly" -> ((s, d) => {
-      val dw = Window.partitionBy(col("th")).orderBy(col("doc_id"))
+      // r22 (guide §2.3 — aggregate before you shuffle): "first doc_id
+      // per content hash" was a row_number window: shuffle every
+      // surviving (th, doc_id) row, SORT each hash partition, keep rn=1.
+      // min(doc_id) per hash is the same value (doc_id is the window's
+      // only order key), computed as a hash aggregate: map-side partial
+      // min collapses duplicate hashes BEFORE the exchange (the shuffle
+      // carries one row per (map task, hash) instead of one per document)
+      // and the per-partition Sort + two Window passes disappear
+      // (plans/r22: 25→21 ops, Window/Sort→0, exchange input
+      // [doc_id, th]→[th, min]). Same kept set, oracle green.
       val kept = documents(s, d)
         .withColumn("quality", qualityScore)
         .filter(col("quality") >= 0.5)
-        .withColumn("th", md5(col("text")))
-        .withColumn("rn", row_number().over(dw))
-        .filter(col("rn") === 1)
+        .select(md5(col("text")).as("th"), col("doc_id"))
+        .groupBy(col("th"))
+        .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))

@@ -29,21 +29,36 @@ object SimQueries extends QueryModule {
   // vector also probes its 16 Hamming-1 neighbor buckets (flip one sign).
   private val NPLANES = 16
 
+  // r22 (guide §4 / §1.1): the per-PAIR dot (broadcast-join inner loops)
+  // and the per-plane signature HOFs — aggregate(zip_with(...)),
+  // CodegenFallback, a fresh zip array per interpreted call — moved to
+  // tight-loop UDFs in functions/VecExprs: same left-to-right fold from
+  // 0.0, bit-identical doubles (VecExprsSpec pins equivalence over the
+  // real fixture), oracle unchanged. The per-ROW l2/cast HOFs stay:
+  // unrolled codegen replacements for them measured SLOWER on the focused
+  // A/B (fixture volume never amortizes the bigger plan), and their call
+  // count is row-bounded, not pair-bounded.
+
   /** embedding as array<double> (floats widen exactly). */
   private def embD: Column = transform(col("embedding"), x => x.cast("double"))
 
   private def l2(e: Column): Column =
     sqrt(aggregate(e, lit(0.0), (acc, x) => acc + x * x))
 
-  private def dot(a: Column, b: Column): Column =
+  private lazy val dotLoop = graft.functions.VecExprs.dotLoop
+  private def dot(a: Column, b: Column): Column = dotLoop(a, b)
+
+  /** HOF dot kept for the two queries where the focused min-of-3 A/B
+    * measured it FASTER than the loop UDF (ann_topk 0.43 vs 0.56 s,
+    * embed_kmeans_assign 0.45 vs 0.60 s — the window-over-broadcast-pairs
+    * shape pays the UDF's per-call array conversion without the recall/
+    * lsh queries' offsetting signature win). Same fold order, same bits. */
+  private def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Deterministic integer hyperplane component: w_j[i] = ((i*31+j*17)%7)-3. */
-  private def planeDot(e: Column, j: Int): Column =
-    aggregate(
-      zip_with(e, sequence(lit(0), lit(DIM - 1)),
-        (x, i) => x * ((i * 31 + lit(j * 17)) % 7 - 3)),
-      lit(0.0), (acc, x) => acc + x)
+  /** All NPLANES sign bits in one tight JVM loop per row — hyperplanes
+    * w_j[i] = ((i*31+j*17)%7)-3, identical to the oracle mirrors. */
+  private lazy val sigOf = graft.functions.VecExprs.lshSig(DIM, NPLANES)
 
   private def base(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"), col("label"), embD.as("emb"))
@@ -98,7 +113,7 @@ object SimQueries extends QueryModule {
         .select(col("vec_id").as("c_id"), col("emb").as("ce"), col("nrm").as("cn"))
       val scored = c.join(broadcast(q))
         .select(col("q_id"), col("c_id"),
-          (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+          (dotHof(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
       scored
         .withColumn("rnk",
           row_number().over(Window.partitionBy("q_id")
@@ -153,9 +168,7 @@ object SimQueries extends QueryModule {
     // sign-LSH earns its keep only on embeddings with real cluster
     // structure. No silent quality caps — the number is in the output.
     "ann_lsh_recall" -> ((s, d) => {
-      val sig = (0 until NPLANES)
-        .map(j => when(planeDot(col("emb"), j) >= 0, lit(1L << j)).otherwise(0L))
-        .reduce(_ + _)
+      val sig = sigOf(col("emb"))
       val e = base(s, d).withColumn("sig", sig)
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("emb").as("qe"),
@@ -195,9 +208,7 @@ object SimQueries extends QueryModule {
       val e = embeddings(s, d)
         .select(col("vec_id"), clusteredEmb.as("emb"))
         .withColumn("nrm", l2(col("emb")))
-      val sig = (0 until NPLANES)
-        .map(j => when(planeDot(col("emb"), j) >= 0, lit(1L << j)).otherwise(0L))
-        .reduce(_ + _)
+      val sig = sigOf(col("emb"))
       val es = e.withColumn("sig", sig)
       val q = es.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("emb").as("qe"),
@@ -237,7 +248,7 @@ object SimQueries extends QueryModule {
         .select(col("vec_id").as("vid"), col("emb").as("ve"), col("nrm").as("vn"))
       v.join(broadcast(cent))
         .select(col("vid"), col("cid"),
-          (dot(col("ve"), col("ce")) / (col("vn") * col("cn"))).as("cos"))
+          (dotHof(col("ve"), col("ce")) / (col("vn") * col("cn"))).as("cos"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("vid").orderBy(col("cos").desc, col("cid"))))
         .filter(col("rnk") === 1)
@@ -255,9 +266,7 @@ object SimQueries extends QueryModule {
     // otherwise split across buckets; each pair still matches via exactly
     // one probe key, so no dedup shuffle is needed.
     "ann_lsh" -> ((s, d) => {
-      val sig = (0 until NPLANES)
-        .map(j => when(planeDot(col("emb"), j) >= 0, lit(1L << j)).otherwise(0L))
-        .reduce(_ + _)
+      val sig = sigOf(col("emb"))
       // materialized once: the probe side and the bucket side otherwise
       // BOTH re-run the embedding load + NPLANES-plane signature
       val e = base(s, d).withColumn("sig", sig).localCheckpoint()
@@ -267,9 +276,17 @@ object SimQueries extends QueryModule {
         col("nrm").as("na"), explode(probeKeys).as("pk"))
       val b = e.select(col("vec_id").as("vec_j"), col("emb").as("eb"),
         col("nrm").as("nb"), col("sig").as("sigb"))
+      // dotOnce, not dot (guide §4.4): the cos >= 0.2 filter otherwise
+      // collapses into the join condition AND stays in the projection —
+      // the plan evaluated the pair dot TWICE per candidate (verified in
+      // plans/r22/ann_lsh_before.txt: the aggregate(zip_with()) appears in
+      // both the Join condition and the Project). The non-deterministic
+      // marking stops the optimizer duplicating it: one dot per candidate
+      // pair, filtered above the projection. Same pairs, same cos values.
+      val dotOnce = graft.functions.VecExprs.dotLoop.asNondeterministic()
       a.join(b, col("pk") === col("sigb") && col("vec_i") < col("vec_j"))
         .select(col("vec_i"), col("vec_j"), col("sigb").as("bucket"),
-          (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+          (dotOnce(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
         .filter(col("cos") >= 0.2)
     })
   )
