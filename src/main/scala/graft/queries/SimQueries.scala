@@ -48,11 +48,12 @@ object SimQueries extends QueryModule {
   private lazy val dotLoop = graft.functions.VecExprs.dotLoop
   private def dot(a: Column, b: Column): Column = dotLoop(a, b)
 
-  /** HOF dot kept for the two queries where the focused min-of-3 A/B
-    * measured it FASTER than the loop UDF (ann_topk 0.43 vs 0.56 s,
-    * embed_kmeans_assign 0.45 vs 0.60 s — the window-over-broadcast-pairs
-    * shape pays the UDF's per-call array conversion without the recall/
-    * lsh queries' offsetting signature win). Same fold order, same bits. */
+  /** HOF dot kept where min-of-3 A/Bs measured it FASTER than the loop
+    * UDF — ann_topk (0.43 vs 0.56 s) and embed_kmeans_assign (0.45 vs
+    * 0.60) in the dev battery, ann_ivf (0.32 vs 0.45) and ann_lsh (0.93
+    * vs 1.03) in the warm full-suite protocol: those shapes pay the
+    * UDF's per-call array conversions without the recall queries'
+    * offsetting signature win. Same fold order, same bits either way. */
   private def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -135,7 +136,9 @@ object SimQueries extends QueryModule {
         col("emb").as("ce"), col("nrm").as("cn"))
       c.join(broadcast(q), col("bkt") === col("bkt2") && col("q_id") =!= col("c_id"))
         .select(col("q_id"), col("bkt"), col("c_id"),
-          (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+          // dotHof: full-suite min-of-3 measured the loop UDF 1.4x slower
+          // here (0.32 vs 0.45 s) — same warm-protocol story as ann_lsh
+          (dotHof(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
         .withColumn("rnk",
           row_number().over(Window.partitionBy("q_id")
             .orderBy(col("cos").desc, col("c_id"))).cast("long"))
@@ -276,17 +279,18 @@ object SimQueries extends QueryModule {
         col("nrm").as("na"), explode(probeKeys).as("pk"))
       val b = e.select(col("vec_id").as("vec_j"), col("emb").as("eb"),
         col("nrm").as("nb"), col("sig").as("sigb"))
-      // dotOnce, not dot (guide §4.4): the cos >= 0.2 filter otherwise
-      // collapses into the join condition AND stays in the projection —
-      // the plan evaluated the pair dot TWICE per candidate (verified in
-      // plans/r22/ann_lsh_before.txt: the aggregate(zip_with()) appears in
-      // both the Join condition and the Project). The non-deterministic
-      // marking stops the optimizer duplicating it: one dot per candidate
-      // pair, filtered above the projection. Same pairs, same cos values.
-      val dotOnce = graft.functions.VecExprs.dotLoop.asNondeterministic()
+      // dotHof, not the loop UDF, settled by FULL-SUITE measurement (the
+      // driver's protocol): the cos >= 0.2 filter collapses into the join
+      // condition AND stays in the projection, so the pair dot evaluates
+      // twice per candidate either way; an asNondeterministic UDF variant
+      // that restored single evaluation won the cold dev-filter battery
+      // (1.33→0.92 min-of-3) but LOST the warm interleaved full-suite
+      // min-of-3 (0.93 HOF vs 1.03 UDF) — JIT-hot HOF interpretation
+      // beats the UDF's 2×64-value array conversions per call here. The
+      // signature stays a UDF (sigOf above): it wins in both protocols.
       a.join(b, col("pk") === col("sigb") && col("vec_i") < col("vec_j"))
         .select(col("vec_i"), col("vec_j"), col("sigb").as("bucket"),
-          (dotOnce(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+          (dotHof(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
         .filter(col("cos") >= 0.2)
     })
   )
